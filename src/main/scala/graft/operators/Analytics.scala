@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** OLAP analytics core (SURVEY §2.B): TPC-H-shaped queries expressed
+  * declaratively so Catalyst handles pushdown/pruning/join strategy.
+  *
+  * Numeric parity convention (shared with the DuckDB oracle): row-level
+  * arithmetic happens in DOUBLE (bit-deterministic per row for the same
+  * left-associated expression in both engines); measures are cast to
+  * DECIMAL(18,4) *before* SUM so the aggregate is order-independent and
+  * exact; the final value is cast back to DOUBLE so both sides present
+  * identical schema + bits. Averages divide that deterministic sum by a
+  * count in double space.
+  */
+object Analytics {
+
+  /** Order-independent exact sum, presented as double. */
+  private def psum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** B1: pricing summary — multi-aggregate groupBy (TPC-H Q1 shape).
+    * One shuffle on the (tiny-cardinality) group keys, partial
+    * aggregation map-side; filter is pushed to the parquet scan.
+    */
+  def q1PricingSummary(t: Tables): DataFrame =
+    t.lineitem
+      .select($("l_returnflag"), $("l_linestatus"), $("l_quantity"),
+        $("l_extendedprice"), $("l_discount"), $("l_tax"), $("l_shipdate"))
+      .filter($("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy($("l_returnflag"), $("l_linestatus"))
+      .agg(
+        psum($("l_quantity")).as("sum_qty"),
+        psum($("l_extendedprice")).as("sum_base_price"),
+        psum($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("sum_disc_price"),
+        psum($("l_extendedprice") * (lit(1.0) - $("l_discount")) * (lit(1.0) + $("l_tax"))).as("sum_charge"),
+        (psum($("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
+        (psum($("l_extendedprice")) / count(lit(1)).cast("double")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($("l_returnflag"), $("l_linestatus"))
+
+  /** B2: shipping priority — customer ⋈ orders ⋈ lineitem, revenue
+    * per order, top 10. customer side is selective + small → broadcast;
+    * final top-N is sort+limit = TakeOrderedAndProject (no global sort).
+    */
+  def q3ShippingPriority(t: Tables): DataFrame = {
+    val cut = lit("1997-06-01").cast("timestamp")
+    val cust = t.customer.select($("c_custkey"), $("c_mktsegment"))
+      .filter($("c_mktsegment") === "BUILDING")
+    val ord = t.orders.select($("o_orderkey"), $("o_custkey"), $("o_orderdate"))
+      .filter($("o_orderdate") < cut)
+    val li = t.lineitem.select($("l_orderkey"), $("l_extendedprice"), $("l_discount"), $("l_shipdate"))
+      .filter($("l_shipdate") > cut)
+    li.join(ord, $("l_orderkey") === $("o_orderkey"))
+      .join(broadcast(cust), $("o_custkey") === $("c_custkey"))
+      .groupBy($("l_orderkey"), $("o_orderdate"))
+      .agg(psum($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("revenue"))
+      .orderBy($("revenue").desc, $("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** B3: local-supplier volume — 6-way join; region/nation/supplier are
+    * dimension-sized → broadcast; the lineitem⋈orders fact join shuffles
+    * on orderkey with AQE skew handling.
+    */
+  def q5LocalSupplier(t: Tables): DataFrame = {
+    val reg = t.region.select($("r_regionkey"), $("r_name")).filter($("r_name") === "ASIA")
+    val nat = t.nation.select($("n_nationkey"), $("n_name"), $("n_regionkey"))
+    val sup = t.supplier.select($("s_suppkey"), $("s_nationkey"))
+    val cust = t.customer.select($("c_custkey"), $("c_nationkey"))
+    val ord = t.orders.select($("o_orderkey"), $("o_custkey"), $("o_orderdate"))
+      .filter($("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter($("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = t.lineitem.select($("l_orderkey"), $("l_suppkey"), $("l_extendedprice"), $("l_discount"))
+    li.join(ord, $("l_orderkey") === $("o_orderkey"))
+      .join(broadcast(cust), $("o_custkey") === $("c_custkey"))
+      .join(broadcast(sup), $("l_suppkey") === $("s_suppkey") && $("c_nationkey") === $("s_nationkey"))
+      .join(broadcast(nat), $("s_nationkey") === $("n_nationkey"))
+      .join(broadcast(reg), $("n_regionkey") === $("r_regionkey"))
+      .groupBy($("n_name"))
+      .agg(psum($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("revenue"))
+      .orderBy($("revenue").desc, $("n_name").asc)
+  }
+
+  /** B4: window functions — per-supplier chronological row_number and
+    * running quantity. Partitioned window (high-cardinality key), never
+    * a global unpartitioned window.
+    */
+  def qWindowRunning(t: Tables): DataFrame = {
+    val w = Window.partitionBy($("l_suppkey"))
+      .orderBy($("l_shipdate"), $("l_orderkey"), $("l_linenumber"))
+    t.lineitem
+      .select($("l_suppkey"), $("l_orderkey"), $("l_linenumber"), $("l_shipdate"), $("l_quantity"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_qty",
+        sum($("l_quantity").cast(DecimalType(18, 6)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .filter($("rn") <= 3)
+      .select($("l_suppkey"), $("rn"), $("l_orderkey"), $("l_shipdate"), $("running_qty"))
+      .orderBy($("l_suppkey"), $("rn"))
+  }
+
+  /** B5: ROLLUP — multi-level aggregate over returnflag/linestatus. */
+  def qRollup(t: Tables): DataFrame =
+    t.lineitem
+      .select($("l_returnflag"), $("l_linestatus"), $("l_quantity"))
+      .rollup($("l_returnflag"), $("l_linestatus"))
+      .agg(psum($("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($("l_returnflag").asc_nulls_first, $("l_linestatus").asc_nulls_first)
+
+  /** B6: exact distinct aggregation per order-priority bucket. */
+  def qDistinctAgg(t: Tables): DataFrame =
+    t.orders
+      .select($("o_orderpriority"), $("o_custkey"), $("o_orderstatus"))
+      .groupBy($("o_orderpriority"))
+      .agg(
+        countDistinct($("o_custkey")).as("n_cust"),
+        countDistinct($("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($("o_orderpriority"))
+
+  /** B7: semi + anti joins — customers with ≥1 high-value order (semi)
+    * and with none (anti), counted by market segment. Broadcast-friendly
+    * probe side; EXISTS/NOT EXISTS in the oracle.
+    */
+  def qAntiSemi(t: Tables): DataFrame = {
+    val hi = t.orders.select($("o_custkey"), $("o_totalprice"))
+      .filter($("o_totalprice") > 150000.0)
+    val cust = t.customer.select($("c_custkey"), $("c_mktsegment"))
+    val withHi = cust.join(hi, $("c_custkey") === $("o_custkey"), "left_semi")
+      .groupBy($("c_mktsegment")).agg(count(lit(1)).as("n_with"))
+    val without = cust.join(hi, $("c_custkey") === $("o_custkey"), "left_anti")
+      .groupBy($("c_mktsegment")).agg(count(lit(1)).as("n_without"))
+    withHi.join(without, Seq("c_mktsegment"), "full_outer")
+      .select($("c_mktsegment"),
+        coalesce($("n_with"), lit(0L)).as("n_with"),
+        coalesce($("n_without"), lit(0L)).as("n_without"))
+      .orderBy($("c_mktsegment"))
+  }
+
+  /** B8: per-group top-k — 2 highest-value orders per priority class. */
+  def qTopkPerGroup(t: Tables): DataFrame = {
+    val w = Window.partitionBy($("o_orderpriority"))
+      .orderBy($("o_totalprice").desc, $("o_orderkey").asc)
+    t.orders
+      .select($("o_orderpriority"), $("o_orderkey"), $("o_totalprice"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($("rnk") <= 2)
+      .orderBy($("o_orderpriority"), $("rnk"))
+  }
+
+  /** B9: pivot / conditional aggregation — revenue by nation × order
+    * status (statuses pinned so the plan is static, as a real pivot
+    * would resolve them).
+    */
+  def qPivot(t: Tables): DataFrame = {
+    val ord = t.orders.select($("o_orderkey"), $("o_custkey"), $("o_orderstatus"), $("o_totalprice"))
+    val cust = t.customer.select($("c_custkey"), $("c_nationkey"))
+    val nat = t.nation.select($("n_nationkey"), $("n_name"))
+    def bucket(status: String): Column =
+      sum(when($("o_orderstatus") === status, $("o_totalprice")).otherwise(lit(0.0))
+        .cast(DecimalType(18, 6))).cast("double")
+    ord.join(broadcast(cust), $("o_custkey") === $("c_custkey"))
+      .join(broadcast(nat), $("c_nationkey") === $("n_nationkey"))
+      .groupBy($("n_name"))
+      .agg(
+        bucket("O").as("open_total"),
+        bucket("F").as("filled_total"),
+        bucket("P").as("partial_total"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($("n_name"))
+  }
+
+  /** B10: numeric binning histogram of order totals (10k-wide bins). */
+  def qHistogram(t: Tables): DataFrame =
+    t.orders
+      .select(floor($("o_totalprice") / 10000.0).cast("long").as("bin"))
+      .groupBy($("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($("bin"))
+
+  private def $(name: String): Column = col(name)
+}
