@@ -17,6 +17,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.A event-stream processing (reference semantics)
+    "ev_time_derivation"   -> q(EventOps.evTimeDerivation),
+    "ev_dedup_exact"       -> q(EventOps.evDedupExact),
+    "ev_ttl_cache"         -> q(EventOps.evTtlCache(_)),
+    "ev_throttle_lag"      -> q(EventOps.evThrottleLag(_)),
+    "ev_counts_by_labels"  -> q(EventOps.evCountsByLabels),
+    "ev_cache_stats"       -> q(EventOps.evCacheStats),
+    "ev_windowed_rate"     -> q(EventOps.evWindowedRate),
+    "ev_json_props"        -> q(EventOps.evJsonProps),
+    "ev_serialize_json"    -> q(EventOps.evSerializeJson),
+    "ev_top_keys"          -> q(EventOps.evTopKeys(_)),
+    "ev_sessionize"        -> q(EventOps.evSessionize(_)),
     // §2.B OLAP analytics core
     "q1_pricing_summary"   -> q(Analytics.q1PricingSummary),
     "q3_shipping_priority" -> q(Analytics.q3ShippingPriority),
@@ -36,6 +48,122 @@ object SparkEntry {
     * then presented as double (order-independent, engine-portable).
     */
   def oracleSql: Map[String, String] = Map(
+    "ev_time_derivation" ->
+      """SELECT event_id,
+        |  COALESCE(last_ts, first_ts, creation_ts) AS derived_ts,
+        |  CASE WHEN last_ts IS NOT NULL THEN 'last'
+        |       WHEN first_ts IS NOT NULL THEN 'first'
+        |       ELSE 'creation' END AS ts_source
+        |FROM (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 <> 0 THEN ts END AS last_ts,
+        |    CASE WHEN event_id % 5 <> 0 THEN ts - INTERVAL 1 HOUR END AS first_ts,
+        |    ts - INTERVAL 1 DAY AS creation_ts
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "ev_dedup_exact" ->
+      """SELECT key, ts, event_id, n_events FROM (
+        |  SELECT user_id::VARCHAR || ':' || event_type AS key, ts, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id::VARCHAR || ':' || event_type
+        |      ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id::VARCHAR || ':' || event_type) AS n_events
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY key""".stripMargin,
+
+    "ev_ttl_cache" ->
+      """WITH RECURSIVE numbered AS (
+        |  SELECT user_id::VARCHAR || ':' || event_type AS key, ts, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id::VARCHAR || ':' || event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), emitted AS (
+        |  SELECT key, ts, event_id FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT nx.key, nx.ts, nx.event_id
+        |  FROM emitted e, LATERAL (
+        |    SELECT n.key, n.ts, n.event_id FROM numbered n
+        |    WHERE n.key = e.key AND n.ts >= e.ts + INTERVAL 24 HOUR
+        |    ORDER BY n.ts, n.event_id LIMIT 1) nx
+        |)
+        |SELECT key, ts, event_id FROM emitted
+        |ORDER BY key, ts, event_id""".stripMargin,
+
+    "ev_throttle_lag" ->
+      """SELECT key, ts, event_id FROM (
+        |  SELECT user_id::VARCHAR || ':' || event_type AS key, ts, event_id,
+        |    LAG(ts, 1) OVER (PARTITION BY user_id::VARCHAR || ':' || event_type
+        |      ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |WHERE prev_ts IS NULL OR ts >= prev_ts + INTERVAL 24 HOUR
+        |ORDER BY key, ts, event_id""".stripMargin,
+
+    "ev_counts_by_labels" ->
+      """SELECT event_type,
+        |  CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS severity,
+        |  user_id % 10 AS shard,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type, severity, shard""".stripMargin,
+
+    "ev_cache_stats" ->
+      """SELECT event_type,
+        |  COUNT(*) AS total,
+        |  COUNT(DISTINCT user_id::VARCHAR || ':' || event_type) AS cache_misses,
+        |  COUNT(*) - COUNT(DISTINCT user_id::VARCHAR || ':' || event_type) AS cache_hits
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "ev_windowed_rate" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY hour""".stripMargin,
+
+    "ev_json_props" ->
+      """SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k_bucket""".stripMargin,
+
+    "ev_serialize_json" ->
+      """SELECT event_id,
+        |  '{"event_id":' || event_id || ',"user_id":' || user_id ||
+        |  ',"event_type":"' || event_type || '"}' AS json
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "ev_top_keys" ->
+      """SELECT user_id::VARCHAR || ':' || event_type AS key, COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY n DESC, key ASC
+        |LIMIT 10""".stripMargin,
+
+    "ev_sessionize" ->
+      """SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        OR ts > LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 1 HOUR
+        |        THEN 1 ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,13 @@
+package graft.model
+
+import java.time.Instant
+
+/** Typed row models for the `events` table (the k8s Event analog: the
+  * reference's uid:resource_version key space maps to user_id:event_type,
+  * cf. /root/reference/src/types.rs:21).
+  * `Instant` keeps microsecond precision (java.sql.Timestamp.getTime
+  * would truncate to ms and diverge from the oracle).
+  */
+final case class Ev(event_id: Long, ts: Instant, user_id: Long, event_type: String)
+
+final case class EmittedEv(key: String, ts: Instant, event_id: Long)

@@ -1,0 +1,195 @@
+package graft.operators
+
+import java.time.Instant
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.{EmittedEv, Ev}
+import graft.sources.Tables
+
+/** Event-stream processing operators (SURVEY §2.A) — the reference's
+  * batch-expressible semantics, re-expressed Spark-first over the
+  * `events` table. Streaming twins live in graft.streaming.
+  *
+  * Reference mapping (cisco-open/event-stream-for-k8s):
+  *  - key space `uid:resource_version` (src/types.rs:21) → `user_id:event_type`
+  *  - timestamp precedence (src/types.rs:38)             → evTimeDerivation
+  *  - TTL-cache emission (src/tasks.rs:66,184)           → evTtlCache
+  *  - Prometheus label counts (src/tasks.rs:26,107)      → evCountsByLabels
+  *  - cache hit/miss accounting (src/tasks.rs:132)       → evCacheStats
+  *  - stdout JSON serialization (src/tasks.rs:105)       → evSerializeJson
+  */
+object EventOps {
+
+  /** Composite event key, mirroring types.rs:21. */
+  private def evKey: Column =
+    concat(col("user_id").cast("string"), lit(":"), col("event_type"))
+
+  /** A1: timestamp derivation — coalesce(lastTimestamp, firstTimestamp,
+    * creationTimestamp) precedence of types.rs:38. The three source
+    * timestamps are synthesized deterministically (the k8s fields don't
+    * exist in the synthetic table); the operator under test is the
+    * precedence logic itself.
+    */
+  def evTimeDerivation(t: Tables): DataFrame =
+    t.events
+      .select(col("event_id"), col("ts"))
+      .withColumn("last_ts", when(col("event_id") % 3 =!= 0, col("ts")))
+      .withColumn("first_ts", when(col("event_id") % 5 =!= 0, col("ts") - expr("INTERVAL 1 HOUR")))
+      .withColumn("creation_ts", col("ts") - expr("INTERVAL 1 DAY"))
+      .select(
+        col("event_id"),
+        coalesce(col("last_ts"), col("first_ts"), col("creation_ts")).as("derived_ts"),
+        when(col("last_ts").isNotNull, "last")
+          .when(col("first_ts").isNotNull, "first")
+          .otherwise("creation").as("ts_source"))
+      .orderBy(col("event_id"))
+
+  /** A2: exact first-occurrence dedup on the composite key (the cache-miss
+    * path of tasks.rs:98). One shuffle on the key; at 100 TB this is a
+    * hash-partitioned window, no global sort.
+    */
+  def evDedupExact(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(evKey.as("key"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("ts"), col("event_id"), col("n_events"))
+      .orderBy(col("key"))
+  }
+
+  /** A3: true TTL-cache emission semantics (tasks.rs:66 + clean_cache
+    * tasks.rs:184): an event is emitted iff no same-key event was
+    * *emitted* within the last TTL. Sequential per key → groupByKey +
+    * flatMapSortedGroups: shuffle on key, sort within partition, O(1)
+    * state per key (last emitted ts) — the scalable shape of the
+    * reference's sled cache.
+    */
+  def evTtlCache(t: Tables, ttlHours: Long = 24): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val ds = t.events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[Ev]
+    ds.groupByKey(e => s"${e.user_id}:${e.event_type}")
+      .flatMapSortedGroups(col("ts"), col("event_id")) { (key, it) =>
+        var lastEmit: Instant = null
+        it.flatMap { e =>
+          if (lastEmit == null || !e.ts.isBefore(lastEmit.plus(ttlHours, ChronoUnit.HOURS))) {
+            lastEmit = e.ts
+            Some(EmittedEv(key, e.ts, e.event_id))
+          } else None
+        }
+      }
+      .toDF()
+      .orderBy(col("key"), col("ts"), col("event_id"))
+  }
+
+  /** A4: lag-based throttle — the windowed approximation of A3 (emit iff
+    * the *previous* same-key event, emitted or not, is ≥ TTL older).
+    * Pure window functions, fully SQL-expressible.
+    */
+  def evThrottleLag(t: Tables, ttlHours: Long = 24): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(evKey.as("key"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNull ||
+        col("ts") >= col("prev_ts") + expr(s"INTERVAL $ttlHours HOUR"))
+      .select(col("key"), col("ts"), col("event_id"))
+      .orderBy(col("key"), col("ts"), col("event_id"))
+  }
+
+  /** A5: Prometheus `events_count{labels}` analog (tasks.rs:107):
+    * grouped counts over the full label set (type × derived severity ×
+    * shard). Map-side partial aggregation; tiny result.
+    */
+  def evCountsByLabels(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"),
+        when(col("value") > 100.0, "high").otherwise("low").as("severity"),
+        (col("user_id") % 10).as("shard"))
+      .groupBy(col("event_type"), col("severity"), col("shard"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("severity"), col("shard"))
+
+  /** A6: cache hit/miss accounting (tasks.rs:132): per event_type, total
+    * events processed, unique keys (= cache misses under an infinite
+    * TTL) and duplicate events (= cache hits).
+    */
+  def evCacheStats(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"), evKey.as("key"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("total"),
+        countDistinct(col("key")).as("cache_misses"),
+        (count(lit(1)) - countDistinct(col("key"))).as("cache_hits"))
+      .orderBy(col("event_type"))
+
+  /** A7: per-hour event rate — tumbling-window counts + value sums. */
+  def evWindowedRate(t: Tables): DataFrame =
+    t.events
+      .select(date_trunc("hour", col("ts")).as("hour"), col("value"), col("user_id"))
+      .groupBy(col("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour"))
+
+  /** A8: JSON property extraction from `props` + aggregation. */
+  def evJsonProps(t: Tables): DataFrame =
+    t.events
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("event_type"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_bucket"))
+
+  /** A9: stdout-JSON serialization analog (tasks.rs:105) — the emitted
+    * record as a canonical JSON string (int + string fields, so the
+    * rendering is engine-portable).
+    */
+  def evSerializeJson(t: Tables): DataFrame =
+    t.events
+      .select(col("event_id"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("json"))
+      .orderBy(col("event_id"))
+
+  /** A10: top-N hot keys by event count (deterministic tiebreak). */
+  def evTopKeys(t: Tables, n: Int = 10): DataFrame =
+    t.events
+      .select(evKey.as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(n)
+
+  /** A11: gap-based sessionization — a new session starts after a >1h
+    * silence per user; per-session bounds + counts via lag + cumulative
+    * sum (partitioned windows only).
+    */
+  def evSessionize(t: Tables, gapHours: Long = 1): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapHours HOUR"), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+}
