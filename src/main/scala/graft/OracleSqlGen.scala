@@ -1,0 +1,222 @@
+package graft
+
+import graft.functions.Hashing
+import graft.operators.TextOps
+
+/** DuckDB oracle SQL for the dedup/similarity/text operator families.
+  *
+  * These mirror the Spark operators expression-for-expression; the
+  * machine-generated parts (16 minhash permutations, 60 simhash bit
+  * sums) are emitted from the same Scala constants the operators use,
+  * so the two sides cannot drift.
+  *
+  * Portable-hash identity: Spark conv(substr(md5(x),1,15),16,10)::long
+  * ⇔ DuckDB ('0x'||substr(md5(x),1,15))::BIGINT.
+  */
+object OracleSqlGen {
+
+  /** Shared CTE: distinct word-3-gram shingles + 60-bit base hash. */
+  private val gramCtes: String =
+    """t AS (SELECT doc_id, string_split(lower(text),' ') AS tk, lower(text) AS lt FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk)>=3
+      |  THEN [array_to_string(tk[i:i+2],' ') for i in range(1,len(tk)-1)]
+      |  ELSE [lt] END)) AS gram FROM t),
+      |h AS (SELECT doc_id, gram, ('0x'||substr(md5(gram),1,15))::BIGINT AS h0 FROM g)""".stripMargin
+
+  private val minExprs: String = Hashing.Perms.zipWithIndex.map { case ((a, b), i) =>
+    s"MIN(($a*(h0%${Hashing.M30})+$b)%${Hashing.P}) AS m$i"
+  }.mkString(",\n  ")
+
+  private val sigCte = s"sig AS (SELECT doc_id,\n  $minExprs\n  FROM h GROUP BY doc_id)"
+
+  private def bandConcat(js: Range): String = js.map(i => s"m$i").mkString("||','||")
+
+  val docMinhashSig: String =
+    s"""WITH $gramCtes,
+       |$sigCte
+       |SELECT doc_id, ${bandConcat(0 until 16)} AS sig FROM sig ORDER BY doc_id""".stripMargin
+
+  private val jaccardTail =
+    """sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |common AS (SELECT da, db, COUNT(*) AS c FROM cand
+      |  JOIN g ga ON ga.doc_id = da
+      |  JOIN g gb ON gb.doc_id = db AND gb.gram = ga.gram
+      |  GROUP BY da, db)
+      |SELECT da AS doc_a, db AS doc_b, c/(sa.n+sb.n-c) AS jaccard
+      |FROM common JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      |WHERE c/(sa.n+sb.n-c) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val docMinhashLshPairs: String =
+    s"""WITH $gramCtes,
+       |$sigCte,
+       |band AS (SELECT doc_id, j,
+       |  CASE j WHEN 0 THEN ${bandConcat(0 until 4)}
+       |         WHEN 1 THEN ${bandConcat(4 until 8)}
+       |         WHEN 2 THEN ${bandConcat(8 until 12)}
+       |         ELSE ${bandConcat(12 until 16)} END AS band_val
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |$jaccardTail""".stripMargin
+
+  val docNgramJaccard: String =
+    s"""WITH $gramCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |$jaccardTail""".stripMargin
+
+  private val bitSumExprs: String = (0 until 60).map(j =>
+    s"SUM(((h0 >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n  ")
+
+  private val simhashExpr: String = (0 until 60).map(j =>
+    s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+
+  private val simhashCtes: String =
+    s"""$gramCtes,
+       |s AS (SELECT doc_id,
+       |  $bitSumExprs
+       |  FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $simhashExpr AS simhash FROM s)""".stripMargin
+
+  val docSimhash: String =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  def docSimhashPairs(maxHamming: Int): String =
+    s"""WITH $simhashCtes,
+       |ch AS (SELECT doc_id, simhash, j, (simhash >> (15*j)) & 32767 AS chunk_val
+       |  FROM sh, (SELECT unnest([0,1,2,3]) AS j))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM ch a JOIN ch b ON a.j = b.j AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Sequential left-fold vector ops (order-matching Spark's
+    * `aggregate`; 0.0 + x == x in IEEE so the seeds agree).
+    */
+  private val normCte =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |  list_reduce([x*x for x in v], (x,y) -> x+y) AS n2 FROM e)""".stripMargin
+
+  private val dotQC =
+    "list_reduce([q.v[i]*c.v[i] for i in range(1, len(q.v)+1)], (x,y) -> x+y)"
+
+  val docEmbedCosineDup: String =
+    s"""WITH $normCte
+       |SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+       |  round($dotQC/(sqrt(q.n2)*sqrt(c.n2)), 6) AS cos_r
+       |FROM n q JOIN n c ON q.vec_id < c.vec_id
+       |WHERE round($dotQC/(sqrt(q.n2)*sqrt(c.n2)), 6) >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val annTopkBruteforce: String =
+    s"""WITH $normCte,
+       |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  round($dotQC/(sqrt(q.n2)*sqrt(c.n2)), 6) AS cos_r
+       |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+       |SELECT q_id, rank, vec_id, cos_r FROM (
+       |  SELECT q_id, vec_id, cos_r,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rank
+       |  FROM sc)
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  private val bucketExpr: String = (1 to 8).map(d =>
+    s"(CASE WHEN v[$d] > 0.0 THEN (1::BIGINT << ${d - 1}) ELSE 0 END)").mkString(" + ")
+
+  val annLshBucketed: String =
+    s"""WITH $normCte,
+       |nb AS (SELECT vec_id, v, n2, $bucketExpr AS bucket FROM n),
+       |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.bucket,
+       |  round($dotQC/(sqrt(q.n2)*sqrt(c.n2)), 6) AS cos_r
+       |  FROM nb q JOIN nb c ON q.vec_id < 8 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+       |SELECT q_id, rank, vec_id, bucket, cos_r FROM (
+       |  SELECT q_id, vec_id, bucket, cos_r,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rank
+       |  FROM sc)
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  val embNormStats: String =
+    s"""WITH $normCte
+       |SELECT label, COUNT(*) AS n,
+       |  MIN(norm_r) AS min_norm, MAX(norm_r) AS max_norm,
+       |  CAST(SUM(CAST(norm_r AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_norm
+       |FROM (SELECT label, round(sqrt(n2), 6) AS norm_r FROM n)
+       |GROUP BY label ORDER BY label""".stripMargin
+
+  private def markerList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def markerCountSql(words: Seq[String]): String =
+    s"len(list_filter(tk, x -> list_contains(${markerList(words)}, x)))"
+
+  val textLangid: String = {
+    val counts = TextOps.LangMarkers.map { case (l, ws) =>
+      s"${markerCountSql(ws)} AS ${l}_n"
+    }.mkString(",\n  ")
+    val best = TextOps.LangMarkers.map { case (l, _) => s"${l}_n" }.mkString("greatest(", ", ", ")")
+    val pred = TextOps.LangMarkers.map { case (l, _) =>
+      s"WHEN ${l}_n = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH c AS (
+       |  SELECT doc_id, lang,
+       |  $counts
+       |  FROM (SELECT doc_id, lang, string_split(lower(text),' ') AS tk FROM documents)),
+       |b AS (SELECT *, $best AS best FROM c),
+       |p AS (SELECT doc_id, lang, en_n, de_n, es_n, fr_n, zh_n,
+       |  CASE $pred ELSE 'und' END AS pred_lang FROM b)
+       |SELECT doc_id, lang, en_n, de_n, es_n, fr_n, zh_n, pred_lang,
+       |  CAST(pred_lang = lang AS INTEGER) AS is_match
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  val textQuality: String = {
+    val allMarkers = TextOps.LangMarkers.flatMap(_._2)
+    s"""WITH base AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    len(string_split(lower(text),' ')) AS n_tokens,
+       |    ${markerCountSql(allMarkers).replace("tk", "string_split(lower(text),' ')")} AS stop_n,
+       |    length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS alpha_n
+       |  FROM documents),
+       |r AS (SELECT *, round(stop_n/n_tokens, 6) AS stop_ratio,
+       |  round(alpha_n/n_chars, 6) AS alpha_ratio FROM base)
+       |SELECT doc_id, n_chars, n_tokens, stop_n, alpha_n, stop_ratio, alpha_ratio,
+       |  round(least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio), 6) AS quality_score
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  val textTokencount: String =
+    """SELECT doc_id,
+      |  len(string_split(text,' ')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS re_tokens,
+      |  CAST(ceil(length(text)/4.0) AS BIGINT) AS est_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val textFingerprint: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk, lower(text) AS lt FROM documents),
+      |w AS (SELECT doc_id, unnest(CASE WHEN len(tk)>=5
+      |  THEN [array_to_string(tk[i:i+4],' ') for i in range(1,len(tk)-3)]
+      |  ELSE [lt] END) AS win FROM t),
+      |fp AS (SELECT doc_id, MIN(('0x'||substr(md5(win),1,15))::BIGINT) AS fingerprint
+      |  FROM w GROUP BY doc_id)
+      |SELECT doc_id, fingerprint,
+      |  COUNT(*) OVER (PARTITION BY fingerprint) AS cluster_size
+      |FROM fp ORDER BY doc_id""".stripMargin
+
+  val mmBinaryMeta: String =
+    """SELECT doc_id,
+      |  octet_length(text::BLOB) AS n_bytes,
+      |  md5(text) AS checksum,
+      |  lower(hex(substr(text, 1, 8))) AS prefix_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val docExactDedup: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY content_hash""".stripMargin
+}

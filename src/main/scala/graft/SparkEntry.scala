@@ -40,6 +40,26 @@ object SparkEntry {
     "q_topk_per_group"     -> q(Analytics.qTopkPerGroup),
     "q_pivot"              -> q(Analytics.qPivot),
     "q_histogram"          -> q(Analytics.qHistogram),
+    // §2.C dedup family
+    "doc_exact_dedup"      -> q(Dedup.docExactDedup),
+    "doc_minhash_sig"      -> q(Dedup.docMinhashSig),
+    "doc_minhash_lsh_pairs" -> q(Dedup.docMinhashLshPairs(_)),
+    "doc_simhash"          -> q(Dedup.docSimhash),
+    "doc_simhash_pairs"    -> q(Dedup.docSimhashPairs(_)),
+    "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_)),
+    "doc_embed_cosine_dup" -> q(Dedup.docEmbedCosineDup(_)),
+    // §2.D similarity search
+    "ann_topk_bruteforce"  -> q(Similarity.annTopkBruteforce(_)),
+    "ann_lsh_bucketed"     -> q(Similarity.annLshBucketed(_)),
+    "emb_norm_stats"       -> q(Similarity.embNormStats),
+    // §2.E text analysis
+    "text_langid"          -> q(TextOps.textLangid),
+    "text_quality"         -> q(TextOps.textQuality),
+    "text_tokencount"      -> q(TextOps.textTokencount),
+    "text_fingerprint"     -> q(TextOps.textFingerprint),
+    // §2.F multimodal plumbing
+    "mm_binary_meta"       -> q(Multimodal.mmBinaryMeta),
+    "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract), // rows-only: stubbed decode, no SQL oracle
   )
 
   /** DuckDB-runnable oracle for each key in `queries` (driver gate).
@@ -271,5 +291,23 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bin""".stripMargin,
+
+    // §2.C/D/E/F: generated mirrors of the Spark operators (shared
+    // constants — see OracleSqlGen).
+    "doc_exact_dedup"       -> OracleSqlGen.docExactDedup,
+    "doc_minhash_sig"       -> OracleSqlGen.docMinhashSig,
+    "doc_minhash_lsh_pairs" -> OracleSqlGen.docMinhashLshPairs,
+    "doc_simhash"           -> OracleSqlGen.docSimhash,
+    "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
+    "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,
+    "doc_embed_cosine_dup"  -> OracleSqlGen.docEmbedCosineDup,
+    "ann_topk_bruteforce"   -> OracleSqlGen.annTopkBruteforce,
+    "ann_lsh_bucketed"      -> OracleSqlGen.annLshBucketed,
+    "emb_norm_stats"        -> OracleSqlGen.embNormStats,
+    "text_langid"           -> OracleSqlGen.textLangid,
+    "text_quality"          -> OracleSqlGen.textQuality,
+    "text_tokencount"       -> OracleSqlGen.textTokencount,
+    "text_fingerprint"      -> OracleSqlGen.textFingerprint,
+    "mm_binary_meta"        -> OracleSqlGen.mmBinaryMeta,
   )
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing._
+import graft.sources.Tables
+
+/** Dedup family (SURVEY §2.C) over `documents` — the operators a
+  * training-data pipeline runs at 100 TB.
+  *
+  * Scale shape (see SURVEY §5): signatures/shingles are one narrow
+  * map-side pass (explode → hash → partial-agg); candidate generation is
+  * always index- or band-based (never all-pairs); exact verification
+  * runs only on candidates.
+  */
+object Dedup {
+
+  /** Exploded distinct word-3-gram shingles: (doc_id, gram). */
+  def grams(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), explode(array_distinct(
+        shingles3(tokens(col("text")), col("text")))).as("gram"))
+
+  /** (doc_id, gram, h0): 60-bit base hash per shingle — md5 computed
+    * exactly once per (doc, gram), reused by every permutation/bit.
+    */
+  private def hashedGrams(t: Tables): DataFrame =
+    grams(t).withColumn("h0", md5_60(col("gram")))
+
+  /** Shingle-set sizes for Jaccard denominators. */
+  private def gramSizes(t: Tables): DataFrame =
+    grams(t).groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+
+  /** C1: exact dedup via content hash — keep lowest doc_id per hash.
+    * One hash-partitioned aggregation; no sort, no all-pairs.
+    */
+  def docExactDedup(t: Tables): DataFrame =
+    t.documents
+      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  /** MinHash signatures as 16 columns m0..m15 (internal shape). */
+  private def minhashSigCols(t: Tables): DataFrame = {
+    val aggs = Perms.indices.map(i => min(perm(col("h0"), i)).as(s"m$i"))
+    hashedGrams(t).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** C2: MinHash signature per document (16 permutations, csv-rendered
+    * so the result is hashable by the driver).
+    */
+  def docMinhashSig(t: Tables): DataFrame =
+    minhashSigCols(t)
+      .select(col("doc_id"),
+        concat_ws(",", Perms.indices.map(i => col(s"m$i")): _*).as("sig"))
+      .orderBy(col("doc_id"))
+
+  /** C3: MinHash-LSH near-dup pairs: band signatures (4 bands × 4 rows)
+    * → candidates share a band bucket → exact Jaccard verification on
+    * candidates only → threshold. The only shuffles are the band
+    * self-join and the per-candidate gram intersection — never n².
+    */
+  def docMinhashLshPairs(t: Tables, threshold: Double = 0.2): DataFrame = {
+    val bands = minhashSigCols(t).select(col("doc_id"),
+      expr("""stack(4,
+        0, concat_ws(',', m0, m1, m2, m3),
+        1, concat_ws(',', m4, m5, m6, m7),
+        2, concat_ws(',', m8, m9, m10, m11),
+        3, concat_ws(',', m12, m13, m14, m15)) AS (band, band_val)"""))
+    val b2 = bands.select(col("doc_id").as("db"), col("band").as("band2"), col("band_val").as("band_val2"))
+    val cands = bands.join(b2,
+        col("band") === col("band2") && col("band_val") === col("band_val2") &&
+          col("doc_id") < col("db"))
+      .select(col("doc_id").as("da"), col("db")).distinct()
+    verifiedJaccard(t, cands, threshold)
+  }
+
+  /** C5: all-pairs n-gram Jaccard via inverted index on the shingle —
+    * candidates are docs sharing ≥1 shingle (at scale: cap shingle df to
+    * bound bucket fan-out), then the same exact verification.
+    */
+  def docNgramJaccard(t: Tables, threshold: Double = 0.2): DataFrame = {
+    val g = grams(t)
+    val cands = g.join(
+        g.select(col("doc_id").as("db"), col("gram").as("gram2")),
+        col("gram") === col("gram2") && col("doc_id") < col("db"))
+      .select(col("doc_id").as("da"), col("db")).distinct()
+    verifiedJaccard(t, cands, threshold)
+  }
+
+  /** Exact Jaccard on candidate pairs: per-candidate gram intersection
+    * (two key-joins, work proportional to candidates, not pairs²).
+    */
+  private def verifiedJaccard(t: Tables, cands: DataFrame, threshold: Double): DataFrame = {
+    val g = grams(t)
+    val ga = g.select(col("doc_id").as("da"), col("gram"))
+    val gb = g.select(col("doc_id").as("db2"), col("gram").as("gramb"))
+    val sizes = gramSizes(t)
+    val common = cands
+      .join(ga, "da")
+      .join(gb, col("db") === col("db2") && col("gram") === col("gramb"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n_grams").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n_grams").as("nb")), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** C4a: 60-bit SimHash per document over distinct 3-gram shingles
+    * (per-bit sign sums via 60 partial aggregates — one shuffle on
+    * doc_id, fully codegen'd).
+    */
+  def docSimhash(t: Tables): DataFrame = {
+    val bitSums = (0 until 60).map(j =>
+      sum((shiftright(col("h0"), j).bitwiseAND(lit(1L))) * 2 - 1).as(s"s$j"))
+    val simhash = (0 until 60)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    hashedGrams(t)
+      .groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4b: SimHash near-dup pairs — pigeonhole banding (4 × 15-bit
+    * chunks: hamming ≤ 3 guarantees ≥1 identical chunk), candidates
+    * share a chunk, verified by exact hamming distance.
+    */
+  def docSimhashPairs(t: Tables, maxHamming: Int = 12): DataFrame = {
+    val sh = docSimhash(t)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      expr("""stack(4,
+        0, (simhash >> 0)  & 32767,
+        1, (simhash >> 15) & 32767,
+        2, (simhash >> 30) & 32767,
+        3, (simhash >> 45) & 32767) AS (chunk, chunk_val)"""))
+    val c2 = chunks.select(col("doc_id").as("db"), col("simhash").as("sim2"),
+      col("chunk").as("chunk2"), col("chunk_val").as("chunk_val2"))
+    chunks.join(c2,
+        col("chunk") === col("chunk2") && col("chunk_val") === col("chunk_val2") &&
+          col("doc_id") < col("db"))
+      .select(col("doc_id").as("doc_a"), col("db").as("doc_b"),
+        bit_count(col("simhash").bitwiseXOR(col("sim2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** C6: embedding-cosine near-dup pairs (exact all-pairs at this
+    * scale; the bucketed scale path is Similarity.annLshBucketed).
+    */
+  def docEmbedCosineDup(t: Tables, threshold: Double = 0.45): DataFrame = {
+    val e = Similarity.withNorm(t.embeddings)
+    val a = e.select(col("vec_id").as("va"), col("v").as("xa"), col("n2").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("v").as("xb"), col("n2").as("nb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        Similarity.cosineR(col("xa"), col("xb"), col("na"), col("nb")).as("cos_r"))
+      .filter(col("cos_r") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Similarity search over embeddings (SURVEY §2.D).
+  *
+  * Vector math is pure `functions._` higher-order expressions over
+  * `array<double>` (zip_with / aggregate) — whole-stage codegen, no
+  * UDFs. Cosines are rounded to 6dp *before* any ranking or threshold
+  * so ordering is engine-portable (ties then break on vec_id).
+  */
+object Similarity {
+
+  /** Float embedding → double vector + squared norm (computed once). */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("n2", aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Sequential-order dot product (matches the oracle's fold). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine rounded to 6dp, from precomputed squared norms. */
+  def cosineR(a: Column, b: Column, na2: Column, nb2: Column): Column =
+    round(dot(a, b) / (sqrt(na2) * sqrt(nb2)), 6)
+
+  /** All (query × candidate) cosines for queries vec_id < nQueries.
+    * The tiny query side is broadcast → BroadcastNestedLoopJoin: the
+    * big side streams through one narrow pass, no shuffle of the corpus.
+    */
+  private def scored(t: Tables, nQueries: Int): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+  }
+
+  /** D1: brute-force cosine top-k. Two-stage exact top-k: per-partition
+    * local top-k first, then global — the partitioned window never sees
+    * more than k×partitions rows per query, so the final shuffle is
+    * O(k · parts), not O(corpus).
+    */
+  def annTopkBruteforce(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    scored(t, nQueries)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Sign-pattern LSH bucket over the first `bits` dimensions. */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits)
+      .map(d => when(element_at(v, d + 1) > 0.0, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** D2: LSH-bucketed ANN — candidates share the 8-bit sign bucket of
+    * the query (≈ corpus/256 per bucket), exact cosine + top-k within.
+    * At 100 TB: bucket is the shuffle key; multiple hash tables union'd
+    * for recall; bucket-size cap guards skew.
+    */
+  def annLshBucketed(t: Tables, nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val e = withNorm(t.embeddings).withColumn("bucket", signBucket(col("v"), 8))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("bucket") === col("qbucket") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("bucket"),
+        cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("bucket"), col("cos_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** D3: per-label vector-norm statistics (array math in codegen). */
+  def embNormStats(t: Tables): DataFrame =
+    withNorm(t.embeddings)
+      .select(col("label"), round(sqrt(col("n2")), 6).as("norm_r"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("norm_r")).as("min_norm"),
+        max(col("norm_r")).as("max_norm"),
+        (sum(col("norm_r").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_norm"))
+      .orderBy(col("label"))
+}

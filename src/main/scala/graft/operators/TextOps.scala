@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing._
+import graft.sources.Tables
+
+/** Text analysis (SURVEY §2.E) over `documents` — language-ID, quality
+  * scoring, token counting, fingerprinting. All single-pass narrow
+  * transforms (no shuffle except final aggregates), pure built-ins.
+  */
+object TextOps {
+
+  /** Marker stopwords per language for the n-gram/stopword langid
+    * heuristic (tiebreak order = declaration order).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Cast to long: DuckDB len() yields BIGINT. */
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isin(words.map(_.asInstanceOf[Any]): _*))).cast("long")
+
+  /** E1: language ID — count marker-stopword hits per language, argmax
+    * with deterministic tiebreak (declaration order).
+    */
+  def textLangid(t: Tables): DataFrame = {
+    val toks = tokens(col("text"))
+    val withCounts = t.documents
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        LangMarkers.map { case (l, ws) => markerCount(col("toks"), ws).as(s"${l}_n") }: _*)
+    val best = LangMarkers.map { case (l, _) => col(s"${l}_n") }.reduce((a, b) => greatest(a, b))
+    // foldRight: earlier languages win ties (first WHEN in the chain)
+    val pred = LangMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"${l}_n") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    withCounts
+      .withColumn("pred_lang", pred)
+      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+      .select(col("doc_id"), col("lang"),
+        col("en_n"), col("de_n"), col("es_n"), col("fr_n"), col("zh_n"),
+        col("pred_lang"), col("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E2: quality scoring — length/stopword/char-class ratios combined
+    * into a bounded score. Ratios are int/int divisions (portable
+    * doubles); score rounded to 6dp.
+    */
+  def textQuality(t: Tables): DataFrame = {
+    val toks = tokens(col("text"))
+    t.documents
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_n", markerCount(col("toks"), LangMarkers.flatMap(_._2)).cast("long"))
+      .withColumn("alpha_n", (length(col("text")) -
+        length(regexp_replace(col("text"), "[a-z]", ""))).cast("long"))
+      .withColumn("stop_ratio", round(col("stop_n") / col("n_tokens"), 6))
+      .withColumn("alpha_ratio", round(col("alpha_n") / col("n_chars"), 6))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_tokens") / lit(100.0)) *
+          (lit(0.5) + lit(0.25) * col("stop_ratio") + lit(0.25) * col("alpha_ratio")), 6))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("stop_n"),
+        col("alpha_n"), col("stop_ratio"), col("alpha_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E3: token counting — whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digits / other non-space), and a chars/4 estimator.
+    */
+  def textTokencount(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0))).cast("long"))
+      .withColumn("est_bpe", ceil(length(col("text")) / lit(4.0)).cast("long"))
+      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"), col("est_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** E4: document fingerprinting — min 60-bit hash over word 5-gram
+    * windows (winnowing-lite); identical fingerprints cluster near-dup
+    * docs. Cluster sizes via a second tiny aggregation.
+    */
+  def textFingerprint(t: Tables): DataFrame = {
+    val toks = tokens(col("text"))
+    val wins = when(size(toks) >= 5,
+      transform(sequence(lit(0), size(toks) - 5),
+        i => array_join(slice(toks, i + lit(1), lit(5)), " ")))
+      .otherwise(array(lower(col("text"))))
+    val fp = t.documents
+      .select(col("doc_id"), explode(wins).as("win"))
+      .withColumn("h", md5_60(col("win")))
+      .groupBy(col("doc_id")).agg(min(col("h")).as("fingerprint"))
+    fp.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .select(col("doc_id"), col("fingerprint"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+}
