@@ -1,0 +1,106 @@
+package graft
+
+import java.time.Instant
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.Ev
+import graft.operators.EventOps
+import graft.streaming.EventStreamJob
+
+/** Streaming twins (SURVEY §2.A12–A15) driven by MemoryStream — the
+  * list-then-watch shape of the reference's watcher. The load-bearing
+  * test: the streaming TTL cache must equal the batch TTL cache (which
+  * the DuckDB oracle checks exactly) on the same data.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def eventsData: Seq[Ev] = {
+    import spark.implicits._
+    tables.events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts.toEpochMilli, e.event_id))
+  }
+
+  test("streaming TTL cache == batch TTL cache (reference emission semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamTtlCache(input.toDS(), ttlHours = 24)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("ttl_out").start()
+    try {
+      // feed chronologically in 4 micro-batches (watch-stream order)
+      eventsData.grouped((eventsData.size + 3) / 4).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      val streamed = spark.table("ttl_out").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+      val batch = EventOps.evTtlCache(tables, 24).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"streaming≠batch: only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming dedup: duplicate keys within watermark emit once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamDedupWatermark(input.toDS().toDF())
+    val q = out.writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(Seq(
+        Ev(1, base, 1, "click"), Ev(2, base.plusSeconds(60), 1, "click"),
+        Ev(3, base.plusSeconds(120), 2, "view")))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").select("key").collect().map(_.getString(0))
+      assert(rows.sorted.toSeq == Seq("1:click", "2:view"))
+    } finally q.stop()
+  }
+
+  test("streaming windowed counts close with the watermark and match batch counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamWindowedCounts(input.toDS().toDF())
+    val q = out.writeStream.outputMode("append").format("memory").queryName("win_out").start()
+    try {
+      input.addData(Seq(
+        Ev(1, base.plusSeconds(60), 1, "click"), Ev(2, base.plusSeconds(120), 2, "click"),
+        Ev(3, base.plusSeconds(3660), 1, "view")))
+      q.processAllAvailable()
+      // sentinel far in the future closes the earlier windows
+      input.addData(Seq(Ev(99, base.plusSeconds(864000), 9, "noise")))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(100, base.plusSeconds(864060), 9, "noise")))
+      q.processAllAvailable()
+      val got = spark.table("win_out").collect()
+        .map(r => (r.getTimestamp(0).toInstant, r.getString(1), r.getLong(2))).toSet
+      assert(got.contains((base, "click", 2L)), s"got=$got")
+      assert(got.contains((base.plusSeconds(3600), "view", 1L)), s"got=$got")
+    } finally q.stop()
+  }
+
+  test("json sink delivers one line per emitted event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val input = MemoryStream[Ev]
+    val lines = mutable.ArrayBuffer.empty[String]
+    val emitted = EventStreamJob.streamTtlCache(input.toDS(), ttlHours = 1)
+    val q = EventStreamJob.streamJsonSink(emitted, "json_out") { batch =>
+      lines.synchronized { lines ++= batch }
+    }
+    try {
+      input.addData(Seq(Ev(1, base, 1, "click"), Ev(2, base.plusSeconds(10), 1, "click")))
+      q.processAllAvailable()
+      assert(lines.size == 1, s"TTL suppresses the second event: $lines")
+      assert(lines.head.contains("\"key\":\"1:click\""), lines.head)
+    } finally q.stop()
+  }
+}
