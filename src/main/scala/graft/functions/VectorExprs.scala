@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst dot-product over two `array<double>` columns.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(a,b,*))`)
+  * allocates an intermediate array and evaluates a lambda per element —
+  * interpreted, not codegen'd. This expression generates a tight
+  * primitive loop inside whole-stage codegen instead (~10× on the
+  * all-pairs cosine workload). Summation is the same sequential
+  * ascending-index fold, so results stay bit-identical to the
+  * `list_reduce` DuckDB oracle.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs are array<double> by construction (withNorm casts); no
+  // ExpectsInputTypes — AbstractDataType is private[sql] in Spark 4
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  private val FnName = "graft_dot"
+
+  /** Register the expression in the session's function registry (the
+    * public extension point — same mechanism SparkSessionExtensions'
+    * injectFunction uses) and expose it as a Column.
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+
+  def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
+}

@@ -83,11 +83,24 @@ object Dedup {
     */
   def docNgramJaccard(t: Tables, threshold: Double = 0.2): DataFrame = {
     val g = grams(t)
-    val cands = g.join(
-        g.select(col("doc_id").as("db"), col("gram").as("gram2")),
-        col("gram") === col("gram2") && col("doc_id") < col("db"))
-      .select(col("doc_id").as("da"), col("db")).distinct()
-    verifiedJaccard(t, cands, threshold)
+    // All-pairs mode: the self-join on the shingle already yields one
+    // row per (pair, common shingle) — count directly, no distinct
+    // candidate stage + re-verification pass (those exist for the LSH
+    // path, where candidates ≪ pairs).
+    val ga = g.select(col("doc_id").as("da"), col("gram"))
+    val gb = g.select(col("doc_id").as("db"), col("gram").as("gram2"))
+    val common = ga.join(gb,
+        col("gram") === col("gram2") && col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = gramSizes(t)
+    common
+      .join(broadcast(sizes.select(col("doc_id").as("da"), col("n_grams").as("na"))), "da")
+      .join(broadcast(sizes.select(col("doc_id").as("db"), col("n_grams").as("nb"))), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Exact Jaccard on candidate pairs: per-candidate gram intersection
@@ -103,8 +116,8 @@ object Dedup {
       .join(gb, col("db") === col("db2") && col("gram") === col("gramb"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
     common
-      .join(sizes.select(col("doc_id").as("da"), col("n_grams").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n_grams").as("nb")), "db")
+      .join(broadcast(sizes.select(col("doc_id").as("da"), col("n_grams").as("na"))), "da")
+      .join(broadcast(sizes.select(col("doc_id").as("db"), col("n_grams").as("nb"))), "db")
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.VectorExprs
 import graft.sources.Tables
 
 /** Similarity search over embeddings (SURVEY §2.D).
@@ -16,15 +17,20 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Float embedding → double vector + squared norm (computed once). */
-  def withNorm(emb: DataFrame): DataFrame =
+  /** Float embedding → double vector + squared norm (computed once).
+    * Norm/dot use the native codegen'd DotProduct expression
+    * (graft.functions.VectorExprs) — same sequential fold as the
+    * oracle's list_reduce, ~10× the higher-order-function formulation.
+    */
+  def withNorm(emb: DataFrame): DataFrame = {
+    VectorExprs.ensureRegistered(emb.sparkSession)
     emb
       .withColumn("v", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("n2", aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+      .withColumn("n2", VectorExprs.dot(col("v"), col("v")))
+  }
 
   /** Sequential-order dot product (matches the oracle's fold). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
   /** Cosine rounded to 6dp, from precomputed squared norms. */
   def cosineR(a: Column, b: Column, na2: Column, nb2: Column): Column =
