@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's per-event logic over the real k8s Event shape,
+  * column-for-column (cisco-open/event-stream-for-k8s):
+  *
+  *  - `derivedTime` — types.rs:38: coalesce(lastTimestamp,
+  *    firstTimestamp, metadata.creationTimestamp); the reference falls
+  *    back to now() with a warning — here the fallback is null (a
+  *    deterministic engine shouldn't inject wall-clock time; callers
+  *    can filter/fill).
+  *  - `eventKey` — types.rs:21: "{uid}:{resourceVersion}" with
+  *    missing fields as empty strings (unwrap_or(String::default)).
+  *  - `stdoutRecord` — types.rs:10-17: {"time": …, "kubernetes_event":
+  *    …} (nested to avoid ELK key collisions).
+  *  - `labelCounts` — tasks.rs:107-122: Prometheus events_count with
+  *    missing labels as "-" (unwrap_or("-")).
+  */
+object KubeEventOps {
+
+  def derivedTime(ev: Column): Column =
+    coalesce(ev.getField("lastTimestamp"), ev.getField("firstTimestamp"),
+      ev.getField("metadata").getField("creationTimestamp"))
+
+  def eventKey(ev: Column): Column =
+    concat(
+      coalesce(ev.getField("metadata").getField("uid"), lit("")),
+      lit(":"),
+      coalesce(ev.getField("metadata").getField("resourceVersion"), lit("")))
+
+  /** Parsed events + the derived `time` and cache `key` columns. */
+  def withDerived(events: DataFrame): DataFrame =
+    events
+      .withColumn("time", derivedTime(col("kubernetes_event")))
+      .withColumn("key", eventKey(col("kubernetes_event")))
+
+  /** The stdout record (types.rs:10): one JSON line per event. */
+  def stdoutRecord(derived: DataFrame): DataFrame =
+    derived.select(
+      to_json(struct(col("time"), col("kubernetes_event"))).as("line"))
+
+  /** Batch form of the full pipeline: derive → first-occurrence dedup
+    * on the cache key → stdout lines. (The TTL variant composes
+    * EventOps.evTtlCache semantics on the same key.)
+    */
+  def pipeline(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("time").asc_nulls_last, col("kubernetes_event.metadata.uid"))
+    stdoutRecord(
+      withDerived(events)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn"))
+  }
+
+  /** Streaming form: watermark-bounded exact dedup on the cache key
+    * (the reference's TTL cache — state expires with the watermark just
+    * as clean_cache purges by CACHE_TTL).
+    */
+  def streamPipeline(events: DataFrame, cacheTtl: String = "1 hour"): DataFrame =
+    stdoutRecord(
+      withDerived(events)
+        .filter(col("time").isNotNull)
+        .withWatermark("time", cacheTtl)
+        .dropDuplicatesWithinWatermark("key"))
+
+  /** Prometheus events_count{type, reason, kind, namespace} analog
+    * (tasks.rs:107) — "-" for missing labels, exactly the reference.
+    */
+  def labelCounts(events: DataFrame): DataFrame =
+    events
+      .select(
+        coalesce(col("kubernetes_event.type"), lit("-")).as("event_type"),
+        coalesce(col("kubernetes_event.reason"), lit("-")).as("event_reason"),
+        coalesce(col("kubernetes_event.involvedObject.kind"), lit("-")).as("event_kind"),
+        coalesce(col("kubernetes_event.involvedObject.namespace"), lit("-")).as("event_namespace"))
+      .groupBy(col("event_type"), col("event_reason"), col("event_kind"), col("event_namespace"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("event_reason"), col("event_kind"), col("event_namespace"))
+}

@@ -1,0 +1,37 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.model.Ev
+import graft.streaming.{EventStreamJob, GraftMetricsListener}
+
+class MetricsListenerSpec extends SparkSpec {
+
+  test("listener observes processed rows and state size from engine progress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new GraftMetricsListener
+    spark.streams.addListener(listener)
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamTtlCache(input.toDS(), ttlHours = 1)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("m_out").start()
+    try {
+      input.addData((1 to 50).map(i => Ev(i, base.plusSeconds(i), i % 5, "click")))
+      q.processAllAvailable()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.rowsProcessed.get() < 50 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.rowsProcessed.get() >= 50, listener.snapshot.mkString("; "))
+      assert(listener.batches.get() >= 1)
+      assert(listener.stateRows.get() == 5, "one state row per key")
+      assert(listener.snapshot.exists(_.startsWith("graft_events_processed_total")))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+}
