@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.call_function
 
 /** Engine-portable hashing/shingling primitives shared by the dedup and
   * text-analysis operator families (SURVEY §2.C/E).
@@ -34,9 +35,12 @@ object Hashing {
     (402677811L, 774136230L), (696622849L, 509010780L), (458247587L, 104960770L),
     (472230701L, 104430069L))
 
-  /** 60-bit portable content hash (first 15 hex chars of md5). */
-  def md5_60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit portable content hash (first 15 hex chars of md5), via the
+    * native Md5Prefix60 expression (semantics identical to
+    * `conv(substring(md5(c),1,15),16,10)::long`; Tables registers it
+    * per session).
+    */
+  def md5_60(c: Column): Column = call_function("graft_md5_60", c)
 
   /** Whitespace tokenization (single-space, mirroring string_split). */
   def tokens(text: Column): Column = split(lower(text), " ")

@@ -57,13 +57,17 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorExprs {
   private val FnName = "graft_dot"
 
-  /** Register the expression in the session's function registry (the
-    * public extension point — same mechanism SparkSessionExtensions'
-    * injectFunction uses) and expose it as a Column.
+  /** Register the native expressions in the session's function registry
+    * (the public extension point — same mechanism
+    * SparkSessionExtensions' injectFunction uses) and expose them as
+    * Columns.
     */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName, exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_60", exprs => Md5Prefix60(exprs.head), "built-in")
+  }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
 }

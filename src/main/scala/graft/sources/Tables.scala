@@ -9,6 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `ReadSchema` then only contains what the query needs).
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // every operator path enters through here → native graft functions
+  // (DotProduct, Md5Prefix60) are always registered on the session
+  graft.functions.VectorExprs.ensureRegistered(spark)
+
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
