@@ -29,6 +29,7 @@ object SparkEntry {
     "ev_serialize_json"    -> q(EventOps.evSerializeJson),
     "ev_top_keys"          -> q(EventOps.evTopKeys(_)),
     "ev_sessionize"        -> q(EventOps.evSessionize(_)),
+    "ev_asof_enrich"       -> q(EventOps.evAsofEnrich),
     // §2.B OLAP analytics core
     "q1_pricing_summary"   -> q(Analytics.q1PricingSummary),
     "q3_shipping_priority" -> q(Analytics.q3ShippingPriority),
@@ -183,6 +184,14 @@ object SparkEntry {
         |    FROM events))
         |GROUP BY user_id, sid
         |ORDER BY user_id, sid""".stripMargin,
+
+    "ev_asof_enrich" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT event_id, user_id, ts, r.o_orderkey, r.o_orderdate
+        |FROM events ASOF LEFT JOIN r
+        |  ON events.user_id = r.o_custkey AND r.o_orderdate <= events.ts
+        |ORDER BY event_id""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

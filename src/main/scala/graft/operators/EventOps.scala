@@ -171,6 +171,23 @@ object EventOps {
       .orderBy(col("n").desc, col("key").asc)
       .limit(n)
 
+  /** A18: as-of enrichment — attach to each event the user's latest
+    * order at event time, via the custom AsOfJoin operator
+    * (graft.plans.AsOfJoin: one shuffle per side + linear sort-merge
+    * pass; the composed equivalent join+filter+argmax materializes
+    * O(events × orders-per-user) rows). Right side pre-deduped to one
+    * row per (key, time) so tie-breaking is engine-independent.
+    */
+  def evAsofEnrich(t: Tables): DataFrame = {
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t.orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    graft.plans.GraftPlans.asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
   /** A11: gap-based sessionization — a new session starts after a >1h
     * silence per user; per-session bounds + counts via lag + cumulative
     * sum (partitioned windows only).
