@@ -41,6 +41,8 @@ object SparkEntry {
     "q_topk_per_group"     -> q(Analytics.qTopkPerGroup),
     "q_pivot"              -> q(Analytics.qPivot),
     "q_histogram"          -> q(Analytics.qHistogram),
+    "q_percentiles"        -> q(Analytics.qPercentiles),
+    "q_approx_distinct"    -> q(Analytics.qApproxDistinct), // rows-only: HLL sketch, no SQL oracle
     // §2.C dedup family
     "doc_exact_dedup"      -> q(Dedup.docExactDedup),
     "doc_minhash_sig"      -> q(Dedup.docMinhashSig),
@@ -300,6 +302,16 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bin""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // §2.C/D/E/F: generated mirrors of the Spark operators (shared
     // constants — see OracleSqlGen).

@@ -184,5 +184,34 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .orderBy($("bin"))
 
+  /** B11: exact interpolated percentiles per group (matches DuckDB
+    * quantile_cont; rounded to 4dp to absorb interpolation-form ulps).
+    */
+  def qPercentiles(t: Tables): DataFrame =
+    t.orders
+      .select($("o_orderpriority"), $("o_totalprice"))
+      .groupBy($("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy($("o_orderpriority"))
+
+  /** B12: sketch aggregates — HyperLogLog++ distinct counts (no SQL
+    * oracle: approximate; DedupSpec-style error-bound spec instead).
+    * At 100 TB this replaces exact distinct's full shuffle with a
+    * mergeable fixed-size sketch per partition.
+    */
+  def qApproxDistinct(t: Tables): DataFrame =
+    t.lineitem
+      .select($("l_returnflag"), $("l_orderkey"), $("l_partkey"))
+      .groupBy($("l_returnflag"))
+      .agg(
+        approx_count_distinct($("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct($("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy($("l_returnflag"))
+
   private def $(name: String): Column = col(name)
 }

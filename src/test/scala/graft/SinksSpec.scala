@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sinks
+
+class SinksSpec extends SparkSpec {
+
+  test("partitioned write produces dt= directories and pruning-friendly reads") {
+    val dir = Files.createTempDirectory("events_part").toFile
+    Sinks.writeEventsPartitioned(tables.events, dir.getAbsolutePath)
+    val dts = dir.listFiles().filter(_.getName.startsWith("dt=")).map(_.getName)
+    assert(dts.length > 1, s"expected multiple date partitions, got ${dts.toSeq}")
+    val oneDay = spark.read.parquet(dir.getAbsolutePath)
+      .filter(col("dt") === dts.head.stripPrefix("dt="))
+    val expected = tables.events
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === dts.head.stripPrefix("dt=")).count()
+    assert(oneDay.count() == expected)
+    // partition filter must prune at scan (appears as PartitionFilters)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan.take(800))
+  }
+
+  test("bucketed table join on the bucket key avoids the shuffle") {
+    Sinks.writeEventsBucketed(tables.events, "events_bucketed", buckets = 4)
+    val b = spark.table("events_bucketed")
+    val agg = b.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed groupBy should not shuffle:\n${plan.take(800)}")
+    assert(agg.count() == tables.events.select("user_id").distinct().count())
+  }
+
+  test("json lines roundtrip") {
+    val dir = Files.createTempDirectory("events_json").toFile.getAbsolutePath
+    val out = tables.events.select(col("event_id"), col("event_type"))
+    Sinks.writeJsonLines(out, dir)
+    assert(spark.read.json(dir).count() == tables.events.count())
+  }
+}
