@@ -24,6 +24,14 @@ class SinksSpec extends SparkSpec {
   }
 
   test("bucketed table join on the bucket key avoids the shuffle") {
+    // the catalog is per-JVM (in-memory) but the warehouse dir persists:
+    // clear any orphaned location from a previous test run
+    spark.sql("DROP TABLE IF EXISTS events_bucketed")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File("spark-warehouse/events_bucketed"))
     Sinks.writeEventsBucketed(tables.events, "events_bucketed", buckets = 4)
     val b = spark.table("events_bucketed")
     val agg = b.groupBy("user_id").agg(count(lit(1)).as("n"))
