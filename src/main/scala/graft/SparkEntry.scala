@@ -63,6 +63,8 @@ object SparkEntry {
     // §2.F multimodal plumbing
     "mm_binary_meta"       -> q(Multimodal.mmBinaryMeta),
     "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract), // rows-only: stubbed decode, no SQL oracle
+    "mm_resize"            -> q(Multimodal.mmResize(_)),
+    "mm_frame_sample"      -> q(Multimodal.mmFrameSample(_)),
   )
 
   /** DuckDB-runnable oracle for each key in `queries` (driver gate).
@@ -330,5 +332,31 @@ object SparkEntry {
     "text_tokencount"       -> OracleSqlGen.textTokencount,
     "text_fingerprint"      -> OracleSqlGen.textFingerprint,
     "mm_binary_meta"        -> OracleSqlGen.mmBinaryMeta,
+
+    // mm stub decoders derive features from leading bytes — for the
+    // ASCII corpus that is ord()/substr()-expressible, so even the
+    // stub plumbing gets an exact oracle.
+    "mm_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    1 + (ord(substr(text,1,1)) % 64) AS width,
+        |    1 + (ord(substr(text,2,1)) % 64) AS height
+        |  FROM documents),
+        |s AS (SELECT *, least(1.0, 32.0 / greatest(width, height)) AS sc FROM f)
+        |SELECT doc_id, width, height,
+        |  CAST(greatest(1, round(width * sc)) AS INTEGER) AS target_w,
+        |  CAST(greatest(1, round(height * sc)) AS INTEGER) AS target_h,
+        |  round(sc, 6) AS scale
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(frame_idx * 64 AS INTEGER) AS offset,
+        |  md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest([i for i in range(0, length(text) // 64, 4)]) AS frame_idx
+        |      FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -60,4 +60,56 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  final case class MmResized(doc_id: Long, width: Int, height: Int,
+      target_w: Int, target_h: Int, scale: Double)
+
+  /** F3: resize plumbing — decode (stub) → target-dimension compute.
+    * A real pipeline swaps `decodeBatch` + the scale math for the
+    * imaging library call; the batch shape and schema are what Spark
+    * sees either way.
+    */
+  def mmResize(t: Tables, targetMax: Int = 32): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val ds = t.documents
+      .select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions(_.grouped(64).flatMap(b => decodeBatch(b).map { f =>
+        val scale = targetMax.toDouble / math.max(f.width, f.height)
+        val s = math.min(1.0, scale)
+        MmResized(f.doc_id, f.width, f.height,
+          math.max(1, math.round(f.width * s).toInt),
+          math.max(1, math.round(f.height * s).toInt),
+          math.round(s * 1e6) / 1e6)
+      }))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  final case class MmFrame(doc_id: Long, frame_idx: Int, offset: Int, frame_md5: String)
+
+  /** F4: frame sampling — treat the payload as a "video" of fixed-size
+    * frames, emit every `stride`-th frame (one row per sampled frame,
+    * the explode-shaped output a frame pipeline feeds downstream).
+    */
+  def mmFrameSample(t: Tables, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val ds = t.documents
+      .select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+    ds.flatMap { case (id, bytes) =>
+        // STUB: a real pipeline decodes container frames here
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by stride).map { i =>
+          val frame = bytes.slice(i * frameBytes, (i + 1) * frameBytes)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(frame).map(b => f"$b%02x").mkString
+          MmFrame(id, i, i * frameBytes, hex)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
 }
