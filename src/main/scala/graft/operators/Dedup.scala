@@ -16,21 +16,22 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Exploded distinct word-3-gram shingles: (doc_id, gram). */
+  /** Exploded distinct word-3-gram shingles: (doc_id, gram, n_grams).
+    * The set size rides along with every row so Jaccard denominators
+    * need no separate aggregate + join-back (it's one int per row on
+    * the shuffle, vs two extra shuffles of the whole gram relation).
+    */
   def grams(t: Tables): DataFrame =
     t.documents
-      .select(col("doc_id"), explode(array_distinct(
-        shingles3(tokens(col("text")), col("text")))).as("gram"))
+      .select(col("doc_id"),
+        array_distinct(shingles3(tokens(col("text")), col("text"))).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("gram"), size(col("gs")).as("n_grams"))
 
   /** (doc_id, gram, h0): 60-bit base hash per shingle — md5 computed
     * exactly once per (doc, gram), reused by every permutation/bit.
     */
   private def hashedGrams(t: Tables): DataFrame =
     grams(t).withColumn("h0", md5_60(col("gram")))
-
-  /** Shingle-set sizes for Jaccard denominators. */
-  private def gramSizes(t: Tables): DataFrame =
-    grams(t).groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
 
   /** C1: exact dedup via content hash — keep lowest doc_id per hash.
     * One hash-partitioned aggregation; no sort, no all-pairs.
@@ -87,16 +88,11 @@ object Dedup {
     // row per (pair, common shingle) — count directly, no distinct
     // candidate stage + re-verification pass (those exist for the LSH
     // path, where candidates ≪ pairs).
-    val ga = g.select(col("doc_id").as("da"), col("gram"))
-    val gb = g.select(col("doc_id").as("db"), col("gram").as("gram2"))
-    val common = ga.join(gb,
-        col("gram") === col("gram2") && col("da") < col("db"))
-      .groupBy(col("da"), col("db"))
+    val ga = g.select(col("doc_id").as("da"), col("gram"), col("n_grams").as("na"))
+    val gb = g.select(col("doc_id").as("db"), col("gram").as("gram2"), col("n_grams").as("nb"))
+    ga.join(gb, col("gram") === col("gram2") && col("da") < col("db"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
-    val sizes = gramSizes(t)
-    common
-      .join(broadcast(sizes.select(col("doc_id").as("da"), col("n_grams").as("na"))), "da")
-      .join(broadcast(sizes.select(col("doc_id").as("db"), col("n_grams").as("nb"))), "db")
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -108,16 +104,12 @@ object Dedup {
     */
   private def verifiedJaccard(t: Tables, cands: DataFrame, threshold: Double): DataFrame = {
     val g = grams(t)
-    val ga = g.select(col("doc_id").as("da"), col("gram"))
-    val gb = g.select(col("doc_id").as("db2"), col("gram").as("gramb"))
-    val sizes = gramSizes(t)
-    val common = cands
+    val ga = g.select(col("doc_id").as("da"), col("gram"), col("n_grams").as("na"))
+    val gb = g.select(col("doc_id").as("db2"), col("gram").as("gramb"), col("n_grams").as("nb"))
+    cands
       .join(ga, "da")
       .join(gb, col("db") === col("db2") && col("gram") === col("gramb"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-    common
-      .join(broadcast(sizes.select(col("doc_id").as("da"), col("n_grams").as("na"))), "da")
-      .join(broadcast(sizes.select(col("doc_id").as("db"), col("n_grams").as("nb"))), "db")
+      .groupBy(col("da"), col("db"), col("na"), col("nb")).agg(count(lit(1)).as("c"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
