@@ -54,6 +54,7 @@ object SparkEntry {
     // §2.D similarity search
     "ann_topk_bruteforce"  -> q(Similarity.annTopkBruteforce(_)),
     "ann_lsh_bucketed"     -> q(Similarity.annLshBucketed(_)),
+    "ann_ivf"              -> q(Similarity.annIvf(_)), // rows-only: k-means quantizer, no SQL oracle
     "emb_norm_stats"       -> q(Similarity.embNormStats),
     // §2.E text analysis
     "text_langid"          -> q(TextOps.textLangid),

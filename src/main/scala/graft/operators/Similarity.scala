@@ -95,6 +95,57 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** D4: IVF (inverted-file) ANN — the other scale path besides sign-
+    * LSH: k-means coarse quantizer → per-cell inverted lists → queries
+    * probe the nProbe nearest cells and rank exactly within them. At
+    * 100 TB the corpus is partitioned by cell id (per-cell parquet
+    * partitions), so a query touches nProbe/nCells of the data; the
+    * quantizer is trained once offline, not per query (here it is fit
+    * inline for a self-contained operator).
+    *
+    * No SQL oracle (k-means centers aren't DuckDB-expressible);
+    * structural + recall laws in SimilaritySpec.
+    */
+  def annIvf(t: Tables, nQueries: Int = 8, k: Int = 3,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = t.spark
+    import spark.implicits._
+
+    val e = withNorm(t.embeddings)
+    val feat = e.withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("v"), col("n2"), col("prediction").as("cell"))
+
+    // tiny (nCells × dim) centers relation for query-side probing
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "center")
+      .withColumn("c2", VectorExprs.dot(col("center"), col("center")))
+
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist2").asc, col("cell").asc)
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+      .crossJoin(broadcast(centers))
+      .withColumn("dist2",
+        col("qn2") - lit(2.0) * VectorExprs.dot(col("qv"), col("center")) + col("c2"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn2"), col("cell"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** D3: per-label vector-norm statistics (array math in codegen). */
   def embNormStats(t: Tables): DataFrame =
     withNorm(t.embeddings)
