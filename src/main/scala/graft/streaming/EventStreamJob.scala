@@ -45,6 +45,41 @@ object EventStreamJob {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** A19: streaming session windows — the engine-native form of the
+    * batch sessionization (EventOps.evSessionize): sessions close when
+    * the watermark passes start + gap.
+    */
+  def streamSessionWindows(events: DataFrame, gap: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** A20: stream-stream interval join — attach each purchase to the
+    * same user's click within the preceding hour. Both sides
+    * watermarked; the time-bound condition lets the engine expire join
+    * state (bounded memory at 100 TB/day rates).
+    */
+  def streamClickToPurchase(events: DataFrame,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   final case class TtlState(lastEmitMicros: Long)
 
   /** A12: the reference's TTL cache as streaming state

@@ -86,6 +86,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows close on gap and match batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamSessionWindows(input.toDS().toDF())
+    val q = out.writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      // user 1: two events 10 min apart (one session), then 2h silence → new session
+      input.addData(Seq(
+        Ev(1, base, 1, "click"), Ev(2, base.plusSeconds(600), 1, "click"),
+        Ev(3, base.plusSeconds(7800), 1, "view")))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(99, base.plusSeconds(864000), 9, "noise")))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(100, base.plusSeconds(864060), 9, "noise")))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .filter($"user_id" === 1).collect()
+        .map(r => (r.getTimestamp(0).toInstant, r.getLong(3))).toSet
+      assert(got == Set((base, 2L), (base.plusSeconds(7800), 1L)), s"got=$got")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join binds purchases to preceding clicks within 1h") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamClickToPurchase(input.toDS().toDF()
+      .withColumn("value", col("event_id") * 1.0))
+    val q = out.writeStream.outputMode("append").format("memory").queryName("join_out").start()
+    try {
+      input.addData(Seq(
+        Ev(1, base, 1, "click"),
+        Ev(2, base.plusSeconds(600), 1, "purchase"),   // 10 min after click → joins
+        Ev(3, base.plusSeconds(7200), 2, "purchase"))) // no click for user 2 → dropped
+      q.processAllAvailable()
+      val got = spark.table("join_out")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((2L, 1L)), s"got=${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("json sink delivers one line per emitted event") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
