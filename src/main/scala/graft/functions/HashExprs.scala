@@ -31,14 +31,167 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 60-bit SimHash over an array of 60-bit hashes, in one pass: per bit
+  * j, sign-sum of ((h >> j) & 1)·2−1 over the array; bit j of the
+  * result is set iff the sum is positive.
+  *
+  * Replaces the explode → 60 partial-sum aggregates → reassemble
+  * formulation: same value (the oracle's unnest+SUM SQL is unchanged)
+  * but computed per row in whole-stage codegen with NO shuffle of the
+  * exploded gram relation.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  protected override def nullSafeEval(input: Any): Any =
+    SimHash60.hash(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash60.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash60 fused with the gram hashing: input array<string> of
+  * shingles, output the 60-bit simhash of their Md5Prefix60 hashes.
+  * The two-step composition (`transform(gs, md5_60)` → SimHash60) pays
+  * higher-order-function interpretation per element — ArrayTransform
+  * has no codegen; this fusion is one native loop.
+  */
+case class SimHashGrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  protected override def nullSafeEval(input: Any): Any =
+    SimHash60.hashGrams(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash60.hashGrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  def hashGrams(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = Md5Prefix60.hash(arr.getUTF8String(i))
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    fold(counts)
+  }
+
+  private def fold(counts: Array[Int]): Long = {
+    var s = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) s |= (1L << j)
+      j += 1
+    }
+    s
+  }
+
+  def hash(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    fold(counts)
+  }
+}
+
+/** Fused tokenize → word n-gram shingle → 60-bit hash: input the raw
+  * text, output `array<long>` of (optionally distinct, first-occurrence
+  * order) Md5Prefix60 hashes of the space-joined n-grams of the
+  * lowercased space-split tokens — value-identical to the composed
+  * `transform(sequence…, array_join(slice…))` + md5_60 pipeline, but
+  * one native loop instead of three interpreted higher-order functions
+  * per row. Downstream joins/aggregates shuffle 8-byte longs instead
+  * of gram strings.
+  */
+case class GramHashes(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  protected override def nullSafeEval(input: Any): Any =
+    GramHashes.eval(input.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashes.eval($c, $n, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramHashes {
+  def eval(s: UTF8String, n: Int, distinct: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val text = s.toLowerCase.toString
+    val toks = text.split(" ", -1)
+    val raw: Array[Long] =
+      if (toks.length >= n) {
+        val out = new Array[Long](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < out.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = Md5Prefix60.hashBytes(
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          i += 1
+        }
+        out
+      } else Array(Md5Prefix60.hashBytes(
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val vals =
+      if (!distinct) raw
+      else {
+        val seen = new java.util.LinkedHashSet[java.lang.Long]()
+        raw.foreach(seen.add(_))
+        val out = new Array[Long](seen.size)
+        var i = 0
+        val it = seen.iterator()
+        while (it.hasNext) { out(i) = it.next(); i += 1 }
+        out
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+  }
+}
+
 object Md5Prefix60 {
   private val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
-  def hash(s: UTF8String): Long = {
+  def hash(s: UTF8String): Long = hashBytes(s.getBytes)
+
+  def hashBytes(bytes: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    val d = md.digest(bytes)
     // first 8 bytes big-endian, dropped low nibble = first 15 hex chars
     val top =
       ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |

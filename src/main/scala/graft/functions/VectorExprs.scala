@@ -67,6 +67,14 @@ object VectorExprs {
       FnName, exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_60", exprs => Md5Prefix60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash60", exprs => SimHash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash_grams", exprs => SimHashGrams(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram3_hashes", exprs => GramHashes(exprs.head, 3, distinct = true), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram5_hashes", exprs => GramHashes(exprs.head, 5, distinct = false), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)

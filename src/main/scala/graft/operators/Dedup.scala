@@ -16,22 +16,21 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Exploded distinct word-3-gram shingles: (doc_id, gram, n_grams).
+  /** Exploded distinct word-3-gram shingle HASHES: (doc_id, gram: long,
+    * n_grams). The fused GramHashes expression replaces three
+    * interpreted higher-order functions per row, and every downstream
+    * join/aggregate shuffles 8-byte longs instead of gram strings.
     * The set size rides along with every row so Jaccard denominators
-    * need no separate aggregate + join-back (it's one int per row on
-    * the shuffle, vs two extra shuffles of the whole gram relation).
+    * need no separate aggregate + join-back.
     */
   def grams(t: Tables): DataFrame =
     t.documents
-      .select(col("doc_id"),
-        array_distinct(shingles3(tokens(col("text")), col("text"))).as("gs"))
+      .select(col("doc_id"), call_function("graft_gram3_hashes", col("text")).as("gs"))
       .select(col("doc_id"), explode(col("gs")).as("gram"), size(col("gs")).as("n_grams"))
 
-  /** (doc_id, gram, h0): 60-bit base hash per shingle — md5 computed
-    * exactly once per (doc, gram), reused by every permutation/bit.
-    */
+  /** (doc_id, h0): the gram hash IS the 60-bit base hash. */
   private def hashedGrams(t: Tables): DataFrame =
-    grams(t).withColumn("h0", md5_60(col("gram")))
+    grams(t).select(col("doc_id"), col("gram").as("h0"))
 
   /** C1: exact dedup via content hash — keep lowest doc_id per hash.
     * One hash-partitioned aggregation; no sort, no all-pairs.
@@ -116,28 +115,29 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** C4a: 60-bit SimHash per document over distinct 3-gram shingles
-    * (per-bit sign sums via 60 partial aggregates — one shuffle on
-    * doc_id, fully codegen'd).
+  /** Unsorted simhash relation (internal: consumers add their own
+    * ordering; a mid-pipeline global sort would be a wasted exchange).
     */
-  def docSimhash(t: Tables): DataFrame = {
-    val bitSums = (0 until 60).map(j =>
-      sum((shiftright(col("h0"), j).bitwiseAND(lit(1L))) * 2 - 1).as(s"s$j"))
-    val simhash = (0 until 60)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    hashedGrams(t)
-      .groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
-      .orderBy(col("doc_id"))
-  }
+  private def simhashes(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        call_function("graft_simhash60",
+          call_function("graft_gram3_hashes", col("text"))).as("simhash"))
+
+  /** C4a: 60-bit SimHash per document over distinct 3-gram shingles —
+    * one narrow pass via the fused native SimHashGrams expression (no
+    * explode, no shuffle, no interpreted higher-order transform; the
+    * oracle's unnest+SUM formulation is value-identical).
+    */
+  def docSimhash(t: Tables): DataFrame =
+    simhashes(t).orderBy(col("doc_id"))
 
   /** C4b: SimHash near-dup pairs — pigeonhole banding (4 × 15-bit
     * chunks: hamming ≤ 3 guarantees ≥1 identical chunk), candidates
     * share a chunk, verified by exact hamming distance.
     */
   def docSimhashPairs(t: Tables, maxHamming: Int = 12): DataFrame = {
-    val sh = docSimhash(t)
+    val sh = simhashes(t)
     val chunks = sh.select(col("doc_id"), col("simhash"),
       expr("""stack(4,
         0, (simhash >> 0)  & 32767,

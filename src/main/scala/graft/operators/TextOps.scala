@@ -90,19 +90,12 @@ object TextOps {
     * windows (winnowing-lite); identical fingerprints cluster near-dup
     * docs. Cluster sizes via a second tiny aggregation.
     */
-  def textFingerprint(t: Tables): DataFrame = {
-    val toks = tokens(col("text"))
-    val wins = when(size(toks) >= 5,
-      transform(sequence(lit(0), size(toks) - 5),
-        i => array_join(slice(toks, i + lit(1), lit(5)), " ")))
-      .otherwise(array(lower(col("text"))))
-    val fp = t.documents
-      .select(col("doc_id"), explode(wins).as("win"))
-      .withColumn("h", md5_60(col("win")))
-      .groupBy(col("doc_id")).agg(min(col("h")).as("fingerprint"))
-    fp.withColumn("cluster_size",
+  def textFingerprint(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        array_min(call_function("graft_gram5_hashes", col("text"))).as("fingerprint"))
+      .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
       .select(col("doc_id"), col("fingerprint"), col("cluster_size"))
       .orderBy(col("doc_id"))
-  }
 }
