@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{GramHashes, Md5Prefix60, SimHash60}
+
+/** Property-based laws for the native expressions: each fused fast
+  * path must equal its naive reference formulation on arbitrary input
+  * (deterministic scalacheck sampling, seed 42).
+  */
+class ExprPropertiesSpec extends SparkSpec {
+
+  private def forAll[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    (0 until n).foreach { _ =>
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(p => f(p._1, p._2))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  private def refMd5_60(s: String): Long =
+    java.lang.Long.parseUnsignedLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16)
+
+  test("Md5Prefix60 == parse(first 15 hex chars of md5)") {
+    forAll(text) { s =>
+      assert(Md5Prefix60.hash(UTF8String.fromString(s)) == refMd5_60(s))
+    }
+  }
+
+  test("GramHashes == naive lowercase-split-shingle-hash composition") {
+    forAll(text, Gen.oneOf(3, 5)) { (s, n) =>
+      val toks = s.toLowerCase.split(" ", -1)
+      val expected =
+        (if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+         else Seq(s.toLowerCase)).map(refMd5_60).distinct
+      val got = GramHashes.eval(UTF8String.fromString(s), n, distinct = true).toLongArray.toSeq
+      assert(got == expected, s"text=<$s> n=$n")
+    }
+  }
+
+  test("SimHash60 == per-bit sign-sum reference") {
+    forAll(Gen.listOf(Gen.choose(0L, (1L << 60) - 1))) { hs =>
+      val expected = (0 until 60).map { j =>
+        val sum = hs.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
+        if (sum > 0) 1L << j else 0L
+      }.sum
+      val got = SimHash60.hash(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray))
+      assert(got == expected)
+    }
+  }
+
+  test("DotProduct nullSafeEval == sequential fold") {
+    forAll(Gen.listOfN(8, Gen.choose(-10.0, 10.0)), Gen.listOfN(8, Gen.choose(-10.0, 10.0))) {
+      (a, b) =>
+        val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+        val got = graft.functions.DotProduct(null, null).nullSafeEval(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray))
+        assert(got == expected)
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{Analytics, Dedup, EventOps, Similarity}
+
+/** Plan-shape regressions: the §5 scale claims, asserted against the
+  * actual physical plans (pushdown reaches the scan, dims broadcast,
+  * top-N avoids global sort, custom exec is planned, no stray
+  * cartesian products).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: filter pushed to parquet scan") {
+    val p = plan(Analytics.q1PricingSummary(tables))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(500))
+  }
+
+  test("q3: dimension joins broadcast, top-N via TakeOrderedAndProject") {
+    val p = plan(Analytics.q3ShippingPriority(tables))
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q5: six-way join with no sort-merge on dimension edges") {
+    val p = plan(Analytics.q5LocalSupplier(tables))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, "all four dims broadcast")
+  }
+
+  test("asof enrich: custom exec planned with co-partitioned sorted children") {
+    val p = plan(EventOps.evAsofEnrich(tables))
+    assert(p.contains("AsOfJoin"), p.take(400))
+    assert(p.contains("Sort ["), "children must be sorted for the merge pass")
+  }
+
+  test("ann brute force: corpus side never shuffles before scoring (broadcast queries)") {
+    val p = plan(Similarity.annTopkBruteforce(tables))
+    assert(p.contains("BroadcastNestedLoopJoin"), "tiny query side broadcast")
+  }
+
+  test("minhash signatures: map-side partial aggregation before the doc shuffle") {
+    val p = plan(Dedup.docMinhashSig(tables))
+    assert(p.contains("partial_min") || p.contains("partial_"), "partial aggregation expected")
+  }
+}
