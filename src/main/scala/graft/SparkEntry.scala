@@ -43,6 +43,8 @@ object SparkEntry {
     "q_histogram"          -> q(Analytics.qHistogram),
     "q_percentiles"        -> q(Analytics.qPercentiles),
     "q_approx_distinct"    -> q(Analytics.qApproxDistinct), // rows-only: HLL sketch, no SQL oracle
+    "q_cube"               -> q(Analytics.qCube),
+    "q_distinct_skewsafe"  -> q(Analytics.qDistinctSkewsafe),
     // §2.C dedup family
     "doc_exact_dedup"      -> q(Dedup.docExactDedup),
     "doc_minhash_sig"      -> q(Dedup.docMinhashSig),
@@ -305,6 +307,20 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bin""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_distinct_skewsafe" ->
+      """SELECT event_type, COUNT(*) AS n_users
+        |FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_percentiles" ->
       """SELECT o_orderpriority,

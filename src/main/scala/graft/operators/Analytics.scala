@@ -213,5 +213,27 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy($("l_returnflag"))
 
+  /** B13: CUBE — all grouping-set combinations. */
+  def qCube(t: Tables): DataFrame =
+    t.orders
+      .select($("o_orderstatus"), $("o_orderpriority"), $("o_totalprice"))
+      .cube($("o_orderstatus"), $("o_orderpriority"))
+      .agg(psum($("o_totalprice")).as("total"), count(lit(1)).as("n"))
+      .orderBy($("o_orderstatus").asc_nulls_first, $("o_orderpriority").asc_nulls_first)
+
+  /** B14: skew-safe exact distinct — two-phase: dedupe on (key, value)
+    * first (spreads a hot key's values over the cluster), then count
+    * per key. Identical result to COUNT(DISTINCT), but the second
+    * shuffle carries one row per distinct pair instead of funneling
+    * every raw row of a hot key through one reducer's hash set.
+    */
+  def qDistinctSkewsafe(t: Tables): DataFrame =
+    t.events
+      .select($("event_type"), $("user_id"))
+      .distinct()
+      .groupBy($("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($("event_type"))
+
   private def $(name: String): Column = col(name)
 }
