@@ -47,6 +47,10 @@ object Hashing {
 
   /** Word 3-gram shingles; single-shingle fallback for tiny docs.
     * Spark `slice(toks, i+1, 3)` ⇔ DuckDB `t[i:i+2]` (both 1-based).
+    *
+    * This composed formulation is the REFERENCE SEMANTICS for the fused
+    * native GramHashes expression (hot path); GramFusionSpec asserts
+    * their equivalence through Spark evaluation on the corpus.
     */
   def shingles3(toks: Column, wholeText: Column): Column =
     when(size(toks) >= 3,
