@@ -36,4 +36,32 @@ class KesMainSpec extends SparkSpec {
     assert(got.length == 2, s"3 lines, 1 dup → 2: ${got.toSeq}")
     assert(got.forall(_.startsWith("""{"time":""")), got.head)
   }
+
+  test("restart recovers dedup state from the checkpoint (the reference's persistent CACHE_DB)") {
+    val in = Files.createTempDirectory("kes_in2").toFile
+    val out = Files.createTempDirectory("kes_out2").toFile.getAbsolutePath + "/data"
+    val ckpt = Files.createTempDirectory("kes_ckpt2").toFile.getAbsolutePath
+    def run(): Unit = {
+      val q = KubeEventOps
+        .streamPipeline(KubeEventSource.streamJsonLines(spark, in.getAbsolutePath))
+        .select(col("line").as("value"))
+        .writeStream.format("text")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    val e1 =
+      """{"metadata":{"name":"e1","uid":"u1","resourceVersion":"1","creationTimestamp":"2024-01-01T00:00:00Z"},"involvedObject":{"kind":"Pod"},"reason":"Started","type":"Normal"}"""
+    val e3 =
+      """{"metadata":{"name":"e3","uid":"u3","resourceVersion":"3","creationTimestamp":"2024-01-01T00:00:30Z"},"involvedObject":{"kind":"Pod"},"reason":"Killing","type":"Normal"}"""
+    Files.writeString(new java.io.File(in, "b1.json").toPath, e1)
+    run()
+    // second process lifetime: the duplicate of e1 arrives again + a new event
+    Files.writeString(new java.io.File(in, "b2.json").toPath, Seq(e1, e3).mkString("\n"))
+    run()
+    val got = spark.read.text(out).collect().map(_.getString(0))
+    assert(got.length == 2, s"dup across restart must be suppressed by recovered state: ${got.toSeq}")
+    assert(got.exists(_.contains("\"uid\":\"u1\"")) && got.exists(_.contains("\"uid\":\"u3\"")))
+  }
 }
