@@ -23,4 +23,24 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** The conf a 1000-executor 100 TB deployment starts from (master/
+    * resources come from the submitter). Notes per knob:
+    *  - shuffle.partitions ≈ 2–3× total cores; AQE coalesces down.
+    *  - skewJoin on: runtime-splits hot partitions in fact-fact joins.
+    *  - 128 MB scan partitions keep tasks memory-bounded at any SF.
+    *  - autoBroadcastJoinThreshold raised: our dims (region…customer)
+    *    stay broadcast even at SF where stats are conservative.
+    */
+  def clusterBuilder(totalCores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", (totalCores * 3).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
 }

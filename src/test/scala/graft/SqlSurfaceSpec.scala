@@ -1,0 +1,25 @@
+package graft
+
+import graft.sources.GraftCatalog
+
+/** The SQL surface: views + native functions reachable from
+  * spark.sql, equal to the programmatic operators.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("registered views + graft_* functions work from plain SQL") {
+    GraftCatalog.registerViews(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(viaSql.length == 3)
+    val hashed = spark.sql(
+      "SELECT graft_md5_60('abc') AS h, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head
+    assert(hashed.getLong(0) == 648541476951500027L) // = ('0x'||substr(md5('abc'),1,15))::BIGINT
+    assert(hashed.getDouble(1) == 11.0)
+    val grams = spark.sql(
+      "SELECT size(graft_gram3_hashes('a b c d')) AS n").collect().head
+    assert(grams.getInt(0) == 2)
+  }
+}
