@@ -21,5 +21,10 @@ class SqlSurfaceSpec extends SparkSpec {
     val grams = spark.sql(
       "SELECT size(graft_gram3_hashes('a b c d')) AS n").collect().head
     assert(grams.getInt(0) == 2)
+    val sim = spark.sql(
+      """SELECT graft_simhash60(graft_gram3_hashes('a b c d')) AS s1,
+        |       graft_simhash_grams(array('a b c', 'b c d')) AS s2""".stripMargin)
+      .collect().head
+    assert(sim.getLong(0) == sim.getLong(1), "fused and gram-string forms agree")
   }
 }
