@@ -45,6 +45,9 @@ object SparkEntry {
     "q_approx_distinct"    -> q(Analytics.qApproxDistinct), // rows-only: HLL sketch, no SQL oracle
     "q_cube"               -> q(Analytics.qCube),
     "q_distinct_skewsafe"  -> q(Analytics.qDistinctSkewsafe),
+    "q_large_volume"       -> q(Analytics.qLargeVolume),
+    "q_profile"            -> q(Analytics.qProfile),
+    "ev_gap_fill"          -> q(EventOps.evGapFill),
     // §2.C dedup family
     "doc_exact_dedup"      -> q(Dedup.docExactDedup),
     "doc_minhash_sig"      -> q(Dedup.docMinhashSig),
@@ -307,6 +310,41 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bin""".stripMargin,
+
+    "q_large_volume" ->
+      """SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty FROM (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 300.0) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'l_discount' AS "column", COUNT(*) AS n, COUNT(l_discount) AS n_nonnull,
+        |  COUNT(DISTINCT l_discount) AS n_distinct,
+        |  CAST(MIN(l_discount) AS DOUBLE) AS min_val, CAST(MAX(l_discount) AS DOUBLE) AS max_val,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_val FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice), COUNT(DISTINCT l_extendedprice),
+        |  CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(*), COUNT(l_quantity), COUNT(DISTINCT l_quantity),
+        |  CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) FROM lineitem
+        |ORDER BY "column"""".stripMargin,
+
+    "ev_gap_fill" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds),
+        |counts AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_raw
+        |  FROM events GROUP BY 1)
+        |SELECT hours.hour, COALESCE(n_raw, 0) AS n
+        |FROM hours LEFT JOIN counts ON hours.hour = counts.hour
+        |ORDER BY hours.hour""".stripMargin,
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority,

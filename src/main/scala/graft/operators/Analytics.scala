@@ -235,5 +235,44 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy($("event_type"))
 
+  /** B15: large-volume orders (TPC-H Q18 shape) — HAVING-filtered agg
+    * joined back to dimensions; the agg-side filter runs before the
+    * joins so only qualifying orders move.
+    */
+  def qLargeVolume(t: Tables): DataFrame = {
+    val big = t.lineitem
+      .select($("l_orderkey"), $("l_quantity"))
+      .groupBy($("l_orderkey"))
+      .agg(psum($("l_quantity")).as("sum_qty"))
+      .filter($("sum_qty") > 300.0)
+    big
+      .join(t.orders.select($("o_orderkey"), $("o_custkey"), $("o_orderdate"), $("o_totalprice")),
+        $("l_orderkey") === $("o_orderkey"))
+      .join(broadcast(t.customer.select($("c_custkey"), $("c_name"))),
+        $("o_custkey") === $("c_custkey"))
+      .select($("c_name"), $("o_orderkey"), $("o_orderdate"), $("o_totalprice"), $("sum_qty"))
+      .orderBy($("o_totalprice").desc, $("o_orderkey").asc)
+      .limit(20)
+  }
+
+  /** B16: column profiling — per-column stats in one relation (the
+    * data-quality sweep a pipeline runs before training ingestion).
+    */
+  def qProfile(t: Tables): DataFrame = {
+    val li = t.lineitem.select($("l_quantity"), $("l_extendedprice"), $("l_discount"))
+    def prof(name: String): DataFrame =
+      li.select(
+        lit(name).as("column"),
+        count(lit(1)).as("n"),
+        count(col(name)).as("n_nonnull"),
+        countDistinct(col(name)).as("n_distinct"),
+        min(col(name)).cast("double").as("min_val"),
+        max(col(name)).cast("double").as("max_val"),
+        psum(col(name)).as("sum_val"))
+    Seq("l_quantity", "l_extendedprice", "l_discount")
+      .map(prof).reduce(_.unionAll(_))
+      .orderBy($("column"))
+  }
+
   private def $(name: String): Column = col(name)
 }

@@ -188,6 +188,22 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** A22: time-series gap filling — the dense hourly series between
+    * the stream's bounds, zero-filled where no events landed (sequence
+    * + explode; the tiny bounds row broadcasts to the counts join).
+    */
+  def evGapFill(t: Tables): DataFrame = {
+    val counts = t.events
+      .select(date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("hour")).agg(count(lit(1)).as("n_raw"))
+    val hours = t.events
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"), date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    hours.join(counts, Seq("hour"), "left")
+      .select(col("hour"), coalesce(col("n_raw"), lit(0L)).as("n"))
+      .orderBy(col("hour"))
+  }
+
   /** A11: gap-based sessionization — a new session starts after a >1h
     * silence per user; per-session bounds + counts via lag + cumulative
     * sum (partitioned windows only).
