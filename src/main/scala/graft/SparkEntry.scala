@@ -46,6 +46,7 @@ object SparkEntry {
     "q_cube"               -> q(Analytics.qCube),
     "q_distinct_skewsafe"  -> q(Analytics.qDistinctSkewsafe),
     "q_large_volume"       -> q(Analytics.qLargeVolume),
+    "q_rolling_window"     -> q(Analytics.qRollingWindow),
     "q_profile"            -> q(Analytics.qProfile),
     "ev_gap_fill"          -> q(EventOps.evGapFill),
     // §2.C dedup family
@@ -320,6 +321,15 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 20""".stripMargin,
+
+    "q_rolling_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_total
+        |FROM orders
+        |WHERE o_custkey <= 50
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "q_profile" ->
       """SELECT 'l_discount' AS "column", COUNT(*) AS n, COUNT(l_discount) AS n_nonnull,

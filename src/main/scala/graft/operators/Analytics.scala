@@ -274,5 +274,21 @@ object Analytics {
       .orderBy($("column"))
   }
 
+  /** B17: rolling 7-day revenue per customer — RANGE window frame over
+    * event-time (epoch seconds on both engines for identical frame
+    * semantics). Partitioned by the high-cardinality key.
+    */
+  def qRollingWindow(t: Tables): DataFrame = {
+    val w = Window.partitionBy($("o_custkey"))
+      .orderBy(unix_timestamp($("o_orderdate")))
+      .rangeBetween(-7L * 86400, 0)
+    t.orders
+      .select($("o_custkey"), $("o_orderkey"), $("o_orderdate"), $("o_totalprice"))
+      .withColumn("rolling_total",
+        sum($("o_totalprice").cast(DecimalType(18, 6))).over(w).cast("double"))
+      .filter($("o_custkey") <= 50)
+      .orderBy($("o_custkey"), $("o_orderdate"), $("o_orderkey"))
+  }
+
   private def $(name: String): Column = col(name)
 }
