@@ -67,6 +67,9 @@ object SparkEntry {
     "text_quality"         -> q(TextOps.textQuality),
     "text_tokencount"      -> q(TextOps.textTokencount),
     "text_fingerprint"     -> q(TextOps.textFingerprint),
+    "text_normalize_dedup" -> q(TextOps.textNormalizeDedup),
+    "doc_quality_filter"   -> q(TextOps.docQualityFilter(_)),
+    "ev_scrub_props"       -> q(EventOps.evScrubProps),
     // §2.F multimodal plumbing
     "mm_binary_meta"       -> q(Multimodal.mmBinaryMeta),
     "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract), // rows-only: stubbed decode, no SQL oracle
@@ -397,6 +400,30 @@ object SparkEntry {
     "text_tokencount"       -> OracleSqlGen.textTokencount,
     "text_fingerprint"      -> OracleSqlGen.textFingerprint,
     "mm_binary_meta"        -> OracleSqlGen.mmBinaryMeta,
+
+    "text_normalize_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY norm_hash""".stripMargin,
+
+    "doc_quality_filter" -> (OracleSqlGen.textQuality
+      .replace("SELECT doc_id, n_chars, n_tokens, stop_n, alpha_n, stop_ratio, alpha_ratio,",
+        "SELECT doc_id,")
+      .replace("FROM r ORDER BY doc_id",
+        """ , CAST(n_tokens >= 20 AS INTEGER) AS len_ok,
+          |  CAST(stop_ratio > 0.0 AS INTEGER) AS stop_ok
+          |FROM r
+          |WHERE round(least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio), 6) >= 0.5
+          |ORDER BY doc_id""".stripMargin)),
+
+    "ev_scrub_props" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_masked,
+        |  length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS n_masked_chars
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     // mm stub decoders derive features from leading bytes — for the
     // ASCII corpus that is ord()/substr()-expressible, so even the

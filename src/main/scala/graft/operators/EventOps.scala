@@ -188,6 +188,18 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** A23: PII-style scrubbing — mask digit runs in the raw payload
+    * before long-term storage (the ELK-bound form), keeping a count of
+    * masked spans for auditability.
+    */
+  def evScrubProps(t: Tables): DataFrame =
+    t.events
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("props_masked"),
+        (length(col("props")) -
+          length(regexp_replace(col("props"), "[0-9]", ""))).cast("long").as("n_masked_chars"))
+      .orderBy(col("event_id"))
+
   /** A22: time-series gap filling — the dense hourly series between
     * the stream's bounds, zero-filled where no events landed (sequence
     * + explode; the tiny bounds row broadcasts to the counts join).

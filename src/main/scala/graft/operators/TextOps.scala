@@ -90,6 +90,31 @@ object TextOps {
     * windows (winnowing-lite); identical fingerprints cluster near-dup
     * docs. Cluster sizes via a second tiny aggregation.
     */
+  /** E5: normalized-text exact dedup — lowercase, strip non-alnum,
+    * collapse whitespace, then hash ("fuzzy-exact": catches trivially
+    * reformatted copies that byte-level dedup misses).
+    */
+  def textNormalizeDedup(t: Tables): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    t.documents
+      .select(md5(norm).as("norm_hash"), col("doc_id"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("norm_hash"))
+  }
+
+  /** E6: quality filtering — the keep/drop decision a training
+    * pipeline applies from the E2 scores (kept set + reason flags).
+    */
+  def docQualityFilter(t: Tables, minScore: Double = 0.5): DataFrame =
+    textQuality(t)
+      .select(col("doc_id"), col("quality_score"),
+        (col("n_tokens") >= 20).cast("int").as("len_ok"),
+        (col("stop_ratio") > 0.0).cast("int").as("stop_ok"))
+      .filter(col("quality_score") >= minScore)
+      .orderBy(col("doc_id"))
+
   def textFingerprint(t: Tables): DataFrame =
     t.documents
       .select(col("doc_id"),
