@@ -70,6 +70,8 @@ object SparkEntry {
     "text_normalize_dedup" -> q(TextOps.textNormalizeDedup),
     "doc_quality_filter"   -> q(TextOps.docQualityFilter(_)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps),
+    "ev_funnel"            -> q(EventOps.evFunnel),
+    "q_month_trend"        -> q(Analytics.qMonthTrend),
     // §2.F multimodal plumbing
     "mm_binary_meta"       -> q(Multimodal.mmBinaryMeta),
     "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract), // rows-only: stubbed decode, no SQL oracle
@@ -206,6 +208,30 @@ object SparkEntry {
         |FROM events ASOF LEFT JOIN r
         |  ON events.user_id = r.o_custkey AND r.o_orderdate <= events.ts
         |ORDER BY event_id""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+        |       (SELECT COUNT(*) FROM s2) AS n_click_after,
+        |       (SELECT COUNT(*) FROM s3) AS n_purchase_after""".stripMargin,
+
+    "q_month_trend" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  LAG(revenue, 1) OVER (ORDER BY month) AS prev_revenue,
+        |  CASE WHEN LAG(revenue, 1) OVER (ORDER BY month) IS NOT NULL
+        |    THEN round((revenue - LAG(revenue, 1) OVER (ORDER BY month))
+        |      / LAG(revenue, 1) OVER (ORDER BY month) * 100.0, 6) END AS pct_change
+        |FROM m ORDER BY month""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

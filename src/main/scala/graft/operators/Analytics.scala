@@ -290,5 +290,21 @@ object Analytics {
       .orderBy($("o_custkey"), $("o_orderdate"), $("o_orderkey"))
   }
 
+  /** B18: month-over-month revenue trend — aggregate series + lag +
+    * deterministic pct-change (div of identical doubles both engines).
+    */
+  def qMonthTrend(t: Tables): DataFrame = {
+    val w = Window.orderBy($("month"))
+    t.orders
+      .select(date_trunc("month", $("o_orderdate")).as("month"), $("o_totalprice"))
+      .groupBy($("month"))
+      .agg(psum($("o_totalprice")).as("revenue"))
+      .withColumn("prev_revenue", lag($("revenue"), 1).over(w))
+      .withColumn("pct_change",
+        when($("prev_revenue").isNotNull,
+          round(($("revenue") - $("prev_revenue")) / $("prev_revenue") * 100.0, 6)))
+      .orderBy($("month"))
+  }
+
   private def $(name: String): Column = col(name)
 }

@@ -188,6 +188,28 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** A24: funnel analysis — ordered signup → click → purchase
+    * progression per user (each stage's timestamp must follow the
+    * previous stage's). Three small per-user aggregates chained by
+    * broadcast joins; one summary row out.
+    */
+  def evFunnel(t: Tables): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").as("c")
+      .join(broadcast(s1), "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").as("p")
+      .join(broadcast(s2), "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
   /** A23: PII-style scrubbing — mask digit runs in the raw payload
     * before long-term storage (the ELK-bound form), keeping a count of
     * masked spans for auditability.
