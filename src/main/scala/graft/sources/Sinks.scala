@@ -39,4 +39,27 @@ object Sinks {
     */
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Small-files compaction — streaming sinks and frequent batches
+    * leave thousands of tiny files; at 100 TB the NameNode/listing cost
+    * and per-file open overhead dominate reads. Rewrites to
+    * `targetFiles` right-sized files at a new path (never in place).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFiles: Int): Unit =
+    spark.read.parquet(inPath)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
+  /** Range-clustered layout: repartitionByRange + in-file sort on the
+    * clustering keys → parquet row-group min/max stats become selective
+    * for range predicates on those keys (the poor man's Z-order; at
+    * 100 TB this is what makes time-range scans skip most files).
+    */
+  def writeClustered(df: DataFrame, path: String, files: Int, cols: String*): Unit = {
+    val cs = cols.map(col)
+    df.repartitionByRange(files, cs: _*)
+      .sortWithinPartitions(cs: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

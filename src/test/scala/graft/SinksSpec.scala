@@ -41,6 +41,34 @@ class SinksSpec extends SparkSpec {
     assert(agg.count() == tables.events.select("user_id").distinct().count())
   }
 
+  test("compaction rewrites many small files into the target count") {
+    val scattered = Files.createTempDirectory("scatter").toFile.getAbsolutePath
+    val compacted = Files.createTempDirectory("compact").toFile.getAbsolutePath + "/out"
+    tables.events.repartition(37).write.mode("overwrite").parquet(scattered)
+    assert(new java.io.File(scattered).listFiles().count(_.getName.endsWith(".parquet")) == 37)
+    Sinks.compact(spark, scattered, compacted, targetFiles = 4)
+    assert(new java.io.File(compacted).listFiles().count(_.getName.endsWith(".parquet")) == 4)
+    assert(spark.read.parquet(compacted).count() == tables.events.count())
+  }
+
+  test("clustered write produces range-partitioned, internally sorted files") {
+    val dir = Files.createTempDirectory("clustered").toFile.getAbsolutePath + "/out"
+    Sinks.writeClustered(tables.events, dir, files = 4, "user_id", "ts")
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    // each file covers a disjoint user_id range → global ranges don't overlap
+    val ranges = files.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("user_id")), max(col("user_id"))).collect().head
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == tables.events.count())
+  }
+
   test("json lines roundtrip") {
     val dir = Files.createTempDirectory("events_json").toFile.getAbsolutePath
     val out = tables.events.select(col("event_id"), col("event_type"))
