@@ -68,6 +68,8 @@ object SparkEntry {
     "text_tokencount"      -> q(TextOps.textTokencount),
     "text_fingerprint"     -> q(TextOps.textFingerprint),
     "text_normalize_dedup" -> q(TextOps.textNormalizeDedup),
+    "doc_stratified_sample" -> q(TextOps.docStratifiedSample),
+    "text_vocab"           -> q(TextOps.textVocab),
     "doc_quality_filter"   -> q(TextOps.docQualityFilter(_)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps),
     "ev_funnel"            -> q(EventOps.evFunnel),
@@ -443,6 +445,22 @@ object SparkEntry {
           |FROM r
           |WHERE round(least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio), 6) >= 0.5
           |ORDER BY doc_id""".stripMargin)),
+
+    "doc_stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 80 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """SELECT token, n, rank FROM (
+        |  SELECT token, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rank
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |  GROUP BY token)
+        |ORDER BY rank""".stripMargin,
 
     "ev_scrub_props" ->
       """SELECT event_id,

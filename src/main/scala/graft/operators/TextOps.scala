@@ -115,6 +115,38 @@ object TextOps {
       .filter(col("quality_score") >= minScore)
       .orderBy(col("doc_id"))
 
+  /** E7: deterministic stratified sampling — per-language keep rates
+    * (downsample the dominant language, keep the rest), decided by a
+    * content-hash bucket so the sample is stable across runs/cluster
+    * sizes (unlike rand()-based sampleBy).
+    */
+  def docStratifiedSample(t: Tables): DataFrame = {
+    val rates: Map[String, Int] = Map("en" -> 30).withDefaultValue(80) // % kept
+    val bucket = md5_60(col("text")) % 100
+    val rate = LangMarkers.map(_._1).foldLeft(lit(rates.default(""))) {
+      case (acc, l) => when(col("lang") === l, lit(rates(l))).otherwise(acc)
+    }
+    t.documents
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E8: vocabulary builder — global token frequencies + ranks (the
+    * seed vocabulary a tokenizer trainer starts from). Explode →
+    * map-side partial counts → one shuffle on the token.
+    */
+  def textVocab(t: Tables): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    t.documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("rank"))
+  }
+
   def textFingerprint(t: Tables): DataFrame =
     t.documents
       .select(col("doc_id"),
