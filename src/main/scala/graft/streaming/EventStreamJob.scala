@@ -124,6 +124,29 @@ object EventStreamJob {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** A25: idempotent keyed upsert sink — the ELK-indexing pattern: the
+    * windowed counts stream in update mode, each micro-batch MERGEd
+    * into a keyed store with a batch-id high-watermark so re-delivered
+    * batches (restart replay) apply exactly once. `upsert` abstracts
+    * the store (tests use a map; production an index/JDBC MERGE).
+    */
+  def streamUpsertCounts(events: DataFrame, watermarkDelay: String = "30 minutes")(
+      upsert: (Seq[((java.sql.Timestamp, String), Long)], Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    @volatile var committed = -1L
+    streamWindowedCounts(events, watermarkDelay)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > committed) { // replay guard → effectively-once
+          val rows = batch.collect().map(r =>
+            ((r.getTimestamp(0), r.getString(1)), r.getLong(2))).toSeq
+          upsert(rows, batchId)
+          committed = batchId
+        }
+      }
+      .start()
+  }
+
   /** A15: the stdout-JSON sink (tasks.rs:105) — each emitted event as
     * one JSON line, delivered per micro-batch via foreachBatch to any
     * downstream (ELK-style) store; `collector` abstracts the store so

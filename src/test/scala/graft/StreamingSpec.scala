@@ -131,6 +131,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotent upsert sink: updates replace, replay guard holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val input = MemoryStream[Ev]
+    val store = new java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), Long]()
+    val batches = mutable.ArrayBuffer.empty[Long]
+    val q = EventStreamJob.streamUpsertCounts(input.toDS().toDF()) { (rows, batchId) =>
+      batches.synchronized { batches += batchId }
+      rows.foreach { case (k, v) => store.put(k, v) }
+    }
+    try {
+      input.addData(Seq(Ev(1, base.plusSeconds(10), 1, "click"), Ev(2, base.plusSeconds(20), 2, "click")))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(3, base.plusSeconds(30), 3, "click")))
+      q.processAllAvailable()
+      val key = store.keySet().iterator().next()
+      assert(store.size() == 1, s"one (window, type) key: $store")
+      assert(store.get(key) == 3L, s"update replaced the count: $store")
+      assert(batches.distinct.size == batches.size, "no batch applied twice")
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped from windowed counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamWindowedCounts(input.toDS().toDF())
+    val q = out.writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    try {
+      // advance the watermark far past the first window
+      input.addData(Seq(Ev(1, base.plusSeconds(7200), 1, "view")))
+      q.processAllAvailable()
+      // this event's window [base, base+1h) closed long ago → dropped
+      input.addData(Seq(Ev(2, base, 1, "click")))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(3, base.plusSeconds(864000), 9, "noise")))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(4, base.plusSeconds(864060), 9, "noise")))
+      q.processAllAvailable()
+      val types = spark.table("late_out").collect().map(_.getString(1)).toSet
+      assert(!types.contains("click"), s"late event must be dropped: $types")
+      assert(types.contains("view"))
+    } finally q.stop()
+  }
+
   test("json sink delivers one line per emitted event") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
