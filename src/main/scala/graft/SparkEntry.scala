@@ -70,6 +70,8 @@ object SparkEntry {
     "text_normalize_dedup" -> q(TextOps.textNormalizeDedup),
     "doc_stratified_sample" -> q(TextOps.docStratifiedSample),
     "text_vocab"           -> q(TextOps.textVocab),
+    "doc_chunk"            -> q(TextOps.docChunk(_)),
+    "doc_pack"             -> q(TextOps.docPack(_)),
     "doc_quality_filter"   -> q(TextOps.docQualityFilter(_)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps),
     "ev_funnel"            -> q(EventOps.evFunnel),
@@ -461,6 +463,26 @@ object SparkEntry {
         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
         |  GROUP BY token)
         |ORDER BY rank""".stripMargin,
+
+    "doc_chunk" ->
+      """SELECT doc_id, chunk_idx,
+        |  length(substr(text, CAST(chunk_idx * 180 + 1 AS INTEGER), 200)) AS chunk_len
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CASE WHEN length(text) <= 200 THEN 1
+        |      ELSE (length(text) - 200 + 179) // 180 + 1 END)) AS chunk_idx
+        |  FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "doc_pack" ->
+      """SELECT doc_id, source, n_tokens, (cum - n_tokens) // 512 AS bin
+        |FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT doc_id, source,
+        |    len(string_split(lower(text), ' ')) AS n_tokens FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "ev_scrub_props" ->
       """SELECT event_id,

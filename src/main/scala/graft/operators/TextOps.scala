@@ -147,6 +147,41 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** E9: document chunking — fixed-size character windows with overlap
+    * (the sequence-window prep before tokenization). Pure integer
+    * arithmetic + substr so chunk boundaries are engine-identical;
+    * narrow explode, no shuffle.
+    */
+  def docChunk(t: Tables, size: Int = 200, stride: Int = 180): DataFrame = {
+    val len = length(col("text"))
+    val n = when(len <= size, lit(1))
+      .otherwise(floor((len - size + (stride - 1)) / lit(stride)).cast("int") + 1)
+    t.documents
+      .select(col("doc_id"), col("text"), n.as("n_chunks"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        length(substr(col("text"), col("chunk_idx") * stride + 1, lit(size)))
+          .cast("long").as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** E10: sequence packing — assign docs to ~fixed-token-budget bins by
+    * running token count per source (greedy in doc_id order; the bin a
+    * doc *starts* in). Partitioned running sum — the deterministic,
+    * distributed version of greedy first-fit packing.
+    */
+  def docPack(t: Tables, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(budget)).cast("long").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+
   def textFingerprint(t: Tables): DataFrame =
     t.documents
       .select(col("doc_id"),
