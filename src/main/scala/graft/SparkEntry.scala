@@ -71,6 +71,7 @@ object SparkEntry {
     "doc_stratified_sample" -> q(TextOps.docStratifiedSample),
     "text_vocab"           -> q(TextOps.textVocab),
     "doc_chunk"            -> q(TextOps.docChunk(_)),
+    "text_rolling_fingerprint" -> q(TextOps.textRollingFingerprint),
     "doc_pack"             -> q(TextOps.docPack(_)),
     "doc_quality_filter"   -> q(TextOps.docQualityFilter(_)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps),
@@ -463,6 +464,17 @@ object SparkEntry {
         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
         |  GROUP BY token)
         |ORDER BY rank""".stripMargin,
+
+    "text_rolling_fingerprint" ->
+      """WITH w AS (SELECT doc_id, lower(text) AS lt,
+        |    unnest(range(1, greatest(2, length(text) - 14))) AS i
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_reduce([ord(c)::BIGINT for c in string_split(substr(lt, CAST(i AS INTEGER), 16), '')],
+        |    (a, b) -> (a * 31 + b) % 1073741789) AS hv
+        |  FROM w)
+        |SELECT doc_id, MIN(hv) AS rolling_min FROM h
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_chunk" ->
       """SELECT doc_id, chunk_idx,

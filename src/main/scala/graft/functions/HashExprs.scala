@@ -182,6 +182,60 @@ object GramHashes {
   }
 }
 
+/** Minimum polynomial rolling hash over fixed-size character windows
+  * (Rabin–Karp): h(w) = fold((a,c) -> (a·B + c) mod P) over the
+  * window's chars; result = min over all windows (docs shorter than
+  * the window hash whole). Computed with the O(n) rolling recurrence
+  * (subtract the outgoing term via B^(k−1) mod P, shift, add) — the
+  * DuckDB oracle recomputes each window's fold O(n·k); identical
+  * values, which is exactly what makes it a *rolling* hash.
+  * Chars are taken as bytes (== code points for the ASCII corpus).
+  */
+case class RollingHashMin(child: Expression, window: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  protected override def nullSafeEval(input: Any): Any =
+    RollingHashMin.hash(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHashMin.hash($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHashMin {
+  val B = 31L
+  val P = 1073741789L
+
+  def hash(s: UTF8String, window: Int): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0L
+    if (n < window) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * B + (bytes(i) & 0xffL)) % P; i += 1 }
+      return h
+    }
+    var pw = 1L // B^(window-1) mod P
+    var j = 1
+    while (j < window) { pw = pw * B % P; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < window) { h = (h * B + (bytes(i) & 0xffL)) % P; i += 1 }
+    var min = h
+    while (i < n) {
+      val out = (bytes(i - window) & 0xffL) * pw % P
+      h = ((h + P - out) % P * B + (bytes(i) & 0xffL)) % P
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
 object Md5Prefix60 {
   private val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))

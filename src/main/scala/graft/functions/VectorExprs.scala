@@ -75,6 +75,8 @@ object VectorExprs {
       "graft_gram3_hashes", exprs => GramHashes(exprs.head, 3, distinct = true), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gram5_hashes", exprs => GramHashes(exprs.head, 5, distinct = false), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_min", exprs => RollingHashMin(exprs.head, 16), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)

@@ -182,6 +182,16 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** E11: rolling-hash fingerprint — min Rabin–Karp hash over 16-char
+    * windows (native O(n) RollingHashMin expression; the md5-based E4
+    * fingerprints word windows, this one character windows).
+    */
+  def textRollingFingerprint(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        call_function("graft_rolling_min", lower(col("text"))).as("rolling_min"))
+      .orderBy(col("doc_id"))
+
   def textFingerprint(t: Tables): DataFrame =
     t.documents
       .select(col("doc_id"),

@@ -61,6 +61,20 @@ class ExprPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("RollingHashMin O(n) recurrence == naive per-window fold") {
+    def fold(bs: Seq[Byte]): Long =
+      bs.foldLeft(0L)((a, c) => (a * 31 + (c & 0xff)) % 1073741789L)
+    forAll(text) { s =>
+      val bytes = s.getBytes("UTF-8").toSeq
+      val naive =
+        if (bytes.isEmpty) 0L
+        else if (bytes.length < 16) fold(bytes)
+        else bytes.sliding(16).map(fold).min
+      val got = graft.functions.RollingHashMin.hash(UTF8String.fromString(s), 16)
+      assert(got == naive, s"text=<$s>")
+    }
+  }
+
   test("DotProduct nullSafeEval == sequential fold") {
     forAll(Gen.listOfN(8, Gen.choose(-10.0, 10.0)), Gen.listOfN(8, Gen.choose(-10.0, 10.0))) {
       (a, b) =>
