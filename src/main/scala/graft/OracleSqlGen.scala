@@ -36,16 +36,19 @@ object OracleSqlGen {
        |$sigCte
        |SELECT doc_id, ${bandConcat(0 until 16)} AS sig FROM sig ORDER BY doc_id""".stripMargin
 
-  private val jaccardTail =
+  private val jaccardCtes =
     """sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
       |common AS (SELECT da, db, COUNT(*) AS c FROM cand
       |  JOIN g ga ON ga.doc_id = da
       |  JOIN g gb ON gb.doc_id = db AND gb.gram = ga.gram
-      |  GROUP BY da, db)
-      |SELECT da AS doc_a, db AS doc_b, c/(sa.n+sb.n-c) AS jaccard
+      |  GROUP BY da, db)""".stripMargin
+
+  private val jaccardSelect =
+    """SELECT da AS doc_a, db AS doc_b, c/(sa.n+sb.n-c) AS jaccard
       |FROM common JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-      |WHERE c/(sa.n+sb.n-c) >= 0.2
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |WHERE c/(sa.n+sb.n-c) >= 0.2""".stripMargin
+
+  private val jaccardTail = s"$jaccardCtes\n$jaccardSelect\nORDER BY doc_a, doc_b"
 
   val docMinhashLshPairs: String =
     s"""WITH $gramCtes,
@@ -65,6 +68,30 @@ object OracleSqlGen {
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
        |$jaccardTail""".stripMargin
+
+  /** Connected components over the jaccard pair graph via recursive
+    * transitive closure, min reachable id per node = cluster.
+    */
+  val docDedupClusters: String =
+    s"""WITH RECURSIVE $gramCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |$jaccardCtes,
+       |edges AS ($jaccardSelect),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL SELECT doc_b, doc_a FROM edges),
+       |reach AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+       |),
+       |mins AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+       |  FROM reach GROUP BY src)
+       |SELECT d.doc_id,
+       |  COALESCE(m.cluster, d.doc_id) AS cluster,
+       |  CAST(COALESCE(m.cluster, d.doc_id) = d.doc_id AS INTEGER) AS is_canonical
+       |FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private val bitSumExprs: String = (0 until 60).map(j =>
     s"SUM(((h0 >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n  ")

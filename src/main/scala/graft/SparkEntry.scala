@@ -56,6 +56,7 @@ object SparkEntry {
     "doc_simhash"          -> q(Dedup.docSimhash),
     "doc_simhash_pairs"    -> q(Dedup.docSimhashPairs(_)),
     "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_)),
+    "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_)),
     "doc_embed_cosine_dup" -> q(Dedup.docEmbedCosineDup(_)),
     // §2.D similarity search
     "ann_topk_bruteforce"  -> q(Similarity.annTopkBruteforce(_)),
@@ -422,6 +423,7 @@ object SparkEntry {
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,
+    "doc_dedup_clusters"    -> OracleSqlGen.docDedupClusters,
     "doc_embed_cosine_dup"  -> OracleSqlGen.docEmbedCosineDup,
     "ann_topk_bruteforce"   -> OracleSqlGen.annTopkBruteforce,
     "ann_lsh_bucketed"      -> OracleSqlGen.annLshBucketed,

@@ -156,6 +156,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C7: near-dup clustering — connected components over the Jaccard
+    * pair graph (pairs alone don't dedupe; transitive groups do), then
+    * canonical selection (min doc_id per cluster). Iterative min-label
+    * propagation: each round is one join + one aggregate, O(diameter)
+    * rounds (the standard large-scale CC shape); `localCheckpoint`
+    * truncates lineage per round so the plan stays flat.
+    */
+  def docDedupClusters(t: Tables, threshold: Double = 0.2, maxIter: Int = 20): DataFrame = {
+    val edges = docNgramJaccard(t, threshold).select(col("doc_a"), col("doc_b"))
+    val sym = edges
+      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    t.documents.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"),
+        (coalesce(col("label"), col("doc_id")) === col("doc_id")).cast("int").as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C6: embedding-cosine near-dup pairs (exact all-pairs at this
     * scale; the bucketed scale path is Similarity.annLshBucketed).
     */
