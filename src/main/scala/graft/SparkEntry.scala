@@ -77,6 +77,7 @@ object SparkEntry {
     "doc_quality_filter"   -> q(TextOps.docQualityFilter(_)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps),
     "ev_funnel"            -> q(EventOps.evFunnel),
+    "ev_error_after_click" -> q(EventOps.evErrorAfterClick),
     "q_month_trend"        -> q(Analytics.qMonthTrend),
     // §2.F multimodal plumbing
     "mm_binary_meta"       -> q(Multimodal.mmBinaryMeta),
@@ -214,6 +215,18 @@ object SparkEntry {
         |FROM events ASOF LEFT JOIN r
         |  ON events.user_id = r.o_custkey AND r.o_orderdate <= events.ts
         |ORDER BY event_id""".stripMargin,
+
+    "ev_error_after_click" ->
+      """SELECT e.user_id,
+        |  COUNT(*) AS n_errors,
+        |  COUNT(*) FILTER (WHERE EXISTS (
+        |    SELECT 1 FROM events c WHERE c.event_type = 'click'
+        |      AND c.user_id = e.user_id
+        |      AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR)) AS n_with_click
+        |FROM events e
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.user_id
+        |ORDER BY e.user_id""".stripMargin,
 
     "ev_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events

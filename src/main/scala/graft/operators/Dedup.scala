@@ -125,9 +125,9 @@ object Dedup {
           call_function("graft_gram3_hashes", col("text"))).as("simhash"))
 
   /** C4a: 60-bit SimHash per document over distinct 3-gram shingles —
-    * one narrow pass via the fused native SimHashGrams expression (no
-    * explode, no shuffle, no interpreted higher-order transform; the
-    * oracle's unnest+SUM formulation is value-identical).
+    * one narrow pass: fused GramHashes → native SimHash60 (no explode,
+    * no shuffle, no interpreted higher-order transform; the oracle's
+    * unnest+SUM formulation is value-identical).
     */
   def docSimhash(t: Tables): DataFrame =
     simhashes(t).orderBy(col("doc_id"))

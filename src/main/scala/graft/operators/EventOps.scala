@@ -188,6 +188,36 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** A27: bucketed interval self-join — errors preceded by a same-user
+    * click within the last hour. The scalable range-join shape: the
+    * probe side buckets to its hour, the build side explodes into the
+    * (≤2) hour buckets its 1h window can land in, the join is a plain
+    * equi-join on (user, bucket), and the exact interval predicate
+    * filters after — never a non-equi join over the full stream.
+    */
+  def evErrorAfterClick(t: Tables): DataFrame = {
+    val errors = t.events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("te"), col("event_id"))
+    val clickBuckets = t.events.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("tc"))
+      .select(col("cu"), col("tc"), explode(array(
+        date_trunc("hour", col("tc")),
+        date_trunc("hour", col("tc")) + expr("INTERVAL 1 HOUR"))).as("hb"))
+    val flagged = errors
+      .join(clickBuckets,
+        col("user_id") === col("cu") &&
+          date_trunc("hour", col("te")) === col("hb") &&
+          col("tc") <= col("te") &&
+          col("tc") >= col("te") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("event_id")).distinct()
+    val perUser = errors.groupBy(col("user_id")).agg(count(lit(1)).as("n_errors"))
+    val perUserFlagged = flagged.groupBy(col("user_id")).agg(count(lit(1)).as("n_with_click"))
+    perUser.join(perUserFlagged, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_errors"),
+        coalesce(col("n_with_click"), lit(0L)).as("n_with_click"))
+      .orderBy(col("user_id"))
+  }
+
   /** A24: funnel analysis — ordered signup → click → purchase
     * progression per user (each stage's timestamp must follow the
     * previous stage's). Three small per-user aggregates chained by
