@@ -77,25 +77,38 @@ object Dedup {
     verifiedJaccard(t, cands, threshold)
   }
 
-  /** C5: all-pairs n-gram Jaccard via inverted index on the shingle —
-    * candidates are docs sharing ≥1 shingle (at scale: cap shingle df to
-    * bound bucket fan-out), then the same exact verification.
+  /** C5: n-gram Jaccard with exact prefix filtering (the AllPairs /
+    * PPJoin candidate bound, Bayardo et al. WWW'07).
+    *
+    * Canonical order = (global shingle df asc, gram asc). If
+    * J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉ (and ⌈t·|B|⌉), so the *smallest*
+    * common shingle must lie within the first |A| − ⌈t·|A|⌉ + 1
+    * shingles of A — were it in the suffix, all |A∩B| common shingles
+    * would have to fit in the ⌈t·|A|⌉ − 1 suffix slots. Symmetrically
+    * for B. Hence joining prefixes only is *exact*: same result set as
+    * the full inverted-index join, same DuckDB oracle.
+    *
+    * Scale consequence: a stop-shingle ("of the …") with df = k sits at
+    * the very end of the canonical order, lands in almost no prefix,
+    * and never fans out k² candidate rows — the un-capped
+    * inverted-index self-join's quadratic failure mode. Costs one extra
+    * df aggregation + a per-doc rank (window partitioned by doc_id —
+    * high cardinality, never a global window).
     */
   def docNgramJaccard(t: Tables, threshold: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val g = grams(t)
-    // All-pairs mode: the self-join on the shingle already yields one
-    // row per (pair, common shingle) — count directly, no distinct
-    // candidate stage + re-verification pass (those exist for the LSH
-    // path, where candidates ≪ pairs).
-    val ga = g.select(col("doc_id").as("da"), col("gram"), col("n_grams").as("na"))
-    val gb = g.select(col("doc_id").as("db"), col("gram").as("gram2"), col("n_grams").as("nb"))
-    ga.join(gb, col("gram") === col("gram2") && col("da") < col("db"))
-      .groupBy(col("da"), col("db"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("c"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+    val df = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("gram").asc)
+    val prefix = g.join(df, "gram")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("n_grams") - ceil(col("n_grams") * threshold) + 1)
+      .select(col("doc_id"), col("gram"))
+    val cands = prefix.select(col("doc_id").as("da"), col("gram"))
+      .join(prefix.select(col("doc_id").as("db"), col("gram").as("gram2")),
+        col("gram") === col("gram2") && col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    verifiedJaccard(t, cands, threshold)
   }
 
   /** Exact Jaccard on candidate pairs: per-candidate gram intersection
@@ -164,6 +177,11 @@ object Dedup {
     * truncates lineage per round so the plan stays flat.
     */
   def docDedupClusters(t: Tables, threshold: Double = 0.2, maxIter: Int = 20): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    // edges come from the prefix-filtered jaccard join — exact pair set
+    // (see docNgramJaccard), but candidate generation is df-bounded, so
+    // the feeder is no longer quadratic in stop-shingle frequency
     val edges = docNgramJaccard(t, threshold).select(col("doc_a"), col("doc_b"))
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -178,13 +196,22 @@ object Dedup {
       val neighborMin = sym
         .join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      // convergence check rides the same job that materializes the
+      // round (accumulator filled by the eager localCheckpoint) —
+      // no separate isEmpty action per round
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
       val next = labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin") < col("label")).as("changed"))
+          coalesce(col("nmin") < col("label"), lit(false)).as("changed"))
+        .as[(Long, Long, Boolean)]
+        .mapPartitions { it =>
+          it.map { case (id, label, ch) => if (ch) changedAcc.add(1L); (id, label) }
+        }
+        .toDF("id", "label")
         .localCheckpoint(true)
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.select(col("id"), col("label"))
+      converged = changedAcc.value == 0L
+      labels = next
       iter += 1
     }
     t.documents.select(col("doc_id"))
@@ -195,15 +222,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** C6: embedding-cosine near-dup pairs (exact all-pairs at this
-    * scale; the bucketed scale path is Similarity.annLshBucketed).
+  /** C6: embedding-cosine near-dup pairs, exact, via a block-grid pair
+    * join (no BroadcastNestedLoopJoin, no corpus broadcast).
+    *
+    * Each vector is hashed to one of `nBlocks` blocks and replicated to
+    * every unordered block-pair containing its block (left side carries
+    * pairs (blk, j≥blk), right side (i≤blk, blk) — avg replication
+    * (B+1)/2 per side). The join is then a plain *equi-join* on the
+    * pair key: each unordered vector pair meets in exactly one task
+    * (cross-block pairs once by construction; same-block pairs
+    * deduplicated by va < vb), task size is bounded by (n/B)² — AQE can
+    * split a skewed pair-key like any shuffle join — and no side is
+    * ever broadcast or nested-loop'd. This is the canonical distributed
+    * shape for an exact pairwise computation.
+    *
+    * Why not sign-LSH candidates + exact verify: measured on this
+    * corpus, the 4×16-bit sign-chunk banding catches 0 of the 144
+    * qualifying pairs at sf0.1 (the embeddings are near-isotropic —
+    * qualifying pairs at cos ≈ 0.45 differ in up to 31 of 64 sign
+    * bits), so any LSH-candidate scheme breaks the exact oracle. For
+    * genuinely near-duplicate regimes (cos ≥ 0.9) the approximate
+    * bucketed path exists as Similarity.annLshBucketed; at threshold
+    * 0.45 an exact cosine join is inherently Ω(n²) compares and the
+    * right lever is the block grid's bounded, splittable tasks.
     */
-  def docEmbedCosineDup(t: Tables, threshold: Double = 0.45): DataFrame = {
+  def docEmbedCosineDup(t: Tables, threshold: Double = 0.45, nBlocks: Int = 8): DataFrame = {
     val e = Similarity.withNorm(t.embeddings)
-    val a = e.select(col("vec_id").as("va"), col("v").as("xa"), col("n2").as("na"))
-    val b = e.select(col("vec_id").as("vb"), col("v").as("xb"), col("n2").as("nb"))
-    a.join(b, col("va") < col("vb"))
-      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+      .select(col("vec_id"), col("v"), col("n2"))
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)))
+    val left = e
+      .withColumn("bj", explode(sequence(col("blk"), lit(nBlocks - 1))))
+      .select(col("blk").as("bi"), col("bj"),
+        col("vec_id").as("va"), col("v").as("xa"), col("n2").as("na"))
+    val right = e
+      .withColumn("bi", explode(sequence(lit(0), col("blk"))))
+      .select(col("bi").as("bi2"), col("blk").as("bj2"),
+        col("vec_id").as("vb"), col("v").as("xb"), col("n2").as("nb"))
+    left.join(right,
+        col("bi") === col("bi2") && col("bj") === col("bj2") &&
+          (col("bi") =!= col("bj") || col("va") < col("vb")))
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"),
         Similarity.cosineR(col("xa"), col("xb"), col("na"), col("nb")).as("cos_r"))
       .filter(col("cos_r") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))

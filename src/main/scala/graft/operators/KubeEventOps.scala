@@ -42,19 +42,25 @@ object KubeEventOps {
     derived.select(
       to_json(struct(col("time"), col("kubernetes_event"))).as("line"))
 
+  /** First-occurrence dedup on the cache key — the reference's
+    * cache-miss filter (tasks.rs:98): everything after this point (the
+    * stdout emit AND the Prometheus counters) sees each key once.
+    */
+  def dedupedByKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("time").asc_nulls_last, col("kubernetes_event.metadata.uid"))
+    withDerived(events)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Batch form of the full pipeline: derive → first-occurrence dedup
     * on the cache key → stdout lines. (The TTL variant composes
     * EventOps.evTtlCache semantics on the same key.)
     */
-  def pipeline(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("key"))
-      .orderBy(col("time").asc_nulls_last, col("kubernetes_event.metadata.uid"))
-    stdoutRecord(
-      withDerived(events)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn"))
-  }
+  def pipeline(events: DataFrame): DataFrame =
+    stdoutRecord(dedupedByKey(events))
 
   /** Streaming form: watermark-bounded exact dedup on the cache key
     * (the reference's TTL cache — state expires with the watermark just
@@ -68,10 +74,13 @@ object KubeEventOps {
         .dropDuplicatesWithinWatermark("key"))
 
   /** Prometheus events_count{type, reason, kind, namespace} analog
-    * (tasks.rs:107) — "-" for missing labels, exactly the reference.
+    * (tasks.rs:107) — "-" for missing labels, and counted over the
+    * *deduped* stream: the reference increments events_count only on a
+    * cache miss (tasks.rs:98-122), so a redelivered duplicate never
+    * bumps the counter.
     */
   def labelCounts(events: DataFrame): DataFrame =
-    events
+    dedupedByKey(events)
       .select(
         coalesce(col("kubernetes_event.type"), lit("-")).as("event_type"),
         coalesce(col("kubernetes_event.reason"), lit("-")).as("event_reason"),

@@ -136,14 +136,38 @@ object TextOps {
   /** E8: vocabulary builder — global token frequencies + ranks (the
     * seed vocabulary a tokenizer trainer starts from). Explode →
     * map-side partial counts → one shuffle on the token.
+    *
+    * The global rank is two-phase, never a single-partition window
+    * over the token relation (10⁸+ tokens at a 100 TB corpus):
+    *  1. range-repartition counts on (n desc, token) + sort within
+    *     partitions; the local rank is the in-partition record number
+    *     (monotonically_increasing_id's documented low 33 bits), a
+    *     narrow projection — no second shuffle;
+    *  2. per-partition row counts (≤ one row per partition) get a
+    *     running-sum offset; global rank = offset + local rank via a
+    *     broadcast join back.
+    * The only single-partition pass is the offset cumsum over ≤
+    * numShufflePartitions rows. Both branches reuse the same range
+    * exchange (identical subplans → ReusedExchange), so partition ids
+    * and local ranks are consistent by construction.
     */
   def textVocab(t: Tables): DataFrame = {
-    val w = Window.orderBy(col("n").desc, col("token").asc)
-    t.documents
+    val counts = t.documents
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    val parted = counts
+      .repartitionByRange(col("n").desc, col("token").asc)
+      .sortWithinPartitions(col("n").desc, col("token").asc)
+      .select(col("token"), col("n"), spark_partition_id().as("pid"),
+        (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + 1L).as("lrn"))
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    parted.join(broadcast(offsets), "pid")
+      .select(col("token"), col("n"), (col("off") + col("lrn")).as("rank"))
       .orderBy(col("rank"))
   }
 

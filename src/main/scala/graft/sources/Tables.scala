@@ -24,12 +24,20 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read natively; read nanos as long and truncate to µs (exactly what
-    * DuckDB does when it loads the same file, so oracle parity holds).
+    * infer natively; an *explicit* LongType schema reads the raw nanos
+    * without touching any session conf (the legacy `nanosAsLong` flag
+    * would silently change every other nanos read in the session), then
+    * truncate to µs — exactly what DuckDB does when it loads the same
+    * file, so oracle parity holds.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.read.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -124,43 +124,111 @@ object EventStreamJob {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Keyed upsert target for streamUpsertCounts. Implementations MUST
+    * make the replay check and the merge atomic *in the store* (a JDBC
+    * MERGE plus an applied-batch log row in the same transaction, an
+    * ELK bulk request with deterministic doc ids, …): a driver-memory
+    * batch-id guard does not survive restarts, which is exactly the
+    * replay case the guard exists for.
+    */
+  trait UpsertStore extends Serializable {
+    /** Merge one partition of ((window_start, event_type), count) rows
+      * for micro-batch `batchId`; must be a transactional no-op if
+      * (batchId, partitionId) was already applied.
+      */
+    def merge(batchId: Long, partitionId: Int,
+        rows: Iterator[((java.sql.Timestamp, String), Long)]): Unit
+  }
+
+  /** In-JVM reference UpsertStore (tests / local runs). State lives in
+    * a static registry keyed by store name, so executor-side closure
+    * copies address the same store in local mode; the applied
+    * (batchId, partitionId) log is checked and written atomically with
+    * the data — the transactional shape a JDBC/ELK implementation
+    * mirrors durably.
+    */
+  final class InMemoryUpsertStore(val name: String) extends UpsertStore {
+    override def merge(batchId: Long, partitionId: Int,
+        rows: Iterator[((java.sql.Timestamp, String), Long)]): Unit = {
+      val st = InMemoryUpsertStore.state(name)
+      val staged = rows.toVector // stage outside the critical section
+      st.synchronized {
+        if (!st.applied.add((batchId, partitionId))) return // replayed partition → no-op
+        staged.foreach { case (k, v) => st.data.put(k, v) }
+      }
+    }
+    def snapshot: Map[(java.sql.Timestamp, String), Long] = {
+      val st = InMemoryUpsertStore.state(name)
+      st.synchronized { st.data.toMap }
+    }
+    def appliedKeys: Set[(Long, Int)] = {
+      val st = InMemoryUpsertStore.state(name)
+      st.synchronized { st.applied.toSet }
+    }
+  }
+  object InMemoryUpsertStore {
+    final class State {
+      val data = scala.collection.mutable.Map.empty[(java.sql.Timestamp, String), Long]
+      val applied = scala.collection.mutable.Set.empty[(Long, Int)]
+    }
+    private val registry = new java.util.concurrent.ConcurrentHashMap[String, State]()
+    private def state(name: String): State =
+      registry.computeIfAbsent(name, _ => new State)
+    def reset(name: String): Unit = registry.remove(name)
+  }
+
   /** A25: idempotent keyed upsert sink — the ELK-indexing pattern: the
     * windowed counts stream in update mode, each micro-batch MERGEd
-    * into a keyed store with a batch-id high-watermark so re-delivered
-    * batches (restart replay) apply exactly once. `upsert` abstracts
-    * the store (tests use a map; production an index/JDBC MERGE).
+    * into a keyed store partition-by-partition *on the executors*
+    * (nothing is collected to the driver), with the (batchId,
+    * partitionId) replay guard living in the store's own transaction
+    * so re-delivered batches after a driver restart apply exactly once.
     */
-  def streamUpsertCounts(events: DataFrame, watermarkDelay: String = "30 minutes")(
-      upsert: (Seq[((java.sql.Timestamp, String), Long)], Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    @volatile var committed = -1L
+  def streamUpsertCounts(events: DataFrame, store: UpsertStore,
+      watermarkDelay: String = "30 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
     streamWindowedCounts(events, watermarkDelay)
       .writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > committed) { // replay guard → effectively-once
-          val rows = batch.collect().map(r =>
-            ((r.getTimestamp(0), r.getString(1)), r.getLong(2))).toSeq
-          upsert(rows, batchId)
-          committed = batchId
+        batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          store.merge(batchId, org.apache.spark.TaskContext.getPartitionId(),
+            rows.map(r => ((r.getTimestamp(0), r.getString(1)), r.getLong(2))))
         }
       }
       .start()
-  }
 
   /** A15: the stdout-JSON sink (tasks.rs:105) — each emitted event as
-    * one JSON line, delivered per micro-batch via foreachBatch to any
-    * downstream (ELK-style) store; `collector` abstracts the store so
-    * tests can capture lines.
+    * one JSON line, pushed per-partition from the executors to the
+    * downstream (ELK-style) store; the driver never materializes a
+    * batch. For a plain file/object-store landing zone use
+    * streamJsonFileSink (the engine's own partitioned text writer).
     */
   def streamJsonSink(emitted: Dataset[EmittedEv], queryName: String)(
-      collector: Seq[String] => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: Iterator[String] => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     emitted.toDF()
       .select(to_json(struct(col("key"), col("ts"), col("event_id"))).as("line"))
       .writeStream
       .outputMode(OutputMode.Append)
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        collector(batch.collect().map(_.getString(0)).toSeq)
+        batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          sink(rows.map(_.getString(0)))
+        }
       }
+      .start()
+
+  /** A15 (file landing zone): one JSON line per emitted event, written
+    * by the engine's partitioned text sink with its own exactly-once
+    * file commit protocol — the deploy form of streamJsonSink.
+    */
+  def streamJsonFileSink(emitted: Dataset[EmittedEv], outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    emitted.toDF()
+      .select(to_json(struct(col("key"), col("ts"), col("event_id"))).as("value"))
+      .writeStream
+      .format("text")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
       .start()
 }

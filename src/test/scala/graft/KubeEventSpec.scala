@@ -56,11 +56,13 @@ class KubeEventSpec extends SparkSpec {
     assert(e1.contains("\"kubernetes_event\":{"), e1)
   }
 
-  test("label counts use '-' for missing labels (tasks.rs:109)") {
+  test("label counts use '-' for missing labels and count cache misses only (tasks.rs:98-122)") {
     val rows = KubeEventOps.labelCounts(parsedDf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
     assert(rows.contains(("Warning", "-", "-", "kube-system", 1L)), rows.mkString("\n"))
-    assert(rows.contains(("Normal", "Started", "Pod", "default", 2L)), rows.mkString("\n"))
+    // e1 arrives twice with the same uid:resourceVersion — the reference
+    // bumps events_count only on the first (cache-miss) occurrence
+    assert(rows.contains(("Normal", "Started", "Pod", "default", 1L)), rows.mkString("\n"))
   }
 
   test("streaming pipeline over a watched JSON directory dedupes within the TTL") {

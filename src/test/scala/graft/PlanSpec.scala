@@ -46,4 +46,31 @@ class PlanSpec extends SparkSpec {
     val p = plan(Dedup.docMinhashSig(tables))
     assert(p.contains("partial_min") || p.contains("partial_"), "partial aggregation expected")
   }
+
+  test("embed cosine dup: block-grid equi-join — no nested-loop or cartesian over the corpus") {
+    val p = plan(Dedup.docEmbedCosineDup(tables))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs BNLJ is the 100 TB scale-killer")
+    assert(!p.contains("CartesianProduct"), "cartesian over embeddings")
+  }
+
+  test("text vocab: no single-partition pass over the token relation") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // pre-AQE physical plan: deterministic structure, no stage wrappers
+    val sp = graft.operators.TextOps.textVocab(tables).queryExecution.sparkPlan
+    val singles = sp.collect {
+      case s: ShuffleExchangeExec if s.outputPartitioning == SinglePartition => s
+    }
+    // the only single-partition exchange allowed is the offset cumsum,
+    // which sits above the per-partition count aggregate (≤ 1 row per
+    // partition) — never above the token counts themselves
+    singles.foreach { s =>
+      val overPidAgg = s.child.collectFirst {
+        case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if h.groupingExpressions.exists(_.toString.contains("pid")) => h
+      }
+      assert(overPidAgg.nonEmpty,
+        s"single-partition exchange over a non-pid-aggregated relation:\n$s")
+    }
+  }
 }

@@ -2,8 +2,6 @@ package graft
 
 import java.time.Instant
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -131,26 +129,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("idempotent upsert sink: updates replace, replay guard holds") {
+  test("idempotent upsert sink: updates replace, replay guard lives in the store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val base = Instant.parse("2024-01-01T00:00:00Z")
     val input = MemoryStream[Ev]
-    val store = new java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), Long]()
-    val batches = mutable.ArrayBuffer.empty[Long]
-    val q = EventStreamJob.streamUpsertCounts(input.toDS().toDF()) { (rows, batchId) =>
-      batches.synchronized { batches += batchId }
-      rows.foreach { case (k, v) => store.put(k, v) }
-    }
+    EventStreamJob.InMemoryUpsertStore.reset("upsert_spec")
+    val store = new EventStreamJob.InMemoryUpsertStore("upsert_spec")
+    val q = EventStreamJob.streamUpsertCounts(input.toDS().toDF(), store)
     try {
       input.addData(Seq(Ev(1, base.plusSeconds(10), 1, "click"), Ev(2, base.plusSeconds(20), 2, "click")))
       q.processAllAvailable()
       input.addData(Seq(Ev(3, base.plusSeconds(30), 3, "click")))
       q.processAllAvailable()
-      val key = store.keySet().iterator().next()
-      assert(store.size() == 1, s"one (window, type) key: $store")
-      assert(store.get(key) == 3L, s"update replaced the count: $store")
-      assert(batches.distinct.size == batches.size, "no batch applied twice")
+      val snap = store.snapshot
+      assert(snap.size == 1, s"one (window, type) key: $snap")
+      assert(snap.values.head == 3L, s"update replaced the count: $snap")
+      // restart replay: re-deliver an already-applied (batch, partition)
+      // with stale data — the store-side transactional guard must no-op
+      val key = snap.keys.head
+      val (b, p) = store.appliedKeys.head
+      store.merge(b, p, Iterator((key, 999L)))
+      assert(store.snapshot(key) == 3L, "replayed partition must not re-apply")
     } finally q.stop()
   }
 
@@ -178,21 +178,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("json sink delivers one line per emitted event") {
+  test("json sink delivers one line per emitted event (pushed per-partition, not via the driver)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val base = Instant.parse("2024-01-01T00:00:00Z")
     val input = MemoryStream[Ev]
-    val lines = mutable.ArrayBuffer.empty[String]
+    JsonSinkCapture.lines.clear()
     val emitted = EventStreamJob.streamTtlCache(input.toDS(), ttlHours = 1)
-    val q = EventStreamJob.streamJsonSink(emitted, "json_out") { batch =>
-      lines.synchronized { lines ++= batch }
+    // the capture object is a singleton: the executor-side partition
+    // tasks (deserialized closure copies) still reach the same queue
+    val q = EventStreamJob.streamJsonSink(emitted, "json_out") { it =>
+      it.foreach(JsonSinkCapture.lines.add)
     }
     try {
       input.addData(Seq(Ev(1, base, 1, "click"), Ev(2, base.plusSeconds(10), 1, "click")))
       q.processAllAvailable()
+      val lines = JsonSinkCapture.lines.toArray(Array.empty[String]).toSeq
       assert(lines.size == 1, s"TTL suppresses the second event: $lines")
       assert(lines.head.contains("\"key\":\"1:click\""), lines.head)
     } finally q.stop()
   }
+
+  test("json file sink lands one JSON line per emitted event via the engine's text writer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val input = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("json_sink").toFile.getAbsolutePath + "/data"
+    val ckpt = java.nio.file.Files.createTempDirectory("json_ckpt").toFile.getAbsolutePath
+    val emitted = EventStreamJob.streamTtlCache(input.toDS(), ttlHours = 1)
+    val q = EventStreamJob.streamJsonFileSink(emitted, out, ckpt)
+    try {
+      input.addData(Seq(Ev(1, base, 1, "click"), Ev(2, base.plusSeconds(10), 1, "click")))
+      q.processAllAvailable()
+      val lines = spark.read.text(out).collect().map(_.getString(0)).toSeq
+      assert(lines.size == 1, s"TTL suppresses the second event: $lines")
+      assert(lines.head.contains("\"key\":\"1:click\""), lines.head)
+    } finally q.stop()
+  }
+}
+
+/** Executor-reachable capture for the per-partition JSON sink test. */
+object JsonSinkCapture {
+  val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
