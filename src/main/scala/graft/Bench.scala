@@ -2,7 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Per-round perf record. Honest in two ways a naive harness isn't:
+  *
+  *  - every query is evaluated through a noop sink (full evaluation of
+  *    every output column — count() would let Catalyst prune computed
+  *    columns and under-measure projection queries) with zero sink cost;
+  *  - each query runs ITERS times (default 3) and reports the per-query
+  *    MEDIAN — single-run numbers on a shared host swing 2-4× on
+  *    untouched code — and a query that throws is recorded in `errors`
+  *    with a -1 time instead of masking the crash as a fast run.
+  */
 object Bench {
+  private val Iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.size / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,18 +29,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    def timed(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      // noop sink: full evaluation of every output column (count() would
-      // let Catalyst prune computed columns and under-measure projection
-      // queries), zero sink cost.
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { body; (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          -1.0
+      }
     }
+
+    def runBatchOnce(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        name -> timed(name)(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+      }
+
     // streaming throughput: the reference daemon's full loop (TTL-cache
     // dedup) over the whole events table via MemoryStream, 4 batches.
-    val streamSec = {
+    def runStreamOnce(): Double = timed("stream_ttl_cache") {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.functions.col
       import spark.implicits._
@@ -34,17 +60,27 @@ object Bench {
       val input = MemoryStream[graft.model.Ev]
       val q = graft.streaming.EventStreamJob.streamTtlCache(input.toDS())
         .writeStream.outputMode("append").format("noop").start()
-      val t0 = System.nanoTime()
       try {
         evs.grouped((evs.size + 3) / 4).foreach { b => input.addData(b); q.processAllAvailable() }
       } finally q.stop()
-      (System.nanoTime() - t0) / 1e9
     }
-    val all = results + ("stream_ttl_cache" -> streamSec)
-    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = all.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val batchRuns = (1 to Iters).map(_ => runBatchOnce())
+    val streamRuns = (1 to Iters).map(_ => runStreamOnce())
+
+    val medians = SparkEntry.queries.keys.map { name =>
+      val runs = batchRuns.map(_(name))
+      // a query that failed ANY iteration reports -1, not its fast runs
+      name -> (if (runs.exists(_ < 0)) -1.0 else median(runs))
+    }.toMap + ("stream_ttl_cache" ->
+      (if (streamRuns.exists(_ < 0)) -1.0 else median(streamRuns)))
+
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) =>
+      s"\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = medians.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iterations":$Iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

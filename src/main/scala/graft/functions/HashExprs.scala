@@ -134,17 +134,22 @@ case class GramHashes(child: Expression, n: Int, distinct: Boolean)
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
 
   protected override def nullSafeEval(input: Any): Any =
-    GramHashes.eval(input.asInstanceOf[UTF8String], n, distinct)
+    GramHashes.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashes.eval($c, $n, $distinct)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashes.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object GramHashes {
-  def eval(s: UTF8String, n: Int, distinct: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+  // Named `compute`, NOT `eval`: the case class inherits Expression.eval,
+  // and Scala suppresses the companion's static forwarder on a name
+  // collision — a static `eval(UTF8String,int,boolean)` would not exist
+  // in bytecode, Janino compilation would fail, and Spark would silently
+  // fall back to interpreted projections for every gram-based query.
+  def compute(s: UTF8String, n: Int, distinct: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
     val text = s.toLowerCase.toString
     val toks = text.split(" ", -1)
     val raw: Array[Long] =

@@ -28,9 +28,6 @@ object Dedup {
       .select(col("doc_id"), call_function("graft_gram3_hashes", col("text")).as("gs"))
       .select(col("doc_id"), explode(col("gs")).as("gram"), size(col("gs")).as("n_grams"))
 
-  /** (doc_id, h0): the gram hash IS the 60-bit base hash. */
-  private def hashedGrams(t: Tables): DataFrame =
-    grams(t).select(col("doc_id"), col("gram").as("h0"))
 
   /** C1: exact dedup via content hash — keep lowest doc_id per hash.
     * One hash-partitioned aggregation; no sort, no all-pairs.
@@ -42,17 +39,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("content_hash"))
 
-  /** MinHash signatures as 16 columns m0..m15 (internal shape). */
-  private def minhashSigCols(t: Tables): DataFrame = {
-    val aggs = Perms.indices.map(i => min(perm(col("h0"), i)).as(s"m$i"))
-    hashedGrams(t).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  /** MinHash signatures as 16 columns m0..m15 (internal shape), over a
+    * caller-supplied grams relation — the gram hash IS the 60-bit base
+    * hash the 16 affine permutations apply to.
+    */
+  private def minhashSigCols(g: DataFrame): DataFrame = {
+    val aggs = Perms.indices.map(i => min(perm(col("gram"), i)).as(s"m$i"))
+    g.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** C2: MinHash signature per document (16 permutations, csv-rendered
     * so the result is hashable by the driver).
     */
   def docMinhashSig(t: Tables): DataFrame =
-    minhashSigCols(t)
+    minhashSigCols(grams(t))
       .select(col("doc_id"),
         concat_ws(",", Perms.indices.map(i => col(s"m$i")): _*).as("sig"))
       .orderBy(col("doc_id"))
@@ -63,7 +63,10 @@ object Dedup {
     * self-join and the per-candidate gram intersection — never n².
     */
   def docMinhashLshPairs(t: Tables, threshold: Double = 0.2): DataFrame = {
-    val bands = minhashSigCols(t).select(col("doc_id"),
+    // one materialization of grams, shared by the signature aggregate
+    // and the exact-Jaccard verify join (else it's rebuilt 3×)
+    val g = grams(t).localCheckpoint(true)
+    val bands = minhashSigCols(g).select(col("doc_id"),
       expr("""stack(4,
         0, concat_ws(',', m0, m1, m2, m3),
         1, concat_ws(',', m4, m5, m6, m7),
@@ -74,7 +77,7 @@ object Dedup {
         col("band") === col("band2") && col("band_val") === col("band_val2") &&
           col("doc_id") < col("db"))
       .select(col("doc_id").as("da"), col("db")).distinct()
-    verifiedJaccard(t, cands, threshold)
+    verifiedJaccard(g, cands, threshold)
   }
 
   /** C5: n-gram Jaccard with exact prefix filtering (the AllPairs /
@@ -96,26 +99,48 @@ object Dedup {
     * high cardinality, never a global window).
     */
   def docNgramJaccard(t: Tables, threshold: Double = 0.2): DataFrame = {
+    // one materialization of the grams relation, shared by the df
+    // aggregate, both prefix self-join sides, and both verify sides —
+    // without it the full documents scan + gram hashing runs ~5× per
+    // query (same persist-the-shared-relation pattern as C7's `sym`)
+    val g = grams(t).localCheckpoint(true)
+    val cands = prefixFilterCandidates(g, threshold)
+    verifiedJaccard(g, cands, threshold)
+  }
+
+  /** Minimum required overlap ⌈t·n⌉, guarded against double rounding:
+    * for thresholds whose product lands just above an integer in
+    * binary floating point (0.55·100 = 55.000000000000007), a bare
+    * `ceil` returns n·t+1 and the prefix comes out one shingle short —
+    * silently missing qualifying pairs. The epsilon restores the exact
+    * rational ceiling for any realistic (t, n).
+    */
+  private[graft] def minOverlap(nGrams: Column, threshold: Double): Column =
+    ceil(nGrams * threshold - lit(1e-9))
+
+  /** The PPJoin prefix-candidate join over a (materialized) grams
+    * relation: global-df canonical order, per-doc prefix of length
+    * n − ⌈t·n⌉ + 1, equi-join on the prefix shingles.
+    */
+  private def prefixFilterCandidates(g: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = grams(t)
     val df = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("gram").asc)
     val prefix = g.join(df, "gram")
       .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= col("n_grams") - ceil(col("n_grams") * threshold) + 1)
+      .filter(col("rn") <= col("n_grams") - minOverlap(col("n_grams"), threshold) + 1)
       .select(col("doc_id"), col("gram"))
-    val cands = prefix.select(col("doc_id").as("da"), col("gram"))
+    prefix.select(col("doc_id").as("da"), col("gram"))
       .join(prefix.select(col("doc_id").as("db"), col("gram").as("gram2")),
         col("gram") === col("gram2") && col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    verifiedJaccard(t, cands, threshold)
   }
 
   /** Exact Jaccard on candidate pairs: per-candidate gram intersection
     * (two key-joins, work proportional to candidates, not pairs²).
+    * `g` is the caller's (already materialized) grams relation.
     */
-  private def verifiedJaccard(t: Tables, cands: DataFrame, threshold: Double): DataFrame = {
-    val g = grams(t)
+  private def verifiedJaccard(g: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
     val ga = g.select(col("doc_id").as("da"), col("gram"), col("n_grams").as("na"))
     val gb = g.select(col("doc_id").as("db2"), col("gram").as("gramb"), col("n_grams").as("nb"))
     cands
@@ -176,9 +201,22 @@ object Dedup {
     * rounds (the standard large-scale CC shape); `localCheckpoint`
     * truncates lineage per round so the plan stays flat.
     */
+  /** One label-propagation round: each node takes the min of its label
+    * and its neighbors' labels; `changed` marks rows whose label
+    * shrank. Pure Column logic — no typed boundary, stays inside
+    * whole-stage codegen (PlanSpec asserts no DeserializeToObject).
+    */
+  private[graft] def ccRound(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val neighborMin = sym
+      .join(labels, col("dst") === col("id"))
+      .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+    labels
+      .join(neighborMin, col("id") === col("src"), "left")
+      .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+        coalesce(col("nmin") < col("label"), lit(false)).as("changed"))
+  }
+
   def docDedupClusters(t: Tables, threshold: Double = 0.2, maxIter: Int = 20): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
     // edges come from the prefix-filtered jaccard join — exact pair set
     // (see docNgramJaccard), but candidate generation is df-bounded, so
     // the feeder is no longer quadratic in stop-shingle frequency
@@ -193,24 +231,17 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = sym
-        .join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
       // convergence check rides the same job that materializes the
-      // round (accumulator filled by the eager localCheckpoint) —
-      // no separate isEmpty action per round
-      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
-      val next = labels
-        .join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          coalesce(col("nmin") < col("label"), lit(false)).as("changed"))
-        .as[(Long, Long, Boolean)]
-        .mapPartitions { it =>
-          it.map { case (id, label, ch) => if (ch) changedAcc.add(1L); (id, label) }
-        }
-        .toDF("id", "label")
+      // round: Dataset.observe's CollectMetrics node aggregates inside
+      // the round's plan (no extra action, no typed boundary — the old
+      // accumulator mapPartitions paid a Tungsten→JVM deserialization
+      // per row per round)
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
+      val next = ccRound(sym, labels)
+        .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
+        .select(col("id"), col("label"))
         .localCheckpoint(true)
-      converged = changedAcc.value == 0L
+      converged = !obs.get.get("n_changed").exists(v => v != null && v.asInstanceOf[Long] > 0L)
       labels = next
       iter += 1
     }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{GramHashes, Md5Prefix60, RollingHashMin}
+
+/** Every native expression must actually COMPILE under whole-stage /
+  * expression codegen — not silently fall back to the interpreter.
+  *
+  * Spark's default factory mode is FALLBACK: a Janino compile error is
+  * a WARN, the projection runs interpreted, and every query stays
+  * *correct* while quietly losing the codegen speed the expressions
+  * exist for (this exact failure shipped once: the companion's static
+  * entry point was named `eval`, colliding with `Expression.eval`, so
+  * Scala suppressed the static forwarder and the generated call never
+  * resolved). CODEGEN_ONLY turns that fallback into a hard error, so
+  * this spec FAILS — instead of WARNs — if any generated code breaks.
+  */
+class CodegenSpec extends SparkSpec {
+
+  private lazy val codegenOnly = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    graft.functions.VectorExprs.ensureRegistered(s)
+    s
+  }
+
+  test("all graft_* native expressions compile and evaluate under CODEGEN_ONLY") {
+    // input must come from a real scan: a literal would be folded by
+    // ConvertToLocalRelation at optimize time (interpreted projection)
+    // and never reach the generated code this spec exists to exercise
+    val t = graft.sources.Tables(codegenOnly, sfDir)
+    val row = t.documents.orderBy(col("doc_id")).limit(1).select(
+      col("text"),
+      call_function("graft_gram3_hashes", col("text")).as("g3"),
+      call_function("graft_gram5_hashes", col("text")).as("g5"),
+      call_function("graft_simhash_grams", split(lower(col("text")), " ")).as("sg"),
+      call_function("graft_simhash60", call_function("graft_gram3_hashes", col("text"))).as("sh"),
+      call_function("graft_md5_60", col("text")).as("m"),
+      call_function("graft_rolling_min", col("text")).as("rm")
+    ).collect()(0)
+
+    val text = UTF8String.fromString(row.getAs[String]("text"))
+    assert(row.getAs[scala.collection.Seq[Long]]("g3") ==
+      GramHashes.compute(text, 3, distinct = true).toLongArray.toSeq)
+    assert(row.getAs[scala.collection.Seq[Long]]("g5") ==
+      GramHashes.compute(text, 5, distinct = false).toLongArray.toSeq)
+    assert(row.getAs[Long]("m") == Md5Prefix60.hash(text))
+    assert(row.getAs[Long]("rm") == RollingHashMin.hash(text, 16))
+
+    val e = graft.sources.Tables(codegenOnly, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val d = e.orderBy(col("vec_id")).limit(1)
+      .select(col("v"), graft.functions.VectorExprs.dot(col("v"), col("v")).as("d"))
+      .collect()(0)
+    val v = d.getAs[scala.collection.Seq[Double]]("v")
+    assert(d.getAs[Double]("d") == v.zip(v).foldLeft(0.0) { case (a, (x, y)) => a + x * y })
+  }
+
+  test("gram-based dedup pipeline runs end-to-end under CODEGEN_ONLY") {
+    val t = graft.sources.Tables(codegenOnly, sfDir)
+    // exercises GramHashes + SimHashGrams + SimHash60 inside real
+    // multi-stage plans (shuffles, windows, joins) with fallback banned
+    assert(graft.operators.Dedup.docSimhash(t).count() > 0)
+    assert(graft.operators.Dedup.docNgramJaccard(t).collect() != null)
+  }
+}

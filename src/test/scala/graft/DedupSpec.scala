@@ -32,4 +32,40 @@ class DedupSpec extends SparkSpec {
     val total = tables.documents.count()
     assert(rows.map(_.getLong(2)).sum == total)
   }
+
+  test("prefix filter is exact at non-default thresholds (== exhaustive inverted-index join)") {
+    import org.apache.spark.sql.functions._
+    val g = Dedup.grams(tables)
+    val ga = g.select(col("doc_id").as("da"), col("gram"), col("n_grams").as("na"))
+    val gb = g.select(col("doc_id").as("db"), col("gram").as("gramb"), col("n_grams").as("nb"))
+    // thresholds chosen so t·n lands on/near exact integers — the
+    // regime where a bare double ceil overshoots and a too-short
+    // prefix silently misses qualifying pairs
+    Seq(0.2, 0.25, 0.5, 0.55).foreach { t =>
+      val exhaustive = ga
+        .join(gb, col("gram") === col("gramb") && col("da") < col("db"))
+        .groupBy(col("da"), col("db"), col("na"), col("nb")).agg(count(lit(1)).as("c"))
+        .select(col("da"), col("db"),
+          (col("c") / (col("na") + col("nb") - col("c"))).as("j"))
+        .filter(col("j") >= t)
+      assert(pairs(Dedup.docNgramJaccard(tables, t)) == pairs(exhaustive),
+        s"threshold $t")
+    }
+  }
+
+  test("minOverlap == exact rational ceiling for integer-landing products") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val thresholds = Seq(0.2, 0.25, 0.4, 0.5, 0.55, 0.6, 0.75, 0.8)
+    val n = (1 to 400).toDF("n")
+    thresholds.foreach { t =>
+      val got = n.select(col("n"), Dedup.minOverlap(col("n"), t).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (1 to 400).foreach { i =>
+        val exact = (BigDecimal(i) * BigDecimal(t))
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+        assert(got(i) == exact, s"t=$t n=$i: got ${got(i)} want $exact")
+      }
+    }
+  }
 }

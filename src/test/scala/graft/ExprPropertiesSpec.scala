@@ -44,7 +44,7 @@ class ExprPropertiesSpec extends SparkSpec {
       val expected =
         (if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
          else Seq(s.toLowerCase)).map(refMd5_60).distinct
-      val got = GramHashes.eval(UTF8String.fromString(s), n, distinct = true).toLongArray.toSeq
+      val got = GramHashes.compute(UTF8String.fromString(s), n, distinct = true).toLongArray.toSeq
       assert(got == expected, s"text=<$s> n=$n")
     }
   }

@@ -53,6 +53,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "cartesian over embeddings")
   }
 
+  test("cc round: pure Column plan — no typed boundary leaves Tungsten") {
+    import spark.implicits._
+    val sym = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("id", "label")
+    val p = Dedup.ccRound(sym, labels).queryExecution.sparkPlan.toString
+    assert(!p.contains("DeserializeToObject"), "typed boundary in the per-round CC plan")
+    assert(!p.contains("MapPartitions"), "opaque mapPartitions in the per-round CC plan")
+  }
+
   test("text vocab: no single-partition pass over the token relation") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
