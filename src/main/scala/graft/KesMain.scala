@@ -1,34 +1,80 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.KubeEventOps
 import graft.sources.KubeEventSource
 
-/** The reference binary, re-expressed: tail a directory of k8s Event
-  * JSON lines (the watch feed), derive time + cache key, dedup within
-  * the cache TTL, emit one JSON line per new event
-  * (`{"time":…,"kubernetes_event":…}`) — cisco-open/event-stream-
-  * for-k8s's main loop as one Structured Streaming query.
+/** The reference binary, re-expressed: ingest k8s Events (a real
+  * list-then-watch of the API server, or a directory of JSON lines),
+  * derive time + cache key, dedup within the cache TTL, emit one JSON
+  * line per new event (`{"time":…,"kubernetes_event":…}`) —
+  * cisco-open/event-stream-for-k8s's main loop as one Structured
+  * Streaming query.
   *
-  *   runMain graft.KesMain <inDir> <outDir> <checkpointDir> [ttl] [--once]
+  *   runMain graft.KesMain <in> <outDir> [checkpointDir] [ttl] [--once]
   *
-  * `CACHE_TTL` ⇔ the watermark delay (state expiry, tasks.rs:184);
+  * `<in>` is either a directory of JSON-line files (the watch feed as
+  * files) or `k8s://host:port[/namespace]` — a live API server consumed
+  * through the `k8s-events` DataSourceV2 source (list, then watch from
+  * the bookmarked resourceVersion, backoff on error — reference
+  * src/tasks.rs:150-182).
+  *
+  * Env-var config, matching reference src/config.rs:20-28 (CLI args
+  * take precedence):
+  *   CACHE_TTL     dedup-state TTL in seconds (reference default 3600)
+  *   CACHE_DB      checkpoint directory (the reference's sled path —
+  *                 both are "where the dedup state survives restarts")
+  *   METRICS_PORT  serve Prometheus /metrics on this port (reference
+  *                 serves 0.0.0.0:9000, src/main.rs:63)
+  *
   * `--once` processes the backlog and exits (Trigger.AvailableNow),
   * otherwise it runs as the daemon the reference is.
   */
 object KesMain {
-  def main(args: Array[String]): Unit = {
-    val in = args(0)
-    val out = args(1)
-    val checkpoint = args(2)
-    val ttl = args.lift(3).filterNot(_ == "--once").getOrElse("1 hour")
-    val once = args.contains("--once")
 
+  /** Config resolution, injectable for tests: CLI args override env. */
+  private[graft] def resolve(args: Array[String], env: Map[String, String])
+      : (String, String, String, String, Boolean) = {
+    val pos = args.filterNot(_.startsWith("--"))
+    val in = pos(0)
+    val out = pos(1)
+    val checkpoint = pos.lift(2).orElse(env.get("CACHE_DB")).getOrElse(
+      throw new IllegalArgumentException("no checkpoint dir: pass arg 3 or set CACHE_DB"))
+    val ttl = pos.lift(3)
+      .orElse(env.get("CACHE_TTL").map(s => s"${s.toLong} seconds"))
+      .getOrElse("3600 seconds")
+    (in, out, checkpoint, ttl, args.contains("--once"))
+  }
+
+  /** `k8s://host:port[/namespace]` → the live watch source; anything
+    * else → a directory of JSON-line files. Both yield the same parsed
+    * `kubernetes_event` struct for the downstream pipeline.
+    */
+  private[graft] def input(spark: org.apache.spark.sql.SparkSession, in: String): DataFrame =
+    if (in.startsWith("k8s://")) {
+      val rest = in.stripPrefix("k8s://")
+      val (hostPort, ns) = rest.indexOf('/') match {
+        case -1 => (rest, None)
+        case i  => (rest.take(i), Some(rest.drop(i + 1)).filter(_.nonEmpty))
+      }
+      val reader = spark.readStream.format("k8s-events")
+        .option("endpoint", s"http://$hostPort")
+      KubeEventSource.parsed(ns.fold(reader)(n => reader.option("namespace", n)).load())
+    } else KubeEventSource.streamJsonLines(spark, in)
+
+  private[graft] def run(args: Array[String], env: Map[String, String]): Unit = {
+    val (in, out, checkpoint, ttl, once) = resolve(args, env)
     val spark = GraftSession.local()
+
+    val metrics = new graft.streaming.GraftMetricsListener
+    spark.streams.addListener(metrics)
+    val server = env.get("METRICS_PORT").map(p => metrics.serve(p.toInt))
+
     val lines = KubeEventOps
-      .streamPipeline(KubeEventSource.streamJsonLines(spark, in), cacheTtl = ttl)
+      .streamPipeline(input(spark, in), cacheTtl = ttl)
       .select(col("line").as("value"))
 
     val writer = lines.writeStream
@@ -38,7 +84,16 @@ object KesMain {
       .outputMode("append")
 
     val q = (if (once) writer.trigger(Trigger.AvailableNow()) else writer).start()
-    q.awaitTermination()
-    if (once) spark.stop()
+    try q.awaitTermination()
+    finally {
+      server.foreach(_.stop(0))
+      spark.streams.removeListener(metrics)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    run(args, sys.env)
+    // only returns when the query terminated (--once backlog done)
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop())
   }
 }

@@ -1,6 +1,10 @@
 package graft.streaming
 
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
 import java.util.concurrent.atomic.AtomicLong
+
+import com.sun.net.httpserver.HttpServer
 
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
@@ -11,13 +15,19 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *
   *   kube_event_stream_cachedb_events_processed{total} → rowsProcessed
   *   kube_event_stream_cachedb_size{items}             → stateRows
+  *   kube_event_stream_cachedb_size{bytes}             → stateBytes
   *   (cache_hits/misses are first-class query outputs here —
   *    EventOps.evCacheStats — rather than side-channel metrics.)
+  *
+  * `serve(port)` exposes the snapshot over HTTP exactly as the
+  * reference serves 0.0.0.0:9000 (reference src/main.rs:63) — GET
+  * /metrics, Prometheus text exposition format.
   */
 final class GraftMetricsListener extends StreamingQueryListener {
   val rowsProcessed = new AtomicLong(0)
   val batches = new AtomicLong(0)
   val stateRows = new AtomicLong(0)
+  val stateBytes = new AtomicLong(0)
   val rowsOutput = new AtomicLong(0)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -28,15 +38,40 @@ final class GraftMetricsListener extends StreamingQueryListener {
     val st = e.progress.stateOperators
     if (st != null && st.nonEmpty) {
       stateRows.set(st.map(_.numRowsTotal).sum)
+      stateBytes.set(st.map(_.memoryUsedBytes).sum)
       rowsOutput.addAndGet(st.map(_.numRowsUpdated).sum)
     }
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 
-  /** Prometheus-exposition-style snapshot (one line per metric). */
+  /** Prometheus-exposition-style snapshot (TYPE line + sample per
+    * metric — the text format a scraper parses).
+    */
   def snapshot: Seq[String] = Seq(
+    "# TYPE graft_events_processed_total counter",
     s"graft_events_processed_total ${rowsProcessed.get}",
+    "# TYPE graft_batches_total counter",
     s"graft_batches_total ${batches.get}",
-    s"graft_state_rows ${stateRows.get}")
+    "# TYPE graft_state_rows gauge",
+    s"graft_state_rows ${stateRows.get}",
+    "# TYPE graft_state_bytes gauge",
+    s"graft_state_bytes ${stateBytes.get}")
+
+  /** Serve GET /metrics on the given port (0 = ephemeral; read the
+    * bound port off the returned server). Single-threaded — a scrape
+    * endpoint, not a web server.
+    */
+  def serve(port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/metrics", exchange => {
+      val body = (snapshot.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+      exchange.sendResponseHeaders(200, body.length)
+      val os = exchange.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    server.start()
+    server
+  }
 }

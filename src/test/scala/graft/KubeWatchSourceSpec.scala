@@ -1,0 +1,124 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.sun.net.httpserver.HttpServer
+
+import graft.operators.KubeEventOps
+
+/** A fake Kubernetes API server speaking just enough of the Events API
+  * for the list-then-watch source: GET list → EventList with a
+  * resourceVersion bookmark; GET ?watch=true&resourceVersion=N →
+  * NDJSON `{"type":"ADDED","object":…}` for every event newer than N,
+  * then connection close (the client must re-watch with backoff —
+  * that IS the loop under test).
+  */
+class FakeKubeApi {
+  private val events = ArrayBuffer[(Int, String)]() // (rv, event json)
+  private val lock = new Object
+
+  def add(uid: String, rv: Int, reason: String = "Started"): Unit = lock.synchronized {
+    val json =
+      s"""{"metadata":{"name":"ev-$uid-$rv","namespace":"default","uid":"$uid","resourceVersion":"$rv","creationTimestamp":"2024-01-01T00:00:0${rv % 10}Z"},"involvedObject":{"kind":"Pod","namespace":"default","name":"p-$uid"},"reason":"$reason","message":"m","type":"Normal","count":1}"""
+    events += ((rv, json))
+  }
+
+  private val server = HttpServer.create(new InetSocketAddress(0), 0)
+  server.createContext("/api/v1/events", exchange => {
+    val query = Option(exchange.getRequestURI.getQuery).getOrElse("")
+    val params = query.split("&").filter(_.nonEmpty)
+      .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+    val body =
+      if (params.get("watch").contains("true")) {
+        val since = params.get("resourceVersion").map(_.toInt).getOrElse(0)
+        lock.synchronized {
+          events.filter(_._1 > since)
+            .map { case (_, j) => s"""{"type":"ADDED","object":$j}""" }
+            .mkString("", "\n", "\n")
+        }
+      } else lock.synchronized {
+        val maxRv = if (events.isEmpty) 0 else events.map(_._1).max
+        s"""{"kind":"EventList","metadata":{"resourceVersion":"$maxRv"},"items":[${events.map(_._2).mkString(",")}]}"""
+      }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    exchange.sendResponseHeaders(200, bytes.length)
+    val os = exchange.getResponseBody
+    try os.write(bytes) finally os.close()
+  })
+  server.start()
+  val port: Int = server.getAddress.getPort
+  def stop(): Unit = server.stop(0)
+}
+
+/** Drives the real DataSourceV2 list-then-watch source (KubeWatchSource)
+  * against a fake API server: initial list, watch-delivered new events
+  * via re-watch from the resourceVersion bookmark, and dedup-state
+  * recovery across a full process-style restart through KesMain.
+  */
+class KubeWatchSourceSpec extends SparkSpec {
+
+  test("list then watch: initial list arrives, later events arrive via re-watch from the bookmark") {
+    val api = new FakeKubeApi
+    try {
+      api.add("u1", 1)
+      api.add("u2", 2)
+      val df = KesMain.input(spark, s"k8s://localhost:${api.port}")
+      val q = KubeEventOps.streamPipeline(df, cacheTtl = "1 hour")
+        .writeStream.format("memory").queryName("kw_live").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("kw_live").count() == 2, "both listed events emitted")
+
+        api.add("u3", 3) // arrives via the NEXT watch reconnect (backoff loop)
+        val deadline = System.currentTimeMillis() + 30000
+        var n = 0L
+        while (n < 3 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250)
+          q.processAllAvailable()
+          n = spark.table("kw_live").count()
+        }
+        assert(n == 3, s"watch-delivered event must appear, got $n")
+        val lines = spark.table("kw_live").collect().map(_.getString(0))
+        assert(lines.forall(_.startsWith("""{"time":""")), lines.head)
+        assert(lines.exists(_.contains("\"uid\":\"u3\"")))
+      } finally q.stop()
+    } finally api.stop()
+  }
+
+  test("KesMain k8s:// restart: committed offset + checkpointed dedup state suppress the re-listed replay") {
+    val api = new FakeKubeApi
+    try {
+      api.add("u1", 1)
+      val out = Files.createTempDirectory("kw_out").toFile.getAbsolutePath + "/data"
+      val ckpt = Files.createTempDirectory("kw_ckpt").toFile.getAbsolutePath
+      val env = Map("CACHE_DB" -> ckpt, "CACHE_TTL" -> "3600")
+
+      KesMain.run(Array(s"k8s://localhost:${api.port}", out, "--once"), env)
+      // second process lifetime: the API re-lists u1 (still present) + a new event
+      api.add("u2", 2)
+      KesMain.run(Array(s"k8s://localhost:${api.port}", out, "--once"), env)
+
+      val got = spark.read.text(out).collect().map(_.getString(0))
+      assert(got.length == 2,
+        s"re-listed u1 must be deduped by recovered state: ${got.toSeq}")
+      assert(got.exists(_.contains("\"uid\":\"u1\"")) && got.exists(_.contains("\"uid\":\"u2\"")))
+    } finally api.stop()
+  }
+
+  test("config resolution: env supplies CACHE_DB/CACHE_TTL, CLI overrides") {
+    assert(KesMain.resolve(Array("in", "out"), Map("CACHE_DB" -> "/ck", "CACHE_TTL" -> "60"))
+      == (("in", "out", "/ck", "60 seconds", false)))
+    assert(KesMain.resolve(Array("in", "out", "/cli", "2 hours", "--once"),
+        Map("CACHE_DB" -> "/env", "CACHE_TTL" -> "60"))
+      == (("in", "out", "/cli", "2 hours", true)))
+    assert(KesMain.resolve(Array("in", "out", "/ck"), Map.empty[String, String])._4
+      == "3600 seconds", "reference default CACHE_TTL is 3600 s")
+    intercept[IllegalArgumentException] {
+      KesMain.resolve(Array("in", "out"), Map.empty) // no checkpoint anywhere
+    }
+  }
+}

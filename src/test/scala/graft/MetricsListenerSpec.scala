@@ -28,7 +28,22 @@ class MetricsListenerSpec extends SparkSpec {
       assert(listener.rowsProcessed.get() >= 50, listener.snapshot.mkString("; "))
       assert(listener.batches.get() >= 1)
       assert(listener.stateRows.get() == 5, "one state row per key")
+      assert(listener.stateBytes.get() > 0,
+        "state bytes gauge (the reference's cachedb_size{bytes}) must be fed")
       assert(listener.snapshot.exists(_.startsWith("graft_events_processed_total")))
+
+      // served endpoint: the reference's 0.0.0.0:9000 exposition scrape
+      val server = listener.serve(0)
+      try {
+        val url = s"http://localhost:${server.getAddress.getPort}/metrics"
+        val body = scala.io.Source.fromURL(url).mkString
+        assert(body.contains("# TYPE graft_state_bytes gauge"), body)
+        val bytes = body.linesIterator
+          .find(_.startsWith("graft_state_bytes ")).get.split(" ")(1).toLong
+        assert(bytes > 0, body)
+        assert(body.linesIterator
+          .find(_.startsWith("graft_events_processed_total ")).get.split(" ")(1).toLong >= 50)
+      } finally server.stop(0)
     } finally {
       q.stop()
       spark.streams.removeListener(listener)
