@@ -18,18 +18,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.A event-stream processing (reference semantics)
-    "ev_time_derivation"   -> q(EventOps.evTimeDerivation),
-    "ev_dedup_exact"       -> q(EventOps.evDedupExact),
-    "ev_ttl_cache"         -> q(EventOps.evTtlCache(_)),
-    "ev_throttle_lag"      -> q(EventOps.evThrottleLag(_)),
+    "ev_time_derivation"   -> q(EventOps.evTimeDerivation(_, ordered = true)),
+    "ev_dedup_exact"       -> q(EventOps.evDedupExact(_, ordered = true)),
+    "ev_ttl_cache"         -> q(EventOps.evTtlCache(_, ordered = true)),
+    "ev_throttle_lag"      -> q(EventOps.evThrottleLag(_, ordered = true)),
     "ev_counts_by_labels"  -> q(EventOps.evCountsByLabels),
     "ev_cache_stats"       -> q(EventOps.evCacheStats),
     "ev_windowed_rate"     -> q(EventOps.evWindowedRate),
     "ev_json_props"        -> q(EventOps.evJsonProps),
-    "ev_serialize_json"    -> q(EventOps.evSerializeJson),
+    "ev_serialize_json"    -> q(EventOps.evSerializeJson(_, ordered = true)),
     "ev_top_keys"          -> q(EventOps.evTopKeys(_)),
-    "ev_sessionize"        -> q(EventOps.evSessionize(_)),
-    "ev_asof_enrich"       -> q(EventOps.evAsofEnrich),
+    "ev_sessionize"        -> q(EventOps.evSessionize(_, ordered = true)),
+    "ev_asof_enrich"       -> q(EventOps.evAsofEnrich(_, ordered = true)),
     // §2.B OLAP analytics core
     "q1_pricing_summary"   -> q(Analytics.q1PricingSummary),
     "q3_shipping_priority" -> q(Analytics.q3ShippingPriority),
@@ -75,7 +75,7 @@ object SparkEntry {
     "text_rolling_fingerprint" -> q(TextOps.textRollingFingerprint),
     "doc_pack"             -> q(TextOps.docPack(_)),
     "doc_quality_filter"   -> q(TextOps.docQualityFilter(_)),
-    "ev_scrub_props"       -> q(EventOps.evScrubProps),
+    "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
     "ev_funnel"            -> q(EventOps.evFunnel),
     "ev_error_after_click" -> q(EventOps.evErrorAfterClick),
     "q_month_trend"        -> q(Analytics.qMonthTrend),

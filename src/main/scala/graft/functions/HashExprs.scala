@@ -74,21 +74,40 @@ case class SimHashGrams(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Null contract (both entry points, registered as `graft_simhash60` /
+  * `graft_simhash_grams` for arbitrary user arrays): null elements are
+  * SKIPPED — the simhash of the non-null elements, never garbage from
+  * reading a null slot.
+  */
 object SimHash60 {
   def hashGrams(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val counts = new Array[Int](60)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = Md5Prefix60.hash(arr.getUTF8String(i))
-      var j = 0
-      while (j < 60) {
-        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
-      }
+      if (!arr.isNullAt(i)) tally(counts, Md5Prefix60.hash(arr.getUTF8String(i)))
       i += 1
     }
     fold(counts)
+  }
+
+  def hash(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) tally(counts, arr.getLong(i))
+      i += 1
+    }
+    fold(counts)
+  }
+
+  private def tally(counts: Array[Int], h: Long): Unit = {
+    var j = 0
+    while (j < 60) {
+      if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+      j += 1
+    }
   }
 
   private def fold(counts: Array[Int]): Long = {
@@ -99,22 +118,6 @@ object SimHash60 {
       j += 1
     }
     s
-  }
-
-  def hash(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
-    val counts = new Array[Int](60)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < 60) {
-        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
-      }
-      i += 1
-    }
-    fold(counts)
   }
 }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst dot-product over two `array<double>` columns.
   *
@@ -16,6 +16,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * all-pairs cosine workload). Summation is the same sequential
   * ascending-index fold, so results stay bit-identical to the
   * `list_reduce` DuckDB oracle.
+  *
+  * Null contract (registered as `graft_dot` for arbitrary user arrays):
+  * a null ELEMENT contributes 0 to the sum (the pair at that index is
+  * skipped) — defined output, never a read of a null slot. The
+  * per-element null check is only EMITTED when an input's ArrayType
+  * says `containsNull`; the embedding hot path (containsNull = false)
+  * keeps the branch-free loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -24,13 +31,26 @@ case class DotProduct(left: Expression, right: Expression)
   // ExpectsInputTypes — AbstractDataType is private[sql] in Spark 4
   override def dataType: DataType = DoubleType
 
+  private def mayHaveNullElements: Boolean =
+    Seq(left, right).exists(e => e == null || (e.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }))
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (mayHaveNullElements) {
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+    } else {
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     s
   }
 
@@ -39,11 +59,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val body =
+        if (mayHaveNullElements)
+          s"if (!$a.isNullAt($i) && !$b.isNullAt($i)) $s += $a.getDouble($i) * $b.getDouble($i);"
+        else
+          s"$s += $a.getDouble($i) * $b.getDouble($i);"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |  $body
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -257,20 +257,26 @@ object Analytics {
 
   /** B16: column profiling — per-column stats in one relation (the
     * data-quality sweep a pipeline runs before training ingestion).
+    * ONE aggregate over ONE scan (all columns' stats side by side,
+    * unpivoted by a stack over the single result row) — the unioned
+    * per-column formulation reads the table once per column, which at
+    * 100 TB is once per column too many. The multi-distinct aggregate
+    * plans as one Expand(×columns) pass — rows×columns expansion on one
+    * scan beats columns full scans, and the oracle stays the same.
     */
   def qProfile(t: Tables): DataFrame = {
-    val li = t.lineitem.select($("l_quantity"), $("l_extendedprice"), $("l_discount"))
-    def prof(name: String): DataFrame =
-      li.select(
-        lit(name).as("column"),
-        count(lit(1)).as("n"),
-        count(col(name)).as("n_nonnull"),
-        countDistinct(col(name)).as("n_distinct"),
-        min(col(name)).cast("double").as("min_val"),
-        max(col(name)).cast("double").as("max_val"),
-        psum(col(name)).as("sum_val"))
-    Seq("l_quantity", "l_extendedprice", "l_discount")
-      .map(prof).reduce(_.unionAll(_))
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = t.lineitem.select(cols.map($): _*)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count($(c)).as(s"${c}_nonnull"),
+      countDistinct($(c)).as(s"${c}_distinct"),
+      min($(c)).cast("double").as(s"${c}_min"),
+      max($(c)).cast("double").as(s"${c}_max"),
+      psum($(c)).as(s"${c}_sum")))
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"""stack(${cols.length}, ${cols.map(c =>
+          s"'$c', n_rows, ${c}_nonnull, ${c}_distinct, ${c}_min, ${c}_max, ${c}_sum")
+        .mkString(", ")}) AS (column, n, n_nonnull, n_distinct, min_val, max_val, sum_val)"""))
       .orderBy($("column"))
   }
 

@@ -29,13 +29,21 @@ object EventOps {
   private def evKey: Column =
     concat(col("user_id").cast("string"), lit(":"), col("event_type"))
 
+  /** The full-table dump operators take `ordered = true` only on the
+    * verify path (driver oracle compare needs a deterministic row
+    * order): a deploy plan must not pay a global sort for a
+    * row-delivery query whose consumers don't care about order.
+    */
+  private def maybeSort(df: DataFrame, ordered: Boolean)(cols: Column*): DataFrame =
+    if (ordered) df.orderBy(cols: _*) else df
+
   /** A1: timestamp derivation — coalesce(lastTimestamp, firstTimestamp,
     * creationTimestamp) precedence of types.rs:38. The three source
     * timestamps are synthesized deterministically (the k8s fields don't
     * exist in the synthetic table); the operator under test is the
     * precedence logic itself.
     */
-  def evTimeDerivation(t: Tables): DataFrame =
+  def evTimeDerivation(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
     t.events
       .select(col("event_id"), col("ts"))
       .withColumn("last_ts", when(col("event_id") % 3 =!= 0, col("ts")))
@@ -46,14 +54,14 @@ object EventOps {
         coalesce(col("last_ts"), col("first_ts"), col("creation_ts")).as("derived_ts"),
         when(col("last_ts").isNotNull, "last")
           .when(col("first_ts").isNotNull, "first")
-          .otherwise("creation").as("ts_source"))
-      .orderBy(col("event_id"))
+          .otherwise("creation").as("ts_source")),
+    ordered)(col("event_id"))
 
   /** A2: exact first-occurrence dedup on the composite key (the cache-miss
     * path of tasks.rs:98). One shuffle on the key; at 100 TB this is a
     * hash-partitioned window, no global sort.
     */
-  def evDedupExact(t: Tables): DataFrame = {
+  def evDedupExact(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
     val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("event_id"))
     t.events
       .select(evKey.as("key"), col("ts"), col("event_id"))
@@ -61,8 +69,7 @@ object EventOps {
       .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("key"))))
       .filter(col("rn") === 1)
       .select(col("key"), col("ts"), col("event_id"), col("n_events"))
-      .orderBy(col("key"))
-  }
+  }, ordered)(col("key"))
 
   /** A3: true TTL-cache emission semantics (tasks.rs:66 + clean_cache
     * tasks.rs:184): an event is emitted iff no same-key event was
@@ -71,7 +78,7 @@ object EventOps {
     * state per key (last emitted ts) — the scalable shape of the
     * reference's sled cache.
     */
-  def evTtlCache(t: Tables, ttlHours: Long = 24): DataFrame = {
+  def evTtlCache(t: Tables, ttlHours: Long = 24, ordered: Boolean = false): DataFrame = maybeSort({
     val spark = t.spark
     import spark.implicits._
     val ds = t.events
@@ -88,14 +95,13 @@ object EventOps {
         }
       }
       .toDF()
-      .orderBy(col("key"), col("ts"), col("event_id"))
-  }
+  }, ordered)(col("key"), col("ts"), col("event_id"))
 
   /** A4: lag-based throttle — the windowed approximation of A3 (emit iff
     * the *previous* same-key event, emitted or not, is ≥ TTL older).
     * Pure window functions, fully SQL-expressible.
     */
-  def evThrottleLag(t: Tables, ttlHours: Long = 24): DataFrame = {
+  def evThrottleLag(t: Tables, ttlHours: Long = 24, ordered: Boolean = false): DataFrame = maybeSort({
     val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("event_id"))
     t.events
       .select(evKey.as("key"), col("ts"), col("event_id"))
@@ -103,8 +109,7 @@ object EventOps {
       .filter(col("prev_ts").isNull ||
         col("ts") >= col("prev_ts") + expr(s"INTERVAL $ttlHours HOUR"))
       .select(col("key"), col("ts"), col("event_id"))
-      .orderBy(col("key"), col("ts"), col("event_id"))
-  }
+  }, ordered)(col("key"), col("ts"), col("event_id"))
 
   /** A5: Prometheus `events_count{labels}` analog (tasks.rs:107):
     * grouped counts over the full label set (type × derived severity ×
@@ -156,11 +161,11 @@ object EventOps {
     * record as a canonical JSON string (int + string fields, so the
     * rendering is engine-portable).
     */
-  def evSerializeJson(t: Tables): DataFrame =
+  def evSerializeJson(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
     t.events
       .select(col("event_id"),
-        to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("json"))
-      .orderBy(col("event_id"))
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("json")),
+    ordered)(col("event_id"))
 
   /** A10: top-N hot keys by event count (deterministic tiebreak). */
   def evTopKeys(t: Tables, n: Int = 10): DataFrame =
@@ -178,15 +183,14 @@ object EventOps {
     * O(events × orders-per-user) rows). Right side pre-deduped to one
     * row per (key, time) so tie-breaking is engine-independent.
     */
-  def evAsofEnrich(t: Tables): DataFrame = {
+  def evAsofEnrich(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
     val ev = t.events.select(col("event_id"), col("user_id"), col("ts"))
     val ord = t.orders
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("o_orderkey"))
     graft.plans.GraftPlans.asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate")
       .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"), col("o_orderdate"))
-      .orderBy(col("event_id"))
-  }
+  }, ordered)(col("event_id"))
 
   /** A27: bucketed interval self-join — errors preceded by a same-user
     * click within the last hour. The scalable range-join shape: the
@@ -244,13 +248,13 @@ object EventOps {
     * before long-term storage (the ELK-bound form), keeping a count of
     * masked spans for auditability.
     */
-  def evScrubProps(t: Tables): DataFrame =
+  def evScrubProps(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
     t.events
       .select(col("event_id"),
         regexp_replace(col("props"), "[0-9]+", "#").as("props_masked"),
         (length(col("props")) -
-          length(regexp_replace(col("props"), "[0-9]", ""))).cast("long").as("n_masked_chars"))
-      .orderBy(col("event_id"))
+          length(regexp_replace(col("props"), "[0-9]", ""))).cast("long").as("n_masked_chars")),
+    ordered)(col("event_id"))
 
   /** A22: time-series gap filling — the dense hourly series between
     * the stream's bounds, zero-filled where no events landed (sequence
@@ -272,7 +276,7 @@ object EventOps {
     * silence per user; per-session bounds + counts via lag + cumulative
     * sum (partitioned windows only).
     */
-  def evSessionize(t: Tables, gapHours: Long = 1): DataFrame = {
+  def evSessionize(t: Tables, gapHours: Long = 1, ordered: Boolean = false): DataFrame = maybeSort({
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     t.events
       .select(col("user_id"), col("ts"), col("event_id"))
@@ -287,6 +291,5 @@ object EventOps {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
-      .orderBy(col("user_id"), col("sid"))
-  }
+  }, ordered)(col("user_id"), col("sid"))
 }

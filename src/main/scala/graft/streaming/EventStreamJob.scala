@@ -200,19 +200,28 @@ object EventStreamJob {
   /** A15: the stdout-JSON sink (tasks.rs:105) — each emitted event as
     * one JSON line, pushed per-partition from the executors to the
     * downstream (ELK-style) store; the driver never materializes a
-    * batch. For a plain file/object-store landing zone use
-    * streamJsonFileSink (the engine's own partitioned text writer).
+    * batch.
+    *
+    * Delivery is AT-LEAST-ONCE: a mid-partition task retry or a batch
+    * replay after restart re-emits lines. The sink therefore receives
+    * (batchId, partitionId, lines) — the same replay-guard handle as
+    * UpsertStore.merge — so a store that can be idempotent (dedup on a
+    * deterministic doc id, or a transactional applied-log) has what it
+    * needs; a store that can't should use streamJsonFileSink, whose
+    * file-commit protocol is exactly-once. A sink that ignores the ids
+    * accepts at-least-once.
     */
   def streamJsonSink(emitted: Dataset[EmittedEv], queryName: String)(
-      sink: Iterator[String] => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: (Long, Int, Iterator[String]) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     emitted.toDF()
       .select(to_json(struct(col("key"), col("ts"), col("event_id"))).as("line"))
       .writeStream
       .outputMode(OutputMode.Append)
       .queryName(queryName)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-          sink(rows.map(_.getString(0)))
+          sink(batchId, org.apache.spark.TaskContext.getPartitionId(),
+            rows.map(_.getString(0)))
         }
       }
       .start()

@@ -59,6 +59,22 @@ class CodegenSpec extends SparkSpec {
     assert(d.getAs[Double]("d") == v.zip(v).foldLeft(0.0) { case (a, (x, y)) => a + x * y })
   }
 
+  test("null-element contract: graft_dot skips null pairs, graft_simhash60 skips null hashes") {
+    val s = codegenOnly
+    // values derive from a non-foldable column (range id) so the
+    // expressions run through generated code, not constant folding
+    val row = s.range(1).select(
+      call_function("graft_dot",
+        array((col("id") + 1L).cast("double"), lit(null).cast("double"), lit(3.0)),
+        array(lit(2.0), lit(5.0), (col("id") + 4L).cast("double"))).as("d"),
+      call_function("graft_simhash60",
+        array(col("id") + 5L, lit(null).cast("long"), col("id") + 9L)).as("sh"),
+      call_function("graft_simhash60", array(col("id") + 5L, col("id") + 9L)).as("sh_ref")
+    ).collect()(0)
+    assert(row.getAs[Double]("d") == 1.0 * 2 + 3.0 * 4, "null pair contributes 0")
+    assert(row.getAs[Long]("sh") == row.getAs[Long]("sh_ref"), "null hash skipped")
+  }
+
   test("gram-based dedup pipeline runs end-to-end under CODEGEN_ONLY") {
     val t = graft.sources.Tables(codegenOnly, sfDir)
     // exercises GramHashes + SimHashGrams + SimHash60 inside real

@@ -82,4 +82,17 @@ class PlanSpec extends SparkSpec {
         s"single-partition exchange over a non-pid-aggregated relation:\n$s")
     }
   }
+
+  test("text vocab: offsets branch and join branch share ONE range exchange (ReusedExchange)") {
+    // the two-phase rank is only correct if both branches observe the
+    // SAME range partitioning; they do because the identical subplans
+    // dedupe into a ReusedExchange — this assertion turns any future
+    // loss of exchange reuse (conf change, plan-canonicalization change)
+    // from silent wrong ranks into a test failure
+    val df = graft.operators.TextOps.textVocab(tables)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"range exchange must be reused by both branches:\n${p.take(1200)}")
+  }
 }

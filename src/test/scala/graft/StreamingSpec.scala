@@ -187,7 +187,8 @@ class StreamingSpec extends SparkSpec {
     val emitted = EventStreamJob.streamTtlCache(input.toDS(), ttlHours = 1)
     // the capture object is a singleton: the executor-side partition
     // tasks (deserialized closure copies) still reach the same queue
-    val q = EventStreamJob.streamJsonSink(emitted, "json_out") { it =>
+    val q = EventStreamJob.streamJsonSink(emitted, "json_out") { (batchId, pid, it) =>
+      assert(batchId >= 0 && pid >= 0, "replay-guard handles must be present")
       it.foreach(JsonSinkCapture.lines.add)
     }
     try {
