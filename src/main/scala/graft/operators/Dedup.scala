@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Hashing._
 import graft.sources.Tables
@@ -16,17 +18,91 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Exploded distinct word-3-gram shingle HASHES: (doc_id, gram: long,
-    * n_grams). The fused GramHashes expression replaces three
-    * interpreted higher-order functions per row, and every downstream
-    * join/aggregate shuffles 8-byte longs instead of gram strings.
-    * The set size rides along with every row so Jaccard denominators
-    * need no separate aggregate + join-back.
+  /** Per-document distinct word-3-gram shingle-hash SETS:
+    * (doc_id, gs: array<long>, n_grams). The fused GramHashes
+    * expression replaces three interpreted higher-order functions per
+    * row. This array form is the one worth materializing: it is ~8
+    * bytes per shingle (grams as longs, no per-row doc_id/n_grams
+    * repetition), exploding it back to rows is a free narrow map, and
+    * the exact-Jaccard verify can intersect two arrays per candidate
+    * pair locally instead of re-joining exploded grams (which round 3
+    * measured at ~40M intermediate rows for 788k candidates).
     */
-  def grams(t: Tables): DataFrame =
+  private[graft] def gramSets(t: Tables): DataFrame =
     t.documents
       .select(col("doc_id"), call_function("graft_gram3_hashes", col("text")).as("gs"))
-      .select(col("doc_id"), explode(col("gs")).as("gram"), size(col("gs")).as("n_grams"))
+      .select(col("doc_id"), col("gs"), size(col("gs")).as("n_grams"))
+
+  /** `gramSets` exploded to (doc_id, gram: long, n_grams) rows — the
+    * shape the df aggregate, prefix filter, and MinHash permutations
+    * consume. A narrow generator over the array form: preserves the
+    * parent's partitioning (an explode never moves rows), so a
+    * doc_id-partitioned sets relation feeds per-doc windows and
+    * aggregates with no further exchange.
+    */
+  private def explodeSets(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("gs")).as("gram"), col("n_grams"))
+
+  /** Exploded grams over the raw table (spec surface; the query paths
+    * share one materialized `gramSets` instead).
+    */
+  def grams(t: Tables): DataFrame = explodeSets(gramSets(t))
+
+  /** The shared gram-set relation a multi-consumer dedup query fans
+    * out from: `gramSets` hash-distributed on doc_id.
+    *
+    * LAZY — the `repartition` puts an identical ShuffleExchange
+    * subplan under every consumer branch, and Spark's exchange reuse
+    * (ReuseExchangeAndSubquery + AQE stage reuse) materializes it once
+    * as shuffle files all branches re-read. Right when every consumer
+    * sits DIRECTLY on the exchange (docMinhashLshPairs: measured 2.3 s
+    * → 1.0 s vs. persist — no extra materialization job, no block
+    * manager churn). Wrong when an expensive NON-exchange subplan is
+    * consumed from multiple branches (docNgramJaccard's prefix
+    * join+window feeds both self-join sides; only exchanges dedupe, so
+    * the whole prefix pipeline would recompute per side — measured 3×
+    * slower than `withShared`). The repartition also fixes the width
+    * problem at its root: the sf0.1 documents scan is ONE parquet file
+    * → one input partition; at 100 TB the same exchange is what
+    * distributes gram hashing across the cluster.
+    */
+  private def sharedSets(t: Tables): DataFrame =
+    gramSets(t).repartition(col("doc_id"))
+
+  /** Runs `body` against an eagerly-materialized copy of `shared` and
+    * releases the blocks before returning the (small, eagerly
+    * checkpointed) result. For fan-outs where consumers re-derive
+    * expensive non-exchange subplans (see sharedSets scaladoc for when
+    * each strategy wins). Three deliberate choices, each a measured
+    * round-3 regression when done otherwise:
+    *  - `repartition(key)` BEFORE materializing: a single-file scan is
+    *    one input partition, and a materialization pins that width;
+    *    hash-distributing on doc_id also lines the copy up with the
+    *    per-doc window so it reuses the partitioning.
+    *  - `persist`, NOT `localCheckpoint`: a checkpointed LogicalRDD
+    *    has no catalyst stats, so joins against it plan sort-merge;
+    *    InMemoryRelation keeps accurate sizes and broadcast plans.
+    *  - `unpersist` before returning: the big intermediate's blocks
+    *    are dead the moment body() finishes — leaving them pinned is
+    *    what dragged unrelated bench queries down in round 3.
+    */
+  private def withShared(shared: DataFrame, key: Column)(body: DataFrame => DataFrame): DataFrame = {
+    val g = shared.repartition(key).persist(StorageLevel.MEMORY_AND_DISK)
+    g.count() // materialize in parallel, once, before fan-out
+    try body(g).localCheckpoint(true)
+    finally g.unpersist(false)
+  }
+
+  /** Releases the block-manager storage behind a `localCheckpoint`ed
+    * result once no consumer needs it (Dataset.unpersist only knows
+    * cache-manager entries, so the checkpoint RDD must be unpersisted
+    * directly via its LogicalRDD leaf).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(false)
+      case _              => ()
+    }
 
 
   /** C1: exact dedup via content hash — keep lowest doc_id per hash.
@@ -63,22 +139,27 @@ object Dedup {
     * self-join and the per-candidate gram intersection — never n².
     */
   def docMinhashLshPairs(t: Tables, threshold: Double = 0.2): DataFrame = {
-    // one materialization of grams, shared by the signature aggregate
-    // and the exact-Jaccard verify join (else it's rebuilt 3×)
-    val g = grams(t).localCheckpoint(true)
-    val bands = minhashSigCols(g).select(col("doc_id"),
+    // one shared gram-set exchange (see sharedSets), consumed by the
+    // signature aggregate (exploded, partitioning-aligned — no extra
+    // shuffle) and the exact-Jaccard verify (arrays, intersected per
+    // candidate)
+    val sets = sharedSets(t)
+    val bands = minhashSigCols(explodeSets(sets)).select(col("doc_id"),
       expr("""stack(4,
         0, concat_ws(',', m0, m1, m2, m3),
         1, concat_ws(',', m4, m5, m6, m7),
         2, concat_ws(',', m8, m9, m10, m11),
         3, concat_ws(',', m12, m13, m14, m15)) AS (band, band_val)"""))
     val b2 = bands.select(col("doc_id").as("db"), col("band").as("band2"), col("band_val").as("band_val2"))
+    // no pair-level distinct — a pair matching in k≤4 bands is verified
+    // k times and collapsed by verifiedJaccard's result distinct
     val cands = bands.join(b2,
         col("band") === col("band2") && col("band_val") === col("band_val2") &&
           col("doc_id") < col("db"))
-      .select(col("doc_id").as("da"), col("db")).distinct()
-    verifiedJaccard(g, cands, threshold)
+      .select(col("doc_id").as("da"), col("db"))
+    verifiedJaccard(sets, cands, threshold)
   }
+
 
   /** C5: n-gram Jaccard with exact prefix filtering (the AllPairs /
     * PPJoin candidate bound, Bayardo et al. WWW'07).
@@ -98,15 +179,16 @@ object Dedup {
     * df aggregation + a per-doc rank (window partitioned by doc_id —
     * high cardinality, never a global window).
     */
-  def docNgramJaccard(t: Tables, threshold: Double = 0.2): DataFrame = {
-    // one materialization of the grams relation, shared by the df
-    // aggregate, both prefix self-join sides, and both verify sides —
-    // without it the full documents scan + gram hashing runs ~5× per
-    // query (same persist-the-shared-relation pattern as C7's `sym`)
-    val g = grams(t).localCheckpoint(true)
-    val cands = prefixFilterCandidates(g, threshold)
-    verifiedJaccard(g, cands, threshold)
-  }
+  def docNgramJaccard(t: Tables, threshold: Double = 0.2): DataFrame =
+    // one materialization of the gram-set relation, shared by the df
+    // aggregate, both prefix self-join sides, and both verify sides.
+    // Persist (not the lazy shared exchange): the prefix join+window
+    // subplan feeds both self-join sides, and non-exchange subplans
+    // don't dedupe — lazy here measured 3× slower (see sharedSets).
+    withShared(gramSets(t), col("doc_id")) { sets =>
+      verifiedJaccard(sets,
+        prefixFilterCandidates(explodeSets(sets), threshold), threshold)
+    }
 
   /** Minimum required overlap ⌈t·n⌉, guarded against double rounding:
     * for thresholds whose product lands just above an integer in
@@ -130,26 +212,41 @@ object Dedup {
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("n_grams") - minOverlap(col("n_grams"), threshold) + 1)
       .select(col("doc_id"), col("gram"))
+    // NO pair-level distinct: deduping ~10⁶ candidate rows is a full
+    // shuffle + hash aggregate, while letting the few-% duplicate
+    // pairs (pairs sharing >1 prefix shingle) flow through the verify
+    // and deduping the ~10² result rows is free (verifiedJaccard ends
+    // with distinct). Measured: dropping it removed the single most
+    // expensive exchange of the pipeline at +8% verify work.
     prefix.select(col("doc_id").as("da"), col("gram"))
       .join(prefix.select(col("doc_id").as("db"), col("gram").as("gram2")),
         col("gram") === col("gram2") && col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
+      .select(col("da"), col("db"))
   }
 
-  /** Exact Jaccard on candidate pairs: per-candidate gram intersection
-    * (two key-joins, work proportional to candidates, not pairs²).
-    * `g` is the caller's (already materialized) grams relation.
+  /** Exact Jaccard on candidate pairs: two equi-joins pull each side's
+    * gram-hash ARRAY onto the candidate row, then one codegen'd
+    * array_intersect computes |A∩B| locally — work proportional to
+    * candidates × avg set size, with no exploded re-join (round 3's
+    * exploded verify shuffled ~40M rows for 788k candidates; this
+    * shuffles the candidates once per side, and AQE broadcasts the
+    * sets side outright when it fits). `cands` may contain duplicate
+    * (da, db) rows — callers skip the expensive pair-level distinct —
+    * so the verified (tiny) result is deduped here; duplicate pairs
+    * compute bit-identical jaccard values, so distinct is exact.
+    * `sets` is the caller's gramSets relation.
     */
-  private def verifiedJaccard(g: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
-    val ga = g.select(col("doc_id").as("da"), col("gram"), col("n_grams").as("na"))
-    val gb = g.select(col("doc_id").as("db2"), col("gram").as("gramb"), col("n_grams").as("nb"))
+  private def verifiedJaccard(sets: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+    val sa = sets.select(col("doc_id").as("da"), col("gs").as("gsa"), col("n_grams").as("na"))
+    val sb = sets.select(col("doc_id").as("db2"), col("gs").as("gsb"), col("n_grams").as("nb"))
     cands
-      .join(ga, "da")
-      .join(gb, col("db") === col("db2") && col("gram") === col("gramb"))
-      .groupBy(col("da"), col("db"), col("na"), col("nb")).agg(count(lit(1)).as("c"))
+      .join(sa, "da")
+      .join(sb, col("db") === col("db2"))
+      .withColumn("c", size(array_intersect(col("gsa"), col("gsb"))))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -219,12 +316,15 @@ object Dedup {
   def docDedupClusters(t: Tables, threshold: Double = 0.2, maxIter: Int = 20): DataFrame = {
     // edges come from the prefix-filtered jaccard join — exact pair set
     // (see docNgramJaccard), but candidate generation is df-bounded, so
-    // the feeder is no longer quadratic in stop-shingle frequency
+    // the feeder is no longer quadratic in stop-shingle frequency.
+    // docNgramJaccard returns an eagerly-checkpointed result (tiny:
+    // near-dup pairs, not candidates), so `sym` — its union with its
+    // own flip — is a two-leaf plan over small in-memory data, cheap
+    // to re-read every CC round; blocks released at the end.
     val edges = docNgramJaccard(t, threshold).select(col("doc_a"), col("doc_b"))
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -242,15 +342,20 @@ object Dedup {
         .select(col("id"), col("label"))
         .localCheckpoint(true)
       converged = !obs.get.get("n_changed").exists(v => v != null && v.asInstanceOf[Long] > 0L)
+      releaseCheckpoint(labels) // round N−1 is dead once round N exists
       labels = next
       iter += 1
     }
-    t.documents.select(col("doc_id"))
+    val out = t.documents.select(col("doc_id"))
       .join(labels, col("doc_id") === col("id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"),
         (coalesce(col("label"), col("doc_id")) === col("doc_id")).cast("int").as("is_canonical"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    releaseCheckpoint(labels)
+    releaseCheckpoint(edges)
+    out
   }
 
   /** C6: embedding-cosine near-dup pairs, exact, via a block-grid pair
