@@ -50,13 +50,13 @@ object SparkEntry {
     "q_profile"            -> q(Analytics.qProfile),
     "ev_gap_fill"          -> q(EventOps.evGapFill),
     // §2.C dedup family
-    "doc_exact_dedup"      -> q(Dedup.docExactDedup),
-    "doc_minhash_sig"      -> q(Dedup.docMinhashSig),
+    "doc_exact_dedup"      -> q(Dedup.docExactDedup(_, ordered = true)),
+    "doc_minhash_sig"      -> q(Dedup.docMinhashSig(_, ordered = true)),
     "doc_minhash_lsh_pairs" -> q(Dedup.docMinhashLshPairs(_)),
-    "doc_simhash"          -> q(Dedup.docSimhash),
+    "doc_simhash"          -> q(Dedup.docSimhash(_, ordered = true)),
     "doc_simhash_pairs"    -> q(Dedup.docSimhashPairs(_)),
     "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_)),
-    "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_)),
+    "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
     "doc_embed_cosine_dup" -> q(Dedup.docEmbedCosineDup(_)),
     // §2.D similarity search
     "ann_topk_bruteforce"  -> q(Similarity.annTopkBruteforce(_)),
@@ -64,26 +64,26 @@ object SparkEntry {
     "ann_ivf"              -> q(Similarity.annIvf(_)), // rows-only: k-means quantizer, no SQL oracle
     "emb_norm_stats"       -> q(Similarity.embNormStats),
     // §2.E text analysis
-    "text_langid"          -> q(TextOps.textLangid),
-    "text_quality"         -> q(TextOps.textQuality),
-    "text_tokencount"      -> q(TextOps.textTokencount),
-    "text_fingerprint"     -> q(TextOps.textFingerprint),
-    "text_normalize_dedup" -> q(TextOps.textNormalizeDedup),
-    "doc_stratified_sample" -> q(TextOps.docStratifiedSample),
+    "text_langid"          -> q(TextOps.textLangid(_, ordered = true)),
+    "text_quality"         -> q(TextOps.textQuality(_, ordered = true)),
+    "text_tokencount"      -> q(TextOps.textTokencount(_, ordered = true)),
+    "text_fingerprint"     -> q(TextOps.textFingerprint(_, ordered = true)),
+    "text_normalize_dedup" -> q(TextOps.textNormalizeDedup(_, ordered = true)),
+    "doc_stratified_sample" -> q(TextOps.docStratifiedSample(_, ordered = true)),
     "text_vocab"           -> q(TextOps.textVocab),
-    "doc_chunk"            -> q(TextOps.docChunk(_)),
-    "text_rolling_fingerprint" -> q(TextOps.textRollingFingerprint),
-    "doc_pack"             -> q(TextOps.docPack(_)),
-    "doc_quality_filter"   -> q(TextOps.docQualityFilter(_)),
+    "doc_chunk"            -> q(TextOps.docChunk(_, ordered = true)),
+    "text_rolling_fingerprint" -> q(TextOps.textRollingFingerprint(_, ordered = true)),
+    "doc_pack"             -> q(TextOps.docPack(_, ordered = true)),
+    "doc_quality_filter"   -> q(TextOps.docQualityFilter(_, ordered = true)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
     "ev_funnel"            -> q(EventOps.evFunnel),
-    "ev_error_after_click" -> q(EventOps.evErrorAfterClick),
+    "ev_error_after_click" -> q(EventOps.evErrorAfterClick(_, ordered = true)),
     "q_month_trend"        -> q(Analytics.qMonthTrend),
     // §2.F multimodal plumbing
-    "mm_binary_meta"       -> q(Multimodal.mmBinaryMeta),
-    "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract), // rows-only: stubbed decode, no SQL oracle
-    "mm_resize"            -> q(Multimodal.mmResize(_)),
-    "mm_frame_sample"      -> q(Multimodal.mmFrameSample(_)),
+    "mm_binary_meta"       -> q(Multimodal.mmBinaryMeta(_, ordered = true)),
+    "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract(_, ordered = true)), // rows-only: stubbed decode, no SQL oracle
+    "mm_resize"            -> q(Multimodal.mmResize(_, ordered = true)),
+    "mm_frame_sample"      -> q(Multimodal.mmFrameSample(_, ordered = true)),
   )
 
   /** DuckDB-runnable oracle for each key in `queries` (driver gate).

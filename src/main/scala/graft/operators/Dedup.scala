@@ -108,12 +108,12 @@ object Dedup {
   /** C1: exact dedup via content hash — keep lowest doc_id per hash.
     * One hash-partitioned aggregation; no sort, no all-pairs.
     */
-  def docExactDedup(t: Tables): DataFrame =
+  def docExactDedup(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
     t.documents
       .select(md5(col("text")).as("content_hash"), col("doc_id"))
       .groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+    ordered)(col("content_hash"))
 
   /** MinHash signatures as 16 columns m0..m15 (internal shape), over a
     * caller-supplied grams relation — the gram hash IS the 60-bit base
@@ -127,11 +127,11 @@ object Dedup {
   /** C2: MinHash signature per document (16 permutations, csv-rendered
     * so the result is hashable by the driver).
     */
-  def docMinhashSig(t: Tables): DataFrame =
+  def docMinhashSig(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
     minhashSigCols(grams(t))
       .select(col("doc_id"),
-        concat_ws(",", Perms.indices.map(i => col(s"m$i")): _*).as("sig"))
-      .orderBy(col("doc_id"))
+        concat_ws(",", Perms.indices.map(i => col(s"m$i")): _*).as("sig")),
+    ordered)(col("doc_id"))
 
   /** C3: MinHash-LSH near-dup pairs: band signatures (4 bands × 4 rows)
     * → candidates share a band bucket → exact Jaccard verification on
@@ -264,8 +264,8 @@ object Dedup {
     * no shuffle, no interpreted higher-order transform; the oracle's
     * unnest+SUM formulation is value-identical).
     */
-  def docSimhash(t: Tables): DataFrame =
-    simhashes(t).orderBy(col("doc_id"))
+  def docSimhash(t: Tables, ordered: Boolean = false): DataFrame =
+    maybeSort(simhashes(t), ordered)(col("doc_id"))
 
   /** C4b: SimHash near-dup pairs — pigeonhole banding (4 × 15-bit
     * chunks: hamming ≤ 3 guarantees ≥1 identical chunk), candidates
@@ -313,7 +313,8 @@ object Dedup {
         coalesce(col("nmin") < col("label"), lit(false)).as("changed"))
   }
 
-  def docDedupClusters(t: Tables, threshold: Double = 0.2, maxIter: Int = 20): DataFrame = {
+  def docDedupClusters(t: Tables, threshold: Double = 0.2, maxIter: Int = 20,
+      ordered: Boolean = false): DataFrame = {
     // edges come from the prefix-filtered jaccard join — exact pair set
     // (see docNgramJaccard), but candidate generation is df-bounded, so
     // the feeder is no longer quadratic in stop-shingle frequency.
@@ -346,12 +347,12 @@ object Dedup {
       labels = next
       iter += 1
     }
-    val out = t.documents.select(col("doc_id"))
+    val out = maybeSort(t.documents.select(col("doc_id"))
       .join(labels, col("doc_id") === col("id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"),
-        (coalesce(col("label"), col("doc_id")) === col("doc_id")).cast("int").as("is_canonical"))
-      .orderBy(col("doc_id"))
+        (coalesce(col("label"), col("doc_id")) === col("doc_id")).cast("int").as("is_canonical")),
+      ordered)(col("doc_id"))
       .localCheckpoint(true)
     releaseCheckpoint(labels)
     releaseCheckpoint(edges)

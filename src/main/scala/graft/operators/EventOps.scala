@@ -29,14 +29,6 @@ object EventOps {
   private def evKey: Column =
     concat(col("user_id").cast("string"), lit(":"), col("event_type"))
 
-  /** The full-table dump operators take `ordered = true` only on the
-    * verify path (driver oracle compare needs a deterministic row
-    * order): a deploy plan must not pay a global sort for a
-    * row-delivery query whose consumers don't care about order.
-    */
-  private def maybeSort(df: DataFrame, ordered: Boolean)(cols: Column*): DataFrame =
-    if (ordered) df.orderBy(cols: _*) else df
-
   /** A1: timestamp derivation — coalesce(lastTimestamp, firstTimestamp,
     * creationTimestamp) precedence of types.rs:38. The three source
     * timestamps are synthesized deterministically (the k8s fields don't
@@ -199,7 +191,7 @@ object EventOps {
     * equi-join on (user, bucket), and the exact interval predicate
     * filters after — never a non-equi join over the full stream.
     */
-  def evErrorAfterClick(t: Tables): DataFrame = {
+  def evErrorAfterClick(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
     val errors = t.events.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts").as("te"), col("event_id"))
     val clickBuckets = t.events.filter(col("event_type") === "click")
@@ -219,8 +211,7 @@ object EventOps {
     perUser.join(perUserFlagged, Seq("user_id"), "left")
       .select(col("user_id"), col("n_errors"),
         coalesce(col("n_with_click"), lit(0L)).as("n_with_click"))
-      .orderBy(col("user_id"))
-  }
+  }, ordered)(col("user_id"))
 
   /** A24: funnel analysis — ordered signup → click → purchase
     * progression per user (each stage's timestamp must follow the

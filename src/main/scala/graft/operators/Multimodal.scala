@@ -16,15 +16,15 @@ object Multimodal {
   /** F1: binary column + typed metadata — byte length, md5 checksum,
     * 8-byte hex prefix. Pure codegen'd expressions over the binary.
     */
-  def mmBinaryMeta(t: Tables): DataFrame =
+  def mmBinaryMeta(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
     t.documents
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .select(
         col("doc_id"),
         octet_length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("checksum"),
-        lower(hex(substring(col("payload"), 1, 8))).as("prefix_hex"))
-      .orderBy(col("doc_id"))
+        lower(hex(substring(col("payload"), 1, 8))).as("prefix_hex")),
+    ordered)(col("doc_id"))
 
   final case class MmFeature(doc_id: Long, width: Int, height: Int,
       channels: Int, mean_byte: Double, n_bytes: Int)
@@ -50,7 +50,7 @@ object Multimodal {
     * `mapInPandas` batches: the (stub) codec is invoked once per batch,
     * rows stream through without materializing a partition.
     */
-  def mmFeatureExtract(t: Tables): DataFrame = {
+  def mmFeatureExtract(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
     val spark = t.spark
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] = t.documents
@@ -58,8 +58,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     ds.mapPartitions(_.grouped(64).flatMap(b => decodeBatch(b)))
       .toDF()
-      .orderBy(col("doc_id"))
-  }
+  }, ordered)(col("doc_id"))
 
   final case class MmResized(doc_id: Long, width: Int, height: Int,
       target_w: Int, target_h: Int, scale: Double)
@@ -69,7 +68,7 @@ object Multimodal {
     * imaging library call; the batch shape and schema are what Spark
     * sees either way.
     */
-  def mmResize(t: Tables, targetMax: Int = 32): DataFrame = {
+  def mmResize(t: Tables, targetMax: Int = 32, ordered: Boolean = false): DataFrame = maybeSort({
     val spark = t.spark
     import spark.implicits._
     val ds = t.documents
@@ -84,8 +83,7 @@ object Multimodal {
           math.round(s * 1e6) / 1e6)
       }))
       .toDF()
-      .orderBy(col("doc_id"))
-  }
+  }, ordered)(col("doc_id"))
 
   final case class MmFrame(doc_id: Long, frame_idx: Int, offset: Int, frame_md5: String)
 
@@ -93,7 +91,7 @@ object Multimodal {
     * frames, emit every `stride`-th frame (one row per sampled frame,
     * the explode-shaped output a frame pipeline feeds downstream).
     */
-  def mmFrameSample(t: Tables, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+  def mmFrameSample(t: Tables, frameBytes: Int = 64, stride: Int = 4, ordered: Boolean = false): DataFrame = maybeSort({
     val spark = t.spark
     import spark.implicits._
     val ds = t.documents
@@ -110,6 +108,5 @@ object Multimodal {
         }
       }
       .toDF()
-      .orderBy(col("doc_id"), col("frame_idx"))
-  }
+  }, ordered)(col("doc_id"), col("frame_idx"))
 }

@@ -30,7 +30,7 @@ object TextOps {
   /** E1: language ID — count marker-stopword hits per language, argmax
     * with deterministic tiebreak (declaration order).
     */
-  def textLangid(t: Tables): DataFrame = {
+  def textLangid(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
     val toks = tokens(col("text"))
     val withCounts = t.documents
       .select(col("doc_id"), col("lang"), toks.as("toks"))
@@ -47,14 +47,13 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         col("en_n"), col("de_n"), col("es_n"), col("fr_n"), col("zh_n"),
         col("pred_lang"), col("is_match"))
-      .orderBy(col("doc_id"))
-  }
+  }, ordered)(col("doc_id"))
 
   /** E2: quality scoring — length/stopword/char-class ratios combined
     * into a bounded score. Ratios are int/int divisions (portable
     * doubles); score rounded to 6dp.
     */
-  def textQuality(t: Tables): DataFrame = {
+  def textQuality(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
     val toks = tokens(col("text"))
     t.documents
       .select(col("doc_id"), col("text"), toks.as("toks"))
@@ -70,21 +69,20 @@ object TextOps {
           (lit(0.5) + lit(0.25) * col("stop_ratio") + lit(0.25) * col("alpha_ratio")), 6))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("stop_n"),
         col("alpha_n"), col("stop_ratio"), col("alpha_ratio"), col("quality_score"))
-      .orderBy(col("doc_id"))
-  }
+  }, ordered)(col("doc_id"))
 
   /** E3: token counting — whitespace tokens, BPE-ish regex tokens
     * (letter runs / digits / other non-space), and a chars/4 estimator.
     */
-  def textTokencount(t: Tables): DataFrame =
+  def textTokencount(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
     t.documents
       .select(col("doc_id"), col("text"))
       .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("re_tokens",
         size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0))).cast("long"))
       .withColumn("est_bpe", ceil(length(col("text")) / lit(4.0)).cast("long"))
-      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"), col("est_bpe"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"), col("est_bpe")),
+    ordered)(col("doc_id"))
 
   /** E4: document fingerprinting — min 60-bit hash over word 5-gram
     * windows (winnowing-lite); identical fingerprints cluster near-dup
@@ -94,33 +92,32 @@ object TextOps {
     * collapse whitespace, then hash ("fuzzy-exact": catches trivially
     * reformatted copies that byte-level dedup misses).
     */
-  def textNormalizeDedup(t: Tables): DataFrame = {
+  def textNormalizeDedup(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     t.documents
       .select(md5(norm).as("norm_hash"), col("doc_id"))
       .groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("norm_hash"))
-  }
+  }, ordered)(col("norm_hash"))
 
   /** E6: quality filtering — the keep/drop decision a training
     * pipeline applies from the E2 scores (kept set + reason flags).
     */
-  def docQualityFilter(t: Tables, minScore: Double = 0.5): DataFrame =
+  def docQualityFilter(t: Tables, minScore: Double = 0.5, ordered: Boolean = false): DataFrame = maybeSort(
     textQuality(t)
       .select(col("doc_id"), col("quality_score"),
         (col("n_tokens") >= 20).cast("int").as("len_ok"),
         (col("stop_ratio") > 0.0).cast("int").as("stop_ok"))
-      .filter(col("quality_score") >= minScore)
-      .orderBy(col("doc_id"))
+      .filter(col("quality_score") >= minScore),
+    ordered)(col("doc_id"))
 
   /** E7: deterministic stratified sampling — per-language keep rates
     * (downsample the dominant language, keep the rest), decided by a
     * content-hash bucket so the sample is stable across runs/cluster
     * sizes (unlike rand()-based sampleBy).
     */
-  def docStratifiedSample(t: Tables): DataFrame = {
+  def docStratifiedSample(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
     val rates: Map[String, Int] = Map("en" -> 30).withDefaultValue(80) // % kept
     val bucket = md5_60(col("text")) % 100
     val rate = LangMarkers.map(_._1).foldLeft(lit(rates.default(""))) {
@@ -130,8 +127,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"), bucket.as("bucket"))
       .filter(col("bucket") < rate)
       .select(col("doc_id"), col("lang"), col("bucket"))
-      .orderBy(col("doc_id"))
-  }
+  }, ordered)(col("doc_id"))
 
   /** E8: vocabulary builder — global token frequencies + ranks (the
     * seed vocabulary a tokenizer trainer starts from). Explode →
@@ -176,7 +172,7 @@ object TextOps {
     * arithmetic + substr so chunk boundaries are engine-identical;
     * narrow explode, no shuffle.
     */
-  def docChunk(t: Tables, size: Int = 200, stride: Int = 180): DataFrame = {
+  def docChunk(t: Tables, size: Int = 200, stride: Int = 180, ordered: Boolean = false): DataFrame = maybeSort({
     val len = length(col("text"))
     val n = when(len <= size, lit(1))
       .otherwise(floor((len - size + (stride - 1)) / lit(stride)).cast("int") + 1)
@@ -187,15 +183,14 @@ object TextOps {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         length(substr(col("text"), col("chunk_idx") * stride + 1, lit(size)))
           .cast("long").as("chunk_len"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
-  }
+  }, ordered)(col("doc_id"), col("chunk_idx"))
 
   /** E10: sequence packing — assign docs to ~fixed-token-budget bins by
     * running token count per source (greedy in doc_id order; the bin a
     * doc *starts* in). Partitioned running sum — the deterministic,
     * distributed version of greedy first-fit packing.
     */
-  def docPack(t: Tables, budget: Int = 512): DataFrame = {
+  def docPack(t: Tables, budget: Int = 512, ordered: Boolean = false): DataFrame = maybeSort({
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.documents
@@ -203,25 +198,24 @@ object TextOps {
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / lit(budget)).cast("long").as("bin"))
-      .orderBy(col("doc_id"))
-  }
+  }, ordered)(col("doc_id"))
 
   /** E11: rolling-hash fingerprint — min Rabin–Karp hash over 16-char
     * windows (native O(n) RollingHashMin expression; the md5-based E4
     * fingerprints word windows, this one character windows).
     */
-  def textRollingFingerprint(t: Tables): DataFrame =
+  def textRollingFingerprint(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
     t.documents
       .select(col("doc_id"),
-        call_function("graft_rolling_min", lower(col("text"))).as("rolling_min"))
-      .orderBy(col("doc_id"))
+        call_function("graft_rolling_min", lower(col("text"))).as("rolling_min")),
+    ordered)(col("doc_id"))
 
-  def textFingerprint(t: Tables): DataFrame =
+  def textFingerprint(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
     t.documents
       .select(col("doc_id"),
         array_min(call_function("graft_gram5_hashes", col("text"))).as("fingerprint"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
-      .select(col("doc_id"), col("fingerprint"), col("cluster_size"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("fingerprint"), col("cluster_size")),
+    ordered)(col("doc_id"))
 }

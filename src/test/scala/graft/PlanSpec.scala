@@ -83,6 +83,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("deploy-path dump queries carry no global sort (ordered=false default)") {
+    import graft.operators.{Multimodal, TextOps}
+    // every per-row dump operator: the global orderBy exists only for
+    // the driver's deterministic oracle compare (ordered = true in
+    // SparkEntry); the default deploy plan must not pay a full range
+    // exchange + sort on the whole output
+    val dumps: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "text_langid" -> TextOps.textLangid(tables),
+      "text_quality" -> TextOps.textQuality(tables),
+      "text_tokencount" -> TextOps.textTokencount(tables),
+      "text_fingerprint" -> TextOps.textFingerprint(tables),
+      "text_rolling_fingerprint" -> TextOps.textRollingFingerprint(tables),
+      "doc_chunk" -> TextOps.docChunk(tables),
+      "doc_pack" -> TextOps.docPack(tables),
+      "doc_quality_filter" -> TextOps.docQualityFilter(tables),
+      "doc_stratified_sample" -> TextOps.docStratifiedSample(tables),
+      "doc_minhash_sig" -> Dedup.docMinhashSig(tables),
+      "doc_simhash" -> Dedup.docSimhash(tables),
+      "doc_exact_dedup" -> Dedup.docExactDedup(tables),
+      "text_normalize_dedup" -> TextOps.textNormalizeDedup(tables),
+      "mm_binary_meta" -> Multimodal.mmBinaryMeta(tables),
+      "mm_feature_extract" -> Multimodal.mmFeatureExtract(tables),
+      "mm_resize" -> Multimodal.mmResize(tables),
+      "mm_frame_sample" -> Multimodal.mmFrameSample(tables),
+      "ev_error_after_click" -> EventOps.evErrorAfterClick(tables))
+    for ((name, df) <- dumps) {
+      // pre-AQE plan: a global sort appears as a rangepartitioning
+      // exchange + Sort(global=true). Window-internal sorts are
+      // per-partition (global=false) and allowed.
+      val sp = df.queryExecution.sparkPlan
+      val globalSorts = sp.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.isEmpty, s"$name deploy plan pays a global sort:\n${sp.toString.take(600)}")
+    }
+  }
+
   test("text vocab: offsets branch and join branch share ONE range exchange (ReusedExchange)") {
     // the two-phase rank is only correct if both branches observe the
     // SAME range partitioning; they do because the identical subplans
