@@ -65,28 +65,87 @@ object KesMain {
       KubeEventSource.parsed(ns.fold(reader)(n => reader.option("namespace", n)).load())
     } else KubeEventSource.streamJsonLines(spark, in)
 
+  /** Orderly stop — the reference's term_request broadcast
+    * (src/main.rs:71-96): stop the streaming query (finishing the
+    * in-flight micro-batch and committing its checkpoint), stop the
+    * metrics endpoint, then stop Spark. Every step is idempotent and
+    * failure-isolated so a half-dead JVM still releases what it can.
+    * Called from the SIGINT/SIGTERM shutdown hook and directly by
+    * tests (a JVM shutdown can't be triggered in-process).
+    */
+  private[graft] def orderlyStop(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      server: Option[com.sun.net.httpserver.HttpServer],
+      spark: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    scala.util.Try(if (q.isActive) q.stop())
+    scala.util.Try(server.foreach(_.stop(0)))
+    scala.util.Try(spark.foreach(_.stop()))
+  }
+
+  /** Checkpoint-corruption recovery — the reference recreates a corrupt
+    * sled DB and continues instead of crash-looping (src/main.rs:103-113,
+    * get_db). Moves the unusable checkpoint dir aside (kept for
+    * forensics, like sled's corrupt-db rename) so a fresh one can be
+    * written. The file sink's `_spark_metadata` in the output dir is
+    * part of the same state contract — it maps committed batchIds from
+    * the OLD checkpoint, so a fresh query restarting at batchId 0 would
+    * silently skip every batch the old log already lists — and is moved
+    * aside with it. Dedup state restarts empty: duplicates within the
+    * TTL window may re-emit once, the same trade the reference makes;
+    * pre-recovery output files stay on disk under the moved-aside
+    * metadata.
+    */
+  private[graft] def moveCheckpointAside(checkpoint: String, out: String): java.nio.file.Path = {
+    def aside(p: java.nio.file.Path): java.nio.file.Path = {
+      val dst = p.resolveSibling(p.getFileName.toString + ".corrupt-" + System.nanoTime())
+      java.nio.file.Files.move(p, dst)
+      dst
+    }
+    val sinkLog = java.nio.file.Paths.get(out, "_spark_metadata")
+    if (java.nio.file.Files.exists(sinkLog)) aside(sinkLog)
+    aside(java.nio.file.Paths.get(checkpoint))
+  }
+
   private[graft] def run(args: Array[String], env: Map[String, String]): Unit = {
     val (in, out, checkpoint, ttl, once) = resolve(args, env)
     val spark = GraftSession.local()
+    // CACHE_RECREATE mirrors the reference's corrupt-cache-DB handling
+    // (off by default: silently discarding state must be opted into)
+    val recreate = env.get("CACHE_RECREATE").exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
     val metrics = new graft.streaming.GraftMetricsListener
     spark.streams.addListener(metrics)
     val server = env.get("METRICS_PORT").map(p => metrics.serve(p.toInt))
 
-    val lines = KubeEventOps
-      .streamPipeline(input(spark, in), cacheTtl = ttl)
-      .select(col("line").as("value"))
+    def attempt(): Unit = {
+      val lines = KubeEventOps
+        .streamPipeline(input(spark, in), cacheTtl = ttl)
+        .select(col("line").as("value"))
+      val writer = lines.writeStream
+        .format("text")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+      val q = (if (once) writer.trigger(Trigger.AvailableNow()) else writer).start()
+      val hook = new Thread(() => orderlyStop(q, server, Some(spark)), "graft-shutdown")
+      Runtime.getRuntime.addShutdownHook(hook)
+      try q.awaitTermination()
+      finally scala.util.Try(Runtime.getRuntime.removeShutdownHook(hook))
+    }
 
-    val writer = lines.writeStream
-      .format("text")
-      .option("path", out)
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-
-    val q = (if (once) writer.trigger(Trigger.AvailableNow()) else writer).start()
-    try q.awaitTermination()
-    finally {
-      server.foreach(_.stop(0))
+    try {
+      // corruption surfaces either at start (unreadable query metadata)
+      // or from the stream thread via awaitTermination (offset/commit
+      // log) — one retry after moving the dir aside covers both
+      try attempt()
+      catch {
+        case e: Throwable if recreate =>
+          val aside = moveCheckpointAside(checkpoint, out)
+          System.err.println(s"[kes] checkpoint unusable (${e.getMessage}); moved to $aside, starting fresh")
+          attempt()
+      }
+    } finally {
+      scala.util.Try(server.foreach(_.stop(0)))
       spark.streams.removeListener(metrics)
     }
   }

@@ -64,4 +64,78 @@ class KesMainSpec extends SparkSpec {
     assert(got.length == 2, s"dup across restart must be suppressed by recovered state: ${got.toSeq}")
     assert(got.exists(_.contains("\"uid\":\"u1\"")) && got.exists(_.contains("\"uid\":\"u3\"")))
   }
+
+  private val e1 =
+    """{"metadata":{"name":"e1","uid":"u1","resourceVersion":"1","creationTimestamp":"2024-01-01T00:00:00Z"},"involvedObject":{"kind":"Pod"},"reason":"Started","type":"Normal"}"""
+  private val e3 =
+    """{"metadata":{"name":"e3","uid":"u3","resourceVersion":"3","creationTimestamp":"2024-01-01T00:00:30Z"},"involvedObject":{"kind":"Pod"},"reason":"Killing","type":"Normal"}"""
+
+  test("orderly stop mid-stream commits the checkpoint; restart resumes cleanly (reference term_request)") {
+    val in = Files.createTempDirectory("kes_in3").toFile
+    val out = Files.createTempDirectory("kes_out3").toFile.getAbsolutePath + "/data"
+    val ckpt = Files.createTempDirectory("kes_ckpt3").toFile.getAbsolutePath
+
+    // first lifetime: a CONTINUOUS query (the daemon mode), stopped by
+    // the same orderlyStop the SIGTERM hook runs — not by JVM death
+    Files.writeString(new java.io.File(in, "b1.json").toPath, e1)
+    val q1 = KubeEventOps
+      .streamPipeline(KubeEventSource.streamJsonLines(spark, in.getAbsolutePath))
+      .select(col("line").as("value"))
+      .writeStream.format("text")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    q1.processAllAvailable() // e1's micro-batch is in flight or committed
+    KesMain.orderlyStop(q1, None, None)
+    assert(!q1.isActive, "orderlyStop must stop the query")
+
+    // second lifetime resumes from the committed checkpoint: the dup of
+    // e1 is suppressed by recovered state, e3 flows
+    Files.writeString(new java.io.File(in, "b2.json").toPath, Seq(e1, e3).mkString("\n"))
+    val q2 = KubeEventOps
+      .streamPipeline(KubeEventSource.streamJsonLines(spark, in.getAbsolutePath))
+      .select(col("line").as("value"))
+      .writeStream.format("text")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+
+    val got = spark.read.text(out).collect().map(_.getString(0))
+    assert(got.length == 2, s"orderly stop must not lose or duplicate state: ${got.toSeq}")
+    assert(got.exists(_.contains("\"uid\":\"u1\"")) && got.exists(_.contains("\"uid\":\"u3\"")))
+  }
+
+  test("CACHE_RECREATE=1 moves a corrupt checkpoint aside and continues (reference get_db recovery)") {
+    val in = Files.createTempDirectory("kes_in4").toFile
+    val outDir = Files.createTempDirectory("kes_out4").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("kes_ckpt4").toFile.getAbsolutePath + "/ckpt"
+
+    Files.writeString(new java.io.File(in, "b1.json").toPath, e1)
+    KesMain.run(Array(in.getAbsolutePath, s"$outDir/data", ckpt, "3600 seconds", "--once"), Map.empty)
+
+    // corrupt the query metadata (the file read first on restart)
+    Files.writeString(java.nio.file.Paths.get(ckpt, "metadata"), "{truncated")
+
+    // without the flag: crash-loop behavior (the run throws)
+    Files.writeString(new java.io.File(in, "b2.json").toPath, e3)
+    intercept[Exception] {
+      KesMain.run(Array(in.getAbsolutePath, s"$outDir/data", ckpt, "3600 seconds", "--once"), Map.empty)
+    }
+
+    // with the flag: dir moved aside, fresh state, pipeline continues
+    KesMain.run(Array(in.getAbsolutePath, s"$outDir/data", ckpt, "3600 seconds", "--once"),
+      Map("CACHE_RECREATE" -> "1"))
+    val got = spark.read.text(s"$outDir/data").collect().map(_.getString(0))
+    // fresh state re-reads the whole input dir: e1 re-emits (dedup state
+    // discarded — the same trade the reference makes recreating a
+    // corrupt sled DB) and e3 flows; the metadata-aware reader sees the
+    // post-recovery sink log (the old one is moved aside with the
+    // checkpoint)
+    assert(got.exists(_.contains("\"uid\":\"u3\"")), s"post-recovery batch must flow: ${got.toSeq}")
+    assert(got.exists(_.contains("\"uid\":\"u1\"")), s"fresh state re-emits the dup once: ${got.toSeq}")
+    val aside = new java.io.File(ckpt).getParentFile.listFiles()
+      .filter(_.getName.startsWith("ckpt.corrupt-"))
+    assert(aside.nonEmpty, "corrupt checkpoint must be preserved aside")
+  }
 }
