@@ -167,6 +167,35 @@ object OracleSqlGen {
        |WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  private def bucketExprAt(offset: Int): String = (1 to 8).map(d =>
+    s"(CASE WHEN v[${offset + d}] > 0.0 THEN (1::BIGINT << ${d - 1}) ELSE 0 END)").mkString(" + ")
+
+  /** Multi-table sign-LSH: 4 tables on disjoint 8-dim slices, posting
+    * lists capped at 64 per (table, bucket) by lowest vec_id, candidate
+    * hits deduped, exact cosine + top-3.
+    */
+  val annLshMultiTable: String = {
+    val cases = (0 until 4).map(i => s"WHEN $i THEN ${bucketExprAt(i * 8)}").mkString(" ")
+    s"""WITH $normCte,
+       |p AS (SELECT vec_id, v, n2, tbl,
+       |  CASE tbl $cases END AS bucket
+       |  FROM n, (SELECT unnest([0,1,2,3]) AS tbl)),
+       |corpus AS (SELECT vec_id, v, n2, tbl, bucket FROM (
+       |  SELECT vec_id, v, n2, tbl, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY tbl, bucket ORDER BY vec_id ASC) AS pn
+       |  FROM p) WHERE pn <= 64),
+       |sc AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  round($dotQC/(sqrt(q.n2)*sqrt(c.n2)), 6) AS cos_r
+       |  FROM p q JOIN corpus c
+       |    ON q.vec_id < 8 AND c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+       |SELECT q_id, rank, vec_id, cos_r FROM (
+       |  SELECT q_id, vec_id, cos_r,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rank
+       |  FROM sc)
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val embNormStats: String =
     s"""WITH $normCte
        |SELECT label, COUNT(*) AS n,

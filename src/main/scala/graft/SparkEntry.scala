@@ -61,6 +61,7 @@ object SparkEntry {
     // §2.D similarity search
     "ann_topk_bruteforce"  -> q(Similarity.annTopkBruteforce(_)),
     "ann_lsh_bucketed"     -> q(Similarity.annLshBucketed(_)),
+    "ann_lsh_multitable"   -> q(Similarity.annLshMultiTable(_)),
     "ann_ivf"              -> q(Similarity.annIvf(_)), // rows-only: k-means quantizer, no SQL oracle
     "emb_norm_stats"       -> q(Similarity.embNormStats),
     // §2.E text analysis
@@ -440,6 +441,7 @@ object SparkEntry {
     "doc_embed_cosine_dup"  -> OracleSqlGen.docEmbedCosineDup,
     "ann_topk_bruteforce"   -> OracleSqlGen.annTopkBruteforce,
     "ann_lsh_bucketed"      -> OracleSqlGen.annLshBucketed,
+    "ann_lsh_multitable"    -> OracleSqlGen.annLshMultiTable,
     "emb_norm_stats"        -> OracleSqlGen.embNormStats,
     "text_langid"           -> OracleSqlGen.textLangid,
     "text_quality"          -> OracleSqlGen.textQuality,

@@ -69,11 +69,19 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Sign-pattern LSH bucket over the first `bits` dimensions. */
-  def signBucket(v: Column, bits: Int): Column =
+  /** Sign-pattern LSH bucket over `bits` dimensions starting at
+    * `offset` (0-based). Each hash table of the multi-table variant
+    * reads a disjoint dimension slice — deterministic, engine-portable
+    * (the classical random-hyperplane projection needs a seeded
+    * matrix; axis-aligned slices are its oracle-checkable stand-in).
+    */
+  def signBucketAt(v: Column, bits: Int, offset: Int): Column =
     (0 until bits)
-      .map(d => when(element_at(v, d + 1) > 0.0, lit(1L << d)).otherwise(lit(0L)))
+      .map(d => when(element_at(v, offset + d + 1) > 0.0, lit(1L << d)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** Sign-pattern LSH bucket over the first `bits` dimensions. */
+  def signBucket(v: Column, bits: Int): Column = signBucketAt(v, bits, 0)
 
   /** D2: LSH-bucketed ANN — candidates share the 8-bit sign bucket of
     * the query (≈ corpus/256 per bucket), exact cosine + top-k within.
@@ -92,6 +100,51 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("bucket"), col("cos_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** D2b: multi-table sign-LSH ANN — the §5b scale knobs first-class:
+    * `nTables` independent sign-hash tables (table i buckets on the
+    * dimension slice [i·bits, (i+1)·bits)) union'd for recall, plus a
+    * per-bucket posting-list cap (deterministic: lowest vec_id kept)
+    * guarding pathological sign-pattern skew — a dead-dimension corpus
+    * can drop billions of vectors into one bucket, and the cap bounds
+    * that task like AQE can't (the skew is in the DATA volume per key,
+    * and capped recall loss is the documented LSH trade).
+    *
+    * Scale shape: corpus explodes ×nTables into (tbl, bucket) postings
+    * (narrow map), the cap is a per-(tbl,bucket) window — high
+    * cardinality, never global — and the probe is an equi-join on
+    * (tbl, bucket) against the broadcast query postings. A candidate
+    * found by several tables is scored per hit and collapsed by a
+    * distinct on the (tiny) scored rows — same no-pair-level-distinct
+    * trade as the dedup verifies: deduping candidates pre-score would
+    * shuffle the vectors; the duplicate scores are bit-identical.
+    */
+  def annLshMultiTable(t: Tables, nQueries: Int = 8, k: Int = 3,
+      nTables: Int = 4, bits: Int = 8, bucketCap: Int = 64): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val postings = e.select(col("vec_id"), col("v"), col("n2"),
+        posexplode(array((0 until nTables).map(i => signBucketAt(col("v"), bits, i * bits)): _*))
+          .as(Seq("tbl", "bucket")))
+    val capW = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id").asc)
+    val corpus = postings
+      .withColumn("pn", row_number().over(capW))
+      .filter(col("pn") <= bucketCap)
+      .select(col("vec_id"), col("v"), col("n2"), col("tbl"), col("bucket"))
+    val q = postings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"),
+        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id").asc)
+    corpus.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+          col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+      .distinct() // multi-table hits collapse (scores bit-identical)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r"))
       .orderBy(col("q_id"), col("rank"))
   }
 

@@ -28,6 +28,37 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.2, s"IVF mean recall@3 too low: $mean (nProbe=4/16 cells)")
   }
 
+  test("multi-table lsh: neighbors share some table's bucket; recall dominates single-table when uncapped") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.annLshMultiTable(tables, k = 3).collect()
+    assert(rows.nonEmpty)
+    // every returned neighbor collides with its query in ≥1 of the 4 tables
+    val e = Similarity.withNorm(tables.embeddings)
+    val buckets = e.select(col("vec_id"),
+        org.apache.spark.sql.functions.array((0 until 4).map(i =>
+          Similarity.signBucketAt(col("v"), 8, i * 8)): _*).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(2))
+      assert(buckets(q).zip(buckets(n)).exists { case (a, b) => a == b },
+        s"neighbor $n of query $q shares no bucket in any table")
+    }
+    // candidate superset law: with the cap disabled, 4 tables see every
+    // candidate 1 table sees, so the per-query worst kept score can only
+    // improve (scores are exact cosines over the candidate set)
+    def minCos(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(3)).min).toMap
+    val single = minCos(Similarity.annLshMultiTable(tables, k = 3, nTables = 1, bucketCap = Int.MaxValue))
+    val multi = minCos(Similarity.annLshMultiTable(tables, k = 3, nTables = 4, bucketCap = Int.MaxValue))
+    single.foreach { case (q, s) =>
+      assert(multi(q) >= s - 1e-9, s"query $q: multi-table worst score $s regressed to ${multi(q)}")
+    }
+    // the cap bounds posting lists: cap=1 still yields a valid (possibly
+    // shorter) result with no self-matches
+    val capped = Similarity.annLshMultiTable(tables, k = 3, bucketCap = 1).collect()
+    capped.foreach(r => assert(r.getLong(0) != r.getLong(2), "self-match under cap"))
+  }
+
   test("lsh buckets: every neighbor shares the query's sign bucket") {
     val rows = Similarity.annLshBucketed(tables).collect()
     assert(rows.nonEmpty)
