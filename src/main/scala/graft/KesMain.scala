@@ -106,8 +106,22 @@ object KesMain {
     aside(java.nio.file.Paths.get(checkpoint))
   }
 
+  /** LOG_JSON=1 → Spark 4 structured logging: driver logs switch to the
+    * bundled JsonTemplateLayout (timestamp/level/logger/thread/message
+    * + MDC context as JSON), the engine-side analog of the reference's
+    * JSON tracing subscriber with file/line/thread (src/main.rs:38-49).
+    * Must run before the session is built — the log4j2 context picks
+    * its default config at first logger use.
+    */
+  private[graft] def configureLogging(env: Map[String, String]): Unit =
+    if (env.get("LOG_JSON").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
+      org.apache.spark.graftbridge.LoggingBridge.enableJsonLogs()
+      System.setProperty("spark.log.structuredLogging.enabled", "true")
+    }
+
   private[graft] def run(args: Array[String], env: Map[String, String]): Unit = {
     val (in, out, checkpoint, ttl, once) = resolve(args, env)
+    configureLogging(env)
     val spark = GraftSession.local()
     // CACHE_RECREATE mirrors the reference's corrupt-cache-DB handling
     // (off by default: silently discarding state must be opted into)

@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -103,7 +103,8 @@ private[sources] class KubeWatchStream(
     namespace: Option[String],
     backoffInitMs: Long,
     backoffMaxMs: Long,
-    maxBuffer: Int) extends MicroBatchStream with SupportsAdmissionControl {
+    maxBuffer: Int) extends MicroBatchStream with SupportsAdmissionControl
+    with ReportsSourceMetrics {
 
   private val client =
     new KubeWatchClient(endpoint, namespace, backoffInitMs, backoffMaxMs, maxBuffer)
@@ -149,6 +150,19 @@ private[sources] class KubeWatchStream(
     client.release(end.asInstanceOf[KubeOffset].n)
 
   override def stop(): Unit = client.close()
+
+  /** Backpressure observability — the reference's bounded channel is
+    * watched through its gauges; here the buffer depth and stall count
+    * ride the engine's own progress events (StreamingQueryProgress
+    * .sources[].metrics), which GraftMetricsListener exports to
+    * Prometheus.
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("bufferedEvents", client.bufferedEvents.toString)
+    m.put("backpressureStalls", client.backpressureStalls.toString)
+    m
+  }
 }
 
 private[sources] case class KubeWatchPartition(lines: Array[String]) extends InputPartition
@@ -159,7 +173,7 @@ private[sources] case class KubeWatchPartition(lines: Array[String]) extends Inp
   * classpath); events are re-serialized node-for-node, so the emitted
   * line is the API object verbatim.
   */
-private[sources] class KubeWatchClient(
+private[graft] class KubeWatchClient(
     endpoint: String,
     namespace: Option[String],
     backoffInitMs: Long,
@@ -173,6 +187,7 @@ private[sources] class KubeWatchClient(
   private var baseAligned = false
   private var started = false
   private val closed = new AtomicBoolean(false)
+  private val stalls = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var resourceVersion: String = null
 
   private def listPath =
@@ -217,7 +232,17 @@ private[sources] class KubeWatchClient(
     }
   }
 
+  /** Un-consumed events currently buffered (the channel depth gauge). */
+  def bufferedEvents: Int = lock.synchronized(buf.length)
+
+  /** Times ingest parked on a full buffer (the backpressure counter). */
+  def backpressureStalls: Long = stalls.get
+
   private def append(line: String): Unit = lock.synchronized {
+    if (buf.length >= maxBuffer) stalls.incrementAndGet()
+    // parked ingest is woken by release()'s notifyAll; the 100 ms
+    // timeout only guards the close()-races-notify window, it is not a
+    // poll loop
     while (buf.length >= maxBuffer && !closed.get) lock.wait(100)
     if (!closed.get) buf += line
   }

@@ -29,6 +29,12 @@ final class GraftMetricsListener extends StreamingQueryListener {
   val stateRows = new AtomicLong(0)
   val stateBytes = new AtomicLong(0)
   val rowsOutput = new AtomicLong(0)
+  // ingest-buffer gauges from ReportsSourceMetrics sources (the
+  // reference's bounded-channel backpressure, observable like its
+  // channel gauges): KubeWatchStream reports bufferedEvents +
+  // backpressureStalls per progress
+  val sourceBuffered = new AtomicLong(0)
+  val sourceStalls = new AtomicLong(0)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
@@ -40,6 +46,16 @@ final class GraftMetricsListener extends StreamingQueryListener {
       stateRows.set(st.map(_.numRowsTotal).sum)
       stateBytes.set(st.map(_.memoryUsedBytes).sum)
       rowsOutput.addAndGet(st.map(_.numRowsUpdated).sum)
+    }
+    val srcs = e.progress.sources
+    if (srcs != null && srcs.nonEmpty) {
+      def sumOf(key: String): Option[Long] = {
+        val vs = srcs.toSeq.flatMap(s => Option(s.metrics))
+          .flatMap(m => Option(m.get(key))).map(_.toLong)
+        if (vs.nonEmpty) Some(vs.sum) else None
+      }
+      sumOf("bufferedEvents").foreach(sourceBuffered.set)
+      sumOf("backpressureStalls").foreach(sourceStalls.set)
     }
   }
 
@@ -56,7 +72,11 @@ final class GraftMetricsListener extends StreamingQueryListener {
     "# TYPE graft_state_rows gauge",
     s"graft_state_rows ${stateRows.get}",
     "# TYPE graft_state_bytes gauge",
-    s"graft_state_bytes ${stateBytes.get}")
+    s"graft_state_bytes ${stateBytes.get}",
+    "# TYPE graft_source_buffered_events gauge",
+    s"graft_source_buffered_events ${sourceBuffered.get}",
+    "# TYPE graft_source_backpressure_stalls_total counter",
+    s"graft_source_backpressure_stalls_total ${sourceStalls.get}")
 
   /** Serve GET /metrics on the given port (0 = ephemeral; read the
     * bound port off the returned server). Single-threaded — a scrape

@@ -70,6 +70,20 @@ class KesMainSpec extends SparkSpec {
   private val e3 =
     """{"metadata":{"name":"e3","uid":"u3","resourceVersion":"3","creationTimestamp":"2024-01-01T00:00:30Z"},"involvedObject":{"kind":"Pod"},"reason":"Killing","type":"Normal"}"""
 
+  test("LOG_JSON=1 switches the driver to structured JSON logging (reference src/main.rs:38-49)") {
+    val L = org.apache.spark.graftbridge.LoggingBridge
+    val before = L.jsonLogsEnabled
+    try {
+      KesMain.configureLogging(Map.empty)
+      assert(L.jsonLogsEnabled == before, "no flag → no change")
+      KesMain.configureLogging(Map("LOG_JSON" -> "1"))
+      assert(L.jsonLogsEnabled, "flag must enable the JSON layout path")
+    } finally {
+      if (!before) L.disableJsonLogs()
+      System.clearProperty("spark.log.structuredLogging.enabled")
+    }
+  }
+
   test("orderly stop mid-stream commits the checkpoint; restart resumes cleanly (reference term_request)") {
     val in = Files.createTempDirectory("kes_in3").toFile
     val out = Files.createTempDirectory("kes_out3").toFile.getAbsolutePath + "/data"

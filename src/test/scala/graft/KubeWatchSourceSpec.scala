@@ -85,7 +85,37 @@ class KubeWatchSourceSpec extends SparkSpec {
         val lines = spark.table("kw_live").collect().map(_.getString(0))
         assert(lines.forall(_.startsWith("""{"time":""")), lines.head)
         assert(lines.exists(_.contains("\"uid\":\"u3\"")))
+
+        // ReportsSourceMetrics surface: buffer gauges ride the progress
+        val m = q.lastProgress.sources.head.metrics
+        assert(m.containsKey("bufferedEvents") && m.containsKey("backpressureStalls"),
+          s"source metrics missing: $m")
+        assert(m.get("backpressureStalls").toLong == 0L, "no stall expected at this volume")
       } finally q.stop()
+    } finally api.stop()
+  }
+
+  test("full buffer parks ingest and counts a backpressure stall; release un-parks it") {
+    val api = new FakeKubeApi
+    try {
+      api.add("u1", 1)
+      api.add("u2", 2)
+      // capacity-1 channel: the initial list's 2nd append must park
+      val client = new graft.sources.KubeWatchClient(
+        s"http://localhost:${api.port}", None, 10, 100, maxBuffer = 1)
+      try {
+        val lister = new Thread(() => client.seenCount) // triggers list; blocks on event 2
+        lister.start()
+        val deadline = System.currentTimeMillis() + 10000
+        while (client.backpressureStalls == 0 && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        assert(client.backpressureStalls >= 1, "append must record the stall")
+        assert(client.bufferedEvents == 1, "buffer holds exactly its capacity")
+        client.release(1) // consumer commits the first event → slot frees
+        lister.join(10000)
+        assert(!lister.isAlive, "release must un-park the parked ingest")
+        assert(client.bufferedEvents == 1, "second event lands after release")
+      } finally client.close()
     } finally api.stop()
   }
 
