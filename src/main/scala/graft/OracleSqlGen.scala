@@ -69,6 +69,35 @@ object OracleSqlGen {
        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
        |$jaccardTail""".stripMargin
 
+  /** df-capped candidates (shingles with df > cap generate none);
+    * verification identical to the uncapped query.
+    */
+  def docNgramJaccardCapped(dfCap: Int): String =
+    s"""WITH $gramCtes,
+       |rare AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= $dfCap),
+       |gc AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |$jaccardTail""".stripMargin
+
+  def docIncrementalDedup(mod: Int): String =
+    s"""WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+       |batch AS (SELECT * FROM hashed WHERE doc_id % $mod = 0),
+       |base AS (SELECT * FROM hashed WHERE doc_id % $mod <> 0),
+       |base_idx AS (SELECT content_hash, MIN(doc_id) AS base_id FROM base GROUP BY content_hash),
+       |w AS (SELECT b.doc_id, b.content_hash, i.base_id,
+       |  MIN(b.doc_id) OVER (PARTITION BY b.content_hash ORDER BY b.doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS intra_id
+       |  FROM batch b LEFT JOIN base_idx i USING (content_hash))
+       |SELECT doc_id, content_hash,
+       |  CASE WHEN base_id IS NULL THEN intra_id
+       |       WHEN intra_id IS NULL THEN base_id
+       |       ELSE LEAST(base_id, intra_id) END AS dup_of,
+       |  CAST((CASE WHEN base_id IS NULL THEN intra_id
+       |       WHEN intra_id IS NULL THEN base_id
+       |       ELSE LEAST(base_id, intra_id) END) IS NULL AS INTEGER) AS is_new
+       |FROM w ORDER BY doc_id""".stripMargin
+
   /** Connected components over the jaccard pair graph via recursive
     * transitive closure, min reachable id per node = cluster.
     */

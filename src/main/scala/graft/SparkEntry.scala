@@ -56,6 +56,8 @@ object SparkEntry {
     "doc_simhash"          -> q(Dedup.docSimhash(_, ordered = true)),
     "doc_simhash_pairs"    -> q(Dedup.docSimhashPairs(_)),
     "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_)),
+    "doc_ngram_jaccard_capped" -> q(Dedup.docNgramJaccardCapped(_)),
+    "doc_incremental_dedup" -> q(Dedup.docIncrementalDedup(_, ordered = true)),
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
     "doc_embed_cosine_dup" -> q(Dedup.docEmbedCosineDup(_)),
     // §2.D similarity search
@@ -442,6 +444,8 @@ object SparkEntry {
     "ann_topk_bruteforce"   -> OracleSqlGen.annTopkBruteforce,
     "ann_lsh_bucketed"      -> OracleSqlGen.annLshBucketed,
     "ann_lsh_multitable"    -> OracleSqlGen.annLshMultiTable,
+    "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),
+    "doc_incremental_dedup" -> OracleSqlGen.docIncrementalDedup(5),
     "emb_norm_stats"        -> OracleSqlGen.embNormStats,
     "text_langid"           -> OracleSqlGen.textLangid,
     "text_quality"          -> OracleSqlGen.textQuality,

@@ -190,6 +190,67 @@ object Dedup {
         prefixFilterCandidates(explodeSets(sets), threshold), threshold)
     }
 
+  /** C5b: df-capped n-gram Jaccard — the SURVEY §5b deploy knob
+    * first-class: shingles with document frequency > `dfCap` generate
+    * NO candidates (a stop-shingle shared by k documents fans out k²
+    * candidate rows; the cap bounds every shingle's fan-out at dfCap²),
+    * while verification stays exact on the FULL gram sets. Recall
+    * trade, stated precisely: a qualifying pair is missed only if
+    * every shingle it shares is above the cap — for near-duplicate
+    * documents sharing many rare shingles, practically never; for
+    * template-only overlap, by design. The exact PPJoin variant
+    * (docNgramJaccard) bounds the same blow-up by prefix position
+    * without recall loss at the cost of the df-rank window; at 100 TB
+    * the cap variant additionally caps the *verify* candidate volume,
+    * which is the deploy trade §5b documents.
+    */
+  def docNgramJaccardCapped(t: Tables, threshold: Double = 0.2, dfCap: Int = 100): DataFrame =
+    withShared(gramSets(t), col("doc_id")) { sets =>
+      val g = explodeSets(sets)
+      val rare = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap)
+        .select(col("gram"))
+      val capped = g.join(rare, "gram").select(col("doc_id"), col("gram"))
+      val cands = capped.select(col("doc_id").as("da"), col("gram"))
+        .join(capped.select(col("doc_id").as("db"), col("gram").as("gram2")),
+          col("gram") === col("gram2") && col("da") < col("db"))
+        .select(col("da"), col("db"))
+      verifiedJaccard(sets, cands, threshold)
+    }
+
+  /** C8: incremental dedup — the shape a production pipeline actually
+    * runs: an immutable BASE corpus (here: doc_id % mod ≠ 0) with a
+    * maintained content-hash index, and a NEW batch (doc_id % mod = 0)
+    * deduped against the index and against itself, without ever
+    * re-scanning base text. dup_of = lowest-id duplicate (base wins
+    * over intra-batch); is_new marks first-seen content.
+    *
+    * Scale shape: the base index is one hash-partitioned (hash →
+    * min id) aggregate — precomputed once, bucketed by content_hash at
+    * deploy so the daily batch join is shuffle-free on the base side;
+    * the batch side shuffles only the batch. Intra-batch dedup is a
+    * per-hash window over the batch alone, never the corpus.
+    */
+  def docIncrementalDedup(t: Tables, mod: Int = 5, ordered: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = t.documents.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val batch = hashed.filter(pmod(col("doc_id"), lit(mod)) === 0)
+    val base = hashed.filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+    val baseIdx = base.groupBy(col("content_hash")).agg(min(col("doc_id")).as("base_id"))
+    val wB = Window.partitionBy(col("content_hash"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val dupOf = when(col("base_id").isNull, col("intra_id"))
+      .when(col("intra_id").isNull, col("base_id"))
+      .otherwise(least(col("base_id"), col("intra_id")))
+    maybeSort(
+      batch
+        .withColumn("intra_id", min(col("doc_id")).over(wB))
+        .join(baseIdx, Seq("content_hash"), "left")
+        .select(col("doc_id"), col("content_hash"), dupOf.as("dup_of"),
+          dupOf.isNull.cast("int").as("is_new")),
+      ordered)(col("doc_id"))
+  }
+
   /** Minimum required overlap ⌈t·n⌉, guarded against double rounding:
     * for thresholds whose product lands just above an integer in
     * binary floating point (0.55·100 = 55.000000000000007), a bare
