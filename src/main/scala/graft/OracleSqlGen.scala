@@ -163,15 +163,15 @@ object OracleSqlGen {
   val docEmbedCosineDup: String =
     s"""WITH $normCte
        |SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
-       |  round($dotQC/(sqrt(q.n2)*sqrt(c.n2)), 6) AS cos_r
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
        |FROM n q JOIN n c ON q.vec_id < c.vec_id
-       |WHERE round($dotQC/(sqrt(q.n2)*sqrt(c.n2)), 6) >= 0.45
+       |WHERE floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
 
   val annTopkBruteforce: String =
     s"""WITH $normCte,
        |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-       |  round($dotQC/(sqrt(q.n2)*sqrt(c.n2)), 6) AS cos_r
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
        |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
        |SELECT q_id, rank, vec_id, cos_r FROM (
        |  SELECT q_id, vec_id, cos_r,
@@ -187,7 +187,7 @@ object OracleSqlGen {
     s"""WITH $normCte,
        |nb AS (SELECT vec_id, v, n2, $bucketExpr AS bucket FROM n),
        |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.bucket,
-       |  round($dotQC/(sqrt(q.n2)*sqrt(c.n2)), 6) AS cos_r
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
        |  FROM nb q JOIN nb c ON q.vec_id < 8 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id)
        |SELECT q_id, rank, vec_id, bucket, cos_r FROM (
        |  SELECT q_id, vec_id, bucket, cos_r,
@@ -214,7 +214,7 @@ object OracleSqlGen {
        |    ROW_NUMBER() OVER (PARTITION BY tbl, bucket ORDER BY vec_id ASC) AS pn
        |  FROM p) WHERE pn <= 64),
        |sc AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id,
-       |  round($dotQC/(sqrt(q.n2)*sqrt(c.n2)), 6) AS cos_r
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
        |  FROM p q JOIN corpus c
        |    ON q.vec_id < 8 AND c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id)
        |SELECT q_id, rank, vec_id, cos_r FROM (
@@ -230,7 +230,7 @@ object OracleSqlGen {
        |SELECT label, COUNT(*) AS n,
        |  MIN(norm_r) AS min_norm, MAX(norm_r) AS max_norm,
        |  CAST(SUM(CAST(norm_r AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_norm
-       |FROM (SELECT label, round(sqrt(n2), 6) AS norm_r FROM n)
+       |FROM (SELECT label, floor(sqrt(n2)*1000000 + 0.5)/1000000 AS norm_r FROM n)
        |GROUP BY label ORDER BY label""".stripMargin
 
   private def markerList(words: Seq[String]): String =
@@ -267,10 +267,10 @@ object OracleSqlGen {
        |    ${markerCountSql(allMarkers).replace("tk", "string_split(lower(text),' ')")} AS stop_n,
        |    length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS alpha_n
        |  FROM documents),
-       |r AS (SELECT *, round(stop_n/n_tokens, 6) AS stop_ratio,
-       |  round(alpha_n/n_chars, 6) AS alpha_ratio FROM base)
+       |r AS (SELECT *, floor((stop_n/n_tokens)*1000000 + 0.5)/1000000 AS stop_ratio,
+       |  floor((alpha_n/n_chars)*1000000 + 0.5)/1000000 AS alpha_ratio FROM base)
        |SELECT doc_id, n_chars, n_tokens, stop_n, alpha_n, stop_ratio, alpha_ratio,
-       |  round(least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio), 6) AS quality_score
+       |  floor((least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio))*1000000 + 0.5)/1000000 AS quality_score
        |FROM r ORDER BY doc_id""".stripMargin
   }
 

@@ -251,8 +251,8 @@ object SparkEntry {
         |SELECT month, revenue,
         |  LAG(revenue, 1) OVER (ORDER BY month) AS prev_revenue,
         |  CASE WHEN LAG(revenue, 1) OVER (ORDER BY month) IS NOT NULL
-        |    THEN round((revenue - LAG(revenue, 1) OVER (ORDER BY month))
-        |      / LAG(revenue, 1) OVER (ORDER BY month) * 100.0, 6) END AS pct_change
+        |    THEN floor(((revenue - LAG(revenue, 1) OVER (ORDER BY month))
+        |      / LAG(revenue, 1) OVER (ORDER BY month) * 100.0)*1000000 + 0.5)/1000000 END AS pct_change
         |FROM m ORDER BY month""".stripMargin,
 
     "q1_pricing_summary" ->
@@ -423,9 +423,9 @@ object SparkEntry {
 
     "q_percentiles" ->
       """SELECT o_orderpriority,
-        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  floor(quantile_cont(o_totalprice, 0.25)*10000 + 0.5)/10000 AS p25,
+        |  floor(quantile_cont(o_totalprice, 0.5)*10000 + 0.5)/10000 AS p50,
+        |  floor(quantile_cont(o_totalprice, 0.9)*10000 + 0.5)/10000 AS p90,
         |  COUNT(*) AS n
         |FROM orders
         |GROUP BY o_orderpriority
@@ -467,7 +467,7 @@ object SparkEntry {
         """ , CAST(n_tokens >= 20 AS INTEGER) AS len_ok,
           |  CAST(stop_ratio > 0.0 AS INTEGER) AS stop_ok
           |FROM r
-          |WHERE round(least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio), 6) >= 0.5
+          |WHERE floor((least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio))*1000000 + 0.5)/1000000 >= 0.5
           |ORDER BY doc_id""".stripMargin)),
 
     "doc_stratified_sample" ->
@@ -537,7 +537,7 @@ object SparkEntry {
         |SELECT doc_id, width, height,
         |  CAST(greatest(1, round(width * sc)) AS INTEGER) AS target_w,
         |  CAST(greatest(1, round(height * sc)) AS INTEGER) AS target_h,
-        |  round(sc, 6) AS scale
+        |  floor(sc*1000000 + 0.5)/1000000 AS scale
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->

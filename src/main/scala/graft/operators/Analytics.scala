@@ -192,9 +192,9 @@ object Analytics {
       .select($("o_orderpriority"), $("o_totalprice"))
       .groupBy($("o_orderpriority"))
       .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        r4(expr("percentile(o_totalprice, 0.25)")).as("p25"),
+        r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
         count(lit(1)).as("n"))
       .orderBy($("o_orderpriority"))
 
@@ -308,7 +308,7 @@ object Analytics {
       .withColumn("prev_revenue", lag($("revenue"), 1).over(w))
       .withColumn("pct_change",
         when($("prev_revenue").isNotNull,
-          round(($("revenue") - $("prev_revenue")) / $("prev_revenue") * 100.0, 6)))
+          r6(($("revenue") - $("prev_revenue")) / $("prev_revenue") * 100.0)))
       .orderBy($("month"))
   }
 

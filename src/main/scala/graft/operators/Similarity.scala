@@ -34,7 +34,7 @@ object Similarity {
 
   /** Cosine rounded to 6dp, from precomputed squared norms. */
   def cosineR(a: Column, b: Column, na2: Column, nb2: Column): Column =
-    round(dot(a, b) / (sqrt(na2) * sqrt(nb2)), 6)
+    r6(dot(a, b) / (sqrt(na2) * sqrt(nb2)))
 
   /** All (query × candidate) cosines for queries vec_id < nQueries.
     * The tiny query side is broadcast → BroadcastNestedLoopJoin: the
@@ -202,7 +202,7 @@ object Similarity {
   /** D3: per-label vector-norm statistics (array math in codegen). */
   def embNormStats(t: Tables): DataFrame =
     withNorm(t.embeddings)
-      .select(col("label"), round(sqrt(col("n2")), 6).as("norm_r"))
+      .select(col("label"), r6(sqrt(col("n2"))).as("norm_r"))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n"),

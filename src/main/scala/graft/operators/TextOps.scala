@@ -62,11 +62,11 @@ object TextOps {
       .withColumn("stop_n", markerCount(col("toks"), LangMarkers.flatMap(_._2)).cast("long"))
       .withColumn("alpha_n", (length(col("text")) -
         length(regexp_replace(col("text"), "[a-z]", ""))).cast("long"))
-      .withColumn("stop_ratio", round(col("stop_n") / col("n_tokens"), 6))
-      .withColumn("alpha_ratio", round(col("alpha_n") / col("n_chars"), 6))
+      .withColumn("stop_ratio", r6(col("stop_n") / col("n_tokens")))
+      .withColumn("alpha_ratio", r6(col("alpha_n") / col("n_chars")))
       .withColumn("quality_score",
-        round(least(lit(1.0), col("n_tokens") / lit(100.0)) *
-          (lit(0.5) + lit(0.25) * col("stop_ratio") + lit(0.25) * col("alpha_ratio")), 6))
+        r6(least(lit(1.0), col("n_tokens") / lit(100.0)) *
+          (lit(0.5) + lit(0.25) * col("stop_ratio") + lit(0.25) * col("alpha_ratio"))))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("stop_n"),
         col("alpha_n"), col("stop_ratio"), col("alpha_ratio"), col("quality_score"))
   }, ordered)(col("doc_id"))
