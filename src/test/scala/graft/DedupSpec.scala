@@ -53,6 +53,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("df-capped jaccard: results ⊆ exact; cap=∞ == exact; tiny cap only shrinks the pair set") {
+    val exact = pairs(Dedup.docNgramJaccard(tables))
+    val uncapped = pairs(Dedup.docNgramJaccardCapped(tables, dfCap = Int.MaxValue))
+    assert(uncapped == exact, "no cap → identical to the exact inverted-index result")
+    val capped = pairs(Dedup.docNgramJaccardCapped(tables, dfCap = 3))
+    assert(capped.subsetOf(exact), s"cap must only lose recall, found extras: ${capped -- exact}")
+  }
+
+  test("incremental dedup: dup_of precedes the doc, base wins over intra-batch, is_new consistent") {
+    val rows = Dedup.docIncrementalDedup(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val batchIds = rows.map(_._1).toSet
+    assert(batchIds.forall(_ % 5 == 0), "batch is doc_id % 5 == 0")
+    // cross-check against ground truth recomputed from the raw table
+    val all = tables.documents.selectExpr("doc_id", "md5(text) AS h").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val baseByHash = all.filter(_._1 % 5 != 0).groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    rows.foreach { case (id, h, dupOf, isNew) =>
+      val intra = batchIds.filter(b => b < id && all.exists(a => a._1 == b && a._2 == h))
+      val expected = (baseByHash.get(h), intra.nonEmpty) match {
+        case (Some(b), true)  => Some(math.min(b, intra.min))
+        case (Some(b), false) => Some(b)
+        case (None, true)     => Some(intra.min)
+        case (None, false)    => None
+      }
+      assert(dupOf == expected, s"doc $id: dup_of $dupOf != $expected")
+      assert((isNew == 1) == dupOf.isEmpty, s"doc $id: is_new inconsistent")
+      dupOf.foreach(d => assert(d < id, s"doc $id: dup_of $d must precede it"))
+    }
+  }
+
   test("minOverlap == exact rational ceiling for integer-landing products") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
