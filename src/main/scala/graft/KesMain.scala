@@ -1,5 +1,7 @@
 package graft
 
+import com.fasterxml.jackson.databind.ObjectMapper
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
@@ -101,9 +103,51 @@ object KesMain {
       java.nio.file.Files.move(p, dst)
       dst
     }
+    // checkpoint first — it is the artifact validation diagnosed; if its
+    // move fails nothing has been touched yet (the sink log must never
+    // be orphaned by a half-done recovery)
+    val moved = aside(java.nio.file.Paths.get(checkpoint))
     val sinkLog = java.nio.file.Paths.get(out, "_spark_metadata")
     if (java.nio.file.Files.exists(sinkLog)) aside(sinkLog)
-    aside(java.nio.file.Paths.get(checkpoint))
+    moved
+  }
+
+  /** Pre-flight checkpoint validation — the recovery TRIGGER. Mirrors
+    * the reference, which recovers only when *opening the cache DB*
+    * fails (src/main.rs:103-113), never on downstream errors: a
+    * transient sink/source failure must not cost the dedup state.
+    * Checks the artifacts the engine reads at restart: the query
+    * `metadata` file parses as JSON, and every offsets/commits log
+    * entry carries the HDFSMetadataLog version header. Returns None
+    * when usable (or absent — a fresh start needs no recovery), or the
+    * defect description.
+    */
+  private[graft] def checkpointDefect(checkpoint: String): Option[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(checkpoint)
+    if (!Files.isDirectory(root)) return None
+    val meta = root.resolve("metadata")
+    if (Files.exists(meta)) {
+      try new ObjectMapper().readTree(Files.readString(meta))
+      catch { case e: Exception => return Some(s"metadata unreadable: ${e.getMessage}") }
+    }
+    for (log <- Seq("offsets", "commits")) {
+      val dir = root.resolve(log)
+      if (Files.isDirectory(dir)) {
+        val listing = Files.list(dir)
+        val bad =
+          try listing.iterator().asScala
+            .filter(p => p.getFileName.toString.forall(_.isDigit))
+            .find { p =>
+              try !Files.readString(p).startsWith("v")
+              catch { case _: Exception => true }
+            }
+          finally listing.close()
+        bad.foreach(p => return Some(s"$log/${p.getFileName} lacks the version header"))
+      }
+    }
+    None
   }
 
   /** LOG_JSON=1 → Spark 4 structured logging: driver logs switch to the
@@ -148,16 +192,15 @@ object KesMain {
     }
 
     try {
-      // corruption surfaces either at start (unreadable query metadata)
-      // or from the stream thread via awaitTermination (offset/commit
-      // log) — one retry after moving the dir aside covers both
-      try attempt()
-      catch {
-        case e: Throwable if recreate =>
-          val aside = moveCheckpointAside(checkpoint, out)
-          System.err.println(s"[kes] checkpoint unusable (${e.getMessage}); moved to $aside, starting fresh")
-          attempt()
+      // recovery is gated on pre-flight VALIDATION, not on catching the
+      // failure: a transient sink/source error must never destroy a
+      // healthy checkpoint (the reference recovers only when opening
+      // its cache DB fails, not on downstream errors)
+      if (recreate) checkpointDefect(checkpoint).foreach { defect =>
+        val aside = moveCheckpointAside(checkpoint, out)
+        System.err.println(s"[kes] checkpoint unusable ($defect); moved to $aside, starting fresh")
       }
+      attempt()
     } finally {
       scala.util.Try(server.foreach(_.stop(0)))
       spark.streams.removeListener(metrics)

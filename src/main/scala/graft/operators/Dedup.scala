@@ -89,6 +89,10 @@ object Dedup {
   private def withShared(shared: DataFrame, key: Column)(body: DataFrame => DataFrame): DataFrame = {
     val g = shared.repartition(key).persist(StorageLevel.MEMORY_AND_DISK)
     g.count() // materialize in parallel, once, before fan-out
+    // the returned (small) checkpoint's blocks live until the caller's
+    // Dataset is garbage-collected — ContextCleaner unpersists the RDD
+    // on GC, so repeated invocations are bounded, unlike the always-live
+    // shared relation released explicitly above
     try body(g).localCheckpoint(true)
     finally g.unpersist(false)
   }
@@ -211,10 +215,15 @@ object Dedup {
         .filter(col("df") <= dfCap)
         .select(col("gram"))
       val capped = g.join(rare, "gram").select(col("doc_id"), col("gram"))
+      // UNLIKE the prefix path, keep the pair-level distinct here: the
+      // capped join emits one row per SHARED GRAM (a near-identical
+      // pair sharing 500 sub-cap grams would verify 500×), not per
+      // shared prefix shingle — and the df-bounded candidate volume
+      // makes the dedup shuffle cheap
       val cands = capped.select(col("doc_id").as("da"), col("gram"))
         .join(capped.select(col("doc_id").as("db"), col("gram").as("gram2")),
           col("gram") === col("gram2") && col("da") < col("db"))
-        .select(col("da"), col("db"))
+        .select(col("da"), col("db")).distinct()
       verifiedJaccard(sets, cands, threshold)
     }
 

@@ -75,8 +75,12 @@ final class GraftMetricsListener extends StreamingQueryListener {
     s"graft_state_bytes ${stateBytes.get}",
     "# TYPE graft_source_buffered_events gauge",
     s"graft_source_buffered_events ${sourceBuffered.get}",
-    "# TYPE graft_source_backpressure_stalls_total counter",
-    s"graft_source_backpressure_stalls_total ${sourceStalls.get}")
+    // gauge, not counter: the underlying count restarts at 0 with each
+    // (re)started query's fresh source client, and a Prometheus counter
+    // must never decrease — scrapers should read this as "stalls of the
+    // currently running query"
+    "# TYPE graft_source_backpressure_stalls gauge",
+    s"graft_source_backpressure_stalls ${sourceStalls.get}")
 
   /** Serve GET /metrics on the given port (0 = ephemeral; read the
     * bound port off the returned server). Single-threaded — a scrape

@@ -44,14 +44,21 @@ class SimilaritySpec extends SparkSpec {
         s"neighbor $n of query $q shares no bucket in any table")
     }
     // candidate superset law: with the cap disabled, 4 tables see every
-    // candidate 1 table sees, so the per-query worst kept score can only
-    // improve (scores are exact cosines over the candidate set)
-    def minCos(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
-      df.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(3)).min).toMap
-    val single = minCos(Similarity.annLshMultiTable(tables, k = 3, nTables = 1, bucketCap = Int.MaxValue))
-    val multi = minCos(Similarity.annLshMultiTable(tables, k = 3, nTables = 4, bucketCap = Int.MaxValue))
-    single.foreach { case (q, s) =>
-      assert(multi(q) >= s - 1e-9, s"query $q: multi-table worst score $s regressed to ${multi(q)}")
+    // candidate 1 table sees, so for each rank BOTH sides fill, the
+    // multi-table score at that rank dominates (comparing mins of
+    // different-length top-k lists would be unsound: a superset can add
+    // a low-scoring 3rd hit where the single table had only 2)
+    def ranked(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq).toMap
+    val single = ranked(Similarity.annLshMultiTable(tables, k = 3, nTables = 1, bucketCap = Int.MaxValue))
+    val multi = ranked(Similarity.annLshMultiTable(tables, k = 3, nTables = 4, bucketCap = Int.MaxValue))
+    single.foreach { case (q, ss) =>
+      val ms = multi.getOrElse(q, Seq.empty)
+      ss.zip(ms).zipWithIndex.foreach { case ((s, m), i) =>
+        assert(m >= s - 1e-9, s"query $q rank ${i + 1}: multi-table score $m below single-table $s")
+      }
+      assert(ms.size >= ss.size, s"query $q: superset candidates returned fewer rows")
     }
     // the cap bounds posting lists: cap=1 still yields a valid (possibly
     // shorter) result with no self-matches
