@@ -88,11 +88,15 @@ object Dedup {
     */
   private def withShared(shared: DataFrame, key: Column)(body: DataFrame => DataFrame): DataFrame = {
     val g = shared.repartition(key).persist(StorageLevel.MEMORY_AND_DISK)
-    g.count() // materialize in parallel, once, before fan-out
-    // the returned (small) checkpoint's blocks live until the caller's
+    // no separate materialization job: the eager localCheckpoint below
+    // is ONE action over the whole fan-out plan, and the block manager's
+    // per-block compute locks make concurrent branches compute each
+    // cached partition once (others block and read) — a prior count()
+    // here paid a full extra pass over the scan for nothing.
+    // The returned (small) checkpoint's blocks live until the caller's
     // Dataset is garbage-collected — ContextCleaner unpersists the RDD
-    // on GC, so repeated invocations are bounded, unlike the always-live
-    // shared relation released explicitly above
+    // on GC, so repeated invocations are bounded, unlike the shared
+    // relation released explicitly in the finally.
     try body(g).localCheckpoint(true)
     finally g.unpersist(false)
   }
