@@ -53,6 +53,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "cartesian over embeddings")
   }
 
+  test("multi-table lsh: equi-join probe — no nested-loop or cartesian over the postings") {
+    val p = plan(Similarity.annLshMultiTable(tables))
+    assert(!p.contains("CartesianProduct"), "cartesian over postings")
+    // the (tbl, bucket) condition must drive a hash join (broadcast or
+    // shuffled) — a BNLJ would mean the equi-keys were not extracted
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(500))
+  }
+
+  test("incremental dedup: batch window partitioned by hash — no global sort or single partition") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = Dedup.docIncrementalDedup(tables).queryExecution.sparkPlan
+    val singles = sp.collect {
+      case s: ShuffleExchangeExec if s.outputPartitioning == SinglePartition => s
+    }
+    assert(singles.isEmpty, "incremental dedup must never route the corpus through one partition")
+    val globalSorts = sp.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, "deploy plan pays no global sort (ordered=false default)")
+  }
+
   test("cc round: pure Column plan — no typed boundary leaves Tungsten") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
