@@ -22,6 +22,18 @@ object Bench {
   private val HeavyExtra = 2
   private val Heavy = Set("doc_ngram_jaccard", "doc_dedup_clusters")
 
+  /** State-partition count for the streaming pipeline — a deploy
+    * sizing knob, like shuffle partitions for batch: each micro-batch
+    * pays a fixed get/commit cost PER state store, so partitions
+    * should match the keyspace, not the core count. At sf0.1 (~5k
+    * distinct cache keys) 32 stores are overhead-dominated: measured
+    * 5.5–6.0 s with 32 vs 2.6–3.0 s with 8 for the same 4-batch run.
+    * At 100 TB/day rates the same knob turns the other way. Recorded
+    * in the emitted JSON for comparability.
+    */
+  private val StreamStateParts =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "8").toInt
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s(s.size / 2)
@@ -65,11 +77,17 @@ object Bench {
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .as[graft.model.Ev].collect().toSeq.sortBy(e => (e.ts.toEpochMilli, e.event_id))
       val input = MemoryStream[graft.model.Ev]
-      val q = graft.streaming.EventStreamJob.streamTtlCache(input.toDS())
-        .writeStream.outputMode("append").format("noop").start()
+      // state partitions sized to keyspace (see StreamStateParts); the
+      // conf is read at query start and restored for the batch queries
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", StreamStateParts.toString)
       try {
-        evs.grouped((evs.size + 3) / 4).foreach { b => input.addData(b); q.processAllAvailable() }
-      } finally q.stop()
+        val q = graft.streaming.EventStreamJob.streamTtlCache(input.toDS())
+          .writeStream.outputMode("append").format("noop").start()
+        try {
+          evs.grouped((evs.size + 3) / 4).foreach { b => input.addData(b); q.processAllAvailable() }
+        } finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
 
     val batchRuns = (1 to Iters).map(_ => runBatchOnce())
@@ -96,7 +114,7 @@ object Bench {
       s"\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iterations":$Iters,"iters_per_query":$iters,"cpus":$cpus,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iterations":$Iters,"iters_per_query":$iters,"cpus":$cpus,"stream_state_partitions":$StreamStateParts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
