@@ -35,6 +35,15 @@ final class GraftMetricsListener extends StreamingQueryListener {
   // backpressureStalls per progress
   val sourceBuffered = new AtomicLong(0)
   val sourceStalls = new AtomicLong(0)
+  // dedup-cache counters, derived from the engine's own row accounting
+  // per batch (reference cachedb_events_processed{cache_hits|
+  // cache_misses}, tasks.rs:92-100): a dedup pipeline's misses are the
+  // rows the sink emitted, hits the rows it swallowed
+  val cacheHits = new AtomicLong(0)
+  val cacheMisses = new AtomicLong(0)
+  // state rows evicted by timeout/watermark (reference clean_cache's
+  // "purged entries", tasks.rs:184-210)
+  val stateEvictions = new AtomicLong(0)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
@@ -46,6 +55,12 @@ final class GraftMetricsListener extends StreamingQueryListener {
       stateRows.set(st.map(_.numRowsTotal).sum)
       stateBytes.set(st.map(_.memoryUsedBytes).sum)
       rowsOutput.addAndGet(st.map(_.numRowsUpdated).sum)
+      stateEvictions.addAndGet(st.map(_.numRowsRemoved).sum)
+    }
+    val sunk = e.progress.sink.numOutputRows
+    if (st != null && st.nonEmpty && sunk >= 0 && e.progress.numInputRows >= sunk) {
+      cacheMisses.addAndGet(sunk)
+      cacheHits.addAndGet(e.progress.numInputRows - sunk)
     }
     val srcs = e.progress.sources
     if (srcs != null && srcs.nonEmpty) {
@@ -73,6 +88,12 @@ final class GraftMetricsListener extends StreamingQueryListener {
     s"graft_state_rows ${stateRows.get}",
     "# TYPE graft_state_bytes gauge",
     s"graft_state_bytes ${stateBytes.get}",
+    "# TYPE graft_cache_hits_total counter",
+    s"graft_cache_hits_total ${cacheHits.get}",
+    "# TYPE graft_cache_misses_total counter",
+    s"graft_cache_misses_total ${cacheMisses.get}",
+    "# TYPE graft_state_evictions_total counter",
+    s"graft_state_evictions_total ${stateEvictions.get}",
     "# TYPE graft_source_buffered_events gauge",
     s"graft_source_buffered_events ${sourceBuffered.get}",
     // gauge, not counter: the underlying count restarts at 0 with each

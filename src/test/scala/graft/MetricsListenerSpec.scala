@@ -31,6 +31,10 @@ class MetricsListenerSpec extends SparkSpec {
       assert(listener.stateBytes.get() > 0,
         "state bytes gauge (the reference's cachedb_size{bytes}) must be fed")
       assert(listener.snapshot.exists(_.startsWith("graft_events_processed_total")))
+      // reference cachedb_events_processed{cache_hits|cache_misses}:
+      // 5 keys → 5 first-seen emissions (misses), 45 suppressed (hits)
+      assert(listener.cacheMisses.get() == 5, listener.snapshot.mkString("; "))
+      assert(listener.cacheHits.get() == 45, listener.snapshot.mkString("; "))
 
       // served endpoint: the reference's 0.0.0.0:9000 exposition scrape
       val server = listener.serve(0)
