@@ -31,6 +31,13 @@ object GraftSession {
     *  - 128 MB scan partitions keep tasks memory-bounded at any SF.
     *  - autoBroadcastJoinThreshold raised: our dims (region…customer)
     *    stay broadcast even at SF where stats are conservative.
+    *  - STREAMING state partitions are a separate knob from batch
+    *    shuffle width: each micro-batch pays a fixed get/commit cost
+    *    per state store, so size them to the keyspace, not the core
+    *    count (measured 2× on the TTL-cache pipeline — see
+    *    Bench.StreamStateParts) by setting shuffle.partitions in the
+    *    session that STARTS the streaming query; the checkpoint pins
+    *    it thereafter.
     */
   def clusterBuilder(totalCores: Int): SparkSession.Builder =
     SparkSession.builder()
