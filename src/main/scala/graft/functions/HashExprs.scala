@@ -2,9 +2,9 @@ package graft.functions
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native 60-bit md5-prefix hash: the long whose value equals parsing
@@ -261,5 +261,48 @@ object Md5Prefix60 {
       ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
     top >>> 4
+  }
+}
+
+/** Count of DISTINCT common values of two long-array shingle sets —
+  * value-identical to `size(array_intersect(a, b))` (common VALUES
+  * counted once even under duplicates) but with no intermediate
+  * intersection array: the Jaccard verify evaluates this once per
+  * candidate pair (~10⁶ rows/query), where array_intersect's
+  * allocated-and-discarded ArrayData per row is pure overhead. Hash
+  * set built from the smaller side, probed by the larger,
+  * remove-on-match so each common value counts once.
+  */
+case class IntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCount.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.IntersectCount.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCount {
+  // static entry named `compute`, not `eval` — see GramHashes note
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    val set = new java.util.HashSet[java.lang.Long](math.max(4, n * 2))
+    var i = 0
+    while (i < n) { set.add(small.getLong(i)); i += 1 }
+    val m = large.numElements()
+    var c = 0
+    i = 0
+    while (i < m) { if (set.remove(large.getLong(i))) c += 1; i += 1 }
+    c
   }
 }

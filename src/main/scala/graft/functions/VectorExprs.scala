@@ -102,6 +102,8 @@ object VectorExprs {
       "graft_gram5_hashes", exprs => GramHashes(exprs.head, 5, distinct = false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_min", exprs => RollingHashMin(exprs.head, 16), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_intersect_count", exprs => IntersectCount(exprs.head, exprs(1)), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)

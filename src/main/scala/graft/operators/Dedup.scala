@@ -299,8 +299,9 @@ object Dedup {
   }
 
   /** Exact Jaccard on candidate pairs: two equi-joins pull each side's
-    * gram-hash ARRAY onto the candidate row, then one codegen'd
-    * array_intersect computes |A∩B| locally — work proportional to
+    * gram-hash ARRAY onto the candidate row, then the native
+    * IntersectCount expression computes |A∩B| locally (no intermediate
+    * intersection array per pair, unlike size(array_intersect)) — work proportional to
     * candidates × avg set size, with no exploded re-join (round 3's
     * exploded verify shuffled ~40M rows for 788k candidates; this
     * shuffles the candidates once per side, and AQE broadcasts the
@@ -316,7 +317,7 @@ object Dedup {
     cands
       .join(sa, "da")
       .join(sb, col("db") === col("db2"))
-      .withColumn("c", size(array_intersect(col("gsa"), col("gsb"))))
+      .withColumn("c", call_function("graft_intersect_count", col("gsa"), col("gsb")))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -39,7 +39,13 @@ class CodegenSpec extends SparkSpec {
       call_function("graft_simhash_grams", split(lower(col("text")), " ")).as("sg"),
       call_function("graft_simhash60", call_function("graft_gram3_hashes", col("text"))).as("sh"),
       call_function("graft_md5_60", col("text")).as("m"),
-      call_function("graft_rolling_min", col("text")).as("rm")
+      call_function("graft_rolling_min", col("text")).as("rm"),
+      call_function("graft_intersect_count",
+        call_function("graft_gram3_hashes", col("text")),
+        call_function("graft_gram5_hashes", col("text"))).as("ic"),
+      size(array_intersect(
+        call_function("graft_gram3_hashes", col("text")),
+        call_function("graft_gram5_hashes", col("text")))).as("ic_ref")
     ).collect()(0)
 
     val text = UTF8String.fromString(row.getAs[String]("text"))
@@ -49,6 +55,8 @@ class CodegenSpec extends SparkSpec {
       GramHashes.compute(text, 5, distinct = false).toLongArray.toSeq)
     assert(row.getAs[Long]("m") == Md5Prefix60.hash(text))
     assert(row.getAs[Long]("rm") == RollingHashMin.hash(text, 16))
+    assert(row.getAs[Int]("ic") == row.getAs[Int]("ic_ref"),
+      "IntersectCount must equal size(array_intersect)")
 
     val e = graft.sources.Tables(codegenOnly, sfDir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -4,7 +4,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.{GramHashes, Md5Prefix60, SimHash60}
+import graft.functions.{GramHashes, IntersectCount, Md5Prefix60, SimHash60}
 
 /** Property-based laws for the native expressions: each fused fast
   * path must equal its naive reference formulation on arbitrary input
@@ -35,6 +35,17 @@ class ExprPropertiesSpec extends SparkSpec {
   test("Md5Prefix60 == parse(first 15 hex chars of md5)") {
     forAll(text) { s =>
       assert(Md5Prefix60.hash(UTF8String.fromString(s)) == refMd5_60(s))
+    }
+  }
+
+  test("IntersectCount == |distinct common values|, order- and duplicate-insensitive") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain forces collisions+dups
+    forAll(arr, arr) { (a, b) =>
+      val expected = a.toSet.intersect(b.toSet).size
+      val got = IntersectCount.compute(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      assert(got == expected, s"a=$a b=$b")
     }
   }
 
