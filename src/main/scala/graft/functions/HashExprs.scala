@@ -277,6 +277,18 @@ case class IntersectCount(left: Expression, right: Expression) extends BinaryExp
 
   override def dataType: DataType = IntegerType
 
+  // long arrays only: UnsafeArrayData.getLong on e.g. int elements
+  // would silently read garbage across slots; fail analysis instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(LongType, _),
+            org.apache.spark.sql.types.ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_intersect_count requires two array<bigint> arguments, got ${l.sql} and ${r.sql}")
+    }
+  }
+
   protected override def nullSafeEval(a: Any, b: Any): Any =
     IntersectCount.compute(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
@@ -297,12 +309,23 @@ object IntersectCount {
     val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val n = small.numElements()
     val set = new java.util.HashSet[java.lang.Long](math.max(4, n * 2))
+    var smallNull = false
     var i = 0
-    while (i < n) { set.add(small.getLong(i)); i += 1 }
+    while (i < n) {
+      if (small.isNullAt(i)) smallNull = true else set.add(small.getLong(i))
+      i += 1
+    }
     val m = large.numElements()
     var c = 0
+    var largeNull = false
     i = 0
-    while (i < m) { if (set.remove(large.getLong(i))) c += 1; i += 1 }
-    c
+    while (i < m) {
+      if (large.isNullAt(i)) largeNull = true
+      else if (set.remove(large.getLong(i))) c += 1
+      i += 1
+    }
+    // array_intersect treats NULL elements as equal: a null present in
+    // BOTH arrays is one common value
+    if (smallNull && largeNull) c + 1 else c
   }
 }

@@ -89,10 +89,14 @@ object Dedup {
   private def withShared(shared: DataFrame, key: Column)(body: DataFrame => DataFrame): DataFrame = {
     val g = shared.repartition(key).persist(StorageLevel.MEMORY_AND_DISK)
     // no separate materialization job: the eager localCheckpoint below
-    // is ONE action over the whole fan-out plan, and the block manager's
-    // per-block compute locks make concurrent branches compute each
-    // cached partition once (others block and read) — a prior count()
-    // here paid a full extra pass over the scan for nothing.
+    // is ONE action over the whole fan-out plan. The expensive work
+    // (scan + gram hashing) is the MAP side of the repartition's
+    // shuffle, which any job runs exactly once regardless of how many
+    // branches consume it; a cache miss on the post-shuffle cached
+    // partition re-READS shuffle files (per-executor compute locks
+    // dedupe locally; a cross-executor race at worst duplicates that
+    // cheap shuffle read, never the scan). A prior count() here paid a
+    // full extra pass over the scan for nothing.
     // The returned (small) checkpoint's blocks live until the caller's
     // Dataset is garbage-collected — ContextCleaner unpersists the RDD
     // on GC, so repeated invocations are bounded, unlike the shared

@@ -65,13 +65,23 @@ object KubeEventOps {
   /** Streaming form: watermark-bounded exact dedup on the cache key
     * (the reference's TTL cache — state expires with the watermark just
     * as clean_cache purges by CACHE_TTL).
+    *
+    * Cache observability rides the plan itself: two CollectMetrics
+    * nodes count rows entering and leaving the dedup, and
+    * GraftMetricsListener derives cache_hits/cache_misses from the
+    * per-batch observed metrics (reference tasks.rs:92-100). Observed
+    * metrics work with ANY sink — the deployed text FileStreamSink is
+    * a V1 sink whose progress reports numOutputRows = -1, so
+    * sink-based accounting would read zero forever.
     */
   def streamPipeline(events: DataFrame, cacheTtl: String = "1 hour"): DataFrame =
     stdoutRecord(
       withDerived(events)
         .filter(col("time").isNotNull)
+        .observe("kes_cache_in", count(lit(1)).as("n"))
         .withWatermark("time", cacheTtl)
-        .dropDuplicatesWithinWatermark("key"))
+        .dropDuplicatesWithinWatermark("key")
+        .observe("kes_cache_out", count(lit(1)).as("n")))
 
   /** Prometheus events_count{type, reason, kind, namespace} analog
     * (tasks.rs:107) — "-" for missing labels, and counted over the

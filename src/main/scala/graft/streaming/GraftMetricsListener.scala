@@ -35,10 +35,15 @@ final class GraftMetricsListener extends StreamingQueryListener {
   // backpressureStalls per progress
   val sourceBuffered = new AtomicLong(0)
   val sourceStalls = new AtomicLong(0)
-  // dedup-cache counters, derived from the engine's own row accounting
-  // per batch (reference cachedb_events_processed{cache_hits|
-  // cache_misses}, tasks.rs:92-100): a dedup pipeline's misses are the
-  // rows the sink emitted, hits the rows it swallowed
+  // dedup-cache counters (reference cachedb_events_processed{
+  // cache_hits|cache_misses}, tasks.rs:92-100), fed by the pipeline's
+  // own kes_cache_in/kes_cache_out observed metrics (CollectMetrics
+  // nodes in KubeEventOps.streamPipeline): rows entering minus rows
+  // leaving the dedup are the suppressed duplicates. Observed metrics
+  // ride the plan, so they work with the deployed V1 text sink (whose
+  // progress reports numOutputRows = -1) and only fire for queries
+  // that actually carry the dedup observation — a windowed-aggregate
+  // query on the same session contributes nothing.
   val cacheHits = new AtomicLong(0)
   val cacheMisses = new AtomicLong(0)
   // state rows evicted by timeout/watermark (reference clean_cache's
@@ -57,10 +62,14 @@ final class GraftMetricsListener extends StreamingQueryListener {
       rowsOutput.addAndGet(st.map(_.numRowsUpdated).sum)
       stateEvictions.addAndGet(st.map(_.numRowsRemoved).sum)
     }
-    val sunk = e.progress.sink.numOutputRows
-    if (st != null && st.nonEmpty && sunk >= 0 && e.progress.numInputRows >= sunk) {
-      cacheMisses.addAndGet(sunk)
-      cacheHits.addAndGet(e.progress.numInputRows - sunk)
+    val om = e.progress.observedMetrics
+    if (om != null && om.containsKey("kes_cache_in") && om.containsKey("kes_cache_out")) {
+      val in = om.get("kes_cache_in").getAs[Long]("n")
+      val out = om.get("kes_cache_out").getAs[Long]("n")
+      if (in >= out) {
+        cacheMisses.addAndGet(out)
+        cacheHits.addAndGet(in - out)
+      }
     }
     val srcs = e.progress.sources
     if (srcs != null && srcs.nonEmpty) {

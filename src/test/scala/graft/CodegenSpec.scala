@@ -77,10 +77,19 @@ class CodegenSpec extends SparkSpec {
         array(lit(2.0), lit(5.0), (col("id") + 4L).cast("double"))).as("d"),
       call_function("graft_simhash60",
         array(col("id") + 5L, lit(null).cast("long"), col("id") + 9L)).as("sh"),
-      call_function("graft_simhash60", array(col("id") + 5L, col("id") + 9L)).as("sh_ref")
+      call_function("graft_simhash60", array(col("id") + 5L, col("id") + 9L)).as("sh_ref"),
+      call_function("graft_intersect_count",
+        array(col("id") + 1L, lit(null).cast("long"), lit(7L)),
+        array(lit(null).cast("long"), col("id") + 1L, lit(8L))).as("ic_null"),
+      size(array_intersect(
+        array(col("id") + 1L, lit(null).cast("long"), lit(7L)),
+        array(lit(null).cast("long"), col("id") + 1L, lit(8L)))).as("ic_null_ref")
     ).collect()(0)
     assert(row.getAs[Double]("d") == 1.0 * 2 + 3.0 * 4, "null pair contributes 0")
     assert(row.getAs[Long]("sh") == row.getAs[Long]("sh_ref"), "null hash skipped")
+    assert(row.getAs[Int]("ic_null") == 2 &&
+      row.getAs[Int]("ic_null") == row.getAs[Int]("ic_null_ref"),
+      "null elements follow array_intersect semantics (null==null counts once)")
   }
 
   test("gram-based dedup pipeline runs end-to-end under CODEGEN_ONLY") {

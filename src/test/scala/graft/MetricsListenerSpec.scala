@@ -31,10 +31,10 @@ class MetricsListenerSpec extends SparkSpec {
       assert(listener.stateBytes.get() > 0,
         "state bytes gauge (the reference's cachedb_size{bytes}) must be fed")
       assert(listener.snapshot.exists(_.startsWith("graft_events_processed_total")))
-      // reference cachedb_events_processed{cache_hits|cache_misses}:
-      // 5 keys → 5 first-seen emissions (misses), 45 suppressed (hits)
-      assert(listener.cacheMisses.get() == 5, listener.snapshot.mkString("; "))
-      assert(listener.cacheHits.get() == 45, listener.snapshot.mkString("; "))
+      // this query carries no kes_cache observation → the cache
+      // counters must NOT be polluted by an unrelated stateful query
+      assert(listener.cacheMisses.get() == 0 && listener.cacheHits.get() == 0,
+        listener.snapshot.mkString("; "))
 
       // served endpoint: the reference's 0.0.0.0:9000 exposition scrape
       val server = listener.serve(0)
@@ -48,6 +48,45 @@ class MetricsListenerSpec extends SparkSpec {
         assert(body.linesIterator
           .find(_.startsWith("graft_events_processed_total ")).get.split(" ")(1).toLong >= 50)
       } finally server.stop(0)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
+  test("cache hit/miss counters derive from the pipeline's observed metrics (any sink, incl. V1)") {
+    val listener = new GraftMetricsListener
+    spark.streams.addListener(listener)
+    val in = java.nio.file.Files.createTempDirectory("ml_in").toFile
+    val out = java.nio.file.Files.createTempDirectory("ml_out").toFile.getAbsolutePath + "/data"
+    val ckpt = java.nio.file.Files.createTempDirectory("ml_ckpt").toFile.getAbsolutePath
+    val e1 =
+      """{"metadata":{"name":"e1","uid":"u1","resourceVersion":"1","creationTimestamp":"2024-01-01T00:00:00Z"},"involvedObject":{"kind":"Pod"},"reason":"Started","type":"Normal"}"""
+    val e2 =
+      """{"metadata":{"name":"e2","uid":"u2","resourceVersion":"2","creationTimestamp":"2024-01-01T00:00:05Z"},"involvedObject":{"kind":"Pod"},"reason":"Pulled","type":"Normal"}"""
+    // 3 rows, 1 duplicate key → 2 misses, 1 hit — through the DEPLOYED
+    // sink shape (text FileStreamSink, a V1 sink with numOutputRows=-1,
+    // which is exactly why the counters ride observed metrics)
+    java.nio.file.Files.writeString(new java.io.File(in, "b.json").toPath,
+      Seq(e1, e1, e2).mkString("\n"))
+    val q = graft.operators.KubeEventOps
+      .streamPipeline(graft.sources.KubeEventSource.streamJsonLines(spark, in.getAbsolutePath))
+      .select(org.apache.spark.sql.functions.col("line").as("value"))
+      .writeStream.format("text")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      // listener events arrive asynchronously — poll the counters
+      // themselves (polling a different field of the same callback
+      // races its later lines)
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.cacheMisses.get() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.cacheMisses.get() == 2, listener.snapshot.mkString("; "))
+      assert(listener.cacheHits.get() == 1, listener.snapshot.mkString("; "))
     } finally {
       q.stop()
       spark.streams.removeListener(listener)
