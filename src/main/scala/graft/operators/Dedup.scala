@@ -88,21 +88,22 @@ object Dedup {
     */
   private def withShared(shared: DataFrame, key: Column)(body: DataFrame => DataFrame): DataFrame = {
     val g = shared.repartition(key).persist(StorageLevel.MEMORY_AND_DISK)
-    // no separate materialization job: the eager localCheckpoint below
-    // is ONE action over the whole fan-out plan. The expensive work
-    // (scan + gram hashing) is the MAP side of the repartition's
-    // shuffle, which any job runs exactly once regardless of how many
-    // branches consume it; a cache miss on the post-shuffle cached
-    // partition re-READS shuffle files (per-executor compute locks
-    // dedupe locally; a cross-executor race at worst duplicates that
-    // cheap shuffle read, never the scan). A prior count() here paid a
-    // full extra pass over the scan for nothing.
+    // materialize BEFORE the fan-out executes. Skipping this count()
+    // (lazy cache fill during the one eager action) measured ~0.5 s
+    // faster when lucky but BIMODAL when not: the fan-out's parent
+    // stages are submitted concurrently, every stage's tasks race to
+    // compute the same cold cached partitions, and blocked tasks
+    // occupy task slots — a scheduling convoy that took the capped
+    // jaccard query from 3 s to 14–22 s on identical data. One cheap
+    // deterministic pass beats a lottery.
+    g.count()
     // The returned (small) checkpoint's blocks live until the caller's
     // Dataset is garbage-collected — ContextCleaner unpersists the RDD
     // on GC, so repeated invocations are bounded, unlike the shared
-    // relation released explicitly in the finally.
+    // relation released (blocking, so iteration N's dead blocks never
+    // linger into iteration N+1) in the finally.
     try body(g).localCheckpoint(true)
-    finally g.unpersist(false)
+    finally g.unpersist(true)
   }
 
   /** Releases the block-manager storage behind a `localCheckpoint`ed
