@@ -80,6 +80,22 @@ object OracleSqlGen {
        |  FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id),
        |$jaccardTail""".stripMargin
 
+  /** Benchmark decontamination: distinct shared-shingle count per
+    * training doc vs the benchmark slice's shingle set.
+    */
+  def docDecontaminate(mod: Int, minShared: Int): String =
+    s"""WITH $gramCtes,
+       |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % $mod = 0),
+       |tr AS (SELECT doc_id, COUNT(*) AS n_grams FROM g WHERE doc_id % $mod <> 0 GROUP BY doc_id),
+       |sh AS (SELECT g.doc_id, COUNT(*) AS n_shared
+       |  FROM g JOIN bg USING (gram) WHERE g.doc_id % $mod <> 0 GROUP BY g.doc_id)
+       |SELECT tr.doc_id,
+       |  COALESCE(sh.n_shared, 0) AS n_shared,
+       |  tr.n_grams,
+       |  CAST(COALESCE(sh.n_shared, 0) >= $minShared AS INTEGER) AS contaminated
+       |FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id
+       |ORDER BY tr.doc_id""".stripMargin
+
   def docIncrementalDedup(mod: Int): String =
     s"""WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
        |batch AS (SELECT * FROM hashed WHERE doc_id % $mod = 0),

@@ -58,6 +58,7 @@ object SparkEntry {
     "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_)),
     "doc_ngram_jaccard_capped" -> q(Dedup.docNgramJaccardCapped(_)),
     "doc_incremental_dedup" -> q(Dedup.docIncrementalDedup(_, ordered = true)),
+    "doc_decontaminate"    -> q(Dedup.docDecontaminate(_, ordered = true)),
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
     "doc_embed_cosine_dup" -> q(Dedup.docEmbedCosineDup(_)),
     // §2.D similarity search
@@ -446,6 +447,7 @@ object SparkEntry {
     "ann_lsh_multitable"    -> OracleSqlGen.annLshMultiTable,
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),
     "doc_incremental_dedup" -> OracleSqlGen.docIncrementalDedup(5),
+    "doc_decontaminate"     -> OracleSqlGen.docDecontaminate(10, 1),
     "emb_norm_stats"        -> OracleSqlGen.embNormStats,
     "text_langid"           -> OracleSqlGen.textLangid,
     "text_quality"          -> OracleSqlGen.textQuality,

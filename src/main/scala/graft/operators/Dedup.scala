@@ -269,6 +269,40 @@ object Dedup {
       ordered)(col("doc_id"))
   }
 
+  /** C9: benchmark decontamination — flag training documents that share
+    * shingles with a (small) benchmark/eval set, the overlap-removal
+    * pass every training pipeline runs before a model sees the data.
+    * Here the benchmark set is carved deterministically from the corpus
+    * (doc_id % mod = 0); in production it is the eval suites.
+    *
+    * Scale shape — deliberately different from the pair-join dedups:
+    * the benchmark shingle set is tiny relative to the corpus, so it is
+    * `broadcast` and the training side meets it in a broadcast hash
+    * join: the 100 TB training corpus is NEVER shuffled — each task
+    * streams its documents past the in-memory benchmark set, and only
+    * the matched (doc, shared-gram) rows (bounded by the benchmark
+    * size) reach the one per-doc count aggregate. PlanSpec pins the
+    * broadcast.
+    */
+  def docDecontaminate(t: Tables, mod: Int = 10, minShared: Int = 1,
+      ordered: Boolean = false): DataFrame = {
+    val sets = gramSets(t)
+    val benchGrams = sets.filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .select(explode(col("gs")).as("gram")).distinct()
+    val train = sets.filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+    val shared = train.select(col("doc_id"), explode(col("gs")).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    maybeSort(
+      train.select(col("doc_id"), col("n_grams"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          col("n_grams").cast("long").as("n_grams"), // DuckDB COUNT is BIGINT
+          (coalesce(col("n_shared"), lit(0L)) >= minShared).cast("int").as("contaminated")),
+      ordered)(col("doc_id"))
+  }
+
   /** Minimum required overlap ⌈t·n⌉, guarded against double rounding:
     * for thresholds whose product lands just above an integer in
     * binary floating point (0.55·100 = 55.000000000000007), a bare

@@ -62,6 +62,13 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p.take(500))
   }
 
+  test("decontaminate: benchmark shingles broadcast — the training corpus never shuffles into the join") {
+    val p = plan(Dedup.docDecontaminate(tables))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast (train side streams):\n${p.take(500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("incremental dedup: batch window partitioned by hash — no global sort or single partition") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
