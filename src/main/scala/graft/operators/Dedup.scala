@@ -88,14 +88,13 @@ object Dedup {
     */
   private def withShared(shared: DataFrame, key: Column)(body: DataFrame => DataFrame): DataFrame = {
     val g = shared.repartition(key).persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize BEFORE the fan-out executes. Skipping this count()
-    // (lazy cache fill during the one eager action) measured ~0.5 s
-    // faster when lucky but BIMODAL when not: the fan-out's parent
-    // stages are submitted concurrently, every stage's tasks race to
-    // compute the same cold cached partitions, and blocked tasks
-    // occupy task slots — a scheduling convoy that took the capped
-    // jaccard query from 3 s to 14–22 s on identical data. One cheap
-    // deterministic pass beats a lottery.
+    // materialize BEFORE the fan-out executes: the fan-out's parent
+    // stages are submitted concurrently, and with a cold cache every
+    // stage's tasks race to compute the same cached partitions while
+    // blocked tasks occupy task slots. Lazy cache fill measured ~0.5 s
+    // faster under ideal conditions but nondeterministic under CPU
+    // pressure; one cheap up-front pass makes per-call cost
+    // predictable, which matters more.
     g.count()
     // The returned (small) checkpoint's blocks live until the caller's
     // Dataset is garbage-collected — ContextCleaner unpersists the RDD
