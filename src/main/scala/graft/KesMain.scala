@@ -96,6 +96,16 @@ object KesMain {
     * TTL window may re-emit once, the same trade the reference makes;
     * pre-recovery output files stay on disk under the moved-aside
     * metadata.
+    *
+    * Ordering is the safety argument: the SINK LOG moves first. If the
+    * process dies between the two moves, the survivor state is
+    * old-checkpoint + no sink log, and every recovery path from there
+    * merely re-emits (a plain restart resumes from the old checkpoint
+    * and rewrites the sink log from committed batches; a CACHE_RECREATE
+    * restart re-diagnoses the defect and finishes the move). The
+    * reverse order has a silent-loss window: checkpoint gone + stale
+    * sink log in place means a fresh query at batchId 0 skips every
+    * batch the stale log already lists.
     */
   private[graft] def moveCheckpointAside(checkpoint: String, out: String): java.nio.file.Path = {
     def aside(p: java.nio.file.Path): java.nio.file.Path = {
@@ -103,13 +113,9 @@ object KesMain {
       java.nio.file.Files.move(p, dst)
       dst
     }
-    // checkpoint first — it is the artifact validation diagnosed; if its
-    // move fails nothing has been touched yet (the sink log must never
-    // be orphaned by a half-done recovery)
-    val moved = aside(java.nio.file.Paths.get(checkpoint))
     val sinkLog = java.nio.file.Paths.get(out, "_spark_metadata")
     if (java.nio.file.Files.exists(sinkLog)) aside(sinkLog)
-    moved
+    aside(java.nio.file.Paths.get(checkpoint))
   }
 
   /** Pre-flight checkpoint validation — the recovery TRIGGER. Mirrors

@@ -239,8 +239,9 @@ object Dedup {
     * runs: an immutable BASE corpus (here: doc_id % mod ≠ 0) with a
     * maintained content-hash index, and a NEW batch (doc_id % mod = 0)
     * deduped against the index and against itself, without ever
-    * re-scanning base text. dup_of = lowest-id duplicate (base wins
-    * over intra-batch); is_new marks first-seen content.
+    * re-scanning base text. dup_of = lowest-id duplicate across both
+    * the base index and earlier intra-batch rows; is_new marks
+    * first-seen content.
     *
     * Scale shape: the base index is one hash-partitioned (hash →
     * min id) aggregate — precomputed once, bucketed by content_hash at

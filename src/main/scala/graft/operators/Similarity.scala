@@ -74,10 +74,14 @@ object Similarity {
     * reads a disjoint dimension slice — deterministic, engine-portable
     * (the classical random-hyperplane projection needs a seeded
     * matrix; axis-aligned slices are its oracle-checkable stand-in).
+    * Dimensions read via null-safe `get` (not ANSI `element_at`): a
+    * corpus with dim < offset+bits treats the missing dimensions as
+    * sign 0, matching the oracle's v[i]→NULL→ELSE 0 CASE instead of
+    * throwing INVALID_ARRAY_INDEX.
     */
   def signBucketAt(v: Column, bits: Int, offset: Int): Column =
     (0 until bits)
-      .map(d => when(element_at(v, offset + d + 1) > 0.0, lit(1L << d)).otherwise(lit(0L)))
+      .map(d => when(get(v, lit(offset + d)) > 0.0, lit(1L << d)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** Sign-pattern LSH bucket over the first `bits` dimensions. */

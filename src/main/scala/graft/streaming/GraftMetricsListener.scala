@@ -46,6 +46,11 @@ final class GraftMetricsListener extends StreamingQueryListener {
   // query on the same session contributes nothing.
   val cacheHits = new AtomicLong(0)
   val cacheMisses = new AtomicLong(0)
+  // rows discarded because they arrived behind the watermark — dropped
+  // by the dedup operator too, but NOT same-key suppressions, so they
+  // are counted separately rather than inflating cacheHits (the
+  // reference's cache_hits is strictly same-key, tasks.rs:92-100)
+  val lateDropped = new AtomicLong(0)
   // state rows evicted by timeout/watermark (reference clean_cache's
   // "purged entries", tasks.rs:184-210)
   val stateEvictions = new AtomicLong(0)
@@ -66,9 +71,15 @@ final class GraftMetricsListener extends StreamingQueryListener {
     if (om != null && om.containsKey("kes_cache_in") && om.containsKey("kes_cache_out")) {
       val in = om.get("kes_cache_in").getAs[Long]("n")
       val out = om.get("kes_cache_out").getAs[Long]("n")
-      if (in >= out) {
+      // in - out counts everything the dedup discarded, which is
+      // same-key hits PLUS late arrivals behind the watermark; the
+      // engine reports the late share per state operator, so subtract
+      // it to keep hit semantics aligned with the reference
+      val late = if (st != null && st.nonEmpty) st.map(_.numRowsDroppedByWatermark).sum else 0L
+      if (in >= out + late) {
         cacheMisses.addAndGet(out)
-        cacheHits.addAndGet(in - out)
+        lateDropped.addAndGet(late)
+        cacheHits.addAndGet(in - out - late)
       }
     }
     val srcs = e.progress.sources
@@ -101,6 +112,8 @@ final class GraftMetricsListener extends StreamingQueryListener {
     s"graft_cache_hits_total ${cacheHits.get}",
     "# TYPE graft_cache_misses_total counter",
     s"graft_cache_misses_total ${cacheMisses.get}",
+    "# TYPE graft_late_dropped_total counter",
+    s"graft_late_dropped_total ${lateDropped.get}",
     "# TYPE graft_state_evictions_total counter",
     s"graft_state_evictions_total ${stateEvictions.get}",
     "# TYPE graft_source_buffered_events gauge",

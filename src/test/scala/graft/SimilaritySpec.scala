@@ -66,6 +66,22 @@ class SimilaritySpec extends SparkSpec {
     capped.foreach(r => assert(r.getLong(0) != r.getLong(2), "self-match under cap"))
   }
 
+  test("sign bucket: dimensions past the vector end read as sign 0, not an ANSI error") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // dim-2 vectors, bucket over dims 4..12 (offset 4, 8 bits): every
+    // read is out of range → bucket 0 (the oracle's v[i]→NULL→ELSE 0)
+    val shorty = Seq((1L, Array(1.0, -1.0)), (2L, Array(0.5, 2.0)))
+      .toDF("vec_id", "v")
+    val out = shorty.select(Similarity.signBucketAt(col("v"), 8, 4).as("b")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 0L))
+    // partially in range: dim-2 vector over offset 1, 8 bits reads only
+    // index 1 (v(1) = -1.0 → bit clear; 2.0 → bit set)
+    val part = shorty.select(col("vec_id"), Similarity.signBucketAt(col("v"), 8, 1).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(part(1L) == 0L && part(2L) == 1L)
+  }
+
   test("lsh buckets: every neighbor shares the query's sign bucket") {
     val rows = Similarity.annLshBucketed(tables).collect()
     assert(rows.nonEmpty)
