@@ -255,7 +255,10 @@ object OracleSqlGen {
   private def markerCountSql(words: Seq[String]): String =
     s"len(list_filter(tk, x -> list_contains(${markerList(words)}, x)))"
 
-  val textLangid: String = {
+  /** Langid CTE chain c → b → p (p = per-doc predicted language),
+    * shared by textLangid and the composed docCurate pipeline.
+    */
+  private val langidCoreCtes: String = {
     val counts = TextOps.LangMarkers.map { case (l, ws) =>
       s"${markerCountSql(ws)} AS ${l}_n"
     }.mkString(",\n  ")
@@ -263,32 +266,119 @@ object OracleSqlGen {
     val pred = TextOps.LangMarkers.map { case (l, _) =>
       s"WHEN ${l}_n = best AND best > 0 THEN '$l'"
     }.mkString(" ")
-    s"""WITH c AS (
+    s"""c AS (
        |  SELECT doc_id, lang,
        |  $counts
        |  FROM (SELECT doc_id, lang, string_split(lower(text),' ') AS tk FROM documents)),
        |b AS (SELECT *, $best AS best FROM c),
        |p AS (SELECT doc_id, lang, en_n, de_n, es_n, fr_n, zh_n,
-       |  CASE $pred ELSE 'und' END AS pred_lang FROM b)
+       |  CASE $pred ELSE 'und' END AS pred_lang FROM b)""".stripMargin
+  }
+
+  val textLangid: String =
+    s"""WITH $langidCoreCtes
        |SELECT doc_id, lang, en_n, de_n, es_n, fr_n, zh_n, pred_lang,
        |  CAST(pred_lang = lang AS INTEGER) AS is_match
        |FROM p ORDER BY doc_id""".stripMargin
-  }
 
-  val textQuality: String = {
+  /** Quality CTE chain base → r; the score expression is separate so
+    * composing queries (docCurate) emit the identical double math.
+    */
+  private val qualityCoreCtes: String = {
     val allMarkers = TextOps.LangMarkers.flatMap(_._2)
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, length(text) AS n_chars,
        |    len(string_split(lower(text),' ')) AS n_tokens,
        |    ${markerCountSql(allMarkers).replace("tk", "string_split(lower(text),' ')")} AS stop_n,
        |    length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS alpha_n
        |  FROM documents),
        |r AS (SELECT *, floor((stop_n/n_tokens)*1000000 + 0.5)/1000000 AS stop_ratio,
-       |  floor((alpha_n/n_chars)*1000000 + 0.5)/1000000 AS alpha_ratio FROM base)
-       |SELECT doc_id, n_chars, n_tokens, stop_n, alpha_n, stop_ratio, alpha_ratio,
-       |  floor((least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio))*1000000 + 0.5)/1000000 AS quality_score
-       |FROM r ORDER BY doc_id""".stripMargin
+       |  floor((alpha_n/n_chars)*1000000 + 0.5)/1000000 AS alpha_ratio FROM base)""".stripMargin
   }
+
+  private val qualityScoreExpr: String =
+    "floor((least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio))*1000000 + 0.5)/1000000"
+
+  val textQuality: String =
+    s"""WITH $qualityCoreCtes
+       |SELECT doc_id, n_chars, n_tokens, stop_n, alpha_n, stop_ratio, alpha_ratio,
+       |  $qualityScoreExpr AS quality_score
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Word-bigram list per doc ("a b" strings; empty below 2 tokens) —
+    * the DuckDB mirror of TextOps.bigramStrings.
+    */
+  private val bigramListExpr: String =
+    "CASE WHEN len(tk) >= 2 THEN [array_to_string(tk[i:i+1],' ') for i in range(1, len(tk))] ELSE []::VARCHAR[] END"
+
+  def textRepetition(dupTokMax: Double, topTokMax: Double, dupBigramMax: Double): String =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+       |b2 AS (SELECT doc_id,
+       |  len(tk) AS n_tokens,
+       |  len(list_distinct(tk)) AS n_distinct_tokens,
+       |  len($bigramListExpr) AS n_bigrams,
+       |  len(list_distinct($bigramListExpr)) AS n_distinct_bigrams
+       |  FROM t),
+       |tc AS (SELECT doc_id, tok, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY doc_id, tok),
+       |top AS (SELECT doc_id, MAX(c) AS top_token_n FROM tc GROUP BY doc_id),
+       |f AS (SELECT b2.doc_id, n_tokens, n_distinct_tokens, top_token_n,
+       |  n_bigrams, n_distinct_bigrams,
+       |  floor(((n_tokens - n_distinct_tokens)/n_tokens)*1000000 + 0.5)/1000000 AS dup_token_frac,
+       |  floor((top_token_n/n_tokens)*1000000 + 0.5)/1000000 AS top_token_frac,
+       |  CASE WHEN n_bigrams = 0 THEN 0.0
+       |       ELSE floor(((n_bigrams - n_distinct_bigrams)/n_bigrams)*1000000 + 0.5)/1000000 END AS dup_bigram_frac
+       |  FROM b2 JOIN top USING (doc_id))
+       |SELECT doc_id, n_tokens, n_distinct_tokens, top_token_n, n_bigrams, n_distinct_bigrams,
+       |  dup_token_frac, top_token_frac, dup_bigram_frac,
+       |  CAST(dup_token_frac > $dupTokMax OR top_token_frac > $topTokMax
+       |    OR dup_bigram_frac > $dupBigramMax AS INTEGER) AS repetitive
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  def textCollocations(minCount: Int, topK: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+       |bge AS (SELECT unnest($bigramListExpr) AS bg FROM t),
+       |bgc AS (SELECT bg, COUNT(*) AS c_ab FROM bge GROUP BY bg),
+       |uc AS (SELECT tok, COUNT(*) AS c
+       |  FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok),
+       |tot AS (SELECT SUM(len(tk)) AS n_tok, SUM(greatest(len(tk)-1, 0)) AS n_big FROM t),
+       |j AS (SELECT string_split(bg,' ')[1] AS w1, string_split(bg,' ')[2] AS w2, c_ab
+       |  FROM bgc WHERE c_ab >= $minCount),
+       |k AS (SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b
+       |  FROM j JOIN uc a ON a.tok = j.w1 JOIN uc b ON b.tok = j.w2)
+       |SELECT w1, w2, c_ab, c_a, c_b,
+       |  floor(((c_ab::DOUBLE * n_tok * n_tok) / (n_big::DOUBLE * c_a * c_b))*1000000 + 0.5)/1000000 AS lift
+       |FROM k, tot
+       |ORDER BY lift DESC, c_ab DESC, w1, w2 LIMIT $topK""".stripMargin
+
+  /** Fingerprint-overlap pairs: 0-mod-p sampled shingle hashes as
+    * fingerprints, pairs sharing ≥ minShared.
+    */
+  def docFingerprintPairs(mod: Int, minShared: Int): String =
+    s"""WITH $gramCtes,
+       |fp AS (SELECT doc_id, h0 FROM h WHERE h0 % $mod = 0)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |FROM fp a JOIN fp b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= $minShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The composed curation pipeline: quality + langid + exact-dedup
+    * canonical, one verdict row per document.
+    */
+  def docCurate(minScore: Double): String =
+    s"""WITH $qualityCoreCtes,
+       |$langidCoreCtes,
+       |qual AS (SELECT doc_id, n_tokens, $qualityScoreExpr AS quality_score FROM r),
+       |k AS (SELECT doc_id,
+       |  CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS INTEGER) AS duplicate
+       |  FROM (SELECT doc_id, md5(text) AS content_hash FROM documents))
+       |SELECT qual.doc_id, lang, pred_lang, n_tokens, quality_score,
+       |  CAST(quality_score < $minScore AS INTEGER) AS low_quality,
+       |  CAST(pred_lang <> lang AS INTEGER) AS lang_mismatch,
+       |  duplicate,
+       |  CAST(quality_score >= $minScore AND pred_lang = lang AND duplicate = 0 AS INTEGER) AS keep
+       |FROM qual JOIN p USING (doc_id) JOIN k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   val textTokencount: String =
     """SELECT doc_id,

@@ -60,6 +60,7 @@ object SparkEntry {
     "doc_incremental_dedup" -> q(Dedup.docIncrementalDedup(_, ordered = true)),
     "doc_decontaminate"    -> q(Dedup.docDecontaminate(_, ordered = true)),
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
+    "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_)),
     "doc_embed_cosine_dup" -> q(Dedup.docEmbedCosineDup(_)),
     // §2.D similarity search
     "ann_topk_bruteforce"  -> q(Similarity.annTopkBruteforce(_)),
@@ -79,6 +80,9 @@ object SparkEntry {
     "text_rolling_fingerprint" -> q(TextOps.textRollingFingerprint(_, ordered = true)),
     "doc_pack"             -> q(TextOps.docPack(_, ordered = true)),
     "doc_quality_filter"   -> q(TextOps.docQualityFilter(_, ordered = true)),
+    "text_repetition"      -> q(TextOps.textRepetition(_, ordered = true)),
+    "text_collocations"    -> q(TextOps.textCollocations(_)),
+    "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
     "ev_funnel"            -> q(EventOps.evFunnel),
     "ev_error_after_click" -> q(EventOps.evErrorAfterClick(_, ordered = true)),
@@ -448,6 +452,10 @@ object SparkEntry {
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),
     "doc_incremental_dedup" -> OracleSqlGen.docIncrementalDedup(5),
     "doc_decontaminate"     -> OracleSqlGen.docDecontaminate(10, 1),
+    "doc_fingerprint_pairs" -> OracleSqlGen.docFingerprintPairs(8, 2),
+    "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
+    "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
+    "doc_curate"            -> OracleSqlGen.docCurate(0.5),
     "emb_norm_stats"        -> OracleSqlGen.embNormStats,
     "text_langid"           -> OracleSqlGen.textLangid,
     "text_quality"          -> OracleSqlGen.textQuality,

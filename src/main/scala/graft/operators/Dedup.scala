@@ -303,6 +303,32 @@ object Dedup {
       ordered)(col("doc_id"))
   }
 
+  /** C10: fingerprint-overlap near-dup pairs — the mod-p sampled
+    * (0-mod-p) fingerprinting of Broder/Manber: a document's
+    * fingerprints are its shingle hashes ≡ 0 (mod `mod`), so two docs
+    * share a fingerprint iff they share that exact word-3-gram — a
+    * LOCAL (substring-level) overlap signal, where C5's Jaccard is a
+    * global set ratio. Pairs sharing ≥ minShared fingerprints are the
+    * candidates a substring-dedup pass would inspect.
+    *
+    * Scale shape: sampling thins the inverted index by the mod before
+    * any shuffle (a narrow filter on the gram scan); the equi-join on
+    * fingerprint hash is the only wide op, and its fan-out is bounded
+    * by per-fingerprint document frequency (add a df cap like C5b's
+    * for adversarial corpora). No all-pairs stage anywhere.
+    */
+  def docFingerprintPairs(t: Tables, mod: Int = 8, minShared: Int = 2): DataFrame = {
+    val fp = grams(t).filter(pmod(col("gram"), lit(mod)) === 0)
+      .select(col("doc_id"), col("gram"))
+    fp.alias("a").join(fp.alias("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Minimum required overlap ⌈t·n⌉, guarded against double rounding:
     * for thresholds whose product lands just above an integer in
     * binary floating point (0.55·100 = 55.000000000000007), a bare

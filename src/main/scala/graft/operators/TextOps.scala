@@ -218,4 +218,114 @@ object TextOps {
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
       .select(col("doc_id"), col("fingerprint"), col("cluster_size")),
     ordered)(col("doc_id"))
+
+  /** Word bigrams of `tk` as "a b" strings; empty array below 2
+    * tokens (guarded — Spark's `sequence(0, -1)` would descend).
+    */
+  private def bigramStrings(tk: Column): Column =
+    when(size(tk) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tk) - 2),
+        i => concat(element_at(tk, i + 1), lit(" "), element_at(tk, i + 2))))
+
+  /** E12: repetition signals — the Gopher-style repetition filters a
+    * training pipeline runs alongside E2's quality score: duplicate
+    * token fraction, most-frequent-token fraction, duplicate bigram
+    * fraction, and the combined `repetitive` verdict.
+    *
+    * Scale shape: the array-derived stats (distinct tokens/bigrams)
+    * are one narrow pass — no shuffle. The top-token count is the
+    * wordcount pattern: explode → (doc_id, token) partial-aggregated
+    * map-side, then a per-doc max — both shuffles keyed on doc_id-led
+    * keys, so skew is bounded by document length, not corpus size.
+    */
+  def textRepetition(t: Tables, dupTokMax: Double = 0.3, topTokMax: Double = 0.2,
+      dupBigramMax: Double = 0.2, ordered: Boolean = false): DataFrame = maybeSort({
+    val tk = tokens(col("text"))
+    val base = t.documents
+      .select(col("doc_id"), tk.as("tk"), bigramStrings(tk).as("bg"))
+      .select(col("doc_id"), col("tk"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct_tokens"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"))
+    val top = base.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_token_n"))
+    base.drop("tk").join(top, "doc_id")
+      .withColumn("dup_token_frac",
+        r6((col("n_tokens") - col("n_distinct_tokens")) / col("n_tokens")))
+      .withColumn("top_token_frac", r6(col("top_token_n") / col("n_tokens")))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(r6((col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"))))
+      .withColumn("repetitive",
+        (col("dup_token_frac") > dupTokMax || col("top_token_frac") > topTokMax ||
+          col("dup_bigram_frac") > dupBigramMax).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"), col("top_token_n"),
+        col("n_bigrams"), col("n_distinct_bigrams"), col("dup_token_frac"),
+        col("top_token_frac"), col("dup_bigram_frac"), col("repetitive"))
+  }, ordered)(col("doc_id"))
+
+  /** E13: collocation extraction — corpus-level bigram lift (the
+    * log-free PMI ratio p(ab)/(p(a)p(b))), the vocabulary-analysis
+    * companion to E8's unigram ranks. Output: top-k bigrams by lift
+    * among those seen ≥ minCount times.
+    *
+    * Scale shape: bigram and unigram counts are wordcount aggregations
+    * (map-side combined); the two count joins key on vocabulary terms
+    * (bounded by vocab size, not corpus size); the corpus totals ride
+    * a broadcast single-row relation; final top-k is sort+limit =
+    * TakeOrderedAndProject, never a full sort.
+    */
+  def textCollocations(t: Tables, minCount: Int = 5, topK: Int = 20): DataFrame = {
+    val tk = tokens(col("text"))
+    val bgc = t.documents.select(explode(bigramStrings(tk)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+    val uc = t.documents.select(explode(tk).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = t.documents
+      .select(size(tk).cast("long").as("n"))
+      .agg(sum(col("n")).as("n_tok"), sum(greatest(col("n") - 1, lit(0L))).as("n_big"))
+    val split2 = split(col("bg"), " ")
+    bgc.filter(col("c_ab") >= minCount)
+      .select(col("bg"), col("c_ab"),
+        element_at(split2, 1).as("w1"), element_at(split2, 2).as("w2"))
+      .join(uc.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+      .join(uc.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        r6((col("c_ab").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("n_big").cast("double") * col("c_a") * col("c_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("c_ab").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
+  /** E14: the composed curation pipeline — quality score (E2), langid
+    * agreement (E1), and exact-dedup canonical selection (C1) joined
+    * into one keep/drop verdict with per-reason flags. The "a user
+    * could run their whole pipeline" query: each stage is the
+    * first-class operator, composed as DataFrames, so Catalyst plans
+    * the whole thing as one job.
+    *
+    * Scale shape: three doc_id-keyed shuffles (quality is narrow until
+    * the join; langid is narrow; the canonical window hashes on
+    * content_hash) — no stage sees more than one row per document.
+    */
+  def docCurate(t: Tables, minScore: Double = 0.5, ordered: Boolean = false): DataFrame = maybeSort({
+    val q = textQuality(t).select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val l = textLangid(t).select(col("doc_id"), col("lang"), col("pred_lang"))
+    val d = t.documents.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+    d.join(q, "doc_id").join(l, "doc_id")
+      .withColumn("low_quality", (col("quality_score") < minScore).cast("int"))
+      .withColumn("lang_mismatch", (col("pred_lang") =!= col("lang")).cast("int"))
+      .withColumn("duplicate", (col("doc_id") =!= col("keep_id")).cast("int"))
+      .withColumn("keep",
+        (col("low_quality") === 0 && col("lang_mismatch") === 0 &&
+          col("duplicate") === 0).cast("int"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("n_tokens"),
+        col("quality_score"), col("low_quality"), col("lang_mismatch"),
+        col("duplicate"), col("keep"))
+  }, ordered)(col("doc_id"))
 }

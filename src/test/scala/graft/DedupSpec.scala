@@ -61,7 +61,7 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(exact), s"cap must only lose recall, found extras: ${capped -- exact}")
   }
 
-  test("incremental dedup: dup_of precedes the doc, base wins over intra-batch, is_new consistent") {
+  test("incremental dedup: dup_of precedes the doc and is the lowest-id duplicate, is_new consistent") {
     val rows = Dedup.docIncrementalDedup(tables).collect()
       .map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getInt(3)))
@@ -84,6 +84,22 @@ class DedupSpec extends SparkSpec {
       assert((isNew == 1) == dupOf.isEmpty, s"doc $id: is_new inconsistent")
       dupOf.foreach(d => assert(d < id, s"doc $id: dup_of $d must precede it"))
     }
+  }
+
+  test("fingerprint pairs == brute-force ground truth over mod-8 sampled grams") {
+    import org.apache.spark.sql.functions._
+    val fp = Dedup.grams(tables).filter(pmod(col("gram"), lit(8)) === 0)
+      .select("doc_id", "gram").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = byDoc.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids; j <- ids if i < j
+      n = (byDoc(i) intersect byDoc(j)).size if n >= 2
+    } yield (i, j) -> n.toLong).toMap
+    val got = Dedup.docFingerprintPairs(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty, "planted near-dups should share sampled fingerprints")
+    assert(got == truth)
   }
 
   test("minOverlap == exact rational ceiling for integer-landing products") {

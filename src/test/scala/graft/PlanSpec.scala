@@ -129,6 +129,8 @@ class PlanSpec extends SparkSpec {
       "doc_pack" -> TextOps.docPack(tables),
       "doc_quality_filter" -> TextOps.docQualityFilter(tables),
       "doc_stratified_sample" -> TextOps.docStratifiedSample(tables),
+      "text_repetition" -> TextOps.textRepetition(tables),
+      "doc_curate" -> TextOps.docCurate(tables),
       "doc_minhash_sig" -> Dedup.docMinhashSig(tables),
       "doc_simhash" -> Dedup.docSimhash(tables),
       "doc_exact_dedup" -> Dedup.docExactDedup(tables),

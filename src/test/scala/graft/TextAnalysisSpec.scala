@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Invariants for the round-5 text additions: repetition signals
+  * (E12), collocations (E13), and the composed curation pipeline
+  * (E14). Oracle parity is the driver gate; these pin the laws a
+  * hash-compare can't express (bounds, orderings, cross-operator
+  * agreement) plus a by-hand recomputation of one document.
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("repetition: counts consistent, fracs in [0,1], doc 0 recomputed by hand") {
+    val rows = TextOps.textRepetition(tables).collect()
+    assert(rows.length == tables.documents.count())
+    rows.foreach { r =>
+      val (nTok, nDis, top) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (nBig, nDisBig) = (r.getLong(4), r.getLong(5))
+      assert(nDis <= nTok && top >= 1 && top <= nTok)
+      assert(nBig == math.max(nTok - 1, 0L) && nDisBig <= nBig)
+      Seq(6, 7, 8).foreach { i =>
+        val f = r.getDouble(i)
+        assert(f >= 0.0 && f <= 1.0, s"frac $i out of range: $f")
+      }
+    }
+    val text = tables.documents.filter(col("doc_id") === 0)
+      .select("text").head.getString(0)
+    val tk = text.toLowerCase.split(" ", -1).toSeq
+    val bg = if (tk.size < 2) Seq.empty else tk.sliding(2).map(_.mkString(" ")).toSeq
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == tk.size)
+    assert(r0.getLong(2) == tk.distinct.size)
+    assert(r0.getLong(3) == tk.groupBy(identity).map(_._2.size).max)
+    assert(r0.getLong(4) == bg.size && r0.getLong(5) == bg.distinct.size)
+  }
+
+  test("collocations: bounded top-k, min count honored, lift descending and positive") {
+    val out = TextOps.textCollocations(tables).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall(_.getLong(2) >= 5), "bigram below minCount surfaced")
+    val lifts = out.map(_.getDouble(5))
+    assert(lifts.forall(_ > 0.0))
+    assert(lifts.sameElements(lifts.sortBy(-_)), "lift not sorted descending")
+  }
+
+  test("curate: keep iff no reason flags; duplicate flag agrees with exact dedup") {
+    val rows = TextOps.docCurate(tables).collect()
+    assert(rows.length == tables.documents.count())
+    rows.foreach { r =>
+      val (lq, lm, dup, keep) = (r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8))
+      assert((keep == 1) == (lq == 0 && lm == 0 && dup == 0),
+        s"doc ${r.getLong(0)}: keep inconsistent with flags")
+    }
+    val dupIds = rows.filter(_.getInt(7) == 1).map(_.getLong(0)).toSet
+    val all = tables.documents.selectExpr("doc_id", "md5(text) AS h")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val minBy = all.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    assert(dupIds == all.filter { case (id, h) => id != minBy(h) }.map(_._1).toSet)
+  }
+}
