@@ -103,6 +103,10 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_min", exprs => RollingHashMin(exprs.head, 16), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bigram_strings", exprs => WordGrams(exprs.head, 2, distinct = false), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bigram_strings_distinct", exprs => WordGrams(exprs.head, 2, distinct = true), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_intersect_count", exprs => IntersectCount(exprs.head, exprs(1)), "built-in")
   }
 

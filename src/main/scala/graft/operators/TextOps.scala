@@ -219,10 +219,17 @@ object TextOps {
       .select(col("doc_id"), col("fingerprint"), col("cluster_size")),
     ordered)(col("doc_id"))
 
-  /** Word bigrams of `tk` as "a b" strings; empty array below 2
-    * tokens (guarded — Spark's `sequence(0, -1)` would descend).
+  /** Word bigrams of lowercased `text` as "a b" strings; empty below
+    * 2 tokens. Native WordGrams expression — the composed
+    * `transform(sequence…, concat(element_at…))` formulation is its
+    * REFERENCE SEMANTICS (equivalence asserted in TextAnalysisSpec)
+    * but costs ~2.7 s/query at sf0.1 in interpreted lambda eval.
     */
-  private def bigramStrings(tk: Column): Column =
+  private def bigramStrings(text: Column): Column =
+    call_function("graft_bigram_strings", text)
+
+  /** Reference formulation for `bigramStrings` (spec surface only). */
+  private[graft] def bigramStringsComposed(tk: Column): Column =
     when(size(tk) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(tk) - 2),
         i => concat(element_at(tk, i + 1), lit(" "), element_at(tk, i + 2))))
@@ -242,12 +249,14 @@ object TextOps {
       dupBigramMax: Double = 0.2, ordered: Boolean = false): DataFrame = maybeSort({
     val tk = tokens(col("text"))
     val base = t.documents
-      .select(col("doc_id"), tk.as("tk"), bigramStrings(tk).as("bg"))
+      .select(col("doc_id"), tk.as("tk"),
+        bigramStrings(col("text")).as("bg"),
+        call_function("graft_bigram_strings_distinct", col("text")).as("bgd"))
       .select(col("doc_id"), col("tk"),
         size(col("tk")).cast("long").as("n_tokens"),
         size(array_distinct(col("tk"))).cast("long").as("n_distinct_tokens"),
         size(col("bg")).cast("long").as("n_bigrams"),
-        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"))
+        size(col("bgd")).cast("long").as("n_distinct_bigrams"))
     val top = base.select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_token_n"))
@@ -279,7 +288,7 @@ object TextOps {
     */
   def textCollocations(t: Tables, minCount: Int = 5, topK: Int = 20): DataFrame = {
     val tk = tokens(col("text"))
-    val bgc = t.documents.select(explode(bigramStrings(tk)).as("bg"))
+    val bgc = t.documents.select(explode(bigramStrings(col("text"))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
     val uc = t.documents.select(explode(tk).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))

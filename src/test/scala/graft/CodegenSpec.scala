@@ -40,6 +40,8 @@ class CodegenSpec extends SparkSpec {
       call_function("graft_simhash60", call_function("graft_gram3_hashes", col("text"))).as("sh"),
       call_function("graft_md5_60", col("text")).as("m"),
       call_function("graft_rolling_min", col("text")).as("rm"),
+      call_function("graft_bigram_strings", col("text")).as("bgs"),
+      call_function("graft_bigram_strings_distinct", col("text")).as("bgd"),
       call_function("graft_intersect_count",
         call_function("graft_gram3_hashes", col("text")),
         call_function("graft_gram5_hashes", col("text"))).as("ic"),
@@ -55,6 +57,10 @@ class CodegenSpec extends SparkSpec {
       GramHashes.compute(text, 5, distinct = false).toLongArray.toSeq)
     assert(row.getAs[Long]("m") == Md5Prefix60.hash(text))
     assert(row.getAs[Long]("rm") == RollingHashMin.hash(text, 16))
+    val tkRef = row.getAs[String]("text").toLowerCase.split(" ", -1).toSeq
+    val bgRef = if (tkRef.size < 2) Seq.empty else tkRef.sliding(2).map(_.mkString(" ")).toSeq
+    assert(row.getAs[scala.collection.Seq[String]]("bgs") == bgRef)
+    assert(row.getAs[scala.collection.Seq[String]]("bgd") == bgRef.distinct)
     assert(row.getAs[Int]("ic") == row.getAs[Int]("ic_ref"),
       "IntersectCount must equal size(array_intersect)")
 

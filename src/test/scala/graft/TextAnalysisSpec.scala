@@ -36,6 +36,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r0.getLong(4) == bg.size && r0.getLong(5) == bg.distinct.size)
   }
 
+  test("native WordGrams == composed transform formulation on the corpus (both distinct flags)") {
+    import graft.functions.Hashing.tokens
+    val rows = tables.documents.select(
+      call_function("graft_bigram_strings", col("text")).as("native"),
+      TextOps.bigramStringsComposed(tokens(col("text"))).as("composed"),
+      call_function("graft_bigram_strings_distinct", col("text")).as("native_d"),
+      array_distinct(call_function("graft_bigram_strings", col("text"))).as("composed_d"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), "non-distinct mismatch")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), "distinct mismatch")
+    }
+  }
+
   test("collocations: bounded top-k, min count honored, lift descending and positive") {
     val out = TextOps.textCollocations(tables).collect()
     assert(out.nonEmpty && out.length <= 20)
