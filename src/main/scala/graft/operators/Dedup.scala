@@ -219,10 +219,16 @@ object Dedup {
   def docNgramJaccardCapped(t: Tables, threshold: Double = 0.2, dfCap: Int = 100): DataFrame =
     withShared(gramSets(t), col("doc_id")) { sets =>
       val g = explodeSets(sets)
-      val rare = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap)
+      // keep-set inverted: the STOP shingles (df > cap) are the small
+      // side by construction (≤ total-grams/dfCap of them can exist),
+      // so broadcast them and anti-join — the equivalent inner join
+      // against `rare` (≈ the whole shingle vocabulary) would shuffle
+      // the full gram relation a second time
+      val stop = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
         .select(col("gram"))
-      val capped = g.join(rare, "gram").select(col("doc_id"), col("gram"))
+      val capped = g.join(broadcast(stop), Seq("gram"), "left_anti")
+        .select(col("doc_id"), col("gram"))
       // UNLIKE the prefix path, keep the pair-level distinct here: the
       // capped join emits one row per SHARED GRAM (a near-identical
       // pair sharing 500 sub-cap grams would verify 500×), not per

@@ -26,5 +26,10 @@ class SqlSurfaceSpec extends SparkSpec {
         |       graft_simhash_grams(array('a b c', 'b c d')) AS s2""".stripMargin)
       .collect().head
     assert(sim.getLong(0) == sim.getLong(1), "fused and gram-string forms agree")
+    val bg = spark.sql(
+      "SELECT graft_bigram_strings('A b b') AS bg, graft_bigram_strings_distinct('b B b') AS bgd")
+      .collect().head
+    assert(bg.getSeq[String](0) == Seq("a b", "b b"))
+    assert(bg.getSeq[String](1) == Seq("b b"))
   }
 }
