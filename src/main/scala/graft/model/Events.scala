@@ -11,3 +11,9 @@ import java.time.Instant
 final case class Ev(event_id: Long, ts: Instant, user_id: Long, event_type: String)
 
 final case class EmittedEv(key: String, ts: Instant, event_id: Long)
+
+/** A document arriving on an incremental-ingest stream (the streaming
+  * curation pipeline's input shape; `ingest_ts` is the event time the
+  * dedup watermark advances on).
+  */
+final case class IngestDoc(doc_id: Long, text: String, lang: String, ingest_ts: Instant)

@@ -27,36 +27,42 @@ object TextOps {
   private def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, x => x.isin(words.map(_.asInstanceOf[Any]): _*))).cast("long")
 
-  /** E1: language ID — count marker-stopword hits per language, argmax
-    * with deterministic tiebreak (declaration order).
+  /** Adds the E1 language-ID columns (per-language marker counts +
+    * `pred_lang`) to any relation with a `text` column. Additive and
+    * stateless, so it composes in both the batch operators and the
+    * streaming curation pipeline (DocStreamJob).
     */
-  def textLangid(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+  private[graft] def withLangid(df: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val withCounts = t.documents
-      .select(col("doc_id"), col("lang"), toks.as("toks"))
-      .select(Seq(col("doc_id"), col("lang")) ++
-        LangMarkers.map { case (l, ws) => markerCount(col("toks"), ws).as(s"${l}_n") }: _*)
+    val withCounts = LangMarkers.foldLeft(df.withColumn("toks", toks)) {
+      case (d, (l, ws)) => d.withColumn(s"${l}_n", markerCount(col("toks"), ws))
+    }.drop("toks")
     val best = LangMarkers.map { case (l, _) => col(s"${l}_n") }.reduce((a, b) => greatest(a, b))
     // foldRight: earlier languages win ties (first WHEN in the chain)
     val pred = LangMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
       when(col(s"${l}_n") === best && best > 0, lit(l)).otherwise(acc)
     }
-    withCounts
-      .withColumn("pred_lang", pred)
+    withCounts.withColumn("pred_lang", pred)
+  }
+
+  /** E1: language ID — count marker-stopword hits per language, argmax
+    * with deterministic tiebreak (declaration order).
+    */
+  def textLangid(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
+    withLangid(t.documents.select(col("doc_id"), col("lang"), col("text")))
       .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
       .select(col("doc_id"), col("lang"),
         col("en_n"), col("de_n"), col("es_n"), col("fr_n"), col("zh_n"),
-        col("pred_lang"), col("is_match"))
-  }, ordered)(col("doc_id"))
+        col("pred_lang"), col("is_match")),
+    ordered)(col("doc_id"))
 
-  /** E2: quality scoring — length/stopword/char-class ratios combined
-    * into a bounded score. Ratios are int/int divisions (portable
-    * doubles); score rounded to 6dp.
+  /** Adds the E2 quality columns (counts, ratios, `quality_score`) to
+    * any relation with a `text` column — the batch/streaming-shared
+    * core of textQuality.
     */
-  def textQuality(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+  private[graft] def withQuality(df: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    t.documents
-      .select(col("doc_id"), col("text"), toks.as("toks"))
+    df.withColumn("toks", toks)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("stop_n", markerCount(col("toks"), LangMarkers.flatMap(_._2)).cast("long"))
@@ -67,9 +73,18 @@ object TextOps {
       .withColumn("quality_score",
         r6(least(lit(1.0), col("n_tokens") / lit(100.0)) *
           (lit(0.5) + lit(0.25) * col("stop_ratio") + lit(0.25) * col("alpha_ratio"))))
+      .drop("toks")
+  }
+
+  /** E2: quality scoring — length/stopword/char-class ratios combined
+    * into a bounded score. Ratios are int/int divisions (portable
+    * doubles); score rounded to 6dp.
+    */
+  def textQuality(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
+    withQuality(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("stop_n"),
-        col("alpha_n"), col("stop_ratio"), col("alpha_ratio"), col("quality_score"))
-  }, ordered)(col("doc_id"))
+        col("alpha_n"), col("stop_ratio"), col("alpha_ratio"), col("quality_score")),
+    ordered)(col("doc_id"))
 
   /** E3: token counting — whitespace tokens, BPE-ish regex tokens
     * (letter runs / digits / other non-space), and a chars/4 estimator.
@@ -316,17 +331,16 @@ object TextOps {
     * first-class operator, composed as DataFrames, so Catalyst plans
     * the whole thing as one job.
     *
-    * Scale shape: three doc_id-keyed shuffles (quality is narrow until
-    * the join; langid is narrow; the canonical window hashes on
-    * content_hash) — no stage sees more than one row per document.
+    * Scale shape: quality and langid are ADDITIVE stateless column
+    * transforms (withQuality/withLangid), so the whole pipeline is ONE
+    * scan of the corpus and ONE shuffle (the canonical-selection
+    * window on content_hash) — no joins, no second scan.
     */
   def docCurate(t: Tables, minScore: Double = 0.5, ordered: Boolean = false): DataFrame = maybeSort({
-    val q = textQuality(t).select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val l = textLangid(t).select(col("doc_id"), col("lang"), col("pred_lang"))
-    val d = t.documents.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    withLangid(withQuality(t.documents.select(col("doc_id"), col("lang"), col("text"))))
+      .withColumn("content_hash", md5(col("text")))
       .withColumn("keep_id",
         min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
-    d.join(q, "doc_id").join(l, "doc_id")
       .withColumn("low_quality", (col("quality_score") < minScore).cast("int"))
       .withColumn("lang_mismatch", (col("pred_lang") =!= col("lang")).cast("int"))
       .withColumn("duplicate", (col("doc_id") =!= col("keep_id")).cast("int"))

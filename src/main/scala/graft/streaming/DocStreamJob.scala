@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Streaming form of the curation pipeline (SURVEY §2.E15): documents
+  * arriving on an incremental-ingest stream are quality-scored,
+  * langid-checked, and deduped by content hash — the batch docCurate
+  * verdict computed as rows arrive instead of per corpus sweep.
+  *
+  * The quality and langid stages are the SAME additive column
+  * transforms the batch operator uses (TextOps.withQuality/withLangid
+  * — stateless, so they stream as-is); only canonical selection
+  * changes form: batch picks min doc_id per hash with a window,
+  * streaming keeps the FIRST ARRIVAL per hash via
+  * dropDuplicatesWithinWatermark, state bounded by the watermark delay
+  * exactly like the reference's TTL cache bounds its sled DB.
+  *
+  * At 100 TB/day: everything before the dedup is narrow (no state, no
+  * shuffle); the dedup shuffles on content_hash with per-key state of
+  * one (hash, ts) row, evicted by the watermark.
+  */
+object DocStreamJob {
+
+  /** docs: streaming relation with (doc_id, text, lang, ingest_ts).
+    * Emits the curated keep-set: quality ≥ minScore, predicted
+    * language agrees, first copy of each content hash.
+    */
+  def streamDocCurate(docs: DataFrame, minScore: Double = 0.5,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    TextOps.withLangid(TextOps.withQuality(docs))
+      .filter(col("quality_score") >= minScore && col("pred_lang") === col("lang"))
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col("ingest_ts"), col("lang"), col("pred_lang"),
+        col("n_tokens"), col("quality_score"), col("content_hash"))
+}

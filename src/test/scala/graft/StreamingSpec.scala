@@ -217,6 +217,31 @@ class StreamingSpec extends SparkSpec {
       assert(lines.head.contains("\"key\":\"1:click\""), lines.head)
     } finally q.stop()
   }
+
+  test("streaming doc curation == batch docCurate keep-set when arrival order is doc_id order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    // ingest in doc_id order, one second apart: first arrival per
+    // content hash == min doc_id per hash == the batch canonical pick
+    val docs = tables.documents.select("doc_id", "text", "lang").collect()
+      .map(r => graft.model.IngestDoc(r.getLong(0), r.getString(1), r.getString(2),
+        base.plusSeconds(r.getLong(0))))
+      .sortBy(_.doc_id).toSeq
+    val input = MemoryStream[graft.model.IngestDoc]
+    val out = graft.streaming.DocStreamJob.streamDocCurate(input.toDS().toDF())
+    val q = out.writeStream.outputMode("append").format("memory").queryName("curate_out").start()
+    try {
+      docs.grouped((docs.size + 2) / 3).foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("curate_out").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val batch = graft.operators.TextOps.docCurate(tables).filter(col("keep") === 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream≠batch: only-stream=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
 }
 
 /** Executor-reachable capture for the per-partition JSON sink test. */
