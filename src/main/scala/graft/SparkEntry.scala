@@ -48,6 +48,8 @@ object SparkEntry {
     "q_large_volume"       -> q(Analytics.qLargeVolume),
     "q_rolling_window"     -> q(Analytics.qRollingWindow),
     "q_profile"            -> q(Analytics.qProfile),
+    "q_below_avg"          -> q(Analytics.qBelowAvg),
+    "q_set_ops"            -> q(Analytics.qSetOps(_)),
     "ev_gap_fill"          -> q(EventOps.evGapFill),
     // §2.C dedup family
     "doc_exact_dedup"      -> q(Dedup.docExactDedup(_, ordered = true)),
@@ -367,6 +369,29 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bin""".stripMargin,
+
+    "q_below_avg" ->
+      """WITH a AS (SELECT l_partkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l JOIN a USING (l_partkey)
+        |WHERE l.l_quantity < 0.2 * a.avg_qty""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |     UNION
+        |     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_union,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |     INTERSECT
+        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_intersect,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |     EXCEPT
+        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_only_first""".stripMargin,
 
     "q_large_volume" ->
       """SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty FROM (

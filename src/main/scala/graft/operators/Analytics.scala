@@ -312,5 +312,47 @@ object Analytics {
       .orderBy($("month"))
   }
 
+  /** B19: correlated-aggregate subquery (TPC-H Q17 shape): lineitems
+    * whose quantity is below 20% of their part's average, total
+    * extendedprice / 7. Expressed directly in the decorrelated form
+    * (per-part aggregate joined back — what Catalyst's decorrelation
+    * produces from the subquery formulation). The threshold rides the
+    * same decimal-sum/double-count average convention as B1, so the
+    * boundary comparison is bit-identical on both engines.
+    *
+    * Scale shape: the per-part aggregate and the join both hash on
+    * l_partkey — one shuffled relation, map-side partial aggregation,
+    * and the final agg is a single-row reduce.
+    */
+  def qBelowAvg(t: Tables): DataFrame = {
+    val avgq = t.lineitem
+      .select($("l_partkey"), $("l_quantity"))
+      .groupBy($("l_partkey"))
+      .agg((psum($("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"))
+    t.lineitem
+      .select($("l_partkey"), $("l_quantity"), $("l_extendedprice"))
+      .join(avgq, "l_partkey")
+      .filter($("l_quantity") < lit(0.2) * $("avg_qty"))
+      .agg((psum($("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** B20: set operators — UNION / INTERSECT / EXCEPT over the distinct
+    * buyer sets of two years. Spark plans Intersect/Except as
+    * left-semi/left-anti joins over hash-distinct inputs: no sort,
+    * everything hash-partitioned on the key; the three single-row
+    * counts combine via broadcast cross joins.
+    */
+  def qSetOps(t: Tables, y1: Int = 1995, y2: Int = 1996): DataFrame = {
+    def buyers(y: Int) = t.orders
+      .select($("o_custkey"), $("o_orderdate"))
+      .filter(year($("o_orderdate")) === y)
+      .select($("o_custkey"))
+      .distinct()
+    val (b1, b2) = (buyers(y1), buyers(y2))
+    b1.union(b2).distinct().agg(count(lit(1)).as("n_union"))
+      .crossJoin(b1.intersect(b2).agg(count(lit(1)).as("n_intersect")))
+      .crossJoin(b1.except(b2).agg(count(lit(1)).as("n_only_first")))
+  }
+
   private def $(name: String): Column = col(name)
 }
