@@ -152,4 +152,26 @@ class KesMainSpec extends SparkSpec {
       .filter(_.getName.startsWith("ckpt.corrupt-"))
     assert(aside.nonEmpty, "corrupt checkpoint must be preserved aside")
   }
+
+  test("recovery move order is crash-safe: sink log goes aside before the checkpoint") {
+    // if the process dies between the two moves, the survivor state
+    // must be old-checkpoint + no sink log (restart merely re-emits) —
+    // never no-checkpoint + stale sink log (restart silently skips
+    // every batch the stale log lists). Simulate the failing second
+    // move with a nonexistent checkpoint path: the sink log must
+    // already be aside when the checkpoint move throws.
+    val outDir = Files.createTempDirectory("kes_out5").toFile.getAbsolutePath
+    val sinkLog = java.nio.file.Paths.get(outDir, "_spark_metadata")
+    Files.createDirectory(sinkLog)
+    Files.writeString(sinkLog.resolve("0"), "v1")
+    val ckpt = Files.createTempDirectory("kes_ckpt5").toFile.getAbsolutePath + "/missing"
+    intercept[java.nio.file.NoSuchFileException] {
+      KesMain.moveCheckpointAside(ckpt, outDir)
+    }
+    assert(!Files.exists(sinkLog),
+      "sink log must be moved aside before the checkpoint move can fail")
+    assert(new java.io.File(outDir).listFiles()
+      .exists(_.getName.startsWith("_spark_metadata.corrupt-")),
+      "moved-aside sink log must be preserved for forensics")
+  }
 }
