@@ -62,4 +62,52 @@ object Sinks {
       .sortWithinPartitions(cs: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Bits per dimension of the z-value (16 → 32-bit z, plenty for
+    * file-level clustering).
+    */
+  private val ZBits = 16
+
+  /** Morton interleave of two ZBits-bucket ids: bit i of b1 → bit 2i,
+    * bit i of b2 → bit 2i+1. Statically unrolled bitwise Columns —
+    * whole-stage codegen'd, no UDF.
+    */
+  private def interleave(b1: org.apache.spark.sql.Column, b2: org.apache.spark.sql.Column) =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Z-ordered (Morton) layout over two numeric keys — the §5b knob
+    * for 2-D predicate skipping, e.g. the as-of join's right side on
+    * (key, time). Each key is normalized to ZBits equi-width buckets
+    * between its global min/max (one tiny aggregate, broadcast back —
+    * no global sort, no driver collect of data), the bucket bits are
+    * interleaved into a z-value, and files are range-partitioned +
+    * sorted by it. Every file then covers a bounded RECTANGLE in
+    * (c1, c2) space, so parquet row-group min/max stats prune on BOTH
+    * keys — writeClustered's lexicographic sort only prunes on the
+    * leading key once the second key's range saturates per file.
+    */
+  def writeZOrdered(df: DataFrame, path: String, files: Int, c1: String, c2: String): Unit = {
+    val buckets = 1L << ZBits
+    def norm(c: String) = {
+      val (lo, hi) = (col(s"${c}_min").cast("double"), col(s"${c}_max").cast("double"))
+      val v = col(c).cast("double")
+      // degenerate (constant) dimension → bucket 0
+      when(hi === lo, lit(0L))
+        .otherwise(least(lit(buckets - 1),
+          floor((v - lo) / (hi - lo) * buckets).cast("long")))
+    }
+    val bounds = df.agg(
+      min(col(c1)).as(s"${c1}_min"), max(col(c1)).as(s"${c1}_max"),
+      min(col(c2)).as(s"${c2}_min"), max(col(c2)).as(s"${c2}_max"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("zval", interleave(norm(c1), norm(c2)))
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zval", s"${c1}_min", s"${c1}_max", s"${c2}_min", s"${c2}_max")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -69,6 +69,40 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == tables.events.count())
   }
 
+  test("z-ordered write bounds BOTH dimensions per file (2-D skipping; lexicographic only bounds one)") {
+    val zdir = Files.createTempDirectory("zorder").toFile.getAbsolutePath + "/z"
+    val ldir = Files.createTempDirectory("zorder").toFile.getAbsolutePath + "/lex"
+    val ev = tables.events.select(col("event_id"), col("user_id"), col("ts"))
+    Sinks.writeZOrdered(ev, zdir, files = 4, "user_id", "event_id")
+    Sinks.writeClustered(ev, ldir, files = 4, "user_id", "event_id")
+    def fracs(dir: String, c: String): Seq[Double] = {
+      val global = spark.read.parquet(dir)
+        .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).collect().head
+      val span = global.getDouble(1) - global.getDouble(0)
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).collect().head
+        (r.getDouble(1) - r.getDouble(0)) / span
+      }
+    }
+    // no rows lost, schema unchanged (helper columns dropped)
+    val back = spark.read.parquet(zdir)
+    assert(back.count() == ev.count())
+    assert(back.columns.sorted.toSeq == ev.columns.sorted.toSeq)
+    // z-order: every file covers a bounded region — both dimensions
+    // materially narrower than the global range in every file (a file
+    // straddling a z-curve quadrant boundary can span up to ~3/4 of
+    // one dim, never the whole of either)
+    val (zu, ze) = (fracs(zdir, "user_id"), fracs(zdir, "event_id"))
+    assert(zu.forall(_ <= 0.8) && ze.forall(_ <= 0.8),
+      s"z-order should bound both dims per file: user_id=$zu event_id=$ze")
+    // lexicographic: the leading key is bounded but the trailing key's
+    // per-file range saturates (events are spread across users)
+    val le = fracs(ldir, "event_id")
+    assert(le.exists(_ >= 0.9),
+      s"lexicographic trailing key should saturate somewhere: $le")
+  }
+
   test("json lines roundtrip") {
     val dir = Files.createTempDirectory("events_json").toFile.getAbsolutePath
     val out = tables.events.select(col("event_id"), col("event_type"))

@@ -51,6 +51,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("WordGrams ∘ Md5Prefix60 == GramHashes on ≥3-token docs (cross-expression law)") {
+    // the string-emitting and hash-emitting fused expressions must
+    // describe the SAME n-grams; hashing WordGrams' output must land
+    // exactly on GramHashes' (their only divergence is the <n-token
+    // fallback, filtered out here)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_test_wg3",
+      exprs => graft.functions.WordGrams(exprs.head, 3, distinct = true), "built-in")
+    val rows = tables.documents
+      .filter(size(split(lower(col("text")), " ")) >= 3)
+      .select(
+        expr("transform(graft_test_wg3(text), g -> graft_md5_60(g))").as("via_strings"),
+        call_function("graft_gram3_hashes", col("text")).as("fused"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      "string-path and fused-path grams diverge"))
+  }
+
   test("collocations: bounded top-k, min count honored, lift descending and positive") {
     val out = TextOps.textCollocations(tables).collect()
     assert(out.nonEmpty && out.length <= 20)
