@@ -99,13 +99,16 @@ object KesMain {
     *
     * Ordering is the safety argument: the SINK LOG moves first. If the
     * process dies between the two moves, the survivor state is
-    * old-checkpoint + no sink log, and every recovery path from there
-    * merely re-emits (a plain restart resumes from the old checkpoint
-    * and rewrites the sink log from committed batches; a CACHE_RECREATE
-    * restart re-diagnoses the defect and finishes the move). The
-    * reverse order has a silent-loss window: checkpoint gone + stale
-    * sink log in place means a fresh query at batchId 0 skips every
-    * batch the stale log already lists.
+    * old-checkpoint + no sink log + the moved-aside log. A
+    * CACHE_RECREATE restart recognizes that exact combination
+    * (interruptedRecovery) and completes the move — fresh state
+    * re-emits everything into a fresh sink log. Until then,
+    * metadata-aware readers of the output dir don't see the pre-crash
+    * files (the committed-batch log is aside), but nothing is ever
+    * recorded as committed and then skipped. The REVERSE order has a
+    * true silent-loss window: checkpoint gone + stale sink log in
+    * place means a fresh query at batchId 0 silently skips every batch
+    * the stale log already lists — loss that no restart can detect.
     */
   private[graft] def moveCheckpointAside(checkpoint: String, out: String): java.nio.file.Path = {
     def aside(p: java.nio.file.Path): java.nio.file.Path = {
@@ -116,6 +119,20 @@ object KesMain {
     val sinkLog = java.nio.file.Paths.get(out, "_spark_metadata")
     if (java.nio.file.Files.exists(sinkLog)) aside(sinkLog)
     aside(java.nio.file.Paths.get(checkpoint))
+  }
+
+  /** A crash between moveCheckpointAside's two moves leaves: checkpoint
+    * present, sink log absent, and a moved-aside `_spark_metadata
+    * .corrupt-*` in the output dir. Normal operation never produces
+    * that combination (a first batch that hasn't committed yet has no
+    * aside marker), so it identifies an interrupted recovery precisely.
+    */
+  private[graft] def interruptedRecovery(checkpoint: String, out: String): Boolean = {
+    import java.nio.file.{Files, Paths}
+    Files.isDirectory(Paths.get(checkpoint)) &&
+      !Files.exists(Paths.get(out, "_spark_metadata")) &&
+      Option(Paths.get(out).toFile.listFiles())
+        .exists(_.exists(_.getName.startsWith("_spark_metadata.corrupt-")))
   }
 
   /** Pre-flight checkpoint validation — the recovery TRIGGER. Mirrors
@@ -202,9 +219,18 @@ object KesMain {
       // failure: a transient sink/source error must never destroy a
       // healthy checkpoint (the reference recovers only when opening
       // its cache DB fails, not on downstream errors)
-      if (recreate) checkpointDefect(checkpoint).foreach { defect =>
-        val aside = moveCheckpointAside(checkpoint, out)
-        System.err.println(s"[kes] checkpoint unusable ($defect); moved to $aside, starting fresh")
+      if (recreate) checkpointDefect(checkpoint) match {
+        case Some(defect) =>
+          val aside = moveCheckpointAside(checkpoint, out)
+          System.err.println(s"[kes] checkpoint unusable ($defect); moved to $aside, starting fresh")
+        case None if interruptedRecovery(checkpoint, out) =>
+          // a previous recovery moved the sink log aside and died
+          // before moving the checkpoint: complete it, so fresh state
+          // re-emits into a fresh sink log instead of resuming with
+          // pre-crash output invisible to metadata-aware readers
+          val aside = moveCheckpointAside(checkpoint, out)
+          System.err.println(s"[kes] completing interrupted recovery; checkpoint moved to $aside")
+        case None => ()
       }
       attempt()
     } finally {

@@ -219,15 +219,19 @@ object Dedup {
   def docNgramJaccardCapped(t: Tables, threshold: Double = 0.2, dfCap: Int = 100): DataFrame =
     withShared(gramSets(t), col("doc_id")) { sets =>
       val g = explodeSets(sets)
-      // keep-set inverted: the STOP shingles (df > cap) are the small
-      // side by construction (≤ total-grams/dfCap of them can exist),
-      // so broadcast them and anti-join — the equivalent inner join
-      // against `rare` (≈ the whole shingle vocabulary) would shuffle
-      // the full gram relation a second time
+      // keep-set inverted: anti-join against the STOP shingles
+      // (df > cap) instead of inner-joining `rare` (≈ the whole
+      // shingle vocabulary, which shuffles the full gram relation a
+      // second time). The stop set is vastly smaller than the
+      // vocabulary at any given scale, but it still GROWS with the
+      // corpus (up to total-grams/dfCap distinct shingles), so no
+      // broadcast hint is forced: AQE broadcasts it while it fits and
+      // degrades to a shuffled anti-join beyond the threshold — the
+      // graceful path a fixed hint would turn into a driver OOM
       val stop = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
         .filter(col("df") > dfCap)
         .select(col("gram"))
-      val capped = g.join(broadcast(stop), Seq("gram"), "left_anti")
+      val capped = g.join(stop, Seq("gram"), "left_anti")
         .select(col("doc_id"), col("gram"))
       // UNLIKE the prefix path, keep the pair-level distinct here: the
       // capped join emits one row per SHARED GRAM (a near-identical

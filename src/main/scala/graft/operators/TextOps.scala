@@ -264,14 +264,15 @@ object TextOps {
       dupBigramMax: Double = 0.2, ordered: Boolean = false): DataFrame = maybeSort({
     val tk = tokens(col("text"))
     val base = t.documents
-      .select(col("doc_id"), tk.as("tk"),
-        bigramStrings(col("text")).as("bg"),
-        call_function("graft_bigram_strings_distinct", col("text")).as("bgd"))
+      .select(col("doc_id"), tk.as("tk"), bigramStrings(col("text")).as("bg"))
       .select(col("doc_id"), col("tk"),
         size(col("tk")).cast("long").as("n_tokens"),
         size(array_distinct(col("tk"))).cast("long").as("n_distinct_tokens"),
         size(col("bg")).cast("long").as("n_bigrams"),
-        size(col("bgd")).cast("long").as("n_distinct_bigrams"))
+        // distinct from the array already in hand — a second fused
+        // build (graft_bigram_strings_distinct) would re-tokenize and
+        // re-concat every gram per row for the same count
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"))
     val top = base.select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_token_n"))

@@ -25,16 +25,25 @@ import graft.operators.TextOps
 object DocStreamJob {
 
   /** docs: streaming relation with (doc_id, text, lang, ingest_ts).
-    * Emits the curated keep-set: quality ≥ minScore, predicted
-    * language agrees, first copy of each content hash.
+    * Emits the curated keep-set: first copy of each content hash,
+    * quality ≥ minScore, predicted language agrees.
+    *
+    * Dedup runs FIRST, filters second — the order is semantic, not
+    * cosmetic: the batch verdict judges the CANONICAL copy of each
+    * hash, so the stream must pick its survivor (first arrival) before
+    * filtering. Filtering first would let a later copy with different
+    * labels slip through as "first of its hash" whenever the canonical
+    * copy fails a filter, breaking the stream ≡ batch keep-set law.
+    * It is also the cheaper order: only unique survivors are scored.
     */
   def streamDocCurate(docs: DataFrame, minScore: Double = 0.5,
       watermarkDelay: String = "1 hour"): DataFrame =
-    TextOps.withLangid(TextOps.withQuality(docs))
+    TextOps.withLangid(TextOps.withQuality(
+      docs
+        .withColumn("content_hash", md5(col("text")))
+        .withWatermark("ingest_ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark("content_hash")))
       .filter(col("quality_score") >= minScore && col("pred_lang") === col("lang"))
-      .withColumn("content_hash", md5(col("text")))
-      .withWatermark("ingest_ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("ingest_ts"), col("lang"), col("pred_lang"),
         col("n_tokens"), col("quality_score"), col("content_hash"))
 }

@@ -153,6 +153,35 @@ class KesMainSpec extends SparkSpec {
     assert(aside.nonEmpty, "corrupt checkpoint must be preserved aside")
   }
 
+  test("CACHE_RECREATE completes an interrupted recovery (sink log aside, checkpoint intact)") {
+    val in = Files.createTempDirectory("kes_in6").toFile
+    val outDir = Files.createTempDirectory("kes_out6").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("kes_ckpt6").toFile.getAbsolutePath + "/ckpt"
+
+    Files.writeString(new java.io.File(in, "b1.json").toPath, e1)
+    KesMain.run(Array(in.getAbsolutePath, s"$outDir/data", ckpt, "3600 seconds", "--once"), Map.empty)
+
+    // simulate the crash window: a recovery moved the sink log aside
+    // and died before moving the (actually healthy) checkpoint
+    val sinkLog = java.nio.file.Paths.get(s"$outDir/data", "_spark_metadata")
+    java.nio.file.Files.move(sinkLog,
+      sinkLog.resolveSibling("_spark_metadata.corrupt-simulated"))
+
+    Files.writeString(new java.io.File(in, "b2.json").toPath, e3)
+    KesMain.run(Array(in.getAbsolutePath, s"$outDir/data", ckpt, "3600 seconds", "--once"),
+      Map("CACHE_RECREATE" -> "1"))
+
+    // the orphaned checkpoint must be moved aside (recovery completed)
+    assert(new java.io.File(ckpt).getParentFile.listFiles()
+      .exists(_.getName.startsWith("ckpt.corrupt-")),
+      "interrupted recovery must move the checkpoint aside")
+    // fresh state re-emits e1 and flows e3 into a FRESH sink log the
+    // metadata-aware reader trusts (no invisible pre-crash output)
+    val got = spark.read.text(s"$outDir/data").collect().map(_.getString(0))
+    assert(got.exists(_.contains("\"uid\":\"u1\"")), s"re-emit after completed recovery: ${got.toSeq}")
+    assert(got.exists(_.contains("\"uid\":\"u3\"")), s"new batch must flow: ${got.toSeq}")
+  }
+
   test("recovery move order is crash-safe: sink log goes aside before the checkpoint") {
     // if the process dies between the two moves, the survivor state
     // must be old-checkpoint + no sink log (restart merely re-emits) —
