@@ -85,6 +85,7 @@ object SparkEntry {
     "text_repetition"      -> q(TextOps.textRepetition(_, ordered = true)),
     "text_collocations"    -> q(TextOps.textCollocations(_)),
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
+    "doc_mix_budget"       -> q(TextOps.docMixBudget(_, ordered = true)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
     "ev_funnel"            -> q(EventOps.evFunnel),
     "ev_error_after_click" -> q(EventOps.evErrorAfterClick(_, ordered = true)),
@@ -478,6 +479,16 @@ object SparkEntry {
     "doc_incremental_dedup" -> OracleSqlGen.docIncrementalDedup(5),
     "doc_decontaminate"     -> OracleSqlGen.docDecontaminate(10, 1),
     "doc_fingerprint_pairs" -> OracleSqlGen.docFingerprintPairs(8, 2),
+    "doc_mix_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(string_split(lower(text),' ')) AS n_tokens,
+        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000 AS bucket
+        |  FROM documents),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY bucket, doc_id
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM d)
+        |SELECT doc_id, source, n_tokens, bucket, cum_tokens,
+        |  CAST(cum_tokens <= 1000 AS INTEGER) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),

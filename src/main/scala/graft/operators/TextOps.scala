@@ -325,6 +325,30 @@ object TextOps {
       .limit(topK)
   }
 
+  /** E16: token-budget domain mixing — training mixtures are defined
+    * by TOKEN share per source, not document count (E7 samples by doc
+    * rate): each source contributes documents, in deterministic
+    * hash-bucket order, until its running token total exceeds the
+    * per-source cap. Stable across runs and cluster sizes (the order
+    * key is a content-free doc_id hash, not rand()).
+    *
+    * Scale shape: one narrow pass computes tokens + bucket; the only
+    * wide op is the per-source running-sum window (hash-partitioned on
+    * source, sorted within partition) — skew bounded by the largest
+    * source, the same profile as E10's packing window.
+    */
+  def docMixBudget(t: Tables, capTokens: Long = 1000, ordered: Boolean = false): DataFrame = maybeSort({
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        pmod(md5_60(col("doc_id").cast("string")), lit(1000L)).as("bucket"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"),
+        col("cum_tokens"), (col("cum_tokens") <= capTokens).cast("int").as("keep"))
+  }, ordered)(col("doc_id"))
+
   /** E14: the composed curation pipeline — quality score (E2), langid
     * agreement (E1), and exact-dedup canonical selection (C1) joined
     * into one keep/drop verdict with per-reason flags. The "a user
