@@ -51,6 +51,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("WordGrams edge cases: empty, repeated spaces, single token, unicode, null") {
+    import spark.implicits._
+    import graft.functions.Hashing.tokens
+    val edge = Seq(
+      (1L, ""), (2L, " "), (3L, "a"), (4L, "a b"), (5L, "a  b"),
+      (6L, "日 本 語"), (7L, "A B a b"))
+      .toDF("id", "text")
+      .union(Seq((8L, null.asInstanceOf[String])).toDF("id", "text"))
+    val rows = edge.select(col("id"),
+      call_function("graft_bigram_strings", col("text")).as("native"),
+      TextOps.bigramStringsComposed(tokens(col("text"))).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      val n = if (r.isNullAt(1)) null else r.getSeq[String](1)
+      val c = if (r.isNullAt(2)) null else r.getSeq[String](2)
+      assert(n == c, s"id=${r.getLong(0)}: native=$n composed=$c")
+    }
+    val byId = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(byId(1L) == Seq.empty)          // "" → [""] → <2 tokens
+    assert(byId(2L) == Seq(" "))           // " " → ["",""] → one bigram " "
+    assert(byId(3L) == Seq.empty)          // single token
+    assert(byId(4L) == Seq("a b"))
+    assert(byId(5L) == Seq("a ", " b"))    // double space → empty middle token
+    assert(byId(6L) == Seq("日 本", "本 語")) // unicode tokens pass through
+    assert(byId(7L) == Seq("a b", "b a", "a b")) // lowercased, duplicates kept
+    assert(byId(8L) == null)               // null in → null out
+  }
+
   test("WordGrams ∘ Md5Prefix60 == GramHashes on ≥3-token docs (cross-expression law)") {
     // the string-emitting and hash-emitting fused expressions must
     // describe the SAME n-grams; hashing WordGrams' output must land
