@@ -131,6 +131,7 @@ class PlanSpec extends SparkSpec {
       "doc_stratified_sample" -> TextOps.docStratifiedSample(tables),
       "text_repetition" -> TextOps.textRepetition(tables),
       "doc_curate" -> TextOps.docCurate(tables),
+      "doc_mix_budget" -> TextOps.docMixBudget(tables),
       "doc_minhash_sig" -> Dedup.docMinhashSig(tables),
       "doc_simhash" -> Dedup.docSimhash(tables),
       "doc_exact_dedup" -> Dedup.docExactDedup(tables),

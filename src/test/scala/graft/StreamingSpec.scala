@@ -218,6 +218,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming doc curation drops late arrivals behind the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    def doc(id: Long, text: String, ts: Instant) =
+      graft.model.IngestDoc(id, text, "en", ts)
+    // quality-passing text: ≥100 tokens (full length factor), all
+    // stopwords (stop_ratio 1), lang=en
+    val good = ("the and of to in " * 25).trim
+    val input = MemoryStream[graft.model.IngestDoc]
+    val out = graft.streaming.DocStreamJob.streamDocCurate(
+      input.toDS().toDF(), watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("curate_late_out").start()
+    try {
+      input.addData(Seq(doc(1, good, base.plusSeconds(3600))))
+      q.processAllAvailable() // watermark advances to ~base+50min
+      // late: an hour behind the max event time, beyond the 10 min delay
+      input.addData(Seq(doc(2, good + " extra", base)))
+      q.processAllAvailable()
+      val ids = spark.table("curate_late_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L))
+      assert(!ids.contains(2L), s"late doc must be dropped by the watermark: $ids")
+    } finally q.stop()
+  }
+
   test("streaming doc curation == batch docCurate keep-set when arrival order is doc_id order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
