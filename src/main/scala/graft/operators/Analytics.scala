@@ -341,6 +341,14 @@ object Analytics {
     * left-semi/left-anti joins over hash-distinct inputs: no sort,
     * everything hash-partitioned on the key; the three single-row
     * counts combine via broadcast cross joins.
+    *
+    * This query exists to exercise the set-OPERATOR plans; the three
+    * branches don't share exchanges (fresh expr ids per branch), so
+    * the fact table is scanned once per side per op. A deploy pipeline
+    * computing all three cardinalities together would use the
+    * one-scan flag-aggregate rewrite instead — groupBy(key) with
+    * has_y1/has_y2 max-flags, then conditional counts: one scan, one
+    * shuffle, same numbers.
     */
   def qSetOps(t: Tables, y1: Int = 1995, y2: Int = 1996): DataFrame = {
     def buyers(y: Int) = t.orders
