@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{DotProduct, Md5Prefix60}
+import graft.functions._
 import graft.plans.AsOfJoinStrategy
 
 /** SparkSessionExtensions entry point — deploy-time registration of
@@ -12,21 +13,23 @@ import graft.plans.AsOfJoinStrategy
   *
   * (Library code paths also self-register through Tables/GraftPlans,
   * so embedded use needs no config.)
+  *
+  * The function list mirrors VectorExprs.ensureRegistered exactly — a
+  * config-registered cluster session must resolve every graft_*
+  * function the library path does (SqlSurfaceSpec cross-checks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def inject(e: SparkSessionExtensions, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        getClass.getName, name),
+      builder))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    e.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs.head, exprs(1))))
-    e.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5_60"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[Md5Prefix60].getName, "graft_md5_60"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Md5Prefix60(exprs.head)))
+    VectorExprs.functions.foreach { case (name, builder) => inject(e, name, builder) }
   }
 }

@@ -135,6 +135,23 @@ object KesMain {
         .exists(_.exists(_.getName.startsWith("_spark_metadata.corrupt-")))
   }
 
+  /** The inverse orphan: NO checkpoint but a committed sink log — an
+    * operator lost/deleted the checkpoint dir out-of-band. A fresh
+    * query starting at batchId 0 against that stale log would see its
+    * batchIds already committed and silently skip writing them (the
+    * silent-loss direction moveCheckpointAside's ordering exists to
+    * avoid). Under CACHE_RECREATE the stale log moves aside so the
+    * fresh query re-emits everything.
+    */
+  private[graft] def moveStaleSinkLogAside(out: String): Option[java.nio.file.Path] = {
+    val sinkLog = java.nio.file.Paths.get(out, "_spark_metadata")
+    if (java.nio.file.Files.exists(sinkLog)) {
+      val dst = sinkLog.resolveSibling("_spark_metadata.corrupt-" + System.nanoTime())
+      java.nio.file.Files.move(sinkLog, dst)
+      Some(dst)
+    } else None
+  }
+
   /** Pre-flight checkpoint validation — the recovery TRIGGER. Mirrors
     * the reference, which recovers only when *opening the cache DB*
     * fails (src/main.rs:103-113), never on downstream errors: a
@@ -230,6 +247,12 @@ object KesMain {
           // pre-crash output invisible to metadata-aware readers
           val aside = moveCheckpointAside(checkpoint, out)
           System.err.println(s"[kes] completing interrupted recovery; checkpoint moved to $aside")
+        case None if !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(checkpoint)) =>
+          moveStaleSinkLogAside(out).foreach { dst =>
+            System.err.println(s"[kes] checkpoint missing but sink log committed; " +
+              s"moved stale log to $dst — the fresh query re-emits instead of " +
+              "silently skipping already-listed batchIds")
+          }
         case None => ()
       }
       attempt()

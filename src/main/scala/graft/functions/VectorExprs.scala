@@ -82,33 +82,37 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorExprs {
   private val FnName = "graft_dot"
 
+  /** name → builder for EVERY graft native function — the single
+    * registration list consumed by both the library path
+    * (ensureRegistered, via Tables) and the deploy extension point
+    * (GraftExtensions.injectFunction). One list means the two paths
+    * cannot drift: a cluster session configured with
+    * spark.sql.extensions resolves exactly what embedded use does.
+    */
+  val functions: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    FnName -> (exprs => DotProduct(exprs.head, exprs(1))),
+    "graft_md5_60" -> (exprs => Md5Prefix60(exprs.head)),
+    "graft_simhash60" -> (exprs => SimHash60(exprs.head)),
+    "graft_simhash_grams" -> (exprs => SimHashGrams(exprs.head)),
+    "graft_gram3_hashes" -> (exprs => GramHashes(exprs.head, 3, distinct = true)),
+    "graft_gram5_hashes" -> (exprs => GramHashes(exprs.head, 5, distinct = false)),
+    "graft_rolling_min" -> (exprs => RollingHashMin(exprs.head, 16)),
+    "graft_bigram_strings" -> (exprs => WordGrams(exprs.head, 2, distinct = false)),
+    "graft_bigram_strings_distinct" -> (exprs => WordGrams(exprs.head, 2, distinct = true)),
+    "graft_intersect_count" -> (exprs => IntersectCount(exprs.head, exprs(1))))
+
   /** Register the native expressions in the session's function registry
     * (the public extension point — same mechanism
     * SparkSessionExtensions' injectFunction uses) and expose them as
     * Columns.
     */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_md5_60", exprs => Md5Prefix60(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash60", exprs => SimHash60(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash_grams", exprs => SimHashGrams(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_gram3_hashes", exprs => GramHashes(exprs.head, 3, distinct = true), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_gram5_hashes", exprs => GramHashes(exprs.head, 5, distinct = false), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rolling_min", exprs => RollingHashMin(exprs.head, 16), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bigram_strings", exprs => WordGrams(exprs.head, 2, distinct = false), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bigram_strings_distinct", exprs => WordGrams(exprs.head, 2, distinct = true), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_intersect_count", exprs => IntersectCount(exprs.head, exprs(1)), "built-in")
-  }
+  def ensureRegistered(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
 }

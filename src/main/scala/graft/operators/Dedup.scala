@@ -299,17 +299,21 @@ object Dedup {
     val sets = gramSets(t)
     val benchGrams = sets.filter(pmod(col("doc_id"), lit(mod)) === 0)
       .select(explode(col("gs")).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
     val train = sets.filter(pmod(col("doc_id"), lit(mod)) =!= 0)
-    val shared = train.select(col("doc_id"), explode(col("gs")).as("gram"))
-      .join(broadcast(benchGrams), "gram")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    // LEFT join against the broadcast shingle set, so zero-overlap
+    // docs survive into the same aggregate — the train side is
+    // consumed ONCE (one scan, one shuffle on doc_id), where an inner
+    // join + join-back would run the GramHashes pass over ~(mod-1)/mod
+    // of the corpus twice
     maybeSort(
-      train.select(col("doc_id"), col("n_grams"))
-        .join(shared, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          col("n_grams").cast("long").as("n_grams"), // DuckDB COUNT is BIGINT
-          (coalesce(col("n_shared"), lit(0L)) >= minShared).cast("int").as("contaminated")),
+      train.select(col("doc_id"), col("n_grams"), explode(col("gs")).as("gram"))
+        .join(broadcast(benchGrams), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_shared"),
+          max(col("n_grams")).cast("long").as("n_grams")) // DuckDB COUNT is BIGINT
+        .select(col("doc_id"), col("n_shared"), col("n_grams"),
+          (col("n_shared") >= minShared).cast("int").as("contaminated")),
       ordered)(col("doc_id"))
   }
 
@@ -496,6 +500,17 @@ object Dedup {
       releaseCheckpoint(labels) // round N−1 is dead once round N exists
       labels = next
       iter += 1
+    }
+    // a component whose diameter exceeds maxIter would return
+    // intermediate labels — silently wrong clusters vs the oracle's
+    // exact transitive closure. Fail loudly instead; maxIter is a
+    // runtime bound the caller raises for long-chain corpora.
+    if (!converged) {
+      releaseCheckpoint(labels)
+      releaseCheckpoint(edges)
+      throw new IllegalStateException(
+        s"doc_dedup_clusters did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter; raise maxIter)")
     }
     val out = maybeSort(t.documents.select(col("doc_id"))
       .join(labels, col("doc_id") === col("id"), "left")

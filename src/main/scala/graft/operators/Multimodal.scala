@@ -99,10 +99,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     ds.flatMap { case (id, bytes) =>
         // STUB: a real pipeline decodes container frames here
+        // one digest per document, reused across frames (digest()
+        // resets it) — a per-frame getInstance pays a JCA provider
+        // lookup per 64-byte hash
+        val md = java.security.MessageDigest.getInstance("MD5")
         val nFrames = bytes.length / frameBytes
         (0 until nFrames by stride).map { i =>
           val frame = bytes.slice(i * frameBytes, (i + 1) * frameBytes)
-          val md = java.security.MessageDigest.getInstance("MD5")
           val hex = md.digest(frame).map(b => f"$b%02x").mkString
           MmFrame(id, i, i * frameBytes, hex)
         }

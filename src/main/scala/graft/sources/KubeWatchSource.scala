@@ -89,7 +89,8 @@ private[sources] class KubeWatchTable(props: java.util.Map[String, String])
           namespace = Option(options.get("namespace")),
           backoffInitMs = options.getLong("backoffInitMs", 200L),
           backoffMaxMs = options.getLong("backoffMaxMs", 5000L),
-          maxBuffer = options.getInt("maxBuffer", 1024))
+          maxBuffer = options.getInt("maxBuffer", 1024),
+          listWaitMs = options.getLong("listWaitMs", 10000L))
     }
 }
 
@@ -103,11 +104,12 @@ private[sources] class KubeWatchStream(
     namespace: Option[String],
     backoffInitMs: Long,
     backoffMaxMs: Long,
-    maxBuffer: Int) extends MicroBatchStream with SupportsAdmissionControl
+    maxBuffer: Int,
+    listWaitMs: Long) extends MicroBatchStream with SupportsAdmissionControl
     with ReportsSourceMetrics {
 
   private val client =
-    new KubeWatchClient(endpoint, namespace, backoffInitMs, backoffMaxMs, maxBuffer)
+    new KubeWatchClient(endpoint, namespace, backoffInitMs, backoffMaxMs, maxBuffer, listWaitMs)
 
   override def initialOffset(): Offset = KubeOffset(0L)
   override def deserializeOffset(json: String): Offset = KubeOffset(json.toLong)
@@ -133,6 +135,14 @@ private[sources] class KubeWatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KubeOffset].n
     val e = end.asInstanceOf[KubeOffset].n
+    // replay path: after a crash with an uncommitted batch in the
+    // offsets WAL, the engine re-executes that batch WITHOUT calling
+    // latestOffset first — this must align the fresh client's base
+    // too, or the slice addresses arbitrary fresh-list rows and the
+    // commit releases events that were never delivered (alignBase is
+    // first-call-wins, so the duplicate call on the normal path is a
+    // no-op)
+    client.alignBase(s)
     Array(KubeWatchPartition(client.slice(s, e)))
   }
 
@@ -178,7 +188,8 @@ private[graft] class KubeWatchClient(
     namespace: Option[String],
     backoffInitMs: Long,
     backoffMaxMs: Long,
-    maxBuffer: Int) {
+    maxBuffer: Int,
+    listWaitMs: Long = 10000) {
 
   private val mapper = new ObjectMapper()
   private val lock = new Object
@@ -188,12 +199,14 @@ private[graft] class KubeWatchClient(
   private var started = false
   private val closed = new AtomicBoolean(false)
   private val stalls = new java.util.concurrent.atomic.AtomicLong(0)
+  private val listAttempted = new java.util.concurrent.CountDownLatch(1)
   @volatile private var resourceVersion: String = null
+  @volatile private var backoff = backoffInitMs
 
   private def listPath =
     namespace.fold("/api/v1/events")(ns => s"/api/v1/namespaces/$ns/events")
 
-  def seenCount: Long = lock.synchronized { ensureStarted(); base + buf.length }
+  def seenCount: Long = { ensureStarted(); lock.synchronized(base + buf.length) }
 
   /** First planInputPartitions after a restart: adopt the committed
     * count as the logical offset of the first re-listed event.
@@ -207,11 +220,13 @@ private[graft] class KubeWatchClient(
     }
   }
 
-  def slice(start: Long, end: Long): Array[String] = lock.synchronized {
+  def slice(start: Long, end: Long): Array[String] = {
     ensureStarted()
-    val from = math.max(0, (start - base).toInt)
-    val until = math.max(from, math.min(buf.length.toLong, end - base).toInt)
-    buf.slice(from, until).toArray
+    lock.synchronized {
+      val from = math.max(0, (start - base).toInt)
+      val until = math.max(from, math.min(buf.length.toLong, end - base).toInt)
+      buf.slice(from, until).toArray
+    }
   }
 
   /** Committed prefix can be dropped — the bounded-channel release. */
@@ -222,13 +237,47 @@ private[graft] class KubeWatchClient(
     lock.notifyAll()
   }
 
+  /** Spawns the ingest thread on first use, then waits (bounded) for
+    * the initial list so the first micro-batch isn't spuriously empty.
+    * The wait happens OUTSIDE any monitor and the list itself runs on
+    * the INGEST thread — running it on the engine thread deadlocked
+    * when the initial list exceeded maxBuffer (append parks waiting
+    * for a release() only the blocked engine thread could issue), and
+    * a transient list failure killed the whole query instead of
+    * retrying with backoff. After the timeout the engine proceeds with
+    * whatever is buffered; the loop keeps retrying behind it.
+    */
   private def ensureStarted(): Unit = {
-    if (!started && !closed.get) {
-      started = true
-      listOnce()
-      val t = new Thread(() => watchLoop(), s"k8s-watch-$endpoint")
+    val spawn = lock.synchronized {
+      if (!started && !closed.get) { started = true; true } else false
+    }
+    if (spawn) {
+      val t = new Thread(() => ingestLoop(), s"k8s-watch-$endpoint")
       t.setDaemon(true)
       t.start()
+    }
+    listAttempted.await(listWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
+  }
+
+  /** List (when the bookmark is empty) then watch, forever, with
+    * exponential backoff on any failure — the kube-rs default_backoff
+    * covers the LIST as well as the watch, and so does this loop.
+    */
+  private def ingestLoop(): Unit = {
+    while (!closed.get) {
+      try {
+        if (resourceVersion == null) {
+          try listOnce() finally listAttempted.countDown()
+        }
+        watchOnce()
+      } catch {
+        case _: InterruptedException => return
+        case _: Exception => // refused / reset / timeout → backoff below
+      }
+      if (!closed.get) {
+        Thread.sleep(backoff)
+        backoff = math.min(backoff * 2, backoffMaxMs)
+      }
     }
   }
 
@@ -269,46 +318,37 @@ private[graft] class KubeWatchClient(
     } finally c.disconnect()
   }
 
-  /** WATCH with backoff; each NDJSON line is `{"type":…,"object":…}`.
-    * 410 Gone (bookmark expired) falls back to a fresh list.
+  /** One WATCH connection; each NDJSON line is `{"type":…,"object":…}`.
+    * 410 Gone (bookmark expired) — whether an HTTP-level 410 response
+    * or the in-stream form the API server actually sends (HTTP 200 +
+    * `{"type":"ERROR","object":{"kind":"Status","code":410}}`) — drops
+    * the bookmark so the next ingestLoop iteration falls back to a
+    * fresh list. The Status object is never appended as an event.
     */
-  private def watchLoop(): Unit = {
-    var backoff = backoffInitMs
-    while (!closed.get) {
-      try {
-        val rvParam = Option(resourceVersion).fold("")(rv => s"&resourceVersion=$rv")
-        val c = get(s"$listPath?watch=true$rvParam", 30000)
-        try {
-          if (c.getResponseCode == 410) { listOnce() }
-          else {
-            val r = new BufferedReader(
-              new InputStreamReader(c.getInputStream, StandardCharsets.UTF_8))
-            var line = r.readLine()
-            while (line != null && !closed.get) {
-              if (line.nonEmpty) {
-                val node = mapper.readTree(line)
-                val obj = node.path("object")
-                val kind = node.path("type").asText("")
-                val rv = obj.path("metadata").path("resourceVersion").asText(null)
-                if (rv != null && rv.nonEmpty) resourceVersion = rv
-                // BOOKMARK events only advance the rv; ADDED/MODIFIED carry data
-                if (kind != "BOOKMARK" && !obj.isMissingNode && !obj.isNull)
-                  append(mapper.writeValueAsString(obj))
-                backoff = backoffInitMs // healthy stream resets the backoff
-              }
-              line = r.readLine()
-            }
-          }
-        } finally c.disconnect()
-      } catch {
-        case _: InterruptedException => return
-        case _: Exception => // connection refused / reset / timeout → backoff below
+  private def watchOnce(): Unit = {
+    val rvParam = Option(resourceVersion).fold("")(rv => s"&resourceVersion=$rv")
+    val c = get(s"$listPath?watch=true$rvParam", 30000)
+    try {
+      if (c.getResponseCode == 410) { resourceVersion = null; return }
+      val r = new BufferedReader(
+        new InputStreamReader(c.getInputStream, StandardCharsets.UTF_8))
+      var line = r.readLine()
+      while (line != null && !closed.get) {
+        if (line.nonEmpty) {
+          val node = mapper.readTree(line)
+          val obj = node.path("object")
+          val kind = node.path("type").asText("")
+          if (kind == "ERROR") { resourceVersion = null; return }
+          val rv = obj.path("metadata").path("resourceVersion").asText(null)
+          if (rv != null && rv.nonEmpty) resourceVersion = rv
+          // BOOKMARK events only advance the rv; ADDED/MODIFIED carry data
+          if (kind != "BOOKMARK" && !obj.isMissingNode && !obj.isNull)
+            append(mapper.writeValueAsString(obj))
+          backoff = backoffInitMs // healthy stream resets the backoff
+        }
+        line = r.readLine()
       }
-      if (!closed.get) {
-        Thread.sleep(backoff)
-        backoff = math.min(backoff * 2, backoffMaxMs)
-      }
-    }
+    } finally c.disconnect()
   }
 
   def close(): Unit = {

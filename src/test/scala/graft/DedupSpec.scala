@@ -86,6 +86,13 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clustering fails loudly, not silently wrong, when maxIter is too small to converge") {
+    val e = intercept[IllegalStateException] {
+      Dedup.docDedupClusters(tables, maxIter = 0).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("fingerprint pairs == brute-force ground truth over mod-8 sampled grams") {
     import org.apache.spark.sql.functions._
     val fp = Dedup.grams(tables).filter(pmod(col("gram"), lit(8)) === 0)

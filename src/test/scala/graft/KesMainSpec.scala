@@ -182,6 +182,32 @@ class KesMainSpec extends SparkSpec {
     assert(got.exists(_.contains("\"uid\":\"u3\"")), s"new batch must flow: ${got.toSeq}")
   }
 
+  test("CACHE_RECREATE moves a stale sink log aside when the checkpoint is gone (no silent batch skip)") {
+    val in = Files.createTempDirectory("kes_in7").toFile
+    val outDir = Files.createTempDirectory("kes_out7").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("kes_ckpt7").toFile.getAbsolutePath + "/ckpt"
+
+    Files.writeString(new java.io.File(in, "b1.json").toPath, e1)
+    KesMain.run(Array(in.getAbsolutePath, s"$outDir/data", ckpt, "3600 seconds", "--once"), Map.empty)
+
+    // operator loses the checkpoint out-of-band; the committed sink
+    // log survives — a fresh batch 0 would be silently skipped
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(ckpt))
+
+    Files.writeString(new java.io.File(in, "b2.json").toPath, e3)
+    KesMain.run(Array(in.getAbsolutePath, s"$outDir/data", ckpt, "3600 seconds", "--once"),
+      Map("CACHE_RECREATE" -> "1"))
+
+    val got = spark.read.text(s"$outDir/data").collect().map(_.getString(0))
+    assert(got.exists(_.contains("\"uid\":\"u3\"")),
+      s"fresh query must not silently skip its batches against the stale log: ${got.toSeq}")
+    assert(got.exists(_.contains("\"uid\":\"u1\"")), s"re-emitted backlog flows: ${got.toSeq}")
+  }
+
   test("recovery move order is crash-safe: sink log goes aside before the checkpoint") {
     // if the process dies between the two moves, the survivor state
     // must be old-checkpoint + no sink log (restart merely re-emits) —

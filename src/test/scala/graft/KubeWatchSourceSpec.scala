@@ -20,6 +20,9 @@ import graft.operators.KubeEventOps
 class FakeKubeApi {
   private val events = ArrayBuffer[(Int, String)]() // (rv, event json)
   private val lock = new Object
+  // one-shot: the next watch request gets the in-stream expiry the
+  // real API server sends (HTTP 200 + ERROR Status, code 410)
+  @volatile var failNextWatchWith410 = false
 
   def add(uid: String, rv: Int, reason: String = "Started"): Unit = lock.synchronized {
     val json =
@@ -34,11 +37,16 @@ class FakeKubeApi {
       .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse("")).toMap
     val body =
       if (params.get("watch").contains("true")) {
-        val since = params.get("resourceVersion").map(_.toInt).getOrElse(0)
-        lock.synchronized {
-          events.filter(_._1 > since)
-            .map { case (_, j) => s"""{"type":"ADDED","object":$j}""" }
-            .mkString("", "\n", "\n")
+        if (failNextWatchWith410) {
+          failNextWatchWith410 = false
+          """{"type":"ERROR","object":{"kind":"Status","apiVersion":"v1","status":"Failure","reason":"Expired","code":410}}""" + "\n"
+        } else {
+          val since = params.get("resourceVersion").map(_.toInt).getOrElse(0)
+          lock.synchronized {
+            events.filter(_._1 > since)
+              .map { case (_, j) => s"""{"type":"ADDED","object":$j}""" }
+              .mkString("", "\n", "\n")
+          }
         }
       } else lock.synchronized {
         val maxRv = if (events.isEmpty) 0 else events.map(_._1).max
@@ -116,6 +124,98 @@ class KubeWatchSourceSpec extends SparkSpec {
         assert(!lister.isAlive, "release must un-park the parked ingest")
         assert(client.bufferedEvents == 1, "second event lands after release")
       } finally client.close()
+    } finally api.stop()
+  }
+
+  test("initial list larger than maxBuffer drains without deadlock (consumer paces the producer)") {
+    val api = new FakeKubeApi
+    try {
+      (1 to 6).foreach(i => api.add(s"u$i", i))
+      // before the ingest-thread fix, the first seenCount ran the list
+      // on the caller thread and parked forever on event 3 (release()
+      // could only come from that same blocked thread)
+      val client = new graft.sources.KubeWatchClient(
+        s"http://localhost:${api.port}", None, 10, 100, maxBuffer = 2, listWaitMs = 300)
+      try {
+        var delivered = Vector[String]()
+        var committed = 0L
+        val deadline = System.currentTimeMillis() + 15000
+        while (delivered.size < 6 && System.currentTimeMillis() < deadline) {
+          val n = client.seenCount
+          if (n > committed) {
+            delivered ++= client.slice(committed, n)
+            client.release(n)
+            committed = n
+          } else Thread.sleep(20)
+        }
+        (1 to 6).foreach { i =>
+          assert(delivered.exists(_.contains(s"\"uid\":\"u$i\"")),
+            s"event u$i missing from ${delivered.size} delivered")
+        }
+      } finally client.close()
+    } finally api.stop()
+  }
+
+  test("in-stream watch ERROR (410 Status) re-lists instead of appending the Status as an event") {
+    val api = new FakeKubeApi
+    try {
+      api.add("u1", 1); api.add("u2", 2)
+      val client = new graft.sources.KubeWatchClient(
+        s"http://localhost:${api.port}", None, 10, 50, maxBuffer = 1024, listWaitMs = 5000)
+      try {
+        assert(client.seenCount == 2)
+        api.failNextWatchWith410 = true
+        api.add("u3", 3)
+        // the ERROR drops the bookmark; the next loop iteration
+        // re-lists, replaying all 3 events (at-least-once) incl. u3
+        val deadline = System.currentTimeMillis() + 15000
+        while (!(0L until client.seenCount).exists { _ => // poll until u3 lands
+          client.slice(0, client.seenCount).exists(_.contains("\"uid\":\"u3\""))
+        } && System.currentTimeMillis() < deadline) Thread.sleep(20)
+        val lines = client.slice(0, client.seenCount)
+        assert(lines.exists(_.contains("\"uid\":\"u3\"")), "new event must arrive after re-list")
+        assert(!lines.exists(_.contains("\"kind\":\"Status\"")),
+          "the ERROR Status object must never be appended as an event")
+      } finally client.close()
+    } finally api.stop()
+  }
+
+  test("uncommitted-batch replay (planInputPartitions without latestOffset) aligns the base") {
+    val api = new FakeKubeApi
+    try {
+      (1 to 5).foreach(i => api.add(s"u$i", i))
+      val props = new java.util.HashMap[String, String]()
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("endpoint", s"http://localhost:${api.port}")
+      val stream = new graft.sources.KubeWatchSource()
+        .getTable(graft.sources.KubeWatchSource.schema, Array.empty, props)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+        .build().toMicroBatchStream("unused")
+      // crash-replay path: the engine re-executes batch [2,4) straight
+      // from the offsets WAL — no latestOffset call first
+      val parts = stream.planInputPartitions(
+        stream.deserializeOffset("2"), stream.deserializeOffset("4"))
+      val reader = stream.createReaderFactory().createReader(parts(0))
+      var replayed = Vector[String]()
+      while (reader.next()) replayed :+= reader.get().getUTF8String(0).toString
+      // aligned base ⇒ the batch re-delivers the FIRST two re-listed
+      // events (u1, u2) at logical offsets 2..4 — not rows 2..4 of the
+      // fresh list, which would skip u1/u2 forever
+      assert(replayed.size == 2, s"replay of [2,4) must carry 2 rows: $replayed")
+      assert(replayed(0).contains("\"uid\":\"u1\"") && replayed(1).contains("\"uid\":\"u2\""))
+      stream.commit(stream.deserializeOffset("4"))
+      // nothing was lost: the remaining re-listed events are still due
+      val latest = stream.asInstanceOf[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+        .latestOffset(stream.deserializeOffset("4"),
+          org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      assert(latest.json.toLong == 7L, s"5 listed events from base 2 end at 7, got ${latest.json}")
+      val parts2 = stream.planInputPartitions(stream.deserializeOffset("4"), latest)
+      val r2 = stream.createReaderFactory().createReader(parts2(0))
+      var rest = Vector[String]()
+      while (r2.next()) rest :+= r2.get().getUTF8String(0).toString
+      assert(rest.map(l => (3 to 5).find(i => l.contains(s"\"uid\":\"u$i\""))).flatten == Vector(3, 4, 5))
+      stream.stop()
     } finally api.stop()
   }
 
