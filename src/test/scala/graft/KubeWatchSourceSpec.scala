@@ -169,10 +169,10 @@ class KubeWatchSourceSpec extends SparkSpec {
         // the ERROR drops the bookmark; the next loop iteration
         // re-lists, replaying all 3 events (at-least-once) incl. u3
         val deadline = System.currentTimeMillis() + 15000
-        while (!(0L until client.seenCount).exists { _ => // poll until u3 lands
-          client.slice(0, client.seenCount).exists(_.contains("\"uid\":\"u3\""))
-        } && System.currentTimeMillis() < deadline) Thread.sleep(20)
-        val lines = client.slice(0, client.seenCount)
+        def all(): Array[String] = client.slice(0, client.seenCount)
+        while (!all().exists(_.contains("\"uid\":\"u3\"")) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(20)
+        val lines = all()
         assert(lines.exists(_.contains("\"uid\":\"u3\"")), "new event must arrive after re-list")
         assert(!lines.exists(_.contains("\"kind\":\"Status\"")),
           "the ERROR Status object must never be appended as an event")
