@@ -60,6 +60,30 @@ class ExprPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("WordGrams == naive lowercase-split-sliding composition (both distinct flags)") {
+    forAll(text, Gen.oneOf(2, 3)) { (s, n) =>
+      val toks = s.toLowerCase.split(" ", -1)
+      val raw =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      Seq(false, true).foreach { distinct =>
+        val expected = if (distinct) raw.distinct else raw
+        val got = graft.functions.WordGrams
+          .compute(UTF8String.fromString(s), n, distinct)
+          .array.toSeq.map(_.toString)
+        assert(got == expected, s"text=<$s> n=$n distinct=$distinct")
+        // hashing the strings lands exactly on GramHashes when the
+        // short-doc fallback doesn't apply
+        if (distinct && toks.length >= n) {
+          val viaStrings = got.map(refMd5_60)
+          val fused = GramHashes.compute(UTF8String.fromString(s), n, distinct = true)
+            .toLongArray.toSeq
+          assert(viaStrings == fused, s"string-path vs fused-path: <$s> n=$n")
+        }
+      }
+    }
+  }
+
   test("SimHash60 == per-bit sign-sum reference") {
     forAll(Gen.listOf(Gen.choose(0L, (1L << 60) - 1))) { hs =>
       val expected = (0 until 60).map { j =>
