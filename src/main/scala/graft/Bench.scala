@@ -15,12 +15,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
 
-  /** The two heaviest queries get extra iterations: their medians gate
-    * the round's perf verdict, and at ~5 s a run the median-of-3 swings
-    * with one GC pause. Median-of-(Iters+2) is stable.
+  /** The heaviest queries get extra iterations: their medians gate the
+    * round's perf verdict, and at a few seconds a run the median-of-3
+    * swings with one GC pause (capped jaccard measured 2.5 s in two
+    * full-bench runs and 8 s in a third on identical plans — verified
+    * BroadcastHashJoin both times, pure run-order variance).
+    * Median-of-(Iters+2) is stable.
     */
   private val HeavyExtra = 2
-  private val Heavy = Set("doc_ngram_jaccard", "doc_dedup_clusters")
+  private val Heavy =
+    Set("doc_ngram_jaccard", "doc_dedup_clusters", "doc_ngram_jaccard_capped")
 
   /** State-partition count for the streaming pipeline — a deploy
     * sizing knob, like shuffle partitions for batch: each micro-batch
