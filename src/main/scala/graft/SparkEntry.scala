@@ -86,6 +86,7 @@ object SparkEntry {
     "text_collocations"    -> q(TextOps.textCollocations(_)),
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
     "doc_mix_budget"       -> q(TextOps.docMixBudget(_, ordered = true)),
+    "doc_shard_shuffle"    -> q(TextOps.docShardShuffle(_, ordered = true)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
     "ev_funnel"            -> q(EventOps.evFunnel),
     "ev_error_after_click" -> q(EventOps.evErrorAfterClick(_, ordered = true)),
@@ -479,6 +480,14 @@ object SparkEntry {
     "doc_incremental_dedup" -> OracleSqlGen.docIncrementalDedup(5),
     "doc_decontaminate"     -> OracleSqlGen.docDecontaminate(10, 1),
     "doc_fingerprint_pairs" -> OracleSqlGen.docFingerprintPairs(8, 2),
+    "doc_shard_shuffle" ->
+      """WITH d AS (SELECT doc_id,
+        |  ('0x'||substr(md5('graft:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS sort_key
+        |  FROM documents)
+        |SELECT doc_id, sort_key, sort_key % 16 AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY sort_key % 16 ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "doc_mix_budget" ->
       """WITH d AS (SELECT doc_id, source,
         |  len(string_split(lower(text),' ')) AS n_tokens,

@@ -349,6 +349,28 @@ object TextOps {
         col("cum_tokens"), (col("cum_tokens") <= capTokens).cast("int").as("keep"))
   }, ordered)(col("doc_id"))
 
+  /** E17: deterministic shuffle-and-shard — the training-order step a
+    * pipeline ends with: every document gets a pseudorandom but
+    * SEEDED order key (hash of seed‖doc_id — reproducible across
+    * runs and cluster sizes, unlike rand()), a shard from that key,
+    * and its position within the shard.
+    *
+    * Scale shape: the key and shard are one narrow pass; the only
+    * wide op is the per-shard position window (hash-partitioned on
+    * shard, sorted within partition) — no global sort, and shard
+    * sizes are balanced by the uniformity of the hash.
+    */
+  def docShardShuffle(t: Tables, nShards: Int = 16, seed: String = "graft",
+      ordered: Boolean = false): DataFrame = maybeSort({
+    val h = md5_60(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), h.as("sort_key"))
+      .withColumn("shard", pmod(col("sort_key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("sort_key"), col("shard"), col("pos"))
+  }, ordered)(col("doc_id"))
+
   /** E14: the composed curation pipeline — quality score (E2), langid
     * agreement (E1), and exact-dedup canonical selection (C1) joined
     * into one keep/drop verdict with per-reason flags. The "a user

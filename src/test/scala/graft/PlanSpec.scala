@@ -132,6 +132,7 @@ class PlanSpec extends SparkSpec {
       "text_repetition" -> TextOps.textRepetition(tables),
       "doc_curate" -> TextOps.docCurate(tables),
       "doc_mix_budget" -> TextOps.docMixBudget(tables),
+      "doc_shard_shuffle" -> TextOps.docShardShuffle(tables),
       "doc_minhash_sig" -> Dedup.docMinhashSig(tables),
       "doc_simhash" -> Dedup.docSimhash(tables),
       "doc_exact_dedup" -> Dedup.docExactDedup(tables),
