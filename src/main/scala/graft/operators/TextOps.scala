@@ -200,17 +200,68 @@ object TextOps {
           .cast("long").as("chunk_len"))
   }, ordered)(col("doc_id"), col("chunk_idx"))
 
+  /** Two-phase per-source running sum of `n_tokens` ordered by
+    * `orderCols` within `source` — the scale-safe replacement for
+    * `Window.partitionBy(source)`, whose parallelism is bounded by
+    * source cardinality (a pretraining mixture has tens of domains, so
+    * at 100 TB the largest source lands in ONE task's sort). Requires a
+    * `grp` column that is a MONOTONE non-decreasing function of the
+    * order within every source (all rows of group g precede all rows of
+    * group g+1), so per-group sums compose by prefix:
+    *  1. local running sums windowed by (source, grp) — the only
+    *     full-data shuffle; parallelism = sources × groups, skew
+    *     bounded by one group's segment;
+    *  2. per-(source, grp) totals = max(local_cum) aggregated ON TOP of
+    *     the same window exchange (grouping keys match the hash
+    *     partitioning → no extra shuffle; the window exchange dedupes
+    *     into a ReusedExchange across the two branches, so the corpus
+    *     is scanned and shuffled once);
+    *  3. per-source prefix offsets over the tiny (≤ sources × groups
+    *     rows) totals relation via a left self-join on (source, g2 <
+    *     grp) — deliberately NOT a source-partitioned window, so no
+    *     node anywhere in the plan has source-bounded parallelism;
+    *  4. offsets broadcast back: cum = offset + local running sum.
+    */
+  private def groupedRunningSum(base: DataFrame, orderCols: Seq[Column]): DataFrame = {
+    val localW = Window.partitionBy(col("source"), col("grp"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("local_cum", sum(col("n_tokens")).over(localW))
+    val totals = local.groupBy(col("source"), col("grp"))
+      .agg(max(col("local_cum")).as("grp_sum"))
+    val offsets = totals.select(col("source"), col("grp"))
+      .join(totals.select(col("source").as("s2"), col("grp").as("g2"), col("grp_sum").as("gs2")),
+        col("source") === col("s2") && col("g2") < col("grp"), "left")
+      .groupBy(col("source"), col("grp"))
+      .agg(coalesce(sum(col("gs2")), lit(0L)).as("off"))
+    local.join(broadcast(offsets), Seq("source", "grp"))
+      .withColumn("cum", col("off") + col("local_cum"))
+  }
+
   /** E10: sequence packing — assign docs to ~fixed-token-budget bins by
     * running token count per source (greedy in doc_id order; the bin a
-    * doc *starts* in). Partitioned running sum — the deterministic,
-    * distributed version of greedy first-fit packing.
+    * doc *starts* in). The running sum is the two-phase
+    * [[groupedRunningSum]] (never a source-partitioned window): the
+    * order key is doc_id itself, so the monotone group column is a
+    * fixed-width range slice of [min, max] doc_id — the bounds come
+    * from a one-column min/max aggregate (a pruned doc_id-only parquet
+    * scan) broadcast via crossJoin. floor((id-lo)/width) is monotone in
+    * doc_id for any fixed width ≥ 1, so group contiguity holds whatever
+    * the id distribution; balance follows id density, and even a
+    * degenerate clustering only collapses toward the old per-source
+    * bound, never below it.
     */
-  def docPack(t: Tables, budget: Int = 512, ordered: Boolean = false): DataFrame = maybeSort({
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.documents
+  def docPack(t: Tables, budget: Int = 512, nGroups: Int = 32,
+      ordered: Boolean = false): DataFrame = maybeSort({
+    val bounds = t.documents
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val width = greatest(lit(1L), floor((col("hi") - col("lo")) / lit(nGroups)) + 1L)
+    val base = t.documents
       .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(bounds))
+      .withColumn("grp", floor((col("doc_id") - col("lo")) / width))
+      .drop("lo", "hi")
+    groupedRunningSum(base, Seq(col("doc_id")))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / lit(budget)).cast("long").as("bin"))
   }, ordered)(col("doc_id"))
@@ -332,21 +383,22 @@ object TextOps {
     * per-source cap. Stable across runs and cluster sizes (the order
     * key is a content-free doc_id hash, not rand()).
     *
-    * Scale shape: one narrow pass computes tokens + bucket; the only
-    * wide op is the per-source running-sum window (hash-partitioned on
-    * source, sorted within partition) — skew bounded by the largest
-    * source, the same profile as E10's packing window.
+    * Scale shape: one narrow pass computes tokens + bucket; the running
+    * sum is the two-phase [[groupedRunningSum]] (never a
+    * source-partitioned window). The leading order key is already the
+    * deterministic hash bucket ∈ [0, 1000), so the monotone group
+    * column is free: grp = bucket / 32 slices the bucket range into 32
+    * contiguous, hash-balanced segments — no bounds pass needed.
     */
   def docMixBudget(t: Tables, capTokens: Long = 1000, ordered: Boolean = false): DataFrame = maybeSort({
-    val w = Window.partitionBy(col("source")).orderBy(col("bucket"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.documents
+    val base = t.documents
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         pmod(md5_60(col("doc_id").cast("string")), lit(1000L)).as("bucket"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("grp", floor(col("bucket") / lit(32)))
+    groupedRunningSum(base, Seq(col("bucket"), col("doc_id")))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"),
-        col("cum_tokens"), (col("cum_tokens") <= capTokens).cast("int").as("keep"))
+        col("cum").as("cum_tokens"), (col("cum") <= capTokens).cast("int").as("keep"))
   }, ordered)(col("doc_id"))
 
   /** E17: deterministic shuffle-and-shard — the training-order step a

@@ -154,6 +154,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("doc pack / mix budget: no window partitioned by source alone (parallelism not source-bounded)") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the r5 scale finding: Window.partitionBy(source) routes EVERY
+    // document of a source through one task's sort — at 100 TB the
+    // largest source is a multi-TB single task AQE cannot split. The
+    // two-phase rewrite must leave no window (anywhere in the plan,
+    // including the tiny offsets branch) keyed on source alone.
+    for ((name, df) <- Seq(
+        "doc_pack" -> TextOps.docPack(tables),
+        "doc_mix_budget" -> TextOps.docMixBudget(tables))) {
+      val sp = df.queryExecution.sparkPlan
+      val sourceOnly = sp.collect {
+        case w: WindowExec if w.partitionSpec.length == 1 &&
+          w.partitionSpec.head.toString.contains("source") => w
+      }
+      assert(sourceOnly.isEmpty,
+        s"$name has a window whose parallelism is bounded by source cardinality:\n$sourceOnly")
+    }
+  }
+
+  test("doc pack / mix budget: totals branch reuses the window exchange (one corpus shuffle)") {
+    import graft.operators.TextOps
+    for ((name, df) <- Seq(
+        "doc_pack" -> TextOps.docPack(tables),
+        "doc_mix_budget" -> TextOps.docMixBudget(tables))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        s"$name: offsets branch must reuse the (source, grp) exchange, not rescan the corpus:\n${p.take(1200)}")
+    }
+  }
+
   test("text vocab: offsets branch and join branch share ONE range exchange (ReusedExchange)") {
     // the two-phase rank is only correct if both branches observe the
     // SAME range partitioning; they do because the identical subplans

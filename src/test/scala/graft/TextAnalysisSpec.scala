@@ -122,4 +122,58 @@ class TextAnalysisSpec extends SparkSpec {
     val minBy = all.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
     assert(dupIds == all.filter { case (id, h) => id != minBy(h) }.map(_._1).toSet)
   }
+
+  test("two-phase running sums (pack, mix budget) == single per-source window reference") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hashing.tokens
+    // the r6 rewrite (groupedRunningSum) must be value-identical to the
+    // formulation it replaced: a running sum windowed by source alone
+    val docs = tables.documents
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val packRef = docs
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), floor((col("cum") - col("n_tokens")) / lit(512)).cast("long").as("bin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pack = TextOps.docPack(tables).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(pack == packRef, "doc_pack bins diverge from the per-source window reference")
+
+    val mixRef = tables.documents
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        pmod(graft.functions.Hashing.md5_60(col("doc_id").cast("string")), lit(1000L)).as("bucket"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("bucket"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mix = TextOps.docMixBudget(tables).collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(mix == mixRef, "doc_mix_budget cum diverges from the per-source window reference")
+  }
+
+  test("doc pack: group bounds hold under sparse and adversarially clustered doc_ids") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    import graft.functions.Hashing.tokens
+    // clustered ids (all in one narrow band + one far outlier) must
+    // still produce the exact greedy running sum — group contiguity is
+    // what correctness rides on, balance is only a performance property
+    val rows = (1L to 50L).map(i => (i, "a", s"w$i x")) ++
+      Seq((9_000_000_000L, "a", "tail doc"), (25L, "b", "other source"))
+    val df = rows.toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val t = graft.sources.Tables(spark, tmp)
+    val got = TextOps.docPack(t, budget = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val ref = df
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), floor((col("cum") - col("n_tokens")) / lit(3)).cast("long").as("bin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
 }
