@@ -352,13 +352,17 @@ object OracleSqlGen {
        |ORDER BY lift DESC, c_ab DESC, w1, w2 LIMIT $topK""".stripMargin
 
   /** Fingerprint-overlap pairs: 0-mod-p sampled shingle hashes as
-    * fingerprints, pairs sharing ≥ minShared.
+    * fingerprints, pairs sharing ≥ minShared; fingerprints held by
+    * more than dfCap documents generate no pairs (same cap as the
+    * Spark side's stop-set anti-join).
     */
-  def docFingerprintPairs(mod: Int, minShared: Int): String =
+  def docFingerprintPairs(mod: Int, minShared: Int, dfCap: Int): String =
     s"""WITH $gramCtes,
-       |fp AS (SELECT doc_id, h0 FROM h WHERE h0 % $mod = 0)
+       |fp AS (SELECT doc_id, h0 FROM h WHERE h0 % $mod = 0),
+       |keep AS (SELECT h0 FROM fp GROUP BY h0 HAVING COUNT(*) <= $dfCap),
+       |fpk AS (SELECT fp.doc_id, fp.h0 FROM fp JOIN keep USING (h0))
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-       |FROM fp a JOIN fp b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+       |FROM fpk a JOIN fpk b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= $minShared
        |ORDER BY doc_a, doc_b""".stripMargin
 

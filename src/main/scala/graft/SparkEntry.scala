@@ -54,16 +54,16 @@ object SparkEntry {
     // §2.C dedup family
     "doc_exact_dedup"      -> q(Dedup.docExactDedup(_, ordered = true)),
     "doc_minhash_sig"      -> q(Dedup.docMinhashSig(_, ordered = true)),
-    "doc_minhash_lsh_pairs" -> q(Dedup.docMinhashLshPairs(_)),
+    "doc_minhash_lsh_pairs" -> q(Dedup.docMinhashLshPairs(_, ordered = true)),
     "doc_simhash"          -> q(Dedup.docSimhash(_, ordered = true)),
-    "doc_simhash_pairs"    -> q(Dedup.docSimhashPairs(_)),
-    "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_)),
-    "doc_ngram_jaccard_capped" -> q(Dedup.docNgramJaccardCapped(_)),
+    "doc_simhash_pairs"    -> q(Dedup.docSimhashPairs(_, ordered = true)),
+    "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_, ordered = true)),
+    "doc_ngram_jaccard_capped" -> q(Dedup.docNgramJaccardCapped(_, ordered = true)),
     "doc_incremental_dedup" -> q(Dedup.docIncrementalDedup(_, ordered = true)),
     "doc_decontaminate"    -> q(Dedup.docDecontaminate(_, ordered = true)),
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
-    "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_)),
-    "doc_embed_cosine_dup" -> q(Dedup.docEmbedCosineDup(_)),
+    "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_, ordered = true)),
+    "doc_embed_cosine_dup" -> q(Dedup.docEmbedCosineDup(_, ordered = true)),
     // §2.D similarity search
     "ann_topk_bruteforce"  -> q(Similarity.annTopkBruteforce(_)),
     "ann_lsh_bucketed"     -> q(Similarity.annLshBucketed(_)),
@@ -479,7 +479,7 @@ object SparkEntry {
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),
     "doc_incremental_dedup" -> OracleSqlGen.docIncrementalDedup(5),
     "doc_decontaminate"     -> OracleSqlGen.docDecontaminate(10, 1),
-    "doc_fingerprint_pairs" -> OracleSqlGen.docFingerprintPairs(8, 2),
+    "doc_fingerprint_pairs" -> OracleSqlGen.docFingerprintPairs(8, 2, 100),
     "doc_shard_shuffle" ->
       """WITH d AS (SELECT doc_id,
         |  ('0x'||substr(md5('graft:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS sort_key

@@ -150,7 +150,7 @@ object Dedup {
     * candidates only → threshold. The only shuffles are the band
     * self-join and the per-candidate gram intersection — never n².
     */
-  def docMinhashLshPairs(t: Tables, threshold: Double = 0.2): DataFrame = {
+  def docMinhashLshPairs(t: Tables, threshold: Double = 0.2, ordered: Boolean = false): DataFrame = {
     // one shared gram-set exchange (see sharedSets), consumed by the
     // signature aggregate (exploded, partitioning-aligned — no extra
     // shuffle) and the exact-Jaccard verify (arrays, intersected per
@@ -169,7 +169,7 @@ object Dedup {
         col("band") === col("band2") && col("band_val") === col("band_val2") &&
           col("doc_id") < col("db"))
       .select(col("doc_id").as("da"), col("db"))
-    verifiedJaccard(sets, cands, threshold)
+    verifiedJaccard(sets, cands, threshold, ordered)
   }
 
 
@@ -191,7 +191,7 @@ object Dedup {
     * df aggregation + a per-doc rank (window partitioned by doc_id —
     * high cardinality, never a global window).
     */
-  def docNgramJaccard(t: Tables, threshold: Double = 0.2): DataFrame =
+  def docNgramJaccard(t: Tables, threshold: Double = 0.2, ordered: Boolean = false): DataFrame =
     // one materialization of the gram-set relation, shared by the df
     // aggregate, both prefix self-join sides, and both verify sides.
     // Persist (not the lazy shared exchange): the prefix join+window
@@ -199,7 +199,7 @@ object Dedup {
     // don't dedupe — lazy here measured 3× slower (see sharedSets).
     withShared(gramSets(t), col("doc_id")) { sets =>
       verifiedJaccard(sets,
-        prefixFilterCandidates(explodeSets(sets), threshold), threshold)
+        prefixFilterCandidates(explodeSets(sets), threshold), threshold, ordered)
     }
 
   /** C5b: df-capped n-gram Jaccard — the SURVEY §5b deploy knob
@@ -216,7 +216,8 @@ object Dedup {
     * the cap variant additionally caps the *verify* candidate volume,
     * which is the deploy trade §5b documents.
     */
-  def docNgramJaccardCapped(t: Tables, threshold: Double = 0.2, dfCap: Int = 100): DataFrame =
+  def docNgramJaccardCapped(t: Tables, threshold: Double = 0.2, dfCap: Int = 100,
+      ordered: Boolean = false): DataFrame =
     withShared(gramSets(t), col("doc_id")) { sets =>
       val g = explodeSets(sets)
       // keep-set inverted: anti-join against the STOP shingles
@@ -242,7 +243,7 @@ object Dedup {
         .join(capped.select(col("doc_id").as("db"), col("gram").as("gram2")),
           col("gram") === col("gram2") && col("da") < col("db"))
         .select(col("da"), col("db")).distinct()
-      verifiedJaccard(sets, cands, threshold)
+      verifiedJaccard(sets, cands, threshold, ordered)
     }
 
   /** C8: incremental dedup — the shape a production pipeline actually
@@ -328,19 +329,31 @@ object Dedup {
     * Scale shape: sampling thins the inverted index by the mod before
     * any shuffle (a narrow filter on the gram scan); the equi-join on
     * fingerprint hash is the only wide op, and its fan-out is bounded
-    * by per-fingerprint document frequency (add a df cap like C5b's
-    * for adversarial corpora). No all-pairs stage anywhere.
+    * by `dfCap` — fingerprints held by more than dfCap documents are
+    * removed by a stop-set anti-join (C5b's shape: the stop set stays
+    * small, AQE broadcasts it while it fits) BEFORE the self-join, so a
+    * boilerplate shingle shared by k documents can never fan out k²
+    * pair rows. Recall trade, stated precisely: a qualifying pair is
+    * missed only if EVERY fingerprint it shares is above the cap —
+    * template/boilerplate overlap, by design. No all-pairs stage
+    * anywhere.
     */
-  def docFingerprintPairs(t: Tables, mod: Int = 8, minShared: Int = 2): DataFrame = {
+  def docFingerprintPairs(t: Tables, mod: Int = 8, minShared: Int = 2,
+      dfCap: Int = 100, ordered: Boolean = false): DataFrame = {
     val fp = grams(t).filter(pmod(col("gram"), lit(mod)) === 0)
       .select(col("doc_id"), col("gram"))
-    fp.alias("a").join(fp.alias("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .orderBy(col("doc_a"), col("doc_b"))
+    val stop = fp.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("gram"))
+    val capped = fp.join(stop, Seq("gram"), "left_anti")
+    maybeSort(
+      capped.alias("a").join(capped.alias("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared),
+      ordered)(col("doc_a"), col("doc_b"))
   }
 
   /** Minimum required overlap ⌈t·n⌉, guarded against double rounding:
@@ -388,20 +401,24 @@ object Dedup {
     * (da, db) rows — callers skip the expensive pair-level distinct —
     * so the verified (tiny) result is deduped here; duplicate pairs
     * compute bit-identical jaccard values, so distinct is exact.
-    * `sets` is the caller's gramSets relation.
+    * `sets` is the caller's gramSets relation. The final sort is
+    * `ordered`-gated (maybeSort): at 100 TB a near-dup pair set is
+    * corpus-scale, and only the driver's oracle compare needs order.
     */
-  private def verifiedJaccard(sets: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+  private def verifiedJaccard(sets: DataFrame, cands: DataFrame, threshold: Double,
+      ordered: Boolean): DataFrame = {
     val sa = sets.select(col("doc_id").as("da"), col("gs").as("gsa"), col("n_grams").as("na"))
     val sb = sets.select(col("doc_id").as("db2"), col("gs").as("gsb"), col("n_grams").as("nb"))
-    cands
-      .join(sa, "da")
-      .join(sb, col("db") === col("db2"))
-      .withColumn("c", call_function("graft_intersect_count", col("gsa"), col("gsb")))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+    maybeSort(
+      cands
+        .join(sa, "da")
+        .join(sb, col("db") === col("db2"))
+        .withColumn("c", call_function("graft_intersect_count", col("gsa"), col("gsb")))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .distinct(),
+      ordered)(col("doc_a"), col("doc_b"))
   }
 
   /** Unsorted simhash relation (internal: consumers add their own
@@ -425,7 +442,7 @@ object Dedup {
     * chunks: hamming ≤ 3 guarantees ≥1 identical chunk), candidates
     * share a chunk, verified by exact hamming distance.
     */
-  def docSimhashPairs(t: Tables, maxHamming: Int = 12): DataFrame = {
+  def docSimhashPairs(t: Tables, maxHamming: Int = 12, ordered: Boolean = false): DataFrame = {
     val sh = simhashes(t)
     val chunks = sh.select(col("doc_id"), col("simhash"),
       expr("""stack(4,
@@ -435,14 +452,15 @@ object Dedup {
         3, (simhash >> 45) & 32767) AS (chunk, chunk_val)"""))
     val c2 = chunks.select(col("doc_id").as("db"), col("simhash").as("sim2"),
       col("chunk").as("chunk2"), col("chunk_val").as("chunk_val2"))
-    chunks.join(c2,
-        col("chunk") === col("chunk2") && col("chunk_val") === col("chunk_val2") &&
-          col("doc_id") < col("db"))
-      .select(col("doc_id").as("doc_a"), col("db").as("doc_b"),
-        bit_count(col("simhash").bitwiseXOR(col("sim2"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
+    maybeSort(
+      chunks.join(c2,
+          col("chunk") === col("chunk2") && col("chunk_val") === col("chunk_val2") &&
+            col("doc_id") < col("db"))
+        .select(col("doc_id").as("doc_a"), col("db").as("doc_b"),
+          bit_count(col("simhash").bitwiseXOR(col("sim2"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming),
+      ordered)(col("doc_a"), col("doc_b"))
   }
 
   /** C7: near-dup clustering — connected components over the Jaccard
@@ -548,7 +566,8 @@ object Dedup {
     * 0.45 an exact cosine join is inherently Ω(n²) compares and the
     * right lever is the block grid's bounded, splittable tasks.
     */
-  def docEmbedCosineDup(t: Tables, threshold: Double = 0.45, nBlocks: Int = 8): DataFrame = {
+  def docEmbedCosineDup(t: Tables, threshold: Double = 0.45, nBlocks: Int = 8,
+      ordered: Boolean = false): DataFrame = {
     val e = Similarity.withNorm(t.embeddings)
       .select(col("vec_id"), col("v"), col("n2"))
       .withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)))
@@ -560,13 +579,14 @@ object Dedup {
       .withColumn("bi", explode(sequence(lit(0), col("blk"))))
       .select(col("bi").as("bi2"), col("blk").as("bj2"),
         col("vec_id").as("vb"), col("v").as("xb"), col("n2").as("nb"))
-    left.join(right,
-        col("bi") === col("bi2") && col("bj") === col("bj2") &&
-          (col("bi") =!= col("bj") || col("va") < col("vb")))
-      .select(least(col("va"), col("vb")).as("vec_a"),
-        greatest(col("va"), col("vb")).as("vec_b"),
-        Similarity.cosineR(col("xa"), col("xb"), col("na"), col("nb")).as("cos_r"))
-      .filter(col("cos_r") >= threshold)
-      .orderBy(col("vec_a"), col("vec_b"))
+    maybeSort(
+      left.join(right,
+          col("bi") === col("bi2") && col("bj") === col("bj2") &&
+            (col("bi") =!= col("bj") || col("va") < col("vb")))
+        .select(least(col("va"), col("vb")).as("vec_a"),
+          greatest(col("va"), col("vb")).as("vec_b"),
+          Similarity.cosineR(col("xa"), col("xb"), col("na"), col("nb")).as("cos_r"))
+        .filter(col("cos_r") >= threshold),
+      ordered)(col("vec_a"), col("vec_b"))
   }
 }

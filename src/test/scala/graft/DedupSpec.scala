@@ -99,14 +99,36 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "gram").collect().map(r => (r.getLong(0), r.getLong(1)))
     val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val ids = byDoc.keys.toSeq.sorted
+    // mirror the default df cap: fingerprints held by > 100 docs pair nothing
+    val df = fp.groupBy(_._2).view.mapValues(_.length).toMap
+    val kept = byDoc.view.mapValues(_.filter(df(_) <= 100)).toMap
     val truth = (for {
       i <- ids; j <- ids if i < j
-      n = (byDoc(i) intersect byDoc(j)).size if n >= 2
+      n = (kept(i) intersect kept(j)).size if n >= 2
     } yield (i, j) -> n.toLong).toMap
     val got = Dedup.docFingerprintPairs(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got.nonEmpty, "planted near-dups should share sampled fingerprints")
     assert(got == truth)
+  }
+
+  test("fingerprint df cap: a hot fingerprint generates no pairs; cap=∞ restores them") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 5 docs whose ONLY shared word-3-gram is "common gram text"; with
+    // mod=1 every gram is a fingerprint, so that shared gram is the
+    // sole pair generator. df = 5 > cap = 4 → stop set kills it → no
+    // pairs; an effectively-infinite cap restores all C(5,2) pairs.
+    val docs = (1L to 5L).map(i => (i, s"common gram text u${i}a u${i}b"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fp").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val t = graft.sources.Tables(spark, tmp)
+    val capped = Dedup.docFingerprintPairs(t, mod = 1, minShared = 1, dfCap = 4).collect()
+    assert(capped.isEmpty, "hot fingerprint must generate no pairs under the cap")
+    val uncapped = Dedup.docFingerprintPairs(t, mod = 1, minShared = 1, dfCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == (for { i <- 1L to 5L; j <- 1L to 5L if i < j } yield (i, j)).toSet)
   }
 
   test("minOverlap == exact rational ceiling for integer-landing products") {

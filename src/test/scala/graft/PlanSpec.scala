@@ -141,7 +141,15 @@ class PlanSpec extends SparkSpec {
       "mm_feature_extract" -> Multimodal.mmFeatureExtract(tables),
       "mm_resize" -> Multimodal.mmResize(tables),
       "mm_frame_sample" -> Multimodal.mmFrameSample(tables),
-      "ev_error_after_click" -> EventOps.evErrorAfterClick(tables))
+      "ev_error_after_click" -> EventOps.evErrorAfterClick(tables),
+      // pair dumps (r6): a near-dup pair set is corpus-scale at 100 TB,
+      // so the deploy path must not pay the final range exchange either.
+      // docNgramJaccard/-Capped gate the same sort inside verifiedJaccard
+      // but return an eager checkpoint, so their plan isn't assertable here.
+      "doc_fingerprint_pairs" -> Dedup.docFingerprintPairs(tables),
+      "doc_simhash_pairs" -> Dedup.docSimhashPairs(tables),
+      "doc_minhash_lsh_pairs" -> Dedup.docMinhashLshPairs(tables),
+      "doc_embed_cosine_dup" -> Dedup.docEmbedCosineDup(tables))
     for ((name, df) <- dumps) {
       // pre-AQE plan: a global sort appears as a rangepartitioning
       // exchange + Sort(global=true). Window-internal sorts are
