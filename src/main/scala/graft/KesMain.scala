@@ -43,29 +43,38 @@ object KesMain {
     val pos = args.filterNot(_.startsWith("--"))
     val in = pos(0)
     val out = pos(1)
-    val checkpoint = pos.lift(2).orElse(env.get("CACHE_DB")).getOrElse(
-      throw new IllegalArgumentException("no checkpoint dir: pass arg 3 or set CACHE_DB"))
+    // reference default: config.rs:12 falls back to `events-db` when
+    // CACHE_DB is unset — a relative path in the working directory
+    val checkpoint = pos.lift(2).orElse(env.get("CACHE_DB")).getOrElse("events-db")
     val ttl = pos.lift(3)
       .orElse(env.get("CACHE_TTL").map(s => s"${s.toLong} seconds"))
       .getOrElse("3600 seconds")
     (in, out, checkpoint, ttl, args.contains("--once"))
   }
 
-  /** `k8s://host:port[/namespace]` → the live watch source; anything
-    * else → a directory of JSON-line files. Both yield the same parsed
-    * `kubernetes_event` struct for the downstream pipeline.
+  /** `k8s://host:port[/namespace]` (plain HTTP — kubectl proxy, tests)
+    * or `k8ss://host:port[/namespace]` (HTTPS — a real API server; the
+    * source's service-account defaults supply the bearer token and
+    * cluster-CA trust from the in-cluster mount) → the live watch
+    * source; anything else → a directory of JSON-line files. Both yield
+    * the same parsed `kubernetes_event` struct for the pipeline.
     */
-  private[graft] def input(spark: org.apache.spark.sql.SparkSession, in: String): DataFrame =
-    if (in.startsWith("k8s://")) {
-      val rest = in.stripPrefix("k8s://")
-      val (hostPort, ns) = rest.indexOf('/') match {
-        case -1 => (rest, None)
-        case i  => (rest.take(i), Some(rest.drop(i + 1)).filter(_.nonEmpty))
-      }
-      val reader = spark.readStream.format("k8s-events")
-        .option("endpoint", s"http://$hostPort")
-      KubeEventSource.parsed(ns.fold(reader)(n => reader.option("namespace", n)).load())
-    } else KubeEventSource.streamJsonLines(spark, in)
+  private[graft] def input(spark: org.apache.spark.sql.SparkSession, in: String): DataFrame = {
+    val scheme = Seq("k8s://" -> "http", "k8ss://" -> "https")
+      .find { case (p, _) => in.startsWith(p) }
+    scheme match {
+      case Some((prefix, proto)) =>
+        val rest = in.stripPrefix(prefix)
+        val (hostPort, ns) = rest.indexOf('/') match {
+          case -1 => (rest, None)
+          case i  => (rest.take(i), Some(rest.drop(i + 1)).filter(_.nonEmpty))
+        }
+        val reader = spark.readStream.format("k8s-events")
+          .option("endpoint", s"$proto://$hostPort")
+        KubeEventSource.parsed(ns.fold(reader)(n => reader.option("namespace", n)).load())
+      case None => KubeEventSource.streamJsonLines(spark, in)
+    }
+  }
 
   /** Orderly stop — the reference's term_request broadcast
     * (src/main.rs:71-96): stop the streaming query (finishing the

@@ -90,7 +90,10 @@ private[sources] class KubeWatchTable(props: java.util.Map[String, String])
           backoffInitMs = options.getLong("backoffInitMs", 200L),
           backoffMaxMs = options.getLong("backoffMaxMs", 5000L),
           maxBuffer = options.getInt("maxBuffer", 1024),
-          listWaitMs = options.getLong("listWaitMs", 10000L))
+          listWaitMs = options.getLong("listWaitMs", 10000L),
+          token = Option(options.get("token")),
+          tokenFile = Option(options.get("tokenFile")),
+          caCertFile = Option(options.get("caCertFile")))
     }
 }
 
@@ -105,11 +108,15 @@ private[sources] class KubeWatchStream(
     backoffInitMs: Long,
     backoffMaxMs: Long,
     maxBuffer: Int,
-    listWaitMs: Long) extends MicroBatchStream with SupportsAdmissionControl
+    listWaitMs: Long,
+    token: Option[String],
+    tokenFile: Option[String],
+    caCertFile: Option[String]) extends MicroBatchStream with SupportsAdmissionControl
     with ReportsSourceMetrics {
 
   private val client =
-    new KubeWatchClient(endpoint, namespace, backoffInitMs, backoffMaxMs, maxBuffer, listWaitMs)
+    new KubeWatchClient(endpoint, namespace, backoffInitMs, backoffMaxMs, maxBuffer, listWaitMs,
+      token, tokenFile, caCertFile)
 
   override def initialOffset(): Offset = KubeOffset(0L)
   override def deserializeOffset(json: String): Offset = KubeOffset(json.toLong)
@@ -189,7 +196,10 @@ private[graft] class KubeWatchClient(
     backoffInitMs: Long,
     backoffMaxMs: Long,
     maxBuffer: Int,
-    listWaitMs: Long = 10000) {
+    listWaitMs: Long = 10000,
+    token: Option[String] = None,
+    tokenFile: Option[String] = None,
+    caCertFile: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val lock = new Object
@@ -229,11 +239,19 @@ private[graft] class KubeWatchClient(
     }
   }
 
-  /** Committed prefix can be dropped — the bounded-channel release. */
+  /** Committed prefix can be dropped — the bounded-channel release.
+    * When the buffer is exhausted SHORT of `upTo` (a crash-replayed
+    * batch committed while the initial re-list was still streaming in),
+    * base still advances all the way to `upTo`: rows the list appends
+    * afterward must land at offsets ≥ the committed end and re-deliver
+    * in the next batch. Advancing only by the dropped rows would give
+    * those late-listed rows already-committed offsets — the next
+    * release would discard them undelivered (silent loss).
+    */
   def release(upTo: Long): Unit = lock.synchronized {
     val drop = math.min(buf.length.toLong, math.max(0L, upTo - base)).toInt
     buf.dropInPlace(drop)
-    base += drop
+    base = math.max(base + drop, upTo)
     lock.notifyAll()
   }
 
@@ -296,8 +314,64 @@ private[graft] class KubeWatchClient(
     if (!closed.get) buf += line
   }
 
+  /** Service-account auth + TLS — what the reference gets for free from
+    * its client library's default construction (kubeconfig/in-cluster
+    * discovery, reference src/main.rs:60): a real API server is always
+    * HTTPS with a bearer token, so without these the source cannot
+    * connect at all. Token precedence: explicit `token` option, else
+    * `tokenFile` (default: the in-cluster service-account mount), read
+    * PER REQUEST because kubelets rotate projected tokens. The cluster
+    * CA (default: the in-cluster mount) backs a TrustManager applied to
+    * https connections; plain http (kubectl proxy, tests) stays
+    * untouched, and absent files mean no header / default trust — the
+    * out-of-cluster dev path.
+    */
+  private val inClusterDir = "/var/run/secrets/kubernetes.io/serviceaccount"
+
+  private def readIfExists(path: String): Option[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isReadable(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  private def bearer(): Option[String] =
+    token.orElse(readIfExists(tokenFile.getOrElse(s"$inClusterDir/token")))
+
+  /** One SSLSocketFactory per client trusting exactly the cluster CA
+    * bundle (may hold several certs mid-rotation). Built once: CA certs
+    * don't rotate within a watch session, unlike tokens.
+    */
+  private lazy val sslFactory: Option[javax.net.ssl.SSLSocketFactory] = {
+    val path = caCertFile.getOrElse(s"$inClusterDir/ca.crt")
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val in = java.nio.file.Files.newInputStream(p)
+      val certs =
+        try java.security.cert.CertificateFactory.getInstance("X.509").generateCertificates(in)
+        finally in.close()
+      val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+      ks.load(null, null)
+      certs.asScala.zipWithIndex.foreach { case (c, i) => ks.setCertificateEntry(s"ca$i", c) }
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      Some(ctx.getSocketFactory)
+    }
+  }
+
   private def get(path: String, readTimeoutMs: Int): HttpURLConnection = {
     val c = new URI(endpoint + path).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    c match {
+      case https: javax.net.ssl.HttpsURLConnection =>
+        sslFactory.foreach(https.setSSLSocketFactory)
+      case _ => ()
+    }
+    bearer().foreach(t => c.setRequestProperty("Authorization", s"Bearer $t"))
     c.setConnectTimeout(5000)
     c.setReadTimeout(readTimeoutMs)
     c

@@ -23,6 +23,9 @@ class FakeKubeApi {
   // one-shot: the next watch request gets the in-stream expiry the
   // real API server sends (HTTP 200 + ERROR Status, code 410)
   @volatile var failNextWatchWith410 = false
+  // when set, every request lacking `Authorization: Bearer <this>` is
+  // rejected 401 — the posture of any real API server
+  @volatile var requireBearer: String = null
 
   def add(uid: String, rv: Int, reason: String = "Started"): Unit = lock.synchronized {
     val json =
@@ -32,6 +35,14 @@ class FakeKubeApi {
 
   private val server = HttpServer.create(new InetSocketAddress(0), 0)
   server.createContext("/api/v1/events", exchange => {
+    if (requireBearer != null &&
+        exchange.getRequestHeaders.getFirst("Authorization") != s"Bearer $requireBearer") {
+      exchange.sendResponseHeaders(401, -1)
+      exchange.close()
+    } else serve(exchange)
+  })
+
+  private def serve(exchange: com.sun.net.httpserver.HttpExchange): Unit = {
     val query = Option(exchange.getRequestURI.getQuery).getOrElse("")
     val params = query.split("&").filter(_.nonEmpty)
       .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse("")).toMap
@@ -56,7 +67,7 @@ class FakeKubeApi {
     exchange.sendResponseHeaders(200, bytes.length)
     val os = exchange.getResponseBody
     try os.write(bytes) finally os.close()
-  })
+  }
   server.start()
   val port: Int = server.getAddress.getPort
   def stop(): Unit = server.stop(0)
@@ -239,6 +250,110 @@ class KubeWatchSourceSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("bearer auth: 401 without the token; tokenFile authenticates, and a restarted client re-lists with it") {
+    val api = new FakeKubeApi
+    try {
+      api.requireBearer = "sekret"
+      api.add("u1", 1); api.add("u2", 2)
+      // no token → every request 401s → nothing ever buffers
+      val anon = new graft.sources.KubeWatchClient(
+        s"http://localhost:${api.port}", None, 10, 50, 1024, listWaitMs = 1500)
+      try assert(anon.seenCount == 0, "unauthenticated client must get nothing")
+      finally anon.close()
+
+      val tokenFile = Files.createTempFile("kw_tok", "")
+      Files.writeString(tokenFile, "sekret\n") // trailing newline: the real mount has one
+      def authed() = new graft.sources.KubeWatchClient(
+        s"http://localhost:${api.port}", None, 10, 50, 1024, listWaitMs = 5000,
+        tokenFile = Some(tokenFile.toString))
+      val c1 = authed()
+      try {
+        assert(c1.seenCount == 2, "authenticated list must deliver both events")
+        c1.release(2)
+      } finally c1.close()
+      // restart: a fresh client re-lists THROUGH auth and replays from
+      // the committed offset (the at-least-once restart contract)
+      val c2 = authed()
+      try {
+        c2.alignBase(2)
+        assert(c2.seenCount == 4, "restarted client must re-list with the token")
+        val replay = c2.slice(2, 4)
+        assert(replay.exists(_.contains("\"uid\":\"u1\"")) && replay.exists(_.contains("\"uid\":\"u2\"")))
+      } finally c2.close()
+    } finally api.stop()
+  }
+
+  test("https endpoint: cluster-CA trust + bearer token against a TLS API server") {
+    import scala.sys.process._
+    val dir = Files.createTempDirectory("kw_tls")
+    val ks = dir.resolve("ks.p12").toString
+    val pem = dir.resolve("ca.pem").toString
+    // self-signed server cert; its PEM export plays the cluster CA bundle
+    assert(Seq("keytool", "-genkeypair", "-alias", "srv", "-keyalg", "RSA", "-keysize", "2048",
+      "-storetype", "PKCS12", "-keystore", ks, "-storepass", "changeit",
+      "-dname", "CN=localhost", "-validity", "2",
+      "-ext", "SAN=dns:localhost,ip:127.0.0.1").! == 0, "keytool genkeypair failed")
+    assert(Seq("keytool", "-exportcert", "-rfc", "-alias", "srv", "-keystore", ks,
+      "-storepass", "changeit", "-file", pem).! == 0, "keytool exportcert failed")
+    val ksObj = java.security.KeyStore.getInstance("PKCS12")
+    val fin = Files.newInputStream(java.nio.file.Paths.get(ks))
+    try ksObj.load(fin, "changeit".toCharArray) finally fin.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ksObj, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val server = com.sun.net.httpserver.HttpsServer.create(new InetSocketAddress(0), 0)
+    server.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+    @volatile var sawAuth: String = null
+    server.createContext("/api/v1/events", exchange => {
+      sawAuth = exchange.getRequestHeaders.getFirst("Authorization")
+      val body =
+        """{"kind":"EventList","metadata":{"resourceVersion":"1"},"items":[{"metadata":{"uid":"tls1","resourceVersion":"1"}}]}"""
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      exchange.sendResponseHeaders(200, bytes.length)
+      val os = exchange.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+    server.start()
+    try {
+      val tokenFile = dir.resolve("token")
+      Files.writeString(tokenFile, "tls-tok")
+      val client = new graft.sources.KubeWatchClient(
+        s"https://localhost:${server.getAddress.getPort}", None, 10, 100, 1024, listWaitMs = 5000,
+        tokenFile = Some(tokenFile.toString), caCertFile = Some(pem))
+      try {
+        assert(client.seenCount == 1, "TLS list must deliver the event through the custom CA")
+        assert(sawAuth == "Bearer tls-tok", s"bearer header missing over https: $sawAuth")
+        assert(client.slice(0, 1).head.contains("tls1"))
+      } finally client.close()
+    } finally server.stop(0)
+  }
+
+  test("release beyond the buffered prefix advances base to the committed end (no silent loss)") {
+    val api = new FakeKubeApi
+    try {
+      api.add("u1", 1); api.add("u2", 2)
+      val client = new graft.sources.KubeWatchClient(
+        s"http://localhost:${api.port}", None, 10, 50, 1024, listWaitMs = 5000)
+      try {
+        assert(client.seenCount == 2)
+        // crash-replay shape: the offsets WAL committed batch [0,5) but
+        // only 2 rows had been re-listed when the batch was sliced —
+        // the commit's release must push base to 5, so rows listed
+        // AFTERWARD land at fresh offsets instead of already-committed
+        // ones (which the next release would discard undelivered)
+        client.release(5)
+        api.add("u3", 3)
+        val deadline = System.currentTimeMillis() + 15000
+        while (client.seenCount < 6 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+        assert(client.seenCount == 6, "late-listed row must land at offset >= the committed end")
+        val got = client.slice(5, 6)
+        assert(got.length == 1 && got.head.contains("\"uid\":\"u3\""), got.mkString(","))
+      } finally client.close()
+    } finally api.stop()
+  }
+
   test("config resolution: env supplies CACHE_DB/CACHE_TTL, CLI overrides") {
     assert(KesMain.resolve(Array("in", "out"), Map("CACHE_DB" -> "/ck", "CACHE_TTL" -> "60"))
       == (("in", "out", "/ck", "60 seconds", false)))
@@ -247,8 +362,7 @@ class KubeWatchSourceSpec extends SparkSpec {
       == (("in", "out", "/cli", "2 hours", true)))
     assert(KesMain.resolve(Array("in", "out", "/ck"), Map.empty[String, String])._4
       == "3600 seconds", "reference default CACHE_TTL is 3600 s")
-    intercept[IllegalArgumentException] {
-      KesMain.resolve(Array("in", "out"), Map.empty) // no checkpoint anywhere
-    }
+    assert(KesMain.resolve(Array("in", "out"), Map.empty)._3 == "events-db",
+      "reference default CACHE_DB is events-db (config.rs:12)")
   }
 }
