@@ -20,16 +20,17 @@ import graft.plans.AsOfJoinStrategy
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def inject(e: SparkSessionExtensions, name: String,
+  private def inject(e: SparkSessionExtensions, name: String, className: String,
       builder: Seq[Expression] => Expression): Unit =
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        getClass.getName, name),
+      // the EXPRESSION class, not this registrar: DESCRIBE FUNCTION
+      // surfaces it as the implementing class
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(className, name),
       builder))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    VectorExprs.functions.foreach { case (name, builder) => inject(e, name, builder) }
+    VectorExprs.functions.foreach { case (name, cls, builder) => inject(e, name, cls, builder) }
   }
 }

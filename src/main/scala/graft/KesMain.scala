@@ -224,9 +224,14 @@ object KesMain {
     spark.streams.addListener(metrics)
     val server = env.get("METRICS_PORT").map(p => metrics.serve(p.toInt))
 
+    // TIME_FALLBACK=1 → the reference's types.rs:38 behavior: events
+    // with no timestamp at all continue at processing time (counted via
+    // graft_time_missing_total) instead of being dropped
+    val timeFallback = env.get("TIME_FALLBACK").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
     def attempt(): Unit = {
       val lines = KubeEventOps
-        .streamPipeline(input(spark, in), cacheTtl = ttl)
+        .streamPipeline(input(spark, in), cacheTtl = ttl, processingTimeFallback = timeFallback)
         .select(col("line").as("value"))
       val writer = lines.writeStream
         .format("text")

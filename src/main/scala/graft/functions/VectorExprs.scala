@@ -82,26 +82,34 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorExprs {
   private val FnName = "graft_dot"
 
-  /** name → builder for EVERY graft native function — the single
-    * registration list consumed by both the library path
-    * (ensureRegistered, via Tables) and the deploy extension point
-    * (GraftExtensions.injectFunction). One list means the two paths
-    * cannot drift: a cluster session configured with
-    * spark.sql.extensions resolves exactly what embedded use does.
+  /** (name, implementing class, builder) for EVERY graft native
+    * function — the single registration list consumed by both the
+    * library path (ensureRegistered, via Tables) and the deploy
+    * extension point (GraftExtensions.injectFunction). One list means
+    * the two paths cannot drift: a cluster session configured with
+    * spark.sql.extensions resolves exactly what embedded use does. The
+    * class name feeds ExpressionInfo so DESCRIBE FUNCTION reports the
+    * actual expression class, not the registrar.
     */
-  val functions: Seq[(String,
+  val functions: Seq[(String, String,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-    FnName -> (exprs => DotProduct(exprs.head, exprs(1))),
-    "graft_md5_60" -> (exprs => Md5Prefix60(exprs.head)),
-    "graft_simhash60" -> (exprs => SimHash60(exprs.head)),
-    "graft_simhash_grams" -> (exprs => SimHashGrams(exprs.head)),
-    "graft_gram3_hashes" -> (exprs => GramHashes(exprs.head, 3, distinct = true)),
-    "graft_gram5_hashes" -> (exprs => GramHashes(exprs.head, 5, distinct = false)),
-    "graft_rolling_min" -> (exprs => RollingHashMin(exprs.head, 16)),
-    "graft_bigram_strings" -> (exprs => WordGrams(exprs.head, 2, distinct = false)),
-    "graft_bigram_strings_distinct" -> (exprs => WordGrams(exprs.head, 2, distinct = true)),
-    "graft_intersect_count" -> (exprs => IntersectCount(exprs.head, exprs(1))))
+    (FnName, classOf[DotProduct].getName, exprs => DotProduct(exprs.head, exprs(1))),
+    ("graft_md5_60", classOf[Md5Prefix60].getName, exprs => Md5Prefix60(exprs.head)),
+    ("graft_simhash60", classOf[SimHash60].getName, exprs => SimHash60(exprs.head)),
+    ("graft_simhash_grams", classOf[SimHashGrams].getName, exprs => SimHashGrams(exprs.head)),
+    ("graft_gram3_hashes", classOf[GramHashes].getName,
+      exprs => GramHashes(exprs.head, 3, distinct = true)),
+    ("graft_gram5_hashes", classOf[GramHashes].getName,
+      exprs => GramHashes(exprs.head, 5, distinct = false)),
+    ("graft_rolling_min", classOf[RollingHashMin].getName,
+      exprs => RollingHashMin(exprs.head, 16)),
+    ("graft_bigram_strings", classOf[WordGrams].getName,
+      exprs => WordGrams(exprs.head, 2, distinct = false)),
+    ("graft_bigram_strings_distinct", classOf[WordGrams].getName,
+      exprs => WordGrams(exprs.head, 2, distinct = true)),
+    ("graft_intersect_count", classOf[IntersectCount].getName,
+      exprs => IntersectCount(exprs.head, exprs(1))))
 
   /** Register the native expressions in the session's function registry
     * (the public extension point — same mechanism
@@ -109,7 +117,7 @@ object VectorExprs {
     * Columns.
     */
   def ensureRegistered(spark: SparkSession): Unit =
-    functions.foreach { case (name, builder) =>
+    functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }

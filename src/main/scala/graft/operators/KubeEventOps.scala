@@ -31,11 +31,24 @@ object KubeEventOps {
       lit(":"),
       coalesce(ev.getField("metadata").getField("resourceVersion"), lit("")))
 
-  /** Parsed events + the derived `time` and cache `key` columns. */
-  def withDerived(events: DataFrame): DataFrame =
-    events
+  /** Parsed events + the derived `time` and cache `key` columns.
+    *
+    * `processingTimeFallback` is the reference's types.rs:38 behavior
+    * opt-in: when all three event timestamps are missing, substitute
+    * the processing time (`current_timestamp()` — the ingest batch's
+    * clock) instead of yielding null. Off by default deliberately: a
+    * wall-clock fallback makes replays non-deterministic (the
+    * reference has the same property and logs a warning; here the
+    * substitution count rides an observed metric in streamPipeline).
+    */
+  def withDerived(events: DataFrame, processingTimeFallback: Boolean = false): DataFrame = {
+    val derived = events
       .withColumn("time", derivedTime(col("kubernetes_event")))
       .withColumn("key", eventKey(col("kubernetes_event")))
+    if (processingTimeFallback)
+      derived.withColumn("time", coalesce(col("time"), current_timestamp()))
+    else derived
+  }
 
   /** The stdout record (types.rs:10): one JSON line per event. */
   def stdoutRecord(derived: DataFrame): DataFrame =
@@ -74,14 +87,27 @@ object KubeEventOps {
     * a V1 sink whose progress reports numOutputRows = -1, so
     * sink-based accounting would read zero forever.
     */
-  def streamPipeline(events: DataFrame, cacheTtl: String = "1 hour"): DataFrame =
+  def streamPipeline(events: DataFrame, cacheTtl: String = "1 hour",
+      processingTimeFallback: Boolean = false): DataFrame = {
+    // `kes_time_null` counts the all-timestamps-missing events per
+    // batch — the reference's now()-fallback warning as a counter.
+    // Without the fallback those events are DROPPED (and the counter is
+    // their only trace); with it they continue at processing time.
+    val timed = withDerived(events)
+      .observe("kes_time_null",
+        sum(col("time").isNull.cast("long")).as("n"))
+    val filled =
+      if (processingTimeFallback)
+        timed.withColumn("time", coalesce(col("time"), current_timestamp()))
+      else timed
     stdoutRecord(
-      withDerived(events)
+      filled
         .filter(col("time").isNotNull)
         .observe("kes_cache_in", count(lit(1)).as("n"))
         .withWatermark("time", cacheTtl)
         .dropDuplicatesWithinWatermark("key")
         .observe("kes_cache_out", count(lit(1)).as("n")))
+  }
 
   /** Prometheus events_count{type, reason, kind, namespace} analog
     * (tasks.rs:107) — "-" for missing labels, and counted over the

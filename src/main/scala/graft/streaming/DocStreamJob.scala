@@ -41,9 +41,19 @@ object DocStreamJob {
     TextOps.withLangid(TextOps.withQuality(
       docs
         .withColumn("content_hash", md5(col("text")))
+        // kept/dropped-by-reason observability, mirroring the event
+        // pipeline's kes_cache_in/out pattern: in − unique = duplicates
+        // suppressed by the dedup state; the reason sums use the SAME
+        // flags the batch docCurate emits, so GraftMetricsListener's
+        // counters agree with what a batch sweep would report
+        .observe("doc_curate_in", count(lit(1)).as("n"))
         .withWatermark("ingest_ts", watermarkDelay)
         .dropDuplicatesWithinWatermark("content_hash")))
+      .observe("doc_curate_unique", count(lit(1)).as("n"),
+        sum((col("quality_score") < minScore).cast("long")).as("low_quality"),
+        sum((col("pred_lang") =!= col("lang")).cast("long")).as("lang_mismatch"))
       .filter(col("quality_score") >= minScore && col("pred_lang") === col("lang"))
+      .observe("doc_curate_kept", count(lit(1)).as("n"))
       .select(col("doc_id"), col("ingest_ts"), col("lang"), col("pred_lang"),
         col("n_tokens"), col("quality_score"), col("content_hash"))
 }

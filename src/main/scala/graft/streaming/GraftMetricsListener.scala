@@ -54,6 +54,19 @@ final class GraftMetricsListener extends StreamingQueryListener {
   // state rows evicted by timeout/watermark (reference clean_cache's
   // "purged entries", tasks.rs:184-210)
   val stateEvictions = new AtomicLong(0)
+  // events whose three timestamps were ALL missing (the reference's
+  // now()-fallback warning, types.rs:38, as a counter): dropped without
+  // the processing-time fallback, substituted with it — either way this
+  // is their trace (fed by streamPipeline's kes_time_null observation)
+  val timeMissing = new AtomicLong(0)
+  // curation-stream counters (DocStreamJob.streamDocCurate's observed
+  // metrics): kept survivors plus per-reason drops, using the same
+  // reason flags as the batch docCurate verdict
+  val docsIn = new AtomicLong(0)
+  val docsKept = new AtomicLong(0)
+  val docsDuplicate = new AtomicLong(0)
+  val docsLowQuality = new AtomicLong(0)
+  val docsLangMismatch = new AtomicLong(0)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
@@ -74,13 +87,31 @@ final class GraftMetricsListener extends StreamingQueryListener {
       // in - out counts everything the dedup discarded, which is
       // same-key hits PLUS late arrivals behind the watermark; the
       // engine reports the late share per state operator, so subtract
-      // it to keep hit semantics aligned with the reference
-      val late = if (st != null && st.nonEmpty) st.map(_.numRowsDroppedByWatermark).sum else 0L
-      if (in >= out + late) {
+      // it to keep hit semantics aligned with the reference. The
+      // reported sum spans ALL state operators, so a drop attributed to
+      // some OTHER operator could exceed in - out — clamp rather than
+      // skip, so hits/misses/late never silently undercount a batch
+      if (in >= out) {
+        val lateAll =
+          if (st != null && st.nonEmpty) st.map(_.numRowsDroppedByWatermark).sum else 0L
+        val late = math.min(lateAll, in - out)
         cacheMisses.addAndGet(out)
         lateDropped.addAndGet(late)
         cacheHits.addAndGet(in - out - late)
       }
+    }
+    if (om != null && om.containsKey("kes_time_null"))
+      timeMissing.addAndGet(om.get("kes_time_null").getAs[Long]("n"))
+    if (om != null && om.containsKey("doc_curate_in") && om.containsKey("doc_curate_unique")) {
+      val in = om.get("doc_curate_in").getAs[Long]("n")
+      val u = om.get("doc_curate_unique")
+      val uniq = u.getAs[Long]("n")
+      docsIn.addAndGet(in)
+      docsDuplicate.addAndGet(math.max(0L, in - uniq))
+      docsLowQuality.addAndGet(u.getAs[Long]("low_quality"))
+      docsLangMismatch.addAndGet(u.getAs[Long]("lang_mismatch"))
+      if (om.containsKey("doc_curate_kept"))
+        docsKept.addAndGet(om.get("doc_curate_kept").getAs[Long]("n"))
     }
     val srcs = e.progress.sources
     if (srcs != null && srcs.nonEmpty) {
@@ -116,6 +147,18 @@ final class GraftMetricsListener extends StreamingQueryListener {
     s"graft_late_dropped_total ${lateDropped.get}",
     "# TYPE graft_state_evictions_total counter",
     s"graft_state_evictions_total ${stateEvictions.get}",
+    "# TYPE graft_time_missing_total counter",
+    s"graft_time_missing_total ${timeMissing.get}",
+    "# TYPE graft_docs_in_total counter",
+    s"graft_docs_in_total ${docsIn.get}",
+    "# TYPE graft_docs_kept_total counter",
+    s"graft_docs_kept_total ${docsKept.get}",
+    "# TYPE graft_docs_dropped_duplicate_total counter",
+    s"graft_docs_dropped_duplicate_total ${docsDuplicate.get}",
+    "# TYPE graft_docs_dropped_low_quality_total counter",
+    s"graft_docs_dropped_low_quality_total ${docsLowQuality.get}",
+    "# TYPE graft_docs_dropped_lang_mismatch_total counter",
+    s"graft_docs_dropped_lang_mismatch_total ${docsLangMismatch.get}",
     "# TYPE graft_source_buffered_events gauge",
     s"graft_source_buffered_events ${sourceBuffered.get}",
     // gauge, not counter: the underlying count restarts at 0 with each

@@ -78,4 +78,38 @@ class KubeEventSpec extends SparkSpec {
       assert(got.length == 4, s"duplicate suppressed: ${got.length}")
     } finally q.stop()
   }
+
+  test("now() fallback (types.rs:38): timestampless event dropped+counted by default, emitted under the flag") {
+    import spark.implicits._
+    val noTs =
+      """{"metadata":{"name":"e9","uid":"u9","resourceVersion":"901"},"involvedObject":{"kind":"Pod","namespace":"default","name":"p9"},"reason":"Odd","type":"Normal"}"""
+    // batch surface: default yields null, the flag fills processing time
+    val df = KubeEventSource.parsed(Seq(noTs).toDF("value"))
+    assert(KubeEventOps.withDerived(df).select("time").head.isNullAt(0))
+    assert(!KubeEventOps.withDerived(df, processingTimeFallback = true)
+      .select("time").head.isNullAt(0))
+
+    // streaming surface: the reference EMITS such events (with a
+    // warning); default graft drops them but counts the drop
+    val listener = new graft.streaming.GraftMetricsListener
+    spark.streams.addListener(listener)
+    val dir = Files.createTempDirectory("kube_nots").toFile
+    Files.writeString(new java.io.File(dir, "a.json").toPath,
+      Seq(lines.head, noTs).mkString("\n"))
+    def run(flag: Boolean, name: String): Long = {
+      val q = KubeEventOps.streamPipeline(
+          KubeEventSource.streamJsonLines(spark, dir.getAbsolutePath),
+          processingTimeFallback = flag)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable(); spark.table(name).count() } finally q.stop()
+    }
+    try {
+      assert(run(flag = false, "nots_off") == 1, "timestampless event must be dropped by default")
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.timeMissing.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.timeMissing.get() == 1, "the drop must be counted (the reference's warning)")
+      assert(run(flag = true, "nots_on") == 2, "the flag must emit the event at processing time")
+    } finally spark.streams.removeListener(listener)
+  }
 }

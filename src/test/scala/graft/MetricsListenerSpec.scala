@@ -92,4 +92,41 @@ class MetricsListenerSpec extends SparkSpec {
       spark.streams.removeListener(listener)
     }
   }
+
+  test("curation-stream counters: kept plus per-reason drops from the observed metrics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new GraftMetricsListener
+    spark.streams.addListener(listener)
+    // 4 docs: a good keeper, its exact duplicate, a too-short doc
+    // (correct language, so low_quality is its only reason), and a
+    // fluent German doc labeled en (lang_mismatch only)
+    val good = ("the and of to in " * 30).trim
+    val german = ("der die das und ist " * 30).trim
+    val base = java.sql.Timestamp.from(Instant.parse("2024-01-01T00:00:00Z"))
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val docs = input.toDS().toDF("doc_id", "text", "lang", "ingest_ts")
+    val q = graft.streaming.DocStreamJob.streamDocCurate(docs)
+      .writeStream.format("memory").queryName("cur_out").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, good, "en", base), (2L, good, "en", base),
+        (3L, "the cat", "en", base), (4L, german, "en", base)))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.docsKept.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(spark.table("cur_out").collect().map(_.getLong(0)).toSet == Set(1L))
+      assert(listener.docsIn.get() == 4, listener.snapshot.mkString("; "))
+      assert(listener.docsDuplicate.get() == 1, "the exact copy is the duplicate drop")
+      assert(listener.docsLowQuality.get() == 1, "the short doc is the low-quality drop")
+      assert(listener.docsLangMismatch.get() == 1, "the mislabeled German doc is the mismatch")
+      assert(listener.docsKept.get() == 1)
+      assert(listener.snapshot.exists(_.startsWith("graft_docs_kept_total 1")),
+        listener.snapshot.mkString("; "))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }
