@@ -119,30 +119,39 @@ object KesMain {
     * place means a fresh query at batchId 0 silently skips every batch
     * the stale log already lists — loss that no restart can detect.
     */
+  /** The recovery-in-progress marker: written before the moves, deleted
+    * only after BOTH complete, so its presence identifies an
+    * interrupted recovery EXACTLY. (The earlier inference from leftover
+    * `.corrupt-*` names misfired: those are forensic artifacts that are
+    * never cleaned up, so after any COMPLETED recovery, a later crash
+    * before the fresh query's first sink commit re-created the inferred
+    * combination and the next CACHE_RECREATE start discarded a healthy
+    * checkpoint — dedup state lost repeatedly.)
+    */
+  private[graft] def recoveryMarker(out: String): java.nio.file.Path =
+    java.nio.file.Paths.get(out, "_graft_recovery_in_progress")
+
   private[graft] def moveCheckpointAside(checkpoint: String, out: String): java.nio.file.Path = {
     def aside(p: java.nio.file.Path): java.nio.file.Path = {
       val dst = p.resolveSibling(p.getFileName.toString + ".corrupt-" + System.nanoTime())
       java.nio.file.Files.move(p, dst)
       dst
     }
+    val marker = recoveryMarker(out)
+    java.nio.file.Files.createDirectories(marker.getParent)
+    if (!java.nio.file.Files.exists(marker)) java.nio.file.Files.createFile(marker)
     val sinkLog = java.nio.file.Paths.get(out, "_spark_metadata")
     if (java.nio.file.Files.exists(sinkLog)) aside(sinkLog)
-    aside(java.nio.file.Paths.get(checkpoint))
+    val dst = aside(java.nio.file.Paths.get(checkpoint))
+    java.nio.file.Files.deleteIfExists(marker)
+    dst
   }
 
-  /** A crash between moveCheckpointAside's two moves leaves: checkpoint
-    * present, sink log absent, and a moved-aside `_spark_metadata
-    * .corrupt-*` in the output dir. Normal operation never produces
-    * that combination (a first batch that hasn't committed yet has no
-    * aside marker), so it identifies an interrupted recovery precisely.
+  /** True iff a prior recovery started its moves and died before
+    * finishing them (the marker outlived the process).
     */
-  private[graft] def interruptedRecovery(checkpoint: String, out: String): Boolean = {
-    import java.nio.file.{Files, Paths}
-    Files.isDirectory(Paths.get(checkpoint)) &&
-      !Files.exists(Paths.get(out, "_spark_metadata")) &&
-      Option(Paths.get(out).toFile.listFiles())
-        .exists(_.exists(_.getName.startsWith("_spark_metadata.corrupt-")))
-  }
+  private[graft] def interruptedRecovery(out: String): Boolean =
+    java.nio.file.Files.exists(recoveryMarker(out))
 
   /** The inverse orphan: NO checkpoint but a committed sink log — an
     * operator lost/deleted the checkpoint dir out-of-band. A fresh
@@ -254,13 +263,19 @@ object KesMain {
         case Some(defect) =>
           val aside = moveCheckpointAside(checkpoint, out)
           System.err.println(s"[kes] checkpoint unusable ($defect); moved to $aside, starting fresh")
-        case None if interruptedRecovery(checkpoint, out) =>
-          // a previous recovery moved the sink log aside and died
-          // before moving the checkpoint: complete it, so fresh state
-          // re-emits into a fresh sink log instead of resuming with
-          // pre-crash output invisible to metadata-aware readers
-          val aside = moveCheckpointAside(checkpoint, out)
-          System.err.println(s"[kes] completing interrupted recovery; checkpoint moved to $aside")
+        case None if interruptedRecovery(out) =>
+          // a previous recovery started its moves and died partway:
+          // complete whichever remain, so fresh state re-emits into a
+          // fresh sink log instead of resuming with pre-crash output
+          // invisible to metadata-aware readers
+          if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(checkpoint))) {
+            val aside = moveCheckpointAside(checkpoint, out)
+            System.err.println(s"[kes] completing interrupted recovery; checkpoint moved to $aside")
+          } else {
+            moveStaleSinkLogAside(out)
+            java.nio.file.Files.deleteIfExists(recoveryMarker(out))
+            System.err.println("[kes] completing interrupted recovery; checkpoint already aside")
+          }
         case None if !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(checkpoint)) =>
           moveStaleSinkLogAside(out).foreach { dst =>
             System.err.println(s"[kes] checkpoint missing but sink log committed; " +

@@ -161,8 +161,10 @@ class KesMainSpec extends SparkSpec {
     Files.writeString(new java.io.File(in, "b1.json").toPath, e1)
     KesMain.run(Array(in.getAbsolutePath, s"$outDir/data", ckpt, "3600 seconds", "--once"), Map.empty)
 
-    // simulate the crash window: a recovery moved the sink log aside
-    // and died before moving the (actually healthy) checkpoint
+    // simulate the crash window: a recovery wrote its in-progress
+    // marker, moved the sink log aside, and died before moving the
+    // (actually healthy) checkpoint — so the marker survived
+    java.nio.file.Files.createFile(KesMain.recoveryMarker(s"$outDir/data"))
     val sinkLog = java.nio.file.Paths.get(s"$outDir/data", "_spark_metadata")
     java.nio.file.Files.move(sinkLog,
       sinkLog.resolveSibling("_spark_metadata.corrupt-simulated"))
@@ -175,11 +177,54 @@ class KesMainSpec extends SparkSpec {
     assert(new java.io.File(ckpt).getParentFile.listFiles()
       .exists(_.getName.startsWith("ckpt.corrupt-")),
       "interrupted recovery must move the checkpoint aside")
+    // ... and the marker cleared, so the NEXT start is a normal one
+    assert(!java.nio.file.Files.exists(KesMain.recoveryMarker(s"$outDir/data")),
+      "completed recovery must delete its in-progress marker")
     // fresh state re-emits e1 and flows e3 into a FRESH sink log the
     // metadata-aware reader trusts (no invisible pre-crash output)
     val got = spark.read.text(s"$outDir/data").collect().map(_.getString(0))
     assert(got.exists(_.contains("\"uid\":\"u1\"")), s"re-emit after completed recovery: ${got.toSeq}")
     assert(got.exists(_.contains("\"uid\":\"u3\"")), s"new batch must flow: ${got.toSeq}")
+  }
+
+  test("leftover corrupt-* forensics never discard a later healthy checkpoint (marker precision)") {
+    val in = Files.createTempDirectory("kes_in8").toFile
+    val outDir = Files.createTempDirectory("kes_out8").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("kes_ckpt8").toFile.getAbsolutePath + "/ckpt"
+
+    Files.writeString(new java.io.File(in, "b1.json").toPath, e1)
+    KesMain.run(Array(in.getAbsolutePath, s"$outDir/data", ckpt, "3600 seconds", "--once"), Map.empty)
+
+    // state after an OLD completed recovery (its forensic names linger
+    // forever) plus a crash before the next lifetime's first sink
+    // commit: healthy checkpoint, sink log absent, stale corrupt-*
+    // name present — but NO in-progress marker
+    Files.createDirectory(java.nio.file.Paths.get(s"$outDir/data", "_spark_metadata.corrupt-999"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$outDir/data", "_spark_metadata"))
+
+    def partFiles(): Set[java.io.File] = Option(new java.io.File(s"$outDir/data").listFiles())
+      .fold(Set.empty[java.io.File])(_.filter(_.getName.startsWith("part-")).toSet)
+    val before = partFiles()
+    Files.writeString(new java.io.File(in, "b2.json").toPath, Seq(e1, e3).mkString("\n"))
+    KesMain.run(Array(in.getAbsolutePath, s"$outDir/data", ckpt, "3600 seconds", "--once"),
+      Map("CACHE_RECREATE" -> "1"))
+
+    // the healthy checkpoint must survive: no aside copy, and the
+    // recovered dedup state still suppresses the duplicate of e1.
+    // (Raw part files, not the metadata-aware reader: the resumed
+    // query's fresh sink log starts at the checkpoint's next batch id,
+    // so the log has a gap — the data itself is intact.)
+    assert(!new java.io.File(ckpt).getParentFile.listFiles()
+      .exists(_.getName.startsWith("ckpt.corrupt-")),
+      "healthy checkpoint must not be discarded on forensic leftovers alone")
+    val got = (partFiles() -- before).toSeq.map(f => Files.readString(f.toPath)).mkString("\n")
+    assert(got.contains("\"uid\":\"u3\""), s"new batch must flow: $got")
+    assert(!got.contains("\"uid\":\"u1\""),
+      s"recovered state must suppress the replayed duplicate: $got")
   }
 
   test("CACHE_RECREATE moves a stale sink log aside when the checkpoint is gone (no silent batch skip)") {
