@@ -115,13 +115,39 @@ object Bench {
       name -> (if (runs.exists(_ < 0)) -1.0 else median(runs))
     }
 
+    // Scale sweep: one extra batch sweep at the next SF down (a decade
+    // less data), emitting per-query scaling exponents log10(t_big /
+    // t_small) — a numeric smoke alarm for super-linear queries that a
+    // single-SF bench can't see. Reading: ~1.0 = linear in data volume,
+    // < 1 = overhead-dominated at the small SF (typical for sub-second
+    // queries — fixed planning/JVM cost biases the exponent DOWN), and
+    // sustained > ~1.3 on a multi-second query = the n² alarm worth a
+    // plan audit. Not part of `total` and not a gate — the exponents
+    // ride the JSON for round-over-round comparison.
+    val sweepDir = sys.env.get("SPARK_GRAFT_SCALE_SWEEP_DIR").orElse {
+      val candidate = sfDir.replaceAll("sf0\\.1/?$", "sf0.01")
+      if (candidate != sfDir && new java.io.File(candidate).isDirectory) Some(candidate) else None
+    }.filter(_ => sys.env.getOrElse("SPARK_GRAFT_SCALE_SWEEP", "1") != "0")
+    val scaling: Map[String, Double] = sweepDir.fold(Map.empty[String, Double]) { dir =>
+      SparkEntry.queries.flatMap { case (name, fn) =>
+        // sweep failures log under sweep_<name>, never marking the
+        // main measurement of the query as failed
+        val ts = timed(s"sweep_$name")(fn(spark, dir).write.mode("overwrite").format("noop").save())
+        val tb = medians.getOrElse(name, -1.0)
+        if (ts > 0 && tb > 0) Some(name -> math.floor(math.log10(tb / ts) * 1000) / 1000)
+        else None
+      }.toMap
+    }
+
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val iters = perQueryRuns.map { case (k, v) => s"\"" + k + "\":" + v.size }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       s"\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iterations":$Iters,"iters_per_query":$iters,"cpus":$cpus,"stream_state_partitions":$StreamStateParts,"sf":"$sfDir"}""")
+    val scal = scaling.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sweepSf = sweepDir.fold("null")(d => s"\"$d\"")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iterations":$Iters,"iters_per_query":$iters,"cpus":$cpus,"stream_state_partitions":$StreamStateParts,"sf":"$sfDir","scale_sweep_sf":$sweepSf,"scaling":$scal}""")
     spark.stop()
   }
 }

@@ -103,6 +103,31 @@ class SinksSpec extends SparkSpec {
       s"lexicographic trailing key should saturate somewhere: $le")
   }
 
+  test("z-ordered as-of right side: identical asof result off the clustered files (§5b pairing)") {
+    // the §5b pairing: the as-of join's right side laid out z-ordered
+    // by (key, time), so a key- or time-predicated scan of it prunes on
+    // BOTH dimensions; the custom AsOfJoin must read that layout back
+    // and produce exactly the direct in-memory result. o_orderdate is a
+    // DATE (not castable to double), so the z-value rides an epoch-day
+    // helper column, dropped after read.
+    val dir = Files.createTempDirectory("zorder_asof").toFile.getAbsolutePath + "/orders"
+    val ord = tables.orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    Sinks.writeZOrdered(
+      ord.withColumn("o_days", datediff(col("o_orderdate"), to_date(lit("1970-01-01")))),
+      dir, files = 4, "o_custkey", "o_days")
+    val zright = spark.read.parquet(dir).drop("o_days")
+    val ev = tables.events.select(col("event_id"), col("user_id"), col("ts"))
+    def run(right: org.apache.spark.sql.DataFrame): Map[Long, Any] =
+      graft.plans.GraftPlans.asofJoin(ev, right, "user_id", "o_custkey", "ts", "o_orderdate")
+        .select(col("event_id"), col("o_orderkey"))
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val viaZ = run(zright)
+    assert(viaZ == run(ord), "as-of over the z-ordered files must match the direct result")
+    assert(viaZ.nonEmpty && viaZ.values.exists(_ != null), "some events must enrich")
+  }
+
   test("json lines roundtrip") {
     val dir = Files.createTempDirectory("events_json").toFile.getAbsolutePath
     val out = tables.events.select(col("event_id"), col("event_type"))
