@@ -184,6 +184,21 @@ object OracleSqlGen {
        |WHERE floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** MaxSim late interaction: per-(label, query-vector) max cosine,
+    * summed per label through DECIMAL(18,6) (order-independent).
+    */
+  def annMaxsim(nQueryVecs: Int): String =
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS q_id, v, n2 FROM n WHERE vec_id < $nQueryVecs),
+       |sc AS (SELECT c.label, q.q_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM n c, q),
+       |b AS (SELECT label, q_id, MAX(cos_r) AS best FROM sc GROUP BY label, q_id)
+       |SELECT label, CAST(SUM(CAST(best AS DECIMAL(18,6))) AS DOUBLE) AS maxsim_r,
+       |  COUNT(*) AS n_query_vecs
+       |FROM b GROUP BY label
+       |ORDER BY maxsim_r DESC, label""".stripMargin
+
   val annTopkBruteforce: String =
     s"""WITH $normCte,
        |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,

@@ -69,6 +69,7 @@ object SparkEntry {
     "ann_lsh_bucketed"     -> q(Similarity.annLshBucketed(_)),
     "ann_lsh_multitable"   -> q(Similarity.annLshMultiTable(_)),
     "ann_ivf"              -> q(Similarity.annIvf(_)), // rows-only: k-means quantizer, no SQL oracle
+    "ann_maxsim"           -> q(Similarity.annMaxsim(_)),
     "emb_norm_stats"       -> q(Similarity.embNormStats),
     // §2.E text analysis
     "text_langid"          -> q(TextOps.textLangid(_, ordered = true)),
@@ -85,6 +86,8 @@ object SparkEntry {
     "text_repetition"      -> q(TextOps.textRepetition(_, ordered = true)),
     "text_collocations"    -> q(TextOps.textCollocations(_)),
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
+    "doc_scrub_pii"        -> q(TextOps.docScrubPii(_, ordered = true)),
+    "corpus_stats"         -> q(TextOps.corpusStats),
     "doc_mix_budget"       -> q(TextOps.docMixBudget(_, ordered = true)),
     "doc_shard_shuffle"    -> q(TextOps.docShardShuffle(_, ordered = true)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
@@ -498,6 +501,26 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, bucket, cum_tokens,
         |  CAST(cum_tokens <= 1000 AS INTEGER) AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+    "ann_maxsim"            -> OracleSqlGen.annMaxsim(8),
+
+    "doc_scrub_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'), '[0-9]+', '#', 'g') AS text_masked,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  floor((CAST(SUM(n_tokens) AS DOUBLE)/COUNT(*))*1000000 + 0.5)/1000000 AS avg_tokens,
+        |  floor(quantile_cont(n_tokens, 0.5)*10000 + 0.5)/10000 AS p50_tokens,
+        |  floor(quantile_cont(n_tokens, 0.9)*10000 + 0.5)/10000 AS p90_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM (SELECT source, lang, len(string_split(lower(text), ' ')) AS n_tokens FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),

@@ -203,6 +203,36 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** D6: MaxSim late-interaction scoring (the ColBERT shape): a
+    * multi-vector QUERY (the first nQueryVecs embeddings) scored
+    * against multi-vector DOCUMENTS (each label's vector group) as
+    * Σ over query vectors of (max over the doc's vectors of cosine) —
+    * retrieval where a document matches if EVERY facet of the query
+    * finds some strong vector in it, not just the centroid.
+    *
+    * Scale shape: the query vectors broadcast; the corpus streams past
+    * them in ONE narrow pass (no corpus shuffle); the per-(label, q)
+    * max and per-label sum are two hash aggregations whose keys are
+    * label-bounded (tiny), both map-side combined. The per-query maxes
+    * are r6-rounded and summed through DECIMAL(18,6) so the final
+    * score is order-independent and engine-portable.
+    */
+  def annMaxsim(t: Tables, nQueryVecs: Int = 8): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val q = e.filter(col("vec_id") < nQueryVecs)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    e.crossJoin(broadcast(q))
+      .select(col("label"), col("q_id"),
+        cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+      .groupBy(col("label"), col("q_id"))
+      .agg(max(col("cos_r")).as("best"))
+      .groupBy(col("label"))
+      .agg(
+        (sum(col("best").cast(DecimalType(18, 6))).cast("double")).as("maxsim_r"),
+        count(lit(1)).as("n_query_vecs"))
+      .orderBy(col("maxsim_r").desc, col("label"))
+  }
+
   /** D3: per-label vector-norm statistics (array math in codegen). */
   def embNormStats(t: Tables): DataFrame =
     withNorm(t.embeddings)

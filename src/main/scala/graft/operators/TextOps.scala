@@ -423,6 +423,46 @@ object TextOps {
       .select(col("doc_id"), col("sort_key"), col("shard"), col("pos"))
   }, ordered)(col("doc_id"))
 
+  /** E18: document PII scrubbing — the doc-level counterpart of
+    * ev_scrub_props (A23): mask email addresses and digit runs before
+    * a corpus leaves the pipeline, with audit counts per document so a
+    * compliance sweep can rank what was touched. Pure regexp built-ins
+    * (one narrow pass, no shuffle); the patterns are the common
+    * RE2/PCRE subset both engines evaluate identically.
+    */
+  def docScrubPii(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    t.documents
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<email>"), "[0-9]+", "#")
+          .as("text_masked"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_digit_runs"))
+  }, ordered)(col("doc_id"))
+
+  /** E19: corpus statistics sweep — the per-source profile a mixture
+    * designer reads before setting E16's budgets: doc counts, exact
+    * token totals, mean and interpolated p50/p90 token lengths, and
+    * language spread. One narrow tokenize pass + one aggregation
+    * keyed on source (map-side combined; exact percentiles collect
+    * per-group values ON THE EXECUTORS — the group count is source
+    * cardinality, tiny, and at 100 TB the approx_percentile swap is a
+    * one-line knob). avg is spelled exact-integer-sum / count so both
+    * engines divide the same two exact numbers.
+    */
+  def corpusStats(t: Tables): DataFrame =
+    t.documents
+      .select(col("source"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        r6(sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        r4(expr("percentile(n_tokens, 0.5)")).as("p50_tokens"),
+        r4(expr("percentile(n_tokens, 0.9)")).as("p90_tokens"),
+        count_distinct(col("lang")).as("n_langs"))
+      .orderBy(col("source"))
+
   /** E14: the composed curation pipeline — quality score (E2), langid
     * agreement (E1), and exact-dedup canonical selection (C1) joined
     * into one keep/drop verdict with per-reason flags. The "a user

@@ -42,6 +42,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), "tiny query side broadcast")
   }
 
+  test("maxsim: query vectors broadcast — the corpus meets them in one narrow pass") {
+    val p = plan(Similarity.annMaxsim(tables))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side must broadcast:\n${p.take(500)}")
+    assert(!p.contains("CartesianProduct"), "corpus must not shuffle into a cartesian")
+  }
+
   test("minhash signatures: map-side partial aggregation before the doc shuffle") {
     val p = plan(Dedup.docMinhashSig(tables))
     assert(p.contains("partial_min") || p.contains("partial_"), "partial aggregation expected")
@@ -146,6 +152,7 @@ class PlanSpec extends SparkSpec {
       // so the deploy path must not pay the final range exchange either.
       // docNgramJaccard/-Capped gate the same sort inside verifiedJaccard
       // but return an eager checkpoint, so their plan isn't assertable here.
+      "doc_scrub_pii" -> TextOps.docScrubPii(tables),
       "doc_fingerprint_pairs" -> Dedup.docFingerprintPairs(tables),
       "doc_simhash_pairs" -> Dedup.docSimhashPairs(tables),
       "doc_minhash_lsh_pairs" -> Dedup.docMinhashLshPairs(tables),

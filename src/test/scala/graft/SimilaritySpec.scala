@@ -93,4 +93,31 @@ class SimilaritySpec extends SparkSpec {
       assert(bucketOf(q) == b && bucketOf(n) == b)
     }
   }
+
+  test("maxsim: one row per label, self-containing labels score their own query vecs at 1, hand-check") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.annMaxsim(tables).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val labels = tables.embeddings.select("label").distinct().count()
+    assert(rows.length == labels, "one score per label")
+    assert(rows.forall(_._3 == 8L), "every label scored against all 8 query vectors")
+    assert(rows.forall { case (_, s, _) => s > -8.0 && s <= 8.0 }, "bounded by Σ|cos| ≤ 8")
+    val scores = rows.map(_._2)
+    assert(scores.sameElements(scores.sortBy(-(_: Double))), "descending by score")
+    // hand-check: recompute one label's MaxSim locally from raw vectors
+    val all = tables.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      val (na, nb) = (math.sqrt(a.map(x => x * x).sum), math.sqrt(b.map(x => x * x).sum))
+      math.floor(d / (na * nb) * 1e6 + 0.5) / 1e6
+    }
+    val qs = all.filter(_._1 < 8)
+    val lbl = rows.head._1
+    val docVecs = all.filter(_._2 == lbl).map(_._3)
+    val expected = qs.map(q => docVecs.map(dv => cosR(q._3, dv)).max)
+      .map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(math.abs(rows.find(_._1 == lbl).get._2 - expected) < 1e-9,
+      s"label $lbl maxsim mismatch vs local recompute")
+  }
 }

@@ -123,6 +123,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dupIds == all.filter { case (id, h) => id != minBy(h) }.map(_._1).toSet)
   }
 
+  test("pii scrub: emails and digit runs masked with exact audit counts (crafted docs)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith@example.com or 555 1234 now"),
+      (2L, "no pii here at all"),
+      (3L, "a@b.io x9 y42 a@b.io")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.docScrubPii(graft.sources.Tables(spark, tmp)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == (("contact <email> or # # now", 1L, 2L)))
+    assert(rows(2L) == (("no pii here at all", 0L, 0L)))
+    assert(rows(3L) == (("<email> x# y# <email>", 2L, 2L)))
+  }
+
+  test("corpus stats: totals reconcile with the corpus, percentiles ordered") {
+    val rows = TextOps.corpusStats(tables).collect()
+    assert(rows.map(_.getLong(1)).sum == tables.documents.count())
+    rows.foreach { r =>
+      val (nDocs, total, avg) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (p50, p90, nLangs) = (r.getDouble(4), r.getDouble(5), r.getLong(6))
+      assert(math.abs(avg - total.toDouble / nDocs) < 1e-6)
+      assert(p50 <= p90, s"${r.getString(0)}: p50 $p50 > p90 $p90")
+      assert(nLangs >= 1 && nLangs <= 5)
+    }
+  }
+
   test("two-phase running sums (pack, mix budget) == single per-source window reference") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Hashing.tokens
