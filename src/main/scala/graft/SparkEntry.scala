@@ -89,6 +89,8 @@ object SparkEntry {
     "doc_scrub_pii"        -> q(TextOps.docScrubPii(_, ordered = true)),
     "corpus_stats"         -> q(TextOps.corpusStats),
     "doc_mix_budget"       -> q(TextOps.docMixBudget(_, ordered = true)),
+    "doc_sample_k"         -> q(TextOps.docSampleK(_, ordered = true)),
+    "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
     "doc_shard_shuffle"    -> q(TextOps.docShardShuffle(_, ordered = true)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
     "ev_funnel"            -> q(EventOps.evFunnel),
@@ -520,6 +522,25 @@ object SparkEntry {
         |  COUNT(DISTINCT lang) AS n_langs
         |FROM (SELECT source, lang, len(string_split(lower(text), ' ')) AS n_tokens FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "doc_sample_k" ->
+      """SELECT doc_id, source, skey, rank FROM (
+        |  SELECT doc_id, source, skey,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rank
+        |  FROM (SELECT doc_id, source,
+        |    ('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS skey
+        |    FROM documents))
+        |WHERE rank <= 25 ORDER BY doc_id""".stripMargin,
+
+    "doc_split" ->
+      """SELECT doc_id, source, mille,
+        |  CASE WHEN mille < 990 THEN 'train'
+        |       WHEN mille < 995 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |  ('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000 AS mille
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),

@@ -463,6 +463,54 @@ object TextOps {
         count_distinct(col("lang")).as("n_langs"))
       .orderBy(col("source"))
 
+  /** E20: deterministic k-per-source sampling — exactly k documents
+    * per source (all of them if a source has fewer), chosen by a
+    * content-free seeded hash order, so the sample is a hard per-source
+    * budget (E7 samples by RATE) and identical across runs and cluster
+    * sizes. The shape of every "carve an eval slice per domain" step.
+    *
+    * Scale shape: two-stage exact top-k (annTopkBruteforce's pattern),
+    * never a source-partitioned window over the corpus. Stage 1 keeps
+    * the k smallest keys per (source, input-partition) — parallelism =
+    * sources × partitions; stage 2 re-ranks only the survivors, a
+    * relation bounded by k × partitions × sources rows (its per-source
+    * window is over that bounded set, not the corpus). The global
+    * top-k per source is exactly contained in the union of the local
+    * top-ks, so the two-stage result is exact.
+    */
+  def docSampleK(t: Tables, k: Int = 25, seed: String = "sample",
+      ordered: Boolean = false): DataFrame = maybeSort({
+    val w1 = Window.partitionBy(col("source"), col("pid")).orderBy(col("skey"), col("doc_id"))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), col("source"),
+        md5_60(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("source"), col("skey"), col("rank"))
+  }, ordered)(col("doc_id"))
+
+  /** E21: deterministic train/valid/test split — per-mille hash
+    * buckets of the doc_id (seeded, content-free) mapped to the split
+    * label; the assignment every training pipeline needs to be STABLE
+    * as the corpus grows (a document's split never changes when other
+    * documents arrive, unlike rand() or modulo-of-count schemes).
+    * One narrow pass, no shuffle.
+    */
+  def docSplit(t: Tables, trainPermille: Int = 990, validPermille: Int = 5,
+      seed: String = "split", ordered: Boolean = false): DataFrame = maybeSort({
+    val mille = pmod(md5_60(concat(lit(seed), lit(":"), col("doc_id").cast("string"))), lit(1000L))
+    t.documents
+      .select(col("doc_id"), col("source"), mille.as("mille"))
+      .withColumn("split",
+        when(col("mille") < trainPermille, lit("train"))
+          .when(col("mille") < trainPermille + validPermille, lit("valid"))
+          .otherwise(lit("test")))
+  }, ordered)(col("doc_id"))
+
   /** E14: the composed curation pipeline — quality score (E2), langid
     * agreement (E1), and exact-dedup canonical selection (C1) joined
     * into one keep/drop verdict with per-reason flags. The "a user

@@ -153,6 +153,8 @@ class PlanSpec extends SparkSpec {
       // docNgramJaccard/-Capped gate the same sort inside verifiedJaccard
       // but return an eager checkpoint, so their plan isn't assertable here.
       "doc_scrub_pii" -> TextOps.docScrubPii(tables),
+      "doc_sample_k" -> TextOps.docSampleK(tables),
+      "doc_split" -> TextOps.docSplit(tables),
       "doc_fingerprint_pairs" -> Dedup.docFingerprintPairs(tables),
       "doc_simhash_pairs" -> Dedup.docSimhashPairs(tables),
       "doc_minhash_lsh_pairs" -> Dedup.docMinhashLshPairs(tables),

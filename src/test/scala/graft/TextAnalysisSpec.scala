@@ -150,6 +150,49 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("sample-k: exact per-source budget, two-stage == single-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val rows = TextOps.docSampleK(tables, k = k).collect()
+    val sizes = tables.documents.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(1)).foreach { case (s, rs) =>
+      assert(rs.length == math.min(k.toLong, sizes(s)), s"source $s budget violated")
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq, s"$s ranks not dense")
+    }
+    val ref = tables.documents
+      .select(col("doc_id"), col("source"),
+        graft.functions.Hashing.md5_60(
+          concat(lit("sample:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(3)).toMap == ref,
+      "two-stage top-k diverges from the single-window formulation")
+  }
+
+  test("split: labels match the mille buckets; assignment stable when the corpus shrinks") {
+    import spark.implicits._
+    val rows = TextOps.docSplit(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(rows.length == tables.documents.count())
+    rows.foreach { case (id, m, s) =>
+      val want = if (m < 990) "train" else if (m < 995) "valid" else "test"
+      assert(s == want, s"doc $id: mille $m labeled $s")
+    }
+    // growth/shrink stability: the split is a pure function of doc_id,
+    // so recomputing over HALF the corpus must assign the same labels
+    val tmp = java.nio.file.Files.createTempDirectory("graft-split").toString
+    tables.documents.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val half = TextOps.docSplit(graft.sources.Tables(spark, tmp)).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val full = rows.map(r => r._1 -> r._3).toMap
+    half.foreach { case (id, s) => assert(full(id) == s, s"doc $id split flipped on subset") }
+  }
+
   test("two-phase running sums (pack, mix budget) == single per-source window reference") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Hashing.tokens
