@@ -184,6 +184,45 @@ object OracleSqlGen {
        |WHERE floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Shared deterministic-quantizer CTEs (D7/C11): centers = the
+    * nCenters vectors with the smallest md5("centroid:"||vec_id), cell
+    * = rank in that hash order (0-based); assignment = per-vector
+    * argmin of the 6dp-rounded squared L2 (ties → lowest cell),
+    * expressed as a ROW_NUMBER window here — the Spark side computes
+    * the identical argmin in one narrow pass over literal centers.
+    */
+  private def cellCte(nCenters: Int): String = {
+    val ckey = "('0x'||substr(md5('centroid:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT"
+    s"""$normCte,
+       |cent AS (SELECT v AS cv, n2 AS c2,
+       |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
+       |  FROM n ORDER BY $ckey, vec_id LIMIT $nCenters),
+       |d AS (SELECT n.vec_id, n.label, n.v, n.n2, cent.cell,
+       |  floor((n.n2 - 2*list_reduce([n.v[i]*cent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + cent.c2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM n, cent),
+       |asg AS (SELECT vec_id, label, v, n2, cell, dist2_r FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM d)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  def embKmeansAssign(nCenters: Int): String =
+    s"""WITH ${cellCte(nCenters)}
+       |SELECT vec_id, label, cell, dist2_r FROM asg ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup: in-cell cosine pairs; a vector is dropped iff a
+    * same-cell partner with a smaller vec_id matches at >= threshold.
+    */
+  def docSemdedup(nCenters: Int, threshold: Double): String = {
+    val dotAB = "list_reduce([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)], (x,y) -> x+y)"
+    s"""WITH ${cellCte(nCenters)},
+       |pr AS (SELECT DISTINCT b.vec_id AS drop_id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE floor(($dotAB/(sqrt(a.n2)*sqrt(b.n2)))*1000000 + 0.5)/1000000 >= $threshold)
+       |SELECT asg.vec_id, asg.label, asg.cell, (pr.drop_id IS NULL) AS keep
+       |FROM asg LEFT JOIN pr ON asg.vec_id = pr.drop_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** MaxSim late interaction: per-(label, query-vector) max cosine,
     * summed per label through DECIMAL(18,6) (order-independent).
     */

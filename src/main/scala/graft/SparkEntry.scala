@@ -64,6 +64,7 @@ object SparkEntry {
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
     "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_, ordered = true)),
     "doc_embed_cosine_dup" -> q(Dedup.docEmbedCosineDup(_, ordered = true)),
+    "doc_semdedup"         -> q(Dedup.docSemdedup(_, ordered = true)),
     // §2.D similarity search
     "ann_topk_bruteforce"  -> q(Similarity.annTopkBruteforce(_)),
     "ann_lsh_bucketed"     -> q(Similarity.annLshBucketed(_)),
@@ -71,6 +72,7 @@ object SparkEntry {
     "ann_ivf"              -> q(Similarity.annIvf(_)), // rows-only: k-means quantizer, no SQL oracle
     "ann_maxsim"           -> q(Similarity.annMaxsim(_)),
     "emb_norm_stats"       -> q(Similarity.embNormStats),
+    "emb_kmeans_assign"    -> q(Similarity.embKmeansAssign(_, ordered = true)),
     // §2.E text analysis
     "text_langid"          -> q(TextOps.textLangid(_, ordered = true)),
     "text_quality"         -> q(TextOps.textQuality(_, ordered = true)),
@@ -504,6 +506,8 @@ object SparkEntry {
         |  CAST(cum_tokens <= 1000 AS INTEGER) AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
     "ann_maxsim"            -> OracleSqlGen.annMaxsim(8),
+    "emb_kmeans_assign"     -> OracleSqlGen.embKmeansAssign(8),
+    "doc_semdedup"          -> OracleSqlGen.docSemdedup(8, 0.45),
 
     "doc_scrub_pii" ->
       """SELECT doc_id,

@@ -589,4 +589,42 @@ object Dedup {
         .filter(col("cos_r") >= threshold),
       ordered)(col("vec_a"), col("vec_b"))
   }
+
+  /** C11: SemDeDup — semantic dedup over embeddings: assign every
+    * vector to its nearest seeded-hash centroid cell (the D7
+    * quantizer), find cosine-near pairs only WITHIN a cell, and keep
+    * one representative (lowest vec_id) per near-dup neighborhood.
+    * Output is the full keep/drop verdict per vector. The cross-cell
+    * restriction is the point of the method (Abbas et al., SemDeDup):
+    * near-duplicate embeddings land in the same coarse cell, so the
+    * pairwise cosine work shrinks from O(n²) to Σ O(|cell|²).
+    *
+    * Scale shape: cell assignment is the D7 narrow literal-argmin pass
+    * (no shuffle); the pair join is a plain equi-join on `cell`, so the
+    * quadratic work is per-cell and `nCenters` is the explicit knob
+    * that bounds it — at 100 TB the center set scales with the corpus
+    * (cells of ~constant size), cells ≫ cores, and AQE splits skewed
+    * cells like any shuffle join key. The verdict is a left join on
+    * the (small) dropped-id set, never a second corpus shuffle.
+    */
+  def docSemdedup(t: Tables, nCenters: Int = 8, threshold: Double = 0.45,
+      ordered: Boolean = false): DataFrame = {
+    val assigned = Similarity.withCell(
+        Similarity.withNorm(t.embeddings), Similarity.hashCenters(t, nCenters))
+      .select(col("vec_id"), col("label"), col("cell"), col("v"), col("n2"))
+    val a = assigned.select(col("cell").as("ca"), col("vec_id").as("va"),
+      col("v").as("xa"), col("n2").as("na"))
+    val b = assigned.select(col("cell").as("cb"), col("vec_id").as("vb"),
+      col("v").as("xb"), col("n2").as("nb"))
+    // drop the HIGHER id of every qualifying in-cell pair
+    val dropped = a.join(b, col("ca") === col("cb") && col("va") < col("vb"))
+      .filter(Similarity.cosineR(col("xa"), col("xb"), col("na"), col("nb"))
+        >= threshold)
+      .select(col("vb").as("drop_id")).distinct()
+    maybeSort(
+      assigned.join(dropped, col("vec_id") === col("drop_id"), "left")
+        .select(col("vec_id"), col("label"), col("cell"),
+          col("drop_id").isNull.as("keep")),
+      ordered)(col("vec_id"))
+  }
 }

@@ -233,7 +233,69 @@ object Similarity {
       .orderBy(col("maxsim_r").desc, col("label"))
   }
 
-  /** D3: per-label vector-norm statistics (array math in codegen). */
+  /** Deterministic seeded centroid set: the `nCenters` vectors with the
+    * smallest md5 hash of `"centroid:" + vec_id` — a content-free,
+    * engine-portable stand-in for an offline-trained quantizer (the
+    * oracle picks the identical set with the same md5 ordering). Cell
+    * ids are the rank in that hash order. Collected to the driver:
+    * bounded by `nCenters` (a handful of rows — the same "quantizer is
+    * trained once, then broadcast as literals" shape as annIvf's
+    * clusterCenters), fetched via TakeOrderedAndProject (per-partition
+    * top-k + driver merge, never a full range exchange).
+    */
+  private[graft] def hashCenters(t: Tables, nCenters: Int): Array[(Int, Seq[Double], Double)] = {
+    graft.functions.VectorExprs.ensureRegistered(t.spark)
+    withNorm(t.embeddings)
+      .select(col("vec_id"), col("v"), col("n2"),
+        graft.functions.Hashing.md5_60(
+          concat(lit("centroid:"), col("vec_id").cast("string"))).as("ckey"))
+      .orderBy(col("ckey"), col("vec_id")).limit(nCenters)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1), r.getDouble(2)) }
+  }
+
+  /** Adds a `cell` + `dist2_r` column: nearest (squared L2, 6dp-rounded,
+    * ties → lowest cell id) of the broadcast-as-literals center set.
+    * ONE narrow projection — the argmin is an `array_min` over per-center
+    * (dist2_r, cell) structs built from literal centers, so the corpus
+    * is never shuffled or joined to assign cells. The oracle expresses
+    * the same argmin as a per-vector ROW_NUMBER window (correctness
+    * shape, not scale shape).
+    */
+  private[graft] def withCell(e: DataFrame,
+      centers: Array[(Int, Seq[Double], Double)]): DataFrame = {
+    val cands = centers.map { case (cell, cv, c2) =>
+      struct(
+        // same op order as the oracle: (n2 - 2*dot) + c2
+        r6(col("n2") - lit(2.0) * VectorExprs.dot(col("v"), typedLit(cv)) + lit(c2))
+          .as("dist2_r"),
+        lit(cell.toLong).as("cell")) // long: the oracle's ROW_NUMBER cell is BIGINT
+    }
+    e.withColumn("best", array_min(array(cands: _*)))
+      .withColumn("cell", col("best.cell"))
+      .withColumn("dist2_r", col("best.dist2_r"))
+      .drop("best")
+  }
+
+  /** D7: deterministic k-means-style cell assignment — every vector
+    * labeled with its nearest centroid from the seeded hash-selected
+    * center set (the coarse-quantization step under IVF, SemDeDup, and
+    * cluster-balanced sharding, made oracle-checkable: annIvf's MLlib
+    * k-means is not DuckDB-expressible, this quantizer is).
+    *
+    * Scale shape: centers are literals in one narrow codegen'd pass —
+    * no shuffle, no join, no window over the corpus; the only non-map
+    * work is the TakeOrdered center fetch (O(nCenters) rows to the
+    * driver).
+    */
+  def embKmeansAssign(t: Tables, nCenters: Int = 8,
+      ordered: Boolean = false): DataFrame = maybeSort(
+    withCell(withNorm(t.embeddings), hashCenters(t, nCenters))
+      .select(col("vec_id"), col("label"), col("cell"), col("dist2_r")),
+    ordered)(col("vec_id"))
+
+  /** D3: per-label vector-norm statistics (codegen'd array math). */
   def embNormStats(t: Tables): DataFrame =
     withNorm(t.embeddings)
       .select(col("label"), r6(sqrt(col("n2"))).as("norm_r"))

@@ -131,6 +131,36 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == (for { i <- 1L to 5L; j <- 1L to 5L if i < j } yield (i, j)).toSet)
   }
 
+  test("semdedup: drop iff a smaller-id same-cell partner >= tau; cell minima kept; full verdict") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val (nCenters, tau) = (4, 0.2) // low tau so sf0.001 yields real drops
+    val out = Dedup.docSemdedup(tables, nCenters, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == tables.embeddings.count())
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    // driver-side reference with identical fold order + rounding
+    val vecs = Similarity.withNorm(tables.embeddings)
+      .select(col("vec_id"), col("v"), col("n2")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    def cosR(a: (Long, Seq[Double], Double), b: (Long, Seq[Double], Double)): Double = {
+      val d = a._2.zip(b._2).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      math.floor(d / (math.sqrt(a._3) * math.sqrt(b._3)) * 1e6 + 0.5) / 1e6
+    }
+    val refDrop = (for {
+      a <- vecs; b <- vecs
+      if a._1 < b._1 && cellOf(a._1) == cellOf(b._1) && cosR(a, b) >= tau
+    } yield b._1).toSet
+    assert(refDrop.nonEmpty, "tau too high for a meaningful spec: no drops")
+    out.foreach { case (id, _, keep) =>
+      assert(keep == !refDrop(id), s"vec $id keep=$keep, reference says ${!refDrop(id)}")
+    }
+    // the lowest id of every cell can never have a smaller-id partner
+    out.groupBy(_._2).foreach { case (cell, rs) =>
+      assert(rs.minBy(_._1)._3, s"cell $cell minimum id must be kept")
+    }
+  }
+
   test("minOverlap == exact rational ceiling for integer-landing products") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

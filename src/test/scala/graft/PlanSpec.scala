@@ -158,7 +158,9 @@ class PlanSpec extends SparkSpec {
       "doc_fingerprint_pairs" -> Dedup.docFingerprintPairs(tables),
       "doc_simhash_pairs" -> Dedup.docSimhashPairs(tables),
       "doc_minhash_lsh_pairs" -> Dedup.docMinhashLshPairs(tables),
-      "doc_embed_cosine_dup" -> Dedup.docEmbedCosineDup(tables))
+      "doc_embed_cosine_dup" -> Dedup.docEmbedCosineDup(tables),
+      "emb_kmeans_assign" -> Similarity.embKmeansAssign(tables),
+      "doc_semdedup" -> Dedup.docSemdedup(tables))
     for ((name, df) <- dumps) {
       // pre-AQE plan: a global sort appears as a rangepartitioning
       // exchange + Sort(global=true). Window-internal sorts are
@@ -190,6 +192,17 @@ class PlanSpec extends SparkSpec {
       assert(sourceOnly.isEmpty,
         s"$name has a window whose parallelism is bounded by source cardinality:\n$sourceOnly")
     }
+  }
+
+  test("kmeans assign: ZERO shuffles — literal-centers argmin stays narrow") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the D7 design claim: assignment never joins/windows the corpus —
+    // centers are literals, the argmin is an array_min projection. Any
+    // Exchange here means someone reintroduced a corpus-wide shuffle.
+    val sp = Similarity.embKmeansAssign(tables).queryExecution.sparkPlan
+    val shuffles = sp.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"cell assignment must be one narrow pass, found exchanges:\n$shuffles")
   }
 
   test("doc pack / mix budget: totals branch reuses the window exchange (one corpus shuffle)") {

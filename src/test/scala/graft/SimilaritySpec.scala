@@ -120,4 +120,27 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(rows.find(_._1 == lbl).get._2 - expected) < 1e-9,
       s"label $lbl maxsim mismatch vs local recompute")
   }
+
+  test("kmeans assign: literal-argmin pass == local brute-force argmin; every vector assigned") {
+    import org.apache.spark.sql.functions.col
+    val nCenters = 4
+    val out = Similarity.embKmeansAssign(tables, nCenters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty && out.size == tables.embeddings.count())
+    assert(out.values.forall { case (c, _) => c >= 0 && c < nCenters })
+    // independent driver-side reference: same centers, same fold order,
+    // same rounding, explicit argmin with (dist, cell) tie-break
+    val centers = Similarity.hashCenters(tables, nCenters)
+    val vecs = Similarity.withNorm(tables.embeddings)
+      .select(col("vec_id"), col("v"), col("n2")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    vecs.foreach { case (id, v, n2) =>
+      val best = centers.map { case (cell, cv, c2) =>
+        val dot = v.zip(cv).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+        (math.floor((n2 - 2 * dot + c2) * 1e6 + 0.5) / 1e6, cell.toLong)
+      }.min
+      assert(out(id) == ((best._2, best._1)),
+        s"vec $id: got ${out(id)}, brute-force argmin $best")
+    }
+  }
 }
