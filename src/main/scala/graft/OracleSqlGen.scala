@@ -445,6 +445,45 @@ object OracleSqlGen {
       |  CAST(ceil(length(text)/4.0) AS BIGINT) AS est_bpe
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BM25 vs a literal query-term set. Every arithmetic step is spelled
+    * op-for-op as the Spark expression (same parenthesization, same
+    * literal values via Scala double toString) so the r6'd score is
+    * engine-portable; tf/dl stay integer until IEEE-exact promotion.
+    */
+  def textBm25(terms: Seq[String], k1: Double, b: Double): String = {
+    val (k1p1, oneMinusB) = (k1 + 1, 1 - b)
+    val tfDefs = terms.map(t => s"len(list_filter(tk, x -> x = '$t')) AS tf_$t").mkString(", ")
+    val dfDefs = terms
+      .map(t => s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+      .mkString(", ")
+    val contribs = terms.map(t =>
+        s"ln(1.0 + (n - df_$t + 0.5)/(df_$t + 0.5)) * (tf_$t*$k1p1)/(tf_$t + $k1*($oneMinusB + $b*dl/avgdl))")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+       |f AS (SELECT doc_id, len(tk) AS dl, $tfDefs FROM t),
+       |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl, $dfDefs FROM f)
+       |SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")},
+       |  floor(($contribs)*1000000 + 0.5)/1000000 AS bm25_r
+       |FROM f, s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unigram-LM scoring: per-token log-probs r6-rounded then summed
+    * through DECIMAL(18,6) per doc (order-independent).
+    */
+  val textUnigramLogprob: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+      |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+      |dtc AS (SELECT doc_id, w, COUNT(*) AS c_dw FROM tok GROUP BY doc_id, w),
+      |vc AS (SELECT w, CAST(SUM(c_dw) AS BIGINT) AS c FROM dtc GROUP BY w),
+      |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tt FROM vc),
+      |lp AS (SELECT w, floor(ln(CAST(c AS DOUBLE)/tt)*1000000 + 0.5)/1000000 AS lp_r FROM vc, tot),
+      |d AS (SELECT dtc.doc_id, dtc.c_dw, lp.lp_r FROM dtc JOIN lp USING (w))
+      |SELECT doc_id, CAST(SUM(c_dw) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(c_dw * CAST(lp_r AS DECIMAL(18,6))) AS DOUBLE) AS sum_lp,
+      |  floor((CAST(SUM(c_dw * CAST(lp_r AS DECIMAL(18,6))) AS DOUBLE)/SUM(c_dw))*1000000 + 0.5)/1000000 AS mean_lp_r
+      |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val textFingerprint: String =
     """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk, lower(text) AS lt FROM documents),
       |w AS (SELECT doc_id, unnest(CASE WHEN len(tk)>=5

@@ -511,6 +511,80 @@ object TextOps {
           .otherwise(lit("test")))
   }, ordered)(col("doc_id"))
 
+  /** E22: BM25 relevance of every document against a fixed query-term
+    * set — the retrieval scorer a corpus-search / hard-negative-mining
+    * step runs over training data (Robertson/Sparck Jones BM25 with
+    * the standard k1/b parameters).
+    *
+    * Scale shape: per-term tf is a narrow `filter(tk, = term)` count —
+    * query terms are literals, so there is NO token explode and NO
+    * token shuffle; the only aggregate is ONE single-row stats relation
+    * (N, avgdl, per-term df) cross-broadcast back. The score is a
+    * fixed-order sum of per-term contributions spelled identically in
+    * the oracle SQL (ln/div/mul on doubles are IEEE-identical in both
+    * engines; the sf-pinned corpus makes the r6 compare deterministic).
+    */
+  def textBm25(t: Tables, terms: Seq[String] = Seq("hash", "join", "vector"),
+      k1: Double = 1.2, b: Double = 0.75, ordered: Boolean = false): DataFrame = maybeSort({
+    val (k1p1, oneMinusB) = (k1 + 1, 1 - b)
+    val tfCols = terms.map(term =>
+      size(filter(col("tk"), x => x === lit(term))).cast("long").as(s"tf_$term"))
+    val f = t.documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id") +: size(col("tk")).cast("long").as("dl") +: tfCols: _*)
+    val stats = f.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+        terms.map(term =>
+          sum(when(col(s"tf_$term") > 0, 1).otherwise(0)).cast("double").as(s"df_$term")): _*)
+    val score = terms.map { term =>
+      val tf = col(s"tf_$term")
+      val dfi = col(s"df_$term")
+      // op-for-op the oracle's: ln(1+(n-df+0.5)/(df+0.5)) * (tf*(k1+1))
+      //   / (tf + k1*((1-b) + b*dl/avgdl))
+      log(lit(1.0) + (col("n") - dfi + lit(0.5)) / (dfi + lit(0.5))) *
+        (tf * lit(k1p1)) /
+        (tf + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    f.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(term => col(s"tf_$term")) :+ r6(score).as("bm25_r"): _*)
+  }, ordered)(col("doc_id"))
+
+  /** E23: unigram-LM log-probability scoring — the corpus's own
+    * unigram distribution scores every document by mean token
+    * log-probability (the cheap stand-in for the model-perplexity
+    * quality filter: documents of rare/garbage tokens score low,
+    * documents of common well-formed text score high).
+    *
+    * Scale shape: ONE corpus scan. Raw tokens are immediately
+    * aggregated to per-(doc, term) counts — the only token-volume
+    * shuffle, and map-side combine compresses repeated tokens before
+    * the wire. Everything downstream runs on compressed relations:
+    * vocab counts and the corpus total both DERIVE from that relation
+    * (its exchange is shared by the vocab branch and the score join →
+    * ReusedExchange/ReusedQueryStage, PlanSpec-pinned), and the score
+    * join matches doc×distinct-term rows, not raw occurrences
+    * (Σ_occurrences lp_r ≡ Σ_terms c·lp_r exactly in DECIMAL(18,6)
+    * arithmetic, so compression does not change the score).
+    */
+  def textUnigramLogprob(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    import org.apache.spark.sql.types.DecimalType
+    val dtc = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c_dw"))
+    val vc = dtc.groupBy(col("w")).agg(sum(col("c_dw")).as("c"))
+    val lp = vc
+      .crossJoin(broadcast(vc.agg(sum(col("c")).cast("double").as("tt"))))
+      .select(col("w"), r6(log(col("c").cast("double") / col("tt"))).as("lp_r"))
+    dtc.join(lp, "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c_dw")).as("n_tokens"),
+        sum(col("c_dw") * col("lp_r").cast(DecimalType(18, 6))).cast("double").as("sum_lp"))
+      .withColumn("mean_lp_r", r6(col("sum_lp") / col("n_tokens")))
+  }, ordered)(col("doc_id"))
+
   /** E14: the composed curation pipeline — quality score (E2), langid
     * agreement (E1), and exact-dedup canonical selection (C1) joined
     * into one keep/drop verdict with per-reason flags. The "a user

@@ -160,7 +160,9 @@ class PlanSpec extends SparkSpec {
       "doc_minhash_lsh_pairs" -> Dedup.docMinhashLshPairs(tables),
       "doc_embed_cosine_dup" -> Dedup.docEmbedCosineDup(tables),
       "emb_kmeans_assign" -> Similarity.embKmeansAssign(tables),
-      "doc_semdedup" -> Dedup.docSemdedup(tables))
+      "doc_semdedup" -> Dedup.docSemdedup(tables),
+      "text_bm25" -> TextOps.textBm25(tables),
+      "text_unigram_logprob" -> TextOps.textUnigramLogprob(tables))
     for ((name, df) <- dumps) {
       // pre-AQE plan: a global sort appears as a rangepartitioning
       // exchange + Sort(global=true). Window-internal sorts are
@@ -203,6 +205,46 @@ class PlanSpec extends SparkSpec {
     val shuffles = sp.collect { case s: ShuffleExchangeExec => s }
     assert(shuffles.isEmpty,
       s"cell assignment must be one narrow pass, found exchanges:\n$shuffles")
+  }
+
+  test("bm25: literal query terms — no token explode anywhere in the plan") {
+    import graft.operators.TextOps
+    // the E22 design claim: per-term tf is filter(tk, = term) on the
+    // packed token array, so the corpus is never exploded to token rows
+    // (an explode would appear as a GenerateExec).
+    val sp = TextOps.textBm25(tables).queryExecution.sparkPlan
+    val gens = sp.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.isEmpty, s"bm25 must not explode tokens:\n$gens")
+  }
+
+  test("unigram logprob: one corpus scan — vocab branch and score join share the (doc,term) stage") {
+    import graft.operators.TextOps
+    // assert the 100 TB shape: with auto-broadcast off (tiny test inputs
+    // would otherwise broadcast freely, hiding the shared exchanges),
+    // the per-(doc, term) count stage must be computed ONCE and reused
+    // by the vocab branch, the total, and the score join — i.e. the raw
+    // token volume is exploded and shuffled exactly once.
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = TextOps.textUnigramLogprob(tables)
+      df.collect()
+      // AQE's toString appends the pre-adaptive "Initial Plan" — slice
+      // it off; only the Final Plan is what actually ran
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        s"the (doc_id, w) count exchange must be shared, not recomputed per branch:\n${p.take(1200)}")
+      val explodes = "Generate explode".r.findAllIn(p).length
+      assert(explodes == 1, s"corpus exploded $explodes times, expected 1:\n${p.take(1200)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
   }
 
   test("doc pack / mix budget: totals branch reuses the window exchange (one corpus shuffle)") {

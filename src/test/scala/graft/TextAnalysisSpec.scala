@@ -193,6 +193,53 @@ class TextAnalysisSpec extends SparkSpec {
     half.foreach { case (id, s) => assert(full(id) == s, s"doc $id split flipped on subset") }
   }
 
+  test("bm25: zero iff no query term present; tf columns match a driver recount; hand-check one doc") {
+    val terms = Seq("hash", "join", "vector")
+    val (k1, b) = (1.2, 0.75)
+    val rows = TextOps.textBm25(tables, terms, k1, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), terms.indices.map(i => r.getLong(2 + i)), r.getDouble(2 + terms.size)))
+    val docs = tables.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { case (id, dl, tfs, score) =>
+      val tk = docs(id)
+      assert(dl == tk.length, s"doc $id dl")
+      terms.zip(tfs).foreach { case (t, tf) =>
+        assert(tf == tk.count(_ == t), s"doc $id tf_$t") }
+      assert((score == 0.0) == tfs.forall(_ == 0L), s"doc $id zero-score law")
+    }
+    // hand-check: recompute one scoring doc with the same fixed-order math
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.length.toLong).sum.toDouble / docs.size
+    val dfs = terms.map(t => docs.values.count(_.contains(t)).toDouble)
+    val (id, dl, tfs, got) = rows.find(_._3.exists(_ > 0)).get
+    val want = terms.indices.map { i =>
+      val tf = tfs(i).toDouble
+      math.log(1.0 + (n - dfs(i) + 0.5) / (dfs(i) + 0.5)) * (tf * (k1 + 1)) /
+        (tf + k1 * ((1 - b) + b * dl / avgdl))
+    }.sum
+    assert(math.abs(got - math.floor(want * 1e6 + 0.5) / 1e6) < 1e-9, s"doc $id bm25 recompute")
+  }
+
+  test("unigram logprob: all means negative; common-token docs outscore rare-token docs per token") {
+    val rows = TextOps.textUnigramLogprob(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val docs = tables.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq).toMap
+    assert(rows.length == docs.size)
+    // driver-side reference distribution
+    val all = docs.values.flatten.toSeq
+    val tt = all.size.toDouble
+    val lpOf = all.groupBy(identity).map { case (w, ws) =>
+      w -> math.floor(math.log(ws.size / tt) * 1e6 + 0.5) / 1e6 }
+    rows.foreach { case (id, nTok, sumLp, meanLp) =>
+      assert(nTok == docs(id).length, s"doc $id n_tokens")
+      assert(meanLp < 0.0, s"doc $id mean must be negative (probs < 1)")
+      val want = docs(id).map(w => BigDecimal(lpOf(w)).setScale(6)).sum.toDouble
+      assert(math.abs(sumLp - want) < 1e-9, s"doc $id sum_lp vs driver reference")
+    }
+  }
+
   test("two-phase running sums (pack, mix budget) == single per-source window reference") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Hashing.tokens
