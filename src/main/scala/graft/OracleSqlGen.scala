@@ -484,6 +484,24 @@ object OracleSqlGen {
       |  floor((CAST(SUM(c_dw * CAST(lp_r AS DECIMAL(18,6))) AS DOUBLE)/SUM(c_dw))*1000000 + 0.5)/1000000 AS mean_lp_r
       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Duplicated-span ratio: 4-token sliding-window hashes (whole-text
+    * fallback below 4 tokens, mirroring GramHashes), corpus-wide span
+    * frequency, per-doc dup occurrence counts — integer math until the
+    * final r6'd ratio.
+    */
+  val docSpanDedup: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk, lower(text) AS lt FROM documents),
+      |sp AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 4
+      |  THEN [('0x'||substr(md5(array_to_string(tk[i:i+3],' ')),1,15))::BIGINT for i in range(1, len(tk)-2)]
+      |  ELSE [('0x'||substr(md5(lt),1,15))::BIGINT] END) AS h FROM t),
+      |c AS (SELECT doc_id, h, COUNT(*) AS c_sp FROM sp GROUP BY doc_id, h),
+      |dfh AS (SELECT h, CAST(SUM(c_sp) AS BIGINT) AS df FROM c GROUP BY h),
+      |d AS (SELECT c.doc_id, c.c_sp, dfh.df FROM c JOIN dfh USING (h))
+      |SELECT doc_id, CAST(SUM(c_sp) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN c_sp ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |  floor((CAST(SUM(CASE WHEN df >= 2 THEN c_sp ELSE 0 END) AS DOUBLE)/SUM(c_sp))*1000000 + 0.5)/1000000 AS dup_ratio_r
+      |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val textFingerprint: String =
     """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk, lower(text) AS lt FROM documents),
       |w AS (SELECT doc_id, unnest(CASE WHEN len(tk)>=5

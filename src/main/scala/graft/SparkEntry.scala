@@ -92,6 +92,7 @@ object SparkEntry {
     "corpus_stats"         -> q(TextOps.corpusStats),
     "text_bm25"            -> q(TextOps.textBm25(_, ordered = true)),
     "text_unigram_logprob" -> q(TextOps.textUnigramLogprob(_, ordered = true)),
+    "doc_span_dedup"       -> q(TextOps.docSpanDedup(_, ordered = true)),
     "doc_mix_budget"       -> q(TextOps.docMixBudget(_, ordered = true)),
     "doc_sample_k"         -> q(TextOps.docSampleK(_, ordered = true)),
     "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
@@ -550,6 +551,7 @@ object SparkEntry {
 
     "text_bm25"             -> OracleSqlGen.textBm25(Seq("hash", "join", "vector"), 1.2, 0.75),
     "text_unigram_logprob"  -> OracleSqlGen.textUnigramLogprob,
+    "doc_span_dedup"        -> OracleSqlGen.docSpanDedup,
     "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),

@@ -100,6 +100,8 @@ object VectorExprs {
     ("graft_simhash_grams", classOf[SimHashGrams].getName, exprs => SimHashGrams(exprs.head)),
     ("graft_gram3_hashes", classOf[GramHashes].getName,
       exprs => GramHashes(exprs.head, 3, distinct = true)),
+    ("graft_gram4_hashes", classOf[GramHashes].getName,
+      exprs => GramHashes(exprs.head, 4, distinct = false)),
     ("graft_gram5_hashes", classOf[GramHashes].getName,
       exprs => GramHashes(exprs.head, 5, distinct = false)),
     ("graft_rolling_min", classOf[RollingHashMin].getName,

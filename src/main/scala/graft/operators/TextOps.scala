@@ -585,6 +585,37 @@ object TextOps {
       .withColumn("mean_lp_r", r6(col("sum_lp") / col("n_tokens")))
   }, ordered)(col("doc_id"))
 
+  /** E24: duplicated-span ratio — the substring-level dedup SIGNAL
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", made a per-doc filter column): every 4-token sliding
+    * window is hashed (native GramHashes in codegen, whole-text
+    * fallback for short docs), a span is "duplicated" when its hash
+    * occurs ≥2 times corpus-wide (across OR within documents), and
+    * each doc reports its span count, duplicated-span count, and
+    * ratio — the "mostly boilerplate" filter signal that catches docs
+    * exact- and near-dedup both miss.
+    *
+    * Scale shape: same skeleton as E23 — explode once, combine to
+    * per-(doc, span) counts before the only span-volume shuffle; the
+    * corpus-wide span frequencies and the score join both derive from
+    * that shared stage (ReusedExchange, PlanSpec-pinned); all math is
+    * integer until the final ratio.
+    */
+  def docSpanDedup(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val c = t.documents
+      .select(col("doc_id"),
+        explode(call_function("graft_gram4_hashes", col("text"))).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c_sp"))
+    val dfh = c.groupBy(col("h")).agg(sum(col("c_sp")).as("df"))
+    c.join(dfh, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c_sp")).as("n_spans"),
+        sum(when(col("df") >= 2, col("c_sp")).otherwise(lit(0L))).as("n_dup_spans"))
+      .withColumn("dup_ratio_r",
+        r6(col("n_dup_spans").cast("double") / col("n_spans")))
+  }, ordered)(col("doc_id"))
+
   /** E14: the composed curation pipeline — quality score (E2), langid
     * agreement (E1), and exact-dedup canonical selection (C1) joined
     * into one keep/drop verdict with per-reason flags. The "a user

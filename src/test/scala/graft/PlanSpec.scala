@@ -162,7 +162,8 @@ class PlanSpec extends SparkSpec {
       "emb_kmeans_assign" -> Similarity.embKmeansAssign(tables),
       "doc_semdedup" -> Dedup.docSemdedup(tables),
       "text_bm25" -> TextOps.textBm25(tables),
-      "text_unigram_logprob" -> TextOps.textUnigramLogprob(tables))
+      "text_unigram_logprob" -> TextOps.textUnigramLogprob(tables),
+      "doc_span_dedup" -> TextOps.docSpanDedup(tables))
     for ((name, df) <- dumps) {
       // pre-AQE plan: a global sort appears as a rangepartitioning
       // exchange + Sort(global=true). Window-internal sorts are
@@ -217,27 +218,30 @@ class PlanSpec extends SparkSpec {
     assert(gens.isEmpty, s"bm25 must not explode tokens:\n$gens")
   }
 
-  test("unigram logprob: one corpus scan — vocab branch and score join share the (doc,term) stage") {
+  test("unigram logprob / span dedup: one corpus explode — frequency branch and score join share the per-(doc,key) stage") {
     import graft.operators.TextOps
     // assert the 100 TB shape: with auto-broadcast off (tiny test inputs
     // would otherwise broadcast freely, hiding the shared exchanges),
-    // the per-(doc, term) count stage must be computed ONCE and reused
-    // by the vocab branch, the total, and the score join — i.e. the raw
-    // token volume is exploded and shuffled exactly once.
+    // the per-(doc, key) count stage must be computed ONCE and reused
+    // by the frequency branch and the score join — i.e. the raw
+    // exploded volume is scanned and shuffled exactly once.
     val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = TextOps.textUnigramLogprob(tables)
-      df.collect()
-      // AQE's toString appends the pre-adaptive "Initial Plan" — slice
-      // it off; only the Final Plan is what actually ran
-      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
-        s"the (doc_id, w) count exchange must be shared, not recomputed per branch:\n${p.take(1200)}")
-      val explodes = "Generate explode".r.findAllIn(p).length
-      assert(explodes == 1, s"corpus exploded $explodes times, expected 1:\n${p.take(1200)}")
+      for ((name, df) <- Seq(
+          "text_unigram_logprob" -> TextOps.textUnigramLogprob(tables),
+          "doc_span_dedup" -> TextOps.docSpanDedup(tables))) {
+        df.collect()
+        // AQE's toString appends the pre-adaptive "Initial Plan" — slice
+        // it off; only the Final Plan is what actually ran
+        val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+        assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+          s"$name: the per-(doc, key) exchange must be shared, not recomputed per branch:\n${p.take(1200)}")
+        val explodes = "Generate explode".r.findAllIn(p).length
+        assert(explodes == 1, s"$name: corpus exploded $explodes times, expected 1:\n${p.take(1200)}")
+      }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
       prevAqe match {

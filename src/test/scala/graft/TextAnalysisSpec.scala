@@ -240,6 +240,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("span dedup: counts match a driver reference; doubled doc pushes ratios to 1.0") {
+    val rows = TextOps.docSpanDedup(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val docs = tables.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase).toMap
+    def spans(lt: String): Seq[String] = {
+      val tk = lt.split(" ", -1)
+      if (tk.length >= 4) tk.sliding(4).map(_.mkString(" ")).toSeq else Seq(lt)
+    }
+    val df = docs.values.toSeq.flatMap(spans).groupBy(identity).view.mapValues(_.size)
+    rows.foreach { case (id, n, dup, ratio) =>
+      val sp = spans(docs(id))
+      assert(n == sp.length, s"doc $id n_spans")
+      assert(dup == sp.count(s => df(s) >= 2), s"doc $id n_dup_spans")
+      assert(ratio == math.floor(dup.toDouble / n * 1e6 + 0.5) / 1e6, s"doc $id ratio")
+    }
+    assert(rows.exists(_._3 > 0), "corpus should contain some duplicated spans")
+    // a fully duplicated corpus: the same doc twice → every span dup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-span").toString
+    import spark.implicits._
+    Seq((1L, "a b c d e f"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dup = TextOps.docSpanDedup(graft.sources.Tables(spark, tmp)).collect()
+    assert(dup.forall(_.getDouble(3) == 1.0), "doubled docs must be 100% duplicated spans")
+  }
+
   test("two-phase running sums (pack, mix budget) == single per-source window reference") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Hashing.tokens
