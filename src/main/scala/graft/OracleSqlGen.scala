@@ -191,18 +191,43 @@ object OracleSqlGen {
     * expressed as a ROW_NUMBER window here — the Spark side computes
     * the identical argmin in one narrow pass over literal centers.
     */
-  private def cellCte(nCenters: Int): String = {
+  private def centCte(nCenters: Int): String = {
     val ckey = "('0x'||substr(md5('centroid:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT"
     s"""$normCte,
        |cent AS (SELECT v AS cv, n2 AS c2,
        |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
-       |  FROM n ORDER BY $ckey, vec_id LIMIT $nCenters),
+       |  FROM n ORDER BY $ckey, vec_id LIMIT $nCenters)""".stripMargin
+  }
+
+  private def cellCte(nCenters: Int): String = {
+    s"""${centCte(nCenters)},
        |d AS (SELECT n.vec_id, n.label, n.v, n.n2, cent.cell,
        |  floor((n.n2 - 2*list_reduce([n.v[i]*cent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + cent.c2)*1000000 + 0.5)/1000000 AS dist2_r
        |  FROM n, cent),
        |asg AS (SELECT vec_id, label, v, n2, cell, dist2_r FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM d)
        |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** Product-quantization codes: per (vector, subspace) the nearest
+    * sub-codebook entry (codebooks = subvector slices of the same
+    * hash-selected center vectors). Same fold/rounding parity as the
+    * cell assignment, per 8-dim slice.
+    */
+  def embPqCodes(m: Int, dsub: Int, nCodes: Int): String = {
+    val cvSlice = s"list_slice(cent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"
+    s"""WITH ${centCte(nCodes)},
+       |sub AS (SELECT n.vec_id, list_slice(n.v, j*$dsub+1, j*$dsub+$dsub) AS xv, j AS sub_j
+       |  FROM n, (SELECT unnest(range(0, $m)) AS j)),
+       |sc AS (SELECT sub.vec_id, sub.sub_j, cent.cell AS code,
+       |  floor((list_reduce([x*x for x in xv], (x,y) -> x+y)
+       |    - 2*list_reduce([xv[i]*$cvSlice[i] for i in range(1, $dsub+1)], (x,y) -> x+y)
+       |    + list_reduce([x*x for x in $cvSlice], (x,y) -> x+y))*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM sub, cent),
+       |a AS (SELECT vec_id, sub_j, code, dist2_r,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id, sub_j ORDER BY dist2_r, code) AS rn FROM sc)
+       |SELECT vec_id, sub_j, code, dist2_r FROM a WHERE rn = 1
+       |ORDER BY vec_id, sub_j""".stripMargin
   }
 
   def embKmeansAssign(nCenters: Int): String =
@@ -483,6 +508,19 @@ object OracleSqlGen {
       |  CAST(SUM(c_dw * CAST(lp_r AS DECIMAL(18,6))) AS DOUBLE) AS sum_lp,
       |  floor((CAST(SUM(c_dw * CAST(lp_r AS DECIMAL(18,6))) AS DOUBLE)/SUM(c_dw))*1000000 + 0.5)/1000000 AS mean_lp_r
       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Temperature mixture weights: r6'd share^τ decimal-normalized. */
+  def docMixWeights(temperature: Double): String =
+    s"""WITH s AS (SELECT source, CAST(SUM(len(string_split(lower(text),' '))) AS BIGINT) AS toks
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(SUM(toks) AS DOUBLE) AS tt FROM s),
+       |w AS (SELECT source, toks, CAST(toks AS DOUBLE)/tt AS share,
+       |  floor(power(CAST(toks AS DOUBLE)/tt, $temperature)*1000000 + 0.5)/1000000 AS wgt_r FROM s, tot),
+       |sw AS (SELECT CAST(SUM(CAST(wgt_r AS DECIMAL(18,6))) AS DOUBLE) AS sumw FROM w)
+       |SELECT source, toks, floor(share*1000000 + 0.5)/1000000 AS share_r, wgt_r,
+       |  floor((wgt_r/sumw)*1000000 + 0.5)/1000000 AS norm_weight_r,
+       |  floor((wgt_r/sumw/share)*1000000 + 0.5)/1000000 AS boost_r
+       |FROM w, sw ORDER BY source""".stripMargin
 
   /** Duplicated-span ratio: 4-token sliding-window hashes (whole-text
     * fallback below 4 tokens, mirroring GramHashes), corpus-wide span

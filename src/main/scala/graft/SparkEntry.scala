@@ -73,6 +73,7 @@ object SparkEntry {
     "ann_maxsim"           -> q(Similarity.annMaxsim(_)),
     "emb_norm_stats"       -> q(Similarity.embNormStats),
     "emb_kmeans_assign"    -> q(Similarity.embKmeansAssign(_, ordered = true)),
+    "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
     // §2.E text analysis
     "text_langid"          -> q(TextOps.textLangid(_, ordered = true)),
     "text_quality"         -> q(TextOps.textQuality(_, ordered = true)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "text_bm25"            -> q(TextOps.textBm25(_, ordered = true)),
     "text_unigram_logprob" -> q(TextOps.textUnigramLogprob(_, ordered = true)),
     "doc_span_dedup"       -> q(TextOps.docSpanDedup(_, ordered = true)),
+    "doc_mix_weights"      -> q(TextOps.docMixWeights(_, ordered = true)),
     "doc_mix_budget"       -> q(TextOps.docMixBudget(_, ordered = true)),
     "doc_sample_k"         -> q(TextOps.docSampleK(_, ordered = true)),
     "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
@@ -510,6 +512,7 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
     "ann_maxsim"            -> OracleSqlGen.annMaxsim(8),
     "emb_kmeans_assign"     -> OracleSqlGen.embKmeansAssign(8),
+    "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
     "doc_semdedup"          -> OracleSqlGen.docSemdedup(8, 0.45),
 
     "doc_scrub_pii" ->
@@ -552,6 +555,7 @@ object SparkEntry {
     "text_bm25"             -> OracleSqlGen.textBm25(Seq("hash", "join", "vector"), 1.2, 0.75),
     "text_unigram_logprob"  -> OracleSqlGen.textUnigramLogprob,
     "doc_span_dedup"        -> OracleSqlGen.docSpanDedup,
+    "doc_mix_weights"       -> OracleSqlGen.docMixWeights(0.7),
     "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),

@@ -295,6 +295,42 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cell"), col("dist2_r")),
     ordered)(col("vec_id"))
 
+  /** D8: product-quantization codes — each vector split into `m`
+    * subvectors, each assigned the nearest entry of its sub-codebook
+    * (subvector slices of the hash-selected center vectors — the
+    * deterministic, oracle-checkable stand-in for per-subspace-trained
+    * codebooks). PQ is the 100 TB ANN memory story: m log2(nCodes)
+    * bits per vector instead of 4·dim bytes (64-dim float → 8 bytes,
+    * 32×), with asymmetric distance computed from the codes.
+    *
+    * Scale shape: codebooks are literals; the whole computation is one
+    * narrow pass (explode ×m of per-subspace argmin structs — no
+    * shuffle, no join; PlanSpec pins zero exchanges). One output row
+    * per (vector, subspace) with the r6'd residual.
+    */
+  def embPqCodes(t: Tables, m: Int = 8, nCodes: Int = 8,
+      ordered: Boolean = false): DataFrame = maybeSort({
+    val centers = hashCenters(t, nCodes)
+    val dsub = centers.head._2.length / m
+    require(dsub * m == centers.head._2.length, s"dim must divide into $m subspaces")
+    val subs = (0 until m).map { j =>
+      val xv = slice(col("v"), j * dsub + 1, dsub)
+      val xn2 = VectorExprs.dot(xv, xv)
+      val cands = centers.map { case (code, cv, _) =>
+        val cs = cv.slice(j * dsub, (j + 1) * dsub)
+        val c2 = cs.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct(
+          r6(xn2 - lit(2.0) * VectorExprs.dot(xv, typedLit(cs)) + lit(c2)).as("dist2_r"),
+          lit(code.toLong).as("code"))
+      }
+      struct(lit(j.toLong).as("sub_j"), array_min(array(cands: _*)).as("best"))
+    }
+    withNorm(t.embeddings)
+      .select(col("vec_id"), explode(array(subs: _*)).as("s"))
+      .select(col("vec_id"), col("s.sub_j").as("sub_j"),
+        col("s.best.code").as("code"), col("s.best.dist2_r").as("dist2_r"))
+  }, ordered)(col("vec_id"), col("sub_j"))
+
   /** D3: per-label vector-norm statistics (codegen'd array math). */
   def embNormStats(t: Tables): DataFrame =
     withNorm(t.embeddings)

@@ -463,6 +463,37 @@ object TextOps {
         count_distinct(col("lang")).as("n_langs"))
       .orderBy(col("source"))
 
+  /** E25: temperature-scaled mixture weights — the mixture-DESIGN step
+    * whose output E16's budget mixing consumes: per-source natural
+    * token share, temperature-flattened weight share^τ (τ<1 upsamples
+    * rare sources — the multilingual-pretraining standard), the
+    * normalized target share, and the boost factor (target/natural —
+    * the per-source repeat rate a sampler applies).
+    *
+    * Scale shape: ONE corpus scan into a #sources-key aggregate;
+    * every subsequent step (total, weights, normalizer) runs on that
+    * tiny relation, broadcast back. Weight sums go through
+    * DECIMAL(18,6) of r6'd terms so normalization is order-independent.
+    */
+  def docMixWeights(t: Tables, temperature: Double = 0.7,
+      ordered: Boolean = false): DataFrame = maybeSort({
+    import org.apache.spark.sql.types.DecimalType
+    val s = t.documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("toks"))
+    val tot = s.agg(sum(col("toks")).cast("double").as("tt"))
+    val w = s.crossJoin(broadcast(tot))
+      .withColumn("share", col("toks").cast("double") / col("tt"))
+      .withColumn("wgt_r", r6(pow(col("share"), lit(temperature))))
+    val sw = w.agg(sum(col("wgt_r").cast(DecimalType(18, 6))).cast("double").as("sumw"))
+    w.crossJoin(broadcast(sw))
+      .select(col("source"), col("toks"),
+        r6(col("share")).as("share_r"),
+        col("wgt_r"),
+        r6(col("wgt_r") / col("sumw")).as("norm_weight_r"),
+        r6(col("wgt_r") / col("sumw") / col("share")).as("boost_r"))
+  }, ordered)(col("source"))
+
   /** E20: deterministic k-per-source sampling — exactly k documents
     * per source (all of them if a source has fewer), chosen by a
     * content-free seeded hash order, so the sample is a hard per-source

@@ -163,7 +163,9 @@ class PlanSpec extends SparkSpec {
       "doc_semdedup" -> Dedup.docSemdedup(tables),
       "text_bm25" -> TextOps.textBm25(tables),
       "text_unigram_logprob" -> TextOps.textUnigramLogprob(tables),
-      "doc_span_dedup" -> TextOps.docSpanDedup(tables))
+      "doc_span_dedup" -> TextOps.docSpanDedup(tables),
+      "doc_mix_weights" -> TextOps.docMixWeights(tables),
+      "emb_pq_codes" -> Similarity.embPqCodes(tables))
     for ((name, df) <- dumps) {
       // pre-AQE plan: a global sort appears as a rangepartitioning
       // exchange + Sort(global=true). Window-internal sorts are
@@ -202,10 +204,14 @@ class PlanSpec extends SparkSpec {
     // the D7 design claim: assignment never joins/windows the corpus —
     // centers are literals, the argmin is an array_min projection. Any
     // Exchange here means someone reintroduced a corpus-wide shuffle.
-    val sp = Similarity.embKmeansAssign(tables).queryExecution.sparkPlan
-    val shuffles = sp.collect { case s: ShuffleExchangeExec => s }
-    assert(shuffles.isEmpty,
-      s"cell assignment must be one narrow pass, found exchanges:\n$shuffles")
+    for ((name, df) <- Seq(
+        "emb_kmeans_assign" -> Similarity.embKmeansAssign(tables),
+        "emb_pq_codes" -> Similarity.embPqCodes(tables))) {
+      val sp = df.queryExecution.sparkPlan
+      val shuffles = sp.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"$name must be one narrow pass, found exchanges:\n$shuffles")
+    }
   }
 
   test("bm25: literal query terms — no token explode anywhere in the plan") {

@@ -143,4 +143,32 @@ class SimilaritySpec extends SparkSpec {
         s"vec $id: got ${out(id)}, brute-force argmin $best")
     }
   }
+
+  test("pq codes: one row per (vec, subspace); every code is the brute-force sub-argmin") {
+    import org.apache.spark.sql.functions.col
+    val (m, nCodes) = (8, 4)
+    val rows = Similarity.embPqCodes(tables, m, nCodes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val nVecs = tables.embeddings.count()
+    assert(rows.size == nVecs * m, "one code per (vector, subspace)")
+    val centers = Similarity.hashCenters(tables, nCodes)
+    val dsub = centers.head._2.length / m
+    val vecs = Similarity.withNorm(tables.embeddings)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    vecs.foreach { case (id, v) =>
+      (0 until m).foreach { j =>
+        val xv = v.slice(j * dsub, (j + 1) * dsub)
+        val best = centers.map { case (code, cv, _) =>
+          val cs = cv.slice(j * dsub, (j + 1) * dsub)
+          val xn2 = xv.foldLeft(0.0)((a, x) => a + x * x)
+          val dot = xv.zip(cs).foldLeft(0.0) { case (a, (x, c)) => a + x * c }
+          val c2 = cs.foldLeft(0.0)((a, x) => a + x * x)
+          (math.floor((xn2 - 2 * dot + c2) * 1e6 + 0.5) / 1e6, code.toLong)
+        }.min
+        assert(rows((id, j.toLong)) == ((best._2, best._1)),
+          s"vec $id sub $j: got ${rows((id, j.toLong))}, want $best")
+      }
+    }
+  }
 }

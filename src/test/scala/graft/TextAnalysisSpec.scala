@@ -267,6 +267,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dup.forall(_.getDouble(3) == 1.0), "doubled docs must be 100% duplicated spans")
   }
 
+  test("mix weights: normalized shares sum to 1; tau=1 is the identity mixture; tau<1 boosts rare sources most") {
+    val flat = TextOps.docMixWeights(tables, temperature = 0.7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(5)))
+    assert(flat.nonEmpty)
+    assert(math.abs(flat.map(_._4).sum - 1.0) < 1e-4, "norm weights must sum to ~1")
+    val (rarest, commonest) = (flat.minBy(_._2), flat.maxBy(_._2))
+    assert(rarest._5 >= commonest._5,
+      s"tau<1 must boost the rarest source at least as much: $rarest vs $commonest")
+    val id = TextOps.docMixWeights(tables, temperature = 1.0).collect()
+      .map(r => (r.getString(0), r.getDouble(5)))
+    id.foreach { case (s, boost) =>
+      assert(math.abs(boost - 1.0) < 1e-4, s"tau=1 must leave source $s unboosted, got $boost") }
+  }
+
   test("two-phase running sums (pack, mix budget) == single per-source window reference") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Hashing.tokens
