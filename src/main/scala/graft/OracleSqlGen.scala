@@ -496,18 +496,40 @@ object OracleSqlGen {
   /** Unigram-LM scoring: per-token log-probs r6-rounded then summed
     * through DECIMAL(18,6) per doc (order-independent).
     */
-  val textUnigramLogprob: String =
-    """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+  private val logprobCte: String =
+    """t AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
       |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
       |dtc AS (SELECT doc_id, w, COUNT(*) AS c_dw FROM tok GROUP BY doc_id, w),
       |vc AS (SELECT w, CAST(SUM(c_dw) AS BIGINT) AS c FROM dtc GROUP BY w),
       |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tt FROM vc),
       |lp AS (SELECT w, floor(ln(CAST(c AS DOUBLE)/tt)*1000000 + 0.5)/1000000 AS lp_r FROM vc, tot),
-      |d AS (SELECT dtc.doc_id, dtc.c_dw, lp.lp_r FROM dtc JOIN lp USING (w))
-      |SELECT doc_id, CAST(SUM(c_dw) AS BIGINT) AS n_tokens,
+      |d AS (SELECT dtc.doc_id, dtc.c_dw, lp.lp_r FROM dtc JOIN lp USING (w)),
+      |lpq AS (SELECT doc_id, CAST(SUM(c_dw) AS BIGINT) AS n_tokens,
       |  CAST(SUM(c_dw * CAST(lp_r AS DECIMAL(18,6))) AS DOUBLE) AS sum_lp,
       |  floor((CAST(SUM(c_dw * CAST(lp_r AS DECIMAL(18,6))) AS DOUBLE)/SUM(c_dw))*1000000 + 0.5)/1000000 AS mean_lp_r
-      |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |FROM d GROUP BY doc_id)""".stripMargin
+
+  val textUnigramLogprob: String =
+    s"""WITH $logprobCte
+       |SELECT doc_id, n_tokens, sum_lp, mean_lp_r FROM lpq ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style head/middle/tail bucketing by unigram-logprob
+    * percentiles; thresholds from a deterministic hash-bounded sample
+    * (exact interpolated percentile over a BOUNDED set).
+    */
+  def docQualityBucket(sampleK: Int): String =
+    s"""WITH $logprobCte,
+       |sk AS (SELECT doc_id, mean_lp_r FROM lpq
+       |  ORDER BY ('0x'||substr(md5('qb:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT, doc_id
+       |  LIMIT $sampleK),
+       |th AS (SELECT
+       |  floor(quantile_cont(mean_lp_r, 0.333333)*10000 + 0.5)/10000 AS p33,
+       |  floor(quantile_cont(mean_lp_r, 0.666667)*10000 + 0.5)/10000 AS p67 FROM sk)
+       |SELECT doc_id, mean_lp_r,
+       |  CASE WHEN mean_lp_r >= p67 THEN 'head'
+       |       WHEN mean_lp_r >= p33 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM lpq, th ORDER BY doc_id""".stripMargin
 
   /** Temperature mixture weights: r6'd share^τ decimal-normalized. */
   def docMixWeights(temperature: Double): String =

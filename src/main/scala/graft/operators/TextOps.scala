@@ -647,6 +647,37 @@ object TextOps {
         r6(col("n_dup_spans").cast("double") / col("n_spans")))
   }, ordered)(col("doc_id"))
 
+  /** E26: CCNet-style quality bucketing — head/middle/tail thirds by
+    * unigram-LM mean log-prob (E23), the corpus-relative grading CCNet
+    * uses to keep "head" web text: thresholds are the p33/p67 of the
+    * score distribution, so the buckets adapt to the corpus rather
+    * than to a hand-tuned constant.
+    *
+    * Scale shape: exact interpolated percentiles buffer every value of
+    * the group, which cannot run over an unbounded corpus — so the
+    * thresholds come from a DETERMINISTIC hash-bounded sample
+    * (TakeOrdered smallest `sampleK` seeded doc hashes: bounded memory,
+    * reproducible, oracle-checkable — the same trick as E20's budget
+    * sampling), then broadcast back over the full per-doc score
+    * relation. The E23 stages feeding both branches dedupe via
+    * exchange reuse.
+    */
+  def docQualityBucket(t: Tables, sampleK: Int = 10000,
+      ordered: Boolean = false): DataFrame = maybeSort({
+    val lpq = textUnigramLogprob(t).select(col("doc_id"), col("mean_lp_r"))
+    val th = lpq
+      .withColumn("qk", md5_60(concat(lit("qb:"), col("doc_id").cast("string"))))
+      .orderBy(col("qk"), col("doc_id")).limit(sampleK)
+      .agg(
+        r4(expr("percentile(mean_lp_r, 0.333333)")).as("p33"),
+        r4(expr("percentile(mean_lp_r, 0.666667)")).as("p67"))
+    lpq.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("mean_lp_r"),
+        when(col("mean_lp_r") >= col("p67"), "head")
+          .when(col("mean_lp_r") >= col("p33"), "middle")
+          .otherwise("tail").as("bucket"))
+  }, ordered)(col("doc_id"))
+
   /** E14: the composed curation pipeline — quality score (E2), langid
     * agreement (E1), and exact-dedup canonical selection (C1) joined
     * into one keep/drop verdict with per-reason flags. The "a user

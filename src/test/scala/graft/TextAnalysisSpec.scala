@@ -281,6 +281,25 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(boost - 1.0) < 1e-4, s"tau=1 must leave source $s unboosted, got $boost") }
   }
 
+  test("quality bucket: thirds are ordered and roughly balanced; scores never interleave across buckets") {
+    val rows = TextOps.docQualityBucket(tables).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.length == tables.documents.count())
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(Set("head", "middle", "tail").subsetOf(byBucket.keySet),
+      s"all three buckets expected, got ${byBucket.keySet}")
+    // corpus-relative thirds: no bucket should swallow the corpus
+    byBucket.foreach { case (b, vs) =>
+      assert(vs.length < rows.length * 0.6, s"bucket $b has ${vs.length}/${rows.length}") }
+    // ordering law: head ≥ middle ≥ tail pointwise across bucket boundaries
+    assert(byBucket("head").min >= byBucket("middle").max ||
+      byBucket("head").min >= byBucket("middle").min, "head floor vs middle")
+    assert(byBucket("middle").min >= byBucket("tail").max,
+      s"middle floor ${byBucket("middle").min} must be >= tail ceiling ${byBucket("tail").max}")
+    assert(byBucket("head").min >= byBucket("middle").max,
+      s"head floor ${byBucket("head").min} must be >= middle ceiling ${byBucket("middle").max}")
+  }
+
   test("two-phase running sums (pack, mix budget) == single per-source window reference") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Hashing.tokens
