@@ -230,6 +230,37 @@ object OracleSqlGen {
        |ORDER BY vec_id, sub_j""".stripMargin
   }
 
+  /** PQ asymmetric-distance top-k: the query-side per-(subspace, code)
+    * distances are the SAME expression as the corpus assignment (sc),
+    * filtered to the query ids; candidate distance = decimal sum of m
+    * code lookups.
+    */
+  def annPqAdc(nQueries: Int, k: Int, m: Int, dsub: Int, nCodes: Int): String = {
+    val cvSlice = s"list_slice(cent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"
+    s"""WITH ${centCte(nCodes)},
+       |sub AS (SELECT n.vec_id, list_slice(n.v, j*$dsub+1, j*$dsub+$dsub) AS xv, j AS sub_j
+       |  FROM n, (SELECT unnest(range(0, $m)) AS j)),
+       |sc AS (SELECT sub.vec_id, sub.sub_j, cent.cell AS code,
+       |  floor((list_reduce([x*x for x in xv], (x,y) -> x+y)
+       |    - 2*list_reduce([xv[i]*$cvSlice[i] for i in range(1, $dsub+1)], (x,y) -> x+y)
+       |    + list_reduce([x*x for x in $cvSlice], (x,y) -> x+y))*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM sub, cent),
+       |codes AS (SELECT vec_id, sub_j, code FROM
+       |  (SELECT vec_id, sub_j, code, dist2_r,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub_j ORDER BY dist2_r, code) AS rn FROM sc)
+       |  WHERE rn = 1),
+       |qd AS (SELECT vec_id AS q_id, sub_j, code, dist2_r AS d_r FROM sc WHERE vec_id < $nQueries),
+       |s AS (SELECT qd.q_id, codes.vec_id,
+       |  CAST(SUM(CAST(qd.d_r AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist_r
+       |  FROM codes JOIN qd ON codes.sub_j = qd.sub_j AND codes.code = qd.code
+       |    AND qd.q_id <> codes.vec_id
+       |  GROUP BY qd.q_id, codes.vec_id),
+       |r AS (SELECT q_id, vec_id, adc_dist_r,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist_r, vec_id) AS rank FROM s)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist_r FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   def embKmeansAssign(nCenters: Int): String =
     s"""WITH ${cellCte(nCenters)}
        |SELECT vec_id, label, cell, dist2_r FROM asg ORDER BY vec_id""".stripMargin

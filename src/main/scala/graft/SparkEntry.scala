@@ -74,6 +74,7 @@ object SparkEntry {
     "emb_norm_stats"       -> q(Similarity.embNormStats),
     "emb_kmeans_assign"    -> q(Similarity.embKmeansAssign(_, ordered = true)),
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
+    "ann_pq_adc"           -> q(Similarity.annPqAdc(_)),
     // §2.E text analysis
     "text_langid"          -> q(TextOps.textLangid(_, ordered = true)),
     "text_quality"         -> q(TextOps.textQuality(_, ordered = true)),
@@ -514,6 +515,7 @@ object SparkEntry {
     "ann_maxsim"            -> OracleSqlGen.annMaxsim(8),
     "emb_kmeans_assign"     -> OracleSqlGen.embKmeansAssign(8),
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
+    "ann_pq_adc"            -> OracleSqlGen.annPqAdc(8, 5, 8, 8, 8),
     "doc_semdedup"          -> OracleSqlGen.docSemdedup(8, 0.45),
 
     "doc_scrub_pii" ->

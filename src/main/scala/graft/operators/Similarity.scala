@@ -331,6 +331,60 @@ object Similarity {
         col("s.best.code").as("code"), col("s.best.dist2_r").as("dist2_r"))
   }, ordered)(col("vec_id"), col("sub_j"))
 
+  /** D9: PQ asymmetric-distance ANN (ADC) — approximate top-k where
+    * candidate distances come from the D8 CODES, not the raw vectors:
+    * each query precomputes its per-(subspace, code) distance table
+    * against the literal codebooks, and a candidate's distance is the
+    * sum of m table lookups. This is why PQ exists at 100 TB — the
+    * scoring pass reads m bytes per vector instead of 4·dim, and the
+    * raw embeddings never leave storage.
+    *
+    * Scale shape: the code relation streams through a broadcast join
+    * against the (nQueries × m × nCodes)-row distance table; the
+    * per-(query, vector) sum partial-aggregates in place (a vector's m
+    * code rows are colocated by construction) before the only shuffle;
+    * top-k is the two-stage exact pattern. Per-cell distances are
+    * r6'd and decimal-summed — order-independent, oracle-portable.
+    */
+  def annPqAdc(t: Tables, nQueries: Int = 8, k: Int = 5,
+      m: Int = 8, nCodes: Int = 8): DataFrame = {
+    val centers = hashCenters(t, nCodes)
+    val dsub = centers.head._2.length / m
+    val codes = embPqCodes(t, m, nCodes).select(col("vec_id"), col("sub_j"), col("code"))
+    val perJ = (0 until m).map { j =>
+      val xv = slice(col("v"), j * dsub + 1, dsub)
+      val xn2 = VectorExprs.dot(xv, xv)
+      val percode = centers.map { case (code, cv, _) =>
+        val cs = cv.slice(j * dsub, (j + 1) * dsub)
+        val c2 = cs.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct(lit(code.toLong).as("code"),
+          r6(xn2 - lit(2.0) * VectorExprs.dot(xv, typedLit(cs)) + lit(c2)).as("d_r"))
+      }
+      struct(lit(j.toLong).as("sub_j"), array(percode: _*).as("cs"))
+    }
+    val adc = withNorm(t.embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), explode(array(perJ: _*)).as("s"))
+      .select(col("q_id"), col("s.sub_j").as("qsub_j"), explode(col("s.cs")).as("c"))
+      .select(col("q_id"), col("qsub_j"), col("c.code").as("qcode"), col("c.d_r").as("d_r"))
+    val scored = codes.join(broadcast(adc),
+        col("sub_j") === col("qsub_j") && col("code") === col("qcode") &&
+          col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d_r").cast(DecimalType(18, 6))).cast("double").as("adc_dist_r"))
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("adc_dist_r").asc, col("vec_id").asc)
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist_r").asc, col("vec_id").asc)
+    scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** D3: per-label vector-norm statistics (codegen'd array math). */
   def embNormStats(t: Tables): DataFrame =
     withNorm(t.embeddings)

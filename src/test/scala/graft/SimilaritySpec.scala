@@ -171,4 +171,67 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("pq adc: distance == decimal sum of the query's table entries at the candidate's codes; lossless regime == exact L2") {
+    val (m, nCodes, k) = (8, 4, 3)
+    val adc = Similarity.annPqAdc(tables, k = k, m = m, nCodes = nCodes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(adc.nonEmpty)
+    adc.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length), s"query $q ranks dense")
+      assert(!rs.exists(_._3 == q), s"query $q must not match itself")
+    }
+    // driver recompute of one (query, candidate) ADC distance from codes
+    val codes = Similarity.embPqCodes(tables, m, nCodes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val (q, _, cand, got) = adc.head
+    val centers = Similarity.hashCenters(tables, nCodes)
+    val dsub = centers.head._2.length / m
+    val qv = Similarity.withNorm(tables.embeddings)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === q)
+      .select(org.apache.spark.sql.functions.col("v")).collect().head.getSeq[Double](0)
+    val want = (0 until m).map { j =>
+      val code = codes((cand, j.toLong))._1
+      val cs = centers(code.toInt)._2.slice(j * dsub, (j + 1) * dsub)
+      val xv = qv.slice(j * dsub, (j + 1) * dsub)
+      val xn2 = xv.foldLeft(0.0)((a, x) => a + x * x)
+      val dot = xv.zip(cs).foldLeft(0.0) { case (a, (x, c)) => a + x * c }
+      val c2 = cs.foldLeft(0.0)((a, x) => a + x * x)
+      BigDecimal(math.floor((xn2 - 2 * dot + c2) * 1e6 + 0.5) / 1e6).setScale(6)
+    }.sum.toDouble
+    assert(math.abs(got - want) < 1e-9, s"q=$q cand=$cand adc=$got want=$want")
+    // lossless regime: when every prototype lands in the codebook,
+    // quantization has zero residual and the ADC ranking must equal
+    // the exact L2 ranking. The codebook is the 4 lowest-hash vec_ids,
+    // so assign prototype w to the w-th hash winner — each prototype
+    // is then a codeword. (On THIS near-isotropic random corpus recall
+    // is legitimately ~0 — same finding as the sign-LSH scaladoc in
+    // Dedup — so the meaningful ranking law lives here.)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adc").toString
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val winners = (0L until 20L).sortBy(id => (h60(s"centroid:$id"), id)).take(4)
+    val protoOf = (0L until 20L).map { id =>
+      id -> (winners.indexOf(id) match { case -1 => (id % 4).toInt; case w => w })
+    }.toMap
+    val protos = (0 until 4).map(p => Array.tabulate(64)(i => (if (i % 4 == p) 1.0f else 0.1f * p)))
+    (0L until 20L).map(id => (id, protos(protoOf(id)).toSeq, protoOf(id)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val tt = graft.sources.Tables(spark, tmp)
+    val lossless = Similarity.annPqAdc(tt, nQueries = 4, k = 3, m = m, nCodes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs2 = (0L until 20L).map(id => id -> protos(protoOf(id)).map(_.toDouble)).toMap
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    lossless.groupBy(_._1).foreach { case (qq, rs) =>
+      val exact = vecs2.toSeq.filter(_._1 != qq)
+        .sortBy { case (id, v) => (l2(vecs2(qq), v), id) }.take(3).map(_._1)
+      assert(rs.sortBy(_._2).map(_._3).toSeq == exact,
+        s"query $qq: lossless ADC ranking must equal exact L2 ranking")
+    }
+  }
 }
