@@ -43,6 +43,7 @@ object SparkEntry {
     "q_histogram"          -> q(Analytics.qHistogram),
     "q_percentiles"        -> q(Analytics.qPercentiles),
     "q_approx_distinct"    -> q(Analytics.qApproxDistinct), // rows-only: HLL sketch, no SQL oracle
+    "q_heavy_hitters_cms"  -> q(Analytics.qHeavyHittersCms(_)), // rows-only: CMS sketch, no SQL oracle
     "q_cube"               -> q(Analytics.qCube),
     "q_distinct_skewsafe"  -> q(Analytics.qDistinctSkewsafe),
     "q_large_volume"       -> q(Analytics.qLargeVolume),

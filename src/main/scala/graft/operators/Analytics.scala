@@ -362,5 +362,35 @@ object Analytics {
       .crossJoin(b1.except(b2).agg(count(lit(1)).as("n_only_first")))
   }
 
+  /** B21: count-min heavy hitters — the exact top-k keys side-by-side
+    * with their count-min sketch estimates (functions/CountMin.scala):
+    * the CMS analog of B12's HLL. At 100 TB the sketch pass is the
+    * one that matters — a constant 16 KiB buffer per partition merged
+    * map-side (no keyspace shuffle) answers "how hot is key X" for ANY
+    * key; the exact top-k here is the verification side of the pair
+    * (its per-key shuffle is what the sketch avoids). No SQL oracle
+    * (sketch geometry isn't DuckDB-expressible) — min-over-rows ≥
+    * exact, per-row mass, and planted-heavy-hitter laws in SketchSpec.
+    */
+  def qHeavyHittersCms(t: Tables, k: Int = 20): DataFrame = {
+    import graft.functions.{CountMin, CountMinAgg}
+    val spark = t.spark
+    import spark.implicits._
+    val key = $("user_id").cast("string")
+    val sketch = t.events
+      .select(CountMin.positions(key).as("pos"))
+      .as[Array[Long]]
+      .select(new CountMinAgg(CountMin.D, CountMin.W).toColumn)
+      .toDF("sketch")
+    val topk = t.events
+      .groupBy($("user_id")).agg(count(lit(1)).as("n_events"))
+      .orderBy($("n_events").desc, $("user_id").asc).limit(k) // TakeOrdered
+    topk.crossJoin(broadcast(sketch))
+      .select($("user_id"), $("n_events"),
+        CountMin.estimate($("sketch"), $("user_id").cast("string")).as("cms_est"))
+      .withColumn("overcount", $("cms_est") - $("n_events"))
+      .orderBy($("n_events").desc, $("user_id").asc)
+  }
+
   private def $(name: String): Column = col(name)
 }

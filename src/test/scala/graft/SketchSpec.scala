@@ -19,4 +19,34 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(ap - p).toDouble / p < 0.06, s"$k parts: $ap vs $p")
     }
   }
+
+  test("CMS heavy hitters: estimate never undercounts, overcount within the 2N/w bound, planted hitter surfaces") {
+    import graft.functions.CountMin
+    val rows = Analytics.qHeavyHittersCms(tables, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    val n = tables.events.count()
+    rows.foreach { case (id, exact, est, over) =>
+      assert(est >= exact, s"user $id: CMS must never undercount ($est < $exact)")
+      assert(over == est - exact, s"user $id overcount arithmetic")
+      // expected collisions N/w per counter; min-of-4 makes 2N/w a loose
+      // deterministic ceiling on this fixed corpus
+      assert(over <= 2 * n / CountMin.W + 1, s"user $id overcount $over vs N=$n w=${CountMin.W}")
+    }
+    assert(rows.map(_._2).sorted.reverse.toSeq == rows.map(_._2).toSeq, "descending by exact count")
+    // planted heavy hitter: one key owning half a synthetic corpus
+    // must surface at rank 1 with an estimate >= its true count
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    import spark.implicits._
+    val hot = (1L to 500L).map(i => (i, 777L)) ++ (1L to 500L).map(i => (500L + i, i % 97))
+    // ts as raw int64 nanos — Tables.events reads the column with an
+    // explicit LongType schema (TIMESTAMP(NANOS) parquet convention)
+    hot.map { case (eid, uid) => (eid, 1704067200000000000L + eid, uid, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val planted = Analytics.qHeavyHittersCms(graft.sources.Tables(spark, tmp), k = 3).collect()
+    assert(planted.head.getLong(0) == 777L && planted.head.getLong(1) == 500L,
+      s"planted hitter must lead: ${planted.head}")
+    assert(planted.head.getLong(2) >= 500L, "estimate >= true count")
+  }
 }
