@@ -49,6 +49,26 @@ object EventStreamJob {
     * batch sessionization (EventOps.evSessionize): sessions close when
     * the watermark passes start + gap.
     */
+  /** A28: streaming count-min sketch — the B21 frequency summary kept
+    * live over the event stream. A global typed aggregation in update
+    * mode: each micro-batch's positions merge into the one d×w buffer
+    * (CountMinAgg.merge is associative + commutative, so partial
+    * buffers combine map-side within a batch and the state store holds
+    * ONE 16 KiB sketch — per-key frequency questions over an unbounded
+    * streaming keyspace with constant state, where exact streaming
+    * top-k state would grow with the keyspace).
+    */
+  def streamCountMin(events: DataFrame): DataFrame = {
+    import graft.functions.{CountMin, CountMinAgg}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(CountMin.positions(col("user_id").cast("string")).as("pos"))
+      .as[Array[Long]]
+      .select(new CountMinAgg(CountMin.D, CountMin.W).toColumn)
+      .toDF("sketch")
+  }
+
   def streamSessionWindows(events: DataFrame, gap: String = "1 hour",
       watermarkDelay: String = "30 minutes"): DataFrame =
     events

@@ -269,6 +269,42 @@ class StreamingSpec extends SparkSpec {
         s"stream≠batch: only-stream=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
     } finally q.stop()
   }
+
+  test("streaming count-min: micro-batched sketch == batch sketch; estimates never undercount") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamCountMin(input.toDS().toDF())
+    val q = out.writeStream.outputMode("complete").format("memory").queryName("cms_stream").start()
+    try {
+      eventsData.grouped((eventsData.size + 2) / 3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("cms_stream").collect().head.getSeq[Long](0)
+      // the sketch merge is exact integer math, so micro-batching must
+      // be invisible: the streamed sketch equals the one-shot batch
+      // sketch over the same rows, cell for cell
+      val batch = EventStreamJob.streamCountMin(eventsData.toDF())
+        .collect().head.getSeq[Long](0)
+      assert(streamed == batch, "streamed sketch must equal the batch sketch cell-for-cell")
+      // never-undercount law via driver-side bucket replication
+      import graft.functions.{CountMin, Hashing}
+      def h60(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+      }
+      val exact = eventsData.groupBy(_.user_id).view.mapValues(_.size.toLong)
+      exact.foreach { case (uid, n) =>
+        val base = math.floorMod(h60(uid.toString), Hashing.M30)
+        val est = (0 until CountMin.D).map { r =>
+          val (a, b) = Hashing.Perms(r)
+          val pos = math.floorMod(math.floorMod(a * base + b, Hashing.P), CountMin.W.toLong)
+          streamed((r * CountMin.W + pos).toInt)
+        }.min
+        assert(est >= n, s"user $uid: sketch estimate $est < exact $n")
+      }
+    } finally q.stop()
+  }
 }
 
 /** Executor-reachable capture for the per-partition JSON sink test. */
