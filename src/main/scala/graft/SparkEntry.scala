@@ -111,6 +111,7 @@ object SparkEntry {
     "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract(_, ordered = true)), // rows-only: stubbed decode, no SQL oracle
     "mm_resize"            -> q(Multimodal.mmResize(_, ordered = true)),
     "mm_frame_sample"      -> q(Multimodal.mmFrameSample(_, ordered = true)),
+    "mm_exact_dedup"       -> q(Multimodal.mmExactDedup(_, ordered = true)),
   )
 
   /** DuckDB-runnable oracle for each key in `queries` (driver gate).
@@ -667,5 +668,10 @@ object SparkEntry {
         |        unnest([i for i in range(0, length(text) // 64, 4)]) AS frame_idx
         |      FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_exact_dedup" ->
+      """SELECT md5(text) AS checksum, MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
   )
 }

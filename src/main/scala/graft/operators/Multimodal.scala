@@ -26,6 +26,20 @@ object Multimodal {
         lower(hex(substring(col("payload"), 1, 8))).as("prefix_hex")),
     ordered)(col("doc_id"))
 
+  /** F5: exact asset dedup by content checksum — the first pass every
+    * multimodal corpus runs (identical images/audio re-crawled under
+    * different ids): group by the payload's md5, keep the lowest id,
+    * count copies. One narrow hash pass + one checksum-keyed shuffle
+    * (the md5 rides the map side; payload bytes never shuffle).
+    */
+  def mmExactDedup(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
+    t.documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), md5(col("payload")).as("checksum"))
+      .groupBy(col("checksum"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+    ordered)(col("keep_id"))
+
   final case class MmFeature(doc_id: Long, width: Int, height: Int,
       channels: Int, mean_byte: Double, n_bytes: Int)
 

@@ -63,6 +63,25 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** IVF storage layout (SURVEY §5 "IVF ANN partitioning" made real):
+    * embeddings written as `cell=N/` parquet partitions keyed by the
+    * deterministic quantizer cell (operators/Similarity.withCell).
+    * A query probing nProbe cells reads nProbe/nCells of the data —
+    * the pruning happens at PLANNING time (PartitionFilters), before
+    * a single byte of the non-probed cells is opened. This is the
+    * layout that turns D4/D9's "probe a few cells" from a filter into
+    * actual I/O savings at 100 TB.
+    */
+  def writeEmbeddingsByCell(t: Tables, path: String, nCells: Int = 8): Unit =
+    graft.operators.Similarity
+      .withCell(graft.operators.Similarity.withNorm(t.embeddings),
+        graft.operators.Similarity.hashCenters(t, nCells))
+      .select(col("vec_id"), col("embedding"), col("label"), col("cell"))
+      .repartition(col("cell")) // one task-group per cell dir, no tiny files
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(path)
+
   /** Bits per dimension of the z-value (16 → 32-bit z, plenty for
     * file-level clustering).
     */

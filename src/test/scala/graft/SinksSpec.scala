@@ -23,6 +23,24 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan.take(800))
   }
 
+  test("cell-partitioned embeddings: probe reads prune non-probed cells at planning time") {
+    val dir = Files.createTempDirectory("emb_cells").toFile
+    Sinks.writeEmbeddingsByCell(tables, dir.getAbsolutePath, nCells = 4)
+    val cells = dir.listFiles().filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cells.length > 1, s"expected multiple cell partitions, got ${cells.toSeq}")
+    // a 2-cell probe must (a) return exactly the vectors assigned to
+    // those cells and (b) prune the other cell directories at the scan
+    val probe = spark.read.parquet(dir.getAbsolutePath)
+      .filter(col("cell").isin(0, 1))
+    val assigned = graft.operators.Similarity.embKmeansAssign(tables, nCenters = 4)
+      .filter(col("cell") < 2).count()
+    assert(probe.count() == assigned, "probe must return exactly the 2 cells' vectors")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(800))
+    // every vector lands in exactly one cell dir
+    assert(spark.read.parquet(dir.getAbsolutePath).count() == tables.embeddings.count())
+  }
+
   test("bucketed table join on the bucket key avoids the shuffle") {
     // the catalog is per-JVM (in-memory) but the warehouse dir persists:
     // clear any orphaned location from a previous test run
