@@ -27,4 +27,20 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) == nchars(r.getLong(0))))
   }
+
+  test("asset dedup: copy counts conserve the corpus; keep_id is the group minimum") {
+    val rows = Multimodal.mmExactDedup(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == tables.documents.count(), "copies must sum to the corpus")
+    val byChecksum = tables.documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text").cast("binary")).as("c"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { case (c, keep, n) =>
+      assert(keep == byChecksum(c).min, s"checksum $c keep_id")
+      assert(n == byChecksum(c).length, s"checksum $c copies")
+    }
+  }
 }

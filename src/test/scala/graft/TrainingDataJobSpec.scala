@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end invariants of the composed pipeline: the materialized
+  * corpus is exactly the intersection of the stage verdicts, labels
+  * agree with the standalone operators, and the written layout prunes.
+  */
+class TrainingDataJobSpec extends SparkSpec {
+
+  test("materialized corpus == curate-kept ∩ cluster-canonical, with operator-consistent labels") {
+    val out = TrainingDataJob.materialize(tables, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    val kept = graft.operators.TextOps.docCurate(tables)
+      .filter(col("keep") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val canonical = graft.operators.Dedup.docDedupClusters(tables)
+      .filter(col("is_canonical") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == (kept intersect canonical),
+      "output docs must be exactly the stage-verdict intersection")
+    // split labels match the standalone E21 assignment
+    val split = graft.operators.TextOps.docSplit(tables).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    out.foreach { case (id, s, _, _) => assert(s == split(id), s"doc $id split") }
+    // positions are dense 1..n within each shard
+    out.groupBy(_._3).foreach { case (shard, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length).toSeq, s"shard $shard pos density")
+    }
+  }
+
+  test("written layout: split=/shard= directories, pruning scan, row conservation") {
+    val dir = Files.createTempDirectory("graft-tdj").toFile
+    TrainingDataJob.run(tables, dir.getAbsolutePath, nShards = 4)
+    val splits = dir.listFiles().filter(_.getName.startsWith("split=")).map(_.getName)
+    assert(splits.contains("split=train"), s"expected a train partition, got ${splits.toSeq}")
+    val all = spark.read.parquet(dir.getAbsolutePath)
+    assert(all.count() == TrainingDataJob.materialize(tables, nShards = 4).count())
+    val probe = all.filter(col("split") === "train" && col("shard") === 0)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:"), plan.take(600))
+    assert(probe.count() > 0)
+  }
+}
