@@ -83,18 +83,32 @@ object OracleSqlGen {
   /** Benchmark decontamination: distinct shared-shingle count per
     * training doc vs the benchmark slice's shingle set.
     */
-  def docDecontaminate(mod: Int, minShared: Int): String =
-    s"""WITH $gramCtes,
+  private def decontCte(mod: Int, minShared: Int): String =
+    s"""$gramCtes,
        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % $mod = 0),
        |tr AS (SELECT doc_id, COUNT(*) AS n_grams FROM g WHERE doc_id % $mod <> 0 GROUP BY doc_id),
        |sh AS (SELECT g.doc_id, COUNT(*) AS n_shared
-       |  FROM g JOIN bg USING (gram) WHERE g.doc_id % $mod <> 0 GROUP BY g.doc_id)
-       |SELECT tr.doc_id,
+       |  FROM g JOIN bg USING (gram) WHERE g.doc_id % $mod <> 0 GROUP BY g.doc_id),
+       |vr AS (SELECT tr.doc_id,
        |  COALESCE(sh.n_shared, 0) AS n_shared,
        |  tr.n_grams,
        |  CAST(COALESCE(sh.n_shared, 0) >= $minShared AS INTEGER) AS contaminated
-       |FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id
-       |ORDER BY tr.doc_id""".stripMargin
+       |FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id)""".stripMargin
+
+  def docDecontaminate(mod: Int, minShared: Int): String =
+    s"""WITH ${decontCte(mod, minShared)}
+       |SELECT doc_id, n_shared, n_grams, contaminated FROM vr
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-source contamination report off the C9 verdict relation. */
+  def docContaminationStats(mod: Int, minShared: Int): String =
+    s"""WITH ${decontCte(mod, minShared)}
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(vr.contaminated) AS BIGINT) AS n_contaminated,
+       |  floor((CAST(SUM(vr.contaminated) AS DOUBLE)/COUNT(*))*1000000 + 0.5)/1000000 AS rate_r,
+       |  CAST(SUM(vr.n_shared) AS BIGINT) AS total_shared
+       |FROM vr JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   def docIncrementalDedup(mod: Int): String =
     s"""WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
@@ -527,10 +541,26 @@ object OracleSqlGen {
   /** Unigram-LM scoring: per-token log-probs r6-rounded then summed
     * through DECIMAL(18,6) per doc (order-independent).
     */
-  private val logprobCte: String =
+  private val dtcCte: String =
     """t AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
       |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
-      |dtc AS (SELECT doc_id, w, COUNT(*) AS c_dw FROM tok GROUP BY doc_id, w),
+      |dtc AS (SELECT doc_id, w, COUNT(*) AS c_dw FROM tok GROUP BY doc_id, w)""".stripMargin
+
+  /** Per-doc top-k TF-IDF keywords off the shared (doc, term) stage. */
+  def textKeywords(k: Int): String =
+    s"""WITH $dtcCte,
+       |dfr AS (SELECT w, COUNT(*) AS df FROM dtc GROUP BY w),
+       |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+       |s AS (SELECT dtc.doc_id, dtc.w AS term,
+       |  floor((dtc.c_dw * ln(nd.nd/dfr.df))*1000000 + 0.5)/1000000 AS tfidf_r
+       |  FROM dtc JOIN dfr USING (w), nd),
+       |r AS (SELECT doc_id, term, tfidf_r,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, term) AS rank FROM s)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf_r FROM r WHERE rank <= $k
+       |ORDER BY doc_id, rank""".stripMargin
+
+  private val logprobCte: String =
+    s"""$dtcCte,
       |vc AS (SELECT w, CAST(SUM(c_dw) AS BIGINT) AS c FROM dtc GROUP BY w),
       |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tt FROM vc),
       |lp AS (SELECT w, floor(ln(CAST(c AS DOUBLE)/tt)*1000000 + 0.5)/1000000 AS lp_r FROM vc, tot),

@@ -98,6 +98,8 @@ object SparkEntry {
     "doc_span_dedup"       -> q(TextOps.docSpanDedup(_, ordered = true)),
     "doc_mix_weights"      -> q(TextOps.docMixWeights(_, ordered = true)),
     "doc_quality_bucket"   -> q(TextOps.docQualityBucket(_, ordered = true)),
+    "text_keywords"        -> q(TextOps.textKeywords(_, ordered = true)),
+    "doc_contamination_stats" -> q(Dedup.docContaminationStats(_)),
     "doc_mix_budget"       -> q(TextOps.docMixBudget(_, ordered = true)),
     "doc_sample_k"         -> q(TextOps.docSampleK(_, ordered = true)),
     "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
@@ -562,6 +564,8 @@ object SparkEntry {
     "doc_span_dedup"        -> OracleSqlGen.docSpanDedup,
     "doc_mix_weights"       -> OracleSqlGen.docMixWeights(0.7),
     "doc_quality_bucket"    -> OracleSqlGen.docQualityBucket(10000),
+    "text_keywords"         -> OracleSqlGen.textKeywords(3),
+    "doc_contamination_stats" -> OracleSqlGen.docContaminationStats(10, 1),
     "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),

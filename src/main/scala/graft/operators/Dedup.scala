@@ -318,6 +318,25 @@ object Dedup {
       ordered)(col("doc_id"))
   }
 
+  /** C12: per-source contamination report — the C9 verdict relation
+    * rolled up to what a dataset card actually publishes: per source,
+    * how many training docs share shingles with the benchmark split
+    * and at what rate. One #sources-key aggregate over C9's output
+    * (whose own scale shape — broadcast benchmark shingles, training
+    * side never re-shuffled — is inherited unchanged).
+    */
+  def docContaminationStats(t: Tables, mod: Int = 10, minShared: Int = 1): DataFrame =
+    t.documents.select(col("doc_id"), col("source"))
+      .join(docDecontaminate(t, mod, minShared), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("contaminated").cast("long")).as("n_contaminated"),
+        r6(sum(col("contaminated").cast("long")).cast("double") / count(lit(1)))
+          .as("rate_r"),
+        sum(col("n_shared")).as("total_shared"))
+      .orderBy(col("source"))
+
   /** C10: fingerprint-overlap near-dup pairs — the mod-p sampled
     * (0-mod-p) fingerprinting of Broder/Manber: a document's
     * fingerprints are its shingle hashes ≡ 0 (mod `mod`), so two docs

@@ -647,6 +647,34 @@ object TextOps {
         r6(col("n_dup_spans").cast("double") / col("n_spans")))
   }, ordered)(col("doc_id"))
 
+  /** E27: per-doc top-k TF-IDF keywords — the keyword-extraction /
+    * topic-tagging step (metadata enrichment before indexing or
+    * cluster labeling): tf from the shared (doc, term) count stage,
+    * idf = ln(N/df) from the document-frequency relation derived off
+    * the SAME stage, top-k per doc by rounded score.
+    *
+    * Scale shape: E23's skeleton — one corpus explode combined to
+    * (doc, term) counts; df derives from that stage; the ranking
+    * window partitions by doc_id (corpus-cardinality key, per-group
+    * rows bounded by a doc's distinct terms — never a low-cardinality
+    * window).
+    */
+  def textKeywords(t: Tables, k: Int = 3, ordered: Boolean = false): DataFrame = maybeSort({
+    val dtc = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c_dw"))
+    val dfr = dtc.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nd = t.documents.agg(count(lit(1)).cast("double").as("nd"))
+    val rankW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_r").desc, col("term").asc)
+    dtc.join(dfr, "w").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("w").as("term"),
+        r6(col("c_dw") * log(col("nd") / col("df"))).as("tfidf_r"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf_r"))
+  }, ordered)(col("doc_id"), col("rank"))
+
   /** E26: CCNet-style quality bucketing — head/middle/tail thirds by
     * unigram-LM mean log-prob (E23), the corpus-relative grading CCNet
     * uses to keep "head" web text: thresholds are the p33/p67 of the

@@ -161,6 +161,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contamination stats: per-source rollup matches the per-doc verdict relation") {
+    import org.apache.spark.sql.functions.col
+    val stats = Dedup.docContaminationStats(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val verdicts = Dedup.docDecontaminate(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val srcOf = tables.documents.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = verdicts.groupBy(v => srcOf(v._1))
+    assert(stats.map(_._1).toSet == bySrc.keySet)
+    stats.foreach { case (src, nDocs, nCont, rate, shared) =>
+      val vs = bySrc(src)
+      assert(nDocs == vs.length, s"$src n_docs")
+      assert(nCont == vs.count(_._3 == 1), s"$src n_contaminated")
+      assert(shared == vs.map(_._2).sum, s"$src total_shared")
+      assert(rate == math.floor(nCont.toDouble / nDocs * 1e6 + 0.5) / 1e6, s"$src rate")
+    }
+  }
+
   test("minOverlap == exact rational ceiling for integer-landing products") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

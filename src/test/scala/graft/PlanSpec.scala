@@ -166,6 +166,7 @@ class PlanSpec extends SparkSpec {
       "doc_span_dedup" -> TextOps.docSpanDedup(tables),
       "doc_mix_weights" -> TextOps.docMixWeights(tables),
       "doc_quality_bucket" -> TextOps.docQualityBucket(tables),
+      "text_keywords" -> TextOps.textKeywords(tables),
       "emb_pq_codes" -> Similarity.embPqCodes(tables))
     for ((name, df) <- dumps) {
       // pre-AQE plan: a global sort appears as a rangepartitioning

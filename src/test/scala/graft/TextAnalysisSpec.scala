@@ -300,6 +300,24 @@ class TextAnalysisSpec extends SparkSpec {
       s"head floor ${byBucket("head").min} must be >= middle ceiling ${byBucket("middle").max}")
   }
 
+  test("keywords: per-doc top-k matches a full driver-side tf-idf ranking") {
+    val k = 3
+    val rows = TextOps.textKeywords(tables, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val docs = tables.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq).toMap
+    val nd = docs.size.toDouble
+    val df = docs.values.map(_.distinct).flatten.groupBy(identity).view.mapValues(_.size)
+    docs.foreach { case (id, tk) =>
+      val want = tk.groupBy(identity).toSeq
+        .map { case (w, ws) =>
+          (w, math.floor(ws.size * math.log(nd / df(w)) * 1e6 + 0.5) / 1e6) }
+        .sortBy { case (w, s) => (-s, w) }.take(k)
+      val got = rows.filter(_._1 == id).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got == want, s"doc $id: got $got want $want")
+    }
+  }
+
   test("two-phase running sums (pack, mix budget) == single per-source window reference") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Hashing.tokens
