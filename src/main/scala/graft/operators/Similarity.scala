@@ -309,8 +309,12 @@ object Similarity {
     * per (vector, subspace) with the r6'd residual.
     */
   def embPqCodes(t: Tables, m: Int = 8, nCodes: Int = 8,
-      ordered: Boolean = false): DataFrame = maybeSort({
-    val centers = hashCenters(t, nCodes)
+      ordered: Boolean = false): DataFrame =
+    embPqCodesWith(t, hashCenters(t, nCodes), m, ordered)
+
+  private[graft] def embPqCodesWith(t: Tables,
+      centers: Array[(Int, Seq[Double], Double)], m: Int,
+      ordered: Boolean): DataFrame = maybeSort({
     val dsub = centers.head._2.length / m
     require(dsub * m == centers.head._2.length, s"dim must divide into $m subspaces")
     val subs = (0 until m).map { j =>
@@ -348,9 +352,10 @@ object Similarity {
     */
   def annPqAdc(t: Tables, nQueries: Int = 8, k: Int = 5,
       m: Int = 8, nCodes: Int = 8): DataFrame = {
-    val centers = hashCenters(t, nCodes)
+    val centers = hashCenters(t, nCodes) // fetched once, shared with the encode
     val dsub = centers.head._2.length / m
-    val codes = embPqCodes(t, m, nCodes).select(col("vec_id"), col("sub_j"), col("code"))
+    val codes = embPqCodesWith(t, centers, m, ordered = false)
+      .select(col("vec_id"), col("sub_j"), col("code"))
     val perJ = (0 until m).map { j =>
       val xv = slice(col("v"), j * dsub + 1, dsub)
       val xn2 = VectorExprs.dot(xv, xv)
