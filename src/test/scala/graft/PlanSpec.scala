@@ -48,6 +48,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "corpus must not shuffle into a cartesian")
   }
 
+  test("pq adc: the code stream meets broadcast distance tables — no sort-merge, no cartesian") {
+    val p = plan(Similarity.annPqAdc(tables))
+    assert(p.contains("BroadcastHashJoin"), s"adc table must broadcast:\n${p.take(500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "codes must equi-join the table, never nested-loop")
+  }
+
+  test("metadata-only queries never read the text column (ReadSchema pruning)") {
+    import graft.operators.TextOps
+    // doc_split and doc_sample_k derive everything from doc_id/source;
+    // at 100 TB reading `text` for them would multiply scan bytes ~100×
+    for ((name, df) <- Seq(
+        "doc_split" -> TextOps.docSplit(tables),
+        "doc_sample_k" -> TextOps.docSampleK(tables))) {
+      val scans = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.requiredSchema.fieldNames.toSeq
+      }
+      assert(scans.nonEmpty)
+      scans.foreach(cols =>
+        assert(!cols.contains("text"), s"$name scan reads text: $cols"))
+    }
+  }
+
   test("minhash signatures: map-side partial aggregation before the doc shuffle") {
     val p = plan(Dedup.docMinhashSig(tables))
     assert(p.contains("partial_min") || p.contains("partial_"), "partial aggregation expected")
