@@ -25,6 +25,7 @@ object SparkEntry {
     "ev_counts_by_labels"  -> q(EventOps.evCountsByLabels),
     "ev_cache_stats"       -> q(EventOps.evCacheStats),
     "ev_windowed_rate"     -> q(EventOps.evWindowedRate),
+    "ev_anomaly_mad"       -> q(EventOps.evAnomalyMad(_)),
     "ev_json_props"        -> q(EventOps.evJsonProps),
     "ev_serialize_json"    -> q(EventOps.evSerializeJson(_, ordered = true)),
     "ev_top_keys"          -> q(EventOps.evTopKeys(_)),
@@ -199,6 +200,20 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY hour""".stripMargin,
+
+    "ev_anomaly_mad" ->
+      """WITH rates AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |med AS (SELECT event_type, floor(quantile_cont(n, 0.5)*10000 + 0.5)/10000 AS med
+        |  FROM rates GROUP BY event_type),
+        |dev AS (SELECT rates.event_type, rates.hour, rates.n, med.med,
+        |  abs(rates.n - med.med) AS dev FROM rates JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, floor(quantile_cont(dev, 0.5)*10000 + 0.5)/10000 AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT dev.event_type, dev.hour, dev.n, dev.med, mad.mad,
+        |  CAST(dev.n > dev.med + 3.0*mad.mad AS INTEGER) AS is_anomaly
+        |FROM dev JOIN mad USING (event_type)
+        |ORDER BY event_type, hour""".stripMargin,
 
     "ev_json_props" ->
       """SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_bucket,

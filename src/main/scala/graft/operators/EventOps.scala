@@ -141,6 +141,35 @@ object EventOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("hour"))
 
+  /** A29: MAD-based rate anomaly detection — the monitoring question a
+    * k8s event pipeline exists to answer: which (event_type, hour)
+    * rates are anomalous against that type's own history? Median +
+    * median-absolute-deviation (robust to the very outliers being
+    * hunted, unlike mean/stddev), flagging hours above
+    * median + k·MAD.
+    *
+    * Scale shape: the hourly-rate relation is (types × hours)-sized —
+    * time-BOUNDED, not corpus-sized (a year is 8 760 hours/type), so
+    * the per-type exact percentiles aggregate bounded groups; the two
+    * tiny stat relations broadcast back onto the rate relation.
+    */
+  def evAnomalyMad(t: Tables, k: Double = 3.0): DataFrame = {
+    val rates = t.events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val med = rates.groupBy(col("event_type"))
+      .agg(r4(expr("percentile(n, 0.5)")).as("med"))
+    val dev = rates.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(r4(expr("percentile(dev, 0.5)")).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("hour"), col("n"), col("med"), col("mad"),
+        (col("n") > col("med") + lit(k) * col("mad")).cast("int").as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** A8: JSON property extraction from `props` + aggregation. */
   def evJsonProps(t: Tables): DataFrame =
     t.events

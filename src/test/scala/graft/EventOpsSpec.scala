@@ -48,4 +48,25 @@ class EventOpsSpec extends SparkSpec {
       assert(r.getLong(4) > 0)
     }
   }
+
+  test("anomaly MAD: a planted rate spike is flagged; the flat baseline hours are not") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val base = 1704067200000000000L // raw int64 nanos (Tables.events schema)
+    // 24 flat hours of 10 events/hour, then ONE hour at 100
+    val flat = for (h <- 0 until 24; i <- 0 until 10)
+      yield (h * 10L + i, base + h * hourNs + i, 1L, "click", 1.0, "{}")
+    val spike = (0 until 100)
+      .map(i => (1000L + i, base + 24 * hourNs + i, 1L, "click", 1.0, "{}"))
+    (flat ++ spike)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.evAnomalyMad(graft.sources.Tables(spark, tmp)).collect()
+      .map(r => (r.getTimestamp(1), r.getLong(2), r.getInt(5)))
+    assert(out.length == 25)
+    val (anomalies, normal) = out.partition(_._3 == 1)
+    assert(anomalies.map(_._2).toSeq == Seq(100L), s"only the spike hour flags: $anomalies")
+    assert(normal.forall(_._2 == 10L), "flat hours stay unflagged")
+  }
 }
