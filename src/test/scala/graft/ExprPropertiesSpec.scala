@@ -120,4 +120,36 @@ class ExprPropertiesSpec extends SparkSpec {
         assert(got == expected)
     }
   }
+
+  test("CountMinAgg: for ANY key multiset, estimate >= exact; per-row mass == total; merge order-free") {
+    import graft.functions.{CountMin, CountMinAgg, Hashing}
+    val (d, w) = (CountMin.D, CountMin.W)
+    val agg = new CountMinAgg(d, w)
+    def pos(key: Long): Array[Long] = {
+      val base = math.floorMod(refMd5_60(key.toString), Hashing.M30)
+      (0 until d).map { r =>
+        val (a, b) = Hashing.Perms(r)
+        math.floorMod(math.floorMod(a * base + b, Hashing.P), w.toLong)
+      }.toArray
+    }
+    forAll(Gen.listOf(Gen.choose(0L, 50L)), n = 100) { keys =>
+      val sketch = keys.map(pos).foldLeft(agg.zero)(agg.reduce)
+      // per-row mass conservation
+      (0 until d).foreach { r =>
+        assert(sketch.slice(r * w, (r + 1) * w).sum == keys.size, s"row $r mass")
+      }
+      // never undercount any key (present or absent)
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      (0L to 50L).foreach { key =>
+        val est = pos(key).zipWithIndex.map { case (p, r) => sketch(r * w + p.toInt) }.min
+        assert(est >= exact.getOrElse(key, 0L), s"key $key: $est < exact")
+      }
+      // merge of split halves == single-pass sketch (order-free)
+      val (l, rr) = keys.splitAt(keys.size / 2)
+      val merged = agg.merge(
+        rr.map(pos).foldLeft(agg.zero)(agg.reduce),
+        l.map(pos).foldLeft(agg.zero)(agg.reduce))
+      assert(merged.toSeq == sketch.toSeq, "merge must be order-independent")
+    }
+  }
 }
