@@ -605,6 +605,20 @@ object OracleSqlGen {
        |  floor((wgt_r/sumw/share)*1000000 + 0.5)/1000000 AS boost_r
        |FROM w, sw ORDER BY source""".stripMargin
 
+  /** Winnowing fingerprints: sliding min over the positional 4-gram
+    * hash list, distinct per doc.
+    */
+  def textWinnow(w: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk, lower(text) AS lt FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(tk) >= 4
+       |  THEN [('0x'||substr(md5(array_to_string(tk[i:i+3],' ')),1,15))::BIGINT for i in range(1, len(tk)-2)]
+       |  ELSE [('0x'||substr(md5(lt),1,15))::BIGINT] END AS gh FROM t),
+       |wins AS (SELECT doc_id, unnest(CASE WHEN len(gh) >= $w
+       |  THEN [list_min(gh[i:i+${w - 1}]) for i in range(1, len(gh)-${w - 2})]
+       |  ELSE [list_min(gh)] END) AS fingerprint FROM g)
+       |SELECT DISTINCT doc_id, fingerprint FROM wins
+       |ORDER BY doc_id, fingerprint""".stripMargin
+
   /** Duplicated-span ratio: 4-token sliding-window hashes (whole-text
     * fallback below 4 tokens, mirroring GramHashes), corpus-wide span
     * frequency, per-doc dup occurrence counts — integer math until the

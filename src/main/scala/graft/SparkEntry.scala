@@ -100,6 +100,7 @@ object SparkEntry {
     "doc_mix_weights"      -> q(TextOps.docMixWeights(_, ordered = true)),
     "doc_quality_bucket"   -> q(TextOps.docQualityBucket(_, ordered = true)),
     "text_keywords"        -> q(TextOps.textKeywords(_, ordered = true)),
+    "text_winnow"          -> q(TextOps.textWinnow(_, ordered = true)),
     "doc_contamination_stats" -> q(Dedup.docContaminationStats(_)),
     "doc_mix_budget"       -> q(TextOps.docMixBudget(_, ordered = true)),
     "doc_sample_k"         -> q(TextOps.docSampleK(_, ordered = true)),
@@ -580,6 +581,7 @@ object SparkEntry {
     "doc_mix_weights"       -> OracleSqlGen.docMixWeights(0.7),
     "doc_quality_bucket"    -> OracleSqlGen.docQualityBucket(10000),
     "text_keywords"         -> OracleSqlGen.textKeywords(3),
+    "text_winnow"           -> OracleSqlGen.textWinnow(8),
     "doc_contamination_stats" -> OracleSqlGen.docContaminationStats(10, 1),
     "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),

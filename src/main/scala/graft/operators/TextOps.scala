@@ -675,6 +675,27 @@ object TextOps {
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf_r"))
   }, ordered)(col("doc_id"), col("rank"))
 
+  /** E28: winnowing fingerprints (Schleimer et al., the MOSS
+    * algorithm): the minimum gram hash of every w-wide window of
+    * consecutive 4-gram hashes, deduplicated per doc — the selection
+    * with the guarantee E4's single global min lacks: any shared
+    * substring of ≥ w+3 tokens between two documents shares at least
+    * one winnowed fingerprint, while only ~2/(w+1) of grams are kept.
+    *
+    * Scale shape: fingerprint selection is ONE narrow codegen'd pass
+    * (native gram hashes → sliding array_min → array_distinct); only
+    * the selected ~2/(w+1) fraction explodes into the output relation.
+    */
+  def textWinnow(t: Tables, w: Int = 8, ordered: Boolean = false): DataFrame = maybeSort({
+    val gh = call_function("graft_gram4_hashes", col("text"))
+    val wins = when(size(gh) >= w,
+        transform(sequence(lit(0), size(gh) - w),
+          i => array_min(slice(gh, i + lit(1), lit(w)))))
+      .otherwise(array(array_min(gh)))
+    t.documents
+      .select(col("doc_id"), explode(array_distinct(wins)).as("fingerprint"))
+  }, ordered)(col("doc_id"), col("fingerprint"))
+
   /** E26: CCNet-style quality bucketing — head/middle/tail thirds by
     * unigram-LM mean log-prob (E23), the corpus-relative grading CCNet
     * uses to keep "head" web text: thresholds are the p33/p67 of the

@@ -318,6 +318,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("winnow: fingerprints ⊆ gram hashes, sparser than grams; shared-substring guarantee holds") {
+    val w = 8
+    val fps = TextOps.textWinnow(tables, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val grams = tables.documents
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.call_function("graft_gram4_hashes", col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    fps.foreach { case (id, f) =>
+      assert(f.subsetOf(grams(id).toSet), s"doc $id fingerprints must be gram hashes")
+      if (grams(id).length > 4 * w)
+        assert(f.size < grams(id).length, s"doc $id selection must be sparser than all grams")
+    }
+    // the MOSS guarantee: two docs sharing a >= w+3 token run share a fingerprint
+    val tmp = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ") // 12 shared tokens > w+3
+    Seq((1L, s"alpha beta gamma $shared delta epsilon"),
+        (2L, s"one two three four five $shared six seven"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pair = TextOps.textWinnow(graft.sources.Tables(spark, tmp), w).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((pair(1L) intersect pair(2L)).nonEmpty,
+      "docs sharing a 12-token run must share a winnowed fingerprint")
+  }
+
   test("two-phase running sums (pack, mix budget) == single per-source window reference") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Hashing.tokens
