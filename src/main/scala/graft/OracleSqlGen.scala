@@ -619,6 +619,23 @@ object OracleSqlGen {
        |SELECT DISTINCT doc_id, fingerprint FROM wins
        |ORDER BY doc_id, fingerprint""".stripMargin
 
+  /** Winnow-indexed near-dup pairs: C10's join over the E28 index. */
+  def docWinnowPairs(w: Int, minShared: Int, dfCap: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk, lower(text) AS lt FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(tk) >= 4
+       |  THEN [('0x'||substr(md5(array_to_string(tk[i:i+3],' ')),1,15))::BIGINT for i in range(1, len(tk)-2)]
+       |  ELSE [('0x'||substr(md5(lt),1,15))::BIGINT] END AS gh FROM t),
+       |wins AS (SELECT DISTINCT doc_id, fingerprint FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(gh) >= $w
+       |    THEN [list_min(gh[i:i+${w - 1}]) for i in range(1, len(gh)-${w - 2})]
+       |    ELSE [list_min(gh)] END) AS fingerprint FROM g)),
+       |stop AS (SELECT fingerprint FROM wins GROUP BY fingerprint HAVING COUNT(*) > $dfCap),
+       |fp AS (SELECT * FROM wins WHERE fingerprint NOT IN (SELECT fingerprint FROM stop))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= $minShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Duplicated-span ratio: 4-token sliding-window hashes (whole-text
     * fallback below 4 tokens, mirroring GramHashes), corpus-wide span
     * frequency, per-doc dup occurrence counts — integer math until the

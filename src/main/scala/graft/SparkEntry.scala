@@ -65,6 +65,7 @@ object SparkEntry {
     "doc_decontaminate"    -> q(Dedup.docDecontaminate(_, ordered = true)),
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
     "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_, ordered = true)),
+    "doc_winnow_pairs"     -> q(Dedup.docWinnowPairs(_, ordered = true)),
     "doc_embed_cosine_dup" -> q(Dedup.docEmbedCosineDup(_, ordered = true)),
     "doc_semdedup"         -> q(Dedup.docSemdedup(_, ordered = true)),
     // §2.D similarity search
@@ -514,6 +515,7 @@ object SparkEntry {
     "doc_incremental_dedup" -> OracleSqlGen.docIncrementalDedup(5),
     "doc_decontaminate"     -> OracleSqlGen.docDecontaminate(10, 1),
     "doc_fingerprint_pairs" -> OracleSqlGen.docFingerprintPairs(8, 2, 100),
+    "doc_winnow_pairs"      -> OracleSqlGen.docWinnowPairs(8, 2, 100),
     "doc_shard_shuffle" ->
       """WITH d AS (SELECT doc_id,
         |  ('0x'||substr(md5('graft:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS sort_key

@@ -375,6 +375,31 @@ object Dedup {
       ordered)(col("doc_a"), col("doc_b"))
   }
 
+  /** C10b: near-dup pairs over WINNOWED fingerprints (E28) — the same
+    * inverted-index join as C10, but the index is the winnowing
+    * selection instead of mod-p sampling: coverage is positional
+    * (every ≥ w+3-token shared run is guaranteed represented) rather
+    * than probabilistic, at the same ~2/(w+1) index density. Scale
+    * shape identical to C10: narrow selection before the only shuffle,
+    * hot fingerprints removed by the df-cap stop-set anti-join.
+    */
+  def docWinnowPairs(t: Tables, w: Int = 8, minShared: Int = 2,
+      dfCap: Int = 100, ordered: Boolean = false): DataFrame = {
+    val fp = graft.operators.TextOps.textWinnow(t, w)
+    val stop = fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("fingerprint"))
+    val capped = fp.join(stop, Seq("fingerprint"), "left_anti")
+    maybeSort(
+      capped.alias("a").join(capped.alias("b"),
+          col("a.fingerprint") === col("b.fingerprint") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared),
+      ordered)(col("doc_a"), col("doc_b"))
+  }
+
   /** Minimum required overlap ⌈t·n⌉, guarded against double rounding:
     * for thresholds whose product lands just above an integer in
     * binary floating point (0.55·100 = 55.000000000000007), a bare

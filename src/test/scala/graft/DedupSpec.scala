@@ -180,6 +180,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnow pairs: shared-run docs pair up; the df cap removes hot fingerprints") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wpairs").toString
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")
+    Seq((1L, s"alpha beta gamma $shared delta epsilon"),
+        (2L, s"one two three four five $shared six seven"),
+        (3L, "totally different words everywhere here now"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val t = graft.sources.Tables(spark, tmp)
+    val pairs = Dedup.docWinnowPairs(t, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"only the shared-run pair expected: $pairs")
+    // dfCap = 1 stops every fingerprint held by 2+ docs → no pairs survive
+    assert(Dedup.docWinnowPairs(t, minShared = 1, dfCap = 1).collect().isEmpty,
+      "a df cap below the sharing degree must remove all pairs")
+  }
+
   test("minOverlap == exact rational ceiling for integer-landing products") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
