@@ -258,6 +258,66 @@ object WordGrams {
   * values, which is exactly what makes it a *rolling* hash.
   * Chars are taken as bytes (== code points for the ASCII corpus).
   */
+/** Sliding-window minima over an `array<long>` (the winnowing
+  * selection step, Schleimer et al.): the DISTINCT minima of every
+  * `w`-wide window, first-occurrence order; whole-array min for inputs
+  * shorter than the window. One O(n) monotonic-deque pass in codegen —
+  * the composed `transform(sequence…, array_min(slice…))` +
+  * `array_distinct` formulation is its reference semantics (asserted
+  * in GramFusionSpec) but costs O(n·w) in interpreted lambda eval
+  * (measured 9.3 s for text_winnow at sf0.1; this expression is the
+  * reason that query is sub-second).
+  */
+case class WinnowMins(child: Expression, window: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  protected override def nullSafeEval(input: Any): Any =
+    WinnowMins.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowMins.compute($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowMins {
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    if (n < w) {
+      var m = arr.getLong(0)
+      var i = 1
+      while (i < n) { val v = arr.getLong(i); if (v < m) m = v; i += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(m))
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val idx = new Array[Int](n) // monotonic deque of candidate indices
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(idx(tail - 1)) >= v) tail -= 1
+      idx(tail) = i
+      tail += 1
+      if (idx(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(arr.getLong(idx(head)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 case class RollingHashMin(child: Expression, window: Int) extends UnaryExpression {
 
   override def dataType: DataType = LongType

@@ -106,6 +106,8 @@ object VectorExprs {
       exprs => GramHashes(exprs.head, 5, distinct = false)),
     ("graft_rolling_min", classOf[RollingHashMin].getName,
       exprs => RollingHashMin(exprs.head, 16)),
+    ("graft_winnow8_mins", classOf[WinnowMins].getName,
+      exprs => WinnowMins(exprs.head, 8)),
     ("graft_bigram_strings", classOf[WordGrams].getName,
       exprs => WordGrams(exprs.head, 2, distinct = false)),
     ("graft_bigram_strings_distinct", classOf[WordGrams].getName,

@@ -682,18 +682,24 @@ object TextOps {
     * substring of ≥ w+3 tokens between two documents shares at least
     * one winnowed fingerprint, while only ~2/(w+1) of grams are kept.
     *
-    * Scale shape: fingerprint selection is ONE narrow codegen'd pass
-    * (native gram hashes → sliding array_min → array_distinct); only
+    * Scale shape: fingerprint selection is ONE narrow codegen'd pass —
+    * native gram hashes into the native WinnowMins monotonic-deque
+    * expression (O(n), distinct minima; the composed transform/slice/
+    * array_min form is its reference semantics, GramFusionSpec, and
+    * measured 9.3 s vs sub-second at sf0.1 in interpreted eval); only
     * the selected ~2/(w+1) fraction explodes into the output relation.
     */
   def textWinnow(t: Tables, w: Int = 8, ordered: Boolean = false): DataFrame = maybeSort({
     val gh = call_function("graft_gram4_hashes", col("text"))
-    val wins = when(size(gh) >= w,
-        transform(sequence(lit(0), size(gh) - w),
-          i => array_min(slice(gh, i + lit(1), lit(w)))))
-      .otherwise(array(array_min(gh)))
+    val wins =
+      if (w == 8) call_function("graft_winnow8_mins", gh)
+      else array_distinct(
+        when(size(gh) >= w,
+          transform(sequence(lit(0), size(gh) - w),
+            i => array_min(slice(gh, i + lit(1), lit(w)))))
+          .otherwise(array(array_min(gh))))
     t.documents
-      .select(col("doc_id"), explode(array_distinct(wins)).as("fingerprint"))
+      .select(col("doc_id"), explode(wins).as("fingerprint"))
   }, ordered)(col("doc_id"), col("fingerprint"))
 
   /** E26: CCNet-style quality bucketing — head/middle/tail thirds by

@@ -38,4 +38,24 @@ class GramFusionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     composed.foreach { case (id, s) => assert(fused(id) == s, s"doc $id") }
   }
+
+  test("WinnowMins == array_distinct(transform(sequence, array_min(slice))) composition") {
+    val w = 8
+    val gh = call_function("graft_gram4_hashes", col("text"))
+    val composedWins = array_distinct(
+      when(size(gh) >= w,
+        transform(sequence(lit(0), size(gh) - w),
+          i => array_min(slice(gh, i + lit(1), lit(w)))))
+        .otherwise(array(array_min(gh))))
+    val rows = tables.documents
+      .select(col("doc_id"),
+        call_function("graft_winnow8_mins", gh).as("fused"),
+        composedWins.as("composed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: fused ≠ composed winnow minima")
+    }
+  }
 }
