@@ -57,6 +57,7 @@ object SparkEntry {
     "doc_exact_dedup"      -> q(Dedup.docExactDedup(_, ordered = true)),
     "doc_minhash_sig"      -> q(Dedup.docMinhashSig(_, ordered = true)),
     "doc_minhash_lsh_pairs" -> q(Dedup.docMinhashLshPairs(_, ordered = true)),
+    "doc_minhash_jaccard_est" -> q(Dedup.docMinhashJaccardEst(_, ordered = true)),
     "doc_simhash"          -> q(Dedup.docSimhash(_, ordered = true)),
     "doc_simhash_pairs"    -> q(Dedup.docSimhashPairs(_, ordered = true)),
     "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_, ordered = true)),
@@ -503,6 +504,7 @@ object SparkEntry {
     "doc_exact_dedup"       -> OracleSqlGen.docExactDedup,
     "doc_minhash_sig"       -> OracleSqlGen.docMinhashSig,
     "doc_minhash_lsh_pairs" -> OracleSqlGen.docMinhashLshPairs,
+    "doc_minhash_jaccard_est" -> OracleSqlGen.docMinhashJaccardEst,
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,

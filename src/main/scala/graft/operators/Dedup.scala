@@ -173,6 +173,53 @@ object Dedup {
   }
 
 
+  /** C3b: minhash Jaccard ESTIMATION quality — every LSH candidate
+    * pair with its signature-agreement estimate (agreeing permutations
+    * / 16: the unbiased minhash estimator, E[agree/k] = J) NEXT TO the
+    * exact verified Jaccard. The relation that answers "can we skip
+    * exact verification at 100 TB and trust the signatures?" — the
+    * estimator reads 16 longs/doc where the verify intersects full
+    * gram sets.
+    *
+    * Scale shape: C3's band join generates candidates; signatures and
+    * gram sets join per-candidate only (the signature relation is the
+    * same aggregate the banding consumed — exchange-reused).
+    */
+  def docMinhashJaccardEst(t: Tables, ordered: Boolean = false): DataFrame = {
+    val sets = sharedSets(t)
+    val sig = minhashSigCols(explodeSets(sets))
+    val bands = sig.select(col("doc_id"),
+      expr("""stack(4,
+        0, concat_ws(',', m0, m1, m2, m3),
+        1, concat_ws(',', m4, m5, m6, m7),
+        2, concat_ws(',', m8, m9, m10, m11),
+        3, concat_ws(',', m12, m13, m14, m15)) AS (band, band_val)"""))
+    val b2 = bands.select(col("doc_id").as("db"),
+      col("band").as("band2"), col("band_val").as("band_val2"))
+    val cands = bands.join(b2,
+        col("band") === col("band2") && col("band_val") === col("band_val2") &&
+          col("doc_id") < col("db"))
+      .select(col("doc_id").as("da"), col("db")).distinct()
+    val a = sig.select(col("doc_id").as("da") +:
+      Perms.indices.map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sig.select(col("doc_id").as("db2") +:
+      Perms.indices.map(i => col(s"m$i").as(s"b$i")): _*)
+    val agree = Perms.indices
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sa = sets.select(col("doc_id").as("da"), col("gs").as("gsa"), col("n_grams").as("na"))
+    val sb = sets.select(col("doc_id").as("db3"), col("gs").as("gsb"), col("n_grams").as("nb"))
+    maybeSort(
+      cands.join(a, "da").join(b, col("db") === col("db2"))
+        .withColumn("agree", agree)
+        .join(sa, "da").join(sb, col("db") === col("db3"))
+        .withColumn("c", call_function("graft_intersect_count", col("gsa"), col("gsb")))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("agree"),
+          (col("agree") / lit(16.0)).as("est_jaccard"),
+          (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard")),
+      ordered)(col("doc_a"), col("doc_b"))
+  }
+
   /** C5: n-gram Jaccard with exact prefix filtering (the AllPairs /
     * PPJoin candidate bound, Bayardo et al. WWW'07).
     *

@@ -198,6 +198,30 @@ class DedupSpec extends SparkSpec {
       "a df cap below the sharing degree must remove all pairs")
   }
 
+  test("minhash estimator: est == agree/16, bounded; identical docs estimate exactly 1.0") {
+    val rows = Dedup.docMinhashJaccardEst(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    rows.foreach { case (a, b, agree, est, j) =>
+      assert(agree >= 1 && agree <= 16, s"($a,$b) agree=$agree") // LSH candidates share >= 1 band = 4 rows... at least 4
+      assert(est == agree / 16.0, s"($a,$b) est arithmetic")
+      assert(j >= 0.0 && j <= 1.0, s"($a,$b) jaccard range")
+    }
+    // a banded candidate shares at least one full 4-row band
+    rows.foreach { case (a, b, agree, _, _) =>
+      assert(agree >= 4, s"($a,$b): a band match implies >= 4 agreeing rows") }
+    // planted exact duplicates: the estimator must say exactly 1.0
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mhest").toString
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3L, "completely unrelated content with different words"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = Dedup.docMinhashJaccardEst(graft.sources.Tables(spark, tmp)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+    assert(planted((1L, 2L)) == ((1.0, 1.0)), s"identical docs: ${planted.get((1L, 2L))}")
+  }
+
   test("minOverlap == exact rational ceiling for integer-landing products") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
