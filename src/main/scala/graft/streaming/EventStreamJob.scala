@@ -45,6 +45,23 @@ object EventStreamJob {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** A30: live anomaly flagging — A29's MAD thresholds applied over
+    * the stream: the per-type (median, mad) relation is trained
+    * OFFLINE on history (EventOps.evAnomalyMad's stats) and broadcast
+    * onto the watermarked hourly counts; a window closing above
+    * median + k·mad is flagged the moment the watermark passes. The
+    * offline-train / online-apply split is the deployment shape — the
+    * stream never recomputes percentiles, so its state stays the
+    * windowed-count state only.
+    */
+  def streamAnomalyFlags(events: DataFrame, thresholds: DataFrame,
+      k: Double = 3.0, watermarkDelay: String = "30 minutes"): DataFrame =
+    streamWindowedCounts(events, watermarkDelay)
+      .join(broadcast(thresholds), "event_type")
+      .select(col("event_type"), col("window_start"), col("n"),
+        col("med"), col("mad"),
+        (col("n") > col("med") + lit(k) * col("mad")).cast("int").as("is_anomaly"))
+
   /** A19: streaming session windows — the engine-native form of the
     * batch sessionization (EventOps.evSessionize): sessions close when
     * the watermark passes start + gap.

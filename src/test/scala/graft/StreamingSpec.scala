@@ -270,6 +270,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly flags: offline MAD thresholds flag a live spike hour, not the baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val thresholds = Seq(("click", 2.0, 1.0)).toDF("event_type", "med", "mad")
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamAnomalyFlags(input.toDS().toDF(), thresholds)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("anom_out").start()
+    try {
+      // hour 0: baseline rate 2; hour 1: spike of 8 (> med + 3·mad = 5)
+      val baseline = (0 until 2).map(i => Ev(i, base.plusSeconds(60L * i + 1), 1, "click"))
+      val spike = (0 until 8).map(i => Ev(100 + i, base.plusSeconds(3600L + 60L * i + 1), 1, "click"))
+      input.addData(baseline ++ spike)
+      q.processAllAvailable()
+      input.addData(Seq(Ev(999, base.plusSeconds(864000), 9, "click"))) // watermark sentinel
+      q.processAllAvailable()
+      input.addData(Seq(Ev(1000, base.plusSeconds(864060), 9, "click")))
+      q.processAllAvailable()
+      val got = spark.table("anom_out").collect()
+        .map(r => (r.getTimestamp(1).toInstant, r.getLong(2), r.getInt(5))).toSet
+      assert(got.contains((base, 2L, 0)), s"baseline hour must stay unflagged: $got")
+      assert(got.contains((base.plusSeconds(3600), 8L, 1)), s"spike hour must flag: $got")
+    } finally q.stop()
+  }
+
   test("streaming count-min: micro-batched sketch == batch sketch; estimates never undercount") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
