@@ -52,6 +52,9 @@ object SparkEntry {
     "q_profile"            -> q(Analytics.qProfile),
     "q_below_avg"          -> q(Analytics.qBelowAvg),
     "q_set_ops"            -> q(Analytics.qSetOps(_)),
+    "q_corr"               -> q(Analytics.qCorr),
+    "ev_retention"         -> q(EventOps.evRetention),
+    "text_entropy"         -> q(TextOps.textEntropy(_, ordered = true)),
     "ev_gap_fill"          -> q(EventOps.evGapFill),
     // §2.C dedup family
     "doc_exact_dedup"      -> q(Dedup.docExactDedup(_, ordered = true)),
@@ -430,6 +433,43 @@ object SparkEntry {
         |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |     EXCEPT
         |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_only_first""".stripMargin,
+
+    "q_corr" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  floor(((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))*1000000 + 0.5)/1000000 AS covar_pop_r,
+        |  floor(((sxy - sx * sy / CAST(n AS DOUBLE)) /
+        |    (sqrt(sxx - sx * sx / CAST(n AS DOUBLE)) * sqrt(syy - sy * sy / CAST(n AS DOUBLE))))*1000000 + 0.5)/1000000 AS corr_r
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "ev_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "text_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        |dtc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+        |e AS (SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE))*1000000 + 0.5)/1000000 AS DECIMAL(18,6))) AS DOUBLE) AS s_clnc
+        |FROM dtc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |  floor((ln(CAST(n_tokens AS DOUBLE)) - s_clnc / CAST(n_tokens AS DOUBLE))*1000000 + 0.5)/1000000 AS entropy_r,
+        |  floor((CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE))*1000000 + 0.5)/1000000 AS ttr_r
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "q_large_volume" ->
       """SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty FROM (

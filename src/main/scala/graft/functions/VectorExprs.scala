@@ -79,6 +79,141 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native PQ distance table: the r6-rounded squared-L2 distance from
+  * the input subvector to EVERY entry of a literal codebook, as one
+  * `array<double>` indexed by code.
+  *
+  * Why an expression at all: the unrolled formulation — an
+  * `array(struct(dist, code), …)` argmin with one inlined literal
+  * center per element — generates O(nCodes · dsub) Java per subspace;
+  * at m=8 × nCodes=8 janino hits its 64 KB method limit in the
+  * Generate stage's consume ("Code grows beyond 64 KB", observed in
+  * the sf0.01 verify run) and Spark silently drops the WHOLE stage
+  * out of whole-stage codegen. This loop form is constant bytecode
+  * regardless of codebook size, so D8/D9 stay codegen'd at any
+  * (m, nCodes).
+  *
+  * Bit parity with the unrolled form (and therefore the unchanged
+  * DuckDB oracle): ascending-index folds for x·x and x·c (DotProduct's
+  * order), ‖c‖² folded at construction in the same ascending order the
+  * driver previously used, the identical left-associated
+  * (xn2 − 2·s) + c2 combination, and the same floor(d·1e6 + 0.5)/1e6
+  * rounding. Downstream argmin/tiebreak semantics are preserved by
+  * `array_position(ds, array_min(ds))`: first occurrence of the
+  * minimum ⇒ lowest code wins ties, exactly like the old
+  * struct(dist, code) min. Null elements contribute 0 (DotProduct's
+  * contract); the check is only emitted when the ArrayType admits
+  * nulls.
+  *
+  * The codebook child must be a foldable `array<array<double>>`
+  * (element i = code i's subvector); it is folded ONCE into flat
+  * primitive arrays at first use and referenced from generated code —
+  * never evaluated per row.
+  */
+case class PqDists(vec: Expression, codebook: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = codebook
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def mayHaveNullElements: Boolean = vec.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  // (flat row-major codebook, per-code ‖c‖², nCodes, dsub)
+  @transient private lazy val folded: (Array[Double], Array[Double], Int, Int) = {
+    require(codebook.foldable, "PqDists codebook must be a literal")
+    val cb = codebook.eval(null).asInstanceOf[ArrayData]
+    val n = cb.numElements()
+    require(n > 0, "PqDists codebook must be non-empty")
+    val d = cb.getArray(0).numElements()
+    val flat = new Array[Double](n * d)
+    val c2 = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val a = cb.getArray(c)
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        val x = a.getDouble(i)
+        flat(c * d + i) = x
+        s += x * x
+        i += 1
+      }
+      c2(c) = s
+      c += 1
+    }
+    (flat, c2, n, d)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val (flat, c2, n, d) = folded
+    val len = math.min(d, x.numElements())
+    val checkNulls = mayHaveNullElements
+    var xn2 = 0.0
+    var i = 0
+    while (i < len) {
+      if (!checkNulls || !x.isNullAt(i)) { val xi = x.getDouble(i); xn2 += xi * xi }
+      i += 1
+    }
+    val out = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      var s = 0.0
+      i = 0
+      while (i < len) {
+        if (!checkNulls || !x.isNullAt(i)) s += x.getDouble(i) * flat(c * d + i)
+        i += 1
+      }
+      val dist = xn2 - 2.0 * s + c2(c)
+      out(c) = math.floor(dist * 1e6 + 0.5) / 1e6
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (flat, c2, n, d) = folded
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    val c2Ref = ctx.addReferenceObj("pqC2", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, (x, _) => {
+      val len = ctx.freshName("len")
+      val xn2 = ctx.freshName("xn2")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val dist = ctx.freshName("dist")
+      val xi = ctx.freshName("xi")
+      val guard = if (mayHaveNullElements) s"!$x.isNullAt($i)" else "true"
+      s"""
+         |int $len = java.lang.Math.min($d, $x.numElements());
+         |double $xn2 = 0.0;
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if ($guard) { double $xi = $x.getDouble($i); $xn2 += $xi * $xi; }
+         |}
+         |double[] $out = new double[$n];
+         |for (int $c = 0; $c < $n; $c++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    if ($guard) $s += $x.getDouble($i) * $flatRef[$c * $d + $i];
+         |  }
+         |  double $dist = $xn2 - 2.0 * $s + $c2Ref[$c];
+         |  $out[$c] = java.lang.Math.floor($dist * 1.0E6 + 0.5) / 1.0E6;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, codebook = newRight)
+}
+
 object VectorExprs {
   private val FnName = "graft_dot"
 
@@ -113,7 +248,9 @@ object VectorExprs {
     ("graft_bigram_strings_distinct", classOf[WordGrams].getName,
       exprs => WordGrams(exprs.head, 2, distinct = true)),
     ("graft_intersect_count", classOf[IntersectCount].getName,
-      exprs => IntersectCount(exprs.head, exprs(1))))
+      exprs => IntersectCount(exprs.head, exprs(1))),
+    ("graft_pq_dists", classOf[PqDists].getName,
+      exprs => PqDists(exprs.head, exprs(1))))
 
   /** Register the native expressions in the session's function registry
     * (the public extension point — same mechanism
@@ -127,4 +264,8 @@ object VectorExprs {
     }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
+
+  /** r6'd squared-L2 distance to every entry of a LITERAL codebook. */
+  def pqDists(v: Column, codebook: Column): Column =
+    call_function("graft_pq_dists", v, codebook)
 }

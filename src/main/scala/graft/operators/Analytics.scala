@@ -392,5 +392,39 @@ object Analytics {
       .orderBy($("n_events").desc, $("user_id").asc)
   }
 
+  /** B22: per-group Pearson correlation + population covariance
+    * (quantity vs extended price) in the moment form: ONE scan
+    * collects n, Σx, Σy, Σxy, Σx², Σy² — each moment decimal-cast
+    * before SUM so the aggregate is order-independent and exact —
+    * and the closed-form corr/cov math runs in double over the tiny
+    * per-group relation. The built-in corr()/covar_pop() aggregates
+    * sum doubles in partition order (bits depend on partitioning, so
+    * they can't be oracle-hashed); the moment form is bit-portable
+    * AND the shape that scales: six map-side-combined partial sums
+    * riding B1's single #groups-row shuffle. Squared terms use
+    * DECIMAL(28,6) — price² ~1e10/row overflows the 12 integer
+    * digits of the repo-standard (18,6) at sf≥0.1 row counts.
+    */
+  def qCorr(t: Tables): DataFrame = {
+    def m(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+    val nD = $("n").cast("double")
+    t.lineitem
+      .select($("l_returnflag"), $("l_quantity"), $("l_extendedprice"))
+      .groupBy($("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        m($("l_quantity")).as("sx"),
+        m($("l_extendedprice")).as("sy"),
+        m($("l_quantity") * $("l_extendedprice")).as("sxy"),
+        m($("l_quantity") * $("l_quantity")).as("sxx"),
+        m($("l_extendedprice") * $("l_extendedprice")).as("syy"))
+      .select($("l_returnflag"), $("n"),
+        r6(($("sxy") - $("sx") * $("sy") / nD) / nD).as("covar_pop_r"),
+        r6(($("sxy") - $("sx") * $("sy") / nD) /
+          (sqrt($("sxx") - $("sx") * $("sx") / nD) *
+            sqrt($("syy") - $("sy") * $("sy") / nD))).as("corr_r"))
+      .orderBy($("l_returnflag"))
+  }
+
   private def $(name: String): Column = col(name)
 }

@@ -312,4 +312,31 @@ object EventOps {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
   }, ordered)(col("user_id"), col("sid"))
+
+  /** A31: cohort retention — users cohorted by first-active day; for
+    * each (cohort day, day offset) the number of cohort users active
+    * again that day. The activation/stickiness rollup every event
+    * platform derives from its emitted stream.
+    *
+    * Scale shape: ONE user-keyed shuffle — per-user active-day sets
+    * are collect_set partials merged map-side (state per user is
+    * calendar-bounded, ~365·years entries, NOT event-volume), the
+    * cohort day is array_min of the same set (no second aggregate, no
+    * join-back), and the rollup keys (cohort_day, day_offset) are
+    * calendar²-bounded with an additive count — no count-distinct
+    * shuffle anywhere. date_trunc (timestamp) rather than to_date so
+    * both engines hash the same physical type.
+    */
+  def evRetention(t: Tables): DataFrame = {
+    val perUser = t.events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("days"))
+      .select(array_min(col("days")).as("cohort_day"), explode(col("days")).as("day"))
+    perUser
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 }

@@ -312,27 +312,34 @@ object Similarity {
       ordered: Boolean = false): DataFrame =
     embPqCodesWith(t, hashCenters(t, nCodes), m, ordered)
 
+  /** Per-subspace literal codebook for PqDists: element i = code i's
+    * subvector (hashCenters codes are already 0..n−1 in order). */
+  private def subCodebook(centers: Array[(Int, Seq[Double], Double)],
+      j: Int, dsub: Int): Column =
+    typedLit(centers.sortBy(_._1).toSeq.map { case (_, cv, _) =>
+      cv.slice(j * dsub, (j + 1) * dsub)
+    })
+
   private[graft] def embPqCodesWith(t: Tables,
       centers: Array[(Int, Seq[Double], Double)], m: Int,
       ordered: Boolean): DataFrame = maybeSort({
     val dsub = centers.head._2.length / m
     require(dsub * m == centers.head._2.length, s"dim must divide into $m subspaces")
+    // One native PqDists per subspace (loop codegen, constant bytecode
+    // — the unrolled argmin blew janino's 64 KB method limit and
+    // dropped the stage to interpreted eval); argmin + lowest-code
+    // tiebreak via first-occurrence array_position, bit-identical to
+    // the old struct(dist, code) array_min.
     val subs = (0 until m).map { j =>
       val xv = slice(col("v"), j * dsub + 1, dsub)
-      val xn2 = VectorExprs.dot(xv, xv)
-      val cands = centers.map { case (code, cv, _) =>
-        val cs = cv.slice(j * dsub, (j + 1) * dsub)
-        val c2 = cs.foldLeft(0.0)((acc, x) => acc + x * x)
-        struct(
-          r6(xn2 - lit(2.0) * VectorExprs.dot(xv, typedLit(cs)) + lit(c2)).as("dist2_r"),
-          lit(code.toLong).as("code"))
-      }
-      struct(lit(j.toLong).as("sub_j"), array_min(array(cands: _*)).as("best"))
+      struct(lit(j.toLong).as("sub_j"),
+        VectorExprs.pqDists(xv, subCodebook(centers, j, dsub)).as("ds"))
     }
     withNorm(t.embeddings)
       .select(col("vec_id"), explode(array(subs: _*)).as("s"))
       .select(col("vec_id"), col("s.sub_j").as("sub_j"),
-        col("s.best.code").as("code"), col("s.best.dist2_r").as("dist2_r"))
+        (array_position(col("s.ds"), array_min(col("s.ds"))) - 1L).as("code"),
+        array_min(col("s.ds")).as("dist2_r"))
   }, ordered)(col("vec_id"), col("sub_j"))
 
   /** D9: PQ asymmetric-distance ANN (ADC) — approximate top-k where
@@ -358,19 +365,14 @@ object Similarity {
       .select(col("vec_id"), col("sub_j"), col("code"))
     val perJ = (0 until m).map { j =>
       val xv = slice(col("v"), j * dsub + 1, dsub)
-      val xn2 = VectorExprs.dot(xv, xv)
-      val percode = centers.map { case (code, cv, _) =>
-        val cs = cv.slice(j * dsub, (j + 1) * dsub)
-        val c2 = cs.foldLeft(0.0)((acc, x) => acc + x * x)
-        struct(lit(code.toLong).as("code"),
-          r6(xn2 - lit(2.0) * VectorExprs.dot(xv, typedLit(cs)) + lit(c2)).as("d_r"))
-      }
-      struct(lit(j.toLong).as("sub_j"), array(percode: _*).as("cs"))
+      struct(lit(j.toLong).as("sub_j"),
+        VectorExprs.pqDists(xv, subCodebook(centers, j, dsub)).as("cs"))
     }
     val adc = withNorm(t.embeddings).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), explode(array(perJ: _*)).as("s"))
-      .select(col("q_id"), col("s.sub_j").as("qsub_j"), explode(col("s.cs")).as("c"))
-      .select(col("q_id"), col("qsub_j"), col("c.code").as("qcode"), col("c.d_r").as("d_r"))
+      .select(col("q_id"), col("s.sub_j").as("qsub_j"), posexplode(col("s.cs")))
+      .select(col("q_id"), col("qsub_j"),
+        col("pos").cast("long").as("qcode"), col("col").as("d_r"))
     val scored = codes.join(broadcast(adc),
         col("sub_j") === col("qsub_j") && col("code") === col("qcode") &&
           col("q_id") =!= col("vec_id"))

@@ -616,6 +616,42 @@ object TextOps {
       .withColumn("mean_lp_r", r6(col("sum_lp") / col("n_tokens")))
   }, ordered)(col("doc_id"))
 
+  /** E29: token-entropy scoring — per-doc Shannon entropy (nats) of
+    * the unigram distribution plus type-token ratio: the lexical-
+    * diversity quality signals (near-zero entropy ⇒ repetitive
+    * boilerplate). Complements E12's exact-repeat fractions with a
+    * distribution-level measure that needs NO corpus-wide state —
+    * unlike E23 there is no vocabulary relation, so the whole score
+    * is doc-local.
+    *
+    * Determinism: H = ln(n) − (Σ c·ln c)/n; each ln(c) is rounded to
+    * 6 places BEFORE the multiply (identical doubles both engines),
+    * the count×ln product and its Σ run in DECIMAL (exact,
+    * order-free), and the final ln/divide is scalar double math —
+    * E23's proven convention.
+    *
+    * Scale shape: E23's skeleton minus the join — one corpus explode
+    * combines to per-(doc, term) counts map-side before the only
+    * token-volume shuffle; the entropy rollup re-aggregates on
+    * doc_id.
+    */
+  def textEntropy(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    import org.apache.spark.sql.types.DecimalType
+    val dtc = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    dtc.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * r6(log(col("c").cast("double"))).cast(DecimalType(18, 6)))
+          .cast("double").as("s_clnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        r6(log(col("n_tokens").cast("double")) -
+          col("s_clnc") / col("n_tokens").cast("double")).as("entropy_r"),
+        r6(col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr_r"))
+  }, ordered)(col("doc_id"))
+
   /** E24: duplicated-span ratio — the substring-level dedup SIGNAL
     * (Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", made a per-doc filter column): every 4-token sliding

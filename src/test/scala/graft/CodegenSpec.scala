@@ -98,6 +98,17 @@ class CodegenSpec extends SparkSpec {
       "null elements follow array_intersect semantics (null==null counts once)")
   }
 
+  test("PQ encode + ADC run under CODEGEN_ONLY (janino 64 KB regression)") {
+    val t = graft.sources.Tables(codegenOnly, sfDir)
+    // the unrolled literal-argmin formulation of D8/D9 generated
+    // O(m·nCodes·dsub) Java in the Generate stage's consume and blew
+    // janino's 64 KB method limit — Spark then dropped the whole stage
+    // to interpreted eval with only a WARN. With fallback banned these
+    // would THROW; the native PqDists loop form must compile.
+    assert(graft.operators.Similarity.embPqCodes(t).count() > 0)
+    assert(graft.operators.Similarity.annPqAdc(t).count() > 0)
+  }
+
   test("gram-based dedup pipeline runs end-to-end under CODEGEN_ONLY") {
     val t = graft.sources.Tables(codegenOnly, sfDir)
     // exercises GramHashes + SimHashGrams + SimHash60 inside real
