@@ -1,10 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing.md5_60
 import graft.operators.{Dedup, TextOps}
 import graft.sources.Tables
 
@@ -41,15 +39,11 @@ object TrainingDataJob {
       .join(canonical, "doc_id")
       .join(split, "doc_id")
     // E17's shard + position, computed over the SURVIVING set so pos is
-    // dense per shard in the final layout (the window key is the
-    // nShards-cardinality shard id — parallelism = the shard count,
-    // which is the deployment's parallelism knob)
-    val key = md5_60(concat(lit("graft:"), col("doc_id").cast("string")))
-    val w = Window.partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))
-    survivors
-      .withColumn("sort_key", key)
-      .withColumn("shard", pmod(col("sort_key"), lit(nShards.toLong)))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    // dense per shard in the final layout. The position is TextOps'
+    // two-phase withShardPos — parallelism is the shuffle-partition
+    // count, not nShards, so the default shard count never routes
+    // corpus/nShards through one task's sort.
+    TextOps.withShardPos(survivors, nShards, "graft")
       .select(col("doc_id"), col("text"), col("source"),
         col("split"), col("shard"), col("pos"))
   }

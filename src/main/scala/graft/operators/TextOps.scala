@@ -401,27 +401,58 @@ object TextOps {
         col("cum").as("cum_tokens"), (col("cum") <= capTokens).cast("int").as("keep"))
   }, ordered)(col("doc_id"))
 
+  /** Two-phase per-shard position — the scale-safe replacement for
+    * `row_number() over (partition by shard)`, whose parallelism is
+    * bounded by the shard count (at nShards=16 and 100 TB, one task
+    * sorts corpus/16). Same offset pattern as [[textVocab]]:
+    *  1. range-repartition on (shard, sort_key, doc_id) + sort within
+    *     partitions — ONE corpus-wide exchange whose parallelism is the
+    *     shuffle-partition count, not nShards; a shard spans as many
+    *     partitions as its volume needs. The local record number is
+    *     monotonically_increasing_id's documented low 33 bits.
+    *  2. per-(partition, shard) min-record + count (≤ partitions ×
+    *     shards rows) → per-shard prefix offsets over pid order (range
+    *     partitioning makes pid order = sort order within a shard) —
+    *     the only shard-partitioned window runs over this tiny totals
+    *     relation, never the corpus;
+    *  3. offsets broadcast back: pos = off + (lrn − lo) + 1.
+    * Both consumers of the range exchange are identical subplans →
+    * ReusedExchange, so pids and local record numbers are consistent.
+    * Keeps every input column; appends sort_key, shard, pos.
+    */
+  private[graft] def withShardPos(docs: DataFrame, nShards: Int,
+      seed: String): DataFrame = {
+    val parted = docs
+      .withColumn("sort_key",
+        md5_60(concat(lit(seed), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("sort_key"), lit(nShards.toLong)))
+      .repartitionByRange(col("shard"), col("sort_key"), col("doc_id"))
+      .sortWithinPartitions(col("shard"), col("sort_key"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    val wOff = Window.partitionBy(col("shard")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("pid"), col("shard"))
+      .agg(min(col("lrn")).as("lo"), count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("pid"), col("shard"), col("lo"), col("off"))
+    parted.join(broadcast(offsets), Seq("pid", "shard"))
+      .withColumn("pos", col("off") + col("lrn") - col("lo") + 1L)
+      .drop("pid", "lrn")
+  }
+
   /** E17: deterministic shuffle-and-shard — the training-order step a
     * pipeline ends with: every document gets a pseudorandom but
     * SEEDED order key (hash of seed‖doc_id — reproducible across
     * runs and cluster sizes, unlike rand()), a shard from that key,
-    * and its position within the shard.
-    *
-    * Scale shape: the key and shard are one narrow pass; the only
-    * wide op is the per-shard position window (hash-partitioned on
-    * shard, sorted within partition) — no global sort, and shard
-    * sizes are balanced by the uniformity of the hash.
+    * and its position within the shard via the two-phase
+    * [[withShardPos]] (never a shard-partitioned corpus window).
     */
   def docShardShuffle(t: Tables, nShards: Int = 16, seed: String = "graft",
-      ordered: Boolean = false): DataFrame = maybeSort({
-    val h = md5_60(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
-    val w = Window.partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))
-    t.documents
-      .select(col("doc_id"), h.as("sort_key"))
-      .withColumn("shard", pmod(col("sort_key"), lit(nShards.toLong)))
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("sort_key"), col("shard"), col("pos"))
-  }, ordered)(col("doc_id"))
+      ordered: Boolean = false): DataFrame = maybeSort(
+    withShardPos(t.documents.select(col("doc_id")), nShards, seed)
+      .select(col("doc_id"), col("sort_key"), col("shard"), col("pos")),
+    ordered)(col("doc_id"))
 
   /** E18: document PII scrubbing — the doc-level counterpart of
     * ev_scrub_props (A23): mask email addresses and digit runs before

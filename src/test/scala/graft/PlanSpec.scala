@@ -224,6 +224,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shard shuffle / training job: no shard-partitioned window over the corpus") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // the r6 scale finding (E17/G13): row_number over
+    // Window.partitionBy(shard) routes corpus/nShards through ONE
+    // task's sort at the default knob. The two-phase rewrite may still
+    // window on shard — but only over the per-(partition, shard) totals
+    // relation, i.e. every shard-keyed window must sit ABOVE an
+    // aggregation that reduced the corpus away.
+    for ((name, df) <- Seq(
+        "doc_shard_shuffle" -> TextOps.docShardShuffle(tables),
+        "training_job" -> TrainingDataJob.materialize(tables, nShards = 4))) {
+      val sp = df.queryExecution.sparkPlan
+      val corpusShardWindows = sp.collect {
+        case w: WindowExec if w.partitionSpec.exists(_.toString.contains("shard")) &&
+          w.child.collect { case a: BaseAggregateExec => a }.isEmpty => w
+      }
+      assert(corpusShardWindows.isEmpty,
+        s"$name windows the un-aggregated corpus on shard:\n$corpusShardWindows")
+    }
+  }
+
   test("kmeans assign: ZERO shuffles — literal-centers argmin stays narrow") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // the D7 design claim: assignment never joins/windows the corpus —

@@ -173,6 +173,22 @@ class TextAnalysisSpec extends SparkSpec {
       "two-stage top-k diverges from the single-window formulation")
   }
 
+  test("shard shuffle: two-phase positions == single-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 16
+    val got = TextOps.docShardShuffle(tables, nShards).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val ref = tables.documents
+      .select(col("doc_id"),
+        graft.functions.Hashing.md5_60(
+          concat(lit("graft:"), col("doc_id").cast("string"))).as("sort_key"))
+      .withColumn("shard", pmod(col("sort_key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == ref, "two-phase shard positions diverge from the window formulation")
+  }
+
   test("split: labels match the mille buckets; assignment stable when the corpus shrinks") {
     import spark.implicits._
     val rows = TextOps.docSplit(tables).collect()
