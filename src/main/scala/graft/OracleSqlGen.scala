@@ -212,6 +212,39 @@ object OracleSqlGen {
        |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** F6: dHash oracle — block byte sums via a filtered list
+    * comprehension (ord() per char, == byte values for the ASCII
+    * corpus; blocks past the payload sum to 0 via COALESCE of the
+    * empty list), gradient bits via the i→i+1 self-join (i = 60 has
+    * no successor row, so exactly bits 0..59 are produced). All
+    * integer compares — bit-exact vs the native DHash60 loop.
+    */
+  private val dhashCtes: String =
+    """b AS (SELECT doc_id, text, unnest(range(61)) AS i FROM documents),
+      |bs AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+      |  COALESCE(list_sum([ord(substr(text, CAST(i*8+j+1 AS INTEGER), 1))
+      |                     for j in range(8) if length(text) >= i*8+j+1]), 0) AS s
+      |  FROM b),
+      |ph AS (
+      |  SELECT a.doc_id,
+      |    CAST(SUM(CASE WHEN a.s > b2.s THEN (1::BIGINT << a.i) ELSE 0 END) AS BIGINT) AS phash
+      |  FROM bs a JOIN bs b2 ON a.doc_id = b2.doc_id AND b2.i = a.i + 1
+      |  GROUP BY a.doc_id)""".stripMargin
+
+  val mmPhash: String =
+    s"""WITH $dhashCtes
+       |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin
+
+  def mmPhashPairs(maxHamming: Int): String =
+    s"""WITH $dhashCtes,
+       |ch AS (SELECT doc_id, phash, j, (phash >> (15*j)) & 32767 AS chunk_val
+       |  FROM ph, (SELECT unnest([0,1,2,3]) AS j))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+       |FROM ch a JOIN ch b ON a.j = b.j AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |WHERE CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Sequential left-fold vector ops (order-matching Spark's
     * `aggregate`; 0.0 + x == x in IEEE so the seeds agree).
     */

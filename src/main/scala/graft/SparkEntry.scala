@@ -121,6 +121,8 @@ object SparkEntry {
     "mm_resize"            -> q(Multimodal.mmResize(_, ordered = true)),
     "mm_frame_sample"      -> q(Multimodal.mmFrameSample(_, ordered = true)),
     "mm_exact_dedup"       -> q(Multimodal.mmExactDedup(_, ordered = true)),
+    "mm_phash"             -> q(Multimodal.mmPhash(_, ordered = true)),
+    "mm_phash_pairs"       -> q(Multimodal.mmPhashPairs(_, ordered = true)),
   )
 
   /** DuckDB-runnable oracle for each key in `queries` (driver gate).
@@ -636,6 +638,8 @@ object SparkEntry {
     "text_tokencount"       -> OracleSqlGen.textTokencount,
     "text_fingerprint"      -> OracleSqlGen.textFingerprint,
     "mm_binary_meta"        -> OracleSqlGen.mmBinaryMeta,
+    "mm_phash"              -> OracleSqlGen.mmPhash,
+    "mm_phash_pairs"        -> OracleSqlGen.mmPhashPairs(4),
 
     "text_normalize_dedup" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,

@@ -363,6 +363,71 @@ object RollingHashMin {
   }
 }
 
+/** F6: 60-bit gradient ("difference hash") perceptual signature over a
+  * binary payload: the payload's first 61 `blockBytes`-sized blocks
+  * are summed (blocks past the end sum to 0); bit i is set iff block
+  * i's sum exceeds block i+1's — integer compares, so the oracle's
+  * SQL formulation is bit-exact with no floating-point divergence.
+  * 60 bits keeps the value positive in a BIGINT on both engines,
+  * matching the md5_60/simhash60 convention.
+  *
+  * The gradient rule (not the global-mean blockhash rule) matters: a
+  * mean-threshold bit is set for every nonempty block of a
+  * short-payload asset, so the signature degenerates into a length
+  * hash (measured: 13 808 banded pairs at hamming ≤ 4 on the sf0.01
+  * corpus, nearly all length coincidences vs 343 under the gradient
+  * rule). Near-dup assets survive re-encode/light edits under a
+  * block-gradient hash where F5's exact checksum misses them; the
+  * stub grid stands in for the decoded luma plane (this container
+  * has no codecs) — a real deployment hashes decoded bytes with the
+  * identical bit rule.
+  */
+case class DHash60(child: Expression, blockBytes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_dhash60 requires a binary argument, got ${other.sql}")
+    }
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    DHash60.compute(input.asInstanceOf[Array[Byte]], blockBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DHash60.compute($c, $blockBytes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DHash60 {
+  // `compute`, not `eval` — see the GramHashes forwarder-suppression note
+  def compute(bytes: Array[Byte], blockBytes: Int): Long = {
+    val sums = new Array[Long](61)
+    var i = 0
+    while (i < 61) {
+      var s = 0L
+      var j = i * blockBytes
+      val end = math.min(bytes.length, j + blockBytes)
+      while (j < end) { s += (bytes(j) & 0xffL); j += 1 }
+      sums(i) = s
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < 60) {
+      if (sums(i) > sums(i + 1)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+}
+
 object Md5Prefix60 {
   private val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))

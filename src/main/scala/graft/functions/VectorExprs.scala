@@ -250,7 +250,9 @@ object VectorExprs {
     ("graft_intersect_count", classOf[IntersectCount].getName,
       exprs => IntersectCount(exprs.head, exprs(1))),
     ("graft_pq_dists", classOf[PqDists].getName,
-      exprs => PqDists(exprs.head, exprs(1))))
+      exprs => PqDists(exprs.head, exprs(1))),
+    ("graft_dhash60", classOf[DHash60].getName,
+      exprs => DHash60(exprs.head, 8)))
 
   /** Register the native expressions in the session's function registry
     * (the public extension point — same mechanism

@@ -40,6 +40,47 @@ object Multimodal {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
     ordered)(col("keep_id"))
 
+  /** F6a: perceptual hash — 60-bit gradient (dHash) signature per
+    * payload (see [[graft.functions.DHash60]]). One narrow codegen'd
+    * pass, no shuffle: the 8-byte signature is what downstream banding
+    * joins move, never the payload.
+    */
+  def mmPhash(t: Tables, ordered: Boolean = false): DataFrame =
+    maybeSort(phashes(t), ordered)(col("doc_id"))
+
+  private def phashes(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+      call_function("graft_dhash60", col("text").cast("binary")).as("phash"))
+
+  /** F6b: perceptual near-dup pairs — the modality F5's exact checksum
+    * misses (re-encoded/lightly edited assets): pigeonhole banding of
+    * the 60-bit phash into 4 × 15-bit chunks (hamming ≤ 3 guarantees a
+    * shared chunk; larger thresholds are recall-best-effort, same
+    * contract as C4b), candidates share a chunk, verified by exact
+    * hamming. Scale shape: the join is an equi-join on
+    * (chunk, chunk_val) over 8-byte keys — banding bounds candidates,
+    * no all-pairs anywhere.
+    */
+  def mmPhashPairs(t: Tables, maxHamming: Int = 4, ordered: Boolean = false): DataFrame = {
+    val chunks = phashes(t).select(col("doc_id"), col("phash"),
+      expr("""stack(4,
+        0, (phash >> 0)  & 32767,
+        1, (phash >> 15) & 32767,
+        2, (phash >> 30) & 32767,
+        3, (phash >> 45) & 32767) AS (chunk, chunk_val)"""))
+    val c2 = chunks.select(col("doc_id").as("db"), col("phash").as("ph2"),
+      col("chunk").as("chunk2"), col("chunk_val").as("chunk_val2"))
+    maybeSort(
+      chunks.join(c2,
+          col("chunk") === col("chunk2") && col("chunk_val") === col("chunk_val2") &&
+            col("doc_id") < col("db"))
+        .select(col("doc_id").as("doc_a"), col("db").as("doc_b"),
+          bit_count(col("phash").bitwiseXOR(col("ph2"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming),
+      ordered)(col("doc_a"), col("doc_b"))
+  }
+
   final case class MmFeature(doc_id: Long, width: Int, height: Int,
       channels: Int, mean_byte: Double, n_bytes: Int)
 
