@@ -153,6 +153,15 @@ object Bench {
       }.reduce(_ union _).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       out
     }
+    // expected asymptotic exponents, emitted next to the measured ones
+    // so the super-linearity alarm is calibrated per query rather than
+    // a blanket 1.0: doc_embed_cosine_dup is an EXACT pairwise join
+    // (Ω(n²) compares by definition — its Scaladoc explains why LSH
+    // candidates can't serve threshold 0.45), so 2.0 is its design
+    // exponent and anything below is overhead dilution; the banded /
+    // celled three are ~linear by construction.
+    val sf1Expected = Map("doc_ngram_jaccard" -> 1.2, "doc_dedup_clusters" -> 1.2,
+      "doc_embed_cosine_dup" -> 2.0, "doc_semdedup" -> 1.2)
     val HeavySf1 = Seq("doc_ngram_jaccard", "doc_dedup_clusters",
       "doc_embed_cosine_dup", "doc_semdedup")
     val sf1Secs: Map[String, Double] =
@@ -208,7 +217,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
     val sweepSf = sweepDir.fold("null")(d => s"\"$d\"")
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$Iters,"iters_per_query":$iters,"cpus":$cpus,"stream_state_partitions":$StreamStateParts,"sf":"$sfDir","scale_sweep_sf":$sweepSf,"scaling":${jmap(scaling)},"sf1_secs":${jmap(sf1Secs)},"scaling_sf1":${jmap(scalingSf1)}}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$Iters,"iters_per_query":$iters,"cpus":$cpus,"stream_state_partitions":$StreamStateParts,"sf":"$sfDir","scale_sweep_sf":$sweepSf,"scaling":${jmap(scaling)},"sf1_secs":${jmap(sf1Secs)},"scaling_sf1":${jmap(scalingSf1)},"scaling_sf1_expected":${jmap(sf1Expected)}}"""
     // the stable on-disk copy is the machine-readable artifact; the
     // stdout line (the driver contract) stays last so a tail capture
     // that survives still parses

@@ -657,13 +657,36 @@ object Dedup {
     * 0.45 an exact cosine join is inherently Ω(n²) compares and the
     * right lever is the block grid's bounded, splittable tasks.
     */
-  def docEmbedCosineDup(t: Tables, threshold: Double = 0.45, nBlocks: Int = 8,
+  /** Grid size for the exact pairwise block join, derived per
+    * Afrati–Ullman: total compare work is Ω(n²) whatever B is (the
+    * grid only routes pairs), so wall clock is ~n²/P and B's job is
+    * only (a) granularity — B(B+1)/2 tasks must cover the cluster's
+    * parallelism with headroom, B ≈ √(4P) — and (b) memory — a task
+    * reads 2n/B rows, capped at ~100k vectors (~tens of MB) per side.
+    * B must otherwise stay SMALL: per-row replication is ~B, so
+    * shuffle volume is O(n·B) and every unnecessary block multiplies
+    * it. A fixed B=8 was the scale bug the r7 sf1 sweep exposed: 36
+    * tasks flat regardless of cluster or corpus — at 1000 executors
+    * the grid can't use the machine, and one task's 2n/8 rows
+    * eventually exceed memory. The count is one cheap metadata job;
+    * results are IDENTICAL for any B, spec-pinned.
+    */
+  private def gridBlocks(n: Long, parallelism: Int): Int = {
+    val granularity = math.ceil(math.sqrt(4.0 * parallelism)).toInt
+    val memoryBound = ((n + 99999L) / 100000L).toInt
+    math.min(4096, math.max(8, math.max(granularity, memoryBound)))
+  }
+
+  def docEmbedCosineDup(t: Tables, threshold: Double = 0.45, nBlocks: Int = 0,
       ordered: Boolean = false): DataFrame = {
+    val nb =
+      if (nBlocks > 0) nBlocks
+      else gridBlocks(t.embeddings.count(), t.spark.sparkContext.defaultParallelism)
     val e = Similarity.withNorm(t.embeddings)
       .select(col("vec_id"), col("v"), col("n2"))
-      .withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)))
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(nb)))
     val left = e
-      .withColumn("bj", explode(sequence(col("blk"), lit(nBlocks - 1))))
+      .withColumn("bj", explode(sequence(col("blk"), lit(nb - 1))))
       .select(col("blk").as("bi"), col("bj"),
         col("vec_id").as("va"), col("v").as("xa"), col("n2").as("na"))
     val right = e

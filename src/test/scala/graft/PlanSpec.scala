@@ -82,6 +82,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "cartesian over embeddings")
   }
 
+  test("embed cosine dup: results are grid-invariant — nBlocks only routes pairs") {
+    // the auto-scaled grid (granularity/memory law) must never change
+    // WHAT the op computes: every unordered pair meets in exactly one
+    // task for any B
+    def pairs(b: Int) = Dedup.docEmbedCosineDup(tables, nBlocks = b).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.docEmbedCosineDup(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(3) == pairs(8) && pairs(8) == auto,
+      "block grid size changed the result set")
+  }
+
   test("multi-table lsh: equi-join probe — no nested-loop or cartesian over the postings") {
     val p = plan(Similarity.annLshMultiTable(tables))
     assert(!p.contains("CartesianProduct"), "cartesian over postings")
