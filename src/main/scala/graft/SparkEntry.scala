@@ -446,8 +446,11 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
         |  floor(((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))*1000000 + 0.5)/1000000 AS covar_pop_r,
-        |  floor(((sxy - sx * sy / CAST(n AS DOUBLE)) /
-        |    (sqrt(sxx - sx * sx / CAST(n AS DOUBLE)) * sqrt(syy - sy * sy / CAST(n AS DOUBLE))))*1000000 + 0.5)/1000000 AS corr_r
+        |  CASE WHEN (sxx - sx * sx / CAST(n AS DOUBLE)) > 0
+        |        AND (syy - sy * sy / CAST(n AS DOUBLE)) > 0
+        |    THEN floor(((sxy - sx * sy / CAST(n AS DOUBLE)) /
+        |      (sqrt(sxx - sx * sx / CAST(n AS DOUBLE)) * sqrt(syy - sy * sy / CAST(n AS DOUBLE))))*1000000 + 0.5)/1000000
+        |  END AS corr_r
         |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "ev_retention" ->

@@ -117,6 +117,22 @@ case class PqDists(vec: Expression, codebook: Expression)
   override def right: Expression = codebook
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // registered as public SQL (graft_pq_dists): reject bad shapes at
+  // ANALYSIS time, not as an executor-side RuntimeException at first
+  // eval — a non-foldable codebook would otherwise only fail inside
+  // the lazy fold, deep in a running job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (vec.dataType, codebook.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        if (codebook.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_pq_dists codebook must be a literal (foldable) array<array<double>>")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_dists requires (array<double>, array<array<double>>), got ${l.sql} and ${r.sql}")
+    }
+  }
+
   private def mayHaveNullElements: Boolean = vec.dataType match {
     case ArrayType(_, n) => n
     case _ => true
@@ -124,19 +140,26 @@ case class PqDists(vec: Expression, codebook: Expression)
 
   // (flat row-major codebook, per-code ‖c‖², nCodes, dsub)
   @transient private lazy val folded: (Array[Double], Array[Double], Int, Int) = {
-    require(codebook.foldable, "PqDists codebook must be a literal")
     val cb = codebook.eval(null).asInstanceOf[ArrayData]
+    require(cb != null, "PqDists codebook must not be null")
     val n = cb.numElements()
     require(n > 0, "PqDists codebook must be non-empty")
+    require(!cb.isNullAt(0), "PqDists codebook element 0 is null")
     val d = cb.getArray(0).numElements()
     val flat = new Array[Double](n * d)
     val c2 = new Array[Double](n)
     var c = 0
     while (c < n) {
+      // a ragged or null-element codebook would otherwise read
+      // undefined slots via getDouble on an absent index
+      require(!cb.isNullAt(c), s"PqDists codebook element $c is null")
       val a = cb.getArray(c)
+      require(a.numElements() == d,
+        s"PqDists codebook is ragged: element $c has ${a.numElements()} dims, expected $d")
       var s = 0.0
       var i = 0
       while (i < d) {
+        require(!a.isNullAt(i), s"PqDists codebook element $c has a null at dim $i")
         val x = a.getDouble(i)
         flat(c * d + i) = x
         s += x * x

@@ -420,9 +420,14 @@ object Analytics {
         m($("l_extendedprice") * $("l_extendedprice")).as("syy"))
       .select($("l_returnflag"), $("n"),
         r6(($("sxy") - $("sx") * $("sy") / nD) / nD).as("covar_pop_r"),
-        r6(($("sxy") - $("sx") * $("sy") / nD) /
-          (sqrt($("sxx") - $("sx") * $("sx") / nD) *
-            sqrt($("syy") - $("sy") * $("sy") / nD))).as("corr_r"))
+        // correlation is undefined for a constant column: guard both
+        // variance terms so a degenerate group yields NULL on both
+        // engines instead of engine-specific 0-division behavior
+        when(($("sxx") - $("sx") * $("sx") / nD) > 0 &&
+             ($("syy") - $("sy") * $("sy") / nD) > 0,
+          r6(($("sxy") - $("sx") * $("sy") / nD) /
+            (sqrt($("sxx") - $("sx") * $("sx") / nD) *
+              sqrt($("syy") - $("sy") * $("sy") / nD)))).as("corr_r"))
       .orderBy($("l_returnflag"))
   }
 

@@ -335,11 +335,17 @@ object Similarity {
       struct(lit(j.toLong).as("sub_j"),
         VectorExprs.pqDists(xv, subCodebook(centers, j, dsub)).as("ds"))
     }
+    // the min is materialized once per row in its own projection:
+    // aliasing array_min twice in one select would re-run the O(nCodes)
+    // scan per use (CollapseProject keeps this split for non-cheap
+    // multi-referenced aliases, so the shape survives optimization)
     withNorm(t.embeddings)
       .select(col("vec_id"), explode(array(subs: _*)).as("s"))
       .select(col("vec_id"), col("s.sub_j").as("sub_j"),
-        (array_position(col("s.ds"), array_min(col("s.ds"))) - 1L).as("code"),
-        array_min(col("s.ds")).as("dist2_r"))
+        col("s.ds").as("ds"), array_min(col("s.ds")).as("mn"))
+      .select(col("vec_id"), col("sub_j"),
+        (array_position(col("ds"), col("mn")) - 1L).as("code"),
+        col("mn").as("dist2_r"))
   }, ordered)(col("vec_id"), col("sub_j"))
 
   /** D9: PQ asymmetric-distance ANN (ADC) — approximate top-k where

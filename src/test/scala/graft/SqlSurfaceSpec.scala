@@ -32,4 +32,30 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(bg.getSeq[String](0) == Seq("a b", "b b"))
     assert(bg.getSeq[String](1) == Seq("b b"))
   }
+
+  test("graft_pq_dists rejects malformed codebooks at analysis / fold time") {
+    import org.apache.spark.sql.AnalysisException
+    GraftCatalog.registerViews(spark, sfDir)
+    // non-foldable codebook: caught by the analyzer, not a mid-job
+    // executor RuntimeException
+    val nonFoldable = intercept[AnalysisException] {
+      spark.sql(
+        """SELECT graft_pq_dists(array(1.0d), array(array(CAST(vec_id AS DOUBLE))))
+          |FROM embeddings""".stripMargin).collect()
+    }
+    assert(nonFoldable.getMessage.contains("foldable"), nonFoldable.getMessage)
+    // wrong type: analysis failure with the expected signature named
+    val wrongType = intercept[AnalysisException] {
+      spark.sql("SELECT graft_pq_dists(array(1.0d), array(1.0d))").collect()
+    }
+    assert(wrongType.getMessage.contains("array<array<double>>"), wrongType.getMessage)
+    // ragged codebook: loud failure, never an undefined-slot read
+    val ragged = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_pq_dists(array(1.0d, 2.0d),
+          |  array(array(1.0d, 2.0d), array(3.0d)))""".stripMargin).collect()
+    }
+    assert(ragged.getMessage.contains("ragged")
+      || Option(ragged.getCause).exists(_.getMessage.contains("ragged")), ragged.getMessage)
+  }
 }
