@@ -720,6 +720,28 @@ object OracleSqlGen {
       |  floor((CAST(SUM(CASE WHEN df >= 2 THEN c_sp ELSE 0 END) AS DOUBLE)/SUM(c_sp))*1000000 + 0.5)/1000000 AS dup_ratio_r
       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** E24b: span removal — positions ride a struct-list comprehension
+    * (0-based to match posexplode); the rewrite is the same
+    * anti-join + ordered string_agg the Spark side performs.
+    */
+  val docSpanRemoval: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS otk, string_split(lower(text), ' ') AS tk FROM documents),
+      |sp AS (SELECT doc_id, unnest([{'pos': i - 1, 'h': ('0x'||substr(md5(array_to_string(tk[i:i+3],' ')),1,15))::BIGINT} for i in range(1, len(tk)-2)]) AS s
+      |       FROM t WHERE len(tk) >= 4),
+      |sp2 AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM sp),
+      |dfh AS (SELECT h, COUNT(*) AS df FROM sp2 GROUP BY h),
+      |dup AS (SELECT sp2.doc_id, sp2.pos FROM sp2 JOIN dfh USING (h) WHERE df >= 2),
+      |cov AS (SELECT DISTINCT doc_id, pos + o AS j FROM dup, (SELECT unnest([0,1,2,3]) AS o) u),
+      |tokx AS (SELECT doc_id, unnest(range(1, len(otk)+1)) AS j1, otk FROM t),
+      |tok AS (SELECT doc_id, CAST(j1 AS INTEGER) - 1 AS j, otk[CAST(j1 AS INTEGER)] AS tok FROM tokx),
+      |kept AS (SELECT tok.doc_id, tok.j, tok.tok FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j WHERE cov.j IS NULL),
+      |rw AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text_clean, COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id AS doc_id, COALESCE(rw.text_clean, '') AS text_clean,
+      |  CAST(len(t.otk) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.otk) - COALESCE(rw.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM t LEFT JOIN rw ON t.doc_id = rw.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val textFingerprint: String =
     """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk, lower(text) AS lt FROM documents),
       |w AS (SELECT doc_id, unnest(CASE WHEN len(tk)>=5

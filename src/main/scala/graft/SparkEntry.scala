@@ -102,6 +102,7 @@ object SparkEntry {
     "text_bm25"            -> q(TextOps.textBm25(_, ordered = true)),
     "text_unigram_logprob" -> q(TextOps.textUnigramLogprob(_, ordered = true)),
     "doc_span_dedup"       -> q(TextOps.docSpanDedup(_, ordered = true)),
+    "doc_span_removal"     -> q(TextOps.docSpanRemoval(_, ordered = true)),
     "doc_mix_weights"      -> q(TextOps.docMixWeights(_, ordered = true)),
     "doc_quality_bucket"   -> q(TextOps.docQualityBucket(_, ordered = true)),
     "text_keywords"        -> q(TextOps.textKeywords(_, ordered = true)),
@@ -627,6 +628,7 @@ object SparkEntry {
     "text_bm25"             -> OracleSqlGen.textBm25(Seq("hash", "join", "vector"), 1.2, 0.75),
     "text_unigram_logprob"  -> OracleSqlGen.textUnigramLogprob,
     "doc_span_dedup"        -> OracleSqlGen.docSpanDedup,
+    "doc_span_removal"      -> OracleSqlGen.docSpanRemoval,
     "doc_mix_weights"       -> OracleSqlGen.docMixWeights(0.7),
     "doc_quality_bucket"    -> OracleSqlGen.docQualityBucket(10000),
     "text_keywords"         -> OracleSqlGen.textKeywords(3),

@@ -714,6 +714,59 @@ object TextOps {
         r6(col("n_dup_spans").cast("double") / col("n_spans")))
   }, ordered)(col("doc_id"))
 
+  /** E24b: duplicated-span REMOVAL — E24 scores the signal; this op
+    * applies it the way Lee et al.'s ExactSubstr pipeline does: every
+    * token covered by any corpus-wide ≥2-frequency 4-token span is
+    * excised, and the kept tokens are rejoined (plus per-doc audit
+    * counts — removal without an audit trail is how a pipeline
+    * silently eats its corpus). Strictly span-level: docs under 4
+    * tokens have no spans and pass through verbatim (no E24-style
+    * whole-text fallback — exact-doc dedup is C1's job).
+    *
+    * Guarantee (spec-pinned): no kept token was covered by a
+    * duplicated span, so every surviving window of ORIGINALLY
+    * contiguous tokens is corpus-unique. The stronger "the rewritten
+    * corpus has zero ≥2-frequency spans" is NOT attainable in one
+    * pass — excising a region makes its neighbors adjacent, and those
+    * junction windows can collide (measured: 33 junction-created
+    * duplicate spans on the sf0.01 corpus). That is the published
+    * single-pass behavior; iterating to a fixpoint is a policy call
+    * layered on top, not a different operator.
+    *
+    * Scale shape: span hashing is the E24 narrow GramHashes pass with
+    * positions; dup positions come from the df≥2 join; coverage
+    * explodes to at most 4 rows per dup span, distinct-ed on
+    * (doc, token index); the rewrite is a left-anti join of the token
+    * relation against that coverage set plus one per-doc sorted
+    * reassembly — every join is an equi-join on (doc_id, j) or h,
+    * nothing all-pairs, no low-cardinality window anywhere.
+    */
+  def docSpanRemoval(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spans = t.documents
+      .filter(size(split(col("text"), " ")) >= 4)
+      .select(col("doc_id"),
+        posexplode(call_function("graft_gram4_hashes", col("text"))).as(Seq("pos", "h")))
+    val dfh = spans.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val removed = spans.join(dfh.filter(col("df") >= 2), "h")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 3)).as("j"))
+      .distinct()
+    val tok = t.documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("j", "tok")))
+    val rw = tok.join(removed, Seq("doc_id", "j"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(j, tok))), x -> x.tok), ' ')")
+          .as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    t.documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(rw, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }, ordered)(col("doc_id"))
+
   /** E27: per-doc top-k TF-IDF keywords — the keyword-extraction /
     * topic-tagging step (metadata enrichment before indexing or
     * cluster labeling): tf from the shared (doc, term) count stage,

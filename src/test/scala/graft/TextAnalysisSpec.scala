@@ -189,6 +189,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == ref, "two-phase shard positions diverge from the window formulation")
   }
 
+  test("span removal: originally-contiguous surviving windows are corpus-unique; untouched docs verbatim") {
+    val docs = tables.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextOps.docSpanRemoval(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == docs.size, "every doc must appear in the rewrite")
+    // reference computation: original span frequencies + coverage
+    def h60(s: String): Long = java.lang.Long.parseUnsignedLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    def windows(text: String): Seq[(Int, Long)] = {
+      val tk = text.toLowerCase.split(" ", -1)
+      if (tk.length < 4) Seq.empty
+      else (0 to tk.length - 4).map(i => i -> h60(tk.slice(i, i + 4).mkString(" ")))
+    }
+    val freq = docs.values.toSeq.flatMap(windows).groupBy(_._2).view.mapValues(_.size).toMap
+    out.foreach { case (id, clean, nTokens, nRemoved) =>
+      val orig = docs(id).split(" ", -1)
+      assert(nTokens == orig.length)
+      val covered = windows(docs(id)).collect {
+        case (i, h) if freq(h) >= 2 => i until (i + 4)
+      }.flatten.toSet
+      assert(nRemoved == covered.size, s"doc $id audit count")
+      val kept = orig.indices.filterNot(covered)
+      assert(clean == kept.map(orig).mkString(" "), s"doc $id rewrite")
+      // the dedup guarantee a single pass CAN make: any window of 4
+      // originally-contiguous kept tokens was unique in the corpus
+      kept.sliding(4).foreach {
+        case w if w.length == 4 && w.last - w.head == 3 =>
+          val h = h60(w.map(j => orig(j).toLowerCase).mkString(" "))
+          assert(freq(h) == 1, s"doc $id kept a duplicated span at ${w.head}")
+        case _ =>
+      }
+      if (covered.isEmpty) assert(clean == docs(id), s"untouched doc $id must be verbatim")
+    }
+  }
+
   test("split: labels match the mille buckets; assignment stable when the corpus shrinks") {
     import spark.implicits._
     val rows = TextOps.docSplit(tables).collect()
