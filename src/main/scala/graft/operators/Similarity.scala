@@ -364,8 +364,19 @@ object Similarity {
     * r6'd and decimal-summed — order-independent, oracle-portable.
     */
   def annPqAdc(t: Tables, nQueries: Int = 8, k: Int = 5,
-      m: Int = 8, nCodes: Int = 8): DataFrame = {
-    val centers = hashCenters(t, nCodes) // fetched once, shared with the encode
+      m: Int = 8, nCodes: Int = 8): DataFrame =
+    annPqAdcWith(t, hashCenters(t, nCodes), nQueries, k, m)
+
+  /** D9 off an externally trained/loaded quantizer (e.g.
+    * [[graft.sources.Sinks.readQuantizer]]) — the deploy shape:
+    * "trained offline, broadcast as literals" means the center set is
+    * a persisted artifact read once, not re-derived per query. The PQ
+    * sub-codebooks are DERIVED from the center set (subvector slices),
+    * so the artifact is the single source of truth for D7/D8/D9 and
+    * the G12 cell layout alike.
+    */
+  def annPqAdcWith(t: Tables, centers: Array[(Int, Seq[Double], Double)],
+      nQueries: Int = 8, k: Int = 5, m: Int = 8): DataFrame = {
     val dsub = centers.head._2.length / m
     val codes = embPqCodesWith(t, centers, m, ordered = false)
       .select(col("vec_id"), col("sub_j"), col("code"))

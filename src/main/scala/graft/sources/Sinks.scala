@@ -73,14 +73,57 @@ object Sinks {
     * actual I/O savings at 100 TB.
     */
   def writeEmbeddingsByCell(t: Tables, path: String, nCells: Int = 8): Unit =
+    writeEmbeddingsByCellWith(t, path,
+      graft.operators.Similarity.hashCenters(t, nCells))
+
+  /** G12 off a persisted quantizer artifact (see [[writeQuantizer]]):
+    * the cell layout and every query that probes it must agree on the
+    * center set, which they only reliably do when both READ the same
+    * saved artifact instead of re-deriving it.
+    */
+  def writeEmbeddingsByCell(t: Tables, path: String, quantizerPath: String): Unit =
+    writeEmbeddingsByCellWith(t, path, readQuantizer(t.spark, quantizerPath))
+
+  private def writeEmbeddingsByCellWith(t: Tables, path: String,
+      centers: Array[(Int, Seq[Double], Double)]): Unit =
     graft.operators.Similarity
-      .withCell(graft.operators.Similarity.withNorm(t.embeddings),
-        graft.operators.Similarity.hashCenters(t, nCells))
+      .withCell(graft.operators.Similarity.withNorm(t.embeddings), centers)
       .select(col("vec_id"), col("embedding"), col("label"), col("cell"))
       .repartition(col("cell")) // one task-group per cell dir, no tiny files
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(path)
+
+  /** G15: quantizer persistence — the D7 center set (cell id, center
+    * vector, precomputed ‖c‖²) as a tiny parquet artifact. This makes
+    * "trained offline, broadcast as literals" real: train/derive ONCE,
+    * write; every consumer (D7 assignment, D8 encode, D9 ADC, the G12
+    * cell layout) loads the same artifact instead of re-deriving the
+    * centers per query — at 100 TB the quantizer is infrastructure,
+    * versioned and shared, not a query-local computation. PQ
+    * sub-codebooks are subvector slices of these centers, so one
+    * artifact covers the whole family.
+    */
+  def writeQuantizer(t: Tables, path: String, nCenters: Int = 8): Unit = {
+    val spark = t.spark
+    import spark.implicits._
+    graft.operators.Similarity.hashCenters(t, nCenters).toSeq
+      .toDF("cell", "center", "c2")
+      .coalesce(1) // nCenters rows — one file
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Load a [[writeQuantizer]] artifact. Driver-side collect bounded
+    * by nCenters rows (the artifact IS the broadcast-as-literals
+    * input; it never holds corpus-scale data).
+    */
+  def readQuantizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Seq[Double], Double)] =
+    spark.read.parquet(path)
+      .select(col("cell"), col("center"), col("c2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
 
   /** Bits per dimension of the z-value (16 → 32-bit z, plenty for
     * file-level clustering).

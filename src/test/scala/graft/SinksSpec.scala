@@ -41,6 +41,29 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir.getAbsolutePath).count() == tables.embeddings.count())
   }
 
+  test("quantizer artifact: round-trips exactly; ADC and cell layout run off the LOADED centers") {
+    import graft.operators.Similarity
+    val qdir = Files.createTempDirectory("quantizer").toFile
+    Sinks.writeQuantizer(tables, qdir.getAbsolutePath, nCenters = 8)
+    val loaded = Sinks.readQuantizer(spark, qdir.getAbsolutePath)
+    val derived = Similarity.hashCenters(tables, 8)
+    assert(loaded.toSeq == derived.toSeq, "persisted centers must round-trip bit-exactly")
+    // D9 off the loaded artifact == D9 re-deriving per query
+    val fromArtifact = Similarity.annPqAdcWith(tables, loaded).collect().map(_.toSeq)
+    val rederived = Similarity.annPqAdc(tables).collect().map(_.toSeq)
+    assert(fromArtifact.toSeq == rederived.toSeq, "ADC off the saved codebook diverged")
+    // G12 cell layout off the artifact: same assignment as the
+    // nCells-derived layout (both consumers read one source of truth)
+    val dir = Files.createTempDirectory("emb_cells_q").toFile
+    Sinks.writeEmbeddingsByCell(tables, dir.getAbsolutePath, qdir.getAbsolutePath)
+    val laidOut = spark.read.parquet(dir.getAbsolutePath)
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val assigned = Similarity.embKmeansAssign(tables, nCenters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(laidOut == assigned, "cell layout off the artifact diverged from D7 assignment")
+  }
+
   test("bucketed table join on the bucket key avoids the shuffle") {
     // the catalog is per-JVM (in-memory) but the warehouse dir persists:
     // clear any orphaned location from a previous test run
