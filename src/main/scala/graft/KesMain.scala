@@ -29,8 +29,10 @@ import graft.sources.KubeEventSource
   *   CACHE_TTL     dedup-state TTL in seconds (reference default 3600)
   *   CACHE_DB      checkpoint directory (the reference's sled path —
   *                 both are "where the dedup state survives restarts")
-  *   METRICS_PORT  serve Prometheus /metrics on this port (reference
-  *                 serves 0.0.0.0:9000, src/main.rs:63)
+  *   METRICS_PORT  serve Prometheus /metrics on this port; defaults
+  *                 to 9000 like the reference's unconditional
+  *                 0.0.0.0:9000 server (src/main.rs:63); 0 disables
+  *                 (an extension — the reference has no off switch)
   *
   * `--once` processes the backlog and exits (Trigger.AvailableNow),
   * otherwise it runs as the daemon the reference is.
@@ -221,6 +223,39 @@ object KesMain {
       System.setProperty("spark.log.structuredLogging.enabled", "true")
     }
 
+  /** Reference parity: the build stamps its version into startup logs
+    * and crash reports (build.rs:1, main.rs:22,29). The jar manifest's
+    * Implementation-Version is the Scala analog of the compiled-in
+    * cargo version; "dev" when running unpackaged.
+    */
+  private[graft] def versionStamp: String = {
+    val v = Option(getClass.getPackage.getImplementationVersion).getOrElse("dev")
+    s"graft $v (spark ${org.apache.spark.SPARK_VERSION})"
+  }
+
+  /** METRICS_PORT resolution: unset → the reference's unconditional
+    * port 9000; explicit 0 → disabled.
+    */
+  private[graft] def metricsPort(env: Map[String, String]): Option[Int] =
+    env.get("METRICS_PORT").map(_.toInt).orElse(Some(9000)).filter(_ != 0)
+
+  /** Bind /metrics, surviving an occupied port: a metrics endpoint is
+    * observability, not correctness — the pipeline must not die
+    * because something else holds 9000 (divergence from the reference,
+    * which would crash; logged loudly instead).
+    */
+  private[graft] def startMetrics(env: Map[String, String],
+      metrics: graft.streaming.GraftMetricsListener): Option[com.sun.net.httpserver.HttpServer] =
+    metricsPort(env).flatMap { p =>
+      try Some(metrics.serve(p))
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(
+            s"[kes] metrics port $p unavailable (${e.getMessage}); continuing without /metrics")
+          None
+      }
+    }
+
   private[graft] def run(args: Array[String], env: Map[String, String]): Unit = {
     val (in, out, checkpoint, ttl, once) = resolve(args, env)
     configureLogging(env)
@@ -229,9 +264,10 @@ object KesMain {
     // (off by default: silently discarding state must be opted into)
     val recreate = env.get("CACHE_RECREATE").exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
+    System.err.println(s"[kes] $versionStamp starting")
     val metrics = new graft.streaming.GraftMetricsListener
     spark.streams.addListener(metrics)
-    val server = env.get("METRICS_PORT").map(p => metrics.serve(p.toInt))
+    val server = startMetrics(env, metrics)
 
     // TIME_FALLBACK=1 → the reference's types.rs:38 behavior: events
     // with no timestamp at all continue at processing time (counted via

@@ -274,4 +274,35 @@ class KesMainSpec extends SparkSpec {
       .exists(_.getName.startsWith("_spark_metadata.corrupt-")),
       "moved-aside sink log must be preserved for forensics")
   }
+
+  test("metrics default to port 9000 with no env (reference main.rs:63); 0 disables") {
+    assert(KesMain.metricsPort(Map.empty).contains(9000))
+    assert(KesMain.metricsPort(Map("METRICS_PORT" -> "1234")).contains(1234))
+    assert(KesMain.metricsPort(Map("METRICS_PORT" -> "0")).isEmpty)
+    // /metrics actually served on the default port with NO env set
+    val metrics = new graft.streaming.GraftMetricsListener
+    val server = KesMain.startMetrics(Map.empty, metrics)
+    assert(server.nonEmpty, "default metrics server must bind")
+    try {
+      assert(server.get.getAddress.getPort == 9000)
+      val conn = new java.net.URL("http://127.0.0.1:9000/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try {
+        assert(conn.getResponseCode == 200)
+        val body = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(body.contains("graft_"), body.take(200))
+      } finally conn.disconnect()
+      // an occupied port degrades to no-metrics with a warning, never
+      // a crashed pipeline
+      assert(KesMain.startMetrics(Map.empty, metrics).isEmpty,
+        "second bind on an occupied port must degrade, not throw")
+    } finally server.get.stop(0)
+  }
+
+  test("version stamp names the build and spark versions (reference build.rs/main.rs:22)") {
+    val s = KesMain.versionStamp
+    assert(s.startsWith("graft "), s)
+    assert(s.contains(org.apache.spark.SPARK_VERSION), s)
+  }
 }
