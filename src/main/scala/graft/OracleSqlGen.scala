@@ -143,6 +143,41 @@ object OracleSqlGen {
        |FROM vr JOIN documents d USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** C8b: batch-vs-corpus MinHash near-dup — C3's banding restricted
+    * to batch-anchored candidates (base partners, or earlier-id batch
+    * partners), exact-verified, lowest qualifying partner per batch
+    * doc.
+    */
+  def docIncrementalMinhash(mod: Int, threshold: Double): String =
+    s"""WITH $gramCtes,
+       |$sigCte,
+       |band AS (SELECT doc_id, j,
+       |  CASE j WHEN 0 THEN ${bandConcat(0 until 4)}
+       |         WHEN 1 THEN ${bandConcat(4 until 8)}
+       |         WHEN 2 THEN ${bandConcat(8 until 12)}
+       |         ELSE ${bandConcat(12 until 16)} END AS band_val
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val
+       |    AND a.doc_id % $mod = 0 AND b.doc_id <> a.doc_id
+       |    AND (b.doc_id % $mod <> 0 OR b.doc_id < a.doc_id)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+       |common AS (SELECT da, db, COUNT(*) AS c FROM cand
+       |  JOIN g ga ON ga.doc_id = da
+       |  JOIN g gb ON gb.doc_id = db AND gb.gram = ga.gram
+       |  GROUP BY da, db),
+       |ver AS (SELECT da, db, c/(sa.n+sb.n-c) AS j
+       |  FROM common JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+       |  WHERE c/(sa.n+sb.n-c) >= $threshold),
+       |best AS (SELECT da, MIN(db) AS dup_of FROM ver GROUP BY da),
+       |bj AS (SELECT best.da, best.dup_of, ver.j FROM best
+       |  JOIN ver ON ver.da = best.da AND ver.db = best.dup_of)
+       |SELECT d.doc_id AS doc_id, bj.dup_of AS dup_of, bj.j AS jaccard,
+       |  CAST(bj.dup_of IS NULL AS INTEGER) AS is_new
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $mod = 0) d
+       |LEFT JOIN bj ON bj.da = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def docIncrementalDedup(mod: Int): String =
     s"""WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
        |batch AS (SELECT * FROM hashed WHERE doc_id % $mod = 0),

@@ -66,6 +66,7 @@ object SparkEntry {
     "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_, ordered = true)),
     "doc_ngram_jaccard_capped" -> q(Dedup.docNgramJaccardCapped(_, ordered = true)),
     "doc_incremental_dedup" -> q(Dedup.docIncrementalDedup(_, ordered = true)),
+    "doc_incremental_minhash" -> q(Dedup.docIncrementalMinhash(_, ordered = true)),
     "doc_decontaminate"    -> q(Dedup.docDecontaminate(_, ordered = true)),
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
     "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_, ordered = true)),
@@ -561,6 +562,7 @@ object SparkEntry {
     "ann_lsh_multitable"    -> OracleSqlGen.annLshMultiTable,
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),
     "doc_incremental_dedup" -> OracleSqlGen.docIncrementalDedup(5),
+    "doc_incremental_minhash" -> OracleSqlGen.docIncrementalMinhash(5, 0.2),
     "doc_decontaminate"     -> OracleSqlGen.docDecontaminate(10, 1),
     "doc_fingerprint_pairs" -> OracleSqlGen.docFingerprintPairs(8, 2, 100),
     "doc_winnow_pairs"      -> OracleSqlGen.docWinnowPairs(8, 2, 100),

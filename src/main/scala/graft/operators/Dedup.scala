@@ -327,6 +327,59 @@ object Dedup {
       ordered)(col("doc_id"))
   }
 
+  /** C8b: incremental NEAR-dup — C8 catches byte-identical re-crawls;
+    * a daily ingest also has to catch near-duplicates of the existing
+    * corpus, so the batch's MinHash signatures probe the maintained
+    * band index (C3's 4×4 banding) and only band-sharing candidates
+    * are exactly verified. Per batch doc: the lowest qualifying
+    * partner (base docs, or earlier-id batch docs — C8's intra-batch
+    * rule) as `dup_of` with its verified Jaccard, `is_new` otherwise.
+    *
+    * Scale shape: at deploy the base band index and gram sets are
+    * persisted artifacts (bucketed on band_val / doc_id — the G15
+    * pattern), so the daily job computes signatures for the BATCH
+    * alone and every join shuffles batch-sized relations against
+    * pre-bucketed base sides. In this self-contained query both sides
+    * derive from one sharedSets exchange; the shapes that matter —
+    * band-bucketed candidate generation (never all-pairs), verify
+    * bounded by candidates, no corpus window — are PlanSpec-pinned.
+    */
+  def docIncrementalMinhash(t: Tables, mod: Int = 5, threshold: Double = 0.2,
+      ordered: Boolean = false): DataFrame = {
+    val sets = sharedSets(t)
+    val bands = minhashSigCols(explodeSets(sets)).select(col("doc_id"),
+      expr("""stack(4,
+        0, concat_ws(',', m0, m1, m2, m3),
+        1, concat_ws(',', m4, m5, m6, m7),
+        2, concat_ws(',', m8, m9, m10, m11),
+        3, concat_ws(',', m12, m13, m14, m15)) AS (band, band_val)"""))
+    val probe = bands.filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .select(col("doc_id").as("da"), col("band"), col("band_val"))
+    val index = bands.select(col("doc_id").as("db"),
+      col("band").as("band2"), col("band_val").as("band_val2"))
+    val cands = probe.join(index,
+        col("band") === col("band2") && col("band_val") === col("band_val2") &&
+          col("db") =!= col("da") &&
+          (pmod(col("db"), lit(mod)) =!= 0 || col("db") < col("da")))
+      .select(col("da"), col("db")).distinct()
+    val sa = sets.select(col("doc_id").as("da"), col("gs").as("gsa"), col("n_grams").as("na"))
+    val sb = sets.select(col("doc_id").as("db2"), col("gs").as("gsb"), col("n_grams").as("nb"))
+    val best = cands.join(sa, "da").join(sb, col("db") === col("db2"))
+      .withColumn("c", call_function("graft_intersect_count", col("gsa"), col("gsb")))
+      .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("j") >= threshold)
+      .groupBy(col("da"))
+      .agg(min(struct(col("db"), col("j"))).as("best"))
+      .select(col("da").as("doc_id"),
+        col("best.db").as("dup_of"), col("best.j").as("jaccard"))
+    maybeSort(
+      t.documents.filter(pmod(col("doc_id"), lit(mod)) === 0).select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"), col("jaccard"),
+          col("dup_of").isNull.cast("int").as("is_new")),
+      ordered)(col("doc_id"))
+  }
+
   /** C9: benchmark decontamination — flag training documents that share
     * shingles with a (small) benchmark/eval set, the overlap-removal
     * pass every training pipeline runs before a model sees the data.

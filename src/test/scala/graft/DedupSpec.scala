@@ -86,6 +86,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash: dup_of is the lowest band-sharing verified partner; consistent with LSH pairs") {
+    val mod = 5
+    val out = Dedup.docIncrementalMinhash(tables, mod).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(3)))
+    assert(out.nonEmpty && out.forall(_._1 % mod == 0), "one row per batch doc")
+    // reference: C3's full symmetric pair set at the same threshold;
+    // a batch doc's qualifying partners are its LSH partners that are
+    // base docs or earlier batch docs
+    val lsh = Dedup.docMinhashLshPairs(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (d, dupOf, isNew) =>
+      val expect = lsh.getOrElse(d, Set.empty)
+        .filter(p => p % mod != 0 || p < d)
+      assert(dupOf == (if (expect.isEmpty) None else Some(expect.min)),
+        s"batch doc $d: dup_of $dupOf, expected partners $expect")
+      assert(isNew == (if (dupOf.isEmpty) 1 else 0), s"batch doc $d is_new")
+    }
+    assert(out.exists(_._2.nonEmpty), "planted near-dups must yield non-new batch docs")
+  }
+
   test("clustering fails loudly, not silently wrong, when maxIter is too small to converge") {
     val e = intercept[IllegalStateException] {
       Dedup.docDedupClusters(tables, maxIter = 0).collect()

@@ -94,6 +94,18 @@ class PlanSpec extends SparkSpec {
       "block grid size changed the result set")
   }
 
+  test("incremental minhash: band-bucketed equi-joins only — no all-pairs, no corpus window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Dedup.docIncrementalMinhash(tables)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "batch-vs-corpus probe must stay band-bucketed")
+    // the daily-batch op must never sort or window the corpus: C8's
+    // per-hash window belongs to the exact path, not this one
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, s"unexpected window in the incremental probe: $windows")
+  }
+
   test("multi-table lsh: equi-join probe — no nested-loop or cartesian over the postings") {
     val p = plan(Similarity.annLshMultiTable(tables))
     assert(!p.contains("CartesianProduct"), "cartesian over postings")
