@@ -140,31 +140,30 @@ object Multimodal {
       .toDF()
   }, ordered)(col("doc_id"))
 
-  final case class MmFrame(doc_id: Long, frame_idx: Int, offset: Int, frame_md5: String)
-
   /** F4: frame sampling — treat the payload as a "video" of fixed-size
     * frames, emit every `stride`-th frame (one row per sampled frame,
     * the explode-shaped output a frame pipeline feeds downstream).
+    *
+    * Pure built-ins (sequence → explode → substring → md5), unlike
+    * F2/F3 where the typed boundary stands in for a real codec call:
+    * frame slicing has no codec, so the typed flatMap it previously
+    * used only bought a serialize/deserialize per row — this form
+    * stays inside whole-stage codegen end to end (no
+    * DeserializeToObject, PlanSpec-pinned).
     */
-  def mmFrameSample(t: Tables, frameBytes: Int = 64, stride: Int = 4, ordered: Boolean = false): DataFrame = maybeSort({
-    val spark = t.spark
-    import spark.implicits._
-    val ds = t.documents
-      .select(col("doc_id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-    ds.flatMap { case (id, bytes) =>
-        // STUB: a real pipeline decodes container frames here
-        // one digest per document, reused across frames (digest()
-        // resets it) — a per-frame getInstance pays a JCA provider
-        // lookup per 64-byte hash
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val nFrames = bytes.length / frameBytes
-        (0 until nFrames by stride).map { i =>
-          val frame = bytes.slice(i * frameBytes, (i + 1) * frameBytes)
-          val hex = md.digest(frame).map(b => f"$b%02x").mkString
-          MmFrame(id, i, i * frameBytes, hex)
-        }
-      }
-      .toDF()
-  }, ordered)(col("doc_id"), col("frame_idx"))
+  def mmFrameSample(t: Tables, frameBytes: Int = 64, stride: Int = 4, ordered: Boolean = false): DataFrame = maybeSort(
+    t.documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("nf", expr(s"octet_length(payload) div $frameBytes").cast("int"))
+      // explode of the empty branch drops short payloads, matching
+      // "no frames" (sequence throws on start > stop with a positive
+      // step, hence the guard)
+      .select(col("doc_id"), col("payload"),
+        explode(when(col("nf") > 0, sequence(lit(0), col("nf") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("offset"),
+        md5(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_md5")),
+    ordered)(col("doc_id"), col("frame_idx"))
 }

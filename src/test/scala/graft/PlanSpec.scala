@@ -94,6 +94,13 @@ class PlanSpec extends SparkSpec {
       "block grid size changed the result set")
   }
 
+  test("frame sample: pure built-ins — no typed object boundary in the plan") {
+    val p = plan(graft.operators.Multimodal.mmFrameSample(tables))
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions") &&
+      !p.contains("SerializeFromObject"),
+      s"frame sampling must stay in codegen (no codec to call):\n${p.take(600)}")
+  }
+
   test("incremental minhash: band-bucketed equi-joins only — no all-pairs, no corpus window") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = Dedup.docIncrementalMinhash(tables)
