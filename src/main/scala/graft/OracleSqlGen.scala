@@ -376,6 +376,59 @@ object OracleSqlGen {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** D10: IVF-ADC — coarse assignment (cellCte shape, `ccent`) + PQ
+    * codes (`pcent`) + per-query probe set (ROW_NUMBER ≤ nProbe over
+    * r6'd coarse distances, matching Spark's array_sort tiebreak) +
+    * ADC sum restricted to probed cells.
+    */
+  def annIvfAdc(nQueries: Int, k: Int, m: Int, dsub: Int,
+      nCodes: Int, nCells: Int, nProbe: Int): String = {
+    val ckey = "('0x'||substr(md5('centroid:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT"
+    val cvSlice = s"list_slice(pcent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"
+    s"""WITH $normCte,
+       |ccent AS (SELECT v AS cv, n2 AS c2,
+       |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
+       |  FROM n ORDER BY $ckey, vec_id LIMIT $nCells),
+       |pcent AS (SELECT v AS cv, n2 AS c2,
+       |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
+       |  FROM n ORDER BY $ckey, vec_id LIMIT $nCodes),
+       |cd AS (SELECT n.vec_id, ccent.cell,
+       |  floor((n.n2 - 2*list_reduce([n.v[i]*ccent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + ccent.c2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM n, ccent),
+       |asg AS (SELECT vec_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |sub AS (SELECT n.vec_id, list_slice(n.v, j*$dsub+1, j*$dsub+$dsub) AS xv, j AS sub_j
+       |  FROM n, (SELECT unnest(range(0, $m)) AS j)),
+       |sc AS (SELECT sub.vec_id, sub.sub_j, pcent.cell AS code,
+       |  floor((list_reduce([x*x for x in xv], (x,y) -> x+y)
+       |    - 2*list_reduce([xv[i]*$cvSlice[i] for i in range(1, $dsub+1)], (x,y) -> x+y)
+       |    + list_reduce([x*x for x in $cvSlice], (x,y) -> x+y))*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM sub, pcent),
+       |codes AS (SELECT vec_id, sub_j, code FROM
+       |  (SELECT vec_id, sub_j, code, dist2_r,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub_j ORDER BY dist2_r, code) AS rn FROM sc)
+       |  WHERE rn = 1),
+       |probe AS (SELECT q_id, cell FROM
+       |  (SELECT cd.vec_id AS q_id, cd.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY cd.dist2_r, cd.cell) AS rn
+       |   FROM cd WHERE cd.vec_id < $nQueries)
+       |  WHERE rn <= $nProbe),
+       |qd AS (SELECT vec_id AS q_id, sub_j, code, dist2_r AS d_r FROM sc WHERE vec_id < $nQueries),
+       |s AS (SELECT qd.q_id, c.vec_id,
+       |  CAST(SUM(CAST(qd.d_r AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist_r
+       |  FROM codes c
+       |  JOIN asg a ON a.vec_id = c.vec_id
+       |  JOIN probe p ON p.cell = a.cell
+       |  JOIN qd ON qd.q_id = p.q_id AND qd.sub_j = c.sub_j AND qd.code = c.code
+       |    AND qd.q_id <> c.vec_id
+       |  GROUP BY qd.q_id, c.vec_id),
+       |r AS (SELECT q_id, vec_id, adc_dist_r,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist_r, vec_id) AS rank FROM s)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist_r FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   def embKmeansAssign(nCenters: Int): String =
     s"""WITH ${cellCte(nCenters)}
        |SELECT vec_id, label, cell, dist2_r FROM asg ORDER BY vec_id""".stripMargin

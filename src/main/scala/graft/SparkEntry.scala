@@ -83,6 +83,7 @@ object SparkEntry {
     "emb_kmeans_assign"    -> q(Similarity.embKmeansAssign(_, ordered = true)),
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
     "ann_pq_adc"           -> q(Similarity.annPqAdc(_)),
+    "ann_ivf_adc"          -> q(Similarity.annIvfAdc(_)),
     // §2.E text analysis
     "text_langid"          -> q(TextOps.textLangid(_, ordered = true)),
     "text_quality"         -> q(TextOps.textQuality(_, ordered = true)),
@@ -588,6 +589,7 @@ object SparkEntry {
     "emb_kmeans_assign"     -> OracleSqlGen.embKmeansAssign(8),
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
     "ann_pq_adc"            -> OracleSqlGen.annPqAdc(8, 5, 8, 8, 8),
+    "ann_ivf_adc"           -> OracleSqlGen.annIvfAdc(8, 5, 8, 8, 8, 16, 4),
     "doc_semdedup"          -> OracleSqlGen.docSemdedup(8, 0.45),
 
     "doc_scrub_pii" ->

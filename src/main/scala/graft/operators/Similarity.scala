@@ -322,7 +322,17 @@ object Similarity {
 
   private[graft] def embPqCodesWith(t: Tables,
       centers: Array[(Int, Seq[Double], Double)], m: Int,
-      ordered: Boolean): DataFrame = maybeSort({
+      ordered: Boolean): DataFrame = maybeSort(
+    pqCodesOf(withNorm(t.embeddings), centers, m),
+    ordered)(col("vec_id"), col("sub_j"))
+
+  /** The D8 encode over a prepared relation (must expose `vec_id` and
+    * `v`); `carry` columns ride through unchanged — D10 carries the
+    * coarse `cell` so encode + assignment stay ONE narrow pass.
+    */
+  private def pqCodesOf(e: DataFrame,
+      centers: Array[(Int, Seq[Double], Double)], m: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val dsub = centers.head._2.length / m
     require(dsub * m == centers.head._2.length, s"dim must divide into $m subspaces")
     // One native PqDists per subspace (loop codegen, constant bytecode
@@ -335,18 +345,18 @@ object Similarity {
       struct(lit(j.toLong).as("sub_j"),
         VectorExprs.pqDists(xv, subCodebook(centers, j, dsub)).as("ds"))
     }
+    val keep = col("vec_id") +: carry.map(col)
     // the min is materialized once per row in its own projection:
     // aliasing array_min twice in one select would re-run the O(nCodes)
     // scan per use (CollapseProject keeps this split for non-cheap
     // multi-referenced aliases, so the shape survives optimization)
-    withNorm(t.embeddings)
-      .select(col("vec_id"), explode(array(subs: _*)).as("s"))
-      .select(col("vec_id"), col("s.sub_j").as("sub_j"),
-        col("s.ds").as("ds"), array_min(col("s.ds")).as("mn"))
-      .select(col("vec_id"), col("sub_j"),
+    e.select(keep :+ explode(array(subs: _*)).as("s"): _*)
+      .select(keep ++ Seq(col("s.sub_j").as("sub_j"),
+        col("s.ds").as("ds"), array_min(col("s.ds")).as("mn")): _*)
+      .select(keep ++ Seq(col("sub_j"),
         (array_position(col("ds"), col("mn")) - 1L).as("code"),
-        col("mn").as("dist2_r"))
-  }, ordered)(col("vec_id"), col("sub_j"))
+        col("mn").as("dist2_r")): _*)
+  }
 
   /** D9: PQ asymmetric-distance ANN (ADC) — approximate top-k where
     * candidate distances come from the D8 CODES, not the raw vectors:
@@ -393,6 +403,84 @@ object Similarity {
     val scored = codes.join(broadcast(adc),
         col("sub_j") === col("qsub_j") && col("code") === col("qcode") &&
           col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d_r").cast(DecimalType(18, 6))).cast("double").as("adc_dist_r"))
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("adc_dist_r").asc, col("vec_id").asc)
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist_r").asc, col("vec_id").asc)
+    scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** D10: IVF-ADC — the FAISS IVFPQ search shape, composing D4's cell
+    * pruning with D9's code-based scoring: the corpus is coarse-
+    * quantized into `nCells` cells AND PQ-encoded in one narrow pass;
+    * a query probes only its `nProbe` nearest cells and scores the
+    * candidates there from their CODES (m table lookups per vector).
+    * This is the full 100 TB ANN story in one operator: the scan reads
+    * nProbe/nCells of the data (real I/O pruning when the corpus is
+    * laid out with writeEmbeddingsByCell — the G12 partition dirs),
+    * and what it reads is m bytes per vector, not 4·dim.
+    *
+    * Scale shape: cell assignment + encode are ONE literal-centers
+    * narrow pass (no shuffle); probed cells per query come from an
+    * array_sort over the per-center distance structs (narrow — no
+    * window, the center set is literal); candidates meet the tiny
+    * (q_id, cell) probe relation in a broadcast join, the ADC distance
+    * table in a second broadcast join; the per-(query, vector) sum and
+    * the two-stage exact top-k are the D9 pattern unchanged. Both
+    * quantizers are the seeded-hash artifact family (G15-persistable);
+    * coarse and PQ center sets share the hash order by construction.
+    */
+  def annIvfAdc(t: Tables, nQueries: Int = 8, k: Int = 5, m: Int = 8,
+      nCodes: Int = 8, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val coarse = hashCenters(t, nCells)
+    val pq = hashCenters(t, nCodes)
+    val dsub = pq.head._2.length / m
+    // corpus: coarse cell + PQ codes, one pass
+    val codes = pqCodesOf(withCell(withNorm(t.embeddings), coarse), pq, m,
+      carry = Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("sub_j"), col("code"))
+    // queries: nProbe nearest coarse cells via array_sort over literal
+    // center distances (r6'd, ties to lowest cell — the withCell rule)
+    val cellCands = coarse.map { case (cell, cv, c2) =>
+      struct(
+        r6(col("n2") - lit(2.0) * VectorExprs.dot(col("v"), typedLit(cv)) + lit(c2))
+          .as("dist2_r"),
+        lit(cell.toLong).as("cell"))
+    }
+    val queries = withNorm(t.embeddings).filter(col("vec_id") < nQueries)
+    val pcells = queries
+      .select(col("vec_id").as("q_id"),
+        explode(slice(array_sort(array(cellCands: _*)), 1, nProbe)).as("p"))
+      .select(col("q_id"), col("p.cell").as("pcell"))
+    // per-query ADC distance table (the D9 construction)
+    val perJ = (0 until m).map { j =>
+      val xv = slice(col("v"), j * dsub + 1, dsub)
+      struct(lit(j.toLong).as("sub_j"),
+        VectorExprs.pqDists(xv, subCodebook(pq, j, dsub)).as("cs"))
+    }
+    val adc = queries
+      .select(col("vec_id").as("q_id2"), explode(array(perJ: _*)).as("s"))
+      .select(col("q_id2"), col("s.sub_j").as("qsub_j"), posexplode(col("s.cs")))
+      .select(col("q_id2"), col("qsub_j"),
+        col("pos").cast("long").as("qcode"), col("col").as("d_r"))
+    // candidates: only vectors in probed cells (the broadcast is the
+    // in-query analog of reading nProbe cell dirs), then code → table
+    // lookup, sum, exact two-stage top-k
+    val scored = codes
+      .join(broadcast(pcells),
+        col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
+      .join(broadcast(adc),
+        col("q_id") === col("q_id2") && col("sub_j") === col("qsub_j") &&
+          col("code") === col("qcode"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d_r").cast(DecimalType(18, 6))).cast("double").as("adc_dist_r"))
     val local = Window.partitionBy(col("q_id"), col("pid"))
