@@ -53,6 +53,7 @@ object SparkEntry {
     "q_below_avg"          -> q(Analytics.qBelowAvg),
     "q_set_ops"            -> q(Analytics.qSetOps(_)),
     "q_corr"               -> q(Analytics.qCorr),
+    "q_regr"               -> q(Analytics.qRegr),
     "ev_retention"         -> q(EventOps.evRetention),
     "text_entropy"         -> q(TextOps.textEntropy(_, ordered = true)),
     "ev_gap_fill"          -> q(EventOps.evGapFill),
@@ -455,6 +456,25 @@ object SparkEntry {
         |      (sqrt(sxx - sx * sx / CAST(n AS DOUBLE)) * sqrt(syy - sy * sy / CAST(n AS DOUBLE))))*1000000 + 0.5)/1000000
         |  END AS corr_r
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_regr" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT l_returnflag, n,
+        |  sxx - sx * sx / CAST(n AS DOUBLE) AS vx,
+        |  syy - sy * sy / CAST(n AS DOUBLE) AS vy,
+        |  sxy - sx * sy / CAST(n AS DOUBLE) AS cxy,
+        |  sx, sy FROM m)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN vx > 0 THEN floor((cxy / vx)*1000000 + 0.5)/1000000 END AS slope_r,
+        |  CASE WHEN vx > 0 THEN floor(((sy - cxy / vx * sx) / CAST(n AS DOUBLE))*1000000 + 0.5)/1000000 END AS intercept_r,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN floor((cxy * cxy / (vx * vy))*1000000 + 0.5)/1000000 END AS r2_r
+        |FROM t ORDER BY l_returnflag""".stripMargin,
 
     "ev_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

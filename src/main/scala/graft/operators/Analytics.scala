@@ -431,5 +431,37 @@ object Analytics {
       .orderBy($("l_returnflag"))
   }
 
+  /** B23: per-group OLS regression — slope/intercept/R² of
+    * extendedprice on quantity per returnflag, from the SAME six
+    * map-side-combined moment sums as B22 (one #groups-row shuffle;
+    * the moment form is the shape that scales AND the bit-portable
+    * one — see qCorr). Degenerate groups (zero x-variance) yield NULL
+    * slope/intercept/R² on both engines rather than engine-specific
+    * zero-division behavior.
+    */
+  def qRegr(t: Tables): DataFrame = {
+    def m(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+    val nD = $("n").cast("double")
+    val sxx = $("sxx") - $("sx") * $("sx") / nD
+    val syy = $("syy") - $("sy") * $("sy") / nD
+    val sxy = $("sxy") - $("sx") * $("sy") / nD
+    val slope = sxy / sxx
+    t.lineitem
+      .select($("l_returnflag"), $("l_quantity"), $("l_extendedprice"))
+      .groupBy($("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        m($("l_quantity")).as("sx"),
+        m($("l_extendedprice")).as("sy"),
+        m($("l_quantity") * $("l_extendedprice")).as("sxy"),
+        m($("l_quantity") * $("l_quantity")).as("sxx"),
+        m($("l_extendedprice") * $("l_extendedprice")).as("syy"))
+      .select($("l_returnflag"), $("n"),
+        when(sxx > 0, r6(slope)).as("slope_r"),
+        when(sxx > 0, r6(($("sy") - slope * $("sx")) / nD)).as("intercept_r"),
+        when(sxx > 0 && syy > 0, r6(sxy * sxy / (sxx * syy))).as("r2_r"))
+      .orderBy($("l_returnflag"))
+  }
+
   private def $(name: String): Column = col(name)
 }
