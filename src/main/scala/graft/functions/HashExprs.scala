@@ -363,6 +363,68 @@ object RollingHashMin {
   }
 }
 
+/** 16-permutation MinHash signature over an `array<long>` of shingle
+  * hashes, one native pass: element i of the result is
+  * min over the array of (aᵢ·(h mod 2³⁰)+bᵢ) mod P — value-identical
+  * to the batch groupBy-per-permutation-min formulation (same
+  * per-element values, same minima), but computed PER ROW. That is
+  * the form the streaming probe needs: a groupBy(doc_id) signature
+  * aggregate is stateful on a stream, a per-row expression is not.
+  * Null elements are skipped (SimHash60's contract); an empty array
+  * yields an empty signature.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_sig requires array<bigint>, got ${other.sql}")
+    }
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private val A = Hashing.Perms.map(_._1).toArray
+  private val B = Hashing.Perms.map(_._2).toArray
+
+  // `compute`, not `eval` — see the GramHashes forwarder-suppression note
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val k = A.length
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = arr.getLong(i) % Hashing.M30
+        var j = 0
+        while (j < k) {
+          val v = (A(j) * base + B(j)) % Hashing.P
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** F6: 60-bit gradient ("difference hash") perceptual signature over a
   * binary payload: the payload's first 61 `blockBytes`-sized blocks
   * are summed (blocks past the end sum to 0); bit i is set iff block

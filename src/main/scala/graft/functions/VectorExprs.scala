@@ -275,7 +275,9 @@ object VectorExprs {
     ("graft_pq_dists", classOf[PqDists].getName,
       exprs => PqDists(exprs.head, exprs(1))),
     ("graft_dhash60", classOf[DHash60].getName,
-      exprs => DHash60(exprs.head, 8)))
+      exprs => DHash60(exprs.head, 8)),
+    ("graft_minhash_sig", classOf[MinHashSig].getName,
+      exprs => MinHashSig(exprs.head)))
 
   /** Register the native expressions in the session's function registry
     * (the public extension point — same mechanism

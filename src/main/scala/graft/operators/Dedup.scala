@@ -380,6 +380,29 @@ object Dedup {
       ordered)(col("doc_id"))
   }
 
+  /** C8b's static side as a buildable artifact: the base corpus's
+    * MinHash band index carrying each base doc's gram set for the
+    * verify step — (band, band_val, db, gsb, nb). One narrow pass via
+    * the native per-row MinHashSig (no explode/groupBy — the batch
+    * signature aggregate exists for map-side-combined batch shuffles,
+    * the per-row form is what an index BUILD wants). At deploy this is
+    * persisted bucketed on (band, band_val) and maintained
+    * incrementally; DocStreamJob.streamDocNearDup probes it as the
+    * static side of a stream-static join.
+    */
+  def baseBandIndex(t: Tables, mod: Int = 5): DataFrame =
+    t.documents.filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+      .select(col("doc_id").as("db"),
+        call_function("graft_gram3_hashes", col("text")).as("gsb"))
+      .withColumn("nb", size(col("gsb")))
+      .withColumn("sig", call_function("graft_minhash_sig", col("gsb")))
+      .select(col("db"), col("gsb"), col("nb"),
+        expr("""stack(4,
+          0, concat_ws(',', sig[0],  sig[1],  sig[2],  sig[3]),
+          1, concat_ws(',', sig[4],  sig[5],  sig[6],  sig[7]),
+          2, concat_ws(',', sig[8],  sig[9],  sig[10], sig[11]),
+          3, concat_ws(',', sig[12], sig[13], sig[14], sig[15])) AS (band, band_val)"""))
+
   /** C9: benchmark decontamination — flag training documents that share
     * shingles with a (small) benchmark/eval set, the overlap-removal
     * pass every training pipeline runs before a model sees the data.

@@ -56,4 +56,45 @@ object DocStreamJob {
       .observe("doc_curate_kept", count(lit(1)).as("n"))
       .select(col("doc_id"), col("ingest_ts"), col("lang"), col("pred_lang"),
         col("n_tokens"), col("quality_score"), col("content_hash"))
+
+  /** Streaming form of C8b (SURVEY §2.A32): documents arriving on the
+    * ingest stream are near-dup-checked against the STATIC base band
+    * index (Dedup.baseBandIndex — at deploy, the persisted artifact)
+    * as they arrive, instead of per daily sweep. Emits the DUPLICATE
+    * report: (doc_id, ingest_ts, dup_of, jaccard) for each arriving
+    * doc whose verified Jaccard against some base doc clears the
+    * threshold — lowest qualifying base id, exactly the batch rule.
+    * Docs with no match emit nothing here (they continue down the
+    * curation path; absence of a verdict is the "new" signal).
+    *
+    * Shape: gram hashing and the per-row native MinHashSig are
+    * stateless narrow transforms (a groupBy signature aggregate would
+    * be stateful — that is why MinHashSig exists); the band probe is a
+    * stream-static equi-join (no state); only the min-partner
+    * aggregation keeps state, keyed by (doc_id, ingest_ts) and closed
+    * by the watermark like every windowed aggregate in this module.
+    */
+  def streamDocNearDup(docs: DataFrame, baseIndex: DataFrame,
+      threshold: Double = 0.2, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val probe = docs
+      .withColumn("gs", call_function("graft_gram3_hashes", col("text")))
+      .withColumn("n_grams", size(col("gs")))
+      .withColumn("sig", call_function("graft_minhash_sig", col("gs")))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .select(col("doc_id"), col("ingest_ts"), col("gs"), col("n_grams"),
+        expr("""stack(4,
+          0, concat_ws(',', sig[0],  sig[1],  sig[2],  sig[3]),
+          1, concat_ws(',', sig[4],  sig[5],  sig[6],  sig[7]),
+          2, concat_ws(',', sig[8],  sig[9],  sig[10], sig[11]),
+          3, concat_ws(',', sig[12], sig[13], sig[14], sig[15])) AS (pband, pband_val)"""))
+    probe.join(baseIndex,
+        col("pband") === col("band") && col("pband_val") === col("band_val"))
+      .withColumn("c", call_function("graft_intersect_count", col("gs"), col("gsb")))
+      .withColumn("j", col("c") / (col("n_grams") + col("nb") - col("c")))
+      .filter(col("j") >= threshold)
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(min(struct(col("db"), col("j"))).as("best"))
+      .select(col("doc_id"), col("ingest_ts"),
+        col("best.db").as("dup_of"), col("best.j").as("jaccard"))
+  }
 }

@@ -39,6 +39,22 @@ class GramFusionSpec extends SparkSpec {
     composed.foreach { case (id, s) => assert(fused(id) == s, s"doc $id") }
   }
 
+  test("MinHashSig == per-permutation groupBy-min composition") {
+    import graft.functions.Hashing
+    import org.apache.spark.sql.functions._
+    val sig = tables.documents
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig",
+          call_function("graft_gram3_hashes", col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val aggs = Hashing.Perms.indices.map(i =>
+      min(Hashing.perm(col("gram"), i)).as(s"m$i"))
+    val ref = graft.operators.Dedup.grams(tables)
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    assert(sig == ref, "per-row signature must equal the batch aggregate form")
+  }
+
   test("WinnowMins == array_distinct(transform(sequence, array_min(slice))) composition") {
     val w = 8
     val gh = call_function("graft_gram4_hashes", col("text"))

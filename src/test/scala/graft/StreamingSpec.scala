@@ -270,6 +270,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup probe == batch C8b restricted to base partners") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val mod = 5
+    val docs = tables.documents.select("doc_id", "text", "lang").collect()
+      .map(r => graft.model.IngestDoc(r.getLong(0), r.getString(1), r.getString(2), base))
+      .filter(_.doc_id % mod == 0).toSeq
+    val input = MemoryStream[graft.model.IngestDoc]
+    val out = graft.streaming.DocStreamJob.streamDocNearDup(
+      input.toDS().toDF(), graft.operators.Dedup.baseBandIndex(tables, mod))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    try {
+      input.addData(docs); q.processAllAvailable()
+      // far-future sentinel advances the watermark past every real row
+      input.addData(Seq(graft.model.IngestDoc(999999L, "watermark sentinel", "en",
+        base.plusSeconds(864000))))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out").filter($"doc_id" =!= 999999L).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      // expected: the symmetric LSH pair set at the same threshold,
+      // partners restricted to BASE docs (the static index), min id
+      val pairsJ = graft.operators.Dedup.docMinhashLshPairs(tables).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val partners = pairsJ.keys.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expected = docs.map(_.doc_id).flatMap { d =>
+        val basePs = partners.getOrElse(d, Set.empty[Long]).filter(_ % mod != 0)
+        if (basePs.isEmpty) None
+        else {
+          val p = basePs.min
+          Some(d -> (p, pairsJ((math.min(d, p), math.max(d, p)))))
+        }
+      }.toMap
+      assert(expected.nonEmpty, "planted near-dups must produce base partners")
+      assert(got == expected,
+        s"stream≠batch: only-stream=${(got.keySet -- expected.keySet).take(5)} " +
+          s"only-batch=${(expected.keySet -- got.keySet).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming anomaly flags: offline MAD thresholds flag a live spike hour, not the baseline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
