@@ -47,7 +47,10 @@ class CodegenSpec extends SparkSpec {
         call_function("graft_gram5_hashes", col("text"))).as("ic"),
       size(array_intersect(
         call_function("graft_gram3_hashes", col("text")),
-        call_function("graft_gram5_hashes", col("text")))).as("ic_ref")
+        call_function("graft_gram5_hashes", col("text")))).as("ic_ref"),
+      call_function("graft_dhash60", col("text").cast("binary")).as("dh"),
+      call_function("graft_minhash_sig",
+        call_function("graft_gram3_hashes", col("text"))).as("mhs")
     ).collect()(0)
 
     val text = UTF8String.fromString(row.getAs[String]("text"))
@@ -63,6 +66,11 @@ class CodegenSpec extends SparkSpec {
     assert(row.getAs[scala.collection.Seq[String]]("bgd") == bgRef.distinct)
     assert(row.getAs[Int]("ic") == row.getAs[Int]("ic_ref"),
       "IntersectCount must equal size(array_intersect)")
+    assert(row.getAs[Long]("dh") == graft.functions.DHash60.compute(
+      row.getAs[String]("text").getBytes("UTF-8"), 8))
+    assert(row.getAs[scala.collection.Seq[Long]]("mhs") ==
+      graft.functions.MinHashSig.compute(
+        GramHashes.compute(text, 3, distinct = true)).toLongArray.toSeq)
 
     val e = graft.sources.Tables(codegenOnly, sfDir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
