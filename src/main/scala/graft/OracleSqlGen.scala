@@ -143,6 +143,56 @@ object OracleSqlGen {
        |FROM vr JOIN documents d USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** C14: per-source dedup report — exact-copy counts, LSH near-dup
+    * membership, mean E24 span ratio; span CTEs renamed (t2/sp4/…) to
+    * avoid colliding with gramCtes' 3-gram names.
+    */
+  def corpusDedupStats(threshold: Double): String =
+    s"""WITH $gramCtes,
+       |$sigCte,
+       |band AS (SELECT doc_id, j,
+       |  CASE j WHEN 0 THEN ${bandConcat(0 until 4)}
+       |         WHEN 1 THEN ${bandConcat(4 until 8)}
+       |         WHEN 2 THEN ${bandConcat(8 until 12)}
+       |         ELSE ${bandConcat(12 until 16)} END AS band_val
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+       |common AS (SELECT da, db, COUNT(*) AS c FROM cand
+       |  JOIN g ga ON ga.doc_id = da
+       |  JOIN g gb ON gb.doc_id = db AND gb.gram = ga.gram
+       |  GROUP BY da, db),
+       |pairs AS (SELECT da, db FROM common
+       |  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+       |  WHERE c/(sa.n+sb.n-c) >= $threshold),
+       |near AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT da AS doc_id FROM pairs UNION ALL SELECT db AS doc_id FROM pairs)),
+       |ex AS (SELECT doc_id, md5(text) AS eh FROM documents),
+       |keepx AS (SELECT eh, MIN(doc_id) AS keep_id FROM ex GROUP BY eh),
+       |exact AS (SELECT ex.doc_id,
+       |  CASE WHEN ex.doc_id <> keepx.keep_id THEN 1 ELSE 0 END AS is_exact
+       |  FROM ex JOIN keepx USING (eh)),
+       |t2 AS (SELECT doc_id, string_split(lower(text),' ') AS tk, lower(text) AS lt FROM documents),
+       |sp4 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 4
+       |  THEN [('0x'||substr(md5(array_to_string(tk[i:i+3],' ')),1,15))::BIGINT for i in range(1, len(tk)-2)]
+       |  ELSE [('0x'||substr(md5(lt),1,15))::BIGINT] END) AS h4 FROM t2),
+       |c4 AS (SELECT doc_id, h4, COUNT(*) AS c_sp FROM sp4 GROUP BY doc_id, h4),
+       |df4 AS (SELECT h4, CAST(SUM(c_sp) AS BIGINT) AS df FROM c4 GROUP BY h4),
+       |span AS (SELECT c4.doc_id,
+       |  floor((CAST(SUM(CASE WHEN df4.df >= 2 THEN c_sp ELSE 0 END) AS DOUBLE)/SUM(c_sp))*1000000 + 0.5)/1000000 AS dup_ratio_r
+       |  FROM c4 JOIN df4 USING (h4) GROUP BY c4.doc_id)
+       |SELECT d.source AS source, COUNT(*) AS n_docs,
+       |  CAST(SUM(exact.is_exact) AS BIGINT) AS n_exact_dup,
+       |  CAST(SUM(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       |  floor((CAST(SUM(CAST(span.dup_ratio_r AS DECIMAL(18,6))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_span_dup_r
+       |FROM documents d
+       |JOIN exact ON exact.doc_id = d.doc_id
+       |LEFT JOIN near ON near.doc_id = d.doc_id
+       |JOIN span ON span.doc_id = d.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   /** C8b: batch-vs-corpus MinHash near-dup — C3's banding restricted
     * to batch-anchored candidates (base partners, or earlier-id batch
     * partners), exact-verified, lowest qualifying partner per batch

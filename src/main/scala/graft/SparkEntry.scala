@@ -111,6 +111,7 @@ object SparkEntry {
     "text_keywords"        -> q(TextOps.textKeywords(_, ordered = true)),
     "text_winnow"          -> q(TextOps.textWinnow(_, ordered = true)),
     "doc_contamination_stats" -> q(Dedup.docContaminationStats(_)),
+    "corpus_dedup_stats"   -> q(Dedup.corpusDedupStats(_)),
     "doc_mix_budget"       -> q(TextOps.docMixBudget(_, ordered = true)),
     "doc_sample_k"         -> q(TextOps.docSampleK(_, ordered = true)),
     "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
@@ -658,6 +659,7 @@ object SparkEntry {
     "text_keywords"         -> OracleSqlGen.textKeywords(3),
     "text_winnow"           -> OracleSqlGen.textWinnow(8),
     "doc_contamination_stats" -> OracleSqlGen.docContaminationStats(10, 1),
+    "corpus_dedup_stats"    -> OracleSqlGen.corpusDedupStats(0.2),
     "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),

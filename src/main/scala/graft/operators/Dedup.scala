@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Hashing._
@@ -459,6 +460,42 @@ object Dedup {
           .as("rate_r"),
         sum(col("n_shared")).as("total_shared"))
       .orderBy(col("source"))
+
+  /** C14: per-source dedup report — the numbers a dataset card
+    * publishes about redundancy, one relation: per source, how many
+    * docs are redundant exact copies (their content hash's keeper is a
+    * different doc), how many participate in any verified MinHash-LSH
+    * near-dup pair, and the mean duplicated-span ratio (E24's signal
+    * averaged). The C12 contamination report's sibling for dedup.
+    *
+    * Scale shape: three already-shaped sub-relations (C1's hash
+    * aggregate, C3's banded pairs, E24's shared-stage span ratios)
+    * joined on doc_id and rolled up to the #sources-key aggregate —
+    * composition adds no new shuffle class of its own.
+    */
+  def corpusDedupStats(t: Tables, threshold: Double = 0.2): DataFrame = {
+    val hashed = t.documents.select(col("doc_id"), md5(col("text")).as("h"))
+    val keep = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val exact = hashed.join(keep, "h")
+      .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).cast("long").as("is_exact_dup"))
+    val near = docMinhashLshPairs(t, threshold)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_near", lit(1L))
+    val span = TextOps.docSpanDedup(t).select(col("doc_id"), col("dup_ratio_r"))
+    t.documents.select(col("doc_id"), col("source"))
+      .join(exact, "doc_id")
+      .join(near, Seq("doc_id"), "left")
+      .join(span, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_exact_dup")).as("n_exact_dup"),
+        coalesce(sum(col("is_near")), lit(0L)).as("n_near_dup"),
+        r6(sum(col("dup_ratio_r").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_span_dup_r"))
+      .orderBy(col("source"))
+  }
 
   /** C10: fingerprint-overlap near-dup pairs — the mod-p sampled
     * (0-mod-p) fingerprinting of Broder/Manber: a document's
