@@ -94,6 +94,17 @@ class PlanSpec extends SparkSpec {
       "block grid size changed the result set")
   }
 
+  test("ivf-adc: probe set and distance table broadcast — the corpus never sort-merges") {
+    val p = plan(graft.operators.Similarity.annIvfAdc(tables))
+    // the probe restriction and the ADC table must reach the code
+    // stream as broadcasts: a sort-merge join would shuffle the corpus
+    // on the join key and erase the cell-pruning story
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join in IVF-ADC:\n${p.take(600)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "probe + table broadcasts expected")
+  }
+
   test("frame sample: pure built-ins — no typed object boundary in the plan") {
     val p = plan(graft.operators.Multimodal.mmFrameSample(tables))
     assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions") &&
