@@ -128,6 +128,7 @@ object SparkEntry {
     "mm_exact_dedup"       -> q(Multimodal.mmExactDedup(_, ordered = true)),
     "mm_phash"             -> q(Multimodal.mmPhash(_, ordered = true)),
     "mm_phash_pairs"       -> q(Multimodal.mmPhashPairs(_, ordered = true)),
+    "mm_phash_clusters"    -> q(Multimodal.mmPhashClusters(_, ordered = true)),
   )
 
   /** DuckDB-runnable oracle for each key in `queries` (driver gate).
@@ -671,6 +672,7 @@ object SparkEntry {
     "mm_binary_meta"        -> OracleSqlGen.mmBinaryMeta,
     "mm_phash"              -> OracleSqlGen.mmPhash,
     "mm_phash_pairs"        -> OracleSqlGen.mmPhashPairs(4),
+    "mm_phash_clusters"     -> OracleSqlGen.mmPhashClusters(4),
 
     "text_normalize_dedup" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,

@@ -690,15 +690,28 @@ object Dedup {
   }
 
   def docDedupClusters(t: Tables, threshold: Double = 0.2, maxIter: Int = 20,
-      ordered: Boolean = false): DataFrame = {
+      ordered: Boolean = false): DataFrame =
     // edges come from the prefix-filtered jaccard join — exact pair set
     // (see docNgramJaccard), but candidate generation is df-bounded, so
     // the feeder is no longer quadratic in stop-shingle frequency.
     // docNgramJaccard returns an eagerly-checkpointed result (tiny:
-    // near-dup pairs, not candidates), so `sym` — its union with its
-    // own flip — is a two-leaf plan over small in-memory data, cheap
-    // to re-read every CC round; blocks released at the end.
-    val edges = docNgramJaccard(t, threshold).select(col("doc_a"), col("doc_b"))
+    // near-dup pairs, not candidates), cheap to re-read every CC round.
+    clusterPairs(
+      docNgramJaccard(t, threshold).select(col("doc_a"), col("doc_b")),
+      t.documents.select(col("doc_id")), maxIter, "doc_dedup_clusters", ordered)
+
+  /** Connected components + canonical selection over an arbitrary
+    * near-dup pair relation — the C7 machinery, reusable by any pair
+    * family (F6b's perceptual pairs cluster the same way jaccard pairs
+    * do). `edges` must be SMALL and cheap to re-evaluate per round
+    * (near-dup pairs, checkpointed by the feeder — never raw
+    * candidates); its checkpoint blocks are released before returning.
+    * Iterative min-label propagation: one join + one aggregate per
+    * round, O(component diameter) rounds, convergence observed inside
+    * the round's own job, loud failure if maxIter is too small.
+    */
+  private[graft] def clusterPairs(edges: DataFrame, universe: DataFrame,
+      maxIter: Int, opName: String, ordered: Boolean): DataFrame = {
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
@@ -731,10 +744,10 @@ object Dedup {
       releaseCheckpoint(labels)
       releaseCheckpoint(edges)
       throw new IllegalStateException(
-        s"doc_dedup_clusters did not converge in $maxIter rounds " +
+        s"$opName did not converge in $maxIter rounds " +
           "(component diameter exceeds maxIter; raise maxIter)")
     }
-    val out = maybeSort(t.documents.select(col("doc_id"))
+    val out = maybeSort(universe
       .join(labels, col("doc_id") === col("id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"),

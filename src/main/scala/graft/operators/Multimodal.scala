@@ -81,6 +81,20 @@ object Multimodal {
       ordered)(col("doc_a"), col("doc_b"))
   }
 
+  /** F6c: perceptual near-dup CLUSTERS — pairs alone don't dedup a
+    * media corpus; transitive groups do (a re-encode of a re-encode
+    * pairs with both ancestors). F6b's banded pairs feed the C7
+    * connected-components machinery (Dedup.clusterPairs); canonical =
+    * lowest doc_id per component. The pair feeder is checkpointed so
+    * CC rounds re-read tiny in-memory pairs, never the banding join.
+    */
+  def mmPhashClusters(t: Tables, maxHamming: Int = 4, maxIter: Int = 20,
+      ordered: Boolean = false): DataFrame =
+    Dedup.clusterPairs(
+      mmPhashPairs(t, maxHamming).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true),
+      t.documents.select(col("doc_id")), maxIter, "mm_phash_clusters", ordered)
+
   final case class MmFeature(doc_id: Long, width: Int, height: Int,
       channels: Int, mean_byte: Double, n_bytes: Int)
 
