@@ -24,7 +24,8 @@ object Bench {
     */
   private val HeavyExtra = 2
   private val Heavy =
-    Set("doc_ngram_jaccard", "doc_dedup_clusters", "doc_ngram_jaccard_capped")
+    Set("doc_ngram_jaccard", "doc_dedup_clusters", "doc_ngram_jaccard_capped",
+      "corpus_dedup_stats", "mm_phash_clusters")
 
   /** State-partition count for the streaming pipeline — a deploy
     * sizing knob, like shuffle partitions for batch: each micro-batch

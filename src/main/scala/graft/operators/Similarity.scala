@@ -497,6 +497,94 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** D10 against the PERSISTED artifacts — the deploy form: the corpus
+    * lives in the G12 cell layout (`Sinks.writeEmbeddingsByCell`), the
+    * quantizer in the G15 parquet artifact, and the search never
+    * touches the original embeddings table. The probe set is computed
+    * first (bounded: nQueries × nProbe pairs on the driver via the
+    * literal-centers math — no corpus job), then the scan carries
+    * `cell IN (probed)` so Spark prunes non-probed cell DIRECTORIES at
+    * planning time (PartitionFilters, spec-pinned): nProbe/nCells of
+    * the bytes are all that is read, which is the entire point of the
+    * layout. Scoring is D10's broadcast + decimal-sum + two-stage
+    * top-k unchanged.
+    *
+    * The query vectors come from the layout too (filter on vec_id) —
+    * a full-scan read for them would defeat the pruning, so they are
+    * read once, collected (nQueries rows), and their probe cells and
+    * ADC tables are derived driver-side from the loaded centers.
+    */
+  def annIvfAdcFromLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, quantizerPath: String,
+      nQueries: Int = 8, k: Int = 5, m: Int = 8, nProbe: Int = 4): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val centers = graft.sources.Sinks.readQuantizer(spark, quantizerPath)
+    val dsub = centers.head._2.length / m
+    val layout = spark.read.parquet(layoutPath)
+    // query vectors: tiny driver-side fetch (vec_id < nQueries rows)
+    val qRows = layout.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // per-query probe cells, driver math over the loaded center set —
+    // same r6 + lowest-cell tiebreak as withCell
+    def dist2R(v: Seq[Double], cv: Seq[Double], c2: Double): Double = {
+      val n2 = v.foldLeft(0.0)((a, x) => a + x * x)
+      val dot = v.zip(cv).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      math.floor((n2 - 2.0 * dot + c2) * 1e6 + 0.5) / 1e6
+    }
+    val probes: Seq[(Long, Long)] = qRows.toSeq.flatMap { case (q, v) =>
+      centers.toSeq.map { case (cell, cv, c2) => (dist2R(v, cv, c2), cell.toLong) }
+        .sorted.take(nProbe).map { case (_, cell) => (q, cell) }
+    }
+    val probedCells = probes.map(_._2).distinct
+    // the scan: cell IN (union of probed cells) → partition pruning
+    val codes = pqCodesOf(
+      layout.filter(col("cell").isin(probedCells: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("cell").cast("long").as("cell")),
+      centers, m, carry = Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("sub_j"), col("code"))
+    val spark2 = spark
+    import spark2.implicits._
+    val pcells = probes.toDF("q_id", "pcell")
+    // ADC tables driver-side: nQueries × m × nCodes rows, same
+    // subvector math + r6 rounding as PqDists
+    val adc = (for {
+      (q, v) <- qRows.toSeq
+      j <- 0 until m
+      (code, cv, _) <- centers.toSeq.sortBy(_._1)
+    } yield {
+      val xv = v.slice(j * dsub, (j + 1) * dsub)
+      val sub = cv.slice(j * dsub, (j + 1) * dsub)
+      val xn2 = xv.foldLeft(0.0)((a, x) => a + x * x)
+      val dot = xv.zip(sub).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      val c2 = sub.foldLeft(0.0)((a, x) => a + x * x)
+      (q, j.toLong, code.toLong,
+        math.floor((xn2 - 2.0 * dot + c2) * 1e6 + 0.5) / 1e6)
+    }).toDF("q_id2", "qsub_j", "qcode", "d_r")
+    val scored = codes
+      .join(broadcast(pcells),
+        col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
+      .join(broadcast(adc),
+        col("q_id") === col("q_id2") && col("sub_j") === col("qsub_j") &&
+          col("code") === col("qcode"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d_r").cast(DecimalType(18, 6))).cast("double").as("adc_dist_r"))
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("adc_dist_r").asc, col("vec_id").asc)
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist_r").asc, col("vec_id").asc)
+    scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** D3: per-label vector-norm statistics (codegen'd array math). */
   def embNormStats(t: Tables): DataFrame =
     withNorm(t.embeddings)

@@ -64,6 +64,26 @@ class SinksSpec extends SparkSpec {
     assert(laidOut == assigned, "cell layout off the artifact diverged from D7 assignment")
   }
 
+  test("ivf-adc off the persisted layout: equals the in-query path; scan prunes non-probed cells") {
+    import graft.operators.Similarity
+    val qdir = Files.createTempDirectory("quantizer_ivf").toFile
+    val ldir = Files.createTempDirectory("emb_layout_ivf").toFile
+    Sinks.writeQuantizer(tables, qdir.getAbsolutePath, nCenters = 8)
+    Sinks.writeEmbeddingsByCell(tables, ldir.getAbsolutePath, qdir.getAbsolutePath)
+    val fromLayout = Similarity.annIvfAdcFromLayout(
+      spark, ldir.getAbsolutePath, qdir.getAbsolutePath)
+    // the deploy path must reproduce the in-query operator bit for bit
+    // (same centers: coarse == PQ == the 8-center artifact)
+    val inQuery = Similarity.annIvfAdc(tables, nCells = 8, nCodes = 8)
+      .collect().map(_.toSeq)
+    assert(fromLayout.collect().map(_.toSeq).toSeq == inQuery.toSeq,
+      "layout-backed IVF-ADC diverged from the in-query operator")
+    // and the point of the layout: the code scan reads only probed
+    // cell directories — planning-time partition pruning
+    val p = fromLayout.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cell"), p.take(800))
+  }
+
   test("bucketed table join on the bucket key avoids the shuffle") {
     // the catalog is per-JVM (in-memory) but the warehouse dir persists:
     // clear any orphaned location from a previous test run
