@@ -432,10 +432,32 @@ object OracleSqlGen {
     * ADC sum restricted to probed cells.
     */
   def annIvfAdc(nQueries: Int, k: Int, m: Int, dsub: Int,
+      nCodes: Int, nCells: Int, nProbe: Int): String =
+    s"""WITH ${ivfAdcBody(nQueries, m, dsub, nCodes, nCells, nProbe)}
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist_r FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** D11: the D10 pipeline's rank relation reduced to a rerankR pool,
+    * exact-rescored from raw vectors (same fold/rounding as the Spark
+    * side's DotProduct + r6).
+    */
+  def annIvfRerank(nQueries: Int, k: Int, m: Int, dsub: Int,
+      nCodes: Int, nCells: Int, nProbe: Int, rerankR: Int): String =
+    s"""WITH ${ivfAdcBody(nQueries, m, dsub, nCodes, nCells, nProbe)},
+       |pool AS (SELECT q_id, vec_id FROM r WHERE rank <= $rerankR),
+       |ex AS (SELECT p.q_id, p.vec_id,
+       |  floor((q.n2 - 2*list_reduce([q.v[i]*c.v[i] for i in range(1, len(q.v)+1)], (x,y) -> x+y) + c.n2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM pool p JOIN n q ON q.vec_id = p.q_id JOIN n c ON c.vec_id = p.vec_id),
+       |rr AS (SELECT q_id, vec_id, dist2_r,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2_r, vec_id) AS rank FROM ex)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, dist2_r FROM rr WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  private def ivfAdcBody(nQueries: Int, m: Int, dsub: Int,
       nCodes: Int, nCells: Int, nProbe: Int): String = {
     val ckey = "('0x'||substr(md5('centroid:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT"
     val cvSlice = s"list_slice(pcent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"
-    s"""WITH $normCte,
+    s"""$normCte,
        |ccent AS (SELECT v AS cv, n2 AS c2,
        |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
        |  FROM n ORDER BY $ckey, vec_id LIMIT $nCells),
@@ -474,9 +496,7 @@ object OracleSqlGen {
        |    AND qd.q_id <> c.vec_id
        |  GROUP BY qd.q_id, c.vec_id),
        |r AS (SELECT q_id, vec_id, adc_dist_r,
-       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist_r, vec_id) AS rank FROM s)
-       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist_r FROM r WHERE rank <= $k
-       |ORDER BY q_id, rank""".stripMargin
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist_r, vec_id) AS rank FROM s)""".stripMargin
   }
 
   def embKmeansAssign(nCenters: Int): String =

@@ -85,6 +85,8 @@ object SparkEntry {
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
     "ann_pq_adc"           -> q(Similarity.annPqAdc(_)),
     "ann_ivf_adc"          -> q(Similarity.annIvfAdc(_)),
+    "ann_ivf_rerank"       -> q(Similarity.annIvfRerank(_)),
+    "q_approx_percentiles" -> q(Analytics.qApproxPercentiles(_)), // rows-only: GK sketch, no SQL oracle
     // §2.E text analysis
     "text_langid"          -> q(TextOps.textLangid(_, ordered = true)),
     "text_quality"         -> q(TextOps.textQuality(_, ordered = true)),
@@ -612,6 +614,7 @@ object SparkEntry {
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
     "ann_pq_adc"            -> OracleSqlGen.annPqAdc(8, 5, 8, 8, 8),
     "ann_ivf_adc"           -> OracleSqlGen.annIvfAdc(8, 5, 8, 8, 8, 16, 4),
+    "ann_ivf_rerank"        -> OracleSqlGen.annIvfRerank(8, 5, 8, 8, 8, 16, 4, 20),
     "doc_semdedup"          -> OracleSqlGen.docSemdedup(8, 0.45),
 
     "doc_scrub_pii" ->

@@ -198,6 +198,29 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy($("o_orderpriority"))
 
+  /** B24: approximate percentiles — the 100 TB path for B11: exact
+    * `percentile` buffers and sorts every group's values; the
+    * Greenwald–Khanna sketch behind `approx_percentile` is fixed-size
+    * per partition and map-side merged, trading a bounded RANK error
+    * (≤ n/accuracy) for the sort. Rows-only gate (approximate by
+    * construction); SketchSpec pins the rank-error bound against the
+    * exact values.
+    */
+  def qApproxPercentiles(t: Tables, accuracy: Int = 1000): DataFrame =
+    t.orders
+      .select($("o_orderpriority"), $("o_totalprice"))
+      .groupBy($("o_orderpriority"))
+      .agg(
+        expr(s"approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.9D), $accuracy)")
+          .as("aps"),
+        count(lit(1)).as("n"))
+      .select($("o_orderpriority"),
+        r4(element_at($("aps"), 1)).as("p25_a"),
+        r4(element_at($("aps"), 2)).as("p50_a"),
+        r4(element_at($("aps"), 3)).as("p90_a"),
+        $("n"))
+      .orderBy($("o_orderpriority"))
+
   /** B12: sketch aggregates — HyperLogLog++ distinct counts (no SQL
     * oracle: approximate; DedupSpec-style error-bound spec instead).
     * At 100 TB this replaces exact distinct's full shuffle with a

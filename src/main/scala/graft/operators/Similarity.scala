@@ -497,6 +497,41 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** D11: IVF-ADC with exact re-ranking — the FAISS refine step: D10's
+    * code-based scores pick a candidate POOL of `rerankR` per query
+    * (m-byte reads over nProbe cells), and only those candidates are
+    * re-scored with the exact squared L2 from raw vectors, top-k by
+    * the exact distance. Recovers most of exact recall while bounding
+    * raw-vector reads at nQueries × rerankR rows — the standard
+    * accuracy/IO dial on top of D10.
+    *
+    * Scale shape: the pool is tiny and BROADCAST into the embeddings
+    * scan (the corpus streams past it; only pool rows survive to the
+    * rescore), the query vectors broadcast likewise; final top-k is
+    * the two-stage exact pattern on a pool-bounded relation.
+    */
+  def annIvfRerank(t: Tables, nQueries: Int = 8, k: Int = 5, m: Int = 8,
+      nCodes: Int = 8, nCells: Int = 16, nProbe: Int = 4,
+      rerankR: Int = 20): DataFrame = {
+    val pool = annIvfAdc(t, nQueries, rerankR, m, nCodes, nCells, nProbe)
+      .select(col("q_id"), col("vec_id"))
+    val e = withNorm(t.embeddings).select(col("vec_id"), col("v"), col("n2"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id2"), col("v").as("qv"), col("n2").as("qn2"))
+    val exact = e.join(broadcast(pool), "vec_id")
+      .join(broadcast(q), col("q_id") === col("q_id2"))
+      .select(col("q_id"), col("vec_id"),
+        r6(col("qn2") - lit(2.0) * VectorExprs.dot(col("qv"), col("v")) + col("n2"))
+          .as("dist2_r"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2_r").asc, col("vec_id").asc)
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("dist2_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** D10 against the PERSISTED artifacts — the deploy form: the corpus
     * lives in the G12 cell layout (`Sinks.writeEmbeddingsByCell`), the
     * quantizer in the G15 parquet artifact, and the search never

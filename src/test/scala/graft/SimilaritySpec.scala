@@ -259,4 +259,37 @@ class SimilaritySpec extends SparkSpec {
       assert(used.size <= 4, s"query $q drew neighbors from ${used.size} cells")
     }
   }
+
+  test("ivf rerank: results drawn from the ADC pool, exactly ordered; recall >= plain ADC") {
+    val poolR = 20
+    val pool = Similarity.annIvfAdc(tables, k = poolR).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rr = Similarity.annIvfRerank(tables, rerankR = poolR).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rr.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).toSet.subsetOf(pool(q)),
+        s"query $q reranked outside its candidate pool")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // recall vs exact L2 ground truth (the metric ADC approximates;
+    // cosine brute force ranks differently on unnormalized vectors):
+    // exact rescoring of the same pool must not lose recall vs ADC
+    import org.apache.spark.sql.functions._
+    val vecs = Similarity.withNorm(tables.embeddings)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    val exact = (0L until 8L).map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (l2(vecs(q), v), id) }.sorted.take(5).map(_._2).toSet
+    }.toMap
+    val adcTop = topk(Similarity.annIvfAdc(tables))
+    val rrTop = rr.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val adcRecall = adcTop.map { case (q, ids) => ids.toSet.intersect(exact(q)).size }.sum
+    val rrRecall = rrTop.map { case (q, ids) => ids.toSet.intersect(exact(q)).size }.sum
+    assert(rrRecall >= adcRecall,
+      s"exact rerank must not lose recall vs ADC: $rrRecall < $adcRecall")
+  }
 }

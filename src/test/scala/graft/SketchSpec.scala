@@ -49,4 +49,25 @@ class SketchSpec extends SparkSpec {
       s"planted hitter must lead: ${planted.head}")
     assert(planted.head.getLong(2) >= 500L, "estimate >= true count")
   }
+
+  test("approx percentiles: each estimate's rank within the GK n/accuracy bound of the target") {
+    import org.apache.spark.sql.functions._
+    val accuracy = 1000
+    val got = graft.operators.Analytics.qApproxPercentiles(tables, accuracy).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val vals = tables.orders.select(col("o_orderpriority"), col("o_totalprice").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    for ((prio, est) <- got; (p, e) <- Seq(0.25, 0.5, 0.9).zip(est)) {
+      val xs = vals(prio)
+      val n = xs.length
+      // e was rounded to 4dp for display; rank-check with matching slack
+      val lo = xs.count(_ < e - 5e-5) // rank interval of the estimate
+      val hi = xs.count(_ <= e + 5e-5)
+      val target = p * n
+      val slack = n.toDouble / accuracy + 1
+      assert(lo <= target + slack && hi >= target - slack,
+        s"$prio p$p: estimate $e has rank [$lo,$hi], target $target ± $slack (n=$n)")
+    }
+  }
 }
