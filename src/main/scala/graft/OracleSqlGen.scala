@@ -133,6 +133,34 @@ object OracleSqlGen {
        |SELECT doc_id, n_shared, n_grams, contaminated FROM vr
        |ORDER BY doc_id""".stripMargin
 
+  /** C9b: Bloom-filter decontamination. The oracle phrases membership
+    * relationally — a gram is Bloom-positive iff ALL kHashes affine
+    * positions appear in the benchmark slice's distinct-position set —
+    * which is bit-for-bit the Spark side's dense-bitset test.
+    * Distinct-h0 (`hd`) mirrors Spark's hash-SET gs exactly.
+    */
+  def docDecontaminateBloom(mod: Int, minShared: Int, mBits: Int, k: Int): String = {
+    val permRows = (0 until k).map(i =>
+      s"(${Hashing.Perms(i)._1}, ${Hashing.Perms(i)._2})").mkString(", ")
+    s"""WITH $gramCtes,
+       |hd AS (SELECT DISTINCT doc_id, h0 FROM h),
+       |perms(a, b) AS (VALUES $permRows),
+       |bpos AS (SELECT DISTINCT (a*(h0%${Hashing.M30})+b)%${Hashing.P}%$mBits AS pos
+       |  FROM hd, perms WHERE doc_id % $mod = 0),
+       |tp AS (SELECT doc_id, h0, (a*(h0%${Hashing.M30})+b)%${Hashing.P}%$mBits AS pos
+       |  FROM hd, perms WHERE doc_id % $mod <> 0),
+       |gh AS (SELECT tp.doc_id, tp.h0,
+       |  SUM(CASE WHEN bpos.pos IS NULL THEN 0 ELSE 1 END) AS set_n
+       |  FROM tp LEFT JOIN bpos USING (pos) GROUP BY tp.doc_id, tp.h0),
+       |ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM hd WHERE doc_id % $mod <> 0 GROUP BY doc_id)
+       |SELECT gh.doc_id,
+       |  CAST(SUM(CASE WHEN set_n = $k THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       |  MAX(ng.n_grams) AS n_grams,
+       |  CAST(SUM(CASE WHEN set_n = $k THEN 1 ELSE 0 END) >= $minShared AS INTEGER) AS flagged
+       |FROM gh JOIN ng ON ng.doc_id = gh.doc_id
+       |GROUP BY gh.doc_id ORDER BY gh.doc_id""".stripMargin
+  }
+
   /** Per-source contamination report off the C9 verdict relation. */
   def docContaminationStats(mod: Int, minShared: Int): String =
     s"""WITH ${decontCte(mod, minShared)}

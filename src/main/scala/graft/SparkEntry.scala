@@ -69,6 +69,7 @@ object SparkEntry {
     "doc_incremental_dedup" -> q(Dedup.docIncrementalDedup(_, ordered = true)),
     "doc_incremental_minhash" -> q(Dedup.docIncrementalMinhash(_, ordered = true)),
     "doc_decontaminate"    -> q(Dedup.docDecontaminate(_, ordered = true)),
+    "doc_decontaminate_bloom" -> q(Dedup.docDecontaminateBloom(_, ordered = true)),
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
     "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_, ordered = true)),
     "doc_winnow_pairs"     -> q(Dedup.docWinnowPairs(_, ordered = true)),
@@ -589,6 +590,7 @@ object SparkEntry {
     "doc_incremental_dedup" -> OracleSqlGen.docIncrementalDedup(5),
     "doc_incremental_minhash" -> OracleSqlGen.docIncrementalMinhash(5, 0.2),
     "doc_decontaminate"     -> OracleSqlGen.docDecontaminate(10, 1),
+    "doc_decontaminate_bloom" -> OracleSqlGen.docDecontaminateBloom(10, 1, 65536, 4),
     "doc_fingerprint_pairs" -> OracleSqlGen.docFingerprintPairs(8, 2, 100),
     "doc_winnow_pairs"      -> OracleSqlGen.docWinnowPairs(8, 2, 100),
     "doc_shard_shuffle" ->

@@ -442,6 +442,68 @@ object Dedup {
       ordered)(col("doc_id"))
   }
 
+  /** C9b: Bloom-filter decontamination — the C9 verdict computed
+    * against a CONSTANT-SIZE membership summary of the benchmark
+    * shingle set instead of the exact set. C9 broadcasts every
+    * distinct benchmark shingle; with many eval suites that broadcast
+    * grows with the benchmark corpus. Here the benchmark side
+    * collapses to an mBits-bit Bloom filter (default 64 Kib = one
+    * 8 KiB long-array) that is broadcast once regardless of benchmark
+    * size, and each training shingle is tested with kHashes O(1) bit
+    * probes — no join on the probe side at all. The price is a
+    * one-sided error: `n_bloom_hits >= n_shared` always (no false
+    * negatives — a flagged=0 doc is PROVABLY clean, which is the
+    * direction decontamination needs), with the false-positive excess
+    * bounded by the standard (1-e^(-kn/m))^k rate (DedupSpec measures
+    * it against C9).
+    *
+    * Scale shape: benchmark slice → explode shingles → kHashes
+    * positions → bit_or per 64-bit word (a ≤ mBits/64-row aggregate) →
+    * one dense array row, broadcast. The 100 TB training side is a
+    * single narrow pass (gram hash → k codegen'd bit tests against the
+    * broadcast array) into the per-doc count aggregate — one shuffle,
+    * same as C9, but the broadcast is 8 KiB instead of the full
+    * shingle relation. Positions reuse the MinHash affine-permutation
+    * family over the portable 60-bit gram hash, so the filter is
+    * bit-reproducible in the DuckDB oracle.
+    */
+  def docDecontaminateBloom(t: Tables, mod: Int = 10, minShared: Int = 1,
+      mBits: Int = 65536, kHashes: Int = 4, ordered: Boolean = false): DataFrame = {
+    require(mBits % 64 == 0 && kHashes <= Perms.length,
+      s"mBits must be word-aligned, kHashes <= ${Perms.length}")
+    val sets = gramSets(t)
+    // position r of a 60-bit gram hash: affine permutation mod mBits
+    def pos(gram: Column, r: Int): Column =
+      (lit(Perms(r)._1) * (gram % M30) + lit(Perms(r)._2)) % P % lit(mBits.toLong)
+    val nWords = mBits / 64
+    // build: per-word OR of the benchmark slice's position bits, then
+    // one dense array<long> row (missing words are 0)
+    val bloomRow = sets.filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .select(explode(col("gs")).as("gram"))
+      .select(explode(array((0 until kHashes).map(r => pos(col("gram"), r)): _*)).as("p"))
+      .groupBy(shiftright(col("p"), 6).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(p % 64 as int)))").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("wm"))
+      .select(transform(sequence(lit(0), lit(nWords - 1)),
+        w => coalesce(element_at(col("wm"), w), lit(0L))).as("bloom"))
+    def bitTest(gram: Column, r: Int): Column = {
+      val p = pos(gram, r)
+      element_at(col("bloom"), (shiftright(p, 6) + 1).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= 0L
+    }
+    maybeSort(
+      sets.filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+        .select(col("doc_id"), col("n_grams"), explode(col("gs")).as("gram"))
+        .crossJoin(broadcast(bloomRow))
+        .withColumn("hit", (0 until kHashes).map(r => bitTest(col("gram"), r)).reduce(_ && _))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("hit").cast("long")).as("n_bloom_hits"),
+          max(col("n_grams")).cast("long").as("n_grams"))
+        .select(col("doc_id"), col("n_bloom_hits"), col("n_grams"),
+          (col("n_bloom_hits") >= minShared).cast("int").as("flagged")),
+      ordered)(col("doc_id"))
+  }
+
   /** C12: per-source contamination report — the C9 verdict relation
     * rolled up to what a dataset card actually publishes: per source,
     * how many training docs share shingles with the benchmark split

@@ -880,4 +880,44 @@ object TextOps {
         col("quality_score"), col("low_quality"), col("lang_mismatch"),
         col("duplicate"), col("keep"))
   }, ordered)(col("doc_id"))
+
+  /** E30: model-based quality scoring — the fastText-style linear
+    * classifier pass modern pretraining pipelines run after the
+    * heuristic filters (E2/E6): mean-pooled per-token coefficients →
+    * logit → squash → keep verdict. The coefficient relation here
+    * carries deterministic hash-derived stand-in values (production
+    * swaps in the trained artifact — same schema, same plan); what
+    * this operator makes real is the SCORING plumbing.
+    *
+    * Scale shape: the weight relation is capped at the top-`vocabV`
+    * corpus tokens by frequency (rank via TakeOrderedAndProject, no
+    * global sort), so it is bounded and broadcast-able no matter how
+    * big the corpus is; OOV tokens contribute 0 through the left
+    * join's coalesce. The 100 TB corpus explodes ONCE into a
+    * BroadcastHashJoin against the weights and collapses in one
+    * per-doc aggregate — a single corpus shuffle.
+    *
+    * Engine parity: coefficients are integer milli-weights (exact
+    * long sums — a double sum would be summation-order-dependent and
+    * flip r6-rounded hashes), and the squash is the rational fast
+    * sigmoid z/(2(1+|z|)) + 0.5 — monotone, bounded (0,1), and pure
+    * IEEE arithmetic, so no libm-exp divergence between engines.
+    */
+  def docQualityModel(t: Tables, vocabV: Int = 4096, bias: Double = 0.1,
+      ordered: Boolean = false): DataFrame = maybeSort({
+    val toks = t.documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val weights = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(vocabV)
+      .select(col("token"),
+        ((lit(Perms(0)._1) * (md5_60(col("token")) % M30) + lit(Perms(0)._2))
+          % P % 2001L - 1000L).as("w_milli"))
+    toks.join(broadcast(weights), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w_milli"), lit(0L))).as("swm"))
+      .withColumn("z", lit(bias) + (col("swm") / 1000.0) / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), r6(col("z")).as("z_r"),
+        r6(col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))) + 0.5).as("score_r"),
+        (col("z") >= 0).cast("int").as("keep"))
+  }, ordered)(col("doc_id"))
 }

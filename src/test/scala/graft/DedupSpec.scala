@@ -245,6 +245,28 @@ class DedupSpec extends SparkSpec {
     assert(planted((1L, 2L)) == ((1.0, 1.0)), s"identical docs: ${planted.get((1L, 2L))}")
   }
 
+  test("bloom decontamination: no false negatives vs exact, FP rate within theory") {
+    import org.apache.spark.sql.functions._
+    val exact = Dedup.docDecontaminate(tables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(3))).toMap
+    val bloom = Dedup.docDecontaminateBloom(tables).collect()
+    assert(bloom.nonEmpty)
+    var fpGrams = 0L; var totGrams = 0L
+    bloom.foreach { r =>
+      val (id, hits, n, flagged) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      val (shared, contaminated) = exact(id)
+      // one-sided error: every exact-shared gram is Bloom-positive,
+      // so a flagged=0 doc is provably clean
+      assert(hits >= shared, s"doc $id: bloom $hits < exact $shared — false negative")
+      assert(flagged >= contaminated, s"doc $id: exact-contaminated but bloom-clean")
+      fpGrams += hits - shared; totGrams += n
+    }
+    // (1-e^(-kn/m))^k with n≈benchmark shingles, m=65536, k=4 is
+    // ~5e-4 at this corpus; assert an order-of-magnitude headroom
+    assert(fpGrams.toDouble / totGrams <= 0.005,
+      s"bloom FP gram rate ${fpGrams.toDouble / totGrams} out of theoretical range")
+  }
+
   test("minOverlap == exact rational ceiling for integer-landing products") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -359,6 +359,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloom decontamination: probe side meets an 8 KiB broadcast bitset, never a relation join") {
+    val p = plan(Dedup.docDecontaminateBloom(tables))
+    // the single-row dense-bitset crossJoin must plan as a broadcast
+    // nested-loop over one row — the corpus is NEVER part of a
+    // relational membership join (that's C9's shape; the bloom
+    // variant's point is the constant-size broadcast)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bitset row must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no relational membership join on the probe side:\n${p.take(800)}")
+  }
+
   test("text vocab: offsets branch and join branch share ONE range exchange (ReusedExchange)") {
     // the two-phase rank is only correct if both branches observe the
     // SAME range partitioning; they do because the identical subplans
