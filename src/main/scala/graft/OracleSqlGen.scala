@@ -844,6 +844,30 @@ object OracleSqlGen {
        |       ELSE 'tail' END AS bucket
        |FROM lpq, th ORDER BY doc_id""".stripMargin
 
+  /** E30: hashed linear classifier scoring — top-V vocab by frequency
+    * carries integer milli-weights (perm-0 affine over the portable
+    * hash); exact long sum, one double division, rational fast
+    * sigmoid — op-for-op the Spark expression.
+    */
+  def docQualityModel(vocabV: Int, bias: Double): String = {
+    val (a, b) = Hashing.Perms(0)
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS token FROM documents),
+       |vocab AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token
+       |  ORDER BY cnt DESC, token LIMIT $vocabV),
+       |w AS (SELECT token,
+       |  ($a*((('0x'||substr(md5(token),1,15))::BIGINT)%${Hashing.M30})+$b)%${Hashing.P}%2001 - 1000 AS w_milli
+       |  FROM vocab),
+       |d AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(COALESCE(w.w_milli, 0)) AS BIGINT) AS swm
+       |  FROM tk LEFT JOIN w USING (token) GROUP BY tk.doc_id),
+       |zz AS (SELECT doc_id, n_tokens, $bias + (swm/1000.0)/n_tokens AS z FROM d)
+       |SELECT doc_id, n_tokens,
+       |  floor(z*1000000 + 0.5)/1000000 AS z_r,
+       |  floor((z/(2.0*(1.0+abs(z))) + 0.5)*1000000 + 0.5)/1000000 AS score_r,
+       |  CAST(z >= 0 AS INTEGER) AS keep
+       |FROM zz ORDER BY doc_id""".stripMargin
+  }
+
   /** Temperature mixture weights: r6'd share^τ decimal-normalized. */
   def docMixWeights(temperature: Double): String =
     s"""WITH s AS (SELECT source, CAST(SUM(len(string_split(lower(text),' '))) AS BIGINT) AS toks

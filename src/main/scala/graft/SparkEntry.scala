@@ -111,6 +111,7 @@ object SparkEntry {
     "doc_span_removal"     -> q(TextOps.docSpanRemoval(_, ordered = true)),
     "doc_mix_weights"      -> q(TextOps.docMixWeights(_, ordered = true)),
     "doc_quality_bucket"   -> q(TextOps.docQualityBucket(_, ordered = true)),
+    "doc_quality_model"    -> q(TextOps.docQualityModel(_, ordered = true)),
     "text_keywords"        -> q(TextOps.textKeywords(_, ordered = true)),
     "text_winnow"          -> q(TextOps.textWinnow(_, ordered = true)),
     "doc_contamination_stats" -> q(Dedup.docContaminationStats(_)),
@@ -662,6 +663,7 @@ object SparkEntry {
     "doc_span_removal"      -> OracleSqlGen.docSpanRemoval,
     "doc_mix_weights"       -> OracleSqlGen.docMixWeights(0.7),
     "doc_quality_bucket"    -> OracleSqlGen.docQualityBucket(10000),
+    "doc_quality_model"     -> OracleSqlGen.docQualityModel(4096, 0.1),
     "text_keywords"         -> OracleSqlGen.textKeywords(3),
     "text_winnow"           -> OracleSqlGen.textWinnow(8),
     "doc_contamination_stats" -> OracleSqlGen.docContaminationStats(10, 1),

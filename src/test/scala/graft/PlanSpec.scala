@@ -371,6 +371,15 @@ class PlanSpec extends SparkSpec {
       s"no relational membership join on the probe side:\n${p.take(800)}")
   }
 
+  test("quality model: bounded vocab broadcast-joins the token stream; top-V rank without global sort") {
+    val p = plan(graft.operators.TextOps.docQualityModel(tables))
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight relation must broadcast:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V vocab cap must not global-sort:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle into the join:\n${p.take(800)}")
+  }
+
   test("text vocab: offsets branch and join branch share ONE range exchange (ReusedExchange)") {
     // the two-phase rank is only correct if both branches observe the
     // SAME range partitioning; they do because the identical subplans

@@ -452,4 +452,27 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == ref)
   }
+
+  test("quality model: score strictly increasing in z, bounded (0,1); keep == sign(z); OOV scores the bias") {
+    val rows = TextOps.docQualityModel(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, z, s, keep) =>
+      assert(n > 0 && s > 0.0 && s < 1.0, s"doc $id: score $s out of (0,1)")
+      assert(keep == (if (z >= 0) 1 else 0), s"doc $id: keep flag disagrees with logit sign")
+    }
+    // monotone squash: sorting by z and by score must agree
+    val byZ = rows.sortBy(r => (r._3, r._1)).map(_._1).toSeq
+    val byS = rows.sortBy(r => (r._4, r._1)).map(_._1).toSeq
+    assert(byZ == byS, "fast sigmoid must be order-preserving")
+    // a doc of only OOV tokens scores exactly the squashed bias
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qm").toString
+    import spark.implicits._
+    Seq((1L, "zzqx1 zzqx2 zzqx3"), (2L, "zzqx1 zzqx1 zzqx4"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // vocabV=0: every token is OOV -> z == bias for all docs
+    val oov = TextOps.docQualityModel(graft.sources.Tables(spark, tmp), vocabV = 0, bias = 0.25)
+      .collect().map(r => (r.getDouble(2), r.getInt(4)))
+    assert(oov.forall { case (z, k) => z == 0.25 && k == 1 }, oov.toSeq.toString)
+  }
 }
