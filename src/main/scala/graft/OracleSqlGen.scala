@@ -275,10 +275,11 @@ object OracleSqlGen {
        |FROM w ORDER BY doc_id""".stripMargin
 
   /** Connected components over the jaccard pair graph via recursive
-    * transitive closure, min reachable id per node = cluster.
+    * transitive closure, min reachable id per node = cluster. The CTE
+    * chain is shared by C7 (cluster dump) and C15 (keep-best).
     */
-  val docDedupClusters: String =
-    s"""WITH RECURSIVE $gramCtes,
+  private val clusterCtes: String =
+    s"""$gramCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
        |$jaccardCtes,
@@ -291,12 +292,33 @@ object OracleSqlGen {
        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
        |),
        |mins AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
-       |  FROM reach GROUP BY src)
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  val docDedupClusters: String =
+    s"""WITH RECURSIVE $clusterCtes
        |SELECT d.doc_id,
        |  COALESCE(m.cluster, d.doc_id) AS cluster,
        |  CAST(COALESCE(m.cluster, d.doc_id) = d.doc_id AS INTEGER) AS is_canonical
        |FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** C15: keep-best canonical selection — C7's clusters joined with
+    * the E2 quality score, per-cluster argmax (quality DESC, doc_id).
+    */
+  def docDedupKeepBest: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |cl AS (SELECT d.doc_id, COALESCE(m.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id),
+       |$qualityCoreCtes,
+       |q AS (SELECT doc_id, $qualityScoreExpr AS quality_score FROM r),
+       |sc AS (SELECT cl.doc_id, cl.cluster, q.quality_score FROM cl JOIN q USING (doc_id)),
+       |k AS (SELECT cluster, doc_id AS keeper FROM (
+       |  SELECT cluster, doc_id, row_number() OVER (
+       |    PARTITION BY cluster ORDER BY quality_score DESC, doc_id) AS rn FROM sc)
+       |  WHERE rn = 1)
+       |SELECT sc.doc_id, sc.cluster, sc.quality_score, k.keeper,
+       |  CAST(sc.doc_id = k.keeper AS INTEGER) AS keep
+       |FROM sc JOIN k USING (cluster) ORDER BY sc.doc_id""".stripMargin
 
   private val bitSumExprs: String = (0 until 60).map(j =>
     s"SUM(((h0 >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n  ")

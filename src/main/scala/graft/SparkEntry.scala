@@ -71,6 +71,7 @@ object SparkEntry {
     "doc_decontaminate"    -> q(Dedup.docDecontaminate(_, ordered = true)),
     "doc_decontaminate_bloom" -> q(Dedup.docDecontaminateBloom(_, ordered = true)),
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
+    "doc_dedup_keep_best"  -> q(Dedup.docDedupKeepBest(_, ordered = true)),
     "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_, ordered = true)),
     "doc_winnow_pairs"     -> q(Dedup.docWinnowPairs(_, ordered = true)),
     "doc_embed_cosine_dup" -> q(Dedup.docEmbedCosineDup(_, ordered = true)),
@@ -583,6 +584,7 @@ object SparkEntry {
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,
     "doc_dedup_clusters"    -> OracleSqlGen.docDedupClusters,
+    "doc_dedup_keep_best"   -> OracleSqlGen.docDedupKeepBest,
     "doc_embed_cosine_dup"  -> OracleSqlGen.docEmbedCosineDup,
     "ann_topk_bruteforce"   -> OracleSqlGen.annTopkBruteforce,
     "ann_lsh_bucketed"      -> OracleSqlGen.annLshBucketed,

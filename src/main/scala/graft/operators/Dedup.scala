@@ -821,6 +821,39 @@ object Dedup {
     out
   }
 
+  /** C15: near-dup dedup with canonical selection by QUALITY — C7
+    * keeps the min doc_id per cluster; real pipelines keep the BEST
+    * copy (a near-dup group usually mixes a clean original with
+    * truncated or boilerplate-wrapped variants). Per cluster the
+    * keeper is argmax(quality_score) with min-doc_id tiebreak; every
+    * doc gets its cluster, its E2 quality, the keeper id and the
+    * keep/drop verdict — the relation a dedup APPLY step filters on.
+    *
+    * Scale shape: clusters come from C7 (banded candidates → verified
+    * pairs → CC — never all-pairs); quality is E2's narrow pass; the
+    * argmax is a window keyed by CLUSTER (corpus-cardinality key,
+    * per-group rows = cluster size — never a low-cardinality window)
+    * and the keeper joins back on the same cluster key.
+    */
+  def docDedupKeepBest(t: Tables, threshold: Double = 0.2, maxIter: Int = 20,
+      ordered: Boolean = false): DataFrame = {
+    val clusters = docDedupClusters(t, threshold, maxIter)
+      .select(col("doc_id"), col("cluster"))
+    val qual = TextOps.withQuality(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("quality_score"))
+    val scored = clusters.join(qual, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val keepers = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("cluster"), col("doc_id").as("keeper"))
+    maybeSort(
+      scored.join(keepers, "cluster")
+        .select(col("doc_id"), col("cluster"), col("quality_score"), col("keeper"),
+          (col("doc_id") === col("keeper")).cast("int").as("keep")),
+      ordered)(col("doc_id"))
+  }
+
   /** C6: embedding-cosine near-dup pairs, exact, via a block-grid pair
     * join (no BroadcastNestedLoopJoin, no corpus broadcast).
     *

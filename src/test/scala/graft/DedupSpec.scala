@@ -267,6 +267,24 @@ class DedupSpec extends SparkSpec {
       s"bloom FP gram rate ${fpGrams.toDouble / totGrams} out of theoretical range")
   }
 
+  test("keep-best: exactly one keeper per cluster, and it is the max-quality member") {
+    val rows = Dedup.docDedupKeepBest(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, ms) =>
+      val keepers = ms.filter(_._5 == 1)
+      assert(keepers.length == 1, s"cluster $c: ${keepers.length} keepers")
+      val k = keepers.head
+      assert(ms.forall(_._4 == k._1), s"cluster $c: keeper column disagrees")
+      // argmax by (quality desc, doc_id asc)
+      val best = ms.minBy(m => (-m._3, m._1))
+      assert(k._1 == best._1, s"cluster $c: keeper ${k._1} is not argmax ${best._1}")
+    }
+    // verdict is an apply-ready partition: kept docs == #clusters
+    assert(rows.count(_._5 == 1) == byCluster.size)
+  }
+
   test("minOverlap == exact rational ceiling for integer-landing products") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
