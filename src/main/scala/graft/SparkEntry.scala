@@ -46,6 +46,7 @@ object SparkEntry {
     "q_approx_distinct"    -> q(Analytics.qApproxDistinct), // rows-only: HLL sketch, no SQL oracle
     "q_heavy_hitters_cms"  -> q(Analytics.qHeavyHittersCms(_)), // rows-only: CMS sketch, no SQL oracle
     "q_cube"               -> q(Analytics.qCube),
+    "q_grouping_sets"      -> q(Analytics.qGroupingSets),
     "q_distinct_skewsafe"  -> q(Analytics.qDistinctSkewsafe),
     "q_large_volume"       -> q(Analytics.qLargeVolume),
     "q_rolling_window"     -> q(Analytics.qRollingWindow),
@@ -557,6 +558,18 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year, l_quantity FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, ship_year,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus, ship_year) AS BIGINT) AS gid
+        |FROM li
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST, ship_year ASC NULLS FIRST""".stripMargin,
 
     "q_distinct_skewsafe" ->
       """SELECT event_type, COUNT(*) AS n_users

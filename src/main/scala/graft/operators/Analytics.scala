@@ -244,6 +244,27 @@ object Analytics {
       .agg(psum($("o_totalprice")).as("total"), count(lit(1)).as("n"))
       .orderBy($("o_orderstatus").asc_nulls_first, $("o_orderpriority").asc_nulls_first)
 
+  /** B25: explicit GROUPING SETS — the mixed-dimension report neither
+    * ROLLUP nor CUBE expresses: per (returnflag, linestatus), per
+    * shipmode, and the grand total, in ONE pass. Catalyst expands the
+    * three sets under a single Expand + one aggregate — one corpus
+    * scan and one shuffle, where the naive form is three scans
+    * unioned. grouping_id() tags which set each output row belongs to
+    * (bit per grouping column, 1 = aggregated away — the same
+    * most-significant-first convention in both engines).
+    */
+  def qGroupingSets(t: Tables): DataFrame =
+    t.lineitem
+      .select($("l_returnflag"), $("l_linestatus"),
+        year($("l_shipdate")).cast("long").as("ship_year"), $("l_quantity"))
+      .groupingSets(
+        Seq(Seq($("l_returnflag"), $("l_linestatus")), Seq(col("ship_year")), Seq.empty),
+        $("l_returnflag"), $("l_linestatus"), col("ship_year"))
+      .agg(psum($("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), $("l_returnflag").asc_nulls_first,
+        $("l_linestatus").asc_nulls_first, col("ship_year").asc_nulls_first)
+
   /** B14: skew-safe exact distinct — two-phase: dedupe on (key, value)
     * first (spreads a hot key's values over the cluster), then count
     * per key. Identical result to COUNT(DISTINCT), but the second

@@ -371,6 +371,12 @@ class PlanSpec extends SparkSpec {
       s"no relational membership join on the probe side:\n${p.take(800)}")
   }
 
+  test("grouping sets: one Expand + one aggregate pass — not a union of per-set scans") {
+    val p = plan(Analytics.qGroupingSets(tables))
+    assert(p.contains("Expand"), s"grouping sets must expand, not union:\n${p.take(600)}")
+    assert(!p.contains("Union"), s"one corpus scan, not one per set:\n${p.take(600)}")
+  }
+
   test("quality model: bounded vocab broadcast-joins the token stream; top-V rank without global sort") {
     val p = plan(graft.operators.TextOps.docQualityModel(tables))
     assert(p.contains("BroadcastHashJoin"),
