@@ -25,7 +25,7 @@ object Bench {
   private val HeavyExtra = 2
   private val Heavy =
     Set("doc_ngram_jaccard", "doc_dedup_clusters", "doc_ngram_jaccard_capped",
-      "corpus_dedup_stats", "mm_phash_clusters")
+      "corpus_dedup_stats", "mm_phash_clusters", "doc_dedup_keep_best")
 
   /** State-partition count for the streaming pipeline — a deploy
     * sizing knob, like shuffle partitions for batch: each micro-batch

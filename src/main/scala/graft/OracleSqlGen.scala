@@ -848,6 +848,26 @@ object OracleSqlGen {
     s"""WITH $logprobCte
        |SELECT doc_id, n_tokens, sum_lp, mean_lp_r FROM lpq ORDER BY doc_id""".stripMargin
 
+  /** E31: bigram-LM scoring — E23's determinism convention over
+    * conditional add-one probabilities ln((cb+1)/(cu+V)).
+    */
+  val textBigramLogprob: String =
+    s"""WITH t2 AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+       |bgx AS (SELECT doc_id, unnest($bigramListExpr) AS bg FROM t2),
+       |db AS (SELECT doc_id, bg, COUNT(*) AS c_db FROM bgx GROUP BY doc_id, bg),
+       |bc AS (SELECT bg, CAST(SUM(c_db) AS BIGINT) AS cb FROM db GROUP BY bg),
+       |cu AS (SELECT split_part(bg, ' ', 1) AS prev, CAST(SUM(cb) AS BIGINT) AS cu
+       |  FROM bc GROUP BY 1),
+       |vv AS (SELECT COUNT(DISTINCT split_part(bg, ' ', 2)) AS v FROM bc),
+       |lp AS (SELECT bg,
+       |  floor(ln(CAST(cb + 1 AS DOUBLE)/CAST(cu.cu + vv.v AS DOUBLE))*1000000 + 0.5)/1000000 AS lp_r
+       |  FROM bc JOIN cu ON split_part(bc.bg, ' ', 1) = cu.prev, vv)
+       |SELECT db.doc_id, CAST(SUM(c_db) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(c_db * CAST(lp_r AS DECIMAL(18,6))) AS DOUBLE) AS sum_lp,
+       |  floor((CAST(SUM(c_db * CAST(lp_r AS DECIMAL(18,6))) AS DOUBLE)/SUM(c_db))*1000000 + 0.5)/1000000 AS mean_lp_r
+       |FROM db JOIN lp USING (bg)
+       |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin
+
   /** CCNet-style head/middle/tail bucketing by unigram-logprob
     * percentiles; thresholds from a deterministic hash-bounded sample
     * (exact interpolated percentile over a BOUNDED set).

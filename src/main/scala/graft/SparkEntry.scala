@@ -26,6 +26,7 @@ object SparkEntry {
     "ev_cache_stats"       -> q(EventOps.evCacheStats),
     "ev_windowed_rate"     -> q(EventOps.evWindowedRate),
     "ev_anomaly_mad"       -> q(EventOps.evAnomalyMad(_)),
+    "ev_ewma"              -> q(EventOps.evEwma(_)),
     "ev_json_props"        -> q(EventOps.evJsonProps),
     "ev_serialize_json"    -> q(EventOps.evSerializeJson(_, ordered = true)),
     "ev_top_keys"          -> q(EventOps.evTopKeys(_)),
@@ -114,6 +115,7 @@ object SparkEntry {
     "doc_mix_weights"      -> q(TextOps.docMixWeights(_, ordered = true)),
     "doc_quality_bucket"   -> q(TextOps.docQualityBucket(_, ordered = true)),
     "doc_quality_model"    -> q(TextOps.docQualityModel(_, ordered = true)),
+    "text_bigram_logprob"  -> q(TextOps.textBigramLogprob(_, ordered = true)),
     "text_keywords"        -> q(TextOps.textKeywords(_, ordered = true)),
     "text_winnow"          -> q(TextOps.textWinnow(_, ordered = true)),
     "doc_contamination_stats" -> q(Dedup.docContaminationStats(_)),
@@ -234,6 +236,23 @@ object SparkEntry {
         |  CAST(dev.n > dev.med + 3.0*mad.mad AS INTEGER) AS is_anomaly
         |FROM dev JOIN mad USING (event_type)
         |ORDER BY event_type, hour""".stripMargin,
+
+    "ev_ewma" ->
+      """WITH rates AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |wl AS (SELECT event_type, hour, n,
+        |  list(n) OVER (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS ms
+        |  FROM rates),
+        |e AS (SELECT event_type, hour, n, len(ms) AS s,
+        |  CASE WHEN len(ms) > 0 THEN
+        |    list_sum([ms[i+1] * power(0.5, len(ms)-1-i) for i in range(len(ms))]) /
+        |    list_sum([power(0.5, len(ms)-1-i) for i in range(len(ms))])
+        |  END AS ewma FROM wl)
+        |SELECT event_type, hour, n,
+        |  floor(ewma*1000000 + 0.5)/1000000 AS ewma_r,
+        |  CASE WHEN s > 0 AND n > 3.0*ewma THEN 1 ELSE 0 END AS is_spike
+        |FROM e ORDER BY event_type, hour""".stripMargin,
 
     "ev_json_props" ->
       """SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_bucket,
@@ -674,6 +693,7 @@ object SparkEntry {
 
     "text_bm25"             -> OracleSqlGen.textBm25(Seq("hash", "join", "vector"), 1.2, 0.75),
     "text_unigram_logprob"  -> OracleSqlGen.textUnigramLogprob,
+    "text_bigram_logprob"   -> OracleSqlGen.textBigramLogprob,
     "doc_span_dedup"        -> OracleSqlGen.docSpanDedup,
     "doc_span_removal"      -> OracleSqlGen.docSpanRemoval,
     "doc_mix_weights"       -> OracleSqlGen.docMixWeights(0.7),

@@ -170,6 +170,50 @@ object EventOps {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** A33: EWMA-smoothed hourly rates + spike flags — the trend-aware
+    * complement to A29's distribution-based MAD: an exponentially
+    * weighted baseline over the previous `horizon` hours (most recent
+    * weighted highest), flagging hours whose count exceeds
+    * spikeFactor × baseline. The baseline EXCLUDES the current hour
+    * (rowsBetween(-horizon, -1)) so a spike can't mask itself; the
+    * first hour of each type has no history → NULL baseline, never
+    * flagged.
+    *
+    * Engine parity: α = 0.5 makes every weight 0.5^lag an exact
+    * dyadic, so products against integer counts and their ≤ horizon
+    * (default 12)-term sums are EXACT in double — the EWMA is
+    * bit-identical across engines by construction, not by rounding
+    * luck (a generic α would ride on libm-pow agreement).
+    *
+    * Scale shape: the rate relation is (types × hours) — time-bounded
+    * as in A29 — and the window is keyed by event_type with a FIXED
+    * horizon-row frame: per-row state is ≤ horizon structs regardless
+    * of series length.
+    */
+  def evEwma(t: Tables, horizon: Int = 12, spikeFactor: Double = 3.0): DataFrame = {
+    val rates = t.events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-horizon, -1)
+    // collect_list over a window frame has no order guarantee —
+    // sort_array by (hour, n) restores it deterministically
+    rates
+      .withColumn("ms",
+        transform(sort_array(collect_list(struct(col("hour").as("h"), col("n").as("v"))).over(w)),
+          x => x.getField("v")))
+      .withColumn("s", size(col("ms")))
+      .withColumn("num", expr(
+        "aggregate(transform(ms, (x, i) -> x * power(0.5D, size(ms)-1-i)), 0.0D, (a, b) -> a + b)"))
+      .withColumn("den", expr(
+        "aggregate(transform(ms, (x, i) -> power(0.5D, size(ms)-1-i)), 0.0D, (a, b) -> a + b)"))
+      .withColumn("ewma", when(col("s") > 0, col("num") / col("den")))
+      .select(col("event_type"), col("hour"), col("n"), r6(col("ewma")).as("ewma_r"),
+        coalesce((col("n") > lit(spikeFactor) * col("ewma")).cast("int"), lit(0)).as("is_spike"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** A8: JSON property extraction from `props` + aggregation. */
   def evJsonProps(t: Tables): DataFrame =
     t.events

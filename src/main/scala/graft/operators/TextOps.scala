@@ -647,6 +647,49 @@ object TextOps {
       .withColumn("mean_lp_r", r6(col("sum_lp") / col("n_tokens")))
   }, ordered)(col("doc_id"))
 
+  /** E31: bigram-LM log-probability scoring — E23's unigram signal
+    * upgraded to conditional probabilities: each bigram scores
+    * ln((c(prev,cur)+1) / (c(prev·)+V)) (add-one smoothing over the
+    * corpus's own bigram LM), mean-pooled per doc. Catches the
+    * "plausible words, implausible order" garbage a unigram LM rates
+    * highly — the KenLM-perplexity filter shape with the LM reduced
+    * to its first-order term. Docs under 2 tokens have no bigrams and
+    * drop out (the caller unions them back as unscoreable if needed).
+    *
+    * Scale shape: ONE corpus bigram explode combined map-side to
+    * per-(doc, bigram) counts before the only bigram-volume shuffle;
+    * corpus bigram counts, context counts, and the vocab size all
+    * derive from that stage; the score join re-keys on bigram. Same
+    * skeleton as E23/E24 (shared-stage reuse), one extra tiny
+    * context-count aggregate.
+    *
+    * Determinism: E23's convention — ln of an exact integer ratio
+    * (double-cast before the one division), rounded r6 BEFORE the
+    * count-weighted DECIMAL sum; final mean is scalar double math.
+    */
+  def textBigramLogprob(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    import org.apache.spark.sql.types.DecimalType
+    val db = t.documents
+      .select(col("doc_id"), explode(bigramStrings(col("text"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c_db"))
+    val bc = db.groupBy(col("bg")).agg(sum(col("c_db")).as("cb"))
+    val cu = bc.groupBy(substring_index(col("bg"), " ", 1).as("prev"))
+      .agg(sum(col("cb")).as("cu"))
+    val vocab = bc.agg(countDistinct(substring_index(col("bg"), " ", -1)).as("v"))
+    val lp = bc.withColumn("prev", substring_index(col("bg"), " ", 1))
+      .join(cu, "prev")
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        r6(log((col("cb") + 1).cast("double") / (col("cu") + col("v")).cast("double")))
+          .as("lp_r"))
+    db.join(lp, "bg")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c_db")).as("n_bigrams"),
+        sum(col("c_db") * col("lp_r").cast(DecimalType(18, 6))).cast("double").as("sum_lp"))
+      .withColumn("mean_lp_r", r6(col("sum_lp") / col("n_bigrams")))
+  }, ordered)(col("doc_id"))
+
   /** E29: token-entropy scoring — per-doc Shannon entropy (nats) of
     * the unigram distribution plus type-token ratio: the lexical-
     * diversity quality signals (near-zero entropy ⇒ repetitive

@@ -69,4 +69,30 @@ class EventOpsSpec extends SparkSpec {
     assert(anomalies.map(_._2).toSeq == Seq(100L), s"only the spike hour flags: $anomalies")
     assert(normal.forall(_._2 == 10L), "flat hours stay unflagged")
   }
+
+  test("ewma: flat series baseline equals the rate; planted spike flags; first hour never does") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val base = 1704067200000000000L
+    val flat = for (h <- 0 until 24; i <- 0 until 10)
+      yield (h * 10L + i, base + h * hourNs + i, 1L, "click", 1.0, "{}")
+    val spike = (0 until 100)
+      .map(i => (1000L + i, base + 24 * hourNs + i, 1L, "click", 1.0, "{}"))
+    (flat ++ spike)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.evEwma(graft.sources.Tables(spark, tmp)).collect()
+      .map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]), r.getInt(4)))
+    assert(out.length == 25)
+    // hour 0: no history -> NULL baseline, unflagged
+    assert(out.head._2.isEmpty && out.head._3 == 0)
+    // a flat series' weighted mean of 10s is exactly 10 (dyadic-exact)
+    out.tail.init.foreach { case (n, e, f) =>
+      assert(n == 10L && e.contains(10.0) && f == 0, s"flat hour: ($n, $e, $f)")
+    }
+    // spike hour: baseline still 10, 100 > 3*10 flags
+    val last = out.last
+    assert(last._1 == 100L && last._2.contains(10.0) && last._3 == 1, last.toString)
+  }
 }

@@ -453,6 +453,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("bigram logprob: scores are log-probs (< 0), n_bigrams = n_tokens - 1, common order beats scrambled") {
+    val out = TextOps.textBigramLogprob(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (id, nb, mlp) =>
+      assert(mlp < 0.0, s"doc $id: mean log-prob $mlp must be negative")
+    }
+    val ntok = TextOps.textTokencount(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, nb, _) =>
+      assert(nb == ntok(id) - 1, s"doc $id: $nb bigrams vs ${ntok(id)} tokens")
+    }
+    // a doc made of the corpus's dominant bigram repeated scores higher
+    // (less negative) than one of corpus-unique bigrams
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bglp").toString
+    import spark.implicits._
+    Seq((1L, "a b a b a b a b"), (2L, "a b a b a b a b"),
+        (3L, "q w e r t y u i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = TextOps.textBigramLogprob(graft.sources.Tables(spark, tmp)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(1L) > m(3L), s"repeated dominant bigrams must outscore unique ones: $m")
+  }
+
   test("quality model: score strictly increasing in z, bounded (0,1); keep == sign(z); OOV scores the bias") {
     val rows = TextOps.docQualityModel(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
