@@ -170,9 +170,14 @@ object Bench {
       else {
         val dir = ensureSf1()
         HeavySf1.flatMap { name =>
-          val t = timed(s"sf1_$name")(
-            SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save())
-          if (t > 0) Some(name -> t) else None
+          // two runs, keep the better: the first pays first-touch of
+          // the freshly written 10× parquet + any not-yet-JITed plan
+          // paths (measured 121 s cold vs 22 s warm for the jaccard
+          // pair join — a 1.6 "exponent" that was all warmup, not
+          // scaling); the alarm wants steady-state scaling
+          val ts = (1 to 2).map(_ => timed(s"sf1_$name")(
+            SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()))
+          if (ts.exists(_ < 0)) None else Some(name -> ts.min)
         }.toMap
       }
     val scalingSf1: Map[String, Double] = sf1Secs.flatMap { case (name, t1) =>
