@@ -8,8 +8,9 @@ import graft.sources.Tables
 
 /** The composed end-to-end training-data pipeline — what a user of the
   * library actually runs over a crawled corpus: curate (E14's quality +
-  * langid + exact-dedup verdict) → near-dup cluster filter (C7, keep
-  * each cluster's canonical doc) → stable train/valid/test split (E21)
+  * langid + exact-dedup verdict) → near-dup cluster filter (C15 by
+  * default: keep each cluster's BEST-quality member; C7's min-id
+  * keeper via keepBest=false) → stable train/valid/test split (E21)
   * → deterministic shard + in-shard order (E17) → one materialized
   * parquet layout partitioned by (split, shard).
   *
@@ -27,11 +28,14 @@ object TrainingDataJob {
     * (columns: doc_id, text, source, split, shard, pos).
     */
   def materialize(t: Tables, nShards: Int = 16,
-      trainPermille: Int = 990, validPermille: Int = 5): DataFrame = {
+      trainPermille: Int = 990, validPermille: Int = 5,
+      keepBest: Boolean = true): DataFrame = {
     val kept = TextOps.docCurate(t)
       .filter(col("keep") === 1).select(col("doc_id"))
-    val canonical = Dedup.docDedupClusters(t)
-      .filter(col("is_canonical") === 1).select(col("doc_id"))
+    val canonical =
+      (if (keepBest) Dedup.docDedupKeepBest(t).filter(col("keep") === 1)
+       else Dedup.docDedupClusters(t).filter(col("is_canonical") === 1))
+        .select(col("doc_id"))
     val split = TextOps.docSplit(t, trainPermille, validPermille)
       .select(col("doc_id"), col("split"))
     val survivors = t.documents.select(col("doc_id"), col("text"), col("source"))

@@ -10,16 +10,22 @@ import org.apache.spark.sql.functions._
   */
 class TrainingDataJobSpec extends SparkSpec {
 
-  test("materialized corpus == curate-kept ∩ cluster-canonical, with operator-consistent labels") {
+  test("materialized corpus == curate-kept ∩ keep-best winners, with operator-consistent labels") {
     val out = TrainingDataJob.materialize(tables, nShards = 4).collect()
       .map(r => (r.getLong(0), r.getString(3), r.getLong(4), r.getLong(5)))
     assert(out.nonEmpty)
     val kept = graft.operators.TextOps.docCurate(tables)
       .filter(col("keep") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val best = graft.operators.Dedup.docDedupKeepBest(tables)
+      .filter(col("keep") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == (kept intersect best),
+      "output docs must be exactly the stage-verdict intersection")
+    // the C7 min-id keeper mode still composes identically
     val canonical = graft.operators.Dedup.docDedupClusters(tables)
       .filter(col("is_canonical") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(out.map(_._1).toSet == (kept intersect canonical),
-      "output docs must be exactly the stage-verdict intersection")
+    val outC7 = TrainingDataJob.materialize(tables, nShards = 4, keepBest = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outC7 == (kept intersect canonical), "keepBest=false must reproduce the C7 keeper")
     // split labels match the standalone E21 assignment
     val split = graft.operators.TextOps.docSplit(tables).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
