@@ -40,6 +40,50 @@ object Sinks {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** JSONL ingestion — the read half of writeJsonLines, and the
+    * format most crawled/exported corpora actually arrive in. The
+    * schema is ENFORCED, not inferred: at 100 TB schema inference is
+    * an extra full pass over the data before the first real one, and
+    * a drifting input schema should fail loudly, not silently widen
+    * columns. Malformed lines land in `_corrupt_record` (PERMISSIVE)
+    * instead of killing the job — the caller splits the relation into
+    * clean rows and a quarantine audit, the same
+    * keep-everything-account-for-everything discipline as E14's
+    * dropped-by-reason counts.
+    */
+  def readJsonLines(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** `readJsonLines` split into (clean, quarantined) — clean rows as
+    * the enforced schema; quarantine keeps the raw line for replay
+    * after a parser fix. Built over text + from_json rather than the
+    * json reader's `_corrupt_record` (whose scans Spark refuses to
+    * filter on the corrupt column alone without caching — a
+    * corpus-scale cache this split exists to avoid): one codegen'd
+    * parse per side, no pinned blocks.
+    */
+  def readJsonLinesAudited(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    // corrupt detection rides INSIDE the from_json struct: PERMISSIVE
+    // from_json yields an all-null row (not a null struct) for
+    // malformed input, so a bare rec-isNull test misses it; the
+    // declared corrupt field is set exactly for unparseable lines
+    val pSchema = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.text(path)
+      .select(col("value").as("raw_line"),
+        from_json(col("value"), pSchema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
+    val bad = col("rec").isNull || col("rec._corrupt_record").isNotNull
+    (parsed.filter(!bad).select(col("rec.*")).drop("_corrupt_record"),
+      parsed.filter(bad).select(col("raw_line")))
+  }
+
   /** Small-files compaction — streaming sinks and frequent batches
     * leave thousands of tiny files; at 100 TB the NameNode/listing cost
     * and per-file open overhead dominate reads. Rewrites to

@@ -195,4 +195,27 @@ class SinksSpec extends SparkSpec {
     Sinks.writeJsonLines(out, dir)
     assert(spark.read.json(dir).count() == tables.events.count())
   }
+
+  test("jsonl ingest: schema enforced not inferred; corrupt lines quarantined with raw text, clean rows exact") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl_in").toFile.getAbsolutePath
+    val good = (1 to 20).map(i => s"""{"doc_id":$i,"text":"doc number $i"}""")
+    val bad = Seq("""{"doc_id":21,"text":"unterminated""", "not json at all", """[1,2,3]""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.jsonl"),
+      scala.util.Random.shuffle(good ++ bad).mkString("\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // enforced reader: declared columns + corrupt column, never inferred extras
+    val raw = Sinks.readJsonLines(spark, dir, schema)
+    assert(raw.schema.fieldNames.toSeq == Seq("doc_id", "text", "_corrupt_record"))
+    val (clean, quarantine) = Sinks.readJsonLinesAudited(spark, dir, schema)
+    assert(clean.schema.fieldNames.toSeq == Seq("doc_id", "text"))
+    val cleanRows = clean.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cleanRows == (1 to 20).map(i => (i.toLong, s"doc number $i")).toSet)
+    val quarantined = quarantine.collect().map(_.getString(0)).toSet
+    // the json-array line parses as neither struct nor garbage for the
+    // given schema -> from_json yields null -> quarantined alongside
+    // the truly malformed lines
+    assert(quarantined == bad.toSet, s"quarantine mismatch: $quarantined")
+  }
 }
