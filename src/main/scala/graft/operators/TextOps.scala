@@ -946,14 +946,24 @@ object TextOps {
     * sigmoid z/(2(1+|z|)) + 0.5 — monotone, bounded (0,1), and pure
     * IEEE arithmetic, so no libm-exp divergence between engines.
     */
-  def docQualityModel(t: Tables, vocabV: Int = 4096, bias: Double = 0.1,
-      ordered: Boolean = false): DataFrame = maybeSort({
-    val toks = t.documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val weights = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+  /** The E30 weight relation (token, w_milli): top-`vocabV` corpus
+    * tokens by frequency with deterministic hash-derived stand-in
+    * coefficients. Public so the STREAMING scorer consumes the same
+    * artifact the batch scorer trains — the train-offline/apply-online
+    * split (A30's shape, applied to model scoring).
+    */
+  def qualityModelWeights(t: Tables, vocabV: Int = 4096): DataFrame =
+    t.documents.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc).limit(vocabV)
       .select(col("token"),
         ((lit(Perms(0)._1) * (md5_60(col("token")) % M30) + lit(Perms(0)._2))
           % P % 2001L - 1000L).as("w_milli"))
+
+  def docQualityModel(t: Tables, vocabV: Int = 4096, bias: Double = 0.1,
+      ordered: Boolean = false): DataFrame = maybeSort({
+    val toks = t.documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val weights = qualityModelWeights(t, vocabV)
     toks.join(broadcast(weights), Seq("token"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

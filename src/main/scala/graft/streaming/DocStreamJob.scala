@@ -57,6 +57,34 @@ object DocStreamJob {
       .select(col("doc_id"), col("ingest_ts"), col("lang"), col("pred_lang"),
         col("n_tokens"), col("quality_score"), col("content_hash"))
 
+  /** Streaming form of E30 (model-based quality scoring applied
+    * online): arriving docs are scored against the STATIC weight
+    * relation (TextOps.qualityModelWeights — at deploy, the trained
+    * artifact) — the train-offline/apply-online split A30 uses for
+    * anomaly thresholds, applied to model scoring.
+    *
+    * Shape: the token explode is a stateless narrow transform; the
+    * weight lookup is a stream-static equi-join against the bounded
+    * (vocabV-row) relation — broadcast, no stream-side shuffle before
+    * it; only the per-doc sum keeps state, keyed by (doc_id,
+    * ingest_ts) and closed by the watermark. Same z/fast-sigmoid math
+    * as the batch scorer, so stream ≡ batch per doc (StreamingSpec).
+    */
+  def streamDocQualityModel(docs: DataFrame, weights: DataFrame,
+      bias: Double = 0.1, watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermarkDelay)
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .join(broadcast(weights), Seq("token"), "left")
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w_milli"), lit(0L))).as("swm"))
+      .withColumn("z", lit(bias) + (col("swm") / 1000.0) / col("n_tokens"))
+      .select(col("doc_id"), col("ingest_ts"), col("n_tokens"),
+        (col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))) + 0.5).as("score"),
+        (col("z") >= 0).cast("int").as("keep"))
+
   /** Streaming form of C8b (SURVEY §2.A32): documents arriving on the
     * ingest stream are near-dup-checked against the STATIC base band
     * index (Dedup.baseBandIndex — at deploy, the persisted artifact)

@@ -377,6 +377,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Union"), s"one corpus scan, not one per set:\n${p.take(600)}")
   }
 
+  test("bigram logprob: LM branch and score join share the per-(doc,bigram) stage") {
+    val df = graft.operators.TextOps.textBigramLogprob(tables)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"corpus bigram stage must be computed once:\n${p.take(1200)}")
+  }
+
   test("quality model: bounded vocab broadcast-joins the token stream; top-V rank without global sort") {
     val p = plan(graft.operators.TextOps.docQualityModel(tables))
     assert(p.contains("BroadcastHashJoin"),
