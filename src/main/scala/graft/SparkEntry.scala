@@ -32,6 +32,7 @@ object SparkEntry {
     "ev_top_keys"          -> q(EventOps.evTopKeys(_)),
     "ev_sessionize"        -> q(EventOps.evSessionize(_, ordered = true)),
     "ev_asof_enrich"       -> q(EventOps.evAsofEnrich(_, ordered = true)),
+    "ev_asof_tolerance"    -> q(EventOps.evAsofTolerance(_, ordered = true)),
     // §2.B OLAP analytics core
     "q1_pricing_summary"   -> q(Analytics.q1PricingSummary),
     "q3_shipping_priority" -> q(Analytics.q3ShippingPriority),
@@ -299,6 +300,20 @@ object SparkEntry {
         |FROM events ASOF LEFT JOIN r
         |  ON events.user_id = r.o_custkey AND r.o_orderdate <= events.ts
         |ORDER BY event_id""".stripMargin,
+
+    "ev_asof_tolerance" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT e.event_id, r.o_orderkey, r.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id ORDER BY r.o_orderdate DESC) AS rn
+        |  FROM events e JOIN r ON r.o_custkey = e.user_id
+        |    AND r.o_orderdate <= e.ts AND e.ts - r.o_orderdate <= INTERVAL 7 DAY)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  COALESCE(m.o_orderkey, -1) AS o_orderkey,
+        |  COALESCE(m.o_orderdate, TIMESTAMP '1970-01-01') AS o_orderdate,
+        |  CAST(m.o_orderkey IS NOT NULL AS INTEGER) AS matched
+        |FROM events e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+        |ORDER BY e.event_id""".stripMargin,
 
     "ev_error_after_click" ->
       """SELECT e.user_id,

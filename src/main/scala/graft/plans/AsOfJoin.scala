@@ -11,7 +11,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** As-of join: for every left row, attach the right row with the same
   * key and the greatest right-time ≤ left-time (LEFT semantics: null-
-  * extended when none exists).
+  * extended when none exists). Optional `tolerance` (micros) bounds
+  * the lookback — a match older than left-time − tolerance is treated
+  * as absent (pandas merge_asof / kdb wj semantics): an event should
+  * not be "enriched" by state from arbitrarily far in the past.
   *
   * Spark has no native as-of join; composing one from built-ins
   * (equi-join → filter time ≤ → argmax per left row) materializes
@@ -28,7 +31,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -40,8 +44,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -49,7 +53,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -80,7 +85,9 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val rBuf = rIt.buffered
       var candKey = 0L
+      var candTime = 0L
       var candRow: InternalRow = null
+      val tol = tolerance.getOrElse(Long.MaxValue)
 
       lIt.map { lrow =>
         val kAny = lkB.eval(lrow)
@@ -101,11 +108,16 @@ case class AsOfJoinExec(
               val rt = rtAny.asInstanceOf[Long]
               if (rk < k || (rk == k && rt <= t)) {
                 candKey = rk
+                candTime = rt
                 candRow = rBuf.next().copy()
               } else advancing = false
             }
           }
-          if (candRow != null && candKey == k) proj(joined(lrow, candRow))
+          // tolerance gates the MATCH, not the scan: the candidate is
+          // still the latest right row <= t for the key (any earlier
+          // row is older still), it just may be too stale to attach
+          if (candRow != null && candKey == k && t - candTime <= tol)
+            proj(joined(lrow, candRow))
           else proj(joined(lrow, nullRight))
         }
       }

@@ -10,12 +10,15 @@ import org.apache.spark.sql.{DataFrame, GraftSqlAccess}
 object GraftPlans {
 
   /** As-of join `left` with `right`: per left row, the right row with
-    * equal key and greatest time ≤ left time (LEFT semantics).
-    * Key columns must be LongType; time columns TimestampType.
+    * equal key and greatest time ≤ left time (LEFT semantics);
+    * `tolerance` (if set) bounds the lookback — older matches
+    * null-extend instead. Key columns must be LongType; time columns
+    * TimestampType.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      tolerance: Option[java.time.Duration] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -28,6 +31,7 @@ object GraftPlans {
     GraftSqlAccess.ofRows(spark,
       AsOfJoin(lp, rp,
         attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime)))
+        attr(lp, leftTime), attr(rp, rightTime),
+        tolerance.map(_.toNanos / 1000L))) // micros; toMillis would zero sub-ms bounds
   }
 }

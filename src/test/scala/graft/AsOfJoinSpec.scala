@@ -45,4 +45,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1).isNullAt(4), "right time after left time → no match")
     assert(out(2).isNullAt(4), "key absent on right → no match")
   }
+
+  test("tolerance: stale matches null-extend; a generous bound reproduces the unbounded join") {
+    import spark.implicits._
+    val left = Seq((1L, 1000L), (2L, 1000L)).toDF("id", "t")
+      .select(col("id"), timestamp_micros(col("t")).as("t"))
+    // id 1's candidate is 5 micros old (inside a 10-micro bound),
+    // id 2's is 500 micros old (outside)
+    val right = Seq((1L, 995L, "fresh"), (2L, 500L, "stale")).toDF("id2", "t2", "v")
+      .select(col("id2"), timestamp_micros(col("t2")).as("t2"), col("v"))
+    val bounded = graft.plans.GraftPlans.asofJoin(left, right, "id", "id2", "t", "t2",
+        tolerance = Some(java.time.Duration.ofNanos(10 * 1000))).orderBy("id").collect()
+    assert(bounded(0).getString(4) == "fresh")
+    assert(bounded(1).isNullAt(4), "match older than the tolerance must null-extend")
+    // generous bound ≡ unbounded, row for row
+    val loose = graft.plans.GraftPlans.asofJoin(left, right, "id", "id2", "t", "t2",
+        tolerance = Some(java.time.Duration.ofDays(1))).orderBy("id").collect()
+    val unbounded = graft.plans.GraftPlans.asofJoin(left, right, "id", "id2", "t", "t2")
+      .orderBy("id").collect()
+    assert(loose.toSeq == unbounded.toSeq)
+  }
 }
