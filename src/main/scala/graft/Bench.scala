@@ -115,6 +115,14 @@ object Bench {
       // a query that failed ANY iteration reports -1, not its fast runs
       name -> (if (runs.exists(_ < 0)) -1.0 else median(runs))
     }
+    // per-query MIN rides alongside the median: min is the load-robust
+    // statistic (a busy neighbor inflates median-of-3 but rarely all
+    // three runs), so a verdict can separate plan regressions from host
+    // contamination in one read — the exact confusion of round 7, where
+    // driver medians ran 3–10× over steady-state probes of the same plan
+    val mins = perQueryRuns.map { case (name, runs) =>
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+    }
 
     // sf1 sweep: the sf0.01→0.1 exponents are overhead-dominated (sub-
     // second queries bias the exponent DOWN), so the heavy pair/cluster
@@ -223,15 +231,25 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
     val sweepSf = sweepDir.fold("null")(d => s"\"$d\"")
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$Iters,"iters_per_query":$iters,"cpus":$cpus,"stream_state_partitions":$StreamStateParts,"sf":"$sfDir","scale_sweep_sf":$sweepSf,"scaling":${jmap(scaling)},"sf1_secs":${jmap(sf1Secs)},"scaling_sf1":${jmap(scalingSf1)},"scaling_sf1_expected":${jmap(sf1Expected)}}"""
-    // the stable on-disk copy is the machine-readable artifact; the
-    // stdout line (the driver contract) stays last so a tail capture
-    // that survives still parses
+    // host load at emit time: lets a reader separate "the plan got
+    // slower" from "the host was busy" without a rerun
+    val loadavg = scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim).getOrElse("")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":${jmap(mins)},"errors":$errs,"iterations":$Iters,"iters_per_query":$iters,"cpus":$cpus,"stream_state_partitions":$StreamStateParts,"loadavg":"$loadavg","sf":"$sfDir","scale_sweep_sf":$sweepSf,"scaling":${jmap(scaling)},"sf1_secs":${jmap(sf1Secs)},"scaling_sf1":${jmap(scalingSf1)},"scaling_sf1_expected":${jmap(sf1Expected)}}"""
+    // Full detail → target/bench.json (the machine-readable artifact).
+    // The LAST stdout line is a compact SELF-CONTAINED JSON kept well
+    // under ~1.5 KB: the driver captures only a ~2 000-char stdout tail,
+    // and the full 8 KB line arrived clipped-at-the-head three rounds
+    // running (BENCH_r05/r06/r07 all "parsed": null). Compact = total +
+    // error count + the ~15 slowest medians (the perf-gate set) with
+    // their load-robust mins + the path to the full file.
     new java.io.File("target").mkdirs()
     val pw = new java.io.PrintWriter("target/bench.json")
     try pw.println(json) finally pw.close()
-    println("bench json also written to target/bench.json")
-    println(json)
+    val slowest = medians.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(15)
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(slowest.toMap)},"queries_min":${jmap(slowest.map { case (k, _) => k -> mins(k) }.toMap)},"n_queries":${medians.size},"n_errors":${errors.size},"iterations":$Iters,"cpus":$cpus,"loadavg":"$loadavg","sf":"$sfDir","detail":"target/bench.json"}"""
+    println("full bench json written to target/bench.json; compact line follows")
+    println(compact)
     spark.stop()
   }
 }

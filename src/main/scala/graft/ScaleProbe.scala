@@ -21,10 +21,34 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMillis: Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
+    // per-stage task-time accounting, to localize warmup/slow modes
+    val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val info = sc.stageInfo
+        val m = info.taskMetrics
+        val desc = f"in=${m.inputMetrics.recordsRead}%,d " +
+          f"sR=${m.shuffleReadMetrics.recordsRead}%,d sW=${m.shuffleWriteMetrics.recordsWritten}%,d " +
+          f"spillMem=${m.memoryBytesSpilled / 1048576}%,dMB spillDisk=${m.diskBytesSpilled / 1048576}%,dMB " +
+          f"tasks=${info.numTasks}"
+        stageTimes.put(info.stageId, (desc, m.executorRunTime))
+      }
+    })
     (1 to iters).foreach { i =>
-      val t0 = System.nanoTime()
+      stageTimes.clear()
+      val (t0, g0, j0) = (System.nanoTime(), gcMillis, jitMillis)
       fn(spark, dir).write.mode("overwrite").format("noop").save()
-      println(f"PROBE $name iter=$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"PROBE $name iter=$i ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        f"gc=${(gcMillis - g0) / 1000.0}%.1f s jit=${(jitMillis - j0) / 1000.0}%.1f s")
+      stageTimes.asScala.toSeq.sortBy(-_._2._2).take(4).foreach { case (id, (nm, t)) =>
+        println(f"  stage $id%4d ${t / 1000.0}%8.1f s-task  $nm")
+      }
     }
     spark.stop()
   }
