@@ -549,10 +549,81 @@ case class IntersectCount(left: Expression, right: Expression) extends BinaryExp
 }
 
 object IntersectCount {
+
+  // Open-addressing scratch table, thread-local and grow-only: the
+  // verify stage calls compute() millions of times per task (one per
+  // candidate pair), and the previous java.util.HashSet[java.lang.Long]
+  // form allocated a table + ~|small| boxed Longs PER CALL — an
+  // allocation storm that dominated the hottest dedup stage and made
+  // its pre-JIT interpreted window catastrophically slow (measured 98 s
+  // task-time vs 6 s warm for the identical stage). Primitive longs,
+  // zero per-call allocation, linear probing.
+  private val EMPTY = java.lang.Long.MIN_VALUE
+  private val TOMB  = java.lang.Long.MIN_VALUE + 1
+  private val scratch = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = Array.fill(1024)(EMPTY)
+  }
+
   // static entry named `compute`, not `eval` — see GramHashes note
   def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
     val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    // sentinel collision (values within 2 of Long.MinValue — impossible
+    // for the 60-bit gram/fingerprint hashes this serves, but compute()
+    // is generic): correctness fallback to the boxed path
+    var i = 0
+    while (i < n) {
+      if (!small.isNullAt(i) && small.getLong(i) < TOMB + 1) return computeBoxed(small, large)
+      i += 1
+    }
+    var cap = 4
+    while (cap < n * 2) cap <<= 1
+    var table = scratch.get()
+    if (table.length < cap) { table = new Array[Long](cap); scratch.set(table) }
+    // only the [0, cap) prefix of a larger reused buffer is filled and
+    // probed (mask < cap): stale entries beyond it are unreachable
+    val mask = cap - 1
+    java.util.Arrays.fill(table, 0, cap, EMPTY)
+    def slotOf(x: Long): Int = {
+      // splitmix-style finalizer so adjacent hashes spread across slots
+      val h = x * -7046029254386353131L
+      ((h ^ (h >>> 32)).toInt) & mask
+    }
+    var smallNull = false
+    i = 0
+    while (i < n) {
+      if (small.isNullAt(i)) smallNull = true
+      else {
+        val x = small.getLong(i)
+        var s = slotOf(x)
+        while (table(s) != EMPTY && table(s) != x) s = (s + 1) & mask
+        table(s) = x
+      }
+      i += 1
+    }
+    val m = large.numElements()
+    var c = 0
+    var largeNull = false
+    i = 0
+    while (i < m) {
+      if (large.isNullAt(i)) largeNull = true
+      else {
+        val x = large.getLong(i)
+        var s = slotOf(x)
+        // remove-on-match (tombstone), so duplicates in `large` count once
+        while (table(s) != EMPTY && table(s) != x) s = (s + 1) & mask
+        if (table(s) == x) { table(s) = TOMB; c += 1 }
+      }
+      i += 1
+    }
+    // array_intersect treats NULL elements as equal: a null present in
+    // BOTH arrays is one common value
+    if (smallNull && largeNull) c + 1 else c
+  }
+
+  private def computeBoxed(small: org.apache.spark.sql.catalyst.util.ArrayData,
+      large: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
     val n = small.numElements()
     val set = new java.util.HashSet[java.lang.Long](math.max(4, n * 2))
     var smallNull = false
@@ -570,8 +641,6 @@ object IntersectCount {
       else if (set.remove(large.getLong(i))) c += 1
       i += 1
     }
-    // array_intersect treats NULL elements as equal: a null present in
-    // BOTH arrays is one common value
     if (smallNull && largeNull) c + 1 else c
   }
 }

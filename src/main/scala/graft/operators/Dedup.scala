@@ -282,15 +282,29 @@ object Dedup {
         .select(col("gram"))
       val capped = g.join(stop, Seq("gram"), "left_anti")
         .select(col("doc_id"), col("gram"))
-      // UNLIKE the prefix path, keep the pair-level distinct here: the
-      // capped join emits one row per SHARED GRAM (a near-identical
-      // pair sharing 500 sub-cap grams would verify 500×), not per
-      // shared prefix shingle — and the df-bounded candidate volume
-      // makes the dedup shuffle cheap
-      val cands = capped.select(col("doc_id").as("da"), col("gram"))
-        .join(capped.select(col("doc_id").as("db"), col("gram").as("gram2")),
-          col("gram") === col("gram2") && col("da") < col("db"))
-        .select(col("da"), col("db")).distinct()
+      // Candidate pairs WITHOUT a gram self-join: the r7 bench caught
+      // the join bimodal (3.9 s vs 27.9 s on identical iterations) —
+      // it shuffles the capped relation TWICE (once per side) and
+      // builds per-partition hash tables of it, and under memory
+      // pressure AQE's side pick + spill turn non-deterministic.
+      // Instead aggregate each sub-cap gram's posting list once
+      // (arrays bounded at dfCap elements by construction — the stop
+      // anti-join already removed everything larger, so no unbounded
+      // collect) and emit its ordered pairs through a streaming
+      // generator: one shuffle of the gram relation, no hash build,
+      // nothing for AQE to flip. Same candidate set: (da < db) sharing
+      // ≥ 1 sub-cap gram. The pair-level distinct stays — one row per
+      // shared gram (a near-identical pair sharing 500 sub-cap grams
+      // would verify 500×), and the df-bounded volume (≤ dfCap²/2 per
+      // gram) makes the dedup shuffle cheap.
+      val cands = capped.groupBy(col("gram"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+            |  transform(slice(ids, i + 2, size(ids)), b ->
+            |    named_struct('da', a, 'db', b))))""".stripMargin)).as("p"))
+        .select(col("p.da").as("da"), col("p.db").as("db")).distinct()
       verifiedJaccard(sets, cands, threshold, ordered)
     }
 
