@@ -59,4 +59,46 @@ object TrainingDataJob {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("split", "shard")
       .parquet(outPath)
+
+  /** The schema a JSONL corpus must carry — identical to the parquet
+    * documents table, ENFORCED not inferred (see readJsonLines).
+    */
+  val JsonlDocSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+  }
+
+  /** The pipeline from RAW INPUT: real corpora arrive as JSONL, not the
+    * typed parquet layout, so this composes G16's audited reader in
+    * front of the full job — readJsonLinesAudited → curate → near-dup
+    * keep-best → split → shard — and accounts for every input line:
+    * corrupt lines land in `outPath/_quarantine` (raw, replayable after
+    * a parser fix) and the returned metrics carry the clean /
+    * quarantined / materialized counts a production run alerts on.
+    *
+    * Scale shape: the quarantine split is one codegen'd from_json pass
+    * (no caching, no second scan — see readJsonLinesAudited), and
+    * everything downstream inherits the operators' own shapes. The
+    * three counts cost one aggregate each over relations the job
+    * already computes.
+    */
+  def runFromJsonl(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, nShards: Int = 16): Map[String, Long] = {
+    val (clean, quarantined) =
+      graft.sources.Sinks.readJsonLinesAudited(spark, inPath, JsonlDocSchema)
+    val t = Tables(spark, dir = inPath, docsOverride = Some(clean))
+    val out = materialize(t, nShards)
+      .repartition(col("split"), col("shard"))
+    out.write.mode(SaveMode.Overwrite)
+      .partitionBy("split", "shard")
+      .parquet(outPath)
+    quarantined.write.mode(SaveMode.Overwrite).text(s"$outPath/_quarantine")
+    Map(
+      "input_clean"  -> clean.count(),
+      "quarantined"  -> spark.read.text(s"$outPath/_quarantine").count(),
+      "materialized" -> spark.read.parquet(outPath).count())
+  }
 }

@@ -24,6 +24,36 @@ import graft.operators.TextOps
   */
 object DocStreamJob {
 
+  /** Streaming twin of G16's audited JSONL reader: documents arriving
+    * as JSONL FILES in a landing directory (the batch-drop ingest
+    * pattern crawled corpora actually use) become a streaming relation
+    * ready for streamDocCurate. Same enforced-schema + in-struct
+    * corrupt-column discipline as Sinks.readJsonLinesAudited — one
+    * codegen'd from_json pass, corrupt lines flagged (`is_corrupt`)
+    * with their raw text kept for replay rather than killing the
+    * stream; `ingest_ts` derives from the file's modification time
+    * (`_metadata` — when the batch landed, which is what the curation
+    * watermark should run on; intra-file order carries no time).
+    *
+    * One relation with a flag, not a (clean, quarantine) pair: a
+    * streaming source can't feed two sinks from one query, so the
+    * caller filters — clean rows continue into curation, corrupt rows
+    * go to a quarantine sink as a second query over the same source.
+    */
+  def jsonlDocStream(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val pSchema = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = spark.readStream.text(path)
+      .select(col("value").as("raw_line"),
+        col("_metadata.file_modification_time").as("ingest_ts"),
+        from_json(col("value"), pSchema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
+    parsed.select(
+      (col("rec").isNull || col("rec._corrupt_record").isNotNull).as("is_corrupt"),
+      col("raw_line"), col("ingest_ts"), col("rec.*")).drop("_corrupt_record")
+  }
+
   /** docs: streaming relation with (doc_id, text, lang, ingest_ts).
     * Emits the curated keep-set: first copy of each content hash,
     * quality ≥ minScore, predicted language agrees.

@@ -48,4 +48,32 @@ class TrainingDataJobSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters:"), plan.take(600))
     assert(probe.count() > 0)
   }
+
+  test("runFromJsonl: end-to-end from a JSONL dir with planted corrupt lines") {
+    val in = Files.createTempDirectory("graft-tdj-jsonl-in").toFile
+    val out = Files.createTempDirectory("graft-tdj-jsonl-out").toFile
+    // the sf0.001 corpus exported as JSONL, with corrupt lines planted
+    graft.sources.Sinks.writeJsonLines(
+      tables.documents, in.getAbsolutePath + "/docs")
+    val planted = Seq("{ not json at all", "\"just a string\"", "{\"doc_id\": \"zzz\"")
+    Files.write(java.nio.file.Paths.get(in.getAbsolutePath, "docs", "part-corrupt.json"),
+      planted.mkString("\n").getBytes)
+    val metrics = TrainingDataJob.runFromJsonl(
+      spark, in.getAbsolutePath + "/docs", out.getAbsolutePath, nShards = 4)
+    // every planted line quarantined, none killed the job
+    assert(metrics("quarantined") == planted.size.toLong, metrics.toString)
+    val nDocs = tables.documents.count()
+    assert(metrics("input_clean") == nDocs, s"clean lines must be the full corpus: $metrics")
+    // the JSONL path materializes the same corpus as the parquet path
+    val fromParquet = TrainingDataJob.materialize(tables, nShards = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fromJsonl = spark.read.parquet(out.getAbsolutePath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fromJsonl == fromParquet, "JSONL-fed pipeline must keep the same doc set")
+    assert(metrics("materialized") == fromParquet.size.toLong)
+    // quarantined lines are replayable raw
+    val qLines = spark.read.text(out.getAbsolutePath + "/_quarantine")
+      .collect().map(_.getString(0)).toSet
+    assert(qLines == planted.toSet)
+  }
 }
