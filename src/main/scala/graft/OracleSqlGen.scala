@@ -910,6 +910,36 @@ object OracleSqlGen {
        |FROM zz ORDER BY doc_id""".stripMargin
   }
 
+  /** E30t: trained quality-model scoring — the E30 scoring chain with
+    * weights from one exact logistic-gradient step over E14's keep
+    * verdicts (w_milli = ⌊1000·grad/cnt⌋, grad = Σ occurrences·(2y−1)),
+    * op-for-op the Spark expressions so the trained weights hash-gate.
+    */
+  def docQualityModelTrained(vocabV: Int, bias: Double, minScore: Double): String =
+    s"""WITH $qualityCoreCtes,
+       |$langidCoreCtes,
+       |qual AS (SELECT doc_id, $qualityScoreExpr AS quality_score FROM r),
+       |dup AS (SELECT doc_id,
+       |  CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS INTEGER) AS duplicate
+       |  FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)),
+       |lbl AS (SELECT qual.doc_id,
+       |  CAST(quality_score >= $minScore AND pred_lang = lang AND duplicate = 0 AS INTEGER) AS y
+       |  FROM qual JOIN p USING (doc_id) JOIN dup USING (doc_id)),
+       |tk AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS token FROM documents),
+       |vocab AS (SELECT token, COUNT(*) AS cnt, CAST(SUM(2*y - 1) AS BIGINT) AS grad
+       |  FROM tk JOIN lbl USING (doc_id) GROUP BY token
+       |  ORDER BY cnt DESC, token LIMIT $vocabV),
+       |w AS (SELECT token, CAST(floor(1000.0*grad/cnt) AS BIGINT) AS w_milli FROM vocab),
+       |d AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(COALESCE(w.w_milli, 0)) AS BIGINT) AS swm
+       |  FROM tk LEFT JOIN w USING (token) GROUP BY tk.doc_id),
+       |zz AS (SELECT doc_id, n_tokens, $bias + (swm/1000.0)/n_tokens AS z FROM d)
+       |SELECT doc_id, n_tokens,
+       |  floor(z*1000000 + 0.5)/1000000 AS z_r,
+       |  floor((z/(2.0*(1.0+abs(z))) + 0.5)*1000000 + 0.5)/1000000 AS score_r,
+       |  CAST(z >= 0 AS INTEGER) AS keep
+       |FROM zz ORDER BY doc_id""".stripMargin
+
   /** Temperature mixture weights: r6'd share^τ decimal-normalized. */
   def docMixWeights(temperature: Double): String =
     s"""WITH s AS (SELECT source, CAST(SUM(len(string_split(lower(text),' '))) AS BIGINT) AS toks

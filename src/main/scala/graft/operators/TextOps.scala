@@ -960,10 +960,13 @@ object TextOps {
         ((lit(Perms(0)._1) * (md5_60(col("token")) % M30) + lit(Perms(0)._2))
           % P % 2001L - 1000L).as("w_milli"))
 
-  def docQualityModel(t: Tables, vocabV: Int = 4096, bias: Double = 0.1,
-      ordered: Boolean = false): DataFrame = maybeSort({
+  /** Shared E30 scoring plumbing: mean-pool a (token, w_milli) weight
+    * relation over each doc's tokens (OOV → 0 via the left join), one
+    * exact long sum, rational fast sigmoid. The weight relation is
+    * bounded (top-vocabV) and broadcast regardless of corpus size.
+    */
+  private def scoreWithWeights(t: Tables, weights: DataFrame, bias: Double): DataFrame = {
     val toks = t.documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val weights = qualityModelWeights(t, vocabV)
     toks.join(broadcast(weights), Seq("token"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -972,5 +975,46 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), r6(col("z")).as("z_r"),
         r6(col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))) + 0.5).as("score_r"),
         (col("z") >= 0).cast("int").as("keep"))
-  }, ordered)(col("doc_id"))
+  }
+
+  def docQualityModel(t: Tables, vocabV: Int = 4096, bias: Double = 0.1,
+      ordered: Boolean = false): DataFrame = maybeSort(
+    scoreWithWeights(t, qualityModelWeights(t, vocabV), bias), ordered)(col("doc_id"))
+
+  /** E30t: the E30 weights TRAINED from data instead of the hash
+    * stand-in — one exact logistic-regression gradient step from w = 0
+    * with E14's composed keep/drop verdict as the weak label. At w = 0
+    * every prediction is σ(0) = 1/2, so the step for token j is
+    *   Δw_j ∝ Σ_d (y_d − ½)·c_dj = ½·(Σ_{keep} c_dj − Σ_{drop} c_dj),
+    * and normalizing by the token's total count gives the per-token
+    * milli-weight  w_j = ⌊1000·grad_j / cnt_j⌋ ∈ [−1000, 1000] — the
+    * keep-vs-drop direction of every document the token appears in.
+    * Exact integer/IEEE arithmetic end to end (integer grad and cnt,
+    * one double division, floor), so the DuckDB oracle reproduces the
+    * weights bit-for-bit: a TRAINED model that is still hash-gated.
+    *
+    * Scale shape: labels are E14 (one corpus scan + one window), the
+    * gradient is ONE token-keyed aggregate over the exploded corpus
+    * joined to labels on doc_id, and the resulting relation is capped
+    * at top-vocabV by frequency — bounded and broadcast-able like the
+    * stand-in. The train-offline/apply-online split (E30b) takes this
+    * relation unchanged.
+    */
+  def qualityModelTrainedWeights(t: Tables, vocabV: Int = 4096,
+      minScore: Double = 0.5): DataFrame = {
+    val labels = docCurate(t, minScore).select(col("doc_id"), col("keep"))
+    t.documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("keep") * 2 - 1).as("grad"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(vocabV)
+      .select(col("token"),
+        floor(lit(1000.0) * col("grad") / col("cnt")).cast("long").as("w_milli"))
+  }
+
+  def docQualityModelTrained(t: Tables, vocabV: Int = 4096, bias: Double = 0.1,
+      minScore: Double = 0.5, ordered: Boolean = false): DataFrame = maybeSort(
+    scoreWithWeights(t, qualityModelTrainedWeights(t, vocabV, minScore), bias),
+    ordered)(col("doc_id"))
 }

@@ -499,4 +499,35 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getDouble(2), r.getInt(4)))
     assert(oov.forall { case (z, k) => z == 0.25 && k == 1 }, oov.toSeq.toString)
   }
+
+  test("trained quality model beats the hash stand-in on a planted-quality corpus") {
+    import spark.implicits._
+    // planted corpus: 40 GOOD docs (long, english-marker heavy → E14
+    // keep=1) and 40 BAD docs (short, und-language spam tokens → E14
+    // keep=0). The token → verdict relation is fully learnable: spam
+    // tokens occur only in drops, stopwords only in keeps.
+    val stop = "the and of to in the and of to in"
+    val good = (1L to 40L).map(i => (i, (stop + " ") * 12 + s"gooddoc$i", "en", "t", 0L))
+    val bad = (101L to 140L).map(i => (i, s"zzq1 zzq2 zzq3 zzq4 zzq5 zzq6 zzq7 zzq8 zzq9 baddoc$i", "en", "t", 0L))
+    val docs = (good ++ bad)
+      .map { case (id, text, lang, src, _) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = graft.sources.Tables(spark, sfDir, docsOverride = Some(docs))
+    val labels = TextOps.docCurate(t).select(col("doc_id"), col("keep").as("y"))
+    // sanity: the planted corpus produces both label classes
+    val dist = labels.groupBy(col("y")).count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(dist.getOrElse(1, 0L) == 40L && dist.getOrElse(0, 0L) == 40L, dist.toString)
+    def agreement(scored: org.apache.spark.sql.DataFrame): Double =
+      scored.select(col("doc_id"), col("keep")).join(labels, "doc_id")
+        .agg(avg((col("keep") === col("y")).cast("double"))).head.getDouble(0)
+    val standin = agreement(TextOps.docQualityModel(t))
+    val trained = agreement(TextOps.docQualityModelTrained(t))
+    assert(trained > standin,
+      s"trained weights must beat the hash stand-in: trained=$trained standin=$standin")
+    assert(trained == 1.0, s"fully-learnable planted corpus must be perfectly separated: $trained")
+    // the trained weight relation is bounded and carries the learned signs
+    val w = TextOps.qualityModelTrainedWeights(t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w("the") == 1000L && w("zzq1") == -1000L, w.take(5).toString)
+  }
 }
