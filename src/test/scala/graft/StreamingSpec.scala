@@ -270,6 +270,92 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("JSONL landing-dir ingest streams into curation; corrupt lines flagged, not fatal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_ingest").toFile.getAbsolutePath
+    val good = ("the and of to in " * 25).trim
+    def line(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"t","n_chars":${text.length}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "batch1.json"),
+      Seq(line(1, good), line(2, good + " extra"), "{ corrupt line").mkString("\n").getBytes)
+    val ingest = graft.streaming.DocStreamJob.jsonlDocStream(
+      spark, dir, TrainingDataJob.JsonlDocSchema)
+    // clean rows continue into the curation stream
+    val curated = graft.streaming.DocStreamJob.streamDocCurate(
+      ingest.filter(!col("is_corrupt"))
+        .select(col("doc_id"), col("text"), col("lang"), col("ingest_ts")))
+    val q = curated.writeStream.outputMode("append").format("memory")
+      .queryName("jsonl_curated").start()
+    // corrupt rows go to a quarantine sink as a second query on the source
+    val q2 = ingest.filter(col("is_corrupt")).select(col("raw_line"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("jsonl_quarantine").start()
+    try {
+      q.processAllAvailable(); q2.processAllAvailable()
+      val kept = spark.table("jsonl_curated").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L), s"kept=$kept")
+      val quarantined = spark.table("jsonl_quarantine").collect().map(_.getString(0)).toSeq
+      assert(quarantined == Seq("{ corrupt line"), quarantined.toString)
+      // a second landing file streams incrementally; a duplicate text
+      // is suppressed by the curation dedup state
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "batch2.json"),
+        Seq(line(3, good), line(4, good + " fresh")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val kept2 = spark.table("jsonl_curated").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(1L, 2L, 4L), s"duplicate text must be suppressed: $kept2")
+    } finally { q.stop(); q2.stop() }
+  }
+
+  test("doc curation stream killed mid-corpus resumes from checkpoint: keep-set identical, dedup state recovered") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val docs = tables.documents.select("doc_id", "text", "lang").collect()
+      .map(r => graft.model.IngestDoc(r.getLong(0), r.getString(1), r.getString(2),
+        base.plusSeconds(r.getLong(0))))
+      .sortBy(_.doc_id).toSeq
+    val batches = docs.grouped((docs.size + 2) / 3).toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("curate_ckpt").toFile.getAbsolutePath
+    val outDir = java.nio.file.Files.createTempDirectory("curate_sink").toFile.getAbsolutePath
+    val input = MemoryStream[graft.model.IngestDoc]
+    // parquet sink, not memory: the memory sink refuses checkpoint
+    // recovery; the file sink's _spark_metadata transaction log is the
+    // fault-tolerant exactly-once shape a production run uses
+    def startQuery() =
+      graft.streaming.DocStreamJob.streamDocCurate(input.toDS().toDF())
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+    // phase 1: first batch, then KILL the query
+    val q1 = startQuery()
+    val phase1 = try {
+      input.addData(batches.head); q1.processAllAvailable()
+      spark.read.parquet(outDir).select("doc_id").collect().map(_.getLong(0)).toSet
+    } finally q1.stop()
+    // phase 2: remaining batches + a planted exact duplicate of a
+    // PHASE-1 doc (new id, later ts). Its suppression proves the
+    // content-hash dedup state crossed the restart, not just offsets.
+    val plantedId = 999999L
+    input.addData(batches(1))
+    input.addData(batches(2) :+ graft.model.IngestDoc(
+      plantedId, docs.head.text, docs.head.lang,
+      base.plusSeconds(docs.last.doc_id + 1)))
+    val q2 = startQuery()
+    val all = try {
+      q2.processAllAvailable()
+      spark.read.parquet(outDir).select("doc_id").collect().map(_.getLong(0)).toSeq
+    } finally q2.stop()
+    assert(!all.contains(plantedId),
+      "duplicate of a pre-kill doc must stay suppressed after restart (recovered state)")
+    assert(all.size == all.toSet.size,
+      s"restart must not re-emit committed docs: ${all.groupBy(identity).filter(_._2.size > 1).keys.take(5)}")
+    assert(phase1.subsetOf(all.toSet), "pre-kill emissions must survive the restart")
+    val batch = graft.operators.TextOps.docCurate(tables).filter(col("keep") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all.toSet == batch,
+      s"interrupted∪resumed ≠ batch: only-stream=${(all.toSet -- batch).take(5)} " +
+        s"only-batch=${(batch -- all.toSet).take(5)}")
+  }
+
   test("streaming near-dup probe == batch C8b restricted to base partners") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
