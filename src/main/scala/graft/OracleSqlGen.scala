@@ -549,6 +549,49 @@ object OracleSqlGen {
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist_r, vec_id) AS rank FROM s)""".stripMargin
   }
 
+  /** Per-dimension (min, max) SQ8 bounds + per-(vec, dim) code — the
+    * shared head of both D12 oracles. `d` is 0-based to match
+    * posexplode.
+    */
+  private val sq8Cte =
+    s"""$normCte,
+       |xd AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS d FROM n),
+       |mm AS (SELECT d, MIN(val) AS mn, MAX(val) AS mx FROM xd GROUP BY d),
+       |c AS (SELECT vec_id, xd.d,
+       |  CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+       |       ELSE LEAST(CAST(255 AS BIGINT), CAST(floor((val - mn)/(mx - mn)*256.0) AS BIGINT)) END AS code,
+       |  mn, mx
+       |  FROM xd JOIN mm ON xd.d = mm.d)""".stripMargin
+
+  /** D12: SQ8 codes + midpoint reconstruction, op-for-op the Spark
+    * expressions (same division/multiplication order, r6 at the end).
+    */
+  val embSq8Codes: String =
+    s"""WITH $sq8Cte
+       |SELECT vec_id, CAST(d AS BIGINT) AS d, code,
+       |  floor((mn + (code + 0.5)*(mx - mn)/256.0)*1000000 + 0.5)/1000000 AS recon_r
+       |FROM c ORDER BY vec_id, d""".stripMargin
+
+  /** D12b: SQ8 asymmetric top-k — full-precision query vs
+    * code-reconstructed candidates; the squared-diff fold runs in
+    * dimension order (list_reduce ≡ Spark's sequential aggregate), one
+    * r6 at the end.
+    */
+  def annSq8Adc(nQueries: Int, k: Int, dim: Int): String = {
+    val recon = "(l.mns[i] + (cl.codes[i] + 0.5)*(l.mxs[i] - l.mns[i])/256.0)"
+    val term = s"(q.v[i] - $recon)*(q.v[i] - $recon)"
+    s"""WITH $sq8Cte,
+       |cl AS (SELECT vec_id, list(code ORDER BY d) AS codes FROM c GROUP BY vec_id),
+       |l AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm),
+       |s AS (SELECT q.vec_id AS q_id, cl.vec_id,
+       |  floor(list_reduce([$term for i in range(1, $dim + 1)], (x,y) -> x + y)*1000000 + 0.5)/1000000 AS adc_dist_r
+       |  FROM n q, cl, l WHERE q.vec_id < $nQueries AND cl.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, vec_id, adc_dist_r,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist_r, vec_id) AS rank FROM s)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist_r FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   def embKmeansAssign(nCenters: Int): String =
     s"""WITH ${cellCte(nCenters)}
        |SELECT vec_id, label, cell, dist2_r FROM asg ORDER BY vec_id""".stripMargin

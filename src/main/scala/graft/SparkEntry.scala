@@ -58,6 +58,7 @@ object SparkEntry {
     "q_corr"               -> q(Analytics.qCorr),
     "q_regr"               -> q(Analytics.qRegr),
     "ev_retention"         -> q(EventOps.evRetention),
+    "ev_state_transitions" -> q(EventOps.evStateTransitions(_, ordered = true)),
     "text_entropy"         -> q(TextOps.textEntropy(_, ordered = true)),
     "ev_gap_fill"          -> q(EventOps.evGapFill),
     // §2.C dedup family
@@ -88,7 +89,9 @@ object SparkEntry {
     "emb_norm_stats"       -> q(Similarity.embNormStats),
     "emb_kmeans_assign"    -> q(Similarity.embKmeansAssign(_, ordered = true)),
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
+    "emb_sq8_codes"        -> q(Similarity.embSq8Codes(_, ordered = true)),
     "ann_pq_adc"           -> q(Similarity.annPqAdc(_)),
+    "ann_sq8_adc"          -> q(Similarity.annSq8Adc(_)),
     "ann_ivf_adc"          -> q(Similarity.annIvfAdc(_)),
     "ann_ivf_rerank"       -> q(Similarity.annIvfRerank(_)),
     "q_approx_percentiles" -> q(Analytics.qApproxPercentiles(_)), // rows-only: GK sketch, no SQL oracle
@@ -528,6 +531,20 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY cohort_day, day_offset""".stripMargin,
 
+    "ev_state_transitions" ->
+      """WITH s AS (SELECT event_type AS from_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+        |    epoch_us(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+        |  FROM events),
+        |tr AS (SELECT from_type, to_type, COUNT(*) AS n,
+        |    CAST(SUM(gap_us) AS BIGINT) AS gap_us_total
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n, tr.gap_us_total,
+        |  floor((CAST(tr.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE))*1000000 + 0.5)/1000000 AS p_r
+        |FROM tr JOIN tot ON tr.from_type = tot.from_type
+        |ORDER BY tr.from_type, tr.to_type""".stripMargin,
+
     "text_entropy" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
         |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
@@ -665,7 +682,9 @@ object SparkEntry {
     "ann_maxsim"            -> OracleSqlGen.annMaxsim(8),
     "emb_kmeans_assign"     -> OracleSqlGen.embKmeansAssign(8),
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
+    "emb_sq8_codes"         -> OracleSqlGen.embSq8Codes,
     "ann_pq_adc"            -> OracleSqlGen.annPqAdc(8, 5, 8, 8, 8),
+    "ann_sq8_adc"           -> OracleSqlGen.annSq8Adc(8, 5, 64),
     "ann_ivf_adc"           -> OracleSqlGen.annIvfAdc(8, 5, 8, 8, 8, 16, 4),
     "ann_ivf_rerank"        -> OracleSqlGen.annIvfRerank(8, 5, 8, 8, 8, 16, 4, 20),
     "doc_semdedup"          -> OracleSqlGen.docSemdedup(8, 0.45),

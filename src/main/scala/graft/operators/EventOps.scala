@@ -406,4 +406,37 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** A34: per-user state-transition matrix — for each user's event
+    * sequence (ordered by ts, event_id), every consecutive
+    * (event_type → next event_type) pair rolled up corpus-wide:
+    * transition count, total gap time, and the row-conditional
+    * probability P(to | from). The Markov-chain view of the stream —
+    * the reference's k8s analog is Normal/Warning phase flips per
+    * object, and at the pipeline level it's what powers "what happens
+    * after an error" dashboards (A27 asks one fixed question of this
+    * matrix).
+    *
+    * Scale shape: ONE user-keyed shuffle for the lead() window (user
+    * cardinality keys, per-user sequences are bounded and sorted once),
+    * then an additive rollup on #types² keys and a broadcast join-back
+    * for the per-from totals. Gap sums are integer µs (exact); the
+    * probability divides two exact longs at the end — same two ops in
+    * the oracle, bit-portable.
+    */
+  def evStateTransitions(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_us", unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("gap_us_total"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("gap_us_total"),
+        r6(col("n").cast("double") / col("n_from").cast("double")).as("p_r"))
+  }, ordered)(col("from_type"), col("to_type"))
 }

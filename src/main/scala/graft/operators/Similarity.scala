@@ -620,6 +620,105 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Per-dimension (min, max) quantization bounds — the SQ8 "training"
+    * artifact. One aggregate pass over the posexploded corpus, collected
+    * bounded at `dim` rows (64 here; the same trained-once-then-literal
+    * shape as hashCenters, G15-persistable the same way).
+    */
+  private[graft] def sq8Bounds(t: Tables): (Seq[Double], Seq[Double]) = {
+    val rows = withNorm(t.embeddings)
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("d")).collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** The per-dimension SQ8 code: min(255, ⌊(x − mn)/(mx − mn)·256⌋) —
+    * 256 equal cells with only x == mx clamped down, so the midpoint
+    * reconstruction (c + ½)/256 is never more than a half-step off
+    * (a ·255 quantizer against a /256 reconstruction drifts up to two
+    * steps at the top of the range). Degenerate dimension → 0.
+    */
+  private def sq8Code(x: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, lit(0L))
+      .otherwise(least(lit(255L),
+        floor((x - mn) / (mx - mn) * lit(256.0)).cast("long")))
+
+  /** D12: scalar-quantization codes (SQ8) — each dimension linearly
+    * quantized to 8 bits against per-dimension corpus (min, max)
+    * bounds. The other half of the compression story next to PQ (D8):
+    * SQ8 keeps per-DIMENSION resolution (dim bytes per vector, 8× vs
+    * float64 / 4× vs float32) where PQ trades dimensions for codebook
+    * entries (m bytes); FAISS ships both because re-rank pools and
+    * IVF fine-scoring want SQ8's cheap exact-ish reconstruction
+    * (x̂ = mn + (code + ½)·(mx − mn)/256 — the emitted recon_r).
+    *
+    * Scale shape: bounds are 2·dim literals; coding is ONE narrow
+    * codegen'd posexplode pass — no shuffle, no join. The only non-map
+    * work is the bounded bounds aggregate (dim rows to the driver).
+    */
+  def embSq8Codes(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val (mns, mxs) = sq8Bounds(t)
+    withNorm(t.embeddings)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("mn", element_at(typedLit(mns), col("d") + 1))
+      .withColumn("mx", element_at(typedLit(mxs), col("d") + 1))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        sq8Code(col("x"), col("mn"), col("mx")).as("code"),
+        r6(col("mn") + (sq8Code(col("x"), col("mn"), col("mx")).cast("double") + lit(0.5))
+          * (col("mx") - col("mn")) / lit(256.0)).as("recon_r"))
+  }, ordered)(col("vec_id"), col("d"))
+
+  /** D12b: SQ8 asymmetric-distance ANN — top-k by squared L2 between
+    * the full-precision query and the CODE-reconstructed candidates
+    * (x̂_d = mn_d + (code_d + ½)·(mx_d − mn_d)/256). What the scoring
+    * pass reads per candidate is dim bytes of codes, not 8·dim of
+    * doubles — SQ8's win over raw brute force, with better per-axis
+    * fidelity than PQ's m lookups when re-ranking tight pools.
+    *
+    * Scale shape: candidate codes are computed in the same narrow pass
+    * (no shuffle — the deploy shape reads them from the D12 artifact
+    * instead); the tiny query side broadcasts into a nested-loop join
+    * and the distance is one codegen'd fold over the zipped arrays
+    * (sequential order, so the oracle's list_reduce reproduces it
+    * bit-for-bit); top-k is the two-stage exact pattern.
+    */
+  def annSq8Adc(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val (mns, mxs) = sq8Bounds(t)
+    val dim = mns.length
+    val codes = transform(sequence(lit(0), lit(dim - 1)), d => {
+      val mn = element_at(typedLit(mns), d + 1)
+      val mx = element_at(typedLit(mxs), d + 1)
+      sq8Code(element_at(col("v"), d + 1), mn, mx)
+    })
+    val e = withNorm(t.embeddings)
+    val cands = e.select(col("vec_id"), codes.as("codes"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val recon = transform(col("codes"), (c, i) => {
+      val mn = element_at(typedLit(mns), i + 1)
+      val mx = element_at(typedLit(mxs), i + 1)
+      mn + (c.cast("double") + lit(0.5)) * (mx - mn) / lit(256.0)
+    })
+    val dist = r6(aggregate(
+      zip_with(col("qv"), recon, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x))
+    val scored = cands.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), dist.as("adc_dist_r"))
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("adc_dist_r").asc, col("vec_id").asc)
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist_r").asc, col("vec_id").asc)
+    scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** D3: per-label vector-norm statistics (codegen'd array math). */
   def embNormStats(t: Tables): DataFrame =
     withNorm(t.embeddings)

@@ -95,4 +95,31 @@ class EventOpsSpec extends SparkSpec {
     val last = out.last
     assert(last._1 == 100L && last._2.contains(10.0) && last._3 == 1, last.toString)
   }
+
+  test("state transitions: counts conserve (n_events - n_users), P(to|from) rows to ~1, planted chain exact") {
+    import spark.implicits._
+    val out = EventOps.evStateTransitions(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val nEvents = tables.events.count()
+    val nUsers = tables.events.select("user_id").distinct().count()
+    assert(out.map(_._3).sum == nEvents - nUsers,
+      "every user with k events contributes exactly k-1 transitions")
+    out.groupBy(_._1).foreach { case (from, rs) =>
+      val pSum = rs.map(_._5).sum
+      assert(math.abs(pSum - 1.0) < 1e-3, s"$from: row probabilities sum to $pSum")
+    }
+    // planted chain: one user, click -> error -> click (ts-ordered)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st").toString
+    val base = 1704067200000000000L
+    Seq((1L, base, 7L, "click", 1.0, "{}"),
+        (2L, base + 60L * 1000 * 1000 * 1000, 7L, "error", 1.0, "{}"),
+        (3L, base + 120L * 1000 * 1000 * 1000, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val planted = EventOps.evStateTransitions(graft.sources.Tables(spark, tmp), ordered = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(planted.toSeq == Seq(
+      ("click", "error", 1L, 60L * 1000 * 1000, 1.0),
+      ("error", "click", 1L, 60L * 1000 * 1000, 1.0)), planted.toSeq.toString)
+  }
 }

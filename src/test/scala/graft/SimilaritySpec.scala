@@ -172,6 +172,60 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sq8 codes: one row per (vec, dim); codes in [0,255]; reconstruction within a half-step per dimension; narrow plan") {
+    import org.apache.spark.sql.functions.col
+    val df = Similarity.embSq8Codes(tables)
+    // the coding pass is map-only: bounds are literals, no shuffle/join
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty, s"sq8 coding must be one narrow pass: ${df.queryExecution.executedPlan}")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val vecs = Similarity.withNorm(tables.embeddings)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val dim = vecs.head._2.length
+    assert(rows.size == vecs.length * dim, "one code per (vector, dimension)")
+    val (mns, mxs) = Similarity.sq8Bounds(tables)
+    vecs.foreach { case (id, v) =>
+      v.zipWithIndex.foreach { case (x, d) =>
+        val (code, recon) = rows((id, d.toLong))
+        assert(code >= 0L && code <= 255L, s"vec $id dim $d: code $code")
+        val step = (mxs(d) - mns(d)) / 256.0
+        assert(math.abs(x - recon) <= step / 2 + 1e-6,
+          s"vec $id dim $d: |$x - $recon| > half-step $step")
+      }
+    }
+  }
+
+  test("sq8 adc: top-k == driver brute force over code reconstructions; self excluded; ranks dense") {
+    val k = 4
+    val out = Similarity.annSq8Adc(tables, nQueries = 4, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (mns, mxs) = Similarity.sq8Bounds(tables)
+    val vecs = Similarity.withNorm(tables.embeddings)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    def codeOf(x: Double, d: Int): Long =
+      if (mxs(d) == mns(d)) 0L
+      else math.min(255L, math.floor((x - mns(d)) / (mxs(d) - mns(d)) * 256.0).toLong)
+    def reconOf(c: Long, d: Int): Double =
+      mns(d) + (c + 0.5) * (mxs(d) - mns(d)) / 256.0
+    (0L until 4L).foreach { q =>
+      val qv = vecs(q)
+      val want = vecs.toSeq.filter(_._1 != q).map { case (id, v) =>
+        val dist = v.zipWithIndex.foldLeft(0.0) { case (acc, (x, d)) =>
+          val diff = qv(d) - reconOf(codeOf(x, d), d); acc + diff * diff
+        }
+        (math.floor(dist * 1e6 + 0.5) / 1e6, id)
+      }.sorted.take(k)
+      val got = out.filter(_._1 == q).sortBy(_._2)
+      assert(got.map(_._2).toSeq == (1L to k), s"query $q ranks dense")
+      assert(got.map(r => (r._4, r._3)).toSeq == want, s"query $q: got ${got.toSeq}, want $want")
+    }
+  }
+
   test("pq adc: distance == decimal sum of the query's table entries at the candidate's codes; lossless regime == exact L2") {
     val (m, nCodes, k) = (8, 4, 3)
     val adc = Similarity.annPqAdc(tables, k = k, m = m, nCodes = nCodes).collect()
