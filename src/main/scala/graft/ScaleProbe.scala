@@ -7,6 +7,8 @@ import org.apache.spark.sql.SparkSession
   * dir through the noop sink (same evaluation discipline as Bench)
   * and prints per-iteration seconds. For chasing a single query's
   * scaling behavior without paying a full bench sweep.
+  * `iters = 0` prints the executed plan (post-AQE, after one run)
+  * instead of timing — the plan-audit loop.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -40,6 +42,13 @@ object ScaleProbe {
         stageTimes.put(info.stageId, (desc, m.executorRunTime))
       }
     })
+    if (iters == 0) {
+      val df = fn(spark, dir)
+      df.write.mode("overwrite").format("noop").save()
+      println(s"PLAN $name\n${df.queryExecution.executedPlan}")
+      spark.stop()
+      return
+    }
     (1 to iters).foreach { i =>
       stageTimes.clear()
       val (t0, g0, j0) = (System.nanoTime(), gcMillis, jitMillis)

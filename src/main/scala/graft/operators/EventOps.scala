@@ -419,10 +419,14 @@ object EventOps {
     *
     * Scale shape: ONE user-keyed shuffle for the lead() window (user
     * cardinality keys, per-user sequences are bounded and sorted once),
-    * then an additive rollup on #types² keys and a broadcast join-back
-    * for the per-from totals. Gap sums are integer µs (exact); the
-    * probability divides two exact longs at the end — same two ops in
-    * the oracle, bit-portable.
+    * then an additive rollup on #types² keys. The per-from totals are a
+    * window over THAT AGGREGATED relation (#types² rows, ≤ #types per
+    * group — bounded both ways), not a self-join back to a re-derived
+    * aggregate: the join-back form re-scanned and re-windowed the whole
+    * corpus for the totals side (the subtrees differ, so no exchange
+    * reuse). Gap sums are integer µs (exact); the probability divides
+    * two exact longs at the end — same two ops in the oracle,
+    * bit-portable.
     */
   def evStateTransitions(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -433,9 +437,8 @@ object EventOps {
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("gap_us_total"))
-    val totals = trans.groupBy(col("from_type"))
-      .agg(sum(col("n")).as("n_from"))
-    trans.join(broadcast(totals), Seq("from_type"))
+    trans
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"), col("n"), col("gap_us_total"),
         r6(col("n").cast("double") / col("n_from").cast("double")).as("p_r"))
   }, ordered)(col("from_type"), col("to_type"))
