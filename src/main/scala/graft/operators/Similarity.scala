@@ -657,8 +657,19 @@ object Similarity {
     * codegen'd posexplode pass — no shuffle, no join. The only non-map
     * work is the bounded bounds aggregate (dim rows to the driver).
     */
-  def embSq8Codes(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
-    val (mns, mxs) = sq8Bounds(t)
+  def embSq8Codes(t: Tables, ordered: Boolean = false): DataFrame =
+    embSq8CodesWith(t, sq8Bounds(t), ordered)
+
+  /** D12 off an externally trained/loaded bounds artifact (e.g.
+    * [[graft.sources.Sinks.readSq8Bounds]]) — the deploy shape: bounds
+    * are computed once over a reference corpus and reused for every
+    * subsequent encode, so codes stay comparable across corpus
+    * versions (re-deriving bounds per batch would silently re-scale
+    * every code).
+    */
+  def embSq8CodesWith(t: Tables, bounds: (Seq[Double], Seq[Double]),
+      ordered: Boolean = false): DataFrame = maybeSort({
+    val (mns, mxs) = bounds
     withNorm(t.embeddings)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
       .withColumn("mn", element_at(typedLit(mns), col("d") + 1))
@@ -683,8 +694,13 @@ object Similarity {
     * (sequential order, so the oracle's list_reduce reproduces it
     * bit-for-bit); top-k is the two-stage exact pattern.
     */
-  def annSq8Adc(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val (mns, mxs) = sq8Bounds(t)
+  def annSq8Adc(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame =
+    annSq8AdcWith(t, sq8Bounds(t), nQueries, k)
+
+  /** D12b off a loaded bounds artifact — see [[embSq8CodesWith]]. */
+  def annSq8AdcWith(t: Tables, bounds: (Seq[Double], Seq[Double]),
+      nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val (mns, mxs) = bounds
     val dim = mns.length
     val codes = transform(sequence(lit(0), lit(dim - 1)), d => {
       val mn = element_at(typedLit(mns), d + 1)

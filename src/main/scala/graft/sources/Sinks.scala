@@ -169,6 +169,31 @@ object Sinks {
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
 
+  /** Persist the SQ8 per-dimension (min, max) bounds (Similarity
+    * §2.D12) — the scalar-quantization sibling of [[writeQuantizer]]:
+    * trained once over a reference corpus, loaded by every encoder so
+    * codes stay comparable across corpus versions. `dim` rows.
+    */
+  def writeSq8Bounds(t: Tables, path: String): Unit = {
+    val spark = t.spark
+    import spark.implicits._
+    val (mns, mxs) = graft.operators.Similarity.sq8Bounds(t)
+    mns.indices.map(d => (d, mns(d), mxs(d))).toDF("d", "mn", "mx")
+      .coalesce(1) // dim rows — one file
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Load a [[writeSq8Bounds]] artifact. Driver-side collect bounded
+    * by dim rows (the artifact IS the broadcast-as-literals input).
+    */
+  def readSq8Bounds(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Double], Seq[Double]) = {
+    val rows = spark.read.parquet(path)
+      .select(col("d"), col("mn"), col("mx"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
   /** Bits per dimension of the z-value (16 → 32-bit z, plenty for
     * file-level clustering).
     */

@@ -64,6 +64,24 @@ class SinksSpec extends SparkSpec {
     assert(laidOut == assigned, "cell layout off the artifact diverged from D7 assignment")
   }
 
+  test("sq8 bounds artifact: bit-exact round trip; codes and search off the artifact equal the in-query path") {
+    import graft.operators.Similarity
+    val bdir = Files.createTempDirectory("sq8_bounds").toFile
+    Sinks.writeSq8Bounds(tables, bdir.getAbsolutePath)
+    val loaded = Sinks.readSq8Bounds(spark, bdir.getAbsolutePath)
+    val derived = Similarity.sq8Bounds(tables)
+    assert(loaded == derived, "persisted bounds must round-trip bit-exactly")
+    val codesFromArtifact = Similarity.embSq8CodesWith(tables, loaded, ordered = true)
+      .collect().map(_.toSeq)
+    val codesRederived = Similarity.embSq8Codes(tables, ordered = true)
+      .collect().map(_.toSeq)
+    assert(codesFromArtifact.toSeq == codesRederived.toSeq,
+      "SQ8 codes off the saved bounds diverged")
+    val fromArtifact = Similarity.annSq8AdcWith(tables, loaded).collect().map(_.toSeq)
+    val rederived = Similarity.annSq8Adc(tables).collect().map(_.toSeq)
+    assert(fromArtifact.toSeq == rederived.toSeq, "SQ8 ADC off the saved bounds diverged")
+  }
+
   test("ivf-adc off the persisted layout: equals the in-query path; scan prunes non-probed cells") {
     import graft.operators.Similarity
     val qdir = Files.createTempDirectory("quantizer_ivf").toFile

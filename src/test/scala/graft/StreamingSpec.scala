@@ -459,6 +459,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality-model with TRAINED weights == batch docQualityModelTrained per doc") {
+    // the train-offline/apply-online shape with the E30t artifact: the
+    // trained weight relation plugs into the same online scorer
+    // unchanged, and the stream reproduces the batch scores bit-exactly
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val docs = tables.documents.select("doc_id", "text", "lang").collect()
+      .map(r => graft.model.IngestDoc(r.getLong(0), r.getString(1), r.getString(2),
+        base.plusSeconds(r.getLong(0))))
+      .sortBy(_.doc_id).toSeq
+    val input = MemoryStream[graft.model.IngestDoc]
+    val out = graft.streaming.DocStreamJob.streamDocQualityModel(
+      input.toDS().toDF(), graft.operators.TextOps.qualityModelTrainedWeights(tables))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("qm_trained_stream").start()
+    try {
+      input.addData(docs); q.processAllAvailable()
+      input.addData(Seq(graft.model.IngestDoc(999999L, "sentinel", "en",
+        base.plusSeconds(864000))))
+      q.processAllAvailable()
+      val got = spark.table("qm_trained_stream").filter($"doc_id" =!= 999999L)
+        .select($"doc_id", $"n_tokens",
+          (floor($"score" * 1e6 + 0.5) / 1e6).as("score_r"), $"keep")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+      val batch = graft.operators.TextOps.docQualityModelTrained(tables).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getInt(4))).toMap
+      assert(got.keySet == batch.keySet,
+        s"doc sets differ: ${(got.keySet diff batch.keySet).take(3)}")
+      got.foreach { case (id, v) =>
+        assert(v == batch(id), s"doc $id: stream $v != batch ${batch(id)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming quality-model scores == batch docQualityModel per doc") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
