@@ -625,6 +625,16 @@ object OracleSqlGen {
        |FROM b GROUP BY label
        |ORDER BY maxsim_r DESC, label""".stripMargin
 
+  /** D13: cosine range search — the brute-force scored relation with a
+    * threshold filter instead of a rank. */
+  def annRange(nQueries: Int, radius: Double): String =
+    s"""WITH $normCte,
+       |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM n q JOIN n c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
+       |SELECT q_id, vec_id, cos_r FROM sc WHERE cos_r >= $radius
+       |ORDER BY q_id, vec_id""".stripMargin
+
   val annTopkBruteforce: String =
     s"""WITH $normCte,
        |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,

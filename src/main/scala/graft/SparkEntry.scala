@@ -91,6 +91,7 @@ object SparkEntry {
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
     "emb_sq8_codes"        -> q(Similarity.embSq8Codes(_, ordered = true)),
     "ann_pq_adc"           -> q(Similarity.annPqAdc(_)),
+    "ann_range"            -> q(Similarity.annRange(_, ordered = true)),
     "ann_sq8_adc"          -> q(Similarity.annSq8Adc(_)),
     "ann_ivf_adc"          -> q(Similarity.annIvfAdc(_)),
     "ann_ivf_rerank"       -> q(Similarity.annIvfRerank(_)),
@@ -652,6 +653,7 @@ object SparkEntry {
     "doc_dedup_keep_best"   -> OracleSqlGen.docDedupKeepBest,
     "doc_embed_cosine_dup"  -> OracleSqlGen.docEmbedCosineDup,
     "ann_topk_bruteforce"   -> OracleSqlGen.annTopkBruteforce,
+    "ann_range"             -> OracleSqlGen.annRange(8, 0.25),
     "ann_lsh_bucketed"      -> OracleSqlGen.annLshBucketed,
     "ann_lsh_multitable"    -> OracleSqlGen.annLshMultiTable,
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),

@@ -87,6 +87,25 @@ object Similarity {
   /** Sign-pattern LSH bucket over the first `bits` dimensions. */
   def signBucket(v: Column, bits: Int): Column = signBucketAt(v, bits, 0)
 
+  /** D13: cosine range search — every corpus vector within `radius`
+    * of each query (the radius-query complement to D1's top-k;
+    * FAISS's range_search). Duplicate hunting wants "everything above
+    * 0.95", not "the 5 nearest", and retrieval wants recall floors —
+    * both are range queries.
+    *
+    * Scale shape: BETTER than top-k — the broadcast query side streams
+    * the corpus through one narrow codegen'd pass and the threshold is
+    * a plain filter, so there is NO shuffle, no window, no driver
+    * bottleneck; output volume is the only cost (radius-dependent, the
+    * caller's contract). The LSH/IVF candidate pruning of D2/D4
+    * composes in front when the radius is tight enough to make recall
+    * trades worthwhile.
+    */
+  def annRange(t: Tables, nQueries: Int = 8, radius: Double = 0.25,
+      ordered: Boolean = false): DataFrame = maybeSort(
+    scored(t, nQueries).filter(col("cos_r") >= radius),
+    ordered)(col("q_id"), col("vec_id"))
+
   /** D2: LSH-bucketed ANN — candidates share the 8-bit sign bucket of
     * the query (≈ corpus/256 per bucket), exact cosine + top-k within.
     * At 100 TB: bucket is the shuffle key; multiple hash tables union'd

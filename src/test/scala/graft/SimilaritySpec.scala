@@ -172,6 +172,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("range search: shuffle-free plan; everything returned clears the radius; consistent with top-k") {
+    import org.apache.spark.sql.functions.col
+    val radius = 0.25
+    val df = Similarity.annRange(tables, nQueries = 8, radius = radius)
+    // range search is a pure map-filter pass over the corpus: the
+    // broadcast query side must not introduce any shuffle
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty, s"range search must be shuffle-free: ${df.queryExecution.executedPlan}")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 >= radius), "every returned pair clears the radius")
+    assert(got.forall(p => p._1 != p._2), "no self matches")
+    // every top-k result above the radius appears in the range result
+    val topk = Similarity.annTopkBruteforce(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .filter(_._3 >= radius)
+    val gotSet = got.map(p => (p._1, p._2)).toSet
+    topk.foreach { case (q, v, c) =>
+      assert(gotSet.contains((q, v)), s"top-k pair ($q,$v,$c) missing from range result")
+    }
+  }
+
   test("sq8 codes: one row per (vec, dim); codes in [0,255]; reconstruction within a half-step per dimension; narrow plan") {
     import org.apache.spark.sql.functions.col
     val df = Similarity.embSq8Codes(tables)
