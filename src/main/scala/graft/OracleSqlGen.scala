@@ -113,6 +113,28 @@ object OracleSqlGen {
        |  FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id),
        |$jaccardTail""".stripMargin
 
+  /** C16: containment pairs off the same df-capped candidates as C5b;
+    * both directions emitted, either clearing the threshold keeps the
+    * pair. Divisions are BIGINT/BIGINT → DOUBLE in both engines.
+    */
+  def docNgramContainment(threshold: Double, dfCap: Int): String =
+    s"""WITH $gramCtes,
+       |rare AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= $dfCap),
+       |gc AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+       |common AS (SELECT da, db, COUNT(*) AS c FROM cand
+       |  JOIN g ga ON ga.doc_id = da
+       |  JOIN g gb ON gb.doc_id = db AND gb.gram = ga.gram
+       |  GROUP BY da, db)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  c/sa.n AS cont_a_in_b, c/sb.n AS cont_b_in_a,
+       |  c/(sa.n+sb.n-c) AS jaccard
+       |FROM common JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+       |WHERE GREATEST(c/sa.n, c/sb.n) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Benchmark decontamination: distinct shared-shingle count per
     * training doc vs the benchmark slice's shingle set.
     */

@@ -267,45 +267,86 @@ object Dedup {
   def docNgramJaccardCapped(t: Tables, threshold: Double = 0.2, dfCap: Int = 100,
       ordered: Boolean = false): DataFrame =
     withShared(gramSets(t), col("doc_id")) { sets =>
-      val g = explodeSets(sets)
-      // keep-set inverted: anti-join against the STOP shingles
-      // (df > cap) instead of inner-joining `rare` (≈ the whole
-      // shingle vocabulary, which shuffles the full gram relation a
-      // second time). The stop set is vastly smaller than the
-      // vocabulary at any given scale, but it still GROWS with the
-      // corpus (up to total-grams/dfCap distinct shingles), so no
-      // broadcast hint is forced: AQE broadcasts it while it fits and
-      // degrades to a shuffled anti-join beyond the threshold — the
-      // graceful path a fixed hint would turn into a driver OOM
-      val stop = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap)
-        .select(col("gram"))
-      val capped = g.join(stop, Seq("gram"), "left_anti")
-        .select(col("doc_id"), col("gram"))
-      // Candidate pairs WITHOUT a gram self-join: the r7 bench caught
-      // the join bimodal (3.9 s vs 27.9 s on identical iterations) —
-      // it shuffles the capped relation TWICE (once per side) and
-      // builds per-partition hash tables of it, and under memory
-      // pressure AQE's side pick + spill turn non-deterministic.
-      // Instead aggregate each sub-cap gram's posting list once
-      // (arrays bounded at dfCap elements by construction — the stop
-      // anti-join already removed everything larger, so no unbounded
-      // collect) and emit its ordered pairs through a streaming
-      // generator: one shuffle of the gram relation, no hash build,
-      // nothing for AQE to flip. Same candidate set: (da < db) sharing
-      // ≥ 1 sub-cap gram. The pair-level distinct stays — one row per
-      // shared gram (a near-identical pair sharing 500 sub-cap grams
-      // would verify 500×), and the df-bounded volume (≤ dfCap²/2 per
-      // gram) makes the dedup shuffle cheap.
-      val cands = capped.groupBy(col("gram"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (a, i) ->
-            |  transform(slice(ids, i + 2, size(ids)), b ->
-            |    named_struct('da', a, 'db', b))))""".stripMargin)).as("p"))
-        .select(col("p.da").as("da"), col("p.db").as("db")).distinct()
-      verifiedJaccard(sets, cands, threshold, ordered)
+      verifiedJaccard(sets, cappedCandidates(explodeSets(sets), dfCap),
+        threshold, ordered)
+    }
+
+  /** df-capped candidate pairs: (da < db) sharing ≥ 1 shingle with
+    * document frequency ≤ dfCap. Shared by C5b and C16.
+    *
+    * Keep-set inverted: anti-join against the STOP shingles (df > cap)
+    * instead of inner-joining `rare` (≈ the whole shingle vocabulary,
+    * which shuffles the full gram relation a second time). The stop
+    * set is vastly smaller than the vocabulary at any given scale, but
+    * it still GROWS with the corpus (up to total-grams/dfCap distinct
+    * shingles), so no broadcast hint is forced: AQE broadcasts it
+    * while it fits and degrades to a shuffled anti-join beyond the
+    * threshold — the graceful path a fixed hint would turn into a
+    * driver OOM.
+    *
+    * Candidate pairs WITHOUT a gram self-join: the r7 bench caught
+    * the join bimodal (3.9 s vs 27.9 s on identical iterations) — it
+    * shuffles the capped relation TWICE (once per side) and builds
+    * per-partition hash tables of it, and under memory pressure AQE's
+    * side pick + spill turn non-deterministic. Instead aggregate each
+    * sub-cap gram's posting list once (arrays bounded at dfCap
+    * elements by construction — the stop anti-join already removed
+    * everything larger, so no unbounded collect) and emit its ordered
+    * pairs through a streaming generator: one shuffle of the gram
+    * relation, no hash build, nothing for AQE to flip. The pair-level
+    * distinct stays — one row per shared gram (a near-identical pair
+    * sharing 500 sub-cap grams would verify 500×), and the df-bounded
+    * volume (≤ dfCap²/2 per gram) makes the dedup shuffle cheap.
+    */
+  private def cappedCandidates(g: DataFrame, dfCap: Int): DataFrame = {
+    val stop = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("gram"))
+    val capped = g.join(stop, Seq("gram"), "left_anti")
+      .select(col("doc_id"), col("gram"))
+    capped.groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    named_struct('da', a, 'db', b))))""".stripMargin)).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db")).distinct()
+  }
+
+  /** C16: n-gram CONTAINMENT pairs — the asymmetric near-dup relation
+    * Jaccard can't see: C(A→B) = |A∩B|/|A| is ~1 when A is quoted
+    * wholesale inside a much larger B even though J(A,B) ≈ |A|/|B| is
+    * tiny. This is the quote/subset/boilerplate-inclusion detector a
+    * corpus-prep pipeline runs next to symmetric dedup (and the
+    * document-level analog of E24's span containment). Emits both
+    * directions per ordered pair plus the Jaccard for context; a pair
+    * qualifies when EITHER direction clears the threshold.
+    *
+    * Scale shape: identical to C5b — df-capped posting-list candidate
+    * generation (fan-out bounded at dfCap² per shingle), exact
+    * verification on the full gram sets via the native intersect
+    * count. Same recall statement as C5b: a qualifying pair is missed
+    * only if every shared shingle is above the cap.
+    */
+  def docNgramContainment(t: Tables, threshold: Double = 0.4, dfCap: Int = 100,
+      ordered: Boolean = false): DataFrame =
+    withShared(gramSets(t), col("doc_id")) { sets =>
+      val cands = cappedCandidates(explodeSets(sets), dfCap)
+      val sa = sets.select(col("doc_id").as("da"), col("gs").as("gsa"), col("n_grams").as("na"))
+      val sb = sets.select(col("doc_id").as("db2"), col("gs").as("gsb"), col("n_grams").as("nb"))
+      maybeSort(
+        cands
+          .join(sa, "da")
+          .join(sb, col("db") === col("db2"))
+          .withColumn("c", call_function("graft_intersect_count", col("gsa"), col("gsb")))
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            (col("c") / col("na")).as("cont_a_in_b"),
+            (col("c") / col("nb")).as("cont_b_in_a"),
+            (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+          .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+          .distinct(),
+        ordered)(col("doc_a"), col("doc_b"))
     }
 
   /** C8: incremental dedup — the shape a production pipeline actually

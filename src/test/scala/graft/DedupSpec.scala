@@ -11,6 +11,30 @@ class DedupSpec extends SparkSpec {
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("containment finds the quoted-inside pair symmetric Jaccard is blind to") {
+    import spark.implicits._
+    // A: a 12-token quote. B: A embedded verbatim in a much larger doc.
+    // C(A→B) = 1 while J(A,B) ≈ |A|/|B| — below any useful Jaccard
+    // threshold. A filler doc keeps shared-shingle dfs sub-cap.
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val filler = (1 to 120).map(i => s"pad$i").mkString(" ")
+    val big = filler + " " + quote + " " + (121 to 240).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote, "en", "t"), (2L, big, "en", "t"),
+      (3L, (1 to 50).map(i => s"other$i").mkString(" "), "en", "t"))
+      .map { case (id, tx, l, s) => (id, tx, l, s, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = graft.sources.Tables(spark, sfDir, docsOverride = Some(docs))
+    val cont = Dedup.docNgramContainment(t, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(cont.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), cont.toSeq.toString)
+    val (_, _, aInB, bInA, j) = cont.head
+    assert(aInB == 1.0, "the quote's shingles are all inside the big doc")
+    assert(bInA < 0.1 && j < 0.1, s"asymmetric by construction: bInA=$bInA j=$j")
+    assert(pairs(Dedup.docNgramJaccard(t)).isEmpty,
+      "symmetric Jaccard at its default threshold must miss the quoted pair")
+  }
+
   test("minhash-LSH pairs are a subset of exhaustive ngram-jaccard pairs, recall is high") {
     val truth = pairs(Dedup.docNgramJaccard(tables))
     val lsh = pairs(Dedup.docMinhashLshPairs(tables))
