@@ -161,6 +161,71 @@ object EventStreamJob {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Buffered per-user transition state: the last FLUSHED event (the
+    * chain link into the next flush) plus events still inside the
+    * watermark, as (tsMicros, event_id, event_type) triples.
+    */
+  final case class TransState(lastType: String, lastTsMicros: Long,
+      buffered: Seq[(Long, Long, String)])
+
+  final case class TransitionRec(user_id: Long, from_type: String,
+      to_type: String, gap_us: Long, to_ts: Instant)
+
+  /** A34 ONLINE: per-user state transitions emitted as they become
+    * FINAL. A transition (A → B) is only correct once no event can
+    * still arrive between A and B, so arrivals buffer in state until
+    * the watermark passes them (the session-window discipline — an
+    * unbuffered lag()-per-batch would emit wrong pairs under
+    * cross-batch disorder and could never retract them). On every
+    * invocation the watermark-cleared prefix of the (sorted) buffer is
+    * chained off the last flushed event and emitted; an event-time
+    * timeout fires when the watermark passes the newest buffered event
+    * so tail transitions flush without waiting for the user's next
+    * arrival.
+    *
+    * State per user: last flushed (type, ts) + the ≤ watermark-delay
+    * window of buffered events — O(users · rate · delay), the same
+    * bound as the session-window operator, NOT unbounded history. The
+    * downstream transition-matrix aggregate is a plain streaming
+    * groupBy over these append-mode records.
+    */
+  def streamEvStateTransitions(events: Dataset[Ev],
+      watermarkDelay: String = "1 hour"): Dataset[TransitionRec] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def micros(i: Instant): Long = ChronoUnit.MICROS.between(Instant.EPOCH, i)
+
+    def fn(user: Long, it: Iterator[Ev],
+        state: GroupState[TransState]): Iterator[TransitionRec] = {
+      val st0 = state.getOption.getOrElse(TransState(null, Long.MinValue, Nil))
+      val incoming = it.map(e => (micros(e.ts), e.event_id, e.event_type)).toSeq
+      val wmMicros = state.getCurrentWatermarkMs() * 1000L
+      val all = (st0.buffered ++ incoming).sortBy(x => (x._1, x._2))
+      val (flush, keep) = all.partition(_._1 <= wmMicros)
+      var last = Option(st0.lastType).map(tp => (tp, st0.lastTsMicros))
+      val out = flush.flatMap { case (ts, _, tp) =>
+        val rec = last.map { case (lt, lts) =>
+          TransitionRec(user, lt, tp, ts - lts,
+            Instant.EPOCH.plus(ts, ChronoUnit.MICROS))
+        }
+        last = Some((tp, ts))
+        rec
+      }
+      state.update(TransState(last.map(_._1).orNull,
+        last.map(_._2).getOrElse(Long.MinValue), keep))
+      // flush the buffer tail once the watermark passes it (+1 ms:
+      // the timeout timestamp must exceed the current watermark)
+      if (keep.nonEmpty) state.setTimeoutTimestamp(keep.map(_._1).max / 1000L + 1L)
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Keyed upsert target for streamUpsertCounts. Implementations MUST
     * make the replay check and the merge atomic *in the store* (a JDBC
     * MERGE plus an applied-batch log row in the same transaction, an

@@ -43,6 +43,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming state transitions == batch transition matrix (watermark-final emission)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamEvStateTransitions(input.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("trans_out").start()
+    try {
+      eventsData.grouped((eventsData.size + 2) / 3).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      // sentinel far in the future closes every buffered tail
+      val lastTs = eventsData.map(_.ts).max
+      input.addData(Seq(Ev(999999L, lastTs.plusSeconds(864000), -1L, "sentinel")))
+      q.processAllAvailable()
+      val streamed = spark.table("trans_out").filter($"user_id" =!= -1L)
+        .groupBy($"from_type", $"to_type")
+        .agg(count(lit(1)).as("n"), sum($"gap_us").as("gap_us_total"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      val batch = graft.operators.EventOps.evStateTransitions(tables).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(streamed == batch,
+        s"stream≠batch: only-stream=${(streamed.keySet -- batch.keySet).take(3)} " +
+          s"only-batch=${(batch.keySet -- streamed.keySet).take(3)} " +
+          s"diff=${batch.collect { case (k, v) if streamed.get(k).exists(_ != v) => (k, v, streamed(k)) }.take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys within watermark emit once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
