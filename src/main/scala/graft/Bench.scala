@@ -170,9 +170,11 @@ object Bench {
     // exponent and anything below is overhead dilution; the banded /
     // celled three are ~linear by construction.
     val sf1Expected = Map("doc_ngram_jaccard" -> 1.2, "doc_dedup_clusters" -> 1.2,
-      "doc_embed_cosine_dup" -> 2.0, "doc_semdedup" -> 1.2)
+      "doc_embed_cosine_dup" -> 2.0, "doc_semdedup" -> 1.2,
+      "doc_ngram_jaccard_capped" -> 1.2, "doc_ngram_containment" -> 1.2)
     val HeavySf1 = Seq("doc_ngram_jaccard", "doc_dedup_clusters",
-      "doc_embed_cosine_dup", "doc_semdedup")
+      "doc_embed_cosine_dup", "doc_semdedup",
+      "doc_ngram_jaccard_capped", "doc_ngram_containment")
     val sf1Secs: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SF1", "1") == "0") Map.empty
       else {

@@ -772,6 +772,22 @@ object OracleSqlGen {
   private val qualityScoreExpr: String =
     "floor((least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio))*1000000 + 0.5)/1000000"
 
+  /** E32: weighted sampling — op-for-op the Spark expressions (integer-
+    * derived u, rounded ln, rounded key, doc_id tiebreak).
+    */
+  def docSampleWeighted(k: Int): String =
+    s"""WITH $qualityCoreCtes,
+       |q AS (SELECT doc_id, GREATEST($qualityScoreExpr, 0.001) AS w FROM r),
+       |ky AS (SELECT doc_id, w,
+       |  floor(ln((('0x'||substr(md5('ws:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 999983 + 1) / 999984.0)*1000000 + 0.5)/1000000 AS lnu_r
+       |  FROM q),
+       |sel AS (SELECT doc_id, w,
+       |  floor((lnu_r/w)*1000000 + 0.5)/1000000 AS key_r FROM ky),
+       |rk AS (SELECT doc_id, w, key_r,
+       |  ROW_NUMBER() OVER (ORDER BY key_r DESC, doc_id ASC) AS rn FROM sel)
+       |SELECT doc_id, w, key_r FROM rk WHERE rn <= $k
+       |ORDER BY doc_id""".stripMargin
+
   val textQuality: String =
     s"""WITH $qualityCoreCtes
        |SELECT doc_id, n_chars, n_tokens, stop_n, alpha_n, stop_ratio, alpha_ratio,

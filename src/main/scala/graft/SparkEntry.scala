@@ -129,6 +129,7 @@ object SparkEntry {
     "corpus_dedup_stats"   -> q(Dedup.corpusDedupStats(_)),
     "doc_mix_budget"       -> q(TextOps.docMixBudget(_, ordered = true)),
     "doc_sample_k"         -> q(TextOps.docSampleK(_, ordered = true)),
+    "doc_sample_weighted"  -> q(TextOps.docSampleWeighted(_, ordered = true)),
     "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
     "doc_shard_shuffle"    -> q(TextOps.docShardShuffle(_, ordered = true)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
@@ -710,6 +711,8 @@ object SparkEntry {
         |  COUNT(DISTINCT lang) AS n_langs
         |FROM (SELECT source, lang, len(string_split(lower(text), ' ')) AS n_tokens FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "doc_sample_weighted"   -> OracleSqlGen.docSampleWeighted(100),
 
     "doc_sample_k" ->
       """SELECT doc_id, source, skey, rank FROM (

@@ -555,6 +555,41 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("skey"), col("rank"))
   }, ordered)(col("doc_id"))
 
+  /** E32: QUALITY-WEIGHTED sampling without replacement (Efraimidis–
+    * Spirakis A-Res): each doc draws a deterministic hash-uniform
+    * u ∈ (0,1) and competes on key = ln(u)/w with w = its E2 quality
+    * score — the top-k keys ARE a weighted sample without replacement
+    * (P(selection) ∝ w, exactly; Efraimidis & Spirakis, IPL 2006).
+    * E7/E20 sample uniformly (by rate / per-source budget); this is
+    * the "prefer high-quality docs but keep diversity" draw a curated
+    * pretraining mix actually uses. Deterministic: same corpus → same
+    * sample, regardless of partitioning or cluster size.
+    *
+    * Engine parity: u is integer-derived (md5_60 % p + 1)/(p+1), the
+    * ln is 6dp-rounded before the division (E23's rounded-ln
+    * convention — raw libm ln may differ in the last ulp across
+    * engines), and the key is rounded again, so the ranking compares
+    * identical doubles on both sides; ties break on doc_id.
+    *
+    * Scale shape: ONE narrow pass computes (w, key) per doc — the
+    * quality columns come from the same withQuality projection E2
+    * runs, no join, no shuffle — and the top-k is TakeOrdered
+    * (per-partition heap + driver merge of k × partitions rows),
+    * never a global sort or window.
+    */
+  def docSampleWeighted(t: Tables, k: Int = 100,
+      ordered: Boolean = false): DataFrame = maybeSort(
+    withQuality(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        greatest(col("quality_score"), lit(0.001)).as("w"))
+      .withColumn("lnu_r", r6(log(
+        (md5_60(concat(lit("ws:"), col("doc_id").cast("string"))) % lit(999983L) + lit(1L))
+          .cast("double") / lit(999984.0))))
+      .select(col("doc_id"), col("w"), r6(col("lnu_r") / col("w")).as("key_r"))
+      .orderBy(col("key_r").desc, col("doc_id").asc)
+      .limit(k),
+    ordered)(col("doc_id"))
+
   /** E21: deterministic train/valid/test split — per-mille hash
     * buckets of the doc_id (seeded, content-free) mapped to the split
     * label; the assignment every training pipeline needs to be STABLE

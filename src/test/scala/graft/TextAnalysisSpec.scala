@@ -500,6 +500,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(oov.forall { case (z, k) => z == 0.25 && k == 1 }, oov.toSeq.toString)
   }
 
+  test("weighted sample: exact top-k by ln(u)/w; biased toward high quality; partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val k = 50
+    val got = TextOps.docSampleWeighted(tables, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == k)
+    // driver recompute of the full ranking from (w, key)
+    val all = TextOps.docSampleWeighted(tables, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = all.sortBy(p => (-p._3, p._1)).take(k).map(_._1).toSet
+    assert(got.map(_._1).toSet == want, "top-k must be the exact key ranking")
+    // the sample is quality-biased: its mean weight beats the corpus mean
+    val sampleMean = got.map(_._2).sum / got.length
+    val corpusMean = all.map(_._2).sum / all.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample must skew high-quality: sample=$sampleMean corpus=$corpusMean")
+    // repartitioning must not change the draw (deterministic keys)
+    val re = graft.sources.Tables(spark, sfDir,
+      docsOverride = Some(tables.documents.repartition(13)))
+    assert(TextOps.docSampleWeighted(re, k).collect()
+      .map(_.getLong(0)).toSet == got.map(_._1).toSet, "sample must be partition-invariant")
+  }
+
   test("trained quality model beats the hash stand-in on a planted-quality corpus") {
     import spark.implicits._
     // planted corpus: 40 GOOD docs (long, english-marker heavy → E14
