@@ -135,6 +135,17 @@ object OracleSqlGen {
        |WHERE GREATEST(c/sa.n, c/sb.n) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** C17: per-doc corpus-unique shingle fraction. */
+  val docNgramNovelty: String =
+    s"""WITH $gramCtes,
+       |d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS df FROM g),
+       |a AS (SELECT doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CAST(df = 1 AS BIGINT)) AS BIGINT) AS n_unique
+       |  FROM d GROUP BY doc_id)
+       |SELECT doc_id, n_grams, n_unique,
+       |  floor((n_unique/n_grams)*1000000 + 0.5)/1000000 AS novelty_r
+       |FROM a ORDER BY doc_id""".stripMargin
+
   /** Benchmark decontamination: distinct shared-shingle count per
     * training doc vs the benchmark slice's shingle set.
     */

@@ -71,6 +71,7 @@ object SparkEntry {
     "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_, ordered = true)),
     "doc_ngram_jaccard_capped" -> q(Dedup.docNgramJaccardCapped(_, ordered = true)),
     "doc_ngram_containment" -> q(Dedup.docNgramContainment(_, ordered = true)),
+    "doc_ngram_novelty"    -> q(Dedup.docNgramNovelty(_, ordered = true)),
     "doc_incremental_dedup" -> q(Dedup.docIncrementalDedup(_, ordered = true)),
     "doc_incremental_minhash" -> q(Dedup.docIncrementalMinhash(_, ordered = true)),
     "doc_decontaminate"    -> q(Dedup.docDecontaminate(_, ordered = true)),
@@ -660,6 +661,7 @@ object SparkEntry {
     "ann_lsh_multitable"    -> OracleSqlGen.annLshMultiTable,
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),
     "doc_ngram_containment" -> OracleSqlGen.docNgramContainment(0.4, 100),
+    "doc_ngram_novelty"     -> OracleSqlGen.docNgramNovelty,
     "doc_incremental_dedup" -> OracleSqlGen.docIncrementalDedup(5),
     "doc_incremental_minhash" -> OracleSqlGen.docIncrementalMinhash(5, 0.2),
     "doc_decontaminate"     -> OracleSqlGen.docDecontaminate(10, 1),

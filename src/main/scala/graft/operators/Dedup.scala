@@ -349,6 +349,30 @@ object Dedup {
         ordered)(col("doc_a"), col("doc_b"))
     }
 
+  /** C17: per-document n-gram NOVELTY — the fraction of a doc's
+    * shingles that are corpus-unique (df = 1). The inverse signal of
+    * the pair detectors: near-dups and template boilerplate score ~0,
+    * fresh prose scores ~1 — the per-doc "how much of this text exists
+    * nowhere else" column dedup-aware quality filters threshold on
+    * (and the document-level memorization-risk proxy).
+    *
+    * Scale shape: ONE gram-keyed shuffle — the df comes from a window
+    * over the exploded gram relation (gram is a high-cardinality key;
+    * never a join back to a separately aggregated df relation, which
+    * would shuffle the same rows twice), then a per-doc aggregate that
+    * rides the explode's doc_id partitioning.
+    */
+  def docNgramNovelty(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
+    explodeSets(gramSets(t))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") === 1).cast("long")).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        r6(col("n_unique") / col("n_grams")).as("novelty_r")),
+    ordered)(col("doc_id"))
+
   /** C8: incremental dedup — the shape a production pipeline actually
     * runs: an immutable BASE corpus (here: doc_id % mod ≠ 0) with a
     * maintained content-hash index, and a NEW batch (doc_id % mod = 0)

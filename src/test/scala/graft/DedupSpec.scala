@@ -11,6 +11,20 @@ class DedupSpec extends SparkSpec {
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("novelty: cloned docs score 0, all-fresh prose scores 1") {
+    import spark.implicits._
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val fresh = (1 to 30).map(i => s"only$i").mkString(" ")
+    val docs = Seq((1L, shared), (2L, shared), (3L, fresh))
+      .map { case (id, tx) => (id, tx, "en", "t", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = graft.sources.Tables(spark, sfDir, docsOverride = Some(docs))
+    val nov = Dedup.docNgramNovelty(t).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov(1L) == 0.0 && nov(2L) == 0.0, s"clones share every shingle: $nov")
+    assert(nov(3L) == 1.0, s"fully fresh doc is all-unique: $nov")
+  }
+
   test("containment finds the quoted-inside pair symmetric Jaccard is blind to") {
     import spark.implicits._
     // A: a 12-token quote. B: A embedded verbatim in a much larger doc.
