@@ -571,10 +571,19 @@ object IntersectCount {
     val n = small.numElements()
     // sentinel collision (values within 2 of Long.MinValue — impossible
     // for the 60-bit gram/fingerprint hashes this serves, but compute()
-    // is generic): correctness fallback to the boxed path
+    // is generic): correctness fallback to the boxed path. BOTH sides
+    // must be scanned — a sentinel-valued probe from `large` would
+    // false-match EMPTY slots (tombstoning one per duplicate until no
+    // EMPTY remains and the probe loop can never terminate)
     var i = 0
     while (i < n) {
       if (!small.isNullAt(i) && small.getLong(i) < TOMB + 1) return computeBoxed(small, large)
+      i += 1
+    }
+    val mProbe = large.numElements()
+    i = 0
+    while (i < mProbe) {
+      if (!large.isNullAt(i) && large.getLong(i) < TOMB + 1) return computeBoxed(small, large)
       i += 1
     }
     var cap = 4

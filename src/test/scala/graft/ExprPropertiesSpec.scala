@@ -49,6 +49,43 @@ class ExprPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("IntersectCount fast path: sentinels, negatives, nulls, table growth, scratch reuse") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // values adjacent to Long.MinValue collide with the open-addressing
+    // sentinels and must route to the boxed fallback; extremes and
+    // negatives exercise the hash finalizer; the small domain keeps
+    // duplicate/collision pressure high
+    val nasty = Gen.oneOf(Long.MinValue, Long.MinValue + 1, Long.MinValue + 2,
+      Long.MaxValue, -1L, 0L, 1L, 7L, 13L)
+    val arrNasty = Gen.listOf(nasty)
+    forAll(arrNasty, arrNasty) { (a, b) =>
+      val expected = a.toSet.intersect(b.toSet).size
+      val got = IntersectCount.compute(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      assert(got == expected, s"a=$a b=$b")
+    }
+    // null elements: array_intersect semantics — null present in BOTH
+    // sides is one common value
+    def withNulls(xs: Seq[java.lang.Long]) = new GenericArrayData(xs.toArray[Any])
+    assert(IntersectCount.compute(
+      withNulls(Seq(1L, null, 2L)), withNulls(Seq(null, 2L, 9L))) == 2)
+    assert(IntersectCount.compute(
+      withNulls(Seq(1L, null)), withNulls(Seq(2L, 3L))) == 0)
+    // alternate big (> initial 1024-slot scratch, forces growth) and
+    // small calls on ONE thread: the grow-only reused buffer must not
+    // leak stale entries from a larger earlier call into a smaller one
+    val big = (0L until 5000L).toArray
+    val bigGot = IntersectCount.compute(
+      new GenericArrayData(big), new GenericArrayData(big.map(x => x * 2)))
+    assert(bigGot == 2500, s"big: $bigGot") // evens 0..4998 shared
+    val smallGot = IntersectCount.compute(
+      new GenericArrayData(Array(4999L, 10000L)), new GenericArrayData(Array(4999L)))
+    assert(smallGot == 1, s"stale scratch leaked: $smallGot")
+    val missGot = IntersectCount.compute(
+      new GenericArrayData(Array(123L)), new GenericArrayData(Array(456L)))
+    assert(missGot == 0, s"stale scratch leaked: $missGot")
+  }
+
   test("GramHashes == naive lowercase-split-shingle-hash composition") {
     forAll(text, Gen.oneOf(3, 5)) { (s, n) =>
       val toks = s.toLowerCase.split(" ", -1)
