@@ -11,6 +11,41 @@ class DedupSpec extends SparkSpec {
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("capped jaccard == brute-force reference on random corpora (posting-list generator equivalence)") {
+    import spark.implicits._
+    // deterministic pseudo-random corpora with heavy shingle sharing:
+    // doc text draws from a tiny token pool so sub-cap shingles overlap
+    // across many docs and the generator's pair enumeration is stressed
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 3).foreach { trial =>
+      val docs = (1L to 30L).map { id =>
+        val len = 5 + rnd.nextInt(20)
+        val text = Seq.fill(len)(s"w${rnd.nextInt(12)}").mkString(" ")
+        (id, text, "en", "t", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val t = graft.sources.Tables(spark, sfDir, docsOverride = Some(docs))
+      val (threshold, dfCap) = (0.2, 5)
+      val got = Dedup.docNgramJaccardCapped(t, threshold, dfCap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // driver reference: exact per-doc gram sets, pairs sharing >= 1
+      // sub-cap gram, full-set jaccard
+      val sets = Dedup.grams(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSet }
+      val dfMap = sets.values.flatten.groupBy(identity).map { case (g, os) => g -> os.size }
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        shared = sets(a).intersect(sets(b))
+        if shared.exists(g => dfMap(g) <= dfCap)
+        j = shared.size.toDouble / (sets(a).size + sets(b).size - shared.size)
+        if j >= threshold
+      } yield (a, b) -> j).toMap
+      assert(got == want,
+        s"trial $trial: only-got=${(got.keySet -- want.keySet).take(3)} " +
+          s"only-want=${(want.keySet -- got.keySet).take(3)}")
+    }
+  }
+
   test("novelty: cloned docs score 0, all-fresh prose scores 1") {
     import spark.implicits._
     val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
