@@ -38,4 +38,41 @@ class TablesSpec extends SparkSpec {
     val cols = ev.schema.fieldNames.toSeq
     assert(cols == Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
   }
+
+  test("every table's loaded schema matches the operator contract (drift tripwire)") {
+    // the r7 lesson generalized: a regenerated-testdata schema change
+    // should fail HERE, not as 100 silent oracle mismatches. Pins the
+    // column names + the type classes operators rely on (joins on
+    // longs, array<float> embeddings, binary payloads).
+    import org.apache.spark.sql.types._
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      df.schema.fields.toSeq.map { f =>
+        val cls = f.dataType match {
+          case LongType => "long"
+          case DoubleType => "double"
+          case StringType => "string"
+          case TimestampType | TimestampNTZType => "timestamp"
+          case ArrayType(FloatType, _) => "array<float>"
+          case BinaryType => "binary"
+          case IntegerType => "int"
+          case other => other.simpleString
+        }
+        f.name -> cls
+      }
+    val docs = sig(tables.documents)
+    assert(docs.take(5) == Seq("doc_id" -> "long", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "long"), docs.toString)
+    assert(sig(tables.embeddings).take(2) == Seq(
+      "vec_id" -> "long", "embedding" -> "array<float>"), sig(tables.embeddings).toString)
+    val orders = sig(tables.orders).toMap
+    assert(orders("o_orderkey") == "long" && orders("o_custkey") == "long"
+      && orders("o_orderdate") == "timestamp", orders.toString)
+    val li = sig(tables.lineitem).toMap
+    assert(li("l_orderkey") == "long" && li("l_quantity") == "double"
+      && li("l_shipdate") == "timestamp", li.toString)
+    assert(sig(tables.customer).toMap.get("c_custkey").contains("long"))
+    assert(sig(tables.events) == Seq("event_id" -> "long", "ts" -> "timestamp",
+      "user_id" -> "long", "event_type" -> "string", "value" -> "double",
+      "props" -> "string"), sig(tables.events).toString)
+  }
 }
