@@ -384,6 +384,55 @@ class StreamingSpec extends SparkSpec {
         s"only-batch=${(batch -- all.toSet).take(5)}")
   }
 
+  test("near-dup probe stream killed mid-corpus resumes from checkpoint with the full report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val mod = 5
+    val docs = tables.documents.select("doc_id", "text", "lang").collect()
+      .map(r => graft.model.IngestDoc(r.getLong(0), r.getString(1), r.getString(2),
+        base.plusSeconds(r.getLong(0))))
+      .filter(_.doc_id % mod == 0).sortBy(_.doc_id).toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup_ckpt").toFile.getAbsolutePath
+    val outDir = java.nio.file.Files.createTempDirectory("neardup_sink").toFile.getAbsolutePath
+    val input = MemoryStream[graft.model.IngestDoc]
+    def startQuery() = graft.streaming.DocStreamJob.streamDocNearDup(
+        input.toDS().toDF(), graft.operators.Dedup.baseBandIndex(tables, mod))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    val halves = docs.grouped((docs.size + 1) / 2).toSeq
+    val q1 = startQuery()
+    try { input.addData(halves.head); q1.processAllAvailable() } finally q1.stop()
+    input.addData(halves(1))
+    input.addData(Seq(graft.model.IngestDoc(999999L, "watermark sentinel", "en",
+      base.plusSeconds(864000))))
+    val q2 = startQuery()
+    val got = try {
+      q2.processAllAvailable()
+      spark.read.parquet(outDir).filter($"doc_id" =!= 999999L).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+    } finally q2.stop()
+    assert(got.map(_._1).distinct.length == got.length,
+      "restart must not duplicate near-dup reports")
+    // expected: same construction as the uninterrupted A32 case
+    val pairsJ = graft.operators.Dedup.docMinhashLshPairs(tables).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val partners = pairsJ.keys.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = docs.map(_.doc_id).flatMap { d =>
+      val basePs = partners.getOrElse(d, Set.empty[Long]).filter(_ % mod != 0)
+      if (basePs.isEmpty) None
+      else {
+        val p = basePs.min
+        Some(d -> (p, pairsJ((math.min(d, p), math.max(d, p)))))
+      }
+    }.toMap
+    assert(expected.nonEmpty)
+    assert(got.toMap == expected,
+      s"interrupted∪resumed ≠ batch: only-stream=${(got.toMap.keySet -- expected.keySet).take(5)} " +
+        s"only-batch=${(expected.keySet -- got.toMap.keySet).take(5)}")
+  }
+
   test("streaming near-dup probe == batch C8b restricted to base partners") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
