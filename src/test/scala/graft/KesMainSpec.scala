@@ -37,6 +37,36 @@ class KesMainSpec extends SparkSpec {
     assert(got.forall(_.startsWith("""{"time":""")), got.head)
   }
 
+  test("CurateMain: JSONL landing dir to curated parquet + quarantine; second --once run is incremental with recovered dedup state") {
+    val in = Files.createTempDirectory("curate_in").toFile
+    val out = Files.createTempDirectory("curate_out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("curate_ckpt2").toFile.getAbsolutePath
+    val good = ("the and of to in " * 25).trim
+    def line(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"t","n_chars":${text.length}}"""
+    Files.writeString(new java.io.File(in, "b1.json").toPath,
+      Seq(line(1, good), line(2, good + " extra"), "{ corrupt").mkString("\n"))
+    def runOnce(): Unit =
+      CurateMain.startQueries(spark, in.getAbsolutePath, out, ckpt, once = true)
+        .foreach(_.awaitTermination(120000))
+    runOnce()
+    val kept1 = spark.read.parquet(s"$out/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 == Set(1L, 2L), s"kept=$kept1")
+    assert(spark.read.text(s"$out/_quarantine").collect()
+      .map(_.getString(0)).toSeq == Seq("{ corrupt"))
+    // second landing file, second process lifetime: only NEW docs are
+    // processed, and a duplicate of a run-1 doc stays suppressed
+    // (the curation dedup state came back from the checkpoint)
+    Files.writeString(new java.io.File(in, "b2.json").toPath,
+      Seq(line(3, good), line(4, good + " fresh")).mkString("\n"))
+    runOnce()
+    val kept2 = spark.read.parquet(s"$out/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 2L, 4L),
+      s"run-2 must dedup doc 3 against run-1's state: $kept2")
+  }
+
   test("restart recovers dedup state from the checkpoint (the reference's persistent CACHE_DB)") {
     val in = Files.createTempDirectory("kes_in2").toFile
     val out = Files.createTempDirectory("kes_out2").toFile.getAbsolutePath + "/data"
