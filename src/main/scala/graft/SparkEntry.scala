@@ -57,6 +57,15 @@ object SparkEntry {
     "q_set_ops"            -> q(Analytics.qSetOps(_)),
     "q_corr"               -> q(Analytics.qCorr),
     "q_regr"               -> q(Analytics.qRegr),
+    "q_order_priority_semi" -> q(Analytics.qOrderPrioritySemi),
+    "q_nation_trade"       -> q(Analytics.qNationTrade),
+    "q_returned_revenue"   -> q(Analytics.qReturnedRevenue),
+    "q_late_lines"         -> q(Analytics.qLateLines),
+    "q_cust_order_dist"    -> q(Analytics.qCustOrderDist),
+    "q_promo_share"        -> q(Analytics.qPromoShare),
+    "q_disjunctive_pred"   -> q(Analytics.qDisjunctivePred),
+    "q_sole_late_supplier" -> q(Analytics.qSoleLateSupplier),
+    "q_idle_rich_customers" -> q(Analytics.qIdleRichCustomers),
     "ev_retention"         -> q(EventOps.evRetention),
     "ev_state_transitions" -> q(EventOps.evStateTransitions(_, ordered = true)),
     "text_entropy"         -> q(TextOps.textEntropy(_, ordered = true)),
@@ -525,6 +534,113 @@ object SparkEntry {
         |  CASE WHEN vx > 0 THEN floor(((sy - cxy / vx * sx) / CAST(n AS DOUBLE))*1000000 + 0.5)/1000000 END AS intercept_r,
         |  CASE WHEN vx > 0 AND vy > 0 THEN floor((cxy * cxy / (vx * vy))*1000000 + 0.5)/1000000 END AS r2_r
         |FROM t ORDER BY l_returnflag""".stripMargin,
+
+    "q_order_priority_semi" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_returned_revenue" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+        |FROM rev
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q_late_lines" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q_cust_order_dist" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_promo_share" ->
+      """WITH m AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_rev,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT month, promo_rev, total_rev,
+        |  floor((100.0 * promo_rev / total_rev)*1000000 + 0.5)/1000000 AS promo_pct_r
+        |FROM m ORDER BY month""".stripMargin,
+
+    "q_disjunctive_pred" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q_sole_late_supplier" ->
+      """WITH po AS (
+        |  SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN l_suppkey END) AS n_late_supp,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN l_suppkey END) AS late_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_orderkey)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM po JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_idle_rich_customers" ->
+      """WITH a AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM customer, a
+        |WHERE c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "ev_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

@@ -507,5 +507,199 @@ object Analytics {
       .orderBy($("l_returnflag"))
   }
 
+  /** B26: order-priority counts over a semi-join (TPC-H Q4 shape) —
+    * orders in a 6-month window that have at least one RETURNED line.
+    * EXISTS is a left-semi hash join on orderkey (never a count-then-
+    * filter over the exploded join): the lineitem side is pre-filtered
+    * to returned lines so the semi build is a fraction of the fact.
+    */
+  def qOrderPrioritySemi(t: Tables): DataFrame = {
+    val ord = t.orders
+      .select($("o_orderkey"), $("o_orderpriority"), $("o_orderdate"))
+      .filter($("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter($("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    val returned = t.lineitem.select($("l_orderkey"))
+      .filter($("l_returnflag") === "R")
+    ord.join(returned, $("o_orderkey") === $("l_orderkey"), "left_semi")
+      .groupBy($("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($("o_orderpriority"))
+  }
+
+  /** B27: bilateral trade volume (TPC-H Q7 shape) — revenue between
+    * every (supplier nation → customer nation) pair per ship year.
+    * Both nation joins ride broadcast dims onto the one fact-fact
+    * lineitem⋈orders shuffle; output is #nations² × #years rows.
+    */
+  def qNationTrade(t: Tables): DataFrame = {
+    val supNat = t.supplier.select($("s_suppkey"), $("s_nationkey"))
+      .join(broadcast(t.nation.select($("n_nationkey"), $("n_name"))),
+        $("s_nationkey") === $("n_nationkey"))
+      .select($("s_suppkey"), $("n_name").as("supp_nation"))
+    val custNat = t.customer.select($("c_custkey"), $("c_nationkey"))
+      .join(broadcast(t.nation.select($("n_nationkey"), $("n_name"))),
+        $("c_nationkey") === $("n_nationkey"))
+      .select($("c_custkey"), $("n_name").as("cust_nation"))
+    t.lineitem
+      .select($("l_orderkey"), $("l_suppkey"), $("l_extendedprice"), $("l_discount"), $("l_shipdate"))
+      .join(t.orders.select($("o_orderkey"), $("o_custkey")),
+        $("l_orderkey") === $("o_orderkey"))
+      .join(broadcast(supNat), $("l_suppkey") === $("s_suppkey"))
+      .join(broadcast(custNat), $("o_custkey") === $("c_custkey"))
+      .filter($("supp_nation") =!= $("cust_nation"))
+      .groupBy($("supp_nation"), $("cust_nation"),
+        year($("l_shipdate")).cast("long").as("l_year"))
+      .agg(psum($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("revenue"))
+      .orderBy($("supp_nation"), $("cust_nation"), $("l_year"))
+  }
+
+  /** B28: returned-item revenue report (TPC-H Q10 shape) — top 20
+    * customers by revenue lost to returns in one quarter. The order
+    * filter prunes the fact join; customer/nation broadcast onto the
+    * aggregated relation; final top-N is TakeOrderedAndProject.
+    */
+  def qReturnedRevenue(t: Tables): DataFrame = {
+    val ord = t.orders.select($("o_orderkey"), $("o_custkey"), $("o_orderdate"))
+      .filter($("o_orderdate") >= lit("1996-10-01").cast("timestamp"))
+      .filter($("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = t.lineitem
+      .select($("l_orderkey"), $("l_extendedprice"), $("l_discount"), $("l_returnflag"))
+      .filter($("l_returnflag") === "R")
+    val rev = li.join(ord, $("l_orderkey") === $("o_orderkey"))
+      .groupBy($("o_custkey"))
+      .agg(psum($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("revenue"))
+    rev.join(broadcast(t.customer.select($("c_custkey"), $("c_name"), $("c_nationkey"), $("c_acctbal"))),
+        $("o_custkey") === $("c_custkey"))
+      .join(broadcast(t.nation.select($("n_nationkey"), $("n_name"))),
+        $("c_nationkey") === $("n_nationkey"))
+      .select($("c_custkey"), $("c_name"), $("n_name"), $("c_acctbal"), $("revenue"))
+      .orderBy($("revenue").desc, $("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** B29: late-shipment priority split (TPC-H Q12 shape) — among lines
+    * shipped >90 days after their order date, high- vs low-priority
+    * order counts per linestatus. One fact-fact join; the CASE counts
+    * are map-side-combined conditional sums.
+    */
+  def qLateLines(t: Tables): DataFrame = {
+    val hi = $("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t.lineitem.select($("l_orderkey"), $("l_linestatus"), $("l_shipdate"))
+      .join(t.orders.select($("o_orderkey"), $("o_orderdate"), $("o_orderpriority")),
+        $("l_orderkey") === $("o_orderkey"))
+      .filter($("l_shipdate") > $("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy($("l_linestatus"))
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($("l_linestatus"))
+  }
+
+  /** B30: customer order-count distribution (TPC-H Q13 shape) — LEFT
+    * OUTER join so order-less customers land in the 0 bucket, then a
+    * second #distinct-counts-key aggregate. The first aggregate keys on
+    * custkey (high cardinality — scales); the second is tiny.
+    */
+  def qCustOrderDist(t: Tables): DataFrame = {
+    val ord = t.orders.select($("o_orderkey"), $("o_custkey"), $("o_orderpriority"))
+      .filter($("o_orderpriority") =!= "5-LOW")
+    t.customer.select($("c_custkey"))
+      .join(ord, $("c_custkey") === $("o_custkey"), "left_outer")
+      .groupBy($("c_custkey"))
+      .agg(count($("o_orderkey")).as("c_count"))
+      .groupBy($("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($("custdist").desc, $("c_count").desc)
+  }
+
+  /** B31: promo revenue share per month (TPC-H Q14 shape) — part is a
+    * broadcast dim; numerator and denominator are decimal conditional
+    * sums off the same aggregate (one scan, one #months-key shuffle),
+    * ratio rounded with the shared r6 convention.
+    */
+  def qPromoShare(t: Tables): DataFrame = {
+    val rev = $("l_extendedprice") * (lit(1.0) - $("l_discount"))
+    t.lineitem
+      .select($("l_partkey"), $("l_extendedprice"), $("l_discount"), $("l_shipdate"))
+      .join(broadcast(t.part.select($("p_partkey"), $("p_type"))),
+        $("l_partkey") === $("p_partkey"))
+      .groupBy(date_format($("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        psum(when($("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("promo_rev"),
+        psum(rev).as("total_rev"))
+      .select($("month"), $("promo_rev"), $("total_rev"),
+        r6(lit(100.0) * $("promo_rev") / $("total_rev")).as("promo_pct_r"))
+      .orderBy($("month"))
+  }
+
+  /** B32: disjunctive-predicate revenue (TPC-H Q19 shape) — an OR of
+    * brand/size/quantity conjunctions. Expressed as one declarative
+    * filter over the broadcast part join so Catalyst pushes the
+    * common-column conjuncts (p_size ≥ 1, quantity bounds) below the
+    * join and prunes part columns at the scan.
+    */
+  def qDisjunctivePred(t: Tables): DataFrame = {
+    val j = t.lineitem
+      .select($("l_partkey"), $("l_quantity"), $("l_extendedprice"), $("l_discount"))
+      .join(broadcast(t.part.select($("p_partkey"), $("p_brand"), $("p_size"))),
+        $("l_partkey") === $("p_partkey"))
+    val pred =
+      ($("p_brand") === "Brand#1" && $("p_size").between(1, 10) && $("l_quantity").between(1, 20)) ||
+      ($("p_brand") === "Brand#2" && $("p_size").between(5, 20) && $("l_quantity").between(10, 30)) ||
+      ($("p_brand") === "Brand#3" && $("p_size").between(10, 30) && $("l_quantity").between(20, 40))
+    j.filter(pred)
+      .agg(psum($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** B33: sole late supplier (TPC-H Q21 shape, aggregation form) —
+    * orders with ≥2 suppliers where EXACTLY ONE supplier shipped late;
+    * count offending orders per supplier. The classic formulation is a
+    * double correlated EXISTS/NOT EXISTS self-join; this decorrelated
+    * form gets the same relation from ONE orderkey-keyed aggregate
+    * (distinct suppliers vs distinct late suppliers per order — with
+    * exactly one late supplier, max(late suppkey) IS that supplier),
+    * then a tiny supplier rollup. One fact-fact join + one fact-keyed
+    * aggregate — no self-join of lineitem with itself.
+    */
+  def qSoleLateSupplier(t: Tables): DataFrame = {
+    val late = $("l_shipdate") > $("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val perOrder = t.lineitem
+      .select($("l_orderkey"), $("l_suppkey"), $("l_shipdate"))
+      .join(t.orders.select($("o_orderkey"), $("o_orderdate")),
+        $("l_orderkey") === $("o_orderkey"))
+      .groupBy($("l_orderkey"))
+      .agg(
+        countDistinct($("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, $("l_suppkey"))).as("n_late_supp"),
+        max(when(late, $("l_suppkey"))).as("late_supp"))
+      .filter($("n_supp") >= 2 && $("n_late_supp") === 1)
+    perOrder
+      .groupBy($("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t.supplier.select($("s_suppkey"), $("s_name"))),
+        $("late_supp") === $("s_suppkey"))
+      .select($("s_name"), $("numwait"))
+      .orderBy($("numwait").desc, $("s_name").asc)
+      .limit(10)
+  }
+
+  /** B34: idle rich customers (TPC-H Q22 shape) — per market segment,
+    * customers with above-average positive balance and NO orders. The
+    * global average is a 1-row aggregate broadcast as a cross join;
+    * "no orders" is a left-anti hash join on custkey.
+    */
+  def qIdleRichCustomers(t: Tables): DataFrame = {
+    val avgBal = t.customer.select($("c_acctbal")).filter($("c_acctbal") > 0.0)
+      .agg((psum($("c_acctbal")) / count(lit(1)).cast("double")).as("avg_bal"))
+    t.customer.select($("c_custkey"), $("c_mktsegment"), $("c_acctbal"))
+      .crossJoin(broadcast(avgBal))
+      .filter($("c_acctbal") > $("avg_bal"))
+      .join(t.orders.select($("o_custkey")), $("c_custkey") === $("o_custkey"), "left_anti")
+      .groupBy($("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), psum($("c_acctbal")).as("total_bal"))
+      .orderBy($("c_mktsegment"))
+  }
+
   private def $(name: String): Column = col(name)
 }
