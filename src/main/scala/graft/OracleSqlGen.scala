@@ -353,6 +353,57 @@ object OracleSqlGen {
        |  CAST(sc.doc_id = k.keeper AS INTEGER) AS keep
        |FROM sc JOIN k USING (cluster) ORDER BY sc.doc_id""".stripMargin
 
+  /** C18: cluster-size histogram off the shared C7 transitive-closure
+    * CTEs.
+    */
+  val docClusterStats: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |cl AS (SELECT d.doc_id, COALESCE(m.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id),
+       |sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM cl GROUP BY 1)
+       |SELECT cluster_size, COUNT(*) AS n_clusters,
+       |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+       |FROM sz GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
+
+  /** E34: declared×predicted language confusion matrix off the shared
+    * E1 langid CTEs.
+    */
+  // def, not val: langidCoreCtes initializes later in the object —
+  // a val here would capture null at object-init time
+  def docLangConfusion: String =
+    s"""WITH $langidCoreCtes,
+       |m AS (SELECT lang, pred_lang, COUNT(*) AS n_docs FROM p GROUP BY 1, 2)
+       |SELECT lang, pred_lang, n_docs,
+       |  floor((CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE))*1000000 + 0.5)/1000000 AS share_r
+       |FROM m ORDER BY lang, pred_lang""".stripMargin
+
+  /** E33: Zipf OLS over integer micro-ln moments — op-for-op the Spark
+    * expressions (r6'd ln as exact BIGINT micro-units, exact integer
+    * moment sums, closed-form double math).
+    */
+  def textZipf(topK: Int): String =
+    s"""WITH c AS (SELECT token, COUNT(*) AS n
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+       |  GROUP BY token),
+       |top AS (SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT $topK),
+       |rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank FROM top),
+       |xy AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS xm,
+       |  CAST(floor(ln(CAST(n AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS ym FROM rk),
+       |m AS (SELECT COUNT(*) AS k,
+       |  CAST(SUM(xm) AS DOUBLE) AS sx, CAST(SUM(ym) AS DOUBLE) AS sy,
+       |  CAST(SUM(xm*ym) AS DOUBLE) AS sxy, CAST(SUM(xm*xm) AS DOUBLE) AS sxx,
+       |  CAST(SUM(ym*ym) AS DOUBLE) AS syy FROM xy),
+       |t AS (SELECT k, sx, sy,
+       |  sxx - sx*sx/CAST(k AS DOUBLE) AS vx,
+       |  syy - sy*sy/CAST(k AS DOUBLE) AS vy,
+       |  sxy - sx*sy/CAST(k AS DOUBLE) AS cxy FROM m)
+       |SELECT k,
+       |  CASE WHEN vx > 0 THEN floor((cxy/vx)*1000000 + 0.5)/1000000 END AS zipf_slope_r,
+       |  CASE WHEN vx > 0 THEN floor(((sy - cxy/vx*sx)/CAST(k AS DOUBLE)/1000000.0)*1000000 + 0.5)/1000000 END AS intercept_r,
+       |  CASE WHEN vx > 0 AND vy > 0 THEN floor((cxy*cxy/(vx*vy))*1000000 + 0.5)/1000000 END AS r2_r
+       |FROM t""".stripMargin
+
   private val bitSumExprs: String = (0 until 60).map(j =>
     s"SUM(((h0 >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n  ")
 

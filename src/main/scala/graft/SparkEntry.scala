@@ -86,6 +86,7 @@ object SparkEntry {
     "doc_decontaminate"    -> q(Dedup.docDecontaminate(_, ordered = true)),
     "doc_decontaminate_bloom" -> q(Dedup.docDecontaminateBloom(_, ordered = true)),
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
+    "doc_cluster_stats"    -> q(Dedup.docClusterStats(_)),
     "doc_dedup_keep_best"  -> q(Dedup.docDedupKeepBest(_, ordered = true)),
     "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_, ordered = true)),
     "doc_winnow_pairs"     -> q(Dedup.docWinnowPairs(_, ordered = true)),
@@ -140,6 +141,9 @@ object SparkEntry {
     "doc_mix_budget"       -> q(TextOps.docMixBudget(_, ordered = true)),
     "doc_sample_k"         -> q(TextOps.docSampleK(_, ordered = true)),
     "doc_sample_weighted"  -> q(TextOps.docSampleWeighted(_, ordered = true)),
+    "doc_lang_confusion"   -> q(TextOps.docLangConfusion),
+    "text_zipf"            -> q(TextOps.textZipf(_)),
+    "ev_user_lifespan"     -> q(EventOps.evUserLifespan(_, ordered = true)),
     "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
     "doc_shard_shuffle"    -> q(TextOps.docShardShuffle(_, ordered = true)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
@@ -769,6 +773,16 @@ object SparkEntry {
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,
     "doc_dedup_clusters"    -> OracleSqlGen.docDedupClusters,
+    "doc_cluster_stats"     -> OracleSqlGen.docClusterStats,
+    "doc_lang_confusion"    -> OracleSqlGen.docLangConfusion,
+    "text_zipf"             -> OracleSqlGen.textZipf(50),
+    "ev_user_lifespan" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |  COUNT(DISTINCT date_trunc('day', ts)) AS active_days,
+        |  floor(((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 3600000000.0)*1000000 + 0.5)/1000000 AS span_hours_r,
+        |  floor((CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT date_trunc('day', ts)) AS DOUBLE))*1000000 + 0.5)/1000000 AS events_per_day_r
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "doc_dedup_keep_best"   -> OracleSqlGen.docDedupKeepBest,
     "doc_embed_cosine_dup"  -> OracleSqlGen.docEmbedCosineDup,
     "ann_topk_bruteforce"   -> OracleSqlGen.annTopkBruteforce,

@@ -1041,4 +1041,18 @@ object Dedup {
           col("drop_id").isNull.as("keep")),
       ordered)(col("vec_id"))
   }
+
+  /** C18: cluster-size histogram — the dataset-card duplication-depth
+    * view of C7's components ("how many 5-deep near-dup families does
+    * this corpus have"): per-cluster sizes (corpus-cardinality keyed
+    * aggregate over the C7 verdict) rolled up to (size → #clusters,
+    * #docs). Cost is the C7 feeder; both rollups after it are tiny.
+    */
+  def docClusterStats(t: Tables, threshold: Double = 0.2): DataFrame =
+    docDedupClusters(t, threshold)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
 }

@@ -442,4 +442,27 @@ object EventOps {
       .select(col("from_type"), col("to_type"), col("n"), col("gap_us_total"),
         r6(col("n").cast("double") / col("n_from").cast("double")).as("p_r"))
   }, ordered)(col("from_type"), col("to_type"))
+
+  /** A36: per-user lifespan profile — event count, first/last seen,
+    * distinct active days, span in hours, events per active day (the
+    * per-entity activity relation retention/engagement analyses start
+    * from; the reference's uid keyspace seen longitudinally). ONE
+    * user-keyed shuffle (high-cardinality key — scales); span math is
+    * exact integer µs diffed then one deterministic double divide, r6.
+    */
+  def evUserLifespan(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
+    t.events.select(col("user_id"), col("ts"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        countDistinct(date_trunc("day", col("ts"))).as("active_days"))
+      .select(col("user_id"), col("n_events"), col("first_ts"), col("last_ts"),
+        col("active_days"),
+        r6((unix_micros(col("last_ts")) - unix_micros(col("first_ts"))) / lit(3.6e9))
+          .as("span_hours_r"),
+        r6(col("n_events").cast("double") / col("active_days").cast("double"))
+          .as("events_per_day_r")),
+    ordered)(col("user_id"))
 }

@@ -1052,4 +1052,69 @@ object TextOps {
       minScore: Double = 0.5, ordered: Boolean = false): DataFrame = maybeSort(
     scoreWithWeights(t, qualityModelTrainedWeights(t, vocabV, minScore), bias),
     ordered)(col("doc_id"))
+
+  /** E34: language confusion matrix — declared `lang` × E1-predicted
+    * `pred_lang` doc counts with per-declared-language share (the
+    * dataset-card "how much of my 'en' slice isn't en" view, and the
+    * calibration read on the langid heuristic itself). ONE corpus scan
+    * (the additive withLangid transform) into a #langs²-key aggregate;
+    * the share window runs over that tiny aggregated matrix, never the
+    * corpus.
+    */
+  def docLangConfusion(t: Tables): DataFrame =
+    withLangid(t.documents.select(col("lang"), col("text")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_r",
+        r6(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy(col("lang"))).cast("double")))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  /** E33: Zipf fit — OLS of ln(frequency) on ln(rank) over the top-K
+    * vocabulary terms (natural text ⇒ slope ≈ −1; a corpus whose slope
+    * is far off is template/generated — a corpus-level quality signal
+    * next to the per-doc ones). Top-K is a two-stage exact TakeOrdered
+    * (per-partition heaps + driver merge — no global sort of the
+    * vocabulary); the rank window and the OLS moment sums run over the
+    * K-row relation only. Logs are r6-rounded and products decimal-
+    * summed per the engine-parity convention (K is small, so the
+    * moment sums are exact).
+    */
+  def textZipf(t: Tables, topK: Int = 50): DataFrame = {
+    val top = t.documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+    // global window is bounded by topK rows by construction. Logs are
+    // scaled to exact integer micro-units (⌊ln·1e6+0.5⌋) so every
+    // moment sum is exact integer arithmetic — a product of two
+    // 6dp-rounded DOUBLES has ~12dp and its decimal cast would round
+    // engine-specifically near 1e-6 midpoints. Micro-units cancel in
+    // slope and r² ; intercept is de-scaled by one deterministic double
+    // divide at the end.
+    val ranked = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
+      .select(
+        floor(log(col("rank").cast("double")) * 1e6 + 0.5).cast("long").as("xm"),
+        floor(log(col("n").cast("double")) * 1e6 + 0.5).cast("long").as("ym"))
+    val nD = col("k").cast("double")
+    val sxx = col("sxx") - col("sx") * col("sx") / nD
+    val syy = col("syy") - col("sy") * col("sy") / nD
+    val sxy = col("sxy") - col("sx") * col("sy") / nD
+    val slope = sxy / sxx
+    ranked.agg(
+      count(lit(1)).as("k"),
+      sum(col("xm")).cast("double").as("sx"),
+      sum(col("ym")).cast("double").as("sy"),
+      sum(col("xm") * col("ym")).cast("double").as("sxy"),
+      sum(col("xm") * col("xm")).cast("double").as("sxx"),
+      sum(col("ym") * col("ym")).cast("double").as("syy"))
+      .select(col("k"),
+        when(sxx > 0, r6(slope)).as("zipf_slope_r"),
+        when(sxx > 0, r6((col("sy") - slope * col("sx")) / nD / lit(1e6))).as("intercept_r"),
+        when(sxx > 0 && syy > 0, r6(sxy * sxy / (sxx * syy))).as("r2_r"))
+  }
 }
