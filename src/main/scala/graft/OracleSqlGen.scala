@@ -464,6 +464,29 @@ object OracleSqlGen {
        |WHERE CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** F7: incremental perceptual dedup — batch (id ≡ 0 mod `mod`)
+    * probes the chunk index; best partner = (hamming, db) argmin over
+    * qualifying base/earlier-batch partners.
+    */
+  def mmPhashIncremental(mod: Int, maxHamming: Int): String =
+    s"""WITH $dhashCtes,
+       |ch AS (SELECT doc_id, phash, j, (phash >> (15*j)) & 32767 AS chunk_val
+       |  FROM ph, (SELECT unnest([0,1,2,3]) AS j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+       |  FROM ch a JOIN ch b ON a.j = b.j AND a.chunk_val = b.chunk_val
+       |    AND a.doc_id % $mod = 0 AND b.doc_id <> a.doc_id
+       |    AND (b.doc_id % $mod <> 0 OR b.doc_id < a.doc_id)),
+       |best AS (SELECT da, db, hamming FROM (
+       |  SELECT da, db, hamming,
+       |    ROW_NUMBER() OVER (PARTITION BY da ORDER BY hamming ASC, db ASC) AS rn
+       |  FROM cand WHERE hamming <= $maxHamming) WHERE rn = 1)
+       |SELECT d.doc_id, best.db AS dup_of, best.hamming,
+       |  CAST(best.db IS NULL AS INTEGER) AS is_new
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $mod = 0) d
+       |LEFT JOIN best ON d.doc_id = best.da
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Sequential left-fold vector ops (order-matching Spark's
     * `aggregate`; 0.0 + x == x in IEEE so the seeds agree).
     */
@@ -774,6 +797,28 @@ object OracleSqlGen {
        |  FROM sc)
        |WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** D14: k-NN graph — sign-bucket candidates, dst side posting-capped
+    * by lowest vec_id, exact cosine + per-source top-k.
+    */
+  def annKnnGraph(k: Int, bucketCap: Int): String = {
+    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+    s"""WITH $normCte,
+       |nb AS (SELECT vec_id, v, n2, ${bucketExprAt(0)} AS bucket FROM n),
+       |corpus AS (SELECT vec_id, v, n2, bucket FROM (
+       |  SELECT vec_id, v, n2, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS pn
+       |  FROM nb) WHERE pn <= $bucketCap),
+       |sc AS (SELECT s.vec_id AS src, c.vec_id AS dst,
+       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM nb s JOIN corpus c ON c.bucket = s.bucket AND c.vec_id <> s.vec_id)
+       |SELECT src, rank, dst, cos_r FROM (
+       |  SELECT src, dst, cos_r,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k
+       |ORDER BY src, rank""".stripMargin
   }
 
   val embNormStats: String =

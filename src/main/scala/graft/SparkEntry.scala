@@ -96,6 +96,7 @@ object SparkEntry {
     "ann_topk_bruteforce"  -> q(Similarity.annTopkBruteforce(_)),
     "ann_lsh_bucketed"     -> q(Similarity.annLshBucketed(_)),
     "ann_lsh_multitable"   -> q(Similarity.annLshMultiTable(_)),
+    "ann_knn_graph"        -> q(Similarity.annKnnGraph(_, ordered = true)),
     "ann_ivf"              -> q(Similarity.annIvf(_)), // rows-only: k-means quantizer, no SQL oracle
     "ann_maxsim"           -> q(Similarity.annMaxsim(_)),
     "emb_norm_stats"       -> q(Similarity.embNormStats),
@@ -158,6 +159,7 @@ object SparkEntry {
     "mm_exact_dedup"       -> q(Multimodal.mmExactDedup(_, ordered = true)),
     "mm_phash"             -> q(Multimodal.mmPhash(_, ordered = true)),
     "mm_phash_pairs"       -> q(Multimodal.mmPhashPairs(_, ordered = true)),
+    "mm_phash_incremental" -> q(Multimodal.mmPhashIncremental(_, ordered = true)),
     "mm_phash_clusters"    -> q(Multimodal.mmPhashClusters(_, ordered = true)),
   )
 
@@ -789,6 +791,7 @@ object SparkEntry {
     "ann_range"             -> OracleSqlGen.annRange(8, 0.25),
     "ann_lsh_bucketed"      -> OracleSqlGen.annLshBucketed,
     "ann_lsh_multitable"    -> OracleSqlGen.annLshMultiTable,
+    "ann_knn_graph"         -> OracleSqlGen.annKnnGraph(3, 128),
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),
     "doc_ngram_containment" -> OracleSqlGen.docNgramContainment(0.4, 100),
     "doc_ngram_novelty"     -> OracleSqlGen.docNgramNovelty,
@@ -889,6 +892,7 @@ object SparkEntry {
     "mm_binary_meta"        -> OracleSqlGen.mmBinaryMeta,
     "mm_phash"              -> OracleSqlGen.mmPhash,
     "mm_phash_pairs"        -> OracleSqlGen.mmPhashPairs(4),
+    "mm_phash_incremental"  -> OracleSqlGen.mmPhashIncremental(5, 4),
     "mm_phash_clusters"     -> OracleSqlGen.mmPhashClusters(4),
 
     "text_normalize_dedup" ->

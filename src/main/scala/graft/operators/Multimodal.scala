@@ -180,4 +180,48 @@ object Multimodal {
         md5(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
           .as("frame_md5")),
     ordered)(col("doc_id"), col("frame_idx"))
+
+  /** F7: incremental perceptual dedup — a new asset batch (doc_id ≡ 0
+    * mod `mod`) probes the maintained phash chunk index (F6's
+    * pigeonhole banding; at deploy the index is the persisted artifact
+    * a daily media drop joins against, C8b's shape on payload hashes).
+    * Best partner = closest hamming, then lowest id, toward base or
+    * earlier-batch assets only; batch-only candidates and the banded
+    * equi-join are the only wide ops — payload bytes never shuffle
+    * (the phash rides the map side like F5's checksum).
+    */
+  def mmPhashIncremental(t: Tables, mod: Int = 5, maxHamming: Int = 4,
+      ordered: Boolean = false): DataFrame = {
+    val chunks = t.documents.select(col("doc_id"),
+        call_function("graft_dhash60", col("text").cast("binary")).as("phash"))
+      .select(col("doc_id"), col("phash"),
+        expr("""stack(4,
+          0, (phash >> 0)  & 32767,
+          1, (phash >> 15) & 32767,
+          2, (phash >> 30) & 32767,
+          3, (phash >> 45) & 32767) AS (chunk, chunk_val)"""))
+    val probe = chunks.filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .select(col("doc_id").as("da"), col("phash").as("pha"),
+        col("chunk"), col("chunk_val"))
+    val index = chunks.select(col("doc_id").as("db"), col("phash").as("phb"),
+      col("chunk").as("chunk2"), col("chunk_val").as("chunk_val2"))
+    val best = probe.join(index,
+        col("chunk") === col("chunk2") && col("chunk_val") === col("chunk_val2") &&
+          col("db") =!= col("da") &&
+          (pmod(col("db"), lit(mod)) =!= 0 || col("db") < col("da")))
+      .select(col("da"), col("db"),
+        bit_count(col("pha").bitwiseXOR(col("phb"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("da"))
+      .agg(min(struct(col("hamming"), col("db"))).as("best"))
+      .select(col("da").as("doc_id"),
+        col("best.db").as("dup_of"), col("best.hamming").as("hamming"))
+    maybeSort(
+      t.documents.filter(pmod(col("doc_id"), lit(mod)) === 0).select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"), col("hamming"),
+          col("dup_of").isNull.cast("int").as("is_new")),
+      ordered)(col("doc_id"))
+  }
 }

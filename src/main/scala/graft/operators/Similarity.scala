@@ -766,4 +766,36 @@ object Similarity {
         (sum(col("norm_r").cast(DecimalType(18, 6))).cast("double") /
           count(lit(1)).cast("double")).as("avg_norm"))
       .orderBy(col("label"))
+
+  /** D14: k-NN graph — every vector's top-k in-bucket cosine neighbors
+    * (the input relation of graph-based dedup, label propagation, and
+    * HNSW-style index builds; D2 answers one query, this materializes
+    * the whole neighborhood structure). Candidates come from the
+    * sign-LSH bucket equi-join, never all pairs; the destination side
+    * is posting-capped (lowest vec_id, D2b's skew knob) so a dead-sign
+    * bucket bounds at bucketCap·|bucket| candidate rows instead of
+    * |bucket|², while every vector still appears as a source. The
+    * per-source rank window keys on vec_id — corpus cardinality,
+    * groups ≤ bucketCap by construction.
+    */
+  def annKnnGraph(t: Tables, k: Int = 3, bits: Int = 8, bucketCap: Int = 128,
+      ordered: Boolean = false): DataFrame = {
+    val e = withNorm(t.embeddings).withColumn("bucket", signBucket(col("v"), bits))
+    val capW = Window.partitionBy(col("bucket")).orderBy(col("vec_id").asc)
+    val corpus = e
+      .withColumn("pn", row_number().over(capW))
+      .filter(col("pn") <= bucketCap)
+      .select(col("vec_id").as("dst"), col("v").as("dv"), col("n2").as("dn2"),
+        col("bucket").as("bucket2"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_r").desc, col("dst").asc)
+    maybeSort(
+      e.select(col("vec_id").as("src"), col("v").as("sv"), col("n2").as("sn2"), col("bucket"))
+        .join(corpus, col("bucket") === col("bucket2") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          cosineR(col("sv"), col("dv"), col("sn2"), col("dn2")).as("cos_r"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("src"), col("rank"), col("dst"), col("cos_r")),
+      ordered)(col("src"), col("rank"))
+  }
 }
