@@ -821,6 +821,36 @@ object OracleSqlGen {
        |ORDER BY src, rank""".stripMargin
   }
 
+  /** D15: k-NN majority-vote label prediction off the D14 edge
+    * relation (labels carried through; votes argmax with the
+    * (votes DESC, label ASC) tiebreak).
+    */
+  def annLabelKnn(k: Int, bucketCap: Int): String = {
+    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+    s"""WITH $normCte,
+       |nb AS (SELECT vec_id, label, v, n2, ${bucketExprAt(0)} AS bucket FROM n),
+       |corpus AS (SELECT vec_id, label, v, n2, bucket FROM (
+       |  SELECT vec_id, label, v, n2, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS pn
+       |  FROM nb) WHERE pn <= $bucketCap),
+       |sc AS (SELECT s.vec_id AS src, s.label AS actual_label,
+       |  c.vec_id AS dst, c.label AS dlabel,
+       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM nb s JOIN corpus c ON c.bucket = s.bucket AND c.vec_id <> s.vec_id),
+       |kn AS (SELECT src, actual_label, dst, dlabel FROM (
+       |  SELECT src, actual_label, dst, dlabel,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rank
+       |  FROM sc) WHERE rank <= $k),
+       |v AS (SELECT src, actual_label, dlabel, COUNT(*) AS votes FROM kn GROUP BY 1, 2, 3),
+       |p AS (SELECT src, actual_label, dlabel AS pred_label, votes FROM (
+       |  SELECT src, actual_label, dlabel, votes,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY votes DESC, dlabel ASC) AS rn
+       |  FROM v) WHERE rn = 1)
+       |SELECT src, pred_label, votes, actual_label,
+       |  CAST(pred_label = actual_label AS INTEGER) AS is_correct
+       |FROM p ORDER BY src""".stripMargin
+  }
+
   val embNormStats: String =
     s"""WITH $normCte
        |SELECT label, COUNT(*) AS n,

@@ -97,6 +97,7 @@ object SparkEntry {
     "ann_lsh_bucketed"     -> q(Similarity.annLshBucketed(_)),
     "ann_lsh_multitable"   -> q(Similarity.annLshMultiTable(_)),
     "ann_knn_graph"        -> q(Similarity.annKnnGraph(_, ordered = true)),
+    "ann_label_knn"        -> q(Similarity.annLabelKnn(_, ordered = true)),
     "ann_ivf"              -> q(Similarity.annIvf(_)), // rows-only: k-means quantizer, no SQL oracle
     "ann_maxsim"           -> q(Similarity.annMaxsim(_)),
     "emb_norm_stats"       -> q(Similarity.embNormStats),
@@ -145,6 +146,9 @@ object SparkEntry {
     "doc_lang_confusion"   -> q(TextOps.docLangConfusion),
     "text_zipf"            -> q(TextOps.textZipf(_)),
     "ev_user_lifespan"     -> q(EventOps.evUserLifespan(_, ordered = true)),
+    "ev_cooccurrence"      -> q(EventOps.evCooccurrence),
+    "text_hapax"           -> q(TextOps.textHapax),
+    "doc_template_prefix"  -> q(TextOps.docTemplatePrefix(_, ordered = true)),
     "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
     "doc_shard_shuffle"    -> q(TextOps.docShardShuffle(_, ordered = true)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
@@ -778,6 +782,33 @@ object SparkEntry {
     "doc_cluster_stats"     -> OracleSqlGen.docClusterStats,
     "doc_lang_confusion"    -> OracleSqlGen.docLangConfusion,
     "text_zipf"             -> OracleSqlGen.textZipf(50),
+    "ev_cooccurrence" ->
+      """WITH c AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_cooccur
+        |FROM c a JOIN c b ON a.user_id = b.user_id AND a.hour = b.hour
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "text_hapax" ->
+      """WITH tc AS (SELECT source, token, COUNT(*) AS n
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_types, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  floor((CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS hapax_ratio_r
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+
+    "doc_template_prefix" ->
+      """WITH p AS (SELECT doc_id,
+        |    array_to_string(string_split(lower(text), ' ')[1:8], ' ') AS prefix
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |  COUNT(*) OVER (PARTITION BY prefix) AS family_size,
+        |  MIN(doc_id) OVER (PARTITION BY prefix) AS family_id FROM p)
+        |SELECT doc_id, family_id, family_size FROM f
+        |WHERE family_size >= 2 ORDER BY doc_id""".stripMargin,
+
     "ev_user_lifespan" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
@@ -792,6 +823,7 @@ object SparkEntry {
     "ann_lsh_bucketed"      -> OracleSqlGen.annLshBucketed,
     "ann_lsh_multitable"    -> OracleSqlGen.annLshMultiTable,
     "ann_knn_graph"         -> OracleSqlGen.annKnnGraph(3, 128),
+    "ann_label_knn"         -> OracleSqlGen.annLabelKnn(5, 128),
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),
     "doc_ngram_containment" -> OracleSqlGen.docNgramContainment(0.4, 100),
     "doc_ngram_novelty"     -> OracleSqlGen.docNgramNovelty,

@@ -465,4 +465,27 @@ object EventOps {
         r6(col("n_events").cast("double") / col("active_days").cast("double"))
           .as("events_per_day_r")),
     ordered)(col("user_id"))
+
+  /** A35: event-type co-occurrence matrix — for every unordered type
+    * pair, the number of (user, hour) cells where both occur (the
+    * symmetric "which behaviors travel together" generalization of
+    * A27's one fixed ordered question). The distinct projection
+    * collapses raw volume to ≤ users·hours·#types cells BEFORE the
+    * self-join; the join keys on (user, hour) — high-cardinality, and
+    * per-cell fan-out is bounded at #types² by construction.
+    */
+  def evCooccurrence(t: Tables): DataFrame = {
+    val cells = t.events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .distinct()
+    val b = cells.select(col("user_id").as("u2"), col("hour").as("h2"),
+      col("event_type").as("type_b"))
+    cells.join(b,
+        col("user_id") === col("u2") && col("hour") === col("h2") &&
+          col("event_type") < col("type_b"))
+      .select(col("event_type").as("type_a"), col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_cooccur"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

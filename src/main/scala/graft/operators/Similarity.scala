@@ -779,23 +779,52 @@ object Similarity {
     * groups ≤ bucketCap by construction.
     */
   def annKnnGraph(t: Tables, k: Int = 3, bits: Int = 8, bucketCap: Int = 128,
-      ordered: Boolean = false): DataFrame = {
+      ordered: Boolean = false): DataFrame = maybeSort(
+    knnEdges(t, k, bits, bucketCap)
+      .select(col("src"), col("rank"), col("dst"), col("cos_r")),
+    ordered)(col("src"), col("rank"))
+
+  /** The shared D14 edge builder: (src, rank, dst, cos_r, src_label,
+    * dst_label) top-k in-bucket edges, posting-capped dst side.
+    */
+  private def knnEdges(t: Tables, k: Int, bits: Int, bucketCap: Int): DataFrame = {
     val e = withNorm(t.embeddings).withColumn("bucket", signBucket(col("v"), bits))
     val capW = Window.partitionBy(col("bucket")).orderBy(col("vec_id").asc)
     val corpus = e
       .withColumn("pn", row_number().over(capW))
       .filter(col("pn") <= bucketCap)
       .select(col("vec_id").as("dst"), col("v").as("dv"), col("n2").as("dn2"),
-        col("bucket").as("bucket2"))
+        col("label").as("dst_label"), col("bucket").as("bucket2"))
     val w = Window.partitionBy(col("src")).orderBy(col("cos_r").desc, col("dst").asc)
+    e.select(col("vec_id").as("src"), col("v").as("sv"), col("n2").as("sn2"),
+        col("label").as("src_label"), col("bucket"))
+      .join(corpus, col("bucket") === col("bucket2") && col("src") =!= col("dst"))
+      .select(col("src"), col("src_label"), col("dst"), col("dst_label"),
+        cosineR(col("sv"), col("dv"), col("sn2"), col("dn2")).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** D15: k-NN label prediction — majority vote over D14's top-k
+    * neighborhood (the label-propagation / weak-labeling read on the
+    * graph: "does embedding locality predict the label", and a
+    * quality check on the embedding space itself). Vote counting is a
+    * (src, label) aggregate over the k·n edge relation; the argmax
+    * window keys on src — corpus cardinality, ≤ #labels rows per
+    * group. Deterministic tiebreak: most votes, then lowest label.
+    */
+  def annLabelKnn(t: Tables, k: Int = 5, bits: Int = 8, bucketCap: Int = 128,
+      ordered: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("votes").desc, col("dst_label").asc)
     maybeSort(
-      e.select(col("vec_id").as("src"), col("v").as("sv"), col("n2").as("sn2"), col("bucket"))
-        .join(corpus, col("bucket") === col("bucket2") && col("src") =!= col("dst"))
-        .select(col("src"), col("dst"),
-          cosineR(col("sv"), col("dv"), col("sn2"), col("dn2")).as("cos_r"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= k)
-        .select(col("src"), col("rank"), col("dst"), col("cos_r")),
-      ordered)(col("src"), col("rank"))
+      knnEdges(t, k, bits, bucketCap)
+        .groupBy(col("src"), col("src_label"), col("dst_label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src"), col("dst_label").as("pred_label"), col("votes"),
+          col("src_label").as("actual_label"),
+          (col("dst_label") === col("src_label")).cast("int").as("is_correct")),
+      ordered)(col("src"))
   }
 }

@@ -1117,4 +1117,46 @@ object TextOps {
         when(sxx > 0, r6((col("sy") - slope * col("sx")) / nD / lit(1e6))).as("intercept_r"),
         when(sxx > 0 && syy > 0, r6(sxy * sxy / (sxx * syy))).as("r2_r"))
   }
+
+  /** E35: per-source hapax-legomena profile — type count, token count,
+    * and the fraction of types occurring exactly once (high hapax
+    * ratio ⇒ productive vocabulary / fresh prose; near-zero ⇒
+    * template/generated text — the source-level cousin of C17's
+    * per-doc novelty). Raw token volume combines map-side into
+    * (source, token) counts before the only explode-volume shuffle;
+    * the rollup keys on #sources.
+    */
+  def textHapax(t: Tables): DataFrame =
+    t.documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_tokens"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
+        r6(col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_ratio_r"))
+      .orderBy(col("source"))
+
+  /** E36: template-family detection — docs sharing an identical
+    * leading-k-token prefix (mail headers, scraped boilerplate, form
+    * letters: near-dup detectors score them low because the BODY
+    * differs, but the shared head is the tell). ONE prefix-keyed
+    * shuffle; family size/id ride a window over that corpus-
+    * cardinality key; only multi-doc families are emitted.
+    */
+  def docTemplatePrefix(t: Tables, k: Int = 8, ordered: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col("prefix"))
+    maybeSort(
+      t.documents
+        .select(col("doc_id"), concat_ws(" ", slice(tokens(col("text")), 1, k)).as("prefix"))
+        .withColumn("family_size", count(lit(1)).over(w))
+        .withColumn("family_id", min(col("doc_id")).over(w))
+        .filter(col("family_size") >= 2)
+        .select(col("doc_id"), col("family_id"), col("family_size")),
+      ordered)(col("doc_id"))
+  }
 }

@@ -232,7 +232,13 @@ class PlanSpec extends SparkSpec {
       "doc_mix_weights" -> TextOps.docMixWeights(tables),
       "doc_quality_bucket" -> TextOps.docQualityBucket(tables),
       "text_keywords" -> TextOps.textKeywords(tables),
-      "emb_pq_codes" -> Similarity.embPqCodes(tables))
+      "emb_pq_codes" -> Similarity.embPqCodes(tables),
+      // r8 additions
+      "ann_knn_graph" -> Similarity.annKnnGraph(tables),
+      "ann_label_knn" -> Similarity.annLabelKnn(tables),
+      "mm_phash_incremental" -> Multimodal.mmPhashIncremental(tables),
+      "doc_template_prefix" -> TextOps.docTemplatePrefix(tables),
+      "ev_user_lifespan" -> EventOps.evUserLifespan(tables))
     for ((name, df) <- dumps) {
       // pre-AQE plan: a global sort appears as a rangepartitioning
       // exchange + Sort(global=true). Window-internal sorts are
