@@ -851,6 +851,28 @@ object OracleSqlGen {
        |FROM p ORDER BY src""".stripMargin
   }
 
+  /** D16: per-label centroid distance — micro-lattice exact centroid
+    * sums, sequential-fold dot products (‖x‖² − 2x·c + ‖c‖²).
+    */
+  val embCentroidDist: String =
+    s"""WITH m AS (SELECT vec_id, label,
+       |  [CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) for x in embedding] AS vm
+       |  FROM embeddings),
+       |d AS (SELECT label, vm, unnest(range(1, len(vm)+1)) AS dim FROM m),
+       |ex AS (SELECT label, CAST(dim AS INTEGER) AS dim, vm[CAST(dim AS INTEGER)] AS xm FROM d),
+       |cs AS (SELECT label, dim,
+       |  CAST(SUM(xm) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1000000.0 AS c
+       |  FROM ex GROUP BY 1, 2),
+       |cv AS (SELECT label, list(c ORDER BY dim) AS cv FROM cs GROUP BY label),
+       |x AS (SELECT vec_id, label, [CAST(v AS DOUBLE)/1000000.0 for v in vm] AS xd FROM m)
+       |SELECT x.vec_id, x.label,
+       |  floor(sqrt(greatest(0.0,
+       |    list_reduce([x.xd[i]*x.xd[i] for i in range(1, len(x.xd)+1)], (a,b) -> a+b)
+       |    - 2.0*list_reduce([x.xd[i]*cv.cv[i] for i in range(1, len(x.xd)+1)], (a,b) -> a+b)
+       |    + list_reduce([cv.cv[i]*cv.cv[i] for i in range(1, len(cv.cv)+1)], (a,b) -> a+b)))*1000000 + 0.5)/1000000 AS dist_r
+       |FROM x JOIN cv ON x.label = cv.label
+       |ORDER BY x.vec_id""".stripMargin
+
   val embNormStats: String =
     s"""WITH $normCte
        |SELECT label, COUNT(*) AS n,

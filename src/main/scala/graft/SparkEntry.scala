@@ -98,6 +98,7 @@ object SparkEntry {
     "ann_lsh_multitable"   -> q(Similarity.annLshMultiTable(_)),
     "ann_knn_graph"        -> q(Similarity.annKnnGraph(_, ordered = true)),
     "ann_label_knn"        -> q(Similarity.annLabelKnn(_, ordered = true)),
+    "emb_centroid_dist"    -> q(Similarity.embCentroidDist(_, ordered = true)),
     "ann_ivf"              -> q(Similarity.annIvf(_)), // rows-only: k-means quantizer, no SQL oracle
     "ann_maxsim"           -> q(Similarity.annMaxsim(_)),
     "emb_norm_stats"       -> q(Similarity.embNormStats),
@@ -147,6 +148,7 @@ object SparkEntry {
     "text_zipf"            -> q(TextOps.textZipf(_)),
     "ev_user_lifespan"     -> q(EventOps.evUserLifespan(_, ordered = true)),
     "ev_cooccurrence"      -> q(EventOps.evCooccurrence),
+    "ev_sliding_rate"      -> q(EventOps.evSlidingRate),
     "text_hapax"           -> q(TextOps.textHapax),
     "doc_template_prefix"  -> q(TextOps.docTemplatePrefix(_, ordered = true)),
     "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
@@ -782,6 +784,14 @@ object SparkEntry {
     "doc_cluster_stats"     -> OracleSqlGen.docClusterStats,
     "doc_lang_confusion"    -> OracleSqlGen.docLangConfusion,
     "text_zipf"             -> OracleSqlGen.textZipf(50),
+    "ev_sliding_rate" ->
+      """WITH e AS (SELECT event_type, (epoch_us(ts) // 900000000) * 900000000 AS f15 FROM events),
+        |w AS (SELECT event_type, make_timestamp(f15 - CAST(k AS BIGINT)*900000000) AS win_start
+        |  FROM e, (SELECT unnest([0,1,2,3]) AS k))
+        |SELECT win_start, event_type, COUNT(*) AS n_events
+        |FROM w GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "ev_cooccurrence" ->
       """WITH c AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour, event_type FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_cooccur
@@ -824,6 +834,7 @@ object SparkEntry {
     "ann_lsh_multitable"    -> OracleSqlGen.annLshMultiTable,
     "ann_knn_graph"         -> OracleSqlGen.annKnnGraph(3, 128),
     "ann_label_knn"         -> OracleSqlGen.annLabelKnn(5, 128),
+    "emb_centroid_dist"     -> OracleSqlGen.embCentroidDist,
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),
     "doc_ngram_containment" -> OracleSqlGen.docNgramContainment(0.4, 100),
     "doc_ngram_novelty"     -> OracleSqlGen.docNgramNovelty,

@@ -664,15 +664,22 @@ object Analytics {
     */
   def qSoleLateSupplier(t: Tables): DataFrame = {
     val late = $("l_shipdate") > $("o_orderdate") + expr("INTERVAL 90 DAYS")
+    // two-level aggregate instead of two COUNT(DISTINCT ...): multiple
+    // distinct aggregates plan as a ×3 Expand of the joined fact — the
+    // (orderkey, suppkey) pre-aggregate gets the same distinct
+    // semantics from one map-side-combined shuffle, and the second
+    // aggregate runs on the already-collapsed pair relation
     val perOrder = t.lineitem
       .select($("l_orderkey"), $("l_suppkey"), $("l_shipdate"))
       .join(t.orders.select($("o_orderkey"), $("o_orderdate")),
         $("l_orderkey") === $("o_orderkey"))
+      .groupBy($("l_orderkey"), $("l_suppkey"))
+      .agg(max(late.cast("int")).as("supp_late"))
       .groupBy($("l_orderkey"))
       .agg(
-        countDistinct($("l_suppkey")).as("n_supp"),
-        countDistinct(when(late, $("l_suppkey"))).as("n_late_supp"),
-        max(when(late, $("l_suppkey"))).as("late_supp"))
+        count(lit(1)).as("n_supp"),
+        sum($("supp_late")).as("n_late_supp"),
+        max(when($("supp_late") === 1, $("l_suppkey"))).as("late_supp"))
       .filter($("n_supp") >= 2 && $("n_late_supp") === 1)
     perOrder
       .groupBy($("late_supp"))

@@ -488,4 +488,19 @@ object EventOps {
       .agg(count(lit(1)).as("n_cooccur"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** A37: SLIDING-window burst rates — per-type counts over 1-hour
+    * windows advancing every 15 minutes (A7's tumbling hour cannot see
+    * a burst straddling an hour boundary; the 4× overlap is the
+    * standard fix). Spark's `window(ts, len, slide)` explodes each
+    * event into len/slide rows map-side — a narrow ×4 Expand, then the
+    * same (window, type)-keyed aggregate as A7; no self-join, no
+    * range join.
+    */
+  def evSlidingRate(t: Tables): DataFrame =
+    t.events
+      .select(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .groupBy(col("w.start").as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("win_start"), col("event_type"))
 }

@@ -805,6 +805,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** D16: per-label centroid distance — every vector's euclidean
+    * distance to its own label's centroid (cluster cohesion / outlier
+    * signal: a far-from-centroid vector is mislabeled or an outlier;
+    * the oracle-gated consumer of D5's VectorAvg shape). Embeddings
+    * snap to an exact integer micro-unit lattice first so the per-
+    * (label, dim) centroid sums are exact integer arithmetic (a
+    * decimal cast of raw doubles rounds engine-specifically); the only
+    * explode-volume shuffle is the (label, dim)-keyed sum with
+    * map-side combine, centroids come back as a broadcast #labels-row
+    * array relation, and the distance is three native codegen'd
+    * graft_dot folds (‖x‖² − 2x·c + ‖c‖², same sequential fold order
+    * as the oracle's list_reduce).
+    */
+  def embCentroidDist(t: Tables, ordered: Boolean = false): DataFrame = {
+    val micro = t.embeddings.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+        .as("vm"))
+    val centroids = micro
+      .select(col("label"), posexplode(col("vm")).as(Seq("dim", "xm")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("xm")).as("sm"), count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"),
+        (col("sm").cast("double") / col("cnt").cast("double") / lit(1e6)).as("c")))).as("cs"))
+      .select(col("label").as("clabel"), expr("transform(cs, s -> s.c)").as("cv"))
+    val dist2 =
+      call_function("graft_dot", col("xd"), col("xd")) -
+        lit(2.0) * call_function("graft_dot", col("xd"), col("cv")) +
+        call_function("graft_dot", col("cv"), col("cv"))
+    maybeSort(
+      micro
+        .withColumn("xd", expr("transform(vm, x -> CAST(x AS DOUBLE) / 1000000.0)"))
+        .join(broadcast(centroids), col("label") === col("clabel"))
+        .select(col("vec_id"), col("label"),
+          // greatest(0, ·): dist² can land a hair below zero in float
+          // for a vector that IS the centroid; both engines compute the
+          // identical doubles, the clamp just keeps sqrt real
+          r6(sqrt(greatest(lit(0.0), dist2))).as("dist_r")),
+      ordered)(col("vec_id"))
+  }
+
   /** D15: k-NN label prediction — majority vote over D14's top-k
     * neighborhood (the label-propagation / weak-labeling read on the
     * graph: "does embedding locality predict the label", and a

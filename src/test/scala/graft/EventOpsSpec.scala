@@ -122,4 +122,25 @@ class EventOpsSpec extends SparkSpec {
       ("click", "error", 1L, 60L * 1000 * 1000, 1.0),
       ("error", "click", 1L, 60L * 1000 * 1000, 1.0)), planted.toSeq.toString)
   }
+
+  test("cooccurrence: counts equal the driver-recomputed cell intersections; symmetric-complete") {
+    import org.apache.spark.sql.functions._
+    // recompute from first principles: distinct (user, hour, type)
+    // cells; n_cooccur(a,b) = |cells(a) ∩ cells(b)| for a < b
+    val cells = tables.events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val byType = cells.groupBy(_._3).map { case (ty, xs) =>
+      ty -> xs.map(x => (x._1, x._2)).toSet
+    }
+    val types = byType.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+      n = byType(a).intersect(byType(b)).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    val got = EventOps.evCooccurrence(tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"got=${got.size} expected=${expected.size} pairs")
+  }
 }

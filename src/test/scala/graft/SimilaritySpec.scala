@@ -370,4 +370,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rrRecall >= adcRecall,
       s"exact rerank must not lose recall vs ADC: $rrRecall < $adcRecall")
   }
+
+  test("label knn: prediction is the driver-computed majority over the knn-graph edges") {
+    import org.apache.spark.sql.functions._
+    // consistency law between the two D14-family operators: for every
+    // source, ann_label_knn's (pred_label, votes) must equal the
+    // majority vote (votes DESC, label ASC tiebreak) recomputed on the
+    // driver from ann_knn_graph's k=5 edge dump joined to labels
+    val labels = tables.embeddings.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = Similarity.annKnnGraph(tables, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val expected = edges.groupBy(_._1).map { case (src, es) =>
+      val byLabel = es.map(e => labels(e._2)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.size) }
+      val (pl, v) = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      src -> ((pl, v.toLong))
+    }
+    val got = Similarity.annLabelKnn(tables, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet, "source sets differ")
+    for ((src, exp) <- expected)
+      assert(got(src) == exp, s"src=$src got=${got(src)} expected=$exp")
+  }
 }

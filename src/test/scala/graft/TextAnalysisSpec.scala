@@ -553,4 +553,34 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(w("the") == 1000L && w("zzq1") == -1000L, w.take(5).toString)
   }
+
+  test("template prefix: planted shared-head family found; jaccard-invisible; singletons absent") {
+    import spark.implicits._
+    // three docs share an 8-token boilerplate head but have disjoint
+    // bodies (the form-letter shape: body-level near-dup scores them
+    // LOW, the shared head is the only tell); two fresh docs share
+    // nothing
+    val head8 = "dear valued customer thank you for your order"
+    val family = Seq(
+      (1L, head8 + " alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, head8 + " one two three four five six seven eight"),
+      (3L, head8 + " red green blue yellow purple orange pink gray"))
+    val fresh = Seq(
+      (10L, "completely unrelated text about mountain weather patterns today"),
+      (11L, "another standalone document concerning deep sea exploration notes"))
+    val docs = (family ++ fresh)
+      .map { case (id, text) => (id, text, "en", "t", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = graft.sources.Tables(spark, sfDir, docsOverride = Some(docs))
+    val fams = TextOps.docTemplatePrefix(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fams.toSet == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)),
+      s"planted family must be exactly the three shared-head docs: ${fams.toSeq}")
+    // the family is invisible to exact content dedup (bodies differ):
+    // every content hash is unique — the prefix detector is the only
+    // operator that groups these docs
+    val exact = graft.operators.Dedup.docExactDedup(t).collect()
+    assert(exact.length == 5 && exact.forall(_.getLong(2) == 1L),
+      "all five docs are exact-unique; only the prefix detector groups the family")
+  }
 }
