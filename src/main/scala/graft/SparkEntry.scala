@@ -149,6 +149,8 @@ object SparkEntry {
     "ev_user_lifespan"     -> q(EventOps.evUserLifespan(_, ordered = true)),
     "ev_cooccurrence"      -> q(EventOps.evCooccurrence),
     "ev_sliding_rate"      -> q(EventOps.evSlidingRate),
+    "ev_top_paths"         -> q(EventOps.evTopPaths(_)),
+    "text_kl_source"       -> q(TextOps.textKlSource(_)),
     "text_hapax"           -> q(TextOps.textHapax),
     "doc_template_prefix"  -> q(TextOps.docTemplatePrefix(_, ordered = true)),
     "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
@@ -784,6 +786,42 @@ object SparkEntry {
     "doc_cluster_stats"     -> OracleSqlGen.docClusterStats,
     "doc_lang_confusion"    -> OracleSqlGen.docLangConfusion,
     "text_zipf"             -> OracleSqlGen.textZipf(50),
+    "ev_top_paths" ->
+      """WITH s AS (SELECT event_type AS step1,
+        |    LEAD(event_type, 1) OVER w AS step2,
+        |    LEAD(event_type, 2) OVER w AS step3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT step1, step2, step3, COUNT(*) AS n FROM s
+        |  WHERE step3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT step1, step2, step3, n FROM p
+        |ORDER BY n DESC, step1, step2, step3
+        |LIMIT 20""".stripMargin,
+
+    "text_kl_source" ->
+      """WITH st AS (SELECT source, token, COUNT(*) AS c
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |corpus AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cc FROM st GROUP BY 1
+        |  ORDER BY cc DESC, token ASC LIMIT 500),
+        |nc AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc FROM corpus),
+        |terms AS (SELECT token, cc,
+        |  CAST(floor(ln(CAST(cc + 1 AS DOUBLE) / CAST(nc.nc + 500 AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS lnpc_m
+        |  FROM corpus, nc),
+        |sources AS (SELECT DISTINCT source FROM documents),
+        |grid AS (SELECT s.source, t.token, t.lnpc_m, COALESCE(st.c, 0) AS cs
+        |  FROM sources s CROSS JOIN terms t
+        |  LEFT JOIN st ON st.source = s.source AND st.token = t.token),
+        |nsr AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM grid GROUP BY 1),
+        |sc AS (SELECT g.source, nsr.ns,
+        |  CAST(floor(ln(CAST(g.cs + 1 AS DOUBLE) / CAST(nsr.ns + 500 AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS lnps_m,
+        |  g.cs, g.lnpc_m
+        |  FROM grid g JOIN nsr ON g.source = nsr.source),
+        |k AS (SELECT source, ns, CAST(SUM((cs + 1) * (lnps_m - lnpc_m)) AS BIGINT) AS kl_micro
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT source, ns AS n_topv_tokens,
+        |  floor((CAST(kl_micro AS DOUBLE) / 1000000.0 / CAST(ns + 500 AS DOUBLE))*1000000 + 0.5)/1000000 AS kl_r
+        |FROM k ORDER BY source""".stripMargin,
+
     "ev_sliding_rate" ->
       """WITH e AS (SELECT event_type, (epoch_us(ts) // 900000000) * 900000000 AS f15 FROM events),
         |w AS (SELECT event_type, make_timestamp(f15 - CAST(k AS BIGINT)*900000000) AS win_start

@@ -503,4 +503,25 @@ object EventOps {
       .groupBy(col("w.start").as("win_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("win_start"), col("event_type"))
+
+  /** A38: top-k 3-step behavior paths — the most frequent consecutive
+    * event-type triples across users (the path-mining view one step up
+    * from A34's pair matrix; funnels you DIDN'T think to ask about
+    * surface here). Both leads ride ONE user-keyed window (corpus-
+    * cardinality key, same sort serves both), the rollup keys on
+    * ≤#types³, and the final top-k is TakeOrderedAndProject.
+    */
+  def evTopPaths(t: Tables, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("step2", lead(col("event_type"), 1).over(w))
+      .withColumn("step3", lead(col("event_type"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .select(col("event_type").as("step1"), col("step2"), col("step3"))
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
 }

@@ -1141,6 +1141,53 @@ object TextOps {
           .as("hapax_ratio_r"))
       .orderBy(col("source"))
 
+  /** E37: per-source KL divergence from the corpus unigram
+    * distribution over the top-V corpus vocabulary — the domain-shift
+    * / mixture-design signal ("how far is src17's language from the
+    * corpus mixture"; E25 decides weights, this measures what each
+    * source would pull them toward). Distributions are add-one
+    * smoothed over the top-V restricted vocab (OOV mass excluded by
+    * construction — documented contract). Determinism: ln's land on
+    * the exact BIGINT micro-lattice (text_zipf's convention), so
+    * Σ (c+1)·Δln is exact integer arithmetic and the only double ops
+    * are the final de-scale + divide, identical on both engines.
+    * Shape: the (source, token) stage is the one explode-volume
+    * shuffle (map-side combined); corpus totals derive from it; the
+    * scoring relation is #sources × V rows via a broadcast of the
+    * TakeOrdered top-V.
+    */
+  def textKlSource(t: Tables, topV: Int = 500): DataFrame = {
+    val st = t.documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val corpus = st.groupBy(col("token")).agg(sum(col("c")).as("cc"))
+      .orderBy(col("cc").desc, col("token").asc).limit(topV)
+    val nc = corpus.agg(sum(col("cc")).as("nc"))
+    // corpus-side micro-ln per term: ln((cc+1)/(nc+V))
+    val terms = corpus.crossJoin(broadcast(nc))
+      .select(col("token"), col("cc"),
+        floor(log((col("cc") + 1).cast("double") / (col("nc") + topV).cast("double")) * 1e6 + 0.5)
+          .cast("long").as("lnpc_m"))
+    val sources = t.documents.select(col("source")).distinct()
+    val grid = sources.crossJoin(broadcast(terms))
+      .join(st, Seq("source", "token"), "left")
+      .withColumn("cs", coalesce(col("c"), lit(0L)))
+    val ns = grid.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val perSource = grid
+      .join(broadcast(ns), Seq("source"))
+      .withColumn("lnps_m",
+        floor(log((col("cs") + 1).cast("double") / (col("ns") + topV).cast("double")) * 1e6 + 0.5)
+          .cast("long"))
+      .groupBy(col("source"), col("ns"))
+      .agg(sum((col("cs") + 1) * (col("lnps_m") - col("lnpc_m"))).as("kl_micro"))
+    perSource
+      .select(col("source"), col("ns").as("n_topv_tokens"),
+        r6(col("kl_micro").cast("double") / lit(1e6) /
+          (col("ns") + topV).cast("double")).as("kl_r"))
+      .orderBy(col("source"))
+  }
+
   /** E36: template-family detection — docs sharing an identical
     * leading-k-token prefix (mail headers, scraped boilerplate, form
     * letters: near-dup detectors score them low because the BODY
