@@ -353,6 +353,23 @@ object OracleSqlGen {
        |  CAST(sc.doc_id = k.keeper AS INTEGER) AS keep
        |FROM sc JOIN k USING (cluster) ORDER BY sc.doc_id""".stripMargin
 
+  /** C19: near-dup pair counts at a threshold ladder, one pass over
+    * the shared jaccard edge relation (edges non-empty at every test
+    * SF, so the cross-joined threshold list survives the GROUP BY).
+    */
+  def docDedupRateByThreshold(ths: Seq[Double]): String = {
+    val lst = ths.map(t => s"$t::DOUBLE").mkString("[", ", ", "]")
+    s"""WITH $gramCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |$jaccardCtes,
+       |edges AS ($jaccardSelect)
+       |SELECT th AS threshold,
+       |  CAST(COUNT(CASE WHEN jaccard >= th THEN 1 END) AS BIGINT) AS n_pairs
+       |FROM edges CROSS JOIN (SELECT unnest($lst) AS th)
+       |GROUP BY th ORDER BY th""".stripMargin
+  }
+
   /** C18: cluster-size histogram off the shared C7 transitive-closure
     * CTEs.
     */
@@ -798,6 +815,31 @@ object OracleSqlGen {
        |WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** D17: recall@k of the sign-LSH index vs brute force — both CTE
+    * chains composed, per-query hit counts over the exact top-k.
+    */
+  def annRecallEval(k: Int): String =
+    s"""WITH $normCte,
+       |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |ex AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rank
+       |  FROM sc) WHERE rank <= $k),
+       |nb AS (SELECT vec_id, v, n2, $bucketExpr AS bucket FROM n),
+       |lsc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM nb q JOIN nb c ON q.vec_id < 8 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+       |ap AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rank
+       |  FROM lsc) WHERE rank <= $k)
+       |SELECT e.q_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+       |  floor((CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS recall_r
+       |FROM ex e LEFT JOIN ap a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
   /** D14: k-NN graph — sign-bucket candidates, dst side posting-capped
     * by lowest vec_id, exact cosine + per-source top-k.

@@ -87,6 +87,7 @@ object SparkEntry {
     "doc_decontaminate_bloom" -> q(Dedup.docDecontaminateBloom(_, ordered = true)),
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
     "doc_cluster_stats"    -> q(Dedup.docClusterStats(_)),
+    "doc_dedup_rate_by_threshold" -> q(Dedup.docDedupRateByThreshold(_)),
     "doc_dedup_keep_best"  -> q(Dedup.docDedupKeepBest(_, ordered = true)),
     "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_, ordered = true)),
     "doc_winnow_pairs"     -> q(Dedup.docWinnowPairs(_, ordered = true)),
@@ -99,6 +100,7 @@ object SparkEntry {
     "ann_knn_graph"        -> q(Similarity.annKnnGraph(_, ordered = true)),
     "ann_label_knn"        -> q(Similarity.annLabelKnn(_, ordered = true)),
     "emb_centroid_dist"    -> q(Similarity.embCentroidDist(_, ordered = true)),
+    "ann_recall_eval"      -> q(Similarity.annRecallEval(_, ordered = true)),
     "ann_ivf"              -> q(Similarity.annIvf(_)), // rows-only: k-means quantizer, no SQL oracle
     "ann_maxsim"           -> q(Similarity.annMaxsim(_)),
     "emb_norm_stats"       -> q(Similarity.embNormStats),
@@ -150,6 +152,7 @@ object SparkEntry {
     "ev_cooccurrence"      -> q(EventOps.evCooccurrence),
     "ev_sliding_rate"      -> q(EventOps.evSlidingRate),
     "ev_top_paths"         -> q(EventOps.evTopPaths(_)),
+    "ev_dormant_users"     -> q(EventOps.evDormantUsers(_, ordered = true)),
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
     "text_hapax"           -> q(TextOps.textHapax),
     "doc_template_prefix"  -> q(TextOps.docTemplatePrefix(_, ordered = true)),
@@ -784,8 +787,18 @@ object SparkEntry {
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,
     "doc_dedup_clusters"    -> OracleSqlGen.docDedupClusters,
     "doc_cluster_stats"     -> OracleSqlGen.docClusterStats,
+    "doc_dedup_rate_by_threshold" -> OracleSqlGen.docDedupRateByThreshold(Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9)),
     "doc_lang_confusion"    -> OracleSqlGen.docLangConfusion,
     "text_zipf"             -> OracleSqlGen.textZipf(50),
+    "ev_dormant_users" ->
+      """WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+        |u AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events FROM events GROUP BY 1)
+        |SELECT user_id, last_ts, n_events,
+        |  CAST(floor((epoch_us(mx.max_ts) - epoch_us(last_ts)) / 3600000000.0) AS BIGINT) AS hours_inactive
+        |FROM u, mx
+        |WHERE CAST(floor((epoch_us(mx.max_ts) - epoch_us(last_ts)) / 3600000000.0) AS BIGINT) >= 24
+        |ORDER BY user_id""".stripMargin,
+
     "ev_top_paths" ->
       """WITH s AS (SELECT event_type AS step1,
         |    LEAD(event_type, 1) OVER w AS step2,
@@ -873,6 +886,7 @@ object SparkEntry {
     "ann_knn_graph"         -> OracleSqlGen.annKnnGraph(3, 128),
     "ann_label_knn"         -> OracleSqlGen.annLabelKnn(5, 128),
     "emb_centroid_dist"     -> OracleSqlGen.embCentroidDist,
+    "ann_recall_eval"       -> OracleSqlGen.annRecallEval(3),
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),
     "doc_ngram_containment" -> OracleSqlGen.docNgramContainment(0.4, 100),
     "doc_ngram_novelty"     -> OracleSqlGen.docNgramNovelty,

@@ -1042,6 +1042,27 @@ object Dedup {
       ordered)(col("vec_id"))
   }
 
+  /** C19: near-dup rate by threshold — pair counts at a ladder of
+    * Jaccard thresholds from ONE pass of the verified pair relation
+    * (the sensitivity sweep behind "which threshold do we dedup at":
+    * rerunning C5 per threshold would re-pay candidate generation per
+    * point). Conditional sums off one aggregate, stacked to rows —
+    * zero-count thresholds still emitted.
+    */
+  def docDedupRateByThreshold(t: Tables,
+      thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9)): DataFrame = {
+    val pairs = docNgramJaccard(t, thresholds.min).select(col("jaccard"))
+    val aggs = thresholds.zipWithIndex.map { case (th, i) =>
+      sum(when(col("jaccard") >= th, 1L).otherwise(0L)).as(s"n_$i")
+    }
+    val stackExpr = s"stack(${thresholds.length}, " + thresholds.zipWithIndex.map {
+      case (th, i) => s"CAST($th AS DOUBLE), n_$i"
+    }.mkString(", ") + ") AS (threshold, n_pairs)"
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .select(expr(stackExpr))
+      .orderBy(col("threshold"))
+  }
+
   /** C18: cluster-size histogram — the dataset-card duplication-depth
     * view of C7's components ("how many 5-deep near-dup families does
     * this corpus have"): per-cluster sizes (corpus-cardinality keyed

@@ -504,6 +504,27 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** A39: dormant users — the churn list: users whose LAST event is ≥
+    * `hours` behind the corpus frontier (relative to max ts, not wall
+    * clock, so the relation is reproducible on historical data). ONE
+    * user-keyed shuffle + a broadcast 1-row frontier; hour arithmetic
+    * on exact integer µs.
+    */
+  def evDormantUsers(t: Tables, hours: Int = 24, ordered: Boolean = false): DataFrame = {
+    val frontier = t.events.agg(max(col("ts")).as("max_ts"))
+    maybeSort(
+      t.events.select(col("user_id"), col("ts"))
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(frontier))
+        .withColumn("hours_inactive",
+          floor((unix_micros(col("max_ts")) - unix_micros(col("last_ts"))) / lit(3.6e9))
+            .cast("long"))
+        .filter(col("hours_inactive") >= hours)
+        .select(col("user_id"), col("last_ts"), col("n_events"), col("hours_inactive")),
+      ordered)(col("user_id"))
+  }
+
   /** A38: top-k 3-step behavior paths — the most frequent consecutive
     * event-type triples across users (the path-mining view one step up
     * from A34's pair matrix; funnels you DIDN'T think to ask about

@@ -805,6 +805,28 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** D17: ANN recall evaluation — per-query recall@k of the sign-LSH
+    * index (D2) against the exact brute-force top-k (D1), as a QUERY
+    * (the index-quality monitor a production ANN deployment runs after
+    * every rebuild; SimilaritySpec asserts recall laws once, this
+    * makes the measurement a first-class relation). Both sides are
+    * nQueries·k rows — the join and rollup are trivially small; cost
+    * is the two feeders.
+    */
+  def annRecallEval(t: Tables, nQueries: Int = 8, k: Int = 3,
+      ordered: Boolean = false): DataFrame = {
+    val exact = annTopkBruteforce(t, nQueries, k).select(col("q_id"), col("vec_id"))
+    val approx = annLshBucketed(t, nQueries, k)
+      .select(col("q_id").as("q2"), col("vec_id").as("v2"))
+    maybeSort(
+      exact.join(approx, col("q_id") === col("q2") && col("vec_id") === col("v2"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k_exact"), count(col("v2")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          r6(col("n_hits").cast("double") / col("k_exact").cast("double")).as("recall_r")),
+      ordered)(col("q_id"))
+  }
+
   /** D16: per-label centroid distance — every vector's euclidean
     * distance to its own label's centroid (cluster cohesion / outlier
     * signal: a far-from-centroid vector is mislabeled or an outlier;
