@@ -66,6 +66,7 @@ object SparkEntry {
     "q_disjunctive_pred"   -> q(Analytics.qDisjunctivePred),
     "q_sole_late_supplier" -> q(Analytics.qSoleLateSupplier),
     "q_idle_rich_customers" -> q(Analytics.qIdleRichCustomers),
+    "q_ship_latency"       -> q(Analytics.qShipLatency),
     "ev_retention"         -> q(EventOps.evRetention),
     "ev_state_transitions" -> q(EventOps.evStateTransitions(_, ordered = true)),
     "text_entropy"         -> q(TextOps.textEntropy(_, ordered = true)),
@@ -646,6 +647,26 @@ object SparkEntry {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name ASC
         |LIMIT 10""".stripMargin,
+
+    "q_ship_latency" ->
+      """WITH fs AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  floor((CAST(SUM(datediff('day', o_orderdate, first_ship)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS avg_days_r,
+        |  floor(quantile_cont(datediff('day', o_orderdate, first_ship), 0.5)*10000 + 0.5)/10000 AS p50,
+        |  floor(quantile_cont(datediff('day', o_orderdate, first_ship), 0.9)*10000 + 0.5)/10000 AS p90
+        |FROM orders JOIN fs ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_ship_latency" ->
+      """WITH fs AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  floor((CAST(SUM(datediff('day', o_orderdate, first_ship)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS avg_days_r,
+        |  floor(quantile_cont(datediff('day', o_orderdate, first_ship), 0.5)*10000 + 0.5)/10000 AS p50,
+        |  floor(quantile_cont(datediff('day', o_orderdate, first_ship), 0.9)*10000 + 0.5)/10000 AS p90
+        |FROM orders JOIN fs ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_idle_rich_customers" ->
       """WITH a AS (

@@ -691,6 +691,28 @@ object Analytics {
       .limit(10)
   }
 
+  /** B35: fulfillment latency — order date → FIRST ship date, profiled
+    * per priority (n, mean, exact p50/p90). The per-order min rides
+    * one orderkey-keyed aggregate (high cardinality) before the join;
+    * latency is exact integer days so the mean sum needs no decimal
+    * routing; percentiles follow B11's exact-interpolated convention
+    * (the B24 sketch is the 100 TB path).
+    */
+  def qShipLatency(t: Tables): DataFrame = {
+    val firstShip = t.lineitem.select($("l_orderkey"), $("l_shipdate"))
+      .groupBy($("l_orderkey")).agg(min($("l_shipdate")).as("first_ship"))
+    t.orders.select($("o_orderkey"), $("o_orderdate"), $("o_orderpriority"))
+      .join(firstShip, $("o_orderkey") === $("l_orderkey"))
+      .withColumn("lat_days", datediff($("first_ship"), $("o_orderdate")).cast("long"))
+      .groupBy($("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        r6(sum($("lat_days")).cast("double") / count(lit(1)).cast("double")).as("avg_days_r"),
+        r4(expr("percentile(lat_days, 0.5)")).as("p50"),
+        r4(expr("percentile(lat_days, 0.9)")).as("p90"))
+      .orderBy($("o_orderpriority"))
+  }
+
   /** B34: idle rich customers (TPC-H Q22 shape) — per market segment,
     * customers with above-average positive balance and NO orders. The
     * global average is a 1-row aggregate broadcast as a cross join;

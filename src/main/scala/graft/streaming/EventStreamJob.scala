@@ -45,6 +45,20 @@ object EventStreamJob {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** A37-online: streaming SLIDING-window counts (1 h windows every
+    * 15 min) — the burst detector live: each event lands in len/slide
+    * windows (same narrow ×4 Expand as the batch ev_sliding_rate), a
+    * window emits once the watermark passes its END, so state is the
+    * open-window counts only (O(types · windows-in-flight), not
+    * history).
+    */
+  def streamSlidingCounts(events: DataFrame, watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+
   /** A30: live anomaly flagging — A29's MAD thresholds applied over
     * the stream: the per-type (median, mad) relation is trained
     * OFFLINE on history (EventOps.evAnomalyMad's stats) and broadcast

@@ -112,6 +112,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding counts: every closed window matches the batch sliding rate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T01:00:00Z")
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamSlidingCounts(input.toDS().toDF())
+    val q = out.writeStream.outputMode("append").format("memory").queryName("slide_out").start()
+    try {
+      // one event at 01:05 → 4 windows (00:15..01:00 starts); a second
+      // at 01:20 shares 3 of them
+      input.addData(Seq(
+        Ev(1, base.plusSeconds(300), 1, "click"), Ev(2, base.plusSeconds(1200), 2, "click")))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(99, base.plusSeconds(864000), 9, "noise")))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(100, base.plusSeconds(864060), 9, "noise")))
+      q.processAllAvailable()
+      val got = spark.table("slide_out").collect()
+        .map(r => (r.getTimestamp(0).toInstant, r.getString(1), r.getLong(2)))
+        .filter(_._2 == "click").toSet
+      // batch twin over the same two click events
+      val batch = Seq(
+        (1L, java.sql.Timestamp.from(base.plusSeconds(300)), 1L, "click", 1.0, "{}"),
+        (2L, java.sql.Timestamp.from(base.plusSeconds(1200)), 2L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-slide").toString
+      batch.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val expected = EventOps.evSlidingRate(graft.sources.Tables(spark, tmp)).collect()
+        .map(r => (r.getTimestamp(0).toInstant, r.getString(1), r.getLong(2))).toSet
+      assert(got == expected, s"stream=$got batch=$expected")
+    } finally q.stop()
+  }
+
   test("streaming session windows close on gap and match batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
