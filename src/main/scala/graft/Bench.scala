@@ -25,7 +25,8 @@ object Bench {
   private val HeavyExtra = 2
   private val Heavy =
     Set("doc_ngram_jaccard", "doc_dedup_clusters", "doc_ngram_jaccard_capped",
-      "corpus_dedup_stats", "mm_phash_clusters", "doc_dedup_keep_best")
+      "corpus_dedup_stats", "mm_phash_clusters", "doc_dedup_keep_best",
+      "doc_cluster_stats", "doc_dedup_rate_by_threshold")
 
   /** State-partition count for the streaming pipeline — a deploy
     * sizing knob, like shuffle partitions for batch: each micro-batch
