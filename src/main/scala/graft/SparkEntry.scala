@@ -67,6 +67,7 @@ object SparkEntry {
     "q_sole_late_supplier" -> q(Analytics.qSoleLateSupplier),
     "q_idle_rich_customers" -> q(Analytics.qIdleRichCustomers),
     "q_ship_latency"       -> q(Analytics.qShipLatency),
+    "q_window_funcs"       -> q(Analytics.qWindowFuncs),
     "ev_retention"         -> q(EventOps.evRetention),
     "ev_state_transitions" -> q(EventOps.evStateTransitions(_, ordered = true)),
     "text_entropy"         -> q(TextOps.textEntropy(_, ordered = true)),
@@ -648,6 +649,18 @@ object SparkEntry {
         |ORDER BY numwait DESC, s_name ASC
         |LIMIT 10""".stripMargin,
 
+    "q_window_funcs" ->
+      """SELECT o_custkey, seq, o_orderkey, quartile, pct_rank_r, first_price FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER w AS seq,
+        |    NTILE(4) OVER w AS quartile,
+        |    floor(percent_rank() OVER w * 1000000 + 0.5)/1000000 AS pct_rank_r,
+        |    first_value(o_totalprice) OVER w AS first_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE seq <= 2
+        |ORDER BY o_custkey, seq""".stripMargin,
+
     "q_ship_latency" ->
       """WITH fs AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1)
         |SELECT o_orderpriority, COUNT(*) AS n,
@@ -657,6 +670,18 @@ object SparkEntry {
         |FROM orders JOIN fs ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, seq, o_orderkey, quartile, pct_rank_r, first_price FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER w AS seq,
+        |    NTILE(4) OVER w AS quartile,
+        |    floor(percent_rank() OVER w * 1000000 + 0.5)/1000000 AS pct_rank_r,
+        |    first_value(o_totalprice) OVER w AS first_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE seq <= 2
+        |ORDER BY o_custkey, seq""".stripMargin,
 
     "q_ship_latency" ->
       """WITH fs AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1)

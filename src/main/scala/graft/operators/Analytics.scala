@@ -691,6 +691,27 @@ object Analytics {
       .limit(10)
   }
 
+  /** B36: window-function surface — ntile quartiles, percent_rank, and
+    * first_value over each customer's chronological order sequence
+    * (B4 covers row_number/running sums; this pins the rank-family
+    * semantics incl. the n=1 percent_rank=0 edge). Window keys on
+    * custkey — high cardinality, never a low-cardinality partition.
+    * Output bounded at 2 rows/customer.
+    */
+  def qWindowFuncs(t: Tables): DataFrame = {
+    val w = Window.partitionBy($("o_custkey")).orderBy($("o_orderdate"), $("o_orderkey"))
+    t.orders
+      .select($("o_custkey"), $("o_orderkey"), $("o_orderdate"), $("o_totalprice"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank_r", r6(percent_rank().over(w)))
+      .withColumn("first_price", first($("o_totalprice")).over(w))
+      .filter($("seq") <= 2)
+      .select($("o_custkey"), $("seq"), $("o_orderkey"), $("quartile"),
+        $("pct_rank_r"), $("first_price"))
+      .orderBy($("o_custkey"), $("seq"))
+  }
+
   /** B35: fulfillment latency — order date → FIRST ship date, profiled
     * per priority (n, mean, exact p50/p90). The per-order min rides
     * one orderkey-keyed aggregate (high cardinality) before the join;
