@@ -841,6 +841,41 @@ object OracleSqlGen {
        |FROM ex e LEFT JOIN ap a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  /** D18: mutual-kNN-graph connected components — D14's edge chain +
+    * mutuality join + the C7 recursive transitive closure.
+    */
+  def embKnnClusters(k: Int, bucketCap: Int, threshold: Double): String = {
+    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+    s"""WITH RECURSIVE $normCte,
+       |nb AS (SELECT vec_id, v, n2, ${bucketExprAt(0)} AS bucket FROM n),
+       |corpus AS (SELECT vec_id, v, n2, bucket FROM (
+       |  SELECT vec_id, v, n2, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS pn
+       |  FROM nb) WHERE pn <= $bucketCap),
+       |sc AS (SELECT s.vec_id AS src, c.vec_id AS dst,
+       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM nb s JOIN corpus c ON c.bucket = s.bucket AND c.vec_id <> s.vec_id),
+       |kn AS (SELECT src, dst, cos_r FROM (
+       |  SELECT src, dst, cos_r,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rank
+       |  FROM sc) WHERE rank <= $k),
+       |eg AS (SELECT src, dst FROM kn WHERE cos_r >= $threshold),
+       |m AS (SELECT a.src, a.dst FROM eg a JOIN eg b ON a.src = b.dst AND a.dst = b.src
+       |  WHERE a.src < a.dst),
+       |sym AS (SELECT src, dst FROM m UNION ALL SELECT dst AS src, src AS dst FROM m),
+       |reach AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+       |),
+       |mins AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster
+       |  FROM reach GROUP BY src)
+       |SELECT emb.vec_id, COALESCE(m2.cluster, emb.vec_id) AS cluster,
+       |  CAST(COALESCE(m2.cluster, emb.vec_id) = emb.vec_id AS INTEGER) AS is_canonical
+       |FROM embeddings emb LEFT JOIN mins m2 ON emb.vec_id = m2.vec_id
+       |ORDER BY emb.vec_id""".stripMargin
+  }
+
   /** D14: k-NN graph — sign-bucket candidates, dst side posting-capped
     * by lowest vec_id, exact cosine + per-source top-k.
     */

@@ -103,6 +103,7 @@ object SparkEntry {
     "ann_label_knn"        -> q(Similarity.annLabelKnn(_, ordered = true)),
     "emb_centroid_dist"    -> q(Similarity.embCentroidDist(_, ordered = true)),
     "ann_recall_eval"      -> q(Similarity.annRecallEval(_, ordered = true)),
+    "emb_knn_clusters"     -> q(Similarity.embKnnClusters(_, ordered = true)),
     "ann_ivf"              -> q(Similarity.annIvf(_)), // rows-only: k-means quantizer, no SQL oracle
     "ann_maxsim"           -> q(Similarity.annMaxsim(_)),
     "emb_norm_stats"       -> q(Similarity.embNormStats),
@@ -933,6 +934,7 @@ object SparkEntry {
     "ann_label_knn"         -> OracleSqlGen.annLabelKnn(5, 128),
     "emb_centroid_dist"     -> OracleSqlGen.embCentroidDist,
     "ann_recall_eval"       -> OracleSqlGen.annRecallEval(3),
+    "emb_knn_clusters"      -> OracleSqlGen.embKnnClusters(3, 128, 0.6),
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),
     "doc_ngram_containment" -> OracleSqlGen.docNgramContainment(0.4, 100),
     "doc_ngram_novelty"     -> OracleSqlGen.docNgramNovelty,

@@ -827,6 +827,31 @@ object Similarity {
       ordered)(col("q_id"))
   }
 
+  /** D18: kNN-graph clusters — connected components of the MUTUAL
+    * k-nearest-neighbor graph above a cosine floor (the classic
+    * kNN-graph clustering: mutuality kills the hub problem where one
+    * central vector chains unrelated neighborhoods together). D14's
+    * edge relation filtered + intersected with its own reverse, then
+    * the shared C7 CC machinery (`Dedup.clusterPairs` — one CC
+    * implementation for every pair family: jaccard, phash, and now
+    * knn edges); canonical = lowest vec_id per component.
+    */
+  def embKnnClusters(t: Tables, k: Int = 3, threshold: Double = 0.6,
+      bits: Int = 8, bucketCap: Int = 128, maxIter: Int = 20,
+      ordered: Boolean = false): DataFrame = {
+    val e = knnEdges(t, k, bits, bucketCap)
+      .filter(col("cos_r") >= threshold)
+      .select(col("src"), col("dst"))
+    val mutual = e.intersect(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      .localCheckpoint(true)
+    Dedup.clusterPairs(mutual,
+        t.embeddings.select(col("vec_id").as("doc_id")),
+        maxIter, "emb_knn_clusters", ordered)
+      .select(col("doc_id").as("vec_id"), col("cluster"), col("is_canonical"))
+  }
+
   /** D16: per-label centroid distance — every vector's euclidean
     * distance to its own label's centroid (cluster cohesion / outlier
     * signal: a far-from-centroid vector is mislabeled or an outlier;
