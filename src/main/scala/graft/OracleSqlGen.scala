@@ -1008,6 +1008,18 @@ object OracleSqlGen {
   private val qualityScoreExpr: String =
     "floor((least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio))*1000000 + 0.5)/1000000"
 
+  /** E38: per-source quality rollup off the shared E2 CTE chain. */
+  def corpusQualityStats(minScore: Double): String =
+    s"""WITH $qualityCoreCtes,
+       |q AS (SELECT doc_id, $qualityScoreExpr AS quality_score FROM r),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  floor((CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_quality_r,
+       |  CAST(SUM(CASE WHEN quality_score < $minScore THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       |  floor((CAST(SUM(CASE WHEN quality_score < $minScore THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS low_rate_r
+       |FROM q JOIN src USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** E32: weighted sampling — op-for-op the Spark expressions (integer-
     * derived u, rounded ln, rounded key, doc_id tiebreak).
     */

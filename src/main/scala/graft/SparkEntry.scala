@@ -150,6 +150,7 @@ object SparkEntry {
     "doc_sample_k"         -> q(TextOps.docSampleK(_, ordered = true)),
     "doc_sample_weighted"  -> q(TextOps.docSampleWeighted(_, ordered = true)),
     "doc_lang_confusion"   -> q(TextOps.docLangConfusion),
+    "corpus_quality_stats" -> q(TextOps.corpusQualityStats(_)),
     "text_zipf"            -> q(TextOps.textZipf(_)),
     "ev_user_lifespan"     -> q(EventOps.evUserLifespan(_, ordered = true)),
     "ev_cooccurrence"      -> q(EventOps.evCooccurrence),
@@ -836,6 +837,7 @@ object SparkEntry {
     "doc_cluster_stats"     -> OracleSqlGen.docClusterStats,
     "doc_dedup_rate_by_threshold" -> OracleSqlGen.docDedupRateByThreshold(Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9)),
     "doc_lang_confusion"    -> OracleSqlGen.docLangConfusion,
+    "corpus_quality_stats"  -> OracleSqlGen.corpusQualityStats(0.5),
     "text_zipf"             -> OracleSqlGen.textZipf(50),
     "ev_dormant_users" ->
       """WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),

@@ -1188,6 +1188,28 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** E38: per-source quality rollup — doc counts, mean E2 quality
+    * score (6dp scores are decimal-exact, so the mean is
+    * order-independent), and the below-threshold fraction (the
+    * dataset-card quality row next to E19's size/langid profile and
+    * C14's redundancy numbers). ONE scan through the additive
+    * withQuality transform into a #sources-key aggregate.
+    */
+  def corpusQualityStats(t: Tables, minScore: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    withQuality(t.documents.select(col("source"), col("text")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("quality_score").cast(DecimalType(18, 6))).cast("double").as("qsum"),
+        sum(when(col("quality_score") < minScore, 1L).otherwise(0L)).as("n_low"))
+      .select(col("source"), col("n_docs"),
+        r6(col("qsum") / col("n_docs").cast("double")).as("mean_quality_r"),
+        col("n_low"),
+        r6(col("n_low").cast("double") / col("n_docs").cast("double")).as("low_rate_r"))
+      .orderBy(col("source"))
+  }
+
   /** E36: template-family detection — docs sharing an identical
     * leading-k-token prefix (mail headers, scraped boilerplate, form
     * letters: near-dup detectors score them low because the BODY
