@@ -353,6 +353,31 @@ object OracleSqlGen {
        |  CAST(sc.doc_id = k.keeper AS INTEGER) AS keep
        |FROM sc JOIN k USING (cluster) ORDER BY sc.doc_id""".stripMargin
 
+  /** C21: cross-source exact duplication — hash groups spanning ≥2
+    * sources.
+    */
+  val docCrossSourceDup: String =
+    """SELECT content_hash, n_copies, n_sources, keep_id FROM (
+      |  SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+      |    COUNT(DISTINCT source) AS n_sources, MIN(doc_id) AS keep_id
+      |  FROM documents GROUP BY 1)
+      |WHERE n_sources >= 2
+      |ORDER BY content_hash""".stripMargin
+
+  /** D19: cosine threshold ladder over the exact pair relation. */
+  def annThresholdLadder(ths: Seq[Double]): String = {
+    val lst = ths.map(t => s"$t::DOUBLE").mkString("[", ", ", "]")
+    val lo = ths.min
+    s"""WITH $normCte,
+       |edges AS (SELECT floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM n q JOIN n c ON q.vec_id < c.vec_id
+       |  WHERE floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 >= $lo)
+       |SELECT th AS threshold,
+       |  CAST(COUNT(CASE WHEN cos_r >= th THEN 1 END) AS BIGINT) AS n_pairs
+       |FROM edges CROSS JOIN (SELECT unnest($lst) AS th)
+       |GROUP BY th ORDER BY th""".stripMargin
+  }
+
   /** C19: near-dup pair counts at a threshold ladder, one pass over
     * the shared jaccard edge relation (edges non-empty at every test
     * SF, so the cross-joined threshold list survives the GROUP BY).

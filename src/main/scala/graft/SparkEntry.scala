@@ -90,6 +90,8 @@ object SparkEntry {
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
     "doc_cluster_stats"    -> q(Dedup.docClusterStats(_)),
     "doc_dedup_rate_by_threshold" -> q(Dedup.docDedupRateByThreshold(_)),
+    "doc_cross_source_dup" -> q(Dedup.docCrossSourceDup(_, ordered = true)),
+    "ann_threshold_ladder" -> q(Dedup.annThresholdLadder(_)),
     "doc_dedup_keep_best"  -> q(Dedup.docDedupKeepBest(_, ordered = true)),
     "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_, ordered = true)),
     "doc_winnow_pairs"     -> q(Dedup.docWinnowPairs(_, ordered = true)),
@@ -836,6 +838,8 @@ object SparkEntry {
     "doc_dedup_clusters"    -> OracleSqlGen.docDedupClusters,
     "doc_cluster_stats"     -> OracleSqlGen.docClusterStats,
     "doc_dedup_rate_by_threshold" -> OracleSqlGen.docDedupRateByThreshold(Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9)),
+    "doc_cross_source_dup"  -> OracleSqlGen.docCrossSourceDup,
+    "ann_threshold_ladder"  -> OracleSqlGen.annThresholdLadder(Seq(0.45, 0.5, 0.6, 0.7, 0.8, 0.9)),
     "doc_lang_confusion"    -> OracleSqlGen.docLangConfusion,
     "corpus_quality_stats"  -> OracleSqlGen.corpusQualityStats(0.5),
     "text_zipf"             -> OracleSqlGen.textZipf(50),

@@ -1063,6 +1063,44 @@ object Dedup {
       .orderBy(col("threshold"))
   }
 
+  /** C21: cross-source exact duplication — content hashes appearing
+    * under MORE THAN ONE source (the syndication/mirror detector: an
+    * in-source copy is a crawler artifact, a cross-source copy is the
+    * same article syndicated — different dedup policy decisions).
+    * One content-hash shuffle (C1's key), keep groups spanning ≥2
+    * sources; canonical = lowest doc_id.
+    */
+  def docCrossSourceDup(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
+    t.documents
+      .select(md5(col("text")).as("content_hash"), col("doc_id"), col("source"))
+      .groupBy(col("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("keep_id"))
+      .filter(col("n_sources") >= 2),
+    ordered)(col("content_hash"))
+
+  /** D19: cosine-similarity threshold ladder — near-dup pair counts at
+    * a radius ladder from ONE pass of C6's verified pair relation
+    * (C19's sensitivity sweep on the embedding side: pick the cosine
+    * radius before committing a dedup run). Conditional sums off one
+    * aggregate, stacked to rows.
+    */
+  def annThresholdLadder(t: Tables,
+      thresholds: Seq[Double] = Seq(0.45, 0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val pairs = docEmbedCosineDup(t, thresholds.min).select(col("cos_r"))
+    val aggs = thresholds.zipWithIndex.map { case (th, i) =>
+      sum(when(col("cos_r") >= th, 1L).otherwise(0L)).as(s"n_$i")
+    }
+    val stackExpr = s"stack(${thresholds.length}, " + thresholds.zipWithIndex.map {
+      case (th, i) => s"CAST($th AS DOUBLE), n_$i"
+    }.mkString(", ") + ") AS (threshold, n_pairs)"
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .select(expr(stackExpr))
+      .orderBy(col("threshold"))
+  }
+
   /** C18: cluster-size histogram — the dataset-card duplication-depth
     * view of C7's components ("how many 5-deep near-dup families does
     * this corpus have"): per-cluster sizes (corpus-cardinality keyed
