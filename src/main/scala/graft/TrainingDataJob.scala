@@ -29,7 +29,7 @@ object TrainingDataJob {
     */
   def materialize(t: Tables, nShards: Int = 16,
       trainPermille: Int = 990, validPermille: Int = 5,
-      keepBest: Boolean = true): DataFrame = {
+      keepBest: Boolean = true, scrub: Boolean = false): DataFrame = {
     val kept = TextOps.docCurate(t)
       .filter(col("keep") === 1).select(col("doc_id"))
     val canonical =
@@ -47,9 +47,19 @@ object TrainingDataJob {
     // two-phase withShardPos — parallelism is the shuffle-partition
     // count, not nShards, so the default shard count never routes
     // corpus/nShards through one task's sort.
-    TextOps.withShardPos(survivors, nShards, "graft")
-      .select(col("doc_id"), col("text"), col("source"),
+    // optional E18 PII scrub of the SURVIVING text (scrubbing before
+    // curation would judge masked text; scrubbing after keeps the
+    // verdict on the original while the materialized corpus ships
+    // masked): one narrow regexp pass, audit counts carried through
+    val sharded = TextOps.withShardPos(survivors, nShards, "graft")
+    if (!scrub)
+      sharded.select(col("doc_id"), col("text"), col("source"),
         col("split"), col("shard"), col("pos"))
+    else
+      TextOps.withScrub(sharded)
+        .select(col("doc_id"), col("text_masked").as("text"), col("source"),
+          col("split"), col("shard"), col("pos"),
+          col("n_emails"), col("n_digit_runs"))
   }
 
   /** Materialize to `outPath` as split=…/shard=…/ parquet partitions. */

@@ -461,15 +461,24 @@ object TextOps {
     * (one narrow pass, no shuffle); the patterns are the common
     * RE2/PCRE subset both engines evaluate identically.
     */
-  def docScrubPii(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
-    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    t.documents
-      .select(col("doc_id"),
-        regexp_replace(regexp_replace(col("text"), emailRe, "<email>"), "[0-9]+", "#")
-          .as("text_masked"),
-        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_digit_runs"))
-  }, ordered)(col("doc_id"))
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Adds E18's scrub columns (text_masked + audit counts) to any
+    * relation with a `text` column — shared by the standalone operator
+    * and the TrainingDataJob scrub stage. One narrow regexp pass.
+    */
+  private[graft] def withScrub(df: DataFrame): DataFrame =
+    df.withColumn("text_masked",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<email>"), "[0-9]+", "#"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_digit_runs",
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long"))
+
+  def docScrubPii(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
+    withScrub(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text_masked"), col("n_emails"), col("n_digit_runs")),
+    ordered)(col("doc_id"))
 
   /** E19: corpus statistics sweep — the per-source profile a mixture
     * designer reads before setting E16's budgets: doc counts, exact

@@ -76,4 +76,30 @@ class TrainingDataJobSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(qLines == planted.toSet)
   }
+
+  test("scrub stage: masked corpus ships no digits/emails, same doc set, audit counts consistent") {
+    import org.apache.spark.sql.functions._
+    val plain = TrainingDataJob.materialize(tables, nShards = 4)
+    val scrubbed = TrainingDataJob.materialize(tables, nShards = 4, scrub = true)
+    // same survivors, same layout labels — scrub only rewrites text
+    val pk = plain.select("doc_id").collect().map(_.getLong(0)).toSet
+    val sk = scrubbed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sk == pk, "scrub must not change the surviving doc set")
+    val rows = scrubbed.select(col("text"), col("n_emails"), col("n_digit_runs")).collect()
+    for (r <- rows) {
+      val text = r.getString(0)
+      assert(!text.exists(_.isDigit), s"digits survive scrub: ${text.take(80)}")
+      assert(!text.matches(".*[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}.*"),
+        s"email survives scrub: ${text.take(80)}")
+      // a doc with zero findings must ship byte-identical text
+      assert(r.getLong(1) >= 0 && r.getLong(2) >= 0)
+    }
+    val untouched = scrubbed.filter(col("n_emails") === 0 && col("n_digit_runs") === 0)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = plain.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    untouched.foreach { case (id, txt) =>
+      assert(orig(id) == txt, s"clean doc $id must be unmodified")
+    }
+  }
 }
