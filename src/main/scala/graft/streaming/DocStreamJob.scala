@@ -155,4 +155,50 @@ object DocStreamJob {
       .select(col("doc_id"), col("ingest_ts"),
         col("best.db").as("dup_of"), col("best.j").as("jaccard"))
   }
+
+  /** The per-batch drift report: each source's share of the batch vs a
+    * broadcast BASELINE share relation (source, expected_share) —
+    * trained offline from the historical corpus (E19/E25's world).
+    * `drifted` flags a share outside [expected/tol, expected·tol];
+    * sources in the baseline but ABSENT from the batch are emitted
+    * with share 0 (a vanished feed is the drift most worth alarming
+    * on). Pure batch logic so it is unit-testable and reusable.
+    */
+  def sourceDriftReport(batch: DataFrame, baseline: DataFrame,
+      tolRatio: Double = 2.0): DataFrame = {
+    val counts = batch.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("total"))
+    baseline
+      .join(counts, Seq("source"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        (coalesce(col("n_docs"), lit(0L)).cast("double") / col("total").cast("double"))
+          .as("share"),
+        col("expected_share"))
+      .withColumn("drifted",
+        (col("share") < col("expected_share") / tolRatio) ||
+          (col("share") > col("expected_share") * tolRatio))
+  }
+
+  /** Ingest drift monitor — A30's train-offline/apply-online shape for
+    * corpus INTAKE: every micro-batch's source mix is compared to the
+    * baseline and the report is handed to `onReport` (alerting sink,
+    * metrics push, quarantine trigger). foreachBatch because share
+    * needs two aggregation levels (counts + total), which a streaming
+    * append aggregate can't chain; per-batch granularity is also the
+    * operationally honest one — "this DROP was 90% one domain" beats
+    * a windowed average that smears it.
+    */
+  def streamSourceDrift(docs: DataFrame, baseline: DataFrame,
+      tolRatio: Double, queryName: String, checkpoint: String)(
+      onReport: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          onReport(sourceDriftReport(batch, baseline, tolRatio), batchId)
+      }
+      .start()
 }

@@ -145,6 +145,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("source drift monitor: balanced batch clean, flooded batch flags all three shifts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Seq(("srcA", 0.4), ("srcB", 0.4), ("srcC", 0.2))
+      .toDF("source", "expected_share")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDS().toDF("doc_id", "source")
+    val reports = scala.collection.mutable.ArrayBuffer[(Long, String, Boolean)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val q = graft.streaming.DocStreamJob.streamSourceDrift(
+      docs, baseline, tolRatio = 2.0, "drift_q", ckpt) { (report, batchId) =>
+      report.collect().foreach(r =>
+        reports += ((batchId, r.getString(0), r.getBoolean(4))))
+    }
+    try {
+      // batch 0: exactly the baseline mix — nothing drifts
+      input.addData((1L to 4L).map(i => (i, "srcA")) ++
+        (5L to 8L).map(i => (i, "srcB")) ++ (9L to 10L).map(i => (i, "srcC")))
+      q.processAllAvailable()
+      // batch 1: srcA floods to 90%, srcB starves to 10%, srcC vanishes
+      input.addData((11L to 19L).map(i => (i, "srcA")) :+ ((20L, "srcB")))
+      q.processAllAvailable()
+      val byBatch = reports.groupBy(_._1)
+      assert(byBatch(0L).forall(!_._3), s"balanced batch must be clean: ${byBatch(0L)}")
+      val b1 = byBatch(1L).map(r => r._2 -> r._3).toMap
+      assert(b1 == Map("srcA" -> true, "srcB" -> true, "srcC" -> true),
+        s"all three shifts flagged: $b1")
+    } finally q.stop()
+  }
+
   test("streaming session windows close on gap and match batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
