@@ -159,6 +159,7 @@ object SparkEntry {
     "ev_sliding_rate"      -> q(EventOps.evSlidingRate),
     "ev_top_paths"         -> q(EventOps.evTopPaths(_)),
     "ev_dormant_users"     -> q(EventOps.evDormantUsers(_, ordered = true)),
+    "ev_cusum_changepoint" -> q(EventOps.evCusumChangepoint(_, ordered = true)), // rows-only: recursive scan, no SQL oracle (EventOpsSpec planted-shift law)
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
     "text_hapax"           -> q(TextOps.textHapax),
     "doc_template_prefix"  -> q(TextOps.docTemplatePrefix(_, ordered = true)),

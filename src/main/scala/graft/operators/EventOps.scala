@@ -525,6 +525,44 @@ object EventOps {
       ordered)(col("user_id"))
   }
 
+  /** A41: CUSUM change-point detection over per-type hourly rates —
+    * the sequential-decision complement to A29's pointwise MAD and
+    * A33's EWMA: CUSUM accumulates small persistent shifts
+    * (S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − μ − k·σ))) that neither pointwise
+    * detector sees, firing when S⁺ crosses h·σ. Baseline (μ, σ) comes
+    * from the first `baselineHours` of each type's series — the
+    * train-on-prefix discipline, no lookahead. The recursion is
+    * inherently sequential per type, so it runs as a typed
+    * flatMapGroups over the HOURLY-AGGREGATED relation: state per
+    * group is the calendar-bounded hourly series (≤ #hours rows, like
+    * A29's bounded percentile relation), never raw events; the only
+    * corpus shuffle is the (type, hour) count aggregate.
+    */
+  def evCusumChangepoint(t: Tables, baselineHours: Int = 48,
+      kSigma: Double = 0.5, hSigma: Double = 5.0,
+      ordered: Boolean = false): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val hourly = t.events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Timestamp, Long)]
+    val out = hourly.groupByKey(_._1).flatMapGroups { (ty, it) =>
+      val rows = it.toArray.sortBy(_._2.getTime)
+      val base = rows.take(baselineHours).map(_._3.toDouble)
+      val mu = base.sum / base.length
+      val sigma = math.max(
+        math.sqrt(base.map(x => (x - mu) * (x - mu)).sum / base.length), 1e-9)
+      var s = 0.0
+      rows.iterator.map { case (_, h, n) =>
+        s = math.max(0.0, s + (n.toDouble - mu - kSigma * sigma))
+        (ty, h, n, math.floor(s / sigma * 1e6 + 0.5) / 1e6, s > hSigma * sigma)
+      }
+    }.toDF("event_type", "hour", "n", "cusum_sigmas_r", "flagged")
+    maybeSort(out, ordered)(col("event_type"), col("hour"))
+  }
+
   /** A38: top-k 3-step behavior paths — the most frequent consecutive
     * event-type triples across users (the path-mining view one step up
     * from A34's pair matrix; funnels you DIDN'T think to ask about

@@ -123,6 +123,37 @@ class EventOpsSpec extends SparkSpec {
       ("error", "click", 1L, 60L * 1000 * 1000, 1.0)), planted.toSeq.toString)
   }
 
+  test("cusum: planted persistent level shift fires after the shift, steady series never fires") {
+    import spark.implicits._
+    // steady type: alternating 8/12 per hour (μ=10, σ=2) for 120 h.
+    // shifted type: same baseline for 72 h, then 11/15 (μ=13 — a
+    // +1.5σ persistent shift that never crosses a pointwise 3σ rule:
+    // max hourly value 15 < μ+3σ = 16) for 48 h. Only the cumulative
+    // detector can see it.
+    val base = 1704067200000000000L // 2024-01-01T00:00 in ns
+    def hourEvents(ty: String, hour: Int, n: Int, idBase: Long) =
+      (0 until n).map { i =>
+        (idBase + hour.toLong * 100 + i, base + hour.toLong * 3600L * 1000 * 1000 * 1000,
+          7L, ty, 1.0, "{}")
+      }
+    def alt(h: Int, lo: Int, hi: Int) = if (h % 2 == 0) lo else hi
+    val steady = (0 until 120).flatMap(h => hourEvents("steady", h, alt(h, 8, 12), 1000000L))
+    val shifted = (0 until 72).flatMap(h => hourEvents("shifted", h, alt(h, 8, 12), 2000000L)) ++
+      (72 until 120).flatMap(h => hourEvents("shifted", h, alt(h, 11, 15), 2000000L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    (steady ++ shifted).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.evCusumChangepoint(graft.sources.Tables(spark, tmp), ordered = true)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(4)))
+    assert(!out.filter(_._1 == "steady").exists(_._3), "steady series must never fire")
+    val shiftedFlags = out.filter(_._1 == "shifted")
+    val shiftInstant = base / 1000 + 72L * 3600L * 1000 * 1000
+    assert(!shiftedFlags.filter(_._2.getTime * 1000 < shiftInstant).exists(_._3),
+      "no flags before the shift")
+    assert(shiftedFlags.filter(_._2.getTime * 1000 >= shiftInstant).exists(_._3),
+      "the persistent shift must fire after onset")
+  }
+
   test("cooccurrence: counts equal the driver-recomputed cell intersections; symmetric-complete") {
     import org.apache.spark.sql.functions._
     // recompute from first principles: distinct (user, hour, type)
