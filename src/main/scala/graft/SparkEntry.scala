@@ -68,6 +68,7 @@ object SparkEntry {
     "q_idle_rich_customers" -> q(Analytics.qIdleRichCustomers),
     "q_ship_latency"       -> q(Analytics.qShipLatency),
     "q_window_funcs"       -> q(Analytics.qWindowFuncs),
+    "q_full_outer"         -> q(Analytics.qFullOuter),
     "ev_retention"         -> q(EventOps.evRetention),
     "ev_state_transitions" -> q(EventOps.evStateTransitions(_, ordered = true)),
     "text_entropy"         -> q(TextOps.textEntropy(_, ordered = true)),
@@ -178,6 +179,7 @@ object SparkEntry {
     "mm_phash"             -> q(Multimodal.mmPhash(_, ordered = true)),
     "mm_phash_pairs"       -> q(Multimodal.mmPhashPairs(_, ordered = true)),
     "mm_phash_incremental" -> q(Multimodal.mmPhashIncremental(_, ordered = true)),
+    "mm_frame_dedup"       -> q(Multimodal.mmFrameDedup(_, ordered = true)),
     "mm_phash_clusters"    -> q(Multimodal.mmPhashClusters(_, ordered = true)),
   )
 
@@ -654,6 +656,21 @@ object SparkEntry {
         |ORDER BY numwait DESC, s_name ASC
         |LIMIT 10""".stripMargin,
 
+    "q_full_outer" ->
+      """WITH a AS (SELECT o_custkey, COUNT(*) AS n95 FROM orders
+        |  WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |b AS (SELECT o_custkey, COUNT(*) AS n96 FROM orders
+        |  WHERE year(o_orderdate) = 1996 GROUP BY 1),
+        |j AS (SELECT
+        |  CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL THEN 'both'
+        |       WHEN a.o_custkey IS NOT NULL THEN 'only_1995' ELSE 'only_1996' END AS presence,
+        |  COALESCE(n95, 0) AS n95, COALESCE(n96, 0) AS n96
+        |  FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+        |SELECT presence, COUNT(*) AS n_cust,
+        |  CAST(SUM(n95) AS BIGINT) AS orders_1995,
+        |  CAST(SUM(n96) AS BIGINT) AS orders_1996
+        |FROM j GROUP BY presence ORDER BY presence""".stripMargin,
+
     "q_window_funcs" ->
       """SELECT o_custkey, seq, o_orderkey, quartile, pct_rank_r, first_price FROM (
         |  SELECT o_custkey, o_orderkey,
@@ -675,6 +692,21 @@ object SparkEntry {
         |FROM orders JOIN fs ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH a AS (SELECT o_custkey, COUNT(*) AS n95 FROM orders
+        |  WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |b AS (SELECT o_custkey, COUNT(*) AS n96 FROM orders
+        |  WHERE year(o_orderdate) = 1996 GROUP BY 1),
+        |j AS (SELECT
+        |  CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL THEN 'both'
+        |       WHEN a.o_custkey IS NOT NULL THEN 'only_1995' ELSE 'only_1996' END AS presence,
+        |  COALESCE(n95, 0) AS n95, COALESCE(n96, 0) AS n96
+        |  FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+        |SELECT presence, COUNT(*) AS n_cust,
+        |  CAST(SUM(n95) AS BIGINT) AS orders_1995,
+        |  CAST(SUM(n96) AS BIGINT) AS orders_1996
+        |FROM j GROUP BY presence ORDER BY presence""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT o_custkey, seq, o_orderkey, quartile, pct_rank_r, first_price FROM (
@@ -1043,6 +1075,16 @@ object SparkEntry {
     "mm_phash"              -> OracleSqlGen.mmPhash,
     "mm_phash_pairs"        -> OracleSqlGen.mmPhashPairs(4),
     "mm_phash_incremental"  -> OracleSqlGen.mmPhashIncremental(5, 4),
+    "mm_frame_dedup" ->
+      """WITH f AS (SELECT doc_id, md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5
+        |  FROM (SELECT doc_id, text,
+        |          unnest([i for i in range(0, length(text) // 64, 4)]) AS frame_idx
+        |        FROM documents))
+        |SELECT frame_md5, COUNT(*) AS n_occurrences,
+        |  COUNT(DISTINCT doc_id) AS n_assets, MIN(doc_id) AS first_doc
+        |FROM f GROUP BY frame_md5
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY frame_md5""".stripMargin,
     "mm_phash_clusters"     -> OracleSqlGen.mmPhashClusters(4),
 
     "text_normalize_dedup" ->

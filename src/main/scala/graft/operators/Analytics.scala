@@ -691,6 +691,30 @@ object Analytics {
       .limit(10)
   }
 
+  /** B37: FULL OUTER join (the one join type B7/B30 don't cover) —
+    * year-over-year customer presence: per-customer 1995 vs 1996 order
+    * counts full-outer-joined on custkey (high-cardinality key), then
+    * a tiny presence-class rollup (both / only-1995 / only-1996).
+    */
+  def qFullOuter(t: Tables): DataFrame = {
+    def yearCounts(y: Int, alias: String) = t.orders
+      .select($("o_custkey"), $("o_orderdate"))
+      .filter(year($("o_orderdate")) === y)
+      .groupBy($("o_custkey")).agg(count(lit(1)).as(alias))
+    val a = yearCounts(1995, "n95").withColumnRenamed("o_custkey", "ck_a")
+    val b = yearCounts(1996, "n96").withColumnRenamed("o_custkey", "ck_b")
+    a.join(b, $("ck_a") === $("ck_b"), "full_outer")
+      .select(
+        when($("ck_a").isNotNull && $("ck_b").isNotNull, "both")
+          .when($("ck_a").isNotNull, "only_1995").otherwise("only_1996").as("presence"),
+        coalesce($("n95"), lit(0L)).as("n95"),
+        coalesce($("n96"), lit(0L)).as("n96"))
+      .groupBy($("presence"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum($("n95")).as("orders_1995"), sum($("n96")).as("orders_1996"))
+      .orderBy($("presence"))
+  }
+
   /** B36: window-function surface — ntile quartiles, percent_rank, and
     * first_value over each customer's chronological order sequence
     * (B4 covers row_number/running sums; this pins the rank-family

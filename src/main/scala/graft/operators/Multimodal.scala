@@ -181,6 +181,24 @@ object Multimodal {
           .as("frame_md5")),
     ordered)(col("doc_id"), col("frame_idx"))
 
+  /** F8: cross-asset frame dedup — sampled frames (F4's relation)
+    * appearing in MORE THAN ONE asset: the shared-intro/outro/
+    * watermark-bumper detector on video-like payloads (asset-level
+    * dedup never sees it — the assets differ; the shared FRAMES are
+    * the tell, the media cousin of E24's duplicated spans). One
+    * frame-hash-keyed shuffle over the sampled (not full) frame
+    * stream; payload bytes never shuffle (the md5 rides the map side).
+    */
+  def mmFrameDedup(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
+    mmFrameSample(t)
+      .groupBy(col("frame_md5"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_assets"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_assets") >= 2),
+    ordered)(col("frame_md5"))
+
   /** F7: incremental perceptual dedup — a new asset batch (doc_id ≡ 0
     * mod `mod`) probes the maintained phash chunk index (F6's
     * pigeonhole banding; at deploy the index is the persisted artifact
