@@ -84,6 +84,28 @@ object Sinks {
       parsed.filter(bad).select(col("raw_line")))
   }
 
+  /** G19: audited CSV ingestion — G16's enforced-schema + quarantine
+    * discipline for the OTHER format corpora and metadata tables
+    * arrive in. Same reasons: no inference pass at 100 TB (drift fails
+    * loudly), malformed rows kept RAW for replay. from_csv (not the
+    * csv reader) so the raw line stays available on the same row —
+    * the csv DataSource's corrupt-record column drops the original
+    * line's untokenized form on multi-column rows it can't parse.
+    */
+  def readCsvAudited(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      delimiter: String = ","): (DataFrame, DataFrame) = {
+    val pSchema = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.text(path)
+      .select(col("value").as("raw_line"),
+        from_csv(col("value"), pSchema,
+          Map("mode" -> "PERMISSIVE", "sep" -> delimiter,
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
+    val bad = col("rec").isNull || col("rec._corrupt_record").isNotNull
+    (parsed.filter(!bad).select(col("rec.*")).drop("_corrupt_record"),
+      parsed.filter(bad).select(col("raw_line")))
+  }
+
   /** Small-files compaction — streaming sinks and frequent batches
     * leave thousands of tiny files; at 100 TB the NameNode/listing cost
     * and per-file open overhead dominate reads. Rewrites to

@@ -236,4 +236,23 @@ class SinksSpec extends SparkSpec {
     // the truly malformed lines
     assert(quarantined == bad.toSet, s"quarantine mismatch: $quarantined")
   }
+
+  test("csv ingest: schema enforced; malformed rows quarantined raw, clean rows exact") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("csv_in").toFile.getAbsolutePath
+    val good = (1 to 20).map(i => s"""$i,doc number $i,en""")
+    // a non-numeric id and a row that is one big unquoted mess
+    val bad = Seq("""notanumber,text here,en""", """"unterminated quote,oops""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.csv"),
+      scala.util.Random.shuffle(good ++ bad).mkString("\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val (clean, quarantine) = Sinks.readCsvAudited(spark, dir, schema)
+    assert(clean.schema.fieldNames.toSeq == Seq("doc_id", "text", "lang"))
+    val cleanRows = clean.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(cleanRows == (1 to 20).map(i => (i.toLong, s"doc number $i", "en")).toSet)
+    val quarantined = quarantine.collect().map(_.getString(0)).toSet
+    assert(quarantined == bad.toSet, s"quarantine mismatch: $quarantined")
+  }
 }
