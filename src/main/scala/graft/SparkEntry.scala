@@ -69,6 +69,10 @@ object SparkEntry {
     "q_ship_latency"       -> q(Analytics.qShipLatency),
     "q_window_funcs"       -> q(Analytics.qWindowFuncs),
     "q_full_outer"         -> q(Analytics.qFullOuter),
+    "q_revenue_delta"      -> q(Analytics.qRevenueDelta),
+    "q_market_share"       -> q(Analytics.qMarketShare),
+    "q_top_supplier"       -> q(Analytics.qTopSupplier),
+    "q_small_qty_revenue"  -> q(Analytics.qSmallQtyRevenue),
     "ev_retention"         -> q(EventOps.evRetention),
     "ev_state_transitions" -> q(EventOps.evStateTransitions(_, ordered = true)),
     "text_entropy"         -> q(TextOps.textEntropy(_, ordered = true)),
@@ -162,6 +166,9 @@ object SparkEntry {
     "ev_dormant_users"     -> q(EventOps.evDormantUsers(_, ordered = true)),
     "ev_cusum_changepoint" -> q(EventOps.evCusumChangepoint(_, ordered = true)), // rows-only: recursive scan, no SQL oracle (EventOpsSpec planted-shift law)
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
+    "text_bpe_pairs"       -> q(TextOps.textBpePairs(_)),
+    "doc_length_profile"   -> q(TextOps.docLengthProfile),
+    "ev_rfm"               -> q(EventOps.evRfm(_, ordered = true)),
     "text_hapax"           -> q(TextOps.textHapax),
     "doc_template_prefix"  -> q(TextOps.docTemplatePrefix(_, ordered = true)),
     "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
@@ -671,42 +678,67 @@ object SparkEntry {
         |  CAST(SUM(n96) AS BIGINT) AS orders_1996
         |FROM j GROUP BY presence ORDER BY presence""".stripMargin,
 
-    "q_window_funcs" ->
-      """SELECT o_custkey, seq, o_orderkey, quartile, pct_rank_r, first_price FROM (
-        |  SELECT o_custkey, o_orderkey,
-        |    ROW_NUMBER() OVER w AS seq,
-        |    NTILE(4) OVER w AS quartile,
-        |    floor(percent_rank() OVER w * 1000000 + 0.5)/1000000 AS pct_rank_r,
-        |    first_value(o_totalprice) OVER w AS first_price
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
-        |WHERE seq <= 2
-        |ORDER BY o_custkey, seq""".stripMargin,
+    "q_revenue_delta" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= CAST(0.045 AS DOUBLE) AND l_discount <= CAST(0.075 AS DOUBLE)
+        |  AND l_quantity < 24.0""".stripMargin,
 
-    "q_ship_latency" ->
-      """WITH fs AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1)
-        |SELECT o_orderpriority, COUNT(*) AS n,
-        |  floor((CAST(SUM(datediff('day', o_orderdate, first_ship)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS avg_days_r,
-        |  floor(quantile_cont(datediff('day', o_orderdate, first_ship), 0.5)*10000 + 0.5)/10000 AS p50,
-        |  floor(quantile_cont(datediff('day', o_orderdate, first_ship), 0.9)*10000 + 0.5)/10000 AS p90
-        |FROM orders JOIN fs ON o_orderkey = l_orderkey
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+    "q_market_share" ->
+      """WITH l AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |m AS (
+        |  SELECT CAST(o_year AS BIGINT) AS o_year,
+        |    CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS nation_rev,
+        |    CAST(SUM(CAST(vol AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+        |  FROM l GROUP BY 1)
+        |SELECT o_year, nation_rev, total_rev,
+        |  floor((nation_rev / total_rev)*1000000 + 0.5)/1000000 AS mkt_share_r
+        |FROM m ORDER BY o_year""".stripMargin,
 
-    "q_full_outer" ->
-      """WITH a AS (SELECT o_custkey, COUNT(*) AS n95 FROM orders
-        |  WHERE year(o_orderdate) = 1995 GROUP BY 1),
-        |b AS (SELECT o_custkey, COUNT(*) AS n96 FROM orders
-        |  WHERE year(o_orderdate) = 1996 GROUP BY 1),
-        |j AS (SELECT
-        |  CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL THEN 'both'
-        |       WHEN a.o_custkey IS NOT NULL THEN 'only_1995' ELSE 'only_1996' END AS presence,
-        |  COALESCE(n95, 0) AS n95, COALESCE(n96, 0) AS n96
-        |  FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
-        |SELECT presence, COUNT(*) AS n_cust,
-        |  CAST(SUM(n95) AS BIGINT) AS orders_1995,
-        |  CAST(SUM(n96) AS BIGINT) AS orders_1996
-        |FROM j GROUP BY presence ORDER BY presence""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_small_qty_revenue" ->
+      """WITH lines AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3'),
+        |a AS (
+        |  SELECT l_partkey AS ap_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |  FROM lines GROUP BY 1)
+        |SELECT
+        |  floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0)*1000000 + 0.5)/1000000 AS avg_yearly_r,
+        |  COUNT(*) AS n_lines
+        |FROM lines JOIN a ON l_partkey = ap_partkey
+        |WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT o_custkey, seq, o_orderkey, quartile, pct_rank_r, first_price FROM (
@@ -920,6 +952,66 @@ object SparkEntry {
         |SELECT source, ns AS n_topv_tokens,
         |  floor((CAST(kl_micro AS DOUBLE) / 1000000.0 / CAST(ns + 500 AS DOUBLE))*1000000 + 0.5)/1000000 AS kl_r
         |FROM k ORDER BY source""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |p AS (
+        |  SELECT unnest([substring(word, i, 2) for i in range(1, length(word))]) AS pair, n
+        |  FROM w WHERE length(word) >= 2)
+        |SELECT pair, CAST(SUM(n) AS BIGINT) AS total
+        |FROM p GROUP BY pair
+        |ORDER BY total DESC, pair ASC
+        |LIMIT 50""".stripMargin,
+
+    "doc_length_profile" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  floor((CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS avg_chars_r,
+        |  floor(quantile_cont(n_chars, 0.5)*10000 + 0.5)/10000 AS chars_p50,
+        |  floor(quantile_cont(n_chars, 0.9)*10000 + 0.5)/10000 AS chars_p90,
+        |  floor(quantile_cont(len(string_split(text, ' ')), 0.5)*10000 + 0.5)/10000 AS tokens_p50,
+        |  floor(quantile_cont(len(string_split(text, ' ')), 0.9)*10000 + 0.5)/10000 AS tokens_p90
+        |FROM documents
+        |GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
+    "ev_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, max(ts) AS last_ts, COUNT(*) AS freq,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY user_id),
+        |fx AS (SELECT max(last_ts) AS max_ts FROM per),
+        |pr AS (
+        |  SELECT user_id,
+        |    CAST(floor((epoch_us(max_ts) - epoch_us(last_ts)) / 1000000.0) AS BIGINT) AS recency_sec,
+        |    freq, monetary
+        |  FROM per, fx),
+        |c AS (SELECT
+        |    floor(quantile_cont(recency_sec, 0.25)*10000 + 0.5)/10000 AS r1,
+        |    floor(quantile_cont(recency_sec, 0.5)*10000 + 0.5)/10000 AS r2,
+        |    floor(quantile_cont(recency_sec, 0.75)*10000 + 0.5)/10000 AS r3,
+        |    floor(quantile_cont(freq, 0.25)*10000 + 0.5)/10000 AS f1,
+        |    floor(quantile_cont(freq, 0.5)*10000 + 0.5)/10000 AS f2,
+        |    floor(quantile_cont(freq, 0.75)*10000 + 0.5)/10000 AS f3,
+        |    floor(quantile_cont(monetary, 0.25)*10000 + 0.5)/10000 AS m1,
+        |    floor(quantile_cont(monetary, 0.5)*10000 + 0.5)/10000 AS m2,
+        |    floor(quantile_cont(monetary, 0.75)*10000 + 0.5)/10000 AS m3
+        |  FROM pr),
+        |b AS (
+        |  SELECT user_id, recency_sec, freq, monetary,
+        |    CASE WHEN recency_sec <= r1 THEN 1 WHEN recency_sec <= r2 THEN 2
+        |         WHEN recency_sec <= r3 THEN 3 ELSE 4 END AS r_b,
+        |    CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2
+        |         WHEN freq <= f3 THEN 3 ELSE 4 END AS f_b,
+        |    CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+        |         WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_b
+        |  FROM pr, c)
+        |SELECT user_id, recency_sec, freq, monetary,
+        |  CAST(r_b AS BIGINT) AS r_b, CAST(f_b AS BIGINT) AS f_b, CAST(m_b AS BIGINT) AS m_b,
+        |  'R' || r_b || 'F' || f_b || 'M' || m_b AS segment
+        |FROM b ORDER BY user_id""".stripMargin,
 
     "ev_sliding_rate" ->
       """WITH e AS (SELECT event_type, (epoch_us(ts) // 900000000) * 900000000 AS f15 FROM events),

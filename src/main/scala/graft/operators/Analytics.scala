@@ -775,5 +775,111 @@ object Analytics {
       .orderBy($("c_mktsegment"))
   }
 
+  /** B37: forecast-revenue delta (TPC-H Q6 shape) — single-table scan
+    * with three conjunctive range predicates and one global sum. The
+    * whole WHERE pushes to the parquet scan (`PushedFilters` carries
+    * all three ranges); at 100 TB this is the canonical
+    * min/max-statistics row-group skip: a year of shipdate out of
+    * seven prunes ~6/7 of the row groups before any CPU runs.
+    * Boundary constants are picked off the 0.01-grid (0.045/0.075) so
+    * double-vs-decimal literal typing can't flip edge rows between
+    * engines.
+    */
+  def qRevenueDelta(t: Tables): DataFrame =
+    t.lineitem
+      .select($("l_extendedprice"), $("l_discount"), $("l_quantity"), $("l_shipdate"))
+      .filter($("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        $("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        $("l_discount") >= 0.045 && $("l_discount") <= 0.075 &&
+        $("l_quantity") < 24.0)
+      .agg(psum($("l_extendedprice") * $("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** B38: national market share (TPC-H Q8 shape) — the target nation's
+    * share of a region's revenue for one product type, by order year.
+    * All four dimension legs (part filtered to the type, supplier →
+    * nation for the share flag, customer → nation → region for the
+    * market filter) are broadcast; lineitem ⋈ orders is the only
+    * shuffle. The share is a conditional-sum ratio inside one
+    * aggregate — no second pass, no join of two aggregates.
+    */
+  def qMarketShare(t: Tables): DataFrame = {
+    val prt = t.part.select($("p_partkey")).filter($("p_type") === "ECONOMY")
+    val supNation = t.supplier.select($("s_suppkey"), $("s_nationkey"))
+      .join(broadcast(t.nation.select($("n_nationkey"), $("n_name"))),
+        $("s_nationkey") === $("n_nationkey"))
+      .select($("s_suppkey"), $("n_name").as("supp_nation"))
+    val custRegion = t.customer.select($("c_custkey"), $("c_nationkey"))
+      .join(broadcast(t.nation.select($("n_nationkey"), $("n_regionkey"))),
+        $("c_nationkey") === $("n_nationkey"))
+      .join(broadcast(t.region.select($("r_regionkey"), $("r_name"))
+        .filter($("r_name") === "EUROPE")), $("n_regionkey") === $("r_regionkey"))
+      .select($("c_custkey"))
+    val ord = t.orders.select($("o_orderkey"), $("o_custkey"), $("o_orderdate"))
+      .filter($("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        $("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(custRegion), $("o_custkey") === $("c_custkey"))
+    t.lineitem
+      .select($("l_orderkey"), $("l_partkey"), $("l_suppkey"),
+        $("l_extendedprice"), $("l_discount"))
+      .join(broadcast(prt), $("l_partkey") === $("p_partkey"))
+      .join(broadcast(supNation), $("l_suppkey") === $("s_suppkey"))
+      .join(ord, $("l_orderkey") === $("o_orderkey"))
+      .withColumn("vol", $("l_extendedprice") * (lit(1.0) - $("l_discount")))
+      .groupBy(year($("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        psum(when($("supp_nation") === "NATION_3", $("vol")).otherwise(0.0)).as("nation_rev"),
+        psum($("vol")).as("total_rev"))
+      .withColumn("mkt_share_r", r6($("nation_rev") / $("total_rev")))
+      .orderBy($("o_year"))
+  }
+
+  /** B39: top supplier by quarterly revenue (TPC-H Q15 shape) — the
+    * per-supplier revenue aggregate reused twice: once for its global
+    * max (1 row, broadcast back) and once as the join probe. The
+    * window-over-empty-partition alternative (`max() OVER ()`) funnels
+    * every supplier row through one partition — the 1-row-aggregate
+    * broadcast join is the shape that survives a 1000-executor fleet.
+    */
+  def qTopSupplier(t: Tables): DataFrame = {
+    val rev = t.lineitem
+      .select($("l_suppkey"), $("l_extendedprice"), $("l_discount"), $("l_shipdate"))
+      .filter($("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        $("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy($("l_suppkey"))
+      .agg(psum($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("total_rev"))
+    val maxRev = rev.agg(max($("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter($("total_rev") === $("max_rev"))
+      .join(broadcast(t.supplier.select($("s_suppkey"), $("s_name"))),
+        $("l_suppkey") === $("s_suppkey"))
+      .select($("s_suppkey"), $("s_name"), $("total_rev"))
+      .orderBy($("s_suppkey"))
+  }
+
+  /** B40: small-quantity-order revenue (TPC-H Q17 shape) — lines whose
+    * quantity is under 20% of their part's average, for one brand.
+    * The per-part average is computed on the brand-filtered lineitem
+    * subset (brand filter FIRST — computing averages for all parts and
+    * filtering later would aggregate 25× the rows) and joined back on
+    * partkey. Both sides of the join-back arrive partitioned by
+    * partkey from the same child, so AQE plans the probe without a
+    * second full shuffle of the filtered lines.
+    */
+  def qSmallQtyRevenue(t: Tables): DataFrame = {
+    val brandParts = t.part.select($("p_partkey"))
+      .filter($("p_brand") === "Brand#3")
+    val lines = t.lineitem
+      .select($("l_partkey"), $("l_quantity"), $("l_extendedprice"))
+      .join(broadcast(brandParts), $("l_partkey") === $("p_partkey"))
+    val avgQty = lines.groupBy($("p_partkey").as("ap_partkey"))
+      .agg((psum($("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"))
+    lines.join(avgQty, $("p_partkey") === $("ap_partkey"))
+      .filter($("l_quantity") < lit(0.2) * $("avg_qty"))
+      .agg(
+        r6(psum($("l_extendedprice")) / 7.0).as("avg_yearly_r"),
+        count(lit(1)).as("n_lines"))
+  }
+
   private def $(name: String): Column = col(name)
 }

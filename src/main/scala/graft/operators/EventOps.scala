@@ -583,4 +583,49 @@ object EventOps {
       .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
       .limit(k)
   }
+
+  /** A41: RFM segmentation — per-user recency (seconds behind the
+    * corpus frontier), frequency, monetary (exact decimal-routed value
+    * sum), each bucketed into quartiles. Quartile CUTOFFS come from one
+    * 1-row exact-percentile aggregate broadcast back over the per-user
+    * relation — NOT an unpartitioned ntile window, which would funnel
+    * every user through a single task; the cutoff-join form is
+    * embarrassingly parallel and the shape that survives a
+    * 1000-executor fleet (swap B24's sketch percentiles in at 100 TB).
+    * Cutoffs are r4-rounded on both engines so an ulp of interpolation
+    * drift can't flip a boundary user's bucket.
+    */
+  def evRfm(t: Tables, ordered: Boolean = false): DataFrame = {
+    val per = t.events
+      .select(col("user_id"), col("ts"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("monetary"))
+    val frontier = per.agg(max(col("last_ts")).as("max_ts"))
+    val pr = per.crossJoin(broadcast(frontier))
+      .withColumn("recency_sec",
+        ((unix_micros(col("max_ts")) - unix_micros(col("last_ts"))) / lit(1000000L)).cast("long"))
+      .select(col("user_id"), col("recency_sec"), col("freq"), col("monetary"))
+    val cuts = pr.agg(
+      r4(expr("percentile(recency_sec, 0.25)")).as("r1"),
+      r4(expr("percentile(recency_sec, 0.5)")).as("r2"),
+      r4(expr("percentile(recency_sec, 0.75)")).as("r3"),
+      r4(expr("percentile(freq, 0.25)")).as("f1"),
+      r4(expr("percentile(freq, 0.5)")).as("f2"),
+      r4(expr("percentile(freq, 0.75)")).as("f3"),
+      r4(expr("percentile(monetary, 0.25)")).as("m1"),
+      r4(expr("percentile(monetary, 0.5)")).as("m2"),
+      r4(expr("percentile(monetary, 0.75)")).as("m3"))
+    def bucket(c: Column, q1: Column, q2: Column, q3: Column): Column =
+      when(c <= q1, 1L).when(c <= q2, 2L).when(c <= q3, 3L).otherwise(4L)
+    maybeSort(
+      pr.crossJoin(broadcast(cuts))
+        .withColumn("r_b", bucket(col("recency_sec").cast("double"), col("r1"), col("r2"), col("r3")))
+        .withColumn("f_b", bucket(col("freq").cast("double"), col("f1"), col("f2"), col("f3")))
+        .withColumn("m_b", bucket(col("monetary"), col("m1"), col("m2"), col("m3")))
+        .select(col("user_id"), col("recency_sec"), col("freq"), col("monetary"),
+          col("r_b"), col("f_b"), col("m_b"),
+          concat(lit("R"), col("r_b"), lit("F"), col("f_b"), lit("M"), col("m_b")).as("segment")),
+      ordered)(col("user_id"))
+  }
 }

@@ -1237,4 +1237,53 @@ object TextOps {
         .select(col("doc_id"), col("family_id"), col("family_size")),
       ordered)(col("doc_id"))
   }
+
+  /** E38: BPE pair statistics — frequency-weighted adjacent character
+    * pairs, the first iteration of byte-pair-encoding merge learning
+    * (the tokenizer-fit step of a training pipeline). The corpus is
+    * collapsed to its VOCABULARY first (one word-count aggregate), so
+    * the pair explosion runs over |vocab| rows × word length, not
+    * corpus length — the same trick WordPiece/BPE trainers use, and
+    * what makes a 100 TB corpus fit: vocab is millions of rows where
+    * the corpus is trillions of tokens. Pair aggregate cardinality is
+    * bounded by alphabet² regardless of scale; top-N is
+    * TakeOrderedAndProject (no global sort).
+    */
+  def textBpePairs(t: Tables, topN: Int = 50): DataFrame =
+    t.documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")).as("pair"),
+        col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("total"))
+      .orderBy(col("total").desc, col("pair").asc)
+      .limit(topN)
+
+  /** E39: corpus length profile — the dataset-card relation for
+    * sequence-length planning (chunk size, packing efficiency, padding
+    * waste all derive from it): per (source, lang), document count,
+    * mean chars, exact interpolated p50/p90 of both chars and
+    * whitespace tokens. One aggregate over one scan; group cardinality
+    * = #sources × #langs (tiny). Exact percentiles per B11's
+    * convention — the B24 sketch is the 100 TB swap-in.
+    */
+  def docLengthProfile(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    t.documents
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r6(sum(col("n_chars").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_chars_r"),
+        r4(expr("percentile(n_chars, 0.5)")).as("chars_p50"),
+        r4(expr("percentile(n_chars, 0.9)")).as("chars_p90"),
+        r4(expr("percentile(n_tokens, 0.5)")).as("tokens_p50"),
+        r4(expr("percentile(n_tokens, 0.9)")).as("tokens_p90"))
+      .orderBy(col("source"), col("lang"))
+  }
 }

@@ -174,4 +174,34 @@ class EventOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == expected, s"got=${got.size} expected=${expected.size} pairs")
   }
+
+  test("rfm: one row per user; buckets monotone in their metric; quartiles roughly balanced") {
+    val rows = EventOps.evRfm(tables).collect()
+    val nUsers = tables.events.select("user_id").distinct().count()
+    assert(rows.length == nUsers, "exactly one row per user")
+    // bucket must be monotone non-decreasing in its metric: sort by
+    // metric and check the bucket sequence never decreases
+    def monotone(metric: Array[(Double, Long)]): Unit = {
+      metric.sortBy(_._1).map(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"bucket fell $a -> $b as metric grew")
+        case _ =>
+      }
+    }
+    monotone(rows.map(r => (r.getLong(1).toDouble, r.getLong(4)))) // recency -> r_b
+    monotone(rows.map(r => (r.getLong(2).toDouble, r.getLong(5)))) // freq -> f_b
+    monotone(rows.map(r => (r.getDouble(3), r.getLong(6))))        // monetary -> m_b
+    // quartile cutoffs put at most ~75% of users below bucket 4 and at
+    // least one user in bucket 1 for each dimension (ties can skew the
+    // split, but a degenerate all-in-one-bucket split means the cutoff
+    // join broke)
+    Seq(4, 5, 6).foreach { i =>
+      val hist = rows.groupBy(_.getLong(i)).view.mapValues(_.length).toMap
+      assert(hist.keySet.subsetOf(Set(1L, 2L, 3L, 4L)), s"bucket outside 1..4: $hist")
+      assert(hist.size >= 2, s"degenerate bucketing in col $i: $hist")
+    }
+    // segment string is the concatenation of the three buckets
+    rows.foreach { r =>
+      assert(r.getString(7) == s"R${r.getLong(4)}F${r.getLong(5)}M${r.getLong(6)}")
+    }
+  }
 }

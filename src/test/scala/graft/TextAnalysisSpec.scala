@@ -583,4 +583,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(exact.length == 5 && exact.forall(_.getLong(2) == 1L),
       "all five docs are exact-unique; only the prefix detector groups the family")
   }
+
+  test("bpe pairs equal the brute-force frequency-weighted adjacent-pair counts") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new"),
+      (3L, "Low NEW lowest  bb"), // case folding + a double space (empty token)
+      (4L, "a bb ccc dddd"))      // 1-char word contributes no pair
+    val docs = texts.map { case (id, tx) => (id, tx, "en", "t", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = graft.sources.Tables(spark, sfDir, docsOverride = Some(docs))
+    // brute force: every adjacent char pair of every (lowercased) token
+    // occurrence, counted directly — the vocab-collapsed operator must
+    // agree exactly
+    val expected = texts.flatMap(_._2.toLowerCase.split(" ", -1))
+      .filter(w => w.nonEmpty && w.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = TextOps.textBpePairs(t, topN = 1000).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }
