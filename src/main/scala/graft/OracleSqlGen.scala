@@ -1436,4 +1436,43 @@ object OracleSqlGen {
       |FROM documents
       |GROUP BY 1
       |ORDER BY content_hash""".stripMargin
+
+  /** C20: banding-plan recall curve over the exact verified pair set.
+    * Every power is the same explicit squaring chain the Spark side
+    * builds (qa=1−j, qa2=qa·qa, … — association identical, so the
+    * doubles match bit-for-bit; no libm pow on either engine).
+    */
+  val docLshTuning: String = {
+    def agg(p: String) =
+      s"floor((CAST(SUM(CAST($p AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000"
+    def row(b: Int, r: Int, p: String) =
+      s"SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band, COUNT(*) AS n_pairs, ${agg(p)} AS avg_recall_r FROM px"
+    s"""WITH $gramCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |$jaccardCtes,
+       |pairs AS ($jaccardSelect),
+       |s2 AS (SELECT jaccard AS j, jaccard*jaccard AS j2 FROM pairs),
+       |s3 AS (SELECT *, j2*j2 AS j4 FROM s2),
+       |s4 AS (SELECT *, j4*j4 AS j8 FROM s3),
+       |s5 AS (SELECT *, j8*j8 AS j16 FROM s4),
+       |t1 AS (SELECT *, 1.0-j AS qa, 1.0-j2 AS qb, 1.0-j4 AS qc, 1.0-j8 AS qd FROM s5),
+       |t2 AS (SELECT *, qa*qa AS qa2, qb*qb AS qb2, qc*qc AS qc2, qd*qd AS qd2 FROM t1),
+       |t3 AS (SELECT *, qa2*qa2 AS qa4, qb2*qb2 AS qb4, qc2*qc2 AS qc4 FROM t2),
+       |t4 AS (SELECT *, qa4*qa4 AS qa8, qb4*qb4 AS qb8 FROM t3),
+       |t5 AS (SELECT *, qa8*qa8 AS qa16 FROM t4),
+       |px AS (SELECT
+       |  1.0-(1.0-j16) AS p_1_16,
+       |  1.0-qd2 AS p_2_8,
+       |  1.0-qc4 AS p_4_4,
+       |  1.0-qb8 AS p_8_2,
+       |  1.0-qa16 AS p_16_1
+       |  FROM t5)
+       |${row(1, 16, "p_1_16")}
+       |UNION ALL ${row(2, 8, "p_2_8")}
+       |UNION ALL ${row(4, 4, "p_4_4")}
+       |UNION ALL ${row(8, 2, "p_8_2")}
+       |UNION ALL ${row(16, 1, "p_16_1")}
+       |ORDER BY bands""".stripMargin
+  }
 }

@@ -31,6 +31,7 @@ object SparkEntry {
     "ev_serialize_json"    -> q(EventOps.evSerializeJson(_, ordered = true)),
     "ev_top_keys"          -> q(EventOps.evTopKeys(_)),
     "ev_sessionize"        -> q(EventOps.evSessionize(_, ordered = true)),
+    "ev_session_stats"     -> q(EventOps.evSessionStats(_)),
     "ev_asof_enrich"       -> q(EventOps.evAsofEnrich(_, ordered = true)),
     "ev_asof_tolerance"    -> q(EventOps.evAsofTolerance(_, ordered = true)),
     // §2.B OLAP analytics core
@@ -97,6 +98,7 @@ object SparkEntry {
     "doc_dedup_rate_by_threshold" -> q(Dedup.docDedupRateByThreshold(_)),
     "doc_cross_source_dup" -> q(Dedup.docCrossSourceDup(_, ordered = true)),
     "ann_threshold_ladder" -> q(Dedup.annThresholdLadder(_)),
+    "doc_lsh_tuning"       -> q(Dedup.docLshTuning(_)),
     "doc_dedup_keep_best"  -> q(Dedup.docDedupKeepBest(_, ordered = true)),
     "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_, ordered = true)),
     "doc_winnow_pairs"     -> q(Dedup.docWinnowPairs(_, ordered = true)),
@@ -342,6 +344,34 @@ object SparkEntry {
         |    FROM events))
         |GROUP BY user_id, sid
         |ORDER BY user_id, sid""".stripMargin,
+
+    "ev_session_stats" ->
+      """WITH s AS (
+        |  SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |    COUNT(*) AS n_events
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |        CASE WHEN LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |          OR ts > LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 1 HOUR
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM events))
+        |  GROUP BY user_id, sid),
+        |d AS (
+        |  SELECT n_events,
+        |    CAST(floor((epoch_us(session_end) - epoch_us(session_start)) / 1000000.0) AS BIGINT) AS dur_sec
+        |  FROM s)
+        |SELECT COUNT(*) AS n_sessions,
+        |  floor((CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS avg_events_r,
+        |  floor(quantile_cont(n_events, 0.5)*10000 + 0.5)/10000 AS events_p50,
+        |  floor(quantile_cont(n_events, 0.9)*10000 + 0.5)/10000 AS events_p90,
+        |  floor((CAST(SUM(dur_sec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS avg_dur_sec_r,
+        |  floor(quantile_cont(dur_sec, 0.5)*10000 + 0.5)/10000 AS dur_p50,
+        |  floor(quantile_cont(dur_sec, 0.9)*10000 + 0.5)/10000 AS dur_p90
+        |FROM d""".stripMargin,
 
     "ev_asof_enrich" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
@@ -900,6 +930,7 @@ object SparkEntry {
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,
+    "doc_lsh_tuning"        -> OracleSqlGen.docLshTuning,
     "doc_dedup_clusters"    -> OracleSqlGen.docDedupClusters,
     "doc_cluster_stats"     -> OracleSqlGen.docClusterStats,
     "doc_dedup_rate_by_threshold" -> OracleSqlGen.docDedupRateByThreshold(Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9)),

@@ -1114,4 +1114,35 @@ object Dedup {
       .select(col("cluster_size"), col("n_clusters"),
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
       .orderBy(col("cluster_size"))
+
+  /** C20: LSH band-plan tuning curve — expected candidate recall of
+    * every (bands b × rows-per-band r, b·r = 16) MinHash banding plan,
+    * evaluated against the corpus's OWN verified near-dup pairs:
+    * recall(pair) = 1 − (1 − j^r)^b at the pair's exact Jaccard j.
+    * This is the dataset-card that picks C3's banding before a 100 TB
+    * dedup run — measured on the actual duplicate population rather
+    * than an assumed similarity mix. Cost = the C5 feeder + a ×5
+    * narrow explode of the pair relation; every power is an explicit
+    * squaring chain (deterministic double ops, identical association
+    * on both engines — `pow()` is libm-dependent and is not used).
+    */
+  def docLshTuning(t: Tables, threshold: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def powi(c: Column, n: Int): Column =
+      if (n == 1) c else { val h = powi(c, n / 2); h * h }
+    val configs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+    val pCols = configs.map { case (b, r) =>
+      struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        (lit(1.0) - powi(lit(1.0) - powi(col("jaccard"), r), b)).as("p"))
+    }
+    docNgramJaccard(t, threshold)
+      .select(explode(array(pCols: _*)).as("cfg"))
+      .select(col("cfg.bands").as("bands"),
+        col("cfg.rows_per_band").as("rows_per_band"), col("cfg.p").as("p"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        r6(sum(col("p").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_recall_r"))
+      .orderBy(col("bands"))
+  }
 }

@@ -380,6 +380,30 @@ object EventOps {
         count(lit(1)).as("n_events"))
   }, ordered)(col("user_id"), col("sid"))
 
+  /** A43: session statistics — the dataset-card rollup over A11's
+    * sessionizer: session count, mean events/session, and exact
+    * interpolated p50/p90 of both session size and session duration
+    * (seconds). Reuses evSessionize's single user-keyed window stage
+    * and adds one small aggregate over the (users · sessions)-bounded
+    * relation — no new shuffle class; duration is exact integer
+    * seconds off unix_micros so the mean needs no decimal routing.
+    */
+  def evSessionStats(t: Tables, gapHours: Long = 1): DataFrame =
+    evSessionize(t, gapHours)
+      .withColumn("dur_sec",
+        ((unix_micros(col("session_end")) - unix_micros(col("session_start"))) /
+          lit(1000000L)).cast("long"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        r6(sum(col("n_events")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_events_r"),
+        r4(expr("percentile(n_events, 0.5)")).as("events_p50"),
+        r4(expr("percentile(n_events, 0.9)")).as("events_p90"),
+        r6(sum(col("dur_sec")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_dur_sec_r"),
+        r4(expr("percentile(dur_sec, 0.5)")).as("dur_p50"),
+        r4(expr("percentile(dur_sec, 0.9)")).as("dur_p90"))
+
   /** A31: cohort retention — users cohorted by first-active day; for
     * each (cohort day, day offset) the number of cohort users active
     * again that day. The activation/stickiness rollup every event

@@ -240,6 +240,79 @@ object EventStreamJob {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Per-type CUSUM state: hourly counts still open under the
+    * watermark; finalized-but-unscored hours (waiting for the baseline
+    * window to fill); and once the baseline is frozen, (mu, sigma, s).
+    */
+  final case class CusumState(open: Seq[(Long, Long)],
+      pending: Seq[(Long, Long)], baselineReady: Boolean,
+      mu: Double, sigma: Double, s: Double)
+
+  final case class CusumRec(event_type: String, hour: Instant, n: Long,
+      cusum_sigmas_r: Double, flagged: Boolean)
+
+  /** A42 ONLINE: streaming CUSUM change-point twin of
+    * `EventOps.evCusumChangepoint`. Hourly counts accumulate in state
+    * (counters, not events — O(types · hours-in-flight)); an hour is
+    * scored only once the watermark passes its END, in hour order, so
+    * the emitted series is exactly the batch recursion replayed
+    * online. The first `baselineHours` finalized hours freeze (mu,
+    * sigma); hours finalized before the freeze buffer in `pending` and
+    * emit in one burst when the baseline completes — after that the
+    * operator is fully incremental: state carries three doubles plus
+    * the open counters, never history. An event-time timeout closes
+    * tail hours without waiting for the type's next arrival.
+    */
+  def streamEvCusum(events: Dataset[Ev], baselineHours: Int = 48,
+      kSigma: Double = 0.5, hSigma: Double = 5.0,
+      watermarkDelay: String = "30 minutes"): Dataset[CusumRec] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+
+    def fn(ty: String, it: Iterator[Ev],
+        state: GroupState[CusumState]): Iterator[CusumRec] = {
+      val st0 = state.getOption.getOrElse(
+        CusumState(Nil, Nil, baselineReady = false, 0.0, 0.0, 0.0))
+      val incoming = it.foldLeft(Map.empty[Long, Long]) { (m, e) =>
+        val h = ChronoUnit.MICROS.between(Instant.EPOCH, e.ts) / hourUs * hourUs
+        m.updated(h, m.getOrElse(h, 0L) + 1L)
+      }
+      val open0 = st0.open.foldLeft(incoming) { case (m, (h, n)) =>
+        m.updated(h, m.getOrElse(h, 0L) + n)
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (closed, open) = open0.toSeq.partition { case (h, _) => h + hourUs <= wmUs }
+      var pending = st0.pending ++ closed.sortBy(_._1)
+      var (ready, mu, sigma, s) = (st0.baselineReady, st0.mu, st0.sigma, st0.s)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CusumRec]
+      if (!ready && pending.length >= baselineHours) {
+        val base = pending.take(baselineHours).map(_._2.toDouble)
+        mu = base.sum / base.length
+        sigma = math.max(
+          math.sqrt(base.map(x => (x - mu) * (x - mu)).sum / base.length), 1e-9)
+        ready = true
+      }
+      if (ready) {
+        pending.foreach { case (h, n) =>
+          s = math.max(0.0, s + (n.toDouble - mu - kSigma * sigma))
+          out += CusumRec(ty, Instant.EPOCH.plus(h, ChronoUnit.MICROS), n,
+            math.floor(s / sigma * 1e6 + 0.5) / 1e6, s > hSigma * sigma)
+        }
+        pending = Nil
+      }
+      state.update(CusumState(open.sortBy(_._1), pending, ready, mu, sigma, s))
+      if (open.nonEmpty)
+        state.setTimeoutTimestamp((open.map(_._1).min + hourUs) / 1000L + 1L)
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Keyed upsert target for streamUpsertCounts. Implementations MUST
     * make the replay check and the merge atomic *in the store* (a JDBC
     * MERGE plus an applied-batch log row in the same transaction, an

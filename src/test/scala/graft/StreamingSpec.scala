@@ -71,6 +71,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cusum == batch cusum once every hour is watermark-closed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamEvCusum(input.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("cusum_out").start()
+    try {
+      eventsData.grouped((eventsData.size + 2) / 3).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      // sentinel far past the last event closes every open hour
+      val lastTs = eventsData.map(_.ts).max
+      input.addData(Seq(Ev(999999L, lastTs.plusSeconds(864000), -1L, "sentinel")))
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_out").filter($"event_type" =!= "sentinel")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSet
+      val batch = EventOps.evCusumChangepoint(tables).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSet
+      // the stream can only score types whose baseline window (48
+      // finalized hours) filled — on this corpus every real type does
+      assert(streamed == batch,
+        s"stream≠batch: only-stream=${(streamed -- batch).take(3)} " +
+          s"only-batch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys within watermark emit once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
