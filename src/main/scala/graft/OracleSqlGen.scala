@@ -975,6 +975,19 @@ object OracleSqlGen {
        |FROM x JOIN cv ON x.label = cv.label
        |ORDER BY x.vec_id""".stripMargin
 
+  /** D18: outliers past the label's r4-rounded p95 centroid distance;
+    * the distance relation is D16's verbatim, nested as a subquery.
+    */
+  val embOutliers: String =
+    s"""WITH dist AS (SELECT * FROM ($embCentroidDist)),
+       |cuts AS (SELECT label AS cl,
+       |  floor(quantile_cont(dist_r, 0.95)*10000 + 0.5)/10000 AS cutoff_r
+       |  FROM dist GROUP BY label)
+       |SELECT vec_id, label, dist_r, cutoff_r
+       |FROM dist JOIN cuts ON label = cl
+       |WHERE dist_r > cutoff_r
+       |ORDER BY vec_id""".stripMargin
+
   val embNormStats: String =
     s"""WITH $normCte
        |SELECT label, COUNT(*) AS n,

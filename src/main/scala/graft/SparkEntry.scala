@@ -171,6 +171,9 @@ object SparkEntry {
     "text_bpe_pairs"       -> q(TextOps.textBpePairs(_)),
     "doc_length_profile"   -> q(TextOps.docLengthProfile),
     "ev_rfm"               -> q(EventOps.evRfm(_, ordered = true)),
+    "ev_active_users"      -> q(EventOps.evActiveUsers),
+    "ev_interarrival"      -> q(EventOps.evInterarrival),
+    "emb_outliers"         -> q(Similarity.embOutliers(_, ordered = true)),
     "text_hapax"           -> q(TextOps.textHapax),
     "doc_template_prefix"  -> q(TextOps.docTemplatePrefix(_, ordered = true)),
     "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
@@ -1044,6 +1047,43 @@ object SparkEntry {
         |  'R' || r_b || 'F' || f_b || 'M' || m_b AS segment
         |FROM b ORDER BY user_id""".stripMargin,
 
+    "ev_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dn FROM events),
+        |b AS (SELECT MIN(dn) AS lo, MAX(dn) AS hi FROM ud),
+        |days AS (SELECT unnest(range(lo, hi + 1)) AS dn FROM b),
+        |dau AS (SELECT dn AS d1, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT td, COUNT(*) AS wau FROM (
+        |  SELECT DISTINCT user_id, dn + k AS td FROM ud, (SELECT unnest(range(0, 7)) AS k))
+        |  GROUP BY td),
+        |mau AS (SELECT td, COUNT(*) AS mau FROM (
+        |  SELECT DISTINCT user_id, dn + k AS td FROM ud, (SELECT unnest(range(0, 30)) AS k))
+        |  GROUP BY td)
+        |SELECT make_timestamp(days.dn * 86400000000) AS day,
+        |  COALESCE(dau, 0) AS dau, COALESCE(wau, 0) AS wau, COALESCE(mau, 0) AS mau,
+        |  CASE WHEN COALESCE(mau, 0) > 0 THEN
+        |    floor((CAST(COALESCE(dau, 0) AS DOUBLE) / CAST(mau AS DOUBLE))*1000000 + 0.5)/1000000
+        |  END AS stickiness_r
+        |FROM days
+        |LEFT JOIN dau ON days.dn = d1
+        |LEFT JOIN wau ON days.dn = wau.td
+        |LEFT JOIN mau ON days.dn = mau.td
+        |ORDER BY day""".stripMargin,
+
+    "ev_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(floor((epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w)) / 1000000.0) AS BIGINT) AS gap_sec
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  floor((CAST(SUM(gap_sec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS avg_gap_r,
+        |  floor(quantile_cont(gap_sec, 0.5)*10000 + 0.5)/10000 AS gap_p50,
+        |  floor(quantile_cont(gap_sec, 0.9)*10000 + 0.5)/10000 AS gap_p90,
+        |  floor(quantile_cont(gap_sec, 0.99)*10000 + 0.5)/10000 AS gap_p99
+        |FROM g WHERE gap_sec IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "ev_sliding_rate" ->
       """WITH e AS (SELECT event_type, (epoch_us(ts) // 900000000) * 900000000 AS f15 FROM events),
         |w AS (SELECT event_type, make_timestamp(f15 - CAST(k AS BIGINT)*900000000) AS win_start
@@ -1095,6 +1135,7 @@ object SparkEntry {
     "ann_knn_graph"         -> OracleSqlGen.annKnnGraph(3, 128),
     "ann_label_knn"         -> OracleSqlGen.annLabelKnn(5, 128),
     "emb_centroid_dist"     -> OracleSqlGen.embCentroidDist,
+    "emb_outliers"          -> OracleSqlGen.embOutliers,
     "ann_recall_eval"       -> OracleSqlGen.annRecallEval(3),
     "emb_knn_clusters"      -> OracleSqlGen.embKnnClusters(3, 128, 0.6),
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),

@@ -608,6 +608,72 @@ object EventOps {
       .limit(k)
   }
 
+  /** A44: DAU/WAU/MAU active-user rollup — per day, distinct users
+    * active that day / in the trailing 7 / trailing 30 days, plus the
+    * DAU/MAU stickiness ratio. The corpus collapses to the DISTINCT
+    * (user, day) relation first (calendar-bounded: users × days, NOT
+    * event volume — the same vocabulary-collapse trick as E38); the
+    * trailing windows are a ×7 / ×30 narrow explode of that bounded
+    * relation, re-distinct'ed, then counted — no count-distinct over
+    * raw events, no 30-day range self-join. Day arithmetic is integer
+    * (µs div 86400e6) so both engines bucket identically.
+    */
+  def evActiveUsers(t: Tables): DataFrame = {
+    val ud = t.events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("dn"))
+      .distinct()
+    val bounds = ud.agg(min(col("dn")).as("lo"), max(col("dn")).as("hi"))
+    val days = bounds.select(explode(sequence(col("lo"), col("hi"))).as("dn"))
+    def trailing(daysBack: Int, alias: String): DataFrame =
+      ud.select(col("user_id"),
+          explode(sequence(col("dn"), col("dn") + lit(daysBack.toLong))).as("td"))
+        .distinct()
+        .groupBy(col("td")).agg(count(lit(1)).as(alias))
+    val dau = ud.groupBy(col("dn").as("d1")).agg(count(lit(1)).as("dau"))
+    val wau = trailing(6, "wau")
+    val mau = trailing(29, "mau")
+    days
+      .join(dau, col("dn") === col("d1"), "left")
+      .join(wau, col("dn") === wau("td"), "left")
+      .join(mau, col("dn") === mau("td"), "left")
+      .select(
+        timestamp_seconds(col("dn") * lit(86400L)).as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .withColumn("stickiness_r",
+        when(col("mau") > 0L,
+          r6(col("dau").cast("double") / col("mau").cast("double"))))
+      .orderBy(col("day"))
+  }
+
+  /** A45: inter-arrival profile — time since the user's previous
+    * event, grouped by the type of the CURRENT event ("how long do
+    * users pause before a purchase vs an error"). The lag rides the
+    * user-keyed window (corpus-cardinality key — never a per-type
+    * window, which would funnel each type through one task); gaps are
+    * exact integer seconds; percentiles follow B11's exact convention
+    * with B24's sketch as the 100 TB swap-in.
+    */
+  def evInterarrival(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_sec",
+        ((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))) /
+          lit(1000000L)).cast("long"))
+      .filter(col("gap_sec").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        r6(sum(col("gap_sec")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_gap_r"),
+        r4(expr("percentile(gap_sec, 0.5)")).as("gap_p50"),
+        r4(expr("percentile(gap_sec, 0.9)")).as("gap_p90"),
+        r4(expr("percentile(gap_sec, 0.99)")).as("gap_p99"))
+      .orderBy(col("event_type"))
+  }
+
   /** A41: RFM segmentation — per-user recency (seconds behind the
     * corpus frontier), frequency, monetary (exact decimal-routed value
     * sum), each bucketed into quartiles. Quartile CUTOFFS come from one

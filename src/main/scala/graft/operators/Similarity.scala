@@ -915,4 +915,23 @@ object Similarity {
           (col("dst_label") === col("src_label")).cast("int").as("is_correct")),
       ordered)(col("src"))
   }
+
+  /** D18: embedding outliers — vectors beyond their label's p95
+    * centroid distance (the mislabeled/corrupt-embedding sweep run
+    * before training on a labeled embedding set). Builds on D16's
+    * exact distance relation; the per-label cutoff is a #labels-row
+    * aggregate broadcast back — no per-label window, no second scan of
+    * the embedding table. Cutoffs r4-rounded on both engines so an
+    * interpolation ulp can't flip a boundary vector.
+    */
+  def embOutliers(t: Tables, pct: Double = 0.95, ordered: Boolean = false): DataFrame = {
+    val d = embCentroidDist(t)
+    val cuts = d.groupBy(col("label").as("cl"))
+      .agg(r4(expr(s"percentile(dist_r, $pct)")).as("cutoff_r"))
+    maybeSort(
+      d.join(broadcast(cuts), col("label") === col("cl"))
+        .filter(col("dist_r") > col("cutoff_r"))
+        .select(col("vec_id"), col("label"), col("dist_r"), col("cutoff_r")),
+      ordered)(col("vec_id"))
+  }
 }
