@@ -975,6 +975,42 @@ object OracleSqlGen {
        |FROM x JOIN cv ON x.label = cv.label
        |ORDER BY x.vec_id""".stripMargin
 
+  /** D19: integer-lattice PageRank over the D14 k-NN graph, unrolled
+    * to `iters` CTE levels. Every step is BIGINT floor division on the
+    * 1e-12 lattice — the recursion is exact, so the oracle equality is
+    * bit-level with zero float drift across iterations.
+    */
+  def annPagerank(iters: Int, k: Int, bucketCap: Int): String = {
+    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+    val levels = (1 to iters).map { i =>
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""f$i AS (SELECT ed.dst, CAST(SUM((85 * p.pr) // (100 * ed.outdeg)) AS BIGINT) AS inflow
+         |  FROM ed JOIN $prev p ON ed.src = p.vec_id GROUP BY ed.dst),
+         |p$i AS (SELECT emb.vec_id,
+         |  (15 * (1000000000000 // nn.n)) // 100 + COALESCE(f$i.inflow, 0) AS pr
+         |  FROM embeddings emb CROSS JOIN nn LEFT JOIN f$i ON emb.vec_id = f$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $normCte,
+       |nb AS (SELECT vec_id, v, n2, ${bucketExprAt(0)} AS bucket FROM n),
+       |corpus AS (SELECT vec_id, v, n2, bucket FROM (
+       |  SELECT vec_id, v, n2, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS pn
+       |  FROM nb) WHERE pn <= $bucketCap),
+       |sc AS (SELECT s.vec_id AS src, c.vec_id AS dst,
+       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM nb s JOIN corpus c ON c.bucket = s.bucket AND c.vec_id <> s.vec_id),
+       |kn AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rank
+       |  FROM sc) WHERE rank <= $k),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM kn GROUP BY src),
+       |ed AS (SELECT kn.src, kn.dst, deg.outdeg FROM kn JOIN deg USING (src)),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |p0 AS (SELECT vec_id, 1000000000000 // nn.n AS pr FROM embeddings CROSS JOIN nn),
+       |$levels
+       |SELECT vec_id, CAST(pr AS BIGINT) AS pr_e12 FROM p$iters ORDER BY vec_id""".stripMargin
+  }
+
   /** D18: outliers past the label's r4-rounded p95 centroid distance;
     * the distance relation is D16's verbatim, nested as a subquery.
     */

@@ -174,6 +174,7 @@ object SparkEntry {
     "ev_active_users"      -> q(EventOps.evActiveUsers),
     "ev_interarrival"      -> q(EventOps.evInterarrival),
     "emb_outliers"         -> q(Similarity.embOutliers(_, ordered = true)),
+    "ann_pagerank"         -> q(Similarity.annPagerank(_, ordered = true)),
     "text_hapax"           -> q(TextOps.textHapax),
     "doc_template_prefix"  -> q(TextOps.docTemplatePrefix(_, ordered = true)),
     "doc_split"            -> q(TextOps.docSplit(_, ordered = true)),
@@ -1136,6 +1137,7 @@ object SparkEntry {
     "ann_label_knn"         -> OracleSqlGen.annLabelKnn(5, 128),
     "emb_centroid_dist"     -> OracleSqlGen.embCentroidDist,
     "emb_outliers"          -> OracleSqlGen.embOutliers,
+    "ann_pagerank"          -> OracleSqlGen.annPagerank(3, 3, 128),
     "ann_recall_eval"       -> OracleSqlGen.annRecallEval(3),
     "emb_knn_clusters"      -> OracleSqlGen.embKnnClusters(3, 128, 0.6),
     "doc_ngram_jaccard_capped" -> OracleSqlGen.docNgramJaccardCapped(100),

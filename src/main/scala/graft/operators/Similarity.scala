@@ -924,6 +924,48 @@ object Similarity {
     * the embedding table. Cutoffs r4-rounded on both engines so an
     * interpolation ulp can't flip a boundary vector.
     */
+  /** D19: PageRank over the k-NN graph — centrality on the embedding
+    * neighborhood graph (hub documents / prototypical vectors surface
+    * at the top; isolates decay toward the teleport floor). The
+    * iterative-join shape IS the Spark pattern for graph algorithms at
+    * scale: each of the `iters` rounds is one src-keyed equi-join of
+    * the (persisted, src-partitioned) edge relation against the
+    * current rank vector plus one dst-keyed aggregate — no
+    * whole-graph state on any single node, unlike vertex-centric
+    * frameworks. Arithmetic is an exact integer 1e-12 lattice with
+    * floor division at every step (damping 0.85; dangling mass is
+    * dropped by declared semantics, so ranks sum to < 1), which makes
+    * the recursion bit-reproducible on both engines — no accumulated
+    * float drift across iterations.
+    */
+  def annPagerank(t: Tables, iters: Int = 3, k: Int = 3, bits: Int = 8,
+      bucketCap: Int = 128, ordered: Boolean = false): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges0 = knnEdges(t, k, bits, bucketCap).select(col("src"), col("dst"))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    edges0.count() // materialize once before the iteration fan-out
+    try {
+      val outdeg = edges0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val edges = edges0.join(outdeg, "src")
+      val nodes = t.embeddings.select(col("vec_id"))
+      val nRow = nodes.agg(count(lit(1)).as("n"))
+      var ranks = nodes.crossJoin(broadcast(nRow))
+        .select(col("vec_id"), expr("CAST(1000000000000 AS BIGINT) div n").as("pr"))
+      for (_ <- 1 to iters) {
+        val inflow = edges.join(ranks, edges("src") === ranks("vec_id"))
+          .select(col("dst"), expr("(85 * pr) div (100 * outdeg)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        ranks = nodes.crossJoin(broadcast(nRow))
+          .join(inflow, nodes("vec_id") === inflow("dst"), "left")
+          .select(nodes("vec_id"),
+            (expr("(15 * (CAST(1000000000000 AS BIGINT) div n)) div 100") +
+              coalesce(col("inflow"), lit(0L))).as("pr"))
+      }
+      maybeSort(ranks.select(col("vec_id"), col("pr").as("pr_e12"))
+        .localCheckpoint(true), ordered)(col("vec_id"))
+    } finally edges0.unpersist(true)
+  }
+
   def embOutliers(t: Tables, pct: Double = 0.95, ordered: Boolean = false): DataFrame = {
     val d = embCentroidDist(t)
     val cuts = d.groupBy(col("label").as("cl"))

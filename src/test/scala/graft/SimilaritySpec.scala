@@ -393,4 +393,20 @@ class SimilaritySpec extends SparkSpec {
     for ((src, exp) <- expected)
       assert(got(src) == exp, s"src=$src got=${got(src)} expected=$exp")
   }
+
+  test("pagerank: every node covered, floor respected, mass bounded, inflow lifts rank") {
+    val n = tables.embeddings.count()
+    val ranks = Similarity.annPagerank(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == n, "one rank per vector, isolates included")
+    val floor = 15L * (1000000000000L / n) / 100L
+    assert(ranks.values.forall(_ >= floor), "teleport floor is the minimum")
+    // dangling mass is dropped by declared semantics: total ≤ 1 (1e12)
+    assert(ranks.values.sum <= 1000000000000L, s"mass=${ranks.values.sum}")
+    // a node with in-edges must outrank a pure isolate (floor holder)
+    val indeg = Similarity.annKnnGraph(tables).collect()
+      .groupBy(_.getLong(2)).view.mapValues(_.length).toMap
+    val topIn = indeg.maxBy(_._2)._1
+    assert(ranks(topIn) > floor, "max-in-degree node must sit above the floor")
+  }
 }
