@@ -745,6 +745,19 @@ object OracleSqlGen {
     s"""WITH ${cellCte(nCenters)}
        |SELECT vec_id, label, cell, dist2_r FROM asg ORDER BY vec_id""".stripMargin
 
+  /** D20: Lloyd update — per (cell, dim) micro-lattice mean of the
+    * assigned vectors (0-based dim to match posexplode).
+    */
+  def embKmeansUpdate(nCenters: Int): String =
+    s"""WITH ${cellCte(nCenters)},
+       |vm AS (SELECT cell, [CAST(floor(x*1000000.0 + 0.5) AS BIGINT) for x in v] AS vm FROM asg),
+       |dd AS (SELECT cell, unnest(range(1, len(vm)+1)) AS dim, vm FROM vm),
+       |ex AS (SELECT cell, CAST(dim - 1 AS BIGINT) AS dim, vm[CAST(dim AS INTEGER)] AS xm FROM dd)
+       |SELECT cell, dim, COUNT(*) AS n_assigned,
+       |  floor((CAST(SUM(xm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0)*1000000 + 0.5)/1000000 AS coord_r
+       |FROM ex GROUP BY cell, dim
+       |ORDER BY cell, dim""".stripMargin
+
   /** SemDeDup: in-cell cosine pairs; a vector is dropped iff a
     * same-cell partner with a smaller vec_id matches at >= threshold.
     */

@@ -314,6 +314,30 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cell"), col("dist2_r")),
     ordered)(col("vec_id"))
 
+  /** D20: one Lloyd update round — the k-means TRAINING step paired
+    * with D7's assignment: per (cell, dim), the exact micro-lattice
+    * mean of the vectors assigned to that cell (the new centroid
+    * coordinate). Assignment is D7's shuffle-free literal-centers
+    * pass; the update is ONE (cell, dim)-keyed aggregate over the
+    * ×dim narrow posexplode — integer sums on the 1e-6 lattice, so
+    * the mean is order-independent and oracle-exact. Iterating
+    * assignment → update → re-literalize IS distributed Lloyd at
+    * 100 TB: per-round cost is a map pass plus a nCenters·dim-row
+    * aggregate, with the quantizer persisted between rounds via G15.
+    */
+  def embKmeansUpdate(t: Tables, nCenters: Int = 8,
+      ordered: Boolean = false): DataFrame = maybeSort(
+    withCell(withNorm(t.embeddings), hashCenters(t, nCenters))
+      .select(col("cell"),
+        expr("transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))").as("vm"))
+      .select(col("cell"), posexplode(col("vm")).as(Seq("dim", "xm")))
+      .groupBy(col("cell"), col("dim").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        r6(sum(col("xm")).cast("double") / count(lit(1)).cast("double") /
+          lit(1e6)).as("coord_r")),
+    ordered)(col("cell"), col("dim"))
+
   /** D8: product-quantization codes — each vector split into `m`
     * subvectors, each assigned the nearest entry of its sub-codebook
     * (subvector slices of the hash-selected center vectors — the
