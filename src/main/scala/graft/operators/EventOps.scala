@@ -619,32 +619,42 @@ object EventOps {
     * (µs div 86400e6) so both engines bucket identically.
     */
   def evActiveUsers(t: Tables): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // ONE events scan: the distinct (user, day) relation is persisted
+    // and every rollup (bounds, DAU, trailing windows) derives from it
+    // — without this, Catalyst re-expands the lineage and the 100 TB
+    // events table is scanned once per consumer (PlanSpec pins ≤1)
     val ud = t.events
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("dn"))
       .distinct()
-    val bounds = ud.agg(min(col("dn")).as("lo"), max(col("dn")).as("hi"))
-    val days = bounds.select(explode(sequence(col("lo"), col("hi"))).as("dn"))
-    def trailing(daysBack: Int, alias: String): DataFrame =
-      ud.select(col("user_id"),
-          explode(sequence(col("dn"), col("dn") + lit(daysBack.toLong))).as("td"))
-        .distinct()
-        .groupBy(col("td")).agg(count(lit(1)).as(alias))
-    val dau = ud.groupBy(col("dn").as("d1")).agg(count(lit(1)).as("dau"))
-    val wau = trailing(6, "wau")
-    val mau = trailing(29, "mau")
-    days
-      .join(dau, col("dn") === col("d1"), "left")
-      .join(wau, col("dn") === wau("td"), "left")
-      .join(mau, col("dn") === mau("td"), "left")
-      .select(
-        timestamp_seconds(col("dn") * lit(86400L)).as("day"),
-        coalesce(col("dau"), lit(0L)).as("dau"),
-        coalesce(col("wau"), lit(0L)).as("wau"),
-        coalesce(col("mau"), lit(0L)).as("mau"))
-      .withColumn("stickiness_r",
-        when(col("mau") > 0L,
-          r6(col("dau").cast("double") / col("mau").cast("double"))))
-      .orderBy(col("day"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ud.count() // materialize before the 4-way fan-out
+    try {
+      val bounds = ud.agg(min(col("dn")).as("lo"), max(col("dn")).as("hi"))
+      val days = bounds.select(explode(sequence(col("lo"), col("hi"))).as("dn"))
+      def trailing(daysBack: Int, alias: String): DataFrame =
+        ud.select(col("user_id"),
+            explode(sequence(col("dn"), col("dn") + lit(daysBack.toLong))).as("td"))
+          .distinct()
+          .groupBy(col("td")).agg(count(lit(1)).as(alias))
+      val dau = ud.groupBy(col("dn").as("d1")).agg(count(lit(1)).as("dau"))
+      val wau = trailing(6, "wau")
+      val mau = trailing(29, "mau")
+      days
+        .join(dau, col("dn") === col("d1"), "left")
+        .join(wau, col("dn") === wau("td"), "left")
+        .join(mau, col("dn") === mau("td"), "left")
+        .select(
+          timestamp_seconds(col("dn") * lit(86400L)).as("day"),
+          coalesce(col("dau"), lit(0L)).as("dau"),
+          coalesce(col("wau"), lit(0L)).as("wau"),
+          coalesce(col("mau"), lit(0L)).as("mau"))
+        .withColumn("stickiness_r",
+          when(col("mau") > 0L,
+            r6(col("dau").cast("double") / col("mau").cast("double"))))
+        .orderBy(col("day"))
+        .localCheckpoint(true)
+    } finally ud.unpersist(true)
   }
 
   /** A45: inter-arrival profile — time since the user's previous

@@ -31,6 +31,35 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, "all four dims broadcast")
   }
 
+  test("market share: every dimension leg broadcast — lineitem ⋈ orders is the only shuffle join") {
+    val p = plan(Analytics.qMarketShare(tables))
+    assert(!p.contains("CartesianProduct"))
+    // part, supplier→nation, customer→nation→region all arrive broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      "dimension legs must broadcast: " + p.take(400))
+  }
+
+  test("revenue delta: all three range predicates reach the parquet scan") {
+    val p = plan(Analytics.qRevenueDelta(tables))
+    assert(p.contains("PushedFilters"), p.take(300))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(p.contains(c), s"$c filter must push down")
+    }
+  }
+
+  test("active users: rollups ride the persisted user-day relation — no parquet scan in the served plan") {
+    // DAU/WAU/MAU all derive from one persisted distinct (user, day)
+    // child; the result is eagerly checkpointed, so the served plan
+    // must carry ZERO parquet scans — if events leaked into the final
+    // lineage (the 7-scans-of-a-100TB-table bug this law caught), a
+    // Scan parquet node would appear here
+    val df = EventOps.evActiveUsers(tables)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet"),
+      "served plan must read the checkpoint, not re-derive from events: " + p.take(300))
+  }
+
   test("asof enrich: custom exec planned with co-partitioned sorted children") {
     val p = plan(EventOps.evAsofEnrich(tables))
     assert(p.contains("AsOfJoin"), p.take(400))
