@@ -506,6 +506,24 @@ object OracleSqlGen {
        |WHERE CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** F8: hamming histogram over the banded pair relation, zero-filled
+    * 0..maxHamming.
+    */
+  def mmPhashHammingHist(maxHamming: Int): String =
+    s"""WITH $dhashCtes,
+       |ch AS (SELECT doc_id, phash, j, (phash >> (15*j)) & 32767 AS chunk_val
+       |  FROM ph, (SELECT unnest([0,1,2,3]) AS j)),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+       |  FROM ch a JOIN ch b ON a.j = b.j AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |  WHERE CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) <= $maxHamming),
+       |grid AS (SELECT unnest(range(0, ${maxHamming + 1})) AS hamming),
+       |c AS (SELECT hamming, COUNT(*) AS n FROM p GROUP BY 1)
+       |SELECT CAST(grid.hamming AS BIGINT) AS hamming,
+       |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_pairs
+       |FROM grid LEFT JOIN c ON grid.hamming = c.hamming
+       |ORDER BY hamming""".stripMargin
+
   /** F7: incremental perceptual dedup — batch (id ≡ 0 mod `mod`)
     * probes the chunk index; best partner = (hamming, db) argmin over
     * qualifying base/earlier-batch partners.

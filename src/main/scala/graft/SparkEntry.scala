@@ -174,6 +174,7 @@ object SparkEntry {
     "ev_rfm"               -> q(EventOps.evRfm(_, ordered = true)),
     "ev_active_users"      -> q(EventOps.evActiveUsers),
     "ev_interarrival"      -> q(EventOps.evInterarrival),
+    "ev_seasonality"       -> q(EventOps.evSeasonality),
     "emb_outliers"         -> q(Similarity.embOutliers(_, ordered = true)),
     "ann_pagerank"         -> q(Similarity.annPagerank(_, ordered = true)),
     "text_hapax"           -> q(TextOps.textHapax),
@@ -192,6 +193,7 @@ object SparkEntry {
     "mm_exact_dedup"       -> q(Multimodal.mmExactDedup(_, ordered = true)),
     "mm_phash"             -> q(Multimodal.mmPhash(_, ordered = true)),
     "mm_phash_pairs"       -> q(Multimodal.mmPhashPairs(_, ordered = true)),
+    "mm_phash_hamming_hist" -> q(Multimodal.mmPhashHammingHist(_)),
     "mm_phash_incremental" -> q(Multimodal.mmPhashIncremental(_, ordered = true)),
     "mm_frame_dedup"       -> q(Multimodal.mmFrameDedup(_, ordered = true)),
     "mm_phash_clusters"    -> q(Multimodal.mmPhashClusters(_, ordered = true)),
@@ -1049,6 +1051,18 @@ object SparkEntry {
         |  'R' || r_b || 'F' || f_b || 'M' || m_b AS segment
         |FROM b ORDER BY user_id""".stripMargin,
 
+    "ev_seasonality" ->
+      """WITH cells AS (
+        |  SELECT ((epoch_us(ts) // 86400000000 + 3) % 7) + 1 AS iso_dow,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM cells)
+        |SELECT iso_dow, hour_of_day, n_events,
+        |  floor((CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE))*1000000 + 0.5)/1000000 AS share_r
+        |FROM cells, t
+        |ORDER BY iso_dow, hour_of_day""".stripMargin,
+
     "ev_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dn FROM events),
         |b AS (SELECT MIN(dn) AS lo, MAX(dn) AS hi FROM ud),
@@ -1242,6 +1256,7 @@ object SparkEntry {
     "mm_binary_meta"        -> OracleSqlGen.mmBinaryMeta,
     "mm_phash"              -> OracleSqlGen.mmPhash,
     "mm_phash_pairs"        -> OracleSqlGen.mmPhashPairs(4),
+    "mm_phash_hamming_hist" -> OracleSqlGen.mmPhashHammingHist(8),
     "mm_phash_incremental"  -> OracleSqlGen.mmPhashIncremental(5, 4),
     "mm_frame_dedup" ->
       """WITH f AS (SELECT doc_id, md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5

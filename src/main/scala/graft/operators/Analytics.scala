@@ -775,7 +775,7 @@ object Analytics {
       .orderBy($("c_mktsegment"))
   }
 
-  /** B37: forecast-revenue delta (TPC-H Q6 shape) — single-table scan
+  /** B38: forecast-revenue delta (TPC-H Q6 shape) — single-table scan
     * with three conjunctive range predicates and one global sum. The
     * whole WHERE pushes to the parquet scan (`PushedFilters` carries
     * all three ranges); at 100 TB this is the canonical
@@ -795,7 +795,7 @@ object Analytics {
       .agg(psum($("l_extendedprice") * $("l_discount")).as("revenue"),
         count(lit(1)).as("n_lines"))
 
-  /** B38: national market share (TPC-H Q8 shape) — the target nation's
+  /** B39: national market share (TPC-H Q8 shape) — the target nation's
     * share of a region's revenue for one product type, by order year.
     * All four dimension legs (part filtered to the type, supplier →
     * nation for the share flag, customer → nation → region for the
@@ -834,7 +834,7 @@ object Analytics {
       .orderBy($("o_year"))
   }
 
-  /** B39: top supplier by quarterly revenue (TPC-H Q15 shape) — the
+  /** B40: top supplier by quarterly revenue (TPC-H Q15 shape) — the
     * per-supplier revenue aggregate reused twice: once for its global
     * max (1 row, broadcast back) and once as the join probe. The
     * window-over-empty-partition alternative (`max() OVER ()`) funnels
@@ -857,7 +857,7 @@ object Analytics {
       .orderBy($("s_suppkey"))
   }
 
-  /** B40: small-quantity-order revenue (TPC-H Q17 shape) — lines whose
+  /** B41: small-quantity-order revenue (TPC-H Q17 shape) — lines whose
     * quantity is under 20% of their part's average, for one brand.
     * The per-part average is computed on the brand-filtered lineitem
     * subset (brand filter FIRST — computing averages for all parts and

@@ -684,6 +684,28 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** A46: seasonality profile — event volume by (ISO day-of-week ×
+    * hour-of-day) with the within-week share (the load-shape relation
+    * capacity planning and anomaly baselines read). Both keys are
+    * INTEGER arithmetic on the µs epoch (day 0 = 1970-01-01 =
+    * Thursday ⇒ iso_dow = ((dn+3) mod 7)+1) — no engine-specific
+    * dayofweek() conventions, no timezone surface. One scan into a
+    * ≤168-key aggregate.
+    */
+  def evSeasonality(t: Tables): DataFrame = {
+    val cells = t.events
+      .select(
+        expr("((unix_micros(ts) div 86400000000 + 3) % 7) + 1").as("iso_dow"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hour_of_day"))
+      .groupBy(col("iso_dow"), col("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"))
+    val total = cells.agg(sum(col("n_events")).as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("iso_dow"), col("hour_of_day"), col("n_events"),
+        r6(col("n_events").cast("double") / col("total").cast("double")).as("share_r"))
+      .orderBy(col("iso_dow"), col("hour_of_day"))
+  }
+
   /** A41: RFM segmentation — per-user recency (seconds behind the
     * corpus frontier), frequency, monetary (exact decimal-routed value
     * sum), each bucketed into quartiles. Quartile CUTOFFS come from one

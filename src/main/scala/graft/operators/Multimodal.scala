@@ -81,6 +81,23 @@ object Multimodal {
       ordered)(col("doc_a"), col("doc_b"))
   }
 
+  /** F8: hamming-distance histogram over the banded pair relation —
+    * the dataset-card that picks F6's dedup threshold (C19's ladder
+    * for media): per distance 0..maxHamming, how many
+    * pigeonhole-reachable pairs exist. Zero-filled from a tiny static
+    * grid so an empty distance reads as 0, not a missing row; cost is
+    * the F6 feeder + a ≤(maxHamming+1)-key rollup.
+    */
+  def mmPhashHammingHist(t: Tables, maxHamming: Int = 8): DataFrame = {
+    val hist = mmPhashPairs(t, maxHamming)
+      .groupBy(col("hamming").cast("long").as("h"))
+      .agg(count(lit(1)).as("n"))
+    t.spark.range(0, maxHamming + 1L).select(col("id").as("hamming"))
+      .join(hist, col("hamming") === col("h"), "left")
+      .select(col("hamming"), coalesce(col("n"), lit(0L)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
   /** F6c: perceptual near-dup CLUSTERS — pairs alone don't dedup a
     * media corpus; transitive groups do (a re-encode of a re-encode
     * pairs with both ancestors). F6b's banded pairs feed the C7

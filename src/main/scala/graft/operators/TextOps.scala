@@ -1238,7 +1238,7 @@ object TextOps {
       ordered)(col("doc_id"))
   }
 
-  /** E38: BPE pair statistics — frequency-weighted adjacent character
+  /** E40: BPE pair statistics — frequency-weighted adjacent character
     * pairs, the first iteration of byte-pair-encoding merge learning
     * (the tokenizer-fit step of a training pipeline). The corpus is
     * collapsed to its VOCABULARY first (one word-count aggregate), so
@@ -1262,7 +1262,7 @@ object TextOps {
       .orderBy(col("total").desc, col("pair").asc)
       .limit(topN)
 
-  /** E39: corpus length profile — the dataset-card relation for
+  /** E41: corpus length profile — the dataset-card relation for
     * sequence-length planning (chunk size, packing efficiency, padding
     * waste all derive from it): per (source, lang), document count,
     * mean chars, exact interpolated p50/p90 of both chars and
