@@ -170,6 +170,7 @@ object SparkEntry {
     "ev_cusum_changepoint" -> q(EventOps.evCusumChangepoint(_, ordered = true)), // rows-only: recursive scan, no SQL oracle (EventOpsSpec planted-shift law)
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
     "text_bpe_pairs"       -> q(TextOps.textBpePairs(_)),
+    "text_jsd_pairs"       -> q(TextOps.textJsdPairs(_)),
     "doc_length_profile"   -> q(TextOps.docLengthProfile),
     "ev_rfm"               -> q(EventOps.evRfm(_, ordered = true)),
     "ev_active_users"      -> q(EventOps.evActiveUsers),
@@ -990,6 +991,37 @@ object SparkEntry {
         |SELECT source, ns AS n_topv_tokens,
         |  floor((CAST(kl_micro AS DOUBLE) / 1000000.0 / CAST(ns + 500 AS DOUBLE))*1000000 + 0.5)/1000000 AS kl_r
         |FROM k ORDER BY source""".stripMargin,
+
+    "text_jsd_pairs" ->
+      """WITH st AS (SELECT source, token, COUNT(*) AS c
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |corpus AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cc FROM st GROUP BY 1
+        |  ORDER BY cc DESC, token ASC LIMIT 500),
+        |sources AS (SELECT DISTINCT source FROM documents),
+        |grid AS (SELECT s.source, t.token, COALESCE(st.c, 0) AS cs
+        |  FROM sources s CROSS JOIN corpus t
+        |  LEFT JOIN st ON st.source = s.source AND st.token = t.token),
+        |nsr AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM grid GROUP BY 1),
+        |g AS (SELECT grid.source, grid.token, grid.cs, nsr.ns
+        |  FROM grid JOIN nsr ON grid.source = nsr.source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b, a.token,
+        |    a.cs AS ca, a.ns AS na, b.cs AS cb, b.ns AS nb
+        |  FROM g a JOIN g b ON a.token = b.token AND a.source < b.source),
+        |x AS (SELECT source_a, source_b, na, nb, ca, cb,
+        |    CAST(floor(ln(CAST(ca + 1 AS DOUBLE) / CAST(na + 500 AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS lnpa_m,
+        |    CAST(floor(ln(CAST(cb + 1 AS DOUBLE) / CAST(nb + 500 AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS lnpb_m,
+        |    CAST(floor(ln(CAST((ca+1)*(nb+500) + (cb+1)*(na+500) AS DOUBLE)
+        |      / (2.0 * CAST(na + 500 AS DOUBLE) * CAST(nb + 500 AS DOUBLE)))*1000000 + 0.5) AS BIGINT) AS lnm_m
+        |  FROM p),
+        |k AS (SELECT source_a, source_b, na, nb,
+        |    CAST(SUM((ca + 1) * (lnpa_m - lnm_m)) AS BIGINT) AS sa,
+        |    CAST(SUM((cb + 1) * (lnpb_m - lnm_m)) AS BIGINT) AS sb
+        |  FROM x GROUP BY 1, 2, 3, 4)
+        |SELECT source_a, source_b,
+        |  floor(((CAST(sa AS DOUBLE) / CAST(na + 500 AS DOUBLE)
+        |    + CAST(sb AS DOUBLE) / CAST(nb + 500 AS DOUBLE)) / 2000000.0)*1000000 + 0.5)/1000000 AS jsd_r
+        |FROM k ORDER BY source_a, source_b""".stripMargin,
 
     "text_bpe_pairs" ->
       """WITH w AS (

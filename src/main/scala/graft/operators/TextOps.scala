@@ -1197,6 +1197,57 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** E42: pairwise Jensen–Shannon divergence between sources over the
+    * shared top-V vocabulary (add-one smoothed) — the symmetric,
+    * bounded [0, ln 2] source-similarity MATRIX mixture design reads
+    * (E37's KL is each source vs the corpus; this is source vs
+    * source, the input to clustering feeds or spotting redundant
+    * crawls). Same exact-arithmetic discipline as E37: ln's snap to
+    * the BIGINT micro-lattice, the mixture argument is a ratio of
+    * exact integers (< 2^53, so the double cast is exact), and the
+    * per-pair divergence sums are pure integer arithmetic with ONE
+    * deterministic double de-scale at the end. Grid volume is
+    * #sources² × V / 2 — sources and V are both bounded, so the
+    * pair explosion never tracks corpus size.
+    */
+  def textJsdPairs(t: Tables, topV: Int = 500): DataFrame = {
+    val v = lit(topV.toLong)
+    val st = t.documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val terms = st.groupBy(col("token")).agg(sum(col("c")).as("cc"))
+      .orderBy(col("cc").desc, col("token").asc).limit(topV)
+      .select(col("token"))
+    val sources = t.documents.select(col("source")).distinct()
+    val grid = sources.crossJoin(broadcast(terms))
+      .join(st, Seq("source", "token"), "left")
+      .select(col("source"), col("token"), coalesce(col("c"), lit(0L)).as("cs"))
+    val ns = grid.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val g = grid.join(broadcast(ns), "source")
+    val a = g.select(col("source").as("source_a"), col("token"),
+      col("cs").as("ca"), col("ns").as("na"))
+    val b = g.select(col("source").as("source_b"), col("token").as("token_b"),
+      col("cs").as("cb"), col("ns").as("nb"))
+    val denA = (col("na") + v).cast("double")
+    val denB = (col("nb") + v).cast("double")
+    val lnpa = floor(log((col("ca") + 1).cast("double") / denA) * 1e6 + 0.5).cast("long")
+    val lnpb = floor(log((col("cb") + 1).cast("double") / denB) * 1e6 + 0.5).cast("long")
+    val lnm = floor(log(
+      ((col("ca") + 1) * (col("nb") + v) + (col("cb") + 1) * (col("na") + v)).cast("double") /
+        (lit(2.0) * denA * denB)) * 1e6 + 0.5).cast("long")
+    a.join(b, col("token") === col("token_b") && col("source_a") < col("source_b"))
+      .withColumn("ta", (col("ca") + 1) * (lnpa - lnm))
+      .withColumn("tb", (col("cb") + 1) * (lnpb - lnm))
+      .groupBy(col("source_a"), col("source_b"), col("na"), col("nb"))
+      .agg(sum(col("ta")).as("sa"), sum(col("tb")).as("sb"))
+      .select(col("source_a"), col("source_b"),
+        r6((col("sa").cast("double") / (col("na") + v).cast("double") +
+          col("sb").cast("double") / (col("nb") + v).cast("double")) /
+          lit(2000000.0)).as("jsd_r"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** E38: per-source quality rollup — doc counts, mean E2 quality
     * score (6dp scores are decimal-exact, so the mean is
     * order-independent), and the below-threshold fraction (the

@@ -584,6 +584,35 @@ class TextAnalysisSpec extends SparkSpec {
       "all five docs are exact-unique; only the prefix detector groups the family")
   }
 
+  test("jsd pairs: bounded by ln 2, twins near 0, disjoint vocab near max, corpus matrix complete") {
+    import spark.implicits._
+    val ln2 = math.log(2.0)
+    // planted: twinA/twinB share one distribution; alien is vocab-disjoint
+    val mk = (src: String, body: String, id: Long) =>
+      (id, body, "en", src, body.length.toLong)
+    val docs = Seq(
+      mk("twinA", "aa bb cc dd " * 20, 1L), mk("twinB", "aa bb cc dd " * 20, 2L),
+      mk("alien", "xx yy zz ww " * 20, 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = graft.sources.Tables(spark, sfDir, docsOverride = Some(docs))
+    val jsd = TextOps.textJsdPairs(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(jsd.size == 3)
+    jsd.values.foreach(v => assert(v >= -1e-6 && v <= ln2 + 1e-6, s"out of [0, ln2]: $v"))
+    val twins = jsd(("twinA", "twinB"))
+    val far = jsd(("alien", "twinA"))
+    assert(twins < 0.01, s"identical distributions must be ~0, got $twins")
+    // add-V smoothing (V = 500 ≫ the 8-token planted vocab) compresses
+    // the scale, so the law is RELATIVE: disjoint sources must sit far
+    // above the twins, not near the un-smoothed ln 2 ceiling
+    assert(far > 50 * math.max(twins, 1e-9) && far > 0.05,
+      s"disjoint vocab must dominate the twin divergence, got far=$far twins=$twins")
+    // corpus matrix: one row per unordered source pair
+    val srcs = tables.documents.select("source").distinct().count()
+    val full = TextOps.textJsdPairs(tables).count()
+    assert(full == srcs * (srcs - 1) / 2, s"expected complete matrix, got $full")
+  }
+
   test("bpe pairs equal the brute-force frequency-weighted adjacent-pair counts") {
     import spark.implicits._
     val texts = Seq(
