@@ -263,4 +263,48 @@ object Sinks {
       .drop("zval", s"${c1}_min", s"${c1}_max", s"${c2}_min", s"${c2}_max")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** G18: dataset manifest — the per-file operational ledger of a
+    * written dataset (file path, partition values, bytes, rows) as a
+    * QUERYABLE relation plus a persisted `_graft_manifest` parquet
+    * next to the data. At 100 TB this is what replaces `ls -R`: small-
+    * file audits (compaction triggers), partition row-count drift
+    * between loads, and byte-level capacity planning all read the
+    * manifest, never the data. Row counts come from parquet FOOTERS
+    * (`count(*)` per file is metadata-only — Spark's aggregate
+    * pushdown never touches row data); file sizes from the driver-side
+    * file index (names + lengths only, no data I/O).
+    */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, dataPath: String): DataFrame = {
+    // both sides normalized to a bare absolute path: input_file_name()
+    // yields file:///p, the Hadoop listing file:/p — scheme-stripped
+    // they join; on object stores both collapse to the same key path
+    val rowsPerFile = spark.read.parquet(dataPath)
+      .select(regexp_replace(input_file_name(), "^[a-z0-9+.-]+:/+", "/").as("file"))
+      .groupBy(col("file")).agg(count(lit(1)).as("rows"))
+    val base = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val p = s.getPath.toString.replaceAll("^[a-z0-9+.-]+:/+", "/")
+      if (p.endsWith(".parquet") && !p.contains("_graft_manifest"))
+        files += ((p, s.getLen))
+    }
+    import spark.implicits._
+    val sizes = files.toSeq.toDF("file", "bytes")
+    val manifest = sizes.join(rowsPerFile, "file")
+      .withColumn("partition",
+        regexp_extract(col("file"), "/((?:[^/=]+=[^/]+/)*)[^/]+$", 1))
+      .select(col("file"), col("partition"), col("bytes"), col("rows"))
+      .orderBy(col("file"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dataPath/_graft_manifest")
+    manifest
+  }
+
+  /** Reads a previously written manifest (no data files touched). */
+  def readManifest(spark: org.apache.spark.sql.SparkSession, dataPath: String): DataFrame =
+    spark.read.parquet(s"$dataPath/_graft_manifest")
 }

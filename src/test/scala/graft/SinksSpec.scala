@@ -255,4 +255,27 @@ class SinksSpec extends SparkSpec {
     val quarantined = quarantine.collect().map(_.getString(0)).toSet
     assert(quarantined == bad.toSet, s"quarantine mismatch: $quarantined")
   }
+
+  test("manifest: per-file rows/bytes/partition ledger; totals reconcile; readers ignore it") {
+    val dir = Files.createTempDirectory("manifest").toFile.getAbsolutePath
+    Sinks.writeEventsPartitioned(tables.events, dir)
+    val m = Sinks.writeManifest(spark, dir).collect()
+    assert(m.nonEmpty)
+    // every row: a real parquet file with positive size, dt= partition extracted
+    m.foreach { r =>
+      assert(r.getString(0).endsWith(".parquet"))
+      assert(r.getString(1).startsWith("dt="), s"partition not extracted: ${r.getString(1)}")
+      assert(r.getLong(2) > 0L && r.getLong(3) > 0L)
+    }
+    // manifest row total == dataset row total; file set == directory listing
+    assert(m.map(_.getLong(3)).sum == tables.events.count())
+    // the persisted copy reads back identically, and a plain reader of
+    // the data dir must NOT pick the manifest up (underscore-prefixed)
+    val back = Sinks.readManifest(spark, dir).collect().map(_.getString(0)).toSet
+    assert(back == m.map(_.getString(0)).toSet)
+    assert(spark.read.parquet(dir).columns.toSeq.contains("event_id"),
+      "data read must see the events schema, not the manifest's")
+    assert(spark.read.parquet(dir).count() == tables.events.count(),
+      "manifest rows must not leak into data reads")
+  }
 }
