@@ -63,6 +63,34 @@ object OracleSqlGen {
        |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
        |$jaccardTail""".stripMargin
 
+  /** C21: measured LSH recall — exact pairs left-joined against the
+    * band-candidate relation, rolled up by Jaccard band.
+    */
+  val docLshRecall: String =
+    s"""WITH $gramCtes,
+       |$sigCte,
+       |band AS (SELECT doc_id, j,
+       |  CASE j WHEN 0 THEN ${bandConcat(0 until 4)}
+       |         WHEN 1 THEN ${bandConcat(4 until 8)}
+       |         WHEN 2 THEN ${bandConcat(8 until 12)}
+       |         ELSE ${bandConcat(12 until 16)} END AS band_val
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS j)),
+       |lcand AS (SELECT DISTINCT a.doc_id AS lca, b.doc_id AS lcb
+       |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |$jaccardCtes,
+       |exact AS ($jaccardSelect),
+       |jx AS (SELECT
+       |  CASE WHEN jaccard < 0.4 THEN 'low' WHEN jaccard < 0.7 THEN 'mid' ELSE 'high' END AS j_band,
+       |  CAST(lca IS NOT NULL AS BIGINT) AS found
+       |  FROM exact LEFT JOIN lcand ON doc_a = lca AND doc_b = lcb),
+       |k AS (SELECT j_band, COUNT(*) AS n_exact, CAST(SUM(found) AS BIGINT) AS n_found
+       |  FROM jx GROUP BY 1)
+       |SELECT j_band, n_exact, n_found,
+       |  floor((CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE))*1000000 + 0.5)/1000000 AS recall_r
+       |FROM k ORDER BY j_band""".stripMargin
+
   /** Estimator-vs-exact relation: agreement count over the 16
     * signature components next to the verified Jaccard, ALL LSH
     * candidates (no threshold; zero-overlap candidates keep jaccard 0

@@ -99,6 +99,7 @@ object SparkEntry {
     "doc_cross_source_dup" -> q(Dedup.docCrossSourceDup(_, ordered = true)),
     "ann_threshold_ladder" -> q(Dedup.annThresholdLadder(_)),
     "doc_lsh_tuning"       -> q(Dedup.docLshTuning(_)),
+    "doc_lsh_recall"       -> q(Dedup.docLshRecall(_)),
     "doc_dedup_keep_best"  -> q(Dedup.docDedupKeepBest(_, ordered = true)),
     "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_, ordered = true)),
     "doc_winnow_pairs"     -> q(Dedup.docWinnowPairs(_, ordered = true)),
@@ -939,6 +940,7 @@ object SparkEntry {
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,
     "doc_lsh_tuning"        -> OracleSqlGen.docLshTuning,
+    "doc_lsh_recall"        -> OracleSqlGen.docLshRecall,
     "doc_dedup_clusters"    -> OracleSqlGen.docDedupClusters,
     "doc_cluster_stats"     -> OracleSqlGen.docClusterStats,
     "doc_dedup_rate_by_threshold" -> OracleSqlGen.docDedupRateByThreshold(Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9)),

@@ -1115,6 +1115,45 @@ object Dedup {
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** C21: MEASURED LSH recall — the empirical companion to C20's
+    * analytic curve: of the exact near-dup pairs (C5's verified
+    * relation), what fraction does the deployed 4×4 banding actually
+    * surface as candidates, overall and split by Jaccard band
+    * (low/mid/high)? This is the go/no-go eval before trusting C3 on
+    * a 100 TB corpus: C20 predicts recall from the pair population,
+    * this measures it. One shared gram-set pass feeds both sides; the
+    * band-candidate relation left-joins the exact pairs (bounded by
+    * pair volume, not corpus²).
+    */
+  def docLshRecall(t: Tables, threshold: Double = 0.2): DataFrame =
+    withShared(gramSets(t), col("doc_id")) { sets =>
+      val exact = verifiedJaccard(sets,
+        prefixFilterCandidates(explodeSets(sets), threshold), threshold,
+        ordered = false)
+      val bands = minhashSigCols(explodeSets(sets)).select(col("doc_id"),
+        expr("""stack(4,
+          0, concat_ws(',', m0, m1, m2, m3),
+          1, concat_ws(',', m4, m5, m6, m7),
+          2, concat_ws(',', m8, m9, m10, m11),
+          3, concat_ws(',', m12, m13, m14, m15)) AS (band, band_val)"""))
+      val b2 = bands.select(col("doc_id").as("db"),
+        col("band").as("band2"), col("band_val").as("band_val2"))
+      val cands = bands.join(b2,
+          col("band") === col("band2") && col("band_val") === col("band_val2") &&
+            col("doc_id") < col("db"))
+        .select(col("doc_id").as("ca"), col("db").as("cb")).distinct()
+      val jband = when(col("jaccard") < 0.4, "low")
+        .when(col("jaccard") < 0.7, "mid").otherwise("high")
+      exact
+        .join(cands, col("doc_a") === col("ca") && col("doc_b") === col("cb"), "left")
+        .select(jband.as("j_band"), col("ca").isNotNull.cast("long").as("found"))
+        .groupBy(col("j_band"))
+        .agg(count(lit(1)).as("n_exact"), sum(col("found")).as("n_found"))
+        .withColumn("recall_r",
+          r6(col("n_found").cast("double") / col("n_exact").cast("double")))
+        .orderBy(col("j_band"))
+    }
+
   /** C20: LSH band-plan tuning curve — expected candidate recall of
     * every (bands b × rows-per-band r, b·r = 16) MinHash banding plan,
     * evaluated against the corpus's OWN verified near-dup pairs:
