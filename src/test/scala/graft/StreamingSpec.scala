@@ -101,6 +101,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming daily active users == batch DAU for every watermark-closed day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamDailyActive(input.toDS().toDF())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dau_out").start()
+    try {
+      eventsData.grouped((eventsData.size + 2) / 3).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      val lastTs = eventsData.map(_.ts).max
+      input.addData(Seq(Ev(999999L, lastTs.plusSeconds(864000), -1L, "sentinel")))
+      q.processAllAvailable()
+      val streamed = spark.table("dau_out").collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+      val batchDau = EventOps.evActiveUsers(tables).collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getLong(1))
+        .filter(_._2 > 0L).toMap
+      // the sentinel's own day appears in the stream; restrict to real days
+      val streamedReal = streamed.filter { case (d, _) => batchDau.contains(d) }
+      assert(streamedReal == batchDau,
+        s"stream≠batch: only-stream=${(streamedReal.toSet -- batchDau.toSet).take(3)} " +
+          s"only-batch=${(batchDau.toSet -- streamedReal.toSet).take(3)}")
+      // and nothing real was dropped: every batch day with activity closed
+      assert(batchDau.keySet.subsetOf(streamed.keySet))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys within watermark emit once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
