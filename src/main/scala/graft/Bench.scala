@@ -26,7 +26,10 @@ object Bench {
   private val Heavy =
     Set("doc_ngram_jaccard", "doc_dedup_clusters", "doc_ngram_jaccard_capped",
       "corpus_dedup_stats", "mm_phash_clusters", "doc_dedup_keep_best",
-      "doc_cluster_stats", "doc_dedup_rate_by_threshold")
+      "doc_cluster_stats", "doc_dedup_rate_by_threshold",
+      // round-8 additions that run the C5/C7 feeders or iterate joins
+      "doc_ngram_containment", "doc_lsh_tuning", "doc_lsh_recall",
+      "ann_pagerank")
 
   /** State-partition count for the streaming pipeline — a deploy
     * sizing knob, like shuffle partitions for batch: each micro-batch
@@ -178,11 +181,14 @@ object Bench {
     val sf1Expected = Map("doc_ngram_jaccard" -> 1.2, "doc_dedup_clusters" -> 1.2,
       "doc_embed_cosine_dup" -> 2.0, "doc_semdedup" -> 1.2,
       "doc_ngram_jaccard_capped" -> 1.2, "doc_ngram_containment" -> 1.2,
-      "ann_knn_graph" -> 1.8)
+      "ann_knn_graph" -> 1.8,
+      // C5-feeder composite (pair volume dominates) and the knn-edge
+      // build under PageRank (cap-transition decade, like ann_knn_graph)
+      "doc_lsh_tuning" -> 1.2, "ann_pagerank" -> 1.8)
     val HeavySf1 = Seq("doc_ngram_jaccard", "doc_dedup_clusters",
       "doc_embed_cosine_dup", "doc_semdedup",
       "doc_ngram_jaccard_capped", "doc_ngram_containment",
-      "ann_knn_graph")
+      "ann_knn_graph", "doc_lsh_tuning", "ann_pagerank")
     val sf1Secs: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SF1", "1") == "0") Map.empty
       else {
