@@ -53,7 +53,12 @@ object Bench {
     // parsed, not passed through: the emitted JSON interpolates this
     // unquoted as "cpus":N, so a non-numeric value (e.g. "*") must fail
     // here rather than emit malformed JSON downstream parsers choke on
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // default 8 (capped to the host): the r6–r8 steady-state numbers
+    // were all measured at local[8]; 4 threads doubles wall-clock on a
+    // 173-entry sweep and 32 regresses sub-second queries on overhead.
+    // The emitted JSON carries `cpus` so rounds stay comparable.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(8, Runtime.getRuntime.availableProcessors).toString).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -10,7 +10,11 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val nameFilter: String => Boolean =
       if (args.length > 2) _.contains(args(2)) else _ => true
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default scaled to the host (capped): the dump now covers ~175
+    // queries and a 4-thread default doubles the gate's wall-clock for
+    // no correctness benefit; SPARK_GRAFT_CPUS still overrides
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(8, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
