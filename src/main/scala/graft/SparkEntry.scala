@@ -177,6 +177,7 @@ object SparkEntry {
     "ev_active_users"      -> q(EventOps.evActiveUsers),
     "ev_interarrival"      -> q(EventOps.evInterarrival),
     "ev_seasonality"       -> q(EventOps.evSeasonality),
+    "ev_attribution"       -> q(EventOps.evAttribution(_)),
     "emb_outliers"         -> q(Similarity.embOutliers(_, ordered = true)),
     "ann_pagerank"         -> q(Similarity.annPagerank(_, ordered = true)),
     "text_hapax"           -> q(TextOps.textHapax),
@@ -1084,6 +1085,21 @@ object SparkEntry {
         |  CAST(r_b AS BIGINT) AS r_b, CAST(f_b AS BIGINT) AS f_b, CAST(m_b AS BIGINT) AS m_b,
         |  'R' || r_b || 'F' || f_b || 'M' || m_b AS segment
         |FROM b ORDER BY user_id""".stripMargin,
+
+    "ev_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS tts, event_type AS touch_type FROM events
+        |  WHERE event_type IN ('click', 'view', 'signup')),
+        |j AS (SELECT pid, touch_type FROM p JOIN t ON p.user_id = t.user_id
+        |  AND t.tts >= p.pts - INTERVAL 1 HOUR AND t.tts < p.pts),
+        |n AS (SELECT pid, COUNT(*) AS n_touch FROM j GROUP BY 1),
+        |c AS (SELECT j.touch_type, 1000000 // n.n_touch AS credit_micro
+        |  FROM j JOIN n ON j.pid = n.pid)
+        |SELECT touch_type, COUNT(*) AS n_touches,
+        |  CAST(SUM(credit_micro) AS BIGINT) AS credit_total_micro,
+        |  floor((CAST(SUM(credit_micro) AS DOUBLE) / 1000000.0)*1000000 + 0.5)/1000000 AS credit_r
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ev_seasonality" ->
       """WITH cells AS (

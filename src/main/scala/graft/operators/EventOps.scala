@@ -684,6 +684,35 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** A48: linear multi-touch attribution — every purchase splits one
+    * unit of credit equally across the user's touches (click / view /
+    * signup) in the preceding hour; rollup per touch type. Credit is
+    * an exact INTEGER micro-share (10⁶ div n_touches) so the rollup
+    * sum is order-independent — summing 1/n doubles would be
+    * association-dependent and engine-divergent. The purchase × touch
+    * interval join shuffles both sides on user_id once; per-user
+    * fan-out is rate × window bounded (at 100 TB, pre-bucketing both
+    * sides by (user, hour-bucket) keeps each task's probe local).
+    */
+  def evAttribution(t: Tables, windowHours: Long = 1): DataFrame = {
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val touch = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id").as("tu"), col("ts").as("tts"), col("event_type").as("touch_type"))
+    val j = p.join(touch, col("pu") === col("tu") &&
+        col("tts") >= col("pts") - expr(s"INTERVAL $windowHours HOUR") &&
+        col("tts") < col("pts"))
+      .select(col("pid"), col("touch_type"))
+    val n = j.groupBy(col("pid")).agg(count(lit(1)).as("n_touch"))
+    j.join(n, "pid")
+      .select(col("touch_type"), expr("1000000 div n_touch").as("credit_micro"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit_micro")).as("credit_total_micro"))
+      .withColumn("credit_r", r6(col("credit_total_micro").cast("double") / lit(1000000.0)))
+      .orderBy(col("touch_type"))
+  }
+
   /** A46: seasonality profile — event volume by (ISO day-of-week ×
     * hour-of-day) with the within-week share (the load-shape relation
     * capacity planning and anomaly baselines read). Both keys are
