@@ -75,6 +75,7 @@ object SparkEntry {
     "q_top_supplier"       -> q(Analytics.qTopSupplier),
     "q_small_qty_revenue"  -> q(Analytics.qSmallQtyRevenue),
     "ev_retention"         -> q(EventOps.evRetention),
+    "ev_cohort_ltv"        -> q(EventOps.evCohortLtv),
     "ev_state_transitions" -> q(EventOps.evStateTransitions(_, ordered = true)),
     "text_entropy"         -> q(TextOps.textEntropy(_, ordered = true)),
     "ev_gap_fill"          -> q(EventOps.evGapFill),
@@ -822,6 +823,20 @@ object SparkEntry {
         |FROM a JOIN c ON a.user_id = c.user_id
         |GROUP BY 1, 2
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "ev_cohort_ltv" ->
+      """WITH pud AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS dv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM pud GROUP BY 1),
+        |r AS (SELECT c.cohort_day, datediff('day', c.cohort_day, pud.day) AS day_offset,
+        |    COUNT(*) AS n_active, SUM(dv) AS vd
+        |  FROM pud JOIN c ON pud.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_active,
+        |  CAST(vd AS DOUBLE) AS day_value,
+        |  CAST(SUM(vd) OVER (PARTITION BY cohort_day ORDER BY day_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+        |FROM r ORDER BY cohort_day, day_offset""".stripMargin,
 
     "ev_state_transitions" ->
       """WITH s AS (SELECT event_type AS from_type,

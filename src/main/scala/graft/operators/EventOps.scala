@@ -431,6 +431,39 @@ object EventOps {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** A50: cohort lifetime value — A31's monetary cousin: users
+    * cohorted by first-active day; per (cohort, day offset) the
+    * decimal-exact value booked that day, the day's active users, and
+    * the cohort's CUMULATIVE value (the LTV curve growth teams read).
+    * Same scale shape as A31 — one user-keyed aggregate over the
+    * calendar-bounded (user, day, value) relation, cohort day from a
+    * window over that same relation (no corpus re-scan for the min),
+    * then a calendar²-bounded rollup; the running sum rides a window
+    * over THAT tiny relation, not the corpus.
+    */
+  def evCohortLtv(t: Tables): DataFrame = {
+    val perUserDay = t.events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("day_value_dec"))
+    val withCohort = perUserDay
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+    val rollup = withCohort
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(col("day_value_dec")).as("value_dec"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rollup
+      .withColumn("cum_value_dec", sum(col("value_dec")).over(w))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("value_dec").cast("double").as("day_value"),
+        col("cum_value_dec").cast("double").as("cum_value"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** A34: per-user state-transition matrix — for each user's event
     * sequence (ordered by ts, event_id), every consecutive
     * (event_type → next event_type) pair rolled up corpus-wide:
