@@ -131,6 +131,70 @@ object EventStreamJob {
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  /** Per-user attribution buffer: touches and purchases still inside
+    * the watermark, as (tsMicros, event_id, event_type) triples.
+    */
+  final case class AttrState(buf: Seq[(Long, Long, String)])
+
+  final case class AttrCredit(user_id: Long, purchase_id: Long,
+      touch_type: String, credit_micro: Long)
+
+  /** A48 ONLINE: linear multi-touch attribution as it becomes FINAL.
+    * A purchase's credit split is only correct once no touch can still
+    * arrive before it, so both sides buffer per user until the
+    * watermark passes the purchase — then its preceding-hour touches
+    * each emit an exact integer micro-share (10⁶ div n), the same
+    * arithmetic as the batch operator, so a downstream rollup equals
+    * `evAttribution` exactly. State per user: the ≤(window + delay)
+    * span of touches (a touch is evicted once no future purchase can
+    * reach back to it) plus unfinalized purchases — rate-bounded, not
+    * history. Event-time timeout flushes tails without waiting for
+    * the user's next arrival.
+    */
+  def streamAttribution(events: Dataset[Ev], windowHours: Long = 1,
+      watermarkDelay: String = "30 minutes"): Dataset[AttrCredit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowUs = windowHours * 3600L * 1000000L
+    val touchTypes = Set("click", "view", "signup")
+
+    def fn(user: Long, it: Iterator[Ev],
+        state: GroupState[AttrState]): Iterator[AttrCredit] = {
+      val st0 = state.getOption.getOrElse(AttrState(Nil))
+      val incoming = it
+        .filter(e => touchTypes(e.event_type) || e.event_type == "purchase")
+        .map(e => (ChronoUnit.MICROS.between(Instant.EPOCH, e.ts), e.event_id, e.event_type))
+        .toSeq
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val buf = (st0.buf ++ incoming).sortBy(x => (x._1, x._2))
+      val (donePurchases, rest) = buf.partition {
+        case (ts, _, tp) => tp == "purchase" && ts <= wmUs
+      }
+      val out = donePurchases.flatMap { case (pts, pid, _) =>
+        val touches = buf.filter { case (ts, _, tp) =>
+          touchTypes(tp) && ts >= pts - windowUs && ts < pts
+        }
+        val n = touches.size
+        touches.map { case (_, _, tp) => AttrCredit(user, pid, tp, 1000000L / n) }
+      }
+      // a touch is dead once even a watermark-boundary purchase can't
+      // reach back to it; unfinalized purchases stay whole
+      val keep = rest.filter {
+        case (ts, _, tp) => tp == "purchase" || ts + windowUs > wmUs
+      }
+      state.update(AttrState(keep))
+      val pendingPurchases = keep.collect { case (ts, _, "purchase") => ts }
+      if (pendingPurchases.nonEmpty)
+        state.setTimeoutTimestamp(pendingPurchases.min / 1000L + 1L)
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   final case class TtlState(lastEmitMicros: Long)
 
   /** A12: the reference's TTL cache as streaming state

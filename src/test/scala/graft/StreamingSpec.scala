@@ -101,6 +101,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution credits roll up to the exact batch attribution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamAttribution(input.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+    try {
+      eventsData.grouped((eventsData.size + 2) / 3).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      val lastTs = eventsData.map(_.ts).max
+      input.addData(Seq(Ev(999999L, lastTs.plusSeconds(864000), -1L, "sentinel")))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .groupBy($"touch_type")
+        .agg(count(lit(1)).as("n_touches"), sum($"credit_micro").as("credit_total_micro"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batch = EventOps.evAttribution(tables).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed == batch,
+        s"stream≠batch: streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming daily active users == batch DAU for every watermark-closed day") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
