@@ -791,6 +791,27 @@ object OracleSqlGen {
     s"""WITH ${cellCte(nCenters)}
        |SELECT vec_id, label, cell, dist2_r FROM asg ORDER BY vec_id""".stripMargin
 
+  /** D21: round-2 reassignment under the data-driven round-1 means —
+    * D20's update relation pivoted to per-cell center arrays, the same
+    * sequential-fold distance, argmin with ties to the lowest cell.
+    */
+  def embKmeansReassign(nCenters: Int): String =
+    s"""WITH ${cellCte(nCenters)},
+       |vm AS (SELECT cell, [CAST(floor(x*1000000.0 + 0.5) AS BIGINT) for x in v] AS vm FROM asg),
+       |dd AS (SELECT cell, unnest(range(1, len(vm)+1)) AS dim, vm FROM vm),
+       |ex AS (SELECT cell, CAST(dim - 1 AS BIGINT) AS dim, vm[CAST(dim AS INTEGER)] AS xm FROM dd),
+       |upd AS (SELECT cell, dim,
+       |  floor((CAST(SUM(xm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0)*1000000 + 0.5)/1000000 AS coord_r
+       |  FROM ex GROUP BY cell, dim),
+       |cvs AS (SELECT cell AS ncell, list(coord_r ORDER BY dim) AS cv FROM upd GROUP BY cell),
+       |sc AS (SELECT n.vec_id, n.label, cvs.ncell,
+       |  floor((n.n2 - 2.0*list_reduce([n.v[i]*cvs.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y)
+       |    + list_reduce([cvs.cv[i]*cvs.cv[i] for i in range(1, len(cvs.cv)+1)], (x,y) -> x+y))*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM n, cvs)
+       |SELECT vec_id, label, ncell AS cell, dist2_r FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, ncell) AS rn FROM sc)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   /** D20: Lloyd update — per (cell, dim) micro-lattice mean of the
     * assigned vectors (0-based dim to match posexplode).
     */

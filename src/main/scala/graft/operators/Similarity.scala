@@ -338,6 +338,36 @@ object Similarity {
           lit(1e6)).as("coord_r")),
     ordered)(col("cell"), col("dim"))
 
+  /** D21: Lloyd round-2 reassignment — every vector's nearest centroid
+    * among the DATA-DRIVEN round-1 means (D20's update relation), not
+    * the literal seed centers: the step that closes the full
+    * distributed k-means loop (D7 assign → D20 update → THIS reassign,
+    * iterable). Because the new centers exist only at runtime they
+    * broadcast as a #cells-row array relation (the D16 pattern) rather
+    * than compile-time literals; distance is the same exact
+    * ‖x‖²−2x·c+‖c‖² fold on both engines, r6'd with ties to the
+    * lowest cell. One narrow pass over the corpus × a broadcast of
+    * nCenters rows — no shuffle beyond D20's own aggregate.
+    */
+  def embKmeansReassign(t: Tables, nCenters: Int = 8,
+      ordered: Boolean = false): DataFrame = {
+    val newCenters = embKmeansUpdate(t, nCenters)
+      .groupBy(col("cell").as("ncell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("coord_r").as("c")))).as("cs"))
+      .select(col("ncell"), expr("transform(cs, s -> s.c)").as("cv"))
+    val scored = withNorm(t.embeddings)
+      .crossJoin(broadcast(newCenters))
+      .select(col("vec_id"), col("label"), col("ncell"),
+        r6(col("n2") - lit(2.0) * VectorExprs.dot(col("v"), col("cv")) +
+          VectorExprs.dot(col("cv"), col("cv"))).as("dist2_r"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2_r"), col("ncell"))
+    maybeSort(
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("ncell").as("cell"), col("dist2_r")),
+      ordered)(col("vec_id"))
+  }
+
   /** D8: product-quantization codes — each vector split into `m`
     * subvectors, each assigned the nearest entry of its sub-codebook
     * (subvector slices of the hash-selected center vectors — the
