@@ -180,6 +180,7 @@ object SparkEntry {
     "ev_interarrival"      -> q(EventOps.evInterarrival),
     "ev_seasonality"       -> q(EventOps.evSeasonality),
     "ev_attribution"       -> q(EventOps.evAttribution(_)),
+    "ev_slo_burn"          -> q(EventOps.evSloBurn(_)),
     "emb_outliers"         -> q(Similarity.embOutliers(_, ordered = true)),
     "ann_pagerank"         -> q(Similarity.annPagerank(_, ordered = true)),
     "text_hapax"           -> q(TextOps.textHapax),
@@ -1101,6 +1102,25 @@ object SparkEntry {
         |  CAST(r_b AS BIGINT) AS r_b, CAST(f_b AS BIGINT) AS f_b, CAST(m_b AS BIGINT) AS m_b,
         |  'R' || r_b || 'F' || f_b || 'M' || m_b AS segment
         |FROM b ORDER BY user_id""".stripMargin,
+
+    "ev_slo_burn" ->
+      """WITH fr AS (SELECT epoch_us(ts) // 900000000 AS f, COUNT(*) AS tot,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err
+        |  FROM events GROUP BY 1),
+        |w1 AS (SELECT tf, CAST(SUM(err) AS BIGINT) AS err_1h, CAST(SUM(tot) AS BIGINT) AS tot_1h
+        |  FROM (SELECT f + k AS tf, err, tot FROM fr, (SELECT unnest(range(0, 4)) AS k))
+        |  GROUP BY tf),
+        |w6 AS (SELECT tf, CAST(SUM(err) AS BIGINT) AS err_6h, CAST(SUM(tot) AS BIGINT) AS tot_6h
+        |  FROM (SELECT f + k AS tf, err, tot FROM fr, (SELECT unnest(range(0, 24)) AS k))
+        |  GROUP BY tf),
+        |b AS (SELECT fr.f, err_1h, tot_1h, err_6h, tot_6h,
+        |    floor(((CAST(err_1h AS DOUBLE) / CAST(tot_1h AS DOUBLE)) / 0.1)*1000000 + 0.5)/1000000 AS burn_1h_r,
+        |    floor(((CAST(err_6h AS DOUBLE) / CAST(tot_6h AS DOUBLE)) / 0.1)*1000000 + 0.5)/1000000 AS burn_6h_r
+        |  FROM fr JOIN w1 ON fr.f = w1.tf JOIN w6 ON fr.f = w6.tf)
+        |SELECT make_timestamp((f + 1) * 900000000) AS frame_end,
+        |  err_1h, tot_1h, burn_1h_r, err_6h, tot_6h, burn_6h_r,
+        |  (burn_1h_r > 2.0 AND burn_6h_r > 1.5) AS alert
+        |FROM b ORDER BY frame_end""".stripMargin,
 
     "ev_attribution" ->
       """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts FROM events

@@ -561,6 +561,46 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** A52: SLO multi-window burn rate — the SRE alerting relation: per
+    * 15-min frame, the error share over the trailing 1 h AND 6 h
+    * windows expressed as a multiple of the error budget, with the
+    * classic two-window alert (fast window confirms it's happening
+    * NOW, slow window confirms it's sustained — either alone
+    * false-positives). The corpus collapses to the frame relation
+    * first (calendar-bounded), trailing windows are ×4/×24 narrow
+    * explodes of THAT — the A44 pattern; no self-join, no
+    * range-window over raw events. Rates divide exact integer counts,
+    * r6'd, so the alert predicate is engine-deterministic.
+    */
+  def evSloBurn(t: Tables, budget: Double = 0.1): DataFrame = {
+    val frames = t.events
+      .select(expr("unix_micros(ts) div 900000000").as("f"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("tot"), sum(col("is_err")).as("err"))
+    def trailing(k: Int, ea: String, ta: String): DataFrame =
+      frames.select(
+          explode(sequence(col("f"), col("f") + lit((k - 1).toLong))).as("tf"),
+          col("err"), col("tot"))
+        .groupBy(col("tf"))
+        .agg(sum(col("err")).as(ea), sum(col("tot")).as(ta))
+    val w1 = trailing(4, "err_1h", "tot_1h")
+    val w6 = trailing(24, "err_6h", "tot_6h")
+    frames.select(col("f"))
+      .join(w1, col("f") === w1("tf")).drop("tf")
+      .join(w6, col("f") === w6("tf")).drop("tf")
+      .withColumn("burn_1h_r",
+        r6(col("err_1h").cast("double") / col("tot_1h").cast("double") / lit(budget)))
+      .withColumn("burn_6h_r",
+        r6(col("err_6h").cast("double") / col("tot_6h").cast("double") / lit(budget)))
+      .select(
+        timestamp_micros((col("f") + 1) * lit(900000000L)).as("frame_end"),
+        col("err_1h"), col("tot_1h"), col("burn_1h_r"),
+        col("err_6h"), col("tot_6h"), col("burn_6h_r"),
+        (col("burn_1h_r") > 2.0 && col("burn_6h_r") > 1.5).as("alert"))
+      .orderBy(col("frame_end"))
+  }
+
   /** A39: dormant users — the churn list: users whose LAST event is ≥
     * `hours` behind the corpus frontier (relative to max ts, not wall
     * clock, so the relation is reproducible on historical data). ONE
