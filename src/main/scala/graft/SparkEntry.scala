@@ -181,6 +181,7 @@ object SparkEntry {
     "ev_seasonality"       -> q(EventOps.evSeasonality),
     "ev_attribution"       -> q(EventOps.evAttribution(_)),
     "ev_slo_burn"          -> q(EventOps.evSloBurn(_)),
+    "ev_new_vs_returning"  -> q(EventOps.evNewVsReturning),
     "emb_outliers"         -> q(Similarity.embOutliers(_, ordered = true)),
     "ann_pagerank"         -> q(Similarity.annPagerank(_, ordered = true)),
     "text_hapax"           -> q(TextOps.textHapax),
@@ -1102,6 +1103,17 @@ object SparkEntry {
         |  CAST(r_b AS BIGINT) AS r_b, CAST(f_b AS BIGINT) AS f_b, CAST(m_b AS BIGINT) AS m_b,
         |  'R' || r_b || 'F' || f_b || 'M' || m_b AS segment
         |FROM b ORDER BY user_id""".stripMargin,
+
+    "ev_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dn FROM events),
+        |c AS (SELECT user_id, MIN(dn) AS cohort_dn FROM ud GROUP BY 1),
+        |r AS (SELECT ud.dn,
+        |    CAST(SUM(CASE WHEN ud.dn = c.cohort_dn THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN ud.dn = c.cohort_dn THEN 0 ELSE 1 END) AS BIGINT) AS n_returning
+        |  FROM ud JOIN c ON ud.user_id = c.user_id GROUP BY 1)
+        |SELECT make_timestamp(dn * 86400000000) AS day, n_new, n_returning,
+        |  floor((CAST(n_new AS DOUBLE) / CAST(n_new + n_returning AS DOUBLE))*1000000 + 0.5)/1000000 AS new_share_r
+        |FROM r ORDER BY day""".stripMargin,
 
     "ev_slo_burn" ->
       """WITH fr AS (SELECT epoch_us(ts) // 900000000 AS f, COUNT(*) AS tot,

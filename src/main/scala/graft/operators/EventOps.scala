@@ -561,6 +561,32 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** A53: new vs returning actives — per day, how many of the day's
+    * active users are first-ever-seen vs returning, with the new-user
+    * share (the growth-vs-retention split read next to A44's DAU).
+    * One distinct (user, day) relation; the cohort day rides a window
+    * over that calendar-bounded relation (user-keyed — corpus
+    * cardinality), then a per-day rollup. Integer day arithmetic as
+    * in A44.
+    */
+  def evNewVsReturning(t: Tables): DataFrame = {
+    val ud = t.events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("dn"))
+      .distinct()
+    ud.withColumn("cohort_dn",
+        min(col("dn")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("dn"))
+      .agg(
+        sum(when(col("dn") === col("cohort_dn"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("dn") === col("cohort_dn"), 0L).otherwise(1L)).as("n_returning"))
+      .select(
+        timestamp_seconds(col("dn") * lit(86400L)).as("day"),
+        col("n_new"), col("n_returning"),
+        r6(col("n_new").cast("double") /
+          (col("n_new") + col("n_returning")).cast("double")).as("new_share_r"))
+      .orderBy(col("day"))
+  }
+
   /** A52: SLO multi-window burn rate — the SRE alerting relation: per
     * 15-min frame, the error share over the trailing 1 h AND 6 h
     * windows expressed as a multiple of the error budget, with the
