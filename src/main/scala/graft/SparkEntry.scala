@@ -182,6 +182,7 @@ object SparkEntry {
     "ev_attribution"       -> q(EventOps.evAttribution(_)),
     "ev_slo_burn"          -> q(EventOps.evSloBurn(_)),
     "ev_new_vs_returning"  -> q(EventOps.evNewVsReturning),
+    "ev_engagement_deciles" -> q(EventOps.evEngagementDeciles),
     "emb_outliers"         -> q(Similarity.embOutliers(_, ordered = true)),
     "ann_pagerank"         -> q(Similarity.annPagerank(_, ordered = true)),
     "text_hapax"           -> q(TextOps.textHapax),
@@ -1103,6 +1104,42 @@ object SparkEntry {
         |  CAST(r_b AS BIGINT) AS r_b, CAST(f_b AS BIGINT) AS f_b, CAST(m_b AS BIGINT) AS m_b,
         |  'R' || r_b || 'F' || f_b || 'M' || m_b AS segment
         |FROM b ORDER BY user_id""".stripMargin,
+
+    "ev_engagement_deciles" ->
+      """WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |c AS (SELECT
+        |    floor(quantile_cont(n, 0.1)*10000 + 0.5)/10000 AS c1,
+        |    floor(quantile_cont(n, 0.2)*10000 + 0.5)/10000 AS c2,
+        |    floor(quantile_cont(n, 0.3)*10000 + 0.5)/10000 AS c3,
+        |    floor(quantile_cont(n, 0.4)*10000 + 0.5)/10000 AS c4,
+        |    floor(quantile_cont(n, 0.5)*10000 + 0.5)/10000 AS c5,
+        |    floor(quantile_cont(n, 0.6)*10000 + 0.5)/10000 AS c6,
+        |    floor(quantile_cont(n, 0.7)*10000 + 0.5)/10000 AS c7,
+        |    floor(quantile_cont(n, 0.8)*10000 + 0.5)/10000 AS c8,
+        |    floor(quantile_cont(n, 0.9)*10000 + 0.5)/10000 AS c9
+        |  FROM per),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM per),
+        |d AS (SELECT
+        |    1 + (CASE WHEN CAST(n AS DOUBLE) > c1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(n AS DOUBLE) > c2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(n AS DOUBLE) > c3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(n AS DOUBLE) > c4 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(n AS DOUBLE) > c5 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(n AS DOUBLE) > c6 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(n AS DOUBLE) > c7 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(n AS DOUBLE) > c8 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(n AS DOUBLE) > c9 THEN 1 ELSE 0 END) AS decile, n
+        |  FROM per, c),
+        |b AS (SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_users,
+        |    CAST(SUM(n) AS BIGINT) AS n_events FROM d GROUP BY 1),
+        |x AS (SELECT decile, n_users, n_events, tot,
+        |    CAST(SUM(n_events) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+        |  FROM b, t)
+        |SELECT decile, n_users, n_events,
+        |  floor((CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE))*1000000 + 0.5)/1000000 AS share_r,
+        |  floor((CAST(cum_events AS DOUBLE) / CAST(tot AS DOUBLE))*1000000 + 0.5)/1000000 AS cum_share_r
+        |FROM x ORDER BY decile""".stripMargin,
 
     "ev_new_vs_returning" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dn FROM events),

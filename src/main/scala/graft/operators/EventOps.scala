@@ -561,6 +561,40 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** A54: engagement concentration — the Lorenz/Pareto read: users
+    * bucketed into activity deciles by exact percentile cutoffs (the
+    * A41 broadcast-cutoff pattern — never an unpartitioned ntile),
+    * then per decile: users, events, event share, and the cumulative
+    * share (the "top decile drives X% of traffic" curve). Heavy ties
+    * in per-user counts make some deciles merge — that's the honest
+    * statistic, not a bug; the cumulative window rides the ≤10-row
+    * rollup only.
+    */
+  def evEngagementDeciles(t: Tables): DataFrame = {
+    val per = t.events.select(col("user_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val cutCols = (1 to 9).map(k =>
+      r4(expr(s"percentile(n, 0.${k})")).as(s"c$k"))
+    val cuts = per.agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).map(k =>
+      when(col("n").cast("double") > col(s"c$k"), 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    val total = per.agg(sum(col("n")).as("tot"))
+    val byDecile = per.crossJoin(broadcast(cuts))
+      .select(decile.as("decile"), col("n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile.crossJoin(broadcast(total))
+      .withColumn("share_r", r6(col("n_events").cast("double") / col("tot").cast("double")))
+      .withColumn("cum_events", sum(col("n_events")).over(w))
+      .withColumn("cum_share_r", r6(col("cum_events").cast("double") / col("tot").cast("double")))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        col("share_r"), col("cum_share_r"))
+      .orderBy(col("decile"))
+  }
+
   /** A53: new vs returning actives — per day, how many of the day's
     * active users are first-ever-seen vs returning, with the new-user
     * share (the growth-vs-retention split read next to A44's DAU).
