@@ -154,6 +154,40 @@ class EventOpsSpec extends SparkSpec {
       "the persistent shift must fire after onset")
   }
 
+  test("slo burn: steady 5% never alerts; a 1-frame burst is suppressed; a sustained burst fires") {
+    import spark.implicits._
+    // 48h of 15-min frames, 20 events each. Baseline 1 error/frame
+    // (5% -> burn 0.5 at budget 0.1). Hour 24: single-frame 50% burst
+    // (1h burn crosses 2 but the 6h window stays under 1.5 -> the
+    // two-window rule SUPPRESSES it). Hours 36-39: sustained 50%
+    // (both windows cross -> alert).
+    val base = 1704067200000000000L
+    def frame(fi: Int, nErr: Int) = (0 until 20).map { i =>
+      (fi.toLong * 1000 + i, base + fi.toLong * 900L * 1000 * 1000 * 1000,
+        7L, if (i < nErr) "error" else "view", 1.0, "{}")
+    }
+    val rows = (0 until 192).flatMap { fi =>
+      val h = fi / 4
+      val errs =
+        if (fi == 96) 10                    // single-frame burst (hour 24)
+        else if (h >= 36 && h < 40) 10      // sustained burst
+        else 1
+      frame(fi, errs)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slo").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.evSloBurn(graft.sources.Tables(spark, tmp))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getBoolean(7)))
+    def hourOf(t: Long): Long = (t - base / 1000000L) / 3600000L
+    val alerts = out.filter(_._2).map(x => hourOf(x._1)).distinct.sorted
+    assert(alerts.nonEmpty, "sustained burst must alert")
+    assert(alerts.forall(h => h >= 36 && h <= 41),
+      s"alerts only during/just after the sustained burst, got hours $alerts")
+    assert(!alerts.exists(h => h >= 24 && h < 26),
+      "the single-frame burst must be suppressed by the slow window")
+  }
+
   test("cooccurrence: counts equal the driver-recomputed cell intersections; symmetric-complete") {
     import org.apache.spark.sql.functions._
     // recompute from first principles: distinct (user, hour, type)
