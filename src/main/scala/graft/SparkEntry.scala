@@ -74,6 +74,7 @@ object SparkEntry {
     "q_market_share"       -> q(Analytics.qMarketShare),
     "q_top_supplier"       -> q(Analytics.qTopSupplier),
     "q_small_qty_revenue"  -> q(Analytics.qSmallQtyRevenue),
+    "q_yoy_growth"         -> q(Analytics.qYoyGrowth),
     "ev_retention"         -> q(EventOps.evRetention),
     "ev_cohort_ltv"        -> q(EventOps.evCohortLtv),
     "ev_state_transitions" -> q(EventOps.evStateTransitions(_, ordered = true)),
@@ -722,6 +723,23 @@ object SparkEntry {
         |  CAST(SUM(n95) AS BIGINT) AS orders_1995,
         |  CAST(SUM(n96) AS BIGINT) AS orders_1996
         |FROM j GROUP BY presence ORDER BY presence""".stripMargin,
+
+    "q_yoy_growth" ->
+      """WITH rev AS (
+        |  SELECT n_name, year(o_orderdate) AS o_year,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |l AS (SELECT n_name, CAST(o_year AS BIGINT) AS o_year, revenue,
+        |    LAG(revenue, 1) OVER (PARTITION BY n_name ORDER BY o_year) AS prev_revenue
+        |  FROM rev)
+        |SELECT n_name, o_year, revenue, prev_revenue,
+        |  CASE WHEN prev_revenue IS NOT NULL THEN
+        |    floor(((revenue - prev_revenue) / prev_revenue)*1000000 + 0.5)/1000000
+        |  END AS growth_r
+        |FROM l ORDER BY n_name, o_year""".stripMargin,
 
     "q_revenue_delta" ->
       """SELECT

@@ -881,5 +881,30 @@ object Analytics {
         count(lit(1)).as("n_lines"))
   }
 
+  /** B42: year-over-year revenue growth by nation — the trend read on
+    * the star schema (B18's month trend, one dimension up and one
+    * period coarser): per (nation, year) decimal-exact order revenue,
+    * then lag + growth over the #nations×#years rollup (a tiny
+    * relation — the window never touches the fact table). Customer →
+    * nation legs broadcast; orders is the only scanned fact.
+    */
+  def qYoyGrowth(t: Tables): DataFrame = {
+    val rev = t.orders
+      .select($("o_custkey"), $("o_totalprice"), year($("o_orderdate")).cast("long").as("o_year"))
+      .join(broadcast(t.customer.select($("c_custkey"), $("c_nationkey"))),
+        $("o_custkey") === $("c_custkey"))
+      .join(broadcast(t.nation.select($("n_nationkey"), $("n_name"))),
+        $("c_nationkey") === $("n_nationkey"))
+      .groupBy($("n_name"), $("o_year"))
+      .agg(psum($("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy($("n_name")).orderBy($("o_year"))
+    rev
+      .withColumn("prev_revenue", lag($("revenue"), 1).over(w))
+      .withColumn("growth_r",
+        when($("prev_revenue").isNotNull,
+          r6(($("revenue") - $("prev_revenue")) / $("prev_revenue"))))
+      .orderBy($("n_name"), $("o_year"))
+  }
+
   private def $(name: String): Column = col(name)
 }
