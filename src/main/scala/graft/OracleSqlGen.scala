@@ -791,6 +791,18 @@ object OracleSqlGen {
     s"""WITH ${cellCte(nCenters)}
        |SELECT vec_id, label, cell, dist2_r FROM asg ORDER BY vec_id""".stripMargin
 
+  /** D22: per-cell majority label + purity off the same assignment. */
+  def embClusterPurity(nCenters: Int): String =
+    s"""WITH ${cellCte(nCenters)},
+       |bl AS (SELECT cell, label, COUNT(*) AS n FROM asg GROUP BY 1, 2),
+       |x AS (SELECT cell, label, n,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, label ASC) AS rn,
+       |    CAST(SUM(n) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
+       |  FROM bl)
+       |SELECT cell, label AS majority_label, cell_n AS n_vectors, n AS n_majority,
+       |  floor((CAST(n AS DOUBLE) / CAST(cell_n AS DOUBLE))*1000000 + 0.5)/1000000 AS purity_r
+       |FROM x WHERE rn = 1 ORDER BY cell""".stripMargin
+
   /** D21: round-2 reassignment under the data-driven round-1 means —
     * D20's update relation pivoted to per-cell center arrays, the same
     * sequential-fold distance, argmin with ties to the lowest cell.

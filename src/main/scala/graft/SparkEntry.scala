@@ -122,6 +122,7 @@ object SparkEntry {
     "emb_kmeans_assign"    -> q(Similarity.embKmeansAssign(_, ordered = true)),
     "emb_kmeans_update"    -> q(Similarity.embKmeansUpdate(_, ordered = true)),
     "emb_kmeans_reassign"  -> q(Similarity.embKmeansReassign(_, ordered = true)),
+    "emb_cluster_purity"   -> q(Similarity.embClusterPurity(_, ordered = true)),
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
     "emb_sq8_codes"        -> q(Similarity.embSq8Codes(_, ordered = true)),
     "ann_pq_adc"           -> q(Similarity.annPqAdc(_)),
@@ -1339,6 +1340,7 @@ object SparkEntry {
     "emb_kmeans_assign"     -> OracleSqlGen.embKmeansAssign(8),
     "emb_kmeans_update"     -> OracleSqlGen.embKmeansUpdate(8),
     "emb_kmeans_reassign"   -> OracleSqlGen.embKmeansReassign(8),
+    "emb_cluster_purity"    -> OracleSqlGen.embClusterPurity(8),
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
     "emb_sq8_codes"         -> OracleSqlGen.embSq8Codes,
     "ann_pq_adc"            -> OracleSqlGen.annPqAdc(8, 5, 8, 8, 8),

@@ -368,6 +368,29 @@ object Similarity {
       ordered)(col("vec_id"))
   }
 
+  /** D22: cell label purity — per D7 cell, the majority label and its
+    * share (does the coarse quantizer respect label structure — the
+    * eval that decides whether IVF cells can double as shards or
+    * stratification units). One narrow assignment pass into a
+    * #cells×#labels aggregate; the argmax/total windows ride that tiny
+    * relation only.
+    */
+  def embClusterPurity(t: Tables, nCenters: Int = 8,
+      ordered: Boolean = false): DataFrame = {
+    val byLab = withCell(withNorm(t.embeddings), hashCenters(t, nCenters))
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("n").desc, col("label").asc)
+    maybeSort(
+      byLab
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cell_n", sum(col("n")).over(Window.partitionBy(col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col("label").as("majority_label"),
+          col("cell_n").as("n_vectors"), col("n").as("n_majority"),
+          r6(col("n").cast("double") / col("cell_n").cast("double")).as("purity_r")),
+      ordered)(col("cell"))
+  }
+
   /** D8: product-quantization codes — each vector split into `m`
     * subvectors, each assigned the nearest entry of its sub-codebook
     * (subvector slices of the hash-selected center vectors — the
