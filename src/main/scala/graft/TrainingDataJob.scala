@@ -106,9 +106,14 @@ object TrainingDataJob {
       .partitionBy("split", "shard")
       .parquet(outPath)
     quarantined.write.mode(SaveMode.Overwrite).text(s"$outPath/_quarantine")
+    // per-file ops ledger next to the data (G18): the training-side
+    // loader reads shard sizes/row counts from the manifest, never by
+    // listing + footer-probing the 100 TB output itself
+    val manifest = graft.sources.Sinks.writeManifest(spark, outPath)
     Map(
-      "input_clean"  -> clean.count(),
-      "quarantined"  -> spark.read.text(s"$outPath/_quarantine").count(),
-      "materialized" -> spark.read.parquet(outPath).count())
+      "input_clean"    -> clean.count(),
+      "quarantined"    -> spark.read.text(s"$outPath/_quarantine").count(),
+      "materialized"   -> spark.read.parquet(outPath).count(),
+      "manifest_files" -> manifest.count())
   }
 }

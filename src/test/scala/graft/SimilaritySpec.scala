@@ -394,6 +394,12 @@ class SimilaritySpec extends SparkSpec {
       assert(got(src) == exp, s"src=$src got=${got(src)} expected=$exp")
   }
 
+  test("pagerank: two independent runs are bit-identical (exact integer recursion)") {
+    val a = Similarity.annPagerank(tables).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Similarity.annPagerank(tables).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "integer-lattice recursion must be run-deterministic under AQE/persist")
+  }
+
   test("pagerank: every node covered, floor respected, mass bounded, inflow lifts rank") {
     val n = tables.embeddings.count()
     val ranks = Similarity.annPagerank(tables).collect()

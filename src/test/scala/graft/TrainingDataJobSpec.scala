@@ -75,6 +75,14 @@ class TrainingDataJobSpec extends SparkSpec {
     val qLines = spark.read.text(out.getAbsolutePath + "/_quarantine")
       .collect().map(_.getString(0)).toSet
     assert(qLines == planted.toSet)
+    // the G18 manifest ships with the corpus: its row total reconciles
+    // with the materialized count and every entry carries the
+    // split=/shard= partition path
+    val manifest = graft.sources.Sinks.readManifest(spark, out.getAbsolutePath).collect()
+    assert(metrics("manifest_files") == manifest.length.toLong)
+    assert(manifest.map(_.getLong(3)).sum == metrics("materialized"))
+    assert(manifest.forall(_.getString(1).startsWith("split=")),
+      "manifest partition paths must carry split=/shard=")
   }
 
   test("scrub stage: masked corpus ships no digits/emails, same doc set, audit counts consistent") {
