@@ -1287,6 +1287,17 @@ object OracleSqlGen {
        |FROM qual JOIN p USING (doc_id) JOIN k USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** E43: drop-reason combination matrix over the curate relation. */
+  def docCurateExplain(minScore: Double): String =
+    s"""WITH cur AS (SELECT * FROM (${docCurate(minScore)})),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM cur)
+       |SELECT low_quality, lang_mismatch, duplicate,
+       |  COUNT(*) AS n_docs,
+       |  floor((CAST(COUNT(*) AS DOUBLE) / CAST(MIN(tot) AS DOUBLE))*1000000 + 0.5)/1000000 AS share_r
+       |FROM cur, t
+       |GROUP BY low_quality, lang_mismatch, duplicate
+       |ORDER BY low_quality, lang_mismatch, duplicate""".stripMargin
+
   val textTokencount: String =
     """SELECT doc_id,
       |  len(string_split(text,' ')) AS ws_tokens,

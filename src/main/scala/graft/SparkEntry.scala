@@ -146,6 +146,7 @@ object SparkEntry {
     "text_repetition"      -> q(TextOps.textRepetition(_, ordered = true)),
     "text_collocations"    -> q(TextOps.textCollocations(_)),
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
+    "doc_curate_explain"   -> q(TextOps.docCurateExplain(_)),
     "doc_scrub_pii"        -> q(TextOps.docScrubPii(_, ordered = true)),
     "corpus_stats"         -> q(TextOps.corpusStats),
     "text_bm25"            -> q(TextOps.textBm25(_, ordered = true)),
@@ -1404,6 +1405,7 @@ object SparkEntry {
     "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),
+    "doc_curate_explain"    -> OracleSqlGen.docCurateExplain(0.5),
     "emb_norm_stats"        -> OracleSqlGen.embNormStats,
     "text_langid"           -> OracleSqlGen.textLangid,
     "text_quality"          -> OracleSqlGen.textQuality,

@@ -968,6 +968,25 @@ object TextOps {
         col("duplicate"), col("keep"))
   }, ordered)(col("doc_id"))
 
+  /** E43: curation explain matrix — the drop-reason Venn of E14: per
+    * (low_quality, lang_mismatch, duplicate) flag combination, doc
+    * count and corpus share ("are we losing docs to quality or to
+    * language ID" — the filter-tuning dataset card; single-reason
+    * counts hide overlap, the combination matrix doesn't). One pass
+    * through E14's additive transforms into a ≤8-key aggregate.
+    */
+  def docCurateExplain(t: Tables, minScore: Double = 0.5): DataFrame = {
+    val cur = docCurate(t, minScore)
+    val total = cur.agg(count(lit(1)).as("tot"))
+    cur.groupBy(col("low_quality"), col("lang_mismatch"), col("duplicate"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("low_quality"), col("lang_mismatch"), col("duplicate"),
+        col("n_docs"),
+        r6(col("n_docs").cast("double") / col("tot").cast("double")).as("share_r"))
+      .orderBy(col("low_quality"), col("lang_mismatch"), col("duplicate"))
+  }
+
   /** E30: model-based quality scoring — the fastText-style linear
     * classifier pass modern pretraining pipelines run after the
     * heuristic filters (E2/E6): mean-pooled per-token coefficients →
