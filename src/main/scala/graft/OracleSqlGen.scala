@@ -63,6 +63,18 @@ object OracleSqlGen {
        |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
        |$jaccardTail""".stripMargin
 
+  /** C22: df histogram — log₂ buckets via binary-repr length (integer
+    * exact), posting volume and the uncapped pair bound per bucket.
+    */
+  val docShingleDfHist: String =
+    s"""WITH $gramCtes,
+       |d AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+       |b AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_bucket, df FROM d)
+       |SELECT df_bucket, COUNT(*) AS n_shingles,
+       |  CAST(SUM(df) AS BIGINT) AS total_postings,
+       |  CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS uncapped_pairs
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** C21: measured LSH recall — exact pairs left-joined against the
     * band-candidate relation, rolled up by Jaccard band.
     */

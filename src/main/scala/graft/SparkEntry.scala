@@ -102,6 +102,7 @@ object SparkEntry {
     "ann_threshold_ladder" -> q(Dedup.annThresholdLadder(_)),
     "doc_lsh_tuning"       -> q(Dedup.docLshTuning(_)),
     "doc_lsh_recall"       -> q(Dedup.docLshRecall(_)),
+    "doc_shingle_df_hist"  -> q(Dedup.docShingleDfHist),
     "doc_dedup_keep_best"  -> q(Dedup.docDedupKeepBest(_, ordered = true)),
     "doc_fingerprint_pairs" -> q(Dedup.docFingerprintPairs(_, ordered = true)),
     "doc_winnow_pairs"     -> q(Dedup.docWinnowPairs(_, ordered = true)),
@@ -981,6 +982,7 @@ object SparkEntry {
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,
     "doc_lsh_tuning"        -> OracleSqlGen.docLshTuning,
     "doc_lsh_recall"        -> OracleSqlGen.docLshRecall,
+    "doc_shingle_df_hist"   -> OracleSqlGen.docShingleDfHist,
     "doc_dedup_clusters"    -> OracleSqlGen.docDedupClusters,
     "doc_cluster_stats"     -> OracleSqlGen.docClusterStats,
     "doc_dedup_rate_by_threshold" -> OracleSqlGen.docDedupRateByThreshold(Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9)),

@@ -1115,6 +1115,25 @@ object Dedup {
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** C22: shingle document-frequency histogram — the df-cap tuning
+    * card behind C5b: per log₂ df bucket, how many shingles live
+    * there, their posting volume, and the UNCAPPED candidate-pair
+    * bound Σ df·(df−1)/2 those shingles would generate — the number
+    * that justifies (or re-tunes) dfCap before a 100 TB run, read
+    * from the data instead of assumed. Bucketing is integer-exact via
+    * binary-representation length (no libm log2 at power-of-two
+    * boundaries); one gram-keyed aggregate + a ≤64-key rollup.
+    */
+  def docShingleDfHist(t: Tables): DataFrame =
+    explodeSets(gramSets(t))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .select((length(bin(col("df"))) - 1).cast("long").as("df_bucket"), col("df"))
+      .groupBy(col("df_bucket"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("total_postings"),
+        sum(expr("df * (df - 1) div 2")).as("uncapped_pairs"))
+      .orderBy(col("df_bucket"))
+
   /** C21: MEASURED LSH recall — the empirical companion to C20's
     * analytic curve: of the exact near-dup pairs (C5's verified
     * relation), what fraction does the deployed 4×4 banding actually
