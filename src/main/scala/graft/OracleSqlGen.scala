@@ -803,6 +803,20 @@ object OracleSqlGen {
     s"""WITH ${cellCte(nCenters)}
        |SELECT vec_id, label, cell, dist2_r FROM asg ORDER BY vec_id""".stripMargin
 
+  /** D23: per-dimension mean/variance on the exact integer lattice. */
+  val embDimStats: String =
+    s"""WITH m AS (SELECT vec_id,
+       |  [CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) for x in embedding] AS vm
+       |  FROM embeddings),
+       |d AS (SELECT vm, unnest(range(1, len(vm)+1)) AS dim FROM m),
+       |ex AS (SELECT CAST(dim - 1 AS BIGINT) AS dim, vm[CAST(dim AS INTEGER)] AS xm FROM d),
+       |a AS (SELECT dim, COUNT(*) AS n, CAST(SUM(xm) AS BIGINT) AS s1,
+       |  CAST(SUM(xm * xm) AS BIGINT) AS s2 FROM ex GROUP BY 1)
+       |SELECT dim, n,
+       |  floor((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)*1000000 + 0.5)/1000000 AS mean_r,
+       |  floor((CAST((n * s2 - s1 * s1) // (n * n) AS DOUBLE) / 1000000000000.0)*1000000 + 0.5)/1000000 AS var_r
+       |FROM a ORDER BY dim""".stripMargin
+
   /** D22: per-cell majority label + purity off the same assignment. */
   def embClusterPurity(nCenters: Int): String =
     s"""WITH ${cellCte(nCenters)},

@@ -124,6 +124,7 @@ object SparkEntry {
     "emb_kmeans_update"    -> q(Similarity.embKmeansUpdate(_, ordered = true)),
     "emb_kmeans_reassign"  -> q(Similarity.embKmeansReassign(_, ordered = true)),
     "emb_cluster_purity"   -> q(Similarity.embClusterPurity(_, ordered = true)),
+    "emb_dim_stats"        -> q(Similarity.embDimStats(_, ordered = true)),
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
     "emb_sq8_codes"        -> q(Similarity.embSq8Codes(_, ordered = true)),
     "ann_pq_adc"           -> q(Similarity.annPqAdc(_)),
@@ -1344,6 +1345,7 @@ object SparkEntry {
     "emb_kmeans_update"     -> OracleSqlGen.embKmeansUpdate(8),
     "emb_kmeans_reassign"   -> OracleSqlGen.embKmeansReassign(8),
     "emb_cluster_purity"    -> OracleSqlGen.embClusterPurity(8),
+    "emb_dim_stats"         -> OracleSqlGen.embDimStats,
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
     "emb_sq8_codes"         -> OracleSqlGen.embSq8Codes,
     "ann_pq_adc"            -> OracleSqlGen.annPqAdc(8, 5, 8, 8, 8),

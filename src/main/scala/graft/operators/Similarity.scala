@@ -368,6 +368,29 @@ object Similarity {
       ordered)(col("vec_id"))
   }
 
+  /** D23: per-dimension embedding statistics — mean and variance per
+    * coordinate (the dead-dimension / whitening-prep sweep: a
+    * near-zero-variance dimension wastes index space in every
+    * distance). Variance is EXACT integer arithmetic on the micro
+    * lattice: var·10¹² = (n·Σx² − (Σx)²) div n² — no
+    * catastrophic-cancellation double path, no two-pass mean
+    * subtraction; one ×dim narrow explode into a dim-keyed aggregate.
+    * (Long bounds hold to ~10⁵ vectors/dim at unit scale; the 100 TB
+    * swap is the same formula through DECIMAL(38,0).)
+    */
+  def embDimStats(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
+    t.embeddings
+      .select(posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"))
+        .as(Seq("dim", "xm")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xm")).as("s1"),
+        sum(col("xm") * col("xm")).as("s2"))
+      .select(col("dim"), col("n"),
+        r6(col("s1").cast("double") / col("n").cast("double") / lit(1e6)).as("mean_r"),
+        r6(expr("(n * s2 - s1 * s1) div (n * n)").cast("double") / lit(1e12)).as("var_r")),
+    ordered)(col("dim"))
+
   /** D22: cell label purity — per D7 cell, the majority label and its
     * share (does the coarse quantizer respect label structure — the
     * eval that decides whether IVF cells can double as shards or
