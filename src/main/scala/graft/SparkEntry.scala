@@ -149,6 +149,7 @@ object SparkEntry {
     "text_collocations"    -> q(TextOps.textCollocations(_)),
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
     "doc_curate_explain"   -> q(TextOps.docCurateExplain(_)),
+    "text_token_coverage"  -> q(TextOps.textTokenCoverage(_)),
     "doc_scrub_pii"        -> q(TextOps.docScrubPii(_, ordered = true)),
     "corpus_stats"         -> q(TextOps.corpusStats),
     "text_bm25"            -> q(TextOps.textBm25(_, ordered = true)),
@@ -1067,6 +1068,21 @@ object SparkEntry {
         |  floor(((CAST(sa AS DOUBLE) / CAST(na + 500 AS DOUBLE)
         |    + CAST(sb AS DOUBLE) / CAST(nb + 500 AS DOUBLE)) / 2000000.0)*1000000 + 0.5)/1000000 AS jsd_r
         |FROM k ORDER BY source_a, source_b""".stripMargin,
+
+    "text_token_coverage" ->
+      """WITH c AS (SELECT token, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+        |l AS (
+        |  SELECT CAST(1 AS BIGINT) AS vocab_size, (SELECT CAST(SUM(n) AS BIGINT) FROM (SELECT n FROM c ORDER BY n DESC, token ASC LIMIT 1)) AS covered
+        |  UNION ALL SELECT 2, (SELECT CAST(SUM(n) AS BIGINT) FROM (SELECT n FROM c ORDER BY n DESC, token ASC LIMIT 2))
+        |  UNION ALL SELECT 4, (SELECT CAST(SUM(n) AS BIGINT) FROM (SELECT n FROM c ORDER BY n DESC, token ASC LIMIT 4))
+        |  UNION ALL SELECT 8, (SELECT CAST(SUM(n) AS BIGINT) FROM (SELECT n FROM c ORDER BY n DESC, token ASC LIMIT 8))
+        |  UNION ALL SELECT 16, (SELECT CAST(SUM(n) AS BIGINT) FROM (SELECT n FROM c ORDER BY n DESC, token ASC LIMIT 16)))
+        |SELECT vocab_size, covered,
+        |  floor((CAST(covered AS DOUBLE) / CAST(tot AS DOUBLE))*1000000 + 0.5)/1000000 AS coverage_r
+        |FROM l, t ORDER BY vocab_size""".stripMargin,
 
     "text_bpe_pairs" ->
       """WITH w AS (

@@ -968,6 +968,37 @@ object TextOps {
         col("duplicate"), col("keep"))
   }, ordered)(col("doc_id"))
 
+  /** E44: token coverage curve — what fraction of all token
+    * OCCURRENCES the top-V vocabulary covers, for a ladder of V (the
+    * vocab-size tuning card behind E8/E23/E30: the knee of this curve
+    * is where a bigger vocab stops paying). One vocabulary aggregate
+    * persisted and re-read per ladder point (each point is a
+    * TakeOrdered over the vocab-sized relation, never the corpus);
+    * exact integer counts throughout.
+    */
+  def textTokenCoverage(t: Tables,
+      ladder: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val counts = t.documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    counts.count()
+    try {
+      val total = counts.agg(sum(col("n")).as("tot"))
+      val rows = ladder.map { v =>
+        counts.orderBy(col("n").desc, col("token").asc).limit(v)
+          .agg(sum(col("n")).as("covered"))
+          .select(lit(v.toLong).as("vocab_size"), col("covered"))
+      }.reduce(_.unionAll(_))
+      rows.crossJoin(broadcast(total))
+        .select(col("vocab_size"), col("covered"),
+          r6(col("covered").cast("double") / col("tot").cast("double")).as("coverage_r"))
+        .orderBy(col("vocab_size"))
+        .localCheckpoint(true)
+    } finally counts.unpersist(true)
+  }
+
   /** E43: curation explain matrix — the drop-reason Venn of E14: per
     * (low_quality, lang_mismatch, duplicate) flag combination, doc
     * count and corpus share ("are we losing docs to quality or to
