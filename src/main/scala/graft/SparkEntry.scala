@@ -150,6 +150,7 @@ object SparkEntry {
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
     "doc_curate_explain"   -> q(TextOps.docCurateExplain(_)),
     "text_token_coverage"  -> q(TextOps.textTokenCoverage(_)),
+    "doc_pack_efficiency"  -> q(TextOps.docPackEfficiency(_)),
     "doc_scrub_pii"        -> q(TextOps.docScrubPii(_, ordered = true)),
     "corpus_stats"         -> q(TextOps.corpusStats),
     "text_bm25"            -> q(TextOps.textBm25(_, ordered = true)),
@@ -1511,6 +1512,26 @@ object SparkEntry {
         |  FROM (SELECT doc_id, source,
         |    len(string_split(lower(text), ' ')) AS n_tokens FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    "doc_pack_efficiency" ->
+      """WITH p AS (
+        |  SELECT source, (cum - n_tokens) // 512 AS bin, n_tokens
+        |  FROM (
+        |    SELECT doc_id, source, n_tokens,
+        |      CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |    FROM (SELECT doc_id, source,
+        |      len(string_split(lower(text), ' ')) AS n_tokens FROM documents))),
+        |b AS (SELECT source, bin, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tokens
+        |  FROM p GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_bins,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  floor((CAST(SUM(tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 512.0)*1000000 + 0.5)/1000000 AS avg_fill_r,
+        |  floor(quantile_cont(CAST(tokens AS DOUBLE) / 512.0, 0.5)*10000 + 0.5)/10000 AS p50_fill_r,
+        |  floor((CAST(MIN(tokens) AS DOUBLE) / 512.0)*1000000 + 0.5)/1000000 AS min_fill_r,
+        |  floor((CAST(MAX(tokens) AS DOUBLE) / 512.0)*1000000 + 0.5)/1000000 AS max_fill_r
+        |FROM b""".stripMargin,
 
     "ev_scrub_props" ->
       """SELECT event_id,

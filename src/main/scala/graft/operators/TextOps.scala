@@ -999,6 +999,25 @@ object TextOps {
     } finally counts.unpersist(true)
   }
 
+  /** E45: packing efficiency — the eval card over E10's bins: bin
+    * count, mean/median/min/max fill ratio vs the token budget ("how
+    * much padding would training waste at this budget"). One rollup
+    * over the (source, bin) aggregate of the pack relation — bins are
+    * corpus_tokens/budget many, the stats ride that bounded relation.
+    */
+  def docPackEfficiency(t: Tables, budget: Int = 512): DataFrame =
+    docPack(t, budget)
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        r6(sum(col("tokens")).cast("double") / count(lit(1)).cast("double") /
+          lit(budget.toDouble)).as("avg_fill_r"),
+        r4(expr(s"percentile(CAST(tokens AS DOUBLE) / $budget.0, 0.5)")).as("p50_fill_r"),
+        r6(min(col("tokens")).cast("double") / lit(budget.toDouble)).as("min_fill_r"),
+        r6(max(col("tokens")).cast("double") / lit(budget.toDouble)).as("max_fill_r"))
+
   /** E43: curation explain matrix — the drop-reason Venn of E14: per
     * (low_quality, lang_mismatch, duplicate) flag combination, doc
     * count and corpus share ("are we losing docs to quality or to
