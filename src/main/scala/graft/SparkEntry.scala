@@ -190,6 +190,7 @@ object SparkEntry {
     "ev_slo_burn"          -> q(EventOps.evSloBurn(_)),
     "ev_new_vs_returning"  -> q(EventOps.evNewVsReturning),
     "ev_engagement_deciles" -> q(EventOps.evEngagementDeciles),
+    "ev_type_share_drift"  -> q(EventOps.evTypeShareDrift),
     "emb_outliers"         -> q(Similarity.embOutliers(_, ordered = true)),
     "ann_pagerank"         -> q(Similarity.annPagerank(_, ordered = true)),
     "text_hapax"           -> q(TextOps.textHapax),
@@ -1144,6 +1145,21 @@ object SparkEntry {
         |  CAST(r_b AS BIGINT) AS r_b, CAST(f_b AS BIGINT) AS f_b, CAST(m_b AS BIGINT) AS m_b,
         |  'R' || r_b || 'F' || f_b || 'M' || m_b AS segment
         |FROM b ORDER BY user_id""".stripMargin,
+
+    "ev_type_share_drift" ->
+      """WITH bd AS (SELECT epoch_us(ts) // 86400000000 AS dn, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dt AS (SELECT dn AS d2, CAST(SUM(n) AS BIGINT) AS day_tot FROM bd GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS tot FROM events),
+        |b AS (SELECT event_type AS bt,
+        |    floor((CAST(COUNT(*) AS DOUBLE) / CAST(MIN(t.tot) AS DOUBLE))*1000000 + 0.5)/1000000 AS base_share_r
+        |  FROM events, t GROUP BY 1),
+        |x AS (SELECT bd.dn, bd.event_type, bd.n, day_tot, base_share_r,
+        |    floor((CAST(bd.n AS DOUBLE) / CAST(day_tot AS DOUBLE))*1000000 + 0.5)/1000000 AS share_r
+        |  FROM bd JOIN dt ON bd.dn = dt.d2 JOIN b ON bd.event_type = b.bt)
+        |SELECT make_timestamp(dn * 86400000000) AS day, event_type, n, share_r, base_share_r,
+        |  floor(abs(share_r - base_share_r)*1000000 + 0.5)/1000000 AS drift_r
+        |FROM x ORDER BY day, event_type""".stripMargin,
 
     "ev_engagement_deciles" ->
       """WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),

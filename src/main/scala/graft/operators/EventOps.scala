@@ -595,6 +595,34 @@ object EventOps {
       .orderBy(col("decile"))
   }
 
+  /** A55: event-type mix drift — per (day, type): the day's share vs
+    * the corpus baseline share and their absolute gap (the batch
+    * twin of the streaming source-drift monitor: a type that
+    * vanishes or floods shows up as a large drift day). Two
+    * calendar-bounded aggregates + a broadcast #types baseline;
+    * drift is computed from the r6'd shares so the comparison column
+    * is engine-deterministic.
+    */
+  def evTypeShareDrift(t: Tables): DataFrame = {
+    val byDay = t.events
+      .select(expr("unix_micros(ts) div 86400000000").as("dn"), col("event_type"))
+      .groupBy(col("dn"), col("event_type")).agg(count(lit(1)).as("n"))
+    val dayTot = byDay.groupBy(col("dn").as("d2")).agg(sum(col("n")).as("day_tot"))
+    val base = t.events.groupBy(col("event_type").as("bt")).agg(count(lit(1)).as("bn"))
+    val tot = t.events.agg(count(lit(1)).as("tot"))
+    byDay
+      .join(dayTot, col("dn") === col("d2")).drop("d2")
+      .join(broadcast(base.crossJoin(tot)
+        .select(col("bt"), r6(col("bn").cast("double") / col("tot").cast("double"))
+          .as("base_share_r"))), col("event_type") === col("bt"))
+      .withColumn("share_r", r6(col("n").cast("double") / col("day_tot").cast("double")))
+      .select(
+        timestamp_seconds(col("dn") * lit(86400L)).as("day"),
+        col("event_type"), col("n"), col("share_r"), col("base_share_r"),
+        r6(abs(col("share_r") - col("base_share_r"))).as("drift_r"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** A53: new vs returning actives — per day, how many of the day's
     * active users are first-ever-seen vs returning, with the new-user
     * share (the growth-vs-retention split read next to A44's DAU).
