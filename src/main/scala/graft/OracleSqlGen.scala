@@ -136,6 +136,16 @@ object OracleSqlGen {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** C22: per-true-jaccard-bucket estimator bias/MAE over C3b pairs. */
+  val docMinhashCalibration: String =
+    s"""WITH pairs AS (SELECT * FROM ($docMinhashJaccardEst)),
+       |e AS (SELECT CAST(floor(jaccard * 10.0) AS BIGINT) AS bucket,
+       |  est_jaccard - jaccard AS err FROM pairs)
+       |SELECT bucket, COUNT(*) AS n_pairs,
+       |  floor((CAST(SUM(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_err_r,
+       |  floor((CAST(SUM(CAST(abs(err) AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mae_r
+       |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val docNgramJaccard: String =
     s"""WITH $gramCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -816,6 +826,25 @@ object OracleSqlGen {
        |  floor((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)*1000000 + 0.5)/1000000 AS mean_r,
        |  floor((CAST((n * s2 - s1 * s1) // (n * n) AS DOUBLE) / 1000000000000.0)*1000000 + 0.5)/1000000 AS var_r
        |FROM a ORDER BY dim""".stripMargin
+
+  /** D23: covariance matrix upper triangle on the micro-lattice.
+    * `//` and Spark's `div` both truncate toward zero, so negative
+    * covariances de-scale identically.
+    */
+  val embCovariance: String =
+    s"""WITH m AS (SELECT
+       |  [CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) for x in embedding] AS vm
+       |  FROM embeddings),
+       |d AS (SELECT vm, unnest(range(1, len(vm)+1)) AS i1 FROM m),
+       |dd AS (SELECT vm, i1, unnest(range(i1, len(vm)+1)) AS j1 FROM d),
+       |ex AS (SELECT CAST(i1 - 1 AS BIGINT) AS i, CAST(j1 - 1 AS BIGINT) AS j,
+       |  vm[CAST(i1 AS INTEGER)] AS xa, vm[CAST(j1 AS INTEGER)] AS xb FROM dd),
+       |a AS (SELECT i, j, COUNT(*) AS n, CAST(SUM(xa) AS BIGINT) AS sa,
+       |  CAST(SUM(xb) AS BIGINT) AS sb, CAST(SUM(xa * xb) AS BIGINT) AS sab
+       |  FROM ex GROUP BY 1, 2)
+       |SELECT i, j,
+       |  floor((CAST((n * sab - sa * sb) // (n * n) AS DOUBLE) / 1000000000000.0)*1000000 + 0.5)/1000000 AS cov_r
+       |FROM a ORDER BY i, j""".stripMargin
 
   /** D22: per-cell majority label + purity off the same assignment. */
   def embClusterPurity(nCenters: Int): String =
@@ -1590,6 +1619,37 @@ object OracleSqlGen {
        |  CAST(COALESCE(m.cluster, d.doc_id) = d.doc_id AS INTEGER) AS is_canonical
        |FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** F9: keep-best (largest bytes, tie → lowest id) per F6c cluster. */
+  def mmDedupKeepBest(maxHamming: Int): String =
+    s"""WITH RECURSIVE $dhashCtes,
+       |chx AS (SELECT doc_id, phash, j, (phash >> (15*j)) & 32767 AS chunk_val
+       |  FROM ph, (SELECT unnest([0,1,2,3]) AS j)),
+       |edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM chx a JOIN chx b ON a.j = b.j AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |  WHERE CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) <= $maxHamming),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL SELECT doc_b, doc_a FROM edges),
+       |reach AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+       |),
+       |mins AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |scored AS (SELECT d.doc_id,
+       |    COALESCE(m.cluster, d.doc_id) AS cluster,
+       |    octet_length(d.text::BLOB) AS n_bytes
+       |  FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id),
+       |keepers AS (SELECT cluster, doc_id AS keeper FROM (
+       |  SELECT cluster, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster
+       |      ORDER BY n_bytes DESC, doc_id ASC) AS rn
+       |  FROM scored) WHERE rn = 1)
+       |SELECT s.doc_id, s.cluster, s.n_bytes, k.keeper,
+       |  CAST(s.doc_id = k.keeper AS INTEGER) AS keep
+       |FROM scored s JOIN keepers k ON s.cluster = k.cluster
+       |ORDER BY s.doc_id""".stripMargin
 
   val textFingerprint: String =
     """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk, lower(text) AS lt FROM documents),

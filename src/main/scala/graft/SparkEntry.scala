@@ -85,6 +85,7 @@ object SparkEntry {
     "doc_minhash_sig"      -> q(Dedup.docMinhashSig(_, ordered = true)),
     "doc_minhash_lsh_pairs" -> q(Dedup.docMinhashLshPairs(_, ordered = true)),
     "doc_minhash_jaccard_est" -> q(Dedup.docMinhashJaccardEst(_, ordered = true)),
+    "doc_minhash_calibration" -> q(Dedup.docMinhashCalibration(_)),
     "doc_simhash"          -> q(Dedup.docSimhash(_, ordered = true)),
     "doc_simhash_pairs"    -> q(Dedup.docSimhashPairs(_, ordered = true)),
     "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_, ordered = true)),
@@ -125,6 +126,7 @@ object SparkEntry {
     "emb_kmeans_reassign"  -> q(Similarity.embKmeansReassign(_, ordered = true)),
     "emb_cluster_purity"   -> q(Similarity.embClusterPurity(_, ordered = true)),
     "emb_dim_stats"        -> q(Similarity.embDimStats(_, ordered = true)),
+    "emb_covariance"       -> q(Similarity.embCovariance(_, ordered = true)),
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
     "emb_sq8_codes"        -> q(Similarity.embSq8Codes(_, ordered = true)),
     "ann_pq_adc"           -> q(Similarity.annPqAdc(_)),
@@ -180,6 +182,7 @@ object SparkEntry {
     "ev_cusum_changepoint" -> q(EventOps.evCusumChangepoint(_, ordered = true)), // rows-only: recursive scan, no SQL oracle (EventOpsSpec planted-shift law)
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
     "text_bpe_pairs"       -> q(TextOps.textBpePairs(_)),
+    "text_bpe_merge"       -> q(TextOps.textBpeMerge(_)),
     "text_jsd_pairs"       -> q(TextOps.textJsdPairs(_)),
     "doc_length_profile"   -> q(TextOps.docLengthProfile),
     "ev_rfm"               -> q(EventOps.evRfm(_, ordered = true)),
@@ -199,6 +202,7 @@ object SparkEntry {
     "doc_shard_shuffle"    -> q(TextOps.docShardShuffle(_, ordered = true)),
     "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
     "ev_funnel"            -> q(EventOps.evFunnel),
+    "ev_funnel_latency"    -> q(EventOps.evFunnelLatency),
     "ev_error_after_click" -> q(EventOps.evErrorAfterClick(_, ordered = true)),
     "q_month_trend"        -> q(Analytics.qMonthTrend),
     // §2.F multimodal plumbing
@@ -213,6 +217,7 @@ object SparkEntry {
     "mm_phash_incremental" -> q(Multimodal.mmPhashIncremental(_, ordered = true)),
     "mm_frame_dedup"       -> q(Multimodal.mmFrameDedup(_, ordered = true)),
     "mm_phash_clusters"    -> q(Multimodal.mmPhashClusters(_, ordered = true)),
+    "mm_dedup_keep_best"   -> q(Multimodal.mmDedupKeepBest(_, ordered = true)),
   )
 
   /** DuckDB-runnable oracle for each key in `queries` (driver gate).
@@ -442,6 +447,28 @@ object SparkEntry {
         |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
         |       (SELECT COUNT(*) FROM s2) AS n_click_after,
         |       (SELECT COUNT(*) FROM s3) AS n_purchase_after""".stripMargin,
+
+    "ev_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |lat AS (
+        |  SELECT 'signup_to_click' AS step,
+        |    epoch_us(s2.t2) - epoch_us(s1.t1) AS lat_us
+        |  FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+        |  UNION ALL
+        |  SELECT 'click_to_purchase' AS step,
+        |    epoch_us(s3.t3) - epoch_us(s2.t2) AS lat_us
+        |  FROM s2 JOIN s3 ON s2.user_id = s3.user_id)
+        |SELECT step, COUNT(*) AS n_users,
+        |  floor(quantile_cont(lat_us, 0.5)*10000 + 0.5)/10000 AS p50_us,
+        |  floor(quantile_cont(lat_us, 0.9)*10000 + 0.5)/10000 AS p90_us
+        |FROM lat GROUP BY step ORDER BY step""".stripMargin,
 
     "q_month_trend" ->
       """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
@@ -981,6 +1008,7 @@ object SparkEntry {
     "doc_minhash_sig"       -> OracleSqlGen.docMinhashSig,
     "doc_minhash_lsh_pairs" -> OracleSqlGen.docMinhashLshPairs,
     "doc_minhash_jaccard_est" -> OracleSqlGen.docMinhashJaccardEst,
+    "doc_minhash_calibration" -> OracleSqlGen.docMinhashCalibration,
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,
@@ -1097,6 +1125,35 @@ object SparkEntry {
         |SELECT pair, CAST(SUM(n) AS BIGINT) AS total
         |FROM p GROUP BY pair
         |ORDER BY total DESC, pair ASC
+        |LIMIT 50""".stripMargin,
+
+    "text_bpe_merge" ->
+      """WITH w AS (
+        |  SELECT word, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |v AS (SELECT * FROM w WHERE length(word) >= 2),
+        |p1 AS (
+        |  SELECT unnest([substring(word, i, 2) for i in range(1, length(word))]) AS pair, n
+        |  FROM v),
+        |top AS (
+        |  SELECT pair FROM (SELECT pair, SUM(n) AS total FROM p1 GROUP BY pair)
+        |  ORDER BY total DESC, pair ASC LIMIT 1),
+        |m AS (
+        |  SELECT replace(word, (SELECT pair FROM top), chr(1)) AS w2, n FROM v),
+        |p2 AS (
+        |  SELECT unnest([substring(w2, i, 2) for i in range(1, length(w2))]) AS p2, n
+        |  FROM m WHERE length(w2) >= 2),
+        |g AS (
+        |  SELECT substring(p2, 1, 1) AS l, substring(p2, 2, 1) AS r,
+        |    CAST(SUM(n) AS BIGINT) AS total
+        |  FROM p2 GROUP BY 1, 2)
+        |SELECT (SELECT pair FROM top) AS merged,
+        |  CASE WHEN l = chr(1) THEN (SELECT pair FROM top) ELSE l END AS left_sym,
+        |  CASE WHEN r = chr(1) THEN (SELECT pair FROM top) ELSE r END AS right_sym,
+        |  total
+        |FROM g
+        |ORDER BY total DESC, left_sym ASC, right_sym ASC
         |LIMIT 50""".stripMargin,
 
     "doc_length_profile" ->
@@ -1379,6 +1436,7 @@ object SparkEntry {
     "emb_kmeans_reassign"   -> OracleSqlGen.embKmeansReassign(8),
     "emb_cluster_purity"    -> OracleSqlGen.embClusterPurity(8),
     "emb_dim_stats"         -> OracleSqlGen.embDimStats,
+    "emb_covariance"        -> OracleSqlGen.embCovariance,
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
     "emb_sq8_codes"         -> OracleSqlGen.embSq8Codes,
     "ann_pq_adc"            -> OracleSqlGen.annPqAdc(8, 5, 8, 8, 8),
@@ -1464,6 +1522,7 @@ object SparkEntry {
         |HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY frame_md5""".stripMargin,
     "mm_phash_clusters"     -> OracleSqlGen.mmPhashClusters(4),
+    "mm_dedup_keep_best"    -> OracleSqlGen.mmDedupKeepBest(4),
 
     "text_normalize_dedup" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,

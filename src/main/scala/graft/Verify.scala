@@ -5,11 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: substring filter over query names (local
-    // iteration aid; the driver's 2-arg invocation runs everything)
+    // optional 3rd arg: comma-separated substring filters over query
+    // names — a name runs if it contains ANY of them (local iteration
+    // aid; the driver's 2-arg invocation runs everything)
     val (sfDir, outDir) = (args(0), args(1))
     val nameFilter: String => Boolean =
-      if (args.length > 2) _.contains(args(2)) else _ => true
+      if (args.length > 2) {
+        val pats = args(2).split(',').filter(_.nonEmpty)
+        name => pats.exists(name.contains)
+      } else _ => true
     // default scaled to the host (capped): the dump now covers ~175
     // queries and a 4-thread default doubles the gate's wall-clock for
     // no correctness benefit; SPARK_GRAFT_CPUS still overrides

@@ -221,6 +221,32 @@ object Dedup {
       ordered)(col("doc_a"), col("doc_b"))
   }
 
+  /** C22: MinHash estimator calibration — the dataset-card relation
+    * that answers "can I trust est_jaccard as the dedup signal at this
+    * signature width?": C3b's verified candidate pairs bucketed by
+    * TRUE Jaccard (0.1-wide bins), with pair count, mean signed
+    * estimator error (bias) and mean absolute error per bin. The
+    * theoretical per-pair sd at 16 perms is √(j(1−j)/16) ≈ 0.12 —
+    * the observed per-bin MAE read against that is the "widen the
+    * signature or not" decision. One extra #bins-cardinality aggregate
+    * over the already-banded pair relation; error doubles are
+    * identical expressions on both engines, decimal-routed into the
+    * mean per the B1 convention.
+    */
+  def docMinhashCalibration(t: Tables): DataFrame = {
+    val pairs = docMinhashJaccardEst(t)
+      .select(floor(col("jaccard") * 10.0).cast("long").as("bucket"),
+        (col("est_jaccard") - col("jaccard")).as("err"))
+    pairs.groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        r6(sum(col("err").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_err_r"),
+        r6(sum(abs(col("err")).cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mae_r"))
+      .orderBy(col("bucket"))
+  }
+
   /** C5: n-gram Jaccard with exact prefix filtering (the AllPairs /
     * PPJoin candidate bound, Bayardo et al. WWW'07).
     *

@@ -940,4 +940,42 @@ object EventOps {
           concat(lit("R"), col("r_b"), lit("F"), col("f_b"), lit("M"), col("m_b")).as("segment")),
       ordered)(col("user_id"))
   }
+
+  /** A56: funnel conversion latency — A24 counts WHO converts; this
+    * measures HOW FAST: per funnel step (signup→click, click→purchase),
+    * the number of converting users and the exact p50/p90 of their
+    * conversion latency. The cascade is A24's (each stage a user-keyed
+    * min-aggregate of the filtered event slice joined to the broadcast
+    * prior stage — converters only, a shrinking relation), then each
+    * step's latency relation is the user-keyed join of adjacent stages
+    * and the two steps union into ONE percentile aggregate (group
+    * cardinality = #steps). Latencies are exact integer µs
+    * (`unix_micros` diffs — no float time math), percentiles r4'd per
+    * B11's convention.
+    */
+  def evFunnelLatency(t: Tables): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(broadcast(s1), "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(s2), "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val lat1 = s1.join(s2, "user_id")
+      .select(lit("signup_to_click").as("step"),
+        (unix_micros(col("t2")) - unix_micros(col("t1"))).as("lat_us"))
+    val lat2 = s2.join(s3, "user_id")
+      .select(lit("click_to_purchase").as("step"),
+        (unix_micros(col("t3")) - unix_micros(col("t2"))).as("lat_us"))
+    lat1.unionByName(lat2)
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users"),
+        r4(expr("percentile(lat_us, 0.5)")).as("p50_us"),
+        r4(expr("percentile(lat_us, 0.9)")).as("p90_us"))
+      .orderBy(col("step"))
+  }
 }

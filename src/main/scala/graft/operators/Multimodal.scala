@@ -112,6 +112,34 @@ object Multimodal {
         .localCheckpoint(true),
       t.documents.select(col("doc_id")), maxIter, "mm_phash_clusters", ordered)
 
+  /** F9: keep-best canonical per perceptual cluster — C15's
+    * quality-aware selection on the media side: within each F6c
+    * near-dup cluster keep the LARGEST asset (bytes ≈ the
+    * least-re-encoded original; re-encodes and thumbnails lose bytes),
+    * tie → lowest doc_id. One cluster-keyed window (groups = cluster
+    * sizes, bounded by near-dup fan-in) + the keeper join-back —
+    * no new shuffle class beyond F6c's CC rounds.
+    */
+  def mmDedupKeepBest(t: Tables, maxHamming: Int = 4, maxIter: Int = 20,
+      ordered: Boolean = false): DataFrame = {
+    val clusters = mmPhashClusters(t, maxHamming, maxIter)
+      .select(col("doc_id"), col("cluster"))
+    val sizes = t.documents
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+    val scored = clusters.join(sizes, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("n_bytes").desc, col("doc_id").asc)
+    val keepers = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("cluster"), col("doc_id").as("keeper"))
+    maybeSort(
+      scored.join(keepers, "cluster")
+        .select(col("doc_id"), col("cluster"), col("n_bytes"), col("keeper"),
+          (col("doc_id") === col("keeper")).cast("int").as("keep")),
+      ordered)(col("doc_id"))
+  }
+
   final case class MmFeature(doc_id: Long, width: Int, height: Int,
       channels: Int, mean_byte: Double, n_bytes: Int)
 

@@ -391,6 +391,37 @@ object Similarity {
         r6(expr("(n * s2 - s1 * s1) div (n * n)").cast("double") / lit(1e12)).as("var_r")),
     ordered)(col("dim"))
 
+  /** D23: embedding covariance matrix (upper triangle) — the
+    * distributed Gram-matrix pass behind PCA/whitening/anisotropy
+    * diagnostics: cov(i,j) = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ)/n² on D3's exact
+    * micro-lattice (BIGINT moment sums; `div`/`//` both truncate
+    * toward zero, so the de-scale is engine-identical even for
+    * negative covariances). Shape: one narrow d²/2-per-row explode
+    * feeding ONE aggregate — partial aggregation collapses it map-side
+    * to d(d+1)/2 groups per partition, so the only shuffle is
+    * #groups × #partitions (2 080 rows at d=64) regardless of corpus
+    * size. At 100 TB the same plan holds: swap the BIGINT moments to
+    * DECIMAL(38,0) when n·(xm·ym·n) approaches 2⁶³ (here bounded at
+    * ~1.3e18 at sf0.1's magnitudes).
+    */
+  def embCovariance(t: Tables, ordered: Boolean = false): DataFrame = {
+    val micro = t.embeddings.select(
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+        .as("vm"))
+    maybeSort(
+      micro
+        .select(col("vm"), posexplode(col("vm")).as(Seq("i", "xa")))
+        .select(col("i"), col("xa"), posexplode(col("vm")).as(Seq("j", "xb")))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("xa")).as("sa"),
+          sum(col("xb")).as("sb"), sum(col("xa") * col("xb")).as("sab"))
+        .select(col("i"), col("j"),
+          r6(expr("(n * sab - sa * sb) div (n * n)").cast("double") / lit(1e12))
+            .as("cov_r")),
+      ordered)(col("i"), col("j"))
+  }
+
   /** D22: cell label purity — per D7 cell, the majority label and its
     * share (does the coarse quantizer respect label structure — the
     * eval that decides whether IVF cells can double as shards or

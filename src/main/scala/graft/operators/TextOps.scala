@@ -1406,4 +1406,47 @@ object TextOps {
         r4(expr("percentile(n_tokens, 0.9)")).as("tokens_p90"))
       .orderBy(col("source"), col("lang"))
   }
+
+  /** E44: one BPE merge iteration — the training step E40 only mines:
+    * take E40's top pair, apply it to the collapsed vocabulary
+    * (left-to-right non-overlapping, `replace()` semantics on both
+    * engines — exactly the BPE greedy scan), and re-mine the pair
+    * counts over the merged symbol sequences. The merged symbol is
+    * held as one sentinel char (chr(1) — outside the corpus alphabet)
+    * so adjacency stays a 2-char substring; output expands sentinels
+    * back to the merged pair string. Everything beyond the word-count
+    * aggregate runs over the COLLAPSED vocabulary (|vocab| rows, not
+    * corpus length) with the 1-row top pair broadcast — the iterable
+    * shape: chain calls to train a full merge table.
+    */
+  def textBpeMerge(t: Tables, topN: Int = 50): DataFrame = {
+    val vocab = t.documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+    val top1 = vocab
+      .select(explode(expr(
+        "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")).as("pair"),
+        col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("total"))
+      .orderBy(col("total").desc, col("pair").asc)
+      .limit(1)
+      .select(col("pair"))
+    def expand(c: Column): Column =
+      when(c === expr("chr(1)"), col("pair")).otherwise(c)
+    vocab.crossJoin(broadcast(top1))
+      .withColumn("w2", expr("replace(word, pair, chr(1))"))
+      .filter(length(col("w2")) >= 2)
+      .select(col("pair"), col("n"), explode(expr(
+        "transform(sequence(1, length(w2)-1), i -> substring(w2, i, 2))")).as("p2"))
+      .groupBy(col("pair"), substring(col("p2"), 1, 1).as("l"),
+        substring(col("p2"), 2, 1).as("r"))
+      .agg(sum(col("n")).as("total"))
+      .select(col("pair").as("merged"),
+        expand(col("l")).as("left_sym"), expand(col("r")).as("right_sym"),
+        col("total"))
+      .orderBy(col("total").desc, col("left_sym").asc, col("right_sym").asc)
+      .limit(topN)
+  }
 }
