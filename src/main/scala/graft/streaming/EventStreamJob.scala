@@ -195,6 +195,71 @@ object EventStreamJob {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Per-user funnel: finalized stage times (µs; MinValue = unset) +
+    * the not-yet-watermark-final event buffer.
+    */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long,
+      buf: Seq[(Long, String)])
+
+  final case class FunnelStage(user_id: Long, stage: Int, ts_us: Long)
+
+  /** A56 ONLINE: funnel stage progression as it becomes FINAL. The
+    * batch cascade (A24/A56: t1 = min signup, t2 = min click > t1,
+    * t3 = min purchase > t2) is prefix-monotone: each stage time
+    * depends only on events at-or-before it, so a stage is emitted
+    * exactly when the watermark passes its candidate time — an
+    * out-of-order earlier event can then no longer arrive and change
+    * it. Unfinalized events buffer per user (bounded by the watermark
+    * delay — rate×delay, not history); finalized events FOLD into the
+    * three stage longs in timestamp order and are dropped, so
+    * long-lived users cost 3 longs, not their event history. A
+    * downstream rollup of the emitted stage rows equals the batch
+    * funnel exactly (StreamingSpec law). Event-time timeout flushes
+    * buffered tails without waiting for the user's next arrival.
+    */
+  def streamEvFunnel(events: Dataset[Ev],
+      watermarkDelay: String = "30 minutes"): Dataset[FunnelStage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val UNSET = Long.MinValue
+    val stages = Set("signup", "click", "purchase")
+
+    def fn(user: Long, it: Iterator[Ev],
+        state: GroupState[FunnelState]): Iterator[FunnelStage] = {
+      val st0 = state.getOption.getOrElse(FunnelState(UNSET, UNSET, UNSET, Nil))
+      val incoming = it
+        .filter(e => stages(e.event_type))
+        .map(e => (ChronoUnit.MICROS.between(Instant.EPOCH, e.ts), e.event_type))
+        .toSeq
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (fin, pend) = (st0.buf ++ incoming).partition(_._1 <= wmUs)
+      var (t1, t2, t3) = (st0.t1, st0.t2, st0.t3)
+      val out = Seq.newBuilder[FunnelStage]
+      fin.sortBy(x => (x._1, x._2)).foreach { case (ts, tp) =>
+        if (tp == "signup" && t1 == UNSET) {
+          t1 = ts; out += FunnelStage(user, 1, ts)
+        } else if (tp == "click" && t1 != UNSET && t2 == UNSET && ts > t1) {
+          t2 = ts; out += FunnelStage(user, 2, ts)
+        } else if (tp == "purchase" && t2 != UNSET && t3 == UNSET && ts > t2) {
+          t3 = ts; out += FunnelStage(user, 3, ts)
+        }
+      }
+      if (t3 != UNSET) {
+        // cascade complete: nothing left to learn for this user
+        state.update(FunnelState(t1, t2, t3, Nil))
+      } else {
+        state.update(FunnelState(t1, t2, t3, pend))
+        if (pend.nonEmpty) state.setTimeoutTimestamp(pend.map(_._1).min / 1000L + 1L)
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   final case class TtlState(lastEmitMicros: Long)
 
   /** A12: the reference's TTL cache as streaming state

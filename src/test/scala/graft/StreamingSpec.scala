@@ -43,6 +43,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel == batch cascade (watermark-final stage emission)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamEvFunnel(input.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      eventsData.grouped((eventsData.size + 2) / 3).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      val lastTs = eventsData.map(_.ts).max
+      input.addData(Seq(Ev(999999L, lastTs.plusSeconds(864000), -1L, "sentinel")))
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_out").filter($"user_id" =!= -1L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // independent driver recompute of the batch cascade
+      val us = (i: Instant) => i.getEpochSecond * 1000000L + i.getNano / 1000L
+      val expected = eventsData.groupBy(_.user_id).flatMap { case (u, evs) =>
+        val t1 = evs.filter(_.event_type == "signup").map(e => us(e.ts))
+          .minOption
+        val t2 = t1.flatMap(a => evs.filter(e => e.event_type == "click" && us(e.ts) > a)
+          .map(e => us(e.ts)).minOption)
+        val t3 = t2.flatMap(b => evs.filter(e => e.event_type == "purchase" && us(e.ts) > b)
+          .map(e => us(e.ts)).minOption)
+        t1.map((u, 1, _)) ++ t2.map((u, 2, _)) ++ t3.map((u, 3, _))
+      }.toSet
+      assert(streamed == expected,
+        s"stream≠batch: only-stream=${(streamed -- expected).take(3)} " +
+          s"only-batch=${(expected -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming state transitions == batch transition matrix (watermark-final emission)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
