@@ -846,6 +846,33 @@ object OracleSqlGen {
        |  floor((CAST((n * sab - sa * sb) // (n * n) AS DOUBLE) / 1000000000000.0)*1000000 + 0.5)/1000000 AS cov_r
        |FROM a ORDER BY i, j""".stripMargin
 
+  /** D24: two fixed-point power-iteration rounds over the covariance
+    * lattice; `//` matches Spark's `div`, the norm² runs in HUGEINT
+    * (exact, like Spark's DECIMAL(38,0)) with one double conversion
+    * at the sqrt.
+    */
+  val embPowerIteration: String =
+    s"""WITH m AS (SELECT
+       |  [CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) for x in embedding] AS vm
+       |  FROM embeddings),
+       |d AS (SELECT vm, unnest(range(1, len(vm)+1)) AS i1 FROM m),
+       |dd AS (SELECT vm, i1, unnest(range(i1, len(vm)+1)) AS j1 FROM d),
+       |ex AS (SELECT CAST(i1 - 1 AS BIGINT) AS i, CAST(j1 - 1 AS BIGINT) AS j,
+       |  vm[CAST(i1 AS INTEGER)] AS xa, vm[CAST(j1 AS INTEGER)] AS xb FROM dd),
+       |up AS (SELECT i, j, CAST((COUNT(*) * CAST(SUM(xa*xb) AS BIGINT)
+       |    - CAST(SUM(xa) AS BIGINT) * CAST(SUM(xb) AS BIGINT))
+       |    // (COUNT(*) * COUNT(*)) AS BIGINT) AS cm
+       |  FROM ex GROUP BY 1, 2),
+       |full_m AS (SELECT i, j, cm FROM up
+       |  UNION ALL SELECT j AS i, i AS j, cm FROM up WHERE i <> j),
+       |v1 AS (SELECT i AS k, CAST(CAST(SUM(cm) AS BIGINT) // 1000000000 AS BIGINT) AS v1s
+       |  FROM full_m GROUP BY 1),
+       |v2 AS (SELECT f.i, CAST(SUM(f.cm * v1.v1s) AS BIGINT) AS v2
+       |  FROM full_m f JOIN v1 ON f.j = v1.k GROUP BY 1),
+       |nrm AS (SELECT sqrt(CAST(SUM(CAST(v2 AS HUGEINT) * v2) AS DOUBLE)) AS norm FROM v2)
+       |SELECT i, floor((CAST(v2 AS DOUBLE) / norm)*1000000 + 0.5)/1000000 AS eig_r
+       |FROM v2, nrm ORDER BY i""".stripMargin
+
   /** D22: per-cell majority label + purity off the same assignment. */
   def embClusterPurity(nCenters: Int): String =
     s"""WITH ${cellCte(nCenters)},

@@ -127,6 +127,7 @@ object SparkEntry {
     "emb_cluster_purity"   -> q(Similarity.embClusterPurity(_, ordered = true)),
     "emb_dim_stats"        -> q(Similarity.embDimStats(_, ordered = true)),
     "emb_covariance"       -> q(Similarity.embCovariance(_, ordered = true)),
+    "emb_power_iteration"  -> q(Similarity.embPowerIteration(_, ordered = true)),
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
     "emb_sq8_codes"        -> q(Similarity.embSq8Codes(_, ordered = true)),
     "ann_pq_adc"           -> q(Similarity.annPqAdc(_)),
@@ -1437,6 +1438,7 @@ object SparkEntry {
     "emb_cluster_purity"    -> OracleSqlGen.embClusterPurity(8),
     "emb_dim_stats"         -> OracleSqlGen.embDimStats,
     "emb_covariance"        -> OracleSqlGen.embCovariance,
+    "emb_power_iteration"   -> OracleSqlGen.embPowerIteration,
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
     "emb_sq8_codes"         -> OracleSqlGen.embSq8Codes,
     "ann_pq_adc"            -> OracleSqlGen.annPqAdc(8, 5, 8, 8, 8),

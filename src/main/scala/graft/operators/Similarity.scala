@@ -422,6 +422,52 @@ object Similarity {
       ordered)(col("i"), col("j"))
   }
 
+  /** D24: power iteration for the top principal direction — two
+    * distributed matrix-vector rounds over D23's covariance relation
+    * (the PCA step after the Gram pass; at d=64 the matrix is 2 080
+    * rows, but the SHAPE — symmetric-expand, join on j, aggregate on
+    * i — is the one that scales to large d where the matrix itself is
+    * distributed). All arithmetic is fixed-point BIGINT: the
+    * covariance stays on its 1e-12 lattice, v₀ = 1⃗, and each round
+    * truncate-rescales (div 1e9) so products stay < 2⁶³ — truncation
+    * matches DuckDB's `//` exactly, so the iterate is bit-reproducible
+    * across engines. The final normalization squares into DECIMAL
+    * (Spark) / HUGEINT (DuckDB) — exact integers both sides — with ONE
+    * double conversion at the sqrt. Sign is fixed by the deterministic
+    * v₀. Eigenvector estimate r6'd; 2 rounds ≈ the dominant direction
+    * for the anisotropy read (chain more rounds for tighter
+    * convergence — same relation in, same relation out).
+    */
+  def embPowerIteration(t: Tables, ordered: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val micro = t.embeddings.select(
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+        .as("vm"))
+    val upper = micro
+      .select(col("vm"), posexplode(col("vm")).as(Seq("i", "xa")))
+      .select(col("i"), col("xa"), posexplode(col("vm")).as(Seq("j", "xb")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xa")).as("sa"),
+        sum(col("xb")).as("sb"), sum(col("xa") * col("xb")).as("sab"))
+      .select(col("i"), col("j"), expr("(n * sab - sa * sb) div (n * n)").as("cm"))
+    val full = upper.unionByName(
+      upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cm")))
+    val v1 = full.groupBy(col("i")).agg(sum(col("cm")).as("v1"))
+      .select(col("i").as("k"), expr("v1 div 1000000000").as("v1s"))
+    val v2 = full.join(v1, col("j") === col("k"))
+      .groupBy(col("i")).agg(sum(col("cm") * col("v1s")).as("v2"))
+    val norm = v2.agg(
+      sum(col("v2").cast(DecimalType(38, 0)) * col("v2").cast(DecimalType(38, 0)))
+        .as("n2"))
+      .select(sqrt(col("n2").cast("double")).as("norm"))
+    maybeSort(
+      v2.crossJoin(broadcast(norm))
+        .select(col("i"), r6(col("v2").cast("double") / col("norm")).as("eig_r")),
+      ordered)(col("i"))
+  }
+
   /** D22: cell label purity — per D7 cell, the majority label and its
     * share (does the coarse quantizer respect label structure — the
     * eval that decides whether IVF cells can double as shards or
