@@ -176,6 +176,7 @@ object SparkEntry {
     "corpus_quality_stats" -> q(TextOps.corpusQualityStats(_)),
     "text_zipf"            -> q(TextOps.textZipf(_)),
     "ev_user_lifespan"     -> q(EventOps.evUserLifespan(_, ordered = true)),
+    "ev_user_entropy"      -> q(EventOps.evUserEntropy(_, ordered = true)),
     "ev_cooccurrence"      -> q(EventOps.evCooccurrence),
     "ev_sliding_rate"      -> q(EventOps.evSlidingRate),
     "ev_top_paths"         -> q(EventOps.evTopPaths(_)),
@@ -922,6 +923,24 @@ object SparkEntry {
         |  floor((ln(CAST(n_tokens AS DOUBLE)) - s_clnc / CAST(n_tokens AS DOUBLE))*1000000 + 0.5)/1000000 AS entropy_r,
         |  floor((CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE))*1000000 + 0.5)/1000000 AS ttr_r
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "ev_user_entropy" ->
+      """WITH utc AS (SELECT user_id, event_type, COUNT(*) AS c,
+        |  MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+        |  FROM events GROUP BY user_id, event_type),
+        |e AS (SELECT user_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_events,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE))*1000000 + 0.5)/1000000 AS DECIMAL(18,6))) AS DOUBLE) AS s_clnc,
+        |  MAX(hi) - MIN(lo) AS span_us
+        |FROM utc GROUP BY user_id)
+        |SELECT user_id, n_events, n_types,
+        |  floor((ln(CAST(n_events AS DOUBLE)) - s_clnc / CAST(n_events AS DOUBLE))*1000000 + 0.5)/1000000 AS entropy_r,
+        |  span_us,
+        |  CASE WHEN span_us > 0 THEN
+        |    floor((CAST(n_events AS DOUBLE) * 3600000000.0 / CAST(span_us AS DOUBLE))*1000000 + 0.5)/1000000
+        |  END AS rate_per_hour_r
+        |FROM e ORDER BY user_id""".stripMargin,
 
     "q_large_volume" ->
       """SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty FROM (

@@ -941,6 +941,37 @@ object EventOps {
       ordered)(col("user_id"))
   }
 
+  /** A57: per-user behavioral entropy — the bot/automation signal:
+    * scripted traffic hammers one event type (entropy ≈ 0, high
+    * rate); organic users mix types. Per user: event count, distinct
+    * types, Shannon entropy of the type distribution (E29's exact
+    * lattice — ln(c) r6'd BEFORE the multiply, count×ln products
+    * summed in DECIMAL, one scalar double finish), active span and
+    * events/hour over it. ONE corpus shuffle: the (user, type)
+    * aggregate combines map-side and carries min/max ts, the user
+    * rollup reshuffles only #user×#type rows.
+    */
+  def evUserEntropy(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val utc = t.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"), min(col("us")).as("lo"), max(col("us")).as("hi"))
+    utc.groupBy(col("user_id"))
+      .agg(
+        sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * r6(log(col("c").cast("double"))).cast(DecimalType(18, 6)))
+          .cast("double").as("s_clnc"),
+        (max(col("hi")) - min(col("lo"))).as("span_us"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        r6(log(col("n_events").cast("double")) -
+          col("s_clnc") / col("n_events").cast("double")).as("entropy_r"),
+        col("span_us"),
+        when(col("span_us") > 0L,
+          r6(col("n_events").cast("double") * lit(3.6e9) / col("span_us").cast("double")))
+          .as("rate_per_hour_r"))
+  }, ordered)(col("user_id"))
+
   /** A56: funnel conversion latency — A24 counts WHO converts; this
     * measures HOW FAST: per funnel step (signup→click, click→purchase),
     * the number of converting users and the exact p50/p90 of their
