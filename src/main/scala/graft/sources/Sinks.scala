@@ -22,6 +22,23 @@ object Sinks {
       .partitionBy("dt")
       .parquet(path)
 
+  /** Corpus layout: documents hive-partitioned by (source, lang) —
+    * the standard 100 TB training-corpus organization. Mixture
+    * re-weighting, per-source decontamination, per-language filtering
+    * and sampling (E7/E16/E25) all predicate on these two columns, so
+    * the layout turns each of them from a full-corpus scan into a
+    * planning-time directory prune. `repartition` on the partition
+    * cols keeps one task-group per directory (no tiny-file explosion:
+    * without it every upstream task writes a file into every
+    * directory it touches — #tasks × #dirs files).
+    */
+  def writeDocsPartitioned(docs: DataFrame, path: String): Unit =
+    docs
+      .repartition(col("source"), col("lang"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("source", "lang")
+      .parquet(path)
+
   /** Bucketed + sorted table: joins/aggregations on the bucket key
     * skip the shuffle entirely (both sides bucket-aligned). Bucketing
     * requires a table catalog → saveAsTable.

@@ -23,6 +23,31 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan.take(800))
   }
 
+  test("docs partitioned by (source, lang): per-source/lang reads prune at planning time") {
+    val dir = Files.createTempDirectory("docs_part").toFile
+    Sinks.writeDocsPartitioned(tables.documents, dir.getAbsolutePath)
+    val sources = dir.listFiles().filter(_.getName.startsWith("source=")).map(_.getName)
+    assert(sources.length > 1, s"expected multiple source partitions, got ${sources.toSeq}")
+    val src = sources.head.stripPrefix("source=")
+    val one = spark.read.parquet(dir.getAbsolutePath).filter(col("source") === src)
+    assert(one.count() == tables.documents.filter(col("source") === src).count())
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(source"), plan.take(800))
+    // two-level prune: (source, lang) reads only that leaf directory
+    val lang = tables.documents.filter(col("source") === src)
+      .select(col("lang")).limit(1).collect().head.getString(0)
+    val leaf = spark.read.parquet(dir.getAbsolutePath)
+      .filter(col("source") === src && col("lang") === lang)
+    assert(leaf.count() ==
+      tables.documents.filter(col("source") === src && col("lang") === lang).count())
+    // both levels must appear as planning-time partition filters
+    // (inputFiles reflects the pre-pruning file index, so check the plan)
+    val leafPlan = leaf.queryExecution.executedPlan.toString
+    assert(leafPlan.contains(s"= $src)") && leafPlan.contains(s"= $lang)") &&
+      leafPlan.contains("PartitionFilters: [isnotnull(source"),
+      leafPlan.take(800))
+  }
+
   test("cell-partitioned embeddings: probe reads prune non-probed cells at planning time") {
     val dir = Files.createTempDirectory("emb_cells").toFile
     Sinks.writeEmbeddingsByCell(tables, dir.getAbsolutePath, nCells = 4)
