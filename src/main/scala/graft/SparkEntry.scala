@@ -45,6 +45,7 @@ object SparkEntry {
     "q_topk_per_group"     -> q(Analytics.qTopkPerGroup),
     "q_pivot"              -> q(Analytics.qPivot),
     "q_histogram"          -> q(Analytics.qHistogram),
+    "q_histogram2d"        -> q(Analytics.qHistogram2d),
     "q_percentiles"        -> q(Analytics.qPercentiles),
     "q_approx_distinct"    -> q(Analytics.qApproxDistinct), // rows-only: HLL sketch, no SQL oracle
     "q_heavy_hitters_cms"  -> q(Analytics.qHeavyHittersCms(_)), // rows-only: CMS sketch, no SQL oracle
@@ -590,6 +591,15 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bin""".stripMargin,
+
+    "q_histogram2d" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS price_bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY month, price_bin""".stripMargin,
 
     "q_below_avg" ->
       """WITH a AS (SELECT l_partkey,

@@ -184,6 +184,22 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .orderBy($("bin"))
 
+  /** B43: 2-D histogram — the (month × price-band) heatmap B10 is the
+    * marginal of: one aggregate over two computed bins (group
+    * cardinality #months × #bands — tiny, map-side combined), with
+    * each cell's count and exact decimal-routed revenue. The BI
+    * drill-down relation: the dashboard reads it directly instead of
+    * re-scanning orders per cell.
+    */
+  def qHistogram2d(t: Tables): DataFrame =
+    t.orders
+      .select(date_trunc("month", $("o_orderdate")).as("month"),
+        floor($("o_totalprice") / 25000.0).cast("long").as("price_bin"),
+        $("o_totalprice"))
+      .groupBy($("month"), $("price_bin"))
+      .agg(count(lit(1)).as("n"), psum($("o_totalprice")).as("revenue"))
+      .orderBy($("month"), $("price_bin"))
+
   /** B11: exact interpolated percentiles per group (matches DuckDB
     * quantile_cont; rounded to 4dp to absorb interpolation-form ulps).
     */
