@@ -178,6 +178,8 @@ object SparkEntry {
     "text_zipf"            -> q(TextOps.textZipf(_)),
     "ev_user_lifespan"     -> q(EventOps.evUserLifespan(_, ordered = true)),
     "ev_user_entropy"      -> q(EventOps.evUserEntropy(_, ordered = true)),
+    "ev_type_affinity"     -> q(EventOps.evTypeAffinity),
+    "doc_tokenizer_fertility" -> q(TextOps.docTokenizerFertility),
     "ev_cooccurrence"      -> q(EventOps.evCooccurrence),
     "ev_sliding_rate"      -> q(EventOps.evSlidingRate),
     "ev_top_paths"         -> q(EventOps.evTopPaths(_)),
@@ -933,6 +935,37 @@ object SparkEntry {
         |  floor((ln(CAST(n_tokens AS DOUBLE)) - s_clnc / CAST(n_tokens AS DOUBLE))*1000000 + 0.5)/1000000 AS entropy_r,
         |  floor((CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE))*1000000 + 0.5)/1000000 AS ttr_r
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "ev_type_affinity" ->
+      """WITH cells AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour, event_type
+        |  FROM events),
+        |pc AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_cooccur
+        |  FROM cells a JOIN cells b
+        |    ON a.user_id = b.user_id AND a.hour = b.hour AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n_m FROM cells GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, hour FROM cells))
+        |SELECT pc.type_a, pc.type_b, pc.n_cooccur,
+        |  ma.n_m AS n_a, mb.n_m AS n_b,
+        |  floor((CAST(pc.n_cooccur * tot.n_baskets AS DOUBLE)
+        |    / CAST(ma.n_m * mb.n_m AS DOUBLE))*1000000 + 0.5)/1000000 AS lift_r
+        |FROM pc JOIN m ma ON pc.type_a = ma.event_type
+        |  JOIN m mb ON pc.type_b = mb.event_type, tot
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "doc_tokenizer_fertility" ->
+      """WITH d AS (SELECT source, lang,
+        |  length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS re_tokens
+        |FROM documents)
+        |SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws_tokens) AS BIGINT) AS ws_total,
+        |  CAST(SUM(re_tokens) AS BIGINT) AS re_total,
+        |  floor((CAST(SUM(re_tokens) AS DOUBLE) / CAST(SUM(ws_tokens) AS DOUBLE))*1000000 + 0.5)/1000000 AS fertility_r,
+        |  floor((CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(re_tokens) AS DOUBLE))*1000000 + 0.5)/1000000 AS chars_per_token_r
+        |FROM d GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
 
     "ev_user_entropy" ->
       """WITH utc AS (SELECT user_id, event_type, COUNT(*) AS c,

@@ -546,6 +546,43 @@ object EventOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** A58: type-affinity lift over A35's co-occurrence basis — the
+    * normalized association A35's raw counts can't give: lift(a,b) =
+    * P(a∧b)/(P(a)·P(b)) over distinct (user, hour) baskets, > 1 ⇔
+    * the types attract (error-after-click at the population level),
+    * < 1 ⇔ they repel. Shape: the same distinct-cell self-join as A35
+    * plus two broadcast per-type marginals and a broadcast 1-row
+    * basket total; lift multiplies exact BIGINT counts first and
+    * divides ONCE in double (r6'd), so the relation is
+    * engine-deterministic.
+    */
+  def evTypeAffinity(t: Tables): DataFrame = {
+    val cells = t.events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .distinct()
+    val b = cells.select(col("user_id").as("u2"), col("hour").as("h2"),
+      col("event_type").as("type_b"))
+    val pairCounts = cells.join(b,
+        col("user_id") === col("u2") && col("hour") === col("h2") &&
+          col("event_type") < col("type_b"))
+      .select(col("event_type").as("type_a"), col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_cooccur"))
+    val marg = cells.groupBy(col("event_type")).agg(count(lit(1)).as("n_m"))
+    val total = cells.select(col("user_id"), col("hour")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    pairCounts
+      .join(broadcast(marg.select(col("event_type").as("ma"), col("n_m").as("n_a"))),
+        col("type_a") === col("ma"))
+      .join(broadcast(marg.select(col("event_type").as("mb"), col("n_m").as("n_b"))),
+        col("type_b") === col("mb"))
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_cooccur"), col("n_a"), col("n_b"),
+        r6((col("n_cooccur") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift_r"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** A37: SLIDING-window burst rates — per-type counts over 1-hour
     * windows advancing every 15 minutes (A7's tumbling hour cannot see
     * a burst straddling an hour boundary; the 4× overlap is the

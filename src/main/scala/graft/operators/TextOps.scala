@@ -1407,6 +1407,34 @@ object TextOps {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** E45: tokenizer fertility per (source, lang) — the sequence-budget
+    * planning card: BPE-ish regex tokens per whitespace word
+    * (fertility — how much a subword tokenizer inflates this slice)
+    * and chars per regex token (compression). Both are ratios of
+    * exact corpus-total BIGINTs with ONE double division each, so the
+    * card is engine-deterministic; one narrow tokenize pass into a
+    * #source×#lang aggregate.
+    */
+  def docTokenizerFertility(t: Tables): DataFrame =
+    t.documents
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_total"),
+        sum(col("re_tokens")).as("re_total"),
+        sum(col("n_chars")).as("chars_total"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("ws_total"), col("re_total"),
+        r6(col("re_total").cast("double") / col("ws_total").cast("double"))
+          .as("fertility_r"),
+        r6(col("chars_total").cast("double") / col("re_total").cast("double"))
+          .as("chars_per_token_r"))
+      .orderBy(col("source"), col("lang"))
+
   /** E44: one BPE merge iteration — the training step E40 only mines:
     * take E40's top pair, apply it to the collapsed vocabulary
     * (left-to-right non-overlapping, `replace()` semantics on both
