@@ -46,6 +46,7 @@ object SparkEntry {
     "q_pivot"              -> q(Analytics.qPivot),
     "q_histogram"          -> q(Analytics.qHistogram),
     "q_histogram2d"        -> q(Analytics.qHistogram2d),
+    "q_skew_salted_join"   -> q(Analytics.qSkewSaltedJoin(_)),
     "q_percentiles"        -> q(Analytics.qPercentiles),
     "q_approx_distinct"    -> q(Analytics.qApproxDistinct), // rows-only: HLL sketch, no SQL oracle
     "q_heavy_hitters_cms"  -> q(Analytics.qHeavyHittersCms(_)), // rows-only: CMS sketch, no SQL oracle
@@ -602,6 +603,14 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY month, price_bin""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """WITH uo AS (SELECT o_custkey, COUNT(*) AS o_count FROM orders GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(uo.o_count) AS BIGINT) AS orders_weight
+        |FROM events e JOIN uo ON e.user_id = uo.o_custkey
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
 
     "q_below_avg" ->
       """WITH a AS (SELECT l_partkey,

@@ -200,6 +200,24 @@ object Analytics {
       .agg(count(lit(1)).as("n"), psum($("o_totalprice")).as("revenue"))
       .orderBy($("month"), $("price_bin"))
 
+  /** B44: skew-salted enrichment join — attaches each user's order
+    * count to their event stream through plans.SaltedJoin (salt
+    * factor 8), then rolls up per type. The postings side
+    * (per-user order counts) is the medium relation of the salting
+    * pattern: too big to broadcast at 100 TB, cheap to replicate 8×;
+    * a power-law hot user's events spread over 8 reducers instead of
+    * stalling one. Result is row-identical to the plain key join
+    * (SaltedJoinSpec law + this oracle, which IS the plain join).
+    */
+  def qSkewSaltedJoin(t: Tables, saltFactor: Int = 8): DataFrame = {
+    val userOrders = t.orders.groupBy($("o_custkey")).agg(count(lit(1)).as("o_count"))
+    val ev = t.events.select($("event_type"), $("user_id"))
+    graft.plans.SaltedJoin.saltedJoin(ev, userOrders, "user_id", "o_custkey", saltFactor)
+      .groupBy($("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum($("o_count")).as("orders_weight"))
+      .orderBy($("event_type"))
+  }
+
   /** B11: exact interpolated percentiles per group (matches DuckDB
     * quantile_cont; rounded to 4dp to absorb interpolation-form ulps).
     */
