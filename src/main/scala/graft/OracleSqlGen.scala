@@ -827,6 +827,42 @@ object OracleSqlGen {
        |  floor((CAST((n * s2 - s1 * s1) // (n * n) AS DOUBLE) / 1000000000000.0)*1000000 + 0.5)/1000000 AS var_r
        |FROM a ORDER BY dim""".stripMargin
 
+  /** E46: k-round BPE merge-table training — the same round chain the
+    * Spark operator builds (mine top pair of the current sentinel
+    * representation, replace with chr(r)), with sentinel expansion
+    * newest-first in the output.
+    */
+  def textBpeTrain(rounds: Int): String = {
+    def mine(src: String, wCol: String, tAlias: Int): String =
+      s"""t$tAlias AS (SELECT pair AS p$tAlias, total AS total$tAlias FROM (
+         |  SELECT pair, CAST(SUM(n) AS BIGINT) AS total FROM (
+         |    SELECT unnest([substring($wCol, i, 2) for i in range(1, length($wCol))]) AS pair, n
+         |    FROM $src WHERE length($wCol) >= 2)
+         |  GROUP BY pair)
+         |  ORDER BY total DESC, pair ASC LIMIT 1)""".stripMargin
+    def expand(r: Int): String = {
+      var e = s"(SELECT p$r FROM t$r)"
+      for (s <- (r - 1) to 1 by -1) e = s"replace($e, chr($s), ${expand(s)})"
+      e
+    }
+    val ctes = new StringBuilder(
+      """w0 AS (
+        |  SELECT word AS w0, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin)
+    for (r <- 1 to rounds) {
+      ctes.append(",\n").append(mine(s"w${r - 1}", s"w${r - 1}", r))
+      if (r < rounds)
+        ctes.append(",\n").append(
+          s"""w$r AS (SELECT replace(w${r - 1}, (SELECT p$r FROM t$r), chr($r)) AS w$r, n
+             |  FROM w${r - 1})""".stripMargin)
+    }
+    val selects = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, ${expand(r)} AS merged_token, (SELECT total$r FROM t$r) AS total"
+    }.mkString("\n", "\nUNION ALL ", "\nORDER BY round")
+    s"WITH ${ctes.result()}$selects"
+  }
+
   /** D23: covariance matrix upper triangle on the micro-lattice.
     * `//` and Spark's `div` both truncate toward zero, so negative
     * covariances de-scale identically.

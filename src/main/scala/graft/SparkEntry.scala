@@ -189,6 +189,7 @@ object SparkEntry {
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
     "text_bpe_pairs"       -> q(TextOps.textBpePairs(_)),
     "text_bpe_merge"       -> q(TextOps.textBpeMerge(_)),
+    "text_bpe_train"       -> q(TextOps.textBpeTrain(_)),
     "text_jsd_pairs"       -> q(TextOps.textJsdPairs(_)),
     "doc_length_profile"   -> q(TextOps.docLengthProfile),
     "ev_rfm"               -> q(EventOps.evRfm(_, ordered = true)),
@@ -1081,6 +1082,7 @@ object SparkEntry {
     "doc_minhash_lsh_pairs" -> OracleSqlGen.docMinhashLshPairs,
     "doc_minhash_jaccard_est" -> OracleSqlGen.docMinhashJaccardEst,
     "doc_minhash_calibration" -> OracleSqlGen.docMinhashCalibration,
+    "text_bpe_train"          -> OracleSqlGen.textBpeTrain(3),
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,

@@ -1435,6 +1435,66 @@ object TextOps {
           .as("chars_per_token_r"))
       .orderBy(col("source"), col("lang"))
 
+  /** E46: BPE merge-table training, `rounds` iterations — the loop E44
+    * is one step of, producing the actual tokenizer artifact (the
+    * ordered merge list). Round r mines the top pair of the current
+    * symbol representation (tie-break total desc, pair asc), applies
+    * it left-to-right non-overlapping (`replace`), and encodes the new
+    * symbol as sentinel chr(r) — so later rounds can merge MERGED
+    * symbols (the "th"+"e" → "the" second-order merge a single pass
+    * can't see). Output: one row per round with the fully-expanded
+    * merged token and its count at selection time — sentinels resolve
+    * through the chain of 1-row broadcast pair relations, newest
+    * first, so no driver collect touches corpus data. Everything past
+    * the word-count aggregate is |vocab|-sized; the corpus-scale
+    * vocab stage appears once per round in the plan and dedupes via
+    * exchange reuse. Rounds are a compile-time constant (each adds
+    * ~3 plan stages) — the production shape for large merge tables is
+    * this operator driven round-batch-wise with the vocab relation
+    * checkpointed between batches.
+    */
+  def textBpeTrain(t: Tables, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "sentinel space: 1..8 rounds")
+    def minePairs(vocab: DataFrame, wCol: String): DataFrame =
+      vocab.filter(length(col(wCol)) >= 2)
+        .select(explode(expr(
+          s"transform(sequence(1, length($wCol)-1), i -> substring($wCol, i, 2))")).as("pair"),
+          col("n"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("total"))
+        .orderBy(col("total").desc, col("pair").asc)
+        .limit(1)
+    val vocab0 = t.documents
+      .select(explode(tokens(col("text"))).as("w0"))
+      .filter(col("w0") =!= "")
+      .groupBy(col("w0")).agg(count(lit(1)).as("n"))
+    // tops(r): 1-row (p_r, total_r); vocabs(r): vocab with sentinels 1..r
+    val tops = new Array[DataFrame](rounds + 1)
+    val vocabs = new Array[DataFrame](rounds + 1)
+    vocabs(0) = vocab0
+    for (r <- 1 to rounds) {
+      val prev = s"w${r - 1}"
+      tops(r) = minePairs(vocabs(r - 1), prev)
+        .select(col("pair").as(s"p$r"), col("total").as(s"total$r"))
+      vocabs(r) = vocabs(r - 1).crossJoin(broadcast(tops(r)))
+        .withColumn(s"w$r", expr(s"replace($prev, p$r, chr($r))"))
+    }
+    // all pair rows side by side (1-row cross of 1-row relations)
+    val allTops = (1 to rounds).map(tops).reduce(_ crossJoin _)
+    // expand round r's pair string: resolve sentinels newest-first,
+    // each substituted by its own already-expanded token
+    def expanded(r: Int): Column = {
+      var e: Column = col(s"p$r")
+      for (s <- (r - 1) to 1 by -1)
+        e = org.apache.spark.sql.functions.replace(e, expr(s"chr($s)"), expanded(s))
+      e
+    }
+    val rows = (1 to rounds).map { r =>
+      allTops.select(lit(r.toLong).as("round"),
+        expanded(r).as("merged_token"), col(s"total$r").as("total"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** E44: one BPE merge iteration — the training step E40 only mines:
     * take E40's top pair, apply it to the collapsed vocabulary
     * (left-to-right non-overlapping, `replace()` semantics on both
