@@ -39,6 +39,24 @@ object Sinks {
       .partitionBy("source", "lang")
       .parquet(path)
 
+  /** Read half of `writeDocsPartitioned`: serves the SAME relation
+    * shape as the flat `documents` table (column order included), so
+    * `Tables(spark, dir, docsOverride = Some(readDocsPartitioned(…)))`
+    * runs the entire doc-operator family off the partitioned layout
+    * unchanged — and any operator that predicates on source/lang
+    * (mix budgeting, per-language filters, decontamination scoped to
+    * a source) now prunes directories at planning time instead of
+    * scanning the corpus. SinksSpec pins operator-level equality
+    * (same results off either layout) and the prune.
+    */
+  def readDocsPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("doc_id"), col("text"),
+        col("lang").cast("string").as("lang"),
+        col("source").cast("string").as("source"),
+        col("n_chars"))
+
   /** Bucketed + sorted table: joins/aggregations on the bucket key
     * skip the shuffle entirely (both sides bucket-aligned). Bucketing
     * requires a table catalog → saveAsTable.

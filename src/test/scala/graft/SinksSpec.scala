@@ -48,6 +48,41 @@ class SinksSpec extends SparkSpec {
       leafPlan.take(800))
   }
 
+  test("query audit listener records scan and shuffle volume per action") {
+    val audit = new graft.sources.GraftQueryAudit
+    spark.listenerManager.register(audit)
+    try {
+      val before = audit.size
+      // an aggregate with a real scan + a real shuffle
+      tables.events.groupBy(col("event_type")).count().collect()
+      val deadline = System.currentTimeMillis() + 10000
+      while (audit.size == before && System.currentTimeMillis() < deadline)
+        Thread.sleep(50) // listener fires async
+      assert(audit.size > before, "audit entry not recorded")
+      val snap = audit.snapshot(spark).collect()
+      val e = snap.last
+      assert(e.getLong(2) > 0L, s"scan rows not captured: $e")      // scan_rows
+      assert(e.getLong(3) > 0L, s"shuffle rows not captured: $e")   // shuffle_write_rows
+      assert(audit.failures == 0L)
+    } finally spark.listenerManager.unregister(audit)
+  }
+
+  test("doc operators off the partitioned layout == off the flat table (docsOverride)") {
+    val dir = Files.createTempDirectory("docs_part_rt").toFile
+    Sinks.writeDocsPartitioned(tables.documents, dir.getAbsolutePath)
+    val viaLayout = graft.sources.Tables(spark, sfDir,
+      docsOverride = Some(Sinks.readDocsPartitioned(spark, dir.getAbsolutePath)))
+    // a corpus-shaped operator (aggregates over source/lang/text) must
+    // not notice the storage layout swap
+    val a = graft.operators.TextOps.corpusStats(tables).collect().map(_.toSeq).toSet
+    val b = graft.operators.TextOps.corpusStats(viaLayout).collect().map(_.toSeq).toSet
+    assert(a == b, s"layout changed results: only-flat=${(a -- b).take(2)} only-part=${(b -- a).take(2)}")
+    // and a doc-id-keyed operator too (exercises text + ids, not just rollups)
+    val d1 = graft.operators.Dedup.docExactDedup(viaLayout, ordered = true).collect().map(_.toSeq)
+    val d2 = graft.operators.Dedup.docExactDedup(tables, ordered = true).collect().map(_.toSeq)
+    assert(d1.sameElements(d2))
+  }
+
   test("cell-partitioned embeddings: probe reads prune non-probed cells at planning time") {
     val dir = Files.createTempDirectory("emb_cells").toFile
     Sinks.writeEmbeddingsByCell(tables, dir.getAbsolutePath, nCells = 4)
