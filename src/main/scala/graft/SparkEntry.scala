@@ -210,6 +210,7 @@ object SparkEntry {
     "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
     "ev_funnel"            -> q(EventOps.evFunnel),
     "ev_funnel_latency"    -> q(EventOps.evFunnelLatency),
+    "ev_funnel_by_cohort"  -> q(EventOps.evFunnelByCohort),
     "ev_error_after_click" -> q(EventOps.evErrorAfterClick(_, ordered = true)),
     "q_month_trend"        -> q(Analytics.qMonthTrend),
     // §2.F multimodal plumbing
@@ -454,6 +455,27 @@ object SparkEntry {
         |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
         |       (SELECT COUNT(*) FROM s2) AS n_click_after,
         |       (SELECT COUNT(*) FROM s3) AS n_purchase_after""".stripMargin,
+
+    "ev_funnel_by_cohort" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s1c AS (SELECT user_id, t1, date_trunc('week', t1) AS cohort_week FROM s1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |base AS (SELECT cohort_week, COUNT(*) AS n_signup FROM s1c GROUP BY 1),
+        |ck AS (SELECT cohort_week, COUNT(*) AS n_click FROM s1c JOIN s2 USING (user_id) GROUP BY 1),
+        |pu AS (SELECT cohort_week, COUNT(*) AS n_purchase FROM s1c JOIN s3 USING (user_id) GROUP BY 1)
+        |SELECT base.cohort_week, base.n_signup,
+        |  COALESCE(ck.n_click, 0) AS n_click,
+        |  COALESCE(pu.n_purchase, 0) AS n_purchase,
+        |  floor((CAST(COALESCE(ck.n_click, 0) AS DOUBLE) / CAST(base.n_signup AS DOUBLE))*1000000 + 0.5)/1000000 AS click_rate_r,
+        |  floor((CAST(COALESCE(pu.n_purchase, 0) AS DOUBLE) / CAST(base.n_signup AS DOUBLE))*1000000 + 0.5)/1000000 AS purchase_rate_r
+        |FROM base LEFT JOIN ck USING (cohort_week) LEFT JOIN pu USING (cohort_week)
+        |ORDER BY cohort_week""".stripMargin,
 
     "ev_funnel_latency" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events

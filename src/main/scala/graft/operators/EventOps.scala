@@ -978,6 +978,45 @@ object EventOps {
       ordered)(col("user_id"))
   }
 
+  /** A59: funnel by signup cohort — did conversion IMPROVE over time,
+    * or is the aggregate funnel (A24) averaging a good January with a
+    * bad March? The cascade runs once (same user-keyed min-aggregates
+    * as A24/A56); each user's cohort is the week of their t1, and the
+    * three stage relations roll up per cohort with r6'd conversion
+    * rates. Per-cohort rollups are #weeks-cardinality; the only
+    * corpus-scale work is the shared cascade.
+    */
+  def evFunnelByCohort(t: Tables): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .withColumn("cohort_week", date_trunc("week", col("t1")))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(broadcast(s1.select(col("user_id"), col("t1"))), "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(s2), "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val base = s1.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_signup"))
+    val clicks = s1.join(s2, "user_id")
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("n_click"))
+    val purchases = s1.join(s3, "user_id")
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("n_purchase"))
+    base
+      .join(clicks, Seq("cohort_week"), "left")
+      .join(purchases, Seq("cohort_week"), "left")
+      .select(col("cohort_week"), col("n_signup"),
+        coalesce(col("n_click"), lit(0L)).as("n_click"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        r6(coalesce(col("n_click"), lit(0L)).cast("double") /
+          col("n_signup").cast("double")).as("click_rate_r"),
+        r6(coalesce(col("n_purchase"), lit(0L)).cast("double") /
+          col("n_signup").cast("double")).as("purchase_rate_r"))
+      .orderBy(col("cohort_week"))
+  }
+
   /** A57: per-user behavioral entropy — the bot/automation signal:
     * scripted traffic hammers one event type (entropy ≈ 0, high
     * rate); organic users mix types. Per user: event count, distinct
