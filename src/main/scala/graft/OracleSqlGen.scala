@@ -136,6 +136,24 @@ object OracleSqlGen {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** C24: per-band LSH bucket-size/candidate-volume card. */
+  val docLshBucketStats: String =
+    s"""WITH $gramCtes,
+       |$sigCte,
+       |band AS (SELECT doc_id, j,
+       |  CASE j WHEN 0 THEN ${bandConcat(0 until 4)}
+       |         WHEN 1 THEN ${bandConcat(4 until 8)}
+       |         WHEN 2 THEN ${bandConcat(8 until 12)}
+       |         ELSE ${bandConcat(12 until 16)} END AS band_val
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS j)),
+       |bs AS (SELECT j, band_val, COUNT(*) AS s FROM band GROUP BY 1, 2)
+       |SELECT CAST(j AS BIGINT) AS band, COUNT(*) AS n_buckets,
+       |  CAST(SUM(s) AS BIGINT) AS n_docs,
+       |  CAST(MAX(s) AS BIGINT) AS max_bucket,
+       |  CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS cand_pairs,
+       |  CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_buckets
+       |FROM bs GROUP BY 1 ORDER BY band""".stripMargin
+
   /** C22: per-true-jaccard-bucket estimator bias/MAE over C3b pairs. */
   val docMinhashCalibration: String =
     s"""WITH pairs AS (SELECT * FROM ($docMinhashJaccardEst)),

@@ -88,6 +88,7 @@ object SparkEntry {
     "doc_minhash_lsh_pairs" -> q(Dedup.docMinhashLshPairs(_, ordered = true)),
     "doc_minhash_jaccard_est" -> q(Dedup.docMinhashJaccardEst(_, ordered = true)),
     "doc_minhash_calibration" -> q(Dedup.docMinhashCalibration(_)),
+    "doc_lsh_bucket_stats" -> q(Dedup.docLshBucketStats(_)),
     "doc_simhash"          -> q(Dedup.docSimhash(_, ordered = true)),
     "doc_simhash_pairs"    -> q(Dedup.docSimhashPairs(_, ordered = true)),
     "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_, ordered = true)),
@@ -1105,6 +1106,7 @@ object SparkEntry {
     "doc_minhash_jaccard_est" -> OracleSqlGen.docMinhashJaccardEst,
     "doc_minhash_calibration" -> OracleSqlGen.docMinhashCalibration,
     "text_bpe_train"          -> OracleSqlGen.textBpeTrain(3),
+    "doc_lsh_bucket_stats"    -> OracleSqlGen.docLshBucketStats,
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,

@@ -221,6 +221,34 @@ object Dedup {
       ordered)(col("doc_a"), col("doc_b"))
   }
 
+  /** C24: LSH band-bucket health card — the index-side capacity read
+    * C22's shingle-df histogram gives for the posting lists: per band,
+    * bucket count, max bucket size, exact candidate volume Σ s(s−1)/2
+    * and singleton share. A hot bucket (many docs sharing one band
+    * value) fans out s² candidate rows in C3's self-join — this
+    * relation is what you read BEFORE a 100 TB banding run to know the
+    * join's true fan-out, and after a hash/band change to verify it
+    * fell. One (band, band_val) aggregate over the C2 signature
+    * relation, rolled up to 4 rows.
+    */
+  def docLshBucketStats(t: Tables): DataFrame = {
+    val bands = minhashSigCols(explodeSets(sharedSets(t))).select(col("doc_id"),
+      expr("""stack(4,
+        0, concat_ws(',', m0, m1, m2, m3),
+        1, concat_ws(',', m4, m5, m6, m7),
+        2, concat_ws(',', m8, m9, m10, m11),
+        3, concat_ws(',', m12, m13, m14, m15)) AS (band, band_val)"""))
+    bands.groupBy(col("band"), col("band_val")).agg(count(lit(1)).as("s"))
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("s")).as("n_docs"),
+        max(col("s")).as("max_bucket"),
+        sum(expr("s * (s - 1) div 2")).as("cand_pairs"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("singleton_buckets"))
+      .orderBy(col("band"))
+  }
+
   /** C22: MinHash estimator calibration — the dataset-card relation
     * that answers "can I trust est_jaccard as the dedup signal at this
     * signature width?": C3b's verified candidate pairs bucketed by
