@@ -807,6 +807,19 @@ object OracleSqlGen {
        |  floor((mn + (code + 0.5)*(mx - mn)/256.0)*1000000 + 0.5)/1000000 AS recon_r
        |FROM c ORDER BY vec_id, d""".stripMargin
 
+  /** D27: per-dimension SQ8 reconstruction error (mean decimal-routed,
+    * max order-free).
+    */
+  val embSq8Error: String =
+    s"""WITH $sq8Cte,
+       |sq8e AS (SELECT c.d,
+       |  abs(xd.val - (c.mn + (c.code + 0.5)*(c.mx - c.mn)/256.0)) AS err
+       |  FROM c JOIN xd ON c.vec_id = xd.vec_id AND c.d = xd.d)
+       |SELECT CAST(d AS BIGINT) AS d, COUNT(*) AS n,
+       |  floor((CAST(SUM(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_abs_err_r,
+       |  floor(MAX(err)*1000000 + 0.5)/1000000 AS max_abs_err_r
+       |FROM sq8e GROUP BY 1 ORDER BY d""".stripMargin
+
   /** D12b: SQ8 asymmetric top-k — full-precision query vs
     * code-reconstructed candidates; the squared-diff fold runs in
     * dimension order (list_reduce ≡ Spark's sequential aggregate), one

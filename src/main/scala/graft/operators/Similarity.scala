@@ -876,6 +876,35 @@ object Similarity {
           * (col("mx") - col("mn")) / lit(256.0)).as("recon_r"))
   }, ordered)(col("vec_id"), col("d"))
 
+  /** D27: SQ8 reconstruction-error card — the "can I afford 8-bit"
+    * decision next to D12: per dimension, mean and max |x − x̂| of the
+    * midpoint reconstruction. Read against D23's per-dim variance it
+    * says which dimensions the quantizer hurts (error scales with the
+    * dim's range/256, so one fat-tailed dimension can dominate ADC
+    * noise while the other 63 are fine). Same narrow encode pass as
+    * D12 into a dim-keyed aggregate; means decimal-routed, max is
+    * order-free — engine-deterministic.
+    */
+  def embSq8Error(t: Tables, ordered: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (mns, mxs) = sq8Bounds(t)
+    maybeSort(
+      withNorm(t.embeddings)
+        .select(posexplode(col("v")).as(Seq("d", "x")))
+        .withColumn("mn", element_at(typedLit(mns), col("d") + 1))
+        .withColumn("mx", element_at(typedLit(mxs), col("d") + 1))
+        .withColumn("recon",
+          col("mn") + (sq8Code(col("x"), col("mn"), col("mx")).cast("double") + lit(0.5))
+            * (col("mx") - col("mn")) / lit(256.0))
+        .withColumn("err", abs(col("x") - col("recon")))
+        .groupBy(col("d").cast("long").as("d"))
+        .agg(count(lit(1)).as("n"),
+          r6(sum(col("err").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)).cast("double")).as("mean_abs_err_r"),
+          r6(max(col("err"))).as("max_abs_err_r")),
+      ordered)(col("d"))
+  }
+
   /** D12b: SQ8 asymmetric-distance ANN — top-k by squared L2 between
     * the full-precision query and the CODE-reconstructed candidates
     * (x̂_d = mn_d + (code_d + ½)·(mx_d − mn_d)/256). What the scoring
