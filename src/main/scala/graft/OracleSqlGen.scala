@@ -1605,6 +1605,46 @@ object OracleSqlGen {
        |  CAST(z >= 0 AS INTEGER) AS keep
        |FROM zz ORDER BY doc_id""".stripMargin
 
+  /** E49: confusion matrix of the trained model's keep vs its E14
+    * weak labels — same CTE chain as the trained scorer, one 4-counter
+    * aggregate, single guarded divisions.
+    */
+  def docQualityModelEval(vocabV: Int, bias: Double, minScore: Double): String = {
+    def ratio(num: String, den: String) =
+      s"CASE WHEN $den > 0 THEN floor((CAST($num AS DOUBLE)/CAST($den AS DOUBLE))*1000000 + 0.5)/1000000 END"
+    s"""WITH $qualityCoreCtes,
+       |$langidCoreCtes,
+       |qual AS (SELECT doc_id, $qualityScoreExpr AS quality_score FROM r),
+       |dup AS (SELECT doc_id,
+       |  CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS INTEGER) AS duplicate
+       |  FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)),
+       |lbl AS (SELECT qual.doc_id,
+       |  CAST(quality_score >= $minScore AND pred_lang = lang AND duplicate = 0 AS INTEGER) AS y
+       |  FROM qual JOIN p USING (doc_id) JOIN dup USING (doc_id)),
+       |tk AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS token FROM documents),
+       |vocab AS (SELECT token, COUNT(*) AS cnt, CAST(SUM(2*y - 1) AS BIGINT) AS grad
+       |  FROM tk JOIN lbl USING (doc_id) GROUP BY token
+       |  ORDER BY cnt DESC, token LIMIT $vocabV),
+       |w AS (SELECT token, CAST(floor(1000.0*grad/cnt) AS BIGINT) AS w_milli FROM vocab),
+       |d AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(COALESCE(w.w_milli, 0)) AS BIGINT) AS swm
+       |  FROM tk LEFT JOIN w USING (token) GROUP BY tk.doc_id),
+       |pred AS (SELECT doc_id,
+       |  CAST($bias + (swm/1000.0)/n_tokens >= 0 AS INTEGER) AS pred_keep FROM d),
+       |cm AS (SELECT
+       |  CAST(SUM(CASE WHEN pred_keep = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN pred_keep = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN pred_keep = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN pred_keep = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM pred JOIN lbl USING (doc_id))
+       |SELECT tp, fp, fn, tn,
+       |  ${ratio("tp", "tp + fp")} AS precision_r,
+       |  ${ratio("tp", "tp + fn")} AS recall_r,
+       |  ${ratio("tp + tn", "tp + fp + fn + tn")} AS accuracy_r,
+       |  ${ratio("2*tp", "2*tp + fp + fn")} AS f1_r
+       |FROM cm""".stripMargin
+  }
+
   /** Temperature mixture weights: r6'd share^τ decimal-normalized. */
   def docMixWeights(temperature: Double): String =
     s"""WITH s AS (SELECT source, CAST(SUM(len(string_split(lower(text),' '))) AS BIGINT) AS toks

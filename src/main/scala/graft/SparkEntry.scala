@@ -168,6 +168,7 @@ object SparkEntry {
     "doc_quality_bucket"   -> q(TextOps.docQualityBucket(_, ordered = true)),
     "doc_quality_model"    -> q(TextOps.docQualityModel(_, ordered = true)),
     "doc_quality_model_trained" -> q(TextOps.docQualityModelTrained(_, ordered = true)),
+    "doc_quality_model_eval" -> q(TextOps.docQualityModelEval(_)),
     "text_bigram_logprob"  -> q(TextOps.textBigramLogprob(_, ordered = true)),
     "text_keywords"        -> q(TextOps.textKeywords(_, ordered = true)),
     "text_winnow"          -> q(TextOps.textWinnow(_, ordered = true)),
@@ -1594,6 +1595,7 @@ object SparkEntry {
     "doc_quality_bucket"    -> OracleSqlGen.docQualityBucket(10000),
     "doc_quality_model"     -> OracleSqlGen.docQualityModel(4096, 0.1),
     "doc_quality_model_trained" -> OracleSqlGen.docQualityModelTrained(4096, 0.1, 0.5),
+    "doc_quality_model_eval" -> OracleSqlGen.docQualityModelEval(4096, 0.1, 0.5),
     "text_keywords"         -> OracleSqlGen.textKeywords(3),
     "text_winnow"           -> OracleSqlGen.textWinnow(8),
     "doc_contamination_stats" -> OracleSqlGen.docContaminationStats(10, 1),

@@ -1131,6 +1131,38 @@ object TextOps {
     scoreWithWeights(t, qualityModelTrainedWeights(t, vocabV, minScore), bias),
     ordered)(col("doc_id"))
 
+  /** E49: trained-model agreement card — the confusion matrix of
+    * E30t's learned keep/drop against the E14 weak labels it was
+    * trained on, with precision/recall/accuracy/F1. This is IN-SAMPLE
+    * fit by construction (one gradient step on these very labels) —
+    * the number that says whether the linear model can even represent
+    * the curation rule before you trust it on unlabeled data; pair
+    * with a held-out split (E21) for generalization. Two per-doc
+    * relations joined doc-keyed into ONE 4-counter aggregate; every
+    * ratio divides exact BIGINTs once, r6'd, zero-denominator guarded
+    * identically on both engines.
+    */
+  def docQualityModelEval(t: Tables, vocabV: Int = 4096, bias: Double = 0.1,
+      minScore: Double = 0.5): DataFrame = {
+    val pred = docQualityModelTrained(t, vocabV, bias, minScore)
+      .select(col("doc_id"), col("keep").as("pred_keep"))
+    val lab = docCurate(t, minScore).select(col("doc_id"), col("keep").as("y"))
+    def cnt(p: Int, y: Int): Column =
+      sum(when(col("pred_keep") === p && col("y") === y, 1L).otherwise(0L))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0L, r6(num.cast("double") / den.cast("double")))
+    pred.join(lab, "doc_id")
+      .agg(cnt(1, 1).as("tp"), cnt(1, 0).as("fp"),
+        cnt(0, 1).as("fn"), cnt(0, 0).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision_r"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall_r"),
+        ratio(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy_r"),
+        ratio(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_r"))
+  }
+
   /** E34: language confusion matrix — declared `lang` × E1-predicted
     * `pred_lang` doc counts with per-declared-language share (the
     * dataset-card "how much of my 'en' slice isn't en" view, and the
