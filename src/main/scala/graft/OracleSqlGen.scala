@@ -514,6 +514,26 @@ object OracleSqlGen {
        |  CASE WHEN vx > 0 AND vy > 0 THEN floor((cxy*cxy/(vx*vy))*1000000 + 0.5)/1000000 END AS r2_r
        |FROM t""".stripMargin
 
+  /** A60: Zipf OLS over the top-K user activity ranks. */
+  def evUserZipf(topK: Int): String =
+    s"""WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+       |top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id ASC LIMIT $topK),
+       |rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rank FROM top),
+       |xy AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS xm,
+       |  CAST(floor(ln(CAST(n AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS ym FROM rk),
+       |m AS (SELECT COUNT(*) AS k,
+       |  CAST(SUM(xm) AS DOUBLE) AS sx, CAST(SUM(ym) AS DOUBLE) AS sy,
+       |  CAST(SUM(xm*ym) AS DOUBLE) AS sxy, CAST(SUM(xm*xm) AS DOUBLE) AS sxx,
+       |  CAST(SUM(ym*ym) AS DOUBLE) AS syy FROM xy),
+       |t AS (SELECT k,
+       |  sxx - sx*sx/CAST(k AS DOUBLE) AS vx,
+       |  syy - sy*sy/CAST(k AS DOUBLE) AS vy,
+       |  sxy - sx*sy/CAST(k AS DOUBLE) AS cxy FROM m)
+       |SELECT k,
+       |  CASE WHEN vx > 0 THEN floor((cxy/vx)*1000000 + 0.5)/1000000 END AS zipf_slope_r,
+       |  CASE WHEN vx > 0 AND vy > 0 THEN floor((cxy*cxy/(vx*vy))*1000000 + 0.5)/1000000 END AS r2_r
+       |FROM t""".stripMargin
+
   private val bitSumExprs: String = (0 until 60).map(j =>
     s"SUM(((h0 >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n  ")
 

@@ -183,6 +183,7 @@ object SparkEntry {
     "ev_user_lifespan"     -> q(EventOps.evUserLifespan(_, ordered = true)),
     "ev_user_entropy"      -> q(EventOps.evUserEntropy(_, ordered = true)),
     "ev_type_affinity"     -> q(EventOps.evTypeAffinity),
+    "ev_user_zipf"         -> q(EventOps.evUserZipf(_)),
     "doc_tokenizer_fertility" -> q(TextOps.docTokenizerFertility),
     "ev_cooccurrence"      -> q(EventOps.evCooccurrence),
     "ev_sliding_rate"      -> q(EventOps.evSlidingRate),
@@ -1109,6 +1110,7 @@ object SparkEntry {
     "doc_minhash_calibration" -> OracleSqlGen.docMinhashCalibration,
     "text_bpe_train"          -> OracleSqlGen.textBpeTrain(3),
     "doc_lsh_bucket_stats"    -> OracleSqlGen.docLshBucketStats,
+    "ev_user_zipf"            -> OracleSqlGen.evUserZipf(100),
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,

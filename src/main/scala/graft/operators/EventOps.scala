@@ -546,6 +546,46 @@ object EventOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** A60: user-activity power-law fit (E33's Zipf OLS on the traffic
+    * side) — the slope of ln(events) on ln(rank) over the top-K most
+    * active users. Near −1 ⇒ genuinely power-law traffic, which is the
+    * EMPIRICAL justification for the skew machinery (B44 salting, AQE
+    * skew splits, B14's two-phase distincts): one hot user owning a
+    * constant fraction of a 100 TB stream is exactly what this
+    * relation detects before the shuffle discovers it the hard way.
+    * Top-K is a two-stage exact TakeOrdered; the rank window and
+    * integer micro-ln moment sums ride the K-row relation only.
+    */
+  def evUserZipf(t: Tables, topK: Int = 100): DataFrame = {
+    val top = t.events
+      .select(col("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id").asc)
+      .limit(topK)
+    val ranked = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("user_id").asc)).cast("long"))
+      .select(
+        floor(log(col("rank").cast("double")) * 1e6 + 0.5).cast("long").as("xm"),
+        floor(log(col("n").cast("double")) * 1e6 + 0.5).cast("long").as("ym"))
+    val nD = col("k").cast("double")
+    val sxx = col("sxx") - col("sx") * col("sx") / nD
+    val syy = col("syy") - col("sy") * col("sy") / nD
+    val sxy = col("sxy") - col("sx") * col("sy") / nD
+    val slope = sxy / sxx
+    ranked.agg(
+      count(lit(1)).as("k"),
+      sum(col("xm")).cast("double").as("sx"),
+      sum(col("ym")).cast("double").as("sy"),
+      sum(col("xm") * col("ym")).cast("double").as("sxy"),
+      sum(col("xm") * col("xm")).cast("double").as("sxx"),
+      sum(col("ym") * col("ym")).cast("double").as("syy"))
+      .select(col("k"),
+        when(sxx > 0, r6(slope)).as("zipf_slope_r"),
+        when(sxx > 0 && syy > 0, r6(sxy * sxy / (sxx * syy))).as("r2_r"))
+  }
+
   /** A58: type-affinity lift over A35's co-occurrence basis — the
     * normalized association A35's raw counts can't give: lift(a,b) =
     * P(a∧b)/(P(a)·P(b)) over distinct (user, hour) baskets, > 1 ⇔
