@@ -394,6 +394,50 @@ object EventStreamJob {
       .agg(count(lit(1)).as("dau"))
       .select(col("window.start").as("day"), col("dau"))
 
+  final case class DayTypeShare(day: java.sql.Timestamp, event_type: String,
+      n: Long, day_tot: Long, share_r: Double)
+
+  /** A55 ONLINE: day-final event-type mix — the input relation of the
+    * drift monitor as it closes. Two chained stateful operators (the
+    * A47 discipline): a day-quantized-watermark windowed aggregate
+    * collapses raw events to (day, type, n) with map-side partials —
+    * the per-day reducer sees partial counts, never raw events — and
+    * emits each closed day exactly once; a day-keyed
+    * flatMapGroupsWithState then fans the day's ≤#types rows back out
+    * with the day total and r6'd shares. Because a closed window's
+    * rows all arrive in ONE micro-batch, the second stage is
+    * stateless-per-group (emit and clear); its group cardinality is
+    * days-in-flight, and its input volume is #days×#types rows.
+    * Downstream, the batch baseline join (A55) turns shares into
+    * drift. StreamingSpec pins emitted rows ≡ the batch day-share
+    * relation.
+    */
+  def streamTypeShares(events: DataFrame,
+      graceDelay: String = "30 minutes"): Dataset[DayTypeShare] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val closed = events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withWatermark("day", s"1 day $graceDelay")
+      .groupBy(window(col("day"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)]
+    closed
+      .groupByKey(_._1.getTime)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(java.sql.Timestamp, String, Long)],
+            state: GroupState[Boolean]) =>
+          val rows = it.toSeq
+          val tot = rows.map(_._3).sum
+          state.remove()
+          rows.sortBy(_._2).iterator.map { case (d, ty, n) =>
+            DayTypeShare(d, ty, n, tot,
+              math.floor(n.toDouble / tot * 1e6 + 0.5) / 1e6)
+          }
+      }
+  }
+
   /** Per-type CUSUM state: hourly counts still open under the
     * watermark; finalized-but-unscored hours (waiting for the baseline
     * window to fill); and once the baseline is frozen, (mu, sigma, s).

@@ -43,6 +43,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming day-final type shares == batch day-share relation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamTypeShares(input.toDS().toDF())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("shares_out").start()
+    try {
+      eventsData.grouped((eventsData.size + 2) / 3).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      val lastTs = eventsData.map(_.ts).max
+      input.addData(Seq(Ev(999999L, lastTs.plusSeconds(864000), -1L, "sentinel")))
+      q.processAllAvailable()
+      val streamed = spark.table("shares_out").filter($"event_type" =!= "sentinel")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      // batch twin: the (day, type, n, share) columns of A55
+      val batch = EventOps.evTypeShareDrift(tables)
+        .select(col("day"), col("event_type"), col("n"), col("share_r"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"day/type sets differ: only-stream=${(streamed.keySet -- batch.keySet).take(3)} " +
+          s"only-batch=${(batch.keySet -- streamed.keySet).take(3)}")
+      streamed.foreach { case (k, (n, tot, share)) =>
+        assert(batch(k)._1 == n && batch(k)._2 == share, s"$k: stream=($n,$tot,$share) batch=${batch(k)}")
+        assert(tot > 0 && n <= tot)
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel == batch cascade (watermark-final stage emission)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
