@@ -160,6 +160,7 @@ object SparkEntry {
     "doc_pack_efficiency"  -> q(TextOps.docPackEfficiency(_)),
     "doc_scrub_pii"        -> q(TextOps.docScrubPii(_, ordered = true)),
     "corpus_stats"         -> q(TextOps.corpusStats),
+    "corpus_stats_merged"  -> q(TextOps.corpusStatsMerged),
     "text_bm25"            -> q(TextOps.textBm25(_, ordered = true)),
     "text_unigram_logprob" -> q(TextOps.textUnigramLogprob(_, ordered = true)),
     "doc_span_dedup"       -> q(TextOps.docSpanDedup(_, ordered = true)),
@@ -1558,6 +1559,18 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "corpus_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  floor((CAST(SUM(n_tokens) AS DOUBLE)/COUNT(*))*1000000 + 0.5)/1000000 AS avg_tokens,
+        |  floor(quantile_cont(n_tokens, 0.5)*10000 + 0.5)/10000 AS p50_tokens,
+        |  floor(quantile_cont(n_tokens, 0.9)*10000 + 0.5)/10000 AS p90_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM (SELECT source, lang, len(string_split(lower(text), ' ')) AS n_tokens FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // E50: the split→moments→merge→finalize pipeline must reproduce
+    // corpus_stats EXACTLY — the merge law IS this unchanged oracle
+    "corpus_stats_merged" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |  floor((CAST(SUM(n_tokens) AS DOUBLE)/COUNT(*))*1000000 + 0.5)/1000000 AS avg_tokens,

@@ -503,6 +503,71 @@ object TextOps {
         count_distinct(col("lang")).as("n_langs"))
       .orderBy(col("source"))
 
+  /** E50 (support): the MERGEABLE form of E19 — per (source, lang,
+    * n_tokens) counts. Two moment relations merge by union +
+    * re-aggregation (associative, commutative), which is what makes
+    * the corpus card INCREMENTAL at 100 TB: yesterday's moments are a
+    * tiny persisted relation, today's batch contributes its own, and
+    * the card finalizes from their merge without rescanning the
+    * corpus. Percentiles stay EXACT through the merge because the
+    * moment key carries the full value histogram (token lengths are
+    * bounded-cardinality), not a lossy summary.
+    */
+  def corpusStatsMoments(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"), col("lang"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** E50: finalize E19's card from (merged) moments — identical output
+    * to [[corpusStats]], proven by gating `corpus_stats_merged` (a
+    * doc_id-split → two moments → union-merge → finalize pipeline)
+    * against the SAME oracle SQL as `corpus_stats`. The exact
+    * interpolated percentiles are recovered from the value histogram:
+    * h = (n−1)p, v_lo/v_hi via cumulative counts, linear
+    * interpolation — the same formula `percentile` applies to the raw
+    * multiset, computed from counts instead (windows and aggregates
+    * ride the #sources × #distinct-lengths histogram, never docs).
+    */
+  def corpusStatsFromMoments(m: DataFrame): DataFrame = {
+    val hist = m.groupBy(col("source"), col("n_tokens"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+    val withCum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = hist.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum(col("n_tokens") * col("cnt")).as("total_tokens"))
+    val langs = m.select(col("source"), col("lang")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_langs"))
+    def pct(p: Double): Column = {
+      val h = (col("n_docs") - 1).cast("double") * lit(p)
+      val iLo = floor(h)
+      val vLo = min(when(col("cum") >= iLo + 1, col("n_tokens")))
+      val vHi = coalesce(min(when(col("cum") >= iLo + 2, col("n_tokens"))), vLo)
+      r4(vLo.cast("double") + (h - iLo) * (vHi - vLo).cast("double"))
+    }
+    withCum.join(broadcast(tot), "source")
+      .groupBy(col("source"), col("n_docs"), col("total_tokens"))
+      .agg(pct(0.5).as("p50_tokens"), pct(0.9).as("p90_tokens"))
+      .join(broadcast(langs), "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        r6(col("total_tokens").cast("double") / col("n_docs")).as("avg_tokens"),
+        col("p50_tokens"), col("p90_tokens"), col("n_langs"))
+      .orderBy(col("source"))
+  }
+
+  /** E50 as a gated query: split the corpus by doc_id parity, derive
+    * each half's moments independently, union-merge, finalize — and
+    * pass the UNCHANGED `corpus_stats` oracle. The split-merge-equals-
+    * direct law IS the correctness gate.
+    */
+  def corpusStatsMerged(t: Tables): DataFrame = {
+    val docs = t.documents
+    val even = corpusStatsMoments(docs.filter(col("doc_id") % 2 === 0))
+    val odd = corpusStatsMoments(docs.filter(col("doc_id") % 2 =!= 0))
+    corpusStatsFromMoments(even.unionByName(odd))
+  }
+
   /** E25: temperature-scaled mixture weights — the mixture-DESIGN step
     * whose output E16's budget mixing consumes: per-source natural
     * token share, temperature-flattened weight share^τ (τ<1 upsamples
