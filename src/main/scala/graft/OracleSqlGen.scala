@@ -584,6 +584,34 @@ object OracleSqlGen {
     s"""WITH $dhashCtes
        |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin
 
+  /** F10: frame-granularity dhash (1-byte blocks) banded pairs, rolled
+    * up per asset pair.
+    */
+  def mmFramePhashPairs(frameBytes: Int, stride: Int, maxHamming: Int): String =
+    s"""WITH fr AS (SELECT doc_id, frame_idx,
+       |    substr(text, frame_idx*$frameBytes + 1, $frameBytes) AS ft
+       |  FROM (SELECT doc_id, text,
+       |    unnest([i for i in range(0, length(text) // $frameBytes, $stride)]) AS frame_idx
+       |    FROM documents)),
+       |fb AS (SELECT doc_id, frame_idx, ft, unnest(range(61)) AS i FROM fr),
+       |fbs AS (SELECT doc_id, frame_idx, CAST(i AS INTEGER) AS i,
+       |  CASE WHEN length(ft) >= i+1 THEN ord(substr(ft, CAST(i+1 AS INTEGER), 1)) ELSE 0 END AS s
+       |  FROM fb),
+       |fph AS (SELECT a.doc_id, a.frame_idx,
+       |  CAST(SUM(CASE WHEN a.s > b2.s THEN (1::BIGINT << a.i) ELSE 0 END) AS BIGINT) AS ph
+       |  FROM fbs a JOIN fbs b2 ON a.doc_id = b2.doc_id AND a.frame_idx = b2.frame_idx AND b2.i = a.i + 1
+       |  GROUP BY a.doc_id, a.frame_idx),
+       |ch AS (SELECT doc_id, frame_idx, ph, j, (ph >> (15*j)) & 32767 AS chunk_val
+       |  FROM fph, (SELECT unnest([0,1,2,3]) AS j)),
+       |pr AS (SELECT DISTINCT a.doc_id AS doc_a, a.frame_idx AS fa,
+       |  b.doc_id AS doc_b, b.frame_idx AS fb2,
+       |  CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+       |  FROM ch a JOIN ch b ON a.j = b.j AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |  WHERE CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) <= $maxHamming)
+       |SELECT doc_a, doc_b, COUNT(*) AS n_near_frames,
+       |  CAST(MIN(hamming) AS INTEGER) AS min_hamming
+       |FROM pr GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+
   def mmPhashPairs(maxHamming: Int): String =
     s"""WITH $dhashCtes,
        |ch AS (SELECT doc_id, phash, j, (phash >> (15*j)) & 32767 AS chunk_val

@@ -223,6 +223,7 @@ object SparkEntry {
     "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract(_, ordered = true)), // rows-only: stubbed decode, no SQL oracle
     "mm_resize"            -> q(Multimodal.mmResize(_, ordered = true)),
     "mm_frame_sample"      -> q(Multimodal.mmFrameSample(_, ordered = true)),
+    "mm_frame_phash_pairs" -> q(Multimodal.mmFramePhashPairs(_, ordered = true)),
     "mm_exact_dedup"       -> q(Multimodal.mmExactDedup(_, ordered = true)),
     "mm_phash"             -> q(Multimodal.mmPhash(_, ordered = true)),
     "mm_phash_pairs"       -> q(Multimodal.mmPhashPairs(_, ordered = true)),
@@ -1641,6 +1642,7 @@ object SparkEntry {
         |ORDER BY frame_md5""".stripMargin,
     "mm_phash_clusters"     -> OracleSqlGen.mmPhashClusters(4),
     "mm_dedup_keep_best"    -> OracleSqlGen.mmDedupKeepBest(4),
+    "mm_frame_phash_pairs"  -> OracleSqlGen.mmFramePhashPairs(64, 4, 4),
 
     "text_normalize_dedup" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,

@@ -276,6 +276,11 @@ object VectorExprs {
       exprs => PqDists(exprs.head, exprs(1))),
     ("graft_dhash60", classOf[DHash60].getName,
       exprs => DHash60(exprs.head, 8)),
+    // 1-byte blocks: the frame-granularity variant (a 64-byte frame
+    // fills the 61-block grid at blockBytes=1; at 8 it would collapse
+    // into 8 blocks and lose the gradient)
+    ("graft_dhash60_b1", classOf[DHash60].getName,
+      exprs => DHash60(exprs.head, 1)),
     ("graft_minhash_sig", classOf[MinHashSig].getName,
       exprs => MinHashSig(exprs.head)))
 

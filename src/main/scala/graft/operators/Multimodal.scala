@@ -244,6 +244,52 @@ object Multimodal {
       .filter(col("n_assets") >= 2),
     ordered)(col("frame_md5"))
 
+  /** F10: frame-level PERCEPTUAL near-dup across assets — F8 catches
+    * byte-identical shared frames (md5); this catches re-encoded /
+    * lightly-corrupted shared scenes: each sampled frame gets a
+    * DHash60 at 1-byte blocks (a 64-byte frame fills the 61-block
+    * gradient grid), frames band 4×15-bit pigeonhole (hamming ≤ 3
+    * guaranteed a shared chunk, larger best-effort per C4b's
+    * contract), cross-ASSET candidates verify exact hamming, and the
+    * pair relation rolls up per asset pair (shared-near-frame count +
+    * closest match). Scale shape: banding bounds candidates, payload
+    * bytes never shuffle (the 8-byte frame hash rides the map side),
+    * and the rollup is pair-volume-bounded.
+    */
+  def mmFramePhashPairs(t: Tables, frameBytes: Int = 64, stride: Int = 4,
+      maxHamming: Int = 4, ordered: Boolean = false): DataFrame = {
+    val frames = t.documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("nf", expr(s"octet_length(payload) div $frameBytes").cast("int"))
+      .select(col("doc_id"), col("payload"),
+        explode(when(col("nf") > 0, sequence(lit(0), col("nf") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        call_function("graft_dhash60_b1",
+          expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")).as("ph"))
+    val chunks = frames.select(col("doc_id"), col("frame_idx"), col("ph"),
+      expr("""stack(4,
+        0, (ph >> 0)  & 32767,
+        1, (ph >> 15) & 32767,
+        2, (ph >> 30) & 32767,
+        3, (ph >> 45) & 32767) AS (chunk, chunk_val)"""))
+    val c2 = chunks.select(col("doc_id").as("db"), col("frame_idx").as("fb"),
+      col("ph").as("ph2"), col("chunk").as("chunk2"), col("chunk_val").as("chunk_val2"))
+    val pairs = chunks.join(c2,
+        col("chunk") === col("chunk2") && col("chunk_val") === col("chunk_val2") &&
+          col("doc_id") < col("db"))
+      .select(col("doc_id").as("doc_a"), col("frame_idx").as("fa"),
+        col("db").as("doc_b"), col("fb"),
+        bit_count(col("ph").bitwiseXOR(col("ph2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    maybeSort(
+      pairs.groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_near_frames"),
+          min(col("hamming")).cast("int").as("min_hamming")),
+      ordered)(col("doc_a"), col("doc_b"))
+  }
+
   /** F7: incremental perceptual dedup — a new asset batch (doc_id ≡ 0
     * mod `mod`) probes the maintained phash chunk index (F6's
     * pigeonhole banding; at deploy the index is the persisted artifact
