@@ -707,6 +707,19 @@ object OracleSqlGen {
        |  WHERE rn = 1)""".stripMargin
   }
 
+  /** D28: per-cell count/share + global imbalance over the D7
+    * assignment.
+    */
+  def annIvfImbalance(nCenters: Int): String =
+    s"""WITH ${cellCte(nCenters)},
+       |bc AS (SELECT cell, COUNT(*) AS n_vectors FROM asg GROUP BY cell),
+       |tt AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total,
+       |  CAST(MAX(n_vectors) AS BIGINT) AS n_max, COUNT(*) AS n_cells FROM bc)
+       |SELECT bc.cell, bc.n_vectors,
+       |  floor((CAST(bc.n_vectors AS DOUBLE) / CAST(tt.n_total AS DOUBLE))*1000000 + 0.5)/1000000 AS share_r,
+       |  floor((CAST(tt.n_max AS DOUBLE) * CAST(tt.n_cells AS DOUBLE) / CAST(tt.n_total AS DOUBLE))*1000000 + 0.5)/1000000 AS imbalance_r
+       |FROM bc, tt ORDER BY cell""".stripMargin
+
   /** Product-quantization codes: per (vector, subspace) the nearest
     * sub-codebook entry (codebooks = subvector slices of the same
     * hash-selected center vectors). Same fold/rounding parity as the

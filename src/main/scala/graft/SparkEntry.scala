@@ -134,6 +134,7 @@ object SparkEntry {
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
     "emb_sq8_codes"        -> q(Similarity.embSq8Codes(_, ordered = true)),
     "emb_sq8_error"        -> q(Similarity.embSq8Error(_, ordered = true)),
+    "ann_ivf_imbalance"    -> q(Similarity.annIvfImbalance(_)),
     "ann_pq_adc"           -> q(Similarity.annPqAdc(_)),
     "ann_range"            -> q(Similarity.annRange(_, ordered = true)),
     "ann_sq8_adc"          -> q(Similarity.annSq8Adc(_)),
@@ -1545,6 +1546,7 @@ object SparkEntry {
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
     "emb_sq8_codes"         -> OracleSqlGen.embSq8Codes,
     "emb_sq8_error"         -> OracleSqlGen.embSq8Error,
+    "ann_ivf_imbalance"     -> OracleSqlGen.annIvfImbalance(8),
     "ann_pq_adc"            -> OracleSqlGen.annPqAdc(8, 5, 8, 8, 8),
     "ann_sq8_adc"           -> OracleSqlGen.annSq8Adc(8, 5, 64),
     "ann_ivf_adc"           -> OracleSqlGen.annIvfAdc(8, 5, 8, 8, 8, 16, 4),

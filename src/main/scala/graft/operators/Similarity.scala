@@ -468,6 +468,30 @@ object Similarity {
       ordered)(col("i"))
   }
 
+  /** D28: IVF cell-balance card (C24's health read for the vector
+    * index): per cell, vector count + corpus share, plus the global
+    * imbalance factor max/mean on every row. Probing cost under IVF is
+    * proportional to the PROBED cells' sizes, so a hot cell (imbalance
+    * ≫ 1) silently turns nProbe=4 into a near-scan — this is the
+    * re-train-the-quantizer trigger (D21's Lloyd rounds are the fix).
+    * One narrow assignment pass into a #cells aggregate; the
+    * imbalance/share ride the ≤#cells rollup via a broadcast 1-row
+    * total.
+    */
+  def annIvfImbalance(t: Tables, nCenters: Int = 8): DataFrame = {
+    val byCell = withCell(withNorm(t.embeddings), hashCenters(t, nCenters))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val tot = byCell.agg(sum(col("n_vectors")).as("n_total"),
+      max(col("n_vectors")).as("n_max"), count(lit(1)).as("n_cells"))
+    byCell.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        r6(col("n_vectors").cast("double") / col("n_total").cast("double"))
+          .as("share_r"),
+        r6(col("n_max").cast("double") * col("n_cells").cast("double") /
+          col("n_total").cast("double")).as("imbalance_r"))
+      .orderBy(col("cell"))
+  }
+
   /** D22: cell label purity — per D7 cell, the majority label and its
     * share (does the coarse quantizer respect label structure — the
     * eval that decides whether IVF cells can double as shards or
