@@ -561,6 +561,24 @@ object OracleSqlGen {
        |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** C25: zero-filled hamming histogram over the banded simhash
+    * pairs.
+    */
+  def docSimhashHammingHist(maxHamming: Int): String =
+    s"""WITH $simhashCtes,
+       |ch AS (SELECT doc_id, simhash, j, (simhash >> (15*j)) & 32767 AS chunk_val
+       |  FROM sh, (SELECT unnest([0,1,2,3]) AS j)),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM ch a JOIN ch b ON a.j = b.j AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |  WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) <= $maxHamming),
+       |grid AS (SELECT unnest(range(0, ${maxHamming + 1})) AS hamming),
+       |c AS (SELECT hamming, COUNT(*) AS n FROM p GROUP BY 1)
+       |SELECT CAST(grid.hamming AS BIGINT) AS hamming,
+       |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_pairs
+       |FROM grid LEFT JOIN c ON grid.hamming = c.hamming
+       |ORDER BY hamming""".stripMargin
+
   /** F6: dHash oracle — block byte sums via a filtered list
     * comprehension (ord() per char, == byte values for the ASCII
     * corpus; blocks past the payload sum to 0 via COALESCE of the

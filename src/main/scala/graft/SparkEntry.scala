@@ -91,6 +91,7 @@ object SparkEntry {
     "doc_lsh_bucket_stats" -> q(Dedup.docLshBucketStats(_)),
     "doc_simhash"          -> q(Dedup.docSimhash(_, ordered = true)),
     "doc_simhash_pairs"    -> q(Dedup.docSimhashPairs(_, ordered = true)),
+    "doc_simhash_hamming_hist" -> q(Dedup.docSimhashHammingHist(_)),
     "doc_ngram_jaccard"    -> q(Dedup.docNgramJaccard(_, ordered = true)),
     "doc_ngram_jaccard_capped" -> q(Dedup.docNgramJaccardCapped(_, ordered = true)),
     "doc_ngram_containment" -> q(Dedup.docNgramContainment(_, ordered = true)),
@@ -1116,6 +1117,7 @@ object SparkEntry {
     "ev_user_zipf"            -> OracleSqlGen.evUserZipf(100),
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
+    "doc_simhash_hamming_hist" -> OracleSqlGen.docSimhashHammingHist(12),
     "doc_ngram_jaccard"     -> OracleSqlGen.docNgramJaccard,
     "doc_lsh_tuning"        -> OracleSqlGen.docLshTuning,
     "doc_lsh_recall"        -> OracleSqlGen.docLshRecall,

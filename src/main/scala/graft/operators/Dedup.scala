@@ -221,6 +221,23 @@ object Dedup {
       ordered)(col("doc_a"), col("doc_b"))
   }
 
+  /** C25: simhash hamming-distance histogram — F8's threshold ladder
+    * on the text side: the banded C4b pair relation bucketed by
+    * hamming, zero-filled over the static 0..maxHamming grid, so the
+    * "where does near-dup mass sit / where to cut" read exists for
+    * simhash like it does for phash (F8) and Jaccard (C19). Pair
+    * feeder + a ≤(maxHamming+1)-key rollup against a range relation.
+    */
+  def docSimhashHammingHist(t: Tables, maxHamming: Int = 12): DataFrame = {
+    val hist = docSimhashPairs(t, maxHamming)
+      .groupBy(col("hamming").cast("long").as("h"))
+      .agg(count(lit(1)).as("n"))
+    t.spark.range(0, maxHamming + 1L).select(col("id").as("hamming"))
+      .join(hist, col("hamming") === col("h"), "left")
+      .select(col("hamming"), coalesce(col("n"), lit(0L)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
   /** C24: LSH band-bucket health card — the index-side capacity read
     * C22's shingle-df histogram gives for the posting lists: per band,
     * bucket count, max bucket size, exact candidate volume Σ s(s−1)/2
