@@ -156,6 +156,61 @@ object DocStreamJob {
         col("best.db").as("dup_of"), col("best.j").as("jaccard"))
   }
 
+  final case class NearDupCand(doc_a: Long, doc_b: Long, agree: Long,
+      est_jaccard: Double)
+
+  /** A62: stream-INTERNAL near-dup candidates — the half A32 doesn't
+    * cover: A32 probes a static base index, so two duplicates that
+    * both arrive on today's stream sail through. Here the band index
+    * IS the stream state: each arriving doc's 4 MinHash bands probe
+    * their bucket for earlier arrivals (emitting a candidate per
+    * shared band, with the signature-agreement estimate — C3b's
+    * "trust the signatures" mode, no gram sets shuffled or stored),
+    * then insert. Pairing is strictly earlier←later in arrival order
+    * (intra-batch: doc_id order), so the emitted relation equals the
+    * batch band-candidate relation with doc_a < doc_b
+    * (StreamingSpec law, distinct over bands). State = the bucket
+    * residents' 16-long signatures — the full-history cost inherent
+    * to within-stream dedup; at deploy it is bounded by the same
+    * TTL/compaction policy as any dedup store (drop buckets idle past
+    * the retention window), or by periodically folding state into the
+    * persisted C8b base index and restarting fresh.
+    */
+  def streamDocNearDupWithin(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[NearDupCand] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .withColumn("sig", call_function("graft_minhash_sig",
+        call_function("graft_gram3_hashes", col("text"))))
+      .select(col("doc_id"), col("sig"),
+        expr("""stack(4,
+          0, concat_ws(',', sig[0],  sig[1],  sig[2],  sig[3]),
+          1, concat_ws(',', sig[4],  sig[5],  sig[6],  sig[7]),
+          2, concat_ws(',', sig[8],  sig[9],  sig[10], sig[11]),
+          3, concat_ws(',', sig[12], sig[13], sig[14], sig[15])) AS (band, band_val)"""))
+      .as[(Long, Seq[Long], Int, String)]
+    banded
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), it: Iterator[(Long, Seq[Long], Int, String)],
+            state: org.apache.spark.sql.streaming.GroupState[List[(Long, Seq[Long])]]) =>
+          var bucket = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[NearDupCand]
+          it.toSeq.sortBy(_._1).foreach { case (id, sig, _, _) =>
+            bucket.foreach { case (pid, psig) =>
+              val agree = psig.iterator.zip(sig.iterator).count { case (a, b) => a == b }.toLong
+              out += NearDupCand(math.min(pid, id), math.max(pid, id),
+                agree, agree / 16.0)
+            }
+            bucket = (id, sig) :: bucket
+          }
+          state.update(bucket)
+          out.result().iterator
+      }
+  }
+
   /** The per-batch drift report: each source's share of the batch vs a
     * broadcast BASELINE share relation (source, expected_share) —
     * trained offline from the historical corpus (E19/E25's world).

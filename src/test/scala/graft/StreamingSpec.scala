@@ -43,6 +43,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-internal near-dup candidates == batch band-candidate relation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val docs = tables.documents.select("doc_id", "text", "lang").collect()
+      .map(r => graft.model.IngestDoc(r.getLong(0), r.getString(1), r.getString(2), base))
+      .sortBy(_.doc_id).toSeq
+    val input = MemoryStream[graft.model.IngestDoc]
+    val out = graft.streaming.DocStreamJob.streamDocNearDupWithin(input.toDS().toDF())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_within_out").start()
+    try {
+      docs.grouped((docs.size + 2) / 3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("neardup_within_out")
+        .select($"doc_a", $"doc_b", $"agree").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Dedup.docMinhashJaccardEst(tables).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream≠batch: only-stream=${(streamed -- batch).take(3)} " +
+          s"only-batch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming day-final type shares == batch day-share relation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
