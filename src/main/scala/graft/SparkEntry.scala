@@ -163,6 +163,7 @@ object SparkEntry {
     "doc_scrub_pii"        -> q(TextOps.docScrubPii(_, ordered = true)),
     "corpus_stats"         -> q(TextOps.corpusStats),
     "corpus_stats_merged"  -> q(TextOps.corpusStatsMerged),
+    "doc_pii_stats"        -> q(TextOps.docPiiStats),
     "text_bm25"            -> q(TextOps.textBm25(_, ordered = true)),
     "text_unigram_logprob" -> q(TextOps.textUnigramLogprob(_, ordered = true)),
     "doc_span_dedup"       -> q(TextOps.docSpanDedup(_, ordered = true)),
@@ -1562,6 +1563,19 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_pii_stats" ->
+      """WITH s AS (SELECT source,
+        |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs
+        |FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+        |  CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+        |  CAST(SUM(CASE WHEN n_digit_runs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_digits,
+        |  CAST(SUM(n_digit_runs) AS BIGINT) AS total_digit_runs,
+        |  floor((CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS email_share_r
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
     "corpus_stats" ->
       """SELECT source, COUNT(*) AS n_docs,

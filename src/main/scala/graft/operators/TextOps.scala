@@ -480,6 +480,30 @@ object TextOps {
       .select(col("doc_id"), col("text_masked"), col("n_emails"), col("n_digit_runs")),
     ordered)(col("doc_id"))
 
+  /** E51: PII incidence card per source — the audit face of E18 (the
+    * scrubber masks; this measures): per source, docs, affected-doc
+    * counts and total match counts for each PII class, plus the
+    * affected share. The per-source read is the policy lever — a
+    * source at 40% email incidence gets routed to heavier redaction
+    * or dropped, which the corpus-wide number can't tell you. Same
+    * regexes as E18 (one narrow pass), one #sources aggregate.
+    */
+  def docPiiStats(t: Tables): DataFrame =
+    withScrub(t.documents.select(col("source"), col("text")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_emails") > 0).cast("long")).as("docs_with_email"),
+        sum(col("n_emails")).as("total_emails"),
+        sum((col("n_digit_runs") > 0).cast("long")).as("docs_with_digits"),
+        sum(col("n_digit_runs")).as("total_digit_runs"))
+      .select(col("source"), col("n_docs"),
+        col("docs_with_email"), col("total_emails"),
+        col("docs_with_digits"), col("total_digit_runs"),
+        r6(col("docs_with_email").cast("double") / col("n_docs").cast("double"))
+          .as("email_share_r"))
+      .orderBy(col("source"))
+
   /** E19: corpus statistics sweep — the per-source profile a mixture
     * designer reads before setting E16's budgets: doc counts, exact
     * token totals, mean and interpolated p50/p90 token lengths, and
