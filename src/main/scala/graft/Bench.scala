@@ -29,7 +29,7 @@ object Bench {
       "doc_cluster_stats", "doc_dedup_rate_by_threshold",
       // round-8 additions that run the C5/C7 feeders or iterate joins
       "doc_ngram_containment", "doc_lsh_tuning", "doc_lsh_recall",
-      "ann_pagerank")
+      "ann_pagerank", "mm_dedup_keep_best")
 
   /** State-partition count for the streaming pipeline — a deploy
     * sizing knob, like shuffle partitions for batch: each micro-batch
@@ -189,11 +189,19 @@ object Bench {
       "ann_knn_graph" -> 1.8,
       // C5-feeder composite (pair volume dominates) and the knn-edge
       // build under PageRank (cap-transition decade, like ann_knn_graph)
-      "doc_lsh_tuning" -> 1.2, "ann_pagerank" -> 1.8)
+      "doc_lsh_tuning" -> 1.2, "ann_pagerank" -> 1.8,
+      // media family: keep-best = phash banding + CC rounds (the
+      // doc_dedup_clusters reasoning); frame pairs declared ~2.0 ON
+      // THIS derived corpus — letter rotation preserves most byte
+      // GRADIENTS (only wrap chars change order), so cross-copy frames
+      // collide perceptually and pair volume grows ~copies²; real
+      // corpora shard the banding by chunk like every pair family
+      "mm_dedup_keep_best" -> 1.2, "mm_frame_phash_pairs" -> 2.0)
     val HeavySf1 = Seq("doc_ngram_jaccard", "doc_dedup_clusters",
       "doc_embed_cosine_dup", "doc_semdedup",
       "doc_ngram_jaccard_capped", "doc_ngram_containment",
-      "ann_knn_graph", "doc_lsh_tuning", "ann_pagerank")
+      "ann_knn_graph", "doc_lsh_tuning", "ann_pagerank",
+      "mm_dedup_keep_best", "mm_frame_phash_pairs")
     val sf1Secs: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SF1", "1") == "0") Map.empty
       else {

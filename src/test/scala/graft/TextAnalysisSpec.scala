@@ -12,6 +12,33 @@ import graft.operators.TextOps
   */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("mergeable corpus stats: split-merge == direct on adversarial random corpora") {
+    import spark.implicits._
+    // random token counts with heavy ties and tiny sources — the
+    // regimes where histogram-derived interpolated percentiles can
+    // drift from the multiset form if the cum-count indexing is off
+    // by one (single-doc sources, all-equal sources, exact-boundary n)
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 300).map { i =>
+      val src = s"s${rnd.nextInt(7)}"
+      val n = rnd.nextInt(6) match {
+        case 0 => 1
+        case 1 => 4 // heavy tie mass
+        case _ => 1 + rnd.nextInt(30)
+      }
+      (i.toLong, Seq.fill(n)("w").mkString(" "), s"l${rnd.nextInt(3)}", src, n.toLong)
+    } :+ ((300L, "w", "solo", "only_one_doc", 1L))
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = tables.copy(docsOverride = Some(df))
+    val direct = graft.operators.TextOps.corpusStats(t).collect().map(_.toSeq)
+    val a = graft.operators.TextOps.corpusStatsMoments(df.filter($"doc_id" % 3 === 0))
+    val b = graft.operators.TextOps.corpusStatsMoments(df.filter($"doc_id" % 3 =!= 0))
+    val merged = graft.operators.TextOps.corpusStatsFromMoments(a.unionByName(b))
+      .collect().map(_.toSeq)
+    assert(merged.sameElements(direct),
+      s"merge≠direct: ${merged.zip(direct).filter(p => p._1 != p._2).take(3).toSeq}")
+  }
+
   test("repetition: counts consistent, fracs in [0,1], doc 0 recomputed by hand") {
     val rows = TextOps.textRepetition(tables).collect()
     assert(rows.length == tables.documents.count())
