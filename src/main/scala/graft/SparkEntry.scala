@@ -47,6 +47,7 @@ object SparkEntry {
     "q_histogram"          -> q(Analytics.qHistogram),
     "q_histogram2d"        -> q(Analytics.qHistogram2d),
     "q_skew_salted_join"   -> q(Analytics.qSkewSaltedJoin(_)),
+    "q_not_in"             -> q(Analytics.qNotIn),
     "q_percentiles"        -> q(Analytics.qPercentiles),
     "q_approx_distinct"    -> q(Analytics.qApproxDistinct), // rows-only: HLL sketch, no SQL oracle
     "q_heavy_hitters_cms"  -> q(Analytics.qHeavyHittersCms(_)), // rows-only: CMS sketch, no SQL oracle
@@ -643,6 +644,15 @@ object SparkEntry {
         |FROM events e JOIN uo ON e.user_id = uo.o_custkey
         |GROUP BY 1
         |ORDER BY event_type""".stripMargin,
+
+    "q_not_in" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_below_avg" ->
       """WITH a AS (SELECT l_partkey,

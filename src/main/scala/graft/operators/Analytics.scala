@@ -143,6 +143,32 @@ object Analytics {
       .orderBy($("c_mktsegment"))
   }
 
+  /** B45: NOT IN — the null-aware anti join, a physical operator B7's
+    * NOT EXISTS form never exercises: under SQL's three-valued logic a
+    * single NULL in the subquery makes every NOT IN row UNKNOWN
+    * (result: empty), so Spark plans a dedicated null-aware
+    * BroadcastHashJoin instead of a plain anti join whenever it can't
+    * prove the subquery column non-null (parquet columns are nullable
+    * by schema, so it can't here). Expressed via spark.sql because the
+    * DataFrame API has no NOT IN form — exactly the case the SQL
+    * entrance exists for. Scale: the subquery side must broadcast (a
+    * NAAJ can't shuffle — any partition might hold the poisoning
+    * NULL); keep it a filtered dimension, as here.
+    */
+  def qNotIn(t: Tables): DataFrame = {
+    val spark = t.spark
+    t.orders.createOrReplaceTempView("graft_b45_orders")
+    t.customer.createOrReplaceTempView("graft_b45_customer")
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM graft_b45_orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM graft_b45_customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** B8: per-group top-k — 2 highest-value orders per priority class. */
   def qTopkPerGroup(t: Tables): DataFrame = {
     val w = Window.partitionBy($("o_orderpriority"))
