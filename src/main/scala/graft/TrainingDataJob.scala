@@ -110,10 +110,27 @@ object TrainingDataJob {
     // loader reads shard sizes/row counts from the manifest, never by
     // listing + footer-probing the 100 TB output itself
     val manifest = graft.sources.Sinks.writeManifest(spark, outPath)
+    // E50's mergeable corpus-card moments, persisted per run
+    // (underscore-prefixed: data readers skip it): the cross-run
+    // incremental card — union any set of runs' _moments and finalize
+    // (mergedCorpusCard) to get the EXACT combined E19 card, exact
+    // percentiles included, without rescanning any run's corpus.
+    val moments = graft.operators.TextOps.corpusStatsMoments(clean)
+    moments.write.mode(SaveMode.Overwrite).parquet(s"$outPath/_moments")
     Map(
       "input_clean"    -> clean.count(),
       "quarantined"    -> spark.read.text(s"$outPath/_quarantine").count(),
       "materialized"   -> spark.read.parquet(outPath).count(),
-      "manifest_files" -> manifest.count())
+      "manifest_files" -> manifest.count(),
+      "moment_rows"    -> spark.read.parquet(s"$outPath/_moments").count())
   }
+
+  /** The incremental corpus card: merge the persisted `_moments` of any
+    * set of runs (TrainingDataJobSpec pins merged ≡ the direct E19
+    * card of the union corpus).
+    */
+  def mergedCorpusCard(spark: org.apache.spark.sql.SparkSession,
+      outPaths: Seq[String]): org.apache.spark.sql.DataFrame =
+    graft.operators.TextOps.corpusStatsFromMoments(
+      outPaths.map(p => spark.read.parquet(s"$p/_moments")).reduce(_ unionByName _))
 }

@@ -85,6 +85,25 @@ class TrainingDataJobSpec extends SparkSpec {
       "manifest partition paths must carry split=/shard=")
   }
 
+  test("two runs' persisted _moments merge into the exact union corpus card") {
+    import org.apache.spark.sql.functions._
+    val docs = tables.documents
+    val halves = Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0))
+    val outs = halves.zipWithIndex.map { case (half, i) =>
+      val in = Files.createTempDirectory(s"graft-mom-in$i").toFile
+      val out = Files.createTempDirectory(s"graft-mom-out$i").toFile
+      graft.sources.Sinks.writeJsonLines(half, in.getAbsolutePath + "/docs")
+      val m = TrainingDataJob.runFromJsonl(
+        spark, in.getAbsolutePath + "/docs", out.getAbsolutePath, nShards = 2)
+      assert(m("moment_rows") > 0L)
+      out.getAbsolutePath
+    }
+    val merged = TrainingDataJob.mergedCorpusCard(spark, outs).collect().map(_.toSeq)
+    val direct = graft.operators.TextOps.corpusStats(tables).collect().map(_.toSeq)
+    assert(merged.sameElements(direct),
+      s"cross-run merge≠direct: ${merged.zip(direct).filter(p => p._1 != p._2).take(3).toSeq}")
+  }
+
   test("scrub stage: masked corpus ships no digits/emails, same doc set, audit counts consistent") {
     import org.apache.spark.sql.functions._
     val plain = TrainingDataJob.materialize(tables, nShards = 4)
