@@ -725,6 +725,18 @@ object OracleSqlGen {
        |  WHERE rn = 1)""".stripMargin
   }
 
+  /** D29: per-subspace PQ reconstruction-error rollup over the D8
+    * relation.
+    */
+  def embPqError(m: Int, dsub: Int, nCodes: Int): String = {
+    val codes = embPqCodes(m, dsub, nCodes)
+    s"""WITH pq AS ($codes)
+       |SELECT sub_j, COUNT(*) AS n,
+       |  floor((CAST(SUM(CAST(dist2_r AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_dist2_r,
+       |  floor(MAX(dist2_r)*1000000 + 0.5)/1000000 AS max_dist2_r
+       |FROM pq GROUP BY sub_j ORDER BY sub_j""".stripMargin
+  }
+
   /** D28: per-cell count/share + global imbalance over the D7
     * assignment.
     */

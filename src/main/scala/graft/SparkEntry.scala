@@ -134,6 +134,7 @@ object SparkEntry {
     "emb_covariance"       -> q(Similarity.embCovariance(_, ordered = true)),
     "emb_power_iteration"  -> q(Similarity.embPowerIteration(_, ordered = true)),
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
+    "emb_pq_error"         -> q(Similarity.embPqError(_)),
     "emb_sq8_codes"        -> q(Similarity.embSq8Codes(_, ordered = true)),
     "emb_sq8_error"        -> q(Similarity.embSq8Error(_, ordered = true)),
     "ann_ivf_imbalance"    -> q(Similarity.annIvfImbalance(_)),
@@ -1557,6 +1558,7 @@ object SparkEntry {
     "emb_covariance"        -> OracleSqlGen.embCovariance,
     "emb_power_iteration"   -> OracleSqlGen.embPowerIteration,
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
+    "emb_pq_error"          -> OracleSqlGen.embPqError(8, 8, 8),
     "emb_sq8_codes"         -> OracleSqlGen.embSq8Codes,
     "emb_sq8_error"         -> OracleSqlGen.embSq8Error,
     "ann_ivf_imbalance"     -> OracleSqlGen.annIvfImbalance(8),

@@ -468,6 +468,26 @@ object Similarity {
       ordered)(col("i"))
   }
 
+  /** D29: PQ quantization-error card — D27's read for the OTHER
+    * compression: per subspace, mean/max squared distance to the
+    * chosen code (D8's dist2_r IS the per-subspace reconstruction
+    * error, so this is one aggregate over that relation). Next to D27
+    * it answers PQ-vs-SQ8 for this corpus: m lookups at codebook
+    * granularity vs per-axis 8-bit — whichever card shows less error
+    * per stored byte wins the ADC path. Decimal-routed mean,
+    * order-free max, #subspaces rollup.
+    */
+  def embPqError(t: Tables, m: Int = 8, nCodes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    embPqCodes(t, m, nCodes)
+      .groupBy(col("sub_j"))
+      .agg(count(lit(1)).as("n"),
+        r6(sum(col("dist2_r").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_dist2_r"),
+        r6(max(col("dist2_r"))).as("max_dist2_r"))
+      .orderBy(col("sub_j"))
+  }
+
   /** D28: IVF cell-balance card (C24's health read for the vector
     * index): per cell, vector count + corpus share, plus the global
     * imbalance factor max/mean on every row. Probing cost under IVF is
