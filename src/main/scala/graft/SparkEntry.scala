@@ -190,6 +190,7 @@ object SparkEntry {
     "ev_user_entropy"      -> q(EventOps.evUserEntropy(_, ordered = true)),
     "ev_type_affinity"     -> q(EventOps.evTypeAffinity),
     "ev_user_zipf"         -> q(EventOps.evUserZipf(_)),
+    "ev_value_profile"     -> q(EventOps.evValueProfile),
     "doc_tokenizer_fertility" -> q(TextOps.docTokenizerFertility),
     "ev_cooccurrence"      -> q(EventOps.evCooccurrence),
     "ev_sliding_rate"      -> q(EventOps.evSlidingRate),
@@ -1018,6 +1019,17 @@ object SparkEntry {
         |  floor((CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(re_tokens) AS DOUBLE))*1000000 + 0.5)/1000000 AS chars_per_token_r
         |FROM d GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+
+    "ev_value_profile" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  floor((CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_r,
+        |  floor(quantile_cont(value, 0.5)*10000 + 0.5)/10000 AS p50,
+        |  floor(quantile_cont(value, 0.9)*10000 + 0.5)/10000 AS p90,
+        |  floor(quantile_cont(value, 0.99)*10000 + 0.5)/10000 AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "ev_user_entropy" ->
       """WITH utc AS (SELECT user_id, event_type, COUNT(*) AS c,

@@ -546,6 +546,29 @@ object EventOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** A63: per-type value profile — the metric-summary card for the
+    * event payload (`value`): count, decimal-exact total, mean, and
+    * exact interpolated p50/p90/p99. The p99-vs-mean gap per type is
+    * the long-tail read that sizes A52's SLO budgets and A29's
+    * anomaly thresholds from data. ONE aggregate keyed on #types
+    * (exact percentiles collect per-group values on the executors —
+    * bounded groups; B24's sketch is the 100 TB swap per B11's
+    * convention).
+    */
+  def evValueProfile(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"),
+        r6(sum(col("value").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_r"),
+        r4(expr("percentile(value, 0.5)")).as("p50"),
+        r4(expr("percentile(value, 0.9)")).as("p90"),
+        r4(expr("percentile(value, 0.99)")).as("p99"))
+      .orderBy(col("event_type"))
+
   /** A60: user-activity power-law fit (E33's Zipf OLS on the traffic
     * side) — the slope of ln(events) on ln(rank) over the top-K most
     * active users. Near −1 ⇒ genuinely power-law traffic, which is the
