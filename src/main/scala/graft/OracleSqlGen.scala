@@ -136,6 +136,20 @@ object OracleSqlGen {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** C26: duplicate-bias card — copy-vs-canonical chars/quality.
+    * (def, not val: qualityCoreCtes initializes later in the object.)
+    */
+  def docDupBias: String =
+    s"""WITH $qualityCoreCtes,
+       |q AS (SELECT doc_id, n_chars, $qualityScoreExpr AS quality_score FROM r),
+       |fl AS (SELECT q.doc_id, q.n_chars, q.quality_score,
+       |  CAST(d.doc_id <> MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS INTEGER) AS duplicate
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id)
+       |SELECT duplicate, COUNT(*) AS n_docs,
+       |  floor((CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_chars_r,
+       |  floor((CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_quality_r
+       |FROM fl GROUP BY duplicate ORDER BY duplicate""".stripMargin
+
   /** C24: per-band LSH bucket-size/candidate-volume card. */
   val docLshBucketStats: String =
     s"""WITH $gramCtes,

@@ -90,6 +90,7 @@ object SparkEntry {
     "doc_minhash_jaccard_est" -> q(Dedup.docMinhashJaccardEst(_, ordered = true)),
     "doc_minhash_calibration" -> q(Dedup.docMinhashCalibration(_)),
     "doc_lsh_bucket_stats" -> q(Dedup.docLshBucketStats(_)),
+    "doc_dup_bias"         -> q(Dedup.docDupBias(_)),
     "doc_simhash"          -> q(Dedup.docSimhash(_, ordered = true)),
     "doc_simhash_pairs"    -> q(Dedup.docSimhashPairs(_, ordered = true)),
     "doc_simhash_hamming_hist" -> q(Dedup.docSimhashHammingHist(_)),
@@ -1138,6 +1139,7 @@ object SparkEntry {
     "doc_minhash_calibration" -> OracleSqlGen.docMinhashCalibration,
     "text_bpe_train"          -> OracleSqlGen.textBpeTrain(3),
     "doc_lsh_bucket_stats"    -> OracleSqlGen.docLshBucketStats,
+    "doc_dup_bias"            -> OracleSqlGen.docDupBias,
     "ev_user_zipf"            -> OracleSqlGen.evUserZipf(100),
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),

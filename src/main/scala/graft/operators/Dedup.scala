@@ -221,6 +221,31 @@ object Dedup {
       ordered)(col("doc_a"), col("doc_b"))
   }
 
+  /** C26: duplicate-bias card — are the COPIES systematically worse
+    * than the canonicals? Per (is-duplicate) flag: doc count, mean
+    * chars, mean E2 quality. A large quality gap justifies C15/F9's
+    * keep-best selection over C1's keep-first (copies are truncations
+    * / boilerplate-wrapped rewraps); no gap says keep-first is safe
+    * and cheaper. One content-hash window for the flag, E2's narrow
+    * quality pass, a 2-key rollup — decimal-routed means.
+    */
+  def docDupBias(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = TextOps.withQuality(t.documents.select(col("doc_id"), col("text")))
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("duplicate",
+        (col("doc_id") =!= min(col("doc_id"))
+          .over(Window.partitionBy(col("content_hash")))).cast("int"))
+    flagged.groupBy(col("duplicate"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r6(sum(col("n_chars").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_chars_r"),
+        r6(sum(col("quality_score").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_quality_r"))
+      .orderBy(col("duplicate"))
+  }
+
   /** C25: simhash hamming-distance histogram — F8's threshold ladder
     * on the text side: the banded C4b pair relation bucketed by
     * hamming, zero-filled over the static 0..maxHamming grid, so the
