@@ -48,6 +48,7 @@ object SparkEntry {
     "q_histogram2d"        -> q(Analytics.qHistogram2d),
     "q_skew_salted_join"   -> q(Analytics.qSkewSaltedJoin(_)),
     "q_not_in"             -> q(Analytics.qNotIn),
+    "q_revenue_deciles"    -> q(Analytics.qRevenueDeciles),
     "q_percentiles"        -> q(Analytics.qPercentiles),
     "q_approx_distinct"    -> q(Analytics.qApproxDistinct), // rows-only: HLL sketch, no SQL oracle
     "q_heavy_hitters_cms"  -> q(Analytics.qHeavyHittersCms(_)), // rows-only: CMS sketch, no SQL oracle
@@ -647,6 +648,38 @@ object SparkEntry {
         |FROM events e JOIN uo ON e.user_id = uo.o_custkey
         |GROUP BY 1
         |ORDER BY event_type""".stripMargin,
+
+    "q_revenue_deciles" ->
+      """WITH per AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY o_custkey),
+        |cuts AS (SELECT
+        |  floor(quantile_cont(revenue, 0.1)*10000 + 0.5)/10000 AS c1,
+        |  floor(quantile_cont(revenue, 0.2)*10000 + 0.5)/10000 AS c2,
+        |  floor(quantile_cont(revenue, 0.3)*10000 + 0.5)/10000 AS c3,
+        |  floor(quantile_cont(revenue, 0.4)*10000 + 0.5)/10000 AS c4,
+        |  floor(quantile_cont(revenue, 0.5)*10000 + 0.5)/10000 AS c5,
+        |  floor(quantile_cont(revenue, 0.6)*10000 + 0.5)/10000 AS c6,
+        |  floor(quantile_cont(revenue, 0.7)*10000 + 0.5)/10000 AS c7,
+        |  floor(quantile_cont(revenue, 0.8)*10000 + 0.5)/10000 AS c8,
+        |  floor(quantile_cont(revenue, 0.9)*10000 + 0.5)/10000 AS c9
+        |  FROM per),
+        |b AS (SELECT revenue,
+        |  CASE WHEN revenue <= c1 THEN 1 WHEN revenue <= c2 THEN 2
+        |       WHEN revenue <= c3 THEN 3 WHEN revenue <= c4 THEN 4
+        |       WHEN revenue <= c5 THEN 5 WHEN revenue <= c6 THEN 6
+        |       WHEN revenue <= c7 THEN 7 WHEN revenue <= c8 THEN 8
+        |       WHEN revenue <= c9 THEN 9 ELSE 10 END AS decile
+        |  FROM per, cuts),
+        |d AS (SELECT decile, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM b GROUP BY decile),
+        |tt AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS tot FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers, d.revenue,
+        |  floor((d.revenue/tot)*1000000 + 0.5)/1000000 AS share_r,
+        |  floor((CAST(SUM(CAST(d.revenue AS DECIMAL(18,6))) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/tot)*1000000 + 0.5)/1000000 AS cum_share_r
+        |FROM d, tt ORDER BY decile""".stripMargin,
 
     "q_not_in" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -143,6 +143,43 @@ object Analytics {
       .orderBy($("c_mktsegment"))
   }
 
+  /** B46: customer-revenue concentration (A54's Lorenz/Pareto read on
+    * the money side): customers bucketed into revenue deciles by
+    * broadcast exact-percentile cutoffs — never an unpartitioned
+    * corpus ntile — with per-decile customer count, decimal-exact
+    * revenue, share and cumulative share ("the top decile is 40% of
+    * revenue" is the account-concentration risk card). The cumulative
+    * window rides the ≤10-row rollup.
+    */
+  def qRevenueDeciles(t: Tables): DataFrame = {
+    val per = t.orders
+      .select($("o_custkey"), $("o_totalprice"))
+      .groupBy($("o_custkey"))
+      .agg(psum($("o_totalprice")).as("revenue"))
+    val cutCols = (1 to 9).map(i => r4(expr(s"percentile(revenue, 0.$i)")).as(s"c$i"))
+    val cuts = per.agg(cutCols.head, cutCols.tail: _*)
+    // fold 9→1 so the SMALLEST cutoff is the outermost WHEN (a value
+    // under several cutoffs must take the lowest decile)
+    val bucket = (9 to 1 by -1).foldLeft(lit(10L)) { (acc, i) =>
+      when($("revenue") <= col(s"c$i"), i.toLong).otherwise(acc)
+    }
+    val byDecile = per.crossJoin(broadcast(cuts))
+      .withColumn("decile", bucket)
+      .groupBy($("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        psum($("revenue")).as("revenue"))
+    val total = byDecile.agg(sum($("revenue").cast(DecimalType(18, 6))).cast("double").as("tot"))
+    val w = Window.orderBy($("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile.crossJoin(broadcast(total))
+      .withColumn("share_r", r6($("revenue") / $("tot")))
+      .withColumn("cum_rev",
+        sum($("revenue").cast(DecimalType(18, 6))).over(w).cast("double"))
+      .select($("decile"), $("n_customers"), $("revenue"), $("share_r"),
+        r6($("cum_rev") / $("tot")).as("cum_share_r"))
+      .orderBy($("decile"))
+  }
+
   /** B45: NOT IN — the null-aware anti join, a physical operator B7's
     * NOT EXISTS form never exercises: under SQL's three-valued logic a
     * single NULL in the subquery makes every NOT IN row UNKNOWN
