@@ -1914,10 +1914,12 @@ object OracleSqlGen {
       |GROUP BY 1
       |ORDER BY content_hash""".stripMargin
 
-  /** C20: banding-plan recall curve over the exact verified pair set.
-    * Every power is the same explicit squaring chain the Spark side
-    * builds (qa=1−j, qa2=qa·qa, … — association identical, so the
-    * doubles match bit-for-bit; no libm pow on either engine).
+  /** C20: banding-plan recall curve over the df-capped verified pair
+    * set (the C5b deploy feeder — same rare/gc candidate CTEs, cap
+    * mirrored from the Spark side's dfCap=100). Every power is the
+    * same explicit squaring chain the Spark side builds (qa=1−j,
+    * qa2=qa·qa, … — association identical, so the doubles match
+    * bit-for-bit; no libm pow on either engine).
     */
   val docLshTuning: String = {
     def agg(p: String) =
@@ -1925,8 +1927,10 @@ object OracleSqlGen {
     def row(b: Int, r: Int, p: String) =
       s"SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band, COUNT(*) AS n_pairs, ${agg(p)} AS avg_recall_r FROM px"
     s"""WITH $gramCtes,
+       |rare AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 100),
+       |gc AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |  FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id),
        |$jaccardCtes,
        |pairs AS ($jaccardSelect),
        |s2 AS (SELECT jaccard AS j, jaccard*jaccard AS j2 FROM pairs),
