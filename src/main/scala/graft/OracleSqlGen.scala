@@ -821,6 +821,40 @@ object OracleSqlGen {
     * r6'd coarse distances, matching Spark's array_sort tiebreak) +
     * ADC sum restricted to probed cells.
     */
+  /** D4: IVF probe-limited exact search — seeded hash-selected coarse
+    * centers (the D7/D10 ckey ordering), per-vector argmin assignment,
+    * per-query nProbe nearest cells, exact cosine + top-k within the
+    * probed cells. Assignment and probe both rank by (r6 dist2, cell),
+    * mirroring withCell's struct-min / array_sort tie rule.
+    */
+  def annIvf(nQueries: Int, k: Int, nCells: Int, nProbe: Int): String = {
+    val ckey = "('0x'||substr(md5('centroid:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT"
+    s"""WITH $normCte,
+       |ccent AS (SELECT v AS cv, n2 AS c2,
+       |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
+       |  FROM n ORDER BY $ckey, vec_id LIMIT $nCells),
+       |cd AS (SELECT n.vec_id, ccent.cell,
+       |  floor((n.n2 - 2*list_reduce([n.v[i]*ccent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + ccent.c2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM n, ccent),
+       |asg AS (SELECT vec_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |pr AS (SELECT vec_id AS q_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn
+       |   FROM cd WHERE vec_id < $nQueries)
+       |  WHERE rn <= $nProbe),
+       |sc AS (SELECT pr.q_id, a.vec_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM pr JOIN asg a ON a.cell = pr.cell AND a.vec_id <> pr.q_id
+       |  JOIN n q ON q.vec_id = pr.q_id JOIN n c ON c.vec_id = a.vec_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_r FROM (
+       |  SELECT q_id, vec_id, cos_r,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   def annIvfAdc(nQueries: Int, k: Int, m: Int, dsub: Int,
       nCodes: Int, nCells: Int, nProbe: Int): String =
     s"""WITH ${ivfAdcBody(nQueries, m, dsub, nCodes, nCells, nProbe)}
@@ -1900,6 +1934,42 @@ object OracleSqlGen {
       |SELECT doc_id, fingerprint,
       |  COUNT(*) OVER (PARTITION BY fingerprint) AS cluster_size
       |FROM fp ORDER BY doc_id""".stripMargin
+
+  /** A49: CUSUM change-point — the S⁺ recursion as a recursive CTE
+    * over the row-numbered per-type hourly series. Baseline (μ, σ)
+    * from integer moments (Σn, Σn² — exact), so every double op
+    * (division, μ², sqrt, the per-step max(0, s + drift)) is a single
+    * deterministic expression with identical association on both
+    * engines; the Spark side computes σ the same way (EventOps
+    * integer-moment comment).
+    */
+  def evCusumChangepoint(baselineHours: Int, kSigma: Double, hSigma: Double): String = {
+    val drift = s"CAST(hr.n AS DOUBLE) - st.mu - $kSigma * st.sigma"
+    s"""WITH RECURSIVE h AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |hr AS (SELECT event_type, hour, n,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS rn FROM h),
+       |st AS (SELECT event_type,
+       |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+       |  GREATEST(sqrt(GREATEST(CAST(SUM(n*n) AS DOUBLE) / COUNT(*) -
+       |    (CAST(SUM(n) AS DOUBLE) / COUNT(*)) * (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 0.0)), 1e-9) AS sigma
+       |  FROM hr WHERE rn <= $baselineHours GROUP BY event_type),
+       |rec AS (
+       |  SELECT hr.event_type, hr.hour, hr.n, hr.rn,
+       |    GREATEST(0.0 + ($drift), 0.0) AS s
+       |  FROM hr JOIN st USING (event_type) WHERE hr.rn = 1
+       |  UNION ALL
+       |  SELECT hr.event_type, hr.hour, hr.n, hr.rn,
+       |    GREATEST(rec.s + ($drift), 0.0) AS s
+       |  FROM rec JOIN hr ON hr.event_type = rec.event_type AND hr.rn = rec.rn + 1
+       |  JOIN st ON st.event_type = hr.event_type)
+       |SELECT rec.event_type, rec.hour, rec.n,
+       |  floor(rec.s / st.sigma * 1000000 + 0.5)/1000000 AS cusum_sigmas_r,
+       |  rec.s > $hSigma * st.sigma AS flagged
+       |FROM rec JOIN st USING (event_type)
+       |ORDER BY event_type, hour""".stripMargin
+  }
 
   val mmBinaryMeta: String =
     """SELECT doc_id,

@@ -125,7 +125,7 @@ object SparkEntry {
     "emb_centroid_dist"    -> q(Similarity.embCentroidDist(_, ordered = true)),
     "ann_recall_eval"      -> q(Similarity.annRecallEval(_, ordered = true)),
     "emb_knn_clusters"     -> q(Similarity.embKnnClusters(_, ordered = true)),
-    "ann_ivf"              -> q(Similarity.annIvf(_)), // rows-only: k-means quantizer, no SQL oracle
+    "ann_ivf"              -> q(Similarity.annIvf(_)),
     "ann_maxsim"           -> q(Similarity.annMaxsim(_)),
     "emb_norm_stats"       -> q(Similarity.embNormStats),
     "emb_kmeans_assign"    -> q(Similarity.embKmeansAssign(_, ordered = true)),
@@ -198,7 +198,7 @@ object SparkEntry {
     "ev_sliding_rate"      -> q(EventOps.evSlidingRate),
     "ev_top_paths"         -> q(EventOps.evTopPaths(_)),
     "ev_dormant_users"     -> q(EventOps.evDormantUsers(_, ordered = true)),
-    "ev_cusum_changepoint" -> q(EventOps.evCusumChangepoint(_, ordered = true)), // rows-only: recursive scan, no SQL oracle (EventOpsSpec planted-shift law)
+    "ev_cusum_changepoint" -> q(EventOps.evCusumChangepoint(_, ordered = true)),
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
     "text_bpe_pairs"       -> q(TextOps.textBpePairs(_)),
     "text_bpe_merge"       -> q(TextOps.textBpeMerge(_)),
@@ -1174,6 +1174,7 @@ object SparkEntry {
     "doc_lsh_bucket_stats"    -> OracleSqlGen.docLshBucketStats,
     "doc_dup_bias"            -> OracleSqlGen.docDupBias,
     "ev_user_zipf"            -> OracleSqlGen.evUserZipf(100),
+    "ev_cusum_changepoint"    -> OracleSqlGen.evCusumChangepoint(48, 0.5, 5.0),
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_simhash_hamming_hist" -> OracleSqlGen.docSimhashHammingHist(12),
@@ -1611,6 +1612,7 @@ object SparkEntry {
     "ann_ivf_imbalance"     -> OracleSqlGen.annIvfImbalance(8),
     "ann_pq_adc"            -> OracleSqlGen.annPqAdc(8, 5, 8, 8, 8),
     "ann_sq8_adc"           -> OracleSqlGen.annSq8Adc(8, 5, 64),
+    "ann_ivf"               -> OracleSqlGen.annIvf(8, 3, 16, 4),
     "ann_ivf_adc"           -> OracleSqlGen.annIvfAdc(8, 5, 8, 8, 8, 16, 4),
     "ann_ivf_rerank"        -> OracleSqlGen.annIvfRerank(8, 5, 8, 8, 8, 16, 4, 20),
     "doc_semdedup"          -> OracleSqlGen.docSemdedup(8, 0.45),

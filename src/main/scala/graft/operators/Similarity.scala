@@ -172,51 +172,53 @@ object Similarity {
   }
 
   /** D4: IVF (inverted-file) ANN — the other scale path besides sign-
-    * LSH: k-means coarse quantizer → per-cell inverted lists → queries
-    * probe the nProbe nearest cells and rank exactly within them. At
-    * 100 TB the corpus is partitioned by cell id (per-cell parquet
-    * partitions), so a query touches nProbe/nCells of the data; the
-    * quantizer is trained once offline, not per query (here it is fit
-    * inline for a self-contained operator).
+    * LSH: coarse quantizer → per-cell inverted lists → queries probe
+    * the nProbe nearest cells and rank exactly within them. At 100 TB
+    * the corpus is partitioned by cell id (per-cell parquet
+    * partitions — G12's writeEmbeddingsByCell layout), so a query
+    * touches nProbe/nCells of the data; the quantizer is a persisted
+    * offline artifact (G15), stood in for here by the seeded
+    * hash-selected center set the whole D7/D10/D11 family shares —
+    * which also makes this operator DuckDB-oracle-gateable (the r8
+    * verdict item: the previous MLlib-k-means quantizer was the only
+    * reason D4 was rows-only; Lloyd training itself is still
+    * first-class via D7/D20/D21).
     *
-    * No SQL oracle (k-means centers aren't DuckDB-expressible);
-    * structural + recall laws in SimilaritySpec.
+    * Scale shape: cell assignment is withCell's literal-centers narrow
+    * pass (no shuffle, no join); per-query probe cells come from an
+    * array_sort over the same literal center distances (narrow, no
+    * window over the corpus); the tiny (q_id × nProbe) probe relation
+    * broadcasts into the corpus scan; exact cosine + the two-stage
+    * top-k (per-partition k first) bound the final shuffle at
+    * O(k · partitions), never O(candidates).
     */
   def annIvf(t: Tables, nQueries: Int = 8, k: Int = 3,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = t.spark
-    import spark.implicits._
-
-    val e = withNorm(t.embeddings)
-    val feat = e.withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(feat)
-    val assigned = model.transform(feat)
-      .select(col("vec_id"), col("v"), col("n2"), col("prediction").as("cell"))
-
-    // tiny (nCells × dim) centers relation for query-side probing
-    val centers = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "center")
-      .withColumn("c2", VectorExprs.dot(col("center"), col("center")))
-
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist2").asc, col("cell").asc)
-    val probes = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
-      .crossJoin(broadcast(centers))
-      .withColumn("dist2",
-        col("qn2") - lit(2.0) * VectorExprs.dot(col("qv"), col("center")) + col("c2"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
-      .select(col("q_id"), col("qv"), col("qn2"), col("cell"))
-
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id").asc)
+    val coarse = hashCenters(t, nCells)
+    val assigned = withCell(withNorm(t.embeddings), coarse)
+      .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+    val cellCands = coarse.map { case (cell, cv, c2) =>
+      struct(
+        r6(col("n2") - lit(2.0) * VectorExprs.dot(col("v"), typedLit(cv)) + lit(c2))
+          .as("dist2_r"),
+        lit(cell.toLong).as("cell"))
+    }
+    val probes = withNorm(t.embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"),
+        explode(slice(array_sort(array(cellCands: _*)), 1, nProbe)).as("p"))
+      .select(col("q_id"), col("qv"), col("qn2"), col("p.cell").as("pcell"))
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
     assigned.join(broadcast(probes),
-        assigned("cell") === probes("cell") && col("q_id") =!= col("vec_id"))
+        col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r"))
       .orderBy(col("q_id"), col("rank"))
