@@ -107,6 +107,19 @@ object Bench {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
 
+    // G13 composed pipeline: every unit query can be green while the
+    // COMPOSITION re-scans the corpus per stage (lost exchange reuse,
+    // a stage accidentally recomputing its feeder) — so the whole
+    // curate→dedup→split→shard→write job gets its own bench entry,
+    // with a G21 audit riding along: total parquet-scan rows per run,
+    // normalized by corpus size, is the "how many times did we read
+    // the corpus" number PlanSpec's single-query laws can't see.
+    val tdjAudit = new graft.sources.GraftQueryAudit
+    def runTrainingJobOnce(dir: String, out: String): Double =
+      timed("training_data_job") {
+        TrainingDataJob.run(graft.sources.Tables(spark, dir), out)
+      }
+
     val batchRuns = (1 to Iters).map(_ => runBatchOnce())
     // extra runs for the heavy set only, after the full sweeps
     val heavyRuns = (1 to HeavyExtra).map { _ =>
@@ -116,9 +129,40 @@ object Bench {
     }
     val streamRuns = (1 to Iters).map(_ => runStreamOnce())
 
+    val tdjRuns = {
+      spark.listenerManager.register(tdjAudit)
+      try (1 to Iters).map(_ => runTrainingJobOnce(sfDir, "target/bench-tdj"))
+      finally {
+        // QueryExecutionListener fires async — wait for the bus to
+        // drain before reading the audit (the SinksSpec pattern)
+        val deadline = System.currentTimeMillis() + 15000
+        var last = -1
+        while (tdjAudit.size != last && System.currentTimeMillis() < deadline) {
+          last = tdjAudit.size; Thread.sleep(300)
+        }
+        spark.listenerManager.unregister(tdjAudit)
+      }
+    }
+    // scan discipline: rows read off parquet per run / corpus rows.
+    // materialize() legitimately reads documents once per verdict stage
+    // (curate, dedup quality, dedup grams, split, survivors) — the
+    // declared budget is 15×; exceeding it records a bench ERROR, the
+    // same channel a crashed query uses, so the driver's gate sees it.
+    val tdjScanBudget = 15.0
+    val tdjScanPerDoc: Double = {
+      val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count().toDouble
+      val scanned = tdjAudit.snapshot(spark)
+        .agg(org.apache.spark.sql.functions.sum("scan_rows")).head.getLong(0).toDouble
+      val perRun = scanned / math.max(Iters, 1) / math.max(nDocs, 1.0)
+      if (perRun > tdjScanBudget)
+        errors("training_data_job_audit") =
+          f"scan_rows/doc $perRun%.1f exceeds budget $tdjScanBudget%.1f"
+      math.floor(perRun * 1000) / 1000
+    }
+
     val perQueryRuns: Map[String, Seq[Double]] = SparkEntry.queries.keys.map { name =>
       name -> (batchRuns.map(_(name)) ++ heavyRuns.flatMap(_.get(name)))
-    }.toMap + ("stream_ttl_cache" -> streamRuns)
+    }.toMap + ("stream_ttl_cache" -> streamRuns) + ("training_data_job" -> tdjRuns)
 
     val medians = perQueryRuns.map { case (name, runs) =>
       // a query that failed ANY iteration reports -1, not its fast runs
@@ -196,12 +240,16 @@ object Bench {
       // GRADIENTS (only wrap chars change order), so cross-copy frames
       // collide perceptually and pair volume grows ~copies²; real
       // corpora shard the banding by chunk like every pair family
-      "mm_dedup_keep_best" -> 1.2, "mm_frame_phash_pairs" -> 2.0)
+      "mm_dedup_keep_best" -> 1.2, "mm_frame_phash_pairs" -> 2.0,
+      // composed G13 job: curate + keep-best dedup + split + shard +
+      // write — every stage rides a ≤1.2 family, and the verdict joins
+      // are corpus-keyed equi-joins, so the composition declares 1.2
+      "training_data_job" -> 1.2)
     val HeavySf1 = Seq("doc_ngram_jaccard", "doc_dedup_clusters",
       "doc_embed_cosine_dup", "doc_semdedup",
       "doc_ngram_jaccard_capped", "doc_ngram_containment",
       "ann_knn_graph", "doc_lsh_tuning", "ann_pagerank",
-      "mm_dedup_keep_best", "mm_frame_phash_pairs")
+      "mm_dedup_keep_best", "mm_frame_phash_pairs", "training_data_job")
     val sf1Secs: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SF1", "1") == "0") Map.empty
       else {
@@ -213,7 +261,10 @@ object Bench {
           // pair join — a 1.6 "exponent" that was all warmup, not
           // scaling); the alarm wants steady-state scaling
           val ts = (1 to 2).map(_ => timed(s"sf1_$name")(
-            SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()))
+            if (name == "training_data_job")
+              TrainingDataJob.run(graft.sources.Tables(spark, dir), "target/bench-tdj-sf1")
+            else
+              SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()))
           if (ts.exists(_ < 0)) None else Some(name -> ts.min)
         }.toMap
       }
@@ -264,7 +315,7 @@ object Bench {
     // slower" from "the host was busy" without a rerun
     val loadavg = scala.util.Try(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg"))).trim).getOrElse("")
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":${jmap(mins)},"errors":$errs,"iterations":$Iters,"iters_per_query":$iters,"cpus":$cpus,"stream_state_partitions":$StreamStateParts,"loadavg":"$loadavg","sf":"$sfDir","scale_sweep_sf":$sweepSf,"scaling":${jmap(scaling)},"sf1_secs":${jmap(sf1Secs)},"scaling_sf1":${jmap(scalingSf1)},"scaling_sf1_expected":${jmap(sf1Expected)}}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":${jmap(mins)},"errors":$errs,"iterations":$Iters,"iters_per_query":$iters,"cpus":$cpus,"stream_state_partitions":$StreamStateParts,"loadavg":"$loadavg","sf":"$sfDir","training_data_job_scan_rows_per_doc":$tdjScanPerDoc,"scale_sweep_sf":$sweepSf,"scaling":${jmap(scaling)},"sf1_secs":${jmap(sf1Secs)},"scaling_sf1":${jmap(scalingSf1)},"scaling_sf1_expected":${jmap(sf1Expected)}}"""
     // Full detail → target/bench.json (the machine-readable artifact).
     // The LAST stdout line is a compact SELF-CONTAINED JSON kept well
     // under ~1.5 KB: the driver captures only a ~2 000-char stdout tail,
@@ -275,6 +326,13 @@ object Bench {
     new java.io.File("target").mkdirs()
     val pw = new java.io.PrintWriter("target/bench.json")
     try pw.println(json) finally pw.close()
+    // Durable history: append every full line to the TRACKED
+    // BENCHLOG.jsonl — r7's per-query numbers are permanently lost to
+    // the driver's stdout-tail truncation; regression detection should
+    // never depend on a capture window again.
+    val stamped = "{\"ts\":\"" + java.time.Instant.now().toString + "\"," + json.tail
+    val log = new java.io.FileWriter("BENCHLOG.jsonl", true)
+    try log.write(stamped + "\n") finally log.close()
     val slowest = medians.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(15)
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(slowest.toMap)},"queries_min":${jmap(slowest.map { case (k, _) => k -> mins(k) }.toMap)},"n_queries":${medians.size},"n_errors":${errors.size},"iterations":$Iters,"cpus":$cpus,"loadavg":"$loadavg","sf":"$sfDir","detail":"target/bench.json"}"""
     println("full bench json written to target/bench.json; compact line follows")

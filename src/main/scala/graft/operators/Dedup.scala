@@ -117,6 +117,29 @@ object Dedup {
       case _              => ()
     }
 
+  /** Eager lineage truncation between iterative rounds (CC here,
+    * PageRank in Similarity). Default: `localCheckpoint` — executor-
+    * storage-backed, fastest, but an executor loss mid-iteration is
+    * FATAL on a real cluster (the blocks die with the executor and the
+    * truncated lineage can't recompute them). Setting
+    * `spark.graft.checkpointDir` switches rounds to RELIABLE
+    * `checkpoint()` into that (HDFS/object-store) directory — the knob
+    * a 1000-executor run flips so a lost executor costs one round's
+    * recompute-from-files, not the job. The session's checkpoint dir
+    * is set once from the conf (setCheckpointDir mints a UUID subdir
+    * per call — calling it per round would litter).
+    */
+  private[graft] def stableCheckpoint(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case _ => df.localCheckpoint(true)
+    }
+  }
+
 
   /** C1: exact dedup via content hash — keep lowest doc_id per hash.
     * One hash-partitioned aggregation; no sort, no all-pairs.
@@ -916,21 +939,25 @@ object Dedup {
     * shrank. Pure Column logic — no typed boundary, stays inside
     * whole-stage codegen (PlanSpec asserts no DeserializeToObject).
     */
-  /** One CC round = one neighbor-min HOP + one label-of-label JUMP.
-    * Plain min-propagation advances a label one edge per round —
-    * O(diameter) rounds, and the sf1 sweep hit a perceptual-pair
-    * corpus whose chained components exceeded 20. The jump follows
-    * the label pointer (label(u) is always a smaller node of the same
-    * component, so label(label(u)) is too — correctness is unchanged
-    * and the fixpoint is still "label ≤ every neighbor's label" ⇒
-    * constant per component = the min): reach roughly doubles per
-    * round (hop + jump compose Fibonacci-style), so rounds are
+  /** One CC round = one neighbor-min HOP, plus (when `doJump`) one
+    * label-of-label JUMP. Plain min-propagation advances a label one
+    * edge per round — O(diameter) rounds, and the sf1 sweep hit a
+    * perceptual-pair corpus whose chained components exceeded 20. The
+    * jump follows the label pointer (label(u) is always a smaller node
+    * of the same component, so label(label(u)) is too — correctness is
+    * unchanged and the fixpoint is still "label ≤ every neighbor's
+    * label" ⇒ constant per component = the min): reach roughly doubles
+    * per round (hop + jump compose Fibonacci-style), so rounds are
     * ~log_φ(diameter) — 20 rounds covers diameter ≈ 15 000 where the
     * hop-only form covered 20. Cost: one extra join per round against
-    * the label relation (corpus-cardinality ids, but only ids touched
-    * by edges — the same relation the round already builds).
+    * the label relation, which is why the jump is CONDITIONAL (see
+    * clusterPairs): typical near-dup corpora have diameter ≤ 3 and
+    * never need it — the r8 bench paid the jump every round and
+    * doc_dedup_clusters sf1 went 17.9 → 33.5 s for insurance only
+    * long-chain corpora cash.
     */
-  private[graft] def ccRound(sym: DataFrame, labels: DataFrame): DataFrame = {
+  private[graft] def ccRound(sym: DataFrame, labels: DataFrame,
+      doJump: Boolean = true): DataFrame = {
     val neighborMin = sym
       .join(labels, col("dst") === col("id"))
       .groupBy(col("src")).agg(min(col("label")).as("nmin"))
@@ -938,12 +965,17 @@ object Dedup {
       .join(neighborMin, col("id") === col("src"), "left")
       .select(col("id"), col("label").as("old"),
         least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"))
-    val jump = labels.select(col("id").as("jid"), col("label").as("jlabel"))
-    hop
-      .join(jump, col("l1") === col("jid"), "left")
-      .select(col("id"),
-        least(col("l1"), coalesce(col("jlabel"), col("l1"))).as("label"),
-        (least(col("l1"), coalesce(col("jlabel"), col("l1"))) < col("old")).as("changed"))
+    if (!doJump)
+      hop.select(col("id"), col("l1").as("label"),
+        (col("l1") < col("old")).as("changed"))
+    else {
+      val jump = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+      hop
+        .join(jump, col("l1") === col("jid"), "left")
+        .select(col("id"),
+          least(col("l1"), coalesce(col("jlabel"), col("l1"))).as("label"),
+          (least(col("l1"), coalesce(col("jlabel"), col("l1"))) < col("old")).as("changed"))
+    }
   }
 
   def docDedupClusters(t: Tables, threshold: Double = 0.2, maxIter: Int = 20,
@@ -972,11 +1004,21 @@ object Dedup {
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = stableCheckpoint(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iter = 0
     var converged = false
+    // The pointer jump engages ADAPTIVELY: hop-only rounds (2 joins)
+    // until a round's n_changed fails to drop below 3/4 of the
+    // previous round's. Short-diameter corpora (the typical near-dup
+    // population — clusters of 2–3) see geometric n_changed decay and
+    // converge hop-only, never paying the third join; a long-chain
+    // corpus advances a roughly CONSTANT frontier per hop-only round —
+    // exactly the plateau the trigger detects — and switches to
+    // hop+jump (log_φ diameter) for the rest of the run. Worst case vs
+    // always-jump: two extra hop-only rounds before the switch.
+    var jumping = false
+    var prevChanged = Long.MaxValue
     while (!converged && iter < maxIter) {
       // convergence check rides the same job that materializes the
       // round: Dataset.observe's CollectMetrics node aggregates inside
@@ -984,11 +1026,17 @@ object Dedup {
       // accumulator mapPartitions paid a Tungsten→JVM deserialization
       // per row per round)
       val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
-      val next = ccRound(sym, labels)
+      val next = stableCheckpoint(ccRound(sym, labels, jumping)
         .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
-        .select(col("id"), col("label"))
-        .localCheckpoint(true)
-      converged = !obs.get.get("n_changed").exists(v => v != null && v.asInstanceOf[Long] > 0L)
+        .select(col("id"), col("label")))
+      val nChanged = obs.get.get("n_changed") match {
+        case Some(v) if v != null => v.asInstanceOf[Long]
+        case _                    => 0L
+      }
+      converged = nChanged == 0L
+      if (!jumping && nChanged.toDouble >= prevChanged.toDouble * 0.75)
+        jumping = true
+      prevChanged = nChanged
       releaseCheckpoint(labels) // round N−1 is dead once round N exists
       labels = next
       iter += 1
@@ -1010,10 +1058,10 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster"),
         (coalesce(col("label"), col("doc_id")) === col("doc_id")).cast("int").as("is_canonical")),
       ordered)(col("doc_id"))
-      .localCheckpoint(true)
+    val outCk = stableCheckpoint(out)
     releaseCheckpoint(labels)
     releaseCheckpoint(edges)
-    out
+    outCk
   }
 
   /** C15: near-dup dedup with canonical selection by QUALITY — C7

@@ -1094,10 +1094,10 @@ object Similarity {
     val e = knnEdges(t, k, bits, bucketCap)
       .filter(col("cos_r") >= threshold)
       .select(col("src"), col("dst"))
-    val mutual = e.intersect(e.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") < col("dst"))
-      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
-      .localCheckpoint(true)
+    val mutual = Dedup.stableCheckpoint(
+      e.intersect(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("doc_a"), col("dst").as("doc_b")))
     Dedup.clusterPairs(mutual,
         t.embeddings.select(col("vec_id").as("doc_id")),
         maxIter, "emb_knn_clusters", ordered)
@@ -1213,8 +1213,8 @@ object Similarity {
             (expr("(15 * (CAST(1000000000000 AS BIGINT) div n)) div 100") +
               coalesce(col("inflow"), lit(0L))).as("pr"))
       }
-      maybeSort(ranks.select(col("vec_id"), col("pr").as("pr_e12"))
-        .localCheckpoint(true), ordered)(col("vec_id"))
+      maybeSort(Dedup.stableCheckpoint(
+        ranks.select(col("vec_id"), col("pr").as("pr_e12"))), ordered)(col("vec_id"))
     } finally edges0.unpersist(true)
   }
 

@@ -13,17 +13,32 @@ import org.apache.spark.sql.functions._
   * rather than a runtime heuristic.
   *
   * Mechanics: the skewed left side gets a deterministic per-ROW salt
-  * in [0, saltFactor) (hash of the whole row — NOT `rand()`, which
-  * breaks retry/replay reproducibility), spreading a hot key's rows
-  * over `saltFactor` reducers; the right side is replicated
-  * `saltFactor`× (a narrow explode — no shuffle added), once per salt
-  * value, so every (key, salt) bucket still finds its match. The join
-  * then runs on (key, salt): same rows out as the plain key join, hot
-  * key's work split `saltFactor` ways. Cost: right side shuffles
-  * `saltFactor`× its size — use for large-left ⋈ medium-right where
-  * the right is too big to broadcast but cheap to replicate.
+  * in [0, saltFactor), spreading a hot key's rows over `saltFactor`
+  * reducers; the right side is replicated `saltFactor`× (a narrow
+  * explode — no shuffle added), once per salt value, so every
+  * (key, salt) bucket still finds its match. The join then runs on
+  * (key, salt): same rows out as the plain key join, hot key's work
+  * split `saltFactor` ways. Cost: right side shuffles `saltFactor`×
+  * its size — use for large-left ⋈ medium-right where the right is
+  * too big to broadcast but cheap to replicate.
   */
 object SaltedJoin {
+
+  /** The per-row salt: hash of (every left column, the row's position
+    * id). The position id is load-bearing — a salt hashed from COLUMN
+    * VALUES alone sends all copies of a duplicated row to ONE reducer,
+    * so exactly the low-entropy hot rows the salt exists to split
+    * (a power-law user whose rows collapse to a handful of distinct
+    * values) survive as a single hot bucket. monotonically_increasing_id
+    * is per-row-unique and deterministic for a deterministic input
+    * partitioning (it encodes partition index + offset — a task retry
+    * recomputes the identical ids, unlike `rand()`); it never reaches
+    * the output, so plan-reordering sensitivity of the id cannot leak
+    * into results — only into which reducer a row lands on.
+    */
+  private[graft] def saltExpr(left: DataFrame, saltFactor: Int) =
+    pmod(hash((left.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*),
+      lit(saltFactor))
 
   /** Equi-join `left ⋈ right` on `leftKey == rightKey`, salted
     * `saltFactor` ways. Row-identical to the plain inner equi-join
@@ -32,8 +47,7 @@ object SaltedJoin {
     */
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, saltFactor: Int): DataFrame = {
-    val saltedLeft = left.withColumn("_salt",
-      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+    val saltedLeft = left.withColumn("_salt", saltExpr(left, saltFactor))
     val saltedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLeft

@@ -26,15 +26,25 @@ final class GraftQueryAudit extends QueryExecutionListener {
       scanRows: Long, shuffleWriteRows: Long)
 
   private val entries = new ConcurrentLinkedQueue[Entry]()
-  @volatile var failures: Long = 0L
+  private val failureCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Errored-action count (atomic: listener callbacks are single-
+    * threaded today, but a lost increment on the one number that
+    * flags failures is not a race worth leaving latent). */
+  def failures: Long = failureCount.get()
 
   // AQE wraps materialized stages in QueryStageExec (childless — the
   // real subtree hangs off .plan), so a plain children-walk sees no
-  // scans or exchanges under adaptive execution
+  // scans or exchanges under adaptive execution.
+  // ReusedExchangeExec is a STOP: its child is the original exchange
+  // subtree, already reached (and its metrics already summed) through
+  // that subtree's normal parent path — descending again would count
+  // every scan/shuffle under a reused exchange twice, inflating
+  // exactly the two numbers the audit exists to report.
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
     case s: QueryStageExec => s +: walk(s.plan)
-    case r: ReusedExchangeExec => r +: walk(r.child)
+    case r: ReusedExchangeExec => Seq(r)
     case other => other +: other.children.flatMap(walk)
   }
 
@@ -52,7 +62,7 @@ final class GraftQueryAudit extends QueryExecutionListener {
 
   override def onFailure(funcName: String,
       qe: org.apache.spark.sql.execution.QueryExecution,
-      exception: Exception): Unit = failures += 1
+      exception: Exception): Unit = failureCount.incrementAndGet()
 
   /** The audit as a relation (one row per completed action so far). */
   def snapshot(spark: SparkSession): DataFrame = {

@@ -182,6 +182,31 @@ class DedupSpec extends SparkSpec {
     assert(out.exists(_._2.nonEmpty), "planted near-dups must yield non-new batch docs")
   }
 
+  test("cc adaptive jump: 200-edge chain converges in <=20 rounds; reliable-checkpoint knob yields identical labels") {
+    import spark.implicits._
+    // a pure path graph: hop-only min-propagation needs ~200 rounds,
+    // so convergence inside maxIter=20 proves the plateau trigger
+    // engaged the pointer jump
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val universe = (0L to 200L).toDF("doc_id")
+    val base = Dedup.clusterPairs(edges, universe, 20, "cc_chain", ordered = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(base.nonEmpty && base.forall(_._2 == 0L),
+      "chain must collapse to one component rooted at doc 0")
+    // spark.graft.checkpointDir switches round truncation to reliable
+    // checkpoint(): labels identical, files actually land in the dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val rel = Dedup.clusterPairs(edges, universe, 20, "cc_chain_rel", ordered = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rel.sameElements(base), "reliable-checkpoint run must produce identical labels")
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val entries = try walk.count() finally walk.close()
+      assert(entries > 1, "reliable checkpoint dir must contain checkpoint files")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("clustering fails loudly, not silently wrong, when maxIter is too small to converge") {
     val e = intercept[IllegalStateException] {
       Dedup.docDedupClusters(tables, maxIter = 0).collect()

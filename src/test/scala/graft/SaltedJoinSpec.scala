@@ -48,8 +48,24 @@ class SaltedJoinSpec extends SparkSpec {
       .orderBy(col("count").desc, col("user_id")).limit(1)
       .collect().head.getLong(0)
     val salts = ev.filter(col("user_id") === hot)
-      .withColumn("_salt", pmod(hash(ev.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .withColumn("_salt", SaltedJoin.saltExpr(ev, 8))
       .select(col("_salt")).distinct().count()
     assert(salts > 4, s"hot key hit only $salts of 8 salt buckets")
+  }
+
+  test("DUPLICATED rows of a hot key spread too (value-only salt would collapse them)") {
+    import spark.implicits._
+    // degenerate worst case: one (key, payload) row duplicated 512× —
+    // zero column entropy, the exact population a value-hashed salt
+    // sends to a single reducer
+    val dup = Seq.fill(512)(("click", 7L)).toDF("event_type", "user_id")
+      .repartition(4)
+    val salts = dup.withColumn("_salt", SaltedJoin.saltExpr(dup, 8))
+      .select(col("_salt")).distinct().count()
+    assert(salts == 8, s"identical rows hit only $salts of 8 salt buckets")
+    // and the join over the duplicated left is still row-exact
+    val right = Seq((7L, 99L)).toDF("k", "payload")
+    val out = SaltedJoin.saltedJoin(dup, right, "user_id", "k", 8)
+    assert(out.count() == 512L, "each duplicate row must match exactly once")
   }
 }

@@ -40,12 +40,33 @@ class SinksSpec extends SparkSpec {
       .filter(col("source") === src && col("lang") === lang)
     assert(leaf.count() ==
       tables.documents.filter(col("source") === src && col("lang") === lang).count())
-    // both levels must appear as planning-time partition filters
-    // (inputFiles reflects the pre-pruning file index, so check the plan)
-    val leafPlan = leaf.queryExecution.executedPlan.toString
-    assert(leafPlan.contains(s"= $src)") && leafPlan.contains(s"= $lang)") &&
-      leafPlan.contains("PartitionFilters: [isnotnull(source"),
-      leafPlan.take(800))
+    // both levels must appear as planning-time partition filters —
+    // read FileSourceScanExec.partitionFilters programmatically
+    // (inputFiles reflects the pre-pruning file index, and substring
+    // matches over the whole plan string are fragile when one
+    // partition value is a suffix of another or appears in a data
+    // filter)
+    val pf = scanPartitionFilters(leaf)
+    assert(pf.exists(f => f.contains("source") && f.contains(s"'$src'")),
+      s"no source=$src partition filter in $pf")
+    assert(pf.exists(f => f.contains("lang") && f.contains(s"'$lang'")),
+      s"no lang=$lang partition filter in $pf")
+  }
+
+  /** Every parquet scan's partitionFilters, as SQL strings (recursing
+    * through AQE wrappers — QueryStageExec subtrees hang off .plan).
+    */
+  private def scanPartitionFilters(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec        => walk(s.plan)
+      case o                        => o +: o.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f.partitionFilters.map(_.sql)
+    }.flatten
   }
 
   test("query audit listener records scan and shuffle volume per action") {
