@@ -223,6 +223,43 @@ object KesMain {
       System.setProperty("spark.log.structuredLogging.enabled", "true")
     }
 
+  /** One JSON crash report: wall time, version stamp, thread,
+    * exception chain and stack — the payload the reference ships to
+    * its crash-telemetry service. Returns the written path.
+    */
+  private[graft] def crashReport(dir: java.nio.file.Path,
+      t: Thread, e: Throwable): java.nio.file.Path = {
+    val sw = new java.io.StringWriter()
+    e.printStackTrace(new java.io.PrintWriter(sw))
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "").replace("\t", "\\t")
+    val json = s"""{"ts":"${java.time.Instant.now()}","version":"${esc(versionStamp)}","thread":"${esc(t.getName)}","exception":"${esc(e.toString)}","stack":"${esc(sw.toString)}"}"""
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve(s"crash-${System.nanoTime()}.json")
+    java.nio.file.Files.writeString(f, json)
+    f
+  }
+
+  /** Crash-telemetry hook — the reference wires its crash reporter
+    * before anything else runs (main.rs:27) so a panic anywhere leaves
+    * a report; the neutral zero-dependency analog: `CRASH_DIR=<dir>`
+    * installs a default uncaught-exception handler writing one JSON
+    * report per crash, then DELEGATES to the previously installed
+    * handler so Spark's own fatal-error path (and the JVM's default
+    * stderr dump) still runs. Off unless the env opts in — a library
+    * must not globally hook the JVM by default.
+    */
+  private[graft] def installCrashReporter(env: Map[String, String]): Unit =
+    env.get("CRASH_DIR").filter(_.nonEmpty).foreach { d =>
+      val prev = Thread.getDefaultUncaughtExceptionHandler
+      Thread.setDefaultUncaughtExceptionHandler(new Thread.UncaughtExceptionHandler {
+        override def uncaughtException(t: Thread, e: Throwable): Unit = {
+          scala.util.Try(crashReport(java.nio.file.Paths.get(d), t, e))
+          if (prev != null) prev.uncaughtException(t, e)
+        }
+      })
+    }
+
   /** Reference parity: the build stamps its version into startup logs
     * and crash reports (build.rs:1, main.rs:22,29). The jar manifest's
     * Implementation-Version is the Scala analog of the compiled-in
@@ -259,6 +296,7 @@ object KesMain {
   private[graft] def run(args: Array[String], env: Map[String, String]): Unit = {
     val (in, out, checkpoint, ttl, once) = resolve(args, env)
     configureLogging(env)
+    installCrashReporter(env)
     val spark = GraftSession.local()
     // CACHE_RECREATE mirrors the reference's corrupt-cache-DB handling
     // (off by default: silently discarding state must be opted into)

@@ -335,4 +335,34 @@ class KesMainSpec extends SparkSpec {
     assert(s.startsWith("graft "), s)
     assert(s.contains(org.apache.spark.SPARK_VERSION), s)
   }
+
+  test("crash reporter: CRASH_DIR hook writes a parseable JSON report and delegates (reference main.rs:27)") {
+    val dir = Files.createTempDirectory("kes_crash")
+    // the report itself: valid JSON carrying version/thread/stack
+    val f = KesMain.crashReport(dir, Thread.currentThread(),
+      new IllegalStateException("boom \"quoted\"\nline2"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(f))
+    assert(node.get("version").asText.startsWith("graft "))
+    assert(node.get("exception").asText.contains("boom"))
+    assert(node.get("stack").asText.contains("IllegalStateException"))
+    // the hook: installs only when CRASH_DIR is set, writes through the
+    // handler, and delegates to the previous handler
+    val prev = Thread.getDefaultUncaughtExceptionHandler
+    try {
+      KesMain.installCrashReporter(Map.empty)
+      assert(Thread.getDefaultUncaughtExceptionHandler eq prev, "no env, no hook")
+      var delegated = false
+      Thread.setDefaultUncaughtExceptionHandler(
+        new Thread.UncaughtExceptionHandler {
+          override def uncaughtException(t: Thread, e: Throwable): Unit = delegated = true
+        })
+      KesMain.installCrashReporter(Map("CRASH_DIR" -> dir.toString))
+      val before = Files.list(dir).count()
+      Thread.getDefaultUncaughtExceptionHandler
+        .uncaughtException(Thread.currentThread(), new RuntimeException("hook"))
+      assert(Files.list(dir).count() == before + 1, "handler must write a report")
+      assert(delegated, "handler must delegate to the previous handler")
+    } finally Thread.setDefaultUncaughtExceptionHandler(prev)
+  }
 }
