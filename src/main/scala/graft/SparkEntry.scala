@@ -223,6 +223,7 @@ object SparkEntry {
     "ev_scrub_props"       -> q(EventOps.evScrubProps(_, ordered = true)),
     "ev_funnel"            -> q(EventOps.evFunnel),
     "ev_funnel_latency"    -> q(EventOps.evFunnelLatency),
+    "ev_interval_join"     -> q(EventOps.evIntervalJoin(_)),
     "ev_funnel_by_cohort"  -> q(EventOps.evFunnelByCohort),
     "ev_error_after_click" -> q(EventOps.evErrorAfterClick(_, ordered = true)),
     "q_month_trend"        -> q(Analytics.qMonthTrend),
@@ -512,6 +513,23 @@ object SparkEntry {
         |  floor(quantile_cont(lat_us, 0.5)*10000 + 0.5)/10000 AS p50_us,
         |  floor(quantile_cont(lat_us, 0.9)*10000 + 0.5)/10000 AS p90_us
         |FROM lat GROUP BY step ORDER BY step""".stripMargin,
+
+    // the oracle states the interval join DIRECTLY (ts >= start AND
+    // ts < end) — the Spark side's chunked equi-join must be
+    // result-identical to the naive range predicate
+    "ev_interval_join" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |wr AS (SELECT hour, n,
+        |  ROW_NUMBER() OVER (ORDER BY n DESC, hour) AS w_id FROM h),
+        |w AS (SELECT CAST(w_id AS BIGINT) AS w_id,
+        |  hour - INTERVAL 30 MINUTE AS w_start,
+        |  hour + INTERVAL 90 MINUTE AS w_end
+        |  FROM wr WHERE w_id <= 20)
+        |SELECT w.w_id, w.w_start, w.w_end, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY 1, 2, 3 ORDER BY w_id""".stripMargin,
 
     "q_month_trend" ->
       """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,

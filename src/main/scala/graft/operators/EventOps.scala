@@ -1157,4 +1157,50 @@ object EventOps {
         r4(expr("percentile(lat_us, 0.9)")).as("p90_us"))
       .orderBy(col("step"))
   }
+
+  /** A64: INTERVAL (range) join — events matched to arbitrary
+    * time WINDOWS (`ts ∈ [start, end)`, boundaries NOT bucket-aligned
+    * and windows overlapping), rolled up per window. The window set
+    * here is derived from the stream itself — the k busiest hours,
+    * widened −30/+90 minutes (the "what happened around each incident"
+    * report) — but the operator is the general one: incident spans,
+    * maintenance windows, deploy windows.
+    *
+    * Spark has no native range-join strategy: a plain `ts BETWEEN
+    * start AND end` join plans BroadcastNestedLoopJoin (fine only
+    * while windows broadcast) and degrades to a cartesian beyond.
+    * The scale shape here is the standard CHUNKED range join: each
+    * window explodes to the fixed-width time chunks it overlaps
+    * (span/chunk ≤ 3 rows here — bounded by span, never corpus), each
+    * event maps to exactly ONE chunk (integer µs div — no float time
+    * math), and the join is a plain EQUI-join on chunk with the exact
+    * `[start, end)` predicate as a post-filter. At 100 TB with a
+    * corpus-scale window table (incident logs), the chunk key is the
+    * shuffle key — no nested loop anywhere; AQE broadcasts the
+    * window side while it fits, exactly like every dimension join.
+    * The k-row busiest-hour rollup is calendar-bounded (#hours), and
+    * the w_id ranking window rides that ≤k-row relation.
+    */
+  def evIntervalJoin(t: Tables, k: Int = 20): DataFrame = {
+    val hours = t.events.select(date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("hour")).agg(count(lit(1)).as("n"))
+    val rankW = Window.orderBy(col("n").desc, col("hour")) // ≤ #hours rows, then limit k
+    val wins = hours.orderBy(col("n").desc, col("hour")).limit(k)
+      .withColumn("w_id", row_number().over(rankW).cast("long"))
+      .select(col("w_id"),
+        (col("hour") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+        (col("hour") + expr("INTERVAL 90 MINUTES")).as("w_end"))
+    val wchunks = wins.withColumn("chunk",
+      explode(sequence(
+        expr("unix_micros(w_start) div 3600000000"),
+        expr("(unix_micros(w_end) - 1) div 3600000000"))))
+    val ev = t.events.select(col("ts"), col("user_id"))
+      .withColumn("chunk", expr("unix_micros(ts) div 3600000000"))
+    ev.join(wchunks, "chunk")
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("w_id"), col("w_start"), col("w_end"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("w_id"))
+  }
 }

@@ -100,6 +100,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("interval join: chunked equi-join — no nested-loop/cartesian range join over events") {
+    val p = plan(EventOps.evIntervalJoin(tables))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range predicate must ride the chunk equi-join as a post-filter, not a BNLJ")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("minhash signatures: map-side partial aggregation before the doc shuffle") {
     val p = plan(Dedup.docMinhashSig(tables))
     assert(p.contains("partial_min") || p.contains("partial_"), "partial aggregation expected")
