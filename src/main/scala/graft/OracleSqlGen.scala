@@ -1935,6 +1935,35 @@ object OracleSqlGen {
       |  COUNT(*) OVER (PARTITION BY fingerprint) AS cluster_size
       |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** B48: portable CMS error card — the affine bucket family mirrored
+    * literal-for-literal from Hashing.Perms (the bloom/minhash oracle
+    * convention), min-over-depth estimate, exact integer arithmetic
+    * end to end.
+    */
+  def qCmsPortable(depth: Int, width: Int, topK: Int): String = {
+    val permRows = (0 until depth).map(d =>
+      s"($d, ${Hashing.Perms(d)._1}, ${Hashing.Perms(d)._2})").mkString(", ")
+    def h0(expr: String) =
+      s"('0x'||substr(md5('cms:'||CAST($expr AS VARCHAR)),1,15))::BIGINT"
+    s"""WITH pm(d, a, b) AS (SELECT * FROM (VALUES $permRows)),
+       |h AS (SELECT user_id, ${h0("user_id")} AS h0 FROM events),
+       |bk AS (SELECT h.user_id, pm.d,
+       |  ((pm.a * (h.h0 % 1073741824) + pm.b) % 1073741789) % $width AS bucket
+       |  FROM h, pm),
+       |cms AS (SELECT d, bucket, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),
+       |top AS (SELECT user_id, COUNT(*) AS n_true FROM events GROUP BY 1
+       |  ORDER BY n_true DESC, user_id LIMIT $topK),
+       |pr AS (SELECT t.user_id, t.n_true, pm.d,
+       |  ((pm.a * ((${h0("t.user_id")}) % 1073741824) + pm.b) % 1073741789) % $width AS bucket
+       |  FROM top t, pm),
+       |est AS (SELECT pr.user_id, pr.n_true, MIN(cms.cnt) AS cms_est
+       |  FROM pr JOIN cms ON cms.d = pr.d AND cms.bucket = pr.bucket
+       |  GROUP BY 1, 2)
+       |SELECT user_id, n_true, CAST(cms_est AS BIGINT) AS cms_est,
+       |  CAST(cms_est - n_true AS BIGINT) AS overcount
+       |FROM est ORDER BY n_true DESC, user_id""".stripMargin
+  }
+
   /** A49: CUSUM change-point — the S⁺ recursion as a recursive CTE
     * over the row-numbered per-type hourly series. Baseline (μ, σ)
     * from integer moments (Σn, Σn² — exact), so every double op

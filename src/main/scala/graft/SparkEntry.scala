@@ -224,6 +224,8 @@ object SparkEntry {
     "ev_funnel"            -> q(EventOps.evFunnel),
     "ev_funnel_latency"    -> q(EventOps.evFunnelLatency),
     "ev_interval_join"     -> q(EventOps.evIntervalJoin(_)),
+    "q_distinct_kmv"       -> q(Analytics.qDistinctKmv(_)),
+    "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "ev_funnel_by_cohort"  -> q(EventOps.evFunnelByCohort),
     "ev_error_after_click" -> q(EventOps.evErrorAfterClick(_, ordered = true)),
     "q_month_trend"        -> q(Analytics.qMonthTrend),
@@ -513,6 +515,27 @@ object SparkEntry {
         |  floor(quantile_cont(lat_us, 0.5)*10000 + 0.5)/10000 AS p50_us,
         |  floor(quantile_cont(lat_us, 0.9)*10000 + 0.5)/10000 AS p90_us
         |FROM lat GROUP BY step ORDER BY step""".stripMargin,
+
+    // the KMV sketch is deterministic order statistics over md5_60, so
+    // the oracle reproduces the k-minimum set (and hence the estimate)
+    // bit-for-bit — the portable counterpart to B12's rows-only HLL
+    "q_distinct_kmv" ->
+      """WITH hv AS (SELECT DISTINCT event_type,
+        |  ('0x'||substr(md5('kmv:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM hv),
+        |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1),
+        |kept AS (SELECT event_type, COUNT(*) AS n_kept, MAX(hv) AS kth_min
+        |  FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT k.event_type, CAST(k.n_kept AS BIGINT) AS n_kept, k.kth_min,
+        |  floor((CASE WHEN k.n_kept < 64 THEN CAST(k.n_kept AS DOUBLE)
+        |    ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(k.kth_min AS DOUBLE)
+        |    END)*1000000 + 0.5)/1000000 AS est_distinct_r,
+        |  CAST(ex.n_exact AS BIGINT) AS n_exact
+        |FROM kept k JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     // the oracle states the interval join DIRECTLY (ts >= start AND
     // ts < end) — the Spark side's chunked equi-join must be
@@ -1193,6 +1216,7 @@ object SparkEntry {
     "doc_dup_bias"            -> OracleSqlGen.docDupBias,
     "ev_user_zipf"            -> OracleSqlGen.evUserZipf(100),
     "ev_cusum_changepoint"    -> OracleSqlGen.evCusumChangepoint(48, 0.5, 5.0),
+    "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_simhash_hamming_hist" -> OracleSqlGen.docSimhashHammingHist(12),

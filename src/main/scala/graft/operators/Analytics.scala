@@ -1003,5 +1003,76 @@ object Analytics {
       .orderBy($("n_name"), $("o_year"))
   }
 
+  /** B47: distinct-user estimate per event type via the PORTABLE KMV
+    * sketch (functions/KmvSketch) — the oracle-gateable cardinality
+    * sketch next to B12's rows-only HLL: state is the k smallest
+    * distinct md5_60 hashes per group (≤ k longs, merged map-side, so
+    * the shuffle carries ≤ k·partitions longs per group — never the
+    * distinct set), estimate (k−1)·2⁶⁰/hₖ, EXACT below k distinct.
+    * The card rides the exact distinct count alongside so the error
+    * is visible at test SF (n_exact is the column a 100 TB run drops —
+    * the sketch is the whole point there); every arithmetic step is a
+    * single deterministic double op mirrored verbatim in the oracle.
+    */
+  def qDistinctKmv(t: Tables, k: Int = 64): DataFrame = {
+    val kmv = udaf(graft.functions.KmvSketch(k), org.apache.spark.sql.Encoders.scalaLong)
+    t.events
+      .select($("event_type"),
+        $("user_id"),
+        graft.functions.Hashing.md5_60(
+          concat(lit("kmv:"), $("user_id").cast("string"))).as("hv"))
+      .groupBy($("event_type"))
+      .agg(kmv($("hv")).as("kept"),
+        countDistinct($("user_id")).as("n_exact"))
+      .select($("event_type"),
+        size($("kept")).cast("long").as("n_kept"),
+        element_at($("kept"), size($("kept"))).as("kth_min"),
+        r6(when(size($("kept")) < k, size($("kept")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0d) /
+            element_at($("kept"), k).cast("double"))).as("est_distinct_r"),
+        $("n_exact"))
+      .orderBy($("event_type"))
+  }
+
+  /** B48: PORTABLE count-min error card — the oracle-gateable CMS next
+    * to B21's rows-only native sketch: depth×width counts over the
+    * affine-permutation buckets (Hashing.perm — the same literal (a,b)
+    * family the bloom/minhash oracles already mirror), probed at the
+    * exact top-K keys so the card shows each heavy hitter's true
+    * count, CMS estimate (min over depth rows), and overcount.
+    *
+    * Scale shape: the SKETCH is one ×depth narrow explode into a
+    * depth·width-bounded aggregate — map-side combined, mergeable
+    * across shards by addition (the E50 card discipline; a 100 TB run
+    * ships the 1024-row relation, not keys). The exact top-K ground
+    * truth is a corpus-keyed aggregate + TakeOrdered — the diagnostic
+    * half a production run replaces with candidate keys from the
+    * sketch itself. Every estimate is exact integer arithmetic; no
+    * doubles anywhere.
+    */
+  def qCmsPortable(t: Tables, depth: Int = 4, width: Int = 256,
+      topK: Int = 20): DataFrame = {
+    import graft.functions.Hashing
+    def h0of(c: Column) =
+      Hashing.md5_60(concat(lit("cms:"), c.cast("string")))
+    def bucketStructs = (0 until depth).map(d =>
+      struct(lit(d.toLong).as("d"), (Hashing.perm($("h0"), d) % width).as("bucket")))
+    val cms = t.events.select(h0of($("user_id")).as("h0"))
+      .select(explode(array(bucketStructs: _*)).as("s"))
+      .groupBy($("s.d").as("d"), $("s.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = t.events.groupBy($("user_id")).agg(count(lit(1)).as("n_true"))
+      .orderBy($("n_true").desc, $("user_id")).limit(topK)
+      .withColumn("h0", h0of($("user_id")))
+    val probes = top
+      .select($("user_id"), $("n_true"), explode(array(bucketStructs: _*)).as("s"))
+      .select($("user_id"), $("n_true"), $("s.d").as("d"), $("s.bucket").as("bucket"))
+    probes.join(broadcast(cms), Seq("d", "bucket"))
+      .groupBy($("user_id"), $("n_true"))
+      .agg(min($("cnt")).as("cms_est"))
+      .withColumn("overcount", $("cms_est") - $("n_true"))
+      .orderBy($("n_true").desc, $("user_id"))
+  }
+
   private def $(name: String): Column = col(name)
 }

@@ -70,4 +70,32 @@ class SketchSpec extends SparkSpec {
         s"$prio p$p: estimate $e has rank [$lo,$hi], target $target ± $slack (n=$n)")
     }
   }
+
+  test("KMV: merge(halves) == reduce(whole); exact below k; estimate within 5/sqrt(k) of exact") {
+    import graft.functions.KmvSketch
+    val k = 64
+    val s = KmvSketch(k)
+    // deterministic pseudo-hash population with duplicates
+    val vals = (0 until 5000).map(i => ((i * 2654435761L) % 3000) * 384307168202282325L & Long.MaxValue)
+    def reduceAll(xs: Seq[Long]) = xs.foldLeft(s.zero)(s.reduce)
+    val whole = reduceAll(vals)
+    val (l, r) = vals.splitAt(vals.size / 3)
+    val merged = s.merge(reduceAll(l), reduceAll(r))
+    assert(java.util.Arrays.equals(whole, merged), "merge of halves must equal one-pass reduce")
+    assert(whole.length == k && whole.sorted.sameElements(whole), "k smallest, sorted")
+    assert(whole.toSet.size == k, "kept hashes are distinct")
+    // exact below k: fewer than k distinct values keeps them all
+    val small = reduceAll(vals.take(200).map(_ % 20))
+    assert(small.length == vals.take(200).map(_ % 20).distinct.size)
+    // estimator accuracy against the operator's exact column (the
+    // oracle already pins bit-equality; this pins the STATISTICS)
+    val rows = Analytics.qDistinctKmv(tables, k).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val (est, exact) = (row.getDouble(3), row.getLong(4))
+      val rel = math.abs(est - exact) / exact.toDouble
+      assert(rel < 5.0 / math.sqrt(k),
+        s"${row.getString(0)}: KMV est $est vs exact $exact (rel $rel)")
+    }
+  }
 }
