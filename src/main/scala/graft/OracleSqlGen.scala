@@ -1935,6 +1935,38 @@ object OracleSqlGen {
       |  COUNT(*) OVER (PARTITION BY fingerprint) AS cluster_size
       |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** B49: cheapest supplier per part (TPC-H Q2 correlated-min shape):
+    * per-(part, supplier) min unit price, per-part argmin with
+    * lowest-suppkey ties — MIN of per-row double divisions is
+    * order-free, so the only rounding is the display r6.
+    */
+  val qMinCostSupplier: String =
+    """WITH u AS (SELECT l_partkey, l_suppkey,
+      |  MIN(l_extendedprice / l_quantity) AS cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |rk AS (SELECT l_partkey, l_suppkey, cost,
+      |  ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY cost, l_suppkey) AS rn
+      |  FROM u)
+      |SELECT r.l_partkey AS p_partkey, s.s_name, n.n_name,
+      |  floor(r.cost*1000000 + 0.5)/1000000 AS min_cost_r
+      |FROM rk r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE r.rn = 1 ORDER BY p_partkey""".stripMargin
+
+  /** D31: prefix-energy curve — per-row energy ratio is the same
+    * fixed-order fold over the dimension prefix on both engines, 6dp-
+    * rounded before the decimal-routed mean (E38 convention).
+    */
+  def embEnergyCurve(prefixes: Seq[Int]): String =
+    s"""WITH $normCte,
+       |pe AS (SELECT p.d,
+       |  floor((list_reduce([x*x for x in list_slice(n.v, 1, p.d)], (x,y) -> x+y) / n.n2)*1000000 + 0.5)/1000000 AS energy_r
+       |  FROM n, (SELECT unnest([${prefixes.mkString(",")}]) AS d) p)
+       |SELECT CAST(d AS BIGINT) AS prefix_dim, COUNT(*) AS n_vectors,
+       |  floor((CAST(SUM(CAST(energy_r AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_energy_r,
+       |  MIN(energy_r) AS min_energy_r
+       |FROM pe GROUP BY 1 ORDER BY prefix_dim""".stripMargin
+
   /** B48: portable CMS error card — the affine bucket family mirrored
     * literal-for-literal from Hashing.Perms (the bloom/minhash oracle
     * convention), min-over-depth estimate, exact integer arithmetic

@@ -226,6 +226,8 @@ object SparkEntry {
     "ev_interval_join"     -> q(EventOps.evIntervalJoin(_)),
     "q_distinct_kmv"       -> q(Analytics.qDistinctKmv(_)),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
+    "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
+    "emb_energy_curve"     -> q(Similarity.embEnergyCurve(_)),
     "ev_funnel_by_cohort"  -> q(EventOps.evFunnelByCohort),
     "ev_error_after_click" -> q(EventOps.evErrorAfterClick(_, ordered = true)),
     "q_month_trend"        -> q(Analytics.qMonthTrend),
@@ -1217,6 +1219,8 @@ object SparkEntry {
     "ev_user_zipf"            -> OracleSqlGen.evUserZipf(100),
     "ev_cusum_changepoint"    -> OracleSqlGen.evCusumChangepoint(48, 0.5, 5.0),
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
+    "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
+    "emb_energy_curve"        -> OracleSqlGen.embEnergyCurve(Seq(8, 16, 32, 64)),
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_simhash_hamming_hist" -> OracleSqlGen.docSimhashHammingHist(12),

@@ -1074,5 +1074,36 @@ object Analytics {
       .orderBy($("n_true").desc, $("user_id"))
   }
 
+  /** B49: cheapest supplier per part — the TPC-H Q2 correlated-min
+    * shape on the available tables (no partsupp in the data model, so
+    * the cost relation derives from lineitem unit prices): per
+    * (part, supplier) the minimum observed unit price, per part the
+    * argmin supplier (ties → lowest suppkey), enriched with the
+    * supplier's nation. The classic rewrite: the correlated subquery
+    * (`cost = (SELECT MIN … WHERE same part)`) becomes ONE window
+    * ranked by (cost, suppkey) over the part key — corpus-cardinality
+    * partitioning, one pass, no self-join; dimension legs broadcast.
+    * MIN of per-row double divisions is order-free, so no decimal
+    * routing is needed anywhere.
+    */
+  def qMinCostSupplier(t: Tables): DataFrame = {
+    val unit = t.lineitem
+      .select($("l_partkey"), $("l_suppkey"),
+        ($("l_extendedprice") / $("l_quantity")).as("unit_price"))
+      .groupBy($("l_partkey"), $("l_suppkey"))
+      .agg(min($("unit_price")).as("cost"))
+    val w = Window.partitionBy($("l_partkey")).orderBy($("cost").asc, $("l_suppkey").asc)
+    unit
+      .withColumn("rn", row_number().over(w))
+      .filter($("rn") === 1)
+      .join(broadcast(t.supplier.select($("s_suppkey"), $("s_name"), $("s_nationkey"))),
+        $("l_suppkey") === $("s_suppkey"))
+      .join(broadcast(t.nation.select($("n_nationkey"), $("n_name"))),
+        $("s_nationkey") === $("n_nationkey"))
+      .select($("l_partkey").as("p_partkey"), $("s_name"), $("n_name"),
+        r6($("cost")).as("min_cost_r"))
+      .orderBy($("p_partkey"))
+  }
+
   private def $(name: String): Column = col(name)
 }

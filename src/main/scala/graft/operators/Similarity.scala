@@ -1228,4 +1228,38 @@ object Similarity {
         .select(col("vec_id"), col("label"), col("dist_r"), col("cutoff_r")),
       ordered)(col("vec_id"))
   }
+
+  /** D31: prefix-energy curve — the "can I truncate the embeddings"
+    * card (the Matryoshka/MRL read): for each prefix length d, the
+    * corpus distribution of ‖v[:d]‖²/‖v‖² — the cosine-mass a
+    * d-dimensional truncation retains per vector. A high mean with a
+    * high min says a d-dim index (¼ the bytes, ¼ the ADC work) serves
+    * most queries; a fat low tail names the vectors a truncated index
+    * would mis-rank. Read next to D23's per-dimension variance (which
+    * dims carry energy) and D27/D29 (the quantization alternatives to
+    * truncation).
+    *
+    * Scale shape: ONE narrow codegen'd pass — each row emits
+    * #prefixes structs (energy ratio = two in-row fixed-order folds,
+    * deterministic per row), then a #prefixes-key aggregate; per-row
+    * ratios are 6dp-rounded so the decimal-routed mean is
+    * order-independent (the E38 convention), min is order-free.
+    */
+  def embEnergyCurve(t: Tables,
+      prefixes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val cands = prefixes.map { d =>
+      struct(lit(d.toLong).as("prefix_dim"),
+        r6(VectorExprs.dot(slice(col("v"), 1, d), slice(col("v"), 1, d)) /
+          col("n2")).as("energy_r"))
+    }
+    e.select(explode(array(cands: _*)).as("s"))
+      .select(col("s.prefix_dim").as("prefix_dim"), col("s.energy_r").as("energy_r"))
+      .groupBy(col("prefix_dim"))
+      .agg(count(lit(1)).as("n_vectors"),
+        r6(sum(col("energy_r").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_energy_r"),
+        min(col("energy_r")).as("min_energy_r"))
+      .orderBy(col("prefix_dim"))
+  }
 }
