@@ -1996,6 +1996,31 @@ object OracleSqlGen {
        |FROM est ORDER BY n_true DESC, user_id""".stripMargin
   }
 
+  /** A65: lag-k autocorrelation — exact HUGEINT moments over the
+    * hourly rollup (mirroring the Spark side's decimal lattice), three
+    * deterministic double ops at the end.
+    */
+  def evAutocorr(lags: Seq[Int]): String = {
+    def momentArm(k: Int) =
+      s"""SELECT x.event_type, CAST($k AS BIGINT) AS lag_hours, COUNT(*) AS n_pairs,
+         |  SUM(CAST(x.n AS HUGEINT)) AS sx, SUM(CAST(y.n AS HUGEINT)) AS sy,
+         |  SUM(CAST(x.n AS HUGEINT) * CAST(y.n AS HUGEINT)) AS sxy,
+         |  SUM(CAST(x.n AS HUGEINT) * CAST(x.n AS HUGEINT)) AS sxx,
+         |  SUM(CAST(y.n AS HUGEINT) * CAST(y.n AS HUGEINT)) AS syy
+         |  FROM h x JOIN h y ON y.event_type = x.event_type
+         |    AND y.hour = x.hour + INTERVAL $k HOUR
+         |  GROUP BY 1""".stripMargin
+    s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |m AS (${lags.map(momentArm).mkString("\nUNION ALL\n")})
+       |SELECT event_type, lag_hours, n_pairs,
+       |  CASE WHEN (n_pairs*sxx - sx*sx) > 0 AND (n_pairs*syy - sy*sy) > 0 THEN
+       |    floor((CAST(n_pairs*sxy - sx*sy AS DOUBLE) /
+       |      sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE) * CAST(n_pairs*syy - sy*sy AS DOUBLE)))*1000000 + 0.5)/1000000
+       |  END AS acf_r
+       |FROM m ORDER BY event_type, lag_hours""".stripMargin
+  }
+
   /** A49: CUSUM change-point — the S⁺ recursion as a recursive CTE
     * over the row-numbered per-type hourly series. Baseline (μ, σ)
     * from integer moments (Σn, Σn² — exact), so every double op

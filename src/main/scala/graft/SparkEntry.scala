@@ -224,6 +224,7 @@ object SparkEntry {
     "ev_funnel"            -> q(EventOps.evFunnel),
     "ev_funnel_latency"    -> q(EventOps.evFunnelLatency),
     "ev_interval_join"     -> q(EventOps.evIntervalJoin(_)),
+    "ev_autocorr"          -> q(EventOps.evAutocorr(_)),
     "q_distinct_kmv"       -> q(Analytics.qDistinctKmv(_)),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
@@ -1218,6 +1219,7 @@ object SparkEntry {
     "doc_dup_bias"            -> OracleSqlGen.docDupBias,
     "ev_user_zipf"            -> OracleSqlGen.evUserZipf(100),
     "ev_cusum_changepoint"    -> OracleSqlGen.evCusumChangepoint(48, 0.5, 5.0),
+    "ev_autocorr"             -> OracleSqlGen.evAutocorr(Seq(1, 24)),
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "emb_energy_curve"        -> OracleSqlGen.embEnergyCurve(Seq(8, 16, 32, 64)),

@@ -1181,6 +1181,55 @@ object EventOps {
     * The k-row busiest-hour rollup is calendar-bounded (#hours), and
     * the w_id ranking window rides that ≤k-row relation.
     */
+  /** A65: lag-k autocorrelation of per-type hourly rates — the
+    * NUMERIC seasonality/persistence read next to A46's hour-of-day
+    * profile and A49's CUSUM: acf(1) ≈ 0 says hourly noise, acf(24)
+    * high says a daily cycle worth modeling before alerting on A29's
+    * thresholds. Pearson r over (xₜ, xₜ₊ₖ) pairs where BOTH hours are
+    * observed in the series.
+    *
+    * Scale + parity shape: the corpus collapses to the calendar-
+    * bounded (type, hour) count rollup first — the per-lag self-joins
+    * and moment aggregates ride that ≤ #types·#hours relation, never
+    * events. All five moments are EXACT integers (counts cast to
+    * decimal BEFORE multiplying — BIGINT squares overflow under ANSI;
+    * HUGEINT on the DuckDB side), the numerator/denominator are exact
+    * integer expressions, and doubles appear only in the final
+    * num/√(denx·deny) — three deterministic ops, identical on both
+    * engines. Zero-variance series (constant counts) emit null.
+    */
+  def evAutocorr(t: Tables, lags: Seq[Int] = Seq(1, 24)): DataFrame = {
+    val h = t.events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("n"))
+    val dec = DecimalType(18, 0)
+    val perLag = lags.map { k =>
+      val x = h.select(col("event_type"), col("hour"), col("n").as("x"))
+      val y = h.select(col("event_type").as("et2"),
+        col("hour").as("h2"), col("n").as("y"))
+      x.join(y, col("event_type") === col("et2") &&
+          col("h2") === col("hour") + expr(s"INTERVAL $k HOURS"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+          sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+          sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+        .select(col("event_type"), lit(k.toLong).as("lag_hours"), col("n_pairs"),
+          (col("n_pairs").cast(dec) * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n_pairs").cast(dec) * col("sxx") - col("sx") * col("sx")).as("denx"),
+          (col("n_pairs").cast(dec) * col("syy") - col("sy") * col("sy")).as("deny"))
+    }
+    perLag.reduce(_ unionByName _)
+      .select(col("event_type"), col("lag_hours"), col("n_pairs"),
+        when(col("denx") > 0 && col("deny") > 0,
+          r6(col("num").cast("double") /
+            sqrt(col("denx").cast("double") * col("deny").cast("double"))))
+          .as("acf_r"))
+      .orderBy(col("event_type"), col("lag_hours"))
+  }
+
   def evIntervalJoin(t: Tables, k: Int = 20): DataFrame = {
     val hours = t.events.select(date_trunc("hour", col("ts")).as("hour"))
       .groupBy(col("hour")).agg(count(lit(1)).as("n"))
