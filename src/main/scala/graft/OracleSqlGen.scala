@@ -1249,9 +1249,13 @@ object OracleSqlGen {
   /** D18: mutual-kNN-graph connected components — D14's edge chain +
     * mutuality join + the C7 recursive transitive closure.
     */
-  def embKnnClusters(k: Int, bucketCap: Int, threshold: Double): String = {
+  /** Shared CTE prefix for the mutual-kNN-graph family (D18/D32):
+    * normCte → sign-bucketed capped candidates → per-src top-k → cosine
+    * floor → mutuality join, ending at `m` (src < dst mutual edges).
+    */
+  private def mutualKnnCtes(k: Int, bucketCap: Int, threshold: Double): String = {
     val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
-    s"""WITH RECURSIVE $normCte,
+    s"""$normCte,
        |nb AS (SELECT vec_id, v, n2, ${bucketExprAt(0)} AS bucket FROM n),
        |corpus AS (SELECT vec_id, v, n2, bucket FROM (
        |  SELECT vec_id, v, n2, bucket,
@@ -1266,7 +1270,11 @@ object OracleSqlGen {
        |  FROM sc) WHERE rank <= $k),
        |eg AS (SELECT src, dst FROM kn WHERE cos_r >= $threshold),
        |m AS (SELECT a.src, a.dst FROM eg a JOIN eg b ON a.src = b.dst AND a.dst = b.src
-       |  WHERE a.src < a.dst),
+       |  WHERE a.src < a.dst)""".stripMargin
+  }
+
+  def embKnnClusters(k: Int, bucketCap: Int, threshold: Double): String = {
+    s"""WITH RECURSIVE ${mutualKnnCtes(k, bucketCap, threshold)},
        |sym AS (SELECT src, dst FROM m UNION ALL SELECT dst AS src, src AS dst FROM m),
        |reach AS (
        |  SELECT src, dst FROM sym
@@ -1280,6 +1288,28 @@ object OracleSqlGen {
        |FROM embeddings emb LEFT JOIN mins m2 ON emb.vec_id = m2.vec_id
        |ORDER BY emb.vec_id""".stripMargin
   }
+
+  /** D32: triangle count + local clustering coefficient over the
+    * mutual-kNN graph — the D18 edge relation, closed over ordered
+    * edge triples (a<b<c); per-node membership counts and 2T/(d(d−1)).
+    */
+  def annTriangles(k: Int, bucketCap: Int, threshold: Double): String =
+    s"""WITH ${mutualKnnCtes(k, bucketCap, threshold)},
+       |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM m e1 JOIN m e2 ON e2.src = e1.dst
+       |  JOIN m e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |tv AS (SELECT a AS vec_id FROM tri
+       |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+       |tn AS (SELECT vec_id, COUNT(*) AS n_triangles FROM tv GROUP BY 1),
+       |dg AS (SELECT vec_id, COUNT(*) AS degree FROM
+       |  (SELECT src AS vec_id FROM m UNION ALL SELECT dst FROM m) GROUP BY 1)
+       |SELECT dg.vec_id, dg.degree,
+       |  COALESCE(tn.n_triangles, 0) AS n_triangles,
+       |  CASE WHEN dg.degree >= 2 THEN
+       |    floor((2.0*CAST(COALESCE(tn.n_triangles, 0) AS DOUBLE)/CAST(dg.degree*(dg.degree-1) AS DOUBLE))*1000000 + 0.5)/1000000
+       |  END AS clustering_r
+       |FROM dg LEFT JOIN tn USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
 
   /** D14: k-NN graph — sign-bucket candidates, dst side posting-capped
     * by lowest vec_id, exact cosine + per-source top-k.

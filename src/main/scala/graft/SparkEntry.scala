@@ -229,6 +229,7 @@ object SparkEntry {
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
     "emb_energy_curve"     -> q(Similarity.embEnergyCurve(_)),
+    "ann_triangles"        -> q(Similarity.annTriangles(_, ordered = true)),
     "ev_funnel_by_cohort"  -> q(EventOps.evFunnelByCohort),
     "ev_error_after_click" -> q(EventOps.evErrorAfterClick(_, ordered = true)),
     "q_month_trend"        -> q(Analytics.qMonthTrend),
@@ -1223,6 +1224,7 @@ object SparkEntry {
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "emb_energy_curve"        -> OracleSqlGen.embEnergyCurve(Seq(8, 16, 32, 64)),
+    "ann_triangles"           -> OracleSqlGen.annTriangles(5, 128, 0.0),
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_simhash_hamming_hist" -> OracleSqlGen.docSimhashHammingHist(12),

@@ -1229,6 +1229,53 @@ object Similarity {
       ordered)(col("vec_id"))
   }
 
+  /** D32: triangle count + local clustering coefficient over the
+    * MUTUAL kNN graph — the graph-analytics read next to D24's
+    * components and D19's PageRank: a node whose neighbors also
+    * neighbor each other (clustering → 1) sits in a tight semantic
+    * cluster; high degree with clustering → 0 is a hub chaining
+    * unrelated regions (the vector worth re-embedding or down-
+    * weighting before graph-based curation trusts its edges).
+    *
+    * Scale shape: the mutual edge relation is degree-bounded by
+    * construction (≤ k per node), so the triangle closure — the
+    * classic two-join edge closure e(a,b)⋈e(b,c)⋈e(a,c) — has join
+    * fan-out ≤ k per edge and candidate volume ≤ k·|E|, never n²;
+    * ordered triples (a<b<c on an src<dst edge list) count each
+    * triangle exactly once. Per-node rollups ride the tiny edge
+    * relation.
+    */
+  def annTriangles(t: Tables, k: Int = 5, threshold: Double = 0.0,
+      bits: Int = 8, bucketCap: Int = 128, ordered: Boolean = false): DataFrame = {
+    val e = knnEdges(t, k, bits, bucketCap)
+      .filter(col("cos_r") >= threshold)
+      .select(col("src"), col("dst"))
+    val m = Dedup.stableCheckpoint(
+      e.intersect(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") < col("dst")))
+    val tri = m.select(col("src").as("a"), col("dst").as("b"))
+      .join(m.select(col("src").as("b2"), col("dst").as("c")), col("b") === col("b2"))
+      .join(m.select(col("src").as("a3"), col("dst").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri.select(col("a").as("vec_id"))
+      .unionAll(tri.select(col("b").as("vec_id")))
+      .unionAll(tri.select(col("c").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+    val deg = m.select(col("src").as("vec_id"))
+      .unionAll(m.select(col("dst").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+    maybeSort(
+      deg.join(perNode, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          when(col("degree") >= 2,
+            r6(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+              (col("degree") * (col("degree") - 1)).cast("double")))
+            .as("clustering_r")),
+      ordered)(col("vec_id"))
+  }
+
   /** D31: prefix-energy curve — the "can I truncate the embeddings"
     * card (the Matryoshka/MRL read): for each prefix length d, the
     * corpus distribution of ‖v[:d]‖²/‖v‖² — the cosine-mass a
