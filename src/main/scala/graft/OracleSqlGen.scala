@@ -217,6 +217,16 @@ object OracleSqlGen {
        |WHERE GREATEST(c/sa.n, c/sb.n) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** C27: per-source duplicate shingle mass (df > 1 occurrence share). */
+  val docDupNgramMass: String =
+    s"""WITH $gramCtes,
+       |d AS (SELECT doc_id, h0, COUNT(*) OVER (PARTITION BY h0) AS df FROM h),
+       |j AS (SELECT d.df, doc.source FROM d JOIN documents doc ON doc.doc_id = d.doc_id)
+       |SELECT source, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       |  floor((CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS dup_mass_r
+       |FROM j GROUP BY 1 ORDER BY source""".stripMargin
+
   /** C17: per-doc corpus-unique shingle fraction. */
   val docNgramNovelty: String =
     s"""WITH $gramCtes,
@@ -643,6 +653,33 @@ object OracleSqlGen {
        |SELECT doc_a, doc_b, COUNT(*) AS n_near_frames,
        |  CAST(MIN(hamming) AS INTEGER) AS min_hamming
        |FROM pr GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** F12: scene cuts — the F10 per-frame dhash CTEs + an asset-keyed
+    * LAG, cuts where consecutive-frame hamming clears the threshold.
+    */
+  def mmSceneCuts(frameBytes: Int, stride: Int, threshold: Int): String =
+    s"""WITH fr AS (SELECT doc_id, frame_idx,
+       |    substr(text, frame_idx*$frameBytes + 1, $frameBytes) AS ft
+       |  FROM (SELECT doc_id, text,
+       |    unnest([i for i in range(0, length(text) // $frameBytes, $stride)]) AS frame_idx
+       |    FROM documents)),
+       |fb AS (SELECT doc_id, frame_idx, ft, unnest(range(61)) AS i FROM fr),
+       |fbs AS (SELECT doc_id, frame_idx, CAST(i AS INTEGER) AS i,
+       |  CASE WHEN length(ft) >= i+1 THEN ord(substr(ft, CAST(i+1 AS INTEGER), 1)) ELSE 0 END AS s
+       |  FROM fb),
+       |fph AS (SELECT a.doc_id, a.frame_idx,
+       |  CAST(SUM(CASE WHEN a.s > b2.s THEN (1::BIGINT << a.i) ELSE 0 END) AS BIGINT) AS ph
+       |  FROM fbs a JOIN fbs b2 ON a.doc_id = b2.doc_id AND a.frame_idx = b2.frame_idx AND b2.i = a.i + 1
+       |  GROUP BY a.doc_id, a.frame_idx),
+       |sq AS (SELECT doc_id, frame_idx, ph,
+       |  LAG(frame_idx) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_idx,
+       |  LAG(ph) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_ph
+       |  FROM fph)
+       |SELECT doc_id, frame_idx, prev_idx,
+       |  CAST(bit_count(xor(ph, prev_ph)) AS INTEGER) AS hamming
+       |FROM sq
+       |WHERE prev_ph IS NOT NULL AND CAST(bit_count(xor(ph, prev_ph)) AS INTEGER) >= $threshold
+       |ORDER BY doc_id, frame_idx""".stripMargin
 
   def mmPhashPairs(maxHamming: Int): String =
     s"""WITH $dhashCtes,

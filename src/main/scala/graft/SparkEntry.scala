@@ -230,6 +230,8 @@ object SparkEntry {
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
     "emb_energy_curve"     -> q(Similarity.embEnergyCurve(_)),
     "ann_triangles"        -> q(Similarity.annTriangles(_, ordered = true)),
+    "mm_scene_cuts"        -> q(Multimodal.mmSceneCuts(_, ordered = true)),
+    "doc_dup_ngram_mass"   -> q(Dedup.docDupNgramMass(_, ordered = true)),
     "ev_funnel_by_cohort"  -> q(EventOps.evFunnelByCohort),
     "ev_error_after_click" -> q(EventOps.evErrorAfterClick(_, ordered = true)),
     "q_month_trend"        -> q(Analytics.qMonthTrend),
@@ -1225,6 +1227,8 @@ object SparkEntry {
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "emb_energy_curve"        -> OracleSqlGen.embEnergyCurve(Seq(8, 16, 32, 64)),
     "ann_triangles"           -> OracleSqlGen.annTriangles(5, 128, 0.0),
+    "mm_scene_cuts"           -> OracleSqlGen.mmSceneCuts(64, 4, 36),
+    "doc_dup_ngram_mass"      -> OracleSqlGen.docDupNgramMass,
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_simhash_hamming_hist" -> OracleSqlGen.docSimhashHammingHist(12),

@@ -492,6 +492,32 @@ object Dedup {
         r6(col("n_unique") / col("n_grams")).as("novelty_r")),
     ordered)(col("doc_id"))
 
+  /** C27: duplicate n-gram MASS per source — the fraction of each
+    * source's (doc, shingle) rows whose shingle exists elsewhere in
+    * the corpus (the "duplicate text mass" dataset-card metric: C14
+    * counts duplicate DOCUMENTS, C17 scores each doc — this rolls the
+    * substring-level redundancy up per source, the number that ranks
+    * crawl feeds by how much of their text is boilerplate/syndication
+    * before any pair join runs).
+    *
+    * Scale shape: C17's skeleton rolled up by source instead of doc —
+    * ONE gram-keyed window shuffle for df, then a #sources-key
+    * aggregate riding the doc-side join (broadcast dims-style: the
+    * (doc_id, source) projection is narrow).
+    */
+  def docDupNgramMass(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
+    explodeSets(gramSets(t))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .join(t.documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") > 1).cast("long")).as("n_dup_grams"))
+      .select(col("source"), col("n_grams"), col("n_dup_grams"),
+        r6(col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .as("dup_mass_r")),
+    ordered)(col("source"))
+
   /** C8: incremental dedup — the shape a production pipeline actually
     * runs: an immutable BASE corpus (here: doc_id % mod ≠ 0) with a
     * maintained content-hash index, and a NEW batch (doc_id % mod = 0)

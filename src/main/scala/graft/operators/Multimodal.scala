@@ -333,4 +333,42 @@ object Multimodal {
           col("dup_of").isNull.cast("int").as("is_new")),
       ordered)(col("doc_id"))
   }
+
+  /** F12: scene-cut detection — consecutive sampled frames whose
+    * perceptual distance jumps (hamming of per-frame DHash60 ≥
+    * threshold): the shot-boundary detector that feeds frame-sampling
+    * policy (sample MORE around cuts, less inside static scenes — at
+    * 100 TB of video the cut list is what makes F4's uniform stride
+    * adaptive). Emits one row per detected cut (the frame AFTER the
+    * boundary, its predecessor, and the distance).
+    *
+    * Scale shape: per-frame hashes ride the F4/F10 narrow pass
+    * (payload bytes never shuffle — the 60-bit hash does); the only
+    * shuffle is the ASSET-keyed window for lag() — corpus-cardinality
+    * key, per-group rows = frames/asset. The threshold compares
+    * against the measured consecutive-frame distribution (p90 ≈ 36
+    * on this corpus — the card a deploy would re-derive per format).
+    */
+  def mmSceneCuts(t: Tables, frameBytes: Int = 64, stride: Int = 4,
+      threshold: Int = 36, ordered: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val fr = t.documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("nf", expr(s"octet_length(payload) div $frameBytes").cast("int"))
+      .select(col("doc_id"), col("payload"),
+        explode(when(col("nf") > 0, sequence(lit(0), col("nf") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        call_function("graft_dhash60_b1",
+          expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")).as("ph"))
+    maybeSort(
+      fr.withColumn("prev_idx", lag(col("frame_idx"), 1).over(w))
+        .withColumn("prev_ph", lag(col("ph"), 1).over(w))
+        .filter(col("prev_ph").isNotNull)
+        .withColumn("hamming", bit_count(col("ph").bitwiseXOR(col("prev_ph"))).cast("int"))
+        .filter(col("hamming") >= threshold)
+        .select(col("doc_id"), col("frame_idx"), col("prev_idx"), col("hamming")),
+      ordered)(col("doc_id"), col("frame_idx"))
+  }
 }
