@@ -65,4 +65,15 @@ object Hashing {
     val (a, b) = Perms(i)
     (lit(a) * (h0 % M30) + lit(b)) % P
   }
+
+  /** JVM-side md5_60, bit-identical to the Column form (first 15 hex
+    * chars of md5, parsed base-16) — for typed streaming state code
+    * that can't evaluate Columns; ExprPropertiesSpec pins the equality.
+    */
+  def md5_60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
 }

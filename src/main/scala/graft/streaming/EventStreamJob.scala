@@ -438,6 +438,42 @@ object EventStreamJob {
       }
   }
 
+  final case class KmvEstimate(event_type: String, n_kept: Long,
+      est_distinct_r: Double)
+
+  /** A66 (B47 online): streaming distinct-users estimate per type via
+    * the PORTABLE KMV sketch — state per group is functions.KmvSketch's
+    * ≤k-long sorted array (the bounded-cardinality counter the
+    * reference's unbounded per-key cache can't be at 100 TB/day), and
+    * because "k smallest distinct hashes" is a SET property — order-
+    * and batching-insensitive — the stream's final estimate equals the
+    * batch B47 operator BIT-FOR-BIT (StreamingSpec law), not merely
+    * approximately. Emits the running (n_kept, estimate) per type per
+    * micro-batch (Update mode); the same state array is exactly what
+    * G15-style persistence would checkpoint for cross-run merging
+    * (KmvSketch.merge is the union).
+    */
+  def streamEvDistinctKmv(events: Dataset[Ev], k: Int = 64): Dataset[KmvEstimate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sk = graft.functions.KmvSketch(k)
+    events
+      .map(e => (e.event_type, graft.functions.Hashing.md5_60Jvm("kmv:" + e.user_id)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (ty: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val cur = it.foldLeft(state.getOption.getOrElse(sk.zero)) {
+            (b, r) => sk.reduce(b, r._2)
+          }
+          state.update(cur)
+          val est =
+            if (cur.length < k) cur.length.toDouble
+            else (k - 1).toDouble * 1152921504606846976.0d / cur.last.toDouble
+          Iterator.single(KmvEstimate(ty, cur.length.toLong,
+            math.floor(est * 1e6 + 0.5) / 1e6))
+      }
+  }
+
   /** Per-type CUSUM state: hourly counts still open under the
     * watermark; finalized-but-unscored hours (waiting for the baseline
     * window to fill); and once the baseline is frozen, (mu, sigma, s).

@@ -189,4 +189,18 @@ class ExprPropertiesSpec extends SparkSpec {
       assert(merged.toSeq == sketch.toSeq, "merge must be order-independent")
     }
   }
+
+  test("md5_60Jvm == the md5_60 Column on arbitrary strings (typed-state parity)") {
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    import spark.implicits._
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val samples = Seq("", "a", "kmv:0", "kmv:123456789", "cms:42",
+      "unicode ✓ ünïcødé", "long " * 50)
+    val viaColumn = samples.toDF("s")
+      .select(graft.functions.Hashing.md5_60(col("s")))
+      .collect().map(_.getLong(0))
+    samples.zip(viaColumn).foreach { case (s, expect) =>
+      assert(graft.functions.Hashing.md5_60Jvm(s) == expect, s"mismatch on '$s'")
+    }
+  }
 }

@@ -846,6 +846,35 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming KMV distinct estimate: final emission == batch B47 bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamEvDistinctKmv(input.toDS())
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("kmv_out").start()
+    try {
+      // 3 micro-batches in REVERSE time order: the sketch is a set
+      // property, so batching and order must not matter
+      val revs = eventsData.reverse
+      revs.grouped((revs.size + 2) / 3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      // last emission per type (Update mode re-emits per batch)
+      val streamed = spark.table("kmv_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .zipWithIndex.groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1).toMap
+        .map { case (ty, (_, kept, est)) => ty -> (kept, est) }
+      val batch = graft.operators.Analytics.qDistinctKmv(tables).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (ty, v) =>
+        assert(v == batch(ty), s"$ty: stream $v != batch ${batch(ty)}")
+      }
+    } finally q.stop()
+  }
 }
 
 /** Executor-reachable capture for the per-partition JSON sink test. */
