@@ -30,18 +30,34 @@ object TrainingDataJob {
   def materialize(t: Tables, nShards: Int = 16,
       trainPermille: Int = 990, validPermille: Int = 5,
       keepBest: Boolean = true, scrub: Boolean = false): DataFrame = {
-    val kept = TextOps.docCurate(t)
-      .filter(col("keep") === 1).select(col("doc_id"))
-    val canonical =
-      (if (keepBest) Dedup.docDedupKeepBest(t).filter(col("keep") === 1)
-       else Dedup.docDedupClusters(t).filter(col("is_canonical") === 1))
-        .select(col("doc_id"))
-    val split = TextOps.docSplit(t, trainPermille, validPermille)
-      .select(col("doc_id"), col("split"))
+    // ONE verdict pass instead of four separate corpus scans (the r8
+    // composed-bench audit measured 9 scan-rows/doc): curate's verdict
+    // relation carries the quality score keep-best needs, so the
+    // cluster keeper (argmax quality, min-id ties — exactly
+    // docDedupKeepBest's window) rides the same relation instead of a
+    // second withQuality scan; the E21 split is a pure hash of doc_id,
+    // stamped as a COLUMN on the surviving rows instead of a separate
+    // documents scan + join. Semantics are unchanged row-for-row
+    // (TrainingDataJobSpec's composition laws pin this).
+    val curated = TextOps.docCurate(t)
+      .select(col("doc_id"), col("quality_score"), col("keep"))
+    val clusters = Dedup.docDedupClusters(t)
+      .select(col("doc_id"), col("cluster"), col("is_canonical"))
+    val verdict = curated.join(clusters, "doc_id")
+    val surviving =
+      if (keepBest) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        verdict.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("keep") === 1 && col("rn") === 1)
+          .select(col("doc_id"))
+      } else
+        verdict.filter(col("keep") === 1 && col("is_canonical") === 1)
+          .select(col("doc_id"))
     val survivors = t.documents.select(col("doc_id"), col("text"), col("source"))
-      .join(kept, "doc_id")
-      .join(canonical, "doc_id")
-      .join(split, "doc_id")
+      .join(surviving, "doc_id")
+      .withColumn("split", TextOps.splitColumn(trainPermille, validPermille))
     // E17's shard + position, computed over the SURVIVING set so pos is
     // dense per shard in the final layout. The position is TextOps'
     // two-phase withShardPos — parallelism is the shuffle-partition

@@ -695,11 +695,26 @@ object TextOps {
     * documents arrive, unlike rand() or modulo-of-count schemes).
     * One narrow pass, no shuffle.
     */
+  /** The E21 split verdict as pure COLUMNS of doc_id — exposed so a
+    * composed pipeline (G13) can stamp the split in whatever pass
+    * already has the rows instead of paying a separate documents scan
+    * + join for a value that is a hash of the key.
+    */
+  def splitMille(seed: String = "split"): Column =
+    pmod(md5_60(concat(lit(seed), lit(":"), col("doc_id").cast("string"))), lit(1000L))
+
+  def splitColumn(trainPermille: Int = 990, validPermille: Int = 5,
+      seed: String = "split"): Column = {
+    val mille = splitMille(seed)
+    when(mille < trainPermille, lit("train"))
+      .when(mille < trainPermille + validPermille, lit("valid"))
+      .otherwise(lit("test"))
+  }
+
   def docSplit(t: Tables, trainPermille: Int = 990, validPermille: Int = 5,
       seed: String = "split", ordered: Boolean = false): DataFrame = maybeSort({
-    val mille = pmod(md5_60(concat(lit(seed), lit(":"), col("doc_id").cast("string"))), lit(1000L))
     t.documents
-      .select(col("doc_id"), col("source"), mille.as("mille"))
+      .select(col("doc_id"), col("source"), splitMille(seed).as("mille"))
       .withColumn("split",
         when(col("mille") < trainPermille, lit("train"))
           .when(col("mille") < trainPermille + validPermille, lit("valid"))
