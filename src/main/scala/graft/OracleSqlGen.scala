@@ -2002,6 +2002,55 @@ object OracleSqlGen {
       |  COUNT(*) OVER (PARTITION BY fingerprint) AS cluster_size
       |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** B50: KMV set-operation estimates — sketches as k-minimum order
+    * statistics (B47's CTEs), θ-truncated union/intersection counts
+    * relationally, exact pair overlaps from the distinct (type, user)
+    * relation; every estimate is the same two double ops as Spark.
+    */
+  def qKmvSetOps(k: Int): String = {
+    val h0 = "('0x'||substr(md5('kmv:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT"
+    s"""WITH hv AS (SELECT DISTINCT event_type, $h0 AS hv FROM events),
+       |r AS (SELECT event_type, hv,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+       |  COUNT(*) OVER (PARTITION BY event_type) AS nd FROM hv),
+       |sk AS (SELECT event_type, hv FROM r WHERE rn <= $k),
+       |th AS (SELECT event_type,
+       |  CASE WHEN MAX(nd) >= $k THEN MAX(CASE WHEN rn <= $k THEN hv END)
+       |       ELSE 1152921504606846976 END AS theta
+       |  FROM r GROUP BY 1),
+       |ty AS (SELECT DISTINCT event_type FROM events),
+       |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |  LEAST(tha.theta, thb.theta) AS theta
+       |  FROM ty a JOIN ty b ON a.event_type < b.event_type
+       |  JOIN th tha ON tha.event_type = a.event_type
+       |  JOIN th thb ON thb.event_type = b.event_type),
+       |uni AS (SELECT p.type_a, p.type_b, COUNT(DISTINCT s.hv) AS u_cnt
+       |  FROM pr p JOIN sk s ON s.event_type IN (p.type_a, p.type_b) AND s.hv < p.theta
+       |  GROUP BY 1, 2),
+       |intr AS (SELECT p.type_a, p.type_b, COUNT(*) AS i_cnt
+       |  FROM pr p JOIN sk sa ON sa.event_type = p.type_a AND sa.hv < p.theta
+       |  JOIN sk sb ON sb.event_type = p.type_b AND sb.hv = sa.hv
+       |  GROUP BY 1, 2),
+       |du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |nx AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+       |ei AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter_x
+       |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT p.type_a, p.type_b,
+       |  CAST(na.n + nb.n - COALESCE(ei.n_inter_x, 0) AS BIGINT) AS n_union,
+       |  CAST(COALESCE(ei.n_inter_x, 0) AS BIGINT) AS n_inter,
+       |  floor((CAST(uni.u_cnt AS DOUBLE) * 1152921504606846976.0 / CAST(p.theta AS DOUBLE))*1000000 + 0.5)/1000000 AS est_union_r,
+       |  floor((CAST(COALESCE(intr.i_cnt, 0) AS DOUBLE) * 1152921504606846976.0 / CAST(p.theta AS DOUBLE))*1000000 + 0.5)/1000000 AS est_inter_r,
+       |  floor((CAST(COALESCE(intr.i_cnt, 0) AS DOUBLE) / CAST(uni.u_cnt AS DOUBLE))*1000000 + 0.5)/1000000 AS est_jaccard_r
+       |FROM pr p
+       |JOIN uni ON uni.type_a = p.type_a AND uni.type_b = p.type_b
+       |LEFT JOIN intr ON intr.type_a = p.type_a AND intr.type_b = p.type_b
+       |JOIN nx na ON na.event_type = p.type_a
+       |JOIN nx nb ON nb.event_type = p.type_b
+       |LEFT JOIN ei ON ei.type_a = p.type_a AND ei.type_b = p.type_b
+       |ORDER BY p.type_a, p.type_b""".stripMargin
+  }
+
   /** B49: cheapest supplier per part (TPC-H Q2 correlated-min shape):
     * per-(part, supplier) min unit price, per-part argmin with
     * lowest-suppkey ties — MIN of per-row double divisions is

@@ -228,6 +228,7 @@ object SparkEntry {
     "q_distinct_kmv"       -> q(Analytics.qDistinctKmv(_)),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
+    "q_kmv_set_ops"        -> q(Analytics.qKmvSetOps(_)),
     "emb_energy_curve"     -> q(Similarity.embEnergyCurve(_)),
     "ann_triangles"        -> q(Similarity.annTriangles(_, ordered = true)),
     "mm_scene_cuts"        -> q(Multimodal.mmSceneCuts(_, ordered = true)),
@@ -1225,6 +1226,7 @@ object SparkEntry {
     "ev_autocorr"             -> OracleSqlGen.evAutocorr(Seq(1, 24)),
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
+    "q_kmv_set_ops"           -> OracleSqlGen.qKmvSetOps(64),
     "emb_energy_curve"        -> OracleSqlGen.embEnergyCurve(Seq(8, 16, 32, 64)),
     "ann_triangles"           -> OracleSqlGen.annTriangles(5, 128, 0.0),
     "mm_scene_cuts"           -> OracleSqlGen.mmSceneCuts(64, 4, 36),

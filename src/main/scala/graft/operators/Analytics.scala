@@ -1074,6 +1074,60 @@ object Analytics {
       .orderBy($("n_true").desc, $("user_id"))
   }
 
+  /** B50: KMV set-operation estimates between groups — the theta-
+    * sketch read on top of B47: for every pair of event types,
+    * estimated distinct-user UNION, INTERSECTION and Jaccard from the
+    * two ≤k-long sketches alone (θ = the smaller k-th minimum; both
+    * sketches truncated below θ are uniform samples of the union, so
+    * count·2⁶⁰/θ estimates cardinality) — the audience-overlap
+    * question answered WITHOUT a users-level join. Exact counterparts
+    * ride alongside (the distinct (type,user) relation — the
+    * diagnostic half a 100 TB run drops; the sketch half touches only
+    * #types·k longs).
+    *
+    * Determinism: sketches are exact order statistics (B47), counts
+    * are integers, and each estimate is two double ops mirrored
+    * verbatim in the oracle — bit-exact, unlike any engine-private
+    * theta sketch.
+    */
+  def qKmvSetOps(t: Tables, k: Int = 64): DataFrame = {
+    val kmv = udaf(graft.functions.KmvSketch(k), org.apache.spark.sql.Encoders.scalaLong)
+    val full = lit(1152921504606846976L) // 2^60: theta when |group| < k
+    val sk = t.events
+      .select($("event_type"),
+        graft.functions.Hashing.md5_60(
+          concat(lit("kmv:"), $("user_id").cast("string"))).as("hv"))
+      .groupBy($("event_type"))
+      .agg(kmv($("hv")).as("kept"))
+      .withColumn("theta",
+        when(size($("kept")) >= k, element_at($("kept"), k)).otherwise(full))
+    val a = sk.select($("event_type").as("type_a"), $("kept").as("ka"), $("theta").as("tha"))
+    val b = sk.select($("event_type").as("type_b"), $("kept").as("kb"), $("theta").as("thb"))
+    val du = t.events.select($("event_type"), $("user_id")).distinct()
+    val nx = du.groupBy($("event_type")).agg(count(lit(1)).as("n"))
+    val ei = du.select($("event_type").as("ea"), $("user_id").as("u"))
+      .join(du.select($("event_type").as("eb"), $("user_id").as("u2")),
+        $("u") === $("u2") && $("ea") < $("eb"))
+      .groupBy($("ea"), $("eb")).agg(count(lit(1)).as("n_inter_x"))
+    val two60 = lit(1152921504606846976.0d)
+    a.join(b, $("type_a") < $("type_b"))
+      .withColumn("theta", least($("tha"), $("thb")))
+      .withColumn("u_cnt",
+        size(array_distinct(filter(concat($("ka"), $("kb")), h => h < $("theta")))))
+      .withColumn("i_cnt",
+        size(filter(array_intersect($("ka"), $("kb")), h => h < $("theta"))))
+      .join(broadcast(nx.select($("event_type").as("type_a"), $("n").as("na"))), "type_a")
+      .join(broadcast(nx.select($("event_type").as("type_b"), $("n").as("nb"))), "type_b")
+      .join(ei, $("type_a") === $("ea") && $("type_b") === $("eb"), "left")
+      .select($("type_a"), $("type_b"),
+        ($("na") + $("nb") - coalesce($("n_inter_x"), lit(0L))).as("n_union"),
+        coalesce($("n_inter_x"), lit(0L)).as("n_inter"),
+        r6($("u_cnt").cast("double") * two60 / $("theta").cast("double")).as("est_union_r"),
+        r6($("i_cnt").cast("double") * two60 / $("theta").cast("double")).as("est_inter_r"),
+        r6($("i_cnt").cast("double") / $("u_cnt").cast("double")).as("est_jaccard_r"))
+      .orderBy($("type_a"), $("type_b"))
+  }
+
   /** B49: cheapest supplier per part — the TPC-H Q2 correlated-min
     * shape on the available tables (no partsupp in the data model, so
     * the cost relation derives from lineitem unit prices): per
