@@ -1370,6 +1370,30 @@ object OracleSqlGen {
        |ORDER BY src, rank""".stripMargin
   }
 
+  /** D33: kNN in-degree (hubness) — the D14 kn CTE grouped by dst,
+    * zero-filled over the corpus id universe.
+    */
+  def annHubness(k: Int, bucketCap: Int): String = {
+    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+    s"""WITH $normCte,
+       |nb AS (SELECT vec_id, v, n2, ${bucketExprAt(0)} AS bucket FROM n),
+       |corpus AS (SELECT vec_id, v, n2, bucket FROM (
+       |  SELECT vec_id, v, n2, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS pn
+       |  FROM nb) WHERE pn <= $bucketCap),
+       |sc AS (SELECT s.vec_id AS src, c.vec_id AS dst,
+       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM nb s JOIN corpus c ON c.bucket = s.bucket AND c.vec_id <> s.vec_id),
+       |kn AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rank
+       |  FROM sc) WHERE rank <= $k),
+       |ind AS (SELECT dst AS vec_id, COUNT(*) AS in_degree FROM kn GROUP BY 1)
+       |SELECT e.vec_id, CAST(COALESCE(ind.in_degree, 0) AS BIGINT) AS in_degree
+       |FROM embeddings e LEFT JOIN ind ON ind.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   /** D15: k-NN majority-vote label prediction off the D14 edge
     * relation (labels carried through; votes argmax with the
     * (votes DESC, label ASC) tiebreak).
@@ -2135,6 +2159,36 @@ object OracleSqlGen {
        |      sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE) * CAST(n_pairs*syy - sy*sy AS DOUBLE)))*1000000 + 0.5)/1000000
        |  END AS acf_r
        |FROM m ORDER BY event_type, lag_hours""".stripMargin
+  }
+
+  /** A67: Holt double-exponential smoothing — (level, trend) carried
+    * UNROUNDED through a recursive CTE (rounding only in the output
+    * columns, like the Spark side's state), every step the same few
+    * IEEE ops with identical association.
+    */
+  def evHoltForecast(alpha: Double, beta: Double): String = {
+    val lvl = s"$alpha * CAST(hr.n AS DOUBLE) + (1.0 - $alpha) * (rec.level + rec.trend)"
+    s"""WITH RECURSIVE h AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |hr AS (SELECT event_type, hour, n,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS rn FROM h),
+       |rec AS (
+       |  SELECT event_type, hour, n, rn,
+       |    CAST(n AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend,
+       |    CAST(NULL AS DOUBLE) AS resid
+       |  FROM hr WHERE rn = 1
+       |  UNION ALL
+       |  SELECT hr.event_type, hr.hour, hr.n, hr.rn,
+       |    $lvl AS level,
+       |    $beta * (($lvl) - rec.level) + (1.0 - $beta) * rec.trend AS trend,
+       |    CAST(hr.n AS DOUBLE) - (rec.level + rec.trend) AS resid
+       |  FROM rec JOIN hr ON hr.event_type = rec.event_type AND hr.rn = rec.rn + 1)
+       |SELECT event_type, hour, n,
+       |  floor(level*1000000 + 0.5)/1000000 AS level_r,
+       |  floor(trend*1000000 + 0.5)/1000000 AS trend_r,
+       |  floor(resid*1000000 + 0.5)/1000000 AS resid_r
+       |FROM rec ORDER BY event_type, hour""".stripMargin
   }
 
   /** A49: CUSUM change-point — the S⁺ recursion as a recursive CTE

@@ -225,12 +225,14 @@ object SparkEntry {
     "ev_funnel_latency"    -> q(EventOps.evFunnelLatency),
     "ev_interval_join"     -> q(EventOps.evIntervalJoin(_)),
     "ev_autocorr"          -> q(EventOps.evAutocorr(_)),
+    "ev_holt_forecast"     -> q(EventOps.evHoltForecast(_, ordered = true)),
     "q_distinct_kmv"       -> q(Analytics.qDistinctKmv(_)),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
     "q_kmv_set_ops"        -> q(Analytics.qKmvSetOps(_)),
     "emb_energy_curve"     -> q(Similarity.embEnergyCurve(_)),
     "ann_triangles"        -> q(Similarity.annTriangles(_, ordered = true)),
+    "ann_hubness"          -> q(Similarity.annHubness(_, ordered = true)),
     "mm_scene_cuts"        -> q(Multimodal.mmSceneCuts(_, ordered = true)),
     "doc_dup_ngram_mass"   -> q(Dedup.docDupNgramMass(_, ordered = true)),
     "ev_funnel_by_cohort"  -> q(EventOps.evFunnelByCohort),
@@ -1224,11 +1226,13 @@ object SparkEntry {
     "ev_user_zipf"            -> OracleSqlGen.evUserZipf(100),
     "ev_cusum_changepoint"    -> OracleSqlGen.evCusumChangepoint(48, 0.5, 5.0),
     "ev_autocorr"             -> OracleSqlGen.evAutocorr(Seq(1, 24)),
+    "ev_holt_forecast"        -> OracleSqlGen.evHoltForecast(0.5, 0.25),
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "q_kmv_set_ops"           -> OracleSqlGen.qKmvSetOps(64),
     "emb_energy_curve"        -> OracleSqlGen.embEnergyCurve(Seq(8, 16, 32, 64)),
     "ann_triangles"           -> OracleSqlGen.annTriangles(5, 128, 0.0),
+    "ann_hubness"             -> OracleSqlGen.annHubness(3, 128),
     "mm_scene_cuts"           -> OracleSqlGen.mmSceneCuts(64, 4, 36),
     "doc_dup_ngram_mass"      -> OracleSqlGen.docDupNgramMass,
     "doc_simhash"           -> OracleSqlGen.docSimhash,

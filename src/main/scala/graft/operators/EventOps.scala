@@ -1181,6 +1181,58 @@ object EventOps {
     * The k-row busiest-hour rollup is calendar-bounded (#hours), and
     * the w_id ranking window rides that ≤k-row relation.
     */
+  /** A67: Holt double-exponential smoothing over per-type hourly
+    * rates — the FORECASTING primitive next to A33's single EWMA
+    * (which tracks level only and lags any trend): level + trend
+    * state, one-step-ahead forecast, residual. The residual column is
+    * the trend-aware anomaly signal (A29 flags deviation from a
+    * static median; this flags deviation from where the series was
+    * HEADING), and the final (level, trend) pair is the capacity
+    * forecast a scale-up decision reads.
+    *
+    * Recursion: ℓ_t = α·x_t + (1−α)(ℓ_{t−1} + b_{t−1});
+    * b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b_{t−1}; forecast_t = ℓ_{t−1} +
+    * b_{t−1}; seeded ℓ₁ = x₁, b₁ = 0. α, β are exact binary fractions
+    * (0.5, 0.25) so every step is the same few IEEE ops with
+    * identical association on both engines — the A49 recursive-CTE
+    * oracle discipline. Runs as a typed flatMapGroups over the
+    * calendar-bounded HOURLY rollup (state = two doubles; the only
+    * corpus shuffle is the (type, hour) count).
+    */
+  def evHoltForecast(t: Tables, alpha: Double = 0.5, beta: Double = 0.25,
+      ordered: Boolean = false): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val hourly = t.events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Timestamp, Long)]
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val out = hourly.groupByKey(_._1).flatMapGroups { (ty, it) =>
+      val rows = it.toArray.sortBy(_._2.getTime)
+      var level = 0.0
+      var trend = 0.0
+      var first = true
+      rows.iterator.map { case (_, h, n) =>
+        val x = n.toDouble
+        if (first) {
+          first = false
+          level = x; trend = 0.0
+          (ty, h, n, r6d(level), r6d(trend), null.asInstanceOf[java.lang.Double])
+        } else {
+          val forecast = level + trend
+          val prevLevel = level
+          level = alpha * x + (1.0 - alpha) * (level + trend)
+          trend = beta * (level - prevLevel) + (1.0 - beta) * trend
+          (ty, h, n, r6d(level), r6d(trend),
+            java.lang.Double.valueOf(r6d(x - forecast)))
+        }
+      }
+    }.toDF("event_type", "hour", "n", "level_r", "trend_r", "resid_r")
+    maybeSort(out, ordered)(col("event_type"), col("hour"))
+  }
+
   /** A65: lag-k autocorrelation of per-type hourly rates — the
     * NUMERIC seasonality/persistence read next to A46's hour-of-day
     * profile and A49's CUSUM: acf(1) ≈ 0 says hourly noise, acf(24)

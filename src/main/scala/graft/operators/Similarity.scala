@@ -1229,6 +1229,33 @@ object Similarity {
       ordered)(col("vec_id"))
   }
 
+  /** D33: kNN hubness — each vector's IN-degree in the directed kNN
+    * graph (how many other vectors count it among their k nearest).
+    * The classic high-dimensional pathology read (Radovanović et al.):
+    * in-degree concentrates on a few hub vectors as dimensionality
+    * grows, and hubs poison label propagation (D15), kNN clustering
+    * (D24) and graph-ranked curation — the down-weight/re-embed list
+    * is exactly this relation's tail. Mean in-degree is k by
+    * construction; the MAX and the zero-in-degree (antihub) count are
+    * the health numbers.
+    *
+    * Scale shape: ONE dst-keyed aggregate over the already-bounded
+    * D14 edge relation (k·n rows), left-joined back to the corpus id
+    * universe for the antihub zeros — no new corpus pass beyond D14's.
+    */
+  def annHubness(t: Tables, k: Int = 3, bits: Int = 8, bucketCap: Int = 128,
+      ordered: Boolean = false): DataFrame = {
+    val indeg = knnEdges(t, k, bits, bucketCap)
+      .groupBy(col("dst").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    maybeSort(
+      t.embeddings.select(col("vec_id"))
+        .join(indeg, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("in_degree"), lit(0L)).as("in_degree")),
+      ordered)(col("vec_id"))
+  }
+
   /** D32: triangle count + local clustering coefficient over the
     * MUTUAL kNN graph — the graph-analytics read next to D24's
     * components and D19's PageRank: a node whose neighbors also
