@@ -1666,6 +1666,32 @@ object OracleSqlGen {
        |FROM qual JOIN p USING (doc_id) JOIN k USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** E52: ordered curation funnel — every doc attributed to exactly
+    * one drop stage (pipeline order), counts + corpus shares; the C7
+    * cluster CTEs + the nested E14 curate relation + the C15 keeper
+    * window.
+    */
+  def docCurationFunnel(minScore: Double): String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |cur AS (SELECT * FROM (${docCurate(minScore)})),
+       |cl AS (SELECT d.doc_id, COALESCE(m.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id),
+       |sc AS (SELECT cur.doc_id, cur.quality_score, cur.low_quality,
+       |  cur.lang_mismatch, cur.duplicate, cl.cluster
+       |  FROM cur JOIN cl USING (doc_id)),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (
+       |  PARTITION BY cluster ORDER BY quality_score DESC, doc_id) AS rn FROM sc),
+       |st AS (SELECT CASE
+       |    WHEN low_quality = 1 THEN '2_low_quality'
+       |    WHEN lang_mismatch = 1 THEN '3_lang_mismatch'
+       |    WHEN duplicate = 1 THEN '4_exact_dup'
+       |    WHEN rn <> 1 THEN '5_near_dup'
+       |    ELSE '6_kept' END AS stage FROM rk),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM st)
+       |SELECT stage, COUNT(*) AS n_docs,
+       |  floor((CAST(COUNT(*) AS DOUBLE)/CAST(MIN(tot) AS DOUBLE))*1000000 + 0.5)/1000000 AS share_r
+       |FROM st, tot GROUP BY stage ORDER BY stage""".stripMargin
+
   /** E43: drop-reason combination matrix over the curate relation. */
   def docCurateExplain(minScore: Double): String =
     s"""WITH cur AS (SELECT * FROM (${docCurate(minScore)})),

@@ -1072,6 +1072,46 @@ object TextOps {
         col("duplicate"), col("keep"))
   }, ordered)(col("doc_id"))
 
+  /** E52: curation FUNNEL — the G13 pipeline's drop accounting as one
+    * card: every document attributed to exactly ONE stage in the
+    * order the pipeline applies them (low quality → language
+    * mismatch → exact duplicate → near-duplicate non-keeper → kept),
+    * with counts and corpus shares. E43 shows the reason-combination
+    * matrix; this is the ordered funnel a pipeline report actually
+    * prints ("we lost 12% to quality, then 3% to dedup"), and the
+    * first number an operator checks when a training run's token
+    * count comes up short.
+    *
+    * Scale shape: the E14 verdict relation joined to the C7 cluster
+    * relation (the same single-verdict-pass shape TrainingDataJob
+    * materialize uses), keeper = the C15 window (cluster-keyed,
+    * corpus-cardinality), then a ≤5-row rollup with a broadcast
+    * 1-row total.
+    */
+  def docCurationFunnel(t: Tables, minScore: Double = 0.5): DataFrame = {
+    val cur = docCurate(t, minScore)
+      .select(col("doc_id"), col("quality_score"), col("low_quality"),
+        col("lang_mismatch"), col("duplicate"))
+    val cl = graft.operators.Dedup.docDedupClusters(t)
+      .select(col("doc_id"), col("cluster"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val staged = cur.join(cl, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("stage",
+        when(col("low_quality") === 1, "2_low_quality")
+          .when(col("lang_mismatch") === 1, "3_lang_mismatch")
+          .when(col("duplicate") === 1, "4_exact_dup")
+          .when(col("rn") =!= 1, "5_near_dup")
+          .otherwise("6_kept"))
+    val total = staged.agg(count(lit(1)).as("tot"))
+    staged.groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("stage"), col("n_docs"),
+        r6(col("n_docs").cast("double") / col("tot").cast("double")).as("share_r"))
+      .orderBy(col("stage"))
+  }
+
   /** E44: token coverage curve — what fraction of all token
     * OCCURRENCES the top-V vocabulary covers, for a ladder of V (the
     * vocab-size tuning card behind E8/E23/E30: the knee of this curve
