@@ -342,4 +342,35 @@ object Sinks {
   /** Reads a previously written manifest (no data files touched). */
   def readManifest(spark: org.apache.spark.sql.SparkSession, dataPath: String): DataFrame =
     spark.read.parquet(s"$dataPath/_graft_manifest")
+
+  /** G22: persisted distinct-count sketches — the B47 per-group KMV
+    * relation `(group: string, kept: array<bigint>)` as a parquet
+    * artifact (#groups × ≤k longs — the writeQuantizer family:
+    * bounded, reloadable, shareable across runs). The point is
+    * [[mergeKmvSketches]]: yesterday's shard sketches merge with
+    * today's into the combined-corpus sketch WITHOUT touching either
+    * corpus again — the cross-run cardinality ledger next to E50's
+    * mergeable corpus moments.
+    */
+  def writeKmvSketches(sketches: DataFrame, path: String): Unit =
+    sketches.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  def readKmvSketches(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** Merge two sketch relations per group: the k smallest distinct
+    * hashes of the union — semantically identical to KmvSketch.merge,
+    * expressed in NATIVE array functions (sort ∘ distinct ∘ concat ∘
+    * slice; no UDF), so merging N runs is a full-outer-join chain of
+    * #groups-row relations.
+    */
+  def mergeKmvSketches(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val empty = array().cast("array<bigint>")
+    a.select(col("event_type"), col("kept").as("ka"))
+      .join(b.select(col("event_type"), col("kept").as("kb")),
+        Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        slice(array_sort(array_distinct(concat(
+          coalesce(col("ka"), empty), coalesce(col("kb"), empty)))), 1, k).as("kept"))
+  }
 }

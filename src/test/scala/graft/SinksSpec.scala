@@ -359,4 +359,27 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == tables.events.count(),
       "manifest rows must not leak into data reads")
   }
+
+  test("kmv sketch artifact: write/read round trip; merged half-corpus sketches == whole-corpus sketch") {
+    val k = 64
+    val kmv = udaf(graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val ev = tables.events.select(col("event_type"), col("event_id"),
+      graft.functions.Hashing.md5_60(
+        concat(lit("kmv:"), col("user_id").cast("string"))).as("hv"))
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type")).agg(kmv(col("hv")).as("kept"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val whole = asMap(sketch(ev))
+    val d1 = Files.createTempDirectory("kmv1").toString
+    val d2 = Files.createTempDirectory("kmv2").toString
+    Sinks.writeKmvSketches(sketch(ev.filter(pmod(col("event_id"), lit(2)) === 0)), d1)
+    Sinks.writeKmvSketches(sketch(ev.filter(pmod(col("event_id"), lit(2)) === 1)), d2)
+    val merged = asMap(Sinks.mergeKmvSketches(
+      Sinks.readKmvSketches(spark, d1), Sinks.readKmvSketches(spark, d2), k))
+    assert(merged == whole,
+      s"merged shard sketches must equal the whole-corpus sketch; " +
+        s"diff keys: ${(whole.keySet ++ merged.keySet).filter(kk => whole.get(kk) != merged.get(kk)).take(2)}")
+  }
 }
