@@ -2187,6 +2187,29 @@ object OracleSqlGen {
        |FROM m ORDER BY event_type, lag_hours""".stripMargin
   }
 
+  /** A68: burst windows — gaps-and-islands over above-threshold hours
+    * (integer-moment μ/σ, island id = epoch-hour − row_number on the
+    * FILTERED rows — window-after-WHERE matches the Spark order).
+    */
+  def evBurstWindows(kSigma: Double): String =
+    s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |st AS (SELECT event_type,
+       |  CAST(SUM(n) AS DOUBLE)/COUNT(*) AS mu,
+       |  sqrt(GREATEST(CAST(SUM(n*n) AS DOUBLE)/COUNT(*) -
+       |    (CAST(SUM(n) AS DOUBLE)/COUNT(*))*(CAST(SUM(n) AS DOUBLE)/COUNT(*)), 0.0)) AS sigma
+       |  FROM h GROUP BY 1),
+       |b AS (SELECT h.event_type, h.hour, h.n,
+       |  epoch_us(h.hour) // 3600000000 AS eh,
+       |  ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.hour) AS rn
+       |  FROM h JOIN st USING (event_type)
+       |  WHERE CAST(h.n AS DOUBLE) > st.mu + $kSigma * st.sigma)
+       |SELECT event_type, MIN(hour) AS start_hour, MAX(hour) AS end_hour,
+       |  COUNT(*) AS n_hours, CAST(MAX(n) AS BIGINT) AS peak_n,
+       |  CAST(SUM(n) AS BIGINT) AS total_n
+       |FROM b GROUP BY event_type, eh - rn
+       |ORDER BY event_type, start_hour""".stripMargin
+
   /** A67: Holt double-exponential smoothing — (level, trend) carried
     * UNROUNDED through a recursive CTE (rounding only in the output
     * columns, like the Spark side's state), every step the same few

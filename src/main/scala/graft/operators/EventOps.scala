@@ -1181,6 +1181,52 @@ object EventOps {
     * The k-row busiest-hour rollup is calendar-bounded (#hours), and
     * the w_id ranking window rides that ≤k-row relation.
     */
+  /** A68: burst WINDOWS — maximal runs of consecutive above-threshold
+    * hours per type (threshold μ + 2σ over the type's own hourly
+    * series, integer-moment exact like A49/A65), each run collapsed to
+    * one row: start, end, duration, peak, volume. A29/A49 flag HOURS;
+    * operators act on INCIDENTS — "three hours, peaked at 4× normal,
+    * ended 02:00" — and this relation is also A64's natural window
+    * feed. The gaps-and-islands shape: island id = epoch-hour − per-
+    * type row_number (constant exactly while hours are consecutive),
+    * all integer arithmetic.
+    *
+    * Scale shape: corpus collapses to the calendar-bounded hourly
+    * rollup; the per-type stats join broadcasts (#types rows); the
+    * islands window rides the bounded rollup keyed by type.
+    */
+  def evBurstWindows(t: Tables, kSigma: Double = 2.0): DataFrame = {
+    val hourly = t.events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type").as("et2"))
+      .agg(
+        (sum(col("n")).cast("double") / count(lit(1)).cast("double")).as("mu"),
+        count(lit(1)).as("cnt"),
+        sum(col("n") * col("n")).as("sumsq"),
+        sum(col("n")).as("sumn"))
+      .select(col("et2"), col("mu"),
+        sqrt(greatest(
+          col("sumsq").cast("double") / col("cnt").cast("double") -
+            (col("sumn").cast("double") / col("cnt").cast("double")) *
+            (col("sumn").cast("double") / col("cnt").cast("double")),
+          lit(0.0))).as("sigma"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    hourly.join(broadcast(stats), col("event_type") === col("et2"))
+      .filter(col("n").cast("double") > col("mu") + lit(kSigma) * col("sigma"))
+      .withColumn("eh", expr("unix_micros(hour) div 3600000000"))
+      .withColumn("grp", col("eh") - row_number().over(w))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(
+        min(col("hour")).as("start_hour"),
+        max(col("hour")).as("end_hour"),
+        count(lit(1)).as("n_hours"),
+        max(col("n")).as("peak_n"),
+        sum(col("n")).as("total_n"))
+      .drop("grp")
+      .orderBy(col("event_type"), col("start_hour"))
+  }
+
   /** A67: Holt double-exponential smoothing over per-type hourly
     * rates — the FORECASTING primitive next to A33's single EWMA
     * (which tracks level only and lags any trend): level + trend
