@@ -190,6 +190,21 @@ class ExprPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("KmvSketch: reduce-fold == sorted-distinct-take-k reference on arbitrary input") {
+    val sk = graft.functions.KmvSketch(16)
+    val gen = Gen.listOfN(300, Gen.chooseNum(0L, 200L)) // dense → many duplicates
+    forAll(gen, n = 100) { xs =>
+      val folded = xs.foldLeft(sk.zero)(sk.reduce).toSeq
+      val ref = xs.distinct.sorted.take(16)
+      assert(folded == ref, s"fold $folded != reference $ref")
+      // merge of an arbitrary split equals the whole
+      val (a, b) = xs.splitAt(xs.size / 2)
+      val merged = sk.merge(a.foldLeft(sk.zero)(sk.reduce),
+        b.foldLeft(sk.zero)(sk.reduce)).toSeq
+      assert(merged == ref, s"merge $merged != reference $ref")
+    }
+  }
+
   test("md5_60Jvm == the md5_60 Column on arbitrary strings (typed-state parity)") {
     import org.apache.spark.sql.functions.{col, lit, concat}
     import spark.implicits._
