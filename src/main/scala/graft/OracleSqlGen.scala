@@ -2210,6 +2210,24 @@ object OracleSqlGen {
        |FROM b GROUP BY event_type, eh - rn
        |ORDER BY event_type, start_hour""".stripMargin
 
+  /** A69: burst impact — the A68 relation ranked top-K by volume,
+    * interval-joined (naive BETWEEN form) against other-type events.
+    */
+  def evBurstImpact(kSigma: Double, topK: Int): String =
+    s"""WITH bw AS (SELECT * FROM (${evBurstWindows(kSigma)})),
+       |wr AS (SELECT *, ROW_NUMBER() OVER (
+       |  ORDER BY total_n DESC, event_type, start_hour) AS w_id FROM bw),
+       |w AS (SELECT CAST(w_id AS BIGINT) AS w_id, event_type AS burst_type,
+       |  start_hour, end_hour + INTERVAL 1 HOUR AS end_excl
+       |  FROM wr WHERE w_id <= $topK)
+       |SELECT w.w_id, w.burst_type, w.start_hour,
+       |  COUNT(*) AS n_other_events,
+       |  COUNT(DISTINCT e.event_type) AS n_other_types,
+       |  COUNT(DISTINCT e.user_id) AS n_users
+       |FROM w JOIN events e ON e.ts >= w.start_hour AND e.ts < w.end_excl
+       |  AND e.event_type <> w.burst_type
+       |GROUP BY 1, 2, 3 ORDER BY w_id""".stripMargin
+
   /** A67: Holt double-exponential smoothing — (level, trend) carried
     * UNROUNDED through a recursive CTE (rounding only in the output
     * columns, like the Spark side's state), every step the same few

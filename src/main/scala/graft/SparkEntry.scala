@@ -227,6 +227,7 @@ object SparkEntry {
     "ev_autocorr"          -> q(EventOps.evAutocorr(_)),
     "ev_holt_forecast"     -> q(EventOps.evHoltForecast(_, ordered = true)),
     "ev_burst_windows"     -> q(EventOps.evBurstWindows(_)),
+    "ev_burst_impact"      -> q(EventOps.evBurstImpact(_)),
     "q_distinct_kmv"       -> q(Analytics.qDistinctKmv(_)),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
@@ -1230,6 +1231,7 @@ object SparkEntry {
     "ev_autocorr"             -> OracleSqlGen.evAutocorr(Seq(1, 24)),
     "ev_holt_forecast"        -> OracleSqlGen.evHoltForecast(0.5, 0.25),
     "ev_burst_windows"        -> OracleSqlGen.evBurstWindows(2.0),
+    "ev_burst_impact"         -> OracleSqlGen.evBurstImpact(2.0, 20),
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "q_kmv_set_ops"           -> OracleSqlGen.qKmvSetOps(64),

@@ -1227,6 +1227,39 @@ object EventOps {
       .orderBy(col("event_type"), col("start_hour"))
   }
 
+  /** A69: burst IMPACT — the incident-context card composing A68's
+    * windows with A64's chunked interval join: for each of the top-K
+    * burst windows (by volume), what ELSE happened inside it —
+    * other-type event count, distinct other types, distinct users.
+    * The "was the login burst correlated with the error burst"
+    * question, answered as one relation; same chunk equi-join shape
+    * as A64 (window side explodes to its hour chunks, events map to
+    * one chunk, exact span predicate as post-filter — no nested
+    * loop), windows bounded at topK by the deterministic
+    * (volume desc, type, start) ranking.
+    */
+  def evBurstImpact(t: Tables, kSigma: Double = 2.0, topK: Int = 20): DataFrame = {
+    val rankW = Window.orderBy(col("total_n").desc, col("event_type"), col("start_hour"))
+    val wins = evBurstWindows(t, kSigma)
+      .orderBy(col("total_n").desc, col("event_type"), col("start_hour")).limit(topK)
+      .withColumn("w_id", row_number().over(rankW).cast("long")) // ≤ topK rows
+      .select(col("w_id"), col("event_type").as("burst_type"), col("start_hour"),
+        (col("end_hour") + expr("INTERVAL 1 HOURS")).as("end_excl"))
+    val wchunks = wins.withColumn("chunk", explode(sequence(
+      expr("unix_micros(start_hour) div 3600000000"),
+      expr("(unix_micros(end_excl) - 1) div 3600000000"))))
+    val ev = t.events.select(col("ts"), col("event_type"), col("user_id"))
+      .withColumn("chunk", expr("unix_micros(ts) div 3600000000"))
+    ev.join(wchunks, "chunk")
+      .filter(col("ts") >= col("start_hour") && col("ts") < col("end_excl") &&
+        col("event_type") =!= col("burst_type"))
+      .groupBy(col("w_id"), col("burst_type"), col("start_hour"))
+      .agg(count(lit(1)).as("n_other_events"),
+        countDistinct(col("event_type")).as("n_other_types"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("w_id"))
+  }
+
   /** A67: Holt double-exponential smoothing over per-type hourly
     * rates — the FORECASTING primitive next to A33's single EWMA
     * (which tracks level only and lags any trend): level + trend
