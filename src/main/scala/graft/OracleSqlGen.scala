@@ -1692,6 +1692,27 @@ object OracleSqlGen {
        |  floor((CAST(COUNT(*) AS DOUBLE)/CAST(MIN(tot) AS DOUBLE))*1000000 + 0.5)/1000000 AS share_r
        |FROM st, tot GROUP BY stage ORDER BY stage""".stripMargin
 
+  /** E53: text × embedding cross-modal card — nested D16 distance
+    * relation + E2 quality CTEs + the dup window, rolled per label.
+    */
+  def docTextEmbeddingCard: String = {
+    def dmean(c: String) =
+      s"floor((CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000"
+    s"""WITH dist AS (SELECT * FROM ($embCentroidDist)),
+       |$qualityCoreCtes,
+       |q AS (SELECT doc_id, $qualityScoreExpr AS quality_score FROM r),
+       |dp AS (SELECT doc_id,
+       |  CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup
+       |  FROM documents)
+       |SELECT dist.label, COUNT(*) AS n_docs,
+       |  ${dmean("quality_score")} AS mean_quality_r,
+       |  ${dmean("dist_r")} AS mean_dist_r,
+       |  floor((CAST(SUM(dup) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS dup_share_r
+       |FROM dist JOIN q ON q.doc_id = dist.vec_id
+       |JOIN dp ON dp.doc_id = dist.vec_id
+       |GROUP BY 1 ORDER BY label""".stripMargin
+  }
+
   /** E43: drop-reason combination matrix over the curate relation. */
   def docCurateExplain(minScore: Double): String =
     s"""WITH cur AS (SELECT * FROM (${docCurate(minScore)})),

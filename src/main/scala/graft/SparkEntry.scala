@@ -238,6 +238,7 @@ object SparkEntry {
     "mm_scene_cuts"        -> q(Multimodal.mmSceneCuts(_, ordered = true)),
     "doc_dup_ngram_mass"   -> q(Dedup.docDupNgramMass(_, ordered = true)),
     "doc_curation_funnel"  -> q(TextOps.docCurationFunnel(_)),
+    "doc_text_embedding_card" -> q(TextOps.docTextEmbeddingCard),
     "ev_funnel_by_cohort"  -> q(EventOps.evFunnelByCohort),
     "ev_error_after_click" -> q(EventOps.evErrorAfterClick(_, ordered = true)),
     "q_month_trend"        -> q(Analytics.qMonthTrend),
@@ -1241,6 +1242,7 @@ object SparkEntry {
     "mm_scene_cuts"           -> OracleSqlGen.mmSceneCuts(64, 4, 36),
     "doc_dup_ngram_mass"      -> OracleSqlGen.docDupNgramMass,
     "doc_curation_funnel"     -> OracleSqlGen.docCurationFunnel(0.5),
+    "doc_text_embedding_card" -> OracleSqlGen.docTextEmbeddingCard,
     "doc_simhash"           -> OracleSqlGen.docSimhash,
     "doc_simhash_pairs"     -> OracleSqlGen.docSimhashPairs(12),
     "doc_simhash_hamming_hist" -> OracleSqlGen.docSimhashHammingHist(12),

@@ -1112,6 +1112,46 @@ object TextOps {
       .orderBy(col("stage"))
   }
 
+  /** E53: text × embedding cross-modal card — per embedding LABEL
+    * (the coarse semantic grouping): doc count, mean E2 quality, mean
+    * D16 centroid distance, exact-duplicate share. The "is this
+    * semantic region low-quality / duplicated / diffuse" read that
+    * decides per-cluster curation policy (drop a region vs re-crawl
+    * it) — possible only because documents and embeddings share the
+    * id space, and the first operator that joins the text and vector
+    * halves of the corpus.
+    *
+    * Scale shape: three narrow per-doc relations (E2 quality pass,
+    * content-hash dup window, D16's broadcast-centroid distance)
+    * equi-joined on the id, rolled up to #labels rows; quality and
+    * distance are 6dp-rounded per row so the decimal means are
+    * order-independent.
+    */
+  def docTextEmbeddingCard(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = withQuality(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("quality_score"))
+    val dup = t.documents.select(col("doc_id"), md5(col("text")).as("ch"))
+      .withColumn("dup", (col("doc_id") =!=
+        min(col("doc_id")).over(Window.partitionBy(col("ch")))).cast("long"))
+      .select(col("doc_id").as("dup_id"), col("dup"))
+    val dist = graft.operators.Similarity.embCentroidDist(t)
+      .select(col("vec_id"), col("label"), col("dist_r"))
+    def dmean(c: Column) =
+      r6(sum(c.cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)).cast("double"))
+    dist
+      .join(q, col("vec_id") === col("doc_id"))
+      .join(dup, col("vec_id") === col("dup_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        dmean(col("quality_score")).as("mean_quality_r"),
+        dmean(col("dist_r")).as("mean_dist_r"),
+        r6(sum(col("dup")).cast("double") / count(lit(1)).cast("double"))
+          .as("dup_share_r"))
+      .orderBy(col("label"))
+  }
+
   /** E44: token coverage curve — what fraction of all token
     * OCCURRENCES the top-V vocabulary covers, for a ladder of V (the
     * vocab-size tuning card behind E8/E23/E30: the knee of this curve
