@@ -29,7 +29,10 @@ object Bench {
       "doc_cluster_stats", "doc_dedup_rate_by_threshold",
       // round-8 additions that run the C5/C7 feeders or iterate joins
       "doc_ngram_containment", "doc_lsh_tuning", "doc_lsh_recall",
-      "ann_pagerank", "mm_dedup_keep_best")
+      "ann_pagerank", "mm_dedup_keep_best",
+      // round-9: the composed curate+CC funnel is the slowest single
+      // query in the registry — its median gates like the CC family
+      "doc_curation_funnel")
 
   /** State-partition count for the streaming pipeline — a deploy
     * sizing knob, like shuffle partitions for batch: each micro-batch
@@ -246,12 +249,16 @@ object Bench {
       // composed G13 job: curate + keep-best dedup + split + shard +
       // write — every stage rides a ≤1.2 family, and the verdict joins
       // are corpus-keyed equi-joins, so the composition declares 1.2
-      "training_data_job" -> 1.2)
+      "training_data_job" -> 1.2,
+      // curate verdict + CC feeder composition (measured warm sf1
+      // probe 18.6 s vs 3.8 s sf0.1 ⇒ ~0.7)
+      "doc_curation_funnel" -> 1.2)
     val HeavySf1 = Seq("doc_ngram_jaccard", "doc_dedup_clusters",
       "doc_embed_cosine_dup", "doc_semdedup",
       "doc_ngram_jaccard_capped", "doc_ngram_containment",
       "ann_knn_graph", "doc_lsh_tuning", "ann_pagerank",
-      "mm_dedup_keep_best", "mm_frame_phash_pairs", "training_data_job")
+      "mm_dedup_keep_best", "mm_frame_phash_pairs", "training_data_job",
+      "doc_curation_funnel")
     val sf1Secs: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SF1", "1") == "0") Map.empty
       else {
