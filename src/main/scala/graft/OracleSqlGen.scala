@@ -1094,8 +1094,9 @@ object OracleSqlGen {
     * (exact, like Spark's DECIMAL(38,0)) with one double conversion
     * at the sqrt.
     */
-  val embPowerIteration: String =
-    s"""WITH m AS (SELECT
+  /** Shared D25/D26 chain through the unnormalized direction v2. */
+  private val powerCtes: String =
+    s"""m AS (SELECT
        |  [CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) for x in embedding] AS vm
        |  FROM embeddings),
        |d AS (SELECT vm, unnest(range(1, len(vm)+1)) AS i1 FROM m),
@@ -1111,10 +1112,28 @@ object OracleSqlGen {
        |v1 AS (SELECT i AS k, CAST(CAST(SUM(cm) AS BIGINT) // 1000000000 AS BIGINT) AS v1s
        |  FROM full_m GROUP BY 1),
        |v2 AS (SELECT f.i, CAST(SUM(f.cm * v1.v1s) AS BIGINT) AS v2
-       |  FROM full_m f JOIN v1 ON f.j = v1.k GROUP BY 1),
+       |  FROM full_m f JOIN v1 ON f.j = v1.k GROUP BY 1)""".stripMargin
+
+  val embPowerIteration: String =
+    s"""WITH $powerCtes,
        |nrm AS (SELECT sqrt(CAST(SUM(CAST(v2 AS HUGEINT) * v2) AS DOUBLE)) AS norm FROM v2)
        |SELECT i, floor((CAST(v2 AS DOUBLE) / norm)*1000000 + 0.5)/1000000 AS eig_r
        |FROM v2, nrm ORDER BY i""".stripMargin
+
+  /** D34: Rayleigh quotient along v2 over the covariance trace —
+    * exact HUGEINT sums, the lattice units cancel in explained_r.
+    */
+  val embExplainedVariance: String =
+    s"""WITH $powerCtes,
+       |vs AS (SELECT i AS vi, CAST(v2 // 1000000000 AS BIGINT) AS vsc FROM v2),
+       |num AS (SELECT SUM(CAST(f.cm AS HUGEINT) * a.vsc * b.vsc) AS num
+       |  FROM full_m f JOIN vs a ON a.vi = f.i JOIN vs b ON b.vi = f.j),
+       |den AS (SELECT SUM(CAST(vsc AS HUGEINT) * vsc) AS den FROM vs),
+       |tr AS (SELECT CAST(SUM(cm) AS BIGINT) AS trace_e12 FROM up WHERE i = j)
+       |SELECT tr.trace_e12,
+       |  floor((CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE))*1000000 + 0.5)/1000000 AS rayleigh_e12_r,
+       |  floor(((CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)) / CAST(tr.trace_e12 AS DOUBLE))*1000000 + 0.5)/1000000 AS explained_r
+       |FROM num, den, tr""".stripMargin
 
   /** D22: per-cell majority label + purity off the same assignment. */
   def embClusterPurity(nCenters: Int): String =

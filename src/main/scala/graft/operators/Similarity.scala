@@ -440,8 +440,11 @@ object Similarity {
     * for the anisotropy read (chain more rounds for tighter
     * convergence — same relation in, same relation out).
     */
-  def embPowerIteration(t: Tables, ordered: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+  /** The D25/D26 shared chain: integer-lattice covariance (upper
+    * triangle + symmetric expansion) and the two power-iteration
+    * mat-vec rounds, ending at the UNNORMALIZED integer direction v2.
+    */
+  private def powerParts(t: Tables): (DataFrame, DataFrame, DataFrame) = {
     val micro = t.embeddings.select(
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
         .as("vm"))
@@ -460,6 +463,12 @@ object Similarity {
       .select(col("i").as("k"), expr("v1 div 1000000000").as("v1s"))
     val v2 = full.join(v1, col("j") === col("k"))
       .groupBy(col("i")).agg(sum(col("cm") * col("v1s")).as("v2"))
+    (upper, full, v2)
+  }
+
+  def embPowerIteration(t: Tables, ordered: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (_, _, v2) = powerParts(t)
     val norm = v2.agg(
       sum(col("v2").cast(DecimalType(38, 0)) * col("v2").cast(DecimalType(38, 0)))
         .as("n2"))
@@ -468,6 +477,41 @@ object Similarity {
       v2.crossJoin(broadcast(norm))
         .select(col("i"), r6(col("v2").cast("double") / col("norm")).as("eig_r")),
       ordered)(col("i"))
+  }
+
+  /** D34: explained-variance card — how much of the corpus's total
+    * variance the D26 principal direction carries: the Rayleigh
+    * quotient vᵀΣv/vᵀv along the power-iteration direction, over the
+    * trace (Σ per-dim variance, the D23/D25 diagonal). THE
+    * dimensionality read on top of D26: explained ≈ 1 says the
+    * embedding space is effectively one-dimensional (anisotropy —
+    * whiten before cosine); explained ≈ 1/dim says isotropic. Pairs
+    * with D31: D31 asks "can I truncate by POSITION", this asks "is
+    * there a single dominant DIRECTION".
+    *
+    * Determinism: v2 is D26's exact integer vector, de-scaled by an
+    * integer div; vᵀΣv and vᵀv are exact decimal/HUGEINT sums over
+    * the d² relation; the two divisions and the final ratio are the
+    * only doubles — the lattice-unit (1e12) factors cancel in
+    * explained_r. One #dims-bounded relation end to end beyond D25's
+    * covariance pass.
+    */
+  def embExplainedVariance(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val (upper, full, v2) = powerParts(t)
+    val vs = v2.select(col("i").as("vi"), expr("v2 div 1000000000").as("vsc"))
+    val num = full
+      .join(broadcast(vs.select(col("vi").as("ai"), col("vsc").as("va"))), col("i") === col("ai"))
+      .join(broadcast(vs.select(col("vi").as("bj"), col("vsc").as("vb"))), col("j") === col("bj"))
+      .agg(sum(col("cm").cast(dec) * col("va").cast(dec) * col("vb").cast(dec)).as("num"))
+    val den = vs.agg(sum(col("vsc").cast(dec) * col("vsc").cast(dec)).as("den"))
+    val tr = upper.filter(col("i") === col("j")).agg(sum(col("cm")).as("trace_e12"))
+    num.crossJoin(broadcast(den)).crossJoin(broadcast(tr))
+      .select(col("trace_e12"),
+        r6(col("num").cast("double") / col("den").cast("double")).as("rayleigh_e12_r"),
+        r6((col("num").cast("double") / col("den").cast("double")) /
+          col("trace_e12").cast("double")).as("explained_r"))
   }
 
   /** D29: PQ quantization-error card — D27's read for the OTHER
