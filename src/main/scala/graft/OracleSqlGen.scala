@@ -1120,6 +1120,37 @@ object OracleSqlGen {
        |SELECT i, floor((CAST(v2 AS DOUBLE) / norm)*1000000 + 0.5)/1000000 AS eig_r
        |FROM v2, nrm ORDER BY i""".stripMargin
 
+  /** D35: sign-binarized Hamming prefilter + exact-cosine rerank —
+    * the two 32-bit packed words mirror signBucketAt(v,32,0/32)
+    * exactly (strict `> 0.0`, bit i from dimension offset+i), so the
+    * sketch, the XOR popcount, and the surviving candidate set are
+    * bit-identical across engines; cosine and ranking follow the D1
+    * convention (6dp-rounded before ordering, ties on vec_id).
+    */
+  def annHammingRerank(nQueries: Int, k: Int, hamMax: Int): String = {
+    def pack(base: Int): String =
+      s"CAST(list_reduce([CASE WHEN v[i${if (base == 0) "" else s"+$base"}] > 0.0 " +
+        "THEN (1::BIGINT)<<(i-1) ELSE 0::BIGINT END for i in range(1, 33)], " +
+        "(x,y) -> x+y) AS BIGINT)"
+    s"""WITH $normCte,
+       |bits AS (SELECT vec_id, v, n2,
+       |  ${pack(0)} AS b_lo,
+       |  ${pack(32)} AS b_hi
+       |  FROM n),
+       |qh AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, b_lo AS qb_lo, b_hi AS qb_hi
+       |  FROM bits WHERE vec_id < $nQueries),
+       |candh AS (SELECT qh.q_id, c.vec_id,
+       |  CAST(bit_count(xor(c.b_lo, qh.qb_lo)) + bit_count(xor(c.b_hi, qh.qb_hi)) AS BIGINT) AS hamming,
+       |  floor((list_reduce([qh.qv[i]*c.v[i] for i in range(1, len(qh.qv)+1)], (x,y) -> x+y)
+       |    /(sqrt(qh.qn2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM bits c, qh WHERE c.vec_id <> qh.q_id
+       |    AND bit_count(xor(c.b_lo, qh.qb_lo)) + bit_count(xor(c.b_hi, qh.qb_hi)) <= $hamMax)
+       |SELECT q_id, rank, vec_id, hamming, cos_r FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank
+       |  FROM candh)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** D34: Rayleigh quotient along v2 over the covariance trace —
     * exact HUGEINT sums, the lattice units cancel in explained_r.
     */

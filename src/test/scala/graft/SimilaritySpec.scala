@@ -400,6 +400,33 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "integer-lattice recursion must be run-deterministic under AQE/persist")
   }
 
+  test("hamming rerank: packed-word distance == naive sign-mismatch count; results clear the filter and rank exactly") {
+    import spark.implicits._
+    // bit-level law: the two 32-bit packed words reproduce the naive
+    // per-dimension sign-mismatch count for every (query, result) pair
+    val vecs = tables.embeddings.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def signs(v: Seq[Double]): Seq[Boolean] = v.map(_ > 0.0)
+    val rows = Similarity.annHammingRerank(tables, nQueries = 4, k = 5, hamMax = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, rank, v, ham) =>
+      val naive = signs(vecs(q)).zip(signs(vecs(v))).count { case (a, b) => a != b }
+      assert(ham == naive, s"packed hamming $ham != naive $naive for ($q,$v)")
+      assert(ham <= 24, "prefilter must hold on every survivor")
+      assert(rank >= 1 && rank <= 5 && q != v)
+    }
+    // rerank exactness: among survivors, ranks follow exact cosine
+    val exact = topk(Similarity.annTopkBruteforce(tables, nQueries = 4, k = 200))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val got = rs.sortBy(_._2).map(_._3).toSeq
+      val survivors = exact(q).filter { v =>
+        signs(vecs(q)).zip(signs(vecs(v))).count { case (a, b) => a != b } <= 24
+      }.take(got.size)
+      assert(got == survivors, s"q=$q rerank order must be the exact-cosine order of survivors")
+    }
+  }
+
   test("pagerank: every node covered, floor respected, mass bounded, inflow lifts rank") {
     val n = tables.embeddings.count()
     val ranks = Similarity.annPagerank(tables).collect()
