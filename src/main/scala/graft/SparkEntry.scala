@@ -229,6 +229,7 @@ object SparkEntry {
     "ev_burst_windows"     -> q(EventOps.evBurstWindows(_)),
     "ev_burst_impact"      -> q(EventOps.evBurstImpact(_)),
     "q_distinct_kmv"       -> q(Analytics.qDistinctKmv(_)),
+    "q_distinct_bitmap"    -> q(Analytics.qDistinctBitmap),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
     "q_kmv_set_ops"        -> q(Analytics.qKmvSetOps(_)),
@@ -551,6 +552,18 @@ object SparkEntry {
         |  CAST(ex.n_exact AS BIGINT) AS n_exact
         |FROM kept k JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // the bitmap-distinct card is EXACT, so the oracle is plain
+    // COUNT(DISTINCT ...) arithmetic — word index = id // 64 matches
+    // the aggregator's id >>> 6 on the nonnegative key domain
+    "q_distinct_bitmap" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_distinct,
+        |  COUNT(DISTINCT user_id // 64) AS n_words,
+        |  CAST(MAX(user_id // 64) AS BIGINT) AS max_word,
+        |  floor((CAST(COUNT(DISTINCT user_id) AS DOUBLE) /
+        |    (64.0 * CAST(COUNT(DISTINCT user_id // 64) AS DOUBLE)))*1000000 + 0.5)/1000000 AS density_r
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the oracle states the interval join DIRECTLY (ts >= start AND
     // ts < end) — the Spark side's chunked equi-join must be

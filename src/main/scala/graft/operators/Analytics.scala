@@ -1034,6 +1034,34 @@ object Analytics {
       .orderBy($("event_type"))
   }
 
+  /** B51: EXACT distinct per event type via the mergeable sparse-
+    * bitmap Aggregator (functions/BitmapDistinct) — the exact
+    * counterpart to B47's KMV estimate and the engine-portable analog
+    * of a Roaring-bitmap union distinct. State per group is a sorted
+    * (word, bits) pair array ≤ ⌈distinct/64⌉ entries, merged MAP-SIDE,
+    * so the shuffle carries packed words (16 B per touched 64-id
+    * block per partition), never the rows and never the key set —
+    * unlike `countDistinct`, whose two-phase expansion shuffles one
+    * row per (group, key). Exact at every cardinality; the density
+    * column shows the bits-per-word utilization that justifies the
+    * bitmap (dense ids → ~64 bits/word; sparse ids → fall back to
+    * KMV or two-phase distinct).
+    */
+  def qDistinctBitmap(t: Tables): DataFrame = {
+    val bm = udaf(graft.functions.BitmapDistinct(),
+      org.apache.spark.sql.Encoders.scalaLong)
+    t.events
+      .groupBy($("event_type"))
+      .agg(bm($("user_id")).as("card"))
+      .select($("event_type"),
+        $("card.n_distinct").as("n_distinct"),
+        $("card.n_words").as("n_words"),
+        $("card.max_word").as("max_word"),
+        r6($("card.n_distinct").cast("double") /
+          (lit(64.0) * $("card.n_words").cast("double"))).as("density_r"))
+      .orderBy($("event_type"))
+  }
+
   /** B48: PORTABLE count-min error card — the oracle-gateable CMS next
     * to B21's rows-only native sketch: depth×width counts over the
     * affine-permutation buckets (Hashing.perm — the same literal (a,b)

@@ -98,4 +98,30 @@ class SketchSpec extends SparkSpec {
         s"${row.getString(0)}: KMV est $est vs exact $exact (rel $rel)")
     }
   }
+
+  test("bitmap distinct: merge(splits) == reduce(whole) == exact set count; in-place OR never drops a word") {
+    import graft.functions.BitmapDistinct
+    val s = BitmapDistinct()
+    // clustered + scattered keys with heavy duplication: exercises the
+    // in-place OR path (same word), the insertion path (new word), and
+    // word-boundary keys (multiples of 64)
+    val vals = (0 until 8000).map(i => (i * 2654435761L) % 4096) ++
+      Seq(0L, 63L, 64L, 127L, 128L, 4095L)
+    def reduceAll(xs: Seq[Long]) = xs.foldLeft(s.zero)((b, x) => s.reduce(b, x))
+    val whole = reduceAll(vals)
+    val thirds = vals.grouped(vals.size / 3 + 1).toSeq
+    val merged = thirds.map(reduceAll).reduce(s.merge)
+    assert(java.util.Arrays.equals(whole, merged), "merge of splits must equal one-pass reduce")
+    val card = s.finish(whole)
+    assert(card.n_distinct == vals.distinct.size, "bitmap popcount is the exact distinct count")
+    assert(card.n_words == vals.map(_ >>> 6).distinct.size, "one pair per touched word")
+    assert(card.max_word == vals.max >>> 6)
+    // the operator's card equals countDistinct on the real corpus
+    val got = Analytics.qDistinctBitmap(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = tables.events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, "bitmap distinct must be exact per group")
+  }
 }
