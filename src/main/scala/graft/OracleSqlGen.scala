@@ -63,6 +63,45 @@ object OracleSqlGen {
        |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
        |$jaccardTail""".stripMargin
 
+  /** C28: b-bit minhash estimation card — low-b-bit agreement over
+    * the SAME band candidates as C3b, with the Li–König collision
+    * correction (C = 2^-b, exact binary fractions on both engines).
+    */
+  def docBbitMinhashEst(bBits: Int): String = {
+    val mask = (1L << bBits) - 1
+    val cFloor = 1.0 / (1L << bBits)
+    val agreeF = (0 until 16)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val agreeB = (0 until 16)
+      .map(i => s"(CASE WHEN (a.m$i & $mask) = (b.m$i & $mask) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $gramCtes,
+       |$sigCte,
+       |band AS (SELECT doc_id, j,
+       |  CASE j WHEN 0 THEN ${bandConcat(0 until 4)}
+       |         WHEN 1 THEN ${bandConcat(4 until 8)}
+       |         WHEN 2 THEN ${bandConcat(8 until 12)}
+       |         ELSE ${bandConcat(12 until 16)} END AS band_val
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+       |common AS (SELECT da, db, COUNT(*) AS c FROM cand
+       |  JOIN g ga ON ga.doc_id = da
+       |  JOIN g gb ON gb.doc_id = db AND gb.gram = ga.gram
+       |  GROUP BY da, db),
+       |agr AS (SELECT cand.da, cand.db,
+       |  CAST($agreeF AS BIGINT) AS agree_full,
+       |  CAST($agreeB AS BIGINT) AS agree_bbit
+       |  FROM cand JOIN sig a ON a.doc_id = cand.da JOIN sig b ON b.doc_id = cand.db)
+       |SELECT agr.da AS doc_a, agr.db AS doc_b, agr.agree_full, agr.agree_bbit,
+       |  floor(((agr.agree_bbit/16.0 - $cFloor)/${1.0 - cFloor})*1000000 + 0.5)/1000000 AS est_bbit_r,
+       |  COALESCE(common.c, 0)/(sa.n + sb.n - COALESCE(common.c, 0)) AS jaccard
+       |FROM agr LEFT JOIN common ON common.da = agr.da AND common.db = agr.db
+       |  JOIN sizes sa ON sa.doc_id = agr.da JOIN sizes sb ON sb.doc_id = agr.db
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** C22: df histogram — log₂ buckets via binary-repr length (integer
     * exact), posting volume and the uncapped pair bound per bucket.
     */

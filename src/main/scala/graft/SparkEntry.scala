@@ -89,6 +89,7 @@ object SparkEntry {
     "doc_minhash_sig"      -> q(Dedup.docMinhashSig(_, ordered = true)),
     "doc_minhash_lsh_pairs" -> q(Dedup.docMinhashLshPairs(_, ordered = true)),
     "doc_minhash_jaccard_est" -> q(Dedup.docMinhashJaccardEst(_, ordered = true)),
+    "doc_bbit_minhash_est" -> q(Dedup.docBbitMinhashEst(_, ordered = true)),
     "doc_minhash_calibration" -> q(Dedup.docMinhashCalibration(_)),
     "doc_lsh_bucket_stats" -> q(Dedup.docLshBucketStats(_)),
     "doc_dup_bias"         -> q(Dedup.docDupBias(_)),
@@ -1238,6 +1239,7 @@ object SparkEntry {
     "doc_minhash_sig"       -> OracleSqlGen.docMinhashSig,
     "doc_minhash_lsh_pairs" -> OracleSqlGen.docMinhashLshPairs,
     "doc_minhash_jaccard_est" -> OracleSqlGen.docMinhashJaccardEst,
+    "doc_bbit_minhash_est"    -> OracleSqlGen.docBbitMinhashEst(4),
     "doc_minhash_calibration" -> OracleSqlGen.docMinhashCalibration,
     "text_bpe_train"          -> OracleSqlGen.textBpeTrain(3),
     "doc_lsh_bucket_stats"    -> OracleSqlGen.docLshBucketStats,

@@ -244,6 +244,69 @@ object Dedup {
       ordered)(col("doc_a"), col("doc_b"))
   }
 
+  /** C28: b-bit minhash estimation card (Li & König, WWW'10) — the
+    * signature-compression trade next to C3b's full-width estimator:
+    * keep only the low `bBits` bits of each of the 16 minhash
+    * components, count matches over the LSH band candidates, and
+    * debias the 2^-b random-collision floor with the linear
+    * correction Ĵ = (match_rate − C)/(1 − C), C = 2^-b. The card
+    * rides the full-width agreement and the exact Jaccard alongside
+    * so the compression's accuracy cost is measurable per pair.
+    *
+    * Scale shape: identical join plan to C3b (band-bucket equi-join
+    * candidates, never all-pairs; one narrow signature join per
+    * side); the operational win is STORAGE — at b=4 the persisted
+    * signature table shrinks 15× (16×60 bits → 16×4), which at
+    * 100 TB is the difference between a signature table that fits
+    * in memory-speed storage and one that doesn't. All arithmetic
+    * is exact binary fractions (agree/16, C=1/16) — bit-identical
+    * across engines before the single r6.
+    */
+  def docBbitMinhashEst(t: Tables, bBits: Int = 4,
+      ordered: Boolean = false): DataFrame = {
+    val sets = sharedSets(t)
+    val sig = minhashSigCols(explodeSets(sets))
+    val bands = sig.select(col("doc_id"),
+      expr("""stack(4,
+        0, concat_ws(',', m0, m1, m2, m3),
+        1, concat_ws(',', m4, m5, m6, m7),
+        2, concat_ws(',', m8, m9, m10, m11),
+        3, concat_ws(',', m12, m13, m14, m15)) AS (band, band_val)"""))
+    val b2 = bands.select(col("doc_id").as("db"),
+      col("band").as("band2"), col("band_val").as("band_val2"))
+    val cands = bands.join(b2,
+        col("band") === col("band2") && col("band_val") === col("band_val2") &&
+          col("doc_id") < col("db"))
+      .select(col("doc_id").as("da"), col("db")).distinct()
+    val a = sig.select(col("doc_id").as("da") +:
+      Perms.indices.map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sig.select(col("doc_id").as("db2") +:
+      Perms.indices.map(i => col(s"m$i").as(s"b$i")): _*)
+    val mask = lit((1L << bBits) - 1)
+    val agreeFull = Perms.indices
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val agreeB = Perms.indices
+      .map(i => when(col(s"a$i").bitwiseAND(mask) === col(s"b$i").bitwiseAND(mask),
+        1L).otherwise(0L))
+      .reduce(_ + _)
+    val cFloor = 1.0 / (1L << bBits)
+    val sa = sets.select(col("doc_id").as("da"), col("gs").as("gsa"), col("n_grams").as("na"))
+    val sb = sets.select(col("doc_id").as("db3"), col("gs").as("gsb"), col("n_grams").as("nb"))
+    maybeSort(
+      cands.join(a, "da").join(b, col("db") === col("db2"))
+        .withColumn("agree_full", agreeFull)
+        .withColumn("agree_bbit", agreeB)
+        .join(sa, "da").join(sb, col("db") === col("db3"))
+        .withColumn("c", call_function("graft_intersect_count", col("gsa"), col("gsb")))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("agree_full"), col("agree_bbit"),
+          r6((col("agree_bbit") / lit(16.0) - lit(cFloor)) / lit(1.0 - cFloor))
+            .as("est_bbit_r"),
+          (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard")),
+      ordered)(col("doc_a"), col("doc_b"))
+  }
+
   /** C26: duplicate-bias card — are the COPIES systematically worse
     * than the canonicals? Per (is-duplicate) flag: doc count, mean
     * chars, mean E2 quality. A large quality gap justifies C15/F9's
