@@ -231,6 +231,7 @@ object SparkEntry {
     "ev_burst_impact"      -> q(EventOps.evBurstImpact(_)),
     "q_distinct_kmv"       -> q(Analytics.qDistinctKmv(_)),
     "q_distinct_bitmap"    -> q(Analytics.qDistinctBitmap),
+    "q_important_stock"    -> q(Analytics.qImportantStock(_)),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
     "q_kmv_set_ops"        -> q(Analytics.qKmvSetOps(_)),
@@ -565,6 +566,20 @@ object SparkEntry {
         |  floor((CAST(COUNT(DISTINCT user_id) AS DOUBLE) /
         |    (64.0 * CAST(COUNT(DISTINCT user_id // 64) AS DOUBLE)))*1000000 + 0.5)/1000000 AS density_r
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Q11 shape: per-part decimal-routed value, HAVING > mult x the
+    // average per-part value (broadcast one-row scalar on Spark side;
+    // average-relative so the head survives every corpus size)
+    "q_important_stock" ->
+      """WITH pp AS (SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |  FROM lineitem GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  CAST(COUNT(*) AS DOUBLE) AS n_parts FROM pp)
+        |SELECT l_partkey AS p_partkey, value,
+        |  floor((100.0 * value / total)*1000000 + 0.5)/1000000 AS share_pct_r
+        |FROM pp, tt WHERE value > 1.5 * total / n_parts
+        |ORDER BY value DESC, p_partkey""".stripMargin,
 
     // the oracle states the interval join DIRECTLY (ts >= start AND
     // ts < end) — the Spark side's chunked equi-join must be

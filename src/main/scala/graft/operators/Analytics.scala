@@ -1034,6 +1034,36 @@ object Analytics {
       .orderBy($("event_type"))
   }
 
+  /** B52: important stock (TPC-H Q11 shape) — per-part revenue value
+    * with a HAVING > fraction-of-global-total cut. The global total
+    * is a ONE-ROW aggregate broadcast into the per-part relation
+    * (BroadcastNestedLoopJoin of a scalar — no second scan shuffled,
+    * no correlated subquery re-evaluation); both sums route through
+    * DECIMAL(18,6) so the threshold comparison is deterministic.
+    *
+    * Scale shape: one map-side-combined aggregate over the fact at
+    * part granularity + one scalar broadcast. The cut is stated
+    * against `mult` × the AVERAGE per-part value (total/#parts), so
+    * the head stays a stable fraction of parts at every corpus size
+    * — a share-of-total constant silently empties (or floods) the
+    * result as the part universe grows; nothing downstream of the
+    * aggregate sees more than #parts rows.
+    */
+  def qImportantStock(t: Tables, mult: Double = 1.5): DataFrame = {
+    val rev = $("l_extendedprice") * (lit(1.0) - $("l_discount"))
+    val perPart = t.lineitem
+      .select($("l_partkey"), rev.as("rev"))
+      .groupBy($("l_partkey"))
+      .agg(psum($("rev")).as("value"))
+    val total = perPart.agg(psum($("value")).as("total"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter($("value") > lit(mult) * $("total") / $("n_parts").cast("double"))
+      .select($("l_partkey").as("p_partkey"), $("value"),
+        r6(lit(100.0) * $("value") / $("total")).as("share_pct_r"))
+      .orderBy($("value").desc, $("p_partkey"))
+  }
+
   /** B51: EXACT distinct per event type via the mergeable sparse-
     * bitmap Aggregator (functions/BitmapDistinct) — the exact
     * counterpart to B47's KMV estimate and the engine-portable analog
