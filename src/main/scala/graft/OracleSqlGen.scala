@@ -577,6 +577,36 @@ object OracleSqlGen {
        |  CASE WHEN vx > 0 AND vy > 0 THEN floor((cxy*cxy/(vx*vy))*1000000 + 0.5)/1000000 END AS r2_r
        |FROM t""".stripMargin
 
+  /** A70: stationary distribution of the event-type chain — the
+    * Spark side's `iters` power-iteration steps unrolled as chained
+    * CTEs, each edge term the identical truncating integer op
+    * (HUGEINT product // row sum) on the 1e-12 lattice, so the
+    * recursion gates bit-for-bit.
+    */
+  def evStationaryDist(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT tm.to_type AS event_type,
+         |  CAST(SUM((CAST(p.p AS HUGEINT) * tm.n) // tm.n_from) AS BIGINT) AS p
+         |  FROM p${i - 1} p JOIN tm ON p.event_type = tm.from_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (SELECT user_id, event_type,
+       |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |tc AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n
+       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |tm AS (SELECT from_type, to_type, n,
+       |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from FROM tc),
+       |ty AS (SELECT from_type AS event_type FROM tm
+       |  UNION SELECT to_type FROM tm),
+       |kk AS (SELECT COUNT(*) AS k FROM ty),
+       |p0 AS (SELECT event_type, 1000000000000 // k AS p FROM ty, kk),
+       |$steps
+       |SELECT event_type, p AS p_e12,
+       |  floor((CAST(p AS DOUBLE) / 1000000000000.0)*1000000 + 0.5)/1000000 AS p_r
+       |FROM p$iters ORDER BY event_type""".stripMargin
+  }
+
   /** A60: Zipf OLS over the top-K user activity ranks. */
   def evUserZipf(topK: Int): String =
     s"""WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),

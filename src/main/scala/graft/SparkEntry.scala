@@ -82,6 +82,7 @@ object SparkEntry {
     "ev_retention"         -> q(EventOps.evRetention),
     "ev_cohort_ltv"        -> q(EventOps.evCohortLtv),
     "ev_state_transitions" -> q(EventOps.evStateTransitions(_, ordered = true)),
+    "ev_stationary_dist"   -> q(EventOps.evStationaryDist(_)),
     "text_entropy"         -> q(TextOps.textEntropy(_, ordered = true)),
     "ev_gap_fill"          -> q(EventOps.evGapFill),
     // §2.C dedup family
@@ -1255,6 +1256,7 @@ object SparkEntry {
     "doc_minhash_lsh_pairs" -> OracleSqlGen.docMinhashLshPairs,
     "doc_minhash_jaccard_est" -> OracleSqlGen.docMinhashJaccardEst,
     "doc_bbit_minhash_est"    -> OracleSqlGen.docBbitMinhashEst(4),
+    "ev_stationary_dist"      -> OracleSqlGen.evStationaryDist(10),
     "doc_minhash_calibration" -> OracleSqlGen.docMinhashCalibration,
     "text_bpe_train"          -> OracleSqlGen.textBpeTrain(3),
     "doc_lsh_bucket_stats"    -> OracleSqlGen.docLshBucketStats,

@@ -500,6 +500,50 @@ object EventOps {
         r6(col("n").cast("double") / col("n_from").cast("double")).as("p_r"))
   }, ordered)(col("from_type"), col("to_type"))
 
+  /** A70: stationary distribution of the event-type Markov chain —
+    * `iters` fixed power-iteration steps over A34's transition
+    * counts, all arithmetic on the 1e-12 integer lattice (the D19
+    * pagerank convention): each step's edge term is
+    * (p·n) div n_from, one exact truncating integer op, so the whole
+    * recursion is bit-reproducible and the oracle can unroll the
+    * identical steps as chained CTEs. Per-step truncation mass
+    * (≤ k² lattice units) and mass entering types with no outgoing
+    * edges are dropped by declared semantics — identically on both
+    * engines. The stationary vector is where the per-session type
+    * mix settles; its gap to A55's raw type share measures how far
+    * the observed mix sits from the chain's equilibrium.
+    *
+    * Scale shape: the corpus pays ONE windowed pass (lead-by-user →
+    * k²-row transition counts, localCheckpoint-truncated); each
+    * iteration is then a broadcast join of the ≤k-row vector with
+    * the k²-row matrix — 10 iterations are 10 tiny stages, never 10
+    * corpus scans, and the driver only ever plans (no collect).
+    */
+  def evStationaryDist(t: Tables, iters: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = graft.operators.Dedup.stableCheckpoint(t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy(col("from_type")))))
+    val types = trans.select(col("from_type").as("event_type"))
+      .union(trans.select(col("to_type").as("event_type"))).distinct()
+    var p = types.crossJoin(broadcast(types.agg(count(lit(1)).as("k"))))
+      .select(col("event_type"), expr("1000000000000 div k").as("p"))
+    for (_ <- 1 to iters) {
+      p = p.join(broadcast(trans), col("event_type") === col("from_type"))
+        .select(col("to_type"),
+          expr("CAST((CAST(p AS DECIMAL(38,0)) * n) div n_from AS LONG)").as("term"))
+        .groupBy(col("to_type")).agg(sum(col("term")).as("p"))
+        .select(col("to_type").as("event_type"), col("p"))
+    }
+    p.select(col("event_type"), col("p").as("p_e12"),
+        r6(col("p").cast("double") / lit(1e12)).as("p_r"))
+      .orderBy(col("event_type"))
+  }
+
   /** A36: per-user lifespan profile — event count, first/last seen,
     * distinct active days, span in hours, events per active day (the
     * per-entity activity relation retention/engagement analyses start

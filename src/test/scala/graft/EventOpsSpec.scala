@@ -238,4 +238,29 @@ class EventOpsSpec extends SparkSpec {
       assert(r.getString(7) == s"R${r.getLong(4)}F${r.getLong(5)}M${r.getLong(6)}")
     }
   }
+
+  test("stationary dist: run-deterministic, mass bounded by 1, near-fixed-point of the transition matrix") {
+    import graft.operators.EventOps
+    val a = EventOps.evStationaryDist(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = EventOps.evStationaryDist(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "integer-lattice recursion must be run-deterministic")
+    assert(a.nonEmpty && a.values.forall(_ >= 0))
+    // truncating integer division only sheds mass: total <= 1e12
+    assert(a.values.sum <= 1000000000000L, s"mass=${a.values.sum}")
+    // fixed point: one more exact step moves nothing by > k*k lattice
+    // truncation units + chain non-convergence slack (1e-4 of mass)
+    val trans = EventOps.evStateTransitions(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nFrom = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val stepped = trans.groupBy(_._2).view.mapValues(_.map { case (f, _, n) =>
+      a.getOrElse(f, 0L) * n / nFrom(f)
+    }.sum).toMap
+    a.foreach { case (ty, p) =>
+      val next = stepped.getOrElse(ty, 0L)
+      assert(math.abs(next - p) <= 100000000L,
+        s"$ty moved $p -> $next after one extra step; not near the fixed point")
+    }
+  }
 }
