@@ -1189,6 +1189,25 @@ object OracleSqlGen {
        |SELECT i, floor((CAST(v2 AS DOUBLE) / norm)*1000000 + 0.5)/1000000 AS eig_r
        |FROM v2, nrm ORDER BY i""".stripMargin
 
+  /** D36: MIPS top-k via norm augmentation — M = max corpus norm as
+    * a one-row CTE; transformed cosine dot/(‖q‖·M) ranked exactly as
+    * the Spark side (6dp-rounded, ties on vec_id), raw dot alongside.
+    */
+  def annMipsTopk(nQueries: Int, k: Int): String = {
+    val dotQC2 = "list_reduce([qs.qv[i]*c.v[i] for i in range(1, len(qs.qv)+1)], (x,y) -> x+y)"
+    s"""WITH $normCte,
+       |mx AS (SELECT MAX(sqrt(n2)) AS m_norm FROM n),
+       |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < $nQueries),
+       |sc AS (SELECT qs.q_id, c.vec_id,
+       |  floor(($dotQC2)*1000000 + 0.5)/1000000 AS dot_r,
+       |  floor(($dotQC2/(sqrt(qs.qn2)*mx.m_norm))*1000000 + 0.5)/1000000 AS aug_cos_r
+       |  FROM n c, qs, mx WHERE c.vec_id <> qs.q_id)
+       |SELECT q_id, rank, vec_id, dot_r, aug_cos_r FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY aug_cos_r DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** D35: sign-binarized Hamming prefilter + exact-cosine rerank —
     * the two 32-bit packed words mirror signBucketAt(v,32,0/32)
     * exactly (strict `> 0.0`, bit i from dimension offset+i), so the

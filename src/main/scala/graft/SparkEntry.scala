@@ -241,6 +241,7 @@ object SparkEntry {
     "ann_hubness"          -> q(Similarity.annHubness(_, ordered = true)),
     "emb_explained_variance" -> q(Similarity.embExplainedVariance),
     "ann_hamming_rerank"   -> q(Similarity.annHammingRerank(_)),
+    "ann_mips_topk"        -> q(Similarity.annMipsTopk(_)),
     "mm_scene_cuts"        -> q(Multimodal.mmSceneCuts(_, ordered = true)),
     "doc_dup_ngram_mass"   -> q(Dedup.docDupNgramMass(_, ordered = true)),
     "doc_curation_funnel"  -> q(TextOps.docCurationFunnel(_)),
@@ -1275,6 +1276,7 @@ object SparkEntry {
     "ann_hubness"             -> OracleSqlGen.annHubness(3, 128),
     "emb_explained_variance"  -> OracleSqlGen.embExplainedVariance,
     "ann_hamming_rerank"      -> OracleSqlGen.annHammingRerank(8, 5, 24),
+    "ann_mips_topk"           -> OracleSqlGen.annMipsTopk(8, 5),
     "mm_scene_cuts"           -> OracleSqlGen.mmSceneCuts(64, 4, 36),
     "doc_dup_ngram_mass"      -> OracleSqlGen.docDupNgramMass,
     "doc_curation_funnel"     -> OracleSqlGen.docCurationFunnel(0.5),

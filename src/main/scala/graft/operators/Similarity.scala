@@ -1381,6 +1381,47 @@ object Similarity {
       .orderBy(col("prefix_dim"))
   }
 
+  /** D36: maximum-inner-product top-k via the norm-augmentation
+    * reduction (Shrivastava & Li, NIPS'14 / Neyshabur & Srebro,
+    * ICML'15): with M = max corpus norm, augmenting data vectors to
+    * [x, √(M²−‖x‖²)] and queries to [q, 0] makes every transformed
+    * data norm exactly M, so transformed cosine = q·x / (‖q‖·M) —
+    * a per-query monotone map of the raw inner product. Ranking by
+    * the transformed cosine IS the MIPS ranking, and — the point of
+    * the reduction — the whole cosine-ANN toolkit (D2 sign-LSH
+    * buckets, D4 IVF, D35 binary sketches) now applies to inner-
+    * product retrieval (recommendation scores, un-normalized
+    * retrieval logits) unchanged.
+    *
+    * Scale shape: M is a ONE-ROW broadcast aggregate (max of a
+    * per-row sqrt — order-free); scoring is the same broadcast-query
+    * single corpus pass as D1 with two-stage top-k. The card carries
+    * the raw dot next to the transformed cosine so the monotonicity
+    * that licenses the reduction is visible in the output.
+    */
+  def annMipsTopk(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val mx = e.agg(max(sqrt(col("n2"))).as("m_norm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("aug_cos_r").desc, col("vec_id").asc)
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("aug_cos_r").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .crossJoin(broadcast(mx))
+      .withColumn("dot", dot(col("qv"), col("v")))
+      .withColumn("dot_r", r6(col("dot")))
+      .withColumn("aug_cos_r", r6(col("dot") / (sqrt(col("qn2")) * col("m_norm"))))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("dot_r"), col("aug_cos_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** D35: binary-sketch ANN — sign-binarize each embedding into 64
     * bits (two 32-bit words, so neither engine touches the BIGINT
     * sign bit), prefilter candidates by Hamming distance on the

@@ -400,6 +400,35 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "integer-lattice recursion must be run-deterministic under AQE/persist")
   }
 
+  test("mips: top-k equals driver-exact inner-product ranking under the augmentation transform") {
+    import spark.implicits._
+    val vecs = tables.embeddings.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def dotp(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val mNorm = vecs.values.map(v => math.sqrt(dotp(v, v))).max
+    val got = Similarity.annMipsTopk(tables, nQueries = 4, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      val qn = math.sqrt(dotp(vecs(q), vecs(q)))
+      val expected = vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, r6(dotp(vecs(q), vecs(v)) / (qn * mNorm))))
+        .sortBy { case (v, c) => (-c, v) }.take(5).map(_._1)
+      assert(rs.sortBy(_._2).map(_._3) == expected,
+        s"q=$q MIPS ranking must be the exact transformed-cosine ranking")
+      // the reduction's license: transformed cosine is per-query
+      // monotone in the raw dot, so raw dots are non-increasing
+      // wherever the rounded cosines strictly decrease
+      val ds = rs.sortBy(_._2).map(t => dotp(vecs(q), vecs(t._3)))
+      val cs = rs.sortBy(_._2).map(t => r6(dotp(vecs(q), vecs(t._3)) / (qn * mNorm)))
+      cs.zip(cs.tail).zip(ds.zip(ds.tail)).foreach { case ((c1, c2), (d1, d2)) =>
+        if (c1 != c2) assert(d1 > d2, "strictly smaller rounded cosine must mean smaller dot")
+      }
+    }
+  }
+
   test("hamming rerank: packed-word distance == naive sign-mismatch count; results clear the filter and rank exactly") {
     import spark.implicits._
     // bit-level law: the two 32-bit packed words reproduce the naive
