@@ -607,6 +607,30 @@ object OracleSqlGen {
        |FROM p$iters ORDER BY event_type""".stripMargin
   }
 
+  /** A71: seasonal-adjusted hourly anomaly — per-(type, hour-of-day)
+    * integer-moment baseline, z r6'd before the flag compare.
+    */
+  def evAnomalySeasonal(zFlag: Double): String =
+    s"""WITH hh AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+       |  COUNT(*) AS n FROM events GROUP BY 1, 2),
+       |hx AS (SELECT event_type, hour_idx, n, hour_idx % 24 AS hod FROM hh),
+       |base AS (SELECT event_type AS bt, hod AS bh, COUNT(*) AS k,
+       |  CAST(SUM(n) AS BIGINT) AS s1, SUM(n*n) AS s2 FROM hx GROUP BY 1, 2),
+       |bm AS (SELECT bt, bh,
+       |  CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mu,
+       |  sqrt(GREATEST(CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+       |    - (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)),
+       |    0.0)) AS sigma FROM base),
+       |z AS (SELECT hx.event_type, hx.hour_idx, hx.n, hx.hod, bm.mu,
+       |  CASE WHEN bm.sigma > 0.0
+       |    THEN floor(((CAST(hx.n AS DOUBLE) - bm.mu) / bm.sigma)*1000000 + 0.5)/1000000
+       |  END AS z_r
+       |  FROM hx JOIN bm ON hx.event_type = bm.bt AND hx.hod = bm.bh)
+       |SELECT event_type, hour_idx, n, hod,
+       |  floor(mu*1000000 + 0.5)/1000000 AS mu_r, z_r,
+       |  (abs(COALESCE(z_r, 0.0)) > $zFlag) AS flagged
+       |FROM z ORDER BY event_type, hour_idx""".stripMargin
+
   /** A60: Zipf OLS over the top-K user activity ranks. */
   def evUserZipf(topK: Int): String =
     s"""WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),

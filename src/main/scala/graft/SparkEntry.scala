@@ -83,6 +83,7 @@ object SparkEntry {
     "ev_cohort_ltv"        -> q(EventOps.evCohortLtv),
     "ev_state_transitions" -> q(EventOps.evStateTransitions(_, ordered = true)),
     "ev_stationary_dist"   -> q(EventOps.evStationaryDist(_)),
+    "ev_anomaly_seasonal"  -> q(EventOps.evAnomalySeasonal(_, ordered = true)),
     "text_entropy"         -> q(TextOps.textEntropy(_, ordered = true)),
     "ev_gap_fill"          -> q(EventOps.evGapFill),
     // §2.C dedup family
@@ -1258,6 +1259,7 @@ object SparkEntry {
     "doc_minhash_jaccard_est" -> OracleSqlGen.docMinhashJaccardEst,
     "doc_bbit_minhash_est"    -> OracleSqlGen.docBbitMinhashEst(4),
     "ev_stationary_dist"      -> OracleSqlGen.evStationaryDist(10),
+    "ev_anomaly_seasonal"     -> OracleSqlGen.evAnomalySeasonal(3.0),
     "doc_minhash_calibration" -> OracleSqlGen.docMinhashCalibration,
     "text_bpe_train"          -> OracleSqlGen.textBpeTrain(3),
     "doc_lsh_bucket_stats"    -> OracleSqlGen.docLshBucketStats,

@@ -500,6 +500,53 @@ object EventOps {
         r6(col("n").cast("double") / col("n_from").cast("double")).as("p_r"))
   }, ordered)(col("from_type"), col("to_type"))
 
+  /** A71: seasonal-adjusted anomaly card — hourly counts scored
+    * against the per-(type, hour-of-day) baseline instead of A29's
+    * global one, so the 3 AM lull and the noon peak each get their
+    * own normal band and a quiet-hour burst that hides under the
+    * global mean still flags. Baselines are integer moments (k, Σn,
+    * Σn² — exact, order-free) turned into μ/σ by the same double ops
+    * on both engines; z is r6'd BEFORE the flag compare so the flag
+    * bit is engine-portable. Composes A46 (which profiles the
+    * seasonality) with A29 (which alarms) into one relation.
+    *
+    * Scale shape: one hourly rollup of the corpus (map-side
+    * combined), one ≤ types×24-row baseline aggregate broadcast back
+    * over the rollup — the corpus is scanned once and nothing wider
+    * than the calendar-bounded hourly relation ever shuffles.
+    */
+  def evAnomalySeasonal(t: Tables, zFlag: Double = 3.0,
+      ordered: Boolean = false): DataFrame = {
+    val hourly = t.events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_idx"))
+      .groupBy(col("event_type"), col("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hod", col("hour_idx") % 24)
+    val base = hourly
+      .groupBy(col("event_type").as("bt"), col("hod").as("bh"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s1"),
+        // n² through DECIMAL(38,0): exact at any hourly volume (a
+        // long×long would ANSI-throw past ~3e9 events/hour)
+        sum(col("n").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("n")).as("s2"))
+      .select(col("bt"), col("bh"),
+        (col("s1").cast("double") / col("k").cast("double")).as("mu"),
+        sqrt(greatest(
+          col("s2").cast("double") / col("k").cast("double") -
+            (col("s1").cast("double") / col("k").cast("double")) *
+            (col("s1").cast("double") / col("k").cast("double")),
+          lit(0.0))).as("sigma"))
+    maybeSort(
+      hourly.join(broadcast(base),
+          col("event_type") === col("bt") && col("hod") === col("bh"))
+        .withColumn("z_r",
+          when(col("sigma") > 0.0, r6((col("n").cast("double") - col("mu")) / col("sigma"))))
+        .select(col("event_type"), col("hour_idx"), col("n"), col("hod"),
+          r6(col("mu")).as("mu_r"), col("z_r"),
+          (abs(coalesce(col("z_r"), lit(0.0))) > zFlag).as("flagged")),
+      ordered)(col("event_type"), col("hour_idx"))
+  }
+
   /** A70: stationary distribution of the event-type Markov chain —
     * `iters` fixed power-iteration steps over A34's transition
     * counts, all arithmetic on the 1e-12 integer lattice (the D19

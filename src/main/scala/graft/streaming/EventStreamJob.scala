@@ -547,6 +547,73 @@ object EventStreamJob {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Per-type Holt state: hourly counters still open under the
+    * watermark, plus the UNROUNDED (level, trend) recursion state.
+    */
+  final case class HoltState(open: Seq[(Long, Long)], started: Boolean,
+      level: Double, trend: Double)
+
+  final case class HoltRec(event_type: String, hour: Instant, n: Long,
+      level_r: Double, trend_r: Double, resid_r: Option[Double])
+
+  /** A67 ONLINE: streaming Holt level+trend forecaster, the twin of
+    * `EventOps.evHoltForecast`. Hourly counters accumulate in state
+    * (counters, not events — O(types · hours-in-flight)); an hour is
+    * scored only once the watermark passes its END, in hour order, so
+    * the emitted series is exactly the batch recursion replayed
+    * online: state carries TWO unrounded doubles (level, trend) and
+    * the open counters, never history. An event-time timeout closes
+    * tail hours without waiting for the type's next arrival. The
+    * residual column is the live trend-aware anomaly signal (the
+    * streaming complement of A42's CUSUM level shifts).
+    */
+  def streamEvHoltForecast(events: Dataset[Ev], alpha: Double = 0.5,
+      beta: Double = 0.25,
+      watermarkDelay: String = "30 minutes"): Dataset[HoltRec] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+    def fn(ty: String, it: Iterator[Ev],
+        state: GroupState[HoltState]): Iterator[HoltRec] = {
+      val st0 = state.getOption.getOrElse(HoltState(Nil, started = false, 0.0, 0.0))
+      val incoming = it.foldLeft(Map.empty[Long, Long]) { (m, e) =>
+        val h = ChronoUnit.MICROS.between(Instant.EPOCH, e.ts) / hourUs * hourUs
+        m.updated(h, m.getOrElse(h, 0L) + 1L)
+      }
+      val open0 = st0.open.foldLeft(incoming) { case (m, (h, n)) =>
+        m.updated(h, m.getOrElse(h, 0L) + n)
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (closed, open) = open0.toSeq.partition { case (h, _) => h + hourUs <= wmUs }
+      var (started, level, trend) = (st0.started, st0.level, st0.trend)
+      val out = closed.sortBy(_._1).map { case (h, n) =>
+        val x = n.toDouble
+        val hourI = Instant.EPOCH.plus(h, ChronoUnit.MICROS)
+        if (!started) {
+          started = true; level = x; trend = 0.0
+          HoltRec(ty, hourI, n, r6d(level), r6d(trend), None)
+        } else {
+          val forecast = level + trend
+          val prevLevel = level
+          level = alpha * x + (1.0 - alpha) * (level + trend)
+          trend = beta * (level - prevLevel) + (1.0 - beta) * trend
+          HoltRec(ty, hourI, n, r6d(level), r6d(trend), Some(r6d(x - forecast)))
+        }
+      }
+      state.update(HoltState(open.sortBy(_._1), started, level, trend))
+      if (open.nonEmpty)
+        state.setTimeoutTimestamp((open.map(_._1).min + hourUs) / 1000L + 1L)
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Keyed upsert target for streamUpsertCounts. Implementations MUST
     * make the replay check and the merge atomic *in the store* (a JDBC
     * MERGE plus an applied-batch log row in the same transaction, an

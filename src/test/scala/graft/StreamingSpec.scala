@@ -194,6 +194,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt forecast == batch Holt recursion replayed online") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamEvHoltForecast(input.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("holt_out").start()
+    try {
+      eventsData.grouped((eventsData.size + 2) / 3).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      // sentinel far past the last event closes every open hour
+      val lastTs = eventsData.map(_.ts).max
+      input.addData(Seq(Ev(999999L, lastTs.plusSeconds(864000), -1L, "sentinel")))
+      q.processAllAvailable()
+      def cell(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+      val streamed = spark.table("holt_out")
+        .filter($"event_type" =!= "sentinel").collect().map(cell).toSet
+      val batch = EventOps.evHoltForecast(tables).collect().map(cell).toSet
+      assert(streamed == batch,
+        s"stream≠batch: only-stream=${(streamed -- batch).take(3)} " +
+          s"only-batch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming attribution credits roll up to the exact batch attribution") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
