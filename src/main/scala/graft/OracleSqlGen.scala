@@ -985,6 +985,68 @@ object OracleSqlGen {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** D37: IVF nprobe-tuning card — candidates generated once at the
+    * largest level with the probed cell's rank attached; a sweep
+    * point's candidate set is the `crank <= nprobe` prefix. Per-query
+    * recall@k vs the exact top-k and scanned-corpus fraction, r6'd
+    * before the DECIMAL mean (the Spark operator's exact shape).
+    */
+  def annNprobeTuning(nQueries: Int, k: Int, nCells: Int,
+      probes: Seq[Int]): String = {
+    val ckey = "('0x'||substr(md5('centroid:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT"
+    val maxP = probes.max
+    val lvList = probes.mkString("[", ", ", "]")
+    s"""WITH $normCte,
+       |ccent AS (SELECT v AS cv, n2 AS c2,
+       |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
+       |  FROM n ORDER BY $ckey, vec_id LIMIT $nCells),
+       |cd AS (SELECT n.vec_id, ccent.cell,
+       |  floor((n.n2 - 2*list_reduce([n.v[i]*ccent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + ccent.c2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM n, ccent),
+       |asg AS (SELECT vec_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |pr AS (SELECT vec_id AS q_id, cell, CAST(rn AS BIGINT) AS crank FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn
+       |   FROM cd WHERE vec_id < $nQueries)
+       |  WHERE rn <= $maxP),
+       |sz AS (SELECT cell, COUNT(*) AS n_c FROM asg GROUP BY cell),
+       |tt AS (SELECT COUNT(*) AS n_total FROM n),
+       |lv AS (SELECT CAST(unnest($lvList) AS BIGINT) AS nprobe),
+       |sc AS (SELECT pr.q_id, pr.crank, a.vec_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM pr JOIN asg a ON a.cell = pr.cell AND a.vec_id <> pr.q_id
+       |  JOIN n q ON q.vec_id = pr.q_id JOIN n c ON c.vec_id = a.vec_id),
+       |tk AS (SELECT q_id, nprobe, vec_id FROM (
+       |  SELECT sc.q_id, lv.nprobe, sc.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY sc.q_id, lv.nprobe ORDER BY sc.cos_r DESC, sc.vec_id ASC) AS rank
+       |  FROM sc JOIN lv ON sc.crank <= lv.nprobe) WHERE rank <= $k),
+       |ex AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 DESC, c.vec_id ASC) AS rank
+       |  FROM n q JOIN n c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id) WHERE rank <= $k),
+       |kx AS (SELECT q_id, COUNT(*) AS k_exact FROM ex GROUP BY q_id),
+       |hits AS (SELECT t.q_id, t.nprobe, COUNT(*) AS n_hits
+       |  FROM tk t JOIN ex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+       |  GROUP BY 1, 2),
+       |scan AS (SELECT pr.q_id, lv.nprobe, CAST(SUM(sz.n_c) AS BIGINT) AS n_scan
+       |  FROM pr JOIN lv ON pr.crank <= lv.nprobe JOIN sz ON sz.cell = pr.cell
+       |  GROUP BY 1, 2),
+       |scaffold AS (SELECT q_id, nprobe FROM (SELECT DISTINCT q_id FROM pr), lv),
+       |perq AS (SELECT s.q_id, s.nprobe,
+       |  floor((CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(kx.k_exact AS DOUBLE))*1000000 + 0.5)/1000000 AS recall_r,
+       |  floor((CAST(scan.n_scan AS DOUBLE) / CAST(tt.n_total AS DOUBLE))*1000000 + 0.5)/1000000 AS scan_frac_r
+       |  FROM scaffold s
+       |  LEFT JOIN hits h ON h.q_id = s.q_id AND h.nprobe = s.nprobe
+       |  JOIN scan ON scan.q_id = s.q_id AND scan.nprobe = s.nprobe
+       |  JOIN kx ON kx.q_id = s.q_id, tt)
+       |SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  floor((CAST(SUM(CAST(recall_r AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_recall_r,
+       |  floor((CAST(SUM(CAST(scan_frac_r AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_scan_frac_r
+       |FROM perq GROUP BY nprobe ORDER BY nprobe""".stripMargin
+  }
+
   def annIvfAdc(nQueries: Int, k: Int, m: Int, dsub: Int,
       nCodes: Int, nCells: Int, nProbe: Int): String =
     s"""WITH ${ivfAdcBody(nQueries, m, dsub, nCodes, nCells, nProbe)}

@@ -127,6 +127,7 @@ object SparkEntry {
     "ann_label_knn"        -> q(Similarity.annLabelKnn(_, ordered = true)),
     "emb_centroid_dist"    -> q(Similarity.embCentroidDist(_, ordered = true)),
     "ann_recall_eval"      -> q(Similarity.annRecallEval(_, ordered = true)),
+    "ann_nprobe_tuning"    -> q(Similarity.annNprobeTuning(_, ordered = true)),
     "emb_knn_clusters"     -> q(Similarity.embKnnClusters(_, ordered = true)),
     "ann_ivf"              -> q(Similarity.annIvf(_)),
     "ann_maxsim"           -> q(Similarity.annMaxsim(_)),
@@ -1278,6 +1279,7 @@ object SparkEntry {
     "ann_hubness"             -> OracleSqlGen.annHubness(3, 128),
     "emb_explained_variance"  -> OracleSqlGen.embExplainedVariance,
     "ann_hamming_rerank"      -> OracleSqlGen.annHammingRerank(8, 5, 24),
+    "ann_nprobe_tuning"       -> OracleSqlGen.annNprobeTuning(8, 3, 16, Seq(1, 2, 4, 8)),
     "ann_mips_topk"           -> OracleSqlGen.annMipsTopk(8, 5),
     "mm_scene_cuts"           -> OracleSqlGen.mmSceneCuts(64, 4, 36),
     "doc_dup_ngram_mass"      -> OracleSqlGen.docDupNgramMass,

@@ -1465,4 +1465,92 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"), col("hamming"), col("cos_r"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** D37: IVF nprobe-tuning card — recall@k AND scanned-corpus
+    * fraction per nprobe level, the curve an operator reads to pick
+    * nprobe before a 100 TB run (the IVF analog of C20's banding
+    * curve: recall is what you buy, scan fraction is what you pay).
+    *
+    * One sweep, ONE candidate join: candidates are generated once at
+    * the LARGEST level with each probed cell's rank attached, and a
+    * level's candidate set is just `cell_rank <= nprobe` — so adding
+    * sweep points costs a filter, not another scan (the same
+    * prefix-reuse trick the banding card uses). Ground truth is D1's
+    * exact top-k; both feeders are nQueries-bounded, every rollup
+    * after the candidate join runs on (nQueries × levels)-cardinality
+    * relations, and cell sizes / corpus total ride broadcast
+    * aggregates. Per-query recalls and scan fractions are r6'd before
+    * the DECIMAL mean so the card is engine-deterministic.
+    */
+  def annNprobeTuning(t: Tables, nQueries: Int = 8, k: Int = 3,
+      nCells: Int = 16, probes: Seq[Int] = Seq(1, 2, 4, 8),
+      ordered: Boolean = false): DataFrame = {
+    val spark = t.spark
+    val maxP = probes.max
+    val coarse = hashCenters(t, nCells)
+    val assigned = withCell(withNorm(t.embeddings), coarse)
+      .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+    val cellCands = coarse.map { case (cell, cv, c2) =>
+      struct(
+        r6(col("n2") - lit(2.0) * VectorExprs.dot(col("v"), typedLit(cv)) + lit(c2))
+          .as("dist2_r"),
+        lit(cell.toLong).as("cell"))
+    }
+    // (q_id, cell, crank): the query's probe list at the largest level,
+    // 1-based rank in probe order — nQueries × maxP rows.
+    val probesRel = withNorm(t.embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"),
+        posexplode(slice(array_sort(array(cellCands: _*)), 1, maxP)).as(Seq("pi", "p")))
+      .select(col("q_id"), col("qv"), col("qn2"),
+        (col("pi") + 1).cast("long").as("crank"), col("p.cell").as("pcell"))
+    val levels = spark.range(1)
+      .select(explode(typedLit(probes.map(_.toLong))).as("nprobe"))
+    // Scored candidates tagged with their cell's probe rank (each
+    // vector lives in exactly one cell, so one row per (q, vec)).
+    val cands = assigned.join(broadcast(probesRel),
+        col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("crank"), col("vec_id"),
+        cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+    val wTop = Window.partitionBy(col("q_id"), col("nprobe"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    val topk = cands.crossJoin(broadcast(levels))
+      .filter(col("crank") <= col("nprobe"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nprobe"), col("vec_id"))
+    val exact = annTopkBruteforce(t, nQueries, k)
+      .select(col("q_id").as("eq"), col("vec_id").as("ev"))
+    val kx = exact.groupBy(col("eq")).agg(count(lit(1)).as("k_exact"))
+    val hits = topk.join(exact,
+        col("q_id") === col("eq") && col("vec_id") === col("ev"))
+      .groupBy(col("q_id"), col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
+    val total = assigned.agg(count(lit(1)).as("n_total"))
+    val scan = probesRel.select(col("q_id"), col("crank"), col("pcell"))
+      .join(broadcast(sizes), col("pcell") === sizes("cell"))
+      .crossJoin(broadcast(levels))
+      .filter(col("crank") <= col("nprobe"))
+      .groupBy(col("q_id"), col("nprobe")).agg(sum(col("n_c")).as("n_scan"))
+    val scaffold = probesRel.select(col("q_id")).distinct().crossJoin(broadcast(levels))
+    val perQ = scaffold
+      .join(hits, Seq("q_id", "nprobe"), "left")
+      .join(scan, Seq("q_id", "nprobe"))
+      .join(kx, col("q_id") === col("eq")).crossJoin(broadcast(total))
+      .select(col("q_id"), col("nprobe"),
+        r6(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("k_exact").cast("double")).as("recall_r"),
+        r6(col("n_scan").cast("double") / col("n_total").cast("double"))
+          .as("scan_frac_r"))
+    maybeSort(
+      perQ.groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("recall_r").cast(DecimalType(18, 6))).as("sr"),
+          sum(col("scan_frac_r").cast(DecimalType(18, 6))).as("ss"))
+        .select(col("nprobe"), col("n_queries"),
+          r6(col("sr").cast("double") / col("n_queries").cast("double"))
+            .as("mean_recall_r"),
+          r6(col("ss").cast("double") / col("n_queries").cast("double"))
+            .as("mean_scan_frac_r")),
+      ordered)(col("nprobe"))
+  }
 }

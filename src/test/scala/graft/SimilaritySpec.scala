@@ -471,4 +471,25 @@ class SimilaritySpec extends SparkSpec {
     val topIn = indeg.maxBy(_._2)._1
     assert(ranks(topIn) > floor, "max-in-degree node must sit above the floor")
   }
+
+  test("nprobe tuning: monotone recall and cost, full probe is exact") {
+    // probes up to nCells so the last sweep point IS brute force:
+    // recall must close at 1.0 and scan fraction at 1.0.
+    val rows = Similarity
+      .annNprobeTuning(tables, nCells = 16, probes = Seq(1, 2, 4, 16),
+        ordered = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 16L))
+    assert(rows.forall(_._2 == 8L), "every sweep point covers all queries")
+    val recalls = rows.map(_._3)
+    val scans = rows.map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nprobe: ${recalls.toSeq}")
+    assert(scans.zip(scans.tail).forall { case (a, b) => a <= b },
+      s"scan fraction must be monotone in nprobe: ${scans.toSeq}")
+    assert(recalls.last == 1.0, s"probing every cell must reach recall 1.0, got ${recalls.last}")
+    assert(scans.last == 1.0, s"probing every cell must scan the corpus, got ${scans.last}")
+    assert(scans.head < 0.5, s"nprobe=1 must scan a small fraction, got ${scans.head}")
+  }
 }
