@@ -2539,6 +2539,38 @@ object OracleSqlGen {
        |ORDER BY event_type, hour""".stripMargin
   }
 
+  /** A72: token-bucket throttle replay — integer micro-token lattice
+    * recursion (LEAST(cap, tokens + gap_µs // rate) − consume) as a
+    * per-user recursive CTE chained on row_number, exactly the Spark
+    * side's loop (no doubles anywhere, so parity is structural).
+    */
+  def evTokenBucket(capTokens: Int, usPerMicroToken: Long): String = {
+    val cap = capTokens * 1000000L
+    val avail = s"LEAST($cap, rec.tokens + (ev.tus - rec.tus) // $usPerMicroToken)"
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |rec AS (
+       |  SELECT user_id, rn, tus,
+       |    CASE WHEN $cap >= 1000000 THEN 1 ELSE 0 END AS allowed,
+       |    $cap - CASE WHEN $cap >= 1000000 THEN 1000000 ELSE 0 END AS tokens
+       |  FROM ev WHERE rn = 1
+       |  UNION ALL
+       |  SELECT ev.user_id, ev.rn, ev.tus,
+       |    CASE WHEN $avail >= 1000000 THEN 1 ELSE 0 END AS allowed,
+       |    ($avail) - CASE WHEN $avail >= 1000000 THEN 1000000 ELSE 0 END AS tokens
+       |  FROM rec JOIN ev ON ev.user_id = rec.user_id AND ev.rn = rec.rn + 1),
+       |cnt AS (SELECT user_id, COUNT(*) AS n FROM ev GROUP BY user_id)
+       |SELECT r.user_id, CAST(cnt.n AS BIGINT) AS n_events,
+       |  CAST(SUM(r.allowed) AS BIGINT) AS n_allowed,
+       |  CAST(cnt.n - SUM(r.allowed) AS BIGINT) AS n_dropped,
+       |  CAST(MAX(CASE WHEN r.rn = cnt.n THEN r.tokens END) AS BIGINT) AS final_tokens
+       |FROM rec r JOIN cnt ON cnt.user_id = r.user_id
+       |GROUP BY r.user_id, cnt.n
+       |ORDER BY r.user_id""".stripMargin
+  }
+
   val mmBinaryMeta: String =
     """SELECT doc_id,
       |  octet_length(text::BLOB) AS n_bytes,

@@ -1474,4 +1474,48 @@ object EventOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("w_id"))
   }
+
+  /** A72: per-user token-bucket throttle simulation — the reference's
+    * TTL cache (tasks.rs:66,184 — "emit iff quota available") is a
+    * fixed-window rate limiter; this is the classic generalized one
+    * (capacity `capTokens`, continuous refill of one token per
+    * `usPerMicroToken`·10⁶ µs), replayed over the log to size a
+    * quota BEFORE deploying it: per user, how many events the bucket
+    * would have admitted vs dropped, and the tokens left at the end.
+    *
+    * Exactness: tokens live on an integer micro-token lattice and
+    * refill is integer µs-gap division, so the recursion is
+    * bit-identical to the oracle's recursive CTE (the A67/A49
+    * discipline — no double drift over thousands of steps). First
+    * event sees a full bucket; a consume takes exactly 10⁶ µtokens.
+    *
+    * Scale shape: ONE user-keyed shuffle; per-user state is two longs
+    * and the sort is bounded by a user's own activity (A11's bound);
+    * output is #users rows. The oracle's recursion depth is the max
+    * per-user event count — bounded by the same skew A60 measures.
+    */
+  def evTokenBucket(t: Tables, capTokens: Int = 2,
+      usPerMicroToken: Long = 43200L, ordered: Boolean = false): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val cap = capTokens * 1000000L
+    val ev = t.events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .as[(Long, Long, Long)]
+    val out = ev.groupByKey(_._1).mapGroups { (uid, it) =>
+      val rows = it.toArray.sortBy(r => (r._3, r._2))
+      var tokens = cap
+      var prevT = 0L
+      var first = true
+      var allowed = 0L
+      rows.foreach { case (_, _, tus) =>
+        if (!first) tokens = math.min(cap, tokens + (tus - prevT) / usPerMicroToken)
+        first = false
+        prevT = tus
+        if (tokens >= 1000000L) { tokens -= 1000000L; allowed += 1 }
+      }
+      (uid, rows.length.toLong, allowed, rows.length - allowed, tokens)
+    }.toDF("user_id", "n_events", "n_allowed", "n_dropped", "final_tokens")
+    maybeSort(out, ordered)(col("user_id"))
+  }
 }

@@ -263,4 +263,30 @@ class EventOpsSpec extends SparkSpec {
         s"$ty moved $p -> $next after one extra step; not near the fixed point")
     }
   }
+
+  test("token bucket: conservation, bounds, planted burst drops exactly cap") {
+    import spark.implicits._
+    val out = EventOps.evTokenBucket(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (u, n, a, d, tok) =>
+      assert(a + d == n, s"user $u: allowed+dropped must equal events")
+      assert(a >= 1, s"user $u: first event always sees a full bucket")
+      assert(tok >= 0 && tok <= 2000000L, s"user $u: tokens outside [0, cap]")
+    }
+    // planted: one user fires 7 events one second apart — each 1 s gap
+    // refills 1e6//43200 = 23 µtokens (6·23 = 138 total, far below the
+    // 1e6 a consume needs), so exactly cap=2 are allowed and the
+    // leftover micro-refill is the final balance.
+    val base = 1704067200000000000L
+    val burst = (0 until 7).map(i =>
+      (9000L + i, base + i * 1000000000L, 42L, "click", 1.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tb").toString
+    burst.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val planted = EventOps.evTokenBucket(graft.sources.Tables(spark, tmp)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(planted.toSeq == Seq((42L, 7L, 2L, 5L, 138L)),
+      s"burst must admit exactly the bucket capacity: ${planted.toSeq}")
+  }
 }
