@@ -2478,9 +2478,13 @@ object OracleSqlGen {
     * columns, like the Spark side's state), every step the same few
     * IEEE ops with identical association.
     */
-  def evHoltForecast(alpha: Double, beta: Double): String = {
+  /** Shared A67 recursion CTE chain (hourly rollup → row-numbered →
+    * Holt level/trend/resid recursion), reused by the forecast card
+    * and the A73 backtest so the two relations cannot drift.
+    */
+  private def holtCtes(alpha: Double, beta: Double): String = {
     val lvl = s"$alpha * CAST(hr.n AS DOUBLE) + (1.0 - $alpha) * (rec.level + rec.trend)"
-    s"""WITH RECURSIVE h AS (
+    s"""h AS (
        |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
        |  FROM events GROUP BY 1, 2),
        |hr AS (SELECT event_type, hour, n,
@@ -2495,13 +2499,43 @@ object OracleSqlGen {
        |    $lvl AS level,
        |    $beta * (($lvl) - rec.level) + (1.0 - $beta) * rec.trend AS trend,
        |    CAST(hr.n AS DOUBLE) - (rec.level + rec.trend) AS resid
-       |  FROM rec JOIN hr ON hr.event_type = rec.event_type AND hr.rn = rec.rn + 1)
+       |  FROM rec JOIN hr ON hr.event_type = rec.event_type AND hr.rn = rec.rn + 1)""".stripMargin
+  }
+
+  def evHoltForecast(alpha: Double, beta: Double): String =
+    s"""WITH RECURSIVE ${holtCtes(alpha, beta)}
        |SELECT event_type, hour, n,
        |  floor(level*1000000 + 0.5)/1000000 AS level_r,
        |  floor(trend*1000000 + 0.5)/1000000 AS trend_r,
        |  floor(resid*1000000 + 0.5)/1000000 AS resid_r
        |FROM rec ORDER BY event_type, hour""".stripMargin
-  }
+
+  /** A73: forecast backtest — Holt vs the naive last-value forecast,
+    * MAE/RMSE per type. Residuals r6'd BEFORE abs/square (the
+    * recursion itself is bit-identical per the A67 discipline), holt
+    * squares r6'd per row then DECIMAL-summed; naive errors are pure
+    * integers. HUGEINT sums cast before the one double division.
+    */
+  def evForecastEval(alpha: Double, beta: Double): String =
+    s"""WITH RECURSIVE ${holtCtes(alpha, beta)},
+       |sc AS (SELECT event_type, rn, n,
+       |  floor(resid*1000000 + 0.5)/1000000 AS resid_r,
+       |  LAG(n) OVER (PARTITION BY event_type ORDER BY rn) AS prev_n
+       |  FROM rec),
+       |e AS (SELECT event_type,
+       |  abs(resid_r) AS h_abs,
+       |  floor(resid_r*resid_r*1000000 + 0.5)/1000000 AS h_sq,
+       |  abs(n - prev_n) AS nv_abs,
+       |  (n - prev_n)*(n - prev_n) AS nv_sq
+       |  FROM sc WHERE resid_r IS NOT NULL AND prev_n IS NOT NULL)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |  floor((CAST(SUM(CAST(h_abs AS DECIMAL(18,6))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS holt_mae_r,
+       |  floor(sqrt(CAST(SUM(CAST(h_sq AS DECIMAL(18,6))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS holt_rmse_r,
+       |  floor((CAST(SUM(nv_abs) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS naive_mae_r,
+       |  floor(sqrt(CAST(SUM(nv_sq) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS naive_rmse_r,
+       |  floor(sqrt(CAST(SUM(CAST(h_sq AS DECIMAL(18,6))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 <
+       |    floor(sqrt(CAST(SUM(nv_sq) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS holt_better
+       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** A49: CUSUM change-point — the S⁺ recursion as a recursive CTE
     * over the row-numbered per-type hourly series. Baseline (μ, σ)

@@ -231,6 +231,7 @@ object SparkEntry {
     "ev_autocorr"          -> q(EventOps.evAutocorr(_)),
     "ev_holt_forecast"     -> q(EventOps.evHoltForecast(_, ordered = true)),
     "ev_token_bucket"      -> q(EventOps.evTokenBucket(_, ordered = true)),
+    "ev_forecast_eval"     -> q(EventOps.evForecastEval(_, ordered = true)),
     "ev_burst_windows"     -> q(EventOps.evBurstWindows(_)),
     "ev_burst_impact"      -> q(EventOps.evBurstImpact(_)),
     "q_distinct_kmv"       -> q(Analytics.qDistinctKmv(_)),
@@ -1271,6 +1272,7 @@ object SparkEntry {
     "ev_autocorr"             -> OracleSqlGen.evAutocorr(Seq(1, 24)),
     "ev_holt_forecast"        -> OracleSqlGen.evHoltForecast(0.5, 0.25),
     "ev_token_bucket"         -> OracleSqlGen.evTokenBucket(2, 43200L),
+    "ev_forecast_eval"        -> OracleSqlGen.evForecastEval(0.5, 0.25),
     "ev_burst_windows"        -> OracleSqlGen.evBurstWindows(2.0),
     "ev_burst_impact"         -> OracleSqlGen.evBurstImpact(2.0, 20),
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),

@@ -1518,4 +1518,48 @@ object EventOps {
     }.toDF("user_id", "n_events", "n_allowed", "n_dropped", "final_tokens")
     maybeSort(out, ordered)(col("user_id"))
   }
+
+  /** A73: forecast BACKTEST — does A67's Holt model actually beat the
+    * naive last-value forecast on this corpus? Per type: MAE and RMSE
+    * of both one-step-ahead forecasts over the same scored hours, plus
+    * the verdict bit. The model-selection card an operator reads
+    * before wiring A67b's online residuals into alerting — a
+    * forecaster that loses to "tomorrow = today" should not gate
+    * pages.
+    *
+    * Determinism: the Holt recursion is bit-identical across engines
+    * (A67's law); residuals are r6'd BEFORE abs/square, holt squares
+    * r6'd per row then DECIMAL-summed; naive errors are exact
+    * integers. The final mean/sqrt are single double ops, r6'd.
+    *
+    * Scale shape: rides A67's calendar-bounded hourly relation — the
+    * naive lag shares the same per-type ordering, the rollup keys on
+    * #types. No new corpus-volume stage.
+    */
+  def evForecastEval(t: Tables, alpha: Double = 0.5, beta: Double = 0.25,
+      ordered: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val scored = evHoltForecast(t, alpha, beta)
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("resid_r").isNotNull && col("prev_n").isNotNull)
+      .select(col("event_type"),
+        abs(col("resid_r")).as("h_abs"),
+        r6(col("resid_r") * col("resid_r")).as("h_sq"),
+        abs(col("n") - col("prev_n")).as("nv_abs"),
+        ((col("n") - col("prev_n")) * (col("n") - col("prev_n"))).as("nv_sq"))
+    val out = scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("h_abs").cast(DecimalType(18, 6))).as("sha"),
+        sum(col("h_sq").cast(DecimalType(18, 6))).as("shs"),
+        sum(col("nv_abs")).as("sna"),
+        sum(col("nv_sq")).as("sns"))
+      .select(col("event_type"), col("n_scored"),
+        r6(col("sha").cast("double") / col("n_scored").cast("double")).as("holt_mae_r"),
+        r6(sqrt(col("shs").cast("double") / col("n_scored").cast("double"))).as("holt_rmse_r"),
+        r6(col("sna").cast("double") / col("n_scored").cast("double")).as("naive_mae_r"),
+        r6(sqrt(col("sns").cast("double") / col("n_scored").cast("double"))).as("naive_rmse_r"))
+      .withColumn("holt_better", col("holt_rmse_r") < col("naive_rmse_r"))
+    maybeSort(out, ordered)(col("event_type"))
+  }
 }
