@@ -614,6 +614,106 @@ object EventStreamJob {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Per-type burst-run state: open hourly counters, the pre-freeze
+    * pending buffer, the frozen (mu, sigma), and the current maximal
+    * above-threshold run (start/end epoch-µs hours, peak, total). */
+  final case class BurstState(open: Seq[(Long, Long)],
+      pending: Seq[(Long, Long)], baselineReady: Boolean,
+      mu: Double, sigma: Double,
+      runOpen: Boolean, runStart: Long, runEnd: Long,
+      peak: Long, total: Long, nHours: Long)
+
+  final case class BurstRec(event_type: String, start_hour: Instant,
+      end_hour: Instant, n_hours: Long, peak_n: Long, total_n: Long)
+
+  /** A68 ONLINE: streaming burst-window (gaps-and-islands) incidents —
+    * maximal runs of consecutive above-threshold hours emitted AS
+    * INCIDENTS when they close (a below-threshold hour, an empty
+    * hour, or the event-time timeout ends the run). The batch A68
+    * flags hours against full-corpus (mu + k·sigma); online the
+    * baseline freezes on the first `baselineHours` finalized present
+    * hours (the A42 discipline — pre-freeze hours buffer and replay
+    * in one burst), after which state is the open counters plus ONE
+    * in-flight run — never incident history.
+    *
+    * Run closure without new arrivals is watermark-driven: the hour
+    * after `runEnd` is provably empty once the watermark passes
+    * `runEnd + 2h` (had it held events they would be open or closed
+    * counters), so the run closes then — on the next batch or on the
+    * event-time timeout armed at that instant.
+    */
+  def streamEvBurstWindows(events: Dataset[Ev], baselineHours: Int = 48,
+      kSigma: Double = 2.0,
+      watermarkDelay: String = "30 minutes"): Dataset[BurstRec] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+
+    def fn(ty: String, it: Iterator[Ev],
+        state: GroupState[BurstState]): Iterator[BurstRec] = {
+      val st0 = state.getOption.getOrElse(
+        BurstState(Nil, Nil, baselineReady = false, 0.0, 0.0,
+          runOpen = false, 0L, 0L, 0L, 0L, 0L))
+      val incoming = it.foldLeft(Map.empty[Long, Long]) { (m, e) =>
+        val h = ChronoUnit.MICROS.between(Instant.EPOCH, e.ts) / hourUs * hourUs
+        m.updated(h, m.getOrElse(h, 0L) + 1L)
+      }
+      val open0 = st0.open.foldLeft(incoming) { case (m, (h, n)) =>
+        m.updated(h, m.getOrElse(h, 0L) + n)
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (closed, open) = open0.toSeq.partition { case (h, _) => h + hourUs <= wmUs }
+      var pending = st0.pending ++ closed.sortBy(_._1)
+      var (ready, mu, sigma) = (st0.baselineReady, st0.mu, st0.sigma)
+      var (runOpen, runStart, runEnd) = (st0.runOpen, st0.runStart, st0.runEnd)
+      var (peak, total, nHours) = (st0.peak, st0.total, st0.nHours)
+      val out = scala.collection.mutable.ArrayBuffer.empty[BurstRec]
+      def closeRun(): Unit = if (runOpen) {
+        out += BurstRec(ty, Instant.EPOCH.plus(runStart, ChronoUnit.MICROS),
+          Instant.EPOCH.plus(runEnd, ChronoUnit.MICROS), nHours, peak, total)
+        runOpen = false
+      }
+      if (!ready && pending.length >= baselineHours) {
+        // integer-moment baseline — the batch operator's exact stats
+        val base = pending.take(baselineHours).map(_._2)
+        val cnt = base.length.toDouble
+        mu = base.sum.toDouble / cnt
+        val sumsq = base.map(n => n * n).sum.toDouble
+        sigma = math.sqrt(math.max(sumsq / cnt - mu * mu, 0.0))
+        ready = true
+      }
+      if (ready) {
+        pending.foreach { case (h, n) =>
+          if (runOpen && h > runEnd + hourUs) closeRun() // empty-hour gap
+          if (n.toDouble > mu + kSigma * sigma) {
+            if (runOpen) {
+              runEnd = h; peak = math.max(peak, n); total += n; nHours += 1
+            } else {
+              runOpen = true; runStart = h; runEnd = h
+              peak = n; total = n; nHours = 1
+            }
+          } else closeRun()
+        }
+        pending = Nil
+        // the hour after runEnd is final-and-empty: close the run
+        if (runOpen && wmUs >= runEnd + 2 * hourUs) closeRun()
+      }
+      state.update(BurstState(open.sortBy(_._1), pending, ready, mu, sigma,
+        runOpen, runStart, runEnd, peak, total, nHours))
+      val timeouts =
+        open.map(_._1 + hourUs).toSeq ++
+          (if (runOpen) Seq(runEnd + 2 * hourUs) else Nil)
+      if (timeouts.nonEmpty)
+        state.setTimeoutTimestamp(timeouts.min / 1000L + 1L)
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Keyed upsert target for streamUpsertCounts. Implementations MUST
     * make the replay check and the merge atomic *in the store* (a JDBC
     * MERGE plus an applied-batch log row in the same transaction, an

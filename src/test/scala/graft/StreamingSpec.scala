@@ -903,6 +903,63 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+  test("streaming burst windows == driver-recomputed prefix-baseline incidents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamEvBurstWindows(input.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("burst_out").start()
+    try {
+      eventsData.grouped((eventsData.size + 2) / 3).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      val lastTs = eventsData.map(_.ts).max
+      input.addData(Seq(Ev(999999L, lastTs.plusSeconds(864000), -1L, "sentinel")))
+      q.processAllAvailable()
+      val streamed = spark.table("burst_out").filter($"event_type" =!= "sentinel")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      // driver reference: per type, hourly counts; baseline = first 48
+      // present hours (integer moments); runs of CONSECUTIVE epoch
+      // hours above mu + 2 sigma, trailing run closed at end of data.
+      val hourUs = 3600L * 1000000L
+      val reference = eventsData.groupBy(_.event_type).flatMap { case (ty, evs) =>
+        val hours = evs.groupBy { e =>
+          java.time.temporal.ChronoUnit.MICROS.between(Instant.EPOCH, e.ts) / hourUs * hourUs
+        }.view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        if (hours.length < 48) Nil
+        else {
+          val base = hours.take(48).map(_._2)
+          val mu = base.sum.toDouble / base.length
+          val sumsq = base.map(n => n * n).sum.toDouble
+          val sigma = math.sqrt(math.max(sumsq / base.length - mu * mu, 0.0))
+          val thr = mu + 2.0 * sigma
+          val runs = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+          var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          hours.foreach { case (h, n) =>
+            if (cur.nonEmpty && h > cur.last._1 + hourUs) {
+              runs += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+            }
+            if (n.toDouble > thr) cur += ((h, n))
+            else if (cur.nonEmpty) {
+              runs += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+            }
+          }
+          if (cur.nonEmpty) runs += cur.toSeq
+          runs.map { r =>
+            (ty, r.head._1 / 1000, r.last._1 / 1000, r.length.toLong,
+              r.map(_._2).max, r.map(_._2).sum)
+          }
+        }
+      }.toSet
+      assert(streamed == reference,
+        s"stream≠reference: only-stream=${(streamed -- reference).take(3)} " +
+          s"only-ref=${(reference -- streamed).take(3)}")
+      assert(streamed.nonEmpty, "corpus must produce at least one burst incident")
+    } finally q.stop()
+  }
 }
 
 /** Executor-reachable capture for the per-partition JSON sink test. */
