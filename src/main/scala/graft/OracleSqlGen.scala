@@ -583,14 +583,18 @@ object OracleSqlGen {
     * (HUGEINT product // row sum) on the 1e-12 lattice, so the
     * recursion gates bit-for-bit.
     */
-  def evStationaryDist(iters: Int): String = {
+  /** Shared A70 CTE chain: transition matrix `tm` + the 1e-12 integer
+    * lattice power iteration ending at p$iters; reused by the A74
+    * entropy-rate card so the two relations cannot drift.
+    */
+  private def markovCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""p$i AS (SELECT tm.to_type AS event_type,
          |  CAST(SUM((CAST(p.p AS HUGEINT) * tm.n) // tm.n_from) AS BIGINT) AS p
          |  FROM p${i - 1} p JOIN tm ON p.event_type = tm.from_type
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH seq AS (SELECT user_id, event_type,
+    s"""seq AS (SELECT user_id, event_type,
        |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
        |  FROM events),
        |tc AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n
@@ -601,10 +605,33 @@ object OracleSqlGen {
        |  UNION SELECT to_type FROM tm),
        |kk AS (SELECT COUNT(*) AS k FROM ty),
        |p0 AS (SELECT event_type, 1000000000000 // k AS p FROM ty, kk),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  def evStationaryDist(iters: Int): String =
+    s"""WITH ${markovCtes(iters)}
        |SELECT event_type, p AS p_e12,
        |  floor((CAST(p AS DOUBLE) / 1000000000000.0)*1000000 + 0.5)/1000000 AS p_r
        |FROM p$iters ORDER BY event_type""".stripMargin
+
+  /** A74: Markov entropy rate — per-row Shannon terms r6'd before the
+    * DECIMAL sum (order-independent), stationary weights from the A70
+    * lattice, contrib = two deterministic double ops.
+    */
+  def evMarkovEntropyRate(iters: Int): String = {
+    val pij = "CAST(n AS DOUBLE)/CAST(n_from AS DOUBLE)"
+    s"""WITH ${markovCtes(iters)},
+       |re AS (SELECT from_type, n_from,
+       |  CAST(SUM(CAST(floor(-($pij) * ln($pij)*1000000 + 0.5)/1000000 AS DECIMAL(18,6))) AS DOUBLE) AS row_entropy
+       |  FROM tm GROUP BY 1, 2),
+       |pi AS (SELECT event_type,
+       |  floor((CAST(p AS DOUBLE) / 1000000000000.0)*1000000 + 0.5)/1000000 AS p_r
+       |  FROM p$iters)
+       |SELECT re.from_type, re.n_from, pi.p_r,
+       |  floor(row_entropy*1000000 + 0.5)/1000000 AS row_entropy_r,
+       |  floor(pi.p_r*row_entropy*1000000 + 0.5)/1000000 AS contrib_r
+       |FROM re JOIN pi ON pi.event_type = re.from_type
+       |ORDER BY re.from_type""".stripMargin
   }
 
   /** A71: seasonal-adjusted hourly anomaly — per-(type, hour-of-day)

@@ -83,6 +83,7 @@ object SparkEntry {
     "ev_cohort_ltv"        -> q(EventOps.evCohortLtv),
     "ev_state_transitions" -> q(EventOps.evStateTransitions(_, ordered = true)),
     "ev_stationary_dist"   -> q(EventOps.evStationaryDist(_)),
+    "ev_markov_entropy"    -> q(EventOps.evMarkovEntropyRate(_, ordered = true)),
     "ev_anomaly_seasonal"  -> q(EventOps.evAnomalySeasonal(_, ordered = true)),
     "text_entropy"         -> q(TextOps.textEntropy(_, ordered = true)),
     "ev_gap_fill"          -> q(EventOps.evGapFill),
@@ -1262,6 +1263,7 @@ object SparkEntry {
     "doc_minhash_jaccard_est" -> OracleSqlGen.docMinhashJaccardEst,
     "doc_bbit_minhash_est"    -> OracleSqlGen.docBbitMinhashEst(4),
     "ev_stationary_dist"      -> OracleSqlGen.evStationaryDist(10),
+    "ev_markov_entropy"       -> OracleSqlGen.evMarkovEntropyRate(10),
     "ev_anomaly_seasonal"     -> OracleSqlGen.evAnomalySeasonal(3.0),
     "doc_minhash_calibration" -> OracleSqlGen.docMinhashCalibration,
     "text_bpe_train"          -> OracleSqlGen.textBpeTrain(3),

@@ -1562,4 +1562,47 @@ object EventOps {
       .withColumn("holt_better", col("holt_rmse_r") < col("naive_rmse_r"))
     maybeSort(out, ordered)(col("event_type"))
   }
+
+  /** A74: ENTROPY RATE of the event-type Markov chain — per from-type,
+    * the conditional next-step entropy H_i = −Σⱼ P_ij ln P_ij and its
+    * stationary-weighted contribution π_i·H_i (whose sum is the chain's
+    * entropy rate, Shannon's H(X_{t+1}|X_t)): the predictability read
+    * on A34's matrix — a type with H_i ≈ 0 makes its successor nearly
+    * deterministic (the scripted-flow signature next to A57's per-user
+    * entropy), while high-H_i types are genuine branch points; the π
+    * weighting says how much each answers for globally.
+    *
+    * Determinism: P_ij is a double cast of an exact integer ratio, the
+    * Shannon terms are r6'd BEFORE the DECIMAL sum (order-independent),
+    * π rides A70's 1e-12 integer lattice, and contrib is two
+    * deterministic double multiplications r6'd.
+    *
+    * Scale shape: the transition matrix is A34's ONE user-keyed window
+    * stage (#types² rollup); the entropy rollup and the π join both
+    * run on ≤#types² / ≤#types rows.
+    */
+  def evMarkovEntropyRate(t: Tables, iters: Int = 10,
+      ordered: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+    val pij = col("n").cast("double") / col("n_from").cast("double")
+    val rowEnt = trans
+      .select(col("from_type"), col("n_from"),
+        r6(-pij * log(pij)).as("term_r"))
+      .groupBy(col("from_type"), col("n_from"))
+      .agg(sum(col("term_r").cast(DecimalType(18, 6))).cast("double").as("row_entropy"))
+    val pi = evStationaryDist(t, iters).select(col("event_type"), col("p_r"))
+    val out = rowEnt.join(pi, col("from_type") === col("event_type"))
+      .select(col("from_type"), col("n_from"), col("p_r"),
+        r6(col("row_entropy")).as("row_entropy_r"),
+        r6(col("p_r") * col("row_entropy")).as("contrib_r"))
+    maybeSort(out, ordered)(col("from_type"))
+  }
 }
