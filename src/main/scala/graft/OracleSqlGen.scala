@@ -1012,6 +1012,54 @@ object OracleSqlGen {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** D38: MMR re-ranking — the k greedy steps unrolled as chained
+    * CTEs (the A70/E47 unrolled-recursion pattern): step t picks the
+    * unselected pool row maximizing λ·cos_r − (1−λ)·max sim to the
+    * selected set, ties on vec_id. All cosines r6'd; the objective is
+    * the identical double expression the Spark group loop evaluates.
+    */
+  def annMmrDiversify(nQueries: Int, k: Int, poolM: Int,
+      lambda: Double): String = {
+    val om = 1.0 - lambda
+    val score = s"$lambda*cos_r - $om*maxsim"
+    val steps = (2 to k).map { i =>
+      s"""st$i AS (SELECT c.q_id, c.vec_id, c.cos_r, MAX(p.cos_r) AS maxsim
+         |  FROM cand c
+         |  JOIN pw p ON p.q_id = c.q_id AND p.va = c.vec_id
+         |  JOIN selu${i - 1} s ON s.q_id = p.q_id AND s.vec_id = p.vb
+         |  LEFT JOIN selu${i - 1} x ON x.q_id = c.q_id AND x.vec_id = c.vec_id
+         |  WHERE x.vec_id IS NULL
+         |  GROUP BY 1, 2, 3),
+         |sel$i AS (SELECT q_id, $i AS rank, vec_id, cos_r,
+         |  floor(($score)*1000000 + 0.5)/1000000 AS mmr_r
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY ($score) DESC, vec_id ASC) AS rn FROM st$i) WHERE rn = 1),
+         |selu$i AS (SELECT q_id, vec_id FROM selu${i - 1}
+         |  UNION ALL SELECT q_id, vec_id FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i => s"SELECT * FROM sel$i").mkString("\n  UNION ALL ")
+    val dotXY = "list_reduce([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)], (x,y) -> x+y)"
+    s"""WITH $normCte,
+       |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM n q JOIN n c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |cand AS (SELECT q_id, vec_id, cos_r FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM sc) WHERE rn <= $poolM),
+       |pw AS (SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+       |  floor(($dotXY/(sqrt(x.n2)*sqrt(y.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+       |  JOIN n x ON x.vec_id = a.vec_id JOIN n y ON y.vec_id = b.vec_id),
+       |sel1 AS (SELECT q_id, 1 AS rank, vec_id, cos_r, cos_r AS mmr_r FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM cand) WHERE rn = 1),
+       |selu1 AS (SELECT q_id, vec_id FROM sel1),
+       |$steps
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_r, mmr_r FROM (
+       |  $union)
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** D37: IVF nprobe-tuning card — candidates generated once at the
     * largest level with the probed cell's rank attached; a sweep
     * point's candidate set is the `crank <= nprobe` prefix. Per-query

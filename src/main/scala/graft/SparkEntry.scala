@@ -129,6 +129,7 @@ object SparkEntry {
     "emb_centroid_dist"    -> q(Similarity.embCentroidDist(_, ordered = true)),
     "ann_recall_eval"      -> q(Similarity.annRecallEval(_, ordered = true)),
     "ann_nprobe_tuning"    -> q(Similarity.annNprobeTuning(_, ordered = true)),
+    "ann_mmr_diversify"    -> q(Similarity.annMmrDiversify(_, ordered = true)),
     "emb_knn_clusters"     -> q(Similarity.embKnnClusters(_, ordered = true)),
     "ann_ivf"              -> q(Similarity.annIvf(_)),
     "ann_maxsim"           -> q(Similarity.annMaxsim(_)),
@@ -1286,6 +1287,7 @@ object SparkEntry {
     "emb_explained_variance"  -> OracleSqlGen.embExplainedVariance,
     "ann_hamming_rerank"      -> OracleSqlGen.annHammingRerank(8, 5, 24),
     "ann_nprobe_tuning"       -> OracleSqlGen.annNprobeTuning(8, 3, 16, Seq(1, 2, 4, 8)),
+    "ann_mmr_diversify"       -> OracleSqlGen.annMmrDiversify(8, 5, 20, 0.5),
     "ann_mips_topk"           -> OracleSqlGen.annMipsTopk(8, 5),
     "mm_scene_cuts"           -> OracleSqlGen.mmSceneCuts(64, 4, 36),
     "doc_dup_ngram_mass"      -> OracleSqlGen.docDupNgramMass,

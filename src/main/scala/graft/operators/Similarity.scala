@@ -1466,6 +1466,82 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** D38: MMR-diversified top-k (maximal marginal relevance,
+    * Carbonell-Goldstein): greedy re-ranking of the top-`poolM`
+    * relevance pool — each step picks argmax of λ·cos(q,d) −
+    * (1−λ)·max_{s∈S} cos(d,s) — so the returned k trade relevance
+    * against redundancy (the retrieval-side cousin of C11 semdedup:
+    * instead of deleting near-duplicates from the corpus, stop
+    * returning them twice). First pick is pure relevance.
+    *
+    * Scale shape: the DISTRIBUTED work is D1's bounded top-poolM pool;
+    * the greedy is inherently sequential per query but runs on a
+    * poolM-row group (flatMapGroups), with the poolM² pairwise cosines
+    * computed in-group — never a corpus-volume stage. At 100 TB this
+    * is the standard two-phase retrieval: ANN narrows to a pool, MMR
+    * re-ranks the pool.
+    *
+    * Determinism: all cosines r6'd (the same sequential dot fold as
+    * the oracle's list_reduce); the objective is exact dyadic algebra
+    * over r6'd values (λ = 0.5), ties break on vec_id; the oracle
+    * unrolls the k greedy steps as chained CTEs (the A70/E47 unrolled
+    * recursion pattern).
+    */
+  def annMmrDiversify(t: Tables, nQueries: Int = 8, k: Int = 5,
+      poolM: Int = 20, lambda: Double = 0.5,
+      ordered: Boolean = false): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val pool = annTopkBruteforce(t, nQueries, poolM)
+      .select(col("q_id"), col("vec_id"), col("cos_r"))
+    val vecs = withNorm(t.embeddings)
+      .select(col("vec_id").as("vid"), col("v"), col("n2"))
+    val cand = pool.join(vecs, col("vec_id") === col("vid"))
+      .select(col("q_id"), col("vec_id"), col("cos_r"), col("v"), col("n2"))
+      .as[(Long, Long, Double, Seq[Double], Double)]
+    val out = cand.groupByKey(_._1).flatMapGroups { (q, it) =>
+      def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val rows = it.toArray.sortBy(r => (-r._3, r._2))
+      val vs = rows.map(_._4.toArray)
+      val n2s = rows.map(_._5)
+      def pairCos(i: Int, j: Int): Double = {
+        var s = 0.0
+        var d = 0
+        val a = vs(i); val b = vs(j)
+        while (d < a.length) { s += a(d) * b(d); d += 1 }
+        r6d(s / (math.sqrt(n2s(i)) * math.sqrt(n2s(j))))
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val emitted = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double, Double)]
+      if (rows.nonEmpty) {
+        selected += 0
+        emitted += ((q, 1L, rows(0)._2, rows(0)._3, rows(0)._3))
+        var rank = 2
+        while (rank <= k && selected.length < rows.length) {
+          var bestI = -1
+          var bestScore = Double.NegativeInfinity
+          rows.indices.foreach { i =>
+            if (!selected.contains(i)) {
+              var maxsim = Double.NegativeInfinity
+              selected.foreach { j => maxsim = math.max(maxsim, pairCos(i, j)) }
+              val score = lambda * rows(i)._3 - (1.0 - lambda) * maxsim
+              if (score > bestScore ||
+                  (score == bestScore && bestI >= 0 && rows(i)._2 < rows(bestI)._2)) {
+                bestScore = score; bestI = i
+              }
+            }
+          }
+          selected += bestI
+          emitted += ((q, rank.toLong, rows(bestI)._2, rows(bestI)._3, r6d(bestScore)))
+          rank += 1
+        }
+      }
+      emitted.iterator
+    }.toDF("q_id", "rank", "vec_id", "cos_r", "mmr_r")
+    maybeSort(out, ordered)(col("q_id"), col("rank"))
+  }
+
   /** D37: IVF nprobe-tuning card — recall@k AND scanned-corpus
     * fraction per nprobe level, the curve an operator reads to pick
     * nprobe before a 100 TB run (the IVF analog of C20's banding

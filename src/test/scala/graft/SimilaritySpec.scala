@@ -472,6 +472,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks(topIn) > floor, "max-in-degree node must sit above the floor")
   }
 
+  test("mmr: rank1 is pure relevance, members from pool, diversity beats plain topk") {
+    import org.apache.spark.sql.functions.col
+    val k = 5
+    val mmr = Similarity.annMmrDiversify(tables, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = topk(Similarity.annTopkBruteforce(tables, k = 20))
+    val byQ = mmr.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    byQ.foreach { case (q, sel) =>
+      assert(sel.head == exact(q).head, s"q=$q rank1 must be the exact-cosine argmax")
+      assert(sel.distinct.size == sel.size, s"q=$q must not repeat a selection")
+      assert(sel.forall(exact(q).contains), s"q=$q selections must come from the pool")
+    }
+    // diversity: mean max intra-set similarity of the MMR set must not
+    // exceed the plain top-k's (deterministic data, so not flaky)
+    val e = Similarity.withNorm(tables.embeddings)
+      .select(col("vec_id"), col("v"), col("n2")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, na) = e(a); val (vb, nb) = e(b)
+      var s = 0.0; var i = 0
+      while (i < va.length) { s += va(i) * vb(i); i += 1 }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def maxIntra(sel: Seq[Long]): Double =
+      sel.combinations(2).map { case Seq(a, b) => cos(a, b) }.max
+    val qs = byQ.keys.toSeq
+    val mmrDiv = qs.map(q => maxIntra(byQ(q))).sum / qs.size
+    val topkDiv = qs.map(q => maxIntra(exact(q).take(k))).sum / qs.size
+    assert(mmrDiv <= topkDiv,
+      s"MMR mean max-intra-sim $mmrDiv must not exceed plain topk $topkDiv")
+  }
+
   test("nprobe tuning: monotone recall and cost, full probe is exact") {
     // probes up to nCells so the last sweep point IS brute force:
     // recall must close at 1.0 and scan fraction at 1.0.
