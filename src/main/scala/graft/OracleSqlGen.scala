@@ -801,6 +801,46 @@ object OracleSqlGen {
        |WHERE prev_ph IS NOT NULL AND CAST(bit_count(xor(ph, prev_ph)) AS INTEGER) >= $threshold
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** F13: keyframe selection — F12's frame/cut CTEs + a per-frame
+    * distinct-byte detail score, running cut count as scene id, and a
+    * per-scene (detail desc, frame asc) argmax.
+    */
+  def mmKeyframeSelect(frameBytes: Int, stride: Int, threshold: Int): String =
+    s"""WITH fr AS (SELECT doc_id, frame_idx,
+       |    substr(text, frame_idx*$frameBytes + 1, $frameBytes) AS ft
+       |  FROM (SELECT doc_id, text,
+       |    unnest([i for i in range(0, length(text) // $frameBytes, $stride)]) AS frame_idx
+       |    FROM documents)),
+       |fb AS (SELECT doc_id, frame_idx, ft, unnest(range(61)) AS i FROM fr),
+       |fbs AS (SELECT doc_id, frame_idx, CAST(i AS INTEGER) AS i,
+       |  CASE WHEN length(ft) >= i+1 THEN ord(substr(ft, CAST(i+1 AS INTEGER), 1)) ELSE 0 END AS s
+       |  FROM fb),
+       |fph AS (SELECT a.doc_id, a.frame_idx,
+       |  CAST(SUM(CASE WHEN a.s > b2.s THEN (1::BIGINT << a.i) ELSE 0 END) AS BIGINT) AS ph
+       |  FROM fbs a JOIN fbs b2 ON a.doc_id = b2.doc_id AND a.frame_idx = b2.frame_idx AND b2.i = a.i + 1
+       |  GROUP BY a.doc_id, a.frame_idx),
+       |dt AS (SELECT doc_id, frame_idx,
+       |  CAST(COUNT(DISTINCT substr(ft, CAST(i+1 AS INTEGER), 1)) AS BIGINT) AS detail
+       |  FROM (SELECT doc_id, frame_idx, ft, unnest(range(length(ft))) AS i FROM fr)
+       |  GROUP BY 1, 2),
+       |lg AS (SELECT doc_id, frame_idx, ph,
+       |  LAG(ph) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_ph
+       |  FROM fph),
+       |sq AS (SELECT lg.doc_id, lg.frame_idx, dt.detail,
+       |  CASE WHEN prev_ph IS NOT NULL
+       |    AND CAST(bit_count(xor(ph, prev_ph)) AS INTEGER) >= $threshold
+       |    THEN 1 ELSE 0 END AS is_cut
+       |  FROM lg JOIN dt ON dt.doc_id = lg.doc_id AND dt.frame_idx = lg.frame_idx),
+       |sc AS (SELECT *, SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene_id FROM sq),
+       |pk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, scene_id
+       |  ORDER BY detail DESC, frame_idx ASC) AS pn FROM sc)
+       |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+       |  MIN(frame_idx) AS start_idx, MAX(frame_idx) AS end_idx,
+       |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  MAX(CASE WHEN pn = 1 THEN frame_idx END) AS key_frame_idx,
+       |  MAX(CASE WHEN pn = 1 THEN detail END) AS key_detail
+       |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def mmPhashPairs(maxHamming: Int): String =
     s"""WITH $dhashCtes,
        |ch AS (SELECT doc_id, phash, j, (phash >> (15*j)) & 32767 AS chunk_val

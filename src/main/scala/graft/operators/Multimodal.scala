@@ -371,4 +371,61 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"), col("prev_idx"), col("hamming")),
       ordered)(col("doc_id"), col("frame_idx"))
   }
+
+  /** F13: keyframe selection — F12's scene segmentation composed with
+    * a per-frame detail score into one representative frame per scene
+    * (the thumbnail/embedding-input picker: at 100 TB of video you
+    * embed ONE frame per shot, not every fourth frame — F4's stride
+    * bounds the candidates, F12's cuts group them, this picks).
+    * Scene id = running count of cut frames (a cut STARTS a new
+    * scene); detail score = distinct byte values in the frame (the
+    * stub's texture-richness stand-in for a Laplacian sharpness
+    * score — the real decoder drops into the same argmax); keyframe =
+    * argmax(detail, ties → earliest frame).
+    *
+    * Scale shape: frame hashing and the detail score are the F4/F10
+    * narrow pass (payload bytes never shuffle — the per-position
+    * explode lives inside a codegen'd transform/array_distinct
+    * expression); the lag, the running cut count, and the per-scene
+    * argmax all ride ONE asset-keyed sort (frames per asset are
+    * duration-bounded); output is #scenes rows.
+    */
+  def mmKeyframeSelect(t: Tables, frameBytes: Int = 64, stride: Int = 4,
+      threshold: Int = 36, ordered: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val fr = t.documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("nf", expr(s"octet_length(payload) div $frameBytes").cast("int"))
+      .select(col("doc_id"), col("payload"),
+        explode(when(col("nf") > 0, sequence(lit(0), col("nf") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("ft"))
+      .select(col("doc_id"), col("frame_idx"),
+        call_function("graft_dhash60_b1", col("ft")).as("ph"),
+        expr("size(array_distinct(transform(sequence(1, octet_length(ft)), i -> substring(ft, i, 1))))")
+          .cast("long").as("detail"))
+    val scenes = fr
+      .withColumn("prev_ph", lag(col("ph"), 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev_ph").isNotNull &&
+          bit_count(col("ph").bitwiseXOR(col("prev_ph"))) >= threshold, 1L)
+          .otherwise(0L))
+      .withColumn("scene_id", sum(col("is_cut")).over(w))
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("scene_id"))
+      .orderBy(col("detail").desc, col("frame_idx").asc)
+    maybeSort(
+      scenes
+        .withColumn("pn", row_number().over(pick))
+        .groupBy(col("doc_id"), col("scene_id"))
+        .agg(
+          min(col("frame_idx")).as("start_idx"),
+          max(col("frame_idx")).as("end_idx"),
+          count(lit(1)).as("n_frames"),
+          max(when(col("pn") === 1, col("frame_idx"))).as("key_frame_idx"),
+          max(when(col("pn") === 1, col("detail"))).as("key_detail")),
+      ordered)(col("doc_id"), col("scene_id"))
+  }
 }
