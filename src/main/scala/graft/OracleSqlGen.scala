@@ -2466,6 +2466,18 @@ object OracleSqlGen {
     * lowest-suppkey ties — MIN of per-row double divisions is
     * order-free, so the only rounding is the display r6.
     */
+  /** B50: the PLAIN selective join — the Bloom prefilter is transparent
+    * by construction (false positives die in the exact join), so the
+    * oracle states the join without it.
+    */
+  def qBloomJoinReduce(priceMin: Double): String =
+    s"""SELECT o.o_orderpriority,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE o.o_totalprice >= $priceMin
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val qMinCostSupplier: String =
     """WITH u AS (SELECT l_partkey, l_suppkey,
       |  MIN(l_extendedprice / l_quantity) AS cost

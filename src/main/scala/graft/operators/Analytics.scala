@@ -1217,5 +1217,50 @@ object Analytics {
       .orderBy($("p_partkey"))
   }
 
+  /** B50: Bloom semi-join REDUCTION — the selective fact⋈dim join with
+    * an explicit runtime filter: the selected dim keys (high-value
+    * orders, ~3% of the table) fold into ONE dense 8 KiB bit-array row
+    * that broadcasts into the fact scan; only fact rows passing all k
+    * bit tests reach the exact join, which then kills the false
+    * positives — so the RESULT is provably identical to the plain join
+    * (the oracle states the plain join) while the join's probe-side
+    * shuffle shrinks from the whole fact table to ~selectivity·fact.
+    *
+    * At 100 TB this is the sideways-information-passing shape Spark's
+    * own runtime Bloom (spark.sql.optimizer.runtimeFilter) automates:
+    * a dim selection of 100 M keys is gigabytes as a broadcast hash
+    * relation but megabytes as a Bloom — the bit test rides the
+    * codegen'd scan (narrow), and the exact join afterwards only pays
+    * for survivors. Bit positions come from k seeded Murmur3 hashes;
+    * false positives only cost wasted probe rows, never correctness.
+    */
+  def qBloomJoinReduce(t: Tables, priceMin: Double = 480000.0,
+      mBits: Int = 65536, kHashes: Int = 4): DataFrame = {
+    val nWords = mBits / 64
+    val sel = t.orders.filter($("o_totalprice") >= priceMin)
+      .select($("o_orderkey"), $("o_orderpriority"))
+    def pos(c: Column, r: Int): Column = pmod(hash(c, lit(r)), lit(mBits)).cast("long")
+    val bloomRow = sel
+      .select(explode(array((0 until kHashes).map(r => pos($("o_orderkey"), r)): _*)).as("p"))
+      .groupBy(shiftright($("p"), 6).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(p % 64 as int)))").as("bits"))
+      .agg(map_from_entries(collect_list(struct($("w"), $("bits")))).as("wm"))
+      .select(transform(sequence(lit(0), lit(nWords - 1)),
+        w => coalesce(element_at($("wm"), w), lit(0L))).as("bloom"))
+    def bitTest(p: Column): Column =
+      element_at($("bloom"), (shiftright(p, 6) + 1).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= 0L
+    val pre = t.lineitem
+      .select($("l_orderkey"), $("l_extendedprice"), $("l_discount"))
+      .crossJoin(broadcast(bloomRow))
+      .filter((0 until kHashes).map(r => bitTest(pos($("l_orderkey"), r))).reduce(_ && _))
+      .drop("bloom")
+    pre.join(sel, $("l_orderkey") === $("o_orderkey"))
+      .groupBy($("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        psum($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("revenue"))
+      .orderBy($("o_orderpriority"))
+  }
+
   private def $(name: String): Column = col(name)
 }

@@ -448,4 +448,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
       s"range exchange must be reused by both branches:\n${p.take(1200)}")
   }
+
+  test("bloom join reduce: prefilter passes few rows, result equals plain join") {
+    import org.apache.spark.sql.functions._
+    val t = tables
+    // the B50 prefilter stage alone: count survivors vs the fact table
+    val total = t.lineitem.count().toDouble
+    val sel = t.orders.filter(col("o_totalprice") >= 480000.0)
+      .select(col("o_orderkey"))
+    val trueMatch = t.lineitem.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    val out = graft.operators.Analytics.qBloomJoinReduce(t)
+    val joined = out.agg(sum(col("n_lines"))).collect()(0).getLong(0)
+    assert(joined == trueMatch,
+      "bloom-prefiltered join must return exactly the plain join's rows")
+    // the point of the operator: the selection is actually selective
+    assert(trueMatch.toDouble / total < 0.2,
+      s"test premise: selective dim (got ${trueMatch / total})")
+  }
 }
