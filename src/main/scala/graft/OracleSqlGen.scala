@@ -63,6 +63,32 @@ object OracleSqlGen {
        |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
        |$jaccardTail""".stripMargin
 
+  /** C29: exact Levenshtein over the C3 band candidates — native
+    * `levenshtein` on both engines (same DP definition), one r6'd
+    * normalized-similarity division.
+    */
+  val docEditDistance: String =
+    s"""WITH $gramCtes,
+       |$sigCte,
+       |band AS (SELECT doc_id, j,
+       |  CASE j WHEN 0 THEN ${bandConcat(0 until 4)}
+       |         WHEN 1 THEN ${bandConcat(4 until 8)}
+       |         WHEN 2 THEN ${bandConcat(8 until 12)}
+       |         ELSE ${bandConcat(12 until 16)} END AS band_val
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT c.da AS doc_a, c.db AS doc_b,
+       |  CAST(length(x.text) AS BIGINT) AS len_a,
+       |  CAST(length(y.text) AS BIGINT) AS len_b,
+       |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
+       |  floor((1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE) /
+       |    CAST(GREATEST(length(x.text), length(y.text)) AS DOUBLE))*1000000 + 0.5)/1000000 AS sim_r
+       |FROM cand c
+       |JOIN documents x ON x.doc_id = c.da
+       |JOIN documents y ON y.doc_id = c.db
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** C28: b-bit minhash estimation card — low-b-bit agreement over
     * the SAME band candidates as C3b, with the Li–König collision
     * correction (C = 2^-b, exact binary fractions on both engines).

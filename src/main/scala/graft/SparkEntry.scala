@@ -91,6 +91,7 @@ object SparkEntry {
     "doc_exact_dedup"      -> q(Dedup.docExactDedup(_, ordered = true)),
     "doc_minhash_sig"      -> q(Dedup.docMinhashSig(_, ordered = true)),
     "doc_minhash_lsh_pairs" -> q(Dedup.docMinhashLshPairs(_, ordered = true)),
+    "doc_edit_distance"    -> q(Dedup.docEditDistance(_, ordered = true)),
     "doc_minhash_jaccard_est" -> q(Dedup.docMinhashJaccardEst(_, ordered = true)),
     "doc_bbit_minhash_est" -> q(Dedup.docBbitMinhashEst(_, ordered = true)),
     "doc_minhash_calibration" -> q(Dedup.docMinhashCalibration(_)),
@@ -1263,6 +1264,7 @@ object SparkEntry {
     "doc_exact_dedup"       -> OracleSqlGen.docExactDedup,
     "doc_minhash_sig"       -> OracleSqlGen.docMinhashSig,
     "doc_minhash_lsh_pairs" -> OracleSqlGen.docMinhashLshPairs,
+    "doc_edit_distance"     -> OracleSqlGen.docEditDistance,
     "doc_minhash_jaccard_est" -> OracleSqlGen.docMinhashJaccardEst,
     "doc_bbit_minhash_est"    -> OracleSqlGen.docBbitMinhashEst(4),
     "ev_stationary_dist"      -> OracleSqlGen.evStationaryDist(10),
