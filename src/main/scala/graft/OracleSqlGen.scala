@@ -63,6 +63,37 @@ object OracleSqlGen {
        |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
        |$jaccardTail""".stripMargin
 
+  /** E52: content-defined chunking — per-window Rabin–Karp fold
+    * (recomputed O(n·k); the Spark side's native pass is
+    * value-identical), cut where hash ≡ 0 (mod modDiv), segmentation
+    * via LAG over the distinct end positions, copy count per chunk
+    * content hash.
+    */
+  def docCdcChunks(window: Int, modDiv: Int): String =
+    s"""WITH d AS (SELECT doc_id, lower(text) AS lt,
+       |  CAST(length(text) AS BIGINT) AS len FROM documents WHERE length(text) > 0),
+       |pos AS (SELECT doc_id, unnest(range(1, CAST(len AS INTEGER) - ${window - 2})) AS p
+       |  FROM d WHERE len >= $window),
+       |hv AS (SELECT pos.doc_id, p,
+       |  list_reduce([ord(c)::BIGINT for c in string_split(substr(d.lt, CAST(p AS INTEGER), $window), '')],
+       |    (a, b) -> (a * 31 + b) % 1073741789) AS h
+       |  FROM pos JOIN d ON d.doc_id = pos.doc_id),
+       |cuts AS (SELECT doc_id, CAST(p + ${window - 1} AS BIGINT) AS e FROM hv WHERE h % $modDiv = 0),
+       |ends AS (SELECT DISTINCT doc_id, e FROM
+       |  (SELECT doc_id, e FROM cuts UNION ALL SELECT doc_id, len AS e FROM d)),
+       |seg AS (SELECT doc_id, e,
+       |  COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS start,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS chunk_idx
+       |  FROM ends),
+       |ch AS (SELECT s.doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(s.start AS BIGINT) AS start_pos,
+       |  CAST(s.e - s.start + 1 AS BIGINT) AS chunk_len,
+       |  md5(substr(d.lt, CAST(s.start AS INTEGER), CAST(s.e - s.start + 1 AS INTEGER))) AS chunk_hash
+       |  FROM seg s JOIN d ON d.doc_id = s.doc_id)
+       |SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_hash,
+       |  CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** C29: exact Levenshtein over the C3 band candidates — native
     * `levenshtein` on both engines (same DP definition), one r6'd
     * normalized-similarity division.

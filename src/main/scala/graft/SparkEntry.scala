@@ -162,6 +162,7 @@ object SparkEntry {
     "doc_stratified_sample" -> q(TextOps.docStratifiedSample(_, ordered = true)),
     "text_vocab"           -> q(TextOps.textVocab),
     "doc_chunk"            -> q(TextOps.docChunk(_, ordered = true)),
+    "doc_cdc_chunks"       -> q(TextOps.docCdcChunks(_, ordered = true)),
     "text_rolling_fingerprint" -> q(TextOps.textRollingFingerprint(_, ordered = true)),
     "doc_pack"             -> q(TextOps.docPack(_, ordered = true)),
     "doc_quality_filter"   -> q(TextOps.docQualityFilter(_, ordered = true)),
@@ -1265,6 +1266,7 @@ object SparkEntry {
     "doc_minhash_sig"       -> OracleSqlGen.docMinhashSig,
     "doc_minhash_lsh_pairs" -> OracleSqlGen.docMinhashLshPairs,
     "doc_edit_distance"     -> OracleSqlGen.docEditDistance,
+    "doc_cdc_chunks"        -> OracleSqlGen.docCdcChunks(16, 64),
     "doc_minhash_jaccard_est" -> OracleSqlGen.docMinhashJaccardEst,
     "doc_bbit_minhash_est"    -> OracleSqlGen.docBbitMinhashEst(4),
     "ev_stationary_dist"      -> OracleSqlGen.evStationaryDist(10),

@@ -318,6 +318,54 @@ object WinnowMins {
   }
 }
 
+/** ALL window hashes of the Rabin–Karp roll (RollingHashMin's
+  * recurrence, emitted per position instead of min-folded): element i
+  * is h(s[i .. i+window)) — the relation content-defined chunking cuts
+  * on. O(n) one pass; the oracle recomputes each window's fold O(n·k)
+  * with identical values. Inputs shorter than the window yield an
+  * empty array (no full window exists → no cut candidates).
+  */
+case class RollingHashAll(child: Expression, window: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  protected override def nullSafeEval(input: Any): Any =
+    RollingHashAll.hashes(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHashAll.hashes($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHashAll {
+  import RollingHashMin.{B, P}
+
+  def hashes(s: UTF8String, window: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < window)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - window + 1)
+    var pw = 1L
+    var j = 1
+    while (j < window) { pw = pw * B % P; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < window) { h = (h * B + (bytes(i) & 0xffL)) % P; i += 1 }
+    out(0) = h
+    while (i < n) {
+      val outgoing = (bytes(i - window) & 0xffL) * pw % P
+      h = ((h + P - outgoing) % P * B + (bytes(i) & 0xffL)) % P
+      out(i - window + 1) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 case class RollingHashMin(child: Expression, window: Int) extends UnaryExpression {
 
   override def dataType: DataType = LongType

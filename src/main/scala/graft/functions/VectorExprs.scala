@@ -264,6 +264,8 @@ object VectorExprs {
       exprs => GramHashes(exprs.head, 5, distinct = false)),
     ("graft_rolling_min", classOf[RollingHashMin].getName,
       exprs => RollingHashMin(exprs.head, 16)),
+    ("graft_rolling_hashes", classOf[RollingHashAll].getName,
+      exprs => RollingHashAll(exprs.head, 16)),
     ("graft_winnow8_mins", classOf[WinnowMins].getName,
       exprs => WinnowMins(exprs.head, 8)),
     ("graft_bigram_strings", classOf[WordGrams].getName,

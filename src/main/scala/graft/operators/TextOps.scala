@@ -1753,4 +1753,51 @@ object TextOps {
       .orderBy(col("total").desc, col("left_sym").asc, col("right_sym").asc)
       .limit(topN)
   }
+
+  /** E52: content-defined chunking (the rsync/LBFS cut rule) — chunk
+    * boundaries fall where the Rabin–Karp window hash ≡ 0 (mod
+    * `modDiv`), so an insertion early in a document shifts BYTES but
+    * not the downstream cut points: unlike E9's fixed-size chunks,
+    * every chunk after the edit re-aligns and still dedups (the
+    * property that makes chunk-level dedup robust to boilerplate
+    * insertions). Per chunk: position, length, content hash, and its
+    * corpus-wide copy count — the chunk-granularity dup mass C1's
+    * whole-doc hash can't see.
+    *
+    * Scale shape: window hashes come from ONE O(n) native pass
+    * (`graft_rolling_hashes` — the oracle recomputes each window
+    * O(n·k), value-identical); cut positions explode narrow; the only
+    * shuffles are the per-doc segmentation window (doc-keyed,
+    * corpus-cardinality) and the chunk-hash copy count (chunk-keyed,
+    * corpus-cardinality) — the C1 exact-dedup shuffle class, never a
+    * pair join.
+    */
+  def docCdcChunks(t: Tables, window: Int = 16, modDiv: Int = 64,
+      ordered: Boolean = false): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("e"))
+    val docs = t.documents.filter(length(col("text")) > 0)
+      .select(col("doc_id"), lower(col("text")).as("lt"),
+        length(col("text")).cast("long").as("len"))
+    val cuts = docs
+      .select(col("doc_id"),
+        posexplode(call_function("graft_rolling_hashes", col("lt")))
+          .as(Seq("p0", "hv")))
+      .filter(pmod(col("hv"), lit(modDiv.toLong)) === 0L)
+      .select(col("doc_id"), (col("p0") + window).cast("long").as("e"))
+    val ends = cuts
+      .union(docs.select(col("doc_id"), col("len").as("e")))
+      .distinct()
+      .join(docs, "doc_id")
+    val seg = ends
+      .withColumn("start", coalesce(lag(col("e"), 1).over(wDoc), lit(0L)) + 1)
+      .withColumn("chunk_idx", (row_number().over(wDoc) - 1).cast("long"))
+      .select(col("doc_id"), col("chunk_idx"), col("start").as("start_pos"),
+        (col("e") - col("start") + 1).as("chunk_len"),
+        md5(expr("CAST(substring(lt, CAST(start AS INT), CAST(e - start + 1 AS INT)) AS BINARY)"))
+          .as("chunk_hash"))
+    maybeSort(
+      seg.withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("chunk_hash")))),
+      ordered)(col("doc_id"), col("chunk_idx"))
+  }
 }

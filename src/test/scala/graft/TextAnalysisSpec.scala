@@ -661,4 +661,29 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == expected, s"got=$got expected=$expected")
   }
+
+  test("cdc chunks: boundaries re-align after a prefix insertion; fixed chunks don't") {
+    import spark.implicits._
+    // the defining CDC property: an edit shifts bytes but not the
+    // downstream cut points, so most chunks of the edited copy still
+    // hash-match the original (chunk-level dedup survives insertions)
+    val s = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .alphanumeric.take(600).mkString.toLowerCase
+    val docs = Seq((1L, s), (2L, "inserted boilerplate header " + s))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.docCdcChunks(graft.sources.Tables(spark, tmp)).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val h1 = rows.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = rows.filter(_._1 == 2L).map(_._2).toSet
+    assert(h1.size >= 3, s"base doc must split into several chunks, got ${h1.size}")
+    val shared = (h1 intersect h2).size.toDouble / h1.size
+    assert(shared >= 0.5,
+      s"after a prefix edit most CDC chunks must re-align, shared=$shared")
+    // contrast: fixed-size chunking shares (essentially) nothing
+    val fixedShared = s.grouped(180).map(c => c.hashCode).toSet
+      .intersect(("inserted boilerplate header " + s).grouped(180).map(_.hashCode).toSet)
+    assert(fixedShared.isEmpty, "fixed-size chunks must all shift under the same edit")
+  }
 }
