@@ -1447,6 +1447,26 @@ object OracleSqlGen {
        |SELECT i, floor((CAST(v2 AS DOUBLE) / norm)*1000000 + 0.5)/1000000 AS eig_r
        |FROM v2, nrm ORDER BY i""".stripMargin
 
+  /** D39: principal-direction projection rollup — D26's eigenvector
+    * as an ordered list, one list_reduce dot per vector (the Spark
+    * side's sequential fold), r6'd before the DECIMAL mean.
+    */
+  val embPcaProject: String =
+    s"""WITH $powerCtes,
+       |nrm AS (SELECT sqrt(CAST(SUM(CAST(v2 AS HUGEINT) * v2) AS DOUBLE)) AS norm FROM v2),
+       |eig AS (SELECT i, floor((CAST(v2 AS DOUBLE) / norm)*1000000 + 0.5)/1000000 AS eig_r
+       |  FROM v2, nrm),
+       |ev AS (SELECT list(eig_r ORDER BY i) AS e FROM eig),
+       |pd AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |pj AS (SELECT pd.label,
+       |  floor(list_reduce([pd.v[i]*ev.e[i] for i in range(1, len(pd.v)+1)], (x,y) -> x+y)*1000000 + 0.5)/1000000 AS proj_r
+       |  FROM pd, ev)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  floor((CAST(SUM(CAST(proj_r AS DECIMAL(18,6))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_proj_r,
+       |  MIN(proj_r) AS min_proj_r,
+       |  MAX(proj_r) AS max_proj_r
+       |FROM pj GROUP BY label ORDER BY label""".stripMargin
+
   /** D36: MIPS top-k via norm augmentation — M = max corpus norm as
     * a one-row CTE; transformed cosine dot/(‖q‖·M) ranked exactly as
     * the Spark side (6dp-rounded, ties on vec_id), raw dot alongside.

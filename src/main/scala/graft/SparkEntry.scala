@@ -142,6 +142,7 @@ object SparkEntry {
     "emb_dim_stats"        -> q(Similarity.embDimStats(_, ordered = true)),
     "emb_covariance"       -> q(Similarity.embCovariance(_, ordered = true)),
     "emb_power_iteration"  -> q(Similarity.embPowerIteration(_, ordered = true)),
+    "emb_pca_project"      -> q(Similarity.embPcaProject(_, ordered = true)),
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
     "emb_pq_error"         -> q(Similarity.embPqError(_)),
     "emb_sq8_codes"        -> q(Similarity.embSq8Codes(_, ordered = true)),
@@ -1731,6 +1732,7 @@ object SparkEntry {
     "emb_dim_stats"         -> OracleSqlGen.embDimStats,
     "emb_covariance"        -> OracleSqlGen.embCovariance,
     "emb_power_iteration"   -> OracleSqlGen.embPowerIteration,
+    "emb_pca_project"       -> OracleSqlGen.embPcaProject,
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
     "emb_pq_error"          -> OracleSqlGen.embPqError(8, 8, 8),
     "emb_sq8_codes"         -> OracleSqlGen.embSq8Codes,

@@ -479,6 +479,41 @@ object Similarity {
       ordered)(col("i"))
   }
 
+  /** D39: principal-direction PROJECTION card — every vector's scalar
+    * coordinate along D26's dominant eigenvector, rolled up per label
+    * (the separability read that closes the D25/D26/D34 chain: D34
+    * says how much variance the direction carries, this says whether
+    * LABELS separate along it — disjoint per-label projection ranges
+    * ⇒ the dominant direction encodes the label, overlapping ranges
+    * ⇒ it's nuisance variance to whiten away).
+    *
+    * Scale shape: the eigenvector is a #dims-bounded driver artifact
+    * (the hashCenters convention) folded into a literal, so the
+    * projection is ONE narrow codegen'd dot pass over the corpus —
+    * no explode, no join; the rollup keys on #labels. Projections are
+    * r6'd before the DECIMAL mean (identical sequential fold as the
+    * oracle's list_reduce).
+    */
+  def embPcaProject(t: Tables, ordered: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val eig = embPowerIteration(t, ordered = true).collect()
+      .map(_.getDouble(1)).toSeq // #dims rows — bounded driver artifact
+    val proj = withNorm(t.embeddings)
+      .select(col("label"),
+        r6(VectorExprs.dot(col("v"), typedLit(eig))).as("proj_r"))
+    maybeSort(
+      proj.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("proj_r").cast(DecimalType(18, 6))).as("sp"),
+          min(col("proj_r")).as("min_proj_r"),
+          max(col("proj_r")).as("max_proj_r"))
+        .select(col("label"), col("n_vectors"),
+          r6(col("sp").cast("double") / col("n_vectors").cast("double"))
+            .as("mean_proj_r"),
+          col("min_proj_r"), col("max_proj_r")),
+      ordered)(col("label"))
+  }
+
   /** D34: explained-variance card — how much of the corpus's total
     * variance the D26 principal direction carries: the Rayleigh
     * quotient vᵀΣv/vᵀv along the power-iteration direction, over the

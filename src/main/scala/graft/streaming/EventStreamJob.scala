@@ -714,6 +714,65 @@ object EventStreamJob {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Per-user token-bucket state: the recursion pair (tokens, prevT)
+    * plus the watermark-delay buffer of unfinalized events. */
+  final case class TbState(tokens: Long, prevTs: Long, started: Boolean,
+      buffered: Seq[(Long, Long)])
+
+  final case class TbDecision(user_id: Long, event_id: Long, ts: Instant,
+      allowed: Boolean, tokens_after: Long)
+
+  /** A72 ONLINE: the token-bucket throttle as a LIVE stream — each
+    * event gets its admit/drop decision as soon as the watermark
+    * proves nothing earlier can still arrive (the recursion is
+    * order-sensitive, so the A34b buffering discipline applies:
+    * unfinalized events wait in state, the cleared prefix folds
+    * through the bucket in (ts, event_id) order, an event-time
+    * timeout flushes tails). This is the reference's cache-throttle
+    * deployed as an operator: the allowed sub-stream IS the throttled
+    * output, the flags are the audit.
+    *
+    * State per user: two longs + the watermark-delay buffer window
+    * (rate·delay-bounded, never history). StreamingSpec pins the
+    * streamed per-user decision rollup ≡ the batch (oracle-gated)
+    * `EventOps.evTokenBucket` on the same corpus.
+    */
+  def streamTokenBucket(events: Dataset[Ev], capTokens: Int = 2,
+      usPerMicroToken: Long = 43200L,
+      watermarkDelay: String = "1 hour"): Dataset[TbDecision] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cap = capTokens * 1000000L
+
+    def fn(user: Long, it: Iterator[Ev],
+        state: GroupState[TbState]): Iterator[TbDecision] = {
+      val st0 = state.getOption.getOrElse(TbState(cap, 0L, started = false, Nil))
+      val incoming = it.map(e =>
+        (ChronoUnit.MICROS.between(Instant.EPOCH, e.ts), e.event_id)).toSeq
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val all = (st0.buffered ++ incoming).sortBy(identity)
+      val (flush, keep) = all.partition(_._1 <= wmUs)
+      var (tokens, prevT, started) = (st0.tokens, st0.prevTs, st0.started)
+      val out = flush.map { case (tus, eid) =>
+        if (started) tokens = math.min(cap, tokens + (tus - prevT) / usPerMicroToken)
+        started = true
+        prevT = tus
+        val allowed = tokens >= 1000000L
+        if (allowed) tokens -= 1000000L
+        TbDecision(user, eid, Instant.EPOCH.plus(tus, ChronoUnit.MICROS),
+          allowed, tokens)
+      }
+      state.update(TbState(tokens, prevT, started, keep))
+      if (keep.nonEmpty) state.setTimeoutTimestamp(keep.map(_._1).max / 1000L + 1L)
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Keyed upsert target for streamUpsertCounts. Implementations MUST
     * make the replay check and the merge atomic *in the store* (a JDBC
     * MERGE plus an applied-batch log row in the same transaction, an

@@ -903,6 +903,38 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+  test("streaming token bucket decisions roll up to the batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamTokenBucket(input.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("tb_out").start()
+    try {
+      eventsData.grouped((eventsData.size + 2) / 3).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      val lastTs = eventsData.map(_.ts).max
+      input.addData(Seq(Ev(999999L, lastTs.plusSeconds(864000), -1L, "sentinel")))
+      q.processAllAvailable()
+      val streamed = spark.table("tb_out").filter($"user_id" =!= -1L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"allowed", 1L).otherwise(0L)).as("n_allowed"),
+          sum(when($"allowed", 0L).otherwise(1L)).as("n_dropped"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = EventOps.evTokenBucket(tables).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"stream≠batch: only-stream=${(streamed -- batch).take(3)} " +
+          s"only-batch=${(batch -- streamed).take(3)}")
+      // every event got exactly one decision
+      val nDecisions = spark.table("tb_out").filter($"user_id" =!= -1L).count()
+      assert(nDecisions == eventsData.size, s"decisions=$nDecisions events=${eventsData.size}")
+    } finally q.stop()
+  }
+
   test("streaming burst windows == driver-recomputed prefix-baseline incidents") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
