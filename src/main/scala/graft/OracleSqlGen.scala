@@ -69,8 +69,10 @@ object OracleSqlGen {
     * via LAG over the distinct end positions, copy count per chunk
     * content hash.
     */
-  def docCdcChunks(window: Int, modDiv: Int): String =
-    s"""WITH d AS (SELECT doc_id, lower(text) AS lt,
+  /** Shared E52 CTE chain ending at `ch` (doc, chunk_idx, start,
+    * len, content hash) — reused by the E54 dup-mass rollup. */
+  private def cdcCtes(window: Int, modDiv: Int): String =
+    s"""d AS (SELECT doc_id, lower(text) AS lt,
        |  CAST(length(text) AS BIGINT) AS len FROM documents WHERE length(text) > 0),
        |pos AS (SELECT doc_id, unnest(range(1, CAST(len AS INTEGER) - ${window - 2})) AS p
        |  FROM d WHERE len >= $window),
@@ -89,10 +91,31 @@ object OracleSqlGen {
        |  CAST(s.start AS BIGINT) AS start_pos,
        |  CAST(s.e - s.start + 1 AS BIGINT) AS chunk_len,
        |  md5(substr(d.lt, CAST(s.start AS INTEGER), CAST(s.e - s.start + 1 AS INTEGER))) AS chunk_hash
-       |  FROM seg s JOIN d ON d.doc_id = s.doc_id)
+       |  FROM seg s JOIN d ON d.doc_id = s.doc_id)""".stripMargin
+
+  def docCdcChunks(window: Int, modDiv: Int): String =
+    s"""WITH ${cdcCtes(window, modDiv)}
        |SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_hash,
        |  CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** E54: per-source chunk dup-mass rollup over the E52 chain — an
+    * occurrence is dup mass when an earlier (doc, chunk) occurrence
+    * of the same content hash exists.
+    */
+  def docCdcDupMass(window: Int, modDiv: Int): String =
+    s"""WITH ${cdcCtes(window, modDiv)},
+       |rk AS (SELECT doc_id, chunk_len, chunk_hash,
+       |  ROW_NUMBER() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS occ_rank
+       |  FROM ch)
+       |SELECT dd.source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(rk.chunk_len) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(CASE WHEN rk.occ_rank > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST(SUM(CASE WHEN rk.occ_rank > 1 THEN rk.chunk_len ELSE 0 END) AS BIGINT) AS dup_bytes,
+       |  floor((CAST(SUM(CASE WHEN rk.occ_rank > 1 THEN rk.chunk_len ELSE 0 END) AS DOUBLE) /
+       |    CAST(SUM(rk.chunk_len) AS DOUBLE))*1000000 + 0.5)/1000000 AS dup_share_r
+       |FROM rk JOIN documents dd ON dd.doc_id = rk.doc_id
+       |GROUP BY dd.source ORDER BY dd.source""".stripMargin
 
   /** C29: exact Levenshtein over the C3 band candidates — native
     * `levenshtein` on both engines (same DP definition), one r6'd
@@ -612,6 +635,42 @@ object OracleSqlGen {
     * expressions (r6'd ln as exact BIGINT micro-units, exact integer
     * moment sums, closed-form double math).
     */
+  /** E53: Heaps'-law growth curve — first-seen-bucket counts cumsum'd
+    * over the ≤nBuckets rollup, micro-ln integer OLS (E33's lattice).
+    */
+  def corpusHeapsLaw(nBuckets: Int): String =
+    s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       |tk AS (SELECT (d.doc_id * $nBuckets) // (mx.m + 1) AS bucket,
+       |  unnest(string_split(lower(d.text), ' ')) AS token FROM documents d, mx),
+       |occ AS (SELECT bucket, COUNT(*) AS o FROM tk GROUP BY 1),
+       |nw AS (SELECT fb, COUNT(*) AS n FROM
+       |  (SELECT token, MIN(bucket) AS fb FROM tk GROUP BY 1) GROUP BY 1),
+       |scf AS (SELECT unnest(range($nBuckets)) AS bucket),
+       |cv AS (SELECT scf.bucket, COALESCE(occ.o, 0) AS o, COALESCE(nw.n, 0) AS n
+       |  FROM scf LEFT JOIN occ USING (bucket) LEFT JOIN nw ON nw.fb = scf.bucket),
+       |cum AS (SELECT bucket,
+       |  CAST(SUM(o) OVER (ORDER BY bucket) AS BIGINT) AS n_tokens_cum,
+       |  CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum FROM cv),
+       |xy AS (SELECT
+       |  CAST(floor(ln(CAST(n_tokens_cum AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS xm,
+       |  CAST(floor(ln(CAST(vocab_cum AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS ym
+       |  FROM cum WHERE n_tokens_cum > 0 AND vocab_cum > 0),
+       |m AS (SELECT COUNT(*) AS k,
+       |  CAST(SUM(xm) AS DOUBLE) AS sx, CAST(SUM(ym) AS DOUBLE) AS sy,
+       |  CAST(SUM(xm*ym) AS DOUBLE) AS sxy, CAST(SUM(xm*xm) AS DOUBLE) AS sxx,
+       |  CAST(SUM(ym*ym) AS DOUBLE) AS syy FROM xy),
+       |t AS (SELECT k, sx, sy,
+       |  sxx - sx*sx/CAST(k AS DOUBLE) AS vx,
+       |  syy - sy*sy/CAST(k AS DOUBLE) AS vy,
+       |  sxy - sx*sy/CAST(k AS DOUBLE) AS cxy FROM m),
+       |fit AS (SELECT
+       |  CASE WHEN vx > 0 THEN floor((cxy/vx)*1000000 + 0.5)/1000000 END AS heaps_beta_r,
+       |  CASE WHEN vx > 0 THEN floor(((sy - cxy/vx*sx)/CAST(k AS DOUBLE)/1000000.0)*1000000 + 0.5)/1000000 END AS heaps_lnk_r,
+       |  CASE WHEN vx > 0 AND vy > 0 THEN floor((cxy*cxy/(vx*vy))*1000000 + 0.5)/1000000 END AS r2_r
+       |  FROM t)
+       |SELECT bucket, n_tokens_cum, vocab_cum, heaps_beta_r, heaps_lnk_r, r2_r
+       |FROM cum, fit ORDER BY bucket""".stripMargin
+
   def textZipf(topK: Int): String =
     s"""WITH c AS (SELECT token, COUNT(*) AS n
        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
@@ -2772,6 +2831,38 @@ object OracleSqlGen {
        |  JOIN st ON st.event_type = hr.event_type)
        |SELECT rec.event_type, rec.hour, rec.n,
        |  floor(rec.s / st.sigma * 1000000 + 0.5)/1000000 AS cusum_sigmas_r,
+       |  rec.s > $hSigma * st.sigma AS flagged
+       |FROM rec JOIN st USING (event_type)
+       |ORDER BY event_type, hour""".stripMargin
+  }
+
+  /** A75: drop-side CUSUM — A49's recursion with the drift reversed
+    * (S⁻ accumulates the deficit below baseline), same integer-moment
+    * μ/σ and association discipline.
+    */
+  def evCusumDrop(baselineHours: Int, kSigma: Double, hSigma: Double): String = {
+    val drift = s"st.mu - $kSigma * st.sigma - CAST(hr.n AS DOUBLE)"
+    s"""WITH RECURSIVE h AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |hr AS (SELECT event_type, hour, n,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS rn FROM h),
+       |st AS (SELECT event_type,
+       |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+       |  GREATEST(sqrt(GREATEST(CAST(SUM(n*n) AS DOUBLE) / COUNT(*) -
+       |    (CAST(SUM(n) AS DOUBLE) / COUNT(*)) * (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 0.0)), 1e-9) AS sigma
+       |  FROM hr WHERE rn <= $baselineHours GROUP BY event_type),
+       |rec AS (
+       |  SELECT hr.event_type, hr.hour, hr.n, hr.rn,
+       |    GREATEST(0.0 + ($drift), 0.0) AS s
+       |  FROM hr JOIN st USING (event_type) WHERE hr.rn = 1
+       |  UNION ALL
+       |  SELECT hr.event_type, hr.hour, hr.n, hr.rn,
+       |    GREATEST(rec.s + ($drift), 0.0) AS s
+       |  FROM rec JOIN hr ON hr.event_type = rec.event_type AND hr.rn = rec.rn + 1
+       |  JOIN st ON st.event_type = hr.event_type)
+       |SELECT rec.event_type, rec.hour, rec.n,
+       |  floor(rec.s / st.sigma * 1000000 + 0.5)/1000000 AS cusum_drop_sigmas_r,
        |  rec.s > $hSigma * st.sigma AS flagged
        |FROM rec JOIN st USING (event_type)
        |ORDER BY event_type, hour""".stripMargin

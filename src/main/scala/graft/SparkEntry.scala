@@ -164,6 +164,7 @@ object SparkEntry {
     "text_vocab"           -> q(TextOps.textVocab),
     "doc_chunk"            -> q(TextOps.docChunk(_, ordered = true)),
     "doc_cdc_chunks"       -> q(TextOps.docCdcChunks(_, ordered = true)),
+    "doc_cdc_dup_mass"     -> q(TextOps.docCdcDupMass(_, ordered = true)),
     "text_rolling_fingerprint" -> q(TextOps.textRollingFingerprint(_, ordered = true)),
     "doc_pack"             -> q(TextOps.docPack(_, ordered = true)),
     "doc_quality_filter"   -> q(TextOps.docQualityFilter(_, ordered = true)),
@@ -197,6 +198,7 @@ object SparkEntry {
     "doc_lang_confusion"   -> q(TextOps.docLangConfusion),
     "corpus_quality_stats" -> q(TextOps.corpusQualityStats(_)),
     "text_zipf"            -> q(TextOps.textZipf(_)),
+    "corpus_heaps_law"     -> q(TextOps.corpusHeapsLaw(_, ordered = true)),
     "ev_user_lifespan"     -> q(EventOps.evUserLifespan(_, ordered = true)),
     "ev_user_entropy"      -> q(EventOps.evUserEntropy(_, ordered = true)),
     "ev_type_affinity"     -> q(EventOps.evTypeAffinity),
@@ -208,6 +210,7 @@ object SparkEntry {
     "ev_top_paths"         -> q(EventOps.evTopPaths(_)),
     "ev_dormant_users"     -> q(EventOps.evDormantUsers(_, ordered = true)),
     "ev_cusum_changepoint" -> q(EventOps.evCusumChangepoint(_, ordered = true)),
+    "ev_cusum_drop"        -> q(EventOps.evCusumDrop(_, ordered = true)),
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
     "text_bpe_pairs"       -> q(TextOps.textBpePairs(_)),
     "text_bpe_merge"       -> q(TextOps.textBpeMerge(_)),
@@ -1268,6 +1271,7 @@ object SparkEntry {
     "doc_minhash_lsh_pairs" -> OracleSqlGen.docMinhashLshPairs,
     "doc_edit_distance"     -> OracleSqlGen.docEditDistance,
     "doc_cdc_chunks"        -> OracleSqlGen.docCdcChunks(16, 64),
+    "doc_cdc_dup_mass"      -> OracleSqlGen.docCdcDupMass(16, 64),
     "doc_minhash_jaccard_est" -> OracleSqlGen.docMinhashJaccardEst,
     "doc_bbit_minhash_est"    -> OracleSqlGen.docBbitMinhashEst(4),
     "ev_stationary_dist"      -> OracleSqlGen.evStationaryDist(10),
@@ -1279,6 +1283,7 @@ object SparkEntry {
     "doc_dup_bias"            -> OracleSqlGen.docDupBias,
     "ev_user_zipf"            -> OracleSqlGen.evUserZipf(100),
     "ev_cusum_changepoint"    -> OracleSqlGen.evCusumChangepoint(48, 0.5, 5.0),
+    "ev_cusum_drop"           -> OracleSqlGen.evCusumDrop(48, 0.5, 5.0),
     "ev_autocorr"             -> OracleSqlGen.evAutocorr(Seq(1, 24)),
     "ev_holt_forecast"        -> OracleSqlGen.evHoltForecast(0.5, 0.25),
     "ev_token_bucket"         -> OracleSqlGen.evTokenBucket(2, 43200L),
@@ -1317,6 +1322,7 @@ object SparkEntry {
     "doc_lang_confusion"    -> OracleSqlGen.docLangConfusion,
     "corpus_quality_stats"  -> OracleSqlGen.corpusQualityStats(0.5),
     "text_zipf"             -> OracleSqlGen.textZipf(50),
+    "corpus_heaps_law"      -> OracleSqlGen.corpusHeapsLaw(10),
     "ev_dormant_users" ->
       """WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
         |u AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events FROM events GROUP BY 1)

@@ -1605,4 +1605,40 @@ object EventOps {
         r6(col("p_r") * col("row_entropy")).as("contrib_r"))
     maybeSort(out, ordered)(col("from_type"))
   }
+
+  /** A75: drop-side CUSUM — the OUTAGE detector A49 can't be: S⁺
+    * accumulates upward shifts (bursts), this accumulates the
+    * downward ones, S⁻ = max(0, S⁻ + (μ − kσ − x)), firing at hσ. A
+    * service that quietly loses a third of its traffic never trips a
+    * spike rule or A49's S⁺; the drop-side recursion integrates the
+    * deficit hour over hour (the two sides together are the classic
+    * two-sided CUSUM — kept as separate relations so each alarm
+    * carries its own direction). Same train-on-prefix baseline,
+    * integer-moment μ/σ, and recursive-CTE oracle discipline as A49.
+    */
+  def evCusumDrop(t: Tables, baselineHours: Int = 48,
+      kSigma: Double = 0.5, hSigma: Double = 5.0,
+      ordered: Boolean = false): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val hourly = t.events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Timestamp, Long)]
+    val out = hourly.groupByKey(_._1).flatMapGroups { (ty, it) =>
+      val rows = it.toArray.sortBy(_._2.getTime)
+      val base = rows.take(baselineHours).map(_._3)
+      val mu = base.sum.toDouble / base.length
+      val sumSq = base.map(n => n * n).sum
+      val sigma = math.max(
+        math.sqrt(math.max(sumSq.toDouble / base.length - mu * mu, 0.0)), 1e-9)
+      var s = 0.0
+      rows.iterator.map { case (_, h, n) =>
+        s = math.max(0.0, s + (mu - kSigma * sigma - n.toDouble))
+        (ty, h, n, math.floor(s / sigma * 1e6 + 0.5) / 1e6, s > hSigma * sigma)
+      }
+    }.toDF("event_type", "hour", "n", "cusum_drop_sigmas_r", "flagged")
+    maybeSort(out, ordered)(col("event_type"), col("hour"))
+  }
 }

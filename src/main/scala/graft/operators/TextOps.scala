@@ -1754,6 +1754,102 @@ object TextOps {
       .limit(topN)
   }
 
+  /** E54: chunk-level duplicate MASS per source — E52's CDC chunks
+    * rolled up to the dataset-card number: per source, what fraction
+    * of its chunk BYTES are redundant copies (an occurrence is dup
+    * mass when an earlier (doc_id, chunk_idx) occurrence of the same
+    * content hash exists anywhere in the corpus — the storage and
+    * training tokens you'd save by chunk-sharded dedup; C27 gives the shingle
+    * view of the same question, this gives the byte-exact one CDC
+    * makes insertion-robust).
+    *
+    * Scale shape: inherits E52's shuffles (doc-keyed segmentation +
+    * chunk-hash key); the first-occurrence rank rides the SAME
+    * chunk-hash partitioning as the copy count, the rollup keys on
+    * #sources.
+    */
+  def docCdcDupMass(t: Tables, window: Int = 16, modDiv: Int = 64,
+      ordered: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val first = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val chunks = docCdcChunks(t, window, modDiv)
+      .withColumn("occ_rank", row_number().over(first))
+      .join(t.documents.select(col("doc_id"), col("source")), "doc_id")
+    val out = chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("total_bytes"),
+        sum(when(col("occ_rank") > 1, col("chunk_len")).otherwise(0L)).as("dup_bytes"),
+        sum(when(col("occ_rank") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("source"), col("n_chunks"), col("total_bytes"),
+        col("n_dup_chunks"), col("dup_bytes"),
+        r6(col("dup_bytes").cast("double") / col("total_bytes").cast("double"))
+          .as("dup_share_r"))
+    maybeSort(out, ordered)(col("source"))
+  }
+
+  /** E53: Heaps'-law vocabulary-growth card — cumulative distinct
+    * vocabulary vs cumulative token volume over `nBuckets` corpus
+    * prefixes, with the fitted growth exponent V ≈ K·N^β (the
+    * tokenizer/dedup sizing read: β ≈ 0.5 is natural prose; β near 1
+    * says the vocabulary never saturates — OCR noise or ids flooding
+    * the corpus; β near 0 says template text. Also the "how big will
+    * the vocab be at 100 TB" extrapolation, read next to E33's Zipf —
+    * the two laws are duals).
+    *
+    * Scale shape: NO per-prefix rescans — a token's FIRST bucket
+    * (min over one token-keyed aggregate) fully determines which
+    * prefixes contain it, so the curve is a cumsum of first-seen
+    * counts over the ≤nBuckets-row rollup; bucket assignment is pure
+    * integer arithmetic off a broadcast 1-row max (no corpus ntile
+    * window). OLS on the micro-ln integer lattice (E33's convention:
+    * exact integer moments, units cancel in slope and r²).
+    */
+  def corpusHeapsLaw(t: Tables, nBuckets: Int = 10,
+      ordered: Boolean = false): DataFrame = {
+    val mx = t.documents.agg(max(col("doc_id")).as("mx"))
+    val tk = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .crossJoin(broadcast(mx))
+      .select(col("token"), expr(s"(doc_id * $nBuckets) div (mx + 1)").as("bucket"))
+    val occ = tk.groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
+    val nw = tk.groupBy(col("token")).agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("nt"))
+    val scaffold = t.spark.range(nBuckets).select(col("id").as("bucket"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = scaffold
+      .join(occ, Seq("bucket"), "left")
+      .join(nw, col("bucket") === col("fb"), "left")
+      .select(col("bucket"), coalesce(col("occ"), lit(0L)).as("o"),
+        coalesce(col("nt"), lit(0L)).as("n"))
+      .withColumn("n_tokens_cum", sum(col("o")).over(w))
+      .withColumn("vocab_cum", sum(col("n")).over(w))
+      .select(col("bucket"), col("n_tokens_cum"), col("vocab_cum"))
+    val xy = curve.filter(col("n_tokens_cum") > 0 && col("vocab_cum") > 0)
+      .select(
+        floor(log(col("n_tokens_cum").cast("double")) * 1e6 + 0.5).cast("long").as("xm"),
+        floor(log(col("vocab_cum").cast("double")) * 1e6 + 0.5).cast("long").as("ym"))
+    val nD = col("k").cast("double")
+    val sxx = col("sxx") - col("sx") * col("sx") / nD
+    val syy = col("syy") - col("sy") * col("sy") / nD
+    val sxy = col("sxy") - col("sx") * col("sy") / nD
+    val slope = sxy / sxx
+    val fit = xy.agg(
+      count(lit(1)).as("k"),
+      sum(col("xm")).cast("double").as("sx"),
+      sum(col("ym")).cast("double").as("sy"),
+      sum(col("xm") * col("ym")).cast("double").as("sxy"),
+      sum(col("xm") * col("xm")).cast("double").as("sxx"),
+      sum(col("ym") * col("ym")).cast("double").as("syy"))
+      .select(
+        when(sxx > 0, r6(slope)).as("heaps_beta_r"),
+        when(sxx > 0, r6((col("sy") - slope * col("sx")) / nD / lit(1e6)))
+          .as("heaps_lnk_r"),
+        when(sxx > 0 && syy > 0, r6(sxy * sxy / (sxx * syy))).as("r2_r"))
+    maybeSort(curve.crossJoin(broadcast(fit)), ordered)(col("bucket"))
+  }
+
   /** E52: content-defined chunking (the rsync/LBFS cut rule) — chunk
     * boundaries fall where the Rabin–Karp window hash ≡ 0 (mod
     * `modDiv`), so an insertion early in a document shifts BYTES but

@@ -264,6 +264,35 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("cusum drop: planted sustained traffic loss fires; steady series never fires") {
+    import spark.implicits._
+    // steady: alternating 8/12 (mu=10, sigma=2) for 120 h. dropped:
+    // same baseline 72 h, then 6/8 (mu=7 — a -1.5 sigma persistent
+    // deficit whose every value stays above mu-3sigma=4, invisible to
+    // a pointwise drop rule) for 48 h.
+    val base = 1704067200000000000L
+    def hourEvents(ty: String, hour: Int, n: Int, idBase: Long) =
+      (0 until n).map { i =>
+        (idBase + hour.toLong * 100 + i, base + hour.toLong * 3600L * 1000 * 1000 * 1000,
+          7L, ty, 1.0, "{}")
+      }
+    def alt(h: Int, lo: Int, hi: Int) = if (h % 2 == 0) lo else hi
+    val steady = (0 until 120).flatMap(h => hourEvents("steady", h, alt(h, 8, 12), 1000000L))
+    val dropped = (0 until 72).flatMap(h => hourEvents("dropped", h, alt(h, 8, 12), 2000000L)) ++
+      (72 until 120).flatMap(h => hourEvents("dropped", h, alt(h, 6, 8), 2000000L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cusumdrop").toString
+    (steady ++ dropped).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.evCusumDrop(graft.sources.Tables(spark, tmp), ordered = true)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(4)))
+    assert(!out.filter(_._1 == "steady").exists(_._3), "steady series must never fire")
+    val flags = out.filter(_._1 == "dropped")
+    val onset = base / 1000 + 72L * 3600L * 1000 * 1000
+    assert(!flags.filter(_._2.getTime * 1000 < onset).exists(_._3), "no flags before the loss")
+    assert(flags.filter(_._2.getTime * 1000 >= onset).exists(_._3),
+      "the sustained loss must fire after onset")
+  }
+
   test("token bucket: conservation, bounds, planted burst drops exactly cap") {
     import spark.implicits._
     val out = EventOps.evTokenBucket(tables).collect()
