@@ -63,14 +63,14 @@ object OracleSqlGen {
        |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
        |$jaccardTail""".stripMargin
 
-  /** E52: content-defined chunking — per-window Rabin–Karp fold
+  /** E55: content-defined chunking — per-window Rabin–Karp fold
     * (recomputed O(n·k); the Spark side's native pass is
     * value-identical), cut where hash ≡ 0 (mod modDiv), segmentation
     * via LAG over the distinct end positions, copy count per chunk
     * content hash.
     */
-  /** Shared E52 CTE chain ending at `ch` (doc, chunk_idx, start,
-    * len, content hash) — reused by the E54 dup-mass rollup. */
+  /** Shared E55 CTE chain ending at `ch` (doc, chunk_idx, start,
+    * len, content hash) — reused by the E57 dup-mass rollup. */
   private def cdcCtes(window: Int, modDiv: Int): String =
     s"""d AS (SELECT doc_id, lower(text) AS lt,
        |  CAST(length(text) AS BIGINT) AS len FROM documents WHERE length(text) > 0),
@@ -99,7 +99,7 @@ object OracleSqlGen {
        |  CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
-  /** E54: per-source chunk dup-mass rollup over the E52 chain — an
+  /** E57: per-source chunk dup-mass rollup over the E55 chain — an
     * occurrence is dup mass when an earlier (doc, chunk) occurrence
     * of the same content hash exists.
     */
@@ -635,7 +635,7 @@ object OracleSqlGen {
     * expressions (r6'd ln as exact BIGINT micro-units, exact integer
     * moment sums, closed-form double math).
     */
-  /** E53: Heaps'-law growth curve — first-seen-bucket counts cumsum'd
+  /** E56: Heaps'-law growth curve — first-seen-bucket counts cumsum'd
     * over the ≤nBuckets rollup, micro-ln integer OLS (E33's lattice).
     */
   def corpusHeapsLaw(nBuckets: Int): String =

@@ -1754,7 +1754,7 @@ object TextOps {
       .limit(topN)
   }
 
-  /** E54: chunk-level duplicate MASS per source — E52's CDC chunks
+  /** E57: chunk-level duplicate MASS per source — E55's CDC chunks
     * rolled up to the dataset-card number: per source, what fraction
     * of its chunk BYTES are redundant copies (an occurrence is dup
     * mass when an earlier (doc_id, chunk_idx) occurrence of the same
@@ -1763,7 +1763,7 @@ object TextOps {
     * view of the same question, this gives the byte-exact one CDC
     * makes insertion-robust).
     *
-    * Scale shape: inherits E52's shuffles (doc-keyed segmentation +
+    * Scale shape: inherits E55's shuffles (doc-keyed segmentation +
     * chunk-hash key); the first-occurrence rank rides the SAME
     * chunk-hash partitioning as the copy count, the rollup keys on
     * #sources.
@@ -1788,7 +1788,7 @@ object TextOps {
     maybeSort(out, ordered)(col("source"))
   }
 
-  /** E53: Heaps'-law vocabulary-growth card — cumulative distinct
+  /** E56: Heaps'-law vocabulary-growth card — cumulative distinct
     * vocabulary vs cumulative token volume over `nBuckets` corpus
     * prefixes, with the fitted growth exponent V ≈ K·N^β (the
     * tokenizer/dedup sizing read: β ≈ 0.5 is natural prose; β near 1
@@ -1850,7 +1850,7 @@ object TextOps {
     maybeSort(curve.crossJoin(broadcast(fit)), ordered)(col("bucket"))
   }
 
-  /** E52: content-defined chunking (the rsync/LBFS cut rule) — chunk
+  /** E55: content-defined chunking (the rsync/LBFS cut rule) — chunk
     * boundaries fall where the Rabin–Karp window hash ≡ 0 (mod
     * `modDiv`), so an insertion early in a document shifts BYTES but
     * not the downstream cut points: unlike E9's fixed-size chunks,
