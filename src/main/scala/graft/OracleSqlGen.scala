@@ -917,6 +917,36 @@ object OracleSqlGen {
        |WHERE prev_ph IS NOT NULL AND CAST(bit_count(xor(ph, prev_ph)) AS INTEGER) >= $threshold
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** F14: per-asset summary card — F12's frame/hash CTEs + cut lag +
+    * within-asset dup rank, rolled up per asset.
+    */
+  def mmVideoSummary(frameBytes: Int, stride: Int, threshold: Int): String =
+    s"""WITH fr AS (SELECT doc_id, frame_idx,
+       |    substr(text, frame_idx*$frameBytes + 1, $frameBytes) AS ft
+       |  FROM (SELECT doc_id, text,
+       |    unnest([i for i in range(0, length(text) // $frameBytes, $stride)]) AS frame_idx
+       |    FROM documents)),
+       |fb AS (SELECT doc_id, frame_idx, ft, unnest(range(61)) AS i FROM fr),
+       |fbs AS (SELECT doc_id, frame_idx, CAST(i AS INTEGER) AS i,
+       |  CASE WHEN length(ft) >= i+1 THEN ord(substr(ft, CAST(i+1 AS INTEGER), 1)) ELSE 0 END AS s
+       |  FROM fb),
+       |fph AS (SELECT a.doc_id, a.frame_idx,
+       |  CAST(SUM(CASE WHEN a.s > b2.s THEN (1::BIGINT << a.i) ELSE 0 END) AS BIGINT) AS ph
+       |  FROM fbs a JOIN fbs b2 ON a.doc_id = b2.doc_id AND a.frame_idx = b2.frame_idx AND b2.i = a.i + 1
+       |  GROUP BY a.doc_id, a.frame_idx),
+       |mk AS (SELECT doc_id, frame_idx, ph,
+       |  CASE WHEN LAG(ph) OVER (PARTITION BY doc_id ORDER BY frame_idx) IS NOT NULL
+       |    AND CAST(bit_count(xor(ph, LAG(ph) OVER (PARTITION BY doc_id ORDER BY frame_idx))) AS INTEGER) >= $threshold
+       |    THEN 1 ELSE 0 END AS is_cut,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id, ph ORDER BY frame_idx) AS dup_rank
+       |  FROM fph)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  CAST(SUM(is_cut) + 1 AS BIGINT) AS n_scenes,
+       |  floor((CAST(COUNT(*) AS DOUBLE) / CAST(SUM(is_cut) + 1 AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_scene_len_r,
+       |  CAST(SUM(CASE WHEN dup_rank > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames,
+       |  floor((CAST(SUM(CASE WHEN dup_rank > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS dup_frame_share_r
+       |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** F13: keyframe selection — F12's frame/cut CTEs + a per-frame
     * distinct-byte detail score, running cut count as scene id, and a
     * per-scene (detail desc, frame asc) argmax.
@@ -2602,7 +2632,7 @@ object OracleSqlGen {
     * lowest-suppkey ties — MIN of per-row double divisions is
     * order-free, so the only rounding is the display r6.
     */
-  /** B50: the PLAIN selective join — the Bloom prefilter is transparent
+  /** B53: the PLAIN selective join — the Bloom prefilter is transparent
     * by construction (false positives die in the exact join), so the
     * oracle states the join without it.
     */

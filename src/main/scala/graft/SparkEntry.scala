@@ -257,6 +257,7 @@ object SparkEntry {
     "ann_mips_topk"        -> q(Similarity.annMipsTopk(_)),
     "mm_scene_cuts"        -> q(Multimodal.mmSceneCuts(_, ordered = true)),
     "mm_keyframe_select"   -> q(Multimodal.mmKeyframeSelect(_, ordered = true)),
+    "mm_video_summary"     -> q(Multimodal.mmVideoSummary(_, ordered = true)),
     "doc_dup_ngram_mass"   -> q(Dedup.docDupNgramMass(_, ordered = true)),
     "doc_curation_funnel"  -> q(TextOps.docCurationFunnel(_)),
     "doc_text_embedding_card" -> q(TextOps.docTextEmbeddingCard),
@@ -1304,6 +1305,7 @@ object SparkEntry {
     "ann_mips_topk"           -> OracleSqlGen.annMipsTopk(8, 5),
     "mm_scene_cuts"           -> OracleSqlGen.mmSceneCuts(64, 4, 36),
     "mm_keyframe_select"      -> OracleSqlGen.mmKeyframeSelect(64, 4, 36),
+    "mm_video_summary"        -> OracleSqlGen.mmVideoSummary(64, 4, 36),
     "doc_dup_ngram_mass"      -> OracleSqlGen.docDupNgramMass,
     "doc_curation_funnel"     -> OracleSqlGen.docCurationFunnel(0.5),
     "doc_text_embedding_card" -> OracleSqlGen.docTextEmbeddingCard,

@@ -1217,7 +1217,7 @@ object Analytics {
       .orderBy($("p_partkey"))
   }
 
-  /** B50: Bloom semi-join REDUCTION — the selective fact⋈dim join with
+  /** B53: Bloom semi-join REDUCTION — the selective fact⋈dim join with
     * an explicit runtime filter: the selected dim keys (high-value
     * orders, ~3% of the table) fold into ONE dense 8 KiB bit-array row
     * that broadcasts into the fact scan; only fact rows passing all k

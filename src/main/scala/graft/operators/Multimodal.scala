@@ -372,6 +372,55 @@ object Multimodal {
       ordered)(col("doc_id"), col("frame_idx"))
   }
 
+  /** F14: per-asset video summary card — the one-row-per-asset read an
+    * operator scans before sampling strategy decisions (F4 stride vs
+    * F12 adaptive): sampled frame count, scene count (1 + cuts),
+    * mean scene length, and the within-asset duplicate-frame share
+    * (frames whose perceptual hash already appeared earlier in the
+    * same asset — static/looping content, the "don't embed 400 copies
+    * of the title card" number).
+    *
+    * Scale shape: the F4/F10 narrow hash pass + ONE asset-keyed sort
+    * carrying the cut lag and the within-asset dup rank (same-asset
+    * dup detection needs no cross-asset join at all); rollup keys on
+    * #assets.
+    */
+  def mmVideoSummary(t: Tables, frameBytes: Int = 64, stride: Int = 4,
+      threshold: Int = 36, ordered: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val dupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("ph")).orderBy(col("frame_idx"))
+    val fr = t.documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("nf", expr(s"octet_length(payload) div $frameBytes").cast("int"))
+      .select(col("doc_id"), col("payload"),
+        explode(when(col("nf") > 0, sequence(lit(0), col("nf") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        call_function("graft_dhash60_b1",
+          expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")).as("ph"))
+    val marked = fr
+      .withColumn("prev_ph", lag(col("ph"), 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev_ph").isNotNull &&
+          bit_count(col("ph").bitwiseXOR(col("prev_ph"))) >= threshold, 1L)
+          .otherwise(0L))
+      .withColumn("dup_rank", row_number().over(dupW))
+    maybeSort(
+      marked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          (sum(col("is_cut")) + 1).as("n_scenes"),
+          sum(when(col("dup_rank") > 1, 1L).otherwise(0L)).as("n_dup_frames"))
+        .select(col("doc_id"), col("n_frames"), col("n_scenes"),
+          r6(col("n_frames").cast("double") / col("n_scenes").cast("double"))
+            .as("mean_scene_len_r"),
+          col("n_dup_frames"),
+          r6(col("n_dup_frames").cast("double") / col("n_frames").cast("double"))
+            .as("dup_frame_share_r")),
+      ordered)(col("doc_id"))
+  }
+
   /** F13: keyframe selection — F12's scene segmentation composed with
     * a per-frame detail score into one representative frame per scene
     * (the thumbnail/embedding-input picker: at 100 TB of video you

@@ -452,7 +452,7 @@ class PlanSpec extends SparkSpec {
   test("bloom join reduce: prefilter passes few rows, result equals plain join") {
     import org.apache.spark.sql.functions._
     val t = tables
-    // the B50 prefilter stage alone: count survivors vs the fact table
+    // the B53 prefilter stage alone: count survivors vs the fact table
     val total = t.lineitem.count().toDouble
     val sel = t.orders.filter(col("o_totalprice") >= 480000.0)
       .select(col("o_orderkey"))
