@@ -2632,6 +2632,21 @@ object OracleSqlGen {
     * lowest-suppkey ties — MIN of per-row double divisions is
     * order-free, so the only rounding is the display r6.
     */
+  /** B54: value-based RANGE frame — trailing `days`-day order totals
+    * per customer over the integer day key, frame sums DECIMAL-routed.
+    */
+  def qRangeFrame(days: Int): String =
+    s"""SELECT o_custkey, o_orderkey,
+       |  epoch_us(o_orderdate) // 86400000000 AS day_n,
+       |  CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trail_sum,
+       |  floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) /
+       |    CAST(COUNT(*) OVER w AS DOUBLE))*1000000 + 0.5)/1000000 AS trail_avg_r
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 86400000000
+       |  RANGE BETWEEN ${days - 1} PRECEDING AND CURRENT ROW)
+       |ORDER BY o_custkey, day_n, o_orderkey""".stripMargin
+
   /** B53: the PLAIN selective join — the Bloom prefilter is transparent
     * by construction (false positives die in the exact join), so the
     * oracle states the join without it.

@@ -248,6 +248,7 @@ object SparkEntry {
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
     "q_bloom_join_reduce"  -> q(Analytics.qBloomJoinReduce(_)),
+    "q_range_frame"        -> q(Analytics.qRangeFrame(_, ordered = true)),
     "q_kmv_set_ops"        -> q(Analytics.qKmvSetOps(_)),
     "emb_energy_curve"     -> q(Similarity.embEnergyCurve(_)),
     "ann_triangles"        -> q(Similarity.annTriangles(_, ordered = true)),
@@ -1294,6 +1295,7 @@ object SparkEntry {
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "q_bloom_join_reduce"     -> OracleSqlGen.qBloomJoinReduce(480000.0),
+    "q_range_frame"           -> OracleSqlGen.qRangeFrame(7),
     "q_kmv_set_ops"           -> OracleSqlGen.qKmvSetOps(64),
     "emb_energy_curve"        -> OracleSqlGen.embEnergyCurve(Seq(8, 16, 32, 64)),
     "ann_triangles"           -> OracleSqlGen.annTriangles(5, 128, 0.0),

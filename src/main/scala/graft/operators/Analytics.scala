@@ -1262,5 +1262,37 @@ object Analytics {
       .orderBy($("o_orderpriority"))
   }
 
+  /** B54: value-based RANGE window frame — per customer, the trailing
+    * 7-DAY order total (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over
+    * an integer day key): the time-windowed running aggregate ROWS
+    * frames can't express (two orders on one day must both see the
+    * same trailing window; a row frame would split them). The missing
+    * window-feature exercise next to B4's running sum and B17's
+    * row-frame rolling mean.
+    *
+    * Scale shape: ONE customer-keyed window (corpus-cardinality
+    * partition key — never an unpartitioned frame); the day key is
+    * exact integer µs division; the frame sum routes through
+    * DECIMAL(18,6) so the per-frame set sums order-independently.
+    */
+  def qRangeFrame(t: Tables, days: Int = 7, ordered: Boolean = false): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ; cast through TIMESTAMP (session tz
+    // pinned to UTC) so unix_micros resolves — same instant both engines
+    val dayN = (unix_micros($("o_orderdate").cast("timestamp")) / lit(86400000000L))
+      .cast("long")
+    val w = Window.partitionBy($("o_custkey")).orderBy($("day_n"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    val out = t.orders
+      .select($("o_custkey"), $("o_orderkey"), dayN.as("day_n"),
+        $("o_totalprice"))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .withColumn("trail_sum",
+        sum($("o_totalprice").cast(DecimalType(18, 6))).over(w).cast("double"))
+      .select($("o_custkey"), $("o_orderkey"), $("day_n"), $("n_in_window"),
+        col("trail_sum"),
+        r6(col("trail_sum") / $("n_in_window").cast("double")).as("trail_avg_r"))
+    maybeSort(out, ordered)($("o_custkey"), $("day_n"), $("o_orderkey"))
+  }
+
   private def $(name: String): Column = col(name)
 }

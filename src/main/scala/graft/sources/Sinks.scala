@@ -373,4 +373,48 @@ object Sinks {
         slice(array_sort(array_distinct(concat(
           coalesce(col("ka"), empty), coalesce(col("kb"), empty)))), 1, k).as("kept"))
   }
+
+  /** G23: content-addressed CHUNK STORE — the storage layout E55's
+    * content-defined chunking exists to feed (the rsync/restic/LBFS
+    * shape): `path/chunks/` holds each DISTINCT chunk once (keyed by
+    * content hash, one row per unique chunk), `path/manifest/` holds
+    * the per-document recipe (doc_id, chunk_idx, chunk_hash). Dup mass
+    * is stored ONCE; a document reconstructs by joining its manifest
+    * to the store and concatenating in chunk order — the round-trip
+    * law SinksSpec pins (reassembled text ≡ original, every doc).
+    *
+    * Scale shape: dedup of the chunk table is ONE chunk-hash-keyed
+    * min-aggregate (the C1 shuffle class); the manifest is a narrow
+    * projection of the E55 relation; both sides write clustered by
+    * their join keys so reconstruction co-locates.
+    */
+  def writeChunkStore(t: Tables, path: String,
+      window: Int = 16, modDiv: Int = 64): Unit = {
+    val chunks = graft.operators.TextOps.docCdcChunks(t, window, modDiv)
+      .join(t.documents.select(col("doc_id"), lower(col("text")).as("lt")), "doc_id")
+      .withColumn("chunk_text",
+        expr("substring(lt, CAST(start_pos AS INT), CAST(chunk_len AS INT))"))
+    chunks.groupBy(col("chunk_hash"))
+      .agg(first(col("chunk_text")).as("chunk_text"),
+        count(lit(1)).as("n_refs"))
+      .repartition(4, col("chunk_hash"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/chunks")
+    chunks.select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
+      .repartition(4, col("chunk_hash"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
+  }
+
+  /** Reassemble documents from a G23 chunk store: manifest ⋈ chunks on
+    * the content hash, chunks concatenated in recipe order. */
+  def readChunkStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val chunks = spark.read.parquet(s"$path/chunks")
+      .select(col("chunk_hash"), col("chunk_text"))
+    spark.read.parquet(s"$path/manifest")
+      .join(chunks, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("chunk_idx"), col("chunk_text")))), s => s.getField("chunk_text")), "")
+        .as("text"))
+  }
 }

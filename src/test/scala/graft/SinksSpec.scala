@@ -382,4 +382,22 @@ class SinksSpec extends SparkSpec {
       s"merged shard sketches must equal the whole-corpus sketch; " +
         s"diff keys: ${(whole.keySet ++ merged.keySet).filter(kk => whole.get(kk) != merged.get(kk)).take(2)}")
   }
+
+  test("chunk store: dedup storage round-trips every document byte-exactly") {
+    val dir = Files.createTempDirectory("chunkstore").toString
+    Sinks.writeChunkStore(tables, dir)
+    val rebuilt = Sinks.readChunkStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val originals = tables.documents
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .filter(length(col("lt")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt.keySet == originals.keySet, "every non-empty doc must reconstruct")
+    val bad = originals.collect { case (id, t) if rebuilt(id) != t => id }
+    assert(bad.isEmpty, s"reconstruction mismatch for docs ${bad.take(3)}")
+    // the store must actually dedup: unique chunks < total manifest refs
+    val nChunks = spark.read.parquet(s"$dir/chunks").count()
+    val nRefs = spark.read.parquet(s"$dir/manifest").count()
+    assert(nChunks < nRefs, s"store must share duplicate chunks ($nChunks vs $nRefs)")
+  }
 }
