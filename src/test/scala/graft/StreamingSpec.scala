@@ -935,6 +935,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cdc novelty: empty base == batch chunking; full base == zero novelty") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val docs = tables.documents.select("doc_id", "text", "lang").collect()
+      .map(r => graft.model.IngestDoc(r.getLong(0), r.getString(1), r.getString(2),
+        base.plusSeconds(r.getLong(0))))
+      .sortBy(_.doc_id).toSeq
+    val batchChunks = graft.operators.TextOps.docCdcChunks(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    val perDoc = batchChunks.groupBy(_._1).view
+      .mapValues(cs => (cs.length.toLong, cs.map(_._2).sum)).toMap
+    val allHashes: scala.collection.Set[String] = batchChunks.map(_._3).toSet
+
+    def run(baseH: scala.collection.Set[String], name: String) = {
+      val input = MemoryStream[graft.model.IngestDoc]
+      val out = graft.streaming.DocStreamJob.streamDocCdcNovelty(input.toDS(), baseH)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        docs.grouped((docs.size + 2) / 3).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getDouble(6)))).toMap
+      } finally q.stop()
+    }
+    // empty base: everything is novel, and chunk counts/bytes must
+    // equal the oracle-gated batch relation's
+    val fresh = run(Set.empty[String], "cdc_nov_empty")
+    perDoc.foreach { case (id, (nc, bytes)) =>
+      val (snc, nk, sb, nb, nov) = fresh(id)
+      assert(snc == nc && nk == 0L && sb == 0L && nb == bytes && nov == 1.0,
+        s"doc $id empty-base mismatch: got ($snc,$nk,$sb,$nb,$nov) want ($nc,0,0,$bytes,1.0)")
+    }
+    // full base: nothing is novel
+    val known = run(allHashes, "cdc_nov_full")
+    perDoc.foreach { case (id, (nc, bytes)) =>
+      val (snc, nk, sb, nb, nov) = known(id)
+      assert(snc == nc && nk == nc && sb == bytes && nb == 0L && nov == 0.0,
+        s"doc $id full-base mismatch: got ($snc,$nk,$sb,$nb,$nov)")
+    }
+  }
+
   test("streaming burst windows == driver-recomputed prefix-baseline incidents") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
