@@ -2387,6 +2387,49 @@ object OracleSqlGen {
        |  CAST(z >= 0 AS INTEGER) AS keep
        |FROM zz ORDER BY doc_id""".stripMargin
 
+  /** E58: reliability diagram + ECE — the trained scorer's chain,
+    * fixed-width probability bins, r6'd means/gaps, ECE broadcast.
+    */
+  def docQualityCalibration(vocabV: Int, bias: Double, minScore: Double,
+      nBins: Int): String =
+    s"""WITH $qualityCoreCtes,
+       |$langidCoreCtes,
+       |qual AS (SELECT doc_id, $qualityScoreExpr AS quality_score FROM r),
+       |dup AS (SELECT doc_id,
+       |  CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS INTEGER) AS duplicate
+       |  FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)),
+       |lbl AS (SELECT qual.doc_id,
+       |  CAST(quality_score >= $minScore AND pred_lang = lang AND duplicate = 0 AS INTEGER) AS y
+       |  FROM qual JOIN p USING (doc_id) JOIN dup USING (doc_id)),
+       |tk AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS token FROM documents),
+       |vocab AS (SELECT token, COUNT(*) AS cnt, CAST(SUM(2*y - 1) AS BIGINT) AS grad
+       |  FROM tk JOIN lbl USING (doc_id) GROUP BY token
+       |  ORDER BY cnt DESC, token LIMIT $vocabV),
+       |w AS (SELECT token, CAST(floor(1000.0*grad/cnt) AS BIGINT) AS w_milli FROM vocab),
+       |d AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(COALESCE(w.w_milli, 0)) AS BIGINT) AS swm
+       |  FROM tk LEFT JOIN w USING (token) GROUP BY tk.doc_id),
+       |zz AS (SELECT doc_id, $bias + (swm/1000.0)/n_tokens AS z FROM d),
+       |sc AS (SELECT doc_id,
+       |  floor((z/(2.0*(1.0+abs(z))) + 0.5)*1000000 + 0.5)/1000000 AS score_r FROM zz),
+       |rng AS (SELECT MIN(score_r) AS mn, MAX(score_r) AS mx FROM sc),
+       |bj AS (SELECT sc.doc_id,
+       |  CASE WHEN rng.mx = rng.mn THEN 0
+       |    ELSE LEAST(${nBins - 1},
+       |      CAST(floor((score_r - rng.mn) / (rng.mx - rng.mn) * $nBins) AS BIGINT)) END AS bin,
+       |  score_r, lbl.y FROM sc JOIN lbl USING (doc_id), rng),
+       |cal AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  floor((CAST(SUM(CAST(score_r AS DECIMAL(18,6))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_pred_r,
+       |  floor((CAST(SUM(y) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS pos_rate_r
+       |  FROM bj GROUP BY bin),
+       |cal2 AS (SELECT bin, n_docs, mean_pred_r, pos_rate_r,
+       |  floor(abs(mean_pred_r - pos_rate_r)*1000000 + 0.5)/1000000 AS gap_r FROM cal),
+       |ece AS (SELECT
+       |  floor((CAST(SUM(CAST(gap_r AS DECIMAL(18,6)) * n_docs) AS DOUBLE) /
+       |    CAST(SUM(n_docs) AS DOUBLE))*1000000 + 0.5)/1000000 AS ece_r FROM cal2)
+       |SELECT bin, n_docs, mean_pred_r, pos_rate_r, gap_r, ece_r
+       |FROM cal2, ece ORDER BY bin""".stripMargin
+
   /** E49: confusion matrix of the trained model's keep vs its E14
     * weak labels — same CTE chain as the trained scorer, one 4-counter
     * aggregate, single guarded divisions.

@@ -187,6 +187,7 @@ object SparkEntry {
     "doc_quality_model"    -> q(TextOps.docQualityModel(_, ordered = true)),
     "doc_quality_model_trained" -> q(TextOps.docQualityModelTrained(_, ordered = true)),
     "doc_quality_model_eval" -> q(TextOps.docQualityModelEval(_)),
+    "doc_quality_calibration" -> q(TextOps.docQualityCalibration(_, ordered = true)),
     "text_bigram_logprob"  -> q(TextOps.textBigramLogprob(_, ordered = true)),
     "text_keywords"        -> q(TextOps.textKeywords(_, ordered = true)),
     "text_winnow"          -> q(TextOps.textWinnow(_, ordered = true)),
@@ -1829,6 +1830,7 @@ object SparkEntry {
     "doc_quality_model"     -> OracleSqlGen.docQualityModel(4096, 0.1),
     "doc_quality_model_trained" -> OracleSqlGen.docQualityModelTrained(4096, 0.1, 0.5),
     "doc_quality_model_eval" -> OracleSqlGen.docQualityModelEval(4096, 0.1, 0.5),
+    "doc_quality_calibration" -> OracleSqlGen.docQualityCalibration(4096, 0.1, 0.5, 10),
     "text_keywords"         -> OracleSqlGen.textKeywords(3),
     "text_winnow"           -> OracleSqlGen.textWinnow(8),
     "doc_contamination_stats" -> OracleSqlGen.docContaminationStats(10, 1),

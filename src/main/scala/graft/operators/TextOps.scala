@@ -1347,6 +1347,59 @@ object TextOps {
           lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_r"))
   }
 
+  /** E58: reliability diagram + ECE for the trained quality model —
+    * E49 says whether the model's DECISIONS match the labels; this
+    * says whether its PROBABILITIES mean anything (a model can be 89%
+    * accurate while its "0.9" bucket is right 60% of the time — then
+    * score-threshold tuning, E26's quality buckets, and any
+    * downstream mixing-by-confidence are built on sand). Fixed-width
+    * probability bins (deterministic, never quantile), per bin the
+    * mean predicted probability vs the observed positive rate and
+    * their gap; the expected calibration error Σ (n_b/N)·gap_b rides
+    * every row as the one-number summary.
+    *
+    * Bins are min-max NORMALIZED over the observed score range (a
+    * one-step-trained linear model's fast-sigmoid scores cluster in a
+    * narrow band — fixed [0,1) deciles collapse the whole corpus into
+    * one bin and the diagram says nothing); the range comes from a
+    * broadcast 1-row (min, max) aggregate of r6'd scores, so the bin
+    * expression is the identical double arithmetic on both engines.
+    *
+    * Scale shape: the scorer's own chain + ONE doc-keyed label join
+    * into a ≤nBins-key aggregate; probabilities r6'd before the
+    * DECIMAL mean, gaps computed on r6'd values, ECE a broadcast
+    * 1-row aggregate of the bin relation.
+    */
+  def docQualityCalibration(t: Tables, vocabV: Int = 4096, bias: Double = 0.1,
+      minScore: Double = 0.5, nBins: Int = 10,
+      ordered: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pred = docQualityModelTrained(t, vocabV, bias, minScore)
+      .select(col("doc_id"), col("score_r"))
+    val lab = docCurate(t, minScore).select(col("doc_id"), col("keep").as("y"))
+    val rng = pred.agg(min(col("score_r")).as("mn"), max(col("score_r")).as("mx"))
+    val cal = pred.join(lab, "doc_id")
+      .crossJoin(broadcast(rng))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(lit(nBins - 1L),
+            floor((col("score_r") - col("mn")) / (col("mx") - col("mn")) * nBins)
+              .cast("long"))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score_r").cast(DecimalType(18, 6))).as("sp"),
+        sum(col("y").cast("long")).as("npos"))
+      .select(col("bin"), col("n_docs"),
+        r6(col("sp").cast("double") / col("n_docs").cast("double")).as("mean_pred_r"),
+        r6(col("npos").cast("double") / col("n_docs").cast("double")).as("pos_rate_r"))
+      .withColumn("gap_r", r6(abs(col("mean_pred_r") - col("pos_rate_r"))))
+    val ece = cal
+      .agg(sum(col("gap_r").cast(DecimalType(18, 6)) * col("n_docs")).as("sg"),
+        sum(col("n_docs")).as("nn"))
+      .select(r6(col("sg").cast("double") / col("nn").cast("double")).as("ece_r"))
+    maybeSort(cal.crossJoin(broadcast(ece)), ordered)(col("bin"))
+  }
+
   /** E34: language confusion matrix — declared `lang` × E1-predicted
     * `pred_lang` doc counts with per-declared-language share (the
     * dataset-card "how much of my 'en' slice isn't en" view, and the
