@@ -1436,6 +1436,33 @@ object OracleSqlGen {
     s"""WITH ${cellCte(nCenters)}
        |SELECT vec_id, label, cell, dist2_r FROM asg ORDER BY vec_id""".stripMargin
 
+  /** D40: quantizer drift — D7's assignment + conditional epoch sums
+    * per cell, per-epoch DECIMAL distance means, r6'd deltas.
+    */
+  def embQuantizerDrift(nCenters: Int): String =
+    s"""WITH ${cellCte(nCenters)},
+       |ep AS (SELECT cell, dist2_r, CAST(vec_id % 2 AS INTEGER) AS epoch FROM asg),
+       |ag AS (SELECT cell,
+       |  CAST(SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |  CAST(SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_serve,
+       |  SUM(CASE WHEN epoch = 0 THEN CAST(dist2_r AS DECIMAL(18,6)) END) AS sd_train,
+       |  SUM(CASE WHEN epoch = 1 THEN CAST(dist2_r AS DECIMAL(18,6)) END) AS sd_serve
+       |  FROM ep GROUP BY cell),
+       |tt AS (SELECT CAST(SUM(n_train) AS BIGINT) AS tt_train,
+       |  CAST(SUM(n_serve) AS BIGINT) AS tt_serve FROM ag),
+       |ex AS (SELECT cell, n_train, n_serve,
+       |  floor((CAST(n_train AS DOUBLE)/CAST(tt_train AS DOUBLE))*1000000 + 0.5)/1000000 AS share_train_r,
+       |  floor((CAST(n_serve AS DOUBLE)/CAST(tt_serve AS DOUBLE))*1000000 + 0.5)/1000000 AS share_serve_r,
+       |  CASE WHEN n_train > 0 THEN floor((CAST(sd_train AS DOUBLE)/CAST(n_train AS DOUBLE))*1000000 + 0.5)/1000000 END AS mean_dist_train_r,
+       |  CASE WHEN n_serve > 0 THEN floor((CAST(sd_serve AS DOUBLE)/CAST(n_serve AS DOUBLE))*1000000 + 0.5)/1000000 END AS mean_dist_serve_r
+       |  FROM ag, tt)
+       |SELECT cell, n_train, n_serve, share_train_r, share_serve_r,
+       |  mean_dist_train_r, mean_dist_serve_r,
+       |  floor((share_serve_r - share_train_r)*1000000 + 0.5)/1000000 AS share_delta_r,
+       |  CASE WHEN mean_dist_train_r IS NOT NULL AND mean_dist_serve_r IS NOT NULL
+       |    THEN floor((mean_dist_serve_r - mean_dist_train_r)*1000000 + 0.5)/1000000 END AS dist_delta_r
+       |FROM ex ORDER BY cell""".stripMargin
+
   /** D23: per-dimension mean/variance on the exact integer lattice. */
   val embDimStats: String =
     s"""WITH m AS (SELECT vec_id,

@@ -143,6 +143,7 @@ object SparkEntry {
     "emb_covariance"       -> q(Similarity.embCovariance(_, ordered = true)),
     "emb_power_iteration"  -> q(Similarity.embPowerIteration(_, ordered = true)),
     "emb_pca_project"      -> q(Similarity.embPcaProject(_, ordered = true)),
+    "emb_quantizer_drift"  -> q(Similarity.embQuantizerDrift(_, ordered = true)),
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
     "emb_pq_error"         -> q(Similarity.embPqError(_)),
     "emb_sq8_codes"        -> q(Similarity.embSq8Codes(_, ordered = true)),
@@ -1744,6 +1745,7 @@ object SparkEntry {
     "emb_covariance"        -> OracleSqlGen.embCovariance,
     "emb_power_iteration"   -> OracleSqlGen.embPowerIteration,
     "emb_pca_project"       -> OracleSqlGen.embPcaProject,
+    "emb_quantizer_drift"   -> OracleSqlGen.embQuantizerDrift(8),
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
     "emb_pq_error"          -> OracleSqlGen.embPqError(8, 8, 8),
     "emb_sq8_codes"         -> OracleSqlGen.embSq8Codes,

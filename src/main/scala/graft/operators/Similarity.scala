@@ -316,6 +316,51 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cell"), col("dist2_r")),
     ordered)(col("vec_id"))
 
+  /** D40: quantizer DRIFT card — per cell, the train-epoch vs
+    * serve-epoch comparison that answers "is the persisted G15
+    * quantizer stale?": assignment share delta (cells gaining or
+    * losing population ⇒ the data distribution moved; D28's imbalance
+    * warning becomes a TREND) and mean assigned distance delta (cells
+    * whose members sit farther from their center than at train time ⇒
+    * reconstruction/pruning quality is decaying — retrain before
+    * recall quietly erodes). Epochs here are the deterministic
+    * vec_id-parity split (in production: the training snapshot vs the
+    * current corpus — same relation, two scans or one epoch column).
+    *
+    * Scale shape: D7's shuffle-free literal-centers assignment + ONE
+    * #cells-key aggregate with conditional epoch sums; per-epoch
+    * distance means DECIMAL-routed over r6'd dist2, zero-member
+    * epochs null-guarded identically on both engines.
+    */
+  def embQuantizerDrift(t: Tables, nCenters: Int = 8,
+      ordered: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val asg = embKmeansAssign(t, nCenters)
+      .withColumn("epoch", pmod(col("vec_id"), lit(2)).cast("int"))
+    def nOf(e: Int) = sum(when(col("epoch") === e, 1L).otherwise(0L))
+    def dOf(e: Int) = sum(when(col("epoch") === e,
+      col("dist2_r").cast(DecimalType(18, 6))).otherwise(lit(null)))
+    val totals = asg.groupBy(col("cell"))
+      .agg(nOf(0).as("n_train"), nOf(1).as("n_serve"),
+        dOf(0).as("sd_train"), dOf(1).as("sd_serve"))
+      .crossJoin(broadcast(asg.agg(
+        nOf(0).as("tt_train"), nOf(1).as("tt_serve"))))
+    def share(n: Column, tt: Column) = r6(n.cast("double") / tt.cast("double"))
+    def meanD(sd: Column, n: Column) =
+      when(n > 0L, r6(sd.cast("double") / n.cast("double")))
+    val out = totals.select(col("cell"), col("n_train"), col("n_serve"),
+        share(col("n_train"), col("tt_train")).as("share_train_r"),
+        share(col("n_serve"), col("tt_serve")).as("share_serve_r"),
+        meanD(col("sd_train"), col("n_train")).as("mean_dist_train_r"),
+        meanD(col("sd_serve"), col("n_serve")).as("mean_dist_serve_r"))
+      .withColumn("share_delta_r",
+        r6(col("share_serve_r") - col("share_train_r")))
+      .withColumn("dist_delta_r",
+        when(col("mean_dist_train_r").isNotNull && col("mean_dist_serve_r").isNotNull,
+          r6(col("mean_dist_serve_r") - col("mean_dist_train_r"))))
+    maybeSort(out, ordered)(col("cell"))
+  }
+
   /** D20: one Lloyd update round — the k-means TRAINING step paired
     * with D7's assignment: per (cell, dim), the exact micro-lattice
     * mean of the vectors assigned to that cell (the new centroid
