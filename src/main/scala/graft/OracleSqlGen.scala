@@ -117,6 +117,44 @@ object OracleSqlGen {
        |FROM rk JOIN documents dd ON dd.doc_id = rk.doc_id
        |GROUP BY dd.source ORDER BY dd.source""".stripMargin
 
+  /** C30: dedup-decision agreement — C3's verified-Jaccard verdict vs
+    * the r6'd Levenshtein similarity over the same candidates, one
+    * 4-counter confusion aggregate with guarded ratios.
+    */
+  def docDedupAgreement(simThr: Double, jaccThr: Double): String = {
+    def ratio(num: String, den: String) =
+      s"CASE WHEN $den > 0 THEN floor((CAST($num AS DOUBLE)/CAST($den AS DOUBLE))*1000000 + 0.5)/1000000 END"
+    s"""WITH $gramCtes,
+       |$sigCte,
+       |band AS (SELECT doc_id, j,
+       |  CASE j WHEN 0 THEN ${bandConcat(0 until 4)}
+       |         WHEN 1 THEN ${bandConcat(4 until 8)}
+       |         WHEN 2 THEN ${bandConcat(8 until 12)}
+       |         ELSE ${bandConcat(12 until 16)} END AS band_val
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |$jaccardCtes,
+       |pred AS (SELECT da, db
+       |  FROM common JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+       |  WHERE c/(sa.n+sb.n-c) >= $jaccThr),
+       |tr AS (SELECT c2.da, c2.db,
+       |  CAST(floor((1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE) /
+       |    CAST(GREATEST(length(x.text), length(y.text)) AS DOUBLE))*1000000 + 0.5)/1000000 >= $simThr AS INTEGER) AS y
+       |  FROM cand c2 JOIN documents x ON x.doc_id = c2.da JOIN documents y ON y.doc_id = c2.db),
+       |jn AS (SELECT tr.y, CAST(pred.da IS NOT NULL AS INTEGER) AS p
+       |  FROM tr LEFT JOIN pred ON pred.da = tr.da AND pred.db = tr.db)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(p*y) AS BIGINT) AS tp,
+       |  CAST(SUM(p*(1-y)) AS BIGINT) AS fp,
+       |  CAST(SUM((1-p)*y) AS BIGINT) AS fn,
+       |  CAST(SUM((1-p)*(1-y)) AS BIGINT) AS tn,
+       |  ${ratio("SUM(p*y)", "SUM(p*y) + SUM(p*(1-y))")} AS precision_r,
+       |  ${ratio("SUM(p*y)", "SUM(p*y) + SUM((1-p)*y)")} AS recall_r,
+       |  ${ratio("2*SUM(p*y)", "2*SUM(p*y) + SUM(p*(1-y)) + SUM((1-p)*y)")} AS f1_r
+       |FROM jn""".stripMargin
+  }
+
   /** C29: exact Levenshtein over the C3 band candidates — native
     * `levenshtein` on both engines (same DP definition), one r6'd
     * normalized-similarity division.
@@ -986,6 +1024,26 @@ object OracleSqlGen {
        |  MAX(CASE WHEN pn = 1 THEN frame_idx END) AS key_frame_idx,
        |  MAX(CASE WHEN pn = 1 THEN detail END) AS key_detail
        |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** F15: cross-source rollup of the F6 banded pair relation, pair
+    * sources normalized least/greatest, same-source pairs excluded.
+    */
+  def mmCrossSourceDup(maxHamming: Int): String =
+    s"""WITH $dhashCtes,
+       |ch AS (SELECT doc_id, phash, j, (phash >> (15*j)) & 32767 AS chunk_val
+       |  FROM ph, (SELECT unnest([0,1,2,3]) AS j)),
+       |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+       |  FROM ch a JOIN ch b ON a.j = b.j AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |  WHERE CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) <= $maxHamming),
+       |sp AS (SELECT LEAST(sa.source, sb.source) AS source_a,
+       |  GREATEST(sa.source, sb.source) AS source_b, pr.hamming
+       |  FROM pr JOIN documents sa ON sa.doc_id = pr.doc_a
+       |  JOIN documents sb ON sb.doc_id = pr.doc_b
+       |  WHERE sa.source <> sb.source)
+       |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(MIN(hamming) AS INTEGER) AS min_hamming
+       |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def mmPhashPairs(maxHamming: Int): String =
     s"""WITH $dhashCtes,

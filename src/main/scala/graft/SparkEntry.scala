@@ -261,6 +261,8 @@ object SparkEntry {
     "mm_scene_cuts"        -> q(Multimodal.mmSceneCuts(_, ordered = true)),
     "mm_keyframe_select"   -> q(Multimodal.mmKeyframeSelect(_, ordered = true)),
     "mm_video_summary"     -> q(Multimodal.mmVideoSummary(_, ordered = true)),
+    "mm_cross_source_dup"  -> q(Multimodal.mmCrossSourceDup(_, ordered = true)),
+    "doc_dedup_agreement"  -> q(Dedup.docDedupAgreement(_)),
     "doc_dup_ngram_mass"   -> q(Dedup.docDupNgramMass(_, ordered = true)),
     "doc_curation_funnel"  -> q(TextOps.docCurationFunnel(_)),
     "doc_text_embedding_card" -> q(TextOps.docTextEmbeddingCard),
@@ -1310,6 +1312,8 @@ object SparkEntry {
     "mm_scene_cuts"           -> OracleSqlGen.mmSceneCuts(64, 4, 36),
     "mm_keyframe_select"      -> OracleSqlGen.mmKeyframeSelect(64, 4, 36),
     "mm_video_summary"        -> OracleSqlGen.mmVideoSummary(64, 4, 36),
+    "mm_cross_source_dup"     -> OracleSqlGen.mmCrossSourceDup(4),
+    "doc_dedup_agreement"     -> OracleSqlGen.docDedupAgreement(0.8, 0.2),
     "doc_dup_ngram_mass"      -> OracleSqlGen.docDupNgramMass,
     "doc_curation_funnel"     -> OracleSqlGen.docCurationFunnel(0.5),
     "doc_text_embedding_card" -> OracleSqlGen.docTextEmbeddingCard,

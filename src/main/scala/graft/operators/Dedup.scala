@@ -1469,6 +1469,42 @@ object Dedup {
       .orderBy(col("bands"))
   }
 
+  /** C30: dedup-decision AGREEMENT card — the shingle pipeline's
+    * verified-Jaccard verdict (C3, the decision a production run acts
+    * on) graded against C29's character-level edit similarity as
+    * ground truth, over the SAME candidate universe: one confusion
+    * row with precision/recall/F1. The "is word-shingle Jaccard the
+    * right adjudicator for THIS corpus" read — high fn means the
+    * banding threshold keeps template copies the byte level would
+    * merge; high fp means shingle overlap is over-merging distinct
+    * texts. (Banding's own recall blind spot is measured separately
+    * by C21; this card is conditional on candidates by design.)
+    *
+    * Scale shape: both feeders are the banding-bounded candidate
+    * relation; the grade is ONE doc-pair join + a 4-counter aggregate.
+    */
+  def docDedupAgreement(t: Tables, simThr: Double = 0.8,
+      jaccThr: Double = 0.2): DataFrame = {
+    val truth = docEditDistance(t)
+      .select(col("doc_a"), col("doc_b"), (col("sim_r") >= simThr).cast("int").as("y"))
+    val pred = docMinhashLshPairs(t, jaccThr)
+      .select(col("doc_a").as("pa"), col("doc_b").as("pb"))
+    def cnt(p: Int, y: Int): Column =
+      sum(when(col("p") === p && col("y") === y, 1L).otherwise(0L))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0L, r6(num.cast("double") / den.cast("double")))
+    truth
+      .join(pred, col("doc_a") === col("pa") && col("doc_b") === col("pb"), "left")
+      .select(col("y"), col("pa").isNotNull.cast("int").as("p"))
+      .agg(count(lit(1)).as("n_candidates"),
+        cnt(1, 1).as("tp"), cnt(1, 0).as("fp"), cnt(0, 1).as("fn"), cnt(0, 0).as("tn"))
+      .select(col("n_candidates"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision_r"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall_r"),
+        ratio(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_r"))
+  }
+
   /** C29: EXACT edit distance over the band-candidate pairs — the
     * character-level verify the shingle family can't give: Jaccard on
     * word shingles is blind to in-word edits and reorder direction,

@@ -372,6 +372,35 @@ object Multimodal {
       ordered)(col("doc_id"), col("frame_idx"))
   }
 
+  /** F15: cross-source perceptual duplication — F6's banded hamming
+    * pairs rolled up by the SOURCE pair they span (C21's
+    * cross-source exact-dup report, at the perceptual level: which
+    * crawl feeds re-host each other's media — the dedup-priority and
+    * licensing-risk read). Pair sources normalized (least, greatest)
+    * so (a,b)/(b,a) collapse; same-source pairs excluded.
+    *
+    * Scale shape: F6's pigeonhole candidate machinery unchanged; the
+    * source lookup is a doc-keyed join of the tiny pair relation;
+    * rollup keys on #sources².
+    */
+  def mmCrossSourceDup(t: Tables, maxHamming: Int = 4,
+      ordered: Boolean = false): DataFrame = {
+    val src = t.documents.select(col("doc_id"), col("source"))
+    val pairs = mmPhashPairs(t, maxHamming)
+      .join(src.select(col("doc_id").as("ia"), col("source").as("sa")),
+        col("doc_a") === col("ia"))
+      .join(src.select(col("doc_id").as("ib"), col("source").as("sb")),
+        col("doc_b") === col("ib"))
+      .filter(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("hamming"))
+    maybeSort(
+      pairs.groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("hamming")).cast("int").as("min_hamming")),
+      ordered)(col("source_a"), col("source_b"))
+  }
+
   /** F14: per-asset video summary card — the one-row-per-asset read an
     * operator scans before sampling strategy decisions (F4 stride vs
     * F12 adaptive): sampled frame count, scene count (1 + cuts),
