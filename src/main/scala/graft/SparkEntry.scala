@@ -15,6 +15,39 @@ object SparkEntry {
   private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
     (spark, dir) => f(Tables(spark, dir))
 
+  // A29/A33 oracle SQL as vals so the A76 ensemble oracle nests the
+  // EXACT gated member queries instead of re-stating their formulas
+  private val evAnomalyMadSql: String =
+    """WITH rates AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      |med AS (SELECT event_type, floor(quantile_cont(n, 0.5)*10000 + 0.5)/10000 AS med
+      |  FROM rates GROUP BY event_type),
+      |dev AS (SELECT rates.event_type, rates.hour, rates.n, med.med,
+      |  abs(rates.n - med.med) AS dev FROM rates JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, floor(quantile_cont(dev, 0.5)*10000 + 0.5)/10000 AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT dev.event_type, dev.hour, dev.n, dev.med, mad.mad,
+      |  CAST(dev.n > dev.med + 3.0*mad.mad AS INTEGER) AS is_anomaly
+      |FROM dev JOIN mad USING (event_type)
+      |ORDER BY event_type, hour""".stripMargin
+
+  private val evEwmaSql: String =
+    """WITH rates AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      |wl AS (SELECT event_type, hour, n,
+      |  list(n) OVER (PARTITION BY event_type ORDER BY hour
+      |    ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS ms
+      |  FROM rates),
+      |e AS (SELECT event_type, hour, n, len(ms) AS s,
+      |  CASE WHEN len(ms) > 0 THEN
+      |    list_sum([ms[i+1] * power(0.5, len(ms)-1-i) for i in range(len(ms))]) /
+      |    list_sum([power(0.5, len(ms)-1-i) for i in range(len(ms))])
+      |  END AS ewma FROM wl)
+      |SELECT event_type, hour, n,
+      |  floor(ewma*1000000 + 0.5)/1000000 AS ewma_r,
+      |  CASE WHEN s > 0 AND n > 3.0*ewma THEN 1 ELSE 0 END AS is_spike
+      |FROM e ORDER BY event_type, hour""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.A event-stream processing (reference semantics)
@@ -213,6 +246,7 @@ object SparkEntry {
     "ev_dormant_users"     -> q(EventOps.evDormantUsers(_, ordered = true)),
     "ev_cusum_changepoint" -> q(EventOps.evCusumChangepoint(_, ordered = true)),
     "ev_cusum_drop"        -> q(EventOps.evCusumDrop(_, ordered = true)),
+    "ev_anomaly_ensemble"  -> q(EventOps.evAnomalyEnsemble(_, ordered = true)),
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
     "text_bpe_pairs"       -> q(TextOps.textBpePairs(_)),
     "text_bpe_merge"       -> q(TextOps.textBpeMerge(_)),
@@ -369,36 +403,24 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY hour""".stripMargin,
 
-    "ev_anomaly_mad" ->
-      """WITH rates AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
-        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
-        |med AS (SELECT event_type, floor(quantile_cont(n, 0.5)*10000 + 0.5)/10000 AS med
-        |  FROM rates GROUP BY event_type),
-        |dev AS (SELECT rates.event_type, rates.hour, rates.n, med.med,
-        |  abs(rates.n - med.med) AS dev FROM rates JOIN med USING (event_type)),
-        |mad AS (SELECT event_type, floor(quantile_cont(dev, 0.5)*10000 + 0.5)/10000 AS mad
-        |  FROM dev GROUP BY event_type)
-        |SELECT dev.event_type, dev.hour, dev.n, dev.med, mad.mad,
-        |  CAST(dev.n > dev.med + 3.0*mad.mad AS INTEGER) AS is_anomaly
-        |FROM dev JOIN mad USING (event_type)
-        |ORDER BY event_type, hour""".stripMargin,
+    "ev_anomaly_mad" -> evAnomalyMadSql,
 
-    "ev_ewma" ->
-      """WITH rates AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
-        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
-        |wl AS (SELECT event_type, hour, n,
-        |  list(n) OVER (PARTITION BY event_type ORDER BY hour
-        |    ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS ms
-        |  FROM rates),
-        |e AS (SELECT event_type, hour, n, len(ms) AS s,
-        |  CASE WHEN len(ms) > 0 THEN
-        |    list_sum([ms[i+1] * power(0.5, len(ms)-1-i) for i in range(len(ms))]) /
-        |    list_sum([power(0.5, len(ms)-1-i) for i in range(len(ms))])
-        |  END AS ewma FROM wl)
-        |SELECT event_type, hour, n,
-        |  floor(ewma*1000000 + 0.5)/1000000 AS ewma_r,
-        |  CASE WHEN s > 0 AND n > 3.0*ewma THEN 1 ELSE 0 END AS is_spike
-        |FROM e ORDER BY event_type, hour""".stripMargin,
+    "ev_ewma" -> evEwmaSql,
+
+    // A76: ensemble of the three oracle-gated detectors — built FROM
+    // their own SQL (nested subqueries), so the ensemble oracle can
+    // never drift from its members
+    "ev_anomaly_ensemble" ->
+      s"""SELECT m.event_type, epoch_us(m.hour) // 3600000000 AS hour_idx, m.n,
+         |  m.is_anomaly AS mad_flag, e.is_spike AS ewma_flag,
+         |  CAST(s.flagged AS INTEGER) AS seasonal_flag,
+         |  CAST(m.is_anomaly + e.is_spike + CAST(s.flagged AS INTEGER) AS INTEGER) AS votes,
+         |  (m.is_anomaly + e.is_spike + CAST(s.flagged AS INTEGER)) >= 2 AS consensus
+         |FROM ($evAnomalyMadSql) m
+         |JOIN ($evEwmaSql) e ON e.event_type = m.event_type AND e.hour = m.hour
+         |JOIN (${OracleSqlGen.evAnomalySeasonal(3.0)}) s
+         |  ON s.event_type = m.event_type AND s.hour_idx = epoch_us(m.hour) // 3600000000
+         |ORDER BY m.event_type, hour_idx""".stripMargin,
 
     "ev_json_props" ->
       """SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_bucket,

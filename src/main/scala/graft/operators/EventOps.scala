@@ -1606,6 +1606,40 @@ object EventOps {
     maybeSort(out, ordered)(col("from_type"))
   }
 
+  /** A76: anomaly ENSEMBLE — A29 (robust static MAD), A33 (trend-aware
+    * EWMA), and A71 (seasonal-adjusted z) joined into one alarm
+    * relation with a vote count and the ≥2-votes consensus bit: the
+    * page-worthiness triage a single detector can't give (MAD alone
+    * pages on every daily peak a seasonal baseline absorbs; EWMA alone
+    * goes blind after a slow ramp; consensus is the "two independent
+    * models agree" bar SREs actually use). No new detection logic —
+    * the three oracle-gated relations join on (type, epoch-hour), so
+    * the ensemble can never drift from its members.
+    *
+    * Scale shape: three calendar-bounded hourly relations joined on
+    * their common key — every feeder's own scale argument carries
+    * over, the join is #types×#hours rows.
+    */
+  def evAnomalyEnsemble(t: Tables, ordered: Boolean = false): DataFrame = {
+    def eh(c: Column): Column = (unix_micros(c) / lit(3600000000L)).cast("long")
+    val mad = evAnomalyMad(t).select(col("event_type"),
+      eh(col("hour")).as("hour_idx"), col("n"),
+      col("is_anomaly").cast("int").as("mad_flag"))
+    val ew = evEwma(t).select(col("event_type").as("et2"),
+      eh(col("hour")).as("h2"), col("is_spike").cast("int").as("ewma_flag"))
+    val se = evAnomalySeasonal(t).select(col("event_type").as("et3"),
+      col("hour_idx").as("h3"), col("flagged").cast("int").as("seasonal_flag"))
+    val out = mad
+      .join(ew, col("event_type") === col("et2") && col("hour_idx") === col("h2"))
+      .join(se, col("event_type") === col("et3") && col("hour_idx") === col("h3"))
+      .select(col("event_type"), col("hour_idx"), col("n"),
+        col("mad_flag"), col("ewma_flag"), col("seasonal_flag"))
+      .withColumn("votes",
+        (col("mad_flag") + col("ewma_flag") + col("seasonal_flag")).cast("int"))
+      .withColumn("consensus", col("votes") >= 2)
+    maybeSort(out, ordered)(col("event_type"), col("hour_idx"))
+  }
+
   /** A75: drop-side CUSUM — the OUTAGE detector A49 can't be: S⁺
     * accumulates upward shifts (bursts), this accumulates the
     * downward ones, S⁻ = max(0, S⁻ + (μ − kσ − x)), firing at hσ. A
