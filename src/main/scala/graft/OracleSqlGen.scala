@@ -3009,6 +3009,35 @@ object OracleSqlGen {
        |ORDER BY event_type, hour""".stripMargin
   }
 
+  /** A77: TTL tuning ladder — each rung replays the A3 recursive
+    * LATERAL emission CTE at its own TTL, counts union, one shared
+    * total.
+    */
+  def evTtlTuning(ttls: Seq[Long]): String = {
+    def emittedCount(h: Long) =
+      s"""(WITH RECURSIVE numbered AS (
+         |  SELECT user_id::VARCHAR || ':' || event_type AS key, ts, event_id,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id::VARCHAR || ':' || event_type
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |emitted AS (
+         |  SELECT key, ts, event_id FROM numbered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT nx.key, nx.ts, nx.event_id
+         |  FROM emitted e, LATERAL (
+         |    SELECT n.key, n.ts, n.event_id FROM numbered n
+         |    WHERE n.key = e.key AND n.ts >= e.ts + INTERVAL $h HOUR
+         |    ORDER BY n.ts, n.event_id LIMIT 1) nx)
+         |SELECT COUNT(*) AS c FROM emitted)""".stripMargin
+    val branches = ttls.map(h =>
+      s"SELECT CAST($h AS BIGINT) AS ttl_hours, CAST(ec$h.c AS BIGINT) AS n_emitted FROM ${emittedCount(h)} ec$h")
+      .mkString("\nUNION ALL ")
+    s"""WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events)
+       |SELECT b.ttl_hours, b.n_emitted, tot.n_total,
+       |  floor((1.0 - CAST(b.n_emitted AS DOUBLE)/CAST(tot.n_total AS DOUBLE))*1000000 + 0.5)/1000000 AS dedup_rate_r
+       |FROM ($branches) b, tot ORDER BY b.ttl_hours""".stripMargin
+  }
+
   /** A75: drop-side CUSUM — A49's recursion with the drift reversed
     * (S⁻ accumulates the deficit below baseline), same integer-moment
     * μ/σ and association discipline.

@@ -1606,6 +1606,55 @@ object EventOps {
     maybeSort(out, ordered)(col("from_type"))
   }
 
+  /** A77: TTL tuning LADDER — the reference's central knob
+    * (config.rs CACHE_TTL) priced from the log: for each candidate
+    * TTL, how many events the A3 cache semantics would emit and the
+    * suppression rate bought (the C19/D37-style sensitivity curve,
+    * pointed at the reference's own parameter — the card an operator
+    * reads before changing CACHE_TTL in production).
+    *
+    * ONE user-keyed pass for ALL rungs: the emission recursion's
+    * entire per-key state is `lastEmit`, so k TTLs ride the same
+    * sorted group iteration as k instants + k counters — never k
+    * scans (the D37 prefix-reuse discipline applied to a stateful
+    * recursion). The oracle replays each rung's exact A3 recursive
+    * CTE and unions the counts.
+    */
+  def evTtlTuning(t: Tables, ttls: Seq[Long] = Seq(1L, 6L, 24L, 96L),
+      ordered: Boolean = false): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val ds = t.events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[Ev]
+    val perKey = ds.groupByKey(e => s"${e.user_id}:${e.event_type}")
+      .flatMapSortedGroups(col("ts"), col("event_id")) { (_, it) =>
+        val lastEmit = Array.fill[Instant](ttls.length)(null)
+        val counts = Array.fill(ttls.length)(0L)
+        var total = 0L
+        it.foreach { e =>
+          total += 1
+          var i = 0
+          while (i < ttls.length) {
+            if (lastEmit(i) == null ||
+                !e.ts.isBefore(lastEmit(i).plus(ttls(i), ChronoUnit.HOURS))) {
+              lastEmit(i) = e.ts
+              counts(i) += 1
+            }
+            i += 1
+          }
+        }
+        ttls.indices.map(i => (ttls(i), counts(i), total))
+      }
+      .toDF("ttl_hours", "emitted", "total")
+    val out = perKey.groupBy(col("ttl_hours"))
+      .agg(sum(col("emitted")).as("n_emitted"), sum(col("total")).as("n_total"))
+      .select(col("ttl_hours"), col("n_emitted"), col("n_total"),
+        r6(lit(1.0) - col("n_emitted").cast("double") / col("n_total").cast("double"))
+          .as("dedup_rate_r"))
+    maybeSort(out, ordered)(col("ttl_hours"))
+  }
+
   /** A76: anomaly ENSEMBLE — A29 (robust static MAD), A33 (trend-aware
     * EWMA), and A71 (seasonal-adjusted z) joined into one alarm
     * relation with a vote count and the ≥2-votes consensus bit: the

@@ -318,4 +318,34 @@ class EventOpsSpec extends SparkSpec {
     assert(planted.toSeq == Seq((42L, 7L, 2L, 5L, 138L)),
       s"burst must admit exactly the bucket capacity: ${planted.toSeq}")
   }
+
+  test("ttl tuning ladder: 24h rung == A3, monotone in TTL, planted ladder exact") {
+    import spark.implicits._
+    val out = EventOps.evTtlTuning(tables, ordered = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 6L, 24L, 96L))
+    assert(out.map(_._3).distinct.length == 1, "every rung shares one total")
+    out.sliding(2).foreach { w =>
+      assert(w(1)._2 <= w(0)._2,
+        s"emitted must be non-increasing in TTL: ${w(0)} -> ${w(1)}")
+    }
+    // the 24 h rung IS A3: the ladder at the cache's default TTL must
+    // count exactly the rows evTtlCache emits.
+    val a3 = EventOps.evTtlCache(tables).count()
+    assert(out.find(_._1 == 24L).get._2 == a3,
+      "the 24h rung must reproduce the A3 cache's emitted count")
+    // planted: one key, 10 events exactly 1 h apart. TTL=1h re-admits
+    // every event (ts >= lastEmit + ttl holds at the boundary), 6h
+    // admits h0+h6, 24h/96h collapse to the first.
+    val base = 1704067200000000000L
+    val evs = (0 until 10).map(i =>
+      (100L + i, base + i.toLong * 3600L * 1000000000L, 7L, "click", 1.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val planted = EventOps.evTtlTuning(graft.sources.Tables(spark, tmp), ordered = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(planted.toSeq == Seq((1L, 10L), (6L, 2L), (24L, 1L), (96L, 1L)),
+      s"planted ladder mismatch: ${planted.toSeq}")
+  }
 }
