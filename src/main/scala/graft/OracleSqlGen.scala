@@ -2787,6 +2787,54 @@ object OracleSqlGen {
        |WHERE o.o_totalprice >= $priceMin
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** B55: Q9-shaped profit rollup — per-row amount is the same
+    * left-associated double expression as the Spark side, decimal-
+    * routed sum, year cast BIGINT to match Spark's long.
+    */
+  def qProductProfit(nameToken: String): String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%$nameToken%'
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year""".stripMargin
+
+  /** B56: Q16-shaped distinct-supplier counts with the NOT IN
+    * complaint-supplier exclusion (negative acctbal stand-in).
+    */
+  def qSupplierPartTypes(sizes: Seq[Int]): String =
+    s"""SELECT p_brand, p_type, p_size,
+       |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand <> 'Brand#17' AND p_type <> 'PROMO'
+       |  AND p_size IN (${sizes.mkString(", ")})
+       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** B57: Q20-shaped correlated-share semi-join — the nested
+    * aggregate spelled as a window over the (part, supp) rollup;
+    * l_quantity is integer-valued so double sums are exact.
+    */
+  def qPotentialPromotion(nameToken: String, share: Double): String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_name LIKE '$nameToken%'
+       |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY 1, 2),
+       |w AS (SELECT l_suppkey, qty,
+       |  SUM(qty) OVER (PARTITION BY l_partkey) AS part_qty FROM ps)
+       |SELECT s_suppkey, s_name, n_name
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM w WHERE qty > $share * part_qty)
+       |ORDER BY s_suppkey""".stripMargin
+
   val qMinCostSupplier: String =
     """WITH u AS (SELECT l_partkey, l_suppkey,
       |  MIN(l_extendedprice / l_quantity) AS cost

@@ -284,6 +284,9 @@ object SparkEntry {
     "q_important_stock"    -> q(Analytics.qImportantStock(_)),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
+    "q_product_profit"     -> q(Analytics.qProductProfit(_)),
+    "q_supplier_part_types" -> q(Analytics.qSupplierPartTypes(_)),
+    "q_potential_promotion" -> q(Analytics.qPotentialPromotion(_)),
     "q_bloom_join_reduce"  -> q(Analytics.qBloomJoinReduce(_)),
     "q_range_frame"        -> q(Analytics.qRangeFrame(_, ordered = true)),
     "q_kmv_set_ops"        -> q(Analytics.qKmvSetOps(_)),
@@ -1322,6 +1325,9 @@ object SparkEntry {
     "ev_burst_impact"         -> OracleSqlGen.evBurstImpact(2.0, 20),
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
+    "q_product_profit"        -> OracleSqlGen.qProductProfit("bolt"),
+    "q_supplier_part_types"   -> OracleSqlGen.qSupplierPartTypes(Seq(2, 5, 11, 28, 37, 42, 49, 50)),
+    "q_potential_promotion"   -> OracleSqlGen.qPotentialPromotion("red", 0.2),
     "q_bloom_join_reduce"     -> OracleSqlGen.qBloomJoinReduce(480000.0),
     "q_range_frame"           -> OracleSqlGen.qRangeFrame(7),
     "q_kmv_set_ops"           -> OracleSqlGen.qKmvSetOps(64),

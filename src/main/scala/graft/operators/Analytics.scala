@@ -1294,5 +1294,100 @@ object Analytics {
     maybeSort(out, ordered)($("o_custkey"), $("day_n"), $("o_orderkey"))
   }
 
+  /** B55: product-type profit (TPC-H Q9 shape on the available data
+    * model — there is no partsupp table, so per-unit supply cost is
+    * proxied at half the part's retail price): for parts whose name
+    * carries the probe token, profit per (supplier nation, order year)
+    * = Σ (l_extendedprice·(1−l_discount) − 0.5·p_retailprice·l_quantity).
+    *
+    * Plan shape at 100 TB: the selective part filter broadcasts into
+    * the fact scan FIRST (probe-side reduction before anything wide),
+    * supplier/nation broadcast; the only big-big exchange is
+    * lineitem⋈orders on the order key. The per-row amount is the same
+    * left-associated IEEE expression in both engines; the rollup sum
+    * routes DECIMAL(18,6) so it is order-free; output is ≤ #nations ×
+    * #years rows.
+    */
+  def qProductProfit(t: Tables, nameToken: String = "bolt"): DataFrame = {
+    val prt = t.part.filter($("p_name").contains(nameToken))
+      .select($("p_partkey"), $("p_retailprice"))
+    val sup = t.supplier.select($("s_suppkey"), $("s_nationkey"))
+    val nat = t.nation.select($("n_nationkey"), $("n_name"))
+    val ord = t.orders.select($("o_orderkey"), $("o_orderdate"))
+    t.lineitem
+      .select($("l_orderkey"), $("l_partkey"), $("l_suppkey"), $("l_quantity"),
+        $("l_extendedprice"), $("l_discount"))
+      .join(broadcast(prt), $("l_partkey") === $("p_partkey"))
+      .join(broadcast(sup), $("l_suppkey") === $("s_suppkey"))
+      .join(broadcast(nat), $("s_nationkey") === $("n_nationkey"))
+      .join(ord, $("l_orderkey") === $("o_orderkey"))
+      .groupBy($("n_name").as("nation"), year($("o_orderdate")).cast("long").as("o_year"))
+      .agg(psum($("l_extendedprice") * (lit(1.0) - $("l_discount"))
+        - lit(0.5) * $("p_retailprice") * $("l_quantity")).as("profit"))
+      .orderBy($("nation"), $("o_year"))
+  }
+
+  /** B56: supplier/part-type relationship (TPC-H Q16 shape): how many
+    * distinct suppliers have actually shipped parts of each surviving
+    * (brand, type, size) combination — with a brand and a type
+    * excluded by predicate and "complaint" suppliers (negative account
+    * balance, the available stand-in) removed by anti-join. The
+    * supplier-part relation derives from lineitem (no partsupp table).
+    *
+    * Plan shape: both exclusion legs broadcast (part dim filtered
+    * before the fact join; the bad-supplier key set is tiny), so the
+    * fact scan reduces before the one shuffle — the two-phase
+    * count-distinct on (brand, type, size). Output ≤ |brand×type×size|.
+    */
+  def qSupplierPartTypes(t: Tables,
+      sizes: Seq[Int] = Seq(2, 5, 11, 28, 37, 42, 49, 50)): DataFrame = {
+    val badSup = t.supplier.filter($("s_acctbal") < 0).select($("s_suppkey"))
+    val prt = t.part
+      .filter($("p_brand") =!= "Brand#17" && $("p_type") =!= "PROMO" &&
+        $("p_size").isin(sizes: _*))
+      .select($("p_partkey"), $("p_brand"), $("p_type"), $("p_size"))
+    t.lineitem.select($("l_partkey"), $("l_suppkey"))
+      .join(broadcast(prt), $("l_partkey") === $("p_partkey"))
+      .join(broadcast(badSup), $("l_suppkey") === $("s_suppkey"), "left_anti")
+      .groupBy($("p_brand"), $("p_type"), $("p_size"))
+      .agg(countDistinct($("l_suppkey")).as("supplier_cnt"))
+      .orderBy($("supplier_cnt").desc, $("p_brand"), $("p_type"), $("p_size"))
+  }
+
+  /** B57: potential part promotion (TPC-H Q20 shape): suppliers who
+    * carried a dominant share of a probe part family in a ship-year —
+    * the correlated-aggregate semi-join chain (`qty(part,supp) >
+    * share · qty(part)`) rewritten as ONE aggregate on (part, supp)
+    * plus a part-keyed window sum (corpus-cardinality partition key),
+    * then a semi-reduction to the supplier dimension.
+    *
+    * l_quantity is integer-valued, so the per-group and window sums
+    * are exact in double regardless of order — no decimal routing
+    * needed. The probe-part filter broadcasts into the fact scan; the
+    * one shuffle keys on l_partkey and is reused by the window (same
+    * partitioning, no second exchange).
+    */
+  def qPotentialPromotion(t: Tables, nameToken: String = "red",
+      share: Double = 0.2): DataFrame = {
+    val prt = t.part.filter($("p_name").startsWith(nameToken)).select($("p_partkey"))
+    val ps = t.lineitem
+      .filter($("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        $("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(prt), $("l_partkey") === $("p_partkey"))
+      .groupBy($("l_partkey"), $("l_suppkey"))
+      .agg(sum($("l_quantity")).as("qty"))
+    val wTot = Window.partitionBy($("l_partkey"))
+    val winners = ps
+      .withColumn("part_qty", sum($("qty")).over(wTot))
+      .filter($("qty") > lit(share) * $("part_qty"))
+      .select($("l_suppkey")).distinct()
+    t.supplier
+      .join(winners, $("s_suppkey") === $("l_suppkey"), "left_semi")
+      .join(broadcast(t.nation.select($("n_nationkey"), $("n_name"))),
+        $("s_nationkey") === $("n_nationkey"))
+      .select($("s_suppkey"), $("s_name"), $("n_name"))
+      .orderBy($("s_suppkey"))
+  }
+
   private def $(name: String): Column = col(name)
 }
