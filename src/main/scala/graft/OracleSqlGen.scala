@@ -2400,6 +2400,32 @@ object OracleSqlGen {
        |FROM db JOIN lp USING (bg)
        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin
 
+  /** E59: reference-model perplexity — add-one bigram LM from the
+    * trusted source only, LEFT-join scoring with the 0-count backoff,
+    * mean r6'd before exp, per-source decimal-routed rollup.
+    */
+  def docPplReference(refSource: String, pplMax: Double): String =
+    s"""WITH t2 AS (SELECT doc_id, source, string_split(lower(text),' ') AS tk FROM documents),
+       |bgx AS (SELECT doc_id, source, unnest($bigramListExpr) AS bg FROM t2),
+       |db AS (SELECT doc_id, source, bg, COUNT(*) AS c_db FROM bgx GROUP BY 1, 2, 3),
+       |rb AS (SELECT bg, CAST(SUM(c_db) AS BIGINT) AS cb FROM db WHERE source = '$refSource' GROUP BY bg),
+       |rc AS (SELECT split_part(bg, ' ', 1) AS prev, CAST(SUM(cb) AS BIGINT) AS cu FROM rb GROUP BY 1),
+       |vv AS (SELECT COUNT(DISTINCT split_part(bg, ' ', 2)) AS v FROM rb),
+       |lp AS (SELECT db.doc_id, db.source, db.c_db,
+       |  floor(ln(CAST(COALESCE(rb.cb, 0) + 1 AS DOUBLE)/CAST(COALESCE(rc.cu, 0) + vv.v AS DOUBLE))*1000000 + 0.5)/1000000 AS lp_r
+       |  FROM db LEFT JOIN rb USING (bg)
+       |  LEFT JOIN rc ON split_part(db.bg, ' ', 1) = rc.prev, vv),
+       |pd AS (SELECT doc_id, source, CAST(SUM(c_db) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(c_db * CAST(lp_r AS DECIMAL(18,6))) AS DOUBLE) AS sum_lp
+       |  FROM lp GROUP BY 1, 2),
+       |pp AS (SELECT source,
+       |  floor(exp(-(floor((sum_lp/n_bigrams)*1000000 + 0.5)/1000000))*1000000 + 0.5)/1000000 AS ppl_r
+       |  FROM pd)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  floor((CAST(SUM(CAST(ppl_r AS DECIMAL(18,6))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_ppl_r,
+       |  floor((CAST(SUM(CASE WHEN ppl_r > $pplMax THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS p_filtered_r
+       |FROM pp GROUP BY source ORDER BY source""".stripMargin
+
   /** CCNet-style head/middle/tail bucketing by unigram-logprob
     * percentiles; thresholds from a deterministic hash-bounded sample
     * (exact interpolated percentile over a BOUNDED set).

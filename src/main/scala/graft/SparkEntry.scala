@@ -285,6 +285,7 @@ object SparkEntry {
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
     "q_product_profit"     -> q(Analytics.qProductProfit(_)),
+    "doc_ppl_reference"    -> q(TextOps.docPplReference(_)),
     "q_supplier_part_types" -> q(Analytics.qSupplierPartTypes(_)),
     "q_potential_promotion" -> q(Analytics.qPotentialPromotion(_)),
     "q_bloom_join_reduce"  -> q(Analytics.qBloomJoinReduce(_)),
@@ -1326,6 +1327,7 @@ object SparkEntry {
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "q_product_profit"        -> OracleSqlGen.qProductProfit("bolt"),
+    "doc_ppl_reference"       -> OracleSqlGen.docPplReference("src0", 40.0),
     "q_supplier_part_types"   -> OracleSqlGen.qSupplierPartTypes(Seq(2, 5, 11, 28, 37, 42, 49, 50)),
     "q_potential_promotion"   -> OracleSqlGen.qPotentialPromotion("red", 0.2),
     "q_bloom_join_reduce"     -> OracleSqlGen.qBloomJoinReduce(480000.0),

@@ -1949,4 +1949,60 @@ object TextOps {
         count(lit(1)).over(Window.partitionBy(col("chunk_hash")))),
       ordered)(col("doc_id"), col("chunk_idx"))
   }
+
+  /** E59: reference-model perplexity (the CCNet scoring shape): an
+    * add-one-smoothed bigram LM trains on ONE trusted reference
+    * source and every document in the corpus is scored against it —
+    * cross-domain perplexity, unlike E31 where the corpus scores
+    * itself. Unseen prev-tokens/bigrams back off to the smoothing
+    * floor (c_b+1)/(c_prev+V) with missing counts at 0, so every
+    * bigram scores and nothing silently drops. Output is the
+    * per-source curation card: mean perplexity + the share of docs a
+    * ppl-threshold filter would remove.
+    *
+    * Determinism: per-bigram lp = r6(ln((c_b+1)/(c_prev+V))) over
+    * integer counts; per-doc Σ c·lp rides DECIMAL(18,6); the mean is
+    * r6'd BEFORE exp (identical double in, identical double out) and
+    * per-doc ppl is r6'd before the decimal-routed per-source mean.
+    *
+    * Scale shape: the reference model is a curated SMALL corpus by
+    * construction (the C9b decontamination trust shape), so its
+    * bigram/prev/vocab relations broadcast into the corpus-wide
+    * bigram stream; the probe side aggregates per (doc, bigram)
+    * map-side before the one token-volume shuffle, then rolls up to
+    * #docs and finally #sources rows. If the reference outgrows the
+    * broadcast budget, drop the hint and the same plan shuffles on
+    * the bigram key — semantics unchanged.
+    */
+  def docPplReference(t: Tables, refSource: String = "src0",
+      pplMax: Double = 40.0, ordered: Boolean = false): DataFrame = maybeSort({
+    import org.apache.spark.sql.types.DecimalType
+    val db = t.documents
+      .select(col("doc_id"), col("source"), explode(bigramStrings(col("text"))).as("bg"))
+      .groupBy(col("doc_id"), col("source"), col("bg")).agg(count(lit(1)).as("c_db"))
+    val rb = db.filter(col("source") === refSource)
+      .groupBy(col("bg")).agg(sum(col("c_db")).as("cb"))
+    val rc = rb.groupBy(substring_index(col("bg"), " ", 1).as("prev"))
+      .agg(sum(col("cb")).as("cu"))
+    val vocab = rb.agg(countDistinct(substring_index(col("bg"), " ", -1)).as("v"))
+    val lp = db
+      .join(broadcast(rb), Seq("bg"), "left")
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+      .join(broadcast(rc), Seq("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("source"), col("c_db"),
+        r6(log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + col("v")).cast("double"))).as("lp_r"))
+    val pd = lp.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c_db")).as("n_bigrams"),
+        sum(col("c_db") * col("lp_r").cast(DecimalType(18, 6))).cast("double").as("sum_lp"))
+    val pp = pd.select(col("source"),
+      r6(exp(-r6(col("sum_lp") / col("n_bigrams")))).as("ppl_r"))
+    pp.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        r6(sum(col("ppl_r").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_ppl_r"),
+        r6(sum(when(col("ppl_r") > pplMax, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("p_filtered_r"))
+  }, ordered)(col("source"))
 }
