@@ -2813,6 +2813,28 @@ object OracleSqlGen {
        |WHERE o.o_totalprice >= $priceMin
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** B58: partition advisor — the same fixed+variable byte model on
+    * integer lattices; `//` is DuckDB's integral division (Spark DIV).
+    */
+  def qPartitionAdvisor(targetMb: Long): String = {
+    val p = targetMb * 1024L * 1024L
+    s"""WITH u AS (
+       |  SELECT 'documents' AS table_name, COUNT(*) AS n_rows,
+       |    CAST(SUM(28 + strlen(text) + strlen(lang) + strlen(source)) AS BIGINT) AS est_bytes FROM documents
+       |  UNION ALL SELECT 'embeddings', COUNT(*),
+       |    CAST(SUM(16 + 4*len(embedding)) AS BIGINT) FROM embeddings
+       |  UNION ALL SELECT 'events', COUNT(*),
+       |    CAST(SUM(40 + strlen(event_type) + strlen(props)) AS BIGINT) FROM events
+       |  UNION ALL SELECT 'lineitem', COUNT(*),
+       |    CAST(SUM(76 + strlen(l_returnflag) + strlen(l_linestatus)) AS BIGINT) FROM lineitem
+       |  UNION ALL SELECT 'orders', COUNT(*),
+       |    CAST(SUM(40 + strlen(o_orderstatus) + strlen(o_orderpriority)) AS BIGINT) FROM orders)
+       |SELECT table_name, n_rows, est_bytes,
+       |  (est_bytes + ${p - 1}) // $p AS parts_target,
+       |  (n_rows + ((est_bytes + ${p - 1}) // $p) - 1) // ((est_bytes + ${p - 1}) // $p) AS rows_per_part
+       |FROM u ORDER BY table_name""".stripMargin
+  }
+
   /** B55: Q9-shaped profit rollup — per-row amount is the same
     * left-associated double expression as the Spark side, decimal-
     * routed sum, year cast BIGINT to match Spark's long.

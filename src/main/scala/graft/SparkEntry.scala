@@ -287,6 +287,7 @@ object SparkEntry {
     "q_product_profit"     -> q(Analytics.qProductProfit(_)),
     "doc_ppl_reference"    -> q(TextOps.docPplReference(_)),
     "q_supplier_part_types" -> q(Analytics.qSupplierPartTypes(_)),
+    "q_partition_advisor"  -> q(Analytics.qPartitionAdvisor(_)),
     "q_potential_promotion" -> q(Analytics.qPotentialPromotion(_)),
     "q_bloom_join_reduce"  -> q(Analytics.qBloomJoinReduce(_)),
     "q_range_frame"        -> q(Analytics.qRangeFrame(_, ordered = true)),
@@ -1329,6 +1330,7 @@ object SparkEntry {
     "q_product_profit"        -> OracleSqlGen.qProductProfit("bolt"),
     "doc_ppl_reference"       -> OracleSqlGen.docPplReference("src0", 40.0),
     "q_supplier_part_types"   -> OracleSqlGen.qSupplierPartTypes(Seq(2, 5, 11, 28, 37, 42, 49, 50)),
+    "q_partition_advisor"     -> OracleSqlGen.qPartitionAdvisor(128),
     "q_potential_promotion"   -> OracleSqlGen.qPotentialPromotion("red", 0.2),
     "q_bloom_join_reduce"     -> OracleSqlGen.qBloomJoinReduce(480000.0),
     "q_range_frame"           -> OracleSqlGen.qRangeFrame(7),

@@ -1389,5 +1389,45 @@ object Analytics {
       .orderBy($("s_suppkey"))
   }
 
+  /** B58: partition sizing ADVISOR — the knob card an operator reads
+    * before setting `spark.sql.files.maxPartitionBytes` / shuffle
+    * partitions for a 100 TB run: per table, exact decoded row bytes
+    * (8 per BIGINT/DOUBLE/TIMESTAMP, 4 per INTEGER, 4+bytes per
+    * string, 4+4·len per float array — the IN-MEMORY/shuffle width,
+    * which is what partition memory sizing actually needs; parquet
+    * footers only give the compressed on-disk size, which under-
+    * estimates decoded width 3–10× on codec-friendly columns), the
+    * partition count that hits the target size, and the resulting
+    * rows per partition.
+    *
+    * Determinism: the whole card is integer arithmetic (byte counts,
+    * ceil-divisions on the long lattice) — no doubles anywhere.
+    * Scale shape: one narrow column-pruned pass per table (the scan
+    * reads ONLY the variable-width columns; fixed widths fold into
+    * the constant), each collapsing map-side to a 1-row aggregate;
+    * the union is #tables rows.
+    */
+  def qPartitionAdvisor(t: Tables, targetMb: Long = 128): DataFrame = {
+    val p = targetMb * 1024L * 1024L
+    def card(name: String, df: DataFrame, rowBytes: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(rowBytes.cast("long")).as("est_bytes"))
+        .withColumn("parts_target", expr(s"(est_bytes + ${p - 1}L) DIV ${p}L"))
+        .withColumn("rows_per_part",
+          expr("(n_rows + parts_target - 1) DIV parts_target"))
+        .select(lit(name).as("table_name"), $("n_rows"), $("est_bytes"),
+          $("parts_target"), $("rows_per_part"))
+    card("documents", t.documents,
+        lit(28L) + octet_length($("text")) + octet_length($("lang")) + octet_length($("source")))
+      .unionAll(card("embeddings", t.embeddings,
+        lit(16L) + lit(4L) * size($("embedding"))))
+      .unionAll(card("events", t.events,
+        lit(40L) + octet_length($("event_type")) + octet_length($("props"))))
+      .unionAll(card("lineitem", t.lineitem,
+        lit(76L) + octet_length($("l_returnflag")) + octet_length($("l_linestatus"))))
+      .unionAll(card("orders", t.orders,
+        lit(40L) + octet_length($("o_orderstatus")) + octet_length($("o_orderpriority"))))
+      .orderBy($("table_name"))
+  }
+
   private def $(name: String): Column = col(name)
 }
