@@ -485,6 +485,59 @@ object EventStreamJob {
   final case class CusumRec(event_type: String, hour: Instant, n: Long,
       cusum_sigmas_r: Double, flagged: Boolean)
 
+  /** A52-online: streaming SLO burn-rate alerts — the multi-window
+    * burn alert (1 h fast / 6 h slow over the error budget) evaluated
+    * per 15-min frame AS FRAMES CLOSE. Both trailing horizons ride
+    * ONE aggregation: each event explodes into the 24 future frames
+    * its 6 h horizon touches (each exploded row tagged whether the
+    * frame is also inside the 1 h horizon and whether it is the
+    * event's DIRECT frame), rows carry the frame-END timestamp, and
+    * watermark + groupBy run on that derived frame time — a frame's
+    * counters close once the watermark passes its end, so state is
+    * the open-frame counters only (≤ ~28 frames × 5 longs per
+    * in-flight frame), never history.
+    *
+    * The watermark delay MUST exceed the 6 h 15 min explosion horizon
+    * (an event's earliest exploded frame lies that far behind its
+    * latest): the default 7 h = horizon + 45 min true lateness
+    * allowance, so a frame finalizes 45 min of event time after its
+    * end — the burn-alert freshness a 6 h window can honestly give.
+    * Frames with no DIRECT event are suppressed (sum(direct) = 0),
+    * matching the batch ev_slo_burn relation frame for frame.
+    */
+  def streamEvSloBurn(events: DataFrame, budget: Double = 0.1,
+      watermarkDelay: String = "7 hours"): DataFrame = {
+    val exploded = events
+      .select((col("event_type") === "error").cast("long").as("is_err"),
+        expr("unix_micros(ts) div 900000000").as("f"))
+      .select(col("is_err"), col("f"),
+        explode(sequence(col("f"), col("f") + lit(23L))).as("tf"))
+      .select(col("is_err"),
+        (col("tf") < col("f") + 4).cast("long").as("in_1h"),
+        (col("tf") === col("f")).cast("long").as("direct"),
+        timestamp_micros((col("tf") + 1) * lit(900000000L)).as("frame_end_ts"))
+    exploded
+      .withWatermark("frame_end_ts", watermarkDelay)
+      .groupBy(window(col("frame_end_ts"), "15 minutes"))
+      .agg(
+        sum(col("is_err") * col("in_1h")).as("err_1h"),
+        sum(col("in_1h")).as("tot_1h"),
+        sum(col("is_err")).as("err_6h"),
+        count(lit(1)).as("tot_6h"),
+        sum(col("direct")).as("n_direct"))
+      .filter(col("n_direct") > 0)
+      .select(col("window.start").as("frame_end"),
+        col("err_1h"), col("tot_1h"),
+        r6s(col("err_1h").cast("double") / col("tot_1h").cast("double") / lit(budget)).as("burn_1h_r"),
+        col("err_6h"), col("tot_6h"),
+        r6s(col("err_6h").cast("double") / col("tot_6h").cast("double") / lit(budget)).as("burn_6h_r"))
+      .withColumn("alert", col("burn_1h_r") > 2.0 && col("burn_6h_r") > 1.5)
+  }
+
+  /** The shared 6-dp parity rounding (operators/package.scala r6). */
+  private def r6s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 1e6 + 0.5) / 1e6
+
   /** A42 ONLINE: streaming CUSUM change-point twin of
     * `EventOps.evCusumChangepoint`. Hourly counts accumulate in state
     * (counters, not events — O(types · hours-in-flight)); an hour is

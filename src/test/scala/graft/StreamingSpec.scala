@@ -351,6 +351,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SLO burn == batch ev_slo_burn for every watermark-closed frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamEvSloBurn(input.toDS().toDF())
+    val q = out.writeStream.outputMode("append").format("memory").queryName("slo_out").start()
+    try {
+      eventsData.grouped((eventsData.size + 3) / 4).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      // close every real frame: the 7 h delay = explosion horizon +
+      // 45 min lateness, so the closer must sit far past the corpus.
+      val far = eventsData.last.ts.plusSeconds(30L * 24 * 3600)
+      input.addData(Seq(Ev(999991, far, 999L, "noise")))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(999992, far.plusSeconds(60), 999L, "noise")))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6), r.getBoolean(7))
+      val streamed = spark.table("slo_out").collect().map(key).toSet
+      val closedBound = far.toEpochMilli - 45L * 60 * 1000
+      val batchRel = EventOps.evSloBurn(tables).collect().map(key)
+        .filter(_._1 <= closedBound).toSet
+      assert(streamed == batchRel,
+        s"stream≠batch: only-stream=${(streamed -- batchRel).take(3)} only-batch=${(batchRel -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("source drift monitor: balanced batch clean, flooded batch flags all three shifts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
