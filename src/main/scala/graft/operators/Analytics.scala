@@ -1364,8 +1364,11 @@ object Analytics {
     * l_quantity is integer-valued, so the per-group and window sums
     * are exact in double regardless of order — no decimal routing
     * needed. The probe-part filter broadcasts into the fact scan; the
-    * one shuffle keys on l_partkey and is reused by the window (same
-    * partitioning, no second exchange).
+    * one corpus shuffle is an explicit repartition on l_partkey,
+    * which satisfies BOTH the (part, supp) rollup's clustering (a
+    * partitioning on a subset of the group keys co-locates the
+    * groups) and the part-keyed window — so the rollup and the
+    * window ride the same exchange and the fact never shuffles twice.
     */
   def qPotentialPromotion(t: Tables, nameToken: String = "red",
       share: Double = 0.2): DataFrame = {
@@ -1374,6 +1377,7 @@ object Analytics {
       .filter($("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         $("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .join(broadcast(prt), $("l_partkey") === $("p_partkey"))
+      .repartition($("l_partkey"))
       .groupBy($("l_partkey"), $("l_suppkey"))
       .agg(sum($("l_quantity")).as("qty"))
     val wTot = Window.partitionBy($("l_partkey"))

@@ -465,4 +465,46 @@ class PlanSpec extends SparkSpec {
     assert(trueMatch.toDouble / total < 0.2,
       s"test premise: selective dim (got ${trueMatch / total})")
   }
+
+  test("product profit: part/supplier/nation broadcast — lineitem ⋈ orders is the only shuffle join") {
+    val p = plan(Analytics.qProductProfit(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "part, supplier, nation must arrive broadcast: " + p.take(400))
+    assert(p.contains("PushedFilters: [IsNotNull(p_name)") || p.contains("StringContains"),
+      "the part name filter must reach the part scan: " + p.take(600))
+  }
+
+  test("potential promotion: rollup and window share ONE l_partkey exchange; winners broadcast into the semi-join") {
+    val df = Analytics.qPotentialPromotion(tables)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the explicit l_partkey repartition satisfies BOTH the
+    // (part, supp) rollup's clustering and the part-keyed window —
+    // there must be no (l_partkey, l_suppkey) pair exchange anywhere
+    // AdaptiveSparkPlan.toString prints Final AND Initial plans —
+    // count exchanges in the executed (final) section only
+    val fp = p.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning\\(l_partkey#\\d+L, l_suppkey".r.findFirstIn(fp).isEmpty,
+      "rollup must reuse the l_partkey exchange, not add a pair shuffle: " + fp.take(600))
+    assert("Exchange hashpartitioning\\(l_partkey".r.findAllIn(fp).length == 1,
+      "exactly one corpus exchange on l_partkey: " + fp.take(600))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the winner set must broadcast into the supplier semi-join")
+  }
+
+  test("partition advisor: each table scan reads only its variable-width columns") {
+    val p = plan(Analytics.qPartitionAdvisor(tables))
+    // documents leg must not read doc_id/n_chars; events leg must not
+    // read value/user_id; lineitem leg must not read the 8 numerics
+    assert(!p.contains("ReadSchema: struct<doc_id"), "documents scan over-reads")
+    assert("ReadSchema: struct<text:string,lang:string,source:string>".r.findAllIn(p).nonEmpty
+      || p.contains("struct<text:string,lang:string,source:string>"),
+      "documents scan must read exactly the three strings: " + p.take(800))
+    assert(p.contains("struct<l_returnflag:string,l_linestatus:string>"),
+      "lineitem scan must read exactly the two strings")
+    assert(p.contains("struct<event_type:string,props:string>"),
+      "events scan must read exactly the two strings")
+  }
 }
