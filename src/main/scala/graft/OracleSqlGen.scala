@@ -1960,6 +1960,52 @@ object OracleSqlGen {
        |ORDER BY src, rank""".stripMargin
   }
 
+  /** D41: graph-ANN beam search — D14's edge CTEs, then `rounds`
+    * expand/score/truncate rounds unrolled as chained CTEs (the D38
+    * discipline); UNION dedups on identical r6'd scores.
+    */
+  def annGraphSearch(nQueries: Int, beam: Int, rounds: Int, k: Int,
+      kGraph: Int, bucketCap: Int): String = {
+    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+    val dotQC2 = "list_reduce([q.qv[i]*c.v[i] for i in range(1, len(q.qv)+1)], (x,y) -> x+y)"
+    val cosQC = s"floor(($dotQC2/(sqrt(q.qn2)*sqrt(c.n2)))*1000000 + 0.5)/1000000"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""exp$r AS (SELECT DISTINCT b.q_id, ed.dst AS vec_id
+         |  FROM vis${r - 1} b JOIN edges ed ON ed.src = b.vec_id),
+         |sc$r AS (SELECT x.q_id, x.vec_id, $cosQC AS cos_r
+         |  FROM exp$r x JOIN n c ON c.vec_id = x.vec_id JOIN qs q ON q.q_id = x.q_id),
+         |u$r AS (SELECT q_id, vec_id, cos_r FROM vis${r - 1}
+         |  UNION SELECT q_id, vec_id, cos_r FROM sc$r),
+         |vis$r AS (SELECT q_id, vec_id, cos_r FROM (
+         |  SELECT q_id, vec_id, cos_r,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+         |  FROM u$r) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $normCte,
+       |nb AS (SELECT vec_id, v, n2, ${bucketExprAt(0)} AS bucket FROM n),
+       |corpus AS (SELECT vec_id, v, n2, bucket FROM (
+       |  SELECT vec_id, v, n2, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS pn
+       |  FROM nb) WHERE pn <= $bucketCap),
+       |sce AS (SELECT s.vec_id AS src, c.vec_id AS dst,
+       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM nb s JOIN corpus c ON c.bucket = s.bucket AND c.vec_id <> s.vec_id),
+       |edges AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rank
+       |  FROM sce) WHERE rank <= $kGraph),
+       |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < $nQueries),
+       |ent AS (SELECT MIN(vec_id) AS vec_id FROM n),
+       |vis0 AS (SELECT q.q_id, c.vec_id, $cosQC AS cos_r
+       |  FROM qs q, ent JOIN n c ON c.vec_id = ent.vec_id),
+       |$roundCtes
+       |SELECT q_id, rank, vec_id, cos_r FROM (
+       |  SELECT q_id, vec_id, cos_r,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM vis$rounds) WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** D33: kNN in-degree (hubness) — the D14 kn CTE grouped by dst,
     * zero-filled over the corpus id universe.
     */

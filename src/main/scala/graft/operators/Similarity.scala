@@ -1709,4 +1709,60 @@ object Similarity {
             .as("mean_scan_frac_r")),
       ordered)(col("nprobe"))
   }
+
+  /** D41: GRAPH-based ANN search — the greedy beam search that powers
+    * HNSW/NSG, expressed over the D14 kNN graph: every query starts
+    * at one fixed entry vertex (the minimum vec_id — HNSW's fixed
+    * entry point), and each round expands the current beam's
+    * out-edges, scores the new candidates against the query, and
+    * keeps the best `beam` visited vertices (ties → lowest vec_id);
+    * after `rounds` hops the per-query top-k of the beam is the
+    * answer. The search cost is O(rounds · beam · kGraph) VECTOR
+    * scores per query versus D1's full corpus scan — the whole point
+    * of graph ANN at 100 TB.
+    *
+    * Scale shape: the frontier relation is ≤ nQueries·beam rows per
+    * round; it BROADCASTS into the edge relation (equi-join on src)
+    * and the candidate ids broadcast into the corpus vector relation
+    * (equi-join on vec_id) — each round is two narrow broadcast
+    * probes, never a corpus shuffle. Beam maintenance is a window
+    * keyed on q_id (query-cardinality — corpus-scale key in
+    * production). Rounds are unrolled lazily into ONE plan (a fixed
+    * small constant, not data-dependent), and the oracle unrolls the
+    * identical rounds as chained CTEs.
+    *
+    * Determinism: cosines r6'd (cosineR); beam and final ranks break
+    * ties on vec_id; the UNION dedups on identical r6'd scores.
+    */
+  def annGraphSearch(t: Tables, nQueries: Int = 8, beam: Int = 8,
+      rounds: Int = 3, k: Int = 5, kGraph: Int = 3, bits: Int = 8,
+      bucketCap: Int = 128, ordered: Boolean = false): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val edges = knnEdges(t, kGraph, bits, bucketCap).select(col("src"), col("dst"))
+    val corpus = e.select(col("vec_id"), col("v"), col("n2"))
+    val entry = e.agg(min(col("vec_id")).as("vec_id"))
+    def scoreIds(ids: DataFrame): DataFrame =
+      corpus.join(broadcast(ids), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+    val beamW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    var vis = scoreIds(q.select(col("q_id")).crossJoin(broadcast(entry)))
+    for (_ <- 1 to rounds) {
+      val expd = vis.select(col("q_id"), col("vec_id"))
+        .join(edges, col("vec_id") === col("src"))
+        .select(col("q_id"), col("dst").as("vec_id")).distinct()
+      val cand = vis.unionByName(scoreIds(expd)).distinct()
+      vis = cand.withColumn("rn", row_number().over(beamW))
+        .filter(col("rn") <= beam).drop("rn")
+    }
+    maybeSort(
+      vis.withColumn("rank", row_number().over(beamW).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r")),
+      ordered)(col("q_id"), col("rank"))
+  }
 }

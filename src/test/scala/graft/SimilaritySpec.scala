@@ -524,4 +524,29 @@ class SimilaritySpec extends SparkSpec {
     assert(scans.last == 1.0, s"probing every cell must scan the corpus, got ${scans.last}")
     assert(scans.head < 0.5, s"nprobe=1 must scan a small fraction, got ${scans.head}")
   }
+
+  test("graph search: best-found score is monotone in rounds; results come from the graph's reachable set") {
+    def best(rounds: Int): Map[Long, Double] =
+      Similarity.annGraphSearch(tables, rounds = rounds, ordered = true).collect()
+        .map(r => (r.getLong(0), r.getDouble(3)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).max }
+    val b1 = best(1); val b3 = best(3)
+    assert(b1.keySet == b3.keySet, "every query answers at every depth")
+    b3.foreach { case (q, s3) =>
+      assert(s3 >= b1(q) - 1e-9,
+        s"query $q: deeper search must never lose the best found (r1=${b1(q)} r3=$s3)")
+    }
+    // the answer set is visited vertices only — all must be reachable
+    // within `rounds` hops of the entry vertex along kNN edges
+    val edges = Similarity.annKnnGraph(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val entry = tables.embeddings.agg(org.apache.spark.sql.functions.min("vec_id"))
+      .collect()(0).getLong(0)
+    var reach = Set(entry)
+    (1 to 3).foreach { _ => reach = reach ++ reach.flatMap(v => edges.getOrElse(v, Set.empty)) }
+    val answered = Similarity.annGraphSearch(tables, rounds = 3, ordered = true).collect()
+      .map(_.getLong(2)).toSet
+    assert(answered.subsetOf(reach),
+      s"answers must lie in the ${reach.size}-vertex reachable set; got ${answered -- reach}")
+  }
 }
