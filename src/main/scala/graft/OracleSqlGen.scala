@@ -2961,6 +2961,44 @@ object OracleSqlGen {
     * convention), min-over-depth estimate, exact integer arithmetic
     * end to end.
     */
+  /** B59: portable HLL — the register construction mirrored exactly:
+    * same md5_60 base hash, bucket/word split, the identical integer
+    * CASE ladder for rho (no floating log2 on either engine), the
+    * scaled-integer indicator sum, and the same spelled-out constant
+    * expression for α·m²·2^52/S; register sums are HUGEINT-safe and
+    * CAST back to BIGINT per the output convention.
+    */
+  def qHllPortable: String = {
+    // rho = 53 - bitlen(w), capped at 52 — the same ladder as the
+    // Spark side's chained `when`s, top bit (2^51) first
+    val ladder = (51 to 0 by -1).map(k =>
+      s"WHEN w >= ${1L << k} THEN ${52 - k}").mkString(" ")
+    s"""WITH h AS (SELECT event_type,
+       |  ('0x'||substr(md5('hll:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h0
+       |  FROM events),
+       |b AS (SELECT event_type, h0 % 256 AS bucket, h0 // 256 AS w FROM h),
+       |r AS (SELECT event_type, bucket,
+       |  MAX(CASE $ladder ELSE 52 END) AS reg FROM b GROUP BY 1, 2),
+       |a AS (SELECT event_type, COUNT(*) AS nb,
+       |  SUM((1::BIGINT << (52 - reg))::HUGEINT) AS s_present FROM r GROUP BY 1),
+       |s AS (SELECT event_type, CAST(256 - nb AS BIGINT) AS n_zero,
+       |  CAST(s_present + (256 - nb)::HUGEINT * 4503599627370496 AS BIGINT) AS sum_scaled
+       |  FROM a),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |  FROM events GROUP BY 1),
+       |e AS (SELECT s.*, ex.n_exact,
+       |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 4503599627370496.0 /
+       |    CAST(sum_scaled AS DOUBLE) AS eraw
+       |  FROM s JOIN ex USING (event_type))
+       |SELECT event_type, n_zero, sum_scaled,
+       |  floor(eraw*1000000 + 0.5)/1000000 AS est_raw_r,
+       |  floor((CASE WHEN eraw <= 640.0 AND n_zero > 0
+       |    THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
+       |    ELSE eraw END)*1000000 + 0.5)/1000000 AS est_r,
+       |  CAST(n_exact AS BIGINT) AS n_exact
+       |FROM e ORDER BY event_type""".stripMargin
+  }
+
   def qCmsPortable(depth: Int, width: Int, topK: Int): String = {
     val permRows = (0 until depth).map(d =>
       s"($d, ${Hashing.Perms(d)._1}, ${Hashing.Perms(d)._2})").mkString(", ")

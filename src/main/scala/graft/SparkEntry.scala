@@ -284,6 +284,7 @@ object SparkEntry {
     "q_distinct_bitmap"    -> q(Analytics.qDistinctBitmap),
     "q_important_stock"    -> q(Analytics.qImportantStock(_)),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
+    "q_hll_portable"       -> q(Analytics.qHllPortable),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
     "q_product_profit"     -> q(Analytics.qProductProfit(_)),
     "doc_ppl_reference"    -> q(TextOps.docPplReference(_)),
@@ -1327,6 +1328,7 @@ object SparkEntry {
     "ev_burst_windows"        -> OracleSqlGen.evBurstWindows(2.0),
     "ev_burst_impact"         -> OracleSqlGen.evBurstImpact(2.0, 20),
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
+    "q_hll_portable"          -> OracleSqlGen.qHllPortable,
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "q_product_profit"        -> OracleSqlGen.qProductProfit("bolt"),
     "doc_ppl_reference"       -> OracleSqlGen.docPplReference("src0", 40.0),

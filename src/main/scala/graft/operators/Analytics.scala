@@ -1433,5 +1433,73 @@ object Analytics {
       .orderBy($("table_name"))
   }
 
+  /** B59: distinct-user estimate per event type via a PORTABLE
+    * HyperLogLog (Flajolet et al. 2007) — the industry-standard
+    * cardinality sketch, here in a fully DETERMINISTIC formulation so
+    * the DuckDB oracle reproduces every register and the estimate
+    * bit-for-bit (unlike B12's engine-private `approx_count_distinct`
+    * HLL, which is rows-only). Completes the portable sketch suite:
+    * B47 KMV (order statistics), B48 CMS (frequency), B51 bitmap
+    * (exact), B50 theta set-ops — HLL is what a 100 TB run actually
+    * ships for distinct counts (m=256 registers = 256 small ints per
+    * group, constant-size, mergeable by per-register MAX — the E50
+    * mergeability discipline, spec-pinned).
+    *
+    * Construction (every step integer-exact): h0 = md5_60 of the key,
+    * bucket = h0 mod m, word w = h0 div m (52 bits), rank
+    * rho = 53 − bitlen(w) via a chained integer-comparison ladder
+    * (NO floating log2 — floor(log2(w)) misrounds near 2^52 where the
+    * double grid is coarser than 1), capped at 52 so the register
+    * scale 2^(52−reg) stays on the long lattice. The indicator sum
+    * Σ 2^(−reg) is computed as the INTEGER Σ 2^(52−reg) + zeros·2^52
+    * (≤ 2^60, no overflow), so the raw estimate α·m²·2^52/S is one
+    * double division. Small-range (linear counting) correction applied
+    * under the standard E ≤ 2.5m ∧ V>0 rule. Exact distinct rides
+    * alongside (the diagnostic column a production run drops).
+    *
+    * Scale shape: duplicate-insensitive by construction (MAX), so no
+    * pre-DISTINCT — ONE map-side-combined aggregate at (group, bucket)
+    * granularity (≤ m·#groups rows shuffled), then a #groups-row
+    * rollup. The exact leg is the only corpus-keyed distinct and is
+    * the leg you delete at 100 TB.
+    */
+  def qHllPortable(t: Tables): DataFrame = {
+    val m = 256L
+    val two52 = 4503599627370496L // 2^52
+    val h0 = graft.functions.Hashing.md5_60(
+      concat(lit("hll:"), $("user_id").cast("string")))
+    // rho = leading zeros of the 52-bit word + 1 = 53 - bitlen(w),
+    // capped at 52 (w = 0); pure integer comparisons, codegen'd
+    val rho = (50 to 0 by -1).foldLeft(
+      when($("w") >= lit(1L << 51), lit(1))) { (acc, k) =>
+        acc.when($("w") >= lit(1L << k), lit(52 - k))
+      }.otherwise(lit(52))
+    val regs = t.events
+      .select($("event_type"), h0.as("h0"))
+      .select($("event_type"), ($("h0") % m).as("bucket"),
+        expr("h0 DIV 256").as("w"))
+      .groupBy($("event_type"), $("bucket"))
+      .agg(max(rho).as("reg"))
+    val agg = regs.groupBy($("event_type"))
+      .agg(count(lit(1)).as("nb"),
+        sum(call_function("shiftleft", lit(1L), lit(52) - $("reg"))).as("s_present"))
+      .select($("event_type"), (lit(m) - $("nb")).as("n_zero"),
+        ($("s_present") + (lit(m) - $("nb")) * lit(two52)).as("sum_scaled"))
+    val exact = t.events.groupBy($("event_type"))
+      .agg(countDistinct($("user_id")).as("n_exact"))
+    // alpha_256 * m^2 * 2^52 / S — the constant expression is spelled
+    // identically in the oracle so both engines fold the same IEEE ops
+    val eraw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(4503599627370496.0) / $("sum_scaled").cast("double")
+    agg.join(broadcast(exact), "event_type")
+      .select($("event_type"), $("n_zero"), $("sum_scaled"),
+        r6(eraw).as("est_raw_r"),
+        r6(when(eraw <= lit(640.0) && $("n_zero") > 0,
+            lit(256.0) * log(lit(256.0) / $("n_zero").cast("double")))
+          .otherwise(eraw)).as("est_r"),
+        $("n_exact"))
+      .orderBy($("event_type"))
+  }
+
   private def $(name: String): Column = col(name)
 }

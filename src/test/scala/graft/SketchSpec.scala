@@ -124,4 +124,44 @@ class SketchSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == exact, "bitmap distinct must be exact per group")
   }
+
+  test("portable HLL: 3-sigma error bound; duplicate-insensitive; linear counting engages on small groups") {
+    // 1.04/sqrt(256) = 6.5% rsd; allow 3 sigma on the fixed corpus
+    Analytics.qHllPortable(tables).collect().foreach { r =>
+      val est = r.getDouble(4); val exact = r.getLong(5)
+      assert(math.abs(est - exact) <= 0.195 * exact + 1.0,
+        s"${r.getString(0)}: HLL est $est vs exact $exact breaks the 3-sigma bound")
+    }
+    // planted corpus: a 30-user group (linear-counting regime) and a
+    // 2000-user group (raw regime); the same logical corpus written
+    // with every event duplicated 3x must yield IDENTICAL cards (the
+    // sketch is a max over registers — duplicate-insensitive), which
+    // is also the per-register-MAX mergeability that lets 100 TB
+    // shards combine without rescanning
+    import spark.implicits._
+    def write(dir: String, dup: Int): Unit =
+      (1 to dup).flatMap(d =>
+        (1L to 30L).map(u => (d * 100000L + u, "tiny", u)) ++
+        (1L to 2000L).map(u => (d * 100000L + 3000L + u, "big", u)))
+        .map { case (eid, ty, uid) =>
+          (eid, 1704067200000000000L + eid, uid, ty, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val t1 = java.nio.file.Files.createTempDirectory("graft-hll1").toString
+    val t3 = java.nio.file.Files.createTempDirectory("graft-hll3").toString
+    write(t1, 1); write(t3, 3)
+    val once = Analytics.qHllPortable(graft.sources.Tables(spark, t1)).collect()
+    val thrice = Analytics.qHllPortable(graft.sources.Tables(spark, t3)).collect()
+    assert(once.toSeq == thrice.toSeq,
+      "HLL card must be invariant under event duplication")
+    val byType = once.map(r => r.getString(0) -> r).toMap
+    val tiny = byType("tiny")
+    assert(tiny.getDouble(3) != tiny.getDouble(4),
+      "linear counting must engage (correct the raw estimate) on the 30-user group")
+    assert(math.abs(tiny.getDouble(4) - 30.0) <= 9.0,
+      s"linear counting estimate ${tiny.getDouble(4)} far from 30")
+    val big = byType("big")
+    assert(math.abs(big.getDouble(4) - 2000.0) <= 0.195 * 2000.0,
+      s"raw-regime estimate ${big.getDouble(4)} far from 2000")
+  }
 }
