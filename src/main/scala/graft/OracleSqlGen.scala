@@ -3023,6 +3023,37 @@ object OracleSqlGen {
        |FROM est ORDER BY n_true DESC, user_id""".stripMargin
   }
 
+  /** A78: A/B card — the same hash-variant split, HUGEINT-exact
+    * per-arm moments, and the identical left-associated double
+    * expressions for mean/variance/Welch-t as the Spark side.
+    */
+  def evAbtest: String = {
+    val ma = "CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    val mb = "CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    val va = "(CAST(n_a AS DOUBLE) * CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)) / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))"
+    val vb = "(CAST(n_b AS DOUBLE) * CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)) / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))"
+    val se2 = s"$va / CAST(n_a AS DOUBLE) + $vb / CAST(n_b AS DOUBLE)"
+    val tstat = s"CASE WHEN n_a > 1 AND n_b > 1 AND ($se2) > 0.0 THEN (($ma) - ($mb)) / sqrt($se2) END"
+    s"""WITH cnt AS (SELECT event_type, user_id, COUNT(*) AS c,
+       |  ('0x'||substr(md5('ab:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT % 2 AS v
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT event_type,
+       |  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(SUM(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS s1a,
+       |  SUM(CASE WHEN v = 0 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS s2a,
+       |  CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |  CAST(SUM(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS s1b,
+       |  SUM(CASE WHEN v = 1 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS s2b
+       |  FROM cnt GROUP BY 1)
+       |SELECT event_type, n_a, n_b,
+       |  floor(($ma)*1000000 + 0.5)/1000000 AS mean_a_r,
+       |  floor(($mb)*1000000 + 0.5)/1000000 AS mean_b_r,
+       |  floor((($ma) - ($mb))*1000000 + 0.5)/1000000 AS diff_r,
+       |  floor(($tstat)*1000000 + 0.5)/1000000 AS t_r,
+       |  abs($tstat) > 1.96 AS significant
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   /** A65: lag-k autocorrelation — exact HUGEINT moments over the
     * hourly rollup (mirroring the Spark side's decimal lattice), three
     * deterministic double ops at the end.

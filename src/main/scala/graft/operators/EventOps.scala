@@ -1724,4 +1724,52 @@ object EventOps {
     }.toDF("event_type", "hour", "n", "cusum_drop_sigmas_r", "flagged")
     maybeSort(out, ordered)(col("event_type"), col("hour"))
   }
+
+  /** A78: A/B experiment card — Welch's t-test on events-per-user
+    * between two HASH-ASSIGNED variants, per event type. Variant =
+    * md5_60("ab:"‖user_id) mod 2 — exactly how an experimentation
+    * system deterministically buckets users (salted hash, no
+    * assignment table to join). The metric is each engaged user's
+    * event count; per (type, variant) the EXACT integer moments
+    * (n, Σc, Σc² — Σc² decimal-routed so shard sums never overflow)
+    * feed mean, sample variance (n·S2−S1²)/(n(n−1)) and the Welch
+    * statistic t = (m_a−m_b)/√(v_a/n_a + v_b/n_b); `significant` cuts
+    * |t| at 1.96. A forecaster-grade guard: t is null when either arm
+    * has <2 users or the pooled standard error is 0.
+    *
+    * Scale shape: ONE corpus-keyed aggregate (type,user) — the same
+    * shuffle every per-user card pays — then a #types×2-row moment
+    * rollup; nothing downstream exceeds #types rows. Determinism: all
+    * moments integer-exact; mean/variance/t are fixed left-associated
+    * double expressions mirrored verbatim in the oracle.
+    */
+  def evAbtest(t: Tables, ordered: Boolean = false): DataFrame = {
+    val cnt = t.events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("v", graft.functions.Hashing.md5_60(
+        concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+    def arm(v: Int, n: String, s1: String, s2: String) = Seq(
+      sum(when(col("v") === v, 1L).otherwise(0L)).as(n),
+      sum(when(col("v") === v, col("c")).otherwise(0L)).as(s1),
+      sum(when(col("v") === v, (col("c") * col("c")).cast(DecimalType(38, 0)))
+        .otherwise(lit(0).cast(DecimalType(38, 0)))).as(s2))
+    val aggs = arm(0, "n_a", "s1a", "s2a") ++ arm(1, "n_b", "s1b", "s2b")
+    val m = cnt.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+    def mean(s1: Column, n: Column) = s1.cast("double") / n.cast("double")
+    def vvar(n: Column, s1: Column, s2: Column) =
+      (n.cast("double") * s2.cast("double") - s1.cast("double") * s1.cast("double")) /
+        (n.cast("double") * (n.cast("double") - 1.0))
+    val ma = mean(col("s1a"), col("n_a")); val mb = mean(col("s1b"), col("n_b"))
+    val va = vvar(col("n_a"), col("s1a"), col("s2a"))
+    val vb = vvar(col("n_b"), col("s1b"), col("s2b"))
+    val se2 = va / col("n_a").cast("double") + vb / col("n_b").cast("double")
+    val tstat = when(col("n_a") > 1 && col("n_b") > 1 && se2 > 0.0,
+      (ma - mb) / sqrt(se2))
+    val out = m.select(col("event_type"), col("n_a"), col("n_b"),
+      r6(ma).as("mean_a_r"), r6(mb).as("mean_b_r"),
+      r6(ma - mb).as("diff_r"), r6(tstat).as("t_r"),
+      (abs(tstat) > 1.96).as("significant"))
+    maybeSort(out, ordered)(col("event_type"))
+  }
 }

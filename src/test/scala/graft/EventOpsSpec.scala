@@ -348,4 +348,33 @@ class EventOpsSpec extends SparkSpec {
     assert(planted.toSeq == Seq((1L, 10L), (6L, 2L), (24L, 1L), (96L, 1L)),
       s"planted ladder mismatch: ${planted.toSeq}")
   }
+
+  test("abtest: planted treatment effect detected with the right sign; null corpus stays insignificant") {
+    import spark.implicits._
+    // variant assignment is the operator's own salted hash — recompute
+    // it JVM-side to plant per-arm counts (arm B gets +5 events/user)
+    def variant(u: Long): Long =
+      graft.functions.Hashing.md5_60Jvm(s"ab:$u") % 2
+    val base = 1704067200000000000L
+    def corpus(effect: Int) = (1L to 120L).flatMap { u =>
+      val n = 10 + (u % 3).toInt + (if (variant(u) == 1) effect else 0)
+      (0 until n).map(i =>
+        (u * 1000L + i, base + i.toLong * 60000000000L, u, "click", 1.0, "{}"))
+    }
+    def card(effect: Int) = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-ab$effect").toString
+      corpus(effect).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      EventOps.evAbtest(graft.sources.Tables(spark, tmp), ordered = true).collect()(0)
+    }
+    val planted = card(5)
+    assert(planted.getBoolean(7), "a +5 events/user arm-B lift must be significant")
+    assert(planted.getDouble(5) < -4.0 && planted.getDouble(6) < -1.96,
+      s"diff/t must point at arm B: diff=${planted.getDouble(5)} t=${planted.getDouble(6)}")
+    val nullCase = card(0)
+    assert(!nullCase.getBoolean(7) && math.abs(nullCase.getDouble(6)) < 1.96,
+      s"identical arms must stay insignificant: t=${nullCase.getDouble(6)}")
+    // both arms populated by the hash split
+    assert(planted.getLong(1) > 30 && planted.getLong(2) > 30, "hash split degenerate")
+  }
 }
