@@ -2006,6 +2006,43 @@ object OracleSqlGen {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** D42: BFS reachability — D41's edge CTEs, hop layers unrolled with
+    * NOT-IN anti-joins against the running visited set; the unreached
+    * row derives from the corpus count.
+    */
+  def annGraphReach(maxHops: Int, kGraph: Int, bucketCap: Int): String = {
+    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+    val hopCtes = (1 to maxHops).map { r =>
+      s"""f$r AS (SELECT DISTINCT ed.dst AS vec_id
+         |  FROM f${r - 1} b JOIN edges ed ON ed.src = b.vec_id
+         |  WHERE ed.dst NOT IN (SELECT vec_id FROM vis${r - 1})),
+         |vis$r AS (SELECT vec_id, hop FROM vis${r - 1}
+         |  UNION ALL SELECT vec_id, CAST($r AS BIGINT) AS hop FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $normCte,
+       |nb AS (SELECT vec_id, v, n2, ${bucketExprAt(0)} AS bucket FROM n),
+       |corpus AS (SELECT vec_id, v, n2, bucket FROM (
+       |  SELECT vec_id, v, n2, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS pn
+       |  FROM nb) WHERE pn <= $bucketCap),
+       |sce AS (SELECT s.vec_id AS src, c.vec_id AS dst,
+       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM nb s JOIN corpus c ON c.bucket = s.bucket AND c.vec_id <> s.vec_id),
+       |edges AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rank
+       |  FROM sce) WHERE rank <= $kGraph),
+       |ent AS (SELECT MIN(vec_id) AS vec_id FROM n),
+       |vis0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS hop FROM ent),
+       |f0 AS (SELECT vec_id FROM ent),
+       |$hopCtes
+       |SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_vertices
+       |  FROM vis$maxHops GROUP BY 1
+       |UNION ALL SELECT CAST(-1 AS BIGINT) AS hop,
+       |  CAST((SELECT COUNT(*) FROM n) - (SELECT COUNT(*) FROM vis$maxHops) AS BIGINT) AS n_vertices
+       |ORDER BY hop""".stripMargin
+  }
+
   /** D33: kNN in-degree (hubness) — the D14 kn CTE grouped by dst,
     * zero-filled over the corpus id universe.
     */

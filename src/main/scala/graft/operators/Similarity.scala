@@ -1734,6 +1734,53 @@ object Similarity {
     * Determinism: cosines r6'd (cosineR); beam and final ranks break
     * ties on vec_id; the UNION dedups on identical r6'd scores.
     */
+  /** D42: graph REACHABILITY card — BFS hop-distance histogram from
+    * D41's fixed entry vertex over the D14 kNN graph, plus the
+    * unreached count (hop = −1). The entry-point health read an
+    * operator takes BEFORE trusting D41's beam search: a big hop=−1
+    * row means the graph is fragmented (dead LSH buckets, isolated
+    * islands) and greedy search silently misses those regions —
+    * the known failure mode of HNSW-style graphs, fixed by adding
+    * entry points or raising graph degree.
+    *
+    * Scale shape: `maxHops` is a small FIXED constant (the card probes
+    * the entry neighborhood, not the transitive closure — the full
+    * closure is D24's job via pointer-jumping CC). Each round is an
+    * equi-join of the current frontier against the degree-bounded
+    * (≤k·n) edge relation + an anti-join against the visited set —
+    * shuffles bounded by |frontier|·k, never corpus². The frontier is
+    * referenced TWICE per round (expansion + visited union), so each
+    * layer truncates lineage through `stableCheckpoint` (the CC/
+    * PageRank round discipline, reliable-dir knob included) — lazy
+    * unrolling here would copy the round-1 subtree 2^maxHops times;
+    * the edge relation checkpoints ONCE and is probed by every round.
+    *
+    * Determinism: BFS layers are set-valued (no scores), counts exact.
+    */
+  def annGraphReach(t: Tables, maxHops: Int = 6, kGraph: Int = 3,
+      bits: Int = 8, bucketCap: Int = 128, ordered: Boolean = false): DataFrame = {
+    val edges = Dedup.stableCheckpoint(
+      knnEdges(t, kGraph, bits, bucketCap).select(col("src"), col("dst")))
+    val ids = t.embeddings.select(col("vec_id"))
+    val entry = ids.agg(min(col("vec_id")).as("vec_id"))
+    var vis = entry.select(col("vec_id"), lit(0L).as("hop"))
+    var frontier = entry.select(col("vec_id"))
+    for (r <- 1 to maxHops) {
+      val nxt = Dedup.stableCheckpoint(
+        frontier.join(edges, col("vec_id") === col("src"))
+          .select(col("dst").as("vec_id")).distinct()
+          .join(vis.select(col("vec_id").as("seen")),
+            col("vec_id") === col("seen"), "left_anti"))
+      vis = vis.unionByName(nxt.select(col("vec_id"), lit(r.toLong).as("hop")))
+      frontier = nxt
+    }
+    val reached = vis.groupBy(col("hop")).agg(count(lit(1)).as("n_vertices"))
+    val unreached = ids.agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(vis.agg(count(lit(1)).as("n_reached"))))
+      .select(lit(-1L).as("hop"), (col("n_total") - col("n_reached")).as("n_vertices"))
+    maybeSort(reached.unionByName(unreached), ordered)(col("hop"))
+  }
+
   def annGraphSearch(t: Tables, nQueries: Int = 8, beam: Int = 8,
       rounds: Int = 3, k: Int = 5, kGraph: Int = 3, bits: Int = 8,
       bucketCap: Int = 128, ordered: Boolean = false): DataFrame = {

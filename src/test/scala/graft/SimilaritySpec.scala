@@ -525,6 +525,20 @@ class SimilaritySpec extends SparkSpec {
     assert(scans.head < 0.5, s"nprobe=1 must scan a small fraction, got ${scans.head}")
   }
 
+  test("graph reach: BFS layers bounded by out-degree, rows partition the corpus, entry layer is 1") {
+    val rows = Similarity.annGraphReach(tables, ordered = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val total = tables.embeddings.count()
+    assert(rows.values.sum == total,
+      s"reached + unreached must partition the corpus: ${rows.values.sum} vs $total")
+    assert(rows(0L) == 1L, "hop 0 is exactly the entry vertex")
+    (1L to 6L).foreach { h =>
+      val prev = rows.getOrElse(h - 1, 0L); val cur = rows.getOrElse(h, 0L)
+      assert(cur <= 3 * prev,
+        s"layer $h has $cur vertices > k*|layer ${h - 1}| = ${3 * prev} — BFS expanded beyond the graph's out-degree")
+    }
+  }
+
   test("graph search: best-found score is monotone in rounds; results come from the graph's reachable set") {
     def best(rounds: Int): Map[Long, Double] =
       Similarity.annGraphSearch(tables, rounds = rounds, ordered = true).collect()
