@@ -2006,6 +2006,79 @@ object OracleSqlGen {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** D43: beam tuning — the two-table edge union (D2b's CASE-bucket
+    * postings, capped corpus side, per-(src,tbl) rank), one exact
+    * ranked relation shared by all beams, and per beam the D41 search
+    * rounds unrolled with a `_b<beam>` CTE suffix; per-query recalls
+    * r6'd before the DECIMAL mean (the D37 convention).
+    */
+  def annBeamTuning(beams: Seq[Int], rounds: Int, k: Int, nQueries: Int,
+      kPerTable: Int, bucketCap: Int): String = {
+    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+    val dotQC2 = "list_reduce([q.qv[i]*c.v[i] for i in range(1, len(q.qv)+1)], (x,y) -> x+y)"
+    val cosQC = s"floor(($dotQC2/(sqrt(q.qn2)*sqrt(c.n2)))*1000000 + 0.5)/1000000"
+    def dmean(c: String) =
+      s"floor((CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000"
+    def searchCtes(b: Int): String = {
+      val roundCtes = (1 to rounds).map { r =>
+        s"""exp${r}_b$b AS (SELECT DISTINCT x.q_id, ed.dst AS vec_id
+           |  FROM vis${r - 1}_b$b x JOIN edges ed ON ed.src = x.vec_id),
+           |sc${r}_b$b AS (SELECT x.q_id, x.vec_id, $cosQC AS cos_r
+           |  FROM exp${r}_b$b x JOIN n c ON c.vec_id = x.vec_id JOIN qs q ON q.q_id = x.q_id),
+           |u${r}_b$b AS (SELECT q_id, vec_id, cos_r FROM vis${r - 1}_b$b
+           |  UNION SELECT q_id, vec_id, cos_r FROM sc${r}_b$b),
+           |vis${r}_b$b AS (SELECT q_id, vec_id, cos_r FROM (
+           |  SELECT q_id, vec_id, cos_r,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+           |  FROM u${r}_b$b) WHERE rn <= $b)""".stripMargin
+      }.mkString(",\n")
+      s"""vis0_b$b AS (SELECT q.q_id, c.vec_id, $cosQC AS cos_r
+         |  FROM qs q, ent JOIN n c ON c.vec_id = ent.vec_id),
+         |$roundCtes,
+         |found_b$b AS (SELECT q_id, vec_id, cos_r FROM (
+         |  SELECT q_id, vec_id, cos_r,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+         |  FROM vis${rounds}_b$b WHERE vec_id <> q_id) WHERE rn <= $k),
+         |pq_b$b AS (SELECT f.q_id,
+         |  floor((CAST(COUNT(x.vec_id) AS DOUBLE) / ${k}.0)*1000000 + 0.5)/1000000 AS recall_q,
+         |  MAX(f.cos_r) AS best_q
+         |  FROM found_b$b f LEFT JOIN ex x ON x.q_id = f.q_id AND x.vec_id = f.vec_id
+         |  GROUP BY 1),
+         |row_b$b AS (SELECT CAST($b AS BIGINT) AS beam,
+         |  ${dmean("p.recall_q")} AS mean_recall_r,
+         |  ${dmean("p.best_q")} AS mean_best_cos_r,
+         |  ${dmean("e2.x_best")} AS exact_best_cos_r
+         |  FROM pq_b$b p JOIN exbest e2 ON e2.q_id = p.q_id)""".stripMargin
+    }
+    val cases = (0 until 4).map(i => s"WHEN $i THEN ${bucketExprAt(i * 8)}").mkString(" ")
+    s"""WITH $normCte,
+       |p AS (SELECT vec_id, v, n2, tbl, CASE tbl $cases END AS bucket
+       |  FROM n, (SELECT unnest([0,1,2,3]) AS tbl)),
+       |pc AS (SELECT vec_id, v, n2, tbl, bucket FROM (
+       |  SELECT vec_id, v, n2, tbl, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY tbl, bucket ORDER BY vec_id ASC) AS pn
+       |  FROM p) WHERE pn <= $bucketCap),
+       |sce AS (SELECT s.vec_id AS src, c.vec_id AS dst, s.tbl,
+       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM p s JOIN pc c ON c.tbl = s.tbl AND c.bucket = s.bucket AND c.vec_id <> s.vec_id),
+       |edges AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src, tbl ORDER BY cos_r DESC, dst ASC) AS rank
+       |  FROM sce) WHERE rank <= $kPerTable),
+       |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < $nQueries),
+       |scx AS (SELECT q.q_id, c.vec_id, $cosQC AS cos_r
+       |  FROM qs q JOIN n c ON c.vec_id <> q.q_id),
+       |rk AS (SELECT q_id, vec_id, cos_r,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rank
+       |  FROM scx),
+       |ex AS (SELECT q_id, vec_id FROM rk WHERE rank <= $k),
+       |exbest AS (SELECT q_id, cos_r AS x_best FROM rk WHERE rank = 1),
+       |ent AS (SELECT MIN(vec_id) AS vec_id FROM n),
+       |${beams.map(searchCtes).mkString(",\n")}
+       |${beams.map(b => s"SELECT * FROM row_b$b").mkString("\nUNION ALL ")}
+       |ORDER BY beam""".stripMargin
+  }
+
   /** D42: BFS reachability — D41's edge CTEs, hop layers unrolled with
     * NOT-IN anti-joins against the running visited set; the unreached
     * row derives from the corpus count.

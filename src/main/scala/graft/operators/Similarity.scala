@@ -1785,9 +1785,25 @@ object Similarity {
       rounds: Int = 3, k: Int = 5, kGraph: Int = 3, bits: Int = 8,
       bucketCap: Int = 128, ordered: Boolean = false): DataFrame = {
     val e = withNorm(t.embeddings)
+    val edges = knnEdges(t, kGraph, bits, bucketCap).select(col("src"), col("dst"))
+    val beamW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    maybeSort(
+      beamSearch(e, edges, nQueries, beam, rounds)
+        .withColumn("rank", row_number().over(beamW).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r")),
+      ordered)(col("q_id"), col("rank"))
+  }
+
+  /** The D41 search core: greedy beam over `edges` from the fixed
+    * min-vec_id entry vertex; returns the final visited beam
+    * (q_id, vec_id, cos_r) — ≤ `beam` rows per query.
+    */
+  private def beamSearch(e: DataFrame, edges: DataFrame, nQueries: Int,
+      beam: Int, rounds: Int): DataFrame = {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
-    val edges = knnEdges(t, kGraph, bits, bucketCap).select(col("src"), col("dst"))
     val corpus = e.select(col("vec_id"), col("v"), col("n2"))
     val entry = e.agg(min(col("vec_id")).as("vec_id"))
     def scoreIds(ids: DataFrame): DataFrame =
@@ -1806,10 +1822,95 @@ object Similarity {
       vis = cand.withColumn("rn", row_number().over(beamW))
         .filter(col("rn") <= beam).drop("rn")
     }
-    maybeSort(
-      vis.withColumn("rank", row_number().over(beamW).cast("long"))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r")),
-      ordered)(col("q_id"), col("rank"))
+    vis
+  }
+
+  /** Multi-table kNN edge union — `nTables` independent sign-LSH
+    * tables (disjoint dimension slices, D2b's construction), top
+    * `kPerTable` in-bucket cosine neighbors per (src, table), union'd
+    * and deduped. The SINGLE-table D14 graph provably never crosses
+    * buckets (edges come from in-bucket joins), so its components are
+    * bucket subsets — D42 measures the resulting fragmentation.
+    * Independent tables chain buckets together: two vectors sharing
+    * EITHER slice's sign pattern connect, which is how NSW-style
+    * graphs buy global connectivity without all-pairs work.
+    */
+  private def knnEdgesMulti(t: Tables, kPerTable: Int, bits: Int,
+      nTables: Int, bucketCap: Int): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val postings = e.select(col("vec_id"), col("v"), col("n2"),
+      posexplode(array((0 until nTables).map(i =>
+        signBucketAt(col("v"), bits, i * bits)): _*)).as(Seq("tbl", "bucket")))
+    val capW = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id").asc)
+    val corpus = postings
+      .withColumn("pn", row_number().over(capW))
+      .filter(col("pn") <= bucketCap)
+      .select(col("vec_id").as("dst"), col("v").as("dv"), col("n2").as("dn2"),
+        col("tbl").as("tbl2"), col("bucket").as("bucket2"))
+    val w = Window.partitionBy(col("src"), col("tbl"))
+      .orderBy(col("cos_r").desc, col("dst").asc)
+    postings.select(col("vec_id").as("src"), col("v").as("sv"),
+        col("n2").as("sn2"), col("tbl"), col("bucket"))
+      .join(corpus, col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
+        col("src") =!= col("dst"))
+      .select(col("src"), col("tbl"), col("dst"),
+        cosineR(col("sv"), col("dv"), col("sn2"), col("dn2")).as("cos_r"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kPerTable)
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  /** D43: beam-width TUNING card for graph ANN — mean recall@k and
+    * mean best-found cosine per beam width, against D1's exact top-k
+    * (the C20/D37 sensitivity-curve pattern pointed at D41's one knob:
+    * what recall does another unit of beam buy). Runs on the TWO-table
+    * edge union (knnEdgesMulti) — the production graph shape, since
+    * D42 measured the single-table graph's fragmentation and a tuning
+    * curve over an unreachable corpus is flat noise.
+    *
+    * Scale shape: the edge relation builds ONCE (stableCheckpoint) and
+    * every beam's search probes it — adding a sweep point costs one
+    * more bounded beam search (≤ nQueries·beam frontier rows/round),
+    * never another graph build; the exact leg is D1's single corpus
+    * pass, shared by all beams. Self-hits are excluded on BOTH legs so
+    * found ⊆ scored-corpus and best-found ≤ exact-best holds as a law.
+    *
+    * Determinism: cosines r6'd in the feeders; per-query recalls r6'd
+    * before the DECIMAL mean (D37's convention).
+    */
+  def annBeamTuning(t: Tables, beams: Seq[Int] = Seq(2, 8, 32),
+      rounds: Int = 4, k: Int = 5, nQueries: Int = 8, kPerTable: Int = 3,
+      bits: Int = 8, nTables: Int = 4, bucketCap: Int = 128,
+      ordered: Boolean = false): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val edges = Dedup.stableCheckpoint(
+      knnEdgesMulti(t, kPerTable, bits, nTables, bucketCap))
+    val exact = annTopkBruteforce(t, nQueries, k)
+    val exTop = exact.select(col("q_id").as("xq"), col("vec_id").as("xv"))
+    val exBest = exact.filter(col("rank") === 1)
+      .select(col("q_id").as("bq"), col("cos_r").as("x_best"))
+    val beamW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    def dmean(c: Column) =
+      r6(sum(c.cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)).cast("double"))
+    val perBeam = beams.map { b =>
+      val found = beamSearch(e, edges, nQueries, b, rounds)
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rn", row_number().over(beamW))
+        .filter(col("rn") <= k)
+      found
+        .join(exTop, col("q_id") === col("xq") && col("vec_id") === col("xv"), "left")
+        .groupBy(col("q_id"))
+        .agg(r6(count(col("xv")).cast("double") / lit(k.toDouble)).as("recall_q"),
+          max(col("cos_r")).as("best_q"))
+        .join(broadcast(exBest), col("q_id") === col("bq"))
+        .agg(dmean(col("recall_q")).as("mean_recall_r"),
+          dmean(col("best_q")).as("mean_best_cos_r"),
+          dmean(col("x_best")).as("exact_best_cos_r"))
+        .select(lit(b.toLong).as("beam"), col("mean_recall_r"),
+          col("mean_best_cos_r"), col("exact_best_cos_r"))
+    }
+    maybeSort(perBeam.reduce(_ unionByName _), ordered)(col("beam"))
   }
 }

@@ -539,6 +539,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("beam tuning: search never beats exact, best-found improves with beam, widest beam finds something") {
+    val rows = Similarity.annBeamTuning(tables, ordered = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 3 && rows.map(_._1).toSeq == Seq(2L, 8L, 32L))
+    rows.foreach { case (b, rec, best, exact) =>
+      assert(best <= exact + 1e-9,
+        s"beam $b: best-found $best beats the exact optimum $exact — impossible")
+      assert(rec >= 0.0 && rec <= 1.0, s"beam $b recall $rec out of range")
+    }
+    rows.sliding(2).foreach { w =>
+      assert(w(1)._3 >= w(0)._3 - 1e-9,
+        s"best-found must not degrade with beam on this corpus: ${w(0)} -> ${w(1)}")
+      assert(w(1)._2 >= w(0)._2 - 1e-9,
+        s"recall must not degrade with beam on this corpus: ${w(0)} -> ${w(1)}")
+    }
+    assert(rows.last._2 > 0.0, "beam 32 over 4 rounds must find at least one exact neighbor")
+  }
+
   test("graph search: best-found score is monotone in rounds; results come from the graph's reachable set") {
     def best(rounds: Int): Map[Long, Double] =
       Similarity.annGraphSearch(tables, rounds = rounds, ordered = true).collect()
