@@ -3164,6 +3164,34 @@ object OracleSqlGen {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  /** A79: MDE/power card — the same arm-moment CTE as A78 with the
+    * SE/MDE expressions spelled identically to the Spark side.
+    */
+  def evMdePower: String = {
+    val va = "(CAST(n_a AS DOUBLE) * CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)) / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))"
+    val vb = "(CAST(n_b AS DOUBLE) * CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)) / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))"
+    val se2 = s"$va / CAST(n_a AS DOUBLE) + $vb / CAST(n_b AS DOUBLE)"
+    val se = s"CASE WHEN n_a > 1 AND n_b > 1 AND ($se2) > 0.0 THEN sqrt($se2) END"
+    val pooled = "CAST(s1a + s1b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+    s"""WITH cnt AS (SELECT event_type, user_id, COUNT(*) AS c,
+       |  ('0x'||substr(md5('ab:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT % 2 AS v
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT event_type,
+       |  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(SUM(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS s1a,
+       |  SUM(CASE WHEN v = 0 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS s2a,
+       |  CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |  CAST(SUM(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS s1b,
+       |  SUM(CASE WHEN v = 1 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS s2b
+       |  FROM cnt GROUP BY 1)
+       |SELECT event_type, n_a, n_b,
+       |  floor(($pooled)*1000000 + 0.5)/1000000 AS pooled_mean_r,
+       |  floor(($se)*1000000 + 0.5)/1000000 AS se_r,
+       |  floor((2.8016 * ($se))*1000000 + 0.5)/1000000 AS mde_abs_r,
+       |  floor((2.8016 * ($se) / ($pooled))*1000000 + 0.5)/1000000 AS mde_rel_r
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   /** A65: lag-k autocorrelation — exact HUGEINT moments over the
     * hourly rollup (mirroring the Spark side's decimal lattice), three
     * deterministic double ops at the end.

@@ -250,6 +250,7 @@ object SparkEntry {
     "ev_cusum_changepoint" -> q(EventOps.evCusumChangepoint(_, ordered = true)),
     "ev_cusum_drop"        -> q(EventOps.evCusumDrop(_, ordered = true)),
     "ev_abtest"            -> q(EventOps.evAbtest(_, ordered = true)),
+    "ev_mde_power"         -> q(EventOps.evMdePower(_, ordered = true)),
     "ev_anomaly_ensemble"  -> q(EventOps.evAnomalyEnsemble(_, ordered = true)),
     "ev_ttl_tuning"        -> q(EventOps.evTtlTuning(_, ordered = true)),
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
@@ -1324,6 +1325,7 @@ object SparkEntry {
     "ev_cusum_changepoint"    -> OracleSqlGen.evCusumChangepoint(48, 0.5, 5.0),
     "ev_cusum_drop"           -> OracleSqlGen.evCusumDrop(48, 0.5, 5.0),
     "ev_abtest"               -> OracleSqlGen.evAbtest,
+    "ev_mde_power"            -> OracleSqlGen.evMdePower,
     "ev_ttl_tuning"           -> OracleSqlGen.evTtlTuning(Seq(1L, 6L, 24L, 96L)),
     "ev_autocorr"             -> OracleSqlGen.evAutocorr(Seq(1, 24)),
     "ev_holt_forecast"        -> OracleSqlGen.evHoltForecast(0.5, 0.25),

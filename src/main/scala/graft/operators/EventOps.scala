@@ -1744,6 +1744,21 @@ object EventOps {
     * double expressions mirrored verbatim in the oracle.
     */
   def evAbtest(t: Tables, ordered: Boolean = false): DataFrame = {
+    val m = abMoments(t)
+    val se2 = abVarA / col("n_a").cast("double") + abVarB / col("n_b").cast("double")
+    val tstat = when(col("n_a") > 1 && col("n_b") > 1 && se2 > 0.0,
+      (abMeanA - abMeanB) / sqrt(se2))
+    val out = m.select(col("event_type"), col("n_a"), col("n_b"),
+      r6(abMeanA).as("mean_a_r"), r6(abMeanB).as("mean_b_r"),
+      r6(abMeanA - abMeanB).as("diff_r"), r6(tstat).as("t_r"),
+      (abs(tstat) > 1.96).as("significant"))
+    maybeSort(out, ordered)(col("event_type"))
+  }
+
+  /** The A78/A79 shared per-arm EXACT moment relation: per event type,
+    * (n, Σc, Σc²) for each hash-assigned variant (Σc² decimal-routed).
+    */
+  private def abMoments(t: Tables): DataFrame = {
     val cnt = t.events
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("c"))
@@ -1755,21 +1770,42 @@ object EventOps {
       sum(when(col("v") === v, (col("c") * col("c")).cast(DecimalType(38, 0)))
         .otherwise(lit(0).cast(DecimalType(38, 0)))).as(s2))
     val aggs = arm(0, "n_a", "s1a", "s2a") ++ arm(1, "n_b", "s1b", "s2b")
-    val m = cnt.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
-    def mean(s1: Column, n: Column) = s1.cast("double") / n.cast("double")
-    def vvar(n: Column, s1: Column, s2: Column) =
-      (n.cast("double") * s2.cast("double") - s1.cast("double") * s1.cast("double")) /
-        (n.cast("double") * (n.cast("double") - 1.0))
-    val ma = mean(col("s1a"), col("n_a")); val mb = mean(col("s1b"), col("n_b"))
-    val va = vvar(col("n_a"), col("s1a"), col("s2a"))
-    val vb = vvar(col("n_b"), col("s1b"), col("s2b"))
-    val se2 = va / col("n_a").cast("double") + vb / col("n_b").cast("double")
-    val tstat = when(col("n_a") > 1 && col("n_b") > 1 && se2 > 0.0,
-      (ma - mb) / sqrt(se2))
-    val out = m.select(col("event_type"), col("n_a"), col("n_b"),
-      r6(ma).as("mean_a_r"), r6(mb).as("mean_b_r"),
-      r6(ma - mb).as("diff_r"), r6(tstat).as("t_r"),
-      (abs(tstat) > 1.96).as("significant"))
+    cnt.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def abMean(s1: Column, n: Column) = s1.cast("double") / n.cast("double")
+  private def abVar(n: Column, s1: Column, s2: Column) =
+    (n.cast("double") * s2.cast("double") - s1.cast("double") * s1.cast("double")) /
+      (n.cast("double") * (n.cast("double") - 1.0))
+  private def abMeanA = abMean(col("s1a"), col("n_a"))
+  private def abMeanB = abMean(col("s1b"), col("n_b"))
+  private def abVarA = abVar(col("n_a"), col("s1a"), col("s2a"))
+  private def abVarB = abVar(col("n_b"), col("s1b"), col("s2b"))
+
+  /** A79: experiment POWER card — the design read taken BEFORE running
+    * an A/B test on this traffic: per event type, the standard error
+    * of the arm-mean difference from the measured variance and arm
+    * sizes, and the minimum detectable effect at the standard
+    * α = 0.05 two-sided / 80 % power operating point —
+    * MDE = (z_{0.975} + z_{0.80})·SE = (1.96 + 0.8416)·SE — in
+    * absolute events/user and relative to the pooled mean. An
+    * experimenter reads `mde_rel_r` to answer "can this metric detect
+    * a 1 % move at current traffic, or do I need a longer window".
+    *
+    * Scale shape: shares A78's ONE corpus-keyed moment aggregate;
+    * everything downstream is #types rows. Determinism: the same
+    * integer moments; SE/MDE are fixed left-associated double
+    * expressions mirrored in the oracle.
+    */
+  def evMdePower(t: Tables, ordered: Boolean = false): DataFrame = {
+    val se2 = abVarA / col("n_a").cast("double") + abVarB / col("n_b").cast("double")
+    val se = when(col("n_a") > 1 && col("n_b") > 1 && se2 > 0.0, sqrt(se2))
+    val pooled = (col("s1a") + col("s1b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val mde = lit(2.8016) * se
+    val out = abMoments(t).select(col("event_type"), col("n_a"), col("n_b"),
+      r6(pooled).as("pooled_mean_r"), r6(se).as("se_r"),
+      r6(mde).as("mde_abs_r"), r6(mde / pooled).as("mde_rel_r"))
     maybeSort(out, ordered)(col("event_type"))
   }
 }

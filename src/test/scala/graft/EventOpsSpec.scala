@@ -377,4 +377,29 @@ class EventOpsSpec extends SparkSpec {
     // both arms populated by the hash split
     assert(planted.getLong(1) > 30 && planted.getLong(2) > 30, "hash split degenerate")
   }
+
+  test("mde power: arithmetic ties MDE to SE; quadrupled traffic halves the MDE") {
+    import spark.implicits._
+    EventOps.evMdePower(tables, ordered = true).collect().foreach { r =>
+      val se = r.getDouble(4); val mde = r.getDouble(5)
+      assert(math.abs(mde - 2.8016 * se) < 5e-6,
+        s"${r.getString(0)}: mde $mde != 2.8016*se ${2.8016 * se}")
+      assert(r.getDouble(6) > 0 && r.getDouble(6) < 1,
+        s"relative MDE ${r.getDouble(6)} implausible on this corpus")
+    }
+    val base = 1704067200000000000L
+    def card(nUsers: Int) = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-mde$nUsers").toString
+      (1L to nUsers.toLong).flatMap { u =>
+        (0 until (10 + (u % 5).toInt)).map(i =>
+          (u * 1000L + i, base + i.toLong * 60000000000L, u, "click", 1.0, "{}"))
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      EventOps.evMdePower(graft.sources.Tables(spark, tmp), ordered = true)
+        .collect()(0).getDouble(5)
+    }
+    val ratio = card(100) / card(400)
+    assert(ratio > 1.7 && ratio < 2.3,
+      s"4x the users must ~halve the MDE (sqrt-n law), got ratio $ratio")
+  }
 }
