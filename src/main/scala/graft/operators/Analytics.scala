@@ -1464,8 +1464,17 @@ object Analytics {
     * the leg you delete at 100 TB.
     */
   def qHllPortable(t: Tables): DataFrame = {
-    val m = 256L
-    val two52 = 4503599627370496L // 2^52
+    val exact = t.events.groupBy($("event_type"))
+      .agg(countDistinct($("user_id")).as("n_exact"))
+    hllCard(hllRegisters(t.events)).join(broadcast(exact), "event_type")
+      .orderBy($("event_type"))
+  }
+
+  /** B59's register relation (event_type, bucket, reg) — the
+    * constant-size mergeable state (≤ 256 rows/group, merge = MAX per
+    * (group, bucket)) that G24's sink persists per shard/run.
+    */
+  private[graft] def hllRegisters(events: DataFrame): DataFrame = {
     val h0 = graft.functions.Hashing.md5_60(
       concat(lit("hll:"), $("user_id").cast("string")))
     // rho = leading zeros of the 52-bit word + 1 = 53 - bitlen(w),
@@ -1474,31 +1483,34 @@ object Analytics {
       when($("w") >= lit(1L << 51), lit(1))) { (acc, k) =>
         acc.when($("w") >= lit(1L << k), lit(52 - k))
       }.otherwise(lit(52))
-    val regs = t.events
+    events
       .select($("event_type"), h0.as("h0"))
-      .select($("event_type"), ($("h0") % m).as("bucket"),
+      .select($("event_type"), ($("h0") % 256L).as("bucket"),
         expr("h0 DIV 256").as("w"))
       .groupBy($("event_type"), $("bucket"))
       .agg(max(rho).as("reg"))
+  }
+
+  /** B59's estimate from a register relation alone (no corpus access —
+    * what a cross-run reader computes off merged G24 artifacts).
+    */
+  private[graft] def hllCard(regs: DataFrame): DataFrame = {
+    val m = 256L
+    val two52 = 4503599627370496L // 2^52
     val agg = regs.groupBy($("event_type"))
       .agg(count(lit(1)).as("nb"),
         sum(call_function("shiftleft", lit(1L), lit(52) - $("reg"))).as("s_present"))
       .select($("event_type"), (lit(m) - $("nb")).as("n_zero"),
         ($("s_present") + (lit(m) - $("nb")) * lit(two52)).as("sum_scaled"))
-    val exact = t.events.groupBy($("event_type"))
-      .agg(countDistinct($("user_id")).as("n_exact"))
     // alpha_256 * m^2 * 2^52 / S — the constant expression is spelled
     // identically in the oracle so both engines fold the same IEEE ops
     val eraw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
       lit(65536.0) * lit(4503599627370496.0) / $("sum_scaled").cast("double")
-    agg.join(broadcast(exact), "event_type")
-      .select($("event_type"), $("n_zero"), $("sum_scaled"),
-        r6(eraw).as("est_raw_r"),
-        r6(when(eraw <= lit(640.0) && $("n_zero") > 0,
-            lit(256.0) * log(lit(256.0) / $("n_zero").cast("double")))
-          .otherwise(eraw)).as("est_r"),
-        $("n_exact"))
-      .orderBy($("event_type"))
+    agg.select($("event_type"), $("n_zero"), $("sum_scaled"),
+      r6(eraw).as("est_raw_r"),
+      r6(when(eraw <= lit(640.0) && $("n_zero") > 0,
+          lit(256.0) * log(lit(256.0) / $("n_zero").cast("double")))
+        .otherwise(eraw)).as("est_r"))
   }
 
   private def $(name: String): Column = col(name)

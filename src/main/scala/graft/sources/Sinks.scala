@@ -417,4 +417,33 @@ object Sinks {
         struct(col("chunk_idx"), col("chunk_text")))), s => s.getField("chunk_text")), "")
         .as("text"))
   }
+
+  /** G24: persist a B59 HLL register SHARD — the cross-run distinct-
+    * count artifact. A 100 TB corpus lands in many ingest runs; each
+    * run writes its ≤ 256·#groups-row register relation here (bytes,
+    * not keys), and any later reader merges shards by per-register
+    * MAX ([[mergeHllRegisters]]) to get the UNION cardinality without
+    * rescanning a single input row — the property sketch suites call
+    * "mergeable summaries". SketchSpec pins merge(halves) ≡ direct at
+    * both register and estimate level.
+    */
+  def writeHllRegisters(events: DataFrame, path: String): Unit =
+    graft.operators.Analytics.hllRegisters(events)
+      .coalesce(1) // ≤ 256 * #groups rows — one file
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Merge [[writeHllRegisters]] shards: per-register MAX — the HLL
+    * union. Shard count is a handful of files; the merge is one tiny
+    * aggregate.
+    */
+  def mergeHllRegisters(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): DataFrame =
+    paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+
+  /** The B59 card off a (possibly merged) register relation alone —
+    * no corpus access. */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    graft.operators.Analytics.hllCard(regs)
 }

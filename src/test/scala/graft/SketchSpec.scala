@@ -164,4 +164,22 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(big.getDouble(4) - 2000.0) <= 0.195 * 2000.0,
       s"raw-regime estimate ${big.getDouble(4)} far from 2000")
   }
+
+  test("HLL register shards: merge(halves) == direct at register and estimate level") {
+    import graft.sources.{Sinks, Tables}
+    val ev = tables.events
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hllshard").toString
+    Sinks.writeHllRegisters(ev.filter(col("event_id") % 2 === 0), s"$tmp/even")
+    Sinks.writeHllRegisters(ev.filter(col("event_id") % 2 === 1), s"$tmp/odd")
+    val merged = Sinks.mergeHllRegisters(spark, Seq(s"$tmp/even", s"$tmp/odd"))
+    val direct = graft.operators.Analytics.hllRegisters(ev)
+    val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getLong(1), r.getInt(2))
+    assert(merged.collect().map(key).sorted.toSeq == direct.collect().map(key).sorted.toSeq,
+      "per-register MAX over event-id-parity shards must equal the one-pass registers")
+    val estM = Sinks.hllEstimate(merged).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).sorted.toSeq
+    val estD = Sinks.hllEstimate(direct).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).sorted.toSeq
+    assert(estM == estD, "merged-shard estimate must be bit-identical to direct")
+  }
 }
