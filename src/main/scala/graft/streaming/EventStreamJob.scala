@@ -474,6 +474,55 @@ object EventStreamJob {
       }
   }
 
+  final case class HllEstimate(event_type: String, n_zero: Long, est_r: Double)
+
+  /** A80 (B59 online): streaming distinct-users estimate per type via
+    * the PORTABLE HLL — state per group is the 256-register array
+    * (256 ints, CONSTANT regardless of cardinality: the KMV state
+    * grows to k longs, HLL's never grows at all), updated by
+    * per-register MAX. Because max is commutative/associative/
+    * idempotent, the stream's registers — and hence the estimate —
+    * equal the batch B59 card BIT-FOR-BIT under any batching or
+    * arrival order (StreamingSpec feeds reverse-time batches), and
+    * the same array is exactly what G24's shard sink persists for
+    * cross-run union. Emits the running (n_zero, est_r) per type per
+    * micro-batch (Update mode).
+    *
+    * The JVM-side rho/estimate arithmetic mirrors the batch Column
+    * ladder exactly: rho = nlz(w) − 11 on the 52-bit word (equals
+    * 53 − bitlen), capped at 52; S as the integer Σ2^(52−reg);
+    * the same left-associated α·m²·2⁵²/S and linear-counting branch.
+    */
+  def streamEvHllDistinct(events: Dataset[Ev]): Dataset[HllEstimate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .map(e => (e.event_type,
+        graft.functions.Hashing.md5_60Jvm("hll:" + e.user_id)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (ty: String, it: Iterator[(String, Long)], state: GroupState[Array[Int]]) =>
+          val regs = state.getOption.getOrElse(new Array[Int](256))
+          it.foreach { case (_, h0) =>
+            val bucket = (h0 % 256L).toInt
+            val w = h0 / 256L
+            val rho = if (w == 0L) 52
+              else math.min(java.lang.Long.numberOfLeadingZeros(w) - 11, 52)
+            if (rho > regs(bucket)) regs(bucket) = rho
+          }
+          state.update(regs)
+          val v = regs.count(_ == 0)
+          var s = 0L
+          regs.foreach(r => s += (1L << (52 - r)))
+          val eraw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+            4503599627370496.0 / s.toDouble
+          val est = if (eraw <= 640.0 && v > 0) 256.0 * math.log(256.0 / v)
+            else eraw
+          Iterator.single(HllEstimate(ty, v.toLong,
+            math.floor(est * 1e6 + 0.5) / 1e6))
+      }
+  }
+
   /** Per-type CUSUM state: hourly counts still open under the
     * watermark; finalized-but-unscored hours (waiting for the baseline
     * window to fill); and once the baseline is frozen, (mu, sigma, s).

@@ -932,6 +932,33 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+  test("streaming HLL registers == batch card bit-for-bit under reverse-order batching") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventStreamJob.streamEvHllDistinct(input.toDS())
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("hll_out").start()
+    try {
+      val revs = eventsData.reverse
+      revs.grouped((revs.size + 2) / 3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("hll_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .zipWithIndex.groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1).toMap
+        .map { case (ty, (_, nz, est)) => ty -> (nz, est) }
+      val batch = graft.operators.Analytics.qHllPortable(tables).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (ty, v) =>
+        assert(v == batch(ty),
+          s"$ty: stream (n_zero, est) $v != batch ${batch(ty)} — max-merge must be order-free")
+      }
+    } finally q.stop()
+  }
+
   test("streaming token bucket decisions roll up to the batch replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
