@@ -3078,11 +3078,43 @@ object OracleSqlGen {
     * expression for α·m²·2^52/S; register sums are HUGEINT-safe and
     * CAST back to BIGINT per the output convention.
     */
+  /** rho = 53 - bitlen(w), capped at 52 — the same ladder as the
+    * Spark side's chained `when`s, top bit (2^51) first (shared by
+    * B59 and E59).
+    */
+  private def hllLadderSql: String = (51 to 0 by -1).map(k =>
+    s"WHEN w >= ${1L << k} THEN ${52 - k}").mkString(" ")
+
+  /** E59: the B59 construction over tokens per source. */
+  def textVocabHll: String = {
+    val ladder = hllLadderSql
+    s"""WITH tk AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents),
+       |h AS (SELECT source, ('0x'||substr(md5('hll:'||tok),1,15))::BIGINT AS h0 FROM tk),
+       |b AS (SELECT source, h0 % 256 AS bucket, h0 // 256 AS w FROM h),
+       |r AS (SELECT source, bucket,
+       |  MAX(CASE $ladder ELSE 52 END) AS reg FROM b GROUP BY 1, 2),
+       |a AS (SELECT source, COUNT(*) AS nb,
+       |  SUM((1::BIGINT << (52 - reg))::HUGEINT) AS s_present FROM r GROUP BY 1),
+       |s AS (SELECT source, CAST(256 - nb AS BIGINT) AS n_zero,
+       |  CAST(s_present + (256 - nb)::HUGEINT * 4503599627370496 AS BIGINT) AS sum_scaled
+       |  FROM a),
+       |ex AS (SELECT source, COUNT(DISTINCT tok) AS n_exact FROM tk GROUP BY 1),
+       |e AS (SELECT s.*, ex.n_exact,
+       |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 4503599627370496.0 /
+       |    CAST(sum_scaled AS DOUBLE) AS eraw
+       |  FROM s JOIN ex USING (source))
+       |SELECT source, n_zero, sum_scaled,
+       |  floor(eraw*1000000 + 0.5)/1000000 AS est_raw_r,
+       |  floor((CASE WHEN eraw <= 640.0 AND n_zero > 0
+       |    THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
+       |    ELSE eraw END)*1000000 + 0.5)/1000000 AS est_r,
+       |  CAST(n_exact AS BIGINT) AS n_exact
+       |FROM e ORDER BY source""".stripMargin
+  }
+
   def qHllPortable: String = {
-    // rho = 53 - bitlen(w), capped at 52 — the same ladder as the
-    // Spark side's chained `when`s, top bit (2^51) first
-    val ladder = (51 to 0 by -1).map(k =>
-      s"WHEN w >= ${1L << k} THEN ${52 - k}").mkString(" ")
+    val ladder = hllLadderSql
     s"""WITH h AS (SELECT event_type,
        |  ('0x'||substr(md5('hll:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h0
        |  FROM events),

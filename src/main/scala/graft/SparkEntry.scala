@@ -289,6 +289,7 @@ object SparkEntry {
     "q_important_stock"    -> q(Analytics.qImportantStock(_)),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_hll_portable"       -> q(Analytics.qHllPortable),
+    "text_vocab_hll"       -> q(TextOps.textVocabHll(_, ordered = true)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
     "q_product_profit"     -> q(Analytics.qProductProfit(_)),
     "doc_ppl_reference"    -> q(TextOps.docPplReference(_)),
@@ -1335,6 +1336,7 @@ object SparkEntry {
     "ev_burst_impact"         -> OracleSqlGen.evBurstImpact(2.0, 20),
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
     "q_hll_portable"          -> OracleSqlGen.qHllPortable,
+    "text_vocab_hll"          -> OracleSqlGen.textVocabHll,
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "q_product_profit"        -> OracleSqlGen.qProductProfit("bolt"),
     "doc_ppl_reference"       -> OracleSqlGen.docPplReference("src0", 40.0),

@@ -1474,39 +1474,49 @@ object Analytics {
     * constant-size mergeable state (≤ 256 rows/group, merge = MAX per
     * (group, bucket)) that G24's sink persists per shard/run.
     */
-  private[graft] def hllRegisters(events: DataFrame): DataFrame = {
-    val h0 = graft.functions.Hashing.md5_60(
-      concat(lit("hll:"), $("user_id").cast("string")))
+  private[graft] def hllRegisters(events: DataFrame): DataFrame =
+    hllRegistersBy(events, $("event_type"), "event_type",
+      $("user_id").cast("string"))
+
+  /** The generic B59 register builder: one group column (re-aliased to
+    * `groupName`), one string key expression, salted md5_60 base hash.
+    * E59 reuses it for distinct TOKENS per source; the A-side for
+    * distinct users per event type.
+    */
+  private[graft] def hllRegistersBy(df: DataFrame, group: Column,
+      groupName: String, key: Column): DataFrame = {
+    val h0 = graft.functions.Hashing.md5_60(concat(lit("hll:"), key))
     // rho = leading zeros of the 52-bit word + 1 = 53 - bitlen(w),
     // capped at 52 (w = 0); pure integer comparisons, codegen'd
     val rho = (50 to 0 by -1).foldLeft(
       when($("w") >= lit(1L << 51), lit(1))) { (acc, k) =>
         acc.when($("w") >= lit(1L << k), lit(52 - k))
       }.otherwise(lit(52))
-    events
-      .select($("event_type"), h0.as("h0"))
-      .select($("event_type"), ($("h0") % 256L).as("bucket"),
+    df
+      .select(group.as(groupName), h0.as("h0"))
+      .select(col(groupName), ($("h0") % 256L).as("bucket"),
         expr("h0 DIV 256").as("w"))
-      .groupBy($("event_type"), $("bucket"))
+      .groupBy(col(groupName), $("bucket"))
       .agg(max(rho).as("reg"))
   }
 
   /** B59's estimate from a register relation alone (no corpus access —
     * what a cross-run reader computes off merged G24 artifacts).
     */
-  private[graft] def hllCard(regs: DataFrame): DataFrame = {
+  private[graft] def hllCard(regs: DataFrame,
+      groupName: String = "event_type"): DataFrame = {
     val m = 256L
     val two52 = 4503599627370496L // 2^52
-    val agg = regs.groupBy($("event_type"))
+    val agg = regs.groupBy($(groupName))
       .agg(count(lit(1)).as("nb"),
         sum(call_function("shiftleft", lit(1L), lit(52) - $("reg"))).as("s_present"))
-      .select($("event_type"), (lit(m) - $("nb")).as("n_zero"),
+      .select($(groupName), (lit(m) - $("nb")).as("n_zero"),
         ($("s_present") + (lit(m) - $("nb")) * lit(two52)).as("sum_scaled"))
     // alpha_256 * m^2 * 2^52 / S — the constant expression is spelled
     // identically in the oracle so both engines fold the same IEEE ops
     val eraw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
       lit(65536.0) * lit(4503599627370496.0) / $("sum_scaled").cast("double")
-    agg.select($("event_type"), $("n_zero"), $("sum_scaled"),
+    agg.select($(groupName), $("n_zero"), $("sum_scaled"),
       r6(eraw).as("est_raw_r"),
       r6(when(eraw <= lit(640.0) && $("n_zero") > 0,
           lit(256.0) * log(lit(256.0) / $("n_zero").cast("double")))

@@ -2005,4 +2005,33 @@ object TextOps {
         r6(sum(when(col("ppl_r") > pplMax, 1L).otherwise(0L)).cast("double") /
           count(lit(1)).cast("double")).as("p_filtered_r"))
   }, ordered)(col("source"))
+
+  /** E59: per-source distinct-TOKEN estimate via the portable HLL
+    * (B59's register machinery pointed at VOCABULARY cardinality —
+    * the place HLL earns its keep at 100 TB: corpus vocab is open and
+    * heavy-tailed, so E8's COUNT(DISTINCT token) two-phase shuffles
+    * the token universe, while the register relation is 256 small
+    * ints per source, mergeable across shards/runs through G24). The
+    * exact distinct rides alongside as the droppable diagnostic; at
+    * test SF every source sits in the linear-counting or low-load
+    * regime, which the SketchSpec-bounded estimator handles by
+    * construction (same code path, same laws).
+    *
+    * Scale shape: one narrow explode (tokens never leave their
+    * partition pre-aggregate) into the map-side-combined
+    * (source, bucket) MAX — ≤ 256·#sources rows shuffled; the exact
+    * leg is the only token-universe shuffle and is the one you delete.
+    */
+  def textVocabHll(t: Tables, ordered: Boolean = false): DataFrame = {
+    val toks = t.documents.select(col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("n_exact"))
+    maybeSort(
+      Analytics.hllCard(
+        Analytics.hllRegistersBy(toks, col("source"), "source", col("tok")),
+        "source")
+        .join(broadcast(exact), "source"),
+      ordered)(col("source"))
+  }
 }
