@@ -1801,7 +1801,7 @@ object Similarity {
     * (q_id, vec_id, cos_r) — ≤ `beam` rows per query.
     */
   private def beamSearch(e: DataFrame, edges: DataFrame, nQueries: Int,
-      beam: Int, rounds: Int): DataFrame = {
+      beam: Int, rounds: Int, truncate: Boolean = false): DataFrame = {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
     val corpus = e.select(col("vec_id"), col("v"), col("n2"))
@@ -1815,12 +1815,21 @@ object Similarity {
       .orderBy(col("cos_r").desc, col("vec_id").asc)
     var vis = scoreIds(q.select(col("q_id")).crossJoin(broadcast(entry)))
     for (_ <- 1 to rounds) {
-      val expd = vis.select(col("q_id"), col("vec_id"))
+      // the (<= nQueries*beam)-row frontier BROADCASTS into the big
+      // edge relation — at 100 TB edges are k*corpus rows and a
+      // sort-merge here would shuffle them every round (PlanSpec pin)
+      val expd = broadcast(vis.select(col("q_id"), col("vec_id")))
         .join(edges, col("vec_id") === col("src"))
         .select(col("q_id"), col("dst").as("vec_id")).distinct()
       val cand = vis.unionByName(scoreIds(expd)).distinct()
       vis = cand.withColumn("rn", row_number().over(beamW))
         .filter(col("rn") <= beam).drop("rn")
+      // the beam is referenced twice next round (expansion + union), so
+      // a lazy unroll copies this round's subtree 2^remaining times;
+      // D43 sweeps beams x rounds and pays that exponent per sweep
+      // point — it truncates each (<= nQueries*beam)-row beam instead.
+      // D41 keeps the single lazy plan (3 rounds = 8 copies, cheap).
+      if (truncate) vis = Dedup.stableCheckpoint(vis)
     }
     vis
   }
@@ -1895,7 +1904,7 @@ object Similarity {
       r6(sum(c.cast(DecimalType(18, 6))).cast("double") /
         count(lit(1)).cast("double"))
     val perBeam = beams.map { b =>
-      val found = beamSearch(e, edges, nQueries, b, rounds)
+      val found = beamSearch(e, edges, nQueries, b, rounds, truncate = true)
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("rn", row_number().over(beamW))
         .filter(col("rn") <= k)

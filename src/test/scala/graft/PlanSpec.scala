@@ -507,4 +507,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("struct<event_type:string,props:string>"),
       "events scan must read exactly the two strings")
   }
+
+  test("hll portable: register relation is ONE map-side-combined shuffle — no distinct expansion of the key set") {
+    val df = Analytics.qHllPortable(tables)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the register leg must partially aggregate before its exchange
+    // (the whole point: bytes travel, never the key universe); the
+    // only Expand/two-phase distinct allowed is the diagnostic
+    // countDistinct leg
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"register max must combine map-side:\n${p.take(600)}")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val singles = df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec if s.outputPartitioning == SinglePartition => s
+    }
+    assert(singles.isEmpty, "no single-partition pass anywhere in the card")
+  }
+
+  test("graph search: every per-round join broadcasts — the corpus never shuffles for the frontier") {
+    val p = plan(Similarity.annGraphSearch(tables))
+    assert(p.contains("BroadcastHashJoin"), s"frontier/query joins must broadcast:\n${p.take(500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "beam rounds must never sort-merge or cross the corpus")
+  }
 }
