@@ -99,6 +99,7 @@ object SparkEntry {
     "q_nation_trade"       -> q(Analytics.qNationTrade),
     "q_returned_revenue"   -> q(Analytics.qReturnedRevenue),
     "q_late_lines"         -> q(Analytics.qLateLines),
+    "q_revenue_forecast"   -> q(Analytics.qRevenueForecast),
     "q_cust_order_dist"    -> q(Analytics.qCustOrderDist),
     "q_promo_share"        -> q(Analytics.qPromoShare),
     "q_disjunctive_pred"   -> q(Analytics.qDisjunctivePred),
@@ -1336,6 +1337,14 @@ object SparkEntry {
     "ev_burst_impact"         -> OracleSqlGen.evBurstImpact(2.0, 20),
     "q_cms_portable"          -> OracleSqlGen.qCmsPortable(4, 256, 20),
     "q_hll_portable"          -> OracleSqlGen.qHllPortable,
+    // Q6: the oracle states the same year/band/cap predicates; sum
+    // decimal-routed to match psum
+    "q_revenue_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue_gain,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
     "text_vocab_hll"          -> OracleSqlGen.textVocabHll,
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "q_product_profit"        -> OracleSqlGen.qProductProfit("bolt"),

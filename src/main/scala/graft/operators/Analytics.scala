@@ -1523,5 +1523,25 @@ object Analytics {
         .otherwise(eraw)).as("est_r"))
   }
 
+  /** B60: forecasting revenue change (TPC-H Q6 shape) — the classic
+    * "what would revenue gain if small-quantity discounts were
+    * eliminated": Σ extendedprice·discount over one year, a discount
+    * band, and a quantity cap. Deliberately the SIMPLEST query in the
+    * suite: its entire value is the PLAN — all three predicates must
+    * reach the parquet scan as PushedFilters (year bounds, discount
+    * band, quantity cap) so a 100 TB scan prunes row groups on the
+    * shipdate min/max stats and reads four columns; one map-side
+    * partial aggregate to a single row, no join, no window, no
+    * shuffle beyond the 1-row final. PlanSpec pins the pushdown.
+    */
+  def qRevenueForecast(t: Tables): DataFrame =
+    t.lineitem
+      .filter($("l_shipdate") >= lit("1995-01-01") &&
+        $("l_shipdate") < lit("1996-01-01") &&
+        $("l_discount") >= 0.03 && $("l_discount") <= 0.07 &&
+        $("l_quantity") < 24.0)
+      .agg(psum($("l_extendedprice") * $("l_discount")).as("revenue_gain"),
+        count(lit(1)).as("n_lines"))
+
   private def $(name: String): Column = col(name)
 }

@@ -518,12 +518,47 @@ class PlanSpec extends SparkSpec {
     // countDistinct leg
     assert(p.contains("partial_max") || p.contains("HashAggregate"),
       s"register max must combine map-side:\n${p.take(600)}")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-    val singles = df.queryExecution.executedPlan.collect {
+    def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec        => walk(s.plan)
+      case o                        => o +: o.children.flatMap(walk)
+    }
+    val singles = walk(df.queryExecution.executedPlan).collect {
       case s: ShuffleExchangeExec if s.outputPartitioning == SinglePartition => s
     }
     assert(singles.isEmpty, "no single-partition pass anywhere in the card")
+  }
+
+  test("revenue forecast (Q6): all three predicates reach the parquet scan; four-column ReadSchema; no shuffle join") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Analytics.qRevenueForecast(tables)
+    df.collect()
+    def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec        => walk(s.plan)
+      case o                        => o +: o.children.flatMap(walk)
+    }
+    val scans = walk(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "Q6 must read parquet")
+    // the untruncated pushed-filter list: year bounds, band, cap
+    val pf = scans.head.metadata("PushedFilters")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.03)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)").foreach { f =>
+      assert(pf.contains(f), s"$f must push to the scan: $pf")
+    }
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"scan must read exactly the four columns: ${scans.head.requiredSchema.fieldNames.mkString(",")}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "Q6 is scan+aggregate — no joins at all")
   }
 
   test("graph search: every per-round join broadcasts — the corpus never shuffles for the frontier") {
