@@ -3224,6 +3224,22 @@ object OracleSqlGen {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  /** A81: SRM — the same arm-size CTE, chi-square spelled identically. */
+  def evAbSrm: String = {
+    val chi2 = "CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+    s"""WITH cnt AS (SELECT event_type, user_id, COUNT(*) AS c,
+       |  ('0x'||substr(md5('ab:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT % 2 AS v
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT event_type,
+       |  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM cnt GROUP BY 1)
+       |SELECT event_type, n_a, n_b,
+       |  floor(($chi2)*1000000 + 0.5)/1000000 AS chi2_r,
+       |  ($chi2) > 3.841 AS srm_flag
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   /** A65: lag-k autocorrelation — exact HUGEINT moments over the
     * hourly rollup (mirroring the Spark side's decimal lattice), three
     * deterministic double ops at the end.

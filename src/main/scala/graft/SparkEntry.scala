@@ -252,6 +252,7 @@ object SparkEntry {
     "ev_cusum_drop"        -> q(EventOps.evCusumDrop(_, ordered = true)),
     "ev_abtest"            -> q(EventOps.evAbtest(_, ordered = true)),
     "ev_mde_power"         -> q(EventOps.evMdePower(_, ordered = true)),
+    "ev_ab_srm"            -> q(EventOps.evAbSrm(_, ordered = true)),
     "ev_anomaly_ensemble"  -> q(EventOps.evAnomalyEnsemble(_, ordered = true)),
     "ev_ttl_tuning"        -> q(EventOps.evTtlTuning(_, ordered = true)),
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
@@ -1328,6 +1329,7 @@ object SparkEntry {
     "ev_cusum_drop"           -> OracleSqlGen.evCusumDrop(48, 0.5, 5.0),
     "ev_abtest"               -> OracleSqlGen.evAbtest,
     "ev_mde_power"            -> OracleSqlGen.evMdePower,
+    "ev_ab_srm"               -> OracleSqlGen.evAbSrm,
     "ev_ttl_tuning"           -> OracleSqlGen.evTtlTuning(Seq(1L, 6L, 24L, 96L)),
     "ev_autocorr"             -> OracleSqlGen.evAutocorr(Seq(1, 24)),
     "ev_holt_forecast"        -> OracleSqlGen.evHoltForecast(0.5, 0.25),

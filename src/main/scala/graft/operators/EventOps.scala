@@ -1782,6 +1782,23 @@ object EventOps {
   private def abVarA = abVar(col("n_a"), col("s1a"), col("s2a"))
   private def abVarB = abVar(col("n_b"), col("s1b"), col("s2b"))
 
+  /** A81: sample-ratio-mismatch (SRM) check — the sanity gate an
+    * experimentation system evaluates BEFORE reading A78's t-test: if
+    * the arm sizes deviate from the designed 50/50 split beyond
+    * chance, the assignment or logging pipeline is broken and every
+    * downstream readout is invalid (the classic silent A/B failure).
+    * Chi-square with 1 dof against the even split:
+    * χ² = (n_a − n_b)²/(n_a + n_b), flagged at 3.841 (p < 0.05).
+    * Shares A78's single corpus-keyed moment aggregate; #types rows.
+    */
+  def evAbSrm(t: Tables, ordered: Boolean = false): DataFrame = {
+    val d = (col("n_a") - col("n_b")).cast("double")
+    val chi2 = d * d / (col("n_a") + col("n_b")).cast("double")
+    val out = abMoments(t).select(col("event_type"), col("n_a"), col("n_b"),
+      r6(chi2).as("chi2_r"), (chi2 > 3.841).as("srm_flag"))
+    maybeSort(out, ordered)(col("event_type"))
+  }
+
   /** A79: experiment POWER card — the design read taken BEFORE running
     * an A/B test on this traffic: per event type, the standard error
     * of the arm-mean difference from the measured variance and arm

@@ -1818,9 +1818,12 @@ object Similarity {
       // the (<= nQueries*beam)-row frontier BROADCASTS into the big
       // edge relation — at 100 TB edges are k*corpus rows and a
       // sort-merge here would shuffle them every round (PlanSpec pin)
+      // no distinct on the expansion: duplicate candidates score to
+      // bit-identical rows and the union's distinct collapses them —
+      // one shuffle per round instead of two
       val expd = broadcast(vis.select(col("q_id"), col("vec_id")))
         .join(edges, col("vec_id") === col("src"))
-        .select(col("q_id"), col("dst").as("vec_id")).distinct()
+        .select(col("q_id"), col("dst").as("vec_id"))
       val cand = vis.unionByName(scoreIds(expd)).distinct()
       vis = cand.withColumn("rn", row_number().over(beamW))
         .filter(col("rn") <= beam).drop("rn")
