@@ -3224,6 +3224,37 @@ object OracleSqlGen {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  /** A82: CUPED — the same midpoint split (exact integer micros), the
+    * same HUGEINT moments and left-associated variance/covariance
+    * expressions as the Spark side.
+    */
+  def evCuped: String = {
+    def sv(n: String, a: String, b: String) =
+      s"(CAST(n AS DOUBLE) * CAST($n AS DOUBLE) - CAST($a AS DOUBLE) * CAST($b AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))"
+    val vx = sv("sxx", "sx", "sx")
+    val vy = sv("syy", "sy", "sy")
+    val cxy = sv("sxy", "sx", "sy")
+    val ok = s"n > 1 AND ($vx) > 0.0 AND ($vy) > 0.0"
+    s"""WITH mid AS (SELECT min(epoch_us(ts)) +
+       |  (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS mid_us FROM events),
+       |xy AS (SELECT event_type, user_id,
+       |  SUM(CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END) AS x,
+       |  SUM(CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END) AS y
+       |  FROM events, mid GROUP BY 1, 2),
+       |m AS (SELECT event_type, COUNT(*) AS n,
+       |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+       |  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |  SUM(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM xy GROUP BY 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_users,
+       |  floor((CASE WHEN $ok THEN ($cxy) / ($vx) END)*1000000 + 0.5)/1000000 AS theta_r,
+       |  floor((CASE WHEN $ok THEN ($cxy) * ($cxy) / (($vx) * ($vy)) END)*1000000 + 0.5)/1000000 AS var_reduction_r,
+       |  floor(($vy)*1000000 + 0.5)/1000000 AS var_y_r,
+       |  floor((CASE WHEN $ok THEN ($vy) * (1.0 - ($cxy) * ($cxy) / (($vx) * ($vy))) END)*1000000 + 0.5)/1000000 AS var_yadj_r
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   /** A81: SRM — the same arm-size CTE, chi-square spelled identically. */
   def evAbSrm: String = {
     val chi2 = "CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"

@@ -1782,6 +1782,53 @@ object EventOps {
   private def abVarA = abVar(col("n_a"), col("s1a"), col("s2a"))
   private def abVarB = abVar(col("n_b"), col("s1b"), col("s2b"))
 
+  /** A82: CUPED variance reduction (Deng et al. 2013 — the standard
+    * experimentation trick that closes the A78/A79/A81 suite): adjust
+    * each user's experiment-period metric Y by their PRE-period
+    * covariate X, Y′ = Y − θ·X with θ = cov(X,Y)/var(X); at the
+    * optimal θ the residual variance is var(Y)·(1 − ρ²), so the card
+    * reports θ, the squared correlation (= the variance fraction CUPED
+    * removes ⇒ the A79 MDE shrinks by √(1−ρ²)), and both variances.
+    * Periods split at the corpus time midpoint (min + (max−min)/2 in
+    * exact integer micros, one broadcast 1-row aggregate — no literal
+    * calendar assumption).
+    *
+    * Scale shape: ONE corpus-keyed (type,user) aggregate with
+    * conditional pre/post counts, then a #types-row HUGEINT/decimal
+    * moment rollup; every double op a fixed left-associated expression
+    * mirrored in the oracle. Guarded for var(X) = 0 or var(Y) = 0.
+    */
+  def evCuped(t: Tables, ordered: Boolean = false): DataFrame = {
+    val mid = t.events.agg(expr(
+      "min(unix_micros(ts)) + (max(unix_micros(ts)) - min(unix_micros(ts))) DIV 2")
+      .as("mid_us"))
+    val xy = t.events
+      .crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(when(unix_micros(col("ts")) < col("mid_us"), 1L).otherwise(0L)).as("x"),
+        sum(when(unix_micros(col("ts")) >= col("mid_us"), 1L).otherwise(0L)).as("y"))
+    def d(c: Column) = c.cast("double")
+    val m = xy.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+      sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+    val vx = (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
+      (d(col("n")) * (d(col("n")) - 1.0))
+    val vy = (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))) /
+      (d(col("n")) * (d(col("n")) - 1.0))
+    val cxy = (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (d(col("n")) * (d(col("n")) - 1.0))
+    val ok = col("n") > 1 && vx > 0.0 && vy > 0.0
+    val theta = when(ok, cxy / vx)
+    val rho2 = when(ok, cxy * cxy / (vx * vy))
+    val out = m.select(col("event_type"), col("n").as("n_users"),
+      r6(theta).as("theta_r"), r6(rho2).as("var_reduction_r"),
+      r6(vy).as("var_y_r"), r6(when(ok, vy * (lit(1.0) - rho2))).as("var_yadj_r"))
+    maybeSort(out, ordered)(col("event_type"))
+  }
+
   /** A81: sample-ratio-mismatch (SRM) check — the sanity gate an
     * experimentation system evaluates BEFORE reading A78's t-test: if
     * the arm sizes deviate from the designed 50/50 split beyond
