@@ -3224,6 +3224,30 @@ object OracleSqlGen {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  /** A83: bot suspects — the same user-keyed lag window, HUGEINT
+    * moments, guarded cv, and TakeOrdered-k spelled as ORDER BY+LIMIT.
+    */
+  def evBotSuspects(k: Int, minEvents: Long, cvFlag: Double): String = {
+    val mean = "CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)"
+    val vr = "(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0))"
+    val cv = s"CASE WHEN n_gaps > 1 AND ($mean) > 0.0 AND ($vr) >= 0.0 THEN sqrt($vr) / ($mean) END"
+    s"""WITH g AS (SELECT user_id,
+       |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS g
+       |  FROM events),
+       |m AS (SELECT user_id, COUNT(*) AS n_gaps,
+       |  CAST(SUM(g) AS BIGINT) AS sg,
+       |  SUM(CAST(g AS HUGEINT) * g) AS sgg
+       |  FROM g WHERE g IS NOT NULL GROUP BY 1
+       |  HAVING COUNT(*) >= $minEvents),
+       |c AS (SELECT user_id, CAST(n_gaps + 1 AS BIGINT) AS n_events,
+       |  floor((($mean) / 1000000.0)*1000000 + 0.5)/1000000 AS mean_gap_s_r,
+       |  floor(($cv)*1000000 + 0.5)/1000000 AS cv_r,
+       |  ($cv) < $cvFlag AS bot_flag
+       |  FROM m)
+       |SELECT * FROM c WHERE cv_r IS NOT NULL
+       |ORDER BY cv_r ASC, user_id ASC LIMIT $k""".stripMargin
+  }
+
   /** A82: CUPED — the same midpoint split (exact integer micros), the
     * same HUGEINT moments and left-associated variance/covariance
     * expressions as the Spark side.

@@ -254,6 +254,7 @@ object SparkEntry {
     "ev_mde_power"         -> q(EventOps.evMdePower(_, ordered = true)),
     "ev_ab_srm"            -> q(EventOps.evAbSrm(_, ordered = true)),
     "ev_cuped"             -> q(EventOps.evCuped(_, ordered = true)),
+    "ev_bot_suspects"      -> q(EventOps.evBotSuspects(_)),
     "ev_anomaly_ensemble"  -> q(EventOps.evAnomalyEnsemble(_, ordered = true)),
     "ev_ttl_tuning"        -> q(EventOps.evTtlTuning(_, ordered = true)),
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
@@ -1332,6 +1333,7 @@ object SparkEntry {
     "ev_mde_power"            -> OracleSqlGen.evMdePower,
     "ev_ab_srm"               -> OracleSqlGen.evAbSrm,
     "ev_cuped"                -> OracleSqlGen.evCuped,
+    "ev_bot_suspects"         -> OracleSqlGen.evBotSuspects(20, 20L, 0.3),
     "ev_ttl_tuning"           -> OracleSqlGen.evTtlTuning(Seq(1L, 6L, 24L, 96L)),
     "ev_autocorr"             -> OracleSqlGen.evAutocorr(Seq(1, 24)),
     "ev_holt_forecast"        -> OracleSqlGen.evHoltForecast(0.5, 0.25),

@@ -1782,6 +1782,46 @@ object EventOps {
   private def abVarA = abVar(col("n_a"), col("s1a"), col("s2a"))
   private def abVarB = abVar(col("n_b"), col("s1b"), col("s2b"))
 
+  /** A83: bot-suspect card — the behavioral-data curation gate run
+    * BEFORE training on event streams: per user, the coefficient of
+    * variation of interarrival gaps. Human (Poisson-ish) arrivals
+    * have cv ≈ 1; schedulers, crons and replay bots are hyper-REGULAR
+    * (cv → 0). Reports the `k` most-regular users with ≥ `minEvents`
+    * events (so the card always has rows to eyeball — thresholding
+    * alone returns empty on clean corpora), flag at cv < `cvFlag`.
+    *
+    * Scale shape: one user-keyed lag window (corpus-cardinality
+    * partition key) into a user-keyed exact-moment aggregate (Σg in
+    * longs, Σg² decimal-routed — month-scale micro gaps square to
+    * ~10²⁵), then TakeOrdered k — no global sort materializes. The
+    * variance guard (≥ 0 before sqrt) is mirrored in the oracle so
+    * double rounding near zero can't diverge engines.
+    */
+  def evBotSuspects(t: Tables, k: Int = 20, minEvents: Long = 20,
+      cvFlag: Double = 0.3): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = t.events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("g",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("g").isNotNull)
+    val m = gaps.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sg"),
+        sum(col("g").cast(DecimalType(38, 0)) * col("g")).as("sgg"))
+      .filter(col("n_gaps") >= minEvents)
+    def d(c: Column) = c.cast("double")
+    val mean = d(col("sg")) / d(col("n_gaps"))
+    val vr = (d(col("n_gaps")) * d(col("sgg")) - d(col("sg")) * d(col("sg"))) /
+      (d(col("n_gaps")) * (d(col("n_gaps")) - 1.0))
+    val cv = when(col("n_gaps") > 1 && mean > 0.0 && vr >= 0.0, sqrt(vr) / mean)
+    m.select(col("user_id"), (col("n_gaps") + 1L).as("n_events"),
+        r6(mean / 1000000.0).as("mean_gap_s_r"), r6(cv).as("cv_r"),
+        (cv < cvFlag).as("bot_flag"))
+      .filter(col("cv_r").isNotNull)
+      .orderBy(col("cv_r").asc, col("user_id").asc)
+      .limit(k)
+  }
+
   /** A82: CUPED variance reduction (Deng et al. 2013 — the standard
     * experimentation trick that closes the A78/A79/A81 suite): adjust
     * each user's experiment-period metric Y by their PRE-period

@@ -378,6 +378,33 @@ class EventOpsSpec extends SparkSpec {
     assert(planted.getLong(1) > 30 && planted.getLong(2) > 30, "hash split degenerate")
   }
 
+  test("bot suspects: planted metronome ranks first with cv 0 and flag; human-noise users unflagged") {
+    import spark.implicits._
+    val base = 1704067200000000000L
+    // bot: exactly 60s gaps; humans: gaps jittered by a u-dependent
+    // pattern (cv well above the 0.3 flag)
+    val evs = (0 until 60).map(i =>
+      (9000L + i, base + i.toLong * 60000000000L, 777L, "click", 1.0, "{}")) ++
+      (1L to 30L).flatMap { u =>
+        var ts = base
+        (0 until 40).map { i =>
+          ts += (30L + ((u * 7 + i * 13) % 120)) * 1000000000L
+          (u * 1000L + i, ts, u, "click", 1.0, "{}")
+        }
+      }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bot").toString
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = EventOps.evBotSuspects(graft.sources.Tables(spark, tmp)).collect()
+    assert(rows.head.getLong(0) == 777L && rows.head.getDouble(3) == 0.0 &&
+      rows.head.getBoolean(4),
+      s"the metronome must rank first with cv 0, got ${rows.head}")
+    rows.tail.foreach { r =>
+      assert(!r.getBoolean(4),
+        s"jittered user ${r.getLong(0)} (cv ${r.getDouble(3)}) must not be flagged")
+    }
+  }
+
   test("cuped: planted persistent users yield high variance reduction; adjusted variance ties to rho2") {
     import spark.implicits._
     // user u's activity level 5 + u%10 persists across halves (+ noise
