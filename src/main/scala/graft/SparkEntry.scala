@@ -255,6 +255,7 @@ object SparkEntry {
     "ev_ab_srm"            -> q(EventOps.evAbSrm(_, ordered = true)),
     "ev_cuped"             -> q(EventOps.evCuped(_, ordered = true)),
     "ev_bot_suspects"      -> q(EventOps.evBotSuspects(_)),
+    "mm_sharpness_proxy"   -> q(Multimodal.mmSharpnessProxy(_, ordered = true)),
     "ev_anomaly_ensemble"  -> q(EventOps.evAnomalyEnsemble(_, ordered = true)),
     "ev_ttl_tuning"        -> q(EventOps.evTtlTuning(_, ordered = true)),
     "text_kl_source"       -> q(TextOps.textKlSource(_)),
@@ -1334,6 +1335,14 @@ object SparkEntry {
     "ev_ab_srm"               -> OracleSqlGen.evAbSrm,
     "ev_cuped"                -> OracleSqlGen.evCuped,
     "ev_bot_suspects"         -> OracleSqlGen.evBotSuspects(20, 20L, 0.3),
+    // F16: the identical per-position lambda over the same char
+    // stream (ASCII synthetic payloads; ord == ascii); integer sums
+    "mm_sharpness_proxy" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  floor((CAST(list_reduce([abs(ord(substr(text, i + 1, 1)) - ord(substr(text, i, 1)))
+        |      for i in range(1, length(text))], (x, y) -> x + y) AS DOUBLE) /
+        |    CAST(length(text) - 1 AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_abs_grad_r
+        |FROM documents WHERE length(text) > 1 ORDER BY doc_id""".stripMargin,
     "ev_ttl_tuning"           -> OracleSqlGen.evTtlTuning(Seq(1L, 6L, 24L, 96L)),
     "ev_autocorr"             -> OracleSqlGen.evAutocorr(Seq(1, 24)),
     "ev_holt_forecast"        -> OracleSqlGen.evHoltForecast(0.5, 0.25),

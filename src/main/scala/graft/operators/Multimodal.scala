@@ -506,4 +506,32 @@ object Multimodal {
           max(when(col("pn") === 1, col("detail"))).as("key_detail")),
       ordered)(col("doc_id"), col("scene_id"))
   }
+
+  /** F16: sharpness/quality PROXY without decoding — mean absolute
+    * adjacent-byte gradient per asset. Blurred or flat-field images
+    * (and silence-padded audio) have LOW byte-level gradient energy
+    * after most encodings, while corrupt/truncated payloads sit at
+    * extremes — this is the cheap first-pass drop-list signal a
+    * multimodal curation run computes before paying for any decode
+    * (the byte-level cousin of F12's frame-distance jumps; real
+    * deployments re-rank the tail with a decoded Laplacian, which
+    * stays behind the F2 stub boundary).
+    *
+    * Scale shape: ONE narrow per-row pass (a sequential fold over the
+    * payload — no explode, no shuffle; output is 3 columns/asset).
+    * Exact integer gradient sums; the mean is one double division r6'd.
+    */
+  def mmSharpnessProxy(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
+    t.documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_bytes", length(col("text")).cast("long"))
+      .withColumn("grad_sum", expr(
+        """aggregate(sequence(1, length(text) - 1), 0L,
+          |  (acc, i) -> acc + abs(CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) -
+          |    CAST(ascii(substr(text, i, 1)) AS BIGINT)))""".stripMargin))
+      .filter(col("n_bytes") > 1)
+      .select(col("doc_id"), col("n_bytes"),
+        r6(col("grad_sum").cast("double") /
+          (col("n_bytes") - 1L).cast("double")).as("mean_abs_grad_r")),
+    ordered)(col("doc_id"))
 }
