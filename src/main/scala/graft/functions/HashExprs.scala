@@ -492,6 +492,49 @@ object MinHashSig {
   * has no codecs) — a real deployment hashes decoded bytes with the
   * identical bit rule.
   */
+/** Byte-gradient ENERGY Σ|b[i+1]−b[i]| over the payload (unsigned
+  * bytes) — F16's sharpness proxy in ONE tight pass. The composed
+  * `sequence()+aggregate()` formulation materializes a position array
+  * per row (measured 6.5 s over 5k sf0.1 assets); this is the DHash60
+  * discipline instead: no allocation, codegen'd via a static call.
+  * Oracle formulation: list_reduce([abs(ord(..i+1..)-ord(..i..))]).
+  */
+case class GradEnergy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_grad_energy requires a binary argument, got ${other.sql}")
+    }
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    GradEnergy.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GradEnergy.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GradEnergy {
+  // `compute`, not `eval` — see the GramHashes forwarder-suppression note
+  def compute(bytes: Array[Byte]): Long = {
+    var s = 0L
+    var i = 1
+    while (i < bytes.length) {
+      s += math.abs((bytes(i) & 0xff) - (bytes(i - 1) & 0xff))
+      i += 1
+    }
+    s
+  }
+}
+
 case class DHash60(child: Expression, blockBytes: Int) extends UnaryExpression {
 
   override def dataType: DataType = LongType

@@ -284,7 +284,9 @@ object VectorExprs {
     ("graft_dhash60_b1", classOf[DHash60].getName,
       exprs => DHash60(exprs.head, 1)),
     ("graft_minhash_sig", classOf[MinHashSig].getName,
-      exprs => MinHashSig(exprs.head)))
+      exprs => MinHashSig(exprs.head)),
+    ("graft_grad_energy", classOf[GradEnergy].getName,
+      exprs => GradEnergy(exprs.head)))
 
   /** Register the native expressions in the session's function registry
     * (the public extension point — same mechanism

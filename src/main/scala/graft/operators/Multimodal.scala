@@ -525,10 +525,8 @@ object Multimodal {
     t.documents
       .select(col("doc_id"), col("text"))
       .withColumn("n_bytes", length(col("text")).cast("long"))
-      .withColumn("grad_sum", expr(
-        """aggregate(sequence(1, length(text) - 1), 0L,
-          |  (acc, i) -> acc + abs(CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) -
-          |    CAST(ascii(substr(text, i, 1)) AS BIGINT)))""".stripMargin))
+      .withColumn("grad_sum",
+        call_function("graft_grad_energy", col("text").cast("binary")))
       .filter(col("n_bytes") > 1)
       .select(col("doc_id"), col("n_bytes"),
         r6(col("grad_sum").cast("double") /

@@ -49,6 +49,10 @@ class CodegenSpec extends SparkSpec {
         call_function("graft_gram3_hashes", col("text")),
         call_function("graft_gram5_hashes", col("text")))).as("ic_ref"),
       call_function("graft_dhash60", col("text").cast("binary")).as("dh"),
+      call_function("graft_grad_energy", col("text").cast("binary")).as("ge"),
+      expr("""aggregate(sequence(1, length(text) - 1), 0L,
+        |  (acc, i) -> acc + abs(CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) -
+        |    CAST(ascii(substr(text, i, 1)) AS BIGINT)))""".stripMargin).as("ge_ref"),
       call_function("graft_minhash_sig",
         call_function("graft_gram3_hashes", col("text"))).as("mhs")
     ).collect()(0)
@@ -68,6 +72,10 @@ class CodegenSpec extends SparkSpec {
       "IntersectCount must equal size(array_intersect)")
     assert(row.getAs[Long]("dh") == graft.functions.DHash60.compute(
       row.getAs[String]("text").getBytes("UTF-8"), 8))
+    assert(row.getAs[Long]("ge") == graft.functions.GradEnergy.compute(
+      row.getAs[String]("text").getBytes("UTF-8")))
+    assert(row.getAs[Long]("ge") == row.getAs[Long]("ge_ref"),
+      "GradEnergy must equal the composed sequence/aggregate fold")
     assert(row.getAs[scala.collection.Seq[Long]]("mhs") ==
       graft.functions.MinHashSig.compute(
         GramHashes.compute(text, 3, distinct = true)).toLongArray.toSeq)
