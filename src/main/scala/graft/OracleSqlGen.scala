@@ -3224,6 +3224,30 @@ object OracleSqlGen {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  /** A84: conversion-window sweep — the same FOLLOWING-frame min
+    * window for time-to-next-purchase, rungs as conditional sums
+    * unioned to rows.
+    */
+  def evConversionWindowSweep(windowsH: Seq[Int]): String = {
+    val convs = windowsH.map(h =>
+      s"CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= ${h.toLong * 3600000000L} THEN 1 ELSE 0 END) AS BIGINT) AS c$h").mkString(",\n  ")
+    val rows = windowsH.map(h =>
+      s"SELECT CAST($h AS BIGINT) AS window_hours, n_clicks, c$h AS n_converted FROM a").mkString("\nUNION ALL ")
+    s"""WITH g AS (SELECT user_id, ts, event_id, event_type,
+       |  MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pts
+       |  FROM events),
+       |gg AS (SELECT pts - epoch_us(ts) AS gap_us FROM g WHERE event_type = 'click'),
+       |a AS (SELECT COUNT(*) AS n_clicks,
+       |  $convs
+       |  FROM gg)
+       |SELECT window_hours, CAST(n_clicks AS BIGINT) AS n_clicks, n_converted,
+       |  floor((CAST(n_converted AS DOUBLE) / CAST(n_clicks AS DOUBLE))*1000000 + 0.5)/1000000 AS rate_r
+       |FROM ($rows)
+       |ORDER BY window_hours""".stripMargin
+  }
+
   /** A83: bot suspects — the same user-keyed lag window, HUGEINT
     * moments, guarded cv, and TakeOrdered-k spelled as ORDER BY+LIMIT.
     */

@@ -255,6 +255,7 @@ object SparkEntry {
     "ev_ab_srm"            -> q(EventOps.evAbSrm(_, ordered = true)),
     "ev_cuped"             -> q(EventOps.evCuped(_, ordered = true)),
     "ev_bot_suspects"      -> q(EventOps.evBotSuspects(_)),
+    "ev_conversion_window_sweep" -> q(EventOps.evConversionWindowSweep(_, ordered = true)),
     "mm_sharpness_proxy"   -> q(Multimodal.mmSharpnessProxy(_, ordered = true)),
     "ev_anomaly_ensemble"  -> q(EventOps.evAnomalyEnsemble(_, ordered = true)),
     "ev_ttl_tuning"        -> q(EventOps.evTtlTuning(_, ordered = true)),
@@ -1335,6 +1336,7 @@ object SparkEntry {
     "ev_ab_srm"               -> OracleSqlGen.evAbSrm,
     "ev_cuped"                -> OracleSqlGen.evCuped,
     "ev_bot_suspects"         -> OracleSqlGen.evBotSuspects(20, 20L, 0.3),
+    "ev_conversion_window_sweep" -> OracleSqlGen.evConversionWindowSweep(Seq(1, 6, 24)),
     // F16: the identical per-position lambda over the same char
     // stream (ASCII synthetic payloads; ord == ascii); integer sums
     "mm_sharpness_proxy" ->

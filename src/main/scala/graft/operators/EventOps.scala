@@ -1782,6 +1782,45 @@ object EventOps {
   private def abVarA = abVar(col("n_a"), col("s1a"), col("s2a"))
   private def abVarB = abVar(col("n_b"), col("s1b"), col("s2b"))
 
+  /** A84: conversion-WINDOW sweep — the attribution-window knob (A48
+    * hardcodes 1 h; this is the C19/D37/A77 sensitivity-ladder pattern
+    * pointed at it): per candidate window, how many clicks convert to
+    * a purchase within it. ONE corpus-keyed window pass computes each
+    * click's time-to-next-purchase (min purchase ts over the
+    * user-ordered FOLLOWING frame — no self-join, no per-window
+    * rescans), then every ladder rung is a conditional sum over the
+    * same gap column stacked to rows; monotone in the window by
+    * construction (a spec law). The card an analyst reads before
+    * fixing the attribution horizon: where the curve knees is where
+    * credit stops being causal.
+    */
+  def evConversionWindowSweep(t: Tables, windowsH: Seq[Int] = Seq(1, 6, 24),
+      ordered: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val gaps = t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("pts",
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .over(w))
+      .filter(col("event_type") === "click")
+      .select((col("pts") - unix_micros(col("ts"))).as("gap_us"))
+    def conv(h: Int) =
+      sum(when(col("gap_us").isNotNull &&
+        col("gap_us") <= h.toLong * 3600000000L, 1L).otherwise(0L))
+    val aggd = gaps.agg(count(lit(1)).as("n_clicks"),
+      windowsH.map(h => conv(h).as(s"c$h")): _*)
+    val stacked = aggd.select(col("n_clicks"), expr(
+      s"stack(${windowsH.size}, " +
+        windowsH.map(h => s"${h}L, c$h").mkString(", ") +
+        ") AS (window_hours, n_converted)"))
+      .select(col("window_hours"), col("n_clicks"), col("n_converted"),
+        r6(col("n_converted").cast("double") / col("n_clicks").cast("double"))
+          .as("rate_r"))
+    maybeSort(stacked, ordered)(col("window_hours"))
+  }
+
   /** A83: bot-suspect card — the behavioral-data curation gate run
     * BEFORE training on event streams: per user, the coefficient of
     * variation of interarrival gaps. Human (Poisson-ish) arrivals

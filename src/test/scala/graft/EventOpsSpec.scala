@@ -378,6 +378,30 @@ class EventOpsSpec extends SparkSpec {
     assert(planted.getLong(1) > 30 && planted.getLong(2) > 30, "hash split degenerate")
   }
 
+  test("conversion window sweep: monotone in window; planted 2h converter lands in the 6h and 24h rungs only") {
+    import spark.implicits._
+    val rows = EventOps.evConversionWindowSweep(tables, ordered = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 6L, 24L))
+    assert(rows.map(_._2).distinct.length == 1, "every rung shares one click total")
+    rows.sliding(2).foreach { w =>
+      assert(w(1)._3 >= w(0)._3, s"conversions must be monotone in window: ${w(0)} -> ${w(1)}")
+    }
+    val base = 1704067200000000000L
+    val evs = Seq(
+      (1L, base, 7L, "click", 1.0, "{}"),
+      (2L, base + 2L * 3600000000000L, 7L, "purchase", 1.0, "{}"),
+      (3L, base, 8L, "click", 1.0, "{}")) // never converts
+    val tmp = java.nio.file.Files.createTempDirectory("graft-convw").toString
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val planted = EventOps.evConversionWindowSweep(
+      graft.sources.Tables(spark, tmp), ordered = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(planted.toSeq == Seq((1L, 2L, 0L), (6L, 2L, 1L), (24L, 2L, 1L)),
+      s"2h gap converts at 6h/24h only: ${planted.toSeq}")
+  }
+
   test("bot suspects: planted metronome ranks first with cv 0 and flag; human-noise users unflagged") {
     import spark.implicits._
     val base = 1704067200000000000L
