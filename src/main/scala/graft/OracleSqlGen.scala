@@ -2006,6 +2006,36 @@ object OracleSqlGen {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** D44: nlist tuning — per size a suffixed cent/d/asg block (the
+    * cellCte construction), cell rollup, one-level decimal error sum
+    * (exact ⇒ bit-identical to the Spark side's two-level sum).
+    */
+  def annNlistTuning(sizes: Seq[Int]): String = {
+    val ckey = "('0x'||substr(md5('centroid:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT"
+    val blocks = sizes.map { nc =>
+      s"""cent_$nc AS (SELECT v AS cv, n2 AS c2,
+         |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
+         |  FROM n ORDER BY $ckey, vec_id LIMIT $nc),
+         |d_$nc AS (SELECT n.vec_id, cent_$nc.cell,
+         |  floor((n.n2 - 2*list_reduce([n.v[i]*cent_$nc.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + cent_$nc.c2)*1000000 + 0.5)/1000000 AS dist2_r
+         |  FROM n, cent_$nc),
+         |asg_$nc AS (SELECT vec_id, cell, dist2_r FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM d_$nc)
+         |  WHERE rn = 1),
+         |cc_$nc AS (SELECT cell, COUNT(*) AS cn FROM asg_$nc GROUP BY 1),
+         |row_$nc AS (SELECT CAST($nc AS BIGINT) AS n_cells,
+         |  floor(((SELECT CAST(SUM(CAST(dist2_r AS DECIMAL(18,6))) AS DOUBLE) FROM asg_$nc) /
+         |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM asg_$nc))*1000000 + 0.5)/1000000 AS mean_dist2_r,
+         |  floor(((SELECT CAST(MAX(cn) AS DOUBLE) FROM cc_$nc) /
+         |    (SELECT CAST(SUM(cn) AS DOUBLE) FROM cc_$nc))*1000000 + 0.5)/1000000 AS max_share_r,
+         |  CAST($nc - (SELECT COUNT(*) FROM cc_$nc) AS BIGINT) AS n_empty_cells)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $normCte,
+       |$blocks
+       |${sizes.map(nc => s"SELECT * FROM row_$nc").mkString("\nUNION ALL ")}
+       |ORDER BY n_cells""".stripMargin
+  }
+
   /** D43: beam tuning — the two-table edge union (D2b's CASE-bucket
     * postings, capped corpus side, per-(src,tbl) rank), one exact
     * ranked relation shared by all beams, and per beam the D41 search

@@ -163,6 +163,7 @@ object SparkEntry {
     "ann_graph_search"     -> q(Similarity.annGraphSearch(_, ordered = true)),
     "ann_graph_reach"      -> q(Similarity.annGraphReach(_, ordered = true)),
     "ann_beam_tuning"      -> q(Similarity.annBeamTuning(_, ordered = true)),
+    "ann_nlist_tuning"     -> q(Similarity.annNlistTuning(_, ordered = true)),
     "ann_label_knn"        -> q(Similarity.annLabelKnn(_, ordered = true)),
     "emb_centroid_dist"    -> q(Similarity.embCentroidDist(_, ordered = true)),
     "ann_recall_eval"      -> q(Similarity.annRecallEval(_, ordered = true)),
@@ -1781,6 +1782,7 @@ object SparkEntry {
     "ann_graph_search"      -> OracleSqlGen.annGraphSearch(8, 8, 3, 5, 3, 128),
     "ann_graph_reach"       -> OracleSqlGen.annGraphReach(6, 3, 128),
     "ann_beam_tuning"       -> OracleSqlGen.annBeamTuning(Seq(2, 8, 32), 4, 5, 8, 3, 128),
+    "ann_nlist_tuning"      -> OracleSqlGen.annNlistTuning(Seq(4, 8, 16)),
     "ann_label_knn"         -> OracleSqlGen.annLabelKnn(5, 128),
     "emb_centroid_dist"     -> OracleSqlGen.embCentroidDist,
     "emb_outliers"          -> OracleSqlGen.embOutliers,

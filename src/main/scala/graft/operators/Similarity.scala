@@ -1781,6 +1781,45 @@ object Similarity {
     maybeSort(reached.unionByName(unreached), ordered)(col("hop"))
   }
 
+  /** D44: IVF nlist TUNING card — D37 sweeps nprobe (what a QUERY
+    * pays); this sweeps the OTHER IVF knob, the cell count the INDEX
+    * is built with: per candidate nlist, mean quantization error
+    * (mean dist² to the assigned center — what more cells buy),
+    * max cell share (the straggler/skew bound a partition-per-cell
+    * layout inherits — what more cells cost when they go unused), and
+    * empty-cell count. Read together with D28 (imbalance at the
+    * chosen size) and D40 (drift after deployment) before a G12/G15
+    * index build.
+    *
+    * Scale shape: each sweep point is D7's SHUFFLE-FREE literal-center
+    * assignment (one narrow codegen'd pass; centers are a
+    * driver-bounded artifact) into a #cells-row rollup — no joins, no
+    * corpus shuffle anywhere; sweep cost is linear in #sizes with no
+    * cross-size state. Decimal-routed error sums (two-level decimal
+    * sums are exact, so the oracle's one-level sum is bit-identical).
+    */
+  def annNlistTuning(t: Tables, sizes: Seq[Int] = Seq(4, 8, 16),
+      ordered: Boolean = false): DataFrame = {
+    val e = withNorm(t.embeddings).select(col("vec_id"), col("v"), col("n2"))
+    val per = sizes.map { nc =>
+      val asg = withCell(e, hashCenters(t, nc))
+      val cells = asg.groupBy(col("cell")).agg(count(lit(1)).as("n"),
+        sum(col("dist2_r").cast(DecimalType(18, 6))).as("sd"))
+      cells.agg(
+          sum(col("n")).as("total"),
+          max(col("n")).as("max_n"),
+          count(lit(1)).as("n_used"),
+          sum(col("sd")).as("sdist"))
+        .select(lit(nc.toLong).as("n_cells"),
+          r6(col("sdist").cast("double") / col("total").cast("double"))
+            .as("mean_dist2_r"),
+          r6(col("max_n").cast("double") / col("total").cast("double"))
+            .as("max_share_r"),
+          (lit(nc.toLong) - col("n_used")).as("n_empty_cells"))
+    }
+    maybeSort(per.reduce(_ unionByName _), ordered)(col("n_cells"))
+  }
+
   def annGraphSearch(t: Tables, nQueries: Int = 8, beam: Int = 8,
       rounds: Int = 3, k: Int = 5, kGraph: Int = 3, bits: Int = 8,
       bucketCap: Int = 128, ordered: Boolean = false): DataFrame = {

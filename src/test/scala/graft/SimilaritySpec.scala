@@ -539,6 +539,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nlist tuning: quantization error non-increasing in cells (nested hash-prefix centers), shares sane") {
+    val rows = Similarity.annNlistTuning(tables, ordered = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 16L))
+    rows.sliding(2).foreach { w =>
+      // hashCenters(n) is a PREFIX of hashCenters(2n) (same md5 order),
+      // so the min-over-centers distance can only shrink — a theorem,
+      // not a data property
+      assert(w(1)._2 <= w(0)._2 + 1e-9,
+        s"error must be non-increasing in cells: ${w(0)} -> ${w(1)}")
+    }
+    rows.foreach { case (nc, _, share, empty) =>
+      assert(share >= 1.0 / nc - 1e-9 && share <= 1.0, s"share $share out of range at $nc")
+      assert(empty >= 0 && empty < nc, s"empty-cell count $empty out of range at $nc")
+    }
+  }
+
   test("beam tuning: search never beats exact, best-found improves with beam, widest beam finds something") {
     val rows = Similarity.annBeamTuning(tables, ordered = true).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
