@@ -2329,6 +2329,24 @@ object OracleSqlGen {
   private val qualityScoreExpr: String =
     "floor((least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio))*1000000 + 0.5)/1000000"
 
+  /** E60: quality × dup-multiplicity cross card — E2's CTE chain +
+    * C1's md5 multiplicity window, bucketed.
+    */
+  val docQualityVsDup: String =
+    s"""WITH $qualityCoreCtes,
+       |q AS (SELECT doc_id, n_chars, $qualityScoreExpr AS quality_score FROM r),
+       |dn AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(text)) AS dup_n
+       |  FROM documents),
+       |b AS (SELECT q.doc_id, q.n_chars, q.quality_score,
+       |  CASE WHEN dn.dup_n = 1 THEN '1_unique'
+       |       WHEN dn.dup_n <= 3 THEN '2_small'
+       |       ELSE '3_heavy' END AS dup_bucket
+       |  FROM q JOIN dn ON dn.doc_id = q.doc_id)
+       |SELECT dup_bucket, COUNT(*) AS n_docs,
+       |  floor((CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_quality_r,
+       |  floor((CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_chars_r
+       |FROM b GROUP BY 1 ORDER BY dup_bucket""".stripMargin
+
   /** E38: per-source quality rollup off the shared E2 CTE chain. */
   def corpusQualityStats(minScore: Double): String =
     s"""WITH $qualityCoreCtes,

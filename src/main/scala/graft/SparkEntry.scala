@@ -297,6 +297,7 @@ object SparkEntry {
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_hll_portable"       -> q(Analytics.qHllPortable),
     "text_vocab_hll"       -> q(TextOps.textVocabHll(_, ordered = true)),
+    "doc_quality_vs_dup"   -> q(TextOps.docQualityVsDup(_, ordered = true)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
     "q_product_profit"     -> q(Analytics.qProductProfit(_)),
     "doc_ppl_reference"    -> q(TextOps.docPplReference(_)),
@@ -1364,6 +1365,7 @@ object SparkEntry {
         |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
     "text_vocab_hll"          -> OracleSqlGen.textVocabHll,
+    "doc_quality_vs_dup"      -> OracleSqlGen.docQualityVsDup,
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "q_product_profit"        -> OracleSqlGen.qProductProfit("bolt"),
     "doc_ppl_reference"       -> OracleSqlGen.docPplReference("src0", 40.0),

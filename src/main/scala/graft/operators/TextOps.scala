@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Hashing._
 import graft.sources.Tables
@@ -2022,6 +2023,35 @@ object TextOps {
     * (source, bucket) MAX — ≤ 256·#sources rows shuffled; the exact
     * leg is the only token-universe shuffle and is the one you delete.
     */
+  /** E60: quality × duplication CROSS card — mean quality score by
+    * exact-dup multiplicity bucket (unique / 2–3 copies / 4+). The
+    * classic curation finding this card exists to surface: duplicate
+    * mass usually skews toward boilerplate and low-quality templates,
+    * so dedup and quality filtering REINFORCE each other — if the 4+
+    * bucket's mean quality matches unique's, aggressive dedup is
+    * deleting good data, and if it craters, C15's keep-best policy is
+    * doing double duty as a quality filter. Joins C1's multiplicity
+    * (one md5-keyed window — corpus-cardinality key) onto E2's
+    * quality relation; output is 3 bucket rows.
+    */
+  def docQualityVsDup(t: Tables, ordered: Boolean = false): DataFrame = {
+    val q = withQuality(t.documents.select(col("doc_id"), col("text")))
+      .withColumn("dup_n",
+        count(lit(1)).over(Window.partitionBy(md5(col("text")))))
+      .withColumn("dup_bucket",
+        when(col("dup_n") === 1, "1_unique")
+          .when(col("dup_n") <= 3, "2_small")
+          .otherwise("3_heavy"))
+    maybeSort(
+      q.groupBy(col("dup_bucket")).agg(
+        count(lit(1)).as("n_docs"),
+        r6(sum(col("quality_score").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_quality_r"),
+        r6(sum(col("n_chars").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_chars_r")),
+      ordered)(col("dup_bucket"))
+  }
+
   def textVocabHll(t: Tables, ordered: Boolean = false): DataFrame = {
     val toks = t.documents.select(col("source"),
       explode(tokens(col("text"))).as("tok"))
