@@ -2006,6 +2006,31 @@ object OracleSqlGen {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** B61: revenue concentration — per-customer decimal-routed revenue,
+    * r4'd quantile_cont cutoffs (the A45 percentile convention), one
+    * conditional rollup per rung unioned to rows.
+    */
+  def qRevenueConcentration(topPcts: Seq[Int]): String = {
+    val cuts = topPcts.map(p =>
+      s"floor(quantile_cont(rev, ${1.0 - p / 100.0})*10000 + 0.5)/10000 AS cut$p").mkString(",\n  ")
+    val rungs = topPcts.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS top_pct, c.cut$p AS cutoff_r,
+         |  COUNT(*) AS n_customers,
+         |  floor((CAST(COUNT(*) AS DOUBLE) / CAST(c.n_total AS DOUBLE))*1000000 + 0.5)/1000000 AS cust_frac_r,
+         |  floor((CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) / c.total)*1000000 + 0.5)/1000000 AS share_r
+         |FROM cr, c WHERE rev >= c.cut$p GROUP BY c.cut$p, c.n_total, c.total""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH cr AS (SELECT o_custkey,
+       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+       |c AS (SELECT COUNT(*) AS n_total,
+       |  CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       |  $cuts
+       |  FROM cr)
+       |$rungs
+       |ORDER BY top_pct""".stripMargin
+  }
+
   /** D44: nlist tuning — per size a suffixed cent/d/asg block (the
     * cellCte construction), cell rollup, one-level decimal error sum
     * (exact ⇒ bit-identical to the Spark side's two-level sum).

@@ -100,6 +100,7 @@ object SparkEntry {
     "q_returned_revenue"   -> q(Analytics.qReturnedRevenue),
     "q_late_lines"         -> q(Analytics.qLateLines),
     "q_revenue_forecast"   -> q(Analytics.qRevenueForecast),
+    "q_revenue_concentration" -> q(Analytics.qRevenueConcentration(_)),
     "q_cust_order_dist"    -> q(Analytics.qCustOrderDist),
     "q_promo_share"        -> q(Analytics.qPromoShare),
     "q_disjunctive_pred"   -> q(Analytics.qDisjunctivePred),
@@ -1785,6 +1786,7 @@ object SparkEntry {
     "ann_graph_reach"       -> OracleSqlGen.annGraphReach(6, 3, 128),
     "ann_beam_tuning"       -> OracleSqlGen.annBeamTuning(Seq(2, 8, 32), 4, 5, 8, 3, 128),
     "ann_nlist_tuning"      -> OracleSqlGen.annNlistTuning(Seq(4, 8, 16)),
+    "q_revenue_concentration" -> OracleSqlGen.qRevenueConcentration(Seq(1, 10, 20)),
     "ann_label_knn"         -> OracleSqlGen.annLabelKnn(5, 128),
     "emb_centroid_dist"     -> OracleSqlGen.embCentroidDist,
     "emb_outliers"          -> OracleSqlGen.embOutliers,

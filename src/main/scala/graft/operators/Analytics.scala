@@ -1543,5 +1543,46 @@ object Analytics {
       .agg(psum($("l_extendedprice") * $("l_discount")).as("revenue_gain"),
         count(lit(1)).as("n_lines"))
 
+  /** B61: revenue CONCENTRATION (Pareto) card — the share of total
+    * revenue captured by the top 1 / 10 / 20 % of customers. The
+    * scale-honest formulation: NO corpus-wide rank/ntile window (the
+    * single-partition global sort PlanSpec bans) — each rung's cutoff
+    * is an exact `percentile` AGGREGATE over the per-customer revenue
+    * relation, broadcast as a one-row relation into a conditional
+    * rollup; adding a rung adds a conditional sum, never a pass. The
+    * per-customer relation is ONE map-side-combined aggregate of the
+    * fact. Percentiles r4'd (the A45 convention: exact interpolated
+    * percentile ≡ DuckDB quantile_cont); shares decimal-routed.
+    */
+  def qRevenueConcentration(t: Tables,
+      topPcts: Seq[Int] = Seq(1, 10, 20)): DataFrame = {
+    val rev = t.lineitem
+      .join(broadcast(t.orders.select($("o_orderkey"), $("o_custkey"))),
+        $("l_orderkey") === $("o_orderkey"))
+      .groupBy($("o_custkey"))
+      .agg(psum($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("rev"))
+    val cutAggs = Seq(
+      count(lit(1)).as("n_total"),
+      sum($("rev").cast(DecimalType(18, 6))).as("total")) ++
+      topPcts.map(p =>
+        r4(expr(s"percentile(rev, ${1.0 - p / 100.0})")).as(s"cut$p"))
+    val cutoffs = rev.agg(cutAggs.head, cutAggs.tail: _*)
+    val rungs = topPcts.map { p =>
+      rev.crossJoin(broadcast(cutoffs))
+        .filter($("rev") >= $(s"cut$p"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum($("rev").cast(DecimalType(18, 6))).as("top_rev"),
+          first($(s"cut$p")).as("cutoff_r"),
+          first($("total")).as("total"),
+          first($("n_total")).as("n_total"))
+        .select(lit(p.toLong).as("top_pct"), $("cutoff_r"), $("n_customers"),
+          r6($("n_customers").cast("double") / $("n_total").cast("double"))
+            .as("cust_frac_r"),
+          r6($("top_rev").cast("double") / $("total").cast("double"))
+            .as("share_r"))
+    }
+    rungs.reduce(_ unionByName _).orderBy($("top_pct"))
+  }
+
   private def $(name: String): Column = col(name)
 }
