@@ -299,6 +299,7 @@ object SparkEntry {
     "q_hll_portable"       -> q(Analytics.qHllPortable),
     "text_vocab_hll"       -> q(TextOps.textVocabHll(_, ordered = true)),
     "doc_quality_vs_dup"   -> q(TextOps.docQualityVsDup(_, ordered = true)),
+    "doc_snapshot_churn"   -> q(Dedup.docSnapshotChurn(_, ordered = true)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
     "q_product_profit"     -> q(Analytics.qProductProfit(_)),
     "doc_ppl_reference"    -> q(TextOps.docPplReference(_)),
@@ -1367,6 +1368,18 @@ object SparkEntry {
         |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
     "text_vocab_hll"          -> OracleSqlGen.textVocabHll,
     "doc_quality_vs_dup"      -> OracleSqlGen.docQualityVsDup,
+    // C31: same (source,hash) presence-maxima aggregate + rollup
+    "doc_snapshot_churn" ->
+      """WITH per AS (SELECT source, md5(text) AS h,
+        |  MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+        |  MAX(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
+        |  CAST(SUM(a*b) AS BIGINT) AS n_common,
+        |  floor((CAST(SUM(b) - SUM(a*b) AS DOUBLE) / CAST(SUM(b) AS DOUBLE))*1000000 + 0.5)/1000000 AS added_frac_r,
+        |  floor((CAST(SUM(a) - SUM(a*b) AS DOUBLE) / CAST(SUM(a) AS DOUBLE))*1000000 + 0.5)/1000000 AS removed_frac_r
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "q_product_profit"        -> OracleSqlGen.qProductProfit("bolt"),
     "doc_ppl_reference"       -> OracleSqlGen.docPplReference("src0", 40.0),

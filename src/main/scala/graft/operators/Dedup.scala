@@ -1549,4 +1549,37 @@ object Dedup {
           greatest(col("len_a"), col("len_b")).cast("double")))
     maybeSort(out, ordered)(col("doc_a"), col("doc_b"))
   }
+
+  /** C31: snapshot CHURN card — crawl-to-crawl content drift per
+    * source: distinct content hashes present only in snapshot A
+    * (removed), only in B (added), and in both, with the churn
+    * fractions an ingestion pipeline alerts on (a source whose
+    * added_frac jumps re-crawled or rotated templates; one whose
+    * removed_frac jumps is losing coverage — both change what C8's
+    * incremental dedup and E52's funnel will see). Snapshots stand in
+    * as the doc_id-parity split (the D40 epoch convention; production
+    * keys on crawl id).
+    *
+    * Scale shape: ONE (source, hash)-keyed aggregate with conditional
+    * presence maxima (map-side combined — the hash set never ships
+    * per-row), then a #sources rollup; exact integer counts, two r6'd
+    * divisions.
+    */
+  def docSnapshotChurn(t: Tables, ordered: Boolean = false): DataFrame = {
+    val per = t.documents
+      .select(col("source"), md5(col("text")).as("h"),
+        (col("doc_id") % 2).as("ep"))
+      .groupBy(col("source"), col("h"))
+      .agg(max(when(col("ep") === 0, 1L).otherwise(0L)).as("a"),
+        max(when(col("ep") === 1, 1L).otherwise(0L)).as("b"))
+    val out = per.groupBy(col("source")).agg(
+        sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        sum(col("a") * col("b")).as("n_common"))
+      .select(col("source"), col("n_a"), col("n_b"), col("n_common"),
+        r6((col("n_b") - col("n_common")).cast("double") /
+          col("n_b").cast("double")).as("added_frac_r"),
+        r6((col("n_a") - col("n_common")).cast("double") /
+          col("n_a").cast("double")).as("removed_frac_r"))
+    maybeSort(out, ordered)(col("source"))
+  }
 }
