@@ -1960,13 +1960,57 @@ object OracleSqlGen {
        |ORDER BY src, rank""".stripMargin
   }
 
-  /** D41: graph-ANN beam search — D14's edge CTEs, then `rounds`
-    * expand/score/truncate rounds unrolled as chained CTEs (the D38
-    * discipline); UNION dedups on identical r6'd scores.
+  /** The D14 single-table edge CTEs (nb/corpus/sce/edges) — kept for
+    * the D42b fragmentation probe.
+    */
+  private def singleEdgeCtes(kGraph: Int, bucketCap: Int): String = {
+    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+    s"""nb AS (SELECT vec_id, v, n2, ${bucketExprAt(0)} AS bucket FROM n),
+       |corpus AS (SELECT vec_id, v, n2, bucket FROM (
+       |  SELECT vec_id, v, n2, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS pn
+       |  FROM nb) WHERE pn <= $bucketCap),
+       |sce AS (SELECT s.vec_id AS src, c.vec_id AS dst,
+       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM nb s JOIN corpus c ON c.bucket = s.bucket AND c.vec_id <> s.vec_id),
+       |edges AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rank
+       |  FROM sce) WHERE rank <= $kGraph)""".stripMargin
+  }
+
+  /** The connected `nTables`-table edge union (p/pc/sce/edges) — the
+    * knnEdgesMulti shape D41/D42/D43 default onto: disjoint 8-dim
+    * sign-LSH slices, per-(tbl,bucket) posting cap, per-(src,tbl)
+    * top-kPerTable, DISTINCT union.
+    */
+  private def multiEdgeCtes(kPerTable: Int, bucketCap: Int,
+      nTables: Int = 4): String = {
+    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+    val cases = (0 until nTables).map(i => s"WHEN $i THEN ${bucketExprAt(i * 8)}").mkString(" ")
+    s"""p AS (SELECT vec_id, v, n2, tbl, CASE tbl $cases END AS bucket
+       |  FROM n, (SELECT unnest([${(0 until nTables).mkString(",")}]) AS tbl)),
+       |pc AS (SELECT vec_id, v, n2, tbl, bucket FROM (
+       |  SELECT vec_id, v, n2, tbl, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY tbl, bucket ORDER BY vec_id ASC) AS pn
+       |  FROM p) WHERE pn <= $bucketCap),
+       |sce AS (SELECT s.vec_id AS src, c.vec_id AS dst, s.tbl,
+       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM p s JOIN pc c ON c.tbl = s.tbl AND c.bucket = s.bucket AND c.vec_id <> s.vec_id),
+       |edges AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src, tbl ORDER BY cos_r DESC, dst ASC) AS rank
+       |  FROM sce) WHERE rank <= $kPerTable)""".stripMargin
+  }
+
+  /** D41: graph-ANN beam search — the CONNECTED multi-table edge
+    * union (multiEdgeCtes; nTables = 1 recovers the single-table
+    * probe graph), then `rounds` expand/score/truncate rounds
+    * unrolled as chained CTEs (the D38 discipline); UNION dedups on
+    * identical r6'd scores.
     */
   def annGraphSearch(nQueries: Int, beam: Int, rounds: Int, k: Int,
-      kGraph: Int, bucketCap: Int): String = {
-    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+      kGraph: Int, bucketCap: Int, nTables: Int = 4): String = {
     val dotQC2 = "list_reduce([q.qv[i]*c.v[i] for i in range(1, len(q.qv)+1)], (x,y) -> x+y)"
     val cosQC = s"floor(($dotQC2/(sqrt(q.qn2)*sqrt(c.n2)))*1000000 + 0.5)/1000000"
     val roundCtes = (1 to rounds).map { r =>
@@ -1981,19 +2025,10 @@ object OracleSqlGen {
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
          |  FROM u$r) WHERE rn <= $beam)""".stripMargin
     }.mkString(",\n")
+    val edgeCtes = if (nTables <= 1) singleEdgeCtes(kGraph, bucketCap)
+      else multiEdgeCtes(kGraph, bucketCap, nTables)
     s"""WITH $normCte,
-       |nb AS (SELECT vec_id, v, n2, ${bucketExprAt(0)} AS bucket FROM n),
-       |corpus AS (SELECT vec_id, v, n2, bucket FROM (
-       |  SELECT vec_id, v, n2, bucket,
-       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS pn
-       |  FROM nb) WHERE pn <= $bucketCap),
-       |sce AS (SELECT s.vec_id AS src, c.vec_id AS dst,
-       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
-       |  FROM nb s JOIN corpus c ON c.bucket = s.bucket AND c.vec_id <> s.vec_id),
-       |edges AS (SELECT src, dst FROM (
-       |  SELECT src, dst,
-       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rank
-       |  FROM sce) WHERE rank <= $kGraph),
+       |$edgeCtes,
        |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < $nQueries),
        |ent AS (SELECT MIN(vec_id) AS vec_id FROM n),
        |vis0 AS (SELECT q.q_id, c.vec_id, $cosQC AS cos_r
@@ -2069,7 +2104,6 @@ object OracleSqlGen {
     */
   def annBeamTuning(beams: Seq[Int], rounds: Int, k: Int, nQueries: Int,
       kPerTable: Int, bucketCap: Int): String = {
-    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
     val dotQC2 = "list_reduce([q.qv[i]*c.v[i] for i in range(1, len(q.qv)+1)], (x,y) -> x+y)"
     val cosQC = s"floor(($dotQC2/(sqrt(q.qn2)*sqrt(c.n2)))*1000000 + 0.5)/1000000"
     def dmean(c: String) =
@@ -2105,21 +2139,8 @@ object OracleSqlGen {
          |  ${dmean("e2.x_best")} AS exact_best_cos_r
          |  FROM pq_b$b p JOIN exbest e2 ON e2.q_id = p.q_id)""".stripMargin
     }
-    val cases = (0 until 4).map(i => s"WHEN $i THEN ${bucketExprAt(i * 8)}").mkString(" ")
     s"""WITH $normCte,
-       |p AS (SELECT vec_id, v, n2, tbl, CASE tbl $cases END AS bucket
-       |  FROM n, (SELECT unnest([0,1,2,3]) AS tbl)),
-       |pc AS (SELECT vec_id, v, n2, tbl, bucket FROM (
-       |  SELECT vec_id, v, n2, tbl, bucket,
-       |    ROW_NUMBER() OVER (PARTITION BY tbl, bucket ORDER BY vec_id ASC) AS pn
-       |  FROM p) WHERE pn <= $bucketCap),
-       |sce AS (SELECT s.vec_id AS src, c.vec_id AS dst, s.tbl,
-       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
-       |  FROM p s JOIN pc c ON c.tbl = s.tbl AND c.bucket = s.bucket AND c.vec_id <> s.vec_id),
-       |edges AS (SELECT DISTINCT src, dst FROM (
-       |  SELECT src, dst,
-       |    ROW_NUMBER() OVER (PARTITION BY src, tbl ORDER BY cos_r DESC, dst ASC) AS rank
-       |  FROM sce) WHERE rank <= $kPerTable),
+       |${multiEdgeCtes(kPerTable, bucketCap)},
        |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < $nQueries),
        |scx AS (SELECT q.q_id, c.vec_id, $cosQC AS cos_r
        |  FROM qs q JOIN n c ON c.vec_id <> q.q_id),
@@ -2134,12 +2155,13 @@ object OracleSqlGen {
        |ORDER BY beam""".stripMargin
   }
 
-  /** D42: BFS reachability — D41's edge CTEs, hop layers unrolled with
-    * NOT-IN anti-joins against the running visited set; the unreached
-    * row derives from the corpus count.
+  /** D42: BFS reachability — D41's edge CTEs (multi-table default;
+    * nTables = 1 is the D42b fragmentation probe), hop layers
+    * unrolled with NOT-IN anti-joins against the running visited set;
+    * the unreached row derives from the corpus count.
     */
-  def annGraphReach(maxHops: Int, kGraph: Int, bucketCap: Int): String = {
-    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+  def annGraphReach(maxHops: Int, kGraph: Int, bucketCap: Int,
+      nTables: Int = 4): String = {
     val hopCtes = (1 to maxHops).map { r =>
       s"""f$r AS (SELECT DISTINCT ed.dst AS vec_id
          |  FROM f${r - 1} b JOIN edges ed ON ed.src = b.vec_id
@@ -2147,19 +2169,10 @@ object OracleSqlGen {
          |vis$r AS (SELECT vec_id, hop FROM vis${r - 1}
          |  UNION ALL SELECT vec_id, CAST($r AS BIGINT) AS hop FROM f$r)""".stripMargin
     }.mkString(",\n")
+    val edgeCtes = if (nTables <= 1) singleEdgeCtes(kGraph, bucketCap)
+      else multiEdgeCtes(kGraph, bucketCap, nTables)
     s"""WITH $normCte,
-       |nb AS (SELECT vec_id, v, n2, ${bucketExprAt(0)} AS bucket FROM n),
-       |corpus AS (SELECT vec_id, v, n2, bucket FROM (
-       |  SELECT vec_id, v, n2, bucket,
-       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS pn
-       |  FROM nb) WHERE pn <= $bucketCap),
-       |sce AS (SELECT s.vec_id AS src, c.vec_id AS dst,
-       |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
-       |  FROM nb s JOIN corpus c ON c.bucket = s.bucket AND c.vec_id <> s.vec_id),
-       |edges AS (SELECT src, dst FROM (
-       |  SELECT src, dst,
-       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rank
-       |  FROM sce) WHERE rank <= $kGraph),
+       |$edgeCtes,
        |ent AS (SELECT MIN(vec_id) AS vec_id FROM n),
        |vis0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS hop FROM ent),
        |f0 AS (SELECT vec_id FROM ent),

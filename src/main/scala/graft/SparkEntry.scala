@@ -48,6 +48,19 @@ object SparkEntry {
       |  CASE WHEN s > 0 AND n > 3.0*ewma THEN 1 ELSE 0 END AS is_spike
       |FROM e ORDER BY event_type, hour""".stripMargin
 
+  /** The ONLY registry keys allowed to omit an [[oracleSql]] entry —
+    * sketches whose output is estimator state with no SQL-expressible
+    * oracle (each covered by a named ScalaTest law instead), plus the
+    * stubbed multimodal decode. RegistryHygieneSpec enforces that
+    * `queries.keySet -- oracleSql.keySet == rowsOnlyKeys` exactly, so
+    * a new entry can't land rows-only by accident (the r9
+    * doc_snapshot_churn failure mode).
+    */
+  val rowsOnlyKeys: Set[String] = Set(
+    "q_approx_distinct",    // HLL sketch — SketchSpec error-bound law
+    "q_heavy_hitters_cms",  // CMS sketch — SketchSpec overestimate law
+    "q_approx_percentiles") // GK sketch — SketchSpec rank-error law
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.A event-stream processing (reference semantics)
@@ -163,6 +176,7 @@ object SparkEntry {
     "ann_knn_graph"        -> q(Similarity.annKnnGraph(_, ordered = true)),
     "ann_graph_search"     -> q(Similarity.annGraphSearch(_, ordered = true)),
     "ann_graph_reach"      -> q(Similarity.annGraphReach(_, ordered = true)),
+    "ann_graph_reach_single" -> q(Similarity.annGraphReach(_, nTables = 1, ordered = true)),
     "ann_beam_tuning"      -> q(Similarity.annBeamTuning(_, ordered = true)),
     "ann_nlist_tuning"     -> q(Similarity.annNlistTuning(_, ordered = true)),
     "ann_label_knn"        -> q(Similarity.annLabelKnn(_, ordered = true)),
@@ -328,7 +342,7 @@ object SparkEntry {
     "q_month_trend"        -> q(Analytics.qMonthTrend),
     // §2.F multimodal plumbing
     "mm_binary_meta"       -> q(Multimodal.mmBinaryMeta(_, ordered = true)),
-    "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract(_, ordered = true)), // rows-only: stubbed decode, no SQL oracle
+    "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract(_, ordered = true)), // REAL netpbm decode (r10), oracle-gated
     "mm_resize"            -> q(Multimodal.mmResize(_, ordered = true)),
     "mm_frame_sample"      -> q(Multimodal.mmFrameSample(_, ordered = true)),
     "mm_frame_phash_pairs" -> q(Multimodal.mmFramePhashPairs(_, ordered = true)),
@@ -1377,8 +1391,8 @@ object SparkEntry {
         |SELECT source,
         |  CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
         |  CAST(SUM(a*b) AS BIGINT) AS n_common,
-        |  floor((CAST(SUM(b) - SUM(a*b) AS DOUBLE) / CAST(SUM(b) AS DOUBLE))*1000000 + 0.5)/1000000 AS added_frac_r,
-        |  floor((CAST(SUM(a) - SUM(a*b) AS DOUBLE) / CAST(SUM(a) AS DOUBLE))*1000000 + 0.5)/1000000 AS removed_frac_r
+        |  CASE WHEN SUM(b) > 0 THEN floor((CAST(SUM(b) - SUM(a*b) AS DOUBLE) / CAST(SUM(b) AS DOUBLE))*1000000 + 0.5)/1000000 END AS added_frac_r,
+        |  CASE WHEN SUM(a) > 0 THEN floor((CAST(SUM(a) - SUM(a*b) AS DOUBLE) / CAST(SUM(a) AS DOUBLE))*1000000 + 0.5)/1000000 END AS removed_frac_r
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
     "q_min_cost_supplier"     -> OracleSqlGen.qMinCostSupplier,
     "q_product_profit"        -> OracleSqlGen.qProductProfit("bolt"),
@@ -1797,6 +1811,8 @@ object SparkEntry {
     "ann_knn_graph"         -> OracleSqlGen.annKnnGraph(3, 128),
     "ann_graph_search"      -> OracleSqlGen.annGraphSearch(8, 8, 3, 5, 3, 128),
     "ann_graph_reach"       -> OracleSqlGen.annGraphReach(6, 3, 128),
+    // D42b: the single-table fragmentation probe (nTables = 1)
+    "ann_graph_reach_single" -> OracleSqlGen.annGraphReach(6, 3, 128, nTables = 1),
     "ann_beam_tuning"       -> OracleSqlGen.annBeamTuning(Seq(2, 8, 32), 4, 5, 8, 3, 128),
     "ann_nlist_tuning"      -> OracleSqlGen.annNlistTuning(Seq(4, 8, 16)),
     "q_revenue_concentration" -> OracleSqlGen.qRevenueConcentration(Seq(1, 10, 20)),
@@ -2053,19 +2069,41 @@ object SparkEntry {
         |FROM events
         |ORDER BY event_id""".stripMargin,
 
-    // mm stub decoders derive features from leading bytes — for the
-    // ASCII corpus that is ord()/substr()-expressible, so even the
-    // stub plumbing gets an exact oracle.
-    "mm_resize" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    1 + (ord(substr(text,1,1)) % 64) AS width,
-        |    1 + (ord(substr(text,2,1)) % 64) AS height
+    // F2/F3 ride the REAL netpbm decoder (r10) over constructed P6
+    // payloads; the oracle re-derives every feature from the
+    // SQL-expressible payload generator (dims 1..8 from doc_id, affine
+    // printable-ASCII pixels), INDEPENDENTLY of the Scala parse —
+    // exact integer pixel sums, one double division, r6'd like the
+    // codec. n_bytes = 11-byte single-digit-dims header + raster.
+    "mm_feature_extract" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 8 AS INTEGER) AS width,
+        |    CAST(1 + (doc_id * 13) % 8 AS INTEGER) AS height
         |  FROM documents),
-        |s AS (SELECT *, least(1.0, 32.0 / greatest(width, height)) AS sc FROM f)
+        |px AS (SELECT doc_id, width, height,
+        |    unnest(range(width*height*3)) AS i FROM d),
+        |s AS (SELECT doc_id, width, height,
+        |    CAST(SUM(CASE WHEN i % 3 = 0 THEN 32 + (doc_id*31 + i*7) % 95 END) AS BIGINT) AS sr,
+        |    CAST(SUM(CASE WHEN i % 3 = 1 THEN 32 + (doc_id*31 + i*7) % 95 END) AS BIGINT) AS sg,
+        |    CAST(SUM(CASE WHEN i % 3 = 2 THEN 32 + (doc_id*31 + i*7) % 95 END) AS BIGINT) AS sb
+        |  FROM px GROUP BY doc_id, width, height)
+        |SELECT doc_id, 'P6' AS format, width, height,
+        |  CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+        |  floor((CAST(sr AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_r_r6,
+        |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,
+        |  floor((CAST(sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
+        |  CAST(11 + width*height*3 AS INTEGER) AS n_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 8 AS INTEGER) AS width,
+        |    CAST(1 + (doc_id * 13) % 8 AS INTEGER) AS height
+        |  FROM documents),
+        |s AS (SELECT *, least(1.0, 4.0 / greatest(width, height)) AS sc FROM d)
         |SELECT doc_id, width, height,
-        |  CAST(greatest(1, round(width * sc)) AS INTEGER) AS target_w,
-        |  CAST(greatest(1, round(height * sc)) AS INTEGER) AS target_h,
+        |  CAST(greatest(1, floor(width * sc + 0.5)) AS INTEGER) AS target_w,
+        |  CAST(greatest(1, floor(height * sc + 0.5)) AS INTEGER) AS target_h,
         |  floor(sc*1000000 + 0.5)/1000000 AS scale
         |FROM s ORDER BY doc_id""".stripMargin,
 

@@ -1563,7 +1563,11 @@ object Dedup {
     * Scale shape: ONE (source, hash)-keyed aggregate with conditional
     * presence maxima (map-side combined — the hash set never ships
     * per-row), then a #sources rollup; exact integer counts, two r6'd
-    * divisions.
+    * divisions, each null-guarded against an empty snapshot (a source
+    * whose docs are all one parity would otherwise divide by zero —
+    * ANSI Spark throws, DuckDB yields inf; NULL on both engines is
+    * the agreed degenerate value, same convention as
+    * [[docDedupAgreement]]).
     */
   def docSnapshotChurn(t: Tables, ordered: Boolean = false): DataFrame = {
     val per = t.documents
@@ -1576,10 +1580,12 @@ object Dedup {
         sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
         sum(col("a") * col("b")).as("n_common"))
       .select(col("source"), col("n_a"), col("n_b"), col("n_common"),
-        r6((col("n_b") - col("n_common")).cast("double") /
-          col("n_b").cast("double")).as("added_frac_r"),
-        r6((col("n_a") - col("n_common")).cast("double") /
-          col("n_a").cast("double")).as("removed_frac_r"))
+        when(col("n_b") > 0,
+          r6((col("n_b") - col("n_common")).cast("double") /
+            col("n_b").cast("double"))).as("added_frac_r"),
+        when(col("n_a") > 0,
+          r6((col("n_a") - col("n_common")).cast("double") /
+            col("n_a").cast("double"))).as("removed_frac_r"))
     maybeSort(out, ordered)(col("source"))
   }
 }

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Multimodal column plumbing (SURVEY §2.F): treat payloads as opaque
-  * `binary` columns with typed metadata. The container has no
-  * image/audio codecs, so the *decode step* is a clearly-marked
-  * deterministic stub — the Spark-side plumbing (schema, batched
-  * per-partition processing, partitioning behavior) is real and tested.
+  * `binary` columns with typed metadata. The decode step is a REAL
+  * netpbm (P5/P6) codec ([[Ppm]], r10) — header parse + raw raster,
+  * no external imaging library needed — batch-invoked from
+  * `mapPartitions` the way a production codec would be; JPEG/PNG
+  * would swap in at the same typed boundary. Payloads for F2/F3 are
+  * genuine P6 bytes constructed with SQL-expressible built-ins, so
+  * the real decode is oracle-gated end to end.
   */
 object Multimodal {
 
@@ -140,61 +143,103 @@ object Multimodal {
       ordered)(col("doc_id"))
   }
 
-  final case class MmFeature(doc_id: Long, width: Int, height: Int,
-      channels: Int, mean_byte: Double, n_bytes: Int)
+  final case class MmDecoded(doc_id: Long, format: String,
+      width: Option[Int], height: Option[Int], channels: Option[Int],
+      maxval: Option[Int], mean_r_r6: Option[Double],
+      mean_g_r6: Option[Double], mean_b_r6: Option[Double], n_bytes: Int)
 
-  /** The stubbed decoder: a real pipeline would decode image/audio here
-    * (batch-shaped: one library call per batch of payloads). This fake
-    * derives deterministic "features" from the first bytes so the
-    * batching/partitioning plumbing is exercised end-to-end.
+  /** The REAL batched decoder (replaces the r1–r9 synthetic stub):
+    * [[Ppm.parse]] over each payload, unparseable bytes surfacing as
+    * an explicit `corrupt` row instead of fake features. Batch-shaped
+    * like a production codec call (`mapPartitions` + `grouped(64)` is
+    * the Scala analog of `mapInPandas` batches).
     */
-  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MmFeature] =
+  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MmDecoded] =
     batch.map { case (id, bytes) =>
-      // STUB: stands in for e.g. an image decode; deterministic fake.
-      val w = 1 + (bytes.headOption.map(_ & 0xff).getOrElse(0) % 64)
-      val h = 1 + (bytes.drop(1).headOption.map(_ & 0xff).getOrElse(0) % 64)
-      val mean =
-        if (bytes.isEmpty) 0.0
-        else math.round(bytes.map(_ & 0xff).sum.toDouble / bytes.length * 1e6) / 1e6
-      MmFeature(id, w, h, 3, mean, bytes.length)
+      Ppm.parse(bytes) match {
+        case Some(img) =>
+          val m = Ppm.channelMeans(img).map(r6d)
+          MmDecoded(id, img.format, Some(img.width), Some(img.height),
+            Some(img.channels), Some(img.maxval), Some(m(0)),
+            if (img.channels == 3) Some(m(1)) else None,
+            if (img.channels == 3) Some(m(2)) else None, bytes.length)
+        case None =>
+          MmDecoded(id, "corrupt", None, None, None, None, None, None,
+            None, bytes.length)
+      }
     }
 
-  /** F2: batched decode → feature-extract over binary payloads.
-    * `mapPartitions` + `grouped(64)` is the Scala analog of
-    * `mapInPandas` batches: the (stub) codec is invoked once per batch,
-    * rows stream through without materializing a partition.
+  private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Deterministic P6 payload per document — REAL netpbm bytes built
+    * with codegen'd string built-ins (dims 1..8 from doc_id, printable
+    * ASCII pixels from an affine generator, so `cast(string AS
+    * binary)` is byte-identical to the ASCII raster): the corpus stand-
+    * in for an image column the container has no codecs to produce.
+    * Everything here is SQL-expressible, which is what lets the REAL
+    * decode downstream be oracle-gated end to end.
     */
-  def mmFeatureExtract(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
-    val spark = t.spark
+  private def p6Payload(docs: DataFrame): DataFrame = {
+    val w = (lit(1) + pmod(col("doc_id"), lit(8))).cast("int")
+    val h = (lit(1) + pmod(col("doc_id") * 13, lit(8))).cast("int")
+    val pix = array_join(
+      transform(sequence(lit(0), w * h * lit(3) - 1),
+        i => call_function("char",
+          lit(32) + pmod(col("doc_id") * 31 + i.cast("long") * 7, lit(95)))),
+      "")
+    docs.select(col("doc_id"),
+      concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+        lit("\n255\n"), pix).cast("binary").as("payload"))
+  }
+
+  /** F2: batched REAL decode → feature-extract over binary image
+    * payloads. The payload construction (p6Payload) is narrow codegen;
+    * the decode is a genuine netpbm parse per payload — format, dims,
+    * maxval, per-channel means — batch-invoked, shuffle-free, and
+    * (because the payload generator is SQL-expressible) verified
+    * against a DuckDB oracle that re-derives every feature
+    * independently. Corrupt payloads surface as `format = 'corrupt'`
+    * rows (exercised in MultimodalSpec with truncated/forged bytes).
+    */
+  def mmFeatureExtract(t: Tables, ordered: Boolean = false): DataFrame =
+    maybeSort(mmDecodePayloads(t.spark, p6Payload(t.documents)),
+      ordered)(col("doc_id"))
+
+  /** The public decode boundary: any `(doc_id: long, payload: binary)`
+    * relation — a user's real image column — through the batched real
+    * codec. Unparseable payloads come back as `format = 'corrupt'`
+    * quarantine rows (never dropped silently, never an exception —
+    * a 100 TB crawl always contains garbage bytes).
+    */
+  def mmDecodePayloads(spark: org.apache.spark.sql.SparkSession,
+      payloads: DataFrame): DataFrame = {
     import spark.implicits._
-    val ds: Dataset[(Long, Array[Byte])] = t.documents
-      .select(col("doc_id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-    ds.mapPartitions(_.grouped(64).flatMap(b => decodeBatch(b)))
-      .toDF()
-  }, ordered)(col("doc_id"))
+    val ds: Dataset[(Long, Array[Byte])] = payloads.as[(Long, Array[Byte])]
+    ds.mapPartitions(_.grouped(64).flatMap(b => decodeBatch(b))).toDF()
+  }
 
   final case class MmResized(doc_id: Long, width: Int, height: Int,
       target_w: Int, target_h: Int, scale: Double)
 
-  /** F3: resize plumbing — decode (stub) → target-dimension compute.
-    * A real pipeline swaps `decodeBatch` + the scale math for the
-    * imaging library call; the batch shape and schema are what Spark
-    * sees either way.
+  /** F3: resize plumbing — REAL decode → target-dimension compute
+    * (fit-within-`targetMax`, never upscale). A real pipeline swaps
+    * the scale math for the imaging library's resample call; the batch
+    * shape and schema are what Spark sees either way. Corrupt payloads
+    * are dropped (flatMap) — the quarantine row is F2's job.
     */
-  def mmResize(t: Tables, targetMax: Int = 32, ordered: Boolean = false): DataFrame = maybeSort({
+  def mmResize(t: Tables, targetMax: Int = 4, ordered: Boolean = false): DataFrame = maybeSort({
     val spark = t.spark
     import spark.implicits._
-    val ds = t.documents
-      .select(col("doc_id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-    ds.mapPartitions(_.grouped(64).flatMap(b => decodeBatch(b).map { f =>
-        val scale = targetMax.toDouble / math.max(f.width, f.height)
-        val s = math.min(1.0, scale)
-        MmResized(f.doc_id, f.width, f.height,
-          math.max(1, math.round(f.width * s).toInt),
-          math.max(1, math.round(f.height * s).toInt),
-          math.round(s * 1e6) / 1e6)
+    val ds = p6Payload(t.documents).as[(Long, Array[Byte])]
+    ds.mapPartitions(_.grouped(64).flatMap(b => decodeBatch(b).flatMap { f =>
+        (f.width, f.height) match {
+          case (Some(w), Some(h)) =>
+            val s = math.min(1.0, targetMax.toDouble / math.max(w, h))
+            Some(MmResized(f.doc_id, w, h,
+              math.max(1, math.round(w * s).toInt),
+              math.max(1, math.round(h * s).toInt), r6d(s)))
+          case _ => None
+        }
       }))
       .toDF()
   }, ordered)(col("doc_id"))

@@ -1758,9 +1758,15 @@ object Similarity {
     * Determinism: BFS layers are set-valued (no scores), counts exact.
     */
   def annGraphReach(t: Tables, maxHops: Int = 6, kGraph: Int = 3,
-      bits: Int = 8, bucketCap: Int = 128, ordered: Boolean = false): DataFrame = {
+      bits: Int = 8, bucketCap: Int = 128, nTables: Int = 4,
+      ordered: Boolean = false): DataFrame = {
+    // default = the connected multi-table union D41 searches on;
+    // nTables = 1 keeps the single-table graph as the fragmentation
+    // probe this card originally diagnosed (D42b)
     val edges = Dedup.stableCheckpoint(
-      knnEdges(t, kGraph, bits, bucketCap).select(col("src"), col("dst")))
+      (if (nTables <= 1) knnEdges(t, kGraph, bits, bucketCap)
+       else knnEdgesMulti(t, kGraph, bits, nTables, bucketCap))
+        .select(col("src"), col("dst")))
     val ids = t.embeddings.select(col("vec_id"))
     val entry = ids.agg(min(col("vec_id")).as("vec_id"))
     var vis = entry.select(col("vec_id"), lit(0L).as("hop"))
@@ -1820,11 +1826,22 @@ object Similarity {
     maybeSort(per.reduce(_ unionByName _), ordered)(col("n_cells"))
   }
 
+  /** D41 default rides the CONNECTED `nTables`-table edge union
+    * (knnEdgesMulti) — the repo's own D42 card measured the
+    * single-table graph at 1992/2000 vertices unreachable from the
+    * entry point at sf0.1 (in-bucket joins never cross buckets), and
+    * a beam search over a 0.4%-reachable corpus is oracle-correct but
+    * recall-useless. `nTables = 1` recovers the single-table graph
+    * (D42's fragmentation probe).
+    */
   def annGraphSearch(t: Tables, nQueries: Int = 8, beam: Int = 8,
       rounds: Int = 3, k: Int = 5, kGraph: Int = 3, bits: Int = 8,
-      bucketCap: Int = 128, ordered: Boolean = false): DataFrame = {
+      bucketCap: Int = 128, nTables: Int = 4, ordered: Boolean = false): DataFrame = {
     val e = withNorm(t.embeddings)
-    val edges = knnEdges(t, kGraph, bits, bucketCap).select(col("src"), col("dst"))
+    val edges =
+      (if (nTables <= 1) knnEdges(t, kGraph, bits, bucketCap)
+       else knnEdgesMulti(t, kGraph, bits, nTables, bucketCap))
+        .select(col("src"), col("dst"))
     val beamW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("vec_id").asc)
     maybeSort(

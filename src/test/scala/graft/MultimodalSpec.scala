@@ -1,24 +1,89 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, Ppm}
 
-/** F2 has no SQL oracle (stubbed decoder) — its contract is checked
-  * here: full coverage, deterministic features, plumbed metadata.
+/** F family laws: the REAL netpbm codec (planted hand-computed
+  * images, unsigned-byte pixels, header comments, corruption modes)
+  * plus the plumbing contracts (coverage, determinism, metadata).
   */
 class MultimodalSpec extends SparkSpec {
 
-  test("feature extract covers every document with deterministic features") {
+  test("feature extract covers every document with deterministic decoded features") {
     val feats = Multimodal.mmFeatureExtract(tables).collect()
     assert(feats.length == tables.documents.count())
     val again = Multimodal.mmFeatureExtract(tables).collect()
-    assert(feats.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "decode stub must be deterministic")
+    assert(feats.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "decode must be deterministic")
     feats.foreach { r =>
-      assert(r.getInt(1) >= 1 && r.getInt(1) <= 64)  // width
-      assert(r.getInt(2) >= 1 && r.getInt(2) <= 64)  // height
-      assert(r.getInt(3) == 3)                        // channels
-      assert(r.getDouble(4) > 0.0)                    // mean byte of ASCII text
-      assert(r.getInt(5) > 0)                         // n_bytes
+      assert(r.getString(1) == "P6")                  // every payload parses
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 8)    // width
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 8)    // height
+      assert(r.getInt(4) == 3)                        // channels
+      assert(r.getInt(5) == 255)                      // maxval
+      // printable-ASCII pixel generator ⇒ means inside [32, 127)
+      Seq(6, 7, 8).foreach(i =>
+        assert(r.getDouble(i) >= 32.0 && r.getDouble(i) < 127.0))
+      assert(r.getInt(9) == 11 + r.getInt(2) * r.getInt(3) * 3) // n_bytes
     }
+  }
+
+  test("P6 codec: planted 2x2 image decodes to exact hand-computed channel means") {
+    val raster = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120).map(_.toByte)
+    val img = Ppm.parse("P6\n2 2\n255\n".getBytes("US-ASCII") ++ raster)
+      .getOrElse(fail("planted P6 must parse"))
+    assert(img.format == "P6" && img.width == 2 && img.height == 2 &&
+      img.maxval == 255 && img.channels == 3)
+    assert(Ppm.channelMeans(img).toSeq == Seq(55.0, 65.0, 75.0))
+  }
+
+  test("P6 codec: pixel bytes are read unsigned (values > 127 intact)") {
+    val raster = Array(200, 210, 220).map(_.toByte) // would be negative if sign-extended
+    val img = Ppm.parse("P6\n1 1\n255\n".getBytes("US-ASCII") ++ raster)
+      .getOrElse(fail("must parse"))
+    assert(Ppm.channelMeans(img).toSeq == Seq(200.0, 210.0, 220.0))
+  }
+
+  test("P5 codec: grayscale parses with 1 channel; single mean") {
+    val raster = Array(1, 2, 3, 4, 5, 6).map(_.toByte)
+    val img = Ppm.parse("P5\n3 2\n255\n".getBytes("US-ASCII") ++ raster)
+      .getOrElse(fail("planted P5 must parse"))
+    assert(img.format == "P5" && img.width == 3 && img.height == 2 && img.channels == 1)
+    assert(Ppm.channelMeans(img).toSeq == Seq(21.0 / 6))
+  }
+
+  test("codec header grammar: comments and arbitrary whitespace per pnm(5)") {
+    val raster = Array(9, 8, 7).map(_.toByte)
+    val withComments = "P6 # a comment\n# another\n 1\t\r\n1 # dims done\n255\n"
+    val img = Ppm.parse(withComments.getBytes("US-ASCII") ++ raster)
+      .getOrElse(fail("commented header must parse"))
+    assert(img.width == 1 && img.height == 1)
+    assert(Ppm.channelMeans(img).toSeq == Seq(9.0, 8.0, 7.0))
+  }
+
+  test("codec rejects corrupt payloads (bad magic, truncated/overlong raster, bad maxval)") {
+    val ok = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(Ppm.parse(ok).isDefined)
+    assert(Ppm.parse("P7\n1 1\n255\nabc".getBytes("US-ASCII")).isEmpty, "bad magic")
+    assert(Ppm.parse(ok.dropRight(1)).isEmpty, "truncated raster")
+    assert(Ppm.parse(ok :+ 0.toByte).isEmpty, "overlong raster")
+    assert(Ppm.parse("P6\n1 1\n70000\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)).isEmpty,
+      "2-byte-sample maxval out of scope")
+    assert(Ppm.parse("P6\n0 1\n255\n".getBytes("US-ASCII")).isEmpty, "zero width")
+    assert(Ppm.parse(Array[Byte]()).isEmpty, "empty payload")
+  }
+
+  test("corrupt payloads surface as explicit quarantine rows in the decode path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // forge payloads through the same typed decode boundary F2 uses:
+    // one valid, one truncated — valid decodes, truncated quarantines
+    val df = Seq((0L, "P6\n1 1\n255\nABC"), (1L, "P6\n9 9\n255\nshort"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val rows = Multimodal.mmDecodePayloads(spark, df).collect().sortBy(_.getLong(0))
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "P6" && rows(0).getInt(2) == 1)
+    assert(rows(1).getString(1) == "corrupt" && rows(1).isNullAt(2),
+      "truncated raster must quarantine, not decode or drop")
   }
 
   test("binary metadata byte length equals text length for ASCII corpus") {
