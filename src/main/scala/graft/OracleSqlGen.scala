@@ -2048,12 +2048,20 @@ object OracleSqlGen {
   def qRevenueConcentration(topPcts: Seq[Int]): String = {
     val cuts = topPcts.map(p =>
       s"floor(quantile_cont(rev, ${1.0 - p / 100.0})*10000 + 0.5)/10000 AS cut$p").mkString(",\n  ")
+    // mirror the Spark shape: ONE conditional rollup (w) over cr × c,
+    // then per-rung selects off the single wide row — an empty rung
+    // yields a count-0 row on both engines (the grouped per-rung form
+    // would drop it here but not in Spark)
+    val condSums = topPcts.map { p =>
+      s"""CAST(SUM(CASE WHEN rev >= c.cut$p THEN 1 ELSE 0 END) AS BIGINT) AS n_$p,
+         |  CAST(SUM(CASE WHEN rev >= c.cut$p THEN CAST(rev AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS r_$p,
+         |  ANY_VALUE(c.cut$p) AS c_$p""".stripMargin
+    }.mkString(",\n  ")
     val rungs = topPcts.map { p =>
-      s"""SELECT CAST($p AS BIGINT) AS top_pct, c.cut$p AS cutoff_r,
-         |  COUNT(*) AS n_customers,
-         |  floor((CAST(COUNT(*) AS DOUBLE) / CAST(c.n_total AS DOUBLE))*1000000 + 0.5)/1000000 AS cust_frac_r,
-         |  floor((CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) / c.total)*1000000 + 0.5)/1000000 AS share_r
-         |FROM cr, c WHERE rev >= c.cut$p GROUP BY c.cut$p, c.n_total, c.total""".stripMargin
+      s"""SELECT CAST($p AS BIGINT) AS top_pct, c_$p AS cutoff_r, n_$p AS n_customers,
+         |  floor((CAST(n_$p AS DOUBLE) / CAST(n_total AS DOUBLE))*1000000 + 0.5)/1000000 AS cust_frac_r,
+         |  floor((r_$p / total)*1000000 + 0.5)/1000000 AS share_r
+         |FROM w""".stripMargin
     }.mkString("\nUNION ALL ")
     s"""WITH cr AS (SELECT o_custkey,
        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
@@ -2061,7 +2069,10 @@ object OracleSqlGen {
        |c AS (SELECT COUNT(*) AS n_total,
        |  CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS total,
        |  $cuts
-       |  FROM cr)
+       |  FROM cr),
+       |w AS (SELECT ANY_VALUE(c.n_total) AS n_total, ANY_VALUE(c.total) AS total,
+       |  $condSums
+       |  FROM cr, c)
        |$rungs
        |ORDER BY top_pct""".stripMargin
   }

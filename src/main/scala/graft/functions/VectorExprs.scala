@@ -265,7 +265,14 @@ object VectorExprs {
     ("graft_rolling_min", classOf[RollingHashMin].getName,
       exprs => RollingHashMin(exprs.head, 16)),
     ("graft_rolling_hashes", classOf[RollingHashAll].getName,
-      exprs => RollingHashAll(exprs.head, 16)),
+      // optional second arg = window (foldable int literal); 1-arg
+      // form keeps the historical default of 16
+      exprs => RollingHashAll(exprs.head,
+        if (exprs.length > 1) exprs(1).eval(null) match {
+          case n: Number => n.intValue
+          case other => throw new IllegalArgumentException(
+            s"graft_rolling_hashes window must be an int literal, got $other")
+        } else 16)),
     ("graft_winnow8_mins", classOf[WinnowMins].getName,
       exprs => WinnowMins(exprs.head, 8)),
     ("graft_bigram_strings", classOf[WordGrams].getName,

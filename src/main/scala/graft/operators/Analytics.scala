@@ -1567,19 +1567,27 @@ object Analytics {
       topPcts.map(p =>
         r4(expr(s"percentile(rev, ${1.0 - p / 100.0})")).as(s"cut$p"))
     val cutoffs = rev.agg(cutAggs.head, cutAggs.tail: _*)
+    // ONE conditional rollup over rev ⋈ broadcast(cutoffs): every rung
+    // is a conditional sum inside the SAME aggregate (adding a rung
+    // adds two conditional sums, never a pass or an exchange-reuse
+    // dependence), and an empty rung still yields its count-0 row on
+    // BOTH engines — the one-row wide result then stacks to rows.
+    val condAggs = topPcts.flatMap { p =>
+      Seq(
+        sum(when($("rev") >= $(s"cut$p"), 1L).otherwise(0L)).as(s"n_$p"),
+        sum(when($("rev") >= $(s"cut$p"), $("rev").cast(DecimalType(18, 6)))
+          .otherwise(lit(0).cast(DecimalType(18, 6)))).as(s"r_$p"),
+        first($(s"cut$p")).as(s"c_$p"))
+    } ++ Seq(first($("n_total")).as("n_total"), first($("total")).as("total"))
+    val wide = rev.crossJoin(broadcast(cutoffs))
+      .agg(condAggs.head, condAggs.tail: _*)
     val rungs = topPcts.map { p =>
-      rev.crossJoin(broadcast(cutoffs))
-        .filter($("rev") >= $(s"cut$p"))
-        .agg(count(lit(1)).as("n_customers"),
-          sum($("rev").cast(DecimalType(18, 6))).as("top_rev"),
-          first($(s"cut$p")).as("cutoff_r"),
-          first($("total")).as("total"),
-          first($("n_total")).as("n_total"))
-        .select(lit(p.toLong).as("top_pct"), $("cutoff_r"), $("n_customers"),
-          r6($("n_customers").cast("double") / $("n_total").cast("double"))
-            .as("cust_frac_r"),
-          r6($("top_rev").cast("double") / $("total").cast("double"))
-            .as("share_r"))
+      wide.select(lit(p.toLong).as("top_pct"), $(s"c_$p").as("cutoff_r"),
+        $(s"n_$p").as("n_customers"),
+        r6($(s"n_$p").cast("double") / $("n_total").cast("double"))
+          .as("cust_frac_r"),
+        r6($(s"r_$p").cast("double") / $("total").cast("double"))
+          .as("share_r"))
     }
     rungs.reduce(_ unionByName _).orderBy($("top_pct"))
   }

@@ -1767,7 +1767,11 @@ object EventOps {
     def arm(v: Int, n: String, s1: String, s2: String) = Seq(
       sum(when(col("v") === v, 1L).otherwise(0L)).as(n),
       sum(when(col("v") === v, col("c")).otherwise(0L)).as(s1),
-      sum(when(col("v") === v, (col("c") * col("c")).cast(DecimalType(38, 0)))
+      // cast BEFORE multiplying: long*long would square on the long
+      // lattice first and can overflow under ANSI for extreme per-user
+      // counts (the evBotSuspects sgg construction; oracle multiplies
+      // on HUGEINT the same way)
+      sum(when(col("v") === v, col("c").cast(DecimalType(38, 0)) * col("c"))
         .otherwise(lit(0).cast(DecimalType(38, 0)))).as(s2))
     val aggs = arm(0, "n_a", "s1a", "s2a") ++ arm(1, "n_b", "s1b", "s2b")
     cnt.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
@@ -1890,9 +1894,11 @@ object EventOps {
     val m = xy.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
-      sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
-      sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      // cast before multiplying — the long-lattice square could
+      // overflow under ANSI for extreme per-user counts (abMoments fix)
+      sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+      sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+      sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
     val vx = (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
       (d(col("n")) * (d(col("n")) - 1.0))
     val vy = (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))) /

@@ -1925,12 +1925,26 @@ object TextOps {
   def docCdcChunks(t: Tables, window: Int = 16, modDiv: Int = 64,
       ordered: Boolean = false): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("e"))
+    // The rolling hash runs over UTF-8 BYTES while the cut ends slice
+    // CHARACTERS — coherent only when the two coincide, i.e. pure
+    // single-byte (ASCII) text. Rather than silently mis-chunking a
+    // multi-byte document (which would also break the G23 chunk-store
+    // round-trip), a non-ASCII doc fails LOUDLY here; a byte-clean
+    // corpus first routes through an octet normalization pass.
     val docs = t.documents.filter(length(col("text")) > 0)
-      .select(col("doc_id"), lower(col("text")).as("lt"),
+      .select(col("doc_id"),
+        when(octet_length(col("text")) === length(col("text")),
+          lower(col("text")))
+          .otherwise(raise_error(concat(
+            lit("docCdcChunks requires single-byte (ASCII) text; doc_id="),
+            col("doc_id").cast("string")))).as("lt"),
         length(col("text")).cast("long").as("len"))
     val cuts = docs
       .select(col("doc_id"),
-        posexplode(call_function("graft_rolling_hashes", col("lt")))
+        // window threaded through as a literal (the registered
+        // expression binds it at plan time; a non-default window now
+        // actually changes the hash instead of only the cut offset)
+        posexplode(call_function("graft_rolling_hashes", col("lt"), lit(window)))
           .as(Seq("p0", "hv")))
       .filter(pmod(col("hv"), lit(modDiv.toLong)) === 0L)
       .select(col("doc_id"), (col("p0") + window).cast("long").as("e"))

@@ -272,6 +272,11 @@ object DocStreamJob {
       modDiv: Int): Seq[(Int, String)] = {
     val lt = text.toLowerCase
     if (lt.isEmpty) return Nil
+    // byte/char coherence guard (same contract as the batch op): the
+    // rolling hash walks UTF-8 bytes while slicing is char-indexed —
+    // fail loudly on multi-byte text instead of mis-chunking it
+    require(org.apache.spark.unsafe.types.UTF8String.fromString(lt).numBytes == lt.length,
+      "cdcChunkHashes requires single-byte (ASCII) text")
     val hs = graft.functions.RollingHashAll.hashes(
       org.apache.spark.unsafe.types.UTF8String.fromString(lt), window)
     val ends = scala.collection.mutable.TreeSet.empty[Int]
