@@ -1130,6 +1130,77 @@ object OracleSqlGen {
        |  FROM n ORDER BY $ckey, vec_id LIMIT $nCenters)""".stripMargin
   }
 
+  /** Lloyd-trained quantizer chain (the Spark side's lloydTrain,
+    * unrolled as chained CTEs — the D38 discipline): seed =
+    * hash-selected centers, then per round assignment (argmin of r6'd
+    * squared L2, ties → lowest cell), micro-lattice per-(cell, dim)
+    * mean (same (Σ/n)/1e6 division order, r6'd), center rebuild with
+    * empty cells COALESCE'd to the previous round. Emits CTEs
+    * `${pfx}0 .. ${pfx}$rounds` (centers) and `${pfx}a1 ..` (per-round
+    * assignments with dist2_r, for the D45 curve), closing with
+    * `$alias AS (... FROM ${pfx}$rounds)`. Does NOT include normCte —
+    * callers place it once.
+    */
+  private def lloydChainCtes(nCenters: Int, rounds: Int,
+      alias: String, pfx: String): String = {
+    val ckey = "('0x'||substr(md5('centroid:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT"
+    val seed =
+      s"""${pfx}0 AS (SELECT v AS cv, n2 AS c2,
+         |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
+         |  FROM n ORDER BY $ckey, vec_id LIMIT $nCenters)""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      s"""${pfx}d$r AS (SELECT n.vec_id, n.v, c.cell,
+         |  floor((n.n2 - 2*list_reduce([n.v[i]*c.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + c.c2)*1000000 + 0.5)/1000000 AS dist2_r
+         |  FROM n, ${pfx}${r - 1} c),
+         |${pfx}a$r AS (SELECT vec_id, v, cell, dist2_r FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM ${pfx}d$r) WHERE rn = 1),
+         |${pfx}e$r AS (SELECT cell, CAST(dim - 1 AS BIGINT) AS dim, vm[CAST(dim AS INTEGER)] AS xm FROM (
+         |  SELECT cell, unnest(range(1, len(vm)+1)) AS dim, vm FROM (
+         |    SELECT cell, [CAST(floor(x*1000000.0 + 0.5) AS BIGINT) for x in v] AS vm FROM ${pfx}a$r))),
+         |${pfx}u$r AS (SELECT cell, dim,
+         |  floor((CAST(SUM(xm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0)*1000000 + 0.5)/1000000 AS coord_r
+         |  FROM ${pfx}e$r GROUP BY cell, dim),
+         |${pfx}v$r AS (SELECT cell, list(coord_r ORDER BY dim) AS cv FROM ${pfx}u$r GROUP BY cell),
+         |${pfx}$r AS (SELECT p.cell, COALESCE(c.cv, p.cv) AS cv,
+         |  CASE WHEN c.cv IS NULL THEN p.c2
+         |       ELSE list_reduce([c.cv[i]*c.cv[i] for i in range(1, len(c.cv)+1)], (x,y) -> x+y) END AS c2
+         |  FROM ${pfx}${r - 1} p LEFT JOIN ${pfx}v$r c ON c.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    val chain = if (rounds == 0) seed else s"$seed,\n$perRound"
+    s"""$chain,
+       |$alias AS (SELECT cv, c2, cell FROM ${pfx}$rounds)""".stripMargin
+  }
+
+  /** The rounds the deploy arc trains for — MUST equal the Spark
+    * side's Similarity.TrainRounds.
+    */
+  private val TrainRounds = graft.operators.Similarity.TrainRounds
+
+  /** centCte's trained counterpart: same `cent`(cv, c2, cell) contract,
+    * centers Lloyd-trained for TrainRounds rounds.
+    */
+  private def trainedCentCte(nCenters: Int): String =
+    s"""$normCte,
+       |${lloydChainCtes(nCenters, TrainRounds, "cent", "tc")}""".stripMargin
+
+  /** D45: the per-round training curve off the SAME chain — round r's
+    * stats come from the assignment against the round's incoming
+    * centers (round 1 = the seed's error); SSE decimal-summed then
+    * r6'd, mean via the same division.
+    */
+  def embKmeansTrainCurve(nCenters: Int, rounds: Int): String = {
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, COUNT(*) AS n_vectors,
+         |  floor(CAST(SUM(CAST(dist2_r AS DECIMAL(18,6))) AS DOUBLE)*1000000 + 0.5)/1000000 AS sse_r,
+         |  floor((CAST(SUM(CAST(dist2_r AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_dist2_r
+         |FROM tca$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH $normCte,
+       |${lloydChainCtes(nCenters, rounds, "centf", "tc")}
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
+
   private def cellCte(nCenters: Int): String = {
     s"""${centCte(nCenters)},
        |d AS (SELECT n.vec_id, n.label, n.v, n.n2, cent.cell,
@@ -1193,7 +1264,7 @@ object OracleSqlGen {
     */
   def annPqAdc(nQueries: Int, k: Int, m: Int, dsub: Int, nCodes: Int): String = {
     val cvSlice = s"list_slice(cent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"
-    s"""WITH ${centCte(nCodes)},
+    s"""WITH ${trainedCentCte(nCodes)},
        |sub AS (SELECT n.vec_id, list_slice(n.v, j*$dsub+1, j*$dsub+$dsub) AS xv, j AS sub_j
        |  FROM n, (SELECT unnest(range(0, $m)) AS j)),
        |sc AS (SELECT sub.vec_id, sub.sub_j, cent.cell AS code,
@@ -1222,18 +1293,16 @@ object OracleSqlGen {
     * r6'd coarse distances, matching Spark's array_sort tiebreak) +
     * ADC sum restricted to probed cells.
     */
-  /** D4: IVF probe-limited exact search — seeded hash-selected coarse
-    * centers (the D7/D10 ckey ordering), per-vector argmin assignment,
-    * per-query nProbe nearest cells, exact cosine + top-k within the
-    * probed cells. Assignment and probe both rank by (r6 dist2, cell),
-    * mirroring withCell's struct-min / array_sort tie rule.
+  /** D4: IVF probe-limited exact search — Lloyd-TRAINED coarse centers
+    * (lloydChainCtes, TrainRounds rounds from the ckey seed — r10),
+    * per-vector argmin assignment, per-query nProbe nearest cells,
+    * exact cosine + top-k within the probed cells. Assignment and
+    * probe both rank by (r6 dist2, cell), mirroring withCell's
+    * struct-min / array_sort tie rule.
     */
   def annIvf(nQueries: Int, k: Int, nCells: Int, nProbe: Int): String = {
-    val ckey = "('0x'||substr(md5('centroid:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT"
     s"""WITH $normCte,
-       |ccent AS (SELECT v AS cv, n2 AS c2,
-       |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
-       |  FROM n ORDER BY $ckey, vec_id LIMIT $nCells),
+       |${lloydChainCtes(nCells, TrainRounds, "ccent", "ic")},
        |cd AS (SELECT n.vec_id, ccent.cell,
        |  floor((n.n2 - 2*list_reduce([n.v[i]*ccent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + ccent.c2)*1000000 + 0.5)/1000000 AS dist2_r
        |  FROM n, ccent),
@@ -1390,15 +1459,12 @@ object OracleSqlGen {
 
   private def ivfAdcBody(nQueries: Int, m: Int, dsub: Int,
       nCodes: Int, nCells: Int, nProbe: Int): String = {
-    val ckey = "('0x'||substr(md5('centroid:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT"
     val cvSlice = s"list_slice(pcent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"
+    // both quantizers Lloyd-trained (r10) — distinct chains (the
+    // registered params may differ in center count)
     s"""$normCte,
-       |ccent AS (SELECT v AS cv, n2 AS c2,
-       |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
-       |  FROM n ORDER BY $ckey, vec_id LIMIT $nCells),
-       |pcent AS (SELECT v AS cv, n2 AS c2,
-       |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
-       |  FROM n ORDER BY $ckey, vec_id LIMIT $nCodes),
+       |${lloydChainCtes(nCells, TrainRounds, "ccent", "ia")},
+       |${lloydChainCtes(nCodes, TrainRounds, "pcent", "ip")},
        |cd AS (SELECT n.vec_id, ccent.cell,
        |  floor((n.n2 - 2*list_reduce([n.v[i]*ccent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + ccent.c2)*1000000 + 0.5)/1000000 AS dist2_r
        |  FROM n, ccent),

@@ -191,6 +191,7 @@ object SparkEntry {
     "emb_kmeans_assign"    -> q(Similarity.embKmeansAssign(_, ordered = true)),
     "emb_kmeans_update"    -> q(Similarity.embKmeansUpdate(_, ordered = true)),
     "emb_kmeans_reassign"  -> q(Similarity.embKmeansReassign(_, ordered = true)),
+    "emb_kmeans_train_curve" -> q(Similarity.embKmeansTrainCurve(_, ordered = true)),
     "emb_cluster_purity"   -> q(Similarity.embClusterPurity(_, ordered = true)),
     "emb_dim_stats"        -> q(Similarity.embDimStats(_, ordered = true)),
     "emb_covariance"       -> q(Similarity.embCovariance(_, ordered = true)),
@@ -307,6 +308,7 @@ object SparkEntry {
     "ev_burst_windows"     -> q(EventOps.evBurstWindows(_)),
     "ev_burst_impact"      -> q(EventOps.evBurstImpact(_)),
     "q_distinct_kmv"       -> q(Analytics.qDistinctKmv(_)),
+    "q_quantile_sample"    -> q(Analytics.qQuantileSample(_)),
     "q_distinct_bitmap"    -> q(Analytics.qDistinctBitmap),
     "q_important_stock"    -> q(Analytics.qImportantStock(_)),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
@@ -635,6 +637,28 @@ object SparkEntry {
         |  CAST(ex.n_exact AS BIGINT) AS n_exact
         |FROM kept k JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // the bottom-k row sample is deterministic (h, v) order statistics
+    // over md5_60 of the unique line key, and the quantiles are PICKED
+    // sample elements (nearest rank, never interpolated) — bit-exact
+    // on both engines; the portable counterpart to B24's rows-only
+    // approx_percentile
+    "q_quantile_sample" ->
+      """WITH p AS (SELECT DISTINCT l_returnflag,
+        |  ('0x'||substr(md5('qsample:'||CAST(l_orderkey AS VARCHAR)||':'||CAST(l_linenumber AS VARCHAR)),1,15))::BIGINT AS hv,
+        |  l_extendedprice AS x FROM lineitem),
+        |r AS (SELECT l_returnflag, x,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv, x) AS rn FROM p),
+        |s AS (SELECT l_returnflag, list(x ORDER BY x) AS sv,
+        |  COUNT(*) AS n_sample FROM r WHERE rn <= 256 GROUP BY 1),
+        |n AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1)
+        |SELECT n.l_returnflag, n.n_rows, CAST(s.n_sample AS BIGINT) AS n_sample,
+        |  sv[CAST(floor(0.25*CAST(n_sample - 1 AS DOUBLE)+0.5) AS INTEGER)+1] AS q25,
+        |  sv[CAST(floor(0.50*CAST(n_sample - 1 AS DOUBLE)+0.5) AS INTEGER)+1] AS q50,
+        |  sv[CAST(floor(0.75*CAST(n_sample - 1 AS DOUBLE)+0.5) AS INTEGER)+1] AS q75,
+        |  sv[CAST(floor(0.90*CAST(n_sample - 1 AS DOUBLE)+0.5) AS INTEGER)+1] AS q90
+        |FROM n JOIN s USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     // the bitmap-distinct card is EXACT, so the oracle is plain
     // COUNT(DISTINCT ...) arithmetic — word index = id // 64 matches
@@ -1853,6 +1877,7 @@ object SparkEntry {
     "emb_kmeans_assign"     -> OracleSqlGen.embKmeansAssign(8),
     "emb_kmeans_update"     -> OracleSqlGen.embKmeansUpdate(8),
     "emb_kmeans_reassign"   -> OracleSqlGen.embKmeansReassign(8),
+    "emb_kmeans_train_curve" -> OracleSqlGen.embKmeansTrainCurve(8, 4),
     "emb_cluster_purity"    -> OracleSqlGen.embClusterPurity(8),
     "emb_dim_stats"         -> OracleSqlGen.embDimStats,
     "emb_covariance"        -> OracleSqlGen.embCovariance,

@@ -1592,5 +1592,49 @@ object Analytics {
     rungs.reduce(_ unionByName _).orderBy($("top_pct"))
   }
 
+  /** B62: portable QUANTILE sketch card — per-returnflag price
+    * quantiles off a deterministic bottom-k ROW sample
+    * ([[graft.functions.BottomKSample]]): the k lexicographically
+    * smallest (md5_60(order:line), price) pairs are a simple random
+    * k-row sample any engine reproduces exactly, and the quantiles
+    * are PICKED sample order statistics (nearest rank, never
+    * interpolated) — so unlike B24's engine-private
+    * `approx_percentile` this sketch is oracle-gated bit-for-bit.
+    * Completes the portable sketch suite: B47 KMV (distinct), B48 CMS
+    * (heavy hitters), B59 HLL (cardinality), B62 (quantiles).
+    *
+    * Scale shape: ONE map-side-combined aggregate; the shuffle
+    * carries ≤k pairs per (group, partition) — never rows (exact
+    * percentile shuffles and sorts the whole fact table per group).
+    * DKW bound at k=256: rank error > 0.1 with prob ~1.2%
+    * (SketchSpec pins the corpus inside it, plus merge ≡ one-pass).
+    */
+  def qQuantileSample(t: Tables, k: Int = 256): DataFrame = {
+    val bks = udaf(graft.functions.BottomKSample(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    val pick = (sv: Column, m: Column, p: Double) =>
+      element_at(sv, (floor(lit(p) * (m - 1).cast("double") + 0.5) + 1)
+        .cast("int"))
+    t.lineitem
+      .select($("l_returnflag"),
+        graft.functions.Hashing.md5_60(concat(lit("qsample:"),
+          $("l_orderkey").cast("string"), lit(":"),
+          $("l_linenumber").cast("string"))).as("hv"),
+        $("l_extendedprice").as("x"))
+      .groupBy($("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), bks($("hv"), $("x")).as("sample"))
+      .select($("l_returnflag"), $("n_rows"),
+        size($("sample")).cast("long").as("n_sample"),
+        sort_array($("sample")).as("sv"))
+      .select($("l_returnflag"), $("n_rows"), $("n_sample"),
+        pick($("sv"), $("n_sample"), 0.25).as("q25"),
+        pick($("sv"), $("n_sample"), 0.50).as("q50"),
+        pick($("sv"), $("n_sample"), 0.75).as("q75"),
+        pick($("sv"), $("n_sample"), 0.90).as("q90"))
+      .orderBy($("l_returnflag"))
+  }
+
   private def $(name: String): Column = col(name)
 }

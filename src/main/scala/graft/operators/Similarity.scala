@@ -177,12 +177,13 @@ object Similarity {
     * the corpus is partitioned by cell id (per-cell parquet
     * partitions — G12's writeEmbeddingsByCell layout), so a query
     * touches nProbe/nCells of the data; the quantizer is a persisted
-    * offline artifact (G15), stood in for here by the seeded
-    * hash-selected center set the whole D7/D10/D11 family shares —
-    * which also makes this operator DuckDB-oracle-gateable (the r8
-    * verdict item: the previous MLlib-k-means quantizer was the only
-    * reason D4 was rows-only; Lloyd training itself is still
-    * first-class via D7/D20/D21).
+    * offline artifact (G15) — since r10 the Lloyd-TRAINED center set
+    * ([[lloydTrain]], TrainRounds rounds from the seeded hash
+    * selection) the whole deploy arc (D9/D10/D11/G12/G15) shares; the
+    * oracle unrolls the identical training rounds as chained CTEs, so
+    * D4 stays fully DuckDB-oracle-gateable (the r8 verdict item; the
+    * single-step pedagogy stays first-class via D7/D20/D21 on the
+    * seed).
     *
     * Scale shape: cell assignment is withCell's literal-centers narrow
     * pass (no shuffle, no join); per-query probe cells come from an
@@ -194,7 +195,7 @@ object Similarity {
     */
   def annIvf(t: Tables, nQueries: Int = 8, k: Int = 3,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val coarse = hashCenters(t, nCells)
+    val coarse = trainedCenters(t, nCells) // Lloyd-trained (r10), not the seed
     val assigned = withCell(withNorm(t.embeddings), coarse)
       .select(col("vec_id"), col("v"), col("n2"), col("cell"))
     val cellCands = coarse.map { case (cell, cv, c2) =>
@@ -274,6 +275,104 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1), r.getDouble(2)) }
+  }
+
+  /** Rounds the deploy-arc quantizer (D4/D9/D10/D11/G12/G15) trains
+    * for — small and fixed so every consumer and every oracle agrees;
+    * the error-vs-rounds card (D45) is the evidence for the choice.
+    */
+  val TrainRounds: Int = 2
+
+  /** Distributed Lloyd k-means to a BOUNDED number of rounds — the
+    * real training loop behind the deploy-arc quantizer (r9 verdict
+    * item 7; hashCenters alone is just the seed). Per round: (1)
+    * assignment is withCell's shuffle-free literal-centers pass, (2)
+    * the update is ONE (cell, dim)-keyed aggregate over the ×dim
+    * narrow explode — exact integer sums on the 1e-6 micro lattice
+    * (D20's relation), (3) the nCenters×dim mean rows collect to the
+    * driver (BOUNDED artifact — this is the train-once/broadcast-as-
+    * literals convention, never corpus data) and re-literalize as the
+    * next round's centers. Cells left empty keep their previous
+    * center (the COALESCE rule the oracle mirrors). Per-round cost at
+    * 100 TB: one map pass + one nCenters·dim-row aggregate — Lloyd's
+    * textbook distributed form.
+    *
+    * Returns the final centers plus one LAZY 1-row stats DataFrame
+    * per round (n, SSE, mean dist² of the round's incoming
+    * assignment) — [[embKmeansTrainCurve]] unions them into the
+    * error-vs-rounds card; SSE is non-increasing round over round
+    * (Lloyd's monotonicity, up to the 1e-6 center rounding —
+    * spec-pinned on the corpus).
+    */
+  private[graft] def lloydTrain(t: Tables, nCenters: Int, rounds: Int):
+      (Array[(Int, Seq[Double], Double)], Seq[DataFrame]) = {
+    val e = withNorm(t.embeddings)
+    var centers = hashCenters(t, nCenters)
+    val stats = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val asg = withCell(e, centers)
+      val sse = sum(col("dist2_r").cast(DecimalType(18, 6))).cast("double")
+      stats += asg.agg(count(lit(1)).as("n_vectors"), sse.as("sse_d"))
+        .select(lit(r.toLong).as("round"), col("n_vectors"),
+          r6(col("sse_d")).as("sse_r"),
+          r6(col("sse_d") / col("n_vectors").cast("double")).as("mean_dist2_r"))
+      val upd = asg
+        .select(col("cell"),
+          expr("transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))").as("vm"))
+        .select(col("cell"), posexplode(col("vm")).as(Seq("dim", "xm")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("xm")).as("s"), count(lit(1)).as("n"))
+        .collect() // nCenters × dim rows — bounded artifact
+      val byCell: Map[Long, Seq[Double]] = upd
+        .map(row => (row.getLong(0), row.getInt(1),
+          // same division order as the oracle: (Σxm / n) / 1e6, then r6
+          math.floor(row.getLong(2).toDouble / row.getLong(3).toDouble /
+            1e6 * 1e6 + 0.5) / 1e6))
+        .groupBy(_._1)
+        .map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3).toSeq }
+      centers = centers.map { case (cell, cv, c2) =>
+        byCell.get(cell.toLong) match {
+          case Some(cv2) =>
+            // c2 = left-fold sum of squares — the oracle's list_reduce
+            (cell, cv2, cv2.foldLeft(0.0)((a, x) => a + x * x))
+          case None => (cell, cv, c2) // empty cell: keep previous center
+        }
+      }
+    }
+    (centers, stats.result())
+  }
+
+  private val trainedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+      Array[(Int, Seq[Double], Double)]]()
+
+  /** The Lloyd-trained quantizer the deploy arc consumes (memoized per
+    * (table dir, nCenters, rounds) — training is deterministic, so one
+    * JVM trains each configuration once; the single-step pedagogy
+    * cards D7/D20/D21 and the prefix-law tuning sweeps D37/D44 stay on
+    * the seed centers by design — hashCenters(n) ⊂ hashCenters(2n)
+    * does not survive training).
+    */
+  private[graft] def trainedCenters(t: Tables, nCenters: Int,
+      rounds: Int = TrainRounds): Array[(Int, Seq[Double], Double)] =
+    trainedCache.computeIfAbsent((t.dir, nCenters, rounds),
+      _ => lloydTrain(t, nCenters, rounds)._1)
+
+  /** D45: the quantization-error-vs-rounds TRAINING curve — per Lloyd
+    * round, the incoming assignment's n / SSE / mean dist² (round 1 =
+    * the seed's error; the curve is the evidence that training the
+    * G15 artifact buys real reconstruction quality and that
+    * TrainRounds rounds suffice). Non-increasing by Lloyd's
+    * monotonicity argument (each assignment is pointwise optimal vs
+    * the incoming centers; each update is the cell-wise L2 minimizer),
+    * exact up to the 1e-6 center-lattice rounding; the spec pins the
+    * measured decrease. Cost: rounds × (one narrow corpus pass + one
+    * nCenters·dim aggregate) — the training loop itself IS the card.
+    */
+  def embKmeansTrainCurve(t: Tables, nCenters: Int = 8, rounds: Int = 4,
+      ordered: Boolean = false): DataFrame = {
+    val (_, stats) = lloydTrain(t, nCenters, rounds)
+    maybeSort(stats.reduce(_ unionByName _), ordered)(col("round"))
   }
 
   /** Adds a `cell` + `dist2_r` column: nearest (squared L2, 6dp-rounded,
@@ -741,7 +840,7 @@ object Similarity {
     */
   def annPqAdc(t: Tables, nQueries: Int = 8, k: Int = 5,
       m: Int = 8, nCodes: Int = 8): DataFrame =
-    annPqAdcWith(t, hashCenters(t, nCodes), nQueries, k, m)
+    annPqAdcWith(t, trainedCenters(t, nCodes), nQueries, k, m)
 
   /** D9 off an externally trained/loaded quantizer (e.g.
     * [[graft.sources.Sinks.readQuantizer]]) — the deploy shape:
@@ -807,8 +906,8 @@ object Similarity {
     */
   def annIvfAdc(t: Tables, nQueries: Int = 8, k: Int = 5, m: Int = 8,
       nCodes: Int = 8, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val coarse = hashCenters(t, nCells)
-    val pq = hashCenters(t, nCodes)
+    val coarse = trainedCenters(t, nCells)
+    val pq = trainedCenters(t, nCodes)
     val dsub = pq.head._2.length / m
     // corpus: coarse cell + PQ codes, one pass
     val codes = pqCodesOf(withCell(withNorm(t.embeddings), coarse), pq, m,
@@ -1903,7 +2002,7 @@ object Similarity {
     * EITHER slice's sign pattern connect, which is how NSW-style
     * graphs buy global connectivity without all-pairs work.
     */
-  private def knnEdgesMulti(t: Tables, kPerTable: Int, bits: Int,
+  private[graft] def knnEdgesMulti(t: Tables, kPerTable: Int, bits: Int,
       nTables: Int, bucketCap: Int): DataFrame = {
     val e = withNorm(t.embeddings)
     val postings = e.select(col("vec_id"), col("v"), col("n2"),

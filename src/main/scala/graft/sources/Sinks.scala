@@ -175,7 +175,7 @@ object Sinks {
     */
   def writeEmbeddingsByCell(t: Tables, path: String, nCells: Int = 8): Unit =
     writeEmbeddingsByCellWith(t, path,
-      graft.operators.Similarity.hashCenters(t, nCells))
+      graft.operators.Similarity.trainedCenters(t, nCells))
 
   /** G12 off a persisted quantizer artifact (see [[writeQuantizer]]):
     * the cell layout and every query that probes it must agree on the
@@ -205,10 +205,12 @@ object Sinks {
     * sub-codebooks are subvector slices of these centers, so one
     * artifact covers the whole family.
     */
-  def writeQuantizer(t: Tables, path: String, nCenters: Int = 8): Unit = {
+  def writeQuantizer(t: Tables, path: String, nCenters: Int = 8,
+      rounds: Int = graft.operators.Similarity.TrainRounds): Unit = {
     val spark = t.spark
     import spark.implicits._
-    graft.operators.Similarity.hashCenters(t, nCenters).toSeq
+    // Lloyd-TRAINED centers (r10) — rounds = 0 recovers the raw seed
+    graft.operators.Similarity.trainedCenters(t, nCenters, rounds).toSeq
       .toDF("cell", "center", "c2")
       .coalesce(1) // nCenters rows — one file
       .write.mode(SaveMode.Overwrite).parquet(path)

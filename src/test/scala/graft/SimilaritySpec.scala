@@ -259,11 +259,13 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.map(_._2).sorted.toSeq == (1L to rs.length), s"query $q ranks dense")
       assert(!rs.exists(_._3 == q), s"query $q must not match itself")
     }
-    // driver recompute of one (query, candidate) ADC distance from codes
-    val codes = Similarity.embPqCodes(tables, m, nCodes).collect()
+    // driver recompute of one (query, candidate) ADC distance from
+    // codes — D9 rides the Lloyd-TRAINED codebook (r10), so the
+    // recompute derives codes and centers from the same trained set
+    val centers = Similarity.trainedCenters(tables, nCodes)
+    val codes = Similarity.embPqCodesWith(tables, centers, m, ordered = false).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     val (q, _, cand, got) = adc.head
-    val centers = Similarity.hashCenters(tables, nCodes)
     val dsub = centers.head._2.length / m
     val qv = Similarity.withNorm(tables.embeddings)
       .filter(org.apache.spark.sql.functions.col("vec_id") === q)
@@ -321,9 +323,15 @@ class SimilaritySpec extends SparkSpec {
     val adc = Similarity.annPqAdc(tables).collect().map(_.toSeq)
     assert(full.toSeq == adc.toSeq, "nProbe == nCells must equal unrestricted ADC")
     // pruned: every reported neighbor's cell is one of its query's
-    // nProbe nearest cells (recompute the probe set from D7 output)
-    val cells = Similarity.embKmeansAssign(tables, nCenters = 16).collect()
-      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // nProbe nearest cells — assignment recomputed with the TRAINED
+    // coarse centers D10 actually uses (D7's card is the seed set)
+    val cells = Similarity
+      .withCell(Similarity.withNorm(tables.embeddings),
+        Similarity.trainedCenters(tables, 16))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("cell"),
+        org.apache.spark.sql.functions.col("dist2_r")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val pruned = Similarity.annIvfAdc(tables, nProbe = 4).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(pruned.nonEmpty, "pruned search must still find neighbors")
@@ -532,10 +540,12 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.values.sum == total,
       s"reached + unreached must partition the corpus: ${rows.values.sum} vs $total")
     assert(rows(0L) == 1L, "hop 0 is exactly the entry vertex")
+    // out-degree of the multi-table union graph is at most
+    // kGraph × nTables = 12 (per-table top-k edges, deduped union)
     (1L to 6L).foreach { h =>
       val prev = rows.getOrElse(h - 1, 0L); val cur = rows.getOrElse(h, 0L)
-      assert(cur <= 3 * prev,
-        s"layer $h has $cur vertices > k*|layer ${h - 1}| = ${3 * prev} — BFS expanded beyond the graph's out-degree")
+      assert(cur <= 12 * prev,
+        s"layer $h has $cur vertices > k·nTables·|layer ${h - 1}| = ${12 * prev} — BFS expanded beyond the graph's out-degree")
     }
   }
 
@@ -586,9 +596,12 @@ class SimilaritySpec extends SparkSpec {
         s"query $q: deeper search must never lose the best found (r1=${b1(q)} r3=$s3)")
     }
     // the answer set is visited vertices only — all must be reachable
-    // within `rounds` hops of the entry vertex along kNN edges
-    val edges = Similarity.annKnnGraph(tables).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    // within `rounds` hops of the entry vertex along the CONNECTED
+    // multi-table edge union D41 now searches (r10; the D14
+    // single-table graph is the D42b fragmentation probe)
+    val edges = Similarity.knnEdgesMulti(tables, 3, 8, 4, 128)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
     val entry = tables.embeddings.agg(org.apache.spark.sql.functions.min("vec_id"))
       .collect()(0).getLong(0)
     var reach = Set(entry)
@@ -597,5 +610,25 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getLong(2)).toSet
     assert(answered.subsetOf(reach),
       s"answers must lie in the ${reach.size}-vertex reachable set; got ${answered -- reach}")
+  }
+
+  test("lloyd training: SSE non-increasing per round; trained centers beat the seed and move off it") {
+    val rounds = 4
+    val curve = Similarity.embKmeansTrainCurve(tables, nCenters = 8, rounds = rounds, ordered = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(curve.map(_._1).toSeq == (1L to rounds), "one row per round")
+    val n = tables.embeddings.count()
+    assert(curve.forall(_._2 == n), "every round assigns the whole corpus")
+    curve.sliding(2).foreach { w =>
+      assert(w(1)._3 <= w(0)._3 + 1e-6,
+        s"Lloyd SSE must not increase: round ${w(0)._1}=${w(0)._3} -> round ${w(1)._1}=${w(1)._3}")
+    }
+    assert(curve.last._3 < curve.head._3,
+      "training must actually reduce SSE vs the seed on this corpus")
+    // the deploy-arc centers are the trained set, memoized deterministically
+    val t1 = Similarity.trainedCenters(tables, 8)
+    assert(t1.toSeq == Similarity.trainedCenters(tables, 8).toSeq)
+    assert(t1.map(_._1).toSeq == Similarity.hashCenters(tables, 8).map(_._1).toSeq,
+      "cell ids stable through training")
   }
 }

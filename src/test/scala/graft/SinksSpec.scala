@@ -116,7 +116,11 @@ class SinksSpec extends SparkSpec {
     // those cells and (b) prune the other cell directories at the scan
     val probe = spark.read.parquet(dir.getAbsolutePath)
       .filter(col("cell").isin(0, 1))
-    val assigned = graft.operators.Similarity.embKmeansAssign(tables, nCenters = 4)
+    // the layout rides the Lloyd-TRAINED quantizer (r10) — recompute
+    // the expected assignment with the same trained set, not D7's seed
+    val assigned = graft.operators.Similarity
+      .withCell(graft.operators.Similarity.withNorm(tables.embeddings),
+        graft.operators.Similarity.trainedCenters(tables, 4))
       .filter(col("cell") < 2).count()
     assert(probe.count() == assigned, "probe must return exactly the 2 cells' vectors")
     val plan = probe.queryExecution.executedPlan.toString
@@ -130,22 +134,28 @@ class SinksSpec extends SparkSpec {
     val qdir = Files.createTempDirectory("quantizer").toFile
     Sinks.writeQuantizer(tables, qdir.getAbsolutePath, nCenters = 8)
     val loaded = Sinks.readQuantizer(spark, qdir.getAbsolutePath)
-    val derived = Similarity.hashCenters(tables, 8)
+    // G15 persists the Lloyd-TRAINED centers (r10), not the raw seed
+    val derived = Similarity.trainedCenters(tables, 8)
     assert(loaded.toSeq == derived.toSeq, "persisted centers must round-trip bit-exactly")
+    assert(loaded.toSeq != Similarity.hashCenters(tables, 8).toSeq,
+      "trained centers must actually move off the seed")
     // D9 off the loaded artifact == D9 re-deriving per query
     val fromArtifact = Similarity.annPqAdcWith(tables, loaded).collect().map(_.toSeq)
     val rederived = Similarity.annPqAdc(tables).collect().map(_.toSeq)
     assert(fromArtifact.toSeq == rederived.toSeq, "ADC off the saved codebook diverged")
-    // G12 cell layout off the artifact: same assignment as the
-    // nCells-derived layout (both consumers read one source of truth)
+    // G12 cell layout off the artifact: same assignment as assigning
+    // with the loaded centers directly (one source of truth; D7's
+    // seed-center card is a different — pedagogical — quantizer)
     val dir = Files.createTempDirectory("emb_cells_q").toFile
     Sinks.writeEmbeddingsByCell(tables, dir.getAbsolutePath, qdir.getAbsolutePath)
     val laidOut = spark.read.parquet(dir.getAbsolutePath)
       .select(col("vec_id"), col("cell").cast("long")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val assigned = Similarity.embKmeansAssign(tables, nCenters = 8).collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(laidOut == assigned, "cell layout off the artifact diverged from D7 assignment")
+    val assigned = Similarity
+      .withCell(Similarity.withNorm(tables.embeddings), loaded)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(laidOut == assigned, "cell layout off the artifact diverged from its own centers' assignment")
   }
 
   test("sq8 bounds artifact: bit-exact round trip; codes and search off the artifact equal the in-query path") {

@@ -182,4 +182,50 @@ class SketchSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(4))).sorted.toSeq
     assert(estM == estD, "merged-shard estimate must be bit-identical to direct")
   }
+
+  test("bottom-k sample: merge(splits) == reduce(whole); exact below k; sample quantiles within the DKW rank bound") {
+    import graft.functions.BottomKSample
+    val k = 256
+    val s = BottomKSample(k)
+    // deterministic pseudo-hash population with value payloads and
+    // duplicate (h, v) pairs (rejected) + hash ties with distinct v (kept)
+    val pairs = (0 until 5000).map { i =>
+      val h = ((i * 2654435761L) % 1500) * 384307168202282325L & Long.MaxValue
+      (h, (i % 7).toDouble)
+    }
+    def reduceAll(xs: Seq[(Long, Double)]) = xs.foldLeft(s.zero)(s.reduce)
+    val whole = reduceAll(pairs)
+    val (l, r) = pairs.splitAt(pairs.size / 3)
+    val merged = s.merge(reduceAll(l), reduceAll(r))
+    assert(java.util.Arrays.equals(whole._1, merged._1) &&
+      java.util.Arrays.equals(whole._2, merged._2),
+      "merge of splits must equal one-pass reduce")
+    assert(whole._1.length == k, "state capped at k pairs")
+    val zipped = whole._1.zip(whole._2)
+    assert(zipped.sorted.sameElements(zipped), "pairs sorted by (h, v)")
+    assert(zipped.distinct.length == k, "kept pairs are distinct")
+    // exact below k: fewer than k distinct pairs keeps them all
+    val small = reduceAll(pairs.take(50))
+    assert(small._1.length == pairs.take(50).distinct.size)
+    // rank accuracy on the corpus: each reported sample quantile's
+    // TRUE rank must sit within the DKW eps = sqrt(ln(2/0.01)/(2k))
+    // (~0.1 at k=256) of its target — the statistics the oracle's
+    // bit-equality can't see
+    val eps = math.sqrt(math.log(2.0 / 0.01) / (2.0 * k))
+    val rows = Analytics.qQuantileSample(tables, k).collect()
+    assert(rows.nonEmpty)
+    val prices = tables.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(collect_list(col("l_extendedprice")).as("xs")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).sorted).toMap
+    rows.foreach { row =>
+      val xs = prices(row.getString(0))
+      Seq(0.25 -> 3, 0.50 -> 4, 0.75 -> 5, 0.90 -> 6).foreach { case (p, idx) =>
+        val v = row.getDouble(idx)
+        val rank = xs.count(_ <= v).toDouble / xs.length
+        assert(math.abs(rank - p) <= eps,
+          s"${row.getString(0)} p=$p: sample value $v has true rank $rank (eps $eps)")
+      }
+    }
+  }
 }
