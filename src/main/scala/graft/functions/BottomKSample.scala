@@ -111,3 +111,24 @@ final case class BottomKSample(k: Int)
   override def outputEncoder: Encoder[Array[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
 }
+
+/** [[BottomKSample]] finishing with the (hash, value) PAIRS instead of
+  * the values alone — the shape the G25 sample-shard artifact persists
+  * (shards stay mergeable only while the hashes travel with the
+  * values; the quantile consumer drops them at read time).
+  */
+final case class BottomKPairs(k: Int)
+    extends Aggregator[(Long, Double), (Array[Long], Array[Double]), Seq[(Long, Double)]] {
+  private val s = BottomKSample(k)
+  override def zero: (Array[Long], Array[Double]) = s.zero
+  override def reduce(b: (Array[Long], Array[Double]),
+      in: (Long, Double)): (Array[Long], Array[Double]) = s.reduce(b, in)
+  override def merge(a: (Array[Long], Array[Double]),
+      b: (Array[Long], Array[Double])): (Array[Long], Array[Double]) = s.merge(a, b)
+  override def finish(r: (Array[Long], Array[Double])): Seq[(Long, Double)] =
+    r._1.zip(r._2).toSeq
+  override def bufferEncoder: Encoder[(Array[Long], Array[Double])] =
+    s.bufferEncoder
+  override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+}

@@ -10,6 +10,11 @@ import java.time.Instant
   */
 final case class Ev(event_id: Long, ts: Instant, user_id: Long, event_type: String)
 
+/** [[Ev]] carrying the numeric `value` column — the input shape for
+  * streaming operators that sketch a measure (quantile sample). */
+final case class EvVal(event_id: Long, ts: Instant, user_id: Long,
+    event_type: String, value: Double)
+
 final case class EmittedEv(key: String, ts: Instant, event_id: Long)
 
 /** A document arriving on an incremental-ingest stream (the streaming

@@ -448,4 +448,57 @@ object Sinks {
     * no corpus access. */
   def hllEstimate(regs: DataFrame): DataFrame =
     graft.operators.Analytics.hllCard(regs)
+
+  /** G25: persist a B62 bottom-k SAMPLE shard — the cross-run quantile
+    * artifact (the fourth mergeable-summary sink next to G22 KMV, G24
+    * HLL registers, G15 quantizer centers). Each ingest run writes its
+    * ≤ k·#groups (hash, value) pairs here; a later reader merges
+    * shards ([[mergeSampleShards]]) into the union corpus's sample —
+    * quantiles over ANY past run combination without rescanning a
+    * row. Expected schema: (group key column, `pairs`
+    * array<struct<h: bigint, v: double>>).
+    */
+  def writeSampleShards(samples: DataFrame, path: String): Unit =
+    samples.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  def readSampleShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** Merge two sample-shard relations per group: the k
+    * lexicographically-smallest distinct (h, v) pairs of the union —
+    * semantically identical to BottomKSample.merge, expressed in
+    * NATIVE array functions (array_sort on struct arrays orders by
+    * fields left-to-right = the (h, v) pair order), so merging N runs
+    * is a full-outer-join chain of #groups-row relations.
+    */
+  def mergeSampleShards(a: DataFrame, b: DataFrame, k: Int,
+      key: String = "event_type"): DataFrame = {
+    val empty = array().cast("array<struct<h: bigint, v: double>>")
+    a.select(col(key), col("pairs").as("pa"))
+      .join(b.select(col(key), col("pairs").as("pb")), Seq(key), "full_outer")
+      .select(col(key),
+        slice(array_sort(array_distinct(concat(
+          coalesce(col("pa"), empty), coalesce(col("pb"), empty)))), 1, k)
+          .as("pairs"))
+  }
+
+  /** The B62 quantile card off a (possibly merged) sample-shard
+    * relation alone — no corpus access; same nearest-rank pick
+    * arithmetic as the batch card.
+    */
+  def sampleQuantiles(shards: DataFrame,
+      key: String = "event_type"): DataFrame = {
+    val pick = (sv: org.apache.spark.sql.Column,
+        m: org.apache.spark.sql.Column, p: Double) =>
+      element_at(sv, (floor(lit(p) * (m - 1).cast("double") + 0.5) + 1)
+        .cast("int"))
+    shards
+      .select(col(key), size(col("pairs")).cast("long").as("n_sample"),
+        array_sort(transform(col("pairs"), s => s.getField("v"))).as("sv"))
+      .select(col(key), col("n_sample"),
+        pick(col("sv"), col("n_sample"), 0.25).as("q25"),
+        pick(col("sv"), col("n_sample"), 0.50).as("q50"),
+        pick(col("sv"), col("n_sample"), 0.75).as("q75"),
+        pick(col("sv"), col("n_sample"), 0.90).as("q90"))
+  }
 }

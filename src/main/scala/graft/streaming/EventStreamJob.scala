@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.model.{EmittedEv, Ev}
+import graft.model.{EmittedEv, Ev, EvVal}
 
 /** Structured-Streaming re-expression of the reference pipeline
   * (SURVEY §2.A12–A15): watch stream → TTL-cache dedup → JSON to sink,
@@ -471,6 +471,47 @@ object EventStreamJob {
             else (k - 1).toDouble * 1152921504606846976.0d / cur.last.toDouble
           Iterator.single(KmvEstimate(ty, cur.length.toLong,
             math.floor(est * 1e6 + 0.5) / 1e6))
+      }
+  }
+
+  final case class QuantileSample(event_type: String, n_sample: Long,
+      q25: Double, q50: Double, q75: Double, q90: Double)
+
+  /** A85 (B62 online): streaming VALUE-quantile estimate per type via
+    * the portable bottom-k row sample — state per group is the ≤k
+    * sorted (md5_60(event_id), value) pair buffer
+    * ([[graft.functions.BottomKSample]] shared with the batch card),
+    * quantiles are PICKED sample order statistics (nearest rank,
+    * never interpolated). Because "the k smallest distinct pairs" is
+    * a set property, the stream's sample — and hence every emitted
+    * quantile — equals the batch computation BIT-FOR-BIT under any
+    * batching or arrival order (StreamingSpec feeds reverse-time
+    * batches), and the same pairs are what G25's sample-shard sink
+    * persists for cross-run merge. Emits the running card per type
+    * per micro-batch (Update mode).
+    */
+  def streamEvQuantileSample(events: Dataset[EvVal],
+      k: Int = 256): Dataset[QuantileSample] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val s = graft.functions.BottomKSample(k)
+    events
+      .map(e => (e.event_type,
+        graft.functions.Hashing.md5_60Jvm("qsample:" + e.event_id), e.value))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (ty: String, it: Iterator[(String, Long, Double)],
+            state: GroupState[(Array[Long], Array[Double])]) =>
+          val cur = it.foldLeft(state.getOption.getOrElse(s.zero)) {
+            (b, r) => s.reduce(b, (r._2, r._3))
+          }
+          state.update(cur)
+          val sv = cur._2.sorted
+          val m = sv.length
+          def pick(p: Double): Double =
+            sv(math.floor(p * (m - 1).toDouble + 0.5).toInt)
+          Iterator.single(QuantileSample(ty, m.toLong,
+            pick(0.25), pick(0.50), pick(0.75), pick(0.90)))
       }
   }
 

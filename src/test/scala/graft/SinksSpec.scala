@@ -396,6 +396,39 @@ class SinksSpec extends SparkSpec {
         s"diff keys: ${(whole.keySet ++ merged.keySet).filter(kk => whole.get(kk) != merged.get(kk)).take(2)}")
   }
 
+  test("sample shard artifact: merged half-corpus samples == whole-corpus sample at pair and quantile level") {
+    val k = 64
+    val bkp = udaf(graft.functions.BottomKPairs(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    val ev = tables.events.select(col("event_type"), col("event_id"),
+      graft.functions.Hashing.md5_60(
+        concat(lit("qsample:"), col("event_id").cast("string"))).as("hv"),
+      col("value").as("x"))
+    def shard(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type")).agg(bkp(col("hv"), col("x")).as("raw"))
+        .select(col("event_type"), transform(col("raw"),
+          s => struct(s.getField("_1").as("h"), s.getField("_2").as("v")))
+          .as("pairs"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getDouble(1))).toSeq).toMap
+    val whole = pairsOf(shard(ev))
+    val d1 = Files.createTempDirectory("qs1").toString
+    val d2 = Files.createTempDirectory("qs2").toString
+    Sinks.writeSampleShards(shard(ev.filter(pmod(col("event_id"), lit(2)) === 0)), d1)
+    Sinks.writeSampleShards(shard(ev.filter(pmod(col("event_id"), lit(2)) === 1)), d2)
+    val merged = Sinks.mergeSampleShards(
+      Sinks.readSampleShards(spark, d1), Sinks.readSampleShards(spark, d2), k)
+    assert(pairsOf(merged) == whole,
+      "merged shard samples must equal the whole-corpus sample pair-for-pair")
+    // quantile card off the merged artifact == card off the direct sample
+    val qm = Sinks.sampleQuantiles(merged).collect().map(_.toSeq).sortBy(_.head.toString)
+    val qd = Sinks.sampleQuantiles(shard(ev)).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(qm.toSeq == qd.toSeq, "quantiles off merged shards diverged from direct")
+  }
+
   test("chunk store: dedup storage round-trips every document byte-exactly") {
     val dir = Files.createTempDirectory("chunkstore").toString
     Sinks.writeChunkStore(tables, dir)

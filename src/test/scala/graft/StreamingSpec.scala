@@ -932,6 +932,58 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+  test("streaming bottom-k quantile sample == batch aggregator bit-for-bit under reverse-order batching") {
+    import spark.implicits._
+    import graft.model.EvVal
+    implicit val sqlCtx = spark.sqlContext
+    val k = 64 // small enough that the sample actually churns per batch
+    val input = MemoryStream[EvVal]
+    val out = EventStreamJob.streamEvQuantileSample(input.toDS(), k)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("qsample_out").start()
+    try {
+      val evs = tables.events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EvVal].collect().toSeq.sortBy(e => (e.ts.toEpochMilli, e.event_id))
+      // reverse-time micro-batches: the sample is a set property, so
+      // batching and arrival order must not matter
+      evs.reverse.grouped((evs.size + 2) / 3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("qsample_out").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .zipWithIndex.groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1._2).toMap
+      // batch side: the SAME aggregator over the events table
+      val bks = org.apache.spark.sql.functions.udaf(
+        graft.functions.BottomKSample(k),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      val batch = tables.events
+        .select(col("event_type"),
+          graft.functions.Hashing.md5_60(
+            concat(lit("qsample:"), col("event_id").cast("string"))).as("hv"),
+          col("value").as("x"))
+        .groupBy(col("event_type")).agg(bks(col("hv"), col("x")).as("sample"))
+        .select(col("event_type"), sort_array(col("sample")).as("sv"))
+        .collect().map { r =>
+          val sv = r.getSeq[Double](1)
+          def pick(p: Double) =
+            sv(math.floor(p * (sv.length - 1).toDouble + 0.5).toInt)
+          r.getString(0) -> ((sv.length.toLong, pick(0.25), pick(0.50),
+            pick(0.75), pick(0.90)))
+        }.toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (ty, v) =>
+        assert(v == batch(ty),
+          s"$ty: stream $v != batch ${batch(ty)} — bottom-k must be order-free")
+      }
+    } finally q.stop()
+  }
+
   test("streaming HLL registers == batch card bit-for-bit under reverse-order batching") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
