@@ -1142,16 +1142,16 @@ object OracleSqlGen {
     * callers place it once.
     */
   private def lloydChainCtes(nCenters: Int, rounds: Int,
-      alias: String, pfx: String): String = {
+      alias: String, pfx: String, src: String = "n"): String = {
     val ckey = "('0x'||substr(md5('centroid:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT"
     val seed =
       s"""${pfx}0 AS (SELECT v AS cv, n2 AS c2,
          |  ROW_NUMBER() OVER (ORDER BY $ckey, vec_id) - 1 AS cell
-         |  FROM n ORDER BY $ckey, vec_id LIMIT $nCenters)""".stripMargin
+         |  FROM $src ORDER BY $ckey, vec_id LIMIT $nCenters)""".stripMargin
     val perRound = (1 to rounds).map { r =>
-      s"""${pfx}d$r AS (SELECT n.vec_id, n.v, c.cell,
-         |  floor((n.n2 - 2*list_reduce([n.v[i]*c.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + c.c2)*1000000 + 0.5)/1000000 AS dist2_r
-         |  FROM n, ${pfx}${r - 1} c),
+      s"""${pfx}d$r AS (SELECT $src.vec_id, $src.v, c.cell,
+         |  floor(($src.n2 - 2*list_reduce([$src.v[i]*c.cv[i] for i in range(1, len($src.v)+1)], (x,y) -> x+y) + c.c2)*1000000 + 0.5)/1000000 AS dist2_r
+         |  FROM $src, ${pfx}${r - 1} c),
          |${pfx}a$r AS (SELECT vec_id, v, cell, dist2_r FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM ${pfx}d$r) WHERE rn = 1),
          |${pfx}e$r AS (SELECT cell, CAST(dim - 1 AS BIGINT) AS dim, vm[CAST(dim AS INTEGER)] AS xm FROM (
@@ -1498,6 +1498,69 @@ object OracleSqlGen {
        |  GROUP BY qd.q_id, c.vec_id),
        |r AS (SELECT q_id, vec_id, adc_dist_r,
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist_r, vec_id) AS rank FROM s)""".stripMargin
+  }
+
+  /** D46: IVF with RESIDUAL PQ — coarse Lloyd chain → per-vector
+    * residual (v − c_cell) → residual-space Lloyd chain (the PQ
+    * codebook trained on `rr`, the residual relation, via
+    * lloydChainCtes' src hook) → residual codes; the query's distance
+    * table is keyed (q, probed cell, subspace, code) off the query's
+    * own residual against that cell. Every rounding/tiebreak site
+    * mirrors the D10 oracle op-for-op.
+    */
+  def annIvfRpq(nQueries: Int, k: Int, m: Int, dsub: Int,
+      nCodes: Int, nCells: Int, nProbe: Int): String = {
+    val cvSlice = s"list_slice(pcent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"
+    s"""WITH $normCte,
+       |${lloydChainCtes(nCells, TrainRounds, "ccent", "vc")},
+       |cd AS (SELECT n.vec_id, ccent.cell,
+       |  floor((n.n2 - 2*list_reduce([n.v[i]*ccent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + ccent.c2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM n, ccent),
+       |casg AS (SELECT vec_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |rres AS (SELECT n.vec_id, a.cell,
+       |  [n.v[i] - c.cv[i] for i in range(1, len(n.v)+1)] AS v
+       |  FROM n JOIN casg a ON a.vec_id = n.vec_id JOIN ccent c ON c.cell = a.cell),
+       |rr AS (SELECT vec_id, cell, v,
+       |  list_reduce([x*x for x in v], (x,y) -> x+y) AS n2 FROM rres),
+       |${lloydChainCtes(nCodes, TrainRounds, "pcent", "rp", src = "rr")},
+       |sub AS (SELECT rr.vec_id, rr.cell, list_slice(rr.v, j*$dsub+1, j*$dsub+$dsub) AS xv, j AS sub_j
+       |  FROM rr, (SELECT unnest(range(0, $m)) AS j)),
+       |sc AS (SELECT sub.vec_id, sub.cell, sub.sub_j, pcent.cell AS code,
+       |  floor((list_reduce([x*x for x in xv], (x,y) -> x+y)
+       |    - 2*list_reduce([xv[i]*$cvSlice[i] for i in range(1, $dsub+1)], (x,y) -> x+y)
+       |    + list_reduce([x*x for x in $cvSlice], (x,y) -> x+y))*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM sub, pcent),
+       |codes AS (SELECT vec_id, cell, sub_j, code FROM
+       |  (SELECT vec_id, cell, sub_j, code,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub_j ORDER BY dist2_r, code) AS rn FROM sc)
+       |  WHERE rn = 1),
+       |probe AS (SELECT q_id, cell FROM
+       |  (SELECT cd.vec_id AS q_id, cd.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY cd.dist2_r, cd.cell) AS rn
+       |   FROM cd WHERE cd.vec_id < $nQueries)
+       |  WHERE rn <= $nProbe),
+       |qres AS (SELECT p.q_id, p.cell AS pcell,
+       |  [n.v[i] - c.cv[i] for i in range(1, len(n.v)+1)] AS qv
+       |  FROM probe p JOIN n ON n.vec_id = p.q_id JOIN ccent c ON c.cell = p.cell),
+       |qsub AS (SELECT q_id, pcell, list_slice(qv, j*$dsub+1, j*$dsub+$dsub) AS xv, j AS sub_j
+       |  FROM qres, (SELECT unnest(range(0, $m)) AS j)),
+       |qd AS (SELECT qsub.q_id, qsub.pcell, qsub.sub_j, pcent.cell AS code,
+       |  floor((list_reduce([x*x for x in xv], (x,y) -> x+y)
+       |    - 2*list_reduce([xv[i]*$cvSlice[i] for i in range(1, $dsub+1)], (x,y) -> x+y)
+       |    + list_reduce([x*x for x in $cvSlice], (x,y) -> x+y))*1000000 + 0.5)/1000000 AS d_r
+       |  FROM qsub, pcent),
+       |s AS (SELECT qd.q_id, c.vec_id,
+       |  CAST(SUM(CAST(qd.d_r AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist_r
+       |  FROM codes c
+       |  JOIN qd ON qd.pcell = c.cell AND qd.sub_j = c.sub_j AND qd.code = c.code
+       |    AND qd.q_id <> c.vec_id
+       |  GROUP BY qd.q_id, c.vec_id),
+       |r AS (SELECT q_id, vec_id, adc_dist_r,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist_r, vec_id) AS rank FROM s)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist_r FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   /** Per-dimension (min, max) SQ8 bounds + per-(vec, dim) code — the

@@ -267,7 +267,13 @@ object Similarity {
     */
   private[graft] def hashCenters(t: Tables, nCenters: Int): Array[(Int, Seq[Double], Double)] = {
     graft.functions.VectorExprs.ensureRegistered(t.spark)
-    withNorm(t.embeddings)
+    hashCentersOf(withNorm(t.embeddings), nCenters)
+  }
+
+  /** [[hashCenters]] over a prepared (vec_id, v, n2) relation. */
+  private def hashCentersOf(rel: DataFrame, nCenters: Int): Array[(Int, Seq[Double], Double)] = {
+    graft.functions.VectorExprs.ensureRegistered(rel.sparkSession)
+    rel
       .select(col("vec_id"), col("v"), col("n2"),
         graft.functions.Hashing.md5_60(
           concat(lit("centroid:"), col("vec_id").cast("string"))).as("ckey"))
@@ -305,9 +311,19 @@ object Similarity {
     * spec-pinned on the corpus).
     */
   private[graft] def lloydTrain(t: Tables, nCenters: Int, rounds: Int):
+      (Array[(Int, Seq[Double], Double)], Seq[DataFrame]) =
+    lloydTrainOn(withNorm(t.embeddings), nCenters, rounds)
+
+  /** [[lloydTrain]] over an arbitrary prepared relation (must expose
+    * `vec_id`, `v`, `n2`) — D46 trains the residual-space PQ codebook
+    * through this; the seed is the same md5 "centroid:" ordering (it
+    * keys on vec_id only, so corpus- and residual-space training pick
+    * the SAME seed rows — just in their respective spaces).
+    */
+  private[graft] def lloydTrainOn(rel: DataFrame, nCenters: Int, rounds: Int):
       (Array[(Int, Seq[Double], Double)], Seq[DataFrame]) = {
-    val e = withNorm(t.embeddings)
-    var centers = hashCenters(t, nCenters)
+    val e = rel.select(col("vec_id"), col("v"), col("n2"))
+    var centers = hashCentersOf(e, nCenters)
     val stats = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val asg = withCell(e, centers)
@@ -357,6 +373,41 @@ object Similarity {
       rounds: Int = TrainRounds): Array[(Int, Seq[Double], Double)] =
     trainedCache.computeIfAbsent((t.dir, nCenters, rounds),
       _ => lloydTrain(t, nCenters, rounds)._1)
+
+  /** The corpus re-expressed in RESIDUAL space: each vector minus its
+    * assigned coarse center (v − c_cell) — what IVFPQ actually
+    * encodes (residuals are near-zero-mean and much lower-energy than
+    * raw vectors, so the same PQ budget buys a finer grid). One
+    * narrow literal-centers pass: assignment via withCell, the
+    * subtraction a zip_with against the by-cell literal array — no
+    * shuffle, no join.
+    */
+  private[graft] def residualRel(t: Tables,
+      coarse: Array[(Int, Seq[Double], Double)]): DataFrame = {
+    val byCell = typedLit(coarse.sortBy(_._1).toSeq.map(_._2))
+    withCell(withNorm(t.embeddings), coarse)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"),
+          element_at(byCell, col("cell").cast("int") + 1),
+          (x, c) => x - c).as("v"))
+      .withColumn("n2", VectorExprs.dot(col("v"), col("v")))
+  }
+
+  private val residualPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int),
+      Array[(Int, Seq[Double], Double)]]()
+
+  /** The residual-space PQ codebook D46 consumes: Lloyd-trained on
+    * [[residualRel]] (same rounds, same seed ordering — the seed keys
+    * on vec_id only, so it picks the same rows' RESIDUALS). Memoized
+    * per (dir, nCells, nCodes, rounds) — the codebook depends on the
+    * coarse quantizer through the residuals.
+    */
+  private[graft] def residualPqCenters(t: Tables, nCells: Int, nCodes: Int,
+      rounds: Int = TrainRounds): Array[(Int, Seq[Double], Double)] =
+    residualPqCache.computeIfAbsent((t.dir, nCells, nCodes, rounds),
+      _ => lloydTrainOn(residualRel(t, trainedCenters(t, nCells, rounds)),
+        nCodes, rounds)._1)
 
   /** D45: the quantization-error-vs-rounds TRAINING curve — per Lloyd
     * round, the incoming assignment's n / SSE / mean dist² (round 1 =
@@ -994,6 +1045,83 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("dist2_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** D46: IVF with RESIDUAL PQ — the full FAISS IVFPQ encode: vectors
+    * are PQ-coded as residuals against their assigned coarse center
+    * (r = v − c_cell) rather than raw, with the PQ codebook
+    * Lloyd-trained in residual space ([[residualPqCenters]]).
+    * Residuals are near-zero-mean and carry far less energy than raw
+    * vectors, so the same m×nCodes budget buys a finer grid — the
+    * reason production IVFPQ encodes residuals. A query's distance
+    * table is computed per PROBED CELL from its own residual
+    * (q − c_cell), so the table keys on (q, cell, subspace, code) and
+    * the probe-set restriction rides the same broadcast join.
+    *
+    * Scale shape: assignment + residual + encode are ONE narrow
+    * literal-centers pass (no shuffle); the query table is
+    * nQueries·nProbe·m·nCodes rows — broadcast; the per-(query,
+    * vector) decimal sum and two-stage exact top-k are the D9/D10
+    * pattern unchanged. Both codebooks are bounded persisted-artifact
+    * material (G15 shape).
+    */
+  def annIvfRpq(t: Tables, nQueries: Int = 8, k: Int = 5, m: Int = 8,
+      nCodes: Int = 8, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val coarse = trainedCenters(t, nCells)
+    val pqr = residualPqCenters(t, nCells, nCodes)
+    val dsub = pqr.head._2.length / m
+    val byCell = typedLit(coarse.sortBy(_._1).toSeq.map(_._2))
+    // corpus: coarse cell + residual + residual-PQ codes, one pass
+    val codes = pqCodesOf(residualRel(t, coarse), pqr, m, carry = Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("sub_j"), col("code"))
+    // queries: nProbe nearest coarse cells (the withCell tie rule),
+    // then the query RESIDUAL against each probed cell's center
+    val cellCands = coarse.map { case (cell, cv, c2) =>
+      struct(
+        r6(col("n2") - lit(2.0) * VectorExprs.dot(col("v"), typedLit(cv)) + lit(c2))
+          .as("dist2_r"),
+        lit(cell.toLong).as("cell"))
+    }
+    val pc = withNorm(t.embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(slice(array_sort(array(cellCands: _*)), 1, nProbe)).as("p"),
+        col("v"))
+      .select(col("q_id"), col("p.cell").as("pcell"),
+        zip_with(col("v"),
+          element_at(byCell, col("p.cell").cast("int") + 1),
+          (x, c) => x - c).as("qr"))
+    // per-(query, probed cell) ADC table against the residual codebook
+    val perJ = (0 until m).map { j =>
+      val xv = slice(col("qr"), j * dsub + 1, dsub)
+      struct(lit(j.toLong).as("sub_j"),
+        VectorExprs.pqDists(xv, subCodebook(pqr, j, dsub)).as("cs"))
+    }
+    val adc = pc
+      .select(col("q_id").as("q_id2"), col("pcell").as("pcell2"),
+        explode(array(perJ: _*)).as("s"))
+      .select(col("q_id2"), col("pcell2"), col("s.sub_j").as("qsub_j"),
+        posexplode(col("s.cs")))
+      .select(col("q_id2"), col("pcell2"), col("qsub_j"),
+        col("pos").cast("long").as("qcode"), col("col").as("d_r"))
+    val scored = codes
+      .join(broadcast(adc),
+        col("cell") === col("pcell2") && col("sub_j") === col("qsub_j") &&
+          col("code") === col("qcode") && col("vec_id") =!= col("q_id2"))
+      .groupBy(col("q_id2"), col("vec_id"))
+      .agg(sum(col("d_r").cast(DecimalType(18, 6))).cast("double").as("adc_dist_r"))
+      .select(col("q_id2").as("q_id"), col("vec_id"), col("adc_dist_r"))
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("adc_dist_r").asc, col("vec_id").asc)
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist_r").asc, col("vec_id").asc)
+    scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist_r"))
       .orderBy(col("q_id"), col("rank"))
   }
 

@@ -612,6 +612,29 @@ class SimilaritySpec extends SparkSpec {
       s"answers must lie in the ${reach.size}-vertex reachable set; got ${answered -- reach}")
   }
 
+  test("ivf residual pq: ranks dense, no self-match, residual energy strictly below raw energy") {
+    val rows = Similarity.annIvfRpq(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length), s"query $q ranks dense")
+      assert(!rs.exists(_._3 == q), s"query $q must not match itself")
+      assert(rs.forall(_._4 >= 0.0), s"query $q: ADC distances are sums of squared dists — non-negative")
+    }
+    // the reason residual PQ exists: the residual corpus carries
+    // strictly less energy than the raw corpus (assignment to a
+    // trained center beats the zero vector), so the same PQ budget
+    // quantizes a finer range
+    import org.apache.spark.sql.functions.sum
+    val coarse = Similarity.trainedCenters(tables, 16)
+    val raw = Similarity.withNorm(tables.embeddings)
+      .agg(sum("n2")).collect()(0).getDouble(0)
+    val res = Similarity.residualRel(tables, coarse)
+      .agg(sum("n2")).collect()(0).getDouble(0)
+    assert(res < raw,
+      s"residual energy $res must be below raw energy $raw")
+  }
+
   test("lloyd training: SSE non-increasing per round; trained centers beat the seed and move off it") {
     val rounds = 4
     val curve = Similarity.embKmeansTrainCurve(tables, nCenters = 8, rounds = rounds, ordered = true)
