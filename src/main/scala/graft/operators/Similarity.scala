@@ -1070,26 +1070,55 @@ object Similarity {
       nCodes: Int = 8, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val coarse = trainedCenters(t, nCells)
     val pqr = residualPqCenters(t, nCells, nCodes)
-    val dsub = pqr.head._2.length / m
-    val byCell = typedLit(coarse.sortBy(_._1).toSeq.map(_._2))
-    // corpus: coarse cell + residual + residual-PQ codes, one pass
-    val codes = pqCodesOf(residualRel(t, coarse), pqr, m, carry = Seq("cell"))
+    annIvfRpqWith(t, coarse, pqr, pqCodesFor(t, coarse, pqr, m),
+      nQueries, k, m, nProbe)
+  }
+
+  /** D46 against externally supplied artifacts — the deploy form
+    * behind [[graft.sources.Sinks.searchIvfPqIndex]]: coarse centers,
+    * residual codebook and the code relation come from a persisted
+    * index; raw embeddings are only read for the query vectors.
+    */
+  /** The D46 corpus-side encode: coarse cell + residual + residual-PQ
+    * codes in one narrow pass — also what G26's index sink persists
+    * (partitioned by `cell`). */
+  private[graft] def pqCodesFor(t: Tables,
+      coarse: Array[(Int, Seq[Double], Double)],
+      pqr: Array[(Int, Seq[Double], Double)], m: Int): DataFrame =
+    pqCodesOf(residualRel(t, coarse), pqr, m, carry = Seq("cell"))
       .select(col("vec_id"), col("cell"), col("sub_j"), col("code"))
-    // queries: nProbe nearest coarse cells (the withCell tie rule),
-    // then the query RESIDUAL against each probed cell's center
+
+  /** Per-query probe set (q_id, pcell, v): the nProbe nearest coarse
+    * cells under the withCell (r6 dist2, cell) tie rule — shared by
+    * the in-query D46 and G26's pruned index scan. */
+  private[graft] def probeCells(t: Tables,
+      coarse: Array[(Int, Seq[Double], Double)],
+      nQueries: Int, nProbe: Int): DataFrame = {
     val cellCands = coarse.map { case (cell, cv, c2) =>
       struct(
         r6(col("n2") - lit(2.0) * VectorExprs.dot(col("v"), typedLit(cv)) + lit(c2))
           .as("dist2_r"),
         lit(cell.toLong).as("cell"))
     }
-    val pc = withNorm(t.embeddings).filter(col("vec_id") < nQueries)
+    withNorm(t.embeddings).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"),
         explode(slice(array_sort(array(cellCands: _*)), 1, nProbe)).as("p"),
         col("v"))
-      .select(col("q_id"), col("p.cell").as("pcell"),
+      .select(col("q_id"), col("p.cell").as("pcell"), col("v"))
+  }
+
+  private[graft] def annIvfRpqWith(t: Tables,
+      coarse: Array[(Int, Seq[Double], Double)],
+      pqr: Array[(Int, Seq[Double], Double)], codes: DataFrame,
+      nQueries: Int, k: Int, m: Int, nProbe: Int): DataFrame = {
+    val dsub = pqr.head._2.length / m
+    val byCell = typedLit(coarse.sortBy(_._1).toSeq.map(_._2))
+    // queries: nProbe nearest coarse cells, then the query RESIDUAL
+    // against each probed cell's center
+    val pc = probeCells(t, coarse, nQueries, nProbe)
+      .select(col("q_id"), col("pcell"),
         zip_with(col("v"),
-          element_at(byCell, col("p.cell").cast("int") + 1),
+          element_at(byCell, col("pcell").cast("int") + 1),
           (x, c) => x - c).as("qr"))
     // per-(query, probed cell) ADC table against the residual codebook
     val perJ = (0 until m).map { j =>

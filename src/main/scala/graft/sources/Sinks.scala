@@ -449,6 +449,57 @@ object Sinks {
   def hllEstimate(regs: DataFrame): DataFrame =
     graft.operators.Analytics.hllCard(regs)
 
+  /** G26: persist the FULL IVFPQ index — the D46 deploy artifact that
+    * makes 100 TB ANN serving cheap: `path/coarse` and
+    * `path/codebook` are G15-shaped center sets (coarse quantizer +
+    * residual-space PQ codebook, Lloyd-trained), `path/codes` is the
+    * m-codes-per-vector relation PARTITIONED BY CELL (`cell=N/`
+    * dirs), so a search's probe set prunes code partitions at
+    * PLANNING time and reads m small ints per candidate — the raw
+    * embedding column is never touched after indexing (queries read
+    * only their own vectors). Rebuild cost: one narrow
+    * literal-centers pass over the corpus.
+    */
+  def writeIvfPqIndex(t: Tables, path: String, nCells: Int = 16,
+      nCodes: Int = 8, m: Int = 8): Unit = {
+    val spark = t.spark
+    import spark.implicits._
+    val sim = graft.operators.Similarity
+    val coarse = sim.trainedCenters(t, nCells)
+    val pqr = sim.residualPqCenters(t, nCells, nCodes)
+    def writeCenters(cs: Array[(Int, Seq[Double], Double)], p: String): Unit =
+      cs.toSeq.toDF("cell", "center", "c2").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(p)
+    writeCenters(coarse, s"$path/coarse")
+    writeCenters(pqr, s"$path/codebook")
+    sim.pqCodesFor(t, coarse, pqr, m)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$path/codes")
+  }
+
+  /** D46 off a persisted [[writeIvfPqIndex]] — the serving path: load
+    * both center sets (bounded artifacts), compute each query's probe
+    * cells, and scan ONLY those `cell=` code partitions (the probe
+    * union lands in the scan's PartitionFilters — planning-time
+    * pruning, spec-pinned); per-query cell restriction stays exact
+    * via the ADC join keys. Result ≡ the in-query
+    * [[graft.operators.Similarity.annIvfRpq]] row-for-row.
+    */
+  def searchIvfPqIndex(t: Tables, path: String, nQueries: Int = 8,
+      k: Int = 5, m: Int = 8, nProbe: Int = 4): DataFrame = {
+    val spark = t.spark
+    val sim = graft.operators.Similarity
+    val coarse = readQuantizer(spark, s"$path/coarse")
+    val pqr = readQuantizer(spark, s"$path/codebook")
+    val probed = sim.probeCells(t, coarse, nQueries, nProbe)
+      .select(col("pcell")).distinct().collect().map(_.getLong(0)).sorted
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probed: _*)) // partition-dir pruning
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("sub_j"), col("code"))
+    sim.annIvfRpqWith(t, coarse, pqr, codes, nQueries, k, m, nProbe)
+  }
+
   /** G25: persist a B62 bottom-k SAMPLE shard — the cross-run quantile
     * artifact (the fourth mergeable-summary sink next to G22 KMV, G24
     * HLL registers, G15 quantizer centers). Each ingest run writes its

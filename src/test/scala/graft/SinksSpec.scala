@@ -396,6 +396,25 @@ class SinksSpec extends SparkSpec {
         s"diff keys: ${(whole.keySet ++ merged.keySet).filter(kk => whole.get(kk) != merged.get(kk)).take(2)}")
   }
 
+  test("ivfpq index artifact: search off the persisted index == in-query D46; probe prunes code partitions at planning time") {
+    val dir = Files.createTempDirectory("ivfpq_idx").toString
+    Sinks.writeIvfPqIndex(tables, dir)
+    // cell-partitioned code layout on disk
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.length > 1, s"expected cell partitions, got ${cellDirs.toSeq}")
+    val served = Sinks.searchIvfPqIndex(tables, dir)
+    val inQuery = graft.operators.Similarity.annIvfRpq(tables)
+    assert(served.collect().map(_.toSeq).toSeq ==
+      inQuery.collect().map(_.toSeq).toSeq,
+      "index-served results must equal the in-query D46 row-for-row")
+    // planning-time pruning: the codes scan carries a cell partition
+    // filter (the probe union), not a full-index read
+    val pf = scanPartitionFilters(served)
+    assert(pf.exists(_.contains("cell")),
+      s"codes scan must prune on cell; partitionFilters: $pf")
+  }
+
   test("sample shard artifact: merged half-corpus samples == whole-corpus sample at pair and quantile level") {
     val k = 64
     val bkp = udaf(graft.functions.BottomKPairs(k),
