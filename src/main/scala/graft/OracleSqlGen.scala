@@ -1223,6 +1223,52 @@ object OracleSqlGen {
        |FROM pq GROUP BY sub_j ORDER BY sub_j""".stripMargin
   }
 
+  /** D48: raw-PQ vs residual-PQ mean reconstruction error at the same
+    * trained code budget — both Lloyd chains + the residual relation,
+    * each variant's per-(vec, subspace) min code distance averaged
+    * (decimal-routed, r6).
+    */
+  def embRpqError(m: Int, dsub: Int, nCodes: Int, nCells: Int): String = {
+    val rawSlice = s"list_slice(cent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"
+    val resSlice = s"list_slice(pcent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"
+    def meanSel(src: String, variant: String) =
+      s"""SELECT '$variant' AS variant, COUNT(*) AS n,
+         |  floor((CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_dist2_r
+         |FROM $src""".stripMargin
+    s"""WITH $normCte,
+       |${lloydChainCtes(nCodes, TrainRounds, "cent", "tq")},
+       |${lloydChainCtes(nCells, TrainRounds, "ccent", "vq")},
+       |cd AS (SELECT n.vec_id, ccent.cell,
+       |  floor((n.n2 - 2*list_reduce([n.v[i]*ccent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + ccent.c2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM n, ccent),
+       |casg AS (SELECT vec_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |rres AS (SELECT n.vec_id, a.cell,
+       |  [n.v[i] - c.cv[i] for i in range(1, len(n.v)+1)] AS v
+       |  FROM n JOIN casg a ON a.vec_id = n.vec_id JOIN ccent c ON c.cell = a.cell),
+       |rr AS (SELECT vec_id, cell, v,
+       |  list_reduce([x*x for x in v], (x,y) -> x+y) AS n2 FROM rres),
+       |${lloydChainCtes(nCodes, TrainRounds, "pcent", "rq", src = "rr")},
+       |rawsub AS (SELECT n.vec_id, list_slice(n.v, j*$dsub+1, j*$dsub+$dsub) AS xv, j AS sub_j
+       |  FROM n, (SELECT unnest(range(0, $m)) AS j)),
+       |rawmin AS (SELECT vec_id, sub_j, MIN(
+       |  floor((list_reduce([x*x for x in xv], (x,y) -> x+y)
+       |    - 2*list_reduce([xv[i]*$rawSlice[i] for i in range(1, $dsub+1)], (x,y) -> x+y)
+       |    + list_reduce([x*x for x in $rawSlice], (x,y) -> x+y))*1000000 + 0.5)/1000000) AS d
+       |  FROM rawsub, cent GROUP BY vec_id, sub_j),
+       |ressub AS (SELECT rr.vec_id, list_slice(rr.v, j*$dsub+1, j*$dsub+$dsub) AS xv, j AS sub_j
+       |  FROM rr, (SELECT unnest(range(0, $m)) AS j)),
+       |resmin AS (SELECT vec_id, sub_j, MIN(
+       |  floor((list_reduce([x*x for x in xv], (x,y) -> x+y)
+       |    - 2*list_reduce([xv[i]*$resSlice[i] for i in range(1, $dsub+1)], (x,y) -> x+y)
+       |    + list_reduce([x*x for x in $resSlice], (x,y) -> x+y))*1000000 + 0.5)/1000000) AS d
+       |  FROM ressub, pcent GROUP BY vec_id, sub_j)
+       |${meanSel("rawmin", "pq_raw")}
+       |UNION ALL ${meanSel("resmin", "pq_residual")}
+       |ORDER BY variant""".stripMargin
+  }
+
   /** D28: per-cell count/share + global imbalance over the D7
     * assignment.
     */

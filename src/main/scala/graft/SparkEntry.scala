@@ -200,6 +200,7 @@ object SparkEntry {
     "emb_quantizer_drift"  -> q(Similarity.embQuantizerDrift(_, ordered = true)),
     "emb_pq_codes"         -> q(Similarity.embPqCodes(_, ordered = true)),
     "emb_pq_error"         -> q(Similarity.embPqError(_)),
+    "emb_rpq_error"        -> q(Similarity.embRpqError(_, ordered = true)),
     "emb_sq8_codes"        -> q(Similarity.embSq8Codes(_, ordered = true)),
     "emb_sq8_error"        -> q(Similarity.embSq8Error(_, ordered = true)),
     "ann_ivf_imbalance"    -> q(Similarity.annIvfImbalance(_)),
@@ -1887,6 +1888,7 @@ object SparkEntry {
     "emb_quantizer_drift"   -> OracleSqlGen.embQuantizerDrift(8),
     "emb_pq_codes"          -> OracleSqlGen.embPqCodes(8, 8, 8),
     "emb_pq_error"          -> OracleSqlGen.embPqError(8, 8, 8),
+    "emb_rpq_error"         -> OracleSqlGen.embRpqError(8, 8, 8, 16),
     "emb_sq8_codes"         -> OracleSqlGen.embSq8Codes,
     "emb_sq8_error"         -> OracleSqlGen.embSq8Error,
     "ann_ivf_imbalance"     -> OracleSqlGen.annIvfImbalance(8),

@@ -764,6 +764,30 @@ object Similarity {
       .orderBy(col("sub_j"))
   }
 
+  /** D48: raw-PQ vs residual-PQ reconstruction error at the SAME code
+    * budget (m × nCodes, both codebooks Lloyd-trained) — the measured
+    * justification for D46: residuals carry less energy, so the
+    * trained residual codebook should land a lower mean quantization
+    * error than the raw one (spec-pinned). One narrow encode pass per
+    * variant into a 1-row aggregate each; no shuffle beyond the two
+    * global rollups.
+    */
+  def embRpqError(t: Tables, m: Int = 8, nCodes: Int = 8,
+      nCells: Int = 16, ordered: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def card(codes: DataFrame, variant: String) = codes
+      .agg(count(lit(1)).as("n"),
+        r6(sum(col("dist2_r").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_dist2_r"))
+      .select(lit(variant).as("variant"), col("n"), col("mean_dist2_r"))
+    val raw = pqCodesOf(withNorm(t.embeddings), trainedCenters(t, nCodes), m)
+    val coarse = trainedCenters(t, nCells)
+    val res = pqCodesOf(residualRel(t, coarse),
+      residualPqCenters(t, nCells, nCodes), m)
+    maybeSort(card(raw, "pq_raw").unionByName(card(res, "pq_residual")),
+      ordered)(col("variant"))
+  }
+
   /** D28: IVF cell-balance card (C24's health read for the vector
     * index): per cell, vector count + corpus share, plus the global
     * imbalance factor max/mean on every row. Probing cost under IVF is

@@ -633,6 +633,12 @@ class SimilaritySpec extends SparkSpec {
       .agg(sum("n2")).collect()(0).getDouble(0)
     assert(res < raw,
       s"residual energy $res must be below raw energy $raw")
+    // ...and the D48 card measures the payoff: at the same trained
+    // code budget, residual-PQ reconstructs with lower mean error
+    val err = Similarity.embRpqError(tables, ordered = true).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(err("pq_residual") < err("pq_raw"),
+      s"residual-PQ error ${err("pq_residual")} must beat raw-PQ ${err("pq_raw")}")
   }
 
   test("lloyd training: SSE non-increasing per round; trained centers beat the seed and move off it") {
