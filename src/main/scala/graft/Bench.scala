@@ -252,13 +252,17 @@ object Bench {
       "training_data_job" -> 1.2,
       // curate verdict + CC feeder composition (measured warm sf1
       // probe 18.6 s vs 3.8 s sf0.1 ⇒ ~0.7)
-      "doc_curation_funnel" -> 1.2)
+      "doc_curation_funnel" -> 1.2,
+      // IVFPQ end-to-end (r10): two memoized Lloyd trainings (rounds ×
+      // one narrow pass + one (cell,dim) aggregate each), residual
+      // encode, bounded broadcast probes — every stage linear
+      "ann_ivf_rpq" -> 1.2)
     val HeavySf1 = Seq("doc_ngram_jaccard", "doc_dedup_clusters",
       "doc_embed_cosine_dup", "doc_semdedup",
       "doc_ngram_jaccard_capped", "doc_ngram_containment",
       "ann_knn_graph", "doc_lsh_tuning", "ann_pagerank",
       "mm_dedup_keep_best", "mm_frame_phash_pairs", "training_data_job",
-      "doc_curation_funnel")
+      "doc_curation_funnel", "ann_ivf_rpq")
     val sf1Secs: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SF1", "1") == "0") Map.empty
       else {

@@ -1555,9 +1555,31 @@ object OracleSqlGen {
     * mirrors the D10 oracle op-for-op.
     */
   def annIvfRpq(nQueries: Int, k: Int, m: Int, dsub: Int,
+      nCodes: Int, nCells: Int, nProbe: Int): String =
+    s"""WITH ${ivfRpqBody(nQueries, m, dsub, nCodes, nCells, nProbe)}
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist_r FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** D47: residual-PQ candidates refined by exact rescoring (the
+    * FAISS refine step over the D46 pool) — the D11 pattern with the
+    * residual encode underneath.
+    */
+  def annIvfRpqRerank(nQueries: Int, k: Int, m: Int, dsub: Int,
+      nCodes: Int, nCells: Int, nProbe: Int, rerankR: Int): String =
+    s"""WITH ${ivfRpqBody(nQueries, m, dsub, nCodes, nCells, nProbe)},
+       |pool AS (SELECT q_id, vec_id FROM r WHERE rank <= $rerankR),
+       |ex AS (SELECT p.q_id, p.vec_id,
+       |  floor((q.n2 - 2*list_reduce([q.v[i]*c.v[i] for i in range(1, len(q.v)+1)], (x,y) -> x+y) + c.n2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM pool p JOIN n q ON q.vec_id = p.q_id JOIN n c ON c.vec_id = p.vec_id),
+       |rrk AS (SELECT q_id, vec_id, dist2_r,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2_r, vec_id) AS rank FROM ex)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, dist2_r FROM rrk WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  private def ivfRpqBody(nQueries: Int, m: Int, dsub: Int,
       nCodes: Int, nCells: Int, nProbe: Int): String = {
     val cvSlice = s"list_slice(pcent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"
-    s"""WITH $normCte,
+    s"""$normCte,
        |${lloydChainCtes(nCells, TrainRounds, "ccent", "vc")},
        |cd AS (SELECT n.vec_id, ccent.cell,
        |  floor((n.n2 - 2*list_reduce([n.v[i]*ccent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + ccent.c2)*1000000 + 0.5)/1000000 AS dist2_r
@@ -1604,9 +1626,7 @@ object OracleSqlGen {
        |    AND qd.q_id <> c.vec_id
        |  GROUP BY qd.q_id, c.vec_id),
        |r AS (SELECT q_id, vec_id, adc_dist_r,
-       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist_r, vec_id) AS rank FROM s)
-       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist_r FROM r WHERE rank <= $k
-       |ORDER BY q_id, rank""".stripMargin
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist_r, vec_id) AS rank FROM s)""".stripMargin
   }
 
   /** Per-dimension (min, max) SQ8 bounds + per-(vec, dim) code — the

@@ -1052,9 +1052,31 @@ object Similarity {
     */
   def annIvfRerank(t: Tables, nQueries: Int = 8, k: Int = 5, m: Int = 8,
       nCodes: Int = 8, nCells: Int = 16, nProbe: Int = 4,
-      rerankR: Int = 20): DataFrame = {
-    val pool = annIvfAdc(t, nQueries, rerankR, m, nCodes, nCells, nProbe)
-      .select(col("q_id"), col("vec_id"))
+      rerankR: Int = 20): DataFrame =
+    exactRerankOf(t,
+      annIvfAdc(t, nQueries, rerankR, m, nCodes, nCells, nProbe)
+        .select(col("q_id"), col("vec_id")), nQueries, k)
+
+  /** D47: the refine step over the RESIDUAL-PQ pool — D11's exact
+    * rescore composed with D46's encode, completing the production
+    * IVFPQ serving stack (coarse probe → residual codes → exact
+    * refine). Same IO bound: raw vectors are read only for the
+    * nQueries × rerankR pool rows.
+    */
+  def annIvfRpqRerank(t: Tables, nQueries: Int = 8, k: Int = 5, m: Int = 8,
+      nCodes: Int = 8, nCells: Int = 16, nProbe: Int = 4,
+      rerankR: Int = 20): DataFrame =
+    exactRerankOf(t,
+      annIvfRpq(t, nQueries, rerankR, m, nCodes, nCells, nProbe)
+        .select(col("q_id"), col("vec_id")), nQueries, k)
+
+  /** The FAISS refine tail shared by D11/D47: exact squared-L2
+    * rescoring of a tiny broadcast candidate pool, top-k by the exact
+    * distance. The corpus streams past the broadcast pool — only pool
+    * rows survive to the rescore.
+    */
+  private def exactRerankOf(t: Tables, pool: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
     val e = withNorm(t.embeddings).select(col("vec_id"), col("v"), col("n2"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id2"), col("v").as("qv"), col("n2").as("qn2"))

@@ -567,4 +567,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "beam rounds must never sort-merge or cross the corpus")
   }
+
+  test("ivf residual-pq: the per-cell ADC table broadcasts — the code stream never sort-merges") {
+    val p = plan(Similarity.annIvfRpq(tables))
+    // the (q, cell, subspace, code) table is tiny by construction
+    // (nQueries·nProbe·m·nCodes rows); if it ever sort-merges, the
+    // whole code relation shuffles on the composite key and the
+    // residual-PQ scan discipline is gone
+    assert(p.contains("BroadcastHashJoin"), s"ADC table must broadcast:\n${p.take(500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join in residual-PQ:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), "cartesian in residual-PQ search")
+  }
 }
