@@ -89,6 +89,7 @@ object SparkEntry {
     "q_distinct_agg"       -> q(Analytics.qDistinctAgg),
     "q_anti_semi"          -> q(Analytics.qAntiSemi),
     "q_topk_per_group"     -> q(Analytics.qTopkPerGroup),
+    "q_topk_sketch"        -> q(Analytics.qTopkSketch(_)),
     "q_pivot"              -> q(Analytics.qPivot),
     "q_histogram"          -> q(Analytics.qHistogram),
     "q_histogram2d"        -> q(Analytics.qHistogram2d),
@@ -805,6 +806,17 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         |  FROM orders
         |) WHERE rnk <= 2
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    // B63: the aggregator is EXACT, so the oracle is the same rank
+    // window as B8 at k=3 — what the spec also pins row-for-row
+    "q_topk_sketch" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3
         |ORDER BY o_orderpriority, rnk""".stripMargin,
 
     "q_pivot" ->

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** EXACT top-k-per-group as a typed Aggregator — the scale path for
+  * B8's rank-window pattern: `row_number() OVER (PARTITION BY g ORDER
+  * BY v DESC) <= k` shuffles EVERY row of the group to one reducer
+  * and sorts it, while this aggregator's state is a ≤k-pair buffer
+  * merged MAP-SIDE, so the shuffle carries at most k pairs per
+  * (group, partition) regardless of group size — the same
+  * partial-top-k idea Spark applies globally in
+  * TakeOrderedAndProject, made available per group. The result is
+  * EXACT and identical to the window form (spec + oracle pin it).
+  *
+  * Ordering: keep the k largest by (value DESC, key ASC) — the key
+  * tiebreak makes the kept set deterministic under ties, matching the
+  * window form's `ORDER BY v DESC, key ASC`.
+  */
+final case class TopKRows(k: Int)
+    extends Aggregator[(Double, Long), (Array[Double], Array[Long]), Seq[(Double, Long)]] {
+
+  override def zero: (Array[Double], Array[Long]) =
+    (Array.emptyDoubleArray, Array.emptyLongArray)
+
+  /** Position of (v, id) in the buffer's (v DESC, id ASC) order. */
+  private def insertionPoint(vs: Array[Double], ids: Array[Long],
+      v: Double, id: Long): Int = {
+    var lo = 0
+    var hi = vs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      // (vs(mid), ids(mid)) before (v, id)? larger value first, then smaller id
+      val before = vs(mid) > v || (vs(mid) == v && ids(mid) < id)
+      if (before) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override def reduce(b: (Array[Double], Array[Long]),
+      in: (Double, Long)): (Array[Double], Array[Long]) = {
+    val (vs, ids) = b
+    val (v, id) = in
+    val ins = insertionPoint(vs, ids, v, id)
+    if (vs.length < k) {
+      val ov = new Array[Double](vs.length + 1)
+      val oi = new Array[Long](ids.length + 1)
+      System.arraycopy(vs, 0, ov, 0, ins); System.arraycopy(ids, 0, oi, 0, ins)
+      ov(ins) = v; oi(ins) = id
+      System.arraycopy(vs, ins, ov, ins + 1, vs.length - ins)
+      System.arraycopy(ids, ins, oi, ins + 1, ids.length - ins)
+      (ov, oi)
+    } else if (ins < k) {
+      val ov = new Array[Double](k)
+      val oi = new Array[Long](k)
+      System.arraycopy(vs, 0, ov, 0, ins); System.arraycopy(ids, 0, oi, 0, ins)
+      ov(ins) = v; oi(ins) = id
+      System.arraycopy(vs, ins, ov, ins + 1, k - ins - 1)
+      System.arraycopy(ids, ins, oi, ins + 1, k - ins - 1)
+      (ov, oi)
+    } else b
+  }
+
+  override def merge(a: (Array[Double], Array[Long]),
+      b: (Array[Double], Array[Long])): (Array[Double], Array[Long]) = {
+    if (a._1.isEmpty) return b
+    if (b._1.isEmpty) return a
+    val n = math.min(a._1.length + b._1.length, k)
+    val ov = new Array[Double](n)
+    val oi = new Array[Long](n)
+    var (i, j, m) = (0, 0, 0)
+    while (m < n && (i < a._1.length || j < b._1.length)) {
+      val takeA = j >= b._1.length || (i < a._1.length &&
+        (a._1(i) > b._1(j) || (a._1(i) == b._1(j) && a._2(i) <= b._2(j))))
+      if (takeA) { ov(m) = a._1(i); oi(m) = a._2(i); i += 1 }
+      else { ov(m) = b._1(j); oi(m) = b._2(j); j += 1 }
+      m += 1
+    }
+    (ov, oi)
+  }
+
+  override def finish(r: (Array[Double], Array[Long])): Seq[(Double, Long)] =
+    r._1.zip(r._2).toSeq
+
+  override def bufferEncoder: Encoder[(Array[Double], Array[Long])] =
+    Encoders.tuple(Encoders.javaSerialization[Array[Double]],
+      Encoders.javaSerialization[Array[Long]])
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}

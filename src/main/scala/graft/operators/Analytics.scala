@@ -217,6 +217,32 @@ object Analytics {
       .orderBy($("o_orderpriority"), $("rnk"))
   }
 
+  /** B63: EXACT top-k per group via the bounded [[graft.functions.TopKRows]]
+    * Aggregator — B8's result computed the way it survives 100 TB:
+    * the rank window shuffles and sorts EVERY group row on one
+    * reducer, while the aggregator's ≤k-pair state merges MAP-SIDE,
+    * so the shuffle carries at most k pairs per (group, partition) —
+    * TakeOrderedAndProject's partial-top-k idea, per group. Result is
+    * exact; the oracle is the plain rank window, and the spec pins
+    * aggregator ≡ window row-for-row.
+    */
+  def qTopkSketch(t: Tables, k: Int = 3): DataFrame = {
+    val topk = udaf(graft.functions.TopKRows(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    t.orders
+      .select($("o_orderpriority"), $("o_totalprice"), $("o_orderkey"))
+      .groupBy($("o_orderpriority"))
+      .agg(topk($("o_totalprice"), $("o_orderkey")).as("top"))
+      .select($("o_orderpriority"), posexplode($("top")).as(Seq("i", "p")))
+      .select($("o_orderpriority"),
+        $("p").getField("_2").as("o_orderkey"),
+        $("p").getField("_1").as("o_totalprice"),
+        ($("i") + 1).cast("long").as("rnk"))
+      .orderBy($("o_orderpriority"), $("rnk"))
+  }
+
   /** B9: pivot / conditional aggregation — revenue by nation × order
     * status (statuses pinned so the plan is static, as a real pivot
     * would resolve them).

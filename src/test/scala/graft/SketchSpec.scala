@@ -183,6 +183,39 @@ class SketchSpec extends SparkSpec {
     assert(estM == estD, "merged-shard estimate must be bit-identical to direct")
   }
 
+  test("top-k rows aggregator: merge(splits) == reduce(whole); result == rank window row-for-row") {
+    import graft.functions.TopKRows
+    val k = 3
+    val s = TopKRows(k)
+    val pairs = (0 until 4000).map { i =>
+      (((i * 2654435761L) % 97).toDouble, i.toLong)
+    }
+    def reduceAll(xs: Seq[(Double, Long)]) = xs.foldLeft(s.zero)(s.reduce)
+    val whole = reduceAll(pairs)
+    val (l, r) = pairs.splitAt(pairs.size / 3)
+    val merged = s.merge(reduceAll(l), reduceAll(r))
+    assert(java.util.Arrays.equals(whole._1, merged._1) &&
+      java.util.Arrays.equals(whole._2, merged._2),
+      "merge of splits must equal one-pass reduce")
+    val expect = pairs.sortBy { case (v, id) => (-v, id) }.take(k)
+    assert(s.finish(whole) == expect, "aggregator must keep exactly the window's top-k")
+    // on the corpus: aggregator == the B8 rank window at the same k
+    val agg = Analytics.qTopkSketch(tables, k).collect().map(_.toSeq)
+    val win = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tables.orders
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .orderBy(col("o_orderpriority"), col("rnk"))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .collect().map(_.toSeq)
+    }
+    assert(agg.toSeq == win.toSeq, "aggregator result must equal the rank window row-for-row")
+  }
+
   test("bottom-k sample: merge(splits) == reduce(whole); exact below k; sample quantiles within the DKW rank bound") {
     import graft.functions.BottomKSample
     val k = 256
