@@ -3,15 +3,21 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** EXACT top-k-per-group as a typed Aggregator — the scale path for
-  * B8's rank-window pattern: `row_number() OVER (PARTITION BY g ORDER
-  * BY v DESC) <= k` shuffles EVERY row of the group to one reducer
-  * and sorts it, while this aggregator's state is a ≤k-pair buffer
-  * merged MAP-SIDE, so the shuffle carries at most k pairs per
-  * (group, partition) regardless of group size — the same
-  * partial-top-k idea Spark applies globally in
-  * TakeOrderedAndProject, made available per group. The result is
-  * EXACT and identical to the window form (spec + oracle pin it).
+/** EXACT top-k-per-group as a typed Aggregator with ≤k-pair map-side
+  * merged state. Honest scale note (TopKProbe, 4M rows × 5 groups,
+  * cpus=8): Spark ≥3.5's InferWindowGroupLimit ALREADY pushes a
+  * `row_number() <= k` rank window below the shuffle
+  * (WindowGroupLimitExec: 120 rows shuffled, not 4M — the naive
+  * "window shuffles every row" claim is stale on this engine), so the
+  * aggregator's remaining edge is structural, not asymptotic:
+  * (a) top-k becomes an AGGREGATE — composable with other per-group
+  * aggregates in the SAME map-side pass (the window form forces a
+  * second shuffle+sort pass over the fact), (b) the state is a
+  * mergeable summary usable as streaming state or a cross-run
+  * artifact (the KMV/HLL/sample-shard discipline), and (c) it still
+  * measures 3× fewer shuffle rows / ~4× less wall than the
+  * group-limited window (40 vs 120 rows, 984 vs 4016 ms). The result
+  * is EXACT and identical to the window form (spec + oracle pin it).
   *
   * Ordering: keep the k largest by (value DESC, key ASC) — the key
   * tiebreak makes the kept set deterministic under ties, matching the
