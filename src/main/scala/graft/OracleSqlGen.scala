@@ -602,6 +602,47 @@ object OracleSqlGen {
        |  CAST(sc.doc_id = k.keeper AS INTEGER) AS keep
        |FROM sc JOIN k USING (cluster) ORDER BY sc.doc_id""".stripMargin
 
+  /** C33: cluster-keyed leakage-safe split — C7's cluster chain + the
+    * E21 md5 permille lattice keyed on the cluster id.
+    */
+  def docSplitLeakageSafe(trainPermille: Int, validPermille: Int): String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |cl AS (SELECT d.doc_id, COALESCE(m.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id),
+       |sp AS (SELECT doc_id, cluster,
+       |  ('0x'||substr(md5('split:'||CAST(cluster AS VARCHAR)),1,15))::BIGINT % 1000 AS mille
+       |  FROM cl)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN mille < $trainPermille THEN 'train'
+       |       WHEN mille < ${trainPermille + validPermille} THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM sp ORDER BY doc_id""".stripMargin
+
+  /** C34: cross-split near-dup pair counts, doc-keyed vs
+    * cluster-keyed — the leakage audit (cluster-keyed is zero by
+    * construction).
+    */
+  def docSplitLeakageAudit(trainPermille: Int, validPermille: Int): String = {
+    val caseSplit =
+      s"""CASE WHEN mille < $trainPermille THEN 'train'
+         |       WHEN mille < ${trainPermille + validPermille} THEN 'valid'
+         |       ELSE 'test' END AS split""".stripMargin
+    def audit(rel: String, method: String) =
+      s"""SELECT '$method' AS method, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_split
+         |FROM edges e JOIN $rel a ON a.doc_id = e.doc_a JOIN $rel b ON b.doc_id = e.doc_b""".stripMargin
+    s"""WITH RECURSIVE $clusterCtes,
+       |cl AS (SELECT d.doc_id, COALESCE(m.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id),
+       |safes AS (SELECT doc_id, $caseSplit FROM (SELECT doc_id, cluster,
+       |  ('0x'||substr(md5('split:'||CAST(cluster AS VARCHAR)),1,15))::BIGINT % 1000 AS mille FROM cl)),
+       |naives AS (SELECT doc_id, $caseSplit FROM (SELECT doc_id,
+       |  ('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000 AS mille FROM documents))
+       |${audit("naives", "doc_keyed")}
+       |UNION ALL ${audit("safes", "cluster_keyed")}
+       |ORDER BY method""".stripMargin
+  }
+
   /** C21: cross-source exact duplication — hash groups spanning ≥2
     * sources.
     */

@@ -158,6 +158,8 @@ object SparkEntry {
     "doc_decontaminate"    -> q(Dedup.docDecontaminate(_, ordered = true)),
     "doc_decontaminate_bloom" -> q(Dedup.docDecontaminateBloom(_, ordered = true)),
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
+    "doc_split_leakage_safe" -> q(Dedup.docSplitLeakageSafe(_, ordered = true)),
+    "doc_split_leakage_audit" -> q(Dedup.docSplitLeakageAudit(_, ordered = true)),
     "doc_cluster_stats"    -> q(Dedup.docClusterStats(_)),
     "doc_dedup_rate_by_threshold" -> q(Dedup.docDedupRateByThreshold(_)),
     "doc_cross_source_dup" -> q(Dedup.docCrossSourceDup(_, ordered = true)),
@@ -1466,6 +1468,8 @@ object SparkEntry {
     "doc_lsh_recall"        -> OracleSqlGen.docLshRecall,
     "doc_shingle_df_hist"   -> OracleSqlGen.docShingleDfHist,
     "doc_dedup_clusters"    -> OracleSqlGen.docDedupClusters,
+    "doc_split_leakage_safe" -> OracleSqlGen.docSplitLeakageSafe(990, 5),
+    "doc_split_leakage_audit" -> OracleSqlGen.docSplitLeakageAudit(990, 5),
     "doc_cluster_stats"     -> OracleSqlGen.docClusterStats,
     "doc_dedup_rate_by_threshold" -> OracleSqlGen.docDedupRateByThreshold(Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9)),
     "doc_cross_source_dup"  -> OracleSqlGen.docCrossSourceDup,

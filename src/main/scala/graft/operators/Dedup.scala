@@ -1588,4 +1588,58 @@ object Dedup {
             col("n_a").cast("double"))).as("removed_frac_r"))
     maybeSort(out, ordered)(col("source"))
   }
+
+  /** C33: LEAKAGE-SAFE train/valid/test split — the split key is the
+    * near-dup CLUSTER id (C7), not the doc id, so two near-duplicate
+    * documents can NEVER land in different splits (the eval-set
+    * contamination mode a doc-keyed split has whenever duplicates are
+    * KEPT rather than removed — e.g. dedup-exempt corpora, or
+    * intentional upsampling). Same md5 permille lattice as E21, keyed
+    * on `cluster`; singleton docs key on themselves (cluster =
+    * doc_id), so the non-duplicated corpus splits exactly like E21
+    * would with the same seed.
+    *
+    * Scale shape: C7's checkpointed CC (near-dup pairs only) + one
+    * narrow hash projection — the split adds NO shuffle beyond the
+    * cluster build.
+    */
+  def docSplitLeakageSafe(t: Tables, trainPermille: Int = 990,
+      validPermille: Int = 5, threshold: Double = 0.2,
+      seed: String = "split", ordered: Boolean = false): DataFrame = maybeSort({
+    val mille = pmod(md5_60(
+      concat(lit(seed), lit(":"), col("cluster").cast("string"))), lit(1000L))
+    docDedupClusters(t, threshold)
+      .select(col("doc_id"), col("cluster"))
+      .withColumn("split",
+        when(mille < trainPermille, lit("train"))
+          .when(mille < trainPermille + validPermille, lit("valid"))
+          .otherwise(lit("test")))
+  }, ordered)(col("doc_id"))
+
+  /** C34: the leakage AUDIT that justifies C33 — for each split
+    * method (doc-keyed E21 vs cluster-keyed C33), the number of
+    * near-dup pairs whose endpoints land in DIFFERENT splits.
+    * Cluster-keyed is zero BY CONSTRUCTION (both endpoints share a
+    * cluster ⇒ share a split — the spec states it as a theorem);
+    * doc-keyed leaks ~(1 − Σ share²) of pairs in expectation. One
+    * tiny pair relation joined twice against two hash projections —
+    * no corpus-scale work beyond the C5 pair build.
+    */
+  def docSplitLeakageAudit(t: Tables, trainPermille: Int = 990,
+      validPermille: Int = 5, threshold: Double = 0.2,
+      seed: String = "split", ordered: Boolean = false): DataFrame = {
+    val pairs = docNgramJaccard(t, threshold).select(col("doc_a"), col("doc_b"))
+    def crossCount(splits: DataFrame, method: String) = pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_cross_split"))
+      .select(lit(method).as("method"), col("n_pairs"), col("n_cross_split"))
+    val naive = t.documents.select(col("doc_id"),
+      graft.operators.TextOps.splitColumn(trainPermille, validPermille, seed).as("split"))
+    val safe = docSplitLeakageSafe(t, trainPermille, validPermille, threshold, seed)
+      .select(col("doc_id"), col("split"))
+    maybeSort(crossCount(naive, "doc_keyed")
+      .unionByName(crossCount(safe, "cluster_keyed")), ordered)(col("method"))
+  }
 }

@@ -398,4 +398,35 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("leakage-safe split: clusters never span splits; doc-keyed split leaks on a planted corpus, cluster-keyed never") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // real corpus: the construction theorem — every cluster maps to ONE split
+    val safe = Dedup.docSplitLeakageSafe(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(safe.nonEmpty)
+    safe.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._3).toSet.size == 1, s"cluster $c spans splits ${rs.map(_._3).toSet}")
+    }
+    val audit = Dedup.docSplitLeakageAudit(tables, ordered = true).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(audit("cluster_keyed")._2 == 0L, "cluster-keyed split must never leak")
+    assert(audit("cluster_keyed")._1 == audit("doc_keyed")._1, "both methods audit the same pair set")
+    // planted: 60 disjoint near-dup pairs + a COARSE 50/25/25 split so
+    // the doc-keyed leak probability per pair is ~0.625 — a zero leak
+    // would be a broken audit, not luck
+    val docs = (0 until 60).flatMap { i =>
+      val toks = (0 until 12).map(j => s"t${i}x$j").mkString(" ")
+      Seq((i * 2L, toks + " mike"), (i * 2L + 1L, toks + " november"))
+    }.map { case (id, tx) => (id, tx, "en", "t", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = graft.sources.Tables(spark, sfDir, docsOverride = Some(docs))
+    val planted = Dedup.docSplitLeakageAudit(t, trainPermille = 500,
+      validPermille = 250, ordered = true).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(planted("doc_keyed")._1 >= 50L, s"planted pairs must be found: ${planted("doc_keyed")}")
+    assert(planted("doc_keyed")._2 > 0L, "doc-keyed split must visibly leak on the planted corpus")
+    assert(planted("cluster_keyed")._2 == 0L, "cluster-keyed must not leak even at a coarse split")
+  }
 }
