@@ -515,6 +515,38 @@ object EventStreamJob {
       }
   }
 
+  final case class TopKState(event_type: String, rnk: Long,
+      event_id: Long, value: Double)
+
+  /** A86 (B63 online): streaming per-type top-k events by value —
+    * the TopKRows aggregator's ≤k-pair buffer as
+    * flatMapGroupsWithState state, completing the online twin set
+    * (A66 KMV, A80 HLL, A85 sample, stream CMS). "The k largest
+    * (value DESC, id ASC) pairs" is a set property, so the stream's
+    * kept set equals the batch aggregator BIT-FOR-BIT under any
+    * batching or arrival order. Emits the running ranked top-k per
+    * type per micro-batch (Update mode).
+    */
+  def streamEvTopK(events: Dataset[EvVal], k: Int = 3): Dataset[TopKState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val s = graft.functions.TopKRows(k)
+    events
+      .map(e => (e.event_type, e.value, e.event_id))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (ty: String, it: Iterator[(String, Double, Long)],
+            state: GroupState[(Array[Double], Array[Long])]) =>
+          val cur = it.foldLeft(state.getOption.getOrElse(s.zero)) {
+            (b, r) => s.reduce(b, (r._2, r._3))
+          }
+          state.update(cur)
+          cur._1.indices.iterator.map { i =>
+            TopKState(ty, (i + 1).toLong, cur._2(i), cur._1(i))
+          }
+      }
+  }
+
   final case class HllEstimate(event_type: String, n_zero: Long, est_r: Double)
 
   /** A80 (B59 online): streaming distinct-users estimate per type via

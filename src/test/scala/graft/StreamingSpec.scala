@@ -984,6 +984,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k == batch aggregator bit-for-bit under reverse-order batching") {
+    import spark.implicits._
+    import graft.model.EvVal
+    implicit val sqlCtx = spark.sqlContext
+    val k = 3
+    val input = MemoryStream[EvVal]
+    val out = EventStreamJob.streamEvTopK(input.toDS(), k)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("topk_out").start()
+    try {
+      val evs = tables.events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EvVal].collect().toSeq.sortBy(e => (e.ts.toEpochMilli, e.event_id))
+      evs.reverse.grouped((evs.size + 2) / 3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("topk_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .zipWithIndex.groupBy(x => (x._1._1, x._1._2)).view
+        .mapValues(_.maxBy(_._2)._1).toMap.values
+        .groupBy(_._1).map { case (ty, rs) =>
+          ty -> rs.toSeq.sortBy(_._2).map(r => (r._3, r._4))
+        }
+      val agg = graft.functions.TopKRows(k)
+      val batch = tables.events
+        .select(col("event_type"), col("value"), col("event_id")).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .groupBy(_._1).map { case (ty, rows) =>
+          ty -> agg.finish(rows.foldLeft(agg.zero)((b, r) => agg.reduce(b, (r._2, r._3))))
+            .map { case (v, id) => (id, v) }
+        }
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (ty, got) =>
+        assert(got == batch(ty),
+          s"$ty: stream $got != batch ${batch(ty)} — top-k must be order-free")
+      }
+    } finally q.stop()
+  }
+
   test("streaming HLL registers == batch card bit-for-bit under reverse-order batching") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
