@@ -2614,6 +2614,30 @@ object OracleSqlGen {
   private val qualityScoreExpr: String =
     "floor((least(1.0, n_tokens/100.0) * (0.5 + 0.25*stop_ratio + 0.25*alpha_ratio))*1000000 + 0.5)/1000000"
 
+  /** E62: per-source quality-score quantiles off the deterministic
+    * bottom-k row sample — B62's pattern over the E2 score chain.
+    */
+  def docQualityQuantileSample(k: Int): String = {
+    def pick(p: String) =
+      s"sv[CAST(floor($p*CAST(n_sample - 1 AS DOUBLE)+0.5) AS INTEGER)+1]"
+    s"""WITH $qualityCoreCtes,
+       |q AS (SELECT doc_id, $qualityScoreExpr AS quality_score FROM r),
+       |h AS (SELECT d.source, q.quality_score AS x,
+       |  ('0x'||substr(md5('qqs:'||CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT AS hv
+       |  FROM documents d JOIN q USING (doc_id)),
+       |p AS (SELECT DISTINCT source, hv, x FROM h),
+       |rk AS (SELECT source, x,
+       |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, x) AS rn FROM p),
+       |s AS (SELECT source, list(x ORDER BY x) AS sv,
+       |  COUNT(*) AS n_sample FROM rk WHERE rn <= $k GROUP BY 1),
+       |n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT n.source, n.n_docs, CAST(s.n_sample AS BIGINT) AS n_sample,
+       |  ${pick("0.25")} AS q25, ${pick("0.50")} AS q50,
+       |  ${pick("0.75")} AS q75, ${pick("0.90")} AS q90
+       |FROM n JOIN s USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   /** E60: quality × dup-multiplicity cross card — E2's CTE chain +
     * C1's md5 multiplicity window, bucketed.
     */

@@ -320,6 +320,7 @@ object SparkEntry {
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
     "q_hll_portable"       -> q(Analytics.qHllPortable),
     "text_vocab_hll"       -> q(TextOps.textVocabHll(_, ordered = true)),
+    "doc_quality_quantile_sample" -> q(TextOps.docQualityQuantileSample(_, ordered = true)),
     "doc_quality_vs_dup"   -> q(TextOps.docQualityVsDup(_, ordered = true)),
     "doc_snapshot_churn"   -> q(Dedup.docSnapshotChurn(_, ordered = true)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
@@ -1423,6 +1424,7 @@ object SparkEntry {
         |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
     "text_vocab_hll"          -> OracleSqlGen.textVocabHll,
     "doc_quality_vs_dup"      -> OracleSqlGen.docQualityVsDup,
+    "doc_quality_quantile_sample" -> OracleSqlGen.docQualityQuantileSample(256),
     // C31: same (source,hash) presence-maxima aggregate + rollup
     "doc_snapshot_churn" ->
       """WITH per AS (SELECT source, md5(text) AS h,

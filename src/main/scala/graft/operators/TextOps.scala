@@ -2078,4 +2078,39 @@ object TextOps {
         .join(broadcast(exact), "source"),
       ordered)(col("source"))
   }
+
+  /** E62: per-source QUALITY-SCORE quantiles via the portable bottom-k
+    * row sample (B62's machinery pointed at the E2 score) — the
+    * distribution card a curation pipeline tracks between corpus
+    * versions: a mean hides a collapsing tail, the q25/q50/q75/q90
+    * ladder doesn't. Quantiles are PICKED sample order statistics over
+    * the already-r6'd score ⇒ bit-exact on both engines; ONE
+    * map-side-combined aggregate, ≤k pairs per (source, partition)
+    * on the shuffle.
+    */
+  def docQualityQuantileSample(t: Tables, k: Int = 256,
+      ordered: Boolean = false): DataFrame = maybeSort({
+    val bks = udaf(graft.functions.BottomKSample(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    val pick = (sv: Column, m: Column, p: Double) =>
+      element_at(sv, (floor(lit(p) * (m - 1).cast("double") + 0.5) + 1)
+        .cast("int"))
+    withQuality(t.documents.select(col("doc_id"), col("source"), col("text")))
+      .select(col("source"),
+        graft.functions.Hashing.md5_60(
+          concat(lit("qqs:"), col("doc_id").cast("string"))).as("hv"),
+        col("quality_score").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), bks(col("hv"), col("x")).as("sample"))
+      .select(col("source"), col("n_docs"),
+        size(col("sample")).cast("long").as("n_sample"),
+        sort_array(col("sample")).as("sv"))
+      .select(col("source"), col("n_docs"), col("n_sample"),
+        pick(col("sv"), col("n_sample"), 0.25).as("q25"),
+        pick(col("sv"), col("n_sample"), 0.50).as("q50"),
+        pick(col("sv"), col("n_sample"), 0.75).as("q75"),
+        pick(col("sv"), col("n_sample"), 0.90).as("q90"))
+  }, ordered)(col("source"))
 }
