@@ -568,6 +568,18 @@ class PlanSpec extends SparkSpec {
       "beam rounds must never sort-merge or cross the corpus")
   }
 
+  test("quantile sample: the bottom-k sketch partial-aggregates BELOW the exchange (map-side merge)") {
+    val p = plan(graft.operators.Analytics.qQuantileSample(tables))
+    val partialAt = p.indexOf("partial_bottomksample")
+    val exchangeAt = p.indexOf("Exchange hashpartitioning")
+    assert(partialAt >= 0, s"partial bottomksample missing:\n${p.take(500)}")
+    // the plan prints top-down, so the map-side partial must appear
+    // BELOW (later in the string than) the shuffle it feeds — the
+    // "shuffle carries <=k pairs per (group, partition)" claim
+    assert(exchangeAt >= 0 && partialAt > exchangeAt,
+      "the sketch must partial-aggregate before the shuffle")
+  }
+
   test("ivf residual-pq: the per-cell ADC table broadcasts — the code stream never sort-merges") {
     val p = plan(Similarity.annIvfRpq(tables))
     // the (q, cell, subspace, code) table is tiny by construction
