@@ -315,6 +315,7 @@ object SparkEntry {
     "ev_burst_impact"      -> q(EventOps.evBurstImpact(_)),
     "q_distinct_kmv"       -> q(Analytics.qDistinctKmv(_)),
     "q_quantile_sample"    -> q(Analytics.qQuantileSample(_)),
+    "ev_value_quantile_sample" -> q(Analytics.evValueQuantileSample(_, ordered = true)),
     "q_distinct_bitmap"    -> q(Analytics.qDistinctBitmap),
     "q_important_stock"    -> q(Analytics.qImportantStock(_)),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
@@ -666,6 +667,25 @@ object SparkEntry {
         |  sv[CAST(floor(0.90*CAST(n_sample - 1 AS DOUBLE)+0.5) AS INTEGER)+1] AS q90
         |FROM n JOIN s USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // A87: same construction over the events measure — A85's batch
+    // twin (the stream equals this bit-for-bit)
+    "ev_value_quantile_sample" ->
+      """WITH p AS (SELECT DISTINCT event_type,
+        |  ('0x'||substr(md5('qsample:'||CAST(event_id AS VARCHAR)),1,15))::BIGINT AS hv,
+        |  value AS x FROM events),
+        |r AS (SELECT event_type, x,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv, x) AS rn FROM p),
+        |s AS (SELECT event_type, list(x ORDER BY x) AS sv,
+        |  COUNT(*) AS n_sample FROM r WHERE rn <= 256 GROUP BY 1),
+        |n AS (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1)
+        |SELECT n.event_type, n.n_events, CAST(s.n_sample AS BIGINT) AS n_sample,
+        |  sv[CAST(floor(0.25*CAST(n_sample - 1 AS DOUBLE)+0.5) AS INTEGER)+1] AS q25,
+        |  sv[CAST(floor(0.50*CAST(n_sample - 1 AS DOUBLE)+0.5) AS INTEGER)+1] AS q50,
+        |  sv[CAST(floor(0.75*CAST(n_sample - 1 AS DOUBLE)+0.5) AS INTEGER)+1] AS q75,
+        |  sv[CAST(floor(0.90*CAST(n_sample - 1 AS DOUBLE)+0.5) AS INTEGER)+1] AS q90
+        |FROM n JOIN s USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     // the bitmap-distinct card is EXACT, so the oracle is plain
     // COUNT(DISTINCT ...) arithmetic — word index = id // 64 matches

@@ -217,6 +217,40 @@ object Analytics {
       .orderBy($("o_orderpriority"), $("rnk"))
   }
 
+  /** A87: per-event-type VALUE quantiles via the portable bottom-k
+    * row sample — the batch counterpart A85's stream equals
+    * bit-for-bit (same aggregator, same "qsample:"+event_id hash);
+    * B62's pattern pointed at the events measure. One
+    * map-side-combined aggregate, ≤k pairs per (type, partition) on
+    * the shuffle.
+    */
+  def evValueQuantileSample(t: Tables, k: Int = 256,
+      ordered: Boolean = false): DataFrame = {
+    val bks = udaf(graft.functions.BottomKSample(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    val pick = (sv: Column, m: Column, p: Double) =>
+      element_at(sv, (floor(lit(p) * (m - 1).cast("double") + 0.5) + 1)
+        .cast("int"))
+    val out = t.events
+      .select($("event_type"),
+        graft.functions.Hashing.md5_60(concat(lit("qsample:"),
+          $("event_id").cast("string"))).as("hv"),
+        $("value").as("x"))
+      .groupBy($("event_type"))
+      .agg(count(lit(1)).as("n_events"), bks($("hv"), $("x")).as("sample"))
+      .select($("event_type"), $("n_events"),
+        size($("sample")).cast("long").as("n_sample"),
+        sort_array($("sample")).as("sv"))
+      .select($("event_type"), $("n_events"), $("n_sample"),
+        pick($("sv"), $("n_sample"), 0.25).as("q25"),
+        pick($("sv"), $("n_sample"), 0.50).as("q50"),
+        pick($("sv"), $("n_sample"), 0.75).as("q75"),
+        pick($("sv"), $("n_sample"), 0.90).as("q90"))
+    if (ordered) out.orderBy($("event_type")) else out
+  }
+
   /** B63: EXACT top-k per group via the bounded [[graft.functions.TopKRows]]
     * Aggregator — B8's result computed the way it survives 100 TB:
     * the rank window shuffles and sorts EVERY group row on one
