@@ -1617,6 +1617,38 @@ object OracleSqlGen {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, dist2_r FROM rrk WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
+  /** D49: recall@k of the residual-PQ stages (adc / refined) vs the
+    * exact L2 top-k — shared ivfRpqBody, a second refine leg, and the
+    * brute-force ground truth, each k-row set left-joined per query.
+    */
+  def annRpqRecall(nQueries: Int, k: Int, m: Int, dsub: Int,
+      nCodes: Int, nCells: Int, nProbe: Int, rerankR: Int): String = {
+    def recallSel(rel: String, method: String) =
+      s"""SELECT '$method' AS method, e.q_id, COUNT(a.vec_id) AS n_hits,
+         |  floor((CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS recall_r
+         |FROM exk e LEFT JOIN $rel a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |GROUP BY e.q_id""".stripMargin
+    s"""WITH ${ivfRpqBody(nQueries, m, dsub, nCodes, nCells, nProbe)},
+       |adck AS (SELECT q_id, vec_id FROM r WHERE rank <= $k),
+       |pool AS (SELECT q_id, vec_id FROM r WHERE rank <= $rerankR),
+       |exr AS (SELECT p.q_id, p.vec_id,
+       |  floor((q.n2 - 2*list_reduce([q.v[i]*c.v[i] for i in range(1, len(q.v)+1)], (x,y) -> x+y) + c.n2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM pool p JOIN n q ON q.vec_id = p.q_id JOIN n c ON c.vec_id = p.vec_id),
+       |refk AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2_r, vec_id) AS rank FROM exr)
+       |  WHERE rank <= $k),
+       |exd AS (SELECT q.vec_id AS q_id, c.vec_id,
+       |  floor((q.n2 - 2*list_reduce([q.v[i]*c.v[i] for i in range(1, len(q.v)+1)], (x,y) -> x+y) + c.n2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM n q, n c WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |exk AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2_r, vec_id) AS rank FROM exd)
+       |  WHERE rank <= $k)
+       |SELECT method, q_id, CAST(n_hits AS BIGINT) AS n_hits, recall_r FROM (
+       |${recallSel("adck", "adc")}
+       |UNION ALL ${recallSel("refk", "refined")})
+       |ORDER BY method, q_id""".stripMargin
+  }
+
   private def ivfRpqBody(nQueries: Int, m: Int, dsub: Int,
       nCodes: Int, nCells: Int, nProbe: Int): String = {
     val cvSlice = s"list_slice(pcent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"

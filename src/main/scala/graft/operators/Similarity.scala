@@ -1070,6 +1070,49 @@ object Similarity {
       annIvfRpq(t, nQueries, rerankR, m, nCodes, nCells, nProbe)
         .select(col("q_id"), col("vec_id")), nQueries, k)
 
+  /** D49: recall@k of the residual-PQ stack vs the exact squared-L2
+    * top-k — BOTH stages on one card (`adc` = D46 code-only ranks,
+    * `refined` = D47 after the exact rescore), so the card shows what
+    * the codes lose and how much the refine step buys back — the
+    * accuracy ledger next to the stack's IO ledger (probe fraction ×
+    * m bytes/vector). Ground truth is the same L2 metric the stack
+    * ranks by (a cosine ground truth would conflate metric mismatch
+    * with quantization loss).
+    *
+    * Scale shape: ground truth is the D1 brute-force shape (broadcast
+    * queries, one corpus pass) — the EVALUATION cost, not the serving
+    * cost; both approximate legs reuse the D46/D47 plans; recalls are
+    * tiny per-query rollups of k-row joins.
+    */
+  def annRpqRecall(t: Tables, nQueries: Int = 8, k: Int = 5, m: Int = 8,
+      nCodes: Int = 8, nCells: Int = 16, nProbe: Int = 4,
+      rerankR: Int = 20, ordered: Boolean = false): DataFrame = {
+    val e = withNorm(t.embeddings).select(col("vec_id"), col("v"), col("n2"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id2"), col("v").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2_r").asc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id2"))
+      .select(col("q_id2").as("q_id"), col("vec_id"),
+        r6(col("qn2") - lit(2.0) * VectorExprs.dot(col("qv"), col("v")) + col("n2"))
+          .as("dist2_r"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"))
+    def recallOf(approx: DataFrame, method: String) = exact
+      .join(approx.select(col("q_id").as("q2"), col("vec_id").as("v2")),
+        col("q_id") === col("q2") && col("vec_id") === col("v2"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_exact"), count(col("v2")).as("n_hits"))
+      .select(lit(method).as("method"), col("q_id"), col("n_hits"),
+        r6(col("n_hits").cast("double") / col("k_exact").cast("double"))
+          .as("recall_r"))
+    val adc = annIvfRpq(t, nQueries, k, m, nCodes, nCells, nProbe)
+    val refined = annIvfRpqRerank(t, nQueries, k, m, nCodes, nCells, nProbe, rerankR)
+    maybeSort(recallOf(adc, "adc").unionByName(recallOf(refined, "refined")),
+      ordered)(col("method"), col("q_id"))
+  }
+
   /** The FAISS refine tail shared by D11/D47: exact squared-L2
     * rescoring of a tiny broadcast candidate pool, top-k by the exact
     * distance. The corpus streams past the broadcast pool — only pool

@@ -641,6 +641,23 @@ class SimilaritySpec extends SparkSpec {
       s"residual-PQ error ${err("pq_residual")} must beat raw-PQ ${err("pq_raw")}")
   }
 
+  test("rpq recall: refined >= adc per query (pool-superset theorem), recalls in [0,1]") {
+    val rows = Similarity.annRpqRecall(tables, ordered = true).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, rc) => rc >= 0.0 && rc <= 1.0 })
+    val byQ = rows.groupBy(_._2).map { case (q, rs) =>
+      q -> rs.map(r => r._1 -> r._3).toMap
+    }
+    byQ.foreach { case (q, m) =>
+      // theorem (rerankR >= k): the adc top-k is a subset of the
+      // refine pool, and any true-top-k member of the pool survives
+      // the exact rescore — so refined recall can never drop below adc
+      assert(m("refined") >= m("adc"),
+        s"query $q: refine must not lose recall (adc=${m("adc")} refined=${m("refined")})")
+    }
+  }
+
   test("lloyd training: SSE non-increasing per round; trained centers beat the seed and move off it") {
     val rounds = 4
     val curve = Similarity.embKmeansTrainCurve(tables, nCenters = 8, rounds = rounds, ordered = true)
