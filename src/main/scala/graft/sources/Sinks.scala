@@ -500,6 +500,39 @@ object Sinks {
     sim.annIvfRpqWith(t, coarse, pqr, codes, nQueries, k, m, nProbe)
   }
 
+  /** G27: persist a B63 TOP-K shard — the cross-run leaderboard
+    * artifact. Top-k selection is a SEMILATTICE (top-k of a union ==
+    * top-k of the unioned per-run top-ks), so per-run ≤k-pair shards
+    * merge to the EXACT global top-k with zero input rescans — unlike
+    * a sum sketch there is no error term at all. Schema: (group key,
+    * `pairs` array<struct<v: double, id: bigint>> in (v DESC, id ASC)
+    * order).
+    */
+  def writeTopKShards(shards: DataFrame, path: String): Unit =
+    shards.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  def readTopKShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** Merge two top-k shard relations per group: the k largest
+    * (v DESC, id ASC) pairs of the union — TopKRows.merge in native
+    * array functions, with the pair order supplied as an array_sort
+    * comparator lambda (struct field order alone would sort v
+    * ascending).
+    */
+  def mergeTopKShards(a: DataFrame, b: DataFrame, k: Int,
+      key: String = "event_type"): DataFrame = {
+    val emptySql = "CAST(array() AS array<struct<v: double, id: bigint>>)"
+    val cmp = "(l, r) -> CASE WHEN l.v > r.v THEN -1 WHEN l.v < r.v THEN 1 " +
+      "WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1 ELSE 0 END"
+    a.select(col(key), col("pairs").as("pa"))
+      .join(b.select(col(key), col("pairs").as("pb")), Seq(key), "full_outer")
+      .select(col(key),
+        slice(expr("array_sort(array_distinct(concat(" +
+          s"coalesce(pa, $emptySql), coalesce(pb, $emptySql))), $cmp)"),
+          1, k).as("pairs"))
+  }
+
   /** G25: persist a B62 bottom-k SAMPLE shard — the cross-run quantile
     * artifact (the fourth mergeable-summary sink next to G22 KMV, G24
     * HLL registers, G15 quantizer centers). Each ingest run writes its

@@ -448,6 +448,32 @@ class SinksSpec extends SparkSpec {
     assert(qm.toSeq == qd.toSeq, "quantiles off merged shards diverged from direct")
   }
 
+  test("top-k shard artifact: merged half-corpus top-ks == whole-corpus top-k (semilattice, exact)") {
+    val k = 3
+    val tk = udaf(graft.functions.TopKRows(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val ev = tables.events.select(col("event_type"), col("event_id"), col("value"))
+    def shard(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type")).agg(tk(col("value"), col("event_id")).as("raw"))
+        .select(col("event_type"), transform(col("raw"),
+          s => struct(s.getField("_1").as("v"), s.getField("_2").as("id")))
+          .as("pairs"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getDouble(0), p.getLong(1))).toSeq).toMap
+    val whole = pairsOf(shard(ev))
+    val d1 = Files.createTempDirectory("tk1").toString
+    val d2 = Files.createTempDirectory("tk2").toString
+    Sinks.writeTopKShards(shard(ev.filter(pmod(col("event_id"), lit(2)) === 0)), d1)
+    Sinks.writeTopKShards(shard(ev.filter(pmod(col("event_id"), lit(2)) === 1)), d2)
+    val merged = pairsOf(Sinks.mergeTopKShards(
+      Sinks.readTopKShards(spark, d1), Sinks.readTopKShards(spark, d2), k))
+    assert(merged == whole,
+      "top-k of merged shards must equal the whole-corpus top-k exactly — selection is a semilattice")
+  }
+
   test("chunk store: dedup storage round-trips every document byte-exactly") {
     val dir = Files.createTempDirectory("chunkstore").toString
     Sinks.writeChunkStore(tables, dir)
