@@ -317,6 +317,7 @@ object SparkEntry {
     "q_distinct_kmv"       -> q(Analytics.qDistinctKmv(_)),
     "q_quantile_sample"    -> q(Analytics.qQuantileSample(_)),
     "ev_value_quantile_sample" -> q(Analytics.evValueQuantileSample(_, ordered = true)),
+    "ev_topk_by_value"     -> q(Analytics.evTopkByValue(_, ordered = true)),
     "q_distinct_bitmap"    -> q(Analytics.qDistinctBitmap),
     "q_important_stock"    -> q(Analytics.qImportantStock(_)),
     "q_cms_portable"       -> q(Analytics.qCmsPortable(_)),
@@ -668,6 +669,16 @@ object SparkEntry {
         |  sv[CAST(floor(0.90*CAST(n_sample - 1 AS DOUBLE)+0.5) AS INTEGER)+1] AS q90
         |FROM n JOIN s USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // A88: exact aggregator ==> plain rank-window oracle (B63's rule)
+    "ev_topk_by_value" ->
+      """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rnk
+        |  FROM events
+        |) WHERE rnk <= 3
+        |ORDER BY event_type, rnk""".stripMargin,
 
     // A87: same construction over the events measure — A85's batch
     // twin (the stream equals this bit-for-bit)

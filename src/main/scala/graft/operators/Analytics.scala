@@ -251,6 +251,26 @@ object Analytics {
     if (ordered) out.orderBy($("event_type")) else out
   }
 
+  /** A88: per-event-type top-k events by value via the bounded
+    * aggregator — A86's batch counterpart (the stream equals this
+    * bit-for-bit); B63's pattern on the events measure.
+    */
+  def evTopkByValue(t: Tables, k: Int = 3,
+      ordered: Boolean = false): DataFrame = {
+    val topk = udaf(graft.functions.TopKRows(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val out = t.events
+      .groupBy($("event_type"))
+      .agg(topk($("value"), $("event_id")).as("top"))
+      .select($("event_type"), posexplode($("top")).as(Seq("i", "p")))
+      .select($("event_type"), ($("i") + 1).cast("long").as("rnk"),
+        $("p").getField("_2").as("event_id"),
+        $("p").getField("_1").as("value"))
+    if (ordered) out.orderBy($("event_type"), $("rnk")) else out
+  }
+
   /** B63: EXACT top-k per group via the bounded [[graft.functions.TopKRows]]
     * Aggregator — B8's result computed the way it survives 100 TB:
     * the rank window shuffles and sorts EVERY group row on one
