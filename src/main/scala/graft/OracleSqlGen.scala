@@ -1649,6 +1649,97 @@ object OracleSqlGen {
        |ORDER BY method, q_id""".stripMargin
   }
 
+  /** D50: nprobe sweep over the residual-PQ stack — the ivfRpqBody
+    * chains with the probe relation carrying its 1-based probe rank
+    * (crank) at the widest level; each level filters crank ≤ nprobe
+    * and re-ranks the single scored relation (D37's sweep scaffolding
+    * with ADC scoring and the exact-L2 ground truth).
+    */
+  def annRpqNprobeTuning(nQueries: Int, k: Int, m: Int, dsub: Int,
+      nCodes: Int, nCells: Int, probes: Seq[Int]): String = {
+    val maxP = probes.max
+    val lvList = probes.mkString("[", ", ", "]")
+    val cvSlice = s"list_slice(pcent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"
+    s"""WITH $normCte,
+       |${lloydChainCtes(nCells, TrainRounds, "ccent", "vc")},
+       |cd AS (SELECT n.vec_id, ccent.cell,
+       |  floor((n.n2 - 2*list_reduce([n.v[i]*ccent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + ccent.c2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM n, ccent),
+       |casg AS (SELECT vec_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |rres AS (SELECT n.vec_id, a.cell,
+       |  [n.v[i] - c.cv[i] for i in range(1, len(n.v)+1)] AS v
+       |  FROM n JOIN casg a ON a.vec_id = n.vec_id JOIN ccent c ON c.cell = a.cell),
+       |rr AS (SELECT vec_id, cell, v,
+       |  list_reduce([x*x for x in v], (x,y) -> x+y) AS n2 FROM rres),
+       |${lloydChainCtes(nCodes, TrainRounds, "pcent", "rp", src = "rr")},
+       |sub AS (SELECT rr.vec_id, rr.cell, list_slice(rr.v, j*$dsub+1, j*$dsub+$dsub) AS xv, j AS sub_j
+       |  FROM rr, (SELECT unnest(range(0, $m)) AS j)),
+       |sc AS (SELECT sub.vec_id, sub.cell, sub.sub_j, pcent.cell AS code,
+       |  floor((list_reduce([x*x for x in xv], (x,y) -> x+y)
+       |    - 2*list_reduce([xv[i]*$cvSlice[i] for i in range(1, $dsub+1)], (x,y) -> x+y)
+       |    + list_reduce([x*x for x in $cvSlice], (x,y) -> x+y))*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM sub, pcent),
+       |codes AS (SELECT vec_id, cell, sub_j, code FROM
+       |  (SELECT vec_id, cell, sub_j, code,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub_j ORDER BY dist2_r, code) AS rn FROM sc)
+       |  WHERE rn = 1),
+       |pr AS (SELECT q_id, cell AS pcell, CAST(rn AS BIGINT) AS crank FROM
+       |  (SELECT cd.vec_id AS q_id, cd.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY cd.dist2_r, cd.cell) AS rn
+       |   FROM cd WHERE cd.vec_id < $nQueries)
+       |  WHERE rn <= $maxP),
+       |qres AS (SELECT p.q_id, p.pcell, p.crank,
+       |  [n.v[i] - c.cv[i] for i in range(1, len(n.v)+1)] AS qv
+       |  FROM pr p JOIN n ON n.vec_id = p.q_id JOIN ccent c ON c.cell = p.pcell),
+       |qsub AS (SELECT q_id, pcell, crank, list_slice(qv, j*$dsub+1, j*$dsub+$dsub) AS xv, j AS sub_j
+       |  FROM qres, (SELECT unnest(range(0, $m)) AS j)),
+       |qd AS (SELECT qsub.q_id, qsub.pcell, qsub.crank, qsub.sub_j, pcent.cell AS code,
+       |  floor((list_reduce([x*x for x in xv], (x,y) -> x+y)
+       |    - 2*list_reduce([xv[i]*$cvSlice[i] for i in range(1, $dsub+1)], (x,y) -> x+y)
+       |    + list_reduce([x*x for x in $cvSlice], (x,y) -> x+y))*1000000 + 0.5)/1000000 AS d_r
+       |  FROM qsub, pcent),
+       |scored AS (SELECT qd.q_id, c.vec_id, MAX(qd.crank) AS crank,
+       |  CAST(SUM(CAST(qd.d_r AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist_r
+       |  FROM codes c
+       |  JOIN qd ON qd.pcell = c.cell AND qd.sub_j = c.sub_j AND qd.code = c.code
+       |    AND qd.q_id <> c.vec_id
+       |  GROUP BY qd.q_id, c.vec_id),
+       |lv AS (SELECT CAST(unnest($lvList) AS BIGINT) AS nprobe),
+       |tk AS (SELECT q_id, nprobe, vec_id FROM (
+       |  SELECT s.q_id, lv.nprobe, s.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY s.q_id, lv.nprobe ORDER BY s.adc_dist_r ASC, s.vec_id ASC) AS rank
+       |  FROM scored s JOIN lv ON s.crank <= lv.nprobe) WHERE rank <= $k),
+       |exd AS (SELECT q.vec_id AS q_id, c.vec_id,
+       |  floor((q.n2 - 2*list_reduce([q.v[i]*c.v[i] for i in range(1, len(q.v)+1)], (x,y) -> x+y) + c.n2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM n q, n c WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |exk AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2_r, vec_id) AS rank FROM exd)
+       |  WHERE rank <= $k),
+       |kx AS (SELECT q_id, COUNT(*) AS k_exact FROM exk GROUP BY q_id),
+       |hits AS (SELECT t.q_id, t.nprobe, COUNT(*) AS n_hits
+       |  FROM tk t JOIN exk e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT cell, COUNT(*) AS n_c FROM casg GROUP BY cell),
+       |tt AS (SELECT COUNT(*) AS n_total FROM n),
+       |scan AS (SELECT pr.q_id, lv.nprobe, CAST(SUM(sz.n_c) AS BIGINT) AS n_scan
+       |  FROM pr JOIN lv ON pr.crank <= lv.nprobe JOIN sz ON sz.cell = pr.pcell
+       |  GROUP BY 1, 2),
+       |scaffold AS (SELECT q_id, nprobe FROM (SELECT DISTINCT q_id FROM pr), lv),
+       |perq AS (SELECT s.q_id, s.nprobe,
+       |  floor((CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(kx.k_exact AS DOUBLE))*1000000 + 0.5)/1000000 AS recall_r,
+       |  floor((CAST(scan.n_scan AS DOUBLE) / CAST(tt.n_total AS DOUBLE))*1000000 + 0.5)/1000000 AS scan_frac_r
+       |  FROM scaffold s
+       |  LEFT JOIN hits h ON h.q_id = s.q_id AND h.nprobe = s.nprobe
+       |  JOIN scan ON scan.q_id = s.q_id AND scan.nprobe = s.nprobe
+       |  JOIN kx ON kx.q_id = s.q_id, tt)
+       |SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  floor((CAST(SUM(CAST(recall_r AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_recall_r,
+       |  floor((CAST(SUM(CAST(scan_frac_r AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_scan_frac_r
+       |FROM perq GROUP BY nprobe ORDER BY nprobe""".stripMargin
+  }
+
   private def ivfRpqBody(nQueries: Int, m: Int, dsub: Int,
       nCodes: Int, nCells: Int, nProbe: Int): String = {
     val cvSlice = s"list_slice(pcent.cv, sub_j*$dsub+1, sub_j*$dsub+$dsub)"

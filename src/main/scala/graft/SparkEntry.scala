@@ -214,6 +214,7 @@ object SparkEntry {
     "ann_ivf_rpq"          -> q(Similarity.annIvfRpq(_)),
     "ann_ivf_rpq_rerank"   -> q(Similarity.annIvfRpqRerank(_)),
     "ann_rpq_recall"       -> q(Similarity.annRpqRecall(_, ordered = true)),
+    "ann_rpq_nprobe_tuning" -> q(Similarity.annRpqNprobeTuning(_, ordered = true)),
     "ann_ivf_rerank"       -> q(Similarity.annIvfRerank(_)),
     "q_approx_percentiles" -> q(Analytics.qApproxPercentiles(_)), // rows-only: GK sketch, no SQL oracle
     // §2.E text analysis
@@ -1950,6 +1951,7 @@ object SparkEntry {
     "ann_ivf_rpq"           -> OracleSqlGen.annIvfRpq(8, 5, 8, 8, 8, 16, 4),
     "ann_ivf_rpq_rerank"    -> OracleSqlGen.annIvfRpqRerank(8, 5, 8, 8, 8, 16, 4, 20),
     "ann_rpq_recall"        -> OracleSqlGen.annRpqRecall(8, 5, 8, 8, 8, 16, 4, 20),
+    "ann_rpq_nprobe_tuning" -> OracleSqlGen.annRpqNprobeTuning(8, 5, 8, 8, 8, 16, Seq(1, 2, 4, 8)),
     "ann_ivf_rerank"        -> OracleSqlGen.annIvfRerank(8, 5, 8, 8, 8, 16, 4, 20),
     "doc_semdedup"          -> OracleSqlGen.docSemdedup(8, 0.45),
 

@@ -1113,6 +1113,127 @@ object Similarity {
       ordered)(col("method"), col("q_id"))
   }
 
+  /** D50: nprobe TUNING curve for the residual-PQ stack — D37's sweep
+    * (what a QUERY chooses at runtime) run over D46's ADC scoring
+    * instead of exact cosine: per nprobe level, mean recall@k vs the
+    * exact-L2 top-k and mean corpus fraction scanned. Together with
+    * D49 (fixed-level recall ledger) and D48 (codebook error) this is
+    * the full tuning story for the production index: the operator
+    * answers "what does one more probe buy and what does it cost".
+    *
+    * Scale shape: candidates tagged ONCE with their cell's probe rank
+    * at the widest level (each vector lives in one cell ⇒ one row per
+    * (q, vec)); every sweep level is a filter + per-level top-k over
+    * that single relation — adding a level adds no scan. Ground truth
+    * is the D1 brute-force shape (evaluation cost, not serving cost).
+    */
+  def annRpqNprobeTuning(t: Tables, nQueries: Int = 8, k: Int = 5,
+      m: Int = 8, nCodes: Int = 8, nCells: Int = 16,
+      probes: Seq[Int] = Seq(1, 2, 4, 8),
+      ordered: Boolean = false): DataFrame = {
+    val spark = t.spark
+    val maxP = probes.max
+    val coarse = trainedCenters(t, nCells)
+    val pqr = residualPqCenters(t, nCells, nCodes)
+    val dsub = pqr.head._2.length / m
+    val byCell = typedLit(coarse.sortBy(_._1).toSeq.map(_._2))
+    val codes = pqCodesFor(t, coarse, pqr, m)
+    val cellCands = coarse.map { case (cell, cv, c2) =>
+      struct(
+        r6(col("n2") - lit(2.0) * VectorExprs.dot(col("v"), typedLit(cv)) + lit(c2))
+          .as("dist2_r"),
+        lit(cell.toLong).as("cell"))
+    }
+    // probe list at the widest level, 1-based rank in probe order,
+    // with the query residual against each probed cell's center
+    val pc = withNorm(t.embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        posexplode(slice(array_sort(array(cellCands: _*)), 1, maxP))
+          .as(Seq("pi", "p")),
+        col("v"))
+      .select(col("q_id"), (col("pi") + 1).cast("long").as("crank"),
+        col("p.cell").as("pcell"),
+        zip_with(col("v"),
+          element_at(byCell, col("p.cell").cast("int") + 1),
+          (x, c) => x - c).as("qr"))
+    val perJ = (0 until m).map { j =>
+      val xv = slice(col("qr"), j * dsub + 1, dsub)
+      struct(lit(j.toLong).as("sub_j"),
+        VectorExprs.pqDists(xv, subCodebook(pqr, j, dsub)).as("cs"))
+    }
+    val adcT = pc
+      .select(col("q_id").as("q_id2"), col("pcell").as("pcell2"),
+        col("crank"), explode(array(perJ: _*)).as("s"))
+      .select(col("q_id2"), col("pcell2"), col("crank"),
+        col("s.sub_j").as("qsub_j"), posexplode(col("s.cs")))
+      .select(col("q_id2"), col("pcell2"), col("crank"), col("qsub_j"),
+        col("pos").cast("long").as("qcode"), col("col").as("d_r"))
+    // one scored row per (q, vec), tagged with its cell's probe rank
+    val scored = codes
+      .join(broadcast(adcT),
+        col("cell") === col("pcell2") && col("sub_j") === col("qsub_j") &&
+          col("code") === col("qcode") && col("vec_id") =!= col("q_id2"))
+      .groupBy(col("q_id2"), col("vec_id"))
+      .agg(sum(col("d_r").cast(DecimalType(18, 6))).cast("double").as("adc_dist_r"),
+        max(col("crank")).as("crank"))
+      .select(col("q_id2").as("q_id"), col("vec_id"), col("adc_dist_r"), col("crank"))
+    val levels = spark.range(1)
+      .select(explode(typedLit(probes.map(_.toLong))).as("nprobe"))
+    val wTop = Window.partitionBy(col("q_id"), col("nprobe"))
+      .orderBy(col("adc_dist_r").asc, col("vec_id").asc)
+    val topk = scored.crossJoin(broadcast(levels))
+      .filter(col("crank") <= col("nprobe"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nprobe"), col("vec_id"))
+    // exact-L2 ground truth (the D49 convention — same metric)
+    val e = withNorm(t.embeddings).select(col("vec_id"), col("v"), col("n2"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id2"), col("v").as("qv"), col("n2").as("qn2"))
+    val wEx = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2_r").asc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id2"))
+      .select(col("q_id2").as("q_id"), col("vec_id"),
+        r6(col("qn2") - lit(2.0) * VectorExprs.dot(col("qv"), col("v")) + col("n2"))
+          .as("dist2_r"))
+      .withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("eq"), col("vec_id").as("ev"))
+    val kx = exact.groupBy(col("eq")).agg(count(lit(1)).as("k_exact"))
+    val hits = topk.join(exact,
+        col("q_id") === col("eq") && col("vec_id") === col("ev"))
+      .groupBy(col("q_id"), col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val sizes = withCell(withNorm(t.embeddings), coarse)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
+    val total = t.embeddings.agg(count(lit(1)).as("n_total"))
+    val scan = pc.select(col("q_id"), col("crank"), col("pcell"))
+      .join(broadcast(sizes), col("pcell") === sizes("cell"))
+      .crossJoin(broadcast(levels))
+      .filter(col("crank") <= col("nprobe"))
+      .groupBy(col("q_id"), col("nprobe")).agg(sum(col("n_c")).as("n_scan"))
+    val scaffold = pc.select(col("q_id")).distinct().crossJoin(broadcast(levels))
+    val perQ = scaffold
+      .join(hits, Seq("q_id", "nprobe"), "left")
+      .join(scan, Seq("q_id", "nprobe"))
+      .join(kx, col("q_id") === col("eq")).crossJoin(broadcast(total))
+      .select(col("q_id"), col("nprobe"),
+        r6(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("k_exact").cast("double")).as("recall_r"),
+        r6(col("n_scan").cast("double") / col("n_total").cast("double"))
+          .as("scan_frac_r"))
+    maybeSort(
+      perQ.groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("recall_r").cast(DecimalType(18, 6))).as("sr"),
+          sum(col("scan_frac_r").cast(DecimalType(18, 6))).as("ss"))
+        .select(col("nprobe"), col("n_queries"),
+          r6(col("sr").cast("double") / col("n_queries").cast("double"))
+            .as("mean_recall_r"),
+          r6(col("ss").cast("double") / col("n_queries").cast("double"))
+            .as("mean_scan_frac_r")),
+      ordered)(col("nprobe"))
+  }
+
   /** The FAISS refine tail shared by D11/D47: exact squared-L2
     * rescoring of a tiny broadcast candidate pool, top-k by the exact
     * distance. The corpus streams past the broadcast pool — only pool

@@ -658,6 +658,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rpq nprobe sweep: scan fraction strictly increasing (theorem), recalls in [0,1], all queries at every level") {
+    val rows = Similarity.annRpqNprobeTuning(tables, ordered = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(rows.forall(_._2 == rows.head._2), "every level covers all queries")
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    // more probes scan strictly more (every query's next cell is
+    // non-empty only if it exists; ≥ always holds, and on this corpus
+    // each probe adds rows) — recall is deliberately NOT pinned
+    // monotone: ADC can rank a new wrong candidate above a true hit
+    rows.sliding(2).foreach { w =>
+      assert(w(1)._4 >= w(0)._4,
+        s"scan fraction must not shrink with probes: ${w(0)} -> ${w(1)}")
+    }
+  }
+
   test("lloyd training: SSE non-increasing per round; trained centers beat the seed and move off it") {
     val rounds = 4
     val curve = Similarity.embKmeansTrainCurve(tables, nCenters = 8, rounds = rounds, ordered = true)
