@@ -602,6 +602,42 @@ object OracleSqlGen {
        |  CAST(sc.doc_id = k.keeper AS INTEGER) AS keep
        |FROM sc JOIN k USING (cluster) ORDER BY sc.doc_id""".stripMargin
 
+  /** C35: LSH band planner — analytic S-curve masses (powers unrolled
+    * as left-associated multiplications, no libm pow) + measured
+    * per-plan band-bucket candidate volume Σ C(count, 2).
+    */
+  def docLshBandPlanner(threshold: Double): String = {
+    val plans = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+    val gridList = (0 until 20)
+      .map(i => BigDecimal(25 + 50 * i, 3).toString).mkString("[", ", ", "]")
+    def unroll(e: String, n: Int) = Seq.fill(n)(e).mkString("*")
+    val an = plans.map { case (b, r) =>
+      val q = s"(1.0 - ${unroll("s", r)})"
+      val pr = s"floor((1.0 - ${unroll(q, b)})*1000000 + 0.5)/1000000"
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  floor((CAST(SUM(CAST(CASE WHEN s < $threshold THEN p_r ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) * 0.05)*1000000 + 0.5)/1000000 AS fp_mass_r,
+         |  floor((CAST(SUM(CAST(CASE WHEN s >= $threshold THEN 1.0 - p_r ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) * 0.05)*1000000 + 0.5)/1000000 AS fn_mass_r
+         |FROM (SELECT s, $pr AS p_r FROM (SELECT CAST(unnest($gridList) AS DOUBLE) AS s))""".stripMargin
+    }.mkString("\nUNION ALL ")
+    val me = plans.map { case (b, r) =>
+      val bandSelects = (0 until b).map { j =>
+        s"SELECT $j AS band, ${bandConcat(j * r until (j + 1) * r)} AS band_val FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |  CAST(COALESCE(SUM(cnt*(cnt-1)), 0) // 2 AS BIGINT) AS cand_pairs
+         |FROM (SELECT band, band_val, COUNT(*) AS cnt FROM (
+         |  $bandSelects
+         |) GROUP BY 1, 2)""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH $gramCtes,
+       |$sigCte,
+       |an AS ($an),
+       |me AS ($me)
+       |SELECT an.bands, an.rows_per_band, an.fp_mass_r, an.fn_mass_r, me.cand_pairs
+       |FROM an JOIN me USING (bands)
+       |ORDER BY an.bands""".stripMargin
+  }
+
   /** C33: cluster-keyed leakage-safe split — C7's cluster chain + the
     * E21 md5 permille lattice keyed on the cluster id.
     */

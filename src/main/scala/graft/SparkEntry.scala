@@ -159,6 +159,7 @@ object SparkEntry {
     "doc_decontaminate_bloom" -> q(Dedup.docDecontaminateBloom(_, ordered = true)),
     "doc_dedup_clusters"   -> q(Dedup.docDedupClusters(_, ordered = true)),
     "doc_split_leakage_safe" -> q(Dedup.docSplitLeakageSafe(_, ordered = true)),
+    "doc_lsh_band_planner" -> q(Dedup.docLshBandPlanner(_, ordered = true)),
     "doc_split_leakage_audit" -> q(Dedup.docSplitLeakageAudit(_, ordered = true)),
     "doc_cluster_stats"    -> q(Dedup.docClusterStats(_)),
     "doc_dedup_rate_by_threshold" -> q(Dedup.docDedupRateByThreshold(_)),
@@ -1504,6 +1505,7 @@ object SparkEntry {
     "doc_shingle_df_hist"   -> OracleSqlGen.docShingleDfHist,
     "doc_dedup_clusters"    -> OracleSqlGen.docDedupClusters,
     "doc_split_leakage_safe" -> OracleSqlGen.docSplitLeakageSafe(990, 5),
+    "doc_lsh_band_planner"  -> OracleSqlGen.docLshBandPlanner(0.2),
     "doc_split_leakage_audit" -> OracleSqlGen.docSplitLeakageAudit(990, 5),
     "doc_cluster_stats"     -> OracleSqlGen.docClusterStats,
     "doc_dedup_rate_by_threshold" -> OracleSqlGen.docDedupRateByThreshold(Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9)),

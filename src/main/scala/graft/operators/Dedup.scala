@@ -1589,6 +1589,65 @@ object Dedup {
     maybeSort(out, ordered)(col("source"))
   }
 
+  /** C35: LSH BAND PLANNER — the design card that picks C3's (bands,
+    * rows-per-band) before any corpus run: for every divisor split of
+    * the 16-hash signature, (a) the ANALYTIC S-curve masses at the
+    * target threshold — false-positive mass Σ_{s<t} p(s)Δ and
+    * false-negative mass Σ_{s≥t} (1−p(s))Δ with p(s) = 1−(1−s^r)^b
+    * over a fixed midpoint grid (powers UNROLLED as left-associated
+    * multiplications so both engines fold identical IEEE ops — no
+    * libm pow dependence) — and (b) the MEASURED candidate volume on
+    * the corpus: Σ over band buckets of C(count, 2), the verification
+    * bill the plan would actually generate. C20 tunes the threshold
+    * given a banding; this picks the banding given a threshold.
+    *
+    * Scale shape: the analytic half never touches data (a 20-row
+    * literal grid per plan); the measured half is one stack + one
+    * (band, bucket) count per plan over the per-doc signature
+    * relation — the C24 bucket-stats shuffle class, never a pair
+    * join.
+    */
+  def docLshBandPlanner(t: Tables, threshold: Double = 0.2,
+      ordered: Boolean = false): DataFrame = {
+    val spark = t.spark
+    val plans = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+    // midpoint grid, exact decimal strings so both engines parse the
+    // identical double literal
+    val grid = (0 until 20).map(i => BigDecimal(25 + 50 * i, 3))
+    val gridLit = typedLit(grid.map(_.toDouble))
+    def unrollPow(base: Column, n: Int): Column =
+      (2 to n).foldLeft(base)((a, _) => a * base)
+    val analytic = plans.map { case (b, r) =>
+      val s = col("s")
+      val p = lit(1.0) - unrollPow(lit(1.0) - unrollPow(s, r), b)
+      spark.range(1).select(explode(gridLit).as("s"))
+        .select(r6(p).as("p_r"), s)
+        .agg(
+          r6(sum(when(col("s") < threshold, col("p_r")).otherwise(lit(0.0))
+            .cast(DecimalType(18, 6))).cast("double") * lit(0.05)).as("fp_mass_r"),
+          r6(sum(when(col("s") >= threshold, lit(1.0) - col("p_r")).otherwise(lit(0.0))
+            .cast(DecimalType(18, 6))).cast("double") * lit(0.05)).as("fn_mass_r"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("fp_mass_r"), col("fn_mass_r"))
+    }.reduce(_ unionByName _)
+    val sig = minhashSigCols(grams(t))
+    val measured = plans.map { case (b, r) =>
+      val stackArgs = (0 until b).map { j =>
+        val cols = (j * r until (j + 1) * r).map(i => s"m$i").mkString(", ")
+        s"$j, concat_ws(',', $cols)"
+      }.mkString(", ")
+      sig.select(expr(s"stack($b, $stackArgs) AS (band, band_val)"))
+        .groupBy(col("band"), col("band_val")).agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(col("cnt") * (col("cnt") - 1L)), lit(0L)).as("twice"))
+        .select(lit(b.toLong).as("bands"),
+          expr("twice DIV 2").as("cand_pairs"))
+    }.reduce(_ unionByName _)
+    maybeSort(analytic.join(measured, "bands")
+      .select(col("bands"), col("rows_per_band"), col("fp_mass_r"),
+        col("fn_mass_r"), col("cand_pairs")),
+      ordered)(col("bands"))
+  }
+
   /** C33: LEAKAGE-SAFE train/valid/test split — the split key is the
     * near-dup CLUSTER id (C7), not the doc id, so two near-duplicate
     * documents can NEVER land in different splits (the eval-set

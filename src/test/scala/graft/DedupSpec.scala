@@ -399,6 +399,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lsh band planner: along the divisor chain fn mass falls, fp mass rises, candidate volume rises (theorems)") {
+    val rows = Dedup.docLshBandPlanner(tables, ordered = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, 16L), (2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L)))
+    rows.sliding(2).foreach { w =>
+      // p(s) = 1 - (1 - s^r)^b is pointwise non-decreasing along the
+      // chain (b up AND r down both raise it), so fp mass can only
+      // rise and fn mass only fall — a theorem, not a data property
+      assert(w(1)._3 >= w(0)._3, s"fp mass must rise: ${w(0)} -> ${w(1)}")
+      assert(w(1)._4 <= w(0)._4, s"fn mass must fall: ${w(0)} -> ${w(1)}")
+      // nested-prefix bands: every longer-band collision survives in
+      // some shorter band, and bands multiply — slots only grow
+      assert(w(1)._5 >= w(0)._5, s"candidate volume must rise: ${w(0)} -> ${w(1)}")
+    }
+  }
+
   test("leakage-safe split: clusters never span splits; doc-keyed split leaks on a planted corpus, cluster-keyed never") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
