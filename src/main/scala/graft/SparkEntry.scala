@@ -357,6 +357,7 @@ object SparkEntry {
     // §2.F multimodal plumbing
     "mm_binary_meta"       -> q(Multimodal.mmBinaryMeta(_, ordered = true)),
     "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract(_, ordered = true)), // REAL netpbm decode (r10), oracle-gated
+    "mm_channel_hist"      -> q(Multimodal.mmChannelHist(_, ordered = true)),
     "mm_resize"            -> q(Multimodal.mmResize(_, ordered = true)),
     "mm_frame_sample"      -> q(Multimodal.mmFrameSample(_, ordered = true)),
     "mm_frame_phash_pairs" -> q(Multimodal.mmFramePhashPairs(_, ordered = true)),
@@ -2180,6 +2181,21 @@ object SparkEntry {
         |  floor((CAST(sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
         |  CAST(11 + width*height*3 AS INTEGER) AS n_bytes
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // F17: bin counts re-derived from the same affine pixel formula,
+    // independently of the Scala parser; first channel = i % 3 = 0
+    "mm_channel_hist" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 8 AS INTEGER) AS width,
+        |    CAST(1 + (doc_id * 13) % 8 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (SELECT doc_id, unnest(range(width*height*3)) AS i FROM d)
+        |SELECT doc_id,
+        |  CAST((32 + (doc_id*31 + i*7) % 95) // 32 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_px
+        |FROM px WHERE i % 3 = 0
+        |GROUP BY 1, 2
+        |ORDER BY doc_id, bin""".stripMargin,
 
     "mm_resize" ->
       """WITH d AS (SELECT doc_id,

@@ -218,6 +218,44 @@ object Multimodal {
     ds.mapPartitions(_.grouped(64).flatMap(b => decodeBatch(b))).toDF()
   }
 
+  final case class MmBin(doc_id: Long, bin: Long, n_px: Long)
+
+  /** F17: per-image FIRST-CHANNEL pixel histogram from the REAL decode
+    * (the second genuine consumer of the netpbm codec next to F2's
+    * means — the exposure/contrast read an image-quality filter bins
+    * on): 8 bins of 32 values over 0..255, one row per non-empty
+    * (doc, bin). Because the payload generator is SQL-expressible,
+    * the oracle re-derives every bin count from the affine pixel
+    * formula independently of the parser. Corrupt payloads are
+    * dropped (F2 owns the quarantine row).
+    *
+    * Scale shape: decode + bin inside one mapPartitions batch (no
+    * shuffle); the output is ≤8 rows per image.
+    */
+  def mmChannelHist(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val ds = p6Payload(t.documents).as[(Long, Array[Byte])]
+    ds.mapPartitions(_.grouped(64).flatMap(_.flatMap { case (id, bytes) =>
+        Ppm.parse(bytes) match {
+          case Some(img) =>
+            val counts = new Array[Long](8)
+            val n = img.width * img.height
+            var p = 0
+            while (p < n) {
+              val v = img.raster(img.rasterOffset + p * img.channels) & 0xff
+              counts(v >> 5) += 1
+              p += 1
+            }
+            counts.zipWithIndex.collect {
+              case (c, b) if c > 0 => MmBin(id, b.toLong, c)
+            }
+          case None => Nil
+        }
+      }))
+      .toDF()
+  }, ordered)(col("doc_id"), col("bin"))
+
   final case class MmResized(doc_id: Long, width: Int, height: Int,
       target_w: Int, target_h: Int, scale: Double)
 
