@@ -15,6 +15,9 @@ import graft.operators.TextOps
   */
 object OracleSqlGen {
 
+  /** SQL string literal (single quotes doubled). */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** Shared CTE: distinct word-3-gram shingles + 60-bit base hash. */
   private val gramCtes: String =
     """t AS (SELECT doc_id, string_split(lower(text),' ') AS tk, lower(text) AS lt FROM documents),
@@ -63,23 +66,43 @@ object OracleSqlGen {
        |  FROM band a JOIN band b ON a.j = b.j AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
        |$jaccardTail""".stripMargin
 
-  /** E55: content-defined chunking — per-window Rabin–Karp fold
-    * (recomputed O(n·k); the Spark side's native pass is
-    * value-identical), cut where hash ≡ 0 (mod modDiv), segmentation
-    * via LAG over the distinct end positions, copy count per chunk
-    * content hash.
+  /** E55: content-defined chunking — BYTE-LEVEL, matching the Spark
+    * side: the document's UTF-8 octets are recovered through DuckDB's
+    * hex(encode(text)) (v1.0.0 has no BLOB md5/substr, so every byte
+    * step rides the uppercase hex string: byte i = hex digits 2i-1,2i),
+    * per-window Rabin–Karp fold over the byte-value list (recomputed
+    * O(n·k); the Spark side's native pass is value-identical), cut
+    * where hash ≡ 0 (mod modDiv), segmentation via LAG over the
+    * distinct end positions, copy count per chunk content hash. Chunk
+    * identity = md5 of the chunk bytes' uppercase hex — the one md5
+    * input both engines can hash.
+    *
+    * The gated corpus is the documents table PLUS the multi-byte
+    * plant ([[graft.operators.TextOps.plantUtf8Docs]] — same constants),
+    * so the oracle comparison always covers docs whose byte and char
+    * offsets diverge.
     */
-  /** Shared E55 CTE chain ending at `ch` (doc, chunk_idx, start,
-    * len, content hash) — reused by the E57 dup-mass rollup. */
-  private def cdcCtes(window: Int, modDiv: Int): String =
-    s"""d AS (SELECT doc_id, lower(text) AS lt,
-       |  CAST(length(text) AS BIGINT) AS len FROM documents WHERE length(text) > 0),
+  private def cdcCtes(window: Int, modDiv: Int): String = {
+    val pfx = sqlLit(graft.operators.TextOps.Utf8PlantPrefix)
+    val sfx = sqlLit(graft.operators.TextOps.Utf8PlantSuffix)
+    val every = graft.operators.TextOps.Utf8PlantEvery
+    s"""docs_aug AS (SELECT doc_id, text, source FROM documents
+       |  UNION ALL SELECT doc_id + 9000000, $pfx || text || $sfx, source
+       |  FROM documents WHERE doc_id % $every = 0),
+       |d AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM docs_aug WHERE length(text) > 0),
+       |bl AS (SELECT doc_id,
+       |  [CAST((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+       |     + strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1 AS BIGINT)
+       |   for i in range(1, CAST(len AS INTEGER)+1)] AS bv
+       |  FROM d),
        |pos AS (SELECT doc_id, unnest(range(1, CAST(len AS INTEGER) - ${window - 2})) AS p
        |  FROM d WHERE len >= $window),
        |hv AS (SELECT pos.doc_id, p,
-       |  list_reduce([ord(c)::BIGINT for c in string_split(substr(d.lt, CAST(p AS INTEGER), $window), '')],
+       |  list_reduce(bl.bv[CAST(p AS INTEGER):CAST(p + ${window - 1} AS INTEGER)],
        |    (a, b) -> (a * 31 + b) % 1073741789) AS h
-       |  FROM pos JOIN d ON d.doc_id = pos.doc_id),
+       |  FROM pos JOIN bl ON bl.doc_id = pos.doc_id),
        |cuts AS (SELECT doc_id, CAST(p + ${window - 1} AS BIGINT) AS e FROM hv WHERE h % $modDiv = 0),
        |ends AS (SELECT DISTINCT doc_id, e FROM
        |  (SELECT doc_id, e FROM cuts UNION ALL SELECT doc_id, len AS e FROM d)),
@@ -90,8 +113,9 @@ object OracleSqlGen {
        |ch AS (SELECT s.doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
        |  CAST(s.start AS BIGINT) AS start_pos,
        |  CAST(s.e - s.start + 1 AS BIGINT) AS chunk_len,
-       |  md5(substr(d.lt, CAST(s.start AS INTEGER), CAST(s.e - s.start + 1 AS INTEGER))) AS chunk_hash
+       |  md5(substr(d.hx, CAST((s.start - 1) * 2 + 1 AS INTEGER), CAST((s.e - s.start + 1) * 2 AS INTEGER))) AS chunk_hash
        |  FROM seg s JOIN d ON d.doc_id = s.doc_id)""".stripMargin
+  }
 
   def docCdcChunks(window: Int, modDiv: Int): String =
     s"""WITH ${cdcCtes(window, modDiv)}
@@ -114,7 +138,7 @@ object OracleSqlGen {
        |  CAST(SUM(CASE WHEN rk.occ_rank > 1 THEN rk.chunk_len ELSE 0 END) AS BIGINT) AS dup_bytes,
        |  floor((CAST(SUM(CASE WHEN rk.occ_rank > 1 THEN rk.chunk_len ELSE 0 END) AS DOUBLE) /
        |    CAST(SUM(rk.chunk_len) AS DOUBLE))*1000000 + 0.5)/1000000 AS dup_share_r
-       |FROM rk JOIN documents dd ON dd.doc_id = rk.doc_id
+       |FROM rk JOIN docs_aug dd ON dd.doc_id = rk.doc_id
        |GROUP BY dd.source ORDER BY dd.source""".stripMargin
 
   /** C30: dedup-decision agreement — C3's verified-Jaccard verdict vs

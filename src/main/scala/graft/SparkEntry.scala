@@ -227,8 +227,11 @@ object SparkEntry {
     "doc_stratified_sample" -> q(TextOps.docStratifiedSample(_, ordered = true)),
     "text_vocab"           -> q(TextOps.textVocab),
     "doc_chunk"            -> q(TextOps.docChunk(_, ordered = true)),
-    "doc_cdc_chunks"       -> q(TextOps.docCdcChunks(_, ordered = true)),
-    "doc_cdc_dup_mass"     -> q(TextOps.docCdcDupMass(_, ordered = true)),
+    // CDC gate keys run on the multi-byte-planted corpus so the
+    // byte-level chunker is oracle-checked on text whose byte and char
+    // offsets diverge (plantUtf8Docs ≡ the oracle's docs_aug CTE)
+    "doc_cdc_chunks"       -> q(t => TextOps.docCdcChunks(TextOps.plantUtf8Docs(t), ordered = true)),
+    "doc_cdc_dup_mass"     -> q(t => TextOps.docCdcDupMass(TextOps.plantUtf8Docs(t), ordered = true)),
     "text_rolling_fingerprint" -> q(TextOps.textRollingFingerprint(_, ordered = true)),
     "doc_pack"             -> q(TextOps.docPack(_, ordered = true)),
     "doc_quality_filter"   -> q(TextOps.docQualityFilter(_, ordered = true)),

@@ -330,10 +330,14 @@ case class RollingHashAll(child: Expression, window: Int) extends UnaryExpressio
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
 
-  protected override def nullSafeEval(input: Any): Any =
-    RollingHashAll.hashes(input.asInstanceOf[UTF8String], window)
+  protected override def nullSafeEval(input: Any): Any = input match {
+    case b: Array[Byte] => RollingHashAll.hashes(b, window)
+    case s => RollingHashAll.hashes(s.asInstanceOf[UTF8String], window)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the Java overload on byte[] vs UTF8String resolves statically from
+    // the child's generated type, so one template serves both input types
     defineCodeGen(ctx, ev, c => s"graft.functions.RollingHashAll.hashes($c, $window)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -343,8 +347,15 @@ case class RollingHashAll(child: Expression, window: Int) extends UnaryExpressio
 object RollingHashAll {
   import RollingHashMin.{B, P}
 
-  def hashes(s: UTF8String, window: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val bytes = s.getBytes
+  /** String input hashes its UTF-8 OCTETS — identical to handing the
+    * raw bytes to the binary overload (the property the byte-level CDC
+    * arc rides: cut offsets are byte offsets regardless of charset
+    * width).
+    */
+  def hashes(s: UTF8String, window: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    hashes(s.getBytes, window)
+
+  def hashes(bytes: Array[Byte], window: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = bytes.length
     if (n < window)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])

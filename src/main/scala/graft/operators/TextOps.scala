@@ -1925,26 +1925,25 @@ object TextOps {
   def docCdcChunks(t: Tables, window: Int = 16, modDiv: Int = 64,
       ordered: Boolean = false): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("e"))
-    // The rolling hash runs over UTF-8 BYTES while the cut ends slice
-    // CHARACTERS — coherent only when the two coincide, i.e. pure
-    // single-byte (ASCII) text. Rather than silently mis-chunking a
-    // multi-byte document (which would also break the G23 chunk-store
-    // round-trip), a non-ASCII doc fails LOUDLY here; a byte-clean
-    // corpus first routes through an octet normalization pass.
+    // BYTE-LEVEL end to end: the document is cast to its UTF-8 octets
+    // once and every downstream step — rolling hash, cut offsets,
+    // segment slicing, chunk length — runs on that byte relation, so a
+    // multilingual corpus chunks correctly (a cut may land inside a
+    // multi-byte character; the chunk payload is bytes, and G23's
+    // reassembly concatenates bytes before decoding, so round-trip
+    // still holds). Chunk identity = md5 of the chunk bytes' uppercase
+    // hex — the one md5 input both engines can hash (DuckDB's md5 is
+    // VARCHAR-only), value-identical to hashing the bytes themselves
+    // for identity purposes.
     val docs = t.documents.filter(length(col("text")) > 0)
-      .select(col("doc_id"),
-        when(octet_length(col("text")) === length(col("text")),
-          lower(col("text")))
-          .otherwise(raise_error(concat(
-            lit("docCdcChunks requires single-byte (ASCII) text; doc_id="),
-            col("doc_id").cast("string")))).as("lt"),
-        length(col("text")).cast("long").as("len"))
+      .select(col("doc_id"), col("text").cast("binary").as("bt"),
+        octet_length(col("text")).cast("long").as("len"))
     val cuts = docs
       .select(col("doc_id"),
         // window threaded through as a literal (the registered
         // expression binds it at plan time; a non-default window now
         // actually changes the hash instead of only the cut offset)
-        posexplode(call_function("graft_rolling_hashes", col("lt"), lit(window)))
+        posexplode(call_function("graft_rolling_hashes", col("bt"), lit(window)))
           .as(Seq("p0", "hv")))
       .filter(pmod(col("hv"), lit(modDiv.toLong)) === 0L)
       .select(col("doc_id"), (col("p0") + window).cast("long").as("e"))
@@ -1957,12 +1956,37 @@ object TextOps {
       .withColumn("chunk_idx", (row_number().over(wDoc) - 1).cast("long"))
       .select(col("doc_id"), col("chunk_idx"), col("start").as("start_pos"),
         (col("e") - col("start") + 1).as("chunk_len"),
-        md5(expr("CAST(substring(lt, CAST(start AS INT), CAST(e - start + 1 AS INT)) AS BINARY)"))
+        md5(hex(expr("substring(bt, CAST(start AS INT), CAST(e - start + 1 AS INT))")))
           .as("chunk_hash"))
     maybeSort(
       seg.withColumn("n_copies",
         count(lit(1)).over(Window.partitionBy(col("chunk_hash")))),
       ordered)(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Multi-byte plant shared by the CDC gate keys and their DuckDB
+    * oracles: every 41st document re-enters the corpus with accented /
+    * CJK / punctuation multi-byte UTF-8 wrapped around its text, so the
+    * gated relation always contains documents whose byte and character
+    * offsets diverge — the corpus shape the byte-level CDC arc exists
+    * for. Constants are shared with [[graft.OracleSqlGen]] so both
+    * engines plant bit-identical docs.
+    */
+  val Utf8PlantPrefix =
+    "héllo — 世界 «größe» "
+  val Utf8PlantSuffix = " … naïve ñandú"
+  val Utf8PlantEvery = 41
+
+  def plantUtf8Docs(t: Tables): Tables = {
+    val d = t.documents.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+    val planted = d.filter(pmod(col("doc_id"), lit(Utf8PlantEvery.toLong)) === 0L)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        concat(lit(Utf8PlantPrefix), col("text"), lit(Utf8PlantSuffix)).as("text"),
+        col("lang"), col("source"),
+        length(concat(lit(Utf8PlantPrefix), col("text"), lit(Utf8PlantSuffix)))
+          .cast("long").as("n_chars"))
+    t.copy(docsOverride = Some(d.unionByName(planted)))
   }
 
   /** E59: reference-model perplexity (the CCNet scoring shape): an

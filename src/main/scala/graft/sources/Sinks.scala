@@ -392,12 +392,15 @@ object Sinks {
     */
   def writeChunkStore(t: Tables, path: String,
       window: Int = 16, modDiv: Int = 64): Unit = {
+    // chunk payloads are BYTES, not strings: byte-level CDC may cut
+    // inside a multi-byte character, so only the byte slice is a valid
+    // storage unit — reassembly concatenates bytes BEFORE decoding
     val chunks = graft.operators.TextOps.docCdcChunks(t, window, modDiv)
-      .join(t.documents.select(col("doc_id"), lower(col("text")).as("lt")), "doc_id")
-      .withColumn("chunk_text",
-        expr("substring(lt, CAST(start_pos AS INT), CAST(chunk_len AS INT))"))
+      .join(t.documents.select(col("doc_id"), col("text").cast("binary").as("bt")), "doc_id")
+      .withColumn("chunk_bytes",
+        expr("substring(bt, CAST(start_pos AS INT), CAST(chunk_len AS INT))"))
     chunks.groupBy(col("chunk_hash"))
-      .agg(first(col("chunk_text")).as("chunk_text"),
+      .agg(first(col("chunk_bytes")).as("chunk_bytes"),
         count(lit(1)).as("n_refs"))
       .repartition(4, col("chunk_hash"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/chunks")
@@ -407,17 +410,19 @@ object Sinks {
   }
 
   /** Reassemble documents from a G23 chunk store: manifest ⋈ chunks on
-    * the content hash, chunks concatenated in recipe order. */
+    * the content hash, byte chunks concatenated in recipe order, UTF-8
+    * decoded only after the full byte sequence is back together. */
   def readChunkStore(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val chunks = spark.read.parquet(s"$path/chunks")
-      .select(col("chunk_hash"), col("chunk_text"))
+      .select(col("chunk_hash"), col("chunk_bytes"))
     spark.read.parquet(s"$path/manifest")
       .join(chunks, "chunk_hash")
       .groupBy(col("doc_id"))
-      .agg(array_join(transform(array_sort(collect_list(
-        struct(col("chunk_idx"), col("chunk_text")))), s => s.getField("chunk_text")), "")
-        .as("text"))
+      .agg(collect_list(struct(col("chunk_idx"), col("chunk_bytes"))).as("ps"))
+      .select(col("doc_id"),
+        expr("CAST(aggregate(transform(array_sort(ps), s -> s.chunk_bytes), " +
+          "CAST('' AS BINARY), (acc, x) -> concat(acc, x)) AS STRING)").as("text"))
   }
 
   /** G24: persist a B59 HLL register SHARD — the cross-run distinct-

@@ -262,39 +262,43 @@ object DocStreamJob {
       novelty_r: Double)
 
   /** Per-doc CDC chunking in the JVM — EXACTLY the E55 relation's cut
-    * rule (lowercase, RollingHashAll window hashes, cut at hv ≡ 0 mod
-    * modDiv at the window end, final segment to end-of-text), chunk
-    * identity = md5 hex of the chunk's UTF-8 bytes (Spark's
-    * md5(binary) convention). Shared by the streaming novelty op and
-    * its spec's batch comparison.
+    * rule, BYTE-LEVEL like the batch op: RollingHashAll window hashes
+    * over the raw UTF-8 octets, cut at hv ≡ 0 mod modDiv at the window
+    * end, final segment to end-of-bytes. Chunk identity = md5 of the
+    * chunk bytes' UPPERCASE HEX (the batch convention md5(hex(bytes)),
+    * chosen because the DuckDB oracle's md5 is VARCHAR-only). Lengths
+    * are byte lengths. Works on any text — a cut may split a
+    * multi-byte character; identity and novelty accounting stay exact.
     */
   private[graft] def cdcChunkHashes(text: String, window: Int,
       modDiv: Int): Seq[(Int, String)] = {
-    val lt = text.toLowerCase
-    if (lt.isEmpty) return Nil
-    // byte/char coherence guard (same contract as the batch op): the
-    // rolling hash walks UTF-8 bytes while slicing is char-indexed —
-    // fail loudly on multi-byte text instead of mis-chunking it
-    require(org.apache.spark.unsafe.types.UTF8String.fromString(lt).numBytes == lt.length,
-      "cdcChunkHashes requires single-byte (ASCII) text")
-    val hs = graft.functions.RollingHashAll.hashes(
-      org.apache.spark.unsafe.types.UTF8String.fromString(lt), window)
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.isEmpty) return Nil
+    val hs = graft.functions.RollingHashAll.hashes(bytes, window)
     val ends = scala.collection.mutable.TreeSet.empty[Int]
     var i = 0
     while (i < hs.numElements()) {
       if (hs.getLong(i) % modDiv == 0) ends += (i + window)
       i += 1
     }
-    ends += lt.length
+    ends += bytes.length
     val md = java.security.MessageDigest.getInstance("MD5")
+    val hexDigits = "0123456789ABCDEF"
     var start = 1
     ends.toSeq.map { e =>
-      val chunk = lt.substring(start - 1, e)
+      val n = e - start + 1
+      val hexChunk = new Array[Byte](n * 2)
+      var j = 0
+      while (j < n) {
+        val b = bytes(start - 1 + j) & 0xff
+        hexChunk(2 * j) = hexDigits.charAt(b >> 4).toByte
+        hexChunk(2 * j + 1) = hexDigits.charAt(b & 0xf).toByte
+        j += 1
+      }
       md.reset()
-      val hex = md.digest(chunk.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
+      val hex = md.digest(hexChunk).map(b => f"$b%02x").mkString
       start = e + 1
-      (chunk.length, hex)
+      (n, hex)
     }
   }
 

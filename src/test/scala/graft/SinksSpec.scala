@@ -476,13 +476,20 @@ class SinksSpec extends SparkSpec {
 
   test("chunk store: dedup storage round-trips every document byte-exactly") {
     val dir = Files.createTempDirectory("chunkstore").toString
-    Sinks.writeChunkStore(tables, dir)
+    // planted multi-byte docs included: a CDC cut can split a multi-byte
+    // character, so this round-trip only holds if chunk payloads are
+    // bytes and reassembly concatenates before decoding
+    val tCdc = graft.operators.TextOps.plantUtf8Docs(tables)
+    Sinks.writeChunkStore(tCdc, dir)
     val rebuilt = Sinks.readChunkStore(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val originals = tables.documents
-      .select(col("doc_id"), lower(col("text")).as("lt"))
-      .filter(length(col("lt")) > 0)
+    val originals = tCdc.documents
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(originals.exists { case (_, t) =>
+      t.getBytes("UTF-8").length != t.length },
+      "planted corpus must contain multi-byte docs for this law to bite")
     assert(rebuilt.keySet == originals.keySet, "every non-empty doc must reconstruct")
     val bad = originals.collect { case (id, t) if rebuilt(id) != t => id }
     assert(bad.isEmpty, s"reconstruction mismatch for docs ${bad.take(3)}")

@@ -1087,11 +1087,16 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val base = Instant.parse("2024-01-01T00:00:00Z")
-    val docs = tables.documents.select("doc_id", "text", "lang").collect()
+    // multi-byte-planted corpus: stream ≡ batch must hold where byte
+    // and char offsets diverge, not just on ASCII
+    val tCdc = graft.operators.TextOps.plantUtf8Docs(tables)
+    val docs = tCdc.documents.select("doc_id", "text", "lang").collect()
       .map(r => graft.model.IngestDoc(r.getLong(0), r.getString(1), r.getString(2),
-        base.plusSeconds(r.getLong(0))))
+        base.plusSeconds(r.getLong(0) % 100000)))
       .sortBy(_.doc_id).toSeq
-    val batchChunks = graft.operators.TextOps.docCdcChunks(tables).collect()
+    assert(docs.exists(d => d.text.getBytes("UTF-8").length != d.text.length),
+      "planted corpus must contain multi-byte docs")
+    val batchChunks = graft.operators.TextOps.docCdcChunks(tCdc).collect()
       .map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
     val perDoc = batchChunks.groupBy(_._1).view
       .mapValues(cs => (cs.length.toLong, cs.map(_._2).sum)).toMap

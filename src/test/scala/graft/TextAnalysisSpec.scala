@@ -667,9 +667,13 @@ class TextAnalysisSpec extends SparkSpec {
     // the defining CDC property: an edit shifts bytes but not the
     // downstream cut points, so most chunks of the edited copy still
     // hash-match the original (chunk-level dedup survives insertions)
+    // multi-byte segments sprinkled through the doc: the byte-level
+    // chunker must re-align across CJK/accented runs exactly as it
+    // does across ASCII
     val s = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
       .alphanumeric.take(600).mkString.toLowerCase
-    val docs = Seq((1L, s), (2L, "inserted boilerplate header " + s))
+      .grouped(60).mkString(" 世界—naïve ")
+    val docs = Seq((1L, s), (2L, "inserted böilerplate ヘッダ " + s))
       .toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
