@@ -359,19 +359,41 @@ object Similarity {
   }
 
   private val trainedCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int),
       Array[(Int, Seq[Double], Double)]]()
 
+  /** Cheap data fingerprint of the embeddings parquet (xor-sum of each
+    * file's size ^ mtime via the Hadoop FS API, so any scheme works):
+    * memo keys include it, so a REWRITTEN corpus at the same path
+    * retrains instead of silently serving the old quantizer to the
+    * whole deploy arc (annIvf*, writeQuantizer, writeIvfPqIndex…).
+    * One metadata listing per lookup — no data read.
+    */
+  private def embFingerprint(t: Tables): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"${t.dir}/embeddings.parquet")
+    try {
+      val fs = path.getFileSystem(t.spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      var acc = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        acc ^= f.getLen * 31L + f.getModificationTime
+      }
+      acc
+    } catch { case _: java.io.IOException => 0L }
+  }
+
   /** The Lloyd-trained quantizer the deploy arc consumes (memoized per
-    * (table dir, nCenters, rounds) — training is deterministic, so one
-    * JVM trains each configuration once; the single-step pedagogy
+    * (table dir, data fingerprint, nCenters, rounds) — training is
+    * deterministic, so one JVM trains each configuration once per
+    * corpus STATE; the single-step pedagogy
     * cards D7/D20/D21 and the prefix-law tuning sweeps D37/D44 stay on
     * the seed centers by design — hashCenters(n) ⊂ hashCenters(2n)
     * does not survive training).
     */
   private[graft] def trainedCenters(t: Tables, nCenters: Int,
       rounds: Int = TrainRounds): Array[(Int, Seq[Double], Double)] =
-    trainedCache.computeIfAbsent((t.dir, nCenters, rounds),
+    trainedCache.computeIfAbsent((t.dir, embFingerprint(t), nCenters, rounds),
       _ => lloydTrain(t, nCenters, rounds)._1)
 
   /** The corpus re-expressed in RESIDUAL space: each vector minus its
@@ -394,18 +416,19 @@ object Similarity {
   }
 
   private val residualPqCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int),
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int, Int),
       Array[(Int, Seq[Double], Double)]]()
 
   /** The residual-space PQ codebook D46 consumes: Lloyd-trained on
     * [[residualRel]] (same rounds, same seed ordering — the seed keys
     * on vec_id only, so it picks the same rows' RESIDUALS). Memoized
-    * per (dir, nCells, nCodes, rounds) — the codebook depends on the
-    * coarse quantizer through the residuals.
+    * per (dir, data fingerprint, nCells, nCodes, rounds) — the
+    * codebook depends on the coarse quantizer through the residuals,
+    * and on the corpus state through the fingerprint.
     */
   private[graft] def residualPqCenters(t: Tables, nCells: Int, nCodes: Int,
       rounds: Int = TrainRounds): Array[(Int, Seq[Double], Double)] =
-    residualPqCache.computeIfAbsent((t.dir, nCells, nCodes, rounds),
+    residualPqCache.computeIfAbsent((t.dir, embFingerprint(t), nCells, nCodes, rounds),
       _ => lloydTrainOn(residualRel(t, trainedCenters(t, nCells, rounds)),
         nCodes, rounds)._1)
 
@@ -1350,6 +1373,16 @@ object Similarity {
       .groupBy(col("q_id2"), col("vec_id"))
       .agg(sum(col("d_r").cast(DecimalType(18, 6))).cast("double").as("adc_dist_r"))
       .select(col("q_id2").as("q_id"), col("vec_id"), col("adc_dist_r"))
+    adcTopK(scored, k)
+  }
+
+  /** The shared exact two-stage top-k tail over a scored
+    * (q_id, vec_id, adc_dist_r) relation: per-partition pre-top-k
+    * bounds the shuffle to ≤ k rows per (query, partition), the global
+    * window ranks the survivors — exact because a global top-k row is
+    * a top-k row of its own partition.
+    */
+  private def adcTopK(scored: DataFrame, k: Int): DataFrame = {
     val local = Window.partitionBy(col("q_id"), col("pid"))
       .orderBy(col("adc_dist_r").asc, col("vec_id").asc)
     val global = Window.partitionBy(col("q_id"))
@@ -1362,6 +1395,78 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist_r"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The G26 index's code layout: ONE row per vector — (vec_id, cell,
+    * `codes` array in sub_j order). The row-per-(vector, subspace)
+    * relation annIvfRpqWith joins is the right shape for the broadcast
+    * ADC equijoin, but as a PERSISTED index it multiplies the scan by
+    * m rows/vector — the r10 probe measured the index side reading
+    * 19k rows vs 4k brute force at sf0.1 precisely because of it.
+    * Packing the m codes into one array row makes a probed scan read
+    * (nProbe/nCells)·N rows of ~m small ints each, which is the IVFPQ
+    * serving economics FAISS ships. Same narrow literal-centers pass,
+    * no shuffle; codes are bit-identical to pqCodesOf's argmin
+    * (array_position of array_min, lowest-code tiebreak).
+    */
+  private[graft] def pqCodesPacked(t: Tables,
+      coarse: Array[(Int, Seq[Double], Double)],
+      pqr: Array[(Int, Seq[Double], Double)], m: Int): DataFrame = {
+    val dsub = pqr.head._2.length / m
+    require(dsub * m == pqr.head._2.length, s"dim must divide into $m subspaces")
+    val subs = (0 until m).map { j =>
+      val xv = slice(col("v"), j * dsub + 1, dsub)
+      struct(VectorExprs.pqDists(xv, subCodebook(pqr, j, dsub)).as("ds"))
+    }
+    residualRel(t, coarse)
+      .select(col("vec_id"), col("cell"), array(subs: _*).as("subs"))
+      .select(col("vec_id"), col("cell"),
+        expr("transform(subs, s -> array_position(s.ds, array_min(s.ds)) - 1L)")
+          .as("codes"))
+  }
+
+  /** D46 scoring over the PACKED code layout ([[pqCodesPacked]]) —
+    * result ≡ [[annIvfRpqWith]] row-for-row: the per-(query, probed
+    * cell) ADC table rides the broadcast as an [m][nCodes] array
+    * `dtab`, and a candidate's distance is the decimal-exact sum of m
+    * array lookups dtab[j][codes[j]] (decimal addition is associative
+    * and exact, so the array fold equals the row-relation's grouped
+    * sum bit for bit). One broadcast join on `cell`, no per-subspace
+    * row blowup anywhere: the scan reads one ~m-small-int row per
+    * candidate in a probed cell.
+    */
+  private[graft] def annIvfRpqPackedWith(t: Tables,
+      coarse: Array[(Int, Seq[Double], Double)],
+      pqr: Array[(Int, Seq[Double], Double)], packed: DataFrame,
+      nQueries: Int, k: Int, m: Int, nProbe: Int,
+      pcOpt: Option[DataFrame] = None): DataFrame = {
+    val dsub = pqr.head._2.length / m
+    val byCell = typedLit(coarse.sortBy(_._1).toSeq.map(_._2))
+    // pcOpt: a caller-supplied (q_id, pcell, v) probe relation — the
+    // serving path collects probeCells ONCE (≤ nQueries·nProbe rows)
+    // and hands the localized copy back in, so the query side never
+    // rescans the corpus inside the scoring plan
+    val pc = pcOpt.getOrElse(probeCells(t, coarse, nQueries, nProbe))
+      .select(col("q_id"), col("pcell"),
+        zip_with(col("v"),
+          element_at(byCell, col("pcell").cast("int") + 1),
+          (x, c) => x - c).as("qr"))
+    val perJ = (0 until m).map { j =>
+      val xv = slice(col("qr"), j * dsub + 1, dsub)
+      VectorExprs.pqDists(xv, subCodebook(pqr, j, dsub))
+    }
+    val adc = pc.select(col("q_id").as("q_id2"), col("pcell").as("pcell2"),
+      array(perJ: _*).as("dtab"))
+    val scored = packed
+      .join(broadcast(adc),
+        col("cell") === col("pcell2") && col("vec_id") =!= col("q_id2"))
+      .select(col("q_id2").as("q_id"), col("vec_id"),
+        expr("CAST(aggregate(zip_with(dtab, codes, " +
+          "(ds, c) -> element_at(ds, CAST(c AS INT) + 1)), " +
+          "CAST(0 AS DECIMAL(38, 6)), " +
+          "(acc, x) -> acc + CAST(x AS DECIMAL(18, 6))) AS DOUBLE)")
+          .as("adc_dist_r"))
+    adcTopK(scored, k)
   }
 
   /** D10 against the PERSISTED artifacts — the deploy form: the corpus
@@ -2359,6 +2464,46 @@ object Similarity {
     vis
   }
 
+  /** [[beamSearch]] variant that ALSO returns the full set of
+    * candidates the search SCORED — (q_id, vec_id, cos_r) distinct
+    * over the entry vertex and every round's expansion. The scored set
+    * is the graph method's true scan volume (each scored candidate
+    * cost one raw-vector read), which is what makes D51's cross-method
+    * recall comparison honest. Both the beam and the accumulator are
+    * truncated per round (stableCheckpoint) — each is referenced twice
+    * per round, and a lazy unroll would copy subtrees 2^rounds times
+    * (the D43 lesson).
+    */
+  private def beamSearchVisited(e: DataFrame, edges: DataFrame,
+      nQueries: Int, beam: Int, rounds: Int): (DataFrame, DataFrame) = {
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val corpus = e.select(col("vec_id"), col("v"), col("n2"))
+    val entry = e.agg(min(col("vec_id")).as("vec_id"))
+    def scoreIds(ids: DataFrame): DataFrame =
+      corpus.join(broadcast(ids), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+    val beamW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    var vis = Dedup.stableCheckpoint(
+      scoreIds(q.select(col("q_id")).crossJoin(broadcast(entry))))
+    var visited = vis
+    for (_ <- 1 to rounds) {
+      val expd = broadcast(vis.select(col("q_id"), col("vec_id")))
+        .join(edges, col("vec_id") === col("src"))
+        .select(col("q_id"), col("dst").as("vec_id"))
+      val sc = Dedup.stableCheckpoint(scoreIds(expd).distinct())
+      visited = Dedup.stableCheckpoint(visited.unionByName(sc).distinct())
+      vis = Dedup.stableCheckpoint(
+        vis.unionByName(sc).distinct()
+          .withColumn("rn", row_number().over(beamW))
+          .filter(col("rn") <= beam).drop("rn"))
+    }
+    (vis, visited)
+  }
+
   /** Multi-table kNN edge union — `nTables` independent sign-LSH
     * tables (disjoint dimension slices, D2b's construction), top
     * `kPerTable` in-bucket cosine neighbors per (src, table), union'd
@@ -2446,5 +2591,102 @@ object Similarity {
           col("mean_best_cos_r"), col("exact_best_cos_r"))
     }
     maybeSort(perBeam.reduce(_ unionByName _), ordered)(col("beam"))
+  }
+
+  /** D51: the cross-METHOD recall ledger — graph beam search (at the
+    * D43-tuned beam), IVF cell probing, and multi-table sign-LSH, each
+    * scored against the same exact cosine top-k (D1) with its MEASURED
+    * scan volume next to its recall: `mean_cands_r` is the mean number
+    * of distinct candidates the method actually scored per query
+    * (beam: every scored vertex; IVF: the probed cells' population;
+    * LSH: the union of same-bucket postings), so "method A recalls
+    * more" can never hide "method A scanned 10× more". The LSH leg
+    * runs at 5-bit buckets (32/table) rather than D2b's 8 so all three
+    * methods land in the same candidate-volume regime at the gate SF —
+    * matched scan volume is what makes the recall column comparable.
+    *
+    * Scale shape: strictly the union of its three constituents' plans
+    * (D41's broadcast-frontier rounds over the shared checkpointed
+    * edge relation, D4's literal-centers assignment + broadcast probe,
+    * D2b's capped posting join); the ledger itself adds only ≤nQueries-
+    * row rollups. The exact leg is one corpus pass shared by all
+    * methods.
+    */
+  def annMethodRecall(t: Tables, nQueries: Int = 8, k: Int = 5,
+      beam: Int = 8, rounds: Int = 4, kGraph: Int = 3, nTables: Int = 4,
+      bucketCap: Int = 128, nCells: Int = 16, nProbe: Int = 4,
+      lshBits: Int = 5, lshTables: Int = 4, lshCap: Int = 64,
+      ordered: Boolean = false): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val exact = annTopkBruteforce(t, nQueries, k)
+      .select(col("q_id"), col("vec_id"))
+    val qIds = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"))
+    def dmean(c: Column) =
+      r6(sum(c.cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)).cast("double"))
+    def methodRow(name: String, found: DataFrame, cands: DataFrame): DataFrame = {
+      val rec = exact
+        .join(found.select(col("q_id").as("fq"), col("vec_id").as("fv")),
+          col("q_id") === col("fq") && col("vec_id") === col("fv"), "left")
+        .groupBy(col("q_id"))
+        .agg(r6(count(col("fv")).cast("double") /
+          count(lit(1)).cast("double")).as("recall_q"))
+      rec.join(qIds.join(cands, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("n_cands"), lit(0L)).as("n_cands")),
+          Seq("q_id"))
+        .agg(dmean(col("n_cands").cast("double")).as("mean_cands_r"),
+          dmean(col("recall_q")).as("mean_recall_r"))
+        .select(lit(name).as("method"), col("mean_cands_r"), col("mean_recall_r"))
+    }
+    val beamW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    // graph beam: found = final-beam top-k, cands = every scored vertex
+    val edges = Dedup.stableCheckpoint(
+      knnEdgesMulti(t, kGraph, 8, nTables, bucketCap))
+    val (vis, visited) = beamSearchVisited(e, edges, nQueries, beam, rounds)
+    val foundG = vis.filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rn", row_number().over(beamW))
+      .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
+    val candsG = visited.filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
+    // IVF: found = D4's probed-cell top-k, cands = probed cells' population
+    val coarse = trainedCenters(t, nCells)
+    val foundI = annIvf(t, nQueries, k, nCells, nProbe)
+      .select(col("q_id"), col("vec_id"))
+    val candsI = withCell(e, coarse).select(col("vec_id"), col("cell"))
+      .join(broadcast(probeCells(t, coarse, nQueries, nProbe)
+        .select(col("q_id"), col("pcell"))),
+        col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
+    // multi-table LSH at lshBits-bit buckets: found = in-bucket top-k,
+    // cands = distinct union of same-bucket postings
+    val postings = e.select(col("vec_id"), col("v"), col("n2"),
+      posexplode(array((0 until lshTables).map(i =>
+        signBucketAt(col("v"), lshBits, i * lshBits)): _*)).as(Seq("tbl", "bucket")))
+    val capW = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id").asc)
+    val lcorp = postings
+      .withColumn("pn", row_number().over(capW))
+      .filter(col("pn") <= lshCap)
+      .select(col("vec_id"), col("v"), col("n2"), col("tbl"), col("bucket"))
+    val lq = postings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"),
+        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val lhits = lcorp.join(broadcast(lq),
+      col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+        col("q_id") =!= col("vec_id"))
+    val foundL = lhits
+      .select(col("q_id"), col("vec_id"),
+        cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+      .distinct()
+      .withColumn("rn", row_number().over(beamW))
+      .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
+    val candsL = lhits.select(col("q_id"), col("vec_id")).distinct()
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
+    maybeSort(
+      methodRow("graph_beam", foundG, candsG)
+        .unionByName(methodRow("ivf", foundI, candsI))
+        .unionByName(methodRow("lsh_multi", foundL, candsL)),
+      ordered)(col("method"))
   }
 }

@@ -465,19 +465,34 @@ object Sinks {
     * only their own vectors). Rebuild cost: one narrow
     * literal-centers pass over the corpus.
     */
-  def writeIvfPqIndex(t: Tables, path: String, nCells: Int = 16,
+  /** Default cell count for an IVFPQ index build: the FAISS sizing
+    * rule nlist ≈ 4·√N (clamped to [16, 4096]) — keeps the per-query
+    * read fraction at nProbe/nCells ≈ nProbe/(4√N) while cells stay
+    * populated enough to train. nCells = 0 in [[writeIvfPqIndex]]
+    * selects this; the r11 probe measured the resulting index beating
+    * brute force on scan volume at per-query AND 8-batch serving
+    * (SURVEY §7n), which the r10 fixed nCells=16 default did not.
+    */
+  def autoNCells(n: Long, nProbe: Int = 4): Int =
+    math.max(16, math.min(4096, 4 * math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  def writeIvfPqIndex(t: Tables, path: String, nCells: Int = 0,
       nCodes: Int = 8, m: Int = 8): Unit = {
     val spark = t.spark
     import spark.implicits._
     val sim = graft.operators.Similarity
-    val coarse = sim.trainedCenters(t, nCells)
-    val pqr = sim.residualPqCenters(t, nCells, nCodes)
+    val nc = if (nCells > 0) nCells else autoNCells(t.embeddings.count())
+    val coarse = sim.trainedCenters(t, nc)
+    val pqr = sim.residualPqCenters(t, nc, nCodes)
     def writeCenters(cs: Array[(Int, Seq[Double], Double)], p: String): Unit =
       cs.toSeq.toDF("cell", "center", "c2").coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(p)
     writeCenters(coarse, s"$path/coarse")
     writeCenters(pqr, s"$path/codebook")
-    sim.pqCodesFor(t, coarse, pqr, m)
+    // PACKED layout (r11): one row per vector, codes array in sub_j
+    // order — a probed scan reads (nProbe/nCells)·N rows of m small
+    // ints, never m rows per vector (the r10 layout's measured loss)
+    sim.pqCodesPacked(t, coarse, pqr, m)
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$path/codes")
   }
@@ -496,13 +511,23 @@ object Sinks {
     val sim = graft.operators.Similarity
     val coarse = readQuantizer(spark, s"$path/coarse")
     val pqr = readQuantizer(spark, s"$path/codebook")
-    val probed = sim.probeCells(t, coarse, nQueries, nProbe)
-      .select(col("pcell")).distinct().collect().map(_.getLong(0)).sorted
+    // ONE bounded collect (≤ nQueries·nProbe rows incl. the query
+    // vectors) yields both the probe list and a localized probe
+    // relation — the scoring plan then reads ONLY the probed code
+    // partitions; the corpus-shaped embeddings table is scanned exactly
+    // once (inside probeCells) to load the query vectors
+    val pcRows = sim.probeCells(t, coarse, nQueries, nProbe).collect()
+    val probed = pcRows.map(_.getLong(1)).distinct.sorted
+    import spark.implicits._
+    val pcLocal = pcRows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+      .toDF("q_id", "pcell", "v")
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probed: _*)) // partition-dir pruning
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
-        col("sub_j"), col("code"))
-    sim.annIvfRpqWith(t, coarse, pqr, codes, nQueries, k, m, nProbe)
+        col("codes"))
+    sim.annIvfRpqPackedWith(t, coarse, pqr, codes, nQueries, k, m, nProbe,
+      pcOpt = Some(pcLocal))
   }
 
   /** G27: persist a B63 TOP-K shard — the cross-run leaderboard

@@ -123,8 +123,9 @@ class SinksSpec extends SparkSpec {
         graft.operators.Similarity.trainedCenters(tables, 4))
       .filter(col("cell") < 2).count()
     assert(probe.count() == assigned, "probe must return exactly the 2 cells' vectors")
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [cell"), plan.take(800))
+    val pfCell = scanPartitionFilters(probe)
+    assert(pfCell.exists(_.contains("cell")),
+      s"no cell partition filter at planning time: $pfCell")
     // every vector lands in exactly one cell dir
     assert(spark.read.parquet(dir.getAbsolutePath).count() == tables.embeddings.count())
   }
@@ -192,8 +193,9 @@ class SinksSpec extends SparkSpec {
       "layout-backed IVF-ADC diverged from the in-query operator")
     // and the point of the layout: the code scan reads only probed
     // cell directories — planning-time partition pruning
-    val p = fromLayout.queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters: [cell"), p.take(800))
+    val pfIvf = scanPartitionFilters(fromLayout)
+    assert(pfIvf.exists(_.contains("cell")),
+      s"no cell partition filter at planning time: $pfIvf")
   }
 
   test("bucketed table join on the bucket key avoids the shuffle") {
@@ -398,7 +400,10 @@ class SinksSpec extends SparkSpec {
 
   test("ivfpq index artifact: search off the persisted index == in-query D46; probe prunes code partitions at planning time") {
     val dir = Files.createTempDirectory("ivfpq_idx").toString
-    Sinks.writeIvfPqIndex(tables, dir)
+    // explicit nCells=16 so the equality law can compare against the
+    // in-query D46 at its defaults (the sink's own default is the
+    // corpus-adaptive autoNCells the r11 probe measured)
+    Sinks.writeIvfPqIndex(tables, dir, nCells = 16)
     // cell-partitioned code layout on disk
     val cellDirs = new java.io.File(s"$dir/codes").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName)
