@@ -2526,6 +2526,114 @@ object OracleSqlGen {
        |ORDER BY n_cells""".stripMargin
   }
 
+  private def bucketExprAtBits(offset: Int, bits: Int): String = (1 to bits).map(d =>
+    s"(CASE WHEN v[${offset + d}] > 0.0 THEN (1::BIGINT << ${d - 1}) ELSE 0 END)").mkString(" + ")
+
+  /** D51: cross-method recall ledger — graph beam search, IVF probing
+    * and multi-table sign-LSH against the same exact cosine top-k,
+    * each with its measured per-query candidate volume. Composes the
+    * D41 round unrolling (+ a visited union over the per-round scored
+    * CTEs), the D4 Lloyd/assignment/probe chain, and the D2b posting
+    * construction at a parameterized bit width; per-query recalls and
+    * candidate counts r6'd then decimal-meaned (the D37 convention).
+    */
+  def annMethodRecall(nQueries: Int, k: Int, beam: Int, rounds: Int,
+      kGraph: Int, bucketCap: Int, nTables: Int, nCells: Int, nProbe: Int,
+      lshBits: Int, lshTables: Int, lshCap: Int): String = {
+    val dotQC2 = "list_reduce([q.qv[i]*c.v[i] for i in range(1, len(q.qv)+1)], (x,y) -> x+y)"
+    val cosQC2 = s"floor(($dotQC2/(sqrt(q.qn2)*sqrt(c.n2)))*1000000 + 0.5)/1000000"
+    def dmean(c: String) =
+      s"floor((CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""exp$r AS (SELECT DISTINCT b.q_id, ed.dst AS vec_id
+         |  FROM vis${r - 1} b JOIN edges ed ON ed.src = b.vec_id),
+         |sc$r AS (SELECT x.q_id, x.vec_id, $cosQC2 AS cos_r
+         |  FROM exp$r x JOIN n c ON c.vec_id = x.vec_id JOIN gqs q ON q.q_id = x.q_id),
+         |u$r AS (SELECT q_id, vec_id, cos_r FROM vis${r - 1}
+         |  UNION SELECT q_id, vec_id, cos_r FROM sc$r),
+         |vis$r AS (SELECT q_id, vec_id, cos_r FROM (
+         |  SELECT q_id, vec_id, cos_r,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+         |  FROM u$r) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    val visitedUnion = (s"SELECT q_id, vec_id FROM vis0" +:
+      (1 to rounds).map(r => s"SELECT q_id, vec_id FROM sc$r"))
+      .mkString("\n  UNION ALL ")
+    val lshCases = (0 until lshTables).map(i =>
+      s"WHEN $i THEN ${bucketExprAtBits(i * lshBits, lshBits)}").mkString(" ")
+    def methodRow(name: String, foundRel: String, candsRel: String) =
+      s"""SELECT '$name' AS method,
+         |  ${dmean(s"CAST(COALESCE(c.n_cands, 0) AS DOUBLE)")} AS mean_cands_r,
+         |  ${dmean("r.recall_q")} AS mean_recall_r
+         |FROM (SELECT e.q_id,
+         |    floor((CAST(COUNT(f.vec_id) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS recall_q
+         |  FROM exk e LEFT JOIN $foundRel f ON f.q_id = e.q_id AND f.vec_id = e.vec_id
+         |  GROUP BY e.q_id) r
+         |LEFT JOIN $candsRel c ON c.q_id = r.q_id""".stripMargin
+    s"""WITH $normCte,
+       |xsc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM n q JOIN n c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |exk AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rank
+       |  FROM xsc) WHERE rank <= $k),
+       |${multiEdgeCtes(kGraph, bucketCap, nTables)},
+       |gqs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < $nQueries),
+       |gent AS (SELECT MIN(vec_id) AS vec_id FROM n),
+       |vis0 AS (SELECT q.q_id, c.vec_id, $cosQC2 AS cos_r
+       |  FROM gqs q, gent JOIN n c ON c.vec_id = gent.vec_id),
+       |$roundCtes,
+       |gfound AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM vis$rounds WHERE vec_id <> q_id) WHERE rn <= $k),
+       |gcands AS (SELECT q_id, COUNT(*) AS n_cands FROM (
+       |  SELECT DISTINCT q_id, vec_id FROM (
+       |  $visitedUnion)
+       |  WHERE vec_id <> q_id) GROUP BY q_id),
+       |${lloydChainCtes(nCells, TrainRounds, "ccent", "ic")},
+       |cd AS (SELECT n.vec_id, ccent.cell,
+       |  floor((n.n2 - 2*list_reduce([n.v[i]*ccent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + ccent.c2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM n, ccent),
+       |asg AS (SELECT vec_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |pr AS (SELECT vec_id AS q_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn
+       |   FROM cd WHERE vec_id < $nQueries)
+       |  WHERE rn <= $nProbe),
+       |icand AS (SELECT pr.q_id, a.vec_id FROM pr JOIN asg a ON a.cell = pr.cell AND a.vec_id <> pr.q_id),
+       |ifound AS (SELECT q_id, vec_id FROM (
+       |  SELECT x.q_id, x.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY x.q_id ORDER BY
+       |      floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 DESC, x.vec_id ASC) AS rn
+       |  FROM icand x JOIN n q ON q.vec_id = x.q_id JOIN n c ON c.vec_id = x.vec_id)
+       |  WHERE rn <= $k),
+       |icands AS (SELECT q_id, COUNT(*) AS n_cands FROM icand GROUP BY q_id),
+       |lpost AS (SELECT vec_id, v, n2, tbl, CASE tbl $lshCases END AS bucket
+       |  FROM n, (SELECT unnest([${(0 until lshTables).mkString(",")}]) AS tbl)),
+       |lcorp AS (SELECT vec_id, v, n2, tbl, bucket FROM (
+       |  SELECT vec_id, v, n2, tbl, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY tbl, bucket ORDER BY vec_id ASC) AS pn
+       |  FROM lpost) WHERE pn <= $lshCap),
+       |lhit AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+       |  FROM lpost q JOIN lcorp c
+       |    ON q.vec_id < $nQueries AND c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+       |lfound AS (SELECT q_id, vec_id FROM (
+       |  SELECT x.q_id, x.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY x.q_id ORDER BY
+       |      floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 DESC, x.vec_id ASC) AS rn
+       |  FROM lhit x JOIN n q ON q.vec_id = x.q_id JOIN n c ON c.vec_id = x.vec_id)
+       |  WHERE rn <= $k),
+       |lcands AS (SELECT q_id, COUNT(*) AS n_cands FROM lhit GROUP BY q_id)
+       |SELECT method, mean_cands_r, mean_recall_r FROM (
+       |${methodRow("graph_beam", "gfound", "gcands")}
+       |UNION ALL ${methodRow("ivf", "ifound", "icands")}
+       |UNION ALL ${methodRow("lsh_multi", "lfound", "lcands")})
+       |ORDER BY method""".stripMargin
+  }
+
   /** D43: beam tuning — the two-table edge union (D2b's CASE-bucket
     * postings, capped corpus side, per-(src,tbl) rank), one exact
     * ranked relation shared by all beams, and per beam the D41 search
