@@ -361,6 +361,7 @@ object SparkEntry {
     // §2.F multimodal plumbing
     "mm_binary_meta"       -> q(Multimodal.mmBinaryMeta(_, ordered = true)),
     "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract(_, ordered = true)), // REAL netpbm decode (r10), oracle-gated
+    "mm_feature_extract_bmp" -> q(Multimodal.mmFeatureExtractBmp(_, ordered = true)), // REAL BMP decode (r11), oracle-gated
     "mm_channel_hist"      -> q(Multimodal.mmChannelHist(_, ordered = true)),
     "mm_resize"            -> q(Multimodal.mmResize(_, ordered = true)),
     "mm_frame_sample"      -> q(Multimodal.mmFrameSample(_, ordered = true)),
@@ -2185,6 +2186,31 @@ object SparkEntry {
         |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,
         |  floor((CAST(sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
         |  CAST(11 + width*height*3 AS INTEGER) AS n_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // F18: the same affine-formula re-derivation for the BMP container
+    // (the formula is container-independent; only format and n_bytes —
+    // 54-byte headers + 4-byte-padded bottom-up rows — change), so a
+    // decoder that misreads the little-endian header, ignores the data
+    // offset, or mis-skips padding fails the gate per document
+    "mm_feature_extract_bmp" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 8 AS INTEGER) AS width,
+        |    CAST(1 + (doc_id * 13) % 8 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |    unnest(range(width*height*3)) AS i FROM d),
+        |s AS (SELECT doc_id, width, height,
+        |    CAST(SUM(CASE WHEN i % 3 = 0 THEN 32 + (doc_id*31 + i*7) % 95 END) AS BIGINT) AS sr,
+        |    CAST(SUM(CASE WHEN i % 3 = 1 THEN 32 + (doc_id*31 + i*7) % 95 END) AS BIGINT) AS sg,
+        |    CAST(SUM(CASE WHEN i % 3 = 2 THEN 32 + (doc_id*31 + i*7) % 95 END) AS BIGINT) AS sb
+        |  FROM px GROUP BY doc_id, width, height)
+        |SELECT doc_id, 'BMP24' AS format, width, height,
+        |  CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+        |  floor((CAST(sr AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_r_r6,
+        |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,
+        |  floor((CAST(sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
+        |  CAST(54 + ((3*width + 3) // 4) * 4 * height AS INTEGER) AS n_bytes
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // F17: bin counts re-derived from the same affine pixel formula,

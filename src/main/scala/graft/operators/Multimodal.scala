@@ -156,7 +156,21 @@ object Multimodal {
     */
   private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MmDecoded] =
     batch.map { case (id, bytes) =>
-      Ppm.parse(bytes) match {
+      // magic dispatch: 'BM' → the BMP codec, 'P5'/'P6' → netpbm;
+      // anything else (including a failed parse under either magic)
+      // is the explicit corrupt quarantine row
+      if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+        Bmp.parse(bytes) match {
+          case Some(img) =>
+            val m = Bmp.channelMeans(img).map(r6d)
+            MmDecoded(id, "BMP24", Some(img.width), Some(img.height),
+              Some(3), Some(255), Some(m(0)), Some(m(1)), Some(m(2)),
+              bytes.length)
+          case None =>
+            MmDecoded(id, "corrupt", None, None, None, None, None, None,
+              None, bytes.length)
+        }
+      else Ppm.parse(bytes) match {
         case Some(img) =>
           val m = Ppm.channelMeans(img).map(r6d)
           MmDecoded(id, img.format, Some(img.width), Some(img.height),
@@ -191,6 +205,64 @@ object Multimodal {
       concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
         lit("\n255\n"), pix).cast("binary").as("payload"))
   }
+
+  /** Deterministic 24-bit BMP payload per doc_id: same dims (1..8 from
+    * doc_id) and the SAME affine pixel formula as [[p6Payload]] —
+    * logical raster index i = 3·(y·w + x) + c, c ∈ {R, G, B} — but
+    * packed the way BMP actually stores pixels: little-endian headers,
+    * bottom-up rows, BGR order, rows padded to 4 bytes. Because the
+    * FEATURES are a pure function of the formula, the DuckDB oracle
+    * re-derives them without byte-building (the F2 discipline); the
+    * bytes themselves are genuine BMP that any external viewer parses.
+    */
+  private[graft] def bmpBytes(docId: Long): Array[Byte] = {
+    val w = (1 + (docId % 8)).toInt
+    val h = (1 + ((docId * 13) % 8)).toInt
+    def pix(i: Long): Int = (32 + (docId * 31 + i * 7) % 95).toInt
+    val stride = ((3 * w + 3) / 4) * 4
+    val size = 54 + stride * h
+    val b = new Array[Byte](size) // zero-filled: reserved/ppm/palette fields
+    def p16(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    }
+    def p32(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    p32(2, size); p32(10, 54); p32(14, 40)
+    p32(18, w); p32(22, h); p16(26, 1); p16(28, 24)
+    p32(30, 0); p32(34, stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = 54 + (h - 1 - y) * stride + 3 * x
+        val li = 3L * (y * w + x)
+        b(base) = pix(li + 2).toByte     // B
+        b(base + 1) = pix(li + 1).toByte // G
+        b(base + 2) = pix(li).toByte     // R
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** F18: the F2 feature extract over REAL BMP payloads — the wild
+    * container exercised end to end through the same magic-dispatching
+    * decode boundary ([[mmDecodePayloads]]); features are re-derived
+    * by the oracle from the shared affine formula, so the little-
+    * endian header parse, data-offset honoring, bottom-up row walk,
+    * BGR unpacking and padding skip are all gate-checked per document.
+    */
+  def mmFeatureExtractBmp(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, bmpBytes(id)))).toDF("doc_id", "payload")
+    mmDecodePayloads(spark, payloads)
+  }, ordered)(col("doc_id"))
 
   /** F2: batched REAL decode → feature-extract over binary image
     * payloads. The payload construction (p6Payload) is narrow codegen;

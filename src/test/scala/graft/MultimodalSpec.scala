@@ -35,6 +35,51 @@ class MultimodalSpec extends SparkSpec {
     assert(Ppm.channelMeans(img).toSeq == Seq(55.0, 65.0, 75.0))
   }
 
+  test("BMP codec: bottom-up BGR rows with padding decode to the logical top-down RGB image") {
+    import graft.operators.Bmp
+    // hand-built 3x2 (stride 12: 9 pixel bytes + 3 padding), distinct
+    // per-position values so BOTH the bottom-up row mapping and the BGR
+    // channel order are pinned positionally (channel means alone are
+    // row-order invariant and cannot catch a top-down misread)
+    val w = 3; val h = 2; val stride = 12
+    val b = new Array[Byte](54 + stride * h)
+    def p16(off: Int, v: Int): Unit = { b(off) = v.toByte; b(off + 1) = (v >> 8).toByte }
+    def p32(off: Int, v: Int): Unit = (0 until 4).foreach(i => b(off + i) = (v >> (8 * i)).toByte)
+    b(0) = 'B'; b(1) = 'M'; p32(2, b.length); p32(10, 54); p32(14, 40)
+    p32(18, w); p32(22, h); p16(26, 1); p16(28, 24); p32(30, 0); p32(34, stride * h)
+    // logical pixel (x, y) gets R=10y+x, G=100+10y+x, B=200+10y+x
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = 54 + (h - 1 - y) * stride + 3 * x
+      b(base) = (200 + 10 * y + x).toByte; b(base + 1) = (100 + 10 * y + x).toByte
+      b(base + 2) = (10 * y + x).toByte
+    }
+    val img = Bmp.parse(b).getOrElse(fail("planted BMP must parse"))
+    assert(img.width == w && img.height == h && img.rowStride == stride)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(Bmp.sample(img, x, y) == ((10 * y + x, 100 + 10 * y + x, 200 + 10 * y + x)),
+        s"wrong pixel at ($x,$y): a top-down or RGB-order misread")
+    // means skip the padding bytes: R mean = (0+1+2+10+11+12)/6 = 6
+    assert(Bmp.channelMeans(img).toSeq == Seq(6.0, 106.0, 206.0))
+  }
+
+  test("BMP codec rejects out-of-envelope payloads; boundary quarantines them") {
+    import graft.operators.Bmp
+    val good = Multimodal.bmpBytes(7L)
+    assert(Bmp.parse(good).isDefined, "generated BMP must parse")
+    assert(Bmp.parse(good.dropRight(1)).isEmpty, "truncated raster must fail")
+    val bpp8 = good.clone(); bpp8(28) = 8
+    assert(Bmp.parse(bpp8).isEmpty, "8-bit palette BMP is out of envelope")
+    val rle = good.clone(); rle(30) = 1
+    assert(Bmp.parse(rle).isEmpty, "compressed (RLE) BMP is out of envelope")
+    // through the public boundary: corrupt BMP magic → quarantine row
+    import spark.implicits._
+    val payloads = Seq((1L, good), (2L, good.dropRight(1)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.mmDecodePayloads(spark, payloads).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "BMP24" && out(2L) == "corrupt")
+  }
+
   test("P6 codec: pixel bytes are read unsigned (values > 127 intact)") {
     val raster = Array(200, 210, 220).map(_.toByte) // would be negative if sign-extended
     val img = Ppm.parse("P6\n1 1\n255\n".getBytes("US-ASCII") ++ raster)
