@@ -119,6 +119,68 @@ object Sinks {
       parsed.filter(bad).select(col("raw_line")))
   }
 
+  /** G28: audited GZIP JSONL ingestion — crawled corpora arrive as
+    * .jsonl.gz shards, and the failure mode Spark's transparent codec
+    * path can't quarantine is the COMPRESSED member itself: a
+    * truncated upload or bit-rotted shard makes Hadoop's gzip stream
+    * throw mid-task and fail the whole job. This reader owns
+    * decompression per file (binaryFile source → GZIPInputStream in
+    * the executor) so corruption degrades into data, two levels deep:
+    * an undecodable FILE lands whole in the file quarantine (path,
+    * error, bytes — replayable after re-upload), and a decodable file's
+    * unparseable LINES land raw in G16's line quarantine. Clean rows
+    * come back under the enforced schema, tagged with their source
+    * shard for provenance.
+    *
+    * Scale shape: gzip is non-splittable, so file-at-a-time IS the
+    * parallelism grain any engine gets; binaryFile packs small shards
+    * into shared tasks, and the per-task memory bound is one
+    * decompressed shard — the same bound Spark's own .gz text read
+    * carries. The whole-file materialization is what buys the
+    * all-or-nothing member check (a lazily streamed file would emit
+    * half its lines before the CRC failure surfaced).
+    */
+  def readJsonLinesGzAudited(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType):
+      (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val decoded = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n", -1).filter(_.nonEmpty).toSeq
+            .map(l => (p, l, null: String, bytes.length.toLong))
+        } catch {
+          case e: java.io.IOException =>
+            Seq((p, null: String,
+              e.getClass.getSimpleName + ": " + e.getMessage,
+              bytes.length.toLong))
+        }
+      }
+      .toDF("src_file", "raw_line", "gz_error", "n_bytes")
+    val badFiles = decoded.filter(col("gz_error").isNotNull)
+      .select(col("src_file"), col("gz_error"), col("n_bytes"))
+    val pSchema = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = decoded.filter(col("gz_error").isNull)
+      .select(col("src_file"), col("raw_line"),
+        from_json(col("raw_line"), pSchema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
+    val bad = col("rec").isNull || col("rec._corrupt_record").isNotNull
+    (parsed.filter(!bad).select(col("src_file") +: schema.fieldNames.map(f => col(s"rec.$f")): _*),
+      parsed.filter(bad).select(col("src_file"), col("raw_line")),
+      badFiles)
+  }
+
   /** G19: audited CSV ingestion — G16's enforced-schema + quarantine
     * discipline for the OTHER format corpora and metadata tables
     * arrive in. Same reasons: no inference pass at 100 TB (drift fails

@@ -333,6 +333,40 @@ class SinksSpec extends SparkSpec {
     assert(quarantined == bad.toSet, s"quarantine mismatch: $quarantined")
   }
 
+  test("gzip jsonl ingest: corrupt members quarantined whole, corrupt lines raw, clean rows exact") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonlgz_in").toFile.getAbsolutePath
+    def gz(lines: Seq[String]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(lines.mkString("\n").getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    val goodA = (1 to 10).map(i => s"""{"doc_id":$i,"text":"doc $i"}""")
+    // one malformed JSON line inside an otherwise healthy member
+    val goodB = (11 to 20).map(i => s"""{"doc_id":$i,"text":"doc $i"}""") :+ "not json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.jsonl.gz"), gz(goodA))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.jsonl.gz"), gz(goodB))
+    // planted corrupt members: a truncated upload and a bit-rotted shard
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "trunc.jsonl.gz"),
+      gz((21 to 30).map(i => s"""{"doc_id":$i}""")).dropRight(20))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "rot.jsonl.gz"),
+      Array.fill[Byte](64)(0x5a))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, badLines, badFiles) = Sinks.readJsonLinesGzAudited(spark, dir, schema)
+    assert(clean.schema.fieldNames.toSeq == Seq("src_file", "doc_id", "text"))
+    val cleanRows = clean.collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(cleanRows == (1 to 20).map(i => (i.toLong, s"doc $i")).toSet,
+      "every line of every healthy member must land clean — including the file with a bad line")
+    assert(badLines.collect().map(_.getString(1)).toSeq == Seq("not json"))
+    val bf = badFiles.collect().map(r => (r.getString(0).split('/').last, r.getString(1))).toMap
+    assert(bf.keySet == Set("trunc.jsonl.gz", "rot.jsonl.gz"),
+      s"corrupt members must quarantine whole: $bf")
+    // truncated member: NO partial lines leaked into clean (all-or-nothing)
+    assert(!cleanRows.exists(_._2 == null) && cleanRows.forall(_._1 <= 20))
+  }
+
   test("csv ingest: schema enforced; malformed rows quarantined raw, clean rows exact") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("csv_in").toFile.getAbsolutePath
