@@ -176,12 +176,28 @@ object DocStreamJob {
     * the retention window), or by periodically folding state into the
     * persisted C8b base index and restarting fresh.
     */
-  def streamDocNearDupWithin(docs: DataFrame)
+  /** `retention = Some(delay)` turns the doc-comment's deploy policy
+    * into code: residents whose ingest_ts falls behind the ingest-time
+    * watermark are dropped at next bucket access, and a fully idle
+    * bucket is cleared by an event-time timeout at its newest
+    * resident — state becomes O(arrival rate · retention), flat under
+    * soak (StreamingSoakSpec), at the documented trade that a
+    * duplicate arriving more than `retention` after its partner goes
+    * unreported (the pair belongs to the persisted C8b base index by
+    * then). The default (None) keeps the exact full-history relation
+    * the stream ≡ batch law pins.
+    */
+  def streamDocNearDupWithin(docs: DataFrame,
+      retention: Option[String] = None)
       : org.apache.spark.sql.Dataset[NearDupCand] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded = docs
+    val src = retention match {
+      case Some(d) => docs.withWatermark("ingest_ts", d)
+      case None    => docs
+    }
+    val banded = src
       .withColumn("sig", call_function("graft_minhash_sig",
         call_function("graft_gram3_hashes", col("text"))))
       .select(col("doc_id"), col("sig"),
@@ -189,24 +205,41 @@ object DocStreamJob {
           0, concat_ws(',', sig[0],  sig[1],  sig[2],  sig[3]),
           1, concat_ws(',', sig[4],  sig[5],  sig[6],  sig[7]),
           2, concat_ws(',', sig[8],  sig[9],  sig[10], sig[11]),
-          3, concat_ws(',', sig[12], sig[13], sig[14], sig[15])) AS (band, band_val)"""))
-      .as[(Long, Seq[Long], Int, String)]
+          3, concat_ws(',', sig[12], sig[13], sig[14], sig[15])) AS (band, band_val)"""),
+        // the watermarked column itself must reach the stateful
+        // operator (event-time timeout requires it in its input)
+        col("ingest_ts"))
+      .as[(Long, Seq[Long], Int, String, java.sql.Timestamp)]
+    val timeoutConf =
+      if (retention.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(r => (r._3, r._4))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, String), it: Iterator[(Long, Seq[Long], Int, String)],
-            state: org.apache.spark.sql.streaming.GroupState[List[(Long, Seq[Long])]]) =>
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (_: (Int, String), it: Iterator[(Long, Seq[Long], Int, String, java.sql.Timestamp)],
+            state: org.apache.spark.sql.streaming.GroupState[List[(Long, Seq[Long], Long)]]) =>
           var bucket = state.getOption.getOrElse(Nil)
+          if (retention.isDefined) {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            bucket = bucket.filter(_._3 >= wmUs)
+          }
           val out = List.newBuilder[NearDupCand]
-          it.toSeq.sortBy(_._1).foreach { case (id, sig, _, _) =>
-            bucket.foreach { case (pid, psig) =>
+          it.toSeq.sortBy(_._1).foreach { case (id, sig, _, _, ts) =>
+            bucket.foreach { case (pid, psig, _) =>
               val agree = psig.iterator.zip(sig.iterator).count { case (a, b) => a == b }.toLong
               out += NearDupCand(math.min(pid, id), math.max(pid, id),
                 agree, agree / 16.0)
             }
-            bucket = (id, sig) :: bucket
+            bucket = (id, sig, ts.getTime * 1000L) :: bucket
           }
-          state.update(bucket)
+          if (bucket.isEmpty) state.remove()
+          else {
+            state.update(bucket)
+            // clear the bucket entirely once the watermark passes its
+            // newest resident (no arrival will ever pair against it)
+            if (retention.isDefined)
+              state.setTimeoutTimestamp(bucket.map(_._3).max / 1000L + 1L)
+          }
           out.result().iterator
       }
   }

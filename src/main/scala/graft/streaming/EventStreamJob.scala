@@ -937,8 +937,28 @@ object EventStreamJob {
         TbDecision(user, eid, Instant.EPOCH.plus(tus, ChronoUnit.MICROS),
           allowed, tokens)
       }
-      state.update(TbState(tokens, prevT, started, keep))
-      if (keep.nonEmpty) state.setTimeoutTimestamp(keep.map(_._1).max / 1000L + 1L)
+      // idle-user eviction (r11 soak fix — this state previously lived
+      // forever): once the buffer is drained, the only information the
+      // state carries is a not-yet-full bucket, and that information
+      // EXPIRES — integer refill means the bucket is indistinguishable
+      // from a fresh one once tus − prevT ≥ (cap − tokens)·usPerToken.
+      // So: buffered → timeout at the newest buffered event (flush);
+      // drained but refilling → timeout at the refill instant;
+      // drained and full → remove now. State is O(users active within
+      // their refill horizon), never O(users ever seen).
+      if (keep.nonEmpty) {
+        state.update(TbState(tokens, prevT, started, keep))
+        state.setTimeoutTimestamp(keep.map(_._1).max / 1000L + 1L)
+      } else if (!started || tokens >= cap) {
+        if (state.exists) state.remove()
+      } else {
+        val refillMs = (prevT + (cap - tokens) * usPerMicroToken) / 1000L + 1L
+        if (refillMs <= state.getCurrentWatermarkMs()) { if (state.exists) state.remove() }
+        else {
+          state.update(TbState(tokens, prevT, started, keep))
+          state.setTimeoutTimestamp(refillMs)
+        }
+      }
       out.iterator
     }
 

@@ -1,0 +1,213 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.model.Ev
+import graft.streaming.{DocStreamJob, EventStreamJob}
+
+/** State-size SOAK evidence (VERDICT r10 item 5): the stream ≡ batch
+  * laws prove the operators compute the right thing; these tests prove
+  * their STATE doesn't grow without bound when they run for a long
+  * time — the reference's `cachedb_size` concern, measured through
+  * Spark's own state-store accounting (`StateOperatorProgress
+  * .numRowsTotal`) across many micro-batches of fully-churning keys.
+  * Each test feeds N batches where every batch introduces only NEW
+  * keys (the worst case for any operator whose state keys on them),
+  * advances event time steadily so watermarks move, and asserts the
+  * state-row trajectory PLATEAUS at the operator's declared bound —
+  * a fraction of the cumulative key count — rather than tracking it.
+  * Soaks run at test scale; the bound ARGUMENTS are scale-free
+  * (horizon × arrival rate), which is what the assertions pin.
+  */
+class StreamingSoakSpec extends SparkSpec {
+
+  private val base = Instant.parse("2024-01-01T00:00:00Z")
+
+  // the near-dup soaks use the native graft_* expressions directly
+  // (no Tables construction on that path to register them)
+  graft.functions.VectorExprs.ensureRegistered(spark)
+
+  /** Total state rows currently held by `q` (sum over its stateful
+    * operators, from the most recent progress).
+    */
+  private def stateRows(q: StreamingQuery): Long =
+    Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+
+  test("soak: streaming TTL cache state plateaus under full key churn") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // ttl 1h + 30min watermark, batches 1h apart: a key used in batch b
+    // can never suppress after batch b+2 → declared bound ≈ 2–3 batches
+    // of keys, independent of how many keys the stream has EVER seen
+    val out = EventStreamJob.streamTtlCache(input.toDS(), ttlHours = 1,
+      watermarkDelay = "30 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("soak_ttl").start()
+    val perBatch = 25
+    val nBatches = 40
+    val sizes = Array.newBuilder[Long]
+    try {
+      for (b <- 0 until nBatches) {
+        val ts = base.plusSeconds(b * 3600L)
+        input.addData((0 until perBatch).map(i =>
+          Ev(b * 1000L + i, ts, (b * perBatch + i).toLong, "click")))
+        q.processAllAvailable()
+        sizes += stateRows(q)
+      }
+    } finally q.stop()
+    val traj = sizes.result()
+    info(s"ttl state trajectory (every 5th): ${traj.grouped(5).map(_.head).toSeq}")
+    val cumulativeKeys = nBatches.toLong * perBatch
+    val steady = traj.drop(nBatches / 2)
+    assert(steady.max <= 4L * perBatch,
+      s"TTL state must stay within ~2-3 batches of keys; trajectory tail=${traj.takeRight(8).toSeq}")
+    assert(steady.max < cumulativeKeys / 4,
+      s"TTL state tracked cumulative keys ($cumulativeKeys): ${traj.takeRight(8).toSeq}")
+    // flat, not growing: the last quarter's peak must not exceed the
+    // third quarter's peak (both past warmup)
+    assert(traj.takeRight(nBatches / 4).max <=
+      traj.slice(nBatches / 2, 3 * nBatches / 4).max,
+      s"state still growing at end of soak: ${traj.toSeq}")
+  }
+
+  test("soak: token-bucket state evicts idle users at their refill horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // cap 2 tokens × 12h/token refill = 24h memory per user; batches 6h
+    // apart with full user churn → declared bound ≈ (24h + 1h wm) / 6h
+    // ≈ 5 batches of users (this soak caught the r10 leak where idle
+    // TbState lived forever)
+    val out = EventStreamJob.streamTokenBucket(input.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("soak_tb").start()
+    val perBatch = 25
+    val nBatches = 32
+    val sizes = Array.newBuilder[Long]
+    try {
+      for (b <- 0 until nBatches) {
+        val ts = base.plusSeconds(b * 6L * 3600L)
+        input.addData((0 until perBatch).map(i =>
+          Ev(b * 1000L + i, ts, (b * perBatch + i).toLong, "click")))
+        q.processAllAvailable()
+        sizes += stateRows(q)
+      }
+    } finally q.stop()
+    val traj = sizes.result()
+    info(s"token-bucket state trajectory (every 4th): ${traj.grouped(4).map(_.head).toSeq}")
+    val cumulativeUsers = nBatches.toLong * perBatch
+    val steady = traj.drop(nBatches / 2)
+    assert(steady.max <= 7L * perBatch,
+      s"token-bucket state must stay within the refill horizon; tail=${traj.takeRight(8).toSeq}")
+    assert(steady.max < cumulativeUsers / 3,
+      s"token-bucket state tracked cumulative users ($cumulativeUsers): ${traj.takeRight(8).toSeq}")
+    assert(traj.takeRight(nBatches / 4).max <=
+      traj.slice(nBatches / 2, 3 * nBatches / 4).max,
+      s"state still growing at end of soak: ${traj.toSeq}")
+  }
+
+  test("soak: within-stream near-dup state plateaus under retention; pairs within retention still found") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.model.IngestDoc]
+    val out = DocStreamJob.streamDocNearDupWithin(input.toDS().toDF(),
+      retention = Some("2 hours"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("soak_neardup").start()
+    val perBatch = 20
+    val nBatches = 30
+    val sizes = Array.newBuilder[Long]
+    try {
+      for (b <- 0 until nBatches) {
+        val ts = base.plusSeconds(b * 3600L)
+        // unique texts (no cross-batch dups) except one planted
+        // intra-batch duplicate pair per batch
+        val docs = (0 until perBatch).map { i =>
+          val id = (b * perBatch + i).toLong
+          val text =
+            if (i == perBatch - 1)
+              s"planted duplicate pair number $b copy alpha beta gamma delta epsilon zeta eta theta"
+            else s"unique document $id with words w${id}a w${id}b w${id}c w${id}d w${id}e w${id}f w${id}g"
+          graft.model.IngestDoc(id, text, "en", ts)
+        } :+ graft.model.IngestDoc((b * perBatch + perBatch).toLong + 100000L,
+          s"planted duplicate pair number $b copy alpha beta gamma delta epsilon zeta eta theta",
+          "en", ts)
+        input.addData(docs)
+        q.processAllAvailable()
+        sizes += stateRows(q)
+      }
+      // every planted intra-batch pair must have been reported (both
+      // arrivals are inside the retention window by construction)
+      val found = spark.table("soak_neardup")
+        .filter(org.apache.spark.sql.functions.col("agree") === 16L).count()
+      assert(found >= nBatches,
+        s"planted within-retention duplicates must still be found, got $found")
+    } finally q.stop()
+    val traj = sizes.result()
+    info(s"near-dup retention state trajectory (every 4th): ${traj.grouped(4).map(_.head).toSeq}")
+    // residents live ≤ retention (2h) + 1 batch of slack at 1h/batch →
+    // ~3 batches of band rows (4 per doc); full history would be
+    // nBatches × (perBatch+1) × 4 = 2520
+    val steady = traj.drop(nBatches / 2)
+    assert(steady.max <= 6L * (perBatch + 1) * 4,
+      s"near-dup state must stay within the retention horizon; tail=${traj.takeRight(8).toSeq}")
+    assert(steady.max < nBatches.toLong * (perBatch + 1) * 4 / 3,
+      s"near-dup state tracked full history: ${traj.takeRight(8).toSeq}")
+    assert(traj.takeRight(nBatches / 4).max <=
+      traj.slice(nBatches / 2, 3 * nBatches / 4).max,
+      s"state still growing at end of soak: ${traj.toSeq}")
+  }
+
+  test("soak: base-index near-dup probe (watermark-closed aggregate) holds only in-flight docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // tiny static base index from a handful of docs
+    val baseDocs = (0 until 5).map(i =>
+      (i.toLong, s"base document $i alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val t = graft.sources.Tables(spark, sfDir, docsOverride = Some(
+      baseDocs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+        .withColumn("n_chars", org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))))
+    val baseIndex = graft.operators.Dedup.baseBandIndex(t)
+    val input = MemoryStream[graft.model.IngestDoc]
+    val out = DocStreamJob.streamDocNearDup(input.toDS().toDF(), baseIndex,
+      watermarkDelay = "30 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("soak_basedup").start()
+    val perBatch = 20
+    val nBatches = 20
+    val sizes = Array.newBuilder[Long]
+    try {
+      for (b <- 0 until nBatches) {
+        val ts = base.plusSeconds(b * 3600L)
+        input.addData((0 until perBatch).map { i =>
+          val id = (b * perBatch + i).toLong
+          // every doc matches base doc 0 so the aggregate really holds
+          // state for each arrival
+          graft.model.IngestDoc(id,
+            "base document 0 alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "en", ts)
+        })
+        q.processAllAvailable()
+        sizes += stateRows(q)
+      }
+    } finally q.stop()
+    val traj = sizes.result()
+    info(s"base-probe aggregate state trajectory (every 3rd): ${traj.grouped(3).map(_.head).toSeq}")
+    val steady = traj.drop(nBatches / 2)
+    // watermark closes each (doc, ingest_ts) group one batch later →
+    // state ≈ 1-2 batches of in-flight docs, never cumulative arrivals
+    assert(steady.max <= 4L * perBatch,
+      s"aggregate state must hold only in-flight docs; tail=${traj.takeRight(8).toSeq}")
+    assert(traj.takeRight(nBatches / 4).max <=
+      traj.slice(nBatches / 2, 3 * nBatches / 4).max,
+      s"state still growing at end of soak: ${traj.toSeq}")
+  }
+}
