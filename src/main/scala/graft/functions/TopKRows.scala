@@ -71,18 +71,24 @@ final case class TopKRows(k: Int)
       b: (Array[Double], Array[Long])): (Array[Double], Array[Long]) = {
     if (a._1.isEmpty) return b
     if (b._1.isEmpty) return a
-    val n = math.min(a._1.length + b._1.length, k)
-    val ov = new Array[Double](n)
-    val oi = new Array[Long](n)
+    // dedup on the exact (v, id) pair (mirroring BottomKSample and the
+    // SQL shard merge's array_distinct): two runs that share rows must
+    // not double-count a pair and evict a genuine top-k member — the
+    // buffer is advertised as a mergeable cross-run artifact
+    val ov = new Array[Double](math.min(a._1.length + b._1.length, k))
+    val oi = new Array[Long](ov.length)
     var (i, j, m) = (0, 0, 0)
-    while (m < n && (i < a._1.length || j < b._1.length)) {
+    while (m < ov.length && (i < a._1.length || j < b._1.length)) {
       val takeA = j >= b._1.length || (i < a._1.length &&
         (a._1(i) > b._1(j) || (a._1(i) == b._1(j) && a._2(i) <= b._2(j))))
-      if (takeA) { ov(m) = a._1(i); oi(m) = a._2(i); i += 1 }
-      else { ov(m) = b._1(j); oi(m) = b._2(j); j += 1 }
-      m += 1
+      val (v, id) = if (takeA) (a._1(i), a._2(i)) else (b._1(j), b._2(j))
+      if (takeA) i += 1 else j += 1
+      if (m == 0 || ov(m - 1) != v || oi(m - 1) != id) {
+        ov(m) = v; oi(m) = id; m += 1
+      }
     }
-    (ov, oi)
+    if (m == ov.length) (ov, oi)
+    else (java.util.Arrays.copyOf(ov, m), java.util.Arrays.copyOf(oi, m))
   }
 
   override def finish(r: (Array[Double], Array[Long])): Seq[(Double, Long)] =

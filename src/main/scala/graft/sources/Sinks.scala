@@ -664,10 +664,15 @@ object Sinks {
     */
   def sampleQuantiles(shards: DataFrame,
       key: String = "event_type"): DataFrame = {
+    // empty-sample guard: a hand-built or filtered shard relation can
+    // carry an empty pairs array, and under ANSI mode element_at(sv, 1)
+    // would throw instead of degrading — NULL quantiles match the
+    // docSnapshotChurn null-degenerate convention
     val pick = (sv: org.apache.spark.sql.Column,
         m: org.apache.spark.sql.Column, p: Double) =>
-      element_at(sv, (floor(lit(p) * (m - 1).cast("double") + 0.5) + 1)
-        .cast("int"))
+      when(m > 0,
+        element_at(sv, (floor(lit(p) * (m - 1).cast("double") + 0.5) + 1)
+          .cast("int")))
     shards
       .select(col(key), size(col("pairs")).cast("long").as("n_sample"),
         array_sort(transform(col("pairs"), s => s.getField("v"))).as("sv"))

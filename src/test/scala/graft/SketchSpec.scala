@@ -199,6 +199,14 @@ class SketchSpec extends SparkSpec {
       "merge of splits must equal one-pass reduce")
     val expect = pairs.sortBy { case (v, id) => (-v, id) }.take(k)
     assert(s.finish(whole) == expect, "aggregator must keep exactly the window's top-k")
+    // overlapping-run merge (the cross-run artifact contract): two runs
+    // sharing rows must not double-count a pair and evict a genuine
+    // top-k member — merge dedups on the exact (v, id) pair
+    val (ol, or) = (pairs.take(2 * pairs.size / 3), pairs.drop(pairs.size / 3))
+    val overlapped = s.merge(reduceAll(ol), reduceAll(or))
+    assert(java.util.Arrays.equals(whole._1, overlapped._1) &&
+      java.util.Arrays.equals(whole._2, overlapped._2),
+      "merge of OVERLAPPING runs must equal the whole-corpus top-k")
     // on the corpus: aggregator == the B8 rank window at the same k
     val agg = Analytics.qTopkSketch(tables, k).collect().map(_.toSeq)
     val win = {
