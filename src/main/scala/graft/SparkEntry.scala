@@ -362,6 +362,7 @@ object SparkEntry {
     "mm_binary_meta"       -> q(Multimodal.mmBinaryMeta(_, ordered = true)),
     "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract(_, ordered = true)), // REAL netpbm decode (r10), oracle-gated
     "mm_feature_extract_bmp" -> q(Multimodal.mmFeatureExtractBmp(_, ordered = true)), // REAL BMP decode (r11), oracle-gated
+    "mm_wav_features"      -> q(Multimodal.mmWavFeatures(_, ordered = true)), // REAL RIFF/WAVE PCM decode (r11), oracle-gated
     "mm_channel_hist"      -> q(Multimodal.mmChannelHist(_, ordered = true)),
     "mm_resize"            -> q(Multimodal.mmResize(_, ordered = true)),
     "mm_frame_sample"      -> q(Multimodal.mmFrameSample(_, ordered = true)),
@@ -2212,6 +2213,29 @@ object SparkEntry {
         |  floor((CAST(sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
         |  CAST(54 + ((3*width + 3) // 4) * 4 * height AS INTEGER) AS n_bytes
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // F19: audio features re-derived from the affine SAMPLE formula
+    // (s_i = ((doc_id*31 + i*7) mod 2001) - 1000 over 64 + doc_id%128
+    // frames at 8 kHz) — integer |s|/s² sums, a LAG window for the
+    // strict zero-crossing count, one r6'd double division per feature
+    // (sqrt is IEEE-identical across engines)
+    "mm_wav_features" ->
+      """WITH d AS (SELECT doc_id, CAST(64 + doc_id % 128 AS INTEGER) AS n FROM documents),
+        |sm AS (SELECT doc_id, n, i, ((doc_id*31 + i*7) % 2001) - 1000 AS s
+        |  FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM d)),
+        |lg AS (SELECT doc_id, n, i, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps FROM sm),
+        |agg AS (SELECT doc_id, ANY_VALUE(n) AS n,
+        |  CAST(SUM(ABS(s)) AS BIGINT) AS sa, CAST(SUM(s*s) AS BIGINT) AS sq,
+        |  CAST(SUM(CASE WHEN ps IS NOT NULL AND ps * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        |  FROM lg GROUP BY doc_id)
+        |SELECT doc_id, 'PCM16' AS format, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS n_channels, CAST(n AS BIGINT) AS n_frames,
+        |  floor((CAST(n AS DOUBLE)/8000)*1000000 + 0.5)/1000000 AS duration_s_r,
+        |  floor((CAST(sa AS DOUBLE)/n)*1000000 + 0.5)/1000000 AS mean_abs_r,
+        |  floor(sqrt(CAST(sq AS DOUBLE)/n)*1000000 + 0.5)/1000000 AS rms_r,
+        |  floor((CAST(zc AS DOUBLE)/(n-1))*1000000 + 0.5)/1000000 AS zcr_r,
+        |  CAST(44 + 2*n AS INTEGER) AS n_bytes
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // F17: bin counts re-derived from the same affine pixel formula,
     // independently of the Scala parser; first channel = i % 3 = 0

@@ -264,6 +264,86 @@ object Multimodal {
     mmDecodePayloads(spark, payloads)
   }, ordered)(col("doc_id"))
 
+  final case class MmAudio(doc_id: Long, format: String,
+      sample_rate: Option[Int], n_channels: Option[Int],
+      n_frames: Option[Long], duration_s_r: Option[Double],
+      mean_abs_r: Option[Double], rms_r: Option[Double],
+      zcr_r: Option[Double], n_bytes: Int)
+
+  /** The audio decode boundary (the [[mmDecodePayloads]] sibling for
+    * the third modality): any (doc_id, payload) relation through the
+    * real RIFF/WAVE PCM codec; unparseable payloads surface as
+    * `format = 'corrupt'` quarantine rows. Features are first-channel:
+    * duration, mean |sample|, RMS, strict zero-crossing rate — the
+    * silence/energy/spectral-proxy trio an audio curation filter bins
+    * on; integer sums with one r6'd division each (the oracle
+    * re-derives them with identical double ops).
+    */
+  def mmDecodeWavPayloads(spark: org.apache.spark.sql.SparkSession,
+      payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = payloads.as[(Long, Array[Byte])]
+    ds.mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
+      Wav.parse(bytes) match {
+        case Some(a) =>
+          val (sa, sq, zc) = Wav.features(a)
+          val n = a.nFrames
+          MmAudio(id, "PCM16", Some(a.sampleRate), Some(a.channels),
+            Some(n.toLong),
+            Some(r6d(n.toDouble / a.sampleRate)),
+            Some(r6d(sa.toDouble / n)),
+            Some(r6d(math.sqrt(sq.toDouble / n))),
+            Some(if (n > 1) r6d(zc.toDouble / (n - 1)) else 0.0),
+            bytes.length)
+        case None =>
+          MmAudio(id, "corrupt", None, None, None, None, None, None,
+            None, bytes.length)
+      }
+    })).toDF()
+  }
+
+  /** Deterministic mono 16-bit PCM WAV per doc_id: 64 + doc_id%128
+    * frames at 8 kHz, sample i = ((doc_id·31 + i·7) mod 2001) − 1000 —
+    * a zero-crossing-rich affine signal the DuckDB oracle re-derives
+    * without byte-building (the F2/F18 discipline). The bytes are a
+    * genuine canonical 44-byte-header WAV any player parses.
+    */
+  private[graft] def wavBytes(docId: Long): Array[Byte] = {
+    val n = (64 + (docId % 128)).toInt
+    val rate = 8000
+    val b = new Array[Byte](44 + 2 * n)
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) => b(off + i) = c }
+    def p16(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    }
+    def p32(off: Int, v: Int): Unit = (0 until 4).foreach(i => b(off + i) = (v >> (8 * i)).toByte)
+    tag(0, "RIFF"); p32(4, 36 + 2 * n); tag(8, "WAVE")
+    tag(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, 1)
+    p32(24, rate); p32(28, rate * 2); p16(32, 2); p16(34, 16)
+    tag(36, "data"); p32(40, 2 * n)
+    var i = 0
+    while (i < n) {
+      p16(44 + 2 * i, (((docId * 31 + i * 7L) % 2001L) - 1000L).toInt & 0xffff)
+      i += 1
+    }
+    b
+  }
+
+  /** F19: audio feature extract over REAL WAV payloads — the third
+    * modality through its own quarantining decode boundary; the
+    * chunk-walking header parse, little-endian int16 unpacking and
+    * every feature are gate-checked per document against the
+    * formula-derived oracle.
+    */
+  def mmWavFeatures(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, wavBytes(id)))).toDF("doc_id", "payload")
+    mmDecodeWavPayloads(spark, payloads)
+  }, ordered)(col("doc_id"))
+
   /** F2: batched REAL decode → feature-extract over binary image
     * payloads. The payload construction (p6Payload) is narrow codegen;
     * the decode is a genuine netpbm parse per payload — format, dims,

@@ -80,6 +80,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == "BMP24" && out(2L) == "corrupt")
   }
 
+  test("WAV codec: chunk walk skips unknown chunks (with odd-size padding); stereo reads channel 0; features hand-match") {
+    import graft.operators.Wav
+    // hand-built WAV: RIFF + a 3-byte junk chunk BEFORE fmt (odd size →
+    // pad byte, the RIFF rule naive parsers miss) + fmt + data, stereo,
+    // frames ch0 = [1000, -1000, 500], ch1 = junk the features must skip
+    val frames = Seq((1000, 7), (-1000, -7), (500, 9))
+    val junkSz = 3
+    val dataSz = frames.size * 4
+    val total = 12 + (8 + junkSz + 1) + (8 + 16) + 8 + dataSz
+    val b = new Array[Byte](total)
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) => b(off + i) = c }
+    def p16(off: Int, v: Int): Unit = { b(off) = v.toByte; b(off + 1) = (v >> 8).toByte }
+    def p32(off: Int, v: Int): Unit = (0 until 4).foreach(i => b(off + i) = (v >> (8 * i)).toByte)
+    tag(0, "RIFF"); p32(4, total - 8); tag(8, "WAVE")
+    var pos = 12
+    tag(pos, "LIST"); p32(pos + 4, junkSz); pos += 8 + junkSz + 1 // odd → +1 pad
+    tag(pos, "fmt "); p32(pos + 4, 16)
+    p16(pos + 8, 1); p16(pos + 10, 2); p32(pos + 12, 16000); p32(pos + 16, 64000)
+    p16(pos + 20, 4); p16(pos + 22, 16); pos += 24
+    tag(pos, "data"); p32(pos + 4, dataSz); pos += 8
+    frames.foreach { case (c0, c1) =>
+      p16(pos, c0 & 0xffff); p16(pos + 2, c1 & 0xffff); pos += 4
+    }
+    val a = Wav.parse(b).getOrElse(fail("planted WAV must parse"))
+    assert(a.sampleRate == 16000 && a.channels == 2 && a.nFrames == 3)
+    assert((0 until 3).map(f => Wav.sample(a, f, 0)) == Seq(1000, -1000, 500))
+    val (sa, sq, zc) = Wav.features(a)
+    assert(sa == 2500L && sq == 1000000L + 1000000L + 250000L && zc == 2L,
+      s"hand-computed features mismatch: ($sa, $sq, $zc)")
+  }
+
+  test("WAV codec rejects out-of-envelope payloads; boundary quarantines them") {
+    import graft.operators.Wav
+    val good = Multimodal.wavBytes(11L)
+    assert(Wav.parse(good).isDefined, "generated WAV must parse")
+    assert(Wav.parse(good.dropRight(1)).isEmpty, "truncated data chunk must fail")
+    val float32 = good.clone(); float32(20) = 3 // IEEE-float audioFormat
+    assert(Wav.parse(float32).isEmpty, "non-PCM format is out of envelope")
+    val bps8 = good.clone(); bps8(34) = 8
+    assert(Wav.parse(bps8).isEmpty, "8-bit samples are out of envelope")
+    import spark.implicits._
+    val payloads = Seq((1L, good), (2L, Array.fill[Byte](64)(0x2e))).toDF("doc_id", "payload")
+    val out = Multimodal.mmDecodeWavPayloads(spark, payloads).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "PCM16" && out(2L) == "corrupt")
+  }
+
   test("P6 codec: pixel bytes are read unsigned (values > 127 intact)") {
     val raster = Array(200, 210, 220).map(_.toByte) // would be negative if sign-extended
     val img = Ppm.parse("P6\n1 1\n255\n".getBytes("US-ASCII") ++ raster)
