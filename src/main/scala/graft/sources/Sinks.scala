@@ -181,6 +181,142 @@ object Sinks {
       badFiles)
   }
 
+  /** G29: audited AVRO container ingestion (the binary sibling of G28
+    * — warehouse exports and Kafka archive dumps arrive as .avro
+    * container files, and this distro ships no spark-avro connector,
+    * so the reader drives the avro-core `DataFileReader` directly
+    * inside the executors). Same two-level quarantine discipline:
+    * a file whose container is unreadable OR whose embedded writer
+    * schema is missing a declared column lands WHOLE in the file
+    * quarantine (path, reason, bytes) — Avro schemas are per-file, so
+    * schema drift is a file-level fact, not a row-level one; clean
+    * rows come back under the enforced Spark schema (long/int/string/
+    * double/boolean envelope), tagged with their source shard. A
+    * record whose field value doesn't fit the declared type (a union
+    * carrying the wrong branch) is quarantined as a raw rendered row.
+    *
+    * Scale shape: Avro containers ARE splittable, but the audited
+    * file-level schema check wants whole-file custody — same
+    * binaryFile task-packing and one-decoded-shard memory bound as
+    * G28; at 100 TB ingest shards are block-sized by the producer.
+    */
+  /** The container's 16-byte sync marker, from a hand parse of the
+    * Avro header (magic, zigzag-varint metadata map, sync). Needed
+    * because `DataFileStream.hasNext` SWALLOWS a truncated tail as
+    * end-of-stream (streaming semantics) — every well-formed container
+    * ends each block with the sync, so `file.takeRight(16) == sync` is
+    * the integrity check that turns silent truncation into a
+    * quarantined file. None = not a parseable container header.
+    */
+  private def avroSyncMarker(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length < 20 || b(0) != 'O' || b(1) != 'b' || b(2) != 'j' || b(3) != 1)
+      return None
+    var pos = 4
+    def readLong(): Long = {
+      var shift = 0; var acc = 0L; var bb = 0
+      do {
+        if (pos >= b.length) throw new java.io.EOFException("varint past end")
+        bb = b(pos) & 0xff; pos += 1
+        acc |= (bb & 0x7fL) << shift; shift += 7
+      } while ((bb & 0x80) != 0)
+      (acc >>> 1) ^ -(acc & 1L)
+    }
+    try {
+      var count = readLong()
+      while (count != 0) {
+        if (count < 0) { readLong(); count = -count } // block byte size form
+        var i = 0L
+        while (i < count) {
+          val kl = readLong(); pos += kl.toInt
+          val vl = readLong(); pos += vl.toInt
+          if (pos > b.length) throw new java.io.EOFException("meta past end")
+          i += 1
+        }
+        count = readLong()
+      }
+      if (pos + 16 > b.length) None
+      else Some(java.util.Arrays.copyOfRange(b, pos, pos + 16))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  def readAvroAudited(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType):
+      (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val fields = schema.fields.map(f => (f.name, f.dataType.typeName))
+    val decoded = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val syncOk = avroSyncMarker(bytes) match {
+          case Some(sync) => bytes.length >= 16 &&
+            java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(bytes, bytes.length - 16, bytes.length), sync)
+          case None => false
+        }
+        if (!syncOk)
+          Seq((p, null: Seq[String],
+            "truncated_or_malformed_container: trailing sync marker absent",
+            bytes.length.toLong))
+        else try {
+          val reader = new org.apache.avro.file.DataFileReader(
+            new org.apache.avro.file.SeekableByteArrayInput(bytes),
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          try {
+            val writerFields = reader.getSchema.getFields
+            val have = new scala.collection.mutable.HashSet[String]
+            writerFields.forEach(f => { have += f.name(); () })
+            val missing = fields.map(_._1).filterNot(have)
+            if (missing.nonEmpty)
+              Seq((p, null: Seq[String], s"schema_mismatch: missing ${missing.mkString(",")}",
+                bytes.length.toLong))
+            else {
+              val rows = Seq.newBuilder[(String, Seq[String], String, Long)]
+              while (reader.hasNext) {
+                val rec = reader.next()
+                // render each declared field to a STRING cell; the typed
+                // cast happens in one Spark projection below so a
+                // wrong-branch value degrades into the row quarantine
+                rows += ((p,
+                  fields.map { case (n, _) =>
+                    Option(rec.get(n)).map(_.toString).orNull
+                  }.toSeq, null, bytes.length.toLong))
+              }
+              rows.result()
+            }
+          } finally reader.close()
+        } catch {
+          // NonFatal, not just IOException: a truncated block surfaces
+          // as AvroRuntimeException from next(), and the whole file
+          // must quarantine (the rows buffered before the throw are
+          // discarded — all-or-nothing per container)
+          case scala.util.control.NonFatal(e) =>
+            Seq((p, null: Seq[String],
+              e.getClass.getSimpleName + ": " + e.getMessage, bytes.length.toLong))
+        }
+      }
+      .toDF("src_file", "cells", "file_error", "n_bytes")
+    val badFiles = decoded.filter(col("file_error").isNotNull)
+      .select(col("src_file"), col("file_error"), col("n_bytes"))
+    val rows = decoded.filter(col("file_error").isNull)
+    // try_cast semantics: a NULL after cast of a non-NULL cell = the
+    // value didn't fit the declared type → row quarantine
+    val castAll = rows.select(col("src_file") +: col("cells") +:
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        expr(s"try_cast(element_at(cells, ${i + 1}) AS ${f.dataType.sql})").as(f.name)
+      }: _*)
+    val badRow = schema.fields.zipWithIndex
+      .map { case (f, i) =>
+        element_at(col("cells"), i + 1).isNotNull && col(f.name).isNull }
+      .reduce(_ || _)
+    (castAll.filter(!badRow).select(col("src_file") +: schema.fieldNames.map(col): _*),
+      castAll.filter(badRow)
+        .select(col("src_file"), concat_ws("|", col("cells")).as("raw_row")),
+      badFiles)
+  }
+
   /** G19: audited CSV ingestion — G16's enforced-schema + quarantine
     * discipline for the OTHER format corpora and metadata tables
     * arrive in. Same reasons: no inference pass at 100 TB (drift fails

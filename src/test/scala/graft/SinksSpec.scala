@@ -367,6 +367,63 @@ class SinksSpec extends SparkSpec {
     assert(!cleanRows.exists(_._2 == null) && cleanRows.forall(_._1 <= 20))
   }
 
+  test("avro ingest: corrupt containers and schema drift quarantine whole files; unfittable values quarantine rows") {
+    import org.apache.spark.sql.types._
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = Files.createTempDirectory("avro_in").toFile
+    def avroSchema(json: String) = new org.apache.avro.Schema.Parser().parse(json)
+    val schGood = avroSchema("""{"type":"record","name":"Doc","fields":[
+      {"name":"doc_id","type":"long"},{"name":"text","type":"string"},
+      {"name":"score","type":"string"}]}""")
+    val schDrift = avroSchema("""{"type":"record","name":"Doc","fields":[
+      {"name":"doc_id","type":"long"}]}""")
+    def write(name: String, sch: org.apache.avro.Schema,
+        recs: Seq[Map[String, Any]]): java.io.File = {
+      val f = new java.io.File(dir, name)
+      val w = new org.apache.avro.file.DataFileWriter(
+        new GenericDatumWriter[GenericRecord](sch))
+      w.create(sch, f)
+      recs.foreach { m =>
+        val r = new GenericData.Record(sch)
+        m.foreach { case (k, v) => r.put(k, v) }
+        w.append(r)
+      }
+      w.close(); f
+    }
+    write("a.avro", schGood, (1 to 10).map(i =>
+      Map("doc_id" -> i.toLong, "text" -> s"doc $i", "score" -> s"$i.5")))
+    // one record whose score string cannot cast to the declared double
+    write("b.avro", schGood, Seq(
+      Map("doc_id" -> 11L, "text" -> "doc 11", "score" -> "11.5"),
+      Map("doc_id" -> 12L, "text" -> "doc 12", "score" -> "oops")))
+    // schema drift: writer schema missing declared columns → whole file
+    write("drift.avro", schDrift, Seq(Map("doc_id" -> 99L)))
+    // corrupt container: truncate a valid file mid-block
+    val cBytes = java.nio.file.Files.readAllBytes(
+      write("c_src.avro", schGood, (20 to 40).map(i =>
+        Map("doc_id" -> i.toLong, "text" -> s"doc $i", "score" -> "1.0")).toSeq).toPath)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir.getPath, "c_src.avro"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir.getPath, "trunc.avro"),
+      cBytes.dropRight(25))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("score", DoubleType)))
+    val (clean, badRows, badFiles) = Sinks.readAvroAudited(spark, dir.getPath, schema)
+    assert(clean.schema.fieldNames.toSeq == Seq("src_file", "doc_id", "text", "score"))
+    val cleanRows = clean.collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(cleanRows == ((1 to 10).map(i => (i.toLong, s"doc $i", i + 0.5)) :+
+      ((11L, "doc 11", 11.5))).toSet,
+      s"clean rows wrong: $cleanRows")
+    val br = badRows.collect().map(_.getString(1))
+    assert(br.length == 1 && br.head.contains("oops"), s"row quarantine wrong: ${br.toSeq}")
+    val bf = badFiles.collect()
+      .map(r => (r.getString(0).split('/').last, r.getString(1))).toMap
+    assert(bf.keySet == Set("drift.avro", "trunc.avro"), s"file quarantine wrong: $bf")
+    assert(bf("drift.avro").contains("schema_mismatch"))
+    // all-or-nothing: no record from the truncated container leaked
+    assert(cleanRows.forall(_._1 <= 12L))
+  }
+
   test("csv ingest: schema enforced; malformed rows quarantined raw, clean rows exact") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("csv_in").toFile.getAbsolutePath
