@@ -405,9 +405,17 @@ object Similarity {
     * shuffle, no join.
     */
   private[graft] def residualRel(t: Tables,
+      coarse: Array[(Int, Seq[Double], Double)]): DataFrame =
+    residualRelOf(t.embeddings, coarse)
+
+  /** [[residualRel]] over an arbitrary (vec_id, embedding) relation —
+    * what lets the G30 index APPEND encode new arrivals with the
+    * persisted quantizers instead of the corpus table.
+    */
+  private[graft] def residualRelOf(emb: DataFrame,
       coarse: Array[(Int, Seq[Double], Double)]): DataFrame = {
     val byCell = typedLit(coarse.sortBy(_._1).toSeq.map(_._2))
-    withCell(withNorm(t.embeddings), coarse)
+    withCell(withNorm(emb), coarse)
       .select(col("vec_id"), col("cell"),
         zip_with(col("v"),
           element_at(byCell, col("cell").cast("int") + 1),
@@ -1411,6 +1419,11 @@ object Similarity {
     */
   private[graft] def pqCodesPacked(t: Tables,
       coarse: Array[(Int, Seq[Double], Double)],
+      pqr: Array[(Int, Seq[Double], Double)], m: Int): DataFrame =
+    pqCodesPackedOf(t.embeddings, coarse, pqr, m)
+
+  private[graft] def pqCodesPackedOf(emb: DataFrame,
+      coarse: Array[(Int, Seq[Double], Double)],
       pqr: Array[(Int, Seq[Double], Double)], m: Int): DataFrame = {
     val dsub = pqr.head._2.length / m
     require(dsub * m == pqr.head._2.length, s"dim must divide into $m subspaces")
@@ -1418,7 +1431,7 @@ object Similarity {
       val xv = slice(col("v"), j * dsub + 1, dsub)
       struct(VectorExprs.pqDists(xv, subCodebook(pqr, j, dsub)).as("ds"))
     }
-    residualRel(t, coarse)
+    residualRelOf(emb, coarse)
       .select(col("vec_id"), col("cell"), array(subs: _*).as("subs"))
       .select(col("vec_id"), col("cell"),
         expr("transform(subs, s -> array_position(s.ds, array_min(s.ds)) - 1L)")

@@ -695,6 +695,31 @@ object Sinks {
       .parquet(s"$path/codes")
   }
 
+  /** G30: INCREMENTAL index append — the operation that makes G26 a
+    * living artifact instead of a rebuild-the-world one: new arrivals
+    * are encoded with the PERSISTED quantizers (no retrain — exactly
+    * how FAISS adds to a trained index; D40's quantizer-drift card is
+    * the monitor that says when a retrain is actually due) and their
+    * packed code rows land in the same `cell=N/` partition dirs via
+    * dynamic partition overwrite-free append. Because encoding is
+    * per-vector against fixed centers, append(base, new) ≡ one-shot
+    * encode of the union corpus — the SinksSpec law — so a search
+    * over the grown index equals the in-query D46 over the union.
+    *
+    * Scale shape: one narrow literal-centers encode pass over ONLY
+    * the new vectors + a partitioned append; the base codes are never
+    * read, let alone rewritten.
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVectors: DataFrame, m: Int = 8): Unit = {
+    val sim = graft.operators.Similarity
+    val coarse = readQuantizer(spark, s"$path/coarse")
+    val pqr = readQuantizer(spark, s"$path/codebook")
+    sim.pqCodesPackedOf(newVectors, coarse, pqr, m)
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$path/codes")
+  }
+
   /** D46 off a persisted [[writeIvfPqIndex]] — the serving path: load
     * both center sets (bounded artifacts), compute each query's probe
     * cells, and scan ONLY those `cell=` code partitions (the probe

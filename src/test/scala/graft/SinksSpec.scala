@@ -511,6 +511,38 @@ class SinksSpec extends SparkSpec {
       s"codes scan must prune on cell; partitionFilters: $pf")
   }
 
+  test("ivfpq index append: saved-quantizer encode of arrivals == one-shot index; search over the grown index == in-query D46") {
+    val dirA = Files.createTempDirectory("ivfpq_base").toString
+    val dirB = Files.createTempDirectory("ivfpq_grow").toString
+    Sinks.writeIvfPqIndex(tables, dirA, nCells = 16)
+    // the grown index shares the PERSISTED quantizer artifacts (the
+    // G30 contract: no retrain on append)
+    def copyDir(from: String, to: String): Unit = {
+      val src = java.nio.file.Paths.get(from)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val dst = java.nio.file.Paths.get(to, src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+    copyDir(s"$dirA/coarse", s"$dirB/coarse")
+    copyDir(s"$dirA/codebook", s"$dirB/codebook")
+    val emb = tables.embeddings
+    Sinks.appendToIvfPqIndex(spark, dirB, emb.filter(pmod(col("vec_id"), lit(2)) === 0))
+    Sinks.appendToIvfPqIndex(spark, dirB, emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+    def codesOf(dir: String) = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cell").cast("long"), col("codes")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(codesOf(dirB) == codesOf(dirA),
+      "two parity appends with the saved quantizers must reproduce the one-shot code relation exactly")
+    val served = Sinks.searchIvfPqIndex(tables, dirB).collect().map(_.toSeq)
+    val inQuery = graft.operators.Similarity.annIvfRpq(tables).collect().map(_.toSeq)
+    assert(served.toSeq == inQuery.toSeq,
+      "search over the grown index must equal the in-query D46 row-for-row")
+  }
+
   test("sample shard artifact: merged half-corpus samples == whole-corpus sample at pair and quantile level") {
     val k = 64
     val bkp = udaf(graft.functions.BottomKPairs(k),
