@@ -607,6 +607,43 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
   }
 
+  /** G31: INCREMENTAL chunk-store append (G30's sibling for the CDC
+    * arc — a crawl delivers documents daily; re-chunking the world per
+    * delivery defeats the point of a dedup store): the new corpus is
+    * CDC-chunked, chunks whose content hash the store already holds
+    * are dropped by an anti-join (stored once stays stored once), only
+    * genuinely new chunk payloads and the new docs' manifest rows are
+    * appended. `n_refs` on a chunk row is its ref count AT WRITE TIME
+    * (append does not rewrite base rows — the live ref count is a
+    * manifest aggregate when needed).
+    *
+    * Scale shape: one CDC pass over ONLY the new docs + a hash-keyed
+    * anti-join against the store's hash column (narrow projection of
+    * the chunk relation; the C9b Bloom swap applies if the store's
+    * hash set outgrows a shuffle) + partitioned appends; base chunk
+    * payloads are never read. The store self-read-then-append is safe
+    * because the existing-files listing is resolved when the append
+    * job plans, before any new file lands.
+    */
+  def appendToChunkStore(t: Tables, path: String,
+      window: Int = 16, modDiv: Int = 64): Unit = {
+    val spark = t.spark
+    val chunks = graft.operators.TextOps.docCdcChunks(t, window, modDiv)
+      .join(t.documents.select(col("doc_id"), col("text").cast("binary").as("bt")), "doc_id")
+      .withColumn("chunk_bytes",
+        expr("substring(bt, CAST(start_pos AS INT), CAST(chunk_len AS INT))"))
+    val existing = spark.read.parquet(s"$path/chunks").select(col("chunk_hash"))
+    chunks.groupBy(col("chunk_hash"))
+      .agg(first(col("chunk_bytes")).as("chunk_bytes"),
+        count(lit(1)).as("n_refs"))
+      .join(existing, Seq("chunk_hash"), "left_anti")
+      .repartition(4, col("chunk_hash"))
+      .write.mode(SaveMode.Append).parquet(s"$path/chunks")
+    chunks.select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
+      .repartition(4, col("chunk_hash"))
+      .write.mode(SaveMode.Append).parquet(s"$path/manifest")
+  }
+
   /** Reassemble documents from a G23 chunk store: manifest ⋈ chunks on
     * the content hash, byte chunks concatenated in recipe order, UTF-8
     * decoded only after the full byte sequence is back together. */

@@ -169,6 +169,16 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p.take(500))
   }
 
+  test("method recall: no cartesian anywhere; the IVF and LSH probes ride hash joins") {
+    // D51 composes three search legs — a regression to a cartesian or
+    // a non-equi probe in ANY leg would silently explode at corpus
+    // scale while the 3-row card still looked fine
+    val p = plan(Similarity.annMethodRecall(tables, ordered = true))
+    assert(!p.contains("CartesianProduct"), "cartesian inside a method leg")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe joins must be broadcast-hash:\n${p.take(500)}")
+  }
+
   test("decontaminate: benchmark shingles broadcast — the training corpus never shuffles into the join") {
     val p = plan(Dedup.docDecontaminate(tables))
     assert(p.contains("BroadcastHashJoin"),

@@ -511,6 +511,33 @@ class SinksSpec extends SparkSpec {
       s"codes scan must prune on cell; partitionFilters: $pf")
   }
 
+  test("chunk store append: daily deliveries dedup against the base store; every doc still round-trips; storage == one-shot store") {
+    val tAll = graft.operators.TextOps.plantUtf8Docs(tables)
+    def half(parity: Int) = graft.sources.Tables(spark, sfDir, docsOverride = Some(
+      tAll.documents.filter(pmod(col("doc_id"), lit(2)) === parity)))
+    val grown = Files.createTempDirectory("chunkstore_grow").toString
+    val oneShot = Files.createTempDirectory("chunkstore_one").toString
+    Sinks.writeChunkStore(half(0), grown)
+    Sinks.appendToChunkStore(half(1), grown)
+    Sinks.writeChunkStore(tAll, oneShot)
+    // every document of the union (incl. multi-byte planted) round-trips
+    val rebuilt = Sinks.readChunkStore(spark, grown).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val originals = tAll.documents.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt == originals, "grown store must reconstruct every doc byte-exactly")
+    // storage discipline survives the append: the grown store holds
+    // exactly the one-shot store's distinct chunks, each ONCE
+    def hashes(dir: String) = spark.read.parquet(s"$dir/chunks")
+      .select(col("chunk_hash")).collect().map(_.getString(0)).toSeq
+    val g = hashes(grown)
+    assert(g.distinct.sorted == hashes(oneShot).distinct.sorted,
+      "grown store's chunk set must equal the one-shot store's")
+    assert(g.length == g.distinct.length,
+      "append must never store a chunk the base already holds")
+  }
+
   test("ivfpq index append: saved-quantizer encode of arrivals == one-shot index; search over the grown index == in-query D46") {
     val dirA = Files.createTempDirectory("ivfpq_base").toString
     val dirB = Files.createTempDirectory("ivfpq_grow").toString
