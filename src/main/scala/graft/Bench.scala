@@ -256,13 +256,18 @@ object Bench {
       // IVFPQ end-to-end (r10): two memoized Lloyd trainings (rounds ×
       // one narrow pass + one (cell,dim) aggregate each), residual
       // encode, bounded broadcast probes — every stage linear
-      "ann_ivf_rpq" -> 1.2)
+      "ann_ivf_rpq" -> 1.2,
+      // r11 method-recall ledger: dominated by the multi-table knn
+      // edge build (the ann_knn_graph candidate-volume argument, in
+      // its cap-transition decade) + one brute-force pass; the search
+      // legs are bounded probes
+      "ann_method_recall" -> 1.8)
     val HeavySf1 = Seq("doc_ngram_jaccard", "doc_dedup_clusters",
       "doc_embed_cosine_dup", "doc_semdedup",
       "doc_ngram_jaccard_capped", "doc_ngram_containment",
       "ann_knn_graph", "doc_lsh_tuning", "ann_pagerank",
       "mm_dedup_keep_best", "mm_frame_phash_pairs", "training_data_job",
-      "doc_curation_funnel", "ann_ivf_rpq")
+      "doc_curation_funnel", "ann_ivf_rpq", "ann_method_recall")
     val sf1Secs: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SF1", "1") == "0") Map.empty
       else {
