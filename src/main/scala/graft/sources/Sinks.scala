@@ -765,6 +765,21 @@ object Sinks {
     * via the ADC join keys. Result ≡ the in-query
     * [[graft.operators.Similarity.annIvfRpq]] row-for-row.
     */
+  /** G32: index DELETE — the third lifecycle op (write / append /
+    * delete): removals land as vec_id TOMBSTONES (an append-only
+    * relation, the LSM discipline every serving store uses — base code
+    * partitions are immutable); [[searchIvfPqIndex]] anti-joins them
+    * so a deleted vector can never be served, and a later full rebuild
+    * (writeIvfPqIndex) naturally compacts them away. Takedown and
+    * dedup-purge both need this: at 100 TB you cannot rewrite cell
+    * partitions per removal, and you must not wait for the next
+    * rebuild to stop serving a vector.
+    */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, vecIds: DataFrame): Unit =
+    vecIds.select(col("vec_id")).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
   def searchIvfPqIndex(t: Tables, path: String, nQueries: Int = 8,
       k: Int = 5, m: Int = 8, nProbe: Int = 4): DataFrame = {
     val spark = t.spark
@@ -782,10 +797,20 @@ object Sinks {
     val pcLocal = pcRows.toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
       .toDF("q_id", "pcell", "v")
-    val codes = spark.read.parquet(s"$path/codes")
+    val codesBase = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probed: _*)) // partition-dir pruning
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("codes"))
+    // G32 tombstones: deleted vectors must never serve — an anti-join
+    // against the (tiny, broadcastable) removal relation; absent dir =
+    // no deletions ever recorded
+    val codes =
+      if (new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+        codesBase.join(broadcast(spark.read.parquet(s"$path/tombstones")
+          .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
+      else codesBase
     sim.annIvfRpqPackedWith(t, coarse, pqr, codes, nQueries, k, m, nProbe,
       pcOpt = Some(pcLocal))
   }

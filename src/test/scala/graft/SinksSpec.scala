@@ -570,6 +570,31 @@ class SinksSpec extends SparkSpec {
       "search over the grown index must equal the in-query D46 row-for-row")
   }
 
+  test("ivfpq index delete: tombstoned vectors never serve; results equal a never-indexed-them scorer run") {
+    val dir = Files.createTempDirectory("ivfpq_del").toString
+    Sinks.writeIvfPqIndex(tables, dir, nCells = 16)
+    // tombstone exactly the vectors the index WOULD have served (the
+    // strongest case: every removal was a live result)
+    val servedBefore = Sinks.searchIvfPqIndex(tables, dir).collect()
+    val doomed = servedBefore.map(_.getLong(2)).distinct.take(5)
+    import spark.implicits._
+    Sinks.deleteFromIvfPqIndex(spark, dir, doomed.toSeq.toDF("vec_id"))
+    val after = Sinks.searchIvfPqIndex(tables, dir).collect()
+    assert(!after.exists(r => doomed.contains(r.getLong(2))),
+      "a tombstoned vector must never be served")
+    // equality with a scorer that never saw the deleted codes at all
+    val sim = graft.operators.Similarity
+    val coarse = Sinks.readQuantizer(spark, s"$dir/coarse")
+    val pqr = Sinks.readQuantizer(spark, s"$dir/codebook")
+    val filtered = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("codes"))
+      .filter(!col("vec_id").isin(doomed.toSeq: _*))
+    val expected = sim.annIvfRpqPackedWith(tables, coarse, pqr, filtered,
+      nQueries = 8, k = 5, m = 8, nProbe = 4).collect()
+    assert(after.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq,
+      "tombstoned search must equal scoring an index that never contained the deleted vectors")
+  }
+
   test("sample shard artifact: merged half-corpus samples == whole-corpus sample at pair and quantile level") {
     val k = 64
     val bkp = udaf(graft.functions.BottomKPairs(k),
