@@ -644,14 +644,55 @@ object Sinks {
       .write.mode(SaveMode.Append).parquet(s"$path/manifest")
   }
 
+  /** G33: chunk-store document DELETE + GC compaction (the G32
+    * pattern on the CDC artifact). Deletion is a doc_id TOMBSTONE
+    * append — chunk payloads are SHARED across documents, so a
+    * removal can never touch the chunk relation directly (another doc
+    * may reference the same bytes); [[readChunkStore]] anti-joins the
+    * tombstones so a deleted doc never reconstructs. The actual
+    * byte reclamation is [[compactChunkStore]]: rewrite (to a NEW
+    * path — never in place) keeping only live manifest rows and the
+    * chunks they still reference — reference-counting GC as one
+    * semi-join, no counts maintained. Takedown compliance note: bytes
+    * unique to a deleted doc persist until compaction runs; the
+    * tombstone only stops them being SERVED.
+    */
+  def deleteFromChunkStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, docIds: DataFrame): Unit =
+    docIds.select(col("doc_id")).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$path/doc_tombstones")
+
+  def compactChunkStore(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String): Unit = {
+    val manifest = liveManifest(spark, from)
+    manifest.repartition(4, col("chunk_hash"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$to/manifest")
+    spark.read.parquet(s"$from/chunks")
+      .join(manifest.select(col("chunk_hash")).distinct(), Seq("chunk_hash"),
+        "left_semi") // GC: a chunk survives iff some live doc references it
+      .repartition(4, col("chunk_hash"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$to/chunks")
+  }
+
+  private def liveManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val m = spark.read.parquet(s"$path/manifest")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/doc_tombstones")
+    if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombPath))
+      m.join(broadcast(spark.read.parquet(s"$path/doc_tombstones")
+        .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+    else m
+  }
+
   /** Reassemble documents from a G23 chunk store: manifest ⋈ chunks on
     * the content hash, byte chunks concatenated in recipe order, UTF-8
-    * decoded only after the full byte sequence is back together. */
+    * decoded only after the full byte sequence is back together.
+    * Tombstoned docs (G33) never reconstruct. */
   def readChunkStore(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val chunks = spark.read.parquet(s"$path/chunks")
       .select(col("chunk_hash"), col("chunk_bytes"))
-    spark.read.parquet(s"$path/manifest")
+    liveManifest(spark, path)
       .join(chunks, "chunk_hash")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("chunk_idx"), col("chunk_bytes"))).as("ps"))

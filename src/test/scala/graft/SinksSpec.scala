@@ -538,6 +538,37 @@ class SinksSpec extends SparkSpec {
       "append must never store a chunk the base already holds")
   }
 
+  test("chunk store delete+compact: tombstoned docs never reconstruct; GC == one-shot store of the survivors") {
+    val t = graft.operators.TextOps.plantUtf8Docs(tables)
+    val store = Files.createTempDirectory("chunkstore_del").toString
+    val compacted = Files.createTempDirectory("chunkstore_gc").toString
+    val oneShot = Files.createTempDirectory("chunkstore_ref").toString
+    Sinks.writeChunkStore(t, store)
+    import spark.implicits._
+    val doomed = t.documents.select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0).collect().map(_.getLong(0)).toSeq
+    Sinks.deleteFromChunkStore(spark, store, doomed.toDF("doc_id"))
+    def docsOf(dir: String) = Sinks.readChunkStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val afterDelete = docsOf(store)
+    assert(doomed.forall(id => !afterDelete.contains(id)),
+      "a tombstoned doc must never reconstruct")
+    // GC: compacted store ≡ one-shot store of the survivors, and chunks
+    // unique to deleted docs are actually reclaimed
+    Sinks.compactChunkStore(spark, store, compacted)
+    val survivors = graft.sources.Tables(spark, sfDir, docsOverride = Some(
+      t.documents.filter(pmod(col("doc_id"), lit(3)) =!= 0)))
+    Sinks.writeChunkStore(survivors, oneShot)
+    assert(docsOf(compacted) == docsOf(oneShot),
+      "compacted store must reconstruct exactly the survivor corpus")
+    def chunkSet(dir: String) = spark.read.parquet(s"$dir/chunks")
+      .select(col("chunk_hash")).collect().map(_.getString(0)).toSet
+    assert(chunkSet(compacted) == chunkSet(oneShot),
+      "GC must keep exactly the chunks live docs reference")
+    assert(chunkSet(compacted).size < chunkSet(store).size,
+      "GC must actually reclaim chunks unique to deleted docs")
+  }
+
   test("ivfpq index append: saved-quantizer encode of arrivals == one-shot index; search over the grown index == in-query D46") {
     val dirA = Files.createTempDirectory("ivfpq_base").toString
     val dirB = Files.createTempDirectory("ivfpq_grow").toString
