@@ -3469,6 +3469,42 @@ object OracleSqlGen {
       |FROM t LEFT JOIN rw ON t.doc_id = rw.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** F20: JOINT cross-modal dedup — the C5 verified-jaccard text pairs
+    * and the F6b banded-hamming perceptual pairs unioned into one
+    * symmetric edge relation, then the shared C7 recursive transitive
+    * closure; a component may chain edges of both kinds. CTE chains
+    * are disjoint by name (gram: t/g/h/cand/sizes/common; dhash:
+    * b/bs/ph/chx).
+    */
+  def mmJointDedup(maxHamming: Int): String =
+    s"""WITH RECURSIVE $gramCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |$jaccardCtes,
+       |tedges AS ($jaccardSelect),
+       |$dhashCtes,
+       |chx AS (SELECT doc_id, phash, j, (phash >> (15*j)) & 32767 AS chunk_val
+       |  FROM ph, (SELECT unnest([0,1,2,3]) AS j)),
+       |iedges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM chx a JOIN chx b ON a.j = b.j AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |  WHERE CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) <= $maxHamming),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM tedges
+       |  UNION SELECT doc_b, doc_a FROM tedges
+       |  UNION SELECT doc_a, doc_b FROM iedges
+       |  UNION SELECT doc_b, doc_a FROM iedges),
+       |reach AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+       |),
+       |mins AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+       |  FROM reach GROUP BY src)
+       |SELECT d.doc_id,
+       |  COALESCE(m.cluster, d.doc_id) AS cluster,
+       |  CAST(COALESCE(m.cluster, d.doc_id) = d.doc_id AS INTEGER) AS is_canonical
+       |FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** F6c: transitive closure over the banded-hamming pair graph — the
     * C7 recursive-CTE shape on dhash pairs.
     */

@@ -374,6 +374,7 @@ object SparkEntry {
     "mm_phash_incremental" -> q(Multimodal.mmPhashIncremental(_, ordered = true)),
     "mm_frame_dedup"       -> q(Multimodal.mmFrameDedup(_, ordered = true)),
     "mm_phash_clusters"    -> q(Multimodal.mmPhashClusters(_, ordered = true)),
+    "mm_joint_dedup"       -> q(Multimodal.mmJointDedup(_, ordered = true)),
     "mm_dedup_keep_best"   -> q(Multimodal.mmDedupKeepBest(_, ordered = true)),
   )
 
@@ -2069,6 +2070,7 @@ object SparkEntry {
         |HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY frame_md5""".stripMargin,
     "mm_phash_clusters"     -> OracleSqlGen.mmPhashClusters(4),
+    "mm_joint_dedup"        -> OracleSqlGen.mmJointDedup(4),
     "mm_dedup_keep_best"    -> OracleSqlGen.mmDedupKeepBest(4),
     "mm_frame_phash_pairs"  -> OracleSqlGen.mmFramePhashPairs(64, 4, 4),
 

@@ -115,6 +115,34 @@ object Multimodal {
         .localCheckpoint(true),
       t.documents.select(col("doc_id")), maxIter, "mm_phash_clusters", ordered)
 
+  /** F20: JOINT cross-modal dedup clusters (r11 — the pair-dataset
+    * shape: LAION-style corpora are (text, image) PAIRS, and a row is
+    * a duplicate when EITHER modality matches — re-hosted images under
+    * rewritten captions, and re-captioned crops of the same image,
+    * both defeat single-modality dedup): the C5 verified text-jaccard
+    * pairs and the F6b banded perceptual pairs UNION into one edge
+    * relation, and the shared C7 connected-components machinery
+    * clusters over it — a component may chain text-dup and image-dup
+    * edges (A ~text B ~image C), which is exactly the transitive
+    * semantics a pair corpus needs. Canonical = lowest doc_id.
+    *
+    * Scale shape: strictly the union of the two feeders' pinned plans
+    * (both df/band-bounded, never all-pairs) + CC over the tiny pair
+    * relation; the union adds no new shuffle class.
+    */
+  def mmJointDedup(t: Tables, threshold: Double = 0.2, maxHamming: Int = 4,
+      maxIter: Int = 20, ordered: Boolean = false): DataFrame = {
+    val textPairs = graft.operators.Dedup.docNgramJaccard(t, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val imgPairs = mmPhashPairs(t, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = graft.operators.Dedup.stableCheckpoint(
+      textPairs.unionByName(imgPairs).distinct())
+    graft.operators.Dedup.clusterPairs(edges,
+      t.documents.select(col("doc_id")), maxIter, "mm_joint_dedup", ordered)
+      .select(col("doc_id"), col("cluster"), col("is_canonical"))
+  }
+
   /** F9: keep-best canonical per perceptual cluster — C15's
     * quality-aware selection on the media side: within each F6c
     * near-dup cluster keep the LARGEST asset (bytes ≈ the

@@ -128,6 +128,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == "PCM16" && out(2L) == "corrupt")
   }
 
+  test("joint dedup: coarsens both single-modality clusterings — co-clustered pairs in either stay together") {
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joint = toMap(Multimodal.mmJointDedup(tables))
+    val text = toMap(graft.operators.Dedup.docDedupClusters(tables))
+    val img = toMap(Multimodal.mmPhashClusters(tables))
+    def violations(single: Map[Long, Long]) =
+      single.groupBy(_._2).values.filter(_.size > 1).flatMap { grp =>
+        val ids = grp.keys.toSeq
+        if (ids.map(joint).distinct.size > 1) Some(ids.take(3)) else None
+      }
+    assert(violations(text).isEmpty, s"text co-cluster split in joint: ${violations(text).take(2)}")
+    assert(violations(img).isEmpty, s"image co-cluster split in joint: ${violations(img).take(2)}")
+    // and it genuinely merges: joint must have no MORE clusters than
+    // either single modality (union of edges can only coarsen)
+    assert(joint.values.toSet.size <= math.min(text.values.toSet.size, img.values.toSet.size))
+  }
+
   test("P6 codec: pixel bytes are read unsigned (values > 127 intact)") {
     val raster = Array(200, 210, 220).map(_.toByte) // would be negative if sign-extended
     val img = Ppm.parse("P6\n1 1\n255\n".getBytes("US-ASCII") ++ raster)
