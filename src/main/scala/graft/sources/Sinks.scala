@@ -244,7 +244,7 @@ object Sinks {
       (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     import spark.implicits._
-    val fields = schema.fields.map(f => (f.name, f.dataType.typeName))
+    val fields = schema.fields.map(_.name)
     val decoded = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
@@ -268,7 +268,7 @@ object Sinks {
             val writerFields = reader.getSchema.getFields
             val have = new scala.collection.mutable.HashSet[String]
             writerFields.forEach(f => { have += f.name(); () })
-            val missing = fields.map(_._1).filterNot(have)
+            val missing = fields.filterNot(have)
             if (missing.nonEmpty)
               Seq((p, null: Seq[String], s"schema_mismatch: missing ${missing.mkString(",")}",
                 bytes.length.toLong))
@@ -280,9 +280,8 @@ object Sinks {
                 // cast happens in one Spark projection below so a
                 // wrong-branch value degrades into the row quarantine
                 rows += ((p,
-                  fields.map { case (n, _) =>
-                    Option(rec.get(n)).map(_.toString).orNull
-                  }.toSeq, null, bytes.length.toLong))
+                  fields.map(n => Option(rec.get(n)).map(_.toString).orNull).toSeq,
+                  null, bytes.length.toLong))
               }
               rows.result()
             }
@@ -749,7 +748,7 @@ object Sinks {
     * brute force on scan volume at per-query AND 8-batch serving
     * (SURVEY §7n), which the r10 fixed nCells=16 default did not.
     */
-  def autoNCells(n: Long, nProbe: Int = 4): Int =
+  def autoNCells(n: Long): Int =
     math.max(16, math.min(4096, 4 * math.ceil(math.sqrt(n.toDouble)).toInt))
 
   def writeIvfPqIndex(t: Tables, path: String, nCells: Int = 0,
