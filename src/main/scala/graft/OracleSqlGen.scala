@@ -2404,22 +2404,22 @@ object OracleSqlGen {
     * top-kPerTable, DISTINCT union.
     */
   private def multiEdgeCtes(kPerTable: Int, bucketCap: Int,
-      nTables: Int = 4): String = {
+      nTables: Int = 4, src: String = "n", pfx: String = ""): String = {
     val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
     val cases = (0 until nTables).map(i => s"WHEN $i THEN ${bucketExprAt(i * 8)}").mkString(" ")
-    s"""p AS (SELECT vec_id, v, n2, tbl, CASE tbl $cases END AS bucket
-       |  FROM n, (SELECT unnest([${(0 until nTables).mkString(",")}]) AS tbl)),
-       |pc AS (SELECT vec_id, v, n2, tbl, bucket FROM (
+    s"""${pfx}p AS (SELECT vec_id, v, n2, tbl, CASE tbl $cases END AS bucket
+       |  FROM $src, (SELECT unnest([${(0 until nTables).mkString(",")}]) AS tbl)),
+       |${pfx}pc AS (SELECT vec_id, v, n2, tbl, bucket FROM (
        |  SELECT vec_id, v, n2, tbl, bucket,
        |    ROW_NUMBER() OVER (PARTITION BY tbl, bucket ORDER BY vec_id ASC) AS pn
-       |  FROM p) WHERE pn <= $bucketCap),
-       |sce AS (SELECT s.vec_id AS src, c.vec_id AS dst, s.tbl,
+       |  FROM ${pfx}p) WHERE pn <= $bucketCap),
+       |${pfx}sce AS (SELECT s.vec_id AS src, c.vec_id AS dst, s.tbl,
        |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
-       |  FROM p s JOIN pc c ON c.tbl = s.tbl AND c.bucket = s.bucket AND c.vec_id <> s.vec_id),
-       |edges AS (SELECT DISTINCT src, dst FROM (
+       |  FROM ${pfx}p s JOIN ${pfx}pc c ON c.tbl = s.tbl AND c.bucket = s.bucket AND c.vec_id <> s.vec_id),
+       |${pfx}edges AS (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst,
        |    ROW_NUMBER() OVER (PARTITION BY src, tbl ORDER BY cos_r DESC, dst ASC) AS rank
-       |  FROM sce) WHERE rank <= $kPerTable)""".stripMargin
+       |  FROM ${pfx}sce) WHERE rank <= $kPerTable)""".stripMargin
   }
 
   /** D41: graph-ANN beam search — the CONNECTED multi-table edge
@@ -2632,6 +2632,49 @@ object OracleSqlGen {
        |UNION ALL ${methodRow("ivf", "ifound", "icands")}
        |UNION ALL ${methodRow("lsh_multi", "lfound", "lcands")})
        |ORDER BY method""".stripMargin
+  }
+
+  /** D52: layered graph search — the D41 unrolled-rounds pattern run
+    * TWICE: once over the sampled coarse layer (vertex set `ns`, edge
+    * chain prefixed `s`), whose per-query best vertex seeds the full-
+    * graph rounds. Every rounding/tiebreak site mirrors D41.
+    */
+  def annGraphSearchLayered(nQueries: Int, beam: Int, rounds: Int, k: Int,
+      kGraph: Int, bucketCap: Int, nTables: Int, sampleMod: Int,
+      beam1: Int, rounds1: Int): String = {
+    val dotQC2 = "list_reduce([q.qv[i]*c.v[i] for i in range(1, len(q.qv)+1)], (x,y) -> x+y)"
+    val cosQC = s"floor(($dotQC2/(sqrt(q.qn2)*sqrt(c.n2)))*1000000 + 0.5)/1000000"
+    def roundCtes(pfx: String, edgeRel: String, b: Int, n: Int): String =
+      (1 to n).map { r =>
+        s"""${pfx}exp$r AS (SELECT DISTINCT x.q_id, ed.dst AS vec_id
+           |  FROM ${pfx}vis${r - 1} x JOIN $edgeRel ed ON ed.src = x.vec_id),
+           |${pfx}sc$r AS (SELECT x.q_id, x.vec_id, $cosQC AS cos_r
+           |  FROM ${pfx}exp$r x JOIN n c ON c.vec_id = x.vec_id JOIN qs q ON q.q_id = x.q_id),
+           |${pfx}u$r AS (SELECT q_id, vec_id, cos_r FROM ${pfx}vis${r - 1}
+           |  UNION SELECT q_id, vec_id, cos_r FROM ${pfx}sc$r),
+           |${pfx}vis$r AS (SELECT q_id, vec_id, cos_r FROM (
+           |  SELECT q_id, vec_id, cos_r,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+           |  FROM ${pfx}u$r) WHERE rn <= $b)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH $normCte,
+       |ns AS (SELECT vec_id, label, v, n2 FROM n WHERE vec_id % $sampleMod = 0),
+       |${multiEdgeCtes(kGraph, bucketCap, nTables, src = "ns", pfx = "s")},
+       |${multiEdgeCtes(kGraph, bucketCap, nTables)},
+       |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < $nQueries),
+       |aent AS (SELECT MIN(vec_id) AS vec_id FROM ns),
+       |avis0 AS (SELECT q.q_id, c.vec_id, $cosQC AS cos_r
+       |  FROM qs q, aent JOIN n c ON c.vec_id = aent.vec_id),
+       |${roundCtes("a", "sedges", beam1, rounds1)},
+       |ent0 AS (SELECT q_id, vec_id FROM avis$rounds1),
+       |vis0 AS (SELECT x.q_id, c.vec_id, $cosQC AS cos_r
+       |  FROM ent0 x JOIN n c ON c.vec_id = x.vec_id JOIN qs q ON q.q_id = x.q_id),
+       |${roundCtes("", "edges", beam, rounds)}
+       |SELECT q_id, rank, vec_id, cos_r FROM (
+       |  SELECT q_id, vec_id, cos_r,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM vis$rounds) WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   /** D43: beam tuning — the two-table edge union (D2b's CASE-bucket

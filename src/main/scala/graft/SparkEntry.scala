@@ -183,6 +183,7 @@ object SparkEntry {
     "ann_graph_reach_single" -> q(Similarity.annGraphReach(_, nTables = 1, ordered = true)),
     "ann_beam_tuning"      -> q(Similarity.annBeamTuning(_, ordered = true)),
     "ann_method_recall"    -> q(Similarity.annMethodRecall(_, ordered = true)),
+    "ann_graph_search_layered" -> q(Similarity.annGraphSearchLayered(_, ordered = true)),
     "ann_nlist_tuning"     -> q(Similarity.annNlistTuning(_, ordered = true)),
     "ann_label_knn"        -> q(Similarity.annLabelKnn(_, ordered = true)),
     "emb_centroid_dist"    -> q(Similarity.embCentroidDist(_, ordered = true)),
@@ -1903,6 +1904,7 @@ object SparkEntry {
     "ann_graph_reach_single" -> OracleSqlGen.annGraphReach(6, 3, 128, nTables = 1),
     "ann_beam_tuning"       -> OracleSqlGen.annBeamTuning(Seq(2, 8, 32), 4, 5, 8, 3, 128),
     "ann_method_recall"     -> OracleSqlGen.annMethodRecall(8, 5, 8, 4, 3, 128, 4, 16, 4, 5, 4, 64),
+    "ann_graph_search_layered" -> OracleSqlGen.annGraphSearchLayered(8, 8, 3, 5, 3, 128, 4, 8, 8, 4),
     "ann_nlist_tuning"      -> OracleSqlGen.annNlistTuning(Seq(4, 8, 16)),
     "q_revenue_concentration" -> OracleSqlGen.qRevenueConcentration(Seq(1, 10, 20)),
     "ann_label_knn"         -> OracleSqlGen.annLabelKnn(5, 128),

@@ -612,6 +612,41 @@ class SimilaritySpec extends SparkSpec {
       s"answers must lie in the ${reach.size}-vertex reachable set; got ${answered -- reach}")
   }
 
+  test("layered graph search: every query answers with dense ranks; seeds come from the coarse layer's reachable set") {
+    val rows = Similarity.annGraphSearchLayered(tables, ordered = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nq = tables.embeddings.filter(org.apache.spark.sql.functions.col("vec_id") < 8).count()
+    assert(rows.map(_._1).distinct.length == nq, "every query must answer")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length), s"query $q ranks dense")
+    }
+    // layer-1 law: the coarse beam only contains SAMPLED vertices
+    // reachable within rounds1 hops of the sample's min id — so every
+    // layer-0 answer is within rounds hops of such a vertex
+    val sample = tables.embeddings
+      .filter(org.apache.spark.sql.functions.expr("vec_id % 8 = 0"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sample.nonEmpty, "test corpus must have sampled vertices")
+    // answers reachable from the seed union along the full graph
+    val edges = Similarity.knnEdgesMulti(tables, 3, 8, 4, 128)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val sEdges = Similarity.knnEdgesMultiOf(
+        Similarity.withNorm(tables.embeddings.filter(
+          org.apache.spark.sql.functions.expr("vec_id % 8 = 0"))), 3, 8, 4, 128)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).toSet }
+    var seeds = Set(sample.min)
+    (1 to 4).foreach(_ => seeds = seeds ++ seeds.flatMap(v => sEdges.getOrElse(v, Set.empty)))
+    var reach = seeds
+    (1 to 3).foreach(_ => reach = reach ++ reach.flatMap(v => edges.getOrElse(v, Set.empty)))
+    val answered = rows.map(_._3).toSet
+    assert(answered.subsetOf(reach),
+      s"answers must lie within rounds hops of the coarse-reachable seeds; got ${answered -- reach}")
+  }
+
   test("ivf residual pq: ranks dense, no self-match, residual energy strictly below raw energy") {
     val rows = Similarity.annIvfRpq(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
