@@ -2559,6 +2559,25 @@ object OracleSqlGen {
     val visitedUnion = (s"SELECT q_id, vec_id FROM vis0" +:
       (1 to rounds).map(r => s"SELECT q_id, vec_id FROM sc$r"))
       .mkString("\n  UNION ALL ")
+    // layered leg round CTEs (coarse prefix "a" over sedges, layer-0
+    // prefix "z" over the full edges)
+    def layRounds(pfx: String, edgeRel: String): String =
+      (1 to rounds).map { r =>
+        s"""${pfx}exp$r AS (SELECT DISTINCT x.q_id, ed.dst AS vec_id
+           |  FROM ${pfx}vis${r - 1} x JOIN $edgeRel ed ON ed.src = x.vec_id),
+           |${pfx}sc$r AS (SELECT x.q_id, x.vec_id, $cosQC2 AS cos_r
+           |  FROM ${pfx}exp$r x JOIN n c ON c.vec_id = x.vec_id JOIN gqs q ON q.q_id = x.q_id),
+           |${pfx}u$r AS (SELECT q_id, vec_id, cos_r FROM ${pfx}vis${r - 1}
+           |  UNION SELECT q_id, vec_id, cos_r FROM ${pfx}sc$r),
+           |${pfx}vis$r AS (SELECT q_id, vec_id, cos_r FROM (
+           |  SELECT q_id, vec_id, cos_r,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+           |  FROM ${pfx}u$r) WHERE rn <= $beam)""".stripMargin
+      }.mkString(",\n")
+    val layVisited = (Seq("SELECT q_id, vec_id FROM avis0") ++
+      (1 to rounds).map(r => s"SELECT q_id, vec_id FROM asc$r") ++
+      (1 to rounds).map(r => s"SELECT q_id, vec_id FROM zsc$r"))
+      .mkString("\n  UNION ALL ")
     val lshCases = (0 until lshTables).map(i =>
       s"WHEN $i THEN ${bucketExprAtBits(i * lshBits, lshBits)}").mkString(" ")
     def methodRow(name: String, foundRel: String, candsRel: String) =
@@ -2591,6 +2610,22 @@ object OracleSqlGen {
        |gcands AS (SELECT q_id, COUNT(*) AS n_cands FROM (
        |  SELECT DISTINCT q_id, vec_id FROM (
        |  $visitedUnion)
+       |  WHERE vec_id <> q_id) GROUP BY q_id),
+       |lns AS (SELECT vec_id, label, v, n2 FROM n WHERE vec_id % 8 = 0),
+       |${multiEdgeCtes(kGraph, bucketCap, nTables, src = "lns", pfx = "s")},
+       |aent AS (SELECT MIN(vec_id) AS vec_id FROM lns),
+       |avis0 AS (SELECT q.q_id, c.vec_id, $cosQC2 AS cos_r
+       |  FROM gqs q, aent JOIN n c ON c.vec_id = aent.vec_id),
+       |${layRounds("a", "sedges")},
+       |zvis0 AS (SELECT q_id, vec_id, cos_r FROM avis$rounds),
+       |${layRounds("z", "edges")},
+       |lgfound AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM zvis$rounds WHERE vec_id <> q_id) WHERE rn <= $k),
+       |lgcands AS (SELECT q_id, COUNT(*) AS n_cands FROM (
+       |  SELECT DISTINCT q_id, vec_id FROM (
+       |  $layVisited)
        |  WHERE vec_id <> q_id) GROUP BY q_id),
        |${lloydChainCtes(nCells, TrainRounds, "ccent", "ic")},
        |cd AS (SELECT n.vec_id, ccent.cell,
@@ -2629,6 +2664,7 @@ object OracleSqlGen {
        |lcands AS (SELECT q_id, COUNT(*) AS n_cands FROM lhit GROUP BY q_id)
        |SELECT method, mean_cands_r, mean_recall_r FROM (
        |${methodRow("graph_beam", "gfound", "gcands")}
+       |UNION ALL ${methodRow("graph_layered", "lgfound", "lgcands")}
        |UNION ALL ${methodRow("ivf", "ifound", "icands")}
        |UNION ALL ${methodRow("lsh_multi", "lfound", "lcands")})
        |ORDER BY method""".stripMargin

@@ -2559,10 +2559,20 @@ object Similarity {
     */
   private def beamSearchVisited(e: DataFrame, edges: DataFrame,
       nQueries: Int, beam: Int, rounds: Int): (DataFrame, DataFrame) = {
+    val entry = e.agg(min(col("vec_id")).as("vec_id"))
+    val seeds = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id")).crossJoin(broadcast(entry))
+    beamSearchVisitedFrom(e, edges, nQueries, seeds, beam, rounds)
+  }
+
+  /** [[beamSearchVisited]] with caller-supplied seeds — the layered
+    * leg of D51 tracks its true scan volume through this. */
+  private def beamSearchVisitedFrom(e: DataFrame, edges: DataFrame,
+      nQueries: Int, seeds: DataFrame, beam: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
     val corpus = e.select(col("vec_id"), col("v"), col("n2"))
-    val entry = e.agg(min(col("vec_id")).as("vec_id"))
     def scoreIds(ids: DataFrame): DataFrame =
       corpus.join(broadcast(ids), Seq("vec_id"))
         .join(broadcast(q), Seq("q_id"))
@@ -2571,7 +2581,7 @@ object Similarity {
     val beamW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("vec_id").asc)
     var vis = Dedup.stableCheckpoint(
-      scoreIds(q.select(col("q_id")).crossJoin(broadcast(entry))))
+      scoreIds(seeds.select(col("q_id"), col("vec_id"))).distinct())
     var visited = vis
     for (_ <- 1 to rounds) {
       val expd = broadcast(vis.select(col("q_id"), col("vec_id")))
@@ -2739,6 +2749,25 @@ object Similarity {
       .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
     val candsG = visited.filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
+    // layered graph (D52 at the card's round budget): the coarse
+    // layer's scored vertices COUNT toward scan volume — its full
+    // final beam seeds layer 0 over the same edge relation
+    val es = e.filter(pmod(col("vec_id"), lit(8L)) === 0L)
+    val edges1 = Dedup.stableCheckpoint(
+      knnEdgesMultiOf(es, kGraph, 8, nTables, bucketCap)
+        .select(col("src"), col("dst")))
+    val ent1 = es.agg(min(col("vec_id")).as("vec_id"))
+    val seeds1 = qIds.crossJoin(broadcast(ent1))
+    val (vis1, visited1) =
+      beamSearchVisitedFrom(e, edges1, nQueries, seeds1, beam, rounds)
+    val (visL, visited0) = beamSearchVisitedFrom(e, edges, nQueries,
+      vis1.select(col("q_id"), col("vec_id")), beam, rounds)
+    val foundLay = visL.filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rn", row_number().over(beamW))
+      .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
+    val candsLay = visited1.unionByName(visited0).distinct()
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
     // IVF: found = D4's probed-cell top-k, cands = probed cells' population
     val coarse = trainedCenters(t, nCells)
     val foundI = annIvf(t, nQueries, k, nCells, nProbe)
@@ -2774,6 +2803,7 @@ object Similarity {
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
     maybeSort(
       methodRow("graph_beam", foundG, candsG)
+        .unionByName(methodRow("graph_layered", foundLay, candsLay))
         .unionByName(methodRow("ivf", foundI, candsI))
         .unionByName(methodRow("lsh_multi", foundL, candsL)),
       ordered)(col("method"))
