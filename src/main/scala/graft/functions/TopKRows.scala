@@ -17,7 +17,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * artifact (the KMV/HLL/sample-shard discipline), and (c) it still
   * measures 3× fewer shuffle rows / ~4× less wall than the
   * group-limited window (40 vs 120 rows, 984 vs 4016 ms). The result
-  * is EXACT and identical to the window form (spec + oracle pin it).
+  * is EXACT and identical to the window form on distinct (v, id)
+  * inputs (spec + oracle pin it); exact duplicate pairs are kept ONCE
+  * (reduce and merge both dedup on the pair), where the window form
+  * would keep each copy — the buffer is a mergeable set-like artifact,
+  * so idempotence under re-delivered rows is the chosen contract.
   *
   * Ordering: keep the k largest by (value DESC, key ASC) — the key
   * tiebreak makes the kept set deterministic under ties, matching the
@@ -48,6 +52,10 @@ final case class TopKRows(k: Int)
     val (vs, ids) = b
     val (v, id) = in
     val ins = insertionPoint(vs, ids, v, id)
+    // Same pair-dedup contract as merge(): an exact (v, id) already in
+    // the buffer is not re-inserted, so output is partitioning-invariant
+    // even when the input contains genuinely duplicate pairs.
+    if (ins < vs.length && vs(ins) == v && ids(ins) == id) return b
     if (vs.length < k) {
       val ov = new Array[Double](vs.length + 1)
       val oi = new Array[Long](ids.length + 1)

@@ -312,7 +312,10 @@ object Multimodal {
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] = payloads.as[(Long, Array[Byte])]
     ds.mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
-      Wav.parse(bytes) match {
+      // The NonFatal net is part of the quarantine contract: a decode
+      // bug on one malformed payload must degrade into a corrupt row,
+      // never fail the whole job.
+      (try Wav.parse(bytes) catch { case scala.util.control.NonFatal(_) => None }) match {
         case Some(a) =>
           val (sa, sq, zc) = Wav.features(a)
           val n = a.nFrames

@@ -45,7 +45,9 @@ object Wav {
     while (pos + 8 <= bytes.length) {
       val id = tag(bytes, pos)
       val sz = i32(bytes, pos + 4)
-      if (sz < 0 || pos + 8 + sz > bytes.length) return None
+      // Long arithmetic: a declared size near Int.MaxValue would wrap
+      // `pos + 8 + sz` negative and slip past an Int-typed guard.
+      if (sz < 0 || pos.toLong + 8L + sz.toLong > bytes.length.toLong) return None
       val body = pos + 8
       if (id == "fmt ") {
         if (sz < 16) return None

@@ -167,6 +167,11 @@ object Sinks {
         }
       }
       .toDF("src_file", "raw_line", "gz_error", "n_bytes")
+      // the three returned relations all hang off this flatMap; without
+      // a persist a job that writes clean rows plus both quarantines
+      // re-decompresses every shard 2–3×. MEMORY_AND_DISK: a shard set
+      // larger than executor memory spills instead of failing.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val badFiles = decoded.filter(col("gz_error").isNotNull)
       .select(col("src_file"), col("gz_error"), col("n_bytes"))
     val pSchema = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
@@ -297,6 +302,9 @@ object Sinks {
         }
       }
       .toDF("src_file", "cells", "file_error", "n_bytes")
+      // same single-decode guarantee as readJsonLinesGzAudited: all
+      // three outputs share one cached decode of the container files
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val badFiles = decoded.filter(col("file_error").isNotNull)
       .select(col("src_file"), col("file_error"), col("n_bytes"))
     val rows = decoded.filter(col("file_error").isNull)
@@ -604,6 +612,35 @@ object Sinks {
     chunks.select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
       .repartition(4, col("chunk_hash"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
+    writeChunkStoreVersion(t.spark, path)
+  }
+
+  /** On-disk format version of the chunk store (2 = binary
+    * `chunk_bytes` payloads, r11's byte-level CDC). Read/append check
+    * the marker so an r10 store (string payloads, no marker) fails
+    * LOUDLY instead of silently matching nothing on append or erroring
+    * mid-read on a renamed column.
+    */
+  private val ChunkStoreVersion = 2
+
+  private def writeChunkStoreVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    Seq(ChunkStoreVersion).toDF("format_version").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_format")
+  }
+
+  private def requireChunkStoreVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fp = new org.apache.hadoop.fs.Path(s"$path/_format")
+    val ok = fp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fp) && {
+      val v = spark.read.parquet(s"$path/_format")
+        .select(col("format_version")).head().getInt(0)
+      v == ChunkStoreVersion
+    }
+    require(ok, s"chunk store at $path is not format v$ChunkStoreVersion " +
+      "(missing or mismatched _format marker — likely a pre-v2 store " +
+      "with string payloads; rebuild with writeChunkStore)")
   }
 
   /** G31: INCREMENTAL chunk-store append (G30's sibling for the CDC
@@ -627,8 +664,19 @@ object Sinks {
   def appendToChunkStore(t: Tables, path: String,
       window: Int = 16, modDiv: Int = 64): Unit = {
     val spark = t.spark
-    val chunks = graft.operators.TextOps.docCdcChunks(t, window, modDiv)
-      .join(t.documents.select(col("doc_id"), col("text").cast("binary").as("bt")), "doc_id")
+    requireChunkStoreVersion(spark, path)
+    // Idempotence under re-delivery: a doc_id already in the manifest
+    // is DROPPED whole (re-appending it would duplicate its manifest
+    // rows and reconstruct the text with every chunk doubled). The
+    // anti-join is on the manifest's narrow doc_id projection — chunk
+    // payloads are never read.
+    val existingDocs = spark.read.parquet(s"$path/manifest")
+      .select(col("doc_id")).distinct()
+    val newDocs = t.documents
+      .join(existingDocs, Seq("doc_id"), "left_anti")
+    val tNew = t.copy(docsOverride = Some(newDocs))
+    val chunks = graft.operators.TextOps.docCdcChunks(tNew, window, modDiv)
+      .join(newDocs.select(col("doc_id"), col("text").cast("binary").as("bt")), "doc_id")
       .withColumn("chunk_bytes",
         expr("substring(bt, CAST(start_pos AS INT), CAST(chunk_len AS INT))"))
     val existing = spark.read.parquet(s"$path/chunks").select(col("chunk_hash"))
@@ -641,6 +689,24 @@ object Sinks {
     chunks.select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
       .repartition(4, col("chunk_hash"))
       .write.mode(SaveMode.Append).parquet(s"$path/manifest")
+    // A re-appended doc_id must SERVE again: clear any matching
+    // tombstones (G33 suppression is "until re-append or compaction",
+    // not forever). The tombstone relation is a bounded delete list —
+    // the collect is small by construction; rewrite goes through a
+    // driver-local materialization because Spark cannot overwrite a
+    // path it is lazily reading in the same action.
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/doc_tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tombPath)) {
+      val appended = t.documents.select(col("doc_id")).distinct()
+      val kept = spark.read.parquet(s"$path/doc_tombstones")
+        .select(col("doc_id")).distinct()
+        .join(appended, Seq("doc_id"), "left_anti")
+        .collect().map(_.getLong(0))
+      import spark.implicits._
+      kept.toSeq.toDF("doc_id").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/doc_tombstones")
+    }
   }
 
   /** G33: chunk-store document DELETE + GC compaction (the G32
@@ -663,6 +729,8 @@ object Sinks {
 
   def compactChunkStore(spark: org.apache.spark.sql.SparkSession,
       from: String, to: String): Unit = {
+    requireChunkStoreVersion(spark, from)
+    writeChunkStoreVersion(spark, to)
     val manifest = liveManifest(spark, from)
     manifest.repartition(4, col("chunk_hash"))
       .write.mode(SaveMode.Overwrite).parquet(s"$to/manifest")
@@ -689,6 +757,7 @@ object Sinks {
     * Tombstoned docs (G33) never reconstruct. */
   def readChunkStore(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
+    requireChunkStoreVersion(spark, path)
     val chunks = spark.read.parquet(s"$path/chunks")
       .select(col("chunk_hash"), col("chunk_bytes"))
     liveManifest(spark, path)

@@ -126,6 +126,17 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.mmDecodeWavPayloads(spark, payloads).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "PCM16" && out(2L) == "corrupt")
+    // Int-overflow guard: a declared chunk size near Int.MaxValue wraps
+    // `pos + 8 + sz` negative under Int arithmetic — the chunk walk
+    // must reject it (r11 ADVICE), not read at a huge offset and throw
+    val hugeChunk = good.clone()
+    hugeChunk(16) = 0xf0.toByte; hugeChunk(17) = 0xff.toByte
+    hugeChunk(18) = 0xff.toByte; hugeChunk(19) = 0x7f.toByte // fmt size ≈ MaxInt
+    assert(Wav.parse(hugeChunk).isEmpty, "overflowing chunk size must fail the walk")
+    val hugeData = good.clone()
+    hugeData(40) = 0xf0.toByte; hugeData(41) = 0xff.toByte
+    hugeData(42) = 0xff.toByte; hugeData(43) = 0x7f.toByte // data size ≈ MaxInt
+    assert(Wav.parse(hugeData).isEmpty, "overflowing data size must fail the walk")
   }
 
   test("joint dedup: coarsens both single-modality clusterings — co-clustered pairs in either stay together") {

@@ -538,6 +538,48 @@ class SinksSpec extends SparkSpec {
       "append must never store a chunk the base already holds")
   }
 
+  test("chunk store append is idempotent under re-delivery, clears tombstones on re-append, and rejects unversioned stores") {
+    val t = graft.operators.TextOps.plantUtf8Docs(tables)
+    val store = Files.createTempDirectory("chunkstore_redeliver").toString
+    Sinks.writeChunkStore(t, store)
+    val before = Sinks.readChunkStore(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // re-deliver the ENTIRE corpus: manifest must not gain duplicate
+    // rows and every doc must still round-trip single-chunked
+    Sinks.appendToChunkStore(t, store)
+    val manifest = spark.read.parquet(s"$store/manifest")
+      .select(col("doc_id"), col("chunk_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(manifest.length == manifest.distinct.length,
+      "re-delivered docs must not duplicate manifest rows")
+    assert(Sinks.readChunkStore(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == before,
+      "re-delivery must leave reconstruction unchanged")
+    // tombstone + re-append: the doc serves again
+    import spark.implicits._
+    val victim = t.documents.select(col("doc_id"))
+      .filter(length(col("text")) > 0).limit(1).collect().head.getLong(0)
+    Sinks.deleteFromChunkStore(spark, store, Seq(victim).toDF("doc_id"))
+    assert(!Sinks.readChunkStore(spark, store).collect()
+      .map(_.getLong(0)).contains(victim), "tombstone must suppress the doc")
+    Sinks.appendToChunkStore(t, store) // delivery includes the victim
+    val served = Sinks.readChunkStore(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(served.contains(victim),
+      "a re-appended doc must serve again (tombstone cleared)")
+    assert(served == before, "store contents must equal the original corpus")
+    // format-version guard: a store without the marker (pre-v2 layout)
+    // must fail LOUDLY on read and append, not silently mismatch
+    val legacy = Files.createTempDirectory("chunkstore_legacy").toString
+    Sinks.writeChunkStore(t, legacy)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$legacy/_format"))
+    intercept[IllegalArgumentException](Sinks.readChunkStore(spark, legacy))
+    intercept[IllegalArgumentException](Sinks.appendToChunkStore(t, legacy))
+  }
+
   test("chunk store delete+compact: tombstoned docs never reconstruct; GC == one-shot store of the survivors") {
     val t = graft.operators.TextOps.plantUtf8Docs(tables)
     val store = Files.createTempDirectory("chunkstore_del").toString

@@ -207,6 +207,20 @@ class SketchSpec extends SparkSpec {
     assert(java.util.Arrays.equals(whole._1, overlapped._1) &&
       java.util.Arrays.equals(whole._2, overlapped._2),
       "merge of OVERLAPPING runs must equal the whole-corpus top-k")
+    // partitioning-invariance under DUPLICATE (v, id) pairs (r11
+    // ADVICE): reduce must dedup exactly like merge, so a group whose
+    // duplicates never cross a merge boundary agrees with one whose
+    // duplicates do
+    val dups = pairs ++ pairs.take(5)
+    val viaReduce = reduceAll(dups)
+    val (dl, dr) = (pairs, pairs.take(5))
+    val viaMerge = s.merge(reduceAll(dl), reduceAll(dr))
+    assert(java.util.Arrays.equals(viaReduce._1, viaMerge._1) &&
+      java.util.Arrays.equals(viaReduce._2, viaMerge._2),
+      "duplicate pairs must yield the same buffer via reduce as via merge")
+    assert(java.util.Arrays.equals(viaReduce._1, whole._1) &&
+      java.util.Arrays.equals(viaReduce._2, whole._2),
+      "duplicate pairs are kept once — buffer equals the distinct-input buffer")
     // on the corpus: aggregator == the B8 rank window at the same k
     val agg = Analytics.qTopkSketch(tables, k).collect().map(_.toSeq)
     val win = {
