@@ -181,6 +181,13 @@ object Bench {
     val mins = perQueryRuns.map { case (name, runs) =>
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
+    // per-query iteration SPREAD (max − min) rides the full JSON next
+    // to median and min: a wide spread on an unchanged plan is host
+    // contention, a tight spread with a moved median is a real plan
+    // change — the r10/r11 verdicts had to infer this from loadavg alone
+    val spreads = perQueryRuns.map { case (name, runs) =>
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.max - runs.min)
+    }
 
     // sf1 sweep: the sf0.01→0.1 exponents are overhead-dominated (sub-
     // second queries bias the exponent DOWN), so the heavy pair/cluster
@@ -261,13 +268,19 @@ object Bench {
       // edge build (the ann_knn_graph candidate-volume argument, in
       // its cap-transition decade) + one brute-force pass; the search
       // legs are bounded probes
-      "ann_method_recall" -> 1.8)
+      "ann_method_recall" -> 1.8,
+      // r12 NN-descent search: the seed edge build is the ann_knn_graph
+      // class (cap-transition decade, 1.8); the descent rounds are
+      // kOut²·N candidate joins (linear) and the search is bounded
+      // broadcast probes — declared at the dominant term
+      "ann_graph_search_nnd" -> 1.8)
     val HeavySf1 = Seq("doc_ngram_jaccard", "doc_dedup_clusters",
       "doc_embed_cosine_dup", "doc_semdedup",
       "doc_ngram_jaccard_capped", "doc_ngram_containment",
       "ann_knn_graph", "doc_lsh_tuning", "ann_pagerank",
       "mm_dedup_keep_best", "mm_frame_phash_pairs", "training_data_job",
-      "doc_curation_funnel", "ann_ivf_rpq", "ann_method_recall")
+      "doc_curation_funnel", "ann_ivf_rpq", "ann_method_recall",
+      "ann_graph_search_nnd")
     val sf1Secs: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SF1", "1") == "0") Map.empty
       else {
@@ -333,7 +346,7 @@ object Bench {
     // slower" from "the host was busy" without a rerun
     val loadavg = scala.util.Try(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg"))).trim).getOrElse("")
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":${jmap(mins)},"errors":$errs,"iterations":$Iters,"iters_per_query":$iters,"cpus":$cpus,"stream_state_partitions":$StreamStateParts,"loadavg":"$loadavg","sf":"$sfDir","training_data_job_scan_rows_per_doc":$tdjScanPerDoc,"scale_sweep_sf":$sweepSf,"scaling":${jmap(scaling)},"sf1_secs":${jmap(sf1Secs)},"scaling_sf1":${jmap(scalingSf1)},"scaling_sf1_expected":${jmap(sf1Expected)}}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":${jmap(mins)},"queries_spread":${jmap(spreads)},"errors":$errs,"iterations":$Iters,"iters_per_query":$iters,"cpus":$cpus,"stream_state_partitions":$StreamStateParts,"loadavg":"$loadavg","sf":"$sfDir","training_data_job_scan_rows_per_doc":$tdjScanPerDoc,"scale_sweep_sf":$sweepSf,"scaling":${jmap(scaling)},"sf1_secs":${jmap(sf1Secs)},"scaling_sf1":${jmap(scalingSf1)},"scaling_sf1_expected":${jmap(sf1Expected)}}"""
     // Full detail → target/bench.json (the machine-readable artifact).
     // The LAST stdout line is a compact SELF-CONTAINED JSON kept well
     // under ~1.5 KB: the driver captures only a ~2 000-char stdout tail,

@@ -1197,12 +1197,37 @@ object OracleSqlGen {
        |LEFT JOIN best ON d.doc_id = best.da
        |ORDER BY d.doc_id""".stripMargin
 
+  /** G36b: WARC round-trip profile over the multi-byte-planted corpus
+    * — every field re-derived from the source row (the mm-payload
+    * discipline): Content-Length is the UTF-8 BYTE length (encode),
+    * header count and id/uri shapes are the builder's constants, and
+    * payload_ok = 1 asserts byte-exact recovery through the real
+    * parser (the Spark side computes it by comparison; a broken
+    * length jump or header walk yields 0 / a corrupt row and fails
+    * the gate per document).
+    */
+  def docWarcRoundtrip: String = {
+    val pfx = sqlLit(graft.operators.TextOps.Utf8PlantPrefix)
+    val sfx = sqlLit(graft.operators.TextOps.Utf8PlantSuffix)
+    val every = graft.operators.TextOps.Utf8PlantEvery
+    s"""WITH docs_aug AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 9000000, $pfx || text || $sfx
+       |  FROM documents WHERE doc_id % $every = 0)
+       |SELECT doc_id, 'response' AS warc_type,
+       |  'urn:graft:doc:' || CAST(doc_id AS VARCHAR) AS record_id,
+       |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       |  CAST(6 AS INTEGER) AS n_headers,
+       |  CAST(1 AS INTEGER) AS payload_ok
+       |FROM docs_aug ORDER BY doc_id""".stripMargin
+  }
+
   /** Sequential left-fold vector ops (order-matching Spark's
     * `aggregate`; 0.0 + x == x in IEEE so the seeds agree).
     */
   private val normCte =
     """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (SELECT vec_id, label, v,
+      |n AS MATERIALIZED (SELECT vec_id, label, v,
       |  list_reduce([x*x for x in v], (x,y) -> x+y) AS n2 FROM e)""".stripMargin
 
   private val dotQC =
@@ -2416,10 +2441,107 @@ object OracleSqlGen {
        |${pfx}sce AS (SELECT s.vec_id AS src, c.vec_id AS dst, s.tbl,
        |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
        |  FROM ${pfx}p s JOIN ${pfx}pc c ON c.tbl = s.tbl AND c.bucket = s.bucket AND c.vec_id <> s.vec_id),
-       |${pfx}edges AS (SELECT DISTINCT src, dst FROM (
-       |  SELECT src, dst,
+       |${pfx}edgesc AS MATERIALIZED (SELECT DISTINCT src, dst, cos_r FROM (
+       |  SELECT src, dst, cos_r,
        |    ROW_NUMBER() OVER (PARTITION BY src, tbl ORDER BY cos_r DESC, dst ASC) AS rank
-       |  FROM ${pfx}sce) WHERE rank <= $kPerTable)""".stripMargin
+       |  FROM ${pfx}sce) WHERE rank <= $kPerTable),
+       |${pfx}edges AS (SELECT src, dst FROM ${pfx}edgesc)""".stripMargin
+  }
+
+  /** NN-descent refinement CTEs over a (src, dst, cos_r) seed edge
+    * relation — the D53/D51-graph_nnd mirror of Similarity
+    * .nnDescentEdges: per round symmetrize (reverse edges reuse the
+    * commutative r6'd cosine), cap each vertex's list at kOut,
+    * propose neighbor-of-neighbor pairs through a shared pivot, score
+    * exactly, keep each vertex's best kOut of old ∪ new. Ends at
+    * `${pfx}ne$descRounds` (src, dst, cos_r).
+    */
+  private def nnDescentCtes(seedRel: String, kOut: Int, descRounds: Int,
+      pfx: String = ""): String = {
+    val dotSC = "list_reduce([s.v[i]*c.v[i] for i in range(1, len(s.v)+1)], (x,y) -> x+y)"
+    // every CTE here is MATERIALIZED: ne/ncap are each referenced
+    // twice downstream (symmetrize+union, self-join), and an inlining
+    // engine would re-derive the whole upstream chain per reference —
+    // 4^rounds scans (the r12 "too many open files" failure mode)
+    val e0 =
+      s"""${pfx}ne0 AS MATERIALIZED (SELECT src, dst, cos_r FROM (
+         |  SELECT src, dst, cos_r,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rn
+         |  FROM $seedRel) WHERE rn <= $kOut)""".stripMargin
+    val roundCtes = (1 to descRounds).map { r =>
+      s"""${pfx}nsym$r AS (SELECT src, dst, cos_r FROM ${pfx}ne${r - 1}
+         |  UNION SELECT dst AS src, src AS dst, cos_r FROM ${pfx}ne${r - 1}),
+         |${pfx}ncap$r AS MATERIALIZED (SELECT src, dst FROM (
+         |  SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rn
+         |  FROM ${pfx}nsym$r) WHERE rn <= $kOut),
+         |${pfx}ncd$r AS (SELECT DISTINCT a.dst AS src, b.dst AS dst
+         |  FROM ${pfx}ncap$r a JOIN ${pfx}ncap$r b ON b.src = a.src AND b.dst <> a.dst),
+         |${pfx}nsc$r AS (SELECT x.src, x.dst,
+         |  floor(($dotSC/(sqrt(s.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+         |  FROM ${pfx}ncd$r x JOIN n s ON s.vec_id = x.src JOIN n c ON c.vec_id = x.dst),
+         |${pfx}ne$r AS MATERIALIZED (SELECT src, dst, cos_r FROM (
+         |  SELECT src, dst, cos_r,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rn
+         |  FROM (SELECT src, dst, cos_r FROM ${pfx}ne${r - 1}
+         |        UNION SELECT src, dst, cos_r FROM ${pfx}nsc$r))
+         |  WHERE rn <= $kOut)""".stripMargin
+    }
+    (e0 +: roundCtes).mkString(",\n")
+  }
+
+  /** Symmetrize an (src, dst, cos_r) refined edge CTE into an
+    * undirected (src, dst) relation — UNION dedups.
+    */
+  private def symmEdgeCte(name: String, from: String): String =
+    s"""$name AS MATERIALIZED (SELECT src, dst FROM $from
+       |  UNION SELECT dst AS src, src AS dst FROM $from)""".stripMargin
+
+  /** D53: graph-ANN beam search over the NN-descent-refined graph —
+    * the full probe-set design: refined SYMMETRIZED full edges
+    * (nnDescentCtes over the bucketed seed union), a coarse sampled
+    * layer refined the same way, the coarse final beam seeding layer
+    * 0 (the D52 unrolling run twice), every rounding/tiebreak site
+    * mirroring D41.
+    */
+  def annGraphSearchNnd(nQueries: Int, beam: Int, rounds: Int, k: Int,
+      kGraph: Int, bucketCap: Int, nTables: Int, kOut: Int,
+      descRounds: Int, sampleMod: Int, kOutC: Int, descRoundsC: Int): String = {
+    val dotQC2 = "list_reduce([q.qv[i]*c.v[i] for i in range(1, len(q.qv)+1)], (x,y) -> x+y)"
+    val cosQC = s"floor(($dotQC2/(sqrt(q.qn2)*sqrt(c.n2)))*1000000 + 0.5)/1000000"
+    def roundCtes(pfx: String, edgeRel: String): String =
+      (1 to rounds).map { r =>
+        s"""${pfx}exp$r AS (SELECT DISTINCT x.q_id, ed.dst AS vec_id
+           |  FROM ${pfx}vis${r - 1} x JOIN $edgeRel ed ON ed.src = x.vec_id),
+           |${pfx}sc$r AS (SELECT x.q_id, x.vec_id, $cosQC AS cos_r
+           |  FROM ${pfx}exp$r x JOIN n c ON c.vec_id = x.vec_id JOIN qs q ON q.q_id = x.q_id),
+           |${pfx}u$r AS (SELECT q_id, vec_id, cos_r FROM ${pfx}vis${r - 1}
+           |  UNION SELECT q_id, vec_id, cos_r FROM ${pfx}sc$r),
+           |${pfx}vis$r AS MATERIALIZED (SELECT q_id, vec_id, cos_r FROM (
+           |  SELECT q_id, vec_id, cos_r,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+           |  FROM ${pfx}u$r) WHERE rn <= $beam)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH $normCte,
+       |${multiEdgeCtes(kGraph, bucketCap, nTables)},
+       |${nnDescentCtes("edgesc", kOut, descRounds)},
+       |${symmEdgeCte("nedges", s"ne$descRounds")},
+       |ns AS (SELECT vec_id, label, v, n2 FROM n WHERE vec_id % $sampleMod = 0),
+       |${multiEdgeCtes(kGraph, bucketCap, nTables, src = "ns", pfx = "s")},
+       |${nnDescentCtes("sedgesc", kOutC, descRoundsC, pfx = "s")},
+       |${symmEdgeCte("cedges", s"sne$descRoundsC")},
+       |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < $nQueries),
+       |ent AS (SELECT MIN(vec_id) AS vec_id FROM ns),
+       |avis0 AS (SELECT q.q_id, c.vec_id, $cosQC AS cos_r
+       |  FROM qs q, ent JOIN n c ON c.vec_id = ent.vec_id),
+       |${roundCtes("a", "cedges")},
+       |vis0 AS (SELECT q_id, vec_id, cos_r FROM avis$rounds),
+       |${roundCtes("", "nedges")}
+       |SELECT q_id, rank, vec_id, cos_r FROM (
+       |  SELECT q_id, vec_id, cos_r,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM vis$rounds) WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   /** D41: graph-ANN beam search — the CONNECTED multi-table edge
@@ -2539,7 +2661,8 @@ object OracleSqlGen {
     */
   def annMethodRecall(nQueries: Int, k: Int, beam: Int, rounds: Int,
       kGraph: Int, bucketCap: Int, nTables: Int, nCells: Int, nProbe: Int,
-      lshBits: Int, lshTables: Int, lshCap: Int): String = {
+      lshBits: Int, lshTables: Int, lshCap: Int, kOut: Int = 16,
+      descRounds: Int = 3): String = {
     val dotQC2 = "list_reduce([q.qv[i]*c.v[i] for i in range(1, len(q.qv)+1)], (x,y) -> x+y)"
     val cosQC2 = s"floor(($dotQC2/(sqrt(q.qn2)*sqrt(c.n2)))*1000000 + 0.5)/1000000"
     def dmean(c: String) =
@@ -2551,7 +2674,7 @@ object OracleSqlGen {
          |  FROM exp$r x JOIN n c ON c.vec_id = x.vec_id JOIN gqs q ON q.q_id = x.q_id),
          |u$r AS (SELECT q_id, vec_id, cos_r FROM vis${r - 1}
          |  UNION SELECT q_id, vec_id, cos_r FROM sc$r),
-         |vis$r AS (SELECT q_id, vec_id, cos_r FROM (
+         |vis$r AS MATERIALIZED (SELECT q_id, vec_id, cos_r FROM (
          |  SELECT q_id, vec_id, cos_r,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
          |  FROM u$r) WHERE rn <= $beam)""".stripMargin
@@ -2569,7 +2692,7 @@ object OracleSqlGen {
            |  FROM ${pfx}exp$r x JOIN n c ON c.vec_id = x.vec_id JOIN gqs q ON q.q_id = x.q_id),
            |${pfx}u$r AS (SELECT q_id, vec_id, cos_r FROM ${pfx}vis${r - 1}
            |  UNION SELECT q_id, vec_id, cos_r FROM ${pfx}sc$r),
-           |${pfx}vis$r AS (SELECT q_id, vec_id, cos_r FROM (
+           |${pfx}vis$r AS MATERIALIZED (SELECT q_id, vec_id, cos_r FROM (
            |  SELECT q_id, vec_id, cos_r,
            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
            |  FROM ${pfx}u$r) WHERE rn <= $beam)""".stripMargin
@@ -2627,6 +2750,26 @@ object OracleSqlGen {
        |  SELECT DISTINCT q_id, vec_id FROM (
        |  $layVisited)
        |  WHERE vec_id <> q_id) GROUP BY q_id),
+       |${nnDescentCtes("edgesc", kOut, descRounds)},
+       |${symmEdgeCte("nedges", s"ne$descRounds")},
+       |${nnDescentCtes("sedgesc", 8, 2, pfx = "s")},
+       |${symmEdgeCte("cedges", "sne2")},
+       |yvis0 AS (SELECT q.q_id, c.vec_id, $cosQC2 AS cos_r
+       |  FROM gqs q, aent JOIN n c ON c.vec_id = aent.vec_id),
+       |${layRounds("y", "cedges")},
+       |wvis0 AS (SELECT q_id, vec_id, cos_r FROM yvis$rounds),
+       |${layRounds("w", "nedges")},
+       |nfound AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM wvis$rounds WHERE vec_id <> q_id) WHERE rn <= $k),
+       |ncands AS (SELECT q_id, COUNT(*) AS n_cands FROM (
+       |  SELECT DISTINCT q_id, vec_id FROM (
+       |  ${(Seq("SELECT q_id, vec_id FROM yvis0") ++
+             (1 to rounds).map(r => s"SELECT q_id, vec_id FROM ysc$r") ++
+             (1 to rounds).map(r => s"SELECT q_id, vec_id FROM wsc$r"))
+               .mkString("\n  UNION ALL ")})
+       |  WHERE vec_id <> q_id) GROUP BY q_id),
        |${lloydChainCtes(nCells, TrainRounds, "ccent", "ic")},
        |cd AS (SELECT n.vec_id, ccent.cell,
        |  floor((n.n2 - 2*list_reduce([n.v[i]*ccent.cv[i] for i in range(1, len(n.v)+1)], (x,y) -> x+y) + ccent.c2)*1000000 + 0.5)/1000000 AS dist2_r
@@ -2665,6 +2808,7 @@ object OracleSqlGen {
        |SELECT method, mean_cands_r, mean_recall_r FROM (
        |${methodRow("graph_beam", "gfound", "gcands")}
        |UNION ALL ${methodRow("graph_layered", "lgfound", "lgcands")}
+       |UNION ALL ${methodRow("graph_nnd", "nfound", "ncands")}
        |UNION ALL ${methodRow("ivf", "ifound", "icands")}
        |UNION ALL ${methodRow("lsh_multi", "lfound", "lcands")})
        |ORDER BY method""".stripMargin

@@ -50,8 +50,8 @@ object SparkEntry {
 
   /** The ONLY registry keys allowed to omit an [[oracleSql]] entry —
     * sketches whose output is estimator state with no SQL-expressible
-    * oracle (each covered by a named ScalaTest law instead), plus the
-    * stubbed multimodal decode. RegistryHygieneSpec enforces that
+    * oracle (each covered by a named ScalaTest law instead).
+    * RegistryHygieneSpec enforces that
     * `queries.keySet -- oracleSql.keySet == rowsOnlyKeys` exactly, so
     * a new entry can't land rows-only by accident (the r9
     * doc_snapshot_churn failure mode).
@@ -183,6 +183,7 @@ object SparkEntry {
     "ann_graph_reach_single" -> q(Similarity.annGraphReach(_, nTables = 1, ordered = true)),
     "ann_beam_tuning"      -> q(Similarity.annBeamTuning(_, ordered = true)),
     "ann_method_recall"    -> q(Similarity.annMethodRecall(_, ordered = true)),
+    "ann_graph_search_nnd" -> q(Similarity.annGraphSearchNnd(_, ordered = true)),
     "ann_graph_search_layered" -> q(Similarity.annGraphSearchLayered(_, ordered = true)),
     "ann_nlist_tuning"     -> q(Similarity.annNlistTuning(_, ordered = true)),
     "ann_label_knn"        -> q(Similarity.annLabelKnn(_, ordered = true)),
@@ -331,6 +332,9 @@ object SparkEntry {
     "q_hll_portable"       -> q(Analytics.qHllPortable),
     "text_vocab_hll"       -> q(TextOps.textVocabHll(_, ordered = true)),
     "doc_quality_quantile_sample" -> q(TextOps.docQualityQuantileSample(_, ordered = true)),
+    // G36b: WARC grammar round-trip over planted multi-byte docs — the
+    // Content-Length jump must count BYTES, not chars, to survive them
+    "doc_warc_roundtrip"   -> q(t => TextOps.docWarcRoundtrip(TextOps.plantUtf8Docs(t), ordered = true)),
     "doc_quality_vs_dup"   -> q(TextOps.docQualityVsDup(_, ordered = true)),
     "doc_snapshot_churn"   -> q(Dedup.docSnapshotChurn(_, ordered = true)),
     "q_min_cost_supplier"  -> q(Analytics.qMinCostSupplier),
@@ -363,6 +367,7 @@ object SparkEntry {
     "mm_binary_meta"       -> q(Multimodal.mmBinaryMeta(_, ordered = true)),
     "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract(_, ordered = true)), // REAL netpbm decode (r10), oracle-gated
     "mm_feature_extract_bmp" -> q(Multimodal.mmFeatureExtractBmp(_, ordered = true)), // REAL BMP decode (r11), oracle-gated
+    "mm_feature_extract_png" -> q(Multimodal.mmFeatureExtractPng(_, ordered = true)), // REAL PNG decode (r12), oracle-gated
     "mm_wav_features"      -> q(Multimodal.mmWavFeatures(_, ordered = true)), // REAL RIFF/WAVE PCM decode (r11), oracle-gated
     "mm_channel_hist"      -> q(Multimodal.mmChannelHist(_, ordered = true)),
     "mm_resize"            -> q(Multimodal.mmResize(_, ordered = true)),
@@ -1468,6 +1473,7 @@ object SparkEntry {
     "text_vocab_hll"          -> OracleSqlGen.textVocabHll,
     "doc_quality_vs_dup"      -> OracleSqlGen.docQualityVsDup,
     "doc_quality_quantile_sample" -> OracleSqlGen.docQualityQuantileSample(256),
+    "doc_warc_roundtrip"    -> OracleSqlGen.docWarcRoundtrip,
     // C31: same (source,hash) presence-maxima aggregate + rollup
     "doc_snapshot_churn" ->
       """WITH per AS (SELECT source, md5(text) AS h,
@@ -1904,6 +1910,7 @@ object SparkEntry {
     "ann_graph_reach_single" -> OracleSqlGen.annGraphReach(6, 3, 128, nTables = 1),
     "ann_beam_tuning"       -> OracleSqlGen.annBeamTuning(Seq(2, 8, 32), 4, 5, 8, 3, 128),
     "ann_method_recall"     -> OracleSqlGen.annMethodRecall(8, 5, 8, 4, 3, 128, 4, 16, 4, 5, 4, 64),
+    "ann_graph_search_nnd"  -> OracleSqlGen.annGraphSearchNnd(8, 8, 4, 5, 3, 128, 4, 16, 3, 8, 8, 2),
     "ann_graph_search_layered" -> OracleSqlGen.annGraphSearchLayered(8, 8, 3, 5, 3, 128, 4, 8, 8, 4),
     "ann_nlist_tuning"      -> OracleSqlGen.annNlistTuning(Seq(4, 8, 16)),
     "q_revenue_concentration" -> OracleSqlGen.qRevenueConcentration(Seq(1, 10, 20)),
@@ -2216,6 +2223,31 @@ object SparkEntry {
         |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,
         |  floor((CAST(sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
         |  CAST(54 + ((3*width + 3) // 4) * 4 * height AS INTEGER) AS n_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // F21: the same affine-formula re-derivation for the PNG container
+    // (format and n_bytes change: signature + IHDR/IDAT/IEND chunks +
+    // stored-block zlib = 68 + h·(1+3w) bytes); the chunk CRC walk,
+    // inflation and all five defilter recurrences must reproduce the
+    // formula's pixels exactly or the gate fails per document
+    "mm_feature_extract_png" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 8 AS INTEGER) AS width,
+        |    CAST(1 + (doc_id * 13) % 8 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |    unnest(range(width*height*3)) AS i FROM d),
+        |s AS (SELECT doc_id, width, height,
+        |    CAST(SUM(CASE WHEN i % 3 = 0 THEN 32 + (doc_id*31 + i*7) % 95 END) AS BIGINT) AS sr,
+        |    CAST(SUM(CASE WHEN i % 3 = 1 THEN 32 + (doc_id*31 + i*7) % 95 END) AS BIGINT) AS sg,
+        |    CAST(SUM(CASE WHEN i % 3 = 2 THEN 32 + (doc_id*31 + i*7) % 95 END) AS BIGINT) AS sb
+        |  FROM px GROUP BY doc_id, width, height)
+        |SELECT doc_id, 'PNG8' AS format, width, height,
+        |  CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+        |  floor((CAST(sr AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_r_r6,
+        |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,
+        |  floor((CAST(sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
+        |  CAST(68 + height*(1 + 3*width) AS INTEGER) AS n_bytes
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // F19: audio features re-derived from the affine SAMPLE formula

@@ -679,7 +679,14 @@ object Dedup {
     * static side of a stream-static join.
     */
   def baseBandIndex(t: Tables, mod: Int = 5): DataFrame =
-    t.documents.filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+    bandIndexOf(t.documents.filter(pmod(col("doc_id"), lit(mod)) =!= 0))
+
+  /** The band-index shape over an arbitrary documents relation — the
+    * mod-free form the persisted dedup-cluster artifact (Sinks G38)
+    * builds and appends to.
+    */
+  private[graft] def bandIndexOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id").as("db"),
         call_function("graft_gram3_hashes", col("text")).as("gsb"))
       .withColumn("nb", size(col("gsb")))

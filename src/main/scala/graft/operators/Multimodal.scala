@@ -184,10 +184,24 @@ object Multimodal {
     */
   private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MmDecoded] =
     batch.map { case (id, bytes) =>
-      // magic dispatch: 'BM' → the BMP codec, 'P5'/'P6' → netpbm;
-      // anything else (including a failed parse under either magic)
-      // is the explicit corrupt quarantine row
-      if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      // magic dispatch: 0x89'PNG' → the PNG codec, 'BM' → BMP,
+      // 'P5'/'P6' → netpbm; anything else (including a failed parse
+      // under any magic) is the explicit corrupt quarantine row
+      if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+        (try Png.parse(bytes) catch {
+          case scala.util.control.NonFatal(_) => None
+        }) match {
+          case Some(img) =>
+            val m = Png.channelMeans(img).map(r6d)
+            MmDecoded(id, "PNG8", Some(img.width), Some(img.height),
+              Some(3), Some(255), Some(m(0)), Some(m(1)), Some(m(2)),
+              bytes.length)
+          case None =>
+            MmDecoded(id, "corrupt", None, None, None, None, None, None,
+              None, bytes.length)
+        }
+      else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
         Bmp.parse(bytes) match {
           case Some(img) =>
             val m = Bmp.channelMeans(img).map(r6d)
@@ -289,6 +303,39 @@ object Multimodal {
     import spark.implicits._
     val payloads = t.documents.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, bmpBytes(id)))).toDF("doc_id", "payload")
+    mmDecodePayloads(spark, payloads)
+  }, ordered)(col("doc_id"))
+
+  /** Deterministic 8-bit RGB PNG payload per doc_id: same dims and the
+    * SAME affine pixel formula as [[p6Payload]]/[[bmpBytes]], rows
+    * filtered with type y % 5 — all FIVE standard filters live in the
+    * gate-checked path, so a wrong Sub/Up/Average/Paeth recurrence
+    * fails per document, not just in a unit spec. Stored-block zlib
+    * keeps n_bytes a pure function of the dims (68 + h·(1+3w)).
+    */
+  private[graft] def pngBytes(docId: Long): Array[Byte] = {
+    val w = (1 + (docId % 8)).toInt
+    val h = (1 + ((docId * 13) % 8)).toInt
+    val rgb = new Array[Byte](3 * w * h)
+    var i = 0
+    while (i < rgb.length) {
+      rgb(i) = (32 + (docId * 31 + i * 7L) % 95).toByte
+      i += 1
+    }
+    Png.encode(w, h, rgb, y => y % 5)
+  }
+
+  /** F21: the F2 feature extract over REAL PNG payloads — the first
+    * entropy-coded container through the magic-dispatching decode
+    * boundary: chunk walk, per-chunk CRC-32, zlib inflation and all
+    * five scanline filters are gate-checked per document against the
+    * formula-derived oracle.
+    */
+  def mmFeatureExtractPng(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, pngBytes(id)))).toDF("doc_id", "payload")
     mmDecodePayloads(spark, payloads)
   }, ordered)(col("doc_id"))
 

@@ -885,7 +885,7 @@ object Similarity {
 
   /** Per-subspace literal codebook for PqDists: element i = code i's
     * subvector (hashCenters codes are already 0..n−1 in order). */
-  private def subCodebook(centers: Array[(Int, Seq[Double], Double)],
+  private[graft] def subCodebook(centers: Array[(Int, Seq[Double], Double)],
       j: Int, dsub: Int): Column =
     typedLit(centers.sortBy(_._1).toSeq.map { case (_, cv, _) =>
       cv.slice(j * dsub, (j + 1) * dsub)
@@ -2557,7 +2557,7 @@ object Similarity {
     * per round, and a lazy unroll would copy subtrees 2^rounds times
     * (the D43 lesson).
     */
-  private def beamSearchVisited(e: DataFrame, edges: DataFrame,
+  private[graft] def beamSearchVisited(e: DataFrame, edges: DataFrame,
       nQueries: Int, beam: Int, rounds: Int): (DataFrame, DataFrame) = {
     val entry = e.agg(min(col("vec_id")).as("vec_id"))
     val seeds = e.filter(col("vec_id") < nQueries)
@@ -2567,7 +2567,7 @@ object Similarity {
 
   /** [[beamSearchVisited]] with caller-supplied seeds — the layered
     * leg of D51 tracks its true scan volume through this. */
-  private def beamSearchVisitedFrom(e: DataFrame, edges: DataFrame,
+  private[graft] def beamSearchVisitedFrom(e: DataFrame, edges: DataFrame,
       nQueries: Int, seeds: DataFrame, beam: Int,
       rounds: Int): (DataFrame, DataFrame) = {
     val q = e.filter(col("vec_id") < nQueries)
@@ -2615,6 +2615,17 @@ object Similarity {
     * search builds its coarse layer's graph over a SAMPLED vertex set
     * through this. */
   private[graft] def knnEdgesMultiOf(e: DataFrame, kPerTable: Int, bits: Int,
+      nTables: Int, bucketCap: Int): DataFrame =
+    knnEdgesMultiCosOf(e, kPerTable, bits, nTables, bucketCap)
+      .select(col("src"), col("dst"))
+
+  /** [[knnEdgesMultiOf]] keeping the r6'd cosine on each edge — the
+    * NN-descent seed needs scores (the refinement keeps the best kOut
+    * per vertex, so seed edges must compare against newly scored
+    * candidates). cos_r is functionally determined by (src, dst), so
+    * the triple-distinct equals the pair-distinct.
+    */
+  private[graft] def knnEdgesMultiCosOf(e: DataFrame, kPerTable: Int, bits: Int,
       nTables: Int, bucketCap: Int): DataFrame = {
     val postings = e.select(col("vec_id"), col("v"), col("n2"),
       posexplode(array((0 until nTables).map(i =>
@@ -2635,7 +2646,140 @@ object Similarity {
         cosineR(col("sv"), col("dv"), col("sn2"), col("dn2")).as("cos_r"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kPerTable)
-      .select(col("src"), col("dst")).distinct()
+      .select(col("src"), col("dst"), col("cos_r")).distinct()
+  }
+
+  /** NN-DESCENT edge refinement — the public recipe (Dong et al.'s
+    * "a neighbor of a neighbor is likely a neighbor", the NN-descent/
+    * NSG construction) applied to the bucketed seed graph, because the
+    * repo's own D42/D51 cards measured WHY that seed graph fails:
+    * capped LSH buckets fragment the corpus, so beam search over the
+    * raw union recalls 0.20–0.25 vs IVF's 0.625 at matched scan
+    * volume. Each round: symmetrize the current edges (reverse edges
+    * carry the same r6'd cosine — the dot product commutes), cap each
+    * vertex's neighbor list at kOut (best-by-cosine, the paper's
+    * sample-ρk bound), join the capped lists on a shared pivot to
+    * propose neighbor-of-neighbor pairs, score the proposals exactly,
+    * and keep each vertex's best kOut of old ∪ new.
+    *
+    * Monotonicity law (SimilaritySpec): the kept edge list per vertex
+    * weakly improves every round (the union contains the previous
+    * round's edges and topK keeps the best), so refinement can never
+    * hurt the graph it started from.
+    *
+    * Scale shape: the pivot join is bounded by kOut²·N candidate rows
+    * per round (degree-capped BOTH sides), scoring is one equi-join
+    * against the corpus per side, and each round's output is
+    * checkpoint-truncated (≤ kOut·N rows — referenced twice next
+    * round: symmetrize + union). No all-pairs anywhere; rounds are a
+    * small fixed constant.
+    */
+  private[graft] def nnDescentEdges(e: DataFrame, seed: DataFrame,
+      kOut: Int, rounds: Int): DataFrame = {
+    val corpus = e.select(col("vec_id"), col("v"), col("n2"))
+    val outW = Window.partitionBy(col("src"))
+      .orderBy(col("cos_r").desc, col("dst").asc)
+    def topK(edges: DataFrame): DataFrame =
+      edges.withColumn("rn", row_number().over(outW))
+        .filter(col("rn") <= kOut).drop("rn")
+    var edges = Dedup.stableCheckpoint(topK(seed))
+    for (_ <- 1 to rounds) {
+      val sym = edges
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+          col("cos_r")))
+        .distinct()
+      val capped = Dedup.stableCheckpoint(topK(sym))
+      val cand = capped.select(col("src").as("pivot"), col("dst").as("a"))
+        .join(capped.select(col("src").as("pivot2"), col("dst").as("b")),
+          col("pivot") === col("pivot2") && col("a") =!= col("b"))
+        .select(col("a").as("src"), col("b").as("dst"))
+        .distinct()
+      val scored = cand
+        .join(corpus.select(col("vec_id").as("src"), col("v").as("sv"),
+          col("n2").as("sn2")), "src")
+        .join(corpus.select(col("vec_id").as("dst"), col("v").as("dv"),
+          col("n2").as("dn2")), "dst")
+        .select(col("src"), col("dst"),
+          cosineR(col("sv"), col("dv"), col("sn2"), col("dn2")).as("cos_r"))
+      // old and re-proposed edges score to bit-identical triples, so
+      // the UNION's distinct collapses them before the rank window
+      edges = Dedup.stableCheckpoint(
+        topK(edges.unionByName(scored).distinct()))
+    }
+    edges
+  }
+
+  /** Symmetrize a (src, dst[, …]) edge relation: union with its
+    * reverse, deduped. A top-kOut kNN graph's OUT-edges point into
+    * tight true-neighbor cliques (that is what NN-descent optimizes),
+    * so a greedy walk can enter but not leave a region — the probe
+    * measured symmetrization alone worth +0.025–0.2 recall at every
+    * budget (NndProbe). In-edges are the escape hatches; effective
+    * degree stays ≤ 2·kOut.
+    */
+  private[graft] def symmetrizeEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+  /** D53: graph-ANN search over the NN-DESCENT-refined graph — the
+    * deployable graph leg. Probe-set design (NndProbe, sf0.1,
+    * recall@5 vs exact / mean distinct vertices scored per query):
+    * raw bucketed graph 0.225/179; refined directed flat 0.200/114
+    * (QUALITY without NAVIGABILITY — the tight kNN cliques trap the
+    * walk); + symmetrization 0.225/153; + kOut=16, 3 descent rounds
+    * 0.450/251 (flat); + D52's layered coarse seeding **0.825/303 —
+    * above IVF's 0.70 at 60% of IVF's 504-candidate scan volume**.
+    * Every ingredient is a public recipe: NN-descent refinement (Dong
+    * et al.), undirected search edges (HNSW keeps bidirectional
+    * links), coarse-entry seeding (HNSW's upper layers).
+    *
+    * Scale shape: descent rounds are kOut²·N-bounded candidate joins
+    * (checkpoint-truncated, like CC rounds); the coarse layer repeats
+    * the build on N/sampleMod vertices (superlinearly cheaper); both
+    * searches are D41's broadcast-frontier rounds. Nothing all-pairs.
+    */
+  def annGraphSearchNnd(t: Tables, nQueries: Int = 8, beam: Int = 8,
+      rounds: Int = 4, k: Int = 5, kGraph: Int = 3, bits: Int = 8,
+      bucketCap: Int = 128, nTables: Int = 4, kOut: Int = 16,
+      descRounds: Int = 3, sampleMod: Int = 8, kOutC: Int = 8,
+      descRoundsC: Int = 2, ordered: Boolean = false): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val (edges, seeds0) = nndSearchParts(e, nQueries, beam, rounds, kGraph,
+      bits, bucketCap, nTables, kOut, descRounds, sampleMod, kOutC, descRoundsC)
+    val beamW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    maybeSort(
+      beamSearchFrom(e, edges, nQueries, seeds0, beam, rounds, truncate = true)
+        .withColumn("rank", row_number().over(beamW).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r")),
+      ordered)(col("q_id"), col("rank"))
+  }
+
+  /** The D53 build: (symmetrized refined full-graph edges, per-query
+    * layer-0 seed relation from the coarse search). Shared by the
+    * search itself and D51's graph_nnd ledger leg (which additionally
+    * tracks visited sets for honest scan volume).
+    */
+  private def nndSearchParts(e: DataFrame, nQueries: Int, beam: Int,
+      rounds: Int, kGraph: Int, bits: Int, bucketCap: Int, nTables: Int,
+      kOut: Int, descRounds: Int, sampleMod: Int, kOutC: Int,
+      descRoundsC: Int): (DataFrame, DataFrame) = {
+    val edges = Dedup.stableCheckpoint(symmetrizeEdges(
+      nnDescentEdges(e, knnEdgesMultiCosOf(e, kGraph, bits, nTables, bucketCap),
+        kOut, descRounds)))
+    val es = e.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+    val coarse = Dedup.stableCheckpoint(symmetrizeEdges(
+      nnDescentEdges(es, knnEdgesMultiCosOf(es, kGraph, bits, nTables, bucketCap),
+        kOutC, descRoundsC)))
+    val ent1 = es.agg(min(col("vec_id")).as("vec_id"))
+    val seeds1 = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id")).crossJoin(broadcast(ent1))
+    val seeds0 = beamSearchFrom(e, coarse, nQueries, seeds1, beam, rounds,
+        truncate = true)
+      .select(col("q_id"), col("vec_id"))
+    (edges, seeds0)
   }
 
   /** D43: beam-width TUNING card for graph ANN — mean recall@k and
@@ -2715,6 +2859,7 @@ object Similarity {
       beam: Int = 8, rounds: Int = 4, kGraph: Int = 3, nTables: Int = 4,
       bucketCap: Int = 128, nCells: Int = 16, nProbe: Int = 4,
       lshBits: Int = 5, lshTables: Int = 4, lshCap: Int = 64,
+      kOut: Int = 16, descRounds: Int = 3,
       ordered: Boolean = false): DataFrame = {
     val e = withNorm(t.embeddings)
     val exact = annTopkBruteforce(t, nQueries, k)
@@ -2748,6 +2893,32 @@ object Similarity {
       .withColumn("rn", row_number().over(beamW))
       .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
     val candsG = visited.filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
+    // NN-descent-refined layered graph (D53's full design: symmetrized
+    // kOut=16/3-round refined edges, coarse-sample seeding): same beam
+    // budget as the raw graph legs, so the ledger isolates what the
+    // refinement + topology buy. The descent's own scored proposals
+    // are INDEX-BUILD cost (like IVF's training pass), not per-query
+    // scan volume — cands counts what the SEARCH scored (coarse +
+    // layer-0 visited union, the graph_layered convention).
+    val edgesN = Dedup.stableCheckpoint(symmetrizeEdges(
+      nnDescentEdges(e, knnEdgesMultiCosOf(e, kGraph, 8, nTables, bucketCap),
+        kOut, descRounds)))
+    val esN = e.filter(pmod(col("vec_id"), lit(8L)) === 0L)
+    val coarseN = Dedup.stableCheckpoint(symmetrizeEdges(
+      nnDescentEdges(esN, knnEdgesMultiCosOf(esN, kGraph, 8, nTables, bucketCap),
+        8, 2)))
+    val entN = esN.agg(min(col("vec_id")).as("vec_id"))
+    val seedsN1 = qIds.crossJoin(broadcast(entN))
+    val (visN1, visitedN1) =
+      beamSearchVisitedFrom(e, coarseN, nQueries, seedsN1, beam, rounds)
+    val (visN, visitedN0) = beamSearchVisitedFrom(e, edgesN, nQueries,
+      visN1.select(col("q_id"), col("vec_id")), beam, rounds)
+    val foundN = visN.filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rn", row_number().over(beamW))
+      .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
+    val candsN = visitedN1.unionByName(visitedN0).distinct()
+      .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
     // layered graph (D52 at the card's round budget): the coarse
     // layer's scored vertices COUNT toward scan volume — its full
@@ -2804,6 +2975,7 @@ object Similarity {
     maybeSort(
       methodRow("graph_beam", foundG, candsG)
         .unionByName(methodRow("graph_layered", foundLay, candsLay))
+        .unionByName(methodRow("graph_nnd", foundN, candsN))
         .unionByName(methodRow("ivf", foundI, candsI))
         .unionByName(methodRow("lsh_multi", foundL, candsL)),
       ordered)(col("method"))

@@ -2137,4 +2137,36 @@ object TextOps {
         pick(col("sv"), col("n_sample"), 0.75).as("q75"),
         pick(col("sv"), col("n_sample"), 0.90).as("q90"))
   }, ordered)(col("source"))
+
+  /** G36b: WARC round-trip profile — every document through the REAL
+    * WARC grammar both ways (build a response record, parse it back
+    * with [[graft.sources.Warc.scan]]'s parser), the gate-checked half
+    * of the G35/G36 ingestion arc (the mm-payload discipline: the
+    * oracle re-derives each field from the source row, so a parser
+    * that mis-walks headers, mis-reads Content-Length or loses payload
+    * bytes fails per document). `payload_ok` pins byte-exact payload
+    * recovery — including multi-byte text, where a char-counting
+    * Content-Length would break the length jump.
+    */
+  def docWarcRoundtrip(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val txt = Option(text).getOrElse("")
+        val rec = graft.sources.Warc.responseRecord(
+          s"urn:graft:doc:$id", s"https://example.org/doc/$id", txt)
+        graft.sources.Warc.scan(rec) match {
+          case graft.sources.Warc.ScanResult(Seq(r), Seq()) =>
+            (id, r.warcType, r.recordId, r.targetUri, r.contentLength,
+              r.nHeaders,
+              if (new String(r.payload,
+                java.nio.charset.StandardCharsets.UTF_8) == txt) 1 else 0)
+          case _ => (id, "corrupt", "", "", -1L, -1, 0)
+        }
+      })
+      .toDF("doc_id", "warc_type", "record_id", "target_uri",
+        "content_length", "n_headers", "payload_ok")
+  }, ordered)(col("doc_id"))
 }

@@ -186,6 +186,64 @@ object Sinks {
       badFiles)
   }
 
+  /** G34: audited ZSTD JSONL ingestion — the G28 envelope for the
+    * OTHER compression crawled corpora actually ship with (zstd is
+    * Common Crawl's and most modern dump pipelines' codec; the
+    * zstd-jni decoder is already on Spark's own classpath — Spark uses
+    * it for shuffle/parquet compression). Same two-level quarantine:
+    * an undecodable FILE (truncated frame, bit rot — ZstdInputStream
+    * throws mid-stream) lands whole in the file quarantine; a decoded
+    * file's unparseable LINES land raw in the line quarantine; clean
+    * rows come back under the enforced schema, shard-tagged.
+    *
+    * Scale shape: single-frame zstd is non-splittable like gzip, so
+    * file-at-a-time is the parallelism grain; the per-task memory
+    * bound is one decompressed shard (producers block-size their
+    * shards at 100 TB). Decoded relation persisted once for the
+    * three-output fan-out (the G28 fix).
+    */
+  def readJsonLinesZstAudited(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType):
+      (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val decoded = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        try {
+          val in = new com.github.luben.zstd.ZstdInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n", -1).filter(_.nonEmpty).toSeq
+            .map(l => (p, l, null: String, bytes.length.toLong))
+        } catch {
+          case e: java.io.IOException =>
+            Seq((p, null: String,
+              e.getClass.getSimpleName + ": " + e.getMessage,
+              bytes.length.toLong))
+        }
+      }
+      .toDF("src_file", "raw_line", "zst_error", "n_bytes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val badFiles = decoded.filter(col("zst_error").isNotNull)
+      .select(col("src_file"), col("zst_error"), col("n_bytes"))
+    val pSchema = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = decoded.filter(col("zst_error").isNull)
+      .select(col("src_file"), col("raw_line"),
+        from_json(col("raw_line"), pSchema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
+    val bad = col("rec").isNull || col("rec._corrupt_record").isNotNull
+    (parsed.filter(!bad).select(col("src_file") +: schema.fieldNames.map(f => col(s"rec.$f")): _*),
+      parsed.filter(bad).select(col("src_file"), col("raw_line")),
+      badFiles)
+  }
+
   /** G29: audited AVRO container ingestion (the binary sibling of G28
     * — warehouse exports and Kafka archive dumps arrive as .avro
     * container files, and this distro ships no spark-avro connector,
@@ -322,6 +380,103 @@ object Sinks {
       castAll.filter(badRow)
         .select(col("src_file"), concat_ws("|", col("cells")).as("raw_row")),
       badFiles)
+  }
+
+  /** G35: WARC(.gz) export — documents as WARC 1.0 response records,
+    * each record its own gzip member (the spec's record-at-time
+    * compression, what Common Crawl ships), `shards` files written
+    * from the executors (no driver funnel). The write half exists so
+    * the read half has an end-to-end round-trip law (SinksSpec) — and
+    * because a curation pipeline that READS crawl archives eventually
+    * needs to WRITE filtered re-archives in the same interchange
+    * format.
+    */
+  def writeWarcGz(docs: DataFrame, path: String, shards: Int = 4): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(conf.value).mkdirs(new org.apache.hadoop.fs.Path(path))
+    docs.select(col("doc_id"), col("text")).repartition(shards)
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        // an empty partition writes NO file: a 0-byte .warc.gz is not a
+        // valid gzip stream and would quarantine on read
+        if (rows.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.warc.gz"), true)
+          try rows.foreach { r =>
+            val id = r.getLong(0)
+            out.write(Warc.gzipMember(Warc.responseRecord(
+              s"urn:graft:doc:$id", s"https://example.org/doc/$id",
+              Option(r.getString(1)).getOrElse(""))))
+          } finally out.close()
+        }
+      }
+  }
+
+  /** G36: audited WARC(.gz) ingestion — the shape crawled corpora
+    * actually arrive in, with THREE custody levels: an undecodable
+    * FILE (truncated/bit-rotted gzip member — the member walk throws
+    * mid-stream) lands whole in the file quarantine; a decodable
+    * file's malformed RECORDS (bad version line, unparseable headers,
+    * missing/oversized Content-Length, missing terminator) land raw in
+    * the record quarantine while healthy neighbors survive (the
+    * [[Warc.scan]] resync — one rotten record must not cost a 1 GB
+    * shard); healthy records come back as typed rows, shard-tagged.
+    *
+    * Scale shape: gzip members are the spec's split grain but Spark's
+    * binaryFile reads file-at-a-time — the right custody grain for
+    * the all-or-nothing member check (G28's argument); per-task
+    * memory bounds at one decompressed shard. Decoded relation
+    * persisted once for the three-output fan-out.
+    */
+  def readWarcGzAudited(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val decoded = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          val sc = Warc.scan(out.toByteArray)
+          sc.records.map(r => (p, r.warcType, r.recordId, r.targetUri,
+            r.contentLength, r.nHeaders,
+            new String(r.payload, java.nio.charset.StandardCharsets.UTF_8),
+            null: String, null: String, bytes.length.toLong)) ++
+            sc.quarantined.map(q => (p, null: String, null: String,
+              null: String, -1L, -1, null: String, q, null: String,
+              bytes.length.toLong))
+        } catch {
+          case e: java.io.IOException =>
+            Seq((p, null: String, null: String, null: String, -1L, -1,
+              null: String, null: String,
+              e.getClass.getSimpleName + ": " + e.getMessage,
+              bytes.length.toLong))
+        }
+      }
+      .toDF("src_file", "warc_type", "record_id", "target_uri",
+        "content_length", "n_headers", "payload", "raw_snippet",
+        "file_error", "n_bytes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val badFiles = decoded.filter(col("file_error").isNotNull)
+      .select(col("src_file"), col("file_error"), col("n_bytes"))
+    val badRecords = decoded.filter(
+      col("file_error").isNull && col("raw_snippet").isNotNull)
+      .select(col("src_file"), col("raw_snippet"))
+    val clean = decoded.filter(
+      col("file_error").isNull && col("raw_snippet").isNull)
+      .select(col("src_file"), col("warc_type"), col("record_id"),
+        col("target_uri"), col("content_length"), col("n_headers"),
+        col("payload"))
+    (clean, badRecords, badFiles)
   }
 
   /** G19: audited CSV ingestion — G16's enforced-schema + quarantine
@@ -767,6 +922,154 @@ object Sinks {
       .select(col("doc_id"),
         expr("CAST(aggregate(transform(array_sort(ps), s -> s.chunk_bytes), " +
           "CAST('' AS BINARY), (acc, x) -> concat(acc, x)) AS STRING)").as("text"))
+  }
+
+  /** G38: persisted DEDUP-CLUSTER artifact + incremental lifecycle —
+    * what G30–G33 gave the vector index and the chunk store, for the
+    * dedup family (the r11 verdict's #5: C7/C15 clusters recompute
+    * per run; a daily ingest must not re-pair the world). Layout:
+    * `path/band_index` = every doc's MinHash band rows CARRYING its
+    * gram set (the C8b artifact shape — band-keyed candidate
+    * generation + exact verify with zero corpus access), `path/
+    * clusters` = (doc_id, cluster) labels, `path/doc_tombstones` =
+    * the G33 delete ledger.
+    *
+    * Lifecycle laws (SinksSpec): append(base, rest) ≡ one-shot over
+    * the union (new docs probe the index for new-old candidates,
+    * new-new pairs band-join among themselves, and CC runs over NEW
+    * pairs ∪ the old clusters' star edges — connectivity-equal to the
+    * full pair relation, so labels match the one-shot exactly, cluster
+    * MERGES included); re-delivered doc_ids drop whole (idempotence);
+    * tombstoned docs never serve; compaction ≡ one-shot over the
+    * survivors (pairs re-derived from STORED gram sets — splits from
+    * removed bridge docs heal; until compaction a tombstone only
+    * stops the doc being SERVED, the chunk-store honesty note).
+    *
+    * Scale shape: append cost = band/verify work for the NEW docs
+    * only (index side pre-bucketed on (band, band_val)) + one CC over
+    * near-dup edges + a label relation (corpus-linear rows, never
+    * pairs); base gram sets are read only where a band matches.
+    */
+  def writeDedupClusters(t: Tables, path: String, threshold: Double = 0.2,
+      maxIter: Int = 20): Unit = {
+    val dd = graft.operators.Dedup
+    val idx = dd.bandIndexOf(t.documents)
+    idx.repartition(4, col("band"), col("band_val"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/band_index")
+    val stored = spark_read_index(t.spark, path)
+    val pairs = dd.stableCheckpoint(pairsFromIndex(stored, stored,
+      threshold, newVsNew = true))
+    dd.clusterPairs(pairs, t.documents.select(col("doc_id")), maxIter,
+        "write_dedup_clusters", ordered = false)
+      .select(col("doc_id"), col("cluster"))
+      .repartition(4, col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/clusters")
+  }
+
+  private def spark_read_index(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/band_index")
+
+  /** Verified near-dup pairs between a probe side and an index side,
+    * both in the band-index shape: band-bucket equi-join → exact
+    * Jaccard on gram sets → threshold; `newVsNew = true` restricts to
+    * da < db (self-join form), false takes all cross pairs (probe ×
+    * base, disjoint id sets). Result distinct on the pair.
+    */
+  private def pairsFromIndex(probe: DataFrame, index: DataFrame,
+      threshold: Double, newVsNew: Boolean): DataFrame = {
+    val a = probe.select(col("db").as("da"), col("gsb").as("gsa"),
+      col("nb").as("na"), col("band"), col("band_val"))
+    val b = index.select(col("db"), col("gsb"), col("nb"),
+      col("band").as("b2"), col("band_val").as("bv2"))
+    val on = col("band") === col("b2") && col("band_val") === col("bv2") &&
+      (if (newVsNew) col("da") < col("db") else col("da") =!= col("db"))
+    a.join(b, on)
+      .withColumn("c", call_function("graft_intersect_count", col("gsa"), col("gsb")))
+      .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("j") >= threshold)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct()
+  }
+
+  def appendToDedupClusters(t: Tables, path: String,
+      threshold: Double = 0.2, maxIter: Int = 20): Unit = {
+    val spark = t.spark
+    val dd = graft.operators.Dedup
+    val existingIdx = spark_read_index(spark, path)
+    val existingDocs = existingIdx.select(col("db").as("doc_id")).distinct()
+    // idempotence under re-delivery (the chunk-store discipline)
+    val newDocs = t.documents.join(existingDocs, Seq("doc_id"), "left_anti")
+    val newIdx = dd.stableCheckpoint(dd.bandIndexOf(newDocs))
+    val newPairs = pairsFromIndex(newIdx, existingIdx, threshold, newVsNew = false)
+      .unionByName(pairsFromIndex(newIdx, newIdx, threshold, newVsNew = true))
+      .distinct()
+    // the old clusters' star edges carry exactly the base connectivity
+    val oldEdges = spark.read.parquet(s"$path/clusters")
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("doc_a"), col("cluster").as("doc_b"))
+    val universe = existingDocs.unionByName(newDocs.select(col("doc_id")))
+    val clusters = dd.clusterPairs(
+      dd.stableCheckpoint(newPairs.unionByName(oldEdges)), universe, maxIter,
+      "append_dedup_clusters", ordered = false)
+      .select(col("doc_id"), col("cluster"))
+    // clusterPairs returns an EAGER checkpoint, so overwriting the
+    // relation it read is safe here
+    clusters.repartition(4, col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/clusters")
+    newIdx.repartition(4, col("band"), col("band_val"))
+      .write.mode(SaveMode.Append).parquet(s"$path/band_index")
+  }
+
+  /** Delete = doc_id tombstone append (the G32/G33 LSM discipline);
+    * [[readDedupClusters]] anti-joins them. Until [[compactDedupClusters]]
+    * runs, labels may still reference a deleted id and a removed
+    * BRIDGE doc still holds its component together — the tombstone
+    * stops the doc being SERVED, compaction heals the topology.
+    */
+  def deleteFromDedupClusters(spark: org.apache.spark.sql.SparkSession,
+      path: String, docIds: DataFrame): Unit =
+    docIds.select(col("doc_id")).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$path/doc_tombstones")
+
+  def readDedupClusters(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val c = spark.read.parquet(s"$path/clusters")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/doc_tombstones")
+    if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombPath))
+      c.join(broadcast(spark.read.parquet(s"$path/doc_tombstones")
+        .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+    else c
+  }
+
+  /** GC/compaction: rewrite (to a NEW path) the surviving band index
+    * and RE-CLUSTER the survivors from their stored gram sets — no
+    * corpus access; bridge-doc splits heal here.
+    */
+  def compactDedupClusters(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String, threshold: Double = 0.2,
+      maxIter: Int = 20): Unit = {
+    val dd = graft.operators.Dedup
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$from/doc_tombstones")
+    val idxAll = spark_read_index(spark, from)
+    val idx =
+      if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombPath))
+        idxAll.join(broadcast(spark.read.parquet(s"$from/doc_tombstones")
+          .select(col("doc_id").as("db")).distinct()), Seq("db"), "left_anti")
+      else idxAll
+    idx.repartition(4, col("band"), col("band_val"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$to/band_index")
+    val stored = spark_read_index(spark, to)
+    val pairs = dd.stableCheckpoint(pairsFromIndex(stored, stored,
+      threshold, newVsNew = true))
+    dd.clusterPairs(pairs,
+        stored.select(col("db").as("doc_id")).distinct(), maxIter,
+        "compact_dedup_clusters", ordered = false)
+      .select(col("doc_id"), col("cluster"))
+      .repartition(4, col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$to/clusters")
   }
 
   /** G24: persist a B59 HLL register SHARD — the cross-run distinct-

@@ -139,6 +139,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Wav.parse(hugeData).isEmpty, "overflowing data size must fail the walk")
   }
 
+  test("PNG codec: all five filters round-trip positionally; CRC/truncation/interlace quarantine; boundary dispatches on magic") {
+    import graft.operators.Png
+    // a 4x6 raster with every filter type exercised (y % 5 covers 0-4
+    // plus a repeat) — positional pins catch a wrong predictor that
+    // channel means would average away
+    val (w, h) = (4, 6)
+    val rgb = Array.tabulate(3 * w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val bytes = Png.encode(w, h, rgb, y => y % 5)
+    val img = Png.parse(bytes).getOrElse(fail("planted PNG must parse"))
+    assert(img.width == w && img.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = 3 * (y * w + x)
+      val expect = ((rgb(p) & 0xff, rgb(p + 1) & 0xff, rgb(p + 2) & 0xff))
+      assert(Png.sample(img, x, y) == expect,
+        s"pixel ($x,$y) under filter ${y % 5} mismatched")
+    }
+    // integrity failures must quarantine, never throw or fake
+    assert(Png.parse(bytes.dropRight(15)).isEmpty, "truncated payload must fail")
+    val rotted = bytes.clone()
+    rotted(bytes.length - 20) = (rotted(bytes.length - 20) ^ 0x40).toByte
+    assert(Png.parse(rotted).isEmpty, "a bit-rotted chunk must fail its CRC")
+    val interlaced = bytes.clone()
+    interlaced(8 + 8 + 12) = 1 // IHDR interlace byte (offset 8 sig + 8 len/tag + 12)
+    assert(Png.parse(interlaced).isEmpty, "Adam7 is out of envelope (CRC also breaks)")
+    val gray = Png.encode(1, 1, Array[Byte](1, 2, 3), _ => 0)
+    val grayHacked = gray.clone(); grayHacked(8 + 8 + 9) = 0 // color type 0
+    assert(Png.parse(grayHacked).isEmpty, "non-RGB color type is out of envelope")
+    // short IDAT: drop the last stored-block byte and fix lengths? —
+    // simpler: declare one more row than the stream carries
+    val tall = Png.encode(w, h, rgb, y => y % 5)
+    // (IHDR height at sig+len/tag+4; bump → inflated stream comes up short)
+    val tallHacked = tall.clone(); tallHacked(8 + 8 + 7) = (h + 1).toByte
+    assert(Png.parse(tallHacked).isEmpty, "short inflated stream must fail (CRC also breaks)")
+    // the decode boundary dispatches on the PNG magic and quarantines rot
+    import spark.implicits._
+    val payloads = Seq((1L, bytes), (2L, rotted)).toDF("doc_id", "payload")
+    val out = Multimodal.mmDecodePayloads(spark, payloads).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "PNG8" && out(2L) == "corrupt")
+  }
+
   test("joint dedup: coarsens both single-modality clusterings — co-clustered pairs in either stay together") {
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -647,6 +647,57 @@ class SimilaritySpec extends SparkSpec {
       s"answers must lie within rounds hops of the coarse-reachable seeds; got ${answered -- reach}")
   }
 
+  test("NN-descent: per-vertex edge list weakly improves every round, degree stays capped, and the refined graph's search never loses to the raw graph's best-found") {
+    import org.apache.spark.sql.functions.col
+    val e = Similarity.withNorm(tables.embeddings)
+    val seed = Similarity.knnEdgesMultiCosOf(e, 3, 8, 4, 128)
+    val kOut = 8
+    def edgeMap(rounds: Int): Map[Long, Seq[Double]] =
+      Similarity.nnDescentEdges(e, seed, kOut, rounds).collect()
+        .map(r => (r.getLong(0), r.getDouble(2)))
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted.reverse.toSeq }
+    val r0 = edgeMap(0); val r1 = edgeMap(1); val r2 = edgeMap(2)
+    assert(r0.keySet == r2.keySet, "refinement must not drop source vertices")
+    (r2.values ++ r1.values).foreach(cs =>
+      assert(cs.length <= kOut, s"degree must stay <= $kOut, got ${cs.length}"))
+    // monotone improvement: round r's sorted-desc cosine list weakly
+    // dominates round r-1's elementwise (union keeps old edges, topK
+    // keeps the best) — the law that refinement can never hurt
+    def dominates(later: Map[Long, Seq[Double]], earlier: Map[Long, Seq[Double]]): Unit =
+      earlier.foreach { case (s, pre) =>
+        val post = later(s)
+        assert(post.length >= pre.length, s"vertex $s lost edges")
+        pre.zip(post).foreach { case (p, q) =>
+          assert(q >= p - 1e-9, s"vertex $s: rank slot degraded $p -> $q")
+        }
+      }
+    dominates(r1, r0); dominates(r2, r1)
+    // and it genuinely improves SOMEWHERE on this corpus
+    assert(r2.exists { case (s, post) =>
+      r0(s).length < post.length || r0(s).zip(post).exists { case (p, q) => q > p + 1e-9 }
+    }, "two descent rounds must improve at least one vertex's list")
+    // end-to-end: the refined graph's best-found per query >= the raw
+    // graph's (same beam budget); ranks dense; every query answers
+    val raw = Similarity.annGraphSearch(tables, ordered = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).max }
+    val nnd = Similarity.annGraphSearchNnd(tables, ordered = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(nnd.map(_._1).distinct.length == raw.size, "every query must answer")
+    nnd.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length), s"query $q ranks dense")
+    }
+    val nndBest = nnd.groupBy(_._1).map { case (q, xs) => q -> xs.map(_._4).max }
+    raw.foreach { case (q, rb) =>
+      assert(nndBest(q) >= rb - 1e-9,
+        s"query $q: refined-graph search lost to raw ($rb -> ${nndBest(q)})")
+    }
+    // D51 carries the graph_nnd ledger row
+    val ledger = Similarity.annMethodRecall(tables, ordered = true).collect()
+      .map(r => r.getString(0)).toSeq
+    assert(ledger.contains("graph_nnd"), s"ledger rows: $ledger")
+  }
+
   test("ivf residual pq: ranks dense, no self-match, residual energy strictly below raw energy") {
     val rows = Similarity.annIvfRpq(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

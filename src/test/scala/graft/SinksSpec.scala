@@ -367,6 +367,91 @@ class SinksSpec extends SparkSpec {
     assert(!cleanRows.exists(_._2 == null) && cleanRows.forall(_._1 <= 20))
   }
 
+  test("zstd jsonl ingest: corrupt frames quarantined whole, corrupt lines raw, clean rows exact") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonlzst_in").toFile.getAbsolutePath
+    def zst(lines: Seq[String]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+      z.write(lines.mkString("\n").getBytes("UTF-8")); z.close()
+      bos.toByteArray
+    }
+    val goodA = (1 to 10).map(i => s"""{"doc_id":$i,"text":"doc $i"}""")
+    val goodB = (11 to 20).map(i => s"""{"doc_id":$i,"text":"doc $i"}""") :+ "not json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.jsonl.zst"), zst(goodA))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.jsonl.zst"), zst(goodB))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "trunc.jsonl.zst"),
+      zst((21 to 30).map(i => s"""{"doc_id":$i}""")).dropRight(8))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "rot.jsonl.zst"),
+      Array.fill[Byte](64)(0x5a))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, badLines, badFiles) = Sinks.readJsonLinesZstAudited(spark, dir, schema)
+    val cleanRows = clean.collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(cleanRows == (1 to 20).map(i => (i.toLong, s"doc $i")).toSet)
+    assert(badLines.collect().map(_.getString(1)).toSeq == Seq("not json"))
+    val bf = badFiles.collect().map(r => (r.getString(0).split('/').last, r.getString(1))).toMap
+    assert(bf.keySet == Set("trunc.jsonl.zst", "rot.jsonl.zst"),
+      s"corrupt frames must quarantine whole: $bf")
+  }
+
+  test("warc.gz: docs round-trip through record-per-member archives; rotten records quarantine per record; truncated members per file") {
+    val t = graft.operators.TextOps.plantUtf8Docs(tables)
+    val dir = Files.createTempDirectory("warc_rt").toString
+    Sinks.writeWarcGz(t.documents, dir, shards = 3)
+    val (clean, badRec, badFiles) = Sinks.readWarcGzAudited(spark, dir)
+    assert(badRec.count() == 0 && badFiles.count() == 0,
+      "a freshly written archive must have zero quarantines")
+    val got = clean.collect()
+      .map(r => r.getString(2) -> ((r.getString(1), r.getString(3),
+        r.getLong(4), r.getString(6)))).toMap
+    val want = t.documents.select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val id = r.getLong(0); val txt = Option(r.getString(1)).getOrElse("")
+        s"urn:graft:doc:$id" -> (("response", s"https://example.org/doc/$id",
+          txt.getBytes("UTF-8").length.toLong, txt))
+      }.toMap
+    assert(got == want,
+      "every doc must round-trip with byte-counted Content-Length (multi-byte plants included)")
+    // planted corruption: one healthy file; one file with a rotten
+    // RECORD between two healthy ones (record-level quarantine, the
+    // resync law); one file with a truncated gzip member (file-level)
+    val dir2 = Files.createTempDirectory("warc_rot").toString
+    import graft.sources.Warc
+    def rec(id: Long, text: String) =
+      Warc.responseRecord(s"urn:x:$id", s"https://x/$id", text)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "ok.warc.gz"),
+      Warc.gzipMember(rec(1, "alpha")) ++ Warc.gzipMember(rec(2, "beta")))
+    val rotten = "WARC/1.0\r\nNoColonHeaderLine\r\n\r\njunk\r\n\r\n".getBytes("UTF-8")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "midrot.warc.gz"),
+      Warc.gzipMember(rec(3, "gamma")) ++ Warc.gzipMember(rotten) ++
+        Warc.gzipMember(rec(4, "delta")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "trunc.warc.gz"),
+      Warc.gzipMember(rec(5, "epsilon")) ++
+        Warc.gzipMember(rec(6, "zeta")).dropRight(6))
+    val (c2, br2, bf2) = Sinks.readWarcGzAudited(spark, dir2)
+    val ids = c2.collect().map(_.getString(2)).toSet
+    assert(ids == Set("urn:x:1", "urn:x:2", "urn:x:3", "urn:x:4"),
+      s"healthy records around a rotten one must survive; got $ids")
+    val br = br2.collect().map(r => (r.getString(0).split('/').last, r.getString(1)))
+    assert(br.length == 1 && br.head._1 == "midrot.warc.gz" &&
+      br.head._2.contains("NoColonHeaderLine"),
+      s"the rotten record must quarantine raw from its own file: ${br.toSeq}")
+    val bf = bf2.collect().map(_.getString(0).split('/').last).toSet
+    assert(bf == Set("trunc.warc.gz"),
+      s"a truncated member must quarantine its whole file: $bf")
+    // a payload that CONTAINS the version line must not be shredded
+    val tricky = rec(7, "body with WARC/1.0\r\n inside it")
+    val dir3 = Files.createTempDirectory("warc_tricky").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir3, "t.warc.gz"),
+      Warc.gzipMember(tricky) ++ Warc.gzipMember(rec(8, "tail")))
+    val (c3, br3, bf3) = Sinks.readWarcGzAudited(spark, dir3)
+    assert(br3.count() == 0 && bf3.count() == 0)
+    val p7 = c3.filter(col("record_id") === "urn:x:7").collect()
+    assert(p7.length == 1 && p7.head.getString(6) == "body with WARC/1.0\r\n inside it",
+      "the Content-Length jump must carry a payload containing the magic")
+  }
+
   test("avro ingest: corrupt containers and schema drift quarantine whole files; unfittable values quarantine rows") {
     import org.apache.spark.sql.types._
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -609,6 +694,52 @@ class SinksSpec extends SparkSpec {
       "GC must keep exactly the chunks live docs reference")
     assert(chunkSet(compacted).size < chunkSet(store).size,
       "GC must actually reclaim chunks unique to deleted docs")
+  }
+
+  test("dedup-cluster artifact: append == one-shot (merges included); re-delivery idempotent; delete serves nothing; compact == one-shot of survivors") {
+    import graft.sources.Tables
+    def clustersOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def half(parity: Int) = Tables(spark, sfDir, docsOverride = Some(
+      tables.documents.filter(pmod(col("doc_id"), lit(2)) === parity)))
+    val grown = Files.createTempDirectory("dclust_grow").toString
+    val oneShot = Files.createTempDirectory("dclust_one").toString
+    Sinks.writeDedupClusters(half(0), grown)
+    Sinks.appendToDedupClusters(half(1), grown)
+    Sinks.writeDedupClusters(tables, oneShot)
+    val grownMap = clustersOf(Sinks.readDedupClusters(spark, grown))
+    val oneMap = clustersOf(Sinks.readDedupClusters(spark, oneShot))
+    assert(grownMap == oneMap,
+      "base+append labels must equal the one-shot clustering exactly")
+    // the law is only interesting if appends actually MERGE something:
+    // some cross-parity pair must share a cluster
+    val cross = oneMap.groupBy(_._2).values.exists(grp =>
+      grp.keys.exists(_ % 2 == 0) && grp.keys.exists(_ % 2 == 1))
+    assert(cross, "corpus must contain at least one cross-half cluster for the merge law to bite")
+    // idempotence: re-deliver everything — nothing changes
+    Sinks.appendToDedupClusters(tables, grown)
+    assert(clustersOf(Sinks.readDedupClusters(spark, grown)) == oneMap,
+      "re-delivery must be a no-op")
+    val idxRows = spark.read.parquet(s"$grown/band_index")
+      .select(col("db"), col("band")).collect().map(r => (r.getLong(0), r.get(1).toString))
+    assert(idxRows.length == idxRows.distinct.length,
+      "re-delivery must not duplicate band-index rows")
+    // delete + compact
+    import spark.implicits._
+    val doomed = oneMap.keys.toSeq.sorted.take(oneMap.size / 5)
+    Sinks.deleteFromDedupClusters(spark, grown, doomed.toDF("doc_id"))
+    val served = clustersOf(Sinks.readDedupClusters(spark, grown))
+    assert(doomed.forall(id => !served.contains(id)),
+      "a tombstoned doc must never serve")
+    val compacted = Files.createTempDirectory("dclust_gc").toString
+    Sinks.compactDedupClusters(spark, grown, compacted)
+    val survivors = Tables(spark, sfDir, docsOverride = Some(
+      tables.documents.filter(!col("doc_id").isin(doomed: _*))))
+    val survOne = Files.createTempDirectory("dclust_surv").toString
+    Sinks.writeDedupClusters(survivors, survOne)
+    assert(clustersOf(Sinks.readDedupClusters(spark, compacted)) ==
+      clustersOf(Sinks.readDedupClusters(spark, survOne)),
+      "compaction must equal a one-shot clustering of the survivors (bridge splits healed)")
   }
 
   test("ivfpq index append: saved-quantizer encode of arrivals == one-shot index; search over the grown index == in-query D46") {

@@ -69,6 +69,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serving off the persisted IVFPQ index == batch searchIvfPqIndex row-for-row; tombstones hold online") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_serve").toString
+    graft.sources.Sinks.writeIvfPqIndex(tables, dir, nCells = 16)
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val qvecs = tables.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1),
+        java.sql.Timestamp.from(base)))
+      .sortBy(_._1).toSeq
+    def serveAll(): Seq[(Long, Long, Long, Double)] = {
+      val input = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
+      val out = graft.streaming.AnnStreamJob.streamAnnServe(
+        input.toDS().toDF("q_id", "v", "ingest_ts"), dir)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("ann_serve_out").start()
+      try {
+        qvecs.grouped(3).foreach { b => input.addData(b); q.processAllAvailable() }
+        // close the watermark with a far-future sentinel query
+        input.addData(Seq((999999L, qvecs.head._2,
+          java.sql.Timestamp.from(base.plusSeconds(864000)))))
+        q.processAllAvailable()
+        spark.table("ann_serve_out").filter($"q_id" =!= 999999L).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(x => (x._1, x._2)).toSeq
+      } finally {
+        q.stop(); spark.sql("DROP TABLE IF EXISTS ann_serve_out"); ()
+      }
+    }
+    def batchRows() = graft.sources.Sinks.searchIvfPqIndex(tables, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val streamed = serveAll()
+    assert(streamed.nonEmpty && streamed == batchRows(),
+      "watermark-closed stream results must equal the batch index search row-for-row")
+    // G32 custody online: tombstone served vectors, re-serve — they
+    // vanish from the stream results exactly as from the batch path
+    val doomed = streamed.map(_._3).distinct.take(3)
+    graft.sources.Sinks.deleteFromIvfPqIndex(spark, dir, doomed.toDF("vec_id"))
+    val after = serveAll()
+    assert(!after.exists(r => doomed.contains(r._3)),
+      "a tombstoned vector must never serve online")
+    assert(after == batchRows(),
+      "post-delete stream results must still equal the batch path")
+  }
+
   test("streaming day-final type shares == batch day-share relation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
