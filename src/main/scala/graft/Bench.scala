@@ -32,7 +32,10 @@ object Bench {
       "ann_pagerank", "mm_dedup_keep_best",
       // round-9: the composed curate+CC funnel is the slowest single
       // query in the registry — its median gates like the CC family
-      "doc_curation_funnel")
+      "doc_curation_funnel",
+      // round-12: the NN-descent index build dominates both; their
+      // medians gate the graph family's build-cost story
+      "ann_method_recall", "ann_graph_search_nnd")
 
   /** State-partition count for the streaming pipeline — a deploy
     * sizing knob, like shuffle partitions for batch: each micro-batch

@@ -368,6 +368,7 @@ object SparkEntry {
     "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract(_, ordered = true)), // REAL netpbm decode (r10), oracle-gated
     "mm_feature_extract_bmp" -> q(Multimodal.mmFeatureExtractBmp(_, ordered = true)), // REAL BMP decode (r11), oracle-gated
     "mm_feature_extract_png" -> q(Multimodal.mmFeatureExtractPng(_, ordered = true)), // REAL PNG decode (r12), oracle-gated
+    "mm_feature_extract_jpeg" -> q(Multimodal.mmFeatureExtractJpeg(_, ordered = true)), // REAL baseline JPEG decode (r12), oracle-gated
     "mm_wav_features"      -> q(Multimodal.mmWavFeatures(_, ordered = true)), // REAL RIFF/WAVE PCM decode (r11), oracle-gated
     "mm_channel_hist"      -> q(Multimodal.mmChannelHist(_, ordered = true)),
     "mm_resize"            -> q(Multimodal.mmResize(_, ordered = true)),
@@ -2248,6 +2249,29 @@ object SparkEntry {
         |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,
         |  floor((CAST(sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
         |  CAST(68 + height*(1 + 3*width) AS INTEGER) AS n_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // F23: baseline JPEG features re-derived from the DC-exact block
+    // formula (dims 8·(1+id%3) × 8·(1+(id·7)%3), block b constant at
+    // (id·31 + b·7) mod 256): constant blocks decode bit-exactly under
+    // the all-ones quant table, so the mean over pixels equals the
+    // mean over block constants (all blocks are 64 px — dims are
+    // multiples of 8); no n_bytes column (entropy-coded size is not a
+    // pure function of the dims)
+    "mm_feature_extract_jpeg" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8*(1 + doc_id % 3) AS INTEGER) AS width,
+        |    CAST(8*(1 + (doc_id * 7) % 3) AS INTEGER) AS height
+        |  FROM documents),
+        |b AS (SELECT doc_id, width, height,
+        |    unnest(range((width // 8) * (height // 8))) AS bi FROM d),
+        |s AS (SELECT doc_id, width, height,
+        |    CAST(SUM((doc_id*31 + bi*7) % 256) AS BIGINT) AS sc,
+        |    COUNT(*) AS nb
+        |  FROM b GROUP BY doc_id, width, height)
+        |SELECT doc_id, 'JPEG8G' AS format, width, height,
+        |  CAST(1 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+        |  floor((CAST(sc AS DOUBLE)/nb)*1000000 + 0.5)/1000000 AS mean_r6
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // F19: audio features re-derived from the affine SAMPLE formula

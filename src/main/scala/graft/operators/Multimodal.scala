@@ -339,6 +339,64 @@ object Multimodal {
     mmDecodePayloads(spark, payloads)
   }, ordered)(col("doc_id"))
 
+  final case class MmJpeg(doc_id: Long, format: String,
+      width: Option[Int], height: Option[Int], channels: Option[Int],
+      maxval: Option[Int], mean_r6: Option[Double])
+
+  /** The JPEG decode boundary (its own row shape: entropy-coded
+    * payload size is not a pure function of the dims, so there is no
+    * SQL-derivable n_bytes column here). Any (doc_id, payload)
+    * relation through the real baseline decoder; unparseable or
+    * out-of-envelope payloads surface as `format = 'corrupt'` rows.
+    */
+  def mmDecodeJpegPayloads(spark: org.apache.spark.sql.SparkSession,
+      payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = payloads.as[(Long, Array[Byte])]
+    ds.mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
+      (try Jpeg.parse(bytes) catch {
+        case scala.util.control.NonFatal(_) => None
+      }) match {
+        case Some(img) =>
+          MmJpeg(id, "JPEG8G", Some(img.width), Some(img.height),
+            Some(1), Some(255), Some(r6d(Jpeg.meanPixel(img))))
+        case None =>
+          MmJpeg(id, "corrupt", None, None, None, None, None)
+      }
+    })).toDF()
+  }
+
+  /** Deterministic baseline-JPEG payload per doc_id — the DC-EXACT
+    * corpus construction: dims 8·(1+doc_id%3) × 8·(1+(doc_id·7)%3),
+    * every 8×8 block CONSTANT at (doc_id·31 + b·7) mod 256 (b =
+    * row-major block index). Constant blocks have zero AC energy and
+    * an exactly-representable DC, so with the all-ones quant table the
+    * decode is bit-exact (see [[Jpeg]] scaladoc) and the oracle
+    * re-derives the mean from the block formula — while the decoder
+    * still runs the full general path (markers, canonical Huffman,
+    * stuffing, zigzag, dequant, IDCT) over genuine JPEG bytes.
+    */
+  private[graft] def jpegBytes(docId: Long): Array[Byte] = {
+    val w = (8 * (1 + docId % 3)).toInt
+    val h = (8 * (1 + (docId * 7) % 3)).toInt
+    val nb = (w / 8) * (h / 8)
+    val blocks = Array.tabulate(nb)(b => ((docId * 31 + b * 7L) % 256L).toInt)
+    Jpeg.encodeBlocks(w, h, blocks)
+  }
+
+  /** F23: feature extract over REAL baseline JPEG payloads — the
+    * second entropy-coded container; Huffman tables, byte stuffing,
+    * DC prediction, zigzag/dequant and the IDCT are all gate-checked
+    * per document against the formula-derived oracle.
+    */
+  def mmFeatureExtractJpeg(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, jpegBytes(id)))).toDF("doc_id", "payload")
+    mmDecodeJpegPayloads(spark, payloads)
+  }, ordered)(col("doc_id"))
+
   final case class MmAudio(doc_id: Long, format: String,
       sample_rate: Option[Int], n_channels: Option[Int],
       n_frames: Option[Long], duration_s_r: Option[Double],

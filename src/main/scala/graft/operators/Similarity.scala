@@ -2885,9 +2885,13 @@ object Similarity {
     }
     val beamW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("vec_id").asc)
+    // ONE bucketed seed build feeds the raw graph leg AND the NND
+    // refinement (the oracle's edgesc CTE shares it the same way) —
+    // the multi-table candidate join is the family's dominant cost
+    val seedCos = Dedup.stableCheckpoint(
+      knnEdgesMultiCosOf(e, kGraph, 8, nTables, bucketCap))
     // graph beam: found = final-beam top-k, cands = every scored vertex
-    val edges = Dedup.stableCheckpoint(
-      knnEdgesMulti(t, kGraph, 8, nTables, bucketCap))
+    val edges = seedCos.select(col("src"), col("dst"))
     val (vis, visited) = beamSearchVisited(e, edges, nQueries, beam, rounds)
     val foundG = vis.filter(col("vec_id") =!= col("q_id"))
       .withColumn("rn", row_number().over(beamW))
@@ -2902,13 +2906,15 @@ object Similarity {
     // scan volume — cands counts what the SEARCH scored (coarse +
     // layer-0 visited union, the graph_layered convention).
     val edgesN = Dedup.stableCheckpoint(symmetrizeEdges(
-      nnDescentEdges(e, knnEdgesMultiCosOf(e, kGraph, 8, nTables, bucketCap),
-        kOut, descRounds)))
-    val esN = e.filter(pmod(col("vec_id"), lit(8L)) === 0L)
+      nnDescentEdges(e, seedCos, kOut, descRounds)))
+    // the coarse-sample seed build is ALSO shared (with the layered
+    // leg below — the oracle's sedgesc CTE)
+    val es = e.filter(pmod(col("vec_id"), lit(8L)) === 0L)
+    val seedCosS = Dedup.stableCheckpoint(
+      knnEdgesMultiCosOf(es, kGraph, 8, nTables, bucketCap))
     val coarseN = Dedup.stableCheckpoint(symmetrizeEdges(
-      nnDescentEdges(esN, knnEdgesMultiCosOf(esN, kGraph, 8, nTables, bucketCap),
-        8, 2)))
-    val entN = esN.agg(min(col("vec_id")).as("vec_id"))
+      nnDescentEdges(es, seedCosS, 8, 2)))
+    val entN = es.agg(min(col("vec_id")).as("vec_id"))
     val seedsN1 = qIds.crossJoin(broadcast(entN))
     val (visN1, visitedN1) =
       beamSearchVisitedFrom(e, coarseN, nQueries, seedsN1, beam, rounds)
@@ -2923,10 +2929,7 @@ object Similarity {
     // layered graph (D52 at the card's round budget): the coarse
     // layer's scored vertices COUNT toward scan volume — its full
     // final beam seeds layer 0 over the same edge relation
-    val es = e.filter(pmod(col("vec_id"), lit(8L)) === 0L)
-    val edges1 = Dedup.stableCheckpoint(
-      knnEdgesMultiOf(es, kGraph, 8, nTables, bucketCap)
-        .select(col("src"), col("dst")))
+    val edges1 = seedCosS.select(col("src"), col("dst"))
     val ent1 = es.agg(min(col("vec_id")).as("vec_id"))
     val seeds1 = qIds.crossJoin(broadcast(ent1))
     val (vis1, visited1) =

@@ -180,6 +180,70 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == "PNG8" && out(2L) == "corrupt")
   }
 
+  test("JPEG codec: DC-exact blocks round-trip positionally; truncation/progressive/DRI/16-bit-DQT quarantine; stuffing exercised") {
+    import graft.operators.Jpeg
+    val (w, h) = (24, 16)
+    val nb = (w / 8) * (h / 8)
+    val blocks = Array.tabulate(nb)(b => (b * 53 + 7) % 256)
+    val bytes = Jpeg.encodeBlocks(w, h, blocks)
+    val img = Jpeg.parse(bytes).getOrElse(fail("planted JPEG must parse"))
+    assert(img.width == w && img.height == h)
+    // positional: every pixel equals its block's constant (bit-exact
+    // through Huffman decode, DC prediction, dequant and the IDCT)
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = (y / 8) * (w / 8) + (x / 8)
+      assert(img.pixels(y * w + x) == blocks(b),
+        s"pixel ($x,$y) != block $b constant ${blocks(b)}")
+    }
+    // byte stuffing: search the block-value space for a payload whose
+    // entropy segment carries an 0xFF (stuffed to FF00) and pin that
+    // it still decodes bit-exactly — the path a decoder that forgets
+    // stuffing mangles
+    def hasStuffing(p: Array[Byte]): Boolean = {
+      // only inside the entropy segment: after SOS..before EOI
+      val sos = (0 until p.length - 1).indexWhere(i =>
+        (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xda)
+      (sos until p.length - 1).exists(i =>
+        (p(i) & 0xff) == 0xff && p(i + 1) == 0x00)
+    }
+    val stuffedCase = (for {
+      c1 <- 0 until 256
+      c2 <- 0 until 256
+      bs = Array(c1, c2, c1)
+      p = Jpeg.encodeBlocks(24, 8, bs)
+      if hasStuffing(p)
+    } yield (bs, p)).headOption
+    assert(stuffedCase.isDefined, "no block pattern produced 0xFF00 stuffing")
+    val (sBlocks, sBytes) = stuffedCase.get
+    val sImg = Jpeg.parse(sBytes).getOrElse(fail("stuffed payload must parse"))
+    for (y <- 0 until 8; x <- 0 until 24) {
+      assert(sImg.pixels(y * 24 + x) == sBlocks(x / 8),
+        s"stuffed payload pixel ($x,$y) mismatched")
+    }
+    // quarantine envelope
+    assert(Jpeg.parse(bytes.dropRight(6)).isEmpty, "missing EOI must fail")
+    assert(Jpeg.parse(bytes.dropRight(bytes.length / 3)).isEmpty,
+      "truncated scan must fail")
+    val prog = bytes.clone()
+    // SOF0 marker byte (0xC0) -> SOF2 (progressive): locate FF C0
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.parse(prog).isEmpty, "progressive is out of envelope")
+    val dqt16 = bytes.clone()
+    val dqtAt = (0 until dqt16.length - 1).find(i =>
+      (dqt16(i) & 0xff) == 0xff && (dqt16(i + 1) & 0xff) == 0xdb).get
+    dqt16(dqtAt + 4) = 0x10 // Pq=1: 16-bit table
+    assert(Jpeg.parse(dqt16).isEmpty, "16-bit quant tables are out of envelope")
+    // the decode boundary quarantines rot instead of failing the job
+    import spark.implicits._
+    val payloads = Seq((1L, bytes), (2L, Array.fill[Byte](32)(0x11)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.mmDecodeJpegPayloads(spark, payloads).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "JPEG8G" && out(2L) == "corrupt")
+  }
+
   test("joint dedup: coarsens both single-modality clusterings — co-clustered pairs in either stay together") {
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
