@@ -33,9 +33,9 @@ object Bench {
       // round-9: the composed curate+CC funnel is the slowest single
       // query in the registry — its median gates like the CC family
       "doc_curation_funnel",
-      // round-12: the NN-descent index build dominates both; their
-      // medians gate the graph family's build-cost story
-      "ann_method_recall", "ann_graph_search_nnd")
+      // round-12: the NN-descent index build dominates all three;
+      // their medians gate the graph family's build-cost story
+      "ann_method_recall", "ann_graph_search_nnd", "ann_nnd_tuning")
 
   /** State-partition count for the streaming pipeline — a deploy
     * sizing knob, like shuffle partitions for batch: each micro-batch
@@ -276,14 +276,17 @@ object Bench {
       // class (cap-transition decade, 1.8); the descent rounds are
       // kOut²·N candidate joins (linear) and the search is bounded
       // broadcast probes — declared at the dominant term
-      "ann_graph_search_nnd" -> 1.8)
+      "ann_graph_search_nnd" -> 1.8,
+      // same dominant term (one descent chain + bounded per-level
+      // searches over its own checkpointed intermediates)
+      "ann_nnd_tuning" -> 1.8)
     val HeavySf1 = Seq("doc_ngram_jaccard", "doc_dedup_clusters",
       "doc_embed_cosine_dup", "doc_semdedup",
       "doc_ngram_jaccard_capped", "doc_ngram_containment",
       "ann_knn_graph", "doc_lsh_tuning", "ann_pagerank",
       "mm_dedup_keep_best", "mm_frame_phash_pairs", "training_data_job",
       "doc_curation_funnel", "ann_ivf_rpq", "ann_method_recall",
-      "ann_graph_search_nnd")
+      "ann_graph_search_nnd", "ann_nnd_tuning")
     val sf1Secs: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SF1", "1") == "0") Map.empty
       else {

@@ -2497,6 +2497,76 @@ object OracleSqlGen {
     s"""$name AS MATERIALIZED (SELECT src, dst FROM $from
        |  UNION SELECT dst AS src, src AS dst FROM $from)""".stripMargin
 
+  /** D54: NN-descent rounds tuning — one MATERIALIZED descent chain
+    * (ne0..neR), per level an edge-quality rollup (mean kept cosine,
+    * mean out-degree) × a flat D41 search unroll over the symmetrized
+    * level edges scored against the shared exact top-k, with the
+    * visited union as scan volume (the D51 convention).
+    */
+  def annNndTuning(nQueries: Int, k: Int, kGraph: Int, bucketCap: Int,
+      nTables: Int, kOut: Int, descRounds: Int, beam: Int,
+      rounds: Int): String = {
+    val dotQC2 = "list_reduce([q.qv[i]*c.v[i] for i in range(1, len(q.qv)+1)], (x,y) -> x+y)"
+    val cosQC = s"floor(($dotQC2/(sqrt(q.qn2)*sqrt(c.n2)))*1000000 + 0.5)/1000000"
+    def dmean(c: String) =
+      s"floor((CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000"
+    def levelCtes(r: Int): String = {
+      val pfx = s"l$r"
+      val roundCtes = (1 to rounds).map { rr =>
+        s"""${pfx}exp$rr AS (SELECT DISTINCT x.q_id, ed.dst AS vec_id
+           |  FROM ${pfx}vis${rr - 1} x JOIN sy$r ed ON ed.src = x.vec_id),
+           |${pfx}sc$rr AS (SELECT x.q_id, x.vec_id, $cosQC AS cos_r
+           |  FROM ${pfx}exp$rr x JOIN n c ON c.vec_id = x.vec_id JOIN qs q ON q.q_id = x.q_id),
+           |${pfx}u$rr AS (SELECT q_id, vec_id, cos_r FROM ${pfx}vis${rr - 1}
+           |  UNION SELECT q_id, vec_id, cos_r FROM ${pfx}sc$rr),
+           |${pfx}vis$rr AS MATERIALIZED (SELECT q_id, vec_id, cos_r FROM (
+           |  SELECT q_id, vec_id, cos_r,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+           |  FROM ${pfx}u$rr) WHERE rn <= $beam)""".stripMargin
+      }.mkString(",\n")
+      val visited = (s"SELECT q_id, vec_id FROM ${pfx}vis0" +:
+        (1 to rounds).map(rr => s"SELECT q_id, vec_id FROM ${pfx}sc$rr"))
+        .mkString("\n  UNION ALL ")
+      s"""${symmEdgeCte(s"sy$r", s"ne$r")},
+         |${pfx}vis0 AS (SELECT q.q_id, c.vec_id, $cosQC AS cos_r
+         |  FROM qs q, ent JOIN n c ON c.vec_id = ent.vec_id),
+         |$roundCtes,
+         |${pfx}found AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+         |  FROM ${pfx}vis$rounds WHERE vec_id <> q_id) WHERE rn <= $k),
+         |${pfx}cands AS (SELECT q_id, COUNT(*) AS n_cands FROM (
+         |  SELECT DISTINCT q_id, vec_id FROM (
+         |  $visited)
+         |  WHERE vec_id <> q_id) GROUP BY q_id),
+         |${pfx}row AS (SELECT CAST($r AS BIGINT) AS desc_rounds,
+         |  (SELECT ${dmean("cos_r")} FROM ne$r) AS mean_edge_cos_r,
+         |  (SELECT floor((CAST(COUNT(*) AS DOUBLE)/CAST(COUNT(DISTINCT src) AS DOUBLE))*1000000 + 0.5)/1000000 FROM ne$r) AS mean_degree_r,
+         |  (SELECT ${dmean("CAST(COALESCE(c.n_cands, 0) AS DOUBLE)")}
+         |     FROM (SELECT DISTINCT q_id FROM qs) qq LEFT JOIN ${pfx}cands c ON c.q_id = qq.q_id) AS mean_cands_r,
+         |  (SELECT ${dmean("r.recall_q")} FROM (
+         |     SELECT e.q_id,
+         |       floor((CAST(COUNT(f.vec_id) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS recall_q
+         |     FROM exk e LEFT JOIN ${pfx}found f ON f.q_id = e.q_id AND f.vec_id = e.vec_id
+         |     GROUP BY e.q_id) r) AS mean_recall_r)""".stripMargin
+    }
+    s"""WITH $normCte,
+       |xsc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM n q JOIN n c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |exk AS MATERIALIZED (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rank
+       |  FROM xsc) WHERE rank <= $k),
+       |${multiEdgeCtes(kGraph, bucketCap, nTables)},
+       |${nnDescentCtes("edgesc", kOut, descRounds)},
+       |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < $nQueries),
+       |ent AS (SELECT MIN(vec_id) AS vec_id FROM n),
+       |${(0 to descRounds).map(levelCtes).mkString(",\n")}
+       |${(0 to descRounds).map(r => s"SELECT * FROM l${r}row").mkString("\nUNION ALL ")}
+       |ORDER BY desc_rounds""".stripMargin
+  }
+
   /** D53: graph-ANN beam search over the NN-descent-refined graph —
     * the full probe-set design: refined SYMMETRIZED full edges
     * (nnDescentCtes over the bucketed seed union), a coarse sampled

@@ -184,6 +184,7 @@ object SparkEntry {
     "ann_beam_tuning"      -> q(Similarity.annBeamTuning(_, ordered = true)),
     "ann_method_recall"    -> q(Similarity.annMethodRecall(_, ordered = true)),
     "ann_graph_search_nnd" -> q(Similarity.annGraphSearchNnd(_, ordered = true)),
+    "ann_nnd_tuning"       -> q(Similarity.annNndTuning(_, ordered = true)),
     "ann_graph_search_layered" -> q(Similarity.annGraphSearchLayered(_, ordered = true)),
     "ann_nlist_tuning"     -> q(Similarity.annNlistTuning(_, ordered = true)),
     "ann_label_knn"        -> q(Similarity.annLabelKnn(_, ordered = true)),
@@ -1912,6 +1913,7 @@ object SparkEntry {
     "ann_beam_tuning"       -> OracleSqlGen.annBeamTuning(Seq(2, 8, 32), 4, 5, 8, 3, 128),
     "ann_method_recall"     -> OracleSqlGen.annMethodRecall(8, 5, 8, 4, 3, 128, 4, 16, 4, 5, 4, 64),
     "ann_graph_search_nnd"  -> OracleSqlGen.annGraphSearchNnd(8, 8, 4, 5, 3, 128, 4, 16, 3, 8, 8, 2),
+    "ann_nnd_tuning"        -> OracleSqlGen.annNndTuning(8, 5, 3, 128, 4, 16, 3, 8, 4),
     "ann_graph_search_layered" -> OracleSqlGen.annGraphSearchLayered(8, 8, 3, 5, 3, 128, 4, 8, 8, 4),
     "ann_nlist_tuning"      -> OracleSqlGen.annNlistTuning(Seq(4, 8, 16)),
     "q_revenue_concentration" -> OracleSqlGen.qRevenueConcentration(Seq(1, 10, 20)),

@@ -2675,14 +2675,25 @@ object Similarity {
     * small fixed constant.
     */
   private[graft] def nnDescentEdges(e: DataFrame, seed: DataFrame,
-      kOut: Int, rounds: Int): DataFrame = {
+      kOut: Int, rounds: Int): DataFrame =
+    nnDescentLevels(e, seed, kOut, rounds).last
+
+  /** Every refinement level 0..rounds (level 0 = the kOut-capped
+    * seed) — the levels are checkpoint-materialized anyway, so the
+    * D54 tuning card reads the whole curve for the price of the
+    * deepest level.
+    */
+  private[graft] def nnDescentLevels(e: DataFrame, seed: DataFrame,
+      kOut: Int, rounds: Int): Seq[DataFrame] = {
     val corpus = e.select(col("vec_id"), col("v"), col("n2"))
     val outW = Window.partitionBy(col("src"))
       .orderBy(col("cos_r").desc, col("dst").asc)
     def topK(edges: DataFrame): DataFrame =
       edges.withColumn("rn", row_number().over(outW))
         .filter(col("rn") <= kOut).drop("rn")
+    val levels = Seq.newBuilder[DataFrame]
     var edges = Dedup.stableCheckpoint(topK(seed))
+    levels += edges
     for (_ <- 1 to rounds) {
       val sym = edges
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
@@ -2705,8 +2716,9 @@ object Similarity {
       // the UNION's distinct collapses them before the rank window
       edges = Dedup.stableCheckpoint(
         topK(edges.unionByName(scored).distinct()))
+      levels += edges
     }
-    edges
+    levels.result()
   }
 
   /** Symmetrize a (src, dst[, …]) edge relation: union with its
@@ -2982,5 +2994,72 @@ object Similarity {
         .unionByName(methodRow("ivf", foundI, candsI))
         .unionByName(methodRow("lsh_multi", foundL, candsL)),
       ordered)(col("method"))
+  }
+
+  /** D54: NN-descent ROUNDS tuning card — what each refinement round
+    * buys (the C20/D37/D43 sensitivity-curve pattern pointed at D53's
+    * one new knob): per level 0..descRounds, the mean kept-edge
+    * cosine (graph QUALITY — the monotone quantity the refinement
+    * optimizes), mean out-degree (capped at kOut; rises while the
+    * seed is sparse), and the flat-search recall@k + scored-candidate
+    * volume over the SYMMETRIZED level edges (search NAVIGABILITY —
+    * what the quality actually converts into; flat entry isolates the
+    * refinement knob from D53's layered-seeding knob).
+    *
+    * Scale shape: ONE descent chain at the deepest level — the
+    * per-level edge relations are its own checkpointed intermediates
+    * (nnDescentLevels), so the whole curve costs one build + a
+    * bounded beam search per level; the exact leg is D1's single
+    * corpus pass shared by all levels.
+    */
+  def annNndTuning(t: Tables, nQueries: Int = 8, k: Int = 5,
+      kGraph: Int = 3, bits: Int = 8, nTables: Int = 4,
+      bucketCap: Int = 128, kOut: Int = 16, descRounds: Int = 3,
+      beam: Int = 8, rounds: Int = 4, ordered: Boolean = false): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val seed = Dedup.stableCheckpoint(
+      knnEdgesMultiCosOf(e, kGraph, bits, nTables, bucketCap))
+    val levels = nnDescentLevels(e, seed, kOut, descRounds)
+    val exact = annTopkBruteforce(t, nQueries, k)
+      .select(col("q_id").as("xq"), col("vec_id").as("xv"))
+    val qIds = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"))
+    val beamW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    def dmean(c: Column) =
+      r6(sum(c.cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)).cast("double"))
+    val perLevel = levels.zipWithIndex.map { case (lv, r) =>
+      val eq = lv.agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("cos_r").cast(DecimalType(18, 6))).as("sc"),
+        countDistinct(col("src")).as("n_src"))
+        .select(lit(r.toLong).as("desc_rounds"),
+          r6(col("sc").cast("double") / col("n_edges").cast("double"))
+            .as("mean_edge_cos_r"),
+          r6(col("n_edges").cast("double") / col("n_src").cast("double"))
+            .as("mean_degree_r"))
+      val (vis, visited) = beamSearchVisited(e,
+        symmetrizeEdges(lv), nQueries, beam, rounds)
+      val found = vis.filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rn", row_number().over(beamW))
+        .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
+      val cands = visited.filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
+      val rec = exact
+        .join(found.select(col("q_id").as("fq"), col("vec_id").as("fv")),
+          col("xq") === col("fq") && col("xv") === col("fv"), "left")
+        .groupBy(col("xq"))
+        .agg(r6(count(col("fv")).cast("double") /
+          count(lit(1)).cast("double")).as("recall_q"))
+      val searchRow = rec
+        .join(qIds.join(cands, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("n_cands"), lit(0L)).as("n_cands")),
+          col("xq") === col("q_id"))
+        .agg(dmean(col("n_cands").cast("double")).as("mean_cands_r"),
+          dmean(col("recall_q")).as("mean_recall_r"))
+      eq.crossJoin(broadcast(searchRow))
+    }
+    maybeSort(perLevel.reduce(_ unionByName _), ordered)(col("desc_rounds"))
   }
 }
