@@ -179,6 +179,48 @@ class PlanSpec extends SparkSpec {
       s"probe joins must be broadcast-hash:\n${p.take(500)}")
   }
 
+  test("nnd graph search: no cartesian in ANY stage — descent rounds included (checkpoint-hidden plans audited via listener)") {
+    // D53 chains a bucketed seed build, kOut²·N descent rounds and two
+    // beam searches, each CHECKPOINT-truncated — so the final plan
+    // string shows only the post-checkpoint tail and a plan-string pin
+    // would miss a cartesian regression inside a round. Audit every
+    // execution the query triggers instead.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        plans.add(qe.executedPlan.toString); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Similarity.annGraphSearchNnd(tables, ordered = true).collect()
+      // the listener bus is async — drain before reading
+      val deadline = System.currentTimeMillis() + 15000
+      var last = -1
+      while (plans.size != last && System.currentTimeMillis() < deadline) {
+        last = plans.size; Thread.sleep(300)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val all = plans.asScala.toSeq
+    assert(all.nonEmpty, "listener captured no executions")
+    val cart = all.filter(_.contains("CartesianProduct"))
+    assert(cart.isEmpty,
+      s"cartesian inside the nnd chain:\n${cart.headOption.getOrElse("").take(400)}")
+    // BNLJ is allowed ONLY for the bounded 1-row-entry × nQueries seed
+    // cross join (rendered "BroadcastNestedLoopJoin BuildX, Cross") —
+    // any CONDITIONED nested loop is a scale bug
+    val bnlj = all.flatMap(_.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross")))
+    assert(bnlj.isEmpty,
+      s"non-cross BNLJ in the nnd chain:\n${bnlj.headOption.getOrElse("").take(400)}")
+    assert(all.exists(_.contains("BroadcastHashJoin")),
+      "frontier/pivot joins must be broadcast-hash somewhere in the chain")
+  }
+
   test("decontaminate: benchmark shingles broadcast — the training corpus never shuffles into the join") {
     val p = plan(Dedup.docDecontaminate(tables))
     assert(p.contains("BroadcastHashJoin"),
