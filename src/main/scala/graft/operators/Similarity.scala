@@ -2512,9 +2512,20 @@ object Similarity {
     */
   private def beamSearchFrom(e: DataFrame, edges: DataFrame, nQueries: Int,
       seeds: DataFrame, beam: Int, rounds: Int,
+      truncate: Boolean = false): DataFrame =
+    beamSearchQRel(e,
+      e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2")),
+      edges, seeds, beam, rounds, truncate)
+
+  /** [[beamSearchFrom]] with an ARBITRARY query relation (q_id, qv,
+    * qn2) — graph-index APPEND (Sinks G39) searches the index for
+    * each arriving vector's neighbors, and arriving ids are not
+    * `< nQueries`.
+    */
+  private[graft] def beamSearchQRel(e: DataFrame, q: DataFrame,
+      edges: DataFrame, seeds: DataFrame, beam: Int, rounds: Int,
       truncate: Boolean = false): DataFrame = {
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
     val corpus = e.select(col("vec_id"), col("v"), col("n2"))
     def scoreIds(ids: DataFrame): DataFrame =
       corpus.join(broadcast(ids), Seq("vec_id"))

@@ -1227,6 +1227,171 @@ object Sinks {
       pcOpt = Some(pcLocal))
   }
 
+  /** G39: persisted GRAPH-ANN index — the D53 deploy artifact, closing
+    * the same lifecycle G26 gave IVFPQ: `path/vectors` (the serving
+    * copy — an index that needs the source table at query time is
+    * half an index), `path/edges` (DIRECTED NN-descent-refined
+    * out-edges WITH cosine, ≤kOut per vertex), `path/coarse_edges`
+    * (the sampled layer's refined edges), `path/tombstones`.
+    *
+    * Append is the NSW insertion, made append-only by a structural
+    * fact: the search symmetrizes edges at read time, so a stored
+    * new→old edge serves as old→new too — no base-edge rewrite, ever.
+    * Each arriving vector's out-edges come from SEARCHING the current
+    * index (coarse seed → layer-0 beam) plus band-candidates among
+    * its own batch; re-delivered vec_ids drop whole (idempotence).
+    * Hub degrees grow only through symmetrization (bounded by total
+    * appends); a full [[writeGraphIndex]] rebuild is the compaction,
+    * re-running the descent (the G26/G32 rebuild discipline) and
+    * dropping tombstoned vertices.
+    *
+    * SinksSpec laws: fresh-index search ≡ the in-query D53
+    * row-for-row; append is idempotent; an appended DUPLICATE of an
+    * existing vector is findable (its original's query returns it at
+    * cosine 1.0 — the strongest deterministic insertion-quality pin);
+    * tombstoned vectors never serve (navigation may still pass
+    * through them until rebuild — the chunk-store honesty note).
+    */
+  def writeGraphIndex(t: Tables, path: String, kGraph: Int = 3,
+      bits: Int = 8, nTables: Int = 4, bucketCap: Int = 128,
+      kOut: Int = 16, descRounds: Int = 3, sampleMod: Int = 8,
+      kOutC: Int = 8, descRoundsC: Int = 2): Unit = {
+    val sim = graft.operators.Similarity
+    val e = sim.withNorm(t.embeddings)
+    val edges = sim.nnDescentEdges(e,
+      sim.knnEdgesMultiCosOf(e, kGraph, bits, nTables, bucketCap),
+      kOut, descRounds)
+    edges.repartition(4, col("src"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/edges")
+    val es = e.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+    sim.nnDescentEdges(es,
+        sim.knnEdgesMultiCosOf(es, kGraph, bits, nTables, bucketCap),
+        kOutC, descRoundsC)
+      .repartition(4, col("src"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/coarse_edges")
+    t.embeddings.select(col("vec_id"), col("embedding"))
+      .repartition(4, col("vec_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/vectors")
+  }
+
+  private def graphIndexVectors(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    graft.operators.Similarity.withNorm(
+      spark.read.parquet(s"$path/vectors"))
+
+  /** Serve queries (vec_id < nQueries of the INDEXED corpus) off the
+    * persisted artifacts alone — result ≡ the in-query
+    * [[graft.operators.Similarity.annGraphSearchNnd]] row-for-row on a
+    * fresh index. Tombstoned vectors are filtered before the final
+    * rank (they may still route).
+    */
+  def searchGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, nQueries: Int = 8, beam: Int = 8, rounds: Int = 4,
+      k: Int = 5, sampleMod: Int = 8): DataFrame = {
+    val sim = graft.operators.Similarity
+    val dd = graft.operators.Dedup
+    val eS = graphIndexVectors(spark, path)
+    val edges = dd.stableCheckpoint(sim.symmetrizeEdges(
+      spark.read.parquet(s"$path/edges")))
+    val cedges = dd.stableCheckpoint(sim.symmetrizeEdges(
+      spark.read.parquet(s"$path/coarse_edges")))
+    val es = eS.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+    val ent1 = es.agg(min(col("vec_id")).as("vec_id"))
+    val seeds1 = eS.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id")).crossJoin(broadcast(ent1))
+    val q = eS.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val seeds0 = sim.beamSearchQRel(eS, q, cedges, seeds1, beam, rounds,
+        truncate = true)
+      .select(col("q_id"), col("vec_id"))
+    val beamRes = sim.beamSearchQRel(eS, q, edges, seeds0, beam, rounds,
+      truncate = true)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val served =
+      if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombPath))
+        beamRes.join(broadcast(spark.read.parquet(s"$path/tombstones")
+          .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
+      else beamRes
+    val beamW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    served
+      .withColumn("rank", row_number().over(beamW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** NSW insertion: each genuinely-new vector's out-edges = the best
+    * kOut of (an index SEARCH from the coarse entry) ∪ (band
+    * candidates among its own batch); append-only — symmetrization at
+    * read time makes the stored new→old edges serve as old→new.
+    * Sampled new ids additionally join the coarse layer with their
+    * coarse-beam top-kOutC.
+    */
+  def appendToGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVectors: DataFrame, kGraph: Int = 3,
+      bits: Int = 8, nTables: Int = 4, bucketCap: Int = 128,
+      kOut: Int = 16, insertBeam: Int = 16, rounds: Int = 4,
+      sampleMod: Int = 8, kOutC: Int = 8): Unit = {
+    val sim = graft.operators.Similarity
+    val dd = graft.operators.Dedup
+    val eS = graphIndexVectors(spark, path)
+    // idempotence: re-delivered vec_ids drop whole
+    val fresh = newVectors.select(col("vec_id"), col("embedding"))
+      .join(eS.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val newV = dd.stableCheckpoint(sim.withNorm(fresh))
+    val qRel = newV.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("n2").as("qn2"))
+    val edges = dd.stableCheckpoint(sim.symmetrizeEdges(
+      spark.read.parquet(s"$path/edges")))
+    val cedges = dd.stableCheckpoint(sim.symmetrizeEdges(
+      spark.read.parquet(s"$path/coarse_edges")))
+    val es = eS.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+    val ent1 = es.agg(min(col("vec_id")).as("vec_id"))
+    val seeds1 = qRel.select(col("q_id")).crossJoin(broadcast(ent1))
+    val coarseBeam = dd.stableCheckpoint(
+      sim.beamSearchQRel(eS, qRel, cedges, seeds1, insertBeam, rounds,
+        truncate = true))
+    val searched = sim.beamSearchQRel(eS, qRel, edges,
+      coarseBeam.select(col("q_id"), col("vec_id")), insertBeam, rounds,
+      truncate = true)
+    // band candidates among the batch itself (new-new neighborhoods)
+    val newNew = sim.knnEdgesMultiCosOf(newV, kGraph, bits, nTables, bucketCap)
+    val outW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("cos_r").desc, col("dst").asc)
+    val newEdges = searched
+      .select(col("q_id").as("src"), col("vec_id").as("dst"), col("cos_r"))
+      .filter(col("src") =!= col("dst"))
+      .unionByName(newNew)
+      .distinct()
+      .withColumn("rn", row_number().over(outW))
+      .filter(col("rn") <= kOut).drop("rn")
+    newEdges.repartition(4, col("src"))
+      .write.mode(SaveMode.Append).parquet(s"$path/edges")
+    val newCoarse = coarseBeam
+      .select(col("q_id").as("src"), col("vec_id").as("dst"), col("cos_r"))
+      .filter(pmod(col("src"), lit(sampleMod.toLong)) === 0L &&
+        col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(outW))
+      .filter(col("rn") <= kOutC).drop("rn")
+    newCoarse.repartition(4, col("src"))
+      .write.mode(SaveMode.Append).parquet(s"$path/coarse_edges")
+    // newV is checkpoint-materialized, so this append never re-reads
+    // the vectors dir it is writing into
+    newV.select(col("vec_id"), col("embedding"))
+      .repartition(4, col("vec_id"))
+      .write.mode(SaveMode.Append).parquet(s"$path/vectors")
+  }
+
+  /** Delete = vec_id tombstones (the G32 LSM discipline); a rebuild
+    * (writeGraphIndex over the live corpus) is the compaction. */
+  def deleteFromGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, vecIds: DataFrame): Unit =
+    vecIds.select(col("vec_id")).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
   /** G27: persist a B63 TOP-K shard — the cross-run leaderboard
     * artifact. Top-k selection is a SEMILATTICE (top-k of a union ==
     * top-k of the unioned per-run top-ks), so per-run ≤k-pair shards

@@ -696,6 +696,49 @@ class SinksSpec extends SparkSpec {
       "GC must actually reclaim chunks unique to deleted docs")
   }
 
+  test("graph index: fresh search == in-query D53; NSW append finds planted duplicates; re-delivery idempotent; tombstones never serve") {
+    val dir = Files.createTempDirectory("graphidx").toString
+    Sinks.writeGraphIndex(tables, dir)
+    val served = Sinks.searchGraphIndex(spark, dir).collect().map(_.toSeq)
+    val inQuery = graft.operators.Similarity.annGraphSearchNnd(tables, ordered = true)
+      .collect().map(_.toSeq)
+    assert(served.toSeq == inQuery.toSeq,
+      "fresh-index search must equal the in-query D53 row-for-row")
+    // NSW insertion-quality pin: append exact DUPLICATES of the query
+    // vectors under new ids — each query must then find its duplicate
+    // at cosine 1.0 (rank 1 or tied behind self), the strongest
+    // deterministic "did the insert wire itself into the graph" law
+    val offset = 1000000L
+    val dups = tables.embeddings.filter(col("vec_id") < 8)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    Sinks.appendToGraphIndex(spark, dir, dups)
+    val after = Sinks.searchGraphIndex(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    (0L until 8L).foreach { qid =>
+      val hit = after.filter(r => r._1 == qid && r._2 == qid + offset)
+      assert(hit.nonEmpty && hit.head._3 == 1.0,
+        s"query $qid must find its appended duplicate at cosine 1.0; " +
+          s"got ${after.filter(_._1 == qid).toSeq}")
+    }
+    // idempotence: re-deliver the same batch — nothing duplicates
+    val vecsBefore = spark.read.parquet(s"$dir/vectors").count()
+    val edgesBefore = spark.read.parquet(s"$dir/edges").count()
+    Sinks.appendToGraphIndex(spark, dir, dups)
+    assert(spark.read.parquet(s"$dir/vectors").count() == vecsBefore,
+      "re-delivered vectors must not duplicate")
+    assert(spark.read.parquet(s"$dir/edges").count() == edgesBefore,
+      "re-delivered vectors must not add edges")
+    // delete: tombstoned ids never serve (here: the duplicates)
+    import spark.implicits._
+    Sinks.deleteFromGraphIndex(spark, dir,
+      (0L until 8L).map(_ + offset).toDF("vec_id"))
+    val postDelete = Sinks.searchGraphIndex(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(!postDelete.exists(_._2 >= offset),
+      "a tombstoned vector must never be served")
+    assert(postDelete.map(_._1).distinct.length == 8, "every query still answers")
+  }
+
   test("dedup-cluster artifact: append == one-shot (merges included); re-delivery idempotent; delete serves nothing; compact == one-shot of survivors") {
     import graft.sources.Tables
     def clustersOf(df: org.apache.spark.sql.DataFrame) = df.collect()
