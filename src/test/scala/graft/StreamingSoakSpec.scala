@@ -210,4 +210,45 @@ class StreamingSoakSpec extends SparkSpec {
       traj.slice(nBatches / 2, 3 * nBatches / 4).max,
       s"state still growing at end of soak: ${traj.toSeq}")
   }
+
+  test("soak: online ANN serving state holds only in-flight queries under sustained arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_soak").toString
+    graft.sources.Sinks.writeIvfPqIndex(tables, dir, nCells = 16)
+    val vecs = tables.embeddings
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .limit(8).collect().map(_.getSeq[Double](1))
+    val input = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
+    val out = graft.streaming.AnnStreamJob.streamAnnServe(
+      input.toDS().toDF("q_id", "v", "ingest_ts"), dir,
+      watermarkDelay = "30 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("soak_annserve").start()
+    val perBatch = 16
+    val nBatches = 20
+    val sizes = Array.newBuilder[Long]
+    try {
+      for (b <- 0 until nBatches) {
+        val ts = java.sql.Timestamp.from(base.plusSeconds(b * 3600L))
+        input.addData((0 until perBatch).map { i =>
+          ((b * perBatch + i + 1000000).toLong, vecs(i % vecs.length), ts)
+        })
+        q.processAllAvailable()
+        sizes += stateRows(q)
+      }
+    } finally q.stop()
+    val traj = sizes.result()
+    info(s"ann-serve state trajectory (every 3rd): ${traj.grouped(3).map(_.head).toSeq}")
+    val steady = traj.drop(nBatches / 2)
+    // the only stateful operator is the per-(q_id, ingest_ts) top-k
+    // aggregate; the watermark closes each query one batch later →
+    // state ≈ 1-2 batches of in-flight queries, never cumulative
+    assert(steady.max <= 4L * perBatch,
+      s"serving state must hold only in-flight queries; tail=${traj.takeRight(8).toSeq}")
+    assert(traj.takeRight(nBatches / 4).max <=
+      traj.slice(nBatches / 2, 3 * nBatches / 4).max,
+      s"state still growing at end of soak: ${traj.toSeq}")
+  }
 }
