@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Insertion-quality probe for the G39 persisted graph index — the
+  * measurement behind the append claim (the LayerProbe discipline:
+  * SinksSpec pins the deterministic duplicate-findability law; this
+  * measures the general case): build the index on HALF the corpus
+  * (even vec_ids), NSW-append the other half, and compare recall@5
+  * (vs the exact corpus-wide top-k) against a one-shot index over the
+  * full corpus. The gap between the two columns is the price of
+  * insertion order; `recall_appended_only` isolates how findable the
+  * APPENDED vectors themselves are.
+  * `runMain graft.GraphIndexProbe [sfDir]`.
+  */
+object GraphIndexProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = graft.sources.Tables(spark, dir)
+    val sim = graft.operators.Similarity
+    val exact = sim.annTopkBruteforce(t).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recall(m: Map[Long, Set[Long]], restrict: Option[Long => Boolean] = None) = {
+      val ex = restrict.fold(exact)(p =>
+        exact.view.mapValues(_.filter(p)).filter(_._2.nonEmpty).toMap)
+      if (ex.isEmpty) -1.0
+      else {
+        val rs = ex.map { case (q, e) =>
+          m.getOrElse(q, Set.empty).count(e).toDouble / e.size }
+        rs.sum / rs.size
+      }
+    }
+    def served(path: String) = graft.sources.Sinks
+      .searchGraphIndex(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val oneShot = java.nio.file.Files.createTempDirectory("gidx_one").toString
+    graft.sources.Sinks.writeGraphIndex(t, oneShot)
+    val one = served(oneShot)
+    val grown = java.nio.file.Files.createTempDirectory("gidx_grow").toString
+    val tHalf = t.copy(embOverride = Some(
+      t.embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)))
+    graft.sources.Sinks.writeGraphIndex(tHalf, grown)
+    graft.sources.Sinks.appendToGraphIndex(spark, grown,
+      t.embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("vec_id"), col("embedding")))
+    val gr = served(grown)
+    println(f"GRAPHIDXPROBE $dir one_shot=${recall(one)}%.3f " +
+      f"grown=${recall(gr)}%.3f " +
+      f"grown_appended_only=${recall(gr, Some(_ % 2 == 1))}%.3f " +
+      f"one_shot_appended_only=${recall(one, Some(_ % 2 == 1))}%.3f")
+    spark.stop()
+  }
+}

@@ -16,7 +16,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * input without re-plumbing each operator's signature.
   */
 final case class Tables(spark: SparkSession, dir: String,
-    docsOverride: Option[DataFrame] = None) {
+    docsOverride: Option[DataFrame] = None,
+    embOverride: Option[DataFrame] = None) {
   // every operator path enters through here → native graft functions
   // (DotProduct, Md5Prefix60) are always registered on the session
   graft.functions.VectorExprs.ensureRegistered(spark)
@@ -72,5 +73,9 @@ final case class Tables(spark: SparkSession, dir: String,
     }
   }
   def documents: DataFrame  = docsOverride.getOrElse(t("documents"))
-  def embeddings: DataFrame = t("embeddings")
+  /** `embOverride` is the embeddings-side sibling of `docsOverride` —
+    * index builds over arbitrary vector relations (partial corpora,
+    * external deliveries) reuse every Tables-taking operator unchanged.
+    */
+  def embeddings: DataFrame = embOverride.getOrElse(t("embeddings"))
 }
