@@ -224,8 +224,17 @@ object Jpeg {
       }
       by += 1
     }
-    // after the scan: skip pad bits, expect EOI
+    // after the scan: skip pad bits, expect EOI. Two legal byte shapes
+    // can sit between the last consumed bit and the marker: a final
+    // entropy byte of 0xFF is emitted as the stuffed pair FF 00 (real
+    // encoders produce this when padding with 1-bits), and any number
+    // of 0xFF fill bytes may precede a marker (T.81 B.1.1.2) — both
+    // are data the bit reader never needed, not corruption.
     var p = br.pos
+    if (p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
+      (bytes(p + 1) & 0xff) == 0x00) p += 2
+    while (p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
+      (bytes(p + 1) & 0xff) == 0xff) p += 1
     if (p + 2 > bytes.length) return None
     if ((bytes(p) & 0xff) != 0xff || (bytes(p + 1) & 0xff) != 0xd9) return None
     Some(Image(w, h, pixels))

@@ -119,6 +119,23 @@ object Sinks {
       parsed.filter(bad).select(col("raw_line")))
   }
 
+  /** The three-relation result of an audited whole-file ingest (G28/
+    * G34/G29/G36) PLUS the cache handle the r12 shape was missing: the
+    * decoded relation persists (MEMORY_AND_DISK) so the three outputs
+    * share one decode, and `unpersist()` releases those blocks once
+    * the caller has materialized what it needs — a long-lived session
+    * ingesting shard waves must not accumulate pinned caches it has no
+    * handle to drop. The tuple-returning wrappers keep the old shape
+    * for one-shot jobs (executor exit reclaims the cache anyway).
+    */
+  final case class AuditedIngest(clean: DataFrame, badRows: DataFrame,
+      badFiles: DataFrame, private val cached: DataFrame) {
+    /** Drop the shared decoded cache (blocking, so a follow-up ingest
+      * of the next wave starts from a clean store). Idempotent. */
+    def unpersist(): Unit = { cached.unpersist(blocking = true); () }
+    def tuple: (DataFrame, DataFrame, DataFrame) = (clean, badRows, badFiles)
+  }
+
   /** G28: audited GZIP JSONL ingestion — crawled corpora arrive as
     * .jsonl.gz shards, and the failure mode Spark's transparent codec
     * path can't quarantine is the COMPRESSED member itself: a
@@ -142,7 +159,12 @@ object Sinks {
     */
   def readJsonLinesGzAudited(spark: org.apache.spark.sql.SparkSession,
       path: String, schema: org.apache.spark.sql.types.StructType):
-      (DataFrame, DataFrame, DataFrame) = {
+      (DataFrame, DataFrame, DataFrame) =
+    readJsonLinesGzIngest(spark, path, schema).tuple
+
+  def readJsonLinesGzIngest(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType):
+      AuditedIngest = {
     import spark.implicits._
     val decoded = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
@@ -181,9 +203,10 @@ object Sinks {
           Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
     val bad = col("rec").isNull || col("rec._corrupt_record").isNotNull
-    (parsed.filter(!bad).select(col("src_file") +: schema.fieldNames.map(f => col(s"rec.$f")): _*),
+    AuditedIngest(
+      parsed.filter(!bad).select(col("src_file") +: schema.fieldNames.map(f => col(s"rec.$f")): _*),
       parsed.filter(bad).select(col("src_file"), col("raw_line")),
-      badFiles)
+      badFiles, decoded)
   }
 
   /** G34: audited ZSTD JSONL ingestion — the G28 envelope for the
@@ -204,7 +227,12 @@ object Sinks {
     */
   def readJsonLinesZstAudited(spark: org.apache.spark.sql.SparkSession,
       path: String, schema: org.apache.spark.sql.types.StructType):
-      (DataFrame, DataFrame, DataFrame) = {
+      (DataFrame, DataFrame, DataFrame) =
+    readJsonLinesZstIngest(spark, path, schema).tuple
+
+  def readJsonLinesZstIngest(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType):
+      AuditedIngest = {
     import spark.implicits._
     val decoded = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
@@ -239,9 +267,10 @@ object Sinks {
           Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
     val bad = col("rec").isNull || col("rec._corrupt_record").isNotNull
-    (parsed.filter(!bad).select(col("src_file") +: schema.fieldNames.map(f => col(s"rec.$f")): _*),
+    AuditedIngest(
+      parsed.filter(!bad).select(col("src_file") +: schema.fieldNames.map(f => col(s"rec.$f")): _*),
       parsed.filter(bad).select(col("src_file"), col("raw_line")),
-      badFiles)
+      badFiles, decoded)
   }
 
   /** G29: audited AVRO container ingestion (the binary sibling of G28
@@ -304,7 +333,12 @@ object Sinks {
 
   def readAvroAudited(spark: org.apache.spark.sql.SparkSession,
       path: String, schema: org.apache.spark.sql.types.StructType):
-      (DataFrame, DataFrame, DataFrame) = {
+      (DataFrame, DataFrame, DataFrame) =
+    readAvroIngest(spark, path, schema).tuple
+
+  def readAvroIngest(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType):
+      AuditedIngest = {
     import org.apache.spark.sql.types._
     import spark.implicits._
     val fields = schema.fields.map(_.name)
@@ -376,10 +410,11 @@ object Sinks {
       .map { case (f, i) =>
         element_at(col("cells"), i + 1).isNotNull && col(f.name).isNull }
       .reduce(_ || _)
-    (castAll.filter(!badRow).select(col("src_file") +: schema.fieldNames.map(col): _*),
+    AuditedIngest(
+      castAll.filter(!badRow).select(col("src_file") +: schema.fieldNames.map(col): _*),
       castAll.filter(badRow)
         .select(col("src_file"), concat_ws("|", col("cells")).as("raw_row")),
-      badFiles)
+      badFiles, decoded)
   }
 
   /** G35: WARC(.gz) export — documents as WARC 1.0 response records,
@@ -432,7 +467,11 @@ object Sinks {
     * persisted once for the three-output fan-out.
     */
   def readWarcGzAudited(spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, DataFrame, DataFrame) = {
+      path: String): (DataFrame, DataFrame, DataFrame) =
+    readWarcGzIngest(spark, path).tuple
+
+  def readWarcGzIngest(spark: org.apache.spark.sql.SparkSession,
+      path: String): AuditedIngest = {
     import spark.implicits._
     val decoded = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
@@ -476,7 +515,7 @@ object Sinks {
       .select(col("src_file"), col("warc_type"), col("record_id"),
         col("target_uri"), col("content_length"), col("n_headers"),
         col("payload"))
-    (clean, badRecords, badFiles)
+    AuditedIngest(clean, badRecords, badFiles, decoded)
   }
 
   /** G19: audited CSV ingestion — G16's enforced-schema + quarantine
@@ -788,14 +827,26 @@ object Sinks {
   private def requireChunkStoreVersion(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val fp = new org.apache.hadoop.fs.Path(s"$path/_format")
-    val ok = fp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fp) && {
+    if (fp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fp)) {
       val v = spark.read.parquet(s"$path/_format")
         .select(col("format_version")).head().getInt(0)
-      v == ChunkStoreVersion
+      require(v == ChunkStoreVersion,
+        s"chunk store at $path is format v$v, need v$ChunkStoreVersion — " +
+          "rebuild with writeChunkStore")
+    } else {
+      // Marker missing: sniff before condemning. A store written by the
+      // release that introduced the binary layout but predates the
+      // marker already has chunk_bytes: binary — adopting it (and
+      // stamping the marker) beats forcing a full corpus re-chunk. Only
+      // an ACTUAL layout mismatch (string payloads = pre-v2) fails.
+      val bt = scala.util.Try(spark.read.parquet(s"$path/chunks").schema)
+        .toOption.flatMap(_.fields.find(_.name == "chunk_bytes").map(_.dataType))
+      require(bt.contains(org.apache.spark.sql.types.BinaryType),
+        s"chunk store at $path is pre-v$ChunkStoreVersion (no _format marker and " +
+          bt.fold("no readable chunk_bytes column")(d => s"chunk_bytes is $d") +
+          " — rebuild with writeChunkStore)")
+      writeChunkStoreVersion(spark, path)
     }
-    require(ok, s"chunk store at $path is not format v$ChunkStoreVersion " +
-      "(missing or mismatched _format marker — likely a pre-v2 store " +
-      "with string payloads; rebuild with writeChunkStore)")
   }
 
   /** G31: INCREMENTAL chunk-store append (G30's sibling for the CDC
@@ -844,19 +895,48 @@ object Sinks {
     chunks.select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
       .repartition(4, col("chunk_hash"))
       .write.mode(SaveMode.Append).parquet(s"$path/manifest")
-    // A re-appended doc_id must SERVE again: clear any matching
-    // tombstones (G33 suppression is "until re-append or compaction",
-    // not forever). The tombstone relation is a bounded delete list —
-    // the collect is small by construction; rewrite goes through a
-    // driver-local materialization because Spark cannot overwrite a
-    // path it is lazily reading in the same action.
+    // Tombstone custody under at-least-once delivery (the takedown
+    // framing of G32/G33): a RE-DELIVERED doc — one the idempotence
+    // anti-join dropped because its manifest rows already exist — must
+    // NOT have its tombstone cleared, or replaying any historical
+    // ingest batch silently resurrects deleted documents. Only docs
+    // that genuinely APPENDED this delivery (absent from the manifest:
+    // new content, or a deleted-then-compacted-away doc intentionally
+    // re-ingested) serve again. An operator un-deleting a still-stored
+    // doc uses the explicit [[restoreToChunkStore]]. The tombstone
+    // relation is a bounded delete list — the collect is small by
+    // construction; rewrite goes through a driver-local materialization
+    // because Spark cannot overwrite a path it is lazily reading in
+    // the same action. (`newDocs` still reads the PRE-append manifest:
+    // its parquet file listing resolved when the append planned.)
     val tombPath = new org.apache.hadoop.fs.Path(s"$path/doc_tombstones")
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tombPath)) {
-      val appended = t.documents.select(col("doc_id")).distinct()
+      val appended = newDocs.select(col("doc_id")).distinct()
       val kept = spark.read.parquet(s"$path/doc_tombstones")
         .select(col("doc_id")).distinct()
         .join(appended, Seq("doc_id"), "left_anti")
+        .collect().map(_.getLong(0))
+      import spark.implicits._
+      kept.toSeq.toDF("doc_id").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/doc_tombstones")
+    }
+  }
+
+  /** Explicit RESTORE — the one operation allowed to clear a
+    * tombstone for a doc the store still holds (an un-delete is a
+    * custody decision, never a side effect of replaying an ingest
+    * batch). No-op for ids that aren't tombstoned; driver-local
+    * rewrite of the bounded delete list, like the append path.
+    */
+  def restoreToChunkStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, docIds: DataFrame): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/doc_tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tombPath)) {
+      val kept = spark.read.parquet(s"$path/doc_tombstones")
+        .select(col("doc_id")).distinct()
+        .join(docIds.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .collect().map(_.getLong(0))
       import spark.implicits._
       kept.toSeq.toDF("doc_id").coalesce(1)

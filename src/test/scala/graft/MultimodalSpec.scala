@@ -220,6 +220,20 @@ class MultimodalSpec extends SparkSpec {
       assert(sImg.pixels(y * 24 + x) == sBlocks(x / 8),
         s"stuffed payload pixel ($x,$y) mismatched")
     }
+    // trailing-stuffed-pad tolerance (r12 ADVICE): a scan whose final
+    // entropy byte is 0xFF is emitted as the stuffed pair FF 00 before
+    // EOI — when the decoder never needed those pad bits it must skip
+    // the pair (and any FF fill bytes, T.81 B.1.1.2), not quarantine
+    val eoiAt = bytes.length - 2
+    val stuffedTail = bytes.take(eoiAt) ++
+      Array(0xff.toByte, 0x00.toByte) ++ bytes.drop(eoiAt)
+    val stImg = Jpeg.parse(stuffedTail)
+      .getOrElse(fail("stuffed FF00 pad before EOI must parse"))
+    assert(stImg.pixels.sameElements(img.pixels))
+    val filledTail = bytes.take(eoiAt) ++
+      Array(0xff.toByte, 0x00.toByte, 0xff.toByte) ++ bytes.drop(eoiAt)
+    assert(Jpeg.parse(filledTail).isDefined,
+      "FF fill bytes before the EOI marker must parse")
     // quarantine envelope
     assert(Jpeg.parse(bytes.dropRight(6)).isEmpty, "missing EOI must fail")
     assert(Jpeg.parse(bytes.dropRight(bytes.length / 3)).isEmpty,

@@ -354,7 +354,9 @@ class SinksSpec extends SparkSpec {
       Array.fill[Byte](64)(0x5a))
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val (clean, badLines, badFiles) = Sinks.readJsonLinesGzAudited(spark, dir, schema)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val ingest = Sinks.readJsonLinesGzIngest(spark, dir, schema)
+    val (clean, badLines, badFiles) = ingest.tuple
     assert(clean.schema.fieldNames.toSeq == Seq("src_file", "doc_id", "text"))
     val cleanRows = clean.collect().map(r => (r.getLong(1), r.getString(2))).toSet
     assert(cleanRows == (1 to 20).map(i => (i.toLong, s"doc $i")).toSet,
@@ -365,6 +367,14 @@ class SinksSpec extends SparkSpec {
       s"corrupt members must quarantine whole: $bf")
     // truncated member: NO partial lines leaked into clean (all-or-nothing)
     assert(!cleanRows.exists(_._2 == null) && cleanRows.forall(_._1 <= 20))
+    // the decoded relation cached for the three-output fan-out must be
+    // RELEASABLE: a long-lived ingest session holds the handle, not a
+    // cache it can never drop (the r12 ADVICE leak)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore).nonEmpty,
+      "the audited ingest must have cached the shared decode")
+    ingest.unpersist()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore).isEmpty,
+      "unpersist() must release the decoded cache blocks")
   }
 
   test("zstd jsonl ingest: corrupt frames quarantined whole, corrupt lines raw, clean rows exact") {
@@ -623,7 +633,7 @@ class SinksSpec extends SparkSpec {
       "append must never store a chunk the base already holds")
   }
 
-  test("chunk store append is idempotent under re-delivery, clears tombstones on re-append, and rejects unversioned stores") {
+  test("chunk store append is idempotent under re-delivery, never resurrects deleted docs on replay, restores explicitly, and version-sniffs unmarked stores") {
     val t = graft.operators.TextOps.plantUtf8Docs(tables)
     val store = Files.createTempDirectory("chunkstore_redeliver").toString
     Sinks.writeChunkStore(t, store)
@@ -640,29 +650,61 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readChunkStore(spark, store).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap == before,
       "re-delivery must leave reconstruction unchanged")
-    // tombstone + re-append: the doc serves again
+    // tombstone + REPLAY of a batch containing the victim: the doc is
+    // still in the manifest (tombstone only suppresses serving), so
+    // the idempotence anti-join drops it — and its tombstone must
+    // SURVIVE, or at-least-once re-delivery silently undoes takedowns
     import spark.implicits._
     val victim = t.documents.select(col("doc_id"))
       .filter(length(col("text")) > 0).limit(1).collect().head.getLong(0)
     Sinks.deleteFromChunkStore(spark, store, Seq(victim).toDF("doc_id"))
     assert(!Sinks.readChunkStore(spark, store).collect()
       .map(_.getLong(0)).contains(victim), "tombstone must suppress the doc")
-    Sinks.appendToChunkStore(t, store) // delivery includes the victim
+    Sinks.appendToChunkStore(t, store) // replay: delivery includes the victim
+    assert(!Sinks.readChunkStore(spark, store).collect()
+      .map(_.getLong(0)).contains(victim),
+      "replaying a historical batch must NOT resurrect a deleted doc")
+    // explicit restore is the un-delete: the doc serves again, store
+    // contents return to the original corpus
+    Sinks.restoreToChunkStore(spark, store, Seq(victim).toDF("doc_id"))
     val served = Sinks.readChunkStore(spark, store).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(served.contains(victim),
-      "a re-appended doc must serve again (tombstone cleared)")
+      "an explicitly restored doc must serve again")
     assert(served == before, "store contents must equal the original corpus")
-    // format-version guard: a store without the marker (pre-v2 layout)
-    // must fail LOUDLY on read and append, not silently mismatch
+    // a doc deleted AND compacted away, then genuinely re-ingested,
+    // must serve: its manifest rows are gone, so the append is a real
+    // append and the stale tombstone clears with it
+    val gcStore = Files.createTempDirectory("chunkstore_gc_reingest").toString
+    Sinks.deleteFromChunkStore(spark, store, Seq(victim).toDF("doc_id"))
+    Sinks.compactChunkStore(spark, store, gcStore)
+    Sinks.deleteFromChunkStore(spark, gcStore, Seq(victim).toDF("doc_id"))
+    Sinks.appendToChunkStore(t, gcStore) // re-ingest after GC
+    assert(Sinks.readChunkStore(spark, gcStore).collect()
+      .map(_.getLong(0)).contains(victim),
+      "a compacted-away doc genuinely re-appended must serve again")
+    // format-version guard: a marker-less store with the v2 BINARY
+    // layout is adopted (marker stamped — it's the prior release's
+    // layout, a rebuild would be pure waste); an actual pre-v2 layout
+    // (string payloads) still fails loudly on read and append
     val legacy = Files.createTempDirectory("chunkstore_legacy").toString
     Sinks.writeChunkStore(t, legacy)
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
     }
     rmrf(new java.io.File(s"$legacy/_format"))
-    intercept[IllegalArgumentException](Sinks.readChunkStore(spark, legacy))
-    intercept[IllegalArgumentException](Sinks.appendToChunkStore(t, legacy))
+    assert(Sinks.readChunkStore(spark, legacy).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == before,
+      "a marker-less v2-layout store must be adopted, not rejected")
+    assert(new java.io.File(s"$legacy/_format").isDirectory,
+      "adoption must stamp the missing _format marker")
+    val preV2 = Files.createTempDirectory("chunkstore_prev2").toString
+    spark.read.parquet(s"$legacy/chunks")
+      .withColumn("chunk_bytes", col("chunk_bytes").cast("string"))
+      .write.parquet(s"$preV2/chunks")
+    spark.read.parquet(s"$legacy/manifest").write.parquet(s"$preV2/manifest")
+    intercept[IllegalArgumentException](Sinks.readChunkStore(spark, preV2))
+    intercept[IllegalArgumentException](Sinks.appendToChunkStore(t, preV2))
   }
 
   test("chunk store delete+compact: tombstoned docs never reconstruct; GC == one-shot store of the survivors") {
