@@ -1334,15 +1334,28 @@ object Similarity {
     * the in-query D46 and G26's pruned index scan. */
   private[graft] def probeCells(t: Tables,
       coarse: Array[(Int, Seq[Double], Double)],
-      nQueries: Int, nProbe: Int): DataFrame = {
+      nQueries: Int, nProbe: Int): DataFrame =
+    probeCellsOf(
+      withNorm(t.embeddings).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v")),
+      coarse, nProbe)
+
+  /** [[probeCells]] over an ARBITRARY (q_id, v) query relation — the
+    * online serving path computes each micro-batch's probe set through
+    * this (same native dot, same r6 + lowest-cell tie rule, so stream
+    * probes are bit-identical to batch probes). */
+  private[graft] def probeCellsOf(q: DataFrame,
+      coarse: Array[(Int, Seq[Double], Double)], nProbe: Int): DataFrame = {
+    VectorExprs.ensureRegistered(q.sparkSession)
     val cellCands = coarse.map { case (cell, cv, c2) =>
       struct(
         r6(col("n2") - lit(2.0) * VectorExprs.dot(col("v"), typedLit(cv)) + lit(c2))
           .as("dist2_r"),
         lit(cell.toLong).as("cell"))
     }
-    withNorm(t.embeddings).filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"),
+    q.select(col("q_id"), col("v"))
+      .withColumn("n2", VectorExprs.dot(col("v"), col("v")))
+      .select(col("q_id"),
         explode(slice(array_sort(array(cellCands: _*)), 1, nProbe)).as("p"),
         col("v"))
       .select(col("q_id"), col("p.cell").as("pcell"), col("v"))
@@ -1452,14 +1465,26 @@ object Similarity {
       coarse: Array[(Int, Seq[Double], Double)],
       pqr: Array[(Int, Seq[Double], Double)], packed: DataFrame,
       nQueries: Int, k: Int, m: Int, nProbe: Int,
-      pcOpt: Option[DataFrame] = None): DataFrame = {
-    val dsub = pqr.head._2.length / m
-    val byCell = typedLit(coarse.sortBy(_._1).toSeq.map(_._2))
+      pcOpt: Option[DataFrame] = None): DataFrame =
     // pcOpt: a caller-supplied (q_id, pcell, v) probe relation — the
     // serving path collects probeCells ONCE (≤ nQueries·nProbe rows)
     // and hands the localized copy back in, so the query side never
     // rescans the corpus inside the scoring plan
-    val pc = pcOpt.getOrElse(probeCells(t, coarse, nQueries, nProbe))
+    annIvfRpqPackedFor(coarse, pqr, packed,
+      pcOpt.getOrElse(probeCells(t, coarse, nQueries, nProbe)), k, m)
+
+  /** [[annIvfRpqPackedWith]] without the Tables dependency: score a
+    * packed code relation against an explicit (q_id, pcell, v) probe
+    * relation — what the per-micro-batch online server calls (its
+    * queries arrive on the stream; there is no corpus-side query set).
+    */
+  private[graft] def annIvfRpqPackedFor(
+      coarse: Array[(Int, Seq[Double], Double)],
+      pqr: Array[(Int, Seq[Double], Double)], packed: DataFrame,
+      pcRel: DataFrame, k: Int, m: Int): DataFrame = {
+    val dsub = pqr.head._2.length / m
+    val byCell = typedLit(coarse.sortBy(_._1).toSeq.map(_._2))
+    val pc = pcRel
       .select(col("q_id"), col("pcell"),
         zip_with(col("v"),
           element_at(byCell, col("pcell").cast("int") + 1),

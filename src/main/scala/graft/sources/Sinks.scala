@@ -1277,18 +1277,34 @@ object Sinks {
     val spark = t.spark
     val sim = graft.operators.Similarity
     val coarse = readQuantizer(spark, s"$path/coarse")
-    val pqr = readQuantizer(spark, s"$path/codebook")
     // ONE bounded collect (≤ nQueries·nProbe rows incl. the query
     // vectors) yields both the probe list and a localized probe
     // relation — the scoring plan then reads ONLY the probed code
     // partitions; the corpus-shaped embeddings table is scanned exactly
     // once (inside probeCells) to load the query vectors
     val pcRows = sim.probeCells(t, coarse, nQueries, nProbe).collect()
-    val probed = pcRows.map(_.getLong(1)).distinct.sorted
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+    searchIvfPqIndexLocal(spark, path, pcRows, k, m)
+  }
+
+  /** The shared serving core: score the persisted index against a
+    * LOCALIZED probe set (q_id, probe cell, query vector — already
+    * collected, ≤ #queries·nProbe tuples). The scan carries
+    * `cell IN (probed)` on the partition column, so non-probed cell
+    * DIRECTORIES prune at PLANNING time (PartitionFilters — the G12
+    * discipline); per-batch online serving re-plans through this with
+    * each micro-batch's own probe set, which is what makes the static
+    * side read ∝ probed cells instead of ∝ corpus.
+    */
+  private[graft] def searchIvfPqIndexLocal(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      pcRows: Seq[(Long, Long, Seq[Double])], k: Int, m: Int): DataFrame = {
+    val sim = graft.operators.Similarity
+    val coarse = readQuantizer(spark, s"$path/coarse")
+    val pqr = readQuantizer(spark, s"$path/codebook")
+    val probed = pcRows.map(_._2).distinct.sorted
     import spark.implicits._
-    val pcLocal = pcRows.toSeq
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
-      .toDF("q_id", "pcell", "v")
+    val pcLocal = pcRows.toDF("q_id", "pcell", "v")
     val codesBase = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probed: _*)) // partition-dir pruning
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
@@ -1303,8 +1319,7 @@ object Sinks {
         codesBase.join(broadcast(spark.read.parquet(s"$path/tombstones")
           .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
       else codesBase
-    sim.annIvfRpqPackedWith(t, coarse, pqr, codes, nQueries, k, m, nProbe,
-      pcOpt = Some(pcLocal))
+    sim.annIvfRpqPackedFor(coarse, pqr, codes, pcLocal, k, m)
   }
 
   /** G39: persisted GRAPH-ANN index — the D53 deploy artifact, closing

@@ -25,14 +25,48 @@ import org.apache.spark.sql.types.DecimalType
   * StreamingSpec law: on watermark-closed queries the emitted rows ≡
   * [[graft.sources.Sinks.searchIvfPqIndex]] row-for-row.
   *
-  * Scale note: the static side is the full codes relation — per-batch
-  * partition PRUNING (the batch path's planning-time win) would need
-  * foreachBatch re-planning, at the cost of composability; the
-  * stream-static hash join still touches only matching cells' rows
-  * after the scan. At true serving scale the codes relation is
-  * bucketed by cell so the join co-locates.
+  * TWO serving forms, one scale story:
+  *
+  *  - [[streamAnnServe]] is the COMPOSABLE form (returns a streaming
+  *    DataFrame any sink can consume) — but its stream-static join
+  *    scans the full codes relation every micro-batch, because a
+  *    single continuously-planned query cannot know the batch's probe
+  *    cells at planning time. Small/medium indexes only.
+  *  - [[streamAnnServePruned]] is the DEPLOY form (the r12 verdict's
+  *    #1): foreachBatch re-plans the static side per micro-batch with
+  *    `cell IN (this batch's probed cells)` on the partition column,
+  *    so non-probed cell DIRECTORIES prune at planning time (the G12
+  *    PartitionFilters discipline — the codes relation is written
+  *    partitioned by cell). Static-side read per batch is
+  *    ∝ #probed cells ≈ nQueries·nProbe/nCells of the corpus, which
+  *    at 10^11 vectors is the difference between megabytes and
+  *    terabytes per batch. Results are bit-identical to the batch
+  *    [[graft.sources.Sinks.searchIvfPqIndex]] (same probe math, same
+  *    shared scoring core), and the per-batch scan volume is recorded
+  *    in [[AnnServeAudit]] / exported on the A17 /metrics surface —
+  *    the runtime witness next to the spec's plan pin.
   */
 object AnnStreamJob {
+
+  /** One served micro-batch's audit record: how many queries arrived,
+    * how many distinct cells they probed, how many static-side code
+    * rows the pruned scan actually produced, and the executed scan
+    * node strings (carrying `PartitionFilters: [cell IN (...)]` — the
+    * plan-law witness).
+    */
+  final case class AnnServeBatchStat(batchId: Long, nQueries: Long,
+      probedCells: Seq[Long], staticRowsScanned: Long,
+      scanPlans: Seq[String]) {
+    def nProbedCells: Long = probedCells.size.toLong
+  }
+
+  /** Accumulates [[AnnServeBatchStat]] rows across a serving query's
+    * lifetime (bounded: one row per micro-batch). */
+  final class AnnServeAudit {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[AnnServeBatchStat]
+    def add(s: AnnServeBatchStat): Unit = synchronized { buf += s; () }
+    def batches: Seq[AnnServeBatchStat] = synchronized { buf.toList }
+  }
 
   /** `queries`: streaming (q_id: long, v: array<double>, ingest_ts:
     * timestamp). Returns (q_id, rank, vec_id, adc_dist_r) per closed
@@ -101,5 +135,83 @@ object AnnStreamJob {
       .select(col("q_id"), posexplode(col("top")).as(Seq("ri", "t")))
       .select(col("q_id"), (col("ri") + 1).cast("long").as("rank"),
         col("t.vec_id").as("vec_id"), col("t.adc_dist_r").as("adc_dist_r"))
+  }
+
+  /** CELL-PRUNED online serving — the deploy form (scaladoc above).
+    * `queries`: streaming (q_id: long, v: array<double>[, …]).
+    * Per micro-batch: the arriving queries' probe cells are computed
+    * with the SAME Spark-expression math as the batch path (bounded
+    * collect, ≤ batchQueries·nProbe tuples), the persisted codes
+    * relation is re-planned with `cell IN (probed)` — planning-time
+    * partition pruning — and the shared scoring core produces each
+    * query's exact top-k, handed to `onBatch` as bounded LOCAL rows
+    * (q_id, rank, vec_id, adc_dist_r). Tombstones anti-join inside the
+    * core, so G32 custody holds online here too.
+    *
+    * Every step is stateless (a query row is self-contained), so state
+    * is structurally flat — there is nothing to watermark. Re-planning
+    * per batch costs one planning pass on a bounded-literal filter;
+    * the static-side read it buys down is corpus-sized.
+    */
+  def streamAnnServePruned(queries: DataFrame, indexPath: String,
+      k: Int = 5, m: Int = 8, nProbe: Int = 4,
+      audit: Option[AnnServeAudit] = None,
+      metrics: Option[GraftMetricsListener] = None)(
+      onBatch: (Long, Seq[(Long, Long, Long, Double)]) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val sim = graft.operators.Similarity
+    val sinks = graft.sources.Sinks
+    // bounded artifacts load once, driver-side (the literal-centers
+    // discipline); the codes relation is deliberately NOT planned here
+    val coarse = sinks.readQuantizer(spark, s"$indexPath/coarse")
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pcRows = sim.probeCellsOf(
+            batch.select(col("q_id"), col("v")).dropDuplicates("q_id"),
+            coarse, nProbe)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+          .toSeq
+        if (pcRows.nonEmpty) {
+          val out = sinks.searchIvfPqIndexLocal(spark, indexPath, pcRows, k, m)
+          val rows = out.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+            .toSeq
+          // runtime witness: static-side scan volume off the executed
+          // plan's own metrics (the GraftQueryAudit walk, scoped to
+          // scans rooted in the index path)
+          val codeScans = planScans(out.queryExecution.executedPlan)
+            .filter(_.relation.location.rootPaths
+              .exists(_.toString.contains(indexPath)))
+          val scanned = codeScans
+            .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+          val cells = pcRows.map(_._2).distinct.sorted
+          audit.foreach(_.add(AnnServeBatchStat(batchId,
+            pcRows.map(_._1).distinct.size.toLong, cells, scanned,
+            codeScans.map(_.toString))))
+          metrics.foreach(_.recordAnnServe(pcRows.map(_._1).distinct.size.toLong,
+            cells.size.toLong, scanned))
+          onBatch(batchId, rows)
+        } else onBatch(batchId, Seq.empty)
+        ()
+      }
+      .start()
+  }
+
+  /** All FileSourceScanExec nodes under an executed plan, through AQE
+    * stages and reused exchanges (the GraftQueryAudit walk). */
+  private def planScans(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(n: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case s: QueryStageExec => s +: walk(s.plan)
+      case r: ReusedExchangeExec => Seq(r)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(p).collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
   }
 }

@@ -59,6 +59,28 @@ final class GraftMetricsListener extends StreamingQueryListener {
   // the processing-time fallback, substituted with it — either way this
   // is their trace (fed by streamPipeline's kes_time_null observation)
   val timeMissing = new AtomicLong(0)
+  // online-ANN serving counters (AnnStreamJob.streamAnnServePruned
+  // reports per micro-batch): queries served, distinct probe cells,
+  // and static-side code rows actually scanned — the runtime witness
+  // that the serving join reads ∝ probed cells, not ∝ corpus (the r12
+  // verdict's weak). A capacity review divides scanned by batches.
+  val annServeBatches = new AtomicLong(0)
+  val annServeQueries = new AtomicLong(0)
+  val annServeProbedCells = new AtomicLong(0)
+  val annServeStaticRowsScanned = new AtomicLong(0)
+
+  /** Fed by the pruned ANN server after each micro-batch (a batch
+    * foreachBatch execution never reaches onQueryProgress's
+    * stream-side metrics, so the server reports directly). */
+  def recordAnnServe(nQueries: Long, nProbedCells: Long,
+      staticRowsScanned: Long): Unit = {
+    annServeBatches.incrementAndGet()
+    annServeQueries.addAndGet(nQueries)
+    annServeProbedCells.addAndGet(nProbedCells)
+    annServeStaticRowsScanned.addAndGet(staticRowsScanned)
+    ()
+  }
+
   // curation-stream counters (DocStreamJob.streamDocCurate's observed
   // metrics): kept survivors plus per-reason drops, using the same
   // reason flags as the batch docCurate verdict
@@ -159,6 +181,14 @@ final class GraftMetricsListener extends StreamingQueryListener {
     s"graft_docs_dropped_low_quality_total ${docsLowQuality.get}",
     "# TYPE graft_docs_dropped_lang_mismatch_total counter",
     s"graft_docs_dropped_lang_mismatch_total ${docsLangMismatch.get}",
+    "# TYPE graft_ann_serve_batches_total counter",
+    s"graft_ann_serve_batches_total ${annServeBatches.get}",
+    "# TYPE graft_ann_serve_queries_total counter",
+    s"graft_ann_serve_queries_total ${annServeQueries.get}",
+    "# TYPE graft_ann_serve_probed_cells_total counter",
+    s"graft_ann_serve_probed_cells_total ${annServeProbedCells.get}",
+    "# TYPE graft_ann_serve_static_rows_scanned_total counter",
+    s"graft_ann_serve_static_rows_scanned_total ${annServeStaticRowsScanned.get}",
     "# TYPE graft_source_buffered_events gauge",
     s"graft_source_buffered_events ${sourceBuffered.get}",
     // gauge, not counter: the underlying count restarts at 0 with each

@@ -251,4 +251,45 @@ class StreamingSoakSpec extends SparkSpec {
       traj.slice(nBatches / 2, 3 * nBatches / 4).max,
       s"state still growing at end of soak: ${traj.toSeq}")
   }
+
+  test("soak: cell-pruned ANN serving scans a flat, probe-bounded static volume per batch under sustained arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_soak_pruned").toString
+    graft.sources.Sinks.writeIvfPqIndex(tables, dir, nCells = 16)
+    val vecs = tables.embeddings
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .limit(8).collect().map(_.getSeq[Double](1))
+    val audit = new graft.streaming.AnnStreamJob.AnnServeAudit
+    val served = new java.util.concurrent.atomic.AtomicLong(0)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.AnnStreamJob.streamAnnServePruned(
+      input.toDS().toDF("q_id", "v"), dir, audit = Some(audit)) { (_, rows) =>
+      served.addAndGet(rows.size.toLong); ()
+    }
+    val perBatch = 16
+    val nBatches = 20
+    try {
+      for (b <- 0 until nBatches) {
+        input.addData((0 until perBatch).map { i =>
+          ((b * perBatch + i + 1000000).toLong, vecs(i % vecs.length))
+        })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val stats = audit.batches
+    assert(stats.size == nBatches && served.get > 0)
+    val traj = stats.map(_.staticRowsScanned)
+    info(s"pruned-serve static scan trajectory (every 3rd): ${traj.grouped(3).map(_.head).toSeq}")
+    val corpusRows = spark.read.parquet(s"$dir/codes").count()
+    // the server is stateless, so the scale law lives in the SCAN: each
+    // batch reads exactly its probed cells' population (spec-pinned in
+    // StreamingSpec) and — same query vectors every batch — the volume
+    // is FLAT across the soak, never cumulative and never corpus-sized
+    assert(traj.distinct.size == 1,
+      s"per-batch static scan must be flat across the soak: ${traj.toSeq}")
+    assert(traj.head < corpusRows,
+      s"static scan ${traj.head} must stay below corpus $corpusRows")
+  }
 }

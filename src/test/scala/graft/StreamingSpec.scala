@@ -117,6 +117,76 @@ class StreamingSpec extends SparkSpec {
       "post-delete stream results must still equal the batch path")
   }
 
+  test("cell-pruned ANN serving: per-batch re-plan == batch searchIvfPqIndex; static side prunes to probed cells (plan + runtime witness); tombstones hold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_serve_pruned").toString
+    graft.sources.Sinks.writeIvfPqIndex(tables, dir, nCells = 16)
+    val qvecs = tables.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val metrics = new graft.streaming.GraftMetricsListener
+    def serveAll(): (Seq[(Long, Long, Long, Double)],
+        Seq[graft.streaming.AnnStreamJob.AnnServeBatchStat]) = {
+      val audit = new graft.streaming.AnnStreamJob.AnnServeAudit
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      val input = MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.AnnStreamJob.streamAnnServePruned(
+        input.toDS().toDF("q_id", "v"), dir,
+        audit = Some(audit), metrics = Some(metrics)) { (_, rows) =>
+        buf.synchronized { buf ++= rows; () }
+      }
+      try {
+        qvecs.grouped(3).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      (buf.sortBy(x => (x._1, x._2)).toSeq, audit.batches)
+    }
+    def batchRows() = graft.sources.Sinks.searchIvfPqIndex(tables, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val (streamed, stats) = serveAll()
+    assert(streamed.nonEmpty && streamed == batchRows(),
+      "pruned per-batch serving must equal the batch index search row-for-row")
+    // plan law (the G12 shape, per batch): the static-side scan node
+    // carries a non-empty PartitionFilters on the cell column — the
+    // planning-time prune, not a post-scan filter
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      assert(s.scanPlans.nonEmpty, s"batch ${s.batchId}: no static-side scan recorded")
+      assert(s.scanPlans.exists(p =>
+        p.contains("PartitionFilters: [") && !p.contains("PartitionFilters: []")
+          && p.contains("cell")),
+        s"batch ${s.batchId}: static scan must prune on the cell partition column:\n${s.scanPlans.mkString("\n")}")
+    }
+    // runtime witness: static-side rows scanned per batch == the probed
+    // cells' code population, NOT the corpus
+    val allCodes = spark.read.parquet(s"$dir/codes")
+      .select(col("cell").cast("long").as("cell"))
+    val corpusRows = allCodes.count()
+    stats.foreach { s =>
+      val popn = allCodes.filter(col("cell").isin(s.probedCells: _*)).count()
+      assert(s.staticRowsScanned == popn,
+        s"batch ${s.batchId}: scanned ${s.staticRowsScanned} != probed-cell population $popn")
+      assert(s.staticRowsScanned < corpusRows,
+        s"batch ${s.batchId}: scan must be a strict subset of the corpus")
+    }
+    // A17 surface: the serving counters export on /metrics
+    assert(metrics.annServeBatches.get >= stats.size.toLong)
+    assert(metrics.annServeStaticRowsScanned.get ==
+      stats.map(_.staticRowsScanned).sum)
+    assert(metrics.snapshot.exists(_.startsWith(
+      "graft_ann_serve_static_rows_scanned_total ")))
+    // G32 custody online: tombstoned vectors vanish here too
+    val doomed = streamed.map(_._3).distinct.take(3)
+    graft.sources.Sinks.deleteFromIvfPqIndex(spark, dir, doomed.toDF("vec_id"))
+    val (after, _) = serveAll()
+    assert(!after.exists(r => doomed.contains(r._3)),
+      "a tombstoned vector must never serve from the pruned path")
+    assert(after == batchRows(),
+      "post-delete pruned stream results must still equal the batch path")
+  }
+
   test("streaming day-final type shares == batch day-share relation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
