@@ -54,6 +54,51 @@ object GraphIndexProbe {
       f"grown=${recall(gr)}%.3f " +
       f"grown_appended_only=${recall(gr, Some(_ % 2 == 1))}%.3f " +
       f"one_shot_appended_only=${recall(one, Some(_ % 2 == 1))}%.3f")
+    // r13 append-wave SOAK (the r12 verdict's #3): one wave proved a
+    // single insert batch doesn't degrade the graph; continuous
+    // insertion needs the CURVE — build on 1/12 of the corpus, append
+    // the other 11 twelfths as sequential NSW waves, and report
+    // recall@5 after every wave, graded against the exact top-k
+    // RESTRICTED to the vectors present at that wave (both the exact
+    // sets and the query set grow as waves land). The claim under
+    // test: no monotone decay as appended mass comes to dominate the
+    // descent-built base.
+    val nWaves = 12
+    val waves = java.nio.file.Files.createTempDirectory("gidx_waves").toString
+    graft.sources.Sinks.writeGraphIndex(t.copy(embOverride = Some(
+      t.embeddings.filter(pmod(col("vec_id"), lit(nWaves)) === 0))), waves)
+    def waveRecall(m: Map[Long, Set[Long]], present: Long => Boolean): Double = {
+      val qs = exact.keys.filter(present).toSeq.sorted
+      val rs = qs.map { q =>
+        val e = exact(q).filter(present)
+        if (e.isEmpty) 1.0 else m.getOrElse(q, Set.empty).count(e).toDouble / e.size
+      }
+      if (rs.isEmpty) -1.0 else rs.sum / rs.size
+    }
+    // each wave is graded against TWO yardsticks: the exact top-k over
+    // the present vectors (absolute recall — declines as the corpus
+    // grows because the task hardens, not because insertion degrades)
+    // and a ONE-SHOT descent-built index over the same present set
+    // (the decay-isolating baseline: grown − one_shot is the price of
+    // insertion order, and THAT is what must not decay monotonically)
+    val curve = (0 until nWaves).map { w =>
+      if (w > 0)
+        graft.sources.Sinks.appendToGraphIndex(spark, waves,
+          t.embeddings.filter(pmod(col("vec_id"), lit(nWaves)) === w)
+            .select(col("vec_id"), col("embedding")))
+      val present = (id: Long) => id % nWaves <= w
+      val r = waveRecall(served(waves), present)
+      val oneW = java.nio.file.Files.createTempDirectory(s"gidx_one_w$w").toString
+      graft.sources.Sinks.writeGraphIndex(t.copy(embOverride = Some(
+        t.embeddings.filter(pmod(col("vec_id"), lit(nWaves)) <= w))), oneW)
+      val r1 = waveRecall(served(oneW), present)
+      println(f"GRAPHIDXWAVE $dir wave=$w grown=$r%.3f one_shot=$r1%.3f " +
+        f"gap=${r - r1}%+.3f")
+      (r, r1)
+    }
+    println(s"GRAPHIDXWAVES $dir grown=" +
+      curve.map(c => f"${c._1}%.3f").mkString(",") +
+      " one_shot=" + curve.map(c => f"${c._2}%.3f").mkString(","))
     spark.stop()
   }
 }

@@ -1369,7 +1369,7 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/vectors")
   }
 
-  private def graphIndexVectors(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def graphIndexVectors(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     graft.operators.Similarity.withNorm(
       spark.read.parquet(s"$path/vectors"))
@@ -1383,6 +1383,21 @@ object Sinks {
   def searchGraphIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, nQueries: Int = 8, beam: Int = 8, rounds: Int = 4,
       k: Int = 5, sampleMod: Int = 8): DataFrame = {
+    val eS = graphIndexVectors(spark, path)
+    val q = eS.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    searchGraphIndexQRel(spark, path, q, beam, rounds, k, sampleMod)
+  }
+
+  /** [[searchGraphIndex]] for an ARBITRARY (q_id, qv, qn2) query
+    * relation — the online graph server routes each micro-batch's
+    * arriving queries through this; the batch entry point above is the
+    * nQueries-prefix special case, so stream ≡ batch structurally.
+    */
+  private[graft] def searchGraphIndexQRel(
+      spark: org.apache.spark.sql.SparkSession, path: String, q: DataFrame,
+      beam: Int = 8, rounds: Int = 4, k: Int = 5,
+      sampleMod: Int = 8): DataFrame = {
     val sim = graft.operators.Similarity
     val dd = graft.operators.Dedup
     val eS = graphIndexVectors(spark, path)
@@ -1390,12 +1405,25 @@ object Sinks {
       spark.read.parquet(s"$path/edges")))
     val cedges = dd.stableCheckpoint(sim.symmetrizeEdges(
       spark.read.parquet(s"$path/coarse_edges")))
+    searchGraphIndexWith(spark, path, eS, edges, cedges, q, beam, rounds,
+      k, sampleMod)
+  }
+
+  /** The serving core against PRE-LOADED artifacts — a long-lived
+    * online server checkpoints the symmetrized edge relations ONCE at
+    * start and serves every micro-batch off them (re-symmetrizing a
+    * corpus-scale edge relation per batch would be the G37 full-scan
+    * mistake in graph clothing); only the bounded tombstone relation
+    * re-reads per call so deletes take effect between batches.
+    */
+  private[graft] def searchGraphIndexWith(
+      spark: org.apache.spark.sql.SparkSession, path: String, eS: DataFrame,
+      edges: DataFrame, cedges: DataFrame, q: DataFrame, beam: Int,
+      rounds: Int, k: Int, sampleMod: Int): DataFrame = {
+    val sim = graft.operators.Similarity
     val es = eS.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
     val ent1 = es.agg(min(col("vec_id")).as("vec_id"))
-    val seeds1 = eS.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id")).crossJoin(broadcast(ent1))
-    val q = eS.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val seeds1 = q.select(col("q_id")).crossJoin(broadcast(ent1))
     val seeds0 = sim.beamSearchQRel(eS, q, cedges, seeds1, beam, rounds,
         truncate = true)
       .select(col("q_id"), col("vec_id"))
@@ -1480,12 +1508,73 @@ object Sinks {
       .write.mode(SaveMode.Append).parquet(s"$path/vectors")
   }
 
-  /** Delete = vec_id tombstones (the G32 LSM discipline); a rebuild
-    * (writeGraphIndex over the live corpus) is the compaction. */
+  /** Delete = vec_id tombstones (the G32 LSM discipline);
+    * [[compactGraphIndex]] is the purge, [[writeGraphIndex]] over the
+    * live corpus the full re-descent rebuild. */
   def deleteFromGraphIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, vecIds: DataFrame): Unit =
     vecIds.select(col("vec_id")).coalesce(1)
       .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
+  /** G39 COMPACTION (the G33/G38 lifecycle twin the graph index was
+    * missing — r12 verdict #2: tombstones otherwise accumulate forever
+    * in the served relation): rewrite to a NEW path keeping only live
+    * vertices, with the read-time symmetrization MATERIALIZED — every
+    * append wave's new→old edges fold into the base as explicit
+    * old→new rows, and tombstoned vertices leave the graph entirely
+    * (their edges with them) instead of merely being filtered at the
+    * final rank.
+    *
+    * Design choice, pinned by the law: compaction PRESERVES the served
+    * graph — it purges and folds, it does not re-run the descent — so
+    * post-compact search ≡ pre-compact live search row-for-row
+    * (SinksSpec), the property an operator compacting a serving store
+    * actually needs (a re-descent would silently reshuffle results the
+    * moment the store is swapped). symmetrize∘symmetrize is identity,
+    * so [[searchGraphIndex]]'s read-time symmetrization is a no-op on
+    * the compacted artifact and the search plan loses the union+
+    * distinct work per query. The coarse layer compacts the same way —
+    * appended sampled vertices are already members (append adds their
+    * coarse out-edges), so the layer tracks the grown corpus without a
+    * rebuild. Heavy deletions that disconnect regions routed through
+    * purged hubs are the signal to run the full [[writeGraphIndex]]
+    * re-descent — the honesty note SinksSpec's probe column watches.
+    *
+    * Scale shape: three semi-joins against the (bounded) live-vertex
+    * relation + partitioned rewrites; no descent, no candidate joins,
+    * no corpus access beyond the index's own artifacts.
+    */
+  def compactGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$from/tombstones")
+    val hasTomb = tombPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(tombPath)
+    val vectors = spark.read.parquet(s"$from/vectors")
+    val live =
+      if (hasTomb)
+        vectors.join(broadcast(spark.read.parquet(s"$from/tombstones")
+          .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
+      else vectors
+    live.repartition(4, col("vec_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$to/vectors")
+    val liveIds = spark.read.parquet(s"$to/vectors").select(col("vec_id"))
+    // symmetrize CARRYING the cosine (the reverse edge scores the same
+    // — dot commutes), so the compacted layer keeps the lifecycle
+    // schema (src, dst, cos_r) and later appends stay schema-stable
+    def compactEdges(layer: String): Unit = {
+      val e = spark.read.parquet(s"$from/$layer")
+        .select(col("src"), col("dst"), col("cos_r"))
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
+          col("cos_r")))
+        .distinct()
+        .join(liveIds.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+        .join(liveIds.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+        .repartition(4, col("src"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$to/$layer")
+    }
+    compactEdges("edges")
+    compactEdges("coarse_edges")
+  }
 
   /** G27: persist a B63 TOP-K shard — the cross-run leaderboard
     * artifact. Top-k selection is a SEMILATTICE (top-k of a union ==

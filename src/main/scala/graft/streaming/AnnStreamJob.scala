@@ -199,6 +199,60 @@ object AnnStreamJob {
       .start()
   }
 
+  /** ONLINE GRAPH-ANN serving off the persisted G39 index — the r12
+    * verdict's #4: the IVFPQ index served streams (above) while the
+    * strictly-better-recall graph index was batch-only, so a
+    * production switchover to the graph path had no serving story.
+    *
+    * Shape: the symmetrized edge relations (full + coarse layer) load
+    * and CHECKPOINT once at server start — re-symmetrizing a
+    * corpus-scale edge relation per micro-batch would be the G37
+    * full-scan mistake in graph clothing; per batch, only bounded work
+    * runs: arriving queries → coarse-layer beam from the sampled entry
+    * → layer-0 beam over the refined edges (each round a ≤batchQ·beam
+    * frontier BROADCAST into the checkpointed edges — the D41 plan),
+    * tombstones re-read per batch (bounded) so deletes take effect
+    * between batches, final top-k per query. Every step is stateless —
+    * a query row is self-contained, nothing to watermark.
+    *
+    * StreamingSpec law: served rows ≡ [[graft.sources.Sinks
+    * .searchGraphIndex]] row-for-row (same QRel core), before and
+    * after deletes; StreamingSoakSpec: flat per-batch behavior across
+    * a sustained run.
+    */
+  def streamGraphAnnServe(queries: DataFrame, indexPath: String,
+      beam: Int = 8, rounds: Int = 4, k: Int = 5, sampleMod: Int = 8)(
+      onBatch: (Long, Seq[(Long, Long, Long, Double)]) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val sim = graft.operators.Similarity
+    val sinks = graft.sources.Sinks
+    val dd = graft.operators.Dedup
+    // static artifacts: loaded + materialized ONCE for the server's
+    // lifetime (the literal-centers discipline, graph-sized)
+    val eS = dd.stableCheckpoint(sinks.graphIndexVectors(spark, indexPath))
+    val edges = dd.stableCheckpoint(sim.symmetrizeEdges(
+      spark.read.parquet(s"$indexPath/edges")))
+    val cedges = dd.stableCheckpoint(sim.symmetrizeEdges(
+      spark.read.parquet(s"$indexPath/coarse_edges")))
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val q = batch.select(col("q_id"), col("v")).dropDuplicates("q_id")
+          .select(col("q_id"),
+            transform(col("v"), x => x.cast("double")).as("qv"))
+          .withColumn("qn2",
+            graft.functions.VectorExprs.dot(col("qv"), col("qv")))
+        val out = sinks.searchGraphIndexWith(spark, indexPath, eS, edges,
+          cedges, q, beam, rounds, k, sampleMod)
+        onBatch(batchId, out.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq)
+        ()
+      }
+      .start()
+  }
+
   /** All FileSourceScanExec nodes under an executed plan, through AQE
     * stages and reused exchanges (the GraftQueryAudit walk). */
   private def planScans(p: org.apache.spark.sql.execution.SparkPlan):

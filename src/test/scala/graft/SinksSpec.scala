@@ -779,6 +779,35 @@ class SinksSpec extends SparkSpec {
     assert(!postDelete.exists(_._2 >= offset),
       "a tombstoned vector must never be served")
     assert(postDelete.map(_._1).distinct.length == 8, "every query still answers")
+    // G39 compaction (r13): purge tombstoned vertices and their edges,
+    // fold the append waves into the base with the read-time
+    // symmetrization MATERIALIZED — the served graph is preserved, so
+    // post-compact search == pre-compact live search row-for-row (the
+    // compactChunkStore/compactDedupClusters law shape)
+    val preCompact = Sinks.searchGraphIndex(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    val compacted = Files.createTempDirectory("graphidx_gc").toString
+    Sinks.compactGraphIndex(spark, dir, compacted)
+    val postCompact = Sinks.searchGraphIndex(spark, compacted).collect()
+      .map(_.toSeq).toSeq
+    assert(postCompact == preCompact,
+      "post-compact search must equal the pre-compact live search row-for-row")
+    // the artifact actually shrinks by the tombstoned share
+    assert(spark.read.parquet(s"$compacted/vectors").count() ==
+      spark.read.parquet(s"$dir/vectors").count() - 8,
+      "compaction must drop exactly the tombstoned vectors")
+    val cEdges = spark.read.parquet(s"$compacted/edges")
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!cEdges.exists(e => e._1 >= offset || e._2 >= offset),
+      "purged vertices must leave the edge relation entirely")
+    // materialized symmetrization: the compacted layer is closed under
+    // reversal, so the read-time symmetrize is a no-op on it
+    val eset = cEdges.toSet
+    assert(eset.forall(e => eset.contains((e._2, e._1))),
+      "compacted edges must be symmetric (reverse edge present)")
+    assert(new java.io.File(s"$compacted/tombstones").exists() == false,
+      "a compacted index carries no tombstones")
   }
 
   test("dedup-cluster artifact: append == one-shot (merges included); re-delivery idempotent; delete serves nothing; compact == one-shot of survivors") {

@@ -292,4 +292,42 @@ class StreamingSoakSpec extends SparkSpec {
     assert(traj.head < corpusRows,
       s"static scan ${traj.head} must stay below corpus $corpusRows")
   }
+
+  test("soak: online graph-ANN serving stays stateless and answers identically per batch under sustained arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graphidx_soak").toString
+    graft.sources.Sinks.writeGraphIndex(tables, dir)
+    val vecs = tables.embeddings
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .limit(8).collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val perBatchRows = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long, Double)]]
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.AnnStreamJob.streamGraphAnnServe(
+      input.toDS().toDF("q_id", "v"), dir) { (_, rows) =>
+      perBatchRows.synchronized {
+        // normalize away the per-batch q_id offset: the answer for the
+        // same VECTOR must be identical every batch
+        perBatchRows += rows.map(r => (r._1 % 8, r._2, r._3, r._4))
+          .sortBy(x => (x._1, x._2)); ()
+      }
+    }
+    val nBatches = 12
+    val states = Array.newBuilder[Long]
+    try {
+      for (b <- 0 until nBatches) {
+        input.addData(vecs.indices.map(i => ((b * 8 + i).toLong, vecs(i)._2)))
+        q.processAllAvailable()
+        states += stateRows(q)
+      }
+    } finally q.stop()
+    assert(perBatchRows.size == nBatches)
+    // stateless by construction: the engine reports zero state rows
+    assert(states.result().forall(_ == 0L),
+      "graph serving must hold no streaming state")
+    // flat behavior: identical answers for identical vectors, every batch
+    assert(perBatchRows.distinct.size == 1,
+      "per-batch served rows must be identical across the soak")
+  }
 }

@@ -187,6 +187,44 @@ class StreamingSpec extends SparkSpec {
       "post-delete pruned stream results must still equal the batch path")
   }
 
+  test("online graph-ANN serving: per-batch results == batch searchGraphIndex row-for-row; deletes take effect between batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graphidx_serve").toString
+    graft.sources.Sinks.writeGraphIndex(tables, dir)
+    val qvecs = tables.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    def serveAll(): Seq[(Long, Long, Long, Double)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      val input = MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.AnnStreamJob.streamGraphAnnServe(
+        input.toDS().toDF("q_id", "v"), dir) { (_, rows) =>
+        buf.synchronized { buf ++= rows; () }
+      }
+      try {
+        qvecs.grouped(3).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      buf.sortBy(x => (x._1, x._2)).toSeq
+    }
+    def batchRows() = graft.sources.Sinks.searchGraphIndex(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val streamed = serveAll()
+    assert(streamed.nonEmpty && streamed == batchRows(),
+      "graph serving must equal the batch index search row-for-row")
+    // deletes take effect between batches (tombstones re-read per batch)
+    val doomed = streamed.map(_._3).distinct.filter(_ >= 8).take(3)
+    assert(doomed.nonEmpty)
+    graft.sources.Sinks.deleteFromGraphIndex(spark, dir, doomed.toDF("vec_id"))
+    val after = serveAll()
+    assert(!after.exists(r => doomed.contains(r._3)),
+      "a tombstoned vector must never serve from the graph stream")
+    assert(after == batchRows(),
+      "post-delete graph stream results must still equal the batch path")
+  }
+
   test("streaming day-final type shares == batch day-share relation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
