@@ -2757,6 +2757,108 @@ object Similarity {
     levels.result()
   }
 
+  /** On-disk memo for the NN-descent edge chains — the r12 verdict's
+    * efficiency finding #2 made concrete: D51's ledger, D53's search
+    * and D54's tuning card all rebuild the SAME descent chain the G39
+    * index persists, so every bench/verify run paid index-BUILD cost
+    * on entries whose purpose is to measure SEARCH. Production serves
+    * from the G39 artifacts; this memo is the in-query equivalent — a
+    * deterministic chain (seed + levels 0..R) written once per
+    * (corpus, params) under target/, then read back, so repeated runs
+    * (bench iterations, the three graph entries sharing one chain)
+    * cost search only. Correctness is untouched: the chain is a pure
+    * function of (corpus, params) — the oracle re-derives it — and a
+    * parquet round-trip of the edge relation is value-exact, so cached
+    * and fresh runs gate identically.
+    *
+    * Custody: only the CANONICAL table set memoizes (an embOverride
+    * corpus builds live — spec plants must never hit a stale memo),
+    * and the key carries a fingerprint of the embeddings parquet
+    * (sizes + mtimes), so a regenerated corpus invalidates by key.
+    * Writes are atomic (scratch dir + rename; loser of a cross-JVM
+    * race serves its own scratch copy).
+    */
+  private[graft] object NndCache {
+    private val Version = "v1"
+
+    private def fingerprint(dir: String): String = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val root = new java.io.File(s"$dir/embeddings.parquet")
+      if (!root.exists()) "nofp"
+      else {
+        val fs = walk(root).sortBy(_.getPath)
+        val h = fs.map(f => f.getName + ":" + f.length + ":" + f.lastModified)
+          .mkString("|").hashCode
+        java.lang.Integer.toHexString(h)
+      }
+    }
+
+    def baseFor(t: Tables): Option[String] =
+      if (t.embOverride.isEmpty)
+        Some("target/graft-cache/" + Version + "/" +
+          t.dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fingerprint(t.dir))
+      else None
+
+    private def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+
+    /** Ensure `path` holds the artifact set `build` writes (into a
+      * scratch dir, renamed in when complete). Returns the live path. */
+    def ensure(path: String)(build: String => Unit): String = synchronized {
+      val done = new java.io.File(path, "_DONE")
+      if (done.exists()) path
+      else {
+        val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+        new java.io.File(tmp).mkdirs()
+        build(tmp)
+        new java.io.File(tmp, "_DONE").createNewFile()
+        val dest = new java.io.File(path)
+        Option(dest.getParentFile).foreach(_.mkdirs())
+        if (new java.io.File(tmp).renameTo(dest)) path
+        else if (done.exists()) { deleteRec(new java.io.File(tmp)); path }
+        else tmp // cross-JVM race left a partial dir: serve our own copy
+      }
+    }
+  }
+
+  /** The descent chain (seed edges with cosines + levels 0..rounds)
+    * over the full corpus (`sampleMod <= 1`) or the deterministic
+    * 1/sampleMod vertex sample — memoized on disk for the canonical
+    * table set (see [[NndCache]]), built live otherwise. All three
+    * graph bench entries (D51/D53/D54) and both layers share chains
+    * through this, so the build runs once per (corpus, params).
+    */
+  private[graft] def nndChainFor(t: Tables, sampleMod: Int, kPerTable: Int,
+      bits: Int, nTables: Int, bucketCap: Int, kOut: Int,
+      rounds: Int): (DataFrame, Seq[DataFrame]) = {
+    val e0 = withNorm(t.embeddings)
+    val e = if (sampleMod > 1)
+      e0.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L) else e0
+    NndCache.baseFor(t) match {
+      case Some(base) =>
+        val spark = t.spark
+        val dir = NndCache.ensure(base +
+          s"/chain_s${math.max(sampleMod, 1)}_k${kPerTable}_b${bits}" +
+          s"_t${nTables}_c${bucketCap}_o${kOut}_r$rounds") { tmp =>
+          knnEdgesMultiCosOf(e, kPerTable, bits, nTables, bucketCap)
+            .write.mode("overwrite").parquet(s"$tmp/seed")
+          val seedR = spark.read.parquet(s"$tmp/seed")
+          nnDescentLevels(e, seedR, kOut, rounds).zipWithIndex.foreach {
+            case (lv, i) => lv.write.mode("overwrite").parquet(s"$tmp/level_$i")
+          }
+        }
+        (spark.read.parquet(s"$dir/seed"),
+          (0 to rounds).map(i => spark.read.parquet(s"$dir/level_$i")))
+      case None =>
+        val seed = Dedup.stableCheckpoint(
+          knnEdgesMultiCosOf(e, kPerTable, bits, nTables, bucketCap))
+        (seed, nnDescentLevels(e, seed, kOut, rounds))
+    }
+  }
+
   /** Symmetrize a (src, dst[, …]) edge relation: union with its
     * reverse, deduped. A top-kOut kNN graph's OUT-edges point into
     * tight true-neighbor cliques (that is what NN-descent optimizes),
@@ -2793,7 +2895,7 @@ object Similarity {
       descRounds: Int = 3, sampleMod: Int = 8, kOutC: Int = 8,
       descRoundsC: Int = 2, ordered: Boolean = false): DataFrame = {
     val e = withNorm(t.embeddings)
-    val (edges, seeds0) = nndSearchParts(e, nQueries, beam, rounds, kGraph,
+    val (edges, seeds0) = nndSearchParts(t, nQueries, beam, rounds, kGraph,
       bits, bucketCap, nTables, kOut, descRounds, sampleMod, kOutC, descRoundsC)
     val beamW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("vec_id").asc)
@@ -2810,17 +2912,18 @@ object Similarity {
     * search itself and D51's graph_nnd ledger leg (which additionally
     * tracks visited sets for honest scan volume).
     */
-  private def nndSearchParts(e: DataFrame, nQueries: Int, beam: Int,
+  private def nndSearchParts(t: Tables, nQueries: Int, beam: Int,
       rounds: Int, kGraph: Int, bits: Int, bucketCap: Int, nTables: Int,
       kOut: Int, descRounds: Int, sampleMod: Int, kOutC: Int,
       descRoundsC: Int): (DataFrame, DataFrame) = {
+    val e = withNorm(t.embeddings)
     val edges = Dedup.stableCheckpoint(symmetrizeEdges(
-      nnDescentEdges(e, knnEdgesMultiCosOf(e, kGraph, bits, nTables, bucketCap),
-        kOut, descRounds)))
+      nndChainFor(t, 1, kGraph, bits, nTables, bucketCap,
+        kOut, descRounds)._2.last))
     val es = e.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
     val coarse = Dedup.stableCheckpoint(symmetrizeEdges(
-      nnDescentEdges(es, knnEdgesMultiCosOf(es, kGraph, bits, nTables, bucketCap),
-        kOutC, descRoundsC)))
+      nndChainFor(t, sampleMod, kGraph, bits, nTables, bucketCap,
+        kOutC, descRoundsC)._2.last))
     val ent1 = es.agg(min(col("vec_id")).as("vec_id"))
     val seeds1 = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id")).crossJoin(broadcast(ent1))
@@ -2935,9 +3038,12 @@ object Similarity {
       .orderBy(col("cos_r").desc, col("vec_id").asc)
     // ONE bucketed seed build feeds the raw graph leg AND the NND
     // refinement (the oracle's edgesc CTE shares it the same way) —
-    // the multi-table candidate join is the family's dominant cost
-    val seedCos = Dedup.stableCheckpoint(
-      knnEdgesMultiCosOf(e, kGraph, 8, nTables, bucketCap))
+    // the multi-table candidate join is the family's dominant cost;
+    // both come from the memoized chain (NndCache), so a second run
+    // of this ledger — or D53/D54 sharing the same params — pays
+    // search cost only, the way production reads the G39 artifacts
+    val (seedCos, levelsN) =
+      nndChainFor(t, 1, kGraph, 8, nTables, bucketCap, kOut, descRounds)
     // graph beam: found = final-beam top-k, cands = every scored vertex
     val edges = seedCos.select(col("src"), col("dst"))
     val (vis, visited) = beamSearchVisited(e, edges, nQueries, beam, rounds)
@@ -2953,15 +3059,13 @@ object Similarity {
     // are INDEX-BUILD cost (like IVF's training pass), not per-query
     // scan volume — cands counts what the SEARCH scored (coarse +
     // layer-0 visited union, the graph_layered convention).
-    val edgesN = Dedup.stableCheckpoint(symmetrizeEdges(
-      nnDescentEdges(e, seedCos, kOut, descRounds)))
+    val edgesN = Dedup.stableCheckpoint(symmetrizeEdges(levelsN.last))
     // the coarse-sample seed build is ALSO shared (with the layered
     // leg below — the oracle's sedgesc CTE)
     val es = e.filter(pmod(col("vec_id"), lit(8L)) === 0L)
-    val seedCosS = Dedup.stableCheckpoint(
-      knnEdgesMultiCosOf(es, kGraph, 8, nTables, bucketCap))
-    val coarseN = Dedup.stableCheckpoint(symmetrizeEdges(
-      nnDescentEdges(es, seedCosS, 8, 2)))
+    val (seedCosS, levelsS) =
+      nndChainFor(t, 8, kGraph, 8, nTables, bucketCap, 8, 2)
+    val coarseN = Dedup.stableCheckpoint(symmetrizeEdges(levelsS.last))
     val entN = es.agg(min(col("vec_id")).as("vec_id"))
     val seedsN1 = qIds.crossJoin(broadcast(entN))
     val (visN1, visitedN1) =
@@ -3053,9 +3157,8 @@ object Similarity {
       bucketCap: Int = 128, kOut: Int = 16, descRounds: Int = 3,
       beam: Int = 8, rounds: Int = 4, ordered: Boolean = false): DataFrame = {
     val e = withNorm(t.embeddings)
-    val seed = Dedup.stableCheckpoint(
-      knnEdgesMultiCosOf(e, kGraph, bits, nTables, bucketCap))
-    val levels = nnDescentLevels(e, seed, kOut, descRounds)
+    val levels = nndChainFor(t, 1, kGraph, bits, nTables, bucketCap,
+      kOut, descRounds)._2
     val exact = annTopkBruteforce(t, nQueries, k)
       .select(col("q_id").as("xq"), col("vec_id").as("xv"))
     val qIds = e.filter(col("vec_id") < nQueries)
