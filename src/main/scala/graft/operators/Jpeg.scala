@@ -276,6 +276,262 @@ object Jpeg {
     }
   }
 
+  // ---------------------------------------------------------------
+  // COLOR envelope (r13, F23b): baseline multi-component decode —
+  // crawled corpora are overwhelmingly 3-component YCbCr, most of it
+  // 4:2:0. Everything below is the same public spec machinery as the
+  // grayscale path plus the three things color adds: per-component
+  // table SELECTION (quant id from SOF, DC/AC Huffman ids from SOS),
+  // MCU-INTERLEAVED block order (per MCU: each component's v×h blocks
+  // row-major, own DC predictor per component), and chroma upsampling
+  // (replication) + the JFIF YCbCr→RGB affine with floor(x+0.5) and
+  // clamp — floor-based so an oracle reproduces it bit-for-bit in
+  // doubles.
+  //
+  // Envelope: 8-bit baseline SOF0, 1 or 3 components; sampling all
+  // 1×1 (4:4:4 / grayscale) or Y 2×2 with 1×1 chroma (4:2:0); no
+  // restart intervals, no progressive. Everything else → None →
+  // quarantine, same custody as the grayscale path.
+  // ---------------------------------------------------------------
+
+  /** A decoded color image: top-down row-major planes 0..255.
+    * `channels` = source component count (1 ⇒ r=g=b=Y). */
+  final case class ImageRGB(width: Int, height: Int, channels: Int,
+      r: Array[Int], g: Array[Int], b: Array[Int])
+
+  private final class Comp(val id: Int, val hs: Int, val vs: Int, val tq: Int) {
+    var dcId: Int = 0
+    var acId: Int = 0
+    var pred: Int = 0
+    var plane: Array[Int] = null
+    var pw: Int = 0
+  }
+
+  /** Decode one 8×8 block (DC diff + AC run-length) into `coef`
+    * (dequantized, natural order). Returns the new DC predictor, or
+    * Int.MinValue on any decode fault. */
+  private def decodeBlock(br: BitReader, dc: Huff, ac: Huff,
+      quant: Array[Int], pred0: Int, coef: Array[Int]): Int = {
+    java.util.Arrays.fill(coef, 0)
+    val t = br.decodeHuff(dc)
+    if (br.truncated || t < 0 || t > 11) return Int.MinValue
+    val diff = extend(br.readBits(t), t)
+    if (br.truncated) return Int.MinValue
+    val pred = pred0 + diff
+    coef(0) = pred * quant(0)
+    var k = 1
+    var eob = false
+    while (k < 64 && !eob) {
+      val rs = br.decodeHuff(ac)
+      if (br.truncated || rs < 0) return Int.MinValue
+      val r = rs >> 4
+      val s = rs & 0xf
+      if (s == 0) {
+        if (r == 15) k += 16 // ZRL
+        else eob = true
+      } else {
+        k += r
+        if (k > 63) return Int.MinValue
+        coef(ZigZag(k)) = extend(br.readBits(s), s) * quant(k)
+        if (br.truncated) return Int.MinValue
+        k += 1
+      }
+    }
+    pred
+  }
+
+  def parseColor(bytes: Array[Byte]): Option[ImageRGB] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    var pos = 2
+    val quants = new Array[Array[Int]](4)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var w = -1
+    var h = -1
+    var comps: Array[Comp] = null
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (pos + 4 > bytes.length) return None
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      val m = bytes(pos + 1) & 0xff
+      val len = u16(bytes, pos + 2)
+      if (len < 2 || pos + 2 + len > bytes.length) return None
+      val body = pos + 4
+      m match {
+        case 0xdb =>
+          var p = body
+          while (p < pos + 2 + len) {
+            val pq = (bytes(p) & 0xf0) >> 4
+            val tq = bytes(p) & 0x0f
+            if (pq != 0 || tq > 3) return None
+            if (p + 65 > pos + 2 + len) return None
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(i) = bytes(p + 1 + i) & 0xff; i += 1 }
+            quants(tq) = t
+            p += 65
+          }
+        case 0xc0 =>
+          if (len < 11) return None
+          if ((bytes(body) & 0xff) != 8) return None
+          h = u16(bytes, body + 1)
+          w = u16(bytes, body + 3)
+          val nf = bytes(body + 5) & 0xff
+          if (w < 1 || h < 1 || (nf != 1 && nf != 3)) return None
+          if (len < 8 + 3 * nf) return None
+          comps = Array.tabulate(nf) { i =>
+            val o = body + 6 + 3 * i
+            new Comp(bytes(o) & 0xff, (bytes(o + 1) & 0xf0) >> 4,
+              bytes(o + 1) & 0x0f, bytes(o + 2) & 0x0f)
+          }
+          val hv = comps.map(c => (c.hs, c.vs)).toSeq
+          val ok = hv.forall(_ == ((1, 1))) ||
+            (nf == 3 && hv == Seq((2, 2), (1, 1), (1, 1)))
+          if (!ok || comps.exists(_.tq > 3)) return None
+        case 0xc4 =>
+          var p = body
+          while (p < pos + 2 + len) {
+            val tc = (bytes(p) & 0xf0) >> 4
+            val th = bytes(p) & 0x0f
+            if (th > 3) return None
+            if (p + 17 > pos + 2 + len) return None
+            val bits = new Array[Int](16)
+            var n = 0
+            var i = 0
+            while (i < 16) { bits(i) = bytes(p + 1 + i) & 0xff; n += bits(i); i += 1 }
+            if (p + 17 + n > pos + 2 + len) return None
+            val vals = new Array[Int](n)
+            i = 0
+            while (i < n) { vals(i) = bytes(p + 17 + i) & 0xff; i += 1 }
+            val huff = Huff(bits, vals)
+            if (tc == 0) dcTabs(th) = huff else acTabs(th) = huff
+            p += 17 + n
+          }
+        case 0xda =>
+          if (comps == null) return None
+          val ns = bytes(body) & 0xff
+          if (ns != comps.length || len < 6 + 2 * ns) return None
+          var i = 0
+          while (i < ns) {
+            val cid = bytes(body + 1 + 2 * i) & 0xff
+            val sel = bytes(body + 2 + 2 * i) & 0xff
+            comps.find(_.id == cid) match {
+              case Some(c) => c.dcId = (sel & 0xf0) >> 4; c.acId = sel & 0x0f
+              case None => return None
+            }
+            i += 1
+          }
+          scanStart = pos + 2 + len
+        case 0xc2 | 0xc1 | 0xc3 => return None // progressive/extended
+        case 0xdd => return None // restart intervals out of envelope
+        case 0xd9 => return None // EOI before any scan
+        case _ => ()
+      }
+      pos = pos + 2 + len
+    }
+    if (w < 0 || comps == null) return None
+    if (comps.exists(c => quants(c.tq) == null || dcTabs(c.dcId) == null ||
+      acTabs(c.acId) == null)) return None
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      c.pw = mcusX * c.hs * 8
+      c.plane = new Array[Int](c.pw * mcusY * c.vs * 8)
+    }
+    val br = new BitReader(bytes, scanStart)
+    val coef = new Array[Int](64)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          var by = 0
+          while (by < c.vs) {
+            var bx = 0
+            while (bx < c.hs) {
+              val p = decodeBlock(br, dcTabs(c.dcId), acTabs(c.acId),
+                quants(c.tq), c.pred, coef)
+              if (p == Int.MinValue) return None
+              c.pred = p
+              // planes are padded to whole MCUs, so the block always
+              // fits — idctBlock's bounds clip never triggers here
+              idctBlock(coef, c.plane, c.pw, c.plane.length / c.pw,
+                (mx * c.hs + bx) * 8, (my * c.vs + by) * 8)
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    // same post-scan custody as the grayscale path: stuffed pad pair,
+    // FF fill bytes, then EOI
+    var p = br.pos
+    if (p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
+      (bytes(p + 1) & 0xff) == 0x00) p += 2
+    while (p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
+      (bytes(p + 1) & 0xff) == 0xff) p += 1
+    if (p + 2 > bytes.length) return None
+    if ((bytes(p) & 0xff) != 0xff || (bytes(p + 1) & 0xff) != 0xd9) return None
+    val rP = new Array[Int](w * h)
+    val gP = new Array[Int](w * h)
+    val bP = new Array[Int](w * h)
+    def clampF(x: Double): Int = {
+      val v = math.floor(x + 0.5).toInt
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+    if (comps.length == 1) {
+      val c = comps(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = c.plane(y * c.pw + x)
+          rP(y * w + x) = v; gP(y * w + x) = v; bP(y * w + x) = v
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = cy.plane((y * cy.vs / vmax) * cy.pw + (x * cy.hs / hmax))
+          val cbv = cb.plane((y * cb.vs / vmax) * cb.pw + (x * cb.hs / hmax))
+          val crv = cr.plane((y * cr.vs / vmax) * cr.pw + (x * cr.hs / hmax))
+          val i = y * w + x
+          rP(i) = clampF(yv + 1.402 * (crv - 128))
+          gP(i) = clampF(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128))
+          bP(i) = clampF(yv + 1.772 * (cbv - 128))
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some(ImageRGB(w, h, comps.length, rP, gP, bP))
+  }
+
+  /** Exact per-channel integer pixel sums (means are one double
+    * division each, r6'd at the decode boundary). */
+  def channelSums(img: ImageRGB): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < img.r.length) {
+      sr += img.r(i); sg += img.g(i); sb += img.b(i); i += 1
+    }
+    (sr, sg, sb)
+  }
+
   /** Exact integer pixel sum + mean (one double division). */
   def meanPixel(img: Image): Double = {
     var s = 0L
@@ -355,6 +611,87 @@ object Jpeg {
       bw.write(t, 4) // DC category: canonical code == category value
       if (t > 0) bw.write(if (diff >= 0) diff else diff + (1 << t) - 1, t)
       bw.write(0, 1) // EOB
+    }
+    out.write(bw.finish())
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a 4:2:0 YCbCr image from per-8×8-block CONSTANT values —
+    * the DC-exact COLOR corpus construction: `yBlocks` row-major over
+    * the (w/8)×(h/8) luma grid, `cbBlocks`/`crBlocks` row-major over
+    * the (w/16)×(h/16) chroma grid (each chroma block covers one
+    * 16×16 MCU). Dims must be multiples of 16. Constant blocks have
+    * zero AC energy and an exactly-representable DC, and replication
+    * upsampling of a constant is the constant — so with all-ones
+    * quant tables the decode-side planes are bit-exact and the
+    * YCbCr→RGB floor-affine is oracle-derivable per block. The bytes
+    * are a conformant baseline JFIF-shaped stream: two quant tables
+    * (luma 0, chroma 1), two DC + two AC Huffman tables, MCU-
+    * interleaved scan with per-component predictors — the full color
+    * machinery a wild decoder must implement, on genuine JPEG bytes.
+    */
+  private[graft] def encodeBlocksColor(w: Int, h: Int, yBlocks: Array[Int],
+      cbBlocks: Array[Int], crBlocks: Array[Int]): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, "DC-exact color corpus uses multiple-of-16 dims")
+    val bw0 = w / 8
+    val cw = w / 16
+    require(yBlocks.length == bw0 * (h / 8), "luma block count mismatch")
+    require(cbBlocks.length == cw * (h / 16) && crBlocks.length == cbBlocks.length,
+      "chroma block count mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1)) // DQT id 0 (luma)
+    seg(0xdb, Array(0x01) ++ Array.fill(64)(1)) // DQT id 1 (chroma)
+    // SOF0: 3 components — Y 2×2 sampling quant 0, Cb/Cr 1×1 quant 1
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    seg(0xc4, Array(0x00) ++ dcBits ++ (0 to 11).toArray) // DC id 0
+    seg(0xc4, Array(0x10) ++ acBits ++ Array(0x00))       // AC id 0
+    seg(0xc4, Array(0x01) ++ dcBits ++ (0 to 11).toArray) // DC id 1
+    seg(0xc4, Array(0x11) ++ acBits ++ Array(0x00))       // AC id 1
+    // SOS: Y uses tables 0/0, chroma 1/1
+    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val bw = new BitWriter
+    var predY = 0
+    var predCb = 0
+    var predCr = 0
+    def writeDc(cval: Int, pred: Int): Int = {
+      val dc = 8 * (cval - 128)
+      val diff = dc - pred
+      val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      bw.write(t, 4)
+      if (t > 0) bw.write(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      bw.write(0, 1) // EOB
+      dc
+    }
+    var my = 0
+    while (my < h / 16) {
+      var mx = 0
+      while (mx < w / 16) {
+        var by = 0
+        while (by < 2) { // 4 luma blocks, row-major within the MCU
+          var bx = 0
+          while (bx < 2) {
+            predY = writeDc(yBlocks((my * 2 + by) * bw0 + (mx * 2 + bx)), predY)
+            bx += 1
+          }
+          by += 1
+        }
+        predCb = writeDc(cbBlocks(my * cw + mx), predCb)
+        predCr = writeDc(crBlocks(my * cw + mx), predCr)
+        mx += 1
+      }
+      my += 1
     }
     out.write(bw.finish())
     marker(0xd9) // EOI

@@ -397,6 +397,74 @@ object Multimodal {
     mmDecodeJpegPayloads(spark, payloads)
   }, ordered)(col("doc_id"))
 
+  final case class MmJpegColor(doc_id: Long, format: String,
+      width: Option[Int], height: Option[Int], channels: Option[Int],
+      mean_r_r6: Option[Double], mean_g_r6: Option[Double],
+      mean_b_r6: Option[Double])
+
+  /** The COLOR JPEG decode boundary (F23b): any (doc_id, payload)
+    * relation through the real multi-component baseline decoder —
+    * per-component quant/Huffman selection, MCU-interleaved 4:2:0
+    * decode, chroma upsampling, YCbCr→RGB. Per-channel means are
+    * integer pixel sums with one r6'd double division each;
+    * out-of-envelope or corrupt payloads surface as quarantine rows.
+    */
+  def mmDecodeJpegColorPayloads(spark: org.apache.spark.sql.SparkSession,
+      payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = payloads.as[(Long, Array[Byte])]
+    ds.mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
+      (try Jpeg.parseColor(bytes) catch {
+        case scala.util.control.NonFatal(_) => None
+      }) match {
+        case Some(img) =>
+          val (sr, sg, sb) = Jpeg.channelSums(img)
+          val n = (img.width.toLong * img.height).toDouble
+          MmJpegColor(id, if (img.channels == 3) "JPEG420" else "JPEG8G",
+            Some(img.width), Some(img.height), Some(img.channels),
+            Some(r6d(sr / n)), Some(r6d(sg / n)), Some(r6d(sb / n)))
+        case None =>
+          MmJpegColor(id, "corrupt", None, None, None, None, None, None)
+      }
+    })).toDF()
+  }
+
+  /** Deterministic 4:2:0 color JPEG per doc_id — the DC-exact COLOR
+    * corpus: dims 16·(1+id%2) × 16·(1+(id·7)%2); luma block b (row-
+    * major over the (w/8)×(h/8) grid) constant at (id·31+b·7) mod 256;
+    * chroma block c (over the (w/16)×(h/16) MCU grid) Cb = (id·17+
+    * c·11) mod 256, Cr = (id·23+c·5) mod 256. Constant blocks decode
+    * bit-exactly (all-ones quant) and replication upsampling of a
+    * constant is the constant, so every pixel's RGB is the floor-
+    * affine of its block's (Y, Cb, Cr) — which the oracle re-derives
+    * per block while the decoder runs the full color machinery
+    * (two quant + four Huffman tables, MCU interleave, per-component
+    * predictors, upsample, color convert) over genuine JPEG bytes.
+    */
+  private[graft] def jpegColorBytes(docId: Long): Array[Byte] = {
+    val w = (16 * (1 + docId % 2)).toInt
+    val h = (16 * (1 + (docId * 7) % 2)).toInt
+    val nb = (w / 8) * (h / 8)
+    val nc = (w / 16) * (h / 16)
+    Jpeg.encodeBlocksColor(w, h,
+      Array.tabulate(nb)(b => ((docId * 31 + b * 7L) % 256L).toInt),
+      Array.tabulate(nc)(c => ((docId * 17 + c * 11L) % 256L).toInt),
+      Array.tabulate(nc)(c => ((docId * 23 + c * 5L) % 256L).toInt))
+  }
+
+  /** F23b: feature extract over REAL 4:2:0 COLOR JPEG payloads —
+    * crawled corpora are overwhelmingly 3-component YCbCr 4:2:0, so
+    * the color envelope is what the F23 machinery was for; gate-
+    * checked per document against the block-formula oracle.
+    */
+  def mmFeatureExtractJpegColor(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, jpegColorBytes(id)))).toDF("doc_id", "payload")
+    mmDecodeJpegColorPayloads(spark, payloads)
+  }, ordered)(col("doc_id"))
+
   final case class MmAudio(doc_id: Long, format: String,
       sample_rate: Option[Int], n_channels: Option[Int],
       n_frames: Option[Long], duration_s_r: Option[Double],

@@ -258,6 +258,65 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == "JPEG8G" && out(2L) == "corrupt")
   }
 
+  test("color JPEG codec: 4:2:0 DC-exact blocks round-trip positionally; missing chroma tables/truncation/bad sampling quarantine") {
+    import graft.operators.Jpeg
+    val (w, h) = (32, 16)
+    val bw = w / 8
+    val yB = Array.tabulate(bw * (h / 8))(b => (b * 53 + 7) % 256)
+    val cw = w / 16
+    val cbB = Array.tabulate(cw * (h / 16))(c => (c * 91 + 13) % 256)
+    val crB = Array.tabulate(cw * (h / 16))(c => (c * 37 + 201) % 256)
+    val bytes = Jpeg.encodeBlocksColor(w, h, yB, cbB, crB)
+    val img = Jpeg.parseColor(bytes).getOrElse(fail("planted color JPEG must parse"))
+    assert(img.width == w && img.height == h && img.channels == 3)
+    // positional: every pixel equals the floor-affine of its luma
+    // block's Y and its MCU's (Cb, Cr) — through per-component table
+    // selection, MCU interleave, per-component DC prediction, IDCT,
+    // replication upsampling and the JFIF conversion
+    def clampF(x: Double) = math.max(0, math.min(255, math.floor(x + 0.5).toInt))
+    for (y <- 0 until h; x <- 0 until w) {
+      val yv = yB((y / 8) * bw + (x / 8))
+      val mcu = (y / 16) * cw + (x / 16)
+      val (cb, cr) = (cbB(mcu), crB(mcu))
+      assert(img.r(y * w + x) == clampF(yv + 1.402 * (cr - 128)),
+        s"R at ($x,$y)")
+      assert(img.g(y * w + x) ==
+        clampF(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), s"G at ($x,$y)")
+      assert(img.b(y * w + x) == clampF(yv + 1.772 * (cb - 128)), s"B at ($x,$y)")
+    }
+    // grayscale payloads pass through the color boundary as r=g=b
+    val gray = Jpeg.encodeBlocks(16, 8, Array(40, 200))
+    val gImg = Jpeg.parseColor(gray).getOrElse(fail("grayscale must parse via parseColor"))
+    assert(gImg.channels == 1 &&
+      gImg.r.sameElements(gImg.g) && gImg.g.sameElements(gImg.b))
+    assert(gImg.r.take(8).forall(_ == 40))
+    // quarantine envelope
+    assert(Jpeg.parseColor(bytes.dropRight(bytes.length / 3)).isEmpty,
+      "truncated scan must fail")
+    // strip the chroma AC table (the 4th DHT segment, id 0x11)
+    def findSeg(p: Array[Byte], marker: Int, idByte: Int): Int =
+      (0 until p.length - 4).find(i => (p(i) & 0xff) == 0xff &&
+        (p(i + 1) & 0xff) == marker && (p(i + 4) & 0xff) == idByte).get
+    val dhtAt = findSeg(bytes, 0xc4, 0x11)
+    val segLen = ((bytes(dhtAt + 2) & 0xff) << 8) | (bytes(dhtAt + 3) & 0xff)
+    val noChroma = bytes.take(dhtAt) ++ bytes.drop(dhtAt + 2 + segLen)
+    assert(Jpeg.parseColor(noChroma).isEmpty,
+      "a missing chroma Huffman table must quarantine, not decode garbage")
+    // 4:1:1 sampling is out of envelope
+    val sof = (0 until bytes.length - 1).find(i => (bytes(i) & 0xff) == 0xff &&
+      (bytes(i + 1) & 0xff) == 0xc0).get
+    val badSamp = bytes.clone()
+    badSamp(sof + 4 + 7) = 0x41.toByte // Y component h=4, v=1
+    assert(Jpeg.parseColor(badSamp).isEmpty, "4:1:1 is out of envelope")
+    // the decode boundary quarantines rot instead of failing the job
+    import spark.implicits._
+    val payloads = Seq((1L, bytes), (2L, Array.fill[Byte](32)(0x11)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.mmDecodeJpegColorPayloads(spark, payloads).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "JPEG420" && out(2L) == "corrupt")
+  }
+
   test("joint dedup: coarsens both single-modality clusterings — co-clustered pairs in either stay together") {
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
