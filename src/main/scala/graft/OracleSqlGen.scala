@@ -2247,6 +2247,102 @@ object OracleSqlGen {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  /** D55: prefix-dimension recall — per prefix p, the exact top-k on
+    * the FIRST p dims (sliced dot + sliced norms, same sequential
+    * list_reduce fold as the native DotProduct), graded against the
+    * full-dim exact top-k (recall) and in full space (mean full cos of
+    * what the prefix retrieved). scf/top$p are multiply referenced →
+    * MATERIALIZED (the DuckDB CTE-inlining discipline).
+    */
+  def annPrefixDimRecall(nQueries: Int = 8, k: Int = 5,
+      prefixes: Seq[Int] = Seq(8, 16, 32, 64)): String = {
+    def dmean(x: String) =
+      s"floor((CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE) / " +
+        s"CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000"
+    val perP = prefixes.map { p =>
+      s"""scp$p AS (SELECT q.q_id, c.vec_id,
+         |  floor((list_reduce([q.v[i]*c.v[i] for i in range(1, ${p + 1})], (x,y) -> x+y) /
+         |    (sqrt(list_reduce([x*x for x in q.v[1:$p]], (x,y) -> x+y)) *
+         |     sqrt(list_reduce([x*x for x in c.v[1:$p]], (x,y) -> x+y))))*1000000 + 0.5)/1000000 AS cos_r
+         |  FROM q JOIN n c ON c.vec_id <> q.q_id),
+         |top$p AS MATERIALIZED (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+         |  FROM scp$p) WHERE rn <= $k),
+         |rec$p AS (SELECT x.q_id,
+         |  floor((CAST(COUNT(f.vec_id) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS recall_q
+         |  FROM exact x LEFT JOIN top$p f ON f.q_id = x.q_id AND f.vec_id = x.vec_id
+         |  GROUP BY x.q_id)""".stripMargin
+    }
+    val rows = prefixes.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS prefix_dims,
+         |  (SELECT ${dmean("recall_q")} FROM rec$p) AS mean_recall_r,
+         |  (SELECT ${dmean("cos_r")} FROM top$p t
+         |     JOIN scf s ON s.q_id = t.q_id AND s.vec_id = t.vec_id) AS mean_full_cos_r""".stripMargin
+    }
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS q_id, v, n2 FROM n WHERE vec_id < $nQueries),
+       |scf AS MATERIALIZED (SELECT q.q_id, c.vec_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM q JOIN n c ON c.vec_id <> q.q_id),
+       |exact AS MATERIALIZED (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM scf) WHERE rn <= $k),
+       |${perP.mkString(",\n")}
+       |SELECT * FROM (${rows.mkString("\nUNION ALL\n")})
+       |ORDER BY prefix_dims""".stripMargin
+  }
+
+  /** E63: the Gopher rule card re-derived with DuckDB's own list and
+    * regex machinery — trivially-portable tokenizations (space/newline
+    * words, newline lines) are the whole point of the card's gate.
+    */
+  val docGopherRules: String = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopSum = stops.map(s =>
+      s"CASE WHEN list_contains(wl, '$s') THEN 1 ELSE 0 END").mkString(" + ")
+    def r6sql(x: String) = s"floor(($x)*1000000 + 0.5)/1000000"
+    s"""WITH w AS (SELECT doc_id,
+       |    regexp_extract_all(text, '[^ \\n]+') AS words,
+       |    string_split(text, chr(10)) AS lines,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash
+       |  FROM documents),
+       |m AS (SELECT doc_id, n_hash,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(list_sum([length(x) for x in words]) AS BIGINT) AS word_chars,
+       |    CAST(len([x for x in words if x LIKE '%...']) AS BIGINT) AS n_ellipsis_words,
+       |    CAST(len([x for x in lines if x LIKE '-%' OR x LIKE '*%']) AS BIGINT) AS n_bullet_lines,
+       |    CAST(len([x for x in lines if x LIKE '%...']) AS BIGINT) AS n_ellipsis_lines,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len([x for x in words if regexp_matches(x, '[A-Za-z]')]) AS BIGINT) AS n_alpha_words,
+       |    CAST($stopSum AS BIGINT) AS stop_hits
+       |  FROM (SELECT *, [lower(x) for x in words] AS wl FROM w)),
+       |r AS (SELECT doc_id, n_words, stop_hits,
+       |    ${r6sql("CAST(word_chars AS DOUBLE)/n_words")} AS mean_word_len_r,
+       |    ${r6sql("CAST(n_hash + n_ellipsis_words AS DOUBLE)/n_words")} AS symbol_word_ratio_r,
+       |    ${r6sql("CAST(n_bullet_lines AS DOUBLE)/n_lines")} AS bullet_line_ratio_r,
+       |    ${r6sql("CAST(n_ellipsis_lines AS DOUBLE)/n_lines")} AS ellipsis_line_ratio_r,
+       |    ${r6sql("CAST(n_alpha_words AS DOUBLE)/n_words")} AS alpha_word_ratio_r
+       |  FROM m),
+       |f AS (SELECT *,
+       |    CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS pass_word_count,
+       |    CAST(mean_word_len_r >= 3.0 AND mean_word_len_r <= 10.0 AS INTEGER) AS pass_word_len,
+       |    CAST(symbol_word_ratio_r < 0.1 AS INTEGER) AS pass_symbol,
+       |    CAST(bullet_line_ratio_r < 0.9 AS INTEGER) AS pass_bullet,
+       |    CAST(ellipsis_line_ratio_r < 0.3 AS INTEGER) AS pass_ellipsis,
+       |    CAST(alpha_word_ratio_r > 0.8 AS INTEGER) AS pass_alpha,
+       |    CAST(stop_hits >= 2 AS INTEGER) AS pass_stops
+       |  FROM r)
+       |SELECT doc_id, n_words, mean_word_len_r, symbol_word_ratio_r,
+       |  bullet_line_ratio_r, ellipsis_line_ratio_r, alpha_word_ratio_r,
+       |  stop_hits, pass_word_count, pass_word_len, pass_symbol,
+       |  pass_bullet, pass_ellipsis, pass_alpha, pass_stops,
+       |  CAST(pass_word_count + pass_word_len + pass_symbol + pass_bullet +
+       |    pass_ellipsis + pass_alpha + pass_stops = 7 AS INTEGER) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   private val bucketExpr: String = (1 to 8).map(d =>
     s"(CASE WHEN v[$d] > 0.0 THEN (1::BIGINT << ${d - 1}) ELSE 0 END)").mkString(" + ")
 

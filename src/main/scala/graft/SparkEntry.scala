@@ -175,6 +175,7 @@ object SparkEntry {
     "doc_semdedup"         -> q(Dedup.docSemdedup(_, ordered = true)),
     // §2.D similarity search
     "ann_topk_bruteforce"  -> q(Similarity.annTopkBruteforce(_)),
+    "ann_prefix_dim_recall" -> q(Similarity.annPrefixDimRecall(_, ordered = true)), // D55 Matryoshka prefix-dim card (r13)
     "ann_lsh_bucketed"     -> q(Similarity.annLshBucketed(_)),
     "ann_lsh_multitable"   -> q(Similarity.annLshMultiTable(_)),
     "ann_knn_graph"        -> q(Similarity.annKnnGraph(_, ordered = true)),
@@ -240,6 +241,7 @@ object SparkEntry {
     "doc_pack"             -> q(TextOps.docPack(_, ordered = true)),
     "doc_quality_filter"   -> q(TextOps.docQualityFilter(_, ordered = true)),
     "text_repetition"      -> q(TextOps.textRepetition(_, ordered = true)),
+    "doc_gopher_rules"     -> q(TextOps.docGopherRules(_, ordered = true)), // E63 published Gopher rule card (r13)
     "text_collocations"    -> q(TextOps.textCollocations(_)),
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
     "doc_curate_explain"   -> q(TextOps.docCurateExplain(_)),
@@ -1903,6 +1905,7 @@ object SparkEntry {
     "doc_dedup_keep_best"   -> OracleSqlGen.docDedupKeepBest,
     "doc_embed_cosine_dup"  -> OracleSqlGen.docEmbedCosineDup,
     "ann_topk_bruteforce"   -> OracleSqlGen.annTopkBruteforce,
+    "ann_prefix_dim_recall" -> OracleSqlGen.annPrefixDimRecall(),
     "ann_range"             -> OracleSqlGen.annRange(8, 0.25),
     "ann_lsh_bucketed"      -> OracleSqlGen.annLshBucketed,
     "ann_lsh_multitable"    -> OracleSqlGen.annLshMultiTable,
@@ -2059,6 +2062,7 @@ object SparkEntry {
     "doc_contamination_stats" -> OracleSqlGen.docContaminationStats(10, 1),
     "corpus_dedup_stats"    -> OracleSqlGen.corpusDedupStats(0.2),
     "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
+    "doc_gopher_rules"      -> OracleSqlGen.docGopherRules,
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),
     "doc_curate_explain"    -> OracleSqlGen.docCurateExplain(0.5),

@@ -3136,6 +3136,74 @@ object Similarity {
       ordered)(col("method"))
   }
 
+  /** D55: PREFIX-DIMENSION recall card (the Matryoshka/MRL question —
+    * Kusupati et al.'s published observation that prefix-truncated
+    * embeddings retain most retrieval quality): for each prefix length
+    * p, retrieve the exact top-k by cosine over the FIRST p dimensions
+    * only, then grade it twice — recall against the full-dimension
+    * exact top-k, and the mean FULL-dimension cosine of what the
+    * prefix actually retrieved (retrieval quality in the space users
+    * care about, not the truncated one). The card answers the capacity
+    * question every vector deployment faces: how many dimensions do
+    * stored vectors need before recall stops paying for them — at
+    * 10^11 vectors, halving dims halves the serving fleet.
+    *
+    * Scale shape: shares D1's one-pass brute-force plan; each sweep
+    * point adds one narrow slice-scored corpus pass (no shuffle beyond
+    * the per-query top-k window) — an offline evaluation card, like
+    * D17/D37. The full-dim scored relation builds once
+    * (stableCheckpoint) and every prefix's grading joins against it.
+    *
+    * Determinism: cosines r6'd in the feeders, per-query recalls r6'd
+    * before the DECIMAL mean (the D37/D51 convention).
+    */
+  def annPrefixDimRecall(t: Tables, nQueries: Int = 8, k: Int = 5,
+      prefixes: Seq[Int] = Seq(8, 16, 32, 64),
+      ordered: Boolean = false): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val corpus = e.select(col("vec_id"), col("v"), col("n2"))
+    val beamW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    // full-dim scored relation: ONE corpus pass, reused by the exact
+    // leg and by every prefix's full-space grading join
+    val scFull = Dedup.stableCheckpoint(
+      corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r")))
+    val exact = scFull.withColumn("rn", row_number().over(beamW))
+      .filter(col("rn") <= k)
+      .select(col("q_id").as("xq"), col("vec_id").as("xv"))
+    def dmean(c: Column) =
+      r6(sum(c.cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)).cast("double"))
+    val perPrefix = prefixes.map { p =>
+      val qp = slice(col("qv"), 1, p)
+      val vp = slice(col("v"), 1, p)
+      val topP = corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineR(qp, vp, VectorExprs.dot(qp, qp),
+            VectorExprs.dot(vp, vp)).as("cos_r"))
+        .withColumn("rn", row_number().over(beamW))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("vec_id"))
+      val rec = exact
+        .join(topP.select(col("q_id").as("fq"), col("vec_id").as("fv")),
+          col("xq") === col("fq") && col("xv") === col("fv"), "left")
+        .groupBy(col("xq"))
+        .agg(r6(count(col("fv")).cast("double") /
+          count(lit(1)).cast("double")).as("recall_q"))
+        .agg(dmean(col("recall_q")).as("mean_recall_r"))
+      val fullCos = topP.join(scFull, Seq("q_id", "vec_id"))
+        .agg(dmean(col("cos_r")).as("mean_full_cos_r"))
+      rec.crossJoin(broadcast(fullCos))
+        .select(lit(p.toLong).as("prefix_dims"), col("mean_recall_r"),
+          col("mean_full_cos_r"))
+    }
+    maybeSort(perPrefix.reduce(_ unionByName _), ordered)(col("prefix_dims"))
+  }
+
   /** D54: NN-descent ROUNDS tuning card — what each refinement round
     * buys (the C20/D37/D43 sensitivity-curve pattern pointed at D53's
     * one new knob): per level 0..descRounds, the mean kept-edge

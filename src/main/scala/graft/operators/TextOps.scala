@@ -2138,6 +2138,72 @@ object TextOps {
         pick(col("sv"), col("n_sample"), 0.90).as("q90"))
   }, ordered)(col("source"))
 
+  /** E63: the GOPHER rule card — the published pre-training quality
+    * rule set (Rae et al. 2021, "Scaling Language Models", table A1)
+    * as one per-document verdict relation: word-count bounds, mean
+    * word length bounds, symbol-to-word ratio (# and ellipsis),
+    * bullet-line and ellipsis-line fractions, alphabetic-word ratio,
+    * and the ≥2-of-8 stopword presence check — each measured column
+    * rides next to its pass flag so a curation review sees WHY a doc
+    * fails, not just that it does (the E43 explain discipline). The
+    * thresholds are the paper's; the tokenizations are deliberately
+    * trivial (space/newline words, newline lines) so an independent
+    * engine re-derives every number.
+    *
+    * Scale shape: one narrow codegen'd pass over the corpus — array
+    * expressions only, no shuffle, no UDF.
+    */
+  def docGopherRules(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    t.documents.select(col("doc_id"), col("text"))
+      .withColumn("words", expr("regexp_extract_all(text, '[^ \\n]+', 0)"))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("word_chars",
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))"))
+      .withColumn("n_hash",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))).cast("long"))
+      .withColumn("n_ellipsis_words",
+        size(expr("filter(words, w -> w LIKE '%...')")).cast("long"))
+      .withColumn("n_bullet_lines",
+        size(expr("filter(lines, l -> l LIKE '-%' OR l LIKE '*%')")).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(expr("filter(lines, l -> l LIKE '%...')")).cast("long"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_alpha_words",
+        size(expr("filter(words, w -> w RLIKE '[A-Za-z]')")).cast("long"))
+      .withColumn("stop_hits",
+        gopherStops.map(s =>
+          array_contains(expr("transform(words, w -> lower(w))"), s)
+            .cast("long")).reduce(_ + _))
+      .withColumn("mean_word_len_r", r6(col("word_chars") / col("n_words")))
+      .withColumn("symbol_word_ratio_r",
+        r6((col("n_hash") + col("n_ellipsis_words")) / col("n_words")))
+      .withColumn("bullet_line_ratio_r", r6(col("n_bullet_lines") / col("n_lines")))
+      .withColumn("ellipsis_line_ratio_r", r6(col("n_ellipsis_lines") / col("n_lines")))
+      .withColumn("alpha_word_ratio_r", r6(col("n_alpha_words") / col("n_words")))
+      .withColumn("pass_word_count",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
+      .withColumn("pass_word_len",
+        (col("mean_word_len_r") >= 3.0 && col("mean_word_len_r") <= 10.0).cast("int"))
+      .withColumn("pass_symbol", (col("symbol_word_ratio_r") < 0.1).cast("int"))
+      .withColumn("pass_bullet", (col("bullet_line_ratio_r") < 0.9).cast("int"))
+      .withColumn("pass_ellipsis", (col("ellipsis_line_ratio_r") < 0.3).cast("int"))
+      .withColumn("pass_alpha", (col("alpha_word_ratio_r") > 0.8).cast("int"))
+      .withColumn("pass_stops", (col("stop_hits") >= 2).cast("int"))
+      .withColumn("keep",
+        (col("pass_word_count") + col("pass_word_len") + col("pass_symbol") +
+          col("pass_bullet") + col("pass_ellipsis") + col("pass_alpha") +
+          col("pass_stops") === 7).cast("int"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len_r"),
+        col("symbol_word_ratio_r"), col("bullet_line_ratio_r"),
+        col("ellipsis_line_ratio_r"), col("alpha_word_ratio_r"),
+        col("stop_hits"), col("pass_word_count"), col("pass_word_len"),
+        col("pass_symbol"), col("pass_bullet"), col("pass_ellipsis"),
+        col("pass_alpha"), col("pass_stops"), col("keep"))
+  }, ordered)(col("doc_id"))
+
   /** G36b: WARC round-trip profile — every document through the REAL
     * WARC grammar both ways (build a response record, parse it back
     * with [[graft.sources.Warc.scan]]'s parser), the gate-checked half

@@ -28,6 +28,31 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.2, s"IVF mean recall@3 too low: $mean (nProbe=4/16 cells)")
   }
 
+  test("prefix-dim recall card: full-dim prefix is exact (recall 1.0, cos equals exact mean); truncation never beats full") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.annPrefixDimRecall(tables, ordered = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(8L, 16L, 32L, 64L))
+    val full = rows.find(_._1 == 64L).get
+    assert(full._2 == 1.0,
+      s"the full-dimension prefix must recall the exact top-k exactly, got ${full._2}")
+    // its mean full cos must equal the exact top-k's own mean
+    val exact = Similarity.annTopkBruteforce(tables)
+      .select(col("cos_r")).collect().map(_.getDouble(0))
+    val exactMean = math.floor(
+      (exact.map(c => BigDecimal(c).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / exact.length)
+        * 1e6 + 0.5) / 1e6
+    assert(full._3 == exactMean,
+      s"full-prefix mean cos ${full._3} != exact mean $exactMean")
+    // truncation can only lose full-space quality: every shorter
+    // prefix's retrieved set grades <= the full prefix's
+    rows.filter(_._1 < 64L).foreach { r =>
+      assert(r._3 <= full._3, s"prefix ${r._1} full-cos ${r._3} beats full ${full._3}")
+      assert(r._2 >= 0.0 && r._2 <= 1.0)
+    }
+  }
+
   test("multi-table lsh: neighbors share some table's bucket; recall dominates single-table when uncapped") {
     import org.apache.spark.sql.functions.col
     val rows = Similarity.annLshMultiTable(tables, k = 3).collect()
