@@ -2618,19 +2618,28 @@ object Similarity {
       .orderBy(col("cos_r").desc, col("vec_id").asc)
     var vis = Dedup.stableCheckpoint(
       scoreIds(seeds.select(col("q_id"), col("vec_id"))).distinct())
-    var visited = vis
+    // The visited accumulator is only read ONCE, at the end (candidate
+    // counts), so it stays a lazy union of the per-round CHECKPOINTED
+    // score frames with a single final distinct instead of paying a
+    // checkpoint + distinct per round. `sc` itself stays checkpointed:
+    // it scores against the CORPUS relation, and its two consumers
+    // (the beam union now, the visited union at the end) would each
+    // re-scan the corpus without it — measured 1.7× slower when
+    // dropped (r13), the corpus pass dominates the materialization.
+    val frames = Seq.newBuilder[DataFrame]
+    frames += vis
     for (_ <- 1 to rounds) {
       val expd = broadcast(vis.select(col("q_id"), col("vec_id")))
         .join(edges, col("vec_id") === col("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
       val sc = Dedup.stableCheckpoint(scoreIds(expd).distinct())
-      visited = Dedup.stableCheckpoint(visited.unionByName(sc).distinct())
+      frames += sc
       vis = Dedup.stableCheckpoint(
         vis.unionByName(sc).distinct()
           .withColumn("rn", row_number().over(beamW))
           .filter(col("rn") <= beam).drop("rn"))
     }
-    (vis, visited)
+    (vis, frames.result().reduce(_ unionByName _).distinct())
   }
 
   /** Multi-table kNN edge union — `nTables` independent sign-LSH
@@ -2795,10 +2804,21 @@ object Similarity {
     }
 
     def baseFor(t: Tables): Option[String] =
-      if (t.embOverride.isEmpty)
-        Some("target/graft-cache/" + Version + "/" +
-          t.dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fingerprint(t.dir))
-      else None
+      if (t.embOverride.isEmpty) {
+        val root = new java.io.File("target/graft-cache/" + Version)
+        val key = t.dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = key + "_" + fingerprint(t.dir)
+        // prune stale fingerprints of the SAME corpus dir (a derived
+        // corpus like the bench's sf1 copy is rewritten per run, so
+        // its mtime-keyed entries would otherwise accumulate forever)
+        synchronized {
+          Option(root.listFiles()).foreach(_.foreach { f =>
+            if (f.getName.startsWith(key + "_") && f.getName != base &&
+              !f.getName.startsWith(base + ".tmp")) deleteRec(f)
+          })
+        }
+        Some(root.getPath + "/" + base)
+      } else None
 
     private def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
