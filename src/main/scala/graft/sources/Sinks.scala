@@ -1298,10 +1298,15 @@ object Sinks {
     */
   private[graft] def searchIvfPqIndexLocal(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      pcRows: Seq[(Long, Long, Seq[Double])], k: Int, m: Int): DataFrame = {
+      pcRows: Seq[(Long, Long, Seq[Double])], k: Int, m: Int,
+      quantizers: Option[(Array[(Int, Seq[Double], Double)],
+        Array[(Int, Seq[Double], Double)])] = None): DataFrame = {
     val sim = graft.operators.Similarity
-    val coarse = readQuantizer(spark, s"$path/coarse")
-    val pqr = readQuantizer(spark, s"$path/codebook")
+    // a long-lived server loads the two bounded center sets once and
+    // hands them in; the batch entry point loads per call
+    val (coarse, pqr) = quantizers.getOrElse(
+      (readQuantizer(spark, s"$path/coarse"),
+        readQuantizer(spark, s"$path/codebook")))
     val probed = pcRows.map(_._2).distinct.sorted
     import spark.implicits._
     val pcLocal = pcRows.toDF("q_id", "pcell", "v")

@@ -166,6 +166,7 @@ object AnnStreamJob {
     // bounded artifacts load once, driver-side (the literal-centers
     // discipline); the codes relation is deliberately NOT planned here
     val coarse = sinks.readQuantizer(spark, s"$indexPath/coarse")
+    val pqr = sinks.readQuantizer(spark, s"$indexPath/codebook")
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pcRows = sim.probeCellsOf(
@@ -174,7 +175,8 @@ object AnnStreamJob {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
           .toSeq
         if (pcRows.nonEmpty) {
-          val out = sinks.searchIvfPqIndexLocal(spark, indexPath, pcRows, k, m)
+          val out = sinks.searchIvfPqIndexLocal(spark, indexPath, pcRows, k, m,
+            quantizers = Some((coarse, pqr)))
           val rows = out.collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
             .toSeq
@@ -219,6 +221,12 @@ object AnnStreamJob {
     * .searchGraphIndex]] row-for-row (same QRel core), before and
     * after deletes; StreamingSoakSpec: flat per-batch behavior across
     * a sustained run.
+    *
+    * Cache custody: the checkpointed edge/vector blocks live as long
+    * as the returned query object is reachable — after `stop()`, drop
+    * the reference and the ContextCleaner reclaims them (unlike the
+    * audited readers' long-lived persist, nothing here needs a manual
+    * unpersist handle).
     */
   def streamGraphAnnServe(queries: DataFrame, indexPath: String,
       beam: Int = 8, rounds: Int = 4, k: Int = 5, sampleMod: Int = 8)(
