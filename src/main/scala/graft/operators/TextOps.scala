@@ -2153,9 +2153,18 @@ object TextOps {
     * Scale shape: one narrow codegen'd pass over the corpus — array
     * expressions only, no shuffle, no UDF.
     */
-  def docGopherRules(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+  def docGopherRules(t: Tables, ordered: Boolean = false): DataFrame = maybeSort(
+    withGopherRules(t.documents.select(col("doc_id"), col("text")))
+      .drop("text"),
+    ordered)(col("doc_id"))
+
+  /** The E63 rule columns over ANY relation with a `text` column —
+    * the batch/streaming-shared core (every rule is a stateless
+    * narrow expression, so the streaming twin is this same projection
+    * on the ingest stream; no watermark, no state). */
+  private[graft] def withGopherRules(df: DataFrame): DataFrame = {
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    t.documents.select(col("doc_id"), col("text"))
+    df
       .withColumn("words", expr("regexp_extract_all(text, '[^ \\n]+', 0)"))
       .withColumn("lines", split(col("text"), "\n"))
       .withColumn("n_words", size(col("words")).cast("long"))
@@ -2196,13 +2205,9 @@ object TextOps {
         (col("pass_word_count") + col("pass_word_len") + col("pass_symbol") +
           col("pass_bullet") + col("pass_ellipsis") + col("pass_alpha") +
           col("pass_stops") === 7).cast("int"))
-      .select(col("doc_id"), col("n_words"), col("mean_word_len_r"),
-        col("symbol_word_ratio_r"), col("bullet_line_ratio_r"),
-        col("ellipsis_line_ratio_r"), col("alpha_word_ratio_r"),
-        col("stop_hits"), col("pass_word_count"), col("pass_word_len"),
-        col("pass_symbol"), col("pass_bullet"), col("pass_ellipsis"),
-        col("pass_alpha"), col("pass_stops"), col("keep"))
-  }, ordered)(col("doc_id"))
+      .drop("words", "lines", "word_chars", "n_hash", "n_ellipsis_words",
+        "n_bullet_lines", "n_ellipsis_lines", "n_lines", "n_alpha_words")
+  }
 
   /** G36b: WARC round-trip profile — every document through the REAL
     * WARC grammar both ways (build a response record, parse it back

@@ -115,6 +115,16 @@ object DocStreamJob {
         (col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))) + 0.5).as("score"),
         (col("z") >= 0).cast("int").as("keep"))
 
+  /** Streaming form of E63 (the Gopher rule card): every rule is a
+    * stateless narrow expression over the arriving document alone, so
+    * the twin IS the batch projection on the ingest stream — no
+    * watermark, no state, no join; the curation gate a stream deploy
+    * applies before anything stateful sees the doc. StreamingSpec law:
+    * stream ≡ batch verdict per document.
+    */
+  def streamDocGopherRules(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.withGopherRules(docs).drop("text")
+
   /** Streaming form of C8b (SURVEY §2.A32): documents arriving on the
     * ingest stream are near-dup-checked against the STATIC base band
     * index (Dedup.baseBandIndex — at deploy, the persisted artifact)

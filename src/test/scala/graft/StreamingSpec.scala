@@ -187,6 +187,38 @@ class StreamingSpec extends SparkSpec {
       "post-delete pruned stream results must still equal the batch path")
   }
 
+  test("streaming Gopher rule card == batch verdict per document (stateless twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val docs = tables.documents.select("doc_id", "text", "lang").collect()
+      .map(r => graft.model.IngestDoc(r.getLong(0), r.getString(1), r.getString(2), base))
+      .sortBy(_.doc_id).toSeq
+    val input = MemoryStream[graft.model.IngestDoc]
+    val out = graft.streaming.DocStreamJob.streamDocGopherRules(input.toDS().toDF())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("gopher_out").start()
+    try {
+      docs.grouped((docs.size + 2) / 3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      def keyOf(r: org.apache.spark.sql.Row, idx: Map[String, Int]) =
+        r.getLong(idx("doc_id")) ->
+          ((r.getLong(idx("n_words")), r.getDouble(idx("mean_word_len_r")),
+            r.getDouble(idx("symbol_word_ratio_r")),
+            r.getDouble(idx("alpha_word_ratio_r")),
+            r.getLong(idx("stop_hits")), r.getInt(idx("keep"))))
+      val sDf = spark.table("gopher_out")
+      val sIdx = sDf.columns.zipWithIndex.toMap
+      val streamed = sDf.collect().map(keyOf(_, sIdx)).toMap
+      val bDf = graft.operators.TextOps.docGopherRules(tables)
+      val bIdx = bDf.columns.zipWithIndex.toMap
+      val batch = bDf.collect().map(keyOf(_, bIdx)).toMap
+      assert(streamed == batch,
+        s"stream≠batch: ${(streamed.toSet -- batch.toSet).take(2)} vs ${(batch.toSet -- streamed.toSet).take(2)}")
+    } finally q.stop()
+  }
+
   test("online graph-ANN serving: per-batch results == batch searchGraphIndex row-for-row; deletes take effect between batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
