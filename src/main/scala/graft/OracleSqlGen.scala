@@ -2319,11 +2319,11 @@ object OracleSqlGen {
        |    CAST($stopSum AS BIGINT) AS stop_hits
        |  FROM (SELECT *, [lower(x) for x in words] AS wl FROM w)),
        |r AS (SELECT doc_id, n_words, stop_hits,
-       |    ${r6sql("CAST(word_chars AS DOUBLE)/n_words")} AS mean_word_len_r,
-       |    ${r6sql("CAST(n_hash + n_ellipsis_words AS DOUBLE)/n_words")} AS symbol_word_ratio_r,
+       |    CASE WHEN n_words = 0 THEN 0.0 ELSE ${r6sql("CAST(word_chars AS DOUBLE)/n_words")} END AS mean_word_len_r,
+       |    CASE WHEN n_words = 0 THEN 0.0 ELSE ${r6sql("CAST(n_hash + n_ellipsis_words AS DOUBLE)/n_words")} END AS symbol_word_ratio_r,
        |    ${r6sql("CAST(n_bullet_lines AS DOUBLE)/n_lines")} AS bullet_line_ratio_r,
        |    ${r6sql("CAST(n_ellipsis_lines AS DOUBLE)/n_lines")} AS ellipsis_line_ratio_r,
-       |    ${r6sql("CAST(n_alpha_words AS DOUBLE)/n_words")} AS alpha_word_ratio_r
+       |    CASE WHEN n_words = 0 THEN 0.0 ELSE ${r6sql("CAST(n_alpha_words AS DOUBLE)/n_words")} END AS alpha_word_ratio_r
        |  FROM m),
        |f AS (SELECT *,
        |    CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS pass_word_count,

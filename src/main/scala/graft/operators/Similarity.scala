@@ -2790,24 +2790,32 @@ object Similarity {
   private[graft] object NndCache {
     private val Version = "v1"
 
-    private def fingerprint(dir: String): String = {
+    /** None when the corpus dir is not locally fingerprintable (non-
+      * local FS, URI-style dir): memoizing under a constant key would
+      * silently serve a stale chain for a regenerated corpus, so an
+      * unreadable corpus means "do not memoize". The digest is SHA-256
+      * of the sorted name:size:mtime lines — a 32-bit string hashCode
+      * collides too easily to key a correctness-bearing cache. */
+    private def fingerprint(dir: String): Option[String] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
       val root = new java.io.File(s"$dir/embeddings.parquet")
-      if (!root.exists()) "nofp"
+      if (!root.exists()) None
       else {
         val fs = walk(root).sortBy(_.getPath)
-        val h = fs.map(f => f.getName + ":" + f.length + ":" + f.lastModified)
-          .mkString("|").hashCode
-        java.lang.Integer.toHexString(h)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val bytes = md.digest(
+          fs.map(f => f.getName + ":" + f.length + ":" + f.lastModified)
+            .mkString("|").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Some(bytes.take(12).map(b => f"$b%02x").mkString)
       }
     }
 
     def baseFor(t: Tables): Option[String] =
-      if (t.embOverride.isEmpty) {
+      if (t.embOverride.isEmpty) fingerprint(t.dir).map { fp =>
         val root = new java.io.File("target/graft-cache/" + Version)
         val key = t.dir.replaceAll("[^A-Za-z0-9._-]", "_")
-        val base = key + "_" + fingerprint(t.dir)
+        val base = key + "_" + fp
         // prune stale fingerprints of the SAME corpus dir (a derived
         // corpus like the bench's sf1 copy is rewritten per run, so
         // its mtime-keyed entries would otherwise accumulate forever)
@@ -2817,7 +2825,7 @@ object Similarity {
               !f.getName.startsWith(base + ".tmp")) deleteRec(f)
           })
         }
-        Some(root.getPath + "/" + base)
+        root.getPath + "/" + base
       } else None
 
     private def deleteRec(f: java.io.File): Unit = {

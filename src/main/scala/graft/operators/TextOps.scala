@@ -2186,12 +2186,19 @@ object TextOps {
         gopherStops.map(s =>
           array_contains(expr("transform(words, w -> lower(w))"), s)
             .cast("long")).reduce(_ + _))
-      .withColumn("mean_word_len_r", r6(col("word_chars") / col("n_words")))
-      .withColumn("symbol_word_ratio_r",
-        r6((col("n_hash") + col("n_ellipsis_words")) / col("n_words")))
+      // a whitespace-only doc has n_words = 0: the ratios default to
+      // 0.0 (not NULL) so `keep` is always 0/1 — pass_word_count is 0
+      // for such docs anyway, so the verdict is keep = 0 either way,
+      // but a NULL keep would silently drop the doc from BOTH the
+      // keep===1 and keep===0 filters of a curation review
+      .withColumn("mean_word_len_r", when(col("n_words") === 0, lit(0.0))
+        .otherwise(r6(col("word_chars") / col("n_words"))))
+      .withColumn("symbol_word_ratio_r", when(col("n_words") === 0, lit(0.0))
+        .otherwise(r6((col("n_hash") + col("n_ellipsis_words")) / col("n_words"))))
       .withColumn("bullet_line_ratio_r", r6(col("n_bullet_lines") / col("n_lines")))
       .withColumn("ellipsis_line_ratio_r", r6(col("n_ellipsis_lines") / col("n_lines")))
-      .withColumn("alpha_word_ratio_r", r6(col("n_alpha_words") / col("n_words")))
+      .withColumn("alpha_word_ratio_r", when(col("n_words") === 0, lit(0.0))
+        .otherwise(r6(col("n_alpha_words") / col("n_words"))))
       .withColumn("pass_word_count",
         (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
       .withColumn("pass_word_len",

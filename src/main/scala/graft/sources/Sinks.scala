@@ -825,7 +825,7 @@ object Sinks {
   }
 
   private def requireChunkStoreVersion(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, adoptMarker: Boolean = false): Unit = {
     val fp = new org.apache.hadoop.fs.Path(s"$path/_format")
     if (fp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fp)) {
       val v = spark.read.parquet(s"$path/_format")
@@ -836,16 +836,20 @@ object Sinks {
     } else {
       // Marker missing: sniff before condemning. A store written by the
       // release that introduced the binary layout but predates the
-      // marker already has chunk_bytes: binary — adopting it (and
-      // stamping the marker) beats forcing a full corpus re-chunk. Only
-      // an ACTUAL layout mismatch (string payloads = pre-v2) fails.
+      // marker already has chunk_bytes: binary — serving it beats
+      // forcing a full corpus re-chunk. Only an ACTUAL layout mismatch
+      // (string payloads = pre-v2) fails. The marker is stamped ONLY
+      // from write/append paths (adoptMarker): a read must stay
+      // side-effect free (read-only stores exist), and a stamp from a
+      // read would mis-label any FUTURE layout that also carries
+      // binary chunk_bytes but lost its marker.
       val bt = scala.util.Try(spark.read.parquet(s"$path/chunks").schema)
         .toOption.flatMap(_.fields.find(_.name == "chunk_bytes").map(_.dataType))
       require(bt.contains(org.apache.spark.sql.types.BinaryType),
         s"chunk store at $path is pre-v$ChunkStoreVersion (no _format marker and " +
           bt.fold("no readable chunk_bytes column")(d => s"chunk_bytes is $d") +
           " — rebuild with writeChunkStore)")
-      writeChunkStoreVersion(spark, path)
+      if (adoptMarker) writeChunkStoreVersion(spark, path)
     }
   }
 
@@ -870,7 +874,7 @@ object Sinks {
   def appendToChunkStore(t: Tables, path: String,
       window: Int = 16, modDiv: Int = 64): Unit = {
     val spark = t.spark
-    requireChunkStoreVersion(spark, path)
+    requireChunkStoreVersion(spark, path, adoptMarker = true)
     // Idempotence under re-delivery: a doc_id already in the manifest
     // is DROPPED whole (re-appending it would duplicate its manifest
     // rows and reconstruct the text with every chunk doubled). The

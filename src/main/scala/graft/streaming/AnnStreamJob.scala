@@ -169,8 +169,13 @@ object AnnStreamJob {
     val pqr = sinks.readQuantizer(spark, s"$indexPath/codebook")
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // a float-typed query stream must serve too: cast to the
+        // array<double> the probe math (and the batch path's withNorm)
+        // operates in, so the stream ≡ batch probe law holds bit-for-bit
         val pcRows = sim.probeCellsOf(
-            batch.select(col("q_id"), col("v")).dropDuplicates("q_id"),
+            batch.select(col("q_id"),
+              transform(col("v"), x => x.cast("double")).as("v"))
+              .dropDuplicates("q_id"),
             coarse, nProbe)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
           .toSeq
@@ -181,11 +186,14 @@ object AnnStreamJob {
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
             .toSeq
           // runtime witness: static-side scan volume off the executed
-          // plan's own metrics (the GraftQueryAudit walk, scoped to
-          // scans rooted in the index path)
+          // plan's own metrics (the GraftQueryAudit walk, scoped to the
+          // CODES relation specifically — once a delete exists the plan
+          // also scans `$indexPath/doc_tombstones`, and folding those
+          // rows in would break the "scan == probed-cell population"
+          // law the audit exists to witness)
           val codeScans = planScans(out.queryExecution.executedPlan)
             .filter(_.relation.location.rootPaths
-              .exists(_.toString.contains(indexPath)))
+              .exists(_.toString.contains(s"$indexPath/codes")))
           val scanned = codeScans
             .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
           val cells = pcRows.map(_._2).distinct.sorted

@@ -684,9 +684,10 @@ class SinksSpec extends SparkSpec {
       .map(_.getLong(0)).contains(victim),
       "a compacted-away doc genuinely re-appended must serve again")
     // format-version guard: a marker-less store with the v2 BINARY
-    // layout is adopted (marker stamped — it's the prior release's
-    // layout, a rebuild would be pure waste); an actual pre-v2 layout
-    // (string payloads) still fails loudly on read and append
+    // layout serves reads WITHOUT side effects (read-only stores
+    // exist) and is adopted — marker stamped — only by a write/append
+    // path; an actual pre-v2 layout (string payloads) still fails
+    // loudly on read and append
     val legacy = Files.createTempDirectory("chunkstore_legacy").toString
     Sinks.writeChunkStore(t, legacy)
     def rmrf(f: java.io.File): Unit = {
@@ -695,9 +696,12 @@ class SinksSpec extends SparkSpec {
     rmrf(new java.io.File(s"$legacy/_format"))
     assert(Sinks.readChunkStore(spark, legacy).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap == before,
-      "a marker-less v2-layout store must be adopted, not rejected")
+      "a marker-less v2-layout store must be readable, not rejected")
+    assert(!new java.io.File(s"$legacy/_format").exists(),
+      "a read must NOT stamp the marker — reads stay side-effect free")
+    Sinks.appendToChunkStore(t, legacy) // idempotent no-op delivery...
     assert(new java.io.File(s"$legacy/_format").isDirectory,
-      "adoption must stamp the missing _format marker")
+      "...but as a WRITE path it adopts: the missing marker is stamped")
     val preV2 = Files.createTempDirectory("chunkstore_prev2").toString
     spark.read.parquet(s"$legacy/chunks")
       .withColumn("chunk_bytes", col("chunk_bytes").cast("string"))
