@@ -3176,14 +3176,19 @@ object Similarity {
     * stored vectors need before recall stops paying for them — at
     * 10^11 vectors, halving dims halves the serving fleet.
     *
-    * Scale shape: shares D1's one-pass brute-force plan; each sweep
-    * point adds one narrow slice-scored corpus pass (no shuffle beyond
-    * the per-query top-k window) — an offline evaluation card, like
-    * D17/D37. The full-dim scored relation builds once
-    * (stableCheckpoint) and every prefix's grading joins against it.
+    * Scale shape: shares D1's one-pass brute-force plan INCLUDING its
+    * two-stage top-k — every leg (exact and each prefix) ranks via a
+    * per-partition local top-k first, so the q_id-partitioned global
+    * window only ever sees ≤ k·#partitions rows per query, never the
+    * corpus (the B61 discipline; a single-stage rank here would be
+    * nQueries straggler-bound corpus sorts per leg, five legs per
+    * card run). PlanSpec pins the shape per execution — the scored
+    * relation is checkpointed, so the pin rides a listener.
     *
     * Determinism: cosines r6'd in the feeders, per-query recalls r6'd
-    * before the DECIMAL mean (the D37/D51 convention).
+    * before the DECIMAL mean (the D37/D51 convention). The two-stage
+    * rank is exact for any partition assignment, so the gated output
+    * is identical to the single-stage form by construction.
     */
   def annPrefixDimRecall(t: Tables, nQueries: Int = 8, k: Int = 5,
       prefixes: Seq[Int] = Seq(8, 16, 32, 64),
@@ -3192,16 +3197,27 @@ object Similarity {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
     val corpus = e.select(col("vec_id"), col("v"), col("n2"))
-    val beamW = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    // two-stage exact top-k ids (the annTopkBruteforce shape): local
+    // per-(q_id, input-partition) rank bounds what the global window sorts
+    def topkIds(sc: DataFrame): DataFrame = {
+      val local = Window.partitionBy(col("q_id"), col("pid"))
+        .orderBy(col("cos_r").desc, col("vec_id").asc)
+      val global = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_r").desc, col("vec_id").asc)
+      sc.withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(local))
+        .filter(col("lrn") <= k)
+        .withColumn("rn", row_number().over(global))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("vec_id"))
+    }
     // full-dim scored relation: ONE corpus pass, reused by the exact
     // leg and by every prefix's full-space grading join
     val scFull = Dedup.stableCheckpoint(
       corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r")))
-    val exact = scFull.withColumn("rn", row_number().over(beamW))
-      .filter(col("rn") <= k)
+    val exact = topkIds(scFull)
       .select(col("q_id").as("xq"), col("vec_id").as("xv"))
     def dmean(c: Column) =
       r6(sum(c.cast(DecimalType(18, 6))).cast("double") /
@@ -3209,13 +3225,11 @@ object Similarity {
     val perPrefix = prefixes.map { p =>
       val qp = slice(col("qv"), 1, p)
       val vp = slice(col("v"), 1, p)
-      val topP = corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosineR(qp, vp, VectorExprs.dot(qp, qp),
-            VectorExprs.dot(vp, vp)).as("cos_r"))
-        .withColumn("rn", row_number().over(beamW))
-        .filter(col("rn") <= k)
-        .select(col("q_id"), col("vec_id"))
+      val topP = topkIds(
+        corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosineR(qp, vp, VectorExprs.dot(qp, qp),
+              VectorExprs.dot(vp, vp)).as("cos_r")))
       val rec = exact
         .join(topP.select(col("q_id").as("fq"), col("vec_id").as("fv")),
           col("xq") === col("fq") && col("xv") === col("fv"), "left")

@@ -632,6 +632,63 @@ class PlanSpec extends SparkSpec {
       "the sketch must partial-aggregate before the shuffle")
   }
 
+  test("prefix-dim recall: every q_id rank window is two-stage — no corpus-sized relation feeds a single-stage rank (checkpoint-hidden plans audited via listener)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the D55 card ranks five corpus-sized scored relations (exact +
+    // four prefixes); each rank must be the two-stage local/global
+    // top-k — a single-stage row_number over q_id alone sorts the
+    // corpus on one reducer per query (the r13 `weak`). The scored
+    // relation is checkpointed, so final-plan pins can't see the
+    // windows — audit every execution via listener, like the nnd pin.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        plans.add(qe.executedPlan); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Similarity.annPrefixDimRecall(tables, ordered = true).collect()
+      val deadline = System.currentTimeMillis() + 15000
+      var last = -1
+      while (plans.size != last && System.currentTimeMillis() < deadline) {
+        last = plans.size; Thread.sleep(300)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    def walk(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case s: QueryStageExec        => s +: walk(s.plan)
+      // a leg consumed twice dedupes its shuffle into a ReusedExchange
+      // leaf — the local stage lives under the ORIGINAL exchange
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r +: walk(r.child)
+      case o                        => o +: o.children.flatMap(walk)
+    }
+    import scala.jdk.CollectionConverters._
+    val all = plans.asScala.toSeq
+    assert(all.nonEmpty, "listener captured no executions")
+    // every global (q_id-only) rank window must sit above a local
+    // (q_id, pid) window stage that already cut the relation to ≤ k
+    // rows per (query, partition)
+    val qidWindows = all.flatMap(p => walk(p)).collect {
+      case w: WindowExec if w.partitionSpec.length == 1 &&
+        w.partitionSpec.head.toString.contains("q_id") => w
+    }
+    assert(qidWindows.nonEmpty, "expected the global top-k stage's q_id windows")
+    qidWindows.foreach { w =>
+      val localStages = walk(w.child).collect {
+        case lw: WindowExec if lw.partitionSpec.length >= 2 => lw
+      }
+      assert(localStages.nonEmpty,
+        s"single-stage q_id rank window (corpus-sized sort per query):\n${w.toString.take(400)}")
+    }
+  }
+
   test("ivf residual-pq: the per-cell ADC table broadcasts — the code stream never sort-merges") {
     val p = plan(Similarity.annIvfRpq(tables))
     // the (q, cell, subspace, code) table is tiny by construction
