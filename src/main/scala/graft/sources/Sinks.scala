@@ -1244,7 +1244,8 @@ object Sinks {
     * read, let alone rewritten.
     */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, newVectors: DataFrame, m: Int = 8): Unit = {
+      rawPath: String, newVectors: DataFrame, m: Int = 8): Unit = {
+    val path = resolveIndexRoot(spark, rawPath)
     val sim = graft.operators.Similarity
     val coarse = readQuantizer(spark, s"$path/coarse")
     val pqr = readQuantizer(spark, s"$path/codebook")
@@ -1274,11 +1275,13 @@ object Sinks {
   def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, vecIds: DataFrame): Unit =
     vecIds.select(col("vec_id")).coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+      .write.mode(SaveMode.Append)
+      .parquet(s"${resolveIndexRoot(spark, path)}/tombstones")
 
-  def searchIvfPqIndex(t: Tables, path: String, nQueries: Int = 8,
+  def searchIvfPqIndex(t: Tables, rawPath: String, nQueries: Int = 8,
       k: Int = 5, m: Int = 8, nProbe: Int = 4): DataFrame = {
     val spark = t.spark
+    val path = resolveIndexRoot(spark, rawPath)
     val sim = graft.operators.Similarity
     val coarse = readQuantizer(spark, s"$path/coarse")
     // ONE bounded collect (≤ nQueries·nProbe rows incl. the query
@@ -1390,8 +1393,9 @@ object Sinks {
     * rank (they may still route).
     */
   def searchGraphIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, nQueries: Int = 8, beam: Int = 8, rounds: Int = 4,
+      rawPath: String, nQueries: Int = 8, beam: Int = 8, rounds: Int = 4,
       k: Int = 5, sampleMod: Int = 8): DataFrame = {
+    val path = resolveIndexRoot(spark, rawPath)
     val eS = graphIndexVectors(spark, path)
     val q = eS.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
@@ -1404,9 +1408,10 @@ object Sinks {
     * nQueries-prefix special case, so stream ≡ batch structurally.
     */
   private[graft] def searchGraphIndexQRel(
-      spark: org.apache.spark.sql.SparkSession, path: String, q: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, rawPath: String, q: DataFrame,
       beam: Int = 8, rounds: Int = 4, k: Int = 5,
       sampleMod: Int = 8): DataFrame = {
+    val path = resolveIndexRoot(spark, rawPath)
     val sim = graft.operators.Similarity
     val dd = graft.operators.Dedup
     val eS = graphIndexVectors(spark, path)
@@ -1462,10 +1467,11 @@ object Sinks {
     * coarse-beam top-kOutC.
     */
   def appendToGraphIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, newVectors: DataFrame, kGraph: Int = 3,
+      rawPath: String, newVectors: DataFrame, kGraph: Int = 3,
       bits: Int = 8, nTables: Int = 4, bucketCap: Int = 128,
       kOut: Int = 16, insertBeam: Int = 16, rounds: Int = 4,
       sampleMod: Int = 8, kOutC: Int = 8): Unit = {
+    val path = resolveIndexRoot(spark, rawPath)
     val sim = graft.operators.Similarity
     val dd = graft.operators.Dedup
     val eS = graphIndexVectors(spark, path)
@@ -1523,7 +1529,8 @@ object Sinks {
   def deleteFromGraphIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, vecIds: DataFrame): Unit =
     vecIds.select(col("vec_id")).coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+      .write.mode(SaveMode.Append)
+      .parquet(s"${resolveIndexRoot(spark, path)}/tombstones")
 
   /** G39 COMPACTION (the G33/G38 lifecycle twin the graph index was
     * missing — r12 verdict #2: tombstones otherwise accumulate forever
@@ -1554,7 +1561,11 @@ object Sinks {
     * no corpus access beyond the index's own artifacts.
     */
   def compactGraphIndex(spark: org.apache.spark.sql.SparkSession,
-      from: String, to: String): Unit = {
+      rawFrom: String, to: String): Unit = {
+    // `from` resolves (compact the LIVE version); `to` is a new
+    // physical dir — typically versionPath(root, current + 1), swapped
+    // in by the caller once the write completes
+    val from = resolveIndexRoot(spark, rawFrom)
     val tombPath = new org.apache.hadoop.fs.Path(s"$from/tombstones")
     val hasTomb = tombPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration).exists(tombPath)
@@ -1583,6 +1594,75 @@ object Sinks {
     }
     compactEdges("edges")
     compactEdges("coarse_edges")
+  }
+
+  /** G41: ATOMIC serving-store swap — the step the compaction arc
+    * dead-ended one short of production (r13 verdict #3): compaction
+    * writes to a NEW path, but a live server constructed on a fixed
+    * path could never move to it without a restart. Layout: a
+    * versioned root holds immutable artifact sets under
+    * `<root>/versions/<N>/` plus a tiny `_current` pointer file
+    * holding the live version number. [[resolveIndexRoot]] maps the
+    * root to the live version dir (a root with no pointer resolves to
+    * itself, so every pre-versioning store keeps working unchanged);
+    * every index entry point resolves on entry, and the two online
+    * servers re-resolve per micro-batch (the same hook that re-reads
+    * tombstones), so [[swapIndexVersion]] moves batch readers, the
+    * lifecycle ops AND live serving to the new version with zero
+    * dropped queries — the takedown story completes: tombstone stops
+    * serving → compact purges into versions/N+1 → swap.
+    *
+    * Atomicity: the pointer is ONE file, written to a scratch name and
+    * renamed over `_current` with Options.Rename.OVERWRITE — a reader
+    * sees the old version or the new one, never a torn pointer; the
+    * version dirs themselves are immutable once swapped in.
+    */
+  def versionPath(root: String, n: Long): String = s"$root/versions/$n"
+
+  private def currentPtr(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_current")
+
+  def currentIndexVersion(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[Long] = {
+    val p = currentPtr(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(buf.toString("UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** The live artifact path of `path`: its current version dir when a
+    * `_current` pointer exists, `path` itself otherwise (unversioned
+    * stores resolve to themselves). */
+  def resolveIndexRoot(spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    currentIndexVersion(spark, path).map(versionPath(path, _)).getOrElse(path)
+
+  /** Flip the `_current` pointer of `root` to version `n` (whose
+    * artifact dir must already exist — the caller built it with a
+    * write/compact into [[versionPath]]). Safe under a live server:
+    * the next micro-batch re-resolves and serves version `n`. */
+  def swapIndexVersion(spark: org.apache.spark.sql.SparkSession,
+      root: String, n: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vp = new org.apache.hadoop.fs.Path(versionPath(root, n))
+    val fs = vp.getFileSystem(conf)
+    require(fs.exists(vp),
+      s"swapIndexVersion: ${vp.toString} does not exist — build it first")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/_current.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(currentPtr(root)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** G27: persist a B63 TOP-K shard — the cross-run leaderboard

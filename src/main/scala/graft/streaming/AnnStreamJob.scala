@@ -72,12 +72,16 @@ object AnnStreamJob {
     * timestamp). Returns (q_id, rank, vec_id, adc_dist_r) per closed
     * query.
     */
-  def streamAnnServe(queries: DataFrame, indexPath: String, k: Int = 5,
+  def streamAnnServe(queries: DataFrame, rawIndexPath: String, k: Int = 5,
       m: Int = 8, nProbe: Int = 4,
       watermarkDelay: String = "10 minutes"): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.VectorExprs.ensureRegistered(spark)
     val sinks = graft.sources.Sinks
+    // the composable form is ONE continuously-planned query, so the
+    // version pointer resolves once at start — a G41 swap needs a
+    // restart here; the deploy form below re-resolves per batch
+    val indexPath = sinks.resolveIndexRoot(spark, rawIndexPath)
     val coarse = sinks.readQuantizer(spark, s"$indexPath/coarse")
     val pqr = sinks.readQuantizer(spark, s"$indexPath/codebook")
     val dsub = pqr.head._2.length / m
@@ -163,12 +167,27 @@ object AnnStreamJob {
     graft.functions.VectorExprs.ensureRegistered(spark)
     val sim = graft.operators.Similarity
     val sinks = graft.sources.Sinks
-    // bounded artifacts load once, driver-side (the literal-centers
-    // discipline); the codes relation is deliberately NOT planned here
-    val coarse = sinks.readQuantizer(spark, s"$indexPath/coarse")
-    val pqr = sinks.readQuantizer(spark, s"$indexPath/codebook")
+    // bounded artifacts load once PER VERSION, driver-side (the
+    // literal-centers discipline); the root re-resolves per micro-batch
+    // (the tombstone hook) so a G41 swapIndexVersion moves this server
+    // to the new version's quantizers + codes at the next batch, zero
+    // restarts. The codes relation is deliberately NOT planned here.
+    val qcache = new java.util.concurrent.atomic.AtomicReference[
+      (String, Array[(Int, Seq[Double], Double)], Array[(Int, Seq[Double], Double)])](null)
+    def quantizersFor(live: String) = {
+      val c = qcache.get()
+      if (c != null && c._1 == live) (c._2, c._3)
+      else {
+        val loaded = (live, sinks.readQuantizer(spark, s"$live/coarse"),
+          sinks.readQuantizer(spark, s"$live/codebook"))
+        qcache.set(loaded)
+        (loaded._2, loaded._3)
+      }
+    }
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val live = sinks.resolveIndexRoot(spark, indexPath)
+        val (coarse, pqr) = quantizersFor(live)
         // a float-typed query stream must serve too: cast to the
         // array<double> the probe math (and the batch path's withNorm)
         // operates in, so the stream ≡ batch probe law holds bit-for-bit
@@ -180,7 +199,7 @@ object AnnStreamJob {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
           .toSeq
         if (pcRows.nonEmpty) {
-          val out = sinks.searchIvfPqIndexLocal(spark, indexPath, pcRows, k, m,
+          val out = sinks.searchIvfPqIndexLocal(spark, live, pcRows, k, m,
             quantizers = Some((coarse, pqr)))
           val rows = out.collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -193,7 +212,7 @@ object AnnStreamJob {
           // law the audit exists to witness)
           val codeScans = planScans(out.queryExecution.executedPlan)
             .filter(_.relation.location.rootPaths
-              .exists(_.toString.contains(s"$indexPath/codes")))
+              .exists(_.toString.contains(s"$live/codes")))
           val scanned = codeScans
             .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
           val cells = pcRows.map(_._2).distinct.sorted
@@ -215,9 +234,12 @@ object AnnStreamJob {
     * production switchover to the graph path had no serving story.
     *
     * Shape: the symmetrized edge relations (full + coarse layer) load
-    * and CHECKPOINT once at server start — re-symmetrizing a
+    * and CHECKPOINT once per served VERSION (re-symmetrizing a
     * corpus-scale edge relation per micro-batch would be the G37
-    * full-scan mistake in graph clothing; per batch, only bounded work
+    * full-scan mistake in graph clothing; the root re-resolves per
+    * batch, so a G41 swap re-checkpoints once and serving moves to the
+    * compacted artifact with zero dropped queries); per batch, only
+    * bounded work
     * runs: arriving queries → coarse-layer beam from the sampled entry
     * → layer-0 beam over the refined edges (each round a ≤batchQ·beam
     * frontier BROADCAST into the checkpointed edges — the D41 plan),
@@ -245,21 +267,38 @@ object AnnStreamJob {
     val sim = graft.operators.Similarity
     val sinks = graft.sources.Sinks
     val dd = graft.operators.Dedup
-    // static artifacts: loaded + materialized ONCE for the server's
-    // lifetime (the literal-centers discipline, graph-sized)
-    val eS = dd.stableCheckpoint(sinks.graphIndexVectors(spark, indexPath))
-    val edges = dd.stableCheckpoint(sim.symmetrizeEdges(
-      spark.read.parquet(s"$indexPath/edges")))
-    val cedges = dd.stableCheckpoint(sim.symmetrizeEdges(
-      spark.read.parquet(s"$indexPath/coarse_edges")))
+    // static artifacts: loaded + materialized ONCE PER VERSION (the
+    // literal-centers discipline, graph-sized) — the root re-resolves
+    // per micro-batch, so a G41 swapIndexVersion re-checkpoints the
+    // new version's artifacts on its first post-swap batch (one-time
+    // cost per swap, the price of moving a corpus-scale static side)
+    // and every later batch serves the cached frames
+    val acache = new java.util.concurrent.atomic.AtomicReference[
+      (String, DataFrame, DataFrame, DataFrame)](null)
+    def artifactsFor(live: String) = {
+      val c = acache.get()
+      if (c != null && c._1 == live) (c._2, c._3, c._4)
+      else {
+        val loaded = (live,
+          dd.stableCheckpoint(sinks.graphIndexVectors(spark, live)),
+          dd.stableCheckpoint(sim.symmetrizeEdges(
+            spark.read.parquet(s"$live/edges"))),
+          dd.stableCheckpoint(sim.symmetrizeEdges(
+            spark.read.parquet(s"$live/coarse_edges"))))
+        acache.set(loaded)
+        (loaded._2, loaded._3, loaded._4)
+      }
+    }
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val live = sinks.resolveIndexRoot(spark, indexPath)
+        val (eS, edges, cedges) = artifactsFor(live)
         val q = batch.select(col("q_id"), col("v")).dropDuplicates("q_id")
           .select(col("q_id"),
             transform(col("v"), x => x.cast("double")).as("qv"))
           .withColumn("qn2",
             graft.functions.VectorExprs.dot(col("qv"), col("qv")))
-        val out = sinks.searchGraphIndexWith(spark, indexPath, eS, edges,
+        val out = sinks.searchGraphIndexWith(spark, live, eS, edges,
           cedges, q, beam, rounds, k, sampleMod)
         onBatch(batchId, out.collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -606,6 +606,46 @@ class SinksSpec extends SparkSpec {
       s"codes scan must prune on cell; partitionFilters: $pf")
   }
 
+  test("versioned index root: searches resolve the _current pointer; swap moves every reader atomically; missing versions refuse") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivfpq_versioned").toString
+    Sinks.writeIvfPqIndex(tables, Sinks.versionPath(root, 1), nCells = 16)
+    Sinks.swapIndexVersion(spark, root, 1)
+    assert(Sinks.currentIndexVersion(spark, root).contains(1L))
+    def rows(path: String) = Sinks.searchIvfPqIndex(tables, path).collect()
+      .map(_.toSeq).toSeq
+    // the root serves its live version's artifact row-for-row
+    assert(rows(root) == rows(Sinks.versionPath(root, 1)),
+      "root search must equal the pointed-at version's artifact")
+    // lifecycle ops resolve too: a delete lands in the LIVE version
+    val doomed = rows(root).map(_(2).asInstanceOf[Long]).distinct
+      .filter(_ >= 8).take(2)
+    assert(doomed.nonEmpty)
+    Sinks.deleteFromIvfPqIndex(spark, root, doomed.toDF("vec_id"))
+    assert(new java.io.File(
+      s"${Sinks.versionPath(root, 1)}/tombstones").isDirectory,
+      "a delete through the root must land in the live version dir")
+    assert(!rows(root).exists(r => doomed.contains(r(2))),
+      "tombstoned vectors must stop serving through the root")
+    // a fresh v2 (the compacted-artifact stand-in: no tombstones)
+    // changes NOTHING until the pointer flips...
+    Sinks.writeIvfPqIndex(tables, Sinks.versionPath(root, 2), nCells = 16)
+    assert(!rows(root).exists(r => doomed.contains(r(2))),
+      "building a new version must not affect serving before the swap")
+    // ...and everything after: root search == v2's artifact row-for-row
+    Sinks.swapIndexVersion(spark, root, 2)
+    assert(Sinks.currentIndexVersion(spark, root).contains(2L))
+    assert(rows(root) == rows(Sinks.versionPath(root, 2)),
+      "post-swap root search must equal the new version's artifact")
+    assert(rows(root).exists(r => doomed.contains(r(2))),
+      "the rebuilt version carries no tombstones — the swap visibly moved serving")
+    // a pointer to a version that was never built must refuse
+    intercept[IllegalArgumentException](Sinks.swapIndexVersion(spark, root, 9))
+    // an unversioned store resolves to itself (full back-compat)
+    val flat = Files.createTempDirectory("ivfpq_flat").toString
+    assert(Sinks.resolveIndexRoot(spark, flat) == flat)
+  }
+
   test("chunk store append: daily deliveries dedup against the base store; every doc still round-trips; storage == one-shot store") {
     val tAll = graft.operators.TextOps.plantUtf8Docs(tables)
     def half(parity: Int) = graft.sources.Tables(spark, sfDir, docsOverride = Some(

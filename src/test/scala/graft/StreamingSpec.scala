@@ -257,6 +257,111 @@ class StreamingSpec extends SparkSpec {
       "post-delete graph stream results must still equal the batch path")
   }
 
+  test("G41 swap under a live graph server: compact+swap serves the new version from the next batch, zero dropped queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sinks = graft.sources.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graphidx_versioned").toString
+    sinks.writeGraphIndex(tables, sinks.versionPath(root, 1))
+    sinks.swapIndexVersion(spark, root, 1)
+    val qvecs = tables.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, Long, Long, Double)]]
+    def batchRows(path: String) = sinks.searchGraphIndex(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.AnnStreamJob.streamGraphAnnServe(
+      input.toDS().toDF("q_id", "v"), root) { (_, rows) =>
+      perBatch.synchronized { if (rows.nonEmpty) perBatch += rows; () }
+    }
+    try {
+      // batch A serves version 1
+      input.addData(qvecs); q.processAllAvailable()
+      val rowsA = perBatch.synchronized(perBatch.flatten.toSeq)
+        .sortBy(x => (x._1, x._2))
+      val expectedA = batchRows(root)
+      assert(rowsA.nonEmpty && rowsA == expectedA,
+        "pre-swap serving must equal the live version's batch search")
+      // takedown arc WHILE THE SERVER RUNS: tombstone → compact into
+      // versions/2 → plant a findable duplicate only v2 has → swap
+      val doomed = rowsA.map(_._3).distinct.filter(_ >= 8).take(2)
+      assert(doomed.nonEmpty)
+      sinks.deleteFromGraphIndex(spark, root, doomed.toDF("vec_id"))
+      sinks.compactGraphIndex(spark, root, sinks.versionPath(root, 2))
+      val dupId = tables.embeddings.agg(max(col("vec_id"))).head.getLong(0) + 1000L
+      sinks.appendToGraphIndex(spark, sinks.versionPath(root, 2),
+        Seq((dupId, qvecs.head._2)).toDF("vec_id", "embedding"))
+      sinks.swapIndexVersion(spark, root, 2)
+      perBatch.synchronized(perBatch.clear())
+      // batch B must serve version 2: the compacted graph + the planted
+      // duplicate — which exists in NO other version, so its appearance
+      // proves the live server moved
+      input.addData(qvecs); q.processAllAvailable()
+      val rowsB = perBatch.synchronized(perBatch.flatten.toSeq)
+        .sortBy(x => (x._1, x._2))
+      assert(rowsB == batchRows(sinks.versionPath(root, 2)),
+        "post-swap serving must equal the new version's batch search row-for-row")
+      assert(!rowsB.exists(r => doomed.contains(r._3)),
+        "compaction purged the tombstoned vectors — they must not serve")
+      assert(rowsB.exists(r => r._1 == 0L && r._3 == dupId && r._4 == 1.0),
+        s"the v2-only planted duplicate must serve at cosine 1.0 post-swap: ${rowsB.filter(_._1 == 0L)}")
+      // zero dropped queries: every arriving q_id answered in both eras
+      assert(rowsA.map(_._1).distinct.sorted == qvecs.map(_._1) &&
+        rowsB.map(_._1).distinct.sorted == qvecs.map(_._1),
+        "every query of every batch must be answered across the swap")
+    } finally q.stop()
+  }
+
+  test("G41 swap under a live pruned-IVFPQ server: the next batch serves the new version's quantizers and codes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sinks = graft.sources.Sinks
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_serve_versioned").toString
+    sinks.writeIvfPqIndex(tables, sinks.versionPath(root, 1), nCells = 16)
+    sinks.swapIndexVersion(spark, root, 1)
+    def batchRows(path: String) = sinks.searchIvfPqIndex(tables, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // v1 carries tombstones; v2 is the rebuild without them — the swap
+    // visibly changes what serves (the doomed ids return)
+    val doomed = batchRows(root).map(_._3).distinct.filter(_ >= 8).take(2)
+    assert(doomed.nonEmpty)
+    sinks.deleteFromIvfPqIndex(spark, root, doomed.toDF("vec_id"))
+    sinks.writeIvfPqIndex(tables, sinks.versionPath(root, 2), nCells = 16)
+    val qvecs = tables.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, Long, Long, Double)]]
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.AnnStreamJob.streamAnnServePruned(
+      input.toDS().toDF("q_id", "v"), root) { (_, rows) =>
+      perBatch.synchronized { if (rows.nonEmpty) perBatch += rows; () }
+    }
+    try {
+      input.addData(qvecs); q.processAllAvailable()
+      val rowsA = perBatch.synchronized(perBatch.flatten.toSeq)
+        .sortBy(x => (x._1, x._2))
+      assert(rowsA == batchRows(sinks.versionPath(root, 1)),
+        "pre-swap pruned serving must equal version 1's batch search")
+      assert(!rowsA.exists(r => doomed.contains(r._3)))
+      sinks.swapIndexVersion(spark, root, 2)
+      perBatch.synchronized(perBatch.clear())
+      input.addData(qvecs); q.processAllAvailable()
+      val rowsB = perBatch.synchronized(perBatch.flatten.toSeq)
+        .sortBy(x => (x._1, x._2))
+      assert(rowsB == batchRows(sinks.versionPath(root, 2)),
+        "post-swap pruned serving must equal version 2's batch search")
+      assert(rowsB.exists(r => doomed.contains(r._3)),
+        "the rebuilt version has no tombstones — the swap visibly moved serving")
+    } finally q.stop()
+  }
+
   test("streaming day-final type shares == batch day-share relation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
