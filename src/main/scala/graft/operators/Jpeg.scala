@@ -11,11 +11,15 @@ package graft.operators
   * separable double-precision IDCT with round+clamp+level-shift.
   *
   * Envelope (anything else → None → quarantine): 8-bit baseline
-  * sequential (SOF0), exactly one component, 1×1 sampling, no restart
-  * intervals, no progressive (SOF2), scan must decode every block and
-  * be followed by EOI. Integrity: truncated entropy data (bit reader
-  * runs dry), an undefined Huffman code, or a missing table all
-  * quarantine.
+  * sequential (SOF0), exactly one component, 1×1 sampling, no
+  * progressive (SOF2), scan must decode every block and be followed
+  * by EOI. DRI restart intervals (r14) ARE in the envelope: at each
+  * interval boundary the reader byte-aligns, requires the modulo-8
+  * RST marker sequence and resets the DC predictor(s) — common in
+  * wild baseline JPEGs (every libjpeg encode with restart markers).
+  * Integrity: truncated entropy data (bit reader runs dry), an
+  * undefined Huffman code, a missing table, a missing or out-of-
+  * sequence restart marker all quarantine.
   *
   * Exactness note for the gated corpus: JPEG is lossy in general, but
   * a block whose pixels are CONSTANT c has DC = 8·(c−128) and zero
@@ -107,6 +111,21 @@ object Jpeg {
       truncated = true
       -1
     }
+    /** Consume the restart marker RST<m> (T.81 E.1.4): discard the
+      * current byte's remaining pad bits, skip optional 0xFF fill
+      * bytes, then require exactly FF D0+m — a wrong modulo sequence
+      * or a missing marker is corruption (the decoder does not
+      * resync-scan; the gated corpus is not error-concealing). */
+    def restartMarker(m: Int): Boolean = {
+      nbits = 0; acc = 0
+      var p = pos
+      while (p + 1 < b.length && (b(p) & 0xff) == 0xff &&
+        (b(p + 1) & 0xff) == 0xff) p += 1
+      if (p + 2 > b.length) return false
+      if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xff) != (0xd0 + m)) return false
+      pos = p + 2
+      true
+    }
   }
 
   /** Magnitude-category extension (T.81 F.2.2.1). */
@@ -125,6 +144,7 @@ object Jpeg {
     var acTab: Huff = null
     var w = -1
     var h = -1
+    var ri = 0 // DRI restart interval in MCUs; 0 = none
     var scanStart = -1
     // marker segment walk up to SOS
     while (scanStart < 0) {
@@ -177,7 +197,9 @@ object Jpeg {
           if ((bytes(body) & 0xff) != 1) return None
           scanStart = pos + 2 + len
         case 0xc2 | 0xc1 | 0xc3 => return None // progressive/extended
-        case 0xdd => return None // restart intervals out of envelope
+        case 0xdd => // DRI (T.81 B.2.4.4): restart interval in MCUs
+          if (len != 4) return None
+          ri = u16(bytes, body)
         case 0xd9 => return None // EOI before any scan
         case _ => () // APPn/COM and friends: skipped by length
       }
@@ -190,10 +212,21 @@ object Jpeg {
     val br = new BitReader(bytes, scanStart)
     val coef = new Array[Int](64)
     var pred = 0
+    var mcu = 0 // single-component scan: one block per MCU
+    var rst = 0
     var by = 0
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
+        // restart boundary: byte-aligned RST<m> (m cycles 0..7), DC
+        // predictor resets — the resync that bounds error propagation
+        // in a wild stream (no marker after the final interval)
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          if (!br.restartMarker(rst % 8)) return None
+          rst += 1
+          pred = 0
+        }
+        mcu += 1
         java.util.Arrays.fill(coef, 0)
         val t = br.decodeHuff(dcTab)
         if (br.truncated || t < 0 || t > 11) return None
@@ -289,9 +322,10 @@ object Jpeg {
   // doubles.
   //
   // Envelope: 8-bit baseline SOF0, 1 or 3 components; sampling all
-  // 1×1 (4:4:4 / grayscale) or Y 2×2 with 1×1 chroma (4:2:0); no
-  // restart intervals, no progressive. Everything else → None →
-  // quarantine, same custody as the grayscale path.
+  // 1×1 (4:4:4 / grayscale) or Y 2×2 with 1×1 chroma (4:2:0); DRI
+  // restart intervals supported (per-MCU resync, all predictors
+  // reset); no progressive. Everything else → None → quarantine,
+  // same custody as the grayscale path.
   // ---------------------------------------------------------------
 
   /** A decoded color image: top-down row-major planes 0..255.
@@ -349,6 +383,7 @@ object Jpeg {
     val acTabs = new Array[Huff](4)
     var w = -1
     var h = -1
+    var ri = 0 // DRI restart interval in MCUs; 0 = none
     var comps: Array[Comp] = null
     var scanStart = -1
     while (scanStart < 0) {
@@ -424,7 +459,9 @@ object Jpeg {
           }
           scanStart = pos + 2 + len
         case 0xc2 | 0xc1 | 0xc3 => return None // progressive/extended
-        case 0xdd => return None // restart intervals out of envelope
+        case 0xdd => // DRI: restart interval in MCUs
+          if (len != 4) return None
+          ri = u16(bytes, body)
         case 0xd9 => return None // EOI before any scan
         case _ => ()
       }
@@ -443,10 +480,20 @@ object Jpeg {
     }
     val br = new BitReader(bytes, scanStart)
     val coef = new Array[Int](64)
+    var mcu = 0
+    var rst = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        // restart boundary: byte-aligned RST<m>, EVERY component's DC
+        // predictor resets (T.81 E.2.4)
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          if (!br.restartMarker(rst % 8)) return None
+          rst += 1
+          comps.foreach(_.pred = 0)
+        }
+        mcu += 1
         var ci = 0
         while (ci < comps.length) {
           val c = comps(ci)
@@ -572,13 +619,27 @@ object Jpeg {
       }
       out.toByteArray
     }
+    /** Emit a restart marker RST<m>: pad the current byte with 1-bits
+      * (stuffed if it lands on 0xFF, per T.81 — the pad is entropy
+      * bytes, the marker is not), then the raw two marker bytes. */
+    def restart(m: Int): Unit = {
+      if (n > 0) {
+        val pad = acc << (8 - n) | ((1 << (8 - n)) - 1)
+        out.write(pad)
+        if (pad == 0xff) out.write(0x00)
+        acc = 0; n = 0
+      }
+      out.write(0xff)
+      out.write(0xd0 + m)
+    }
   }
 
   /** Encode a grayscale image given per-8×8-block CONSTANT values
     * (row-major block order) — the DC-exact corpus construction. Dims
     * must be multiples of 8.
     */
-  private[graft] def encodeBlocks(w: Int, h: Int, blockVals: Array[Int]): Array[Byte] = {
+  private[graft] def encodeBlocks(w: Int, h: Int, blockVals: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
     require(w % 8 == 0 && h % 8 == 0, "DC-exact corpus uses multiple-of-8 dims")
     require(blockVals.length == (w / 8) * (h / 8),
       s"need ${(w / 8) * (h / 8)} block values, got ${blockVals.length}")
@@ -600,10 +661,16 @@ object Jpeg {
     // DHT AC (Tc=1,Th=0): the single length-1 code 0 = EOB
     seg(0xc4, Array(0x10) ++ Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
       ++ Array(0x00))
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
     seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
     val bw = new BitWriter
     var pred = 0
-    blockVals.foreach { cval =>
+    var rst = 0
+    blockVals.zipWithIndex.foreach { case (cval, mcu) =>
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.restart(rst % 8); rst += 1; pred = 0
+      }
       val dc = 8 * (cval - 128)
       val diff = dc - pred
       pred = dc
@@ -632,7 +699,8 @@ object Jpeg {
     * machinery a wild decoder must implement, on genuine JPEG bytes.
     */
   private[graft] def encodeBlocksColor(w: Int, h: Int, yBlocks: Array[Int],
-      cbBlocks: Array[Int], crBlocks: Array[Int]): Array[Byte] = {
+      cbBlocks: Array[Int], crBlocks: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
     require(w % 16 == 0 && h % 16 == 0, "DC-exact color corpus uses multiple-of-16 dims")
     val bw0 = w / 8
     val cw = w / 16
@@ -659,12 +727,16 @@ object Jpeg {
     seg(0xc4, Array(0x10) ++ acBits ++ Array(0x00))       // AC id 0
     seg(0xc4, Array(0x01) ++ dcBits ++ (0 to 11).toArray) // DC id 1
     seg(0xc4, Array(0x11) ++ acBits ++ Array(0x00))       // AC id 1
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
     // SOS: Y uses tables 0/0, chroma 1/1
     seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
     val bw = new BitWriter
     var predY = 0
     var predCb = 0
     var predCr = 0
+    var mcuIdx = 0
+    var rst = 0
     def writeDc(cval: Int, pred: Int): Int = {
       val dc = 8 * (cval - 128)
       val diff = dc - pred
@@ -678,6 +750,11 @@ object Jpeg {
     while (my < h / 16) {
       var mx = 0
       while (mx < w / 16) {
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          bw.restart(rst % 8); rst += 1
+          predY = 0; predCb = 0; predCr = 0
+        }
+        mcuIdx += 1
         var by = 0
         while (by < 2) { // 4 luma blocks, row-major within the MCU
           var bx = 0

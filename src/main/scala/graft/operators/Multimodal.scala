@@ -465,6 +465,42 @@ object Multimodal {
     mmDecodeJpegColorPayloads(spark, payloads)
   }, ordered)(col("doc_id"))
 
+  /** [[jpegColorBytes]] with a planted DRI restart interval of
+    * 1 + id%3 MCUs: odd ids are 32×32 (4 MCUs) so they carry REAL
+    * RST0..RSTn markers with byte-aligned resync and per-interval
+    * predictor resets; even ids are one MCU — DRI declared, no
+    * boundary (both legal shapes). Block pattern is identical to
+    * F23b's, so the same block-formula oracle gates the restart
+    * machinery: a decoder that mis-syncs a marker, breaks the modulo
+    * sequence, or forgets the predictor reset (the encoder re-bases
+    * every interval at 0) decodes wrong pixels and hash-fails.
+    */
+  private[graft] def jpegColorDriBytes(docId: Long): Array[Byte] = {
+    val w = (16 * (1 + docId % 2)).toInt
+    val h = (16 * (1 + (docId * 7) % 2)).toInt
+    val nb = (w / 8) * (h / 8)
+    val nc = (w / 16) * (h / 16)
+    Jpeg.encodeBlocksColor(w, h,
+      Array.tabulate(nb)(b => ((docId * 31 + b * 7L) % 256L).toInt),
+      Array.tabulate(nc)(c => ((docId * 17 + c * 11L) % 256L).toInt),
+      Array.tabulate(nc)(c => ((docId * 23 + c * 5L) % 256L).toInt),
+      restartInterval = (1 + docId % 3).toInt)
+  }
+
+  /** F23c: feature extract over color JPEGs WITH restart intervals —
+    * wild baseline JPEGs carry DRI routinely (any libjpeg encode with
+    * restart markers); the decode boundary and features are F23b's,
+    * the envelope now resyncs at RSTn and resets DC predictors per
+    * interval instead of quarantining the whole payload.
+    */
+  def mmFeatureExtractJpegDri(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, jpegColorDriBytes(id)))).toDF("doc_id", "payload")
+    mmDecodeJpegColorPayloads(spark, payloads)
+  }, ordered)(col("doc_id"))
+
   final case class MmAudio(doc_id: Long, format: String,
       sample_rate: Option[Int], n_channels: Option[Int],
       n_frames: Option[Long], duration_s_r: Option[Double],

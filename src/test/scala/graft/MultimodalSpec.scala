@@ -317,6 +317,67 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == "JPEG420" && out(2L) == "corrupt")
   }
 
+  test("DRI restart intervals: RSTn resync + predictor resets decode DC-exactly; wrong sequence, missing marker, and markers without DRI all quarantine") {
+    import graft.operators.Jpeg
+    val (w, h) = (32, 32) // 2×2 = 4 MCUs at 4:2:0
+    val bw = w / 8
+    val yB = Array.tabulate(bw * (h / 8))(b => (b * 53 + 7) % 256)
+    val cw = w / 16
+    val cbB = Array.tabulate(cw * (h / 16))(c => (c * 91 + 13) % 256)
+    val crB = Array.tabulate(cw * (h / 16))(c => (c * 37 + 201) % 256)
+    val plain = Jpeg.parseColor(Jpeg.encodeBlocksColor(w, h, yB, cbB, crB))
+      .getOrElse(fail("plain color reference must parse"))
+    def sosAt(p: Array[Byte]) = (0 until p.length - 1).indexWhere(i =>
+      (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xda)
+    def rstOffsets(p: Array[Byte]) = (sosAt(p) until p.length - 1).filter(i =>
+      (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) >= 0xd0 && (p(i + 1) & 0xff) <= 0xd7)
+    for (ri <- Seq(1, 2, 3)) {
+      val bytes = Jpeg.encodeBlocksColor(w, h, yB, cbB, crB, restartInterval = ri)
+      // the stream really carries the marker cadence (none after the
+      // final interval): ⌈4/ri⌉ − 1 boundaries
+      assert(rstOffsets(bytes).size == (4 + ri - 1) / ri - 1,
+        s"ri=$ri: wrong marker count")
+      val img = Jpeg.parseColor(bytes)
+        .getOrElse(fail(s"ri=$ri: DRI payload must parse"))
+      assert(img.r.sameElements(plain.r) && img.g.sameElements(plain.g) &&
+        img.b.sameElements(plain.b),
+        s"ri=$ri: DRI decode must equal the plain decode of the same blocks")
+    }
+    // grayscale path: same machinery, one block per MCU
+    val gB = Array.tabulate(8)(b => (b * 37 + 11) % 256)
+    val gPlain = Jpeg.parse(Jpeg.encodeBlocks(64, 8, gB))
+      .getOrElse(fail("plain grayscale reference must parse"))
+    val gBytes = Jpeg.encodeBlocks(64, 8, gB, restartInterval = 3)
+    assert(rstOffsets(gBytes).size == 2)
+    val gImg = Jpeg.parse(gBytes)
+      .getOrElse(fail("grayscale DRI payload must parse"))
+    assert(gImg.pixels.sameElements(gPlain.pixels))
+    // quarantine pins, all on the ri=1 stream (3 markers)
+    val dri1 = Jpeg.encodeBlocksColor(w, h, yB, cbB, crB, restartInterval = 1)
+    val m0 = rstOffsets(dri1).head
+    val badSeq = dri1.clone()
+    badSeq(m0 + 1) = 0xd1.toByte // first marker must be RST0
+    assert(Jpeg.parseColor(badSeq).isEmpty,
+      "an out-of-sequence restart marker must quarantine")
+    val missing = dri1.take(m0) ++ dri1.drop(m0 + 2) // marker spliced out
+    assert(Jpeg.parseColor(missing).isEmpty,
+      "a missing restart marker must quarantine, not mis-sync")
+    // markers present but NO DRI segment: a mid-scan marker is corruption
+    val driSeg = (0 until dri1.length - 1).indexWhere(i =>
+      (dri1(i) & 0xff) == 0xff && (dri1(i + 1) & 0xff) == 0xdd)
+    val noDri = dri1.take(driSeg) ++ dri1.drop(driSeg + 6)
+    assert(rstOffsets(noDri).nonEmpty)
+    assert(Jpeg.parseColor(noDri).isEmpty,
+      "restart markers without a DRI declaration must quarantine")
+    // the planted DRI corpus equals the F23b features doc-for-doc (the
+    // oracle-identity the gate leans on)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Multimodal.mmFeatureExtractJpegDri(tables, ordered = true)) ==
+      rows(Multimodal.mmFeatureExtractJpegColor(tables, ordered = true)),
+      "DRI corpus features must equal the plain color corpus features")
+  }
+
   test("joint dedup: coarsens both single-modality clusterings — co-clustered pairs in either stay together") {
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
