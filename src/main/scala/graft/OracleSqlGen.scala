@@ -2294,6 +2294,91 @@ object OracleSqlGen {
        |ORDER BY prefix_dims""".stripMargin
   }
 
+  /** D56: the Matryoshka serving path — prefix-p retrieval pool
+    * (sliced dot + sliced norms, the D55 expressions) re-ranked with
+    * the full-dim exact cosine; the pool is multiply referenced →
+    * MATERIALIZED.
+    */
+  def annPrefixRerank(nQueries: Int = 8, k: Int = 5, p: Int = 16,
+      kPool: Int = 20): String =
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS q_id, v, n2 FROM n WHERE vec_id < $nQueries),
+       |scp AS (SELECT q.q_id, c.vec_id,
+       |  floor((list_reduce([q.v[i]*c.v[i] for i in range(1, ${p + 1})], (x,y) -> x+y) /
+       |    (sqrt(list_reduce([x*x for x in q.v[1:$p]], (x,y) -> x+y)) *
+       |     sqrt(list_reduce([x*x for x in c.v[1:$p]], (x,y) -> x+y))))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM q JOIN n c ON c.vec_id <> q.q_id),
+       |pool AS MATERIALIZED (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM scp) WHERE rn <= $kPool),
+       |rr AS (SELECT p.q_id, p.vec_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM pool p JOIN q ON q.q_id = p.q_id JOIN n c ON c.vec_id = p.vec_id)
+       |SELECT q_id, rank, vec_id, cos_r FROM (
+       |  SELECT q_id, vec_id, cos_r,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rank
+       |  FROM rr) WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** D56b: the serving path's ledger — end-to-end recall@k + full-dim
+    * scored-candidate volume per prefix, with the exact full-dim
+    * baseline row. exact/pool CTEs are multiply referenced →
+    * MATERIALIZED.
+    */
+  def annPrefixRerankLedger(nQueries: Int = 8, k: Int = 5,
+      prefixes: Seq[Int] = Seq(16, 32), kPool: Int = 20): String = {
+    def dmean(x: String) =
+      s"floor((CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE) / " +
+        s"CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000"
+    val perP = prefixes.map { p =>
+      s"""scp$p AS (SELECT q.q_id, c.vec_id,
+         |  floor((list_reduce([q.v[i]*c.v[i] for i in range(1, ${p + 1})], (x,y) -> x+y) /
+         |    (sqrt(list_reduce([x*x for x in q.v[1:$p]], (x,y) -> x+y)) *
+         |     sqrt(list_reduce([x*x for x in c.v[1:$p]], (x,y) -> x+y))))*1000000 + 0.5)/1000000 AS cos_r
+         |  FROM q JOIN n c ON c.vec_id <> q.q_id),
+         |pool$p AS MATERIALIZED (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+         |  FROM scp$p) WHERE rn <= $kPool),
+         |rrtop$p AS MATERIALIZED (SELECT q_id, vec_id FROM (
+         |  SELECT r.q_id, r.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY r.q_id ORDER BY r.cos_r DESC, r.vec_id ASC) AS rn
+         |  FROM (SELECT p.q_id, p.vec_id,
+         |      floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+         |    FROM pool$p p JOIN q ON q.q_id = p.q_id JOIN n c ON c.vec_id = p.vec_id) r)
+         |  WHERE rn <= $k),
+         |rec$p AS (SELECT x.q_id,
+         |  floor((CAST(COUNT(f.vec_id) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS recall_q
+         |  FROM exact x LEFT JOIN rrtop$p f ON f.q_id = x.q_id AND f.vec_id = x.vec_id
+         |  GROUP BY x.q_id),
+         |cnt$p AS (SELECT q_id, COUNT(*) AS n_cands FROM pool$p GROUP BY q_id)""".stripMargin
+    }
+    val rows = prefixes.map { p =>
+      s"""SELECT 'prefix_rerank' AS method, CAST($p AS BIGINT) AS prefix_dims,
+         |  (SELECT ${dmean("CAST(n_cands AS DOUBLE)")} FROM cnt$p) AS mean_cands_r,
+         |  (SELECT ${dmean("recall_q")} FROM rec$p) AS mean_recall_r""".stripMargin
+    }
+    val fullRow =
+      s"""SELECT 'exact_full' AS method, CAST(64 AS BIGINT) AS prefix_dims,
+         |  (SELECT CAST(COUNT(*) - 1 AS DOUBLE) FROM n) AS mean_cands_r,
+         |  CAST(1.0 AS DOUBLE) AS mean_recall_r""".stripMargin
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS q_id, v, n2 FROM n WHERE vec_id < $nQueries),
+       |scf AS (SELECT q.q_id, c.vec_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM q JOIN n c ON c.vec_id <> q.q_id),
+       |exact AS MATERIALIZED (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM scf) WHERE rn <= $k),
+       |${perP.mkString(",\n")}
+       |SELECT * FROM ((${rows.mkString(")\nUNION ALL\n(")})
+       |UNION ALL
+       |($fullRow))
+       |ORDER BY prefix_dims, method""".stripMargin
+  }
+
   /** E63: the Gopher rule card re-derived with DuckDB's own list and
     * regex machinery — trivially-portable tokenizations (space/newline
     * words, newline lines) are the whole point of the card's gate.

@@ -3246,6 +3246,132 @@ object Similarity {
     maybeSort(perPrefix.reduce(_ unionByName _), ordered)(col("prefix_dims"))
   }
 
+  /** Prefix-p retrieval pool: exact top-`kPool` per query by cosine
+    * over the FIRST p dimensions, two-stage (the D1 discipline — the
+    * corpus-sized scored relation never meets a single-stage rank
+    * window). Shared by D56's serving path and D56b's ledger. */
+  private def prefixPool(e: DataFrame, q: DataFrame, p: Int,
+      kPool: Int): DataFrame = {
+    val qp = slice(col("qv"), 1, p)
+    val vp = slice(col("v"), 1, p)
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    e.select(col("vec_id"), col("v"))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineR(qp, vp, VectorExprs.dot(qp, qp),
+          VectorExprs.dot(vp, vp)).as("cos_r"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= kPool)
+      .withColumn("rn", row_number().over(global))
+      .filter(col("rn") <= kPool)
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  /** D56: MATRYOSHKA serving path — the operator that ACTS on D55's
+    * curve (the r13 verdict's #6: the card measured what prefix dims
+    * buy, but nothing consumed the answer). The standard MRL
+    * deployment (Kusupati et al.): RETRIEVE a candidate pool with the
+    * truncated prefix-p representation — at 10^11 vectors, p/d of the
+    * scan bytes and index footprint — then RERANK the bounded pool
+    * with full-dimension exact cosine (the D11/D47 refine-tail shape).
+    * D55 `ann_prefix_dim_recall` is the p-picker: its recall-vs-p
+    * curve says which prefix keeps the pool rich enough to contain
+    * the true top-k; D56b's ledger verifies the end-to-end recall at
+    * the chosen p.
+    *
+    * Scale shape: one narrow prefix-scored corpus pass (broadcast
+    * queries; a prefix-sliced column layout reads p/d of the vector
+    * bytes), two-stage exact top-kPool, then the ≤nQueries·kPool pool
+    * joins BACK to the corpus by vec_id (the tiny pool broadcasts —
+    * the corpus never shuffles) and the full-dim rank runs over the
+    * bounded pool only.
+    */
+  def annPrefixRerank(t: Tables, nQueries: Int = 8, k: Int = 5,
+      p: Int = 16, kPool: Int = 20): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    prefixPool(e, q, p, kPool)
+      .join(e.select(col("vec_id"), col("v"), col("n2")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** D56b: the Matryoshka serving path's D51-ledger card — end-to-end
+    * recall@k and full-dim scored-candidate volume for the prefix-
+    * retrieve + full-rerank stack at each p, next to the exact
+    * full-dim baseline row. Reading the card with D55: D55 grades the
+    * PREFIX's own top-k (what the truncated space can rank); this
+    * grades the DEPLOYED stack, where the prefix only has to get the
+    * true neighbors into a kPool-sized pool for the full-dim rerank
+    * to finish — the standard MRL result is that modest p recovers
+    * near-exact recall at pool sizes a rerank pays happily, and the
+    * `mean_cands_r` column is that price (kPool vs the baseline's
+    * corpus-sized N−1).
+    */
+  def annPrefixRerankLedger(t: Tables, nQueries: Int = 8, k: Int = 5,
+      prefixes: Seq[Int] = Seq(16, 32), kPool: Int = 20,
+      ordered: Boolean = false): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val exact = annTopkBruteforce(t, nQueries, k)
+      .select(col("q_id").as("xq"), col("vec_id").as("xv"))
+    def dmean(c: Column) =
+      r6(sum(c.cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)).cast("double"))
+    def ledgerRow(name: String, pDims: Long, found: DataFrame,
+        cands: DataFrame): DataFrame = {
+      val rec = exact
+        .join(found.select(col("q_id").as("fq"), col("vec_id").as("fv")),
+          col("xq") === col("fq") && col("xv") === col("fv"), "left")
+        .groupBy(col("xq"))
+        .agg(r6(count(col("fv")).cast("double") /
+          count(lit(1)).cast("double")).as("recall_q"))
+        .agg(dmean(col("recall_q")).as("mean_recall_r"))
+      val cd = cands.agg(dmean(col("n_cands").cast("double")).as("mean_cands_r"))
+      rec.crossJoin(broadcast(cd))
+        .select(lit(name).as("method"), lit(pDims).as("prefix_dims"),
+          col("mean_cands_r"), col("mean_recall_r"))
+    }
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    val perP = prefixes.map { p =>
+      val pool = prefixPool(e, q, p, kPool)
+      val found = pool
+        .join(e.select(col("vec_id"), col("v"), col("n2")), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("vec_id"))
+      // full-dim scored candidates per query = the pool the rerank pays
+      val cands = pool.groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
+      ledgerRow("prefix_rerank", p.toLong, found, cands)
+    }
+    // the baseline everyone is measured against: exact full-dim scores
+    // all N−1 candidates per query for recall 1 by construction
+    val dim = prefixes.max.toLong.max(64L)
+    val fullCands = q.select(col("q_id"))
+      .crossJoin(broadcast(e.agg((count(lit(1)) - 1).as("n_cands"))))
+    val fullRow = ledgerRow("exact_full", dim,
+      exact.select(col("xq").as("q_id"), col("xv").as("vec_id")), fullCands)
+    maybeSort(perP.reduce(_ unionByName _).unionByName(fullRow),
+      ordered)(col("prefix_dims"), col("method"))
+  }
+
   /** D54: NN-descent ROUNDS tuning card — what each refinement round
     * buys (the C20/D37/D43 sensitivity-curve pattern pointed at D53's
     * one new knob): per level 0..descRounds, the mean kept-edge
