@@ -99,6 +99,24 @@ object GraphIndexProbe {
     println(s"GRAPHIDXWAVES $dir grown=" +
       curve.map(c => f"${c._1}%.3f").mkString(",") +
       " one_shot=" + curve.map(c => f"${c._2}%.3f").mkString(","))
+    // G42 coarse-layer drift after the 11 append waves, and again
+    // after a takedown wave — the D40-style monitor that says when the
+    // coarse layer needs a re-descend (share under-provisioned or
+    // entry-reach trailing a fresh re-sample)
+    def driftLine(tag: String): Unit = {
+      val c = graft.sources.Sinks.coarseDriftCard(spark, waves).collect()(0)
+      println(f"GRAPHIDXDRIFT $dir $tag n_live=${c.getAs[Long]("n_live")} " +
+        f"n_coarse_live=${c.getAs[Long]("n_coarse_live")} " +
+        f"share=${c.getAs[Double]("coarse_share_r")}%.4f " +
+        f"share_drift=${c.getAs[Double]("share_drift_r")}%+.4f " +
+        f"reach=${c.getAs[Double]("reach_r")}%.3f " +
+        f"reach_fresh=${c.getAs[Double]("reach_fresh_r")}%.3f " +
+        f"reach_gap=${c.getAs[Double]("reach_gap_r")}%+.3f")
+    }
+    driftLine("post_waves")
+    graft.sources.Sinks.deleteFromGraphIndex(spark, waves,
+      t.embeddings.select(col("vec_id")).filter(pmod(col("vec_id"), lit(16)) === 0))
+    driftLine("post_takedown")
     spark.stop()
   }
 }

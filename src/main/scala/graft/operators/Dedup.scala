@@ -111,7 +111,7 @@ object Dedup {
     * cache-manager entries, so the checkpoint RDD must be unpersisted
     * directly via its LogicalRDD leaf).
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: LogicalRDD => lr.rdd.unpersist(false)
       case _              => ()

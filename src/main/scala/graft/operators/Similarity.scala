@@ -3039,6 +3039,7 @@ object Similarity {
       bucketCap: Int = 128, nCells: Int = 16, nProbe: Int = 4,
       lshBits: Int = 5, lshTables: Int = 4, lshCap: Int = 64,
       kOut: Int = 16, descRounds: Int = 3,
+      indexPath: Option[String] = None,
       ordered: Boolean = false): DataFrame = {
     val e = withNorm(t.embeddings)
     val exact = annTopkBruteforce(t, nQueries, k)
@@ -3087,13 +3088,26 @@ object Similarity {
     // are INDEX-BUILD cost (like IVF's training pass), not per-query
     // scan volume — cands counts what the SEARCH scored (coarse +
     // layer-0 visited union, the graph_layered convention).
-    val edgesN = Dedup.stableCheckpoint(symmetrizeEdges(levelsN.last))
+    // PRODUCTION-SHAPED READ (r13 verdict #8): with `indexPath` set,
+    // the graph_nnd leg's two refined layers load from the persisted
+    // G39 artifacts — `edges`/`coarse_edges` are exactly the chain's
+    // final levels under writeGraphIndex's default recipe, and a
+    // parquet round-trip is value-exact, so the gated rows are
+    // BIT-EQUAL to the memoized in-query path (the SinksSpec law).
+    // The seed-level legs (graph_beam, graph_layered) grade the
+    // UNREFINED topology, which a serving index deliberately does not
+    // store — they still read the memoized chain.
+    val edgesN = Dedup.stableCheckpoint(symmetrizeEdges(indexPath.fold(
+      levelsN.last)(p => t.spark.read.parquet(s"$p/edges")
+        .select(col("src"), col("dst"), col("cos_r")))))
     // the coarse-sample seed build is ALSO shared (with the layered
     // leg below — the oracle's sedgesc CTE)
     val es = e.filter(pmod(col("vec_id"), lit(8L)) === 0L)
     val (seedCosS, levelsS) =
       nndChainFor(t, 8, kGraph, 8, nTables, bucketCap, 8, 2)
-    val coarseN = Dedup.stableCheckpoint(symmetrizeEdges(levelsS.last))
+    val coarseN = Dedup.stableCheckpoint(symmetrizeEdges(indexPath.fold(
+      levelsS.last)(p => t.spark.read.parquet(s"$p/coarse_edges")
+        .select(col("src"), col("dst"), col("cos_r")))))
     val entN = es.agg(min(col("vec_id")).as("vec_id"))
     val seedsN1 = qIds.crossJoin(broadcast(entN))
     val (visN1, visitedN1) =

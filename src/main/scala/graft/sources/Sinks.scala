@@ -1596,6 +1596,120 @@ object Sinks {
     compactEdges("coarse_edges")
   }
 
+  /** G42: COARSE-LAYER DRIFT card for the G39 graph index — the D40
+    * quantizer-drift pattern pointed at the graph artifact (r14,
+    * verdict #7): append samples new ids into the coarse layer by the
+    * 1/sampleMod rule and delete tombstones vertices without touching
+    * edges, so after many waves + takedowns nothing guaranteed the
+    * sampled layer still (a) covers its 1/sampleMod share of the LIVE
+    * corpus and (b) reaches its own mass from the serving entry point.
+    * This card measures both, against a FRESH RE-SAMPLE baseline:
+    *
+    *  - `coarse_share_r` vs `target_share_r`: live coarse members /
+    *    live vectors vs the 1/sampleMod provisioning rate the layer
+    *    exists to hold; `share_drift_r` < 0 means takedowns ate the
+    *    layer faster than appends replenished it (a takedown wave
+    *    that clusters on sampled ids under-provisions the layer even
+    *    though the id RULE re-applied to the live corpus would too —
+    *    the serving property is the rate, not the rule).
+    *  - `reach_r`: from the SERVING entry rule (min sampled vec_id,
+    *    the searchGraphIndexWith seed), the fraction of stored coarse
+    *    members reachable over the symmetrized stored coarse edges
+    *    (CC, the C7 machinery — routing traverses tombstoned vertices
+    *    until compaction, so stored membership is the honest base).
+    *  - `reach_fresh_r`: the same reach on a freshly re-sampled,
+    *    freshly descended coarse layer over the live corpus (the
+    *    writeGraphIndex recipe) — the yardstick. `reach_gap_r` going
+    *    negative is the re-descend signal, exactly like D40's drift
+    *    column is the re-train signal for quantizers.
+    *
+    * Scale shape: two bounded aggregates over the index's own
+    * artifacts, one CC over the (corpus/sampleMod)-sized coarse layer,
+    * one coarse-only descent over the live sample — no corpus access
+    * beyond the vectors relation the index already stores.
+    */
+  def coarseDriftCard(spark: org.apache.spark.sql.SparkSession,
+      rawPath: String, sampleMod: Int = 8, kGraph: Int = 3, bits: Int = 8,
+      nTables: Int = 4, bucketCap: Int = 128, kOutC: Int = 8,
+      descRoundsC: Int = 2, maxIter: Int = 20): DataFrame = {
+    val path = resolveIndexRoot(spark, rawPath)
+    val sim = graft.operators.Similarity
+    val dd = graft.operators.Dedup
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val live =
+      if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tombPath))
+        vectors.join(broadcast(spark.read.parquet(s"$path/tombstones")
+          .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
+      else vectors
+    val nLive = live.count()
+    val liveSampled = live.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+    val nTarget = liveSampled.count()
+    val cedges = spark.read.parquet(s"$path/coarse_edges")
+      .select(col("src"), col("dst"))
+    // membership = src ∪ dst: the read-time symmetrization makes a
+    // dst-only vertex routable, so it IS part of the served layer
+    val members = dd.stableCheckpoint(
+      cedges.select(col("src")).union(cedges.select(col("dst")))
+        .distinct().select(col("src").as("vec_id")))
+    val nMembers = members.count()
+    val nMembersLive = members.join(broadcast(
+      live.select(col("vec_id"))), Seq("vec_id"), "left_semi").count()
+    // reach of a coarse layer from an entry over its symmetrized edges:
+    // entry's CC component mass / member mass
+    def reach(edges: DataFrame, mem: DataFrame, nMem: Long,
+        entry: Long, name: String): Double =
+      if (nMem == 0) 0.0
+      else {
+        val cc = dd.clusterPairs(
+          edges.select(col("src").as("doc_a"), col("dst").as("doc_b")),
+          mem.select(col("vec_id").as("doc_id")), maxIter, name,
+          ordered = false)
+        val entryCluster = cc.filter(col("doc_id") === entry)
+          .select(col("cluster")).collect().headOption.map(_.getLong(0))
+        val r = entryCluster.fold(0L)(c =>
+          cc.filter(col("cluster") === c).count()).toDouble / nMem
+        dd.releaseCheckpoint(cc)
+        r
+      }
+    // the serving entry rule (searchGraphIndexWith): min sampled id of
+    // the index's OWN vectors relation — tombstones do not move it
+    val entryStored = sim.withNorm(vectors)
+      .filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+      .agg(min(col("vec_id"))).head.getLong(0)
+    val reachAsIs = reach(cedges, members, nMembers, entryStored, "coarse_drift_asis")
+    // fresh yardstick: re-sample the LIVE corpus, re-descend the
+    // coarse layer with the writeGraphIndex recipe
+    val esLive = dd.stableCheckpoint(sim.withNorm(
+      liveSampled.select(col("vec_id"), col("embedding"))))
+    val freshEdges = sim.nnDescentEdges(esLive,
+      sim.knnEdgesMultiCosOf(esLive, kGraph, bits, nTables, bucketCap),
+      kOutC, descRoundsC)
+    val freshMembers = dd.stableCheckpoint(
+      freshEdges.select(col("src")).union(freshEdges.select(col("dst")))
+        .distinct().select(col("src").as("vec_id")))
+    val nFresh = freshMembers.count()
+    val entryFresh =
+      if (nTarget == 0) -1L
+      else liveSampled.agg(min(col("vec_id"))).head.getLong(0)
+    val reachFresh = reach(freshEdges.select(col("src"), col("dst")),
+      freshMembers, nFresh, entryFresh, "coarse_drift_fresh")
+    dd.releaseCheckpoint(members)
+    dd.releaseCheckpoint(esLive)
+    dd.releaseCheckpoint(freshMembers)
+    def r6v(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val share = if (nLive == 0) 0.0 else nMembersLive.toDouble / nLive
+    val target = 1.0 / sampleMod
+    import spark.implicits._
+    Seq((nLive, nMembers, nMembersLive, r6v(share), r6v(target),
+      r6v(share - target), r6v(reachAsIs), r6v(reachFresh),
+      r6v(reachAsIs - reachFresh)))
+      .toDF("n_live", "n_coarse_stored", "n_coarse_live", "coarse_share_r",
+        "target_share_r", "share_drift_r", "reach_r", "reach_fresh_r",
+        "reach_gap_r")
+  }
+
   /** G41: ATOMIC serving-store swap — the step the compaction arc
     * dead-ended one short of production (r13 verdict #3): compaction
     * writes to a NEW path, but a live server constructed on a fixed

@@ -606,6 +606,69 @@ class SinksSpec extends SparkSpec {
       s"codes scan must prune on cell; partitionFilters: $pf")
   }
 
+  test("D51 ledger served from the G39 artifact: graph_nnd layers read the persisted index, gated rows bit-equal to the memoized in-query path") {
+    val dir = Files.createTempDirectory("gidx_ledger").toString
+    // the default writeGraphIndex recipe IS the ledger's chain recipe
+    // (kGraph 3, 8-bit 4-table banding, cap 128, kOut 16 / 3 rounds,
+    // coarse 1/8 sample at kOut 8 / 2 rounds) — the stored edges are
+    // the chain's final levels, parquet round-trip value-exact
+    Sinks.writeGraphIndex(tables, dir)
+    val sim = graft.operators.Similarity
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(sim.annMethodRecall(tables, ordered = true,
+        indexPath = Some(dir))) ==
+      rows(sim.annMethodRecall(tables, ordered = true)),
+      "artifact-served ledger must equal the memoized path bit-for-bit")
+  }
+
+  test("coarse-layer drift card: fresh index has reach parity with its own re-sample; takedowns surface as negative share drift; compaction re-aligns stored and live membership") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gidx_drift").toString
+    // bits=2 densifies the banding so every sampled vertex joins the
+    // coarse layer (at the spec corpus's 63-vertex sample, 8-bit
+    // buckets leave some vertices — including the serving ENTRY —
+    // candidate-less and edge-less; the card correctly reports reach 0
+    // for that layer, which is the rot it exists to expose, but the
+    // LAW here wants the healthy baseline)
+    Sinks.writeGraphIndex(tables, dir, bits = 2)
+    def card(path: String) =
+      Sinks.coarseDriftCard(spark, path, bits = 2).collect()(0)
+    val c0 = card(dir)
+    // healthy fresh index: full sampled membership, zero share drift,
+    // full entry-reach, and the fresh baseline re-derives the SAME
+    // recipe on the same live set — exact parity
+    assert(c0.getAs[Long]("n_coarse_stored") == c0.getAs[Long]("n_coarse_live"))
+    // full membership ⇒ share == |sampled|/|corpus| ≈ 1/sampleMod (the
+    // ±1-id granularity of the modulo rule is the only slack)
+    assert(math.abs(c0.getAs[Double]("share_drift_r")) < 0.01,
+      s"fresh drift must be granularity-only: $c0")
+    assert(c0.getAs[Double]("reach_r") == 1.0 &&
+      c0.getAs[Double]("reach_fresh_r") == 1.0 &&
+      c0.getAs[Double]("reach_gap_r") == 0.0, s"fresh reach parity: $c0")
+    // takedown wave hitting the coarse layer: every 16th id tombstones
+    // half the sampled population — live share falls behind what a
+    // re-sample of the live corpus would give
+    val doomed = tables.embeddings.select(col("vec_id"))
+      .filter(pmod(col("vec_id"), lit(16)) === 0)
+    Sinks.deleteFromGraphIndex(spark, dir, doomed)
+    val c1 = card(dir)
+    assert(c1.getAs[Double]("share_drift_r") < 0.0,
+      s"takedowns must surface as negative share drift: $c1")
+    assert(c1.getAs[Long]("n_coarse_live") < c1.getAs[Long]("n_coarse_stored"),
+      "tombstoned members stay stored (routing still traverses them)")
+    // stored layer unchanged by tombstones — as-is reach holds steady
+    assert(c1.getAs[Double]("reach_r") == 1.0)
+    assert(c1.getAs[Double]("reach_fresh_r") > 0.0)
+    // compaction purges: stored membership re-aligns with live
+    val compacted = Files.createTempDirectory("gidx_drift_gc").toString
+    Sinks.compactGraphIndex(spark, dir, compacted)
+    val c2 = card(compacted)
+    assert(c2.getAs[Long]("n_coarse_stored") == c2.getAs[Long]("n_coarse_live"),
+      s"post-compact, stored coarse members must all be live: $c2")
+    assert(c2.getAs[Long]("n_coarse_stored") < c0.getAs[Long]("n_coarse_stored"))
+  }
+
   test("versioned index root: searches resolve the _current pointer; swap moves every reader atomically; missing versions refuse") {
     import spark.implicits._
     val root = Files.createTempDirectory("ivfpq_versioned").toString
