@@ -871,9 +871,10 @@ object Sinks {
     * because the existing-files listing is resolved when the append
     * job plans, before any new file lands.
     */
-  def appendToChunkStore(t: Tables, path: String,
+  def appendToChunkStore(t: Tables, rawPath: String,
       window: Int = 16, modDiv: Int = 64): Unit = {
     val spark = t.spark
+    val path = resolveIndexRoot(spark, rawPath)
     requireChunkStoreVersion(spark, path, adoptMarker = true)
     // Idempotence under re-delivery: a doc_id already in the manifest
     // is DROPPED whole (re-appending it would duplicate its manifest
@@ -934,7 +935,8 @@ object Sinks {
     * rewrite of the bounded delete list, like the append path.
     */
   def restoreToChunkStore(spark: org.apache.spark.sql.SparkSession,
-      path: String, docIds: DataFrame): Unit = {
+      rawPath: String, docIds: DataFrame): Unit = {
+    val path = resolveIndexRoot(spark, rawPath)
     val tombPath = new org.apache.hadoop.fs.Path(s"$path/doc_tombstones")
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tombPath)) {
@@ -964,10 +966,12 @@ object Sinks {
   def deleteFromChunkStore(spark: org.apache.spark.sql.SparkSession,
       path: String, docIds: DataFrame): Unit =
     docIds.select(col("doc_id")).coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$path/doc_tombstones")
+      .write.mode(SaveMode.Append)
+      .parquet(s"${resolveIndexRoot(spark, path)}/doc_tombstones")
 
   def compactChunkStore(spark: org.apache.spark.sql.SparkSession,
-      from: String, to: String): Unit = {
+      rawFrom: String, to: String): Unit = {
+    val from = resolveIndexRoot(spark, rawFrom)
     requireChunkStoreVersion(spark, from)
     writeChunkStoreVersion(spark, to)
     val manifest = liveManifest(spark, from)
@@ -995,7 +999,8 @@ object Sinks {
     * decoded only after the full byte sequence is back together.
     * Tombstoned docs (G33) never reconstruct. */
   def readChunkStore(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      rawPath: String): DataFrame = {
+    val path = resolveIndexRoot(spark, rawPath)
     requireChunkStoreVersion(spark, path)
     val chunks = spark.read.parquet(s"$path/chunks")
       .select(col("chunk_hash"), col("chunk_bytes"))
@@ -1077,9 +1082,10 @@ object Sinks {
       .distinct()
   }
 
-  def appendToDedupClusters(t: Tables, path: String,
+  def appendToDedupClusters(t: Tables, rawPath: String,
       threshold: Double = 0.2, maxIter: Int = 20): Unit = {
     val spark = t.spark
+    val path = resolveIndexRoot(spark, rawPath)
     val dd = graft.operators.Dedup
     val existingIdx = spark_read_index(spark, path)
     val existingDocs = existingIdx.select(col("db").as("doc_id")).distinct()
@@ -1115,10 +1121,12 @@ object Sinks {
   def deleteFromDedupClusters(spark: org.apache.spark.sql.SparkSession,
       path: String, docIds: DataFrame): Unit =
     docIds.select(col("doc_id")).coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$path/doc_tombstones")
+      .write.mode(SaveMode.Append)
+      .parquet(s"${resolveIndexRoot(spark, path)}/doc_tombstones")
 
   def readDedupClusters(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      rawPath: String): DataFrame = {
+    val path = resolveIndexRoot(spark, rawPath)
     val c = spark.read.parquet(s"$path/clusters")
     val tombPath = new org.apache.hadoop.fs.Path(s"$path/doc_tombstones")
     if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombPath))
@@ -1132,8 +1140,9 @@ object Sinks {
     * corpus access; bridge-doc splits heal here.
     */
   def compactDedupClusters(spark: org.apache.spark.sql.SparkSession,
-      from: String, to: String, threshold: Double = 0.2,
+      rawFrom: String, to: String, threshold: Double = 0.2,
       maxIter: Int = 20): Unit = {
+    val from = resolveIndexRoot(spark, rawFrom)
     val dd = graft.operators.Dedup
     graft.functions.VectorExprs.ensureRegistered(spark)
     val tombPath = new org.apache.hadoop.fs.Path(s"$from/doc_tombstones")
@@ -1517,8 +1526,14 @@ object Sinks {
     newCoarse.repartition(4, col("src"))
       .write.mode(SaveMode.Append).parquet(s"$path/coarse_edges")
     // newV is checkpoint-materialized, so this append never re-reads
-    // the vectors dir it is writing into
-    newV.select(col("vec_id"), col("embedding"))
+    // the vectors dir it is writing into. The embedding column casts
+    // to the BASE relation's element type: a double-typed arrival
+    // appended next to float-stored base files would leave a
+    // mixed-schema dir that fails at read time (schema stability is
+    // the artifact's contract, not the caller's problem)
+    val baseEmb = spark.read.parquet(s"$path/vectors")
+      .schema("embedding").dataType
+    newV.select(col("vec_id"), col("embedding").cast(baseEmb).as("embedding"))
       .repartition(4, col("vec_id"))
       .write.mode(SaveMode.Append).parquet(s"$path/vectors")
   }

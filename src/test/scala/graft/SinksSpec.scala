@@ -709,6 +709,46 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.resolveIndexRoot(spark, flat) == flat)
   }
 
+  test("versioned roots extend to the chunk store and dedup clusters: reads, deletes and compactions all resolve the pointer") {
+    import spark.implicits._
+    // chunk store: delete lands in the live version; compact+swap
+    // serves the purged artifact through the same root
+    val t = graft.operators.TextOps.plantUtf8Docs(tables)
+    val root = Files.createTempDirectory("chunkstore_versioned").toString
+    Sinks.writeChunkStore(t, Sinks.versionPath(root, 1))
+    Sinks.swapIndexVersion(spark, root, 1)
+    def served(path: String) = Sinks.readChunkStore(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(served(root) == served(Sinks.versionPath(root, 1)),
+      "chunk-store root must serve the pointed-at version")
+    val victim = served(root).keys.min
+    Sinks.deleteFromChunkStore(spark, root, Seq(victim).toDF("doc_id"))
+    assert(new java.io.File(
+      s"${Sinks.versionPath(root, 1)}/doc_tombstones").isDirectory,
+      "a delete through the root must land in the live version")
+    assert(!served(root).contains(victim))
+    Sinks.compactChunkStore(spark, root, Sinks.versionPath(root, 2))
+    Sinks.swapIndexVersion(spark, root, 2)
+    assert(served(root) == served(Sinks.versionPath(root, 2)) &&
+      !served(root).contains(victim),
+      "post-swap the root serves the compacted store")
+    // dedup clusters: same arc
+    val croot = Files.createTempDirectory("clusters_versioned").toString
+    Sinks.writeDedupClusters(tables, Sinks.versionPath(croot, 1))
+    Sinks.swapIndexVersion(spark, croot, 1)
+    def labels(path: String) = Sinks.readDedupClusters(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(croot) == labels(Sinks.versionPath(croot, 1)))
+    val cvictim = labels(croot).keys.min
+    Sinks.deleteFromDedupClusters(spark, croot, Seq(cvictim).toDF("doc_id"))
+    assert(!labels(croot).contains(cvictim))
+    Sinks.compactDedupClusters(spark, croot, Sinks.versionPath(croot, 2))
+    Sinks.swapIndexVersion(spark, croot, 2)
+    assert(labels(croot) == labels(Sinks.versionPath(croot, 2)) &&
+      !labels(croot).contains(cvictim),
+      "post-swap the root serves the re-clustered survivors")
+  }
+
   test("chunk store append: daily deliveries dedup against the base store; every doc still round-trips; storage == one-shot store") {
     val tAll = graft.operators.TextOps.plantUtf8Docs(tables)
     def half(parity: Int) = graft.sources.Tables(spark, sfDir, docsOverride = Some(
