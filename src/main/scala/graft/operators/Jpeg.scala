@@ -321,11 +321,12 @@ object Jpeg {
   // clamp — floor-based so an oracle reproduces it bit-for-bit in
   // doubles.
   //
-  // Envelope: 8-bit baseline SOF0, 1 or 3 components; sampling all
+  // Envelope: 8-bit SOF0 baseline OR SOF2 progressive (r14 — the
+  // scan-accumulating decoder below), 1 or 3 components; sampling all
   // 1×1 (4:4:4 / grayscale) or Y 2×2 with 1×1 chroma (4:2:0); DRI
-  // restart intervals supported (per-MCU resync, all predictors
-  // reset); no progressive. Everything else → None → quarantine,
-  // same custody as the grayscale path.
+  // restart intervals supported in both modes (per-MCU/data-unit
+  // resync, predictors + EOBRUN reset). Everything else → None →
+  // quarantine, same custody as the grayscale path.
   // ---------------------------------------------------------------
 
   /** A decoded color image: top-down row-major planes 0..255.
@@ -374,7 +375,34 @@ object Jpeg {
     pred
   }
 
-  def parseColor(bytes: Array[Byte]): Option[ImageRGB] = {
+  /** The SOFn marker of a JPEG stream (first frame header found by
+    * the length walk), or None if the walk derails before one. */
+  private def sofMarker(bytes: Array[Byte]): Option[Int] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    var pos = 2
+    while (pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      val m = bytes(pos + 1) & 0xff
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        return Some(m)
+      if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+      val len = u16(bytes, pos + 2)
+      if (len < 2 || pos + 2 + len > bytes.length) return None
+      pos = pos + 2 + len
+    }
+    None
+  }
+
+  /** Color decode boundary: baseline (SOF0) or progressive (SOF2)
+    * dispatch — everything else quarantines. */
+  def parseColor(bytes: Array[Byte]): Option[ImageRGB] = sofMarker(bytes) match {
+    case Some(0xc0) => parseColorBaseline(bytes)
+    case Some(0xc2) => parseColorProgressive(bytes)
+    case _          => None
+  }
+
+  private def parseColorBaseline(bytes: Array[Byte]): Option[ImageRGB] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
       return None
     var pos = 2
@@ -528,6 +556,14 @@ object Jpeg {
       (bytes(p + 1) & 0xff) == 0xff) p += 1
     if (p + 2 > bytes.length) return None
     if ((bytes(p) & 0xff) != 0xff || (bytes(p + 1) & 0xff) != 0xd9) return None
+    Some(planesToRgb(comps, w, h, hmax, vmax))
+  }
+
+  /** Decoded component planes → RGB (replication upsampling + the
+    * JFIF floor-affine) — shared by the baseline and progressive
+    * paths; grayscale passes through as r=g=b. */
+  private def planesToRgb(comps: Array[Comp], w: Int, h: Int,
+      hmax: Int, vmax: Int): ImageRGB = {
     val rP = new Array[Int](w * h)
     val gP = new Array[Int](w * h)
     val bP = new Array[Int](w * h)
@@ -565,7 +601,407 @@ object Jpeg {
         y += 1
       }
     }
-    Some(ImageRGB(w, h, comps.length, rP, gP, bP))
+    ImageRGB(w, h, comps.length, rP, gP, bP)
+  }
+
+  // ---------------------------------------------------------------
+  // PROGRESSIVE (SOF2) decode — T.81 Annex G, the r14 envelope close
+  // (the r13 verdict's larger JPEG gap: crawled corpora are heavily
+  // progressive). Coefficients accumulate across SCANS into per-
+  // component zigzag-order planes; each scan is a (spectral band
+  // Ss..Se, successive-approximation Ah→Al, component set) slice:
+  //
+  //  - DC initial (Ss=Se=0, Ah=0): sequential-style DC diffs on the
+  //    point-transformed values, stored << Al; interleaved in MCU
+  //    order over all frame components (the standard scan script).
+  //  - DC refinement (Ah>0): one raw bit per block, OR'd in at Al.
+  //  - AC initial (Ss≥1, Ah=0, exactly one component, data units in
+  //    the component's own raster): run-length with EOBRUN — an EOB
+  //    with run category r skips (1<<r)+ext whole-band block tails.
+  //  - AC refinement (Ss≥1, Ah>0): correction bits for every already-
+  //    nonzero coefficient crossed, ±1<<Al insertions for new ones,
+  //    EOBRUN tails carrying correction bits only (G.1.2.3).
+  //
+  // DRI restart intervals apply per scan (MCUs when interleaved, data
+  // units when not): byte-align, modulo-8 RSTn from 0 per scan, DC
+  // predictors AND EOBRUN reset. After EOI every accumulated block
+  // dequantizes and IDCTs once — then the shared upsample/convert.
+  // Envelope: the baseline one (8-bit, 1 or 3 comps, all-1×1 or
+  // Y2×2+chroma1×1); scans must be DC-before-AC per component,
+  // single-component AC, Ah = Al+1 on refinements. Anything else —
+  // and any marker/entropy corruption — quarantines.
+  // ---------------------------------------------------------------
+
+  private def parseColorProgressive(bytes: Array[Byte]): Option[ImageRGB] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    var pos = 2
+    val quants = new Array[Array[Int]](4)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var w = -1
+    var h = -1
+    var ri = 0
+    var comps: Array[Comp] = null
+    var hmax = 1
+    var vmax = 1
+    var mcusX = 0
+    var mcusY = 0
+    // per-component zigzag-order coefficient planes + per-band
+    // progression state (which Al each zigzag index has reached)
+    var coefZZ: Array[Array[Int]] = null
+    var duW: Array[Int] = null // non-interleaved data-unit grid
+    var duH: Array[Int] = null
+    var nbW: Array[Int] = null // padded (MCU-aligned) block grid
+    var dcDone = false
+    var sawEoi = false
+    while (!sawEoi) {
+      if (pos + 2 > bytes.length) return None
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      val m = bytes(pos + 1) & 0xff
+      if (m == 0xd9) { sawEoi = true }
+      else {
+        if (pos + 4 > bytes.length) return None
+        val len = u16(bytes, pos + 2)
+        if (len < 2 || pos + 2 + len > bytes.length) return None
+        val body = pos + 4
+        m match {
+          case 0xdb =>
+            var p = body
+            while (p < pos + 2 + len) {
+              val pq = (bytes(p) & 0xf0) >> 4
+              val tq = bytes(p) & 0x0f
+              if (pq != 0 || tq > 3) return None
+              if (p + 65 > pos + 2 + len) return None
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) { t(i) = bytes(p + 1 + i) & 0xff; i += 1 }
+              quants(tq) = t
+              p += 65
+            }
+          case 0xc2 =>
+            if (comps != null) return None // one frame only
+            if (len < 11) return None
+            if ((bytes(body) & 0xff) != 8) return None
+            h = u16(bytes, body + 1)
+            w = u16(bytes, body + 3)
+            val nf = bytes(body + 5) & 0xff
+            if (w < 1 || h < 1 || (nf != 1 && nf != 3)) return None
+            if (len < 8 + 3 * nf) return None
+            comps = Array.tabulate(nf) { i =>
+              val o = body + 6 + 3 * i
+              new Comp(bytes(o) & 0xff, (bytes(o + 1) & 0xf0) >> 4,
+                bytes(o + 1) & 0x0f, bytes(o + 2) & 0x0f)
+            }
+            val hv = comps.map(c => (c.hs, c.vs)).toSeq
+            val ok = hv.forall(_ == ((1, 1))) ||
+              (nf == 3 && hv == Seq((2, 2), (1, 1), (1, 1)))
+            if (!ok || comps.exists(_.tq > 3)) return None
+            hmax = comps.map(_.hs).max
+            vmax = comps.map(_.vs).max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            nbW = comps.map(c => mcusX * c.hs)
+            coefZZ = comps.indices.toArray.map(i =>
+              new Array[Int](nbW(i) * mcusY * comps(i).vs * 64))
+            duW = comps.map(c =>
+              ((w * c.hs + hmax - 1) / hmax + 7) / 8)
+            duH = comps.map(c =>
+              ((h * c.vs + vmax - 1) / vmax + 7) / 8)
+          case 0xc0 | 0xc1 | 0xc3 => return None // mixed/unsupported frame
+          case 0xc4 =>
+            var p = body
+            while (p < pos + 2 + len) {
+              val tc = (bytes(p) & 0xf0) >> 4
+              val th = bytes(p) & 0x0f
+              if (th > 3) return None
+              if (p + 17 > pos + 2 + len) return None
+              val bits = new Array[Int](16)
+              var n = 0
+              var i = 0
+              while (i < 16) { bits(i) = bytes(p + 1 + i) & 0xff; n += bits(i); i += 1 }
+              if (p + 17 + n > pos + 2 + len) return None
+              val vals = new Array[Int](n)
+              i = 0
+              while (i < n) { vals(i) = bytes(p + 17 + i) & 0xff; i += 1 }
+              val huff = Huff(bits, vals)
+              if (tc == 0) dcTabs(th) = huff else acTabs(th) = huff
+              p += 17 + n
+            }
+          case 0xdd =>
+            if (len != 4) return None
+            ri = u16(bytes, body)
+          case 0xda =>
+            if (comps == null) return None
+            val ns = bytes(body) & 0xff
+            if (ns < 1 || len < 6 + 2 * ns) return None
+            val scanComps = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = bytes(body + 1 + 2 * i) & 0xff
+              val sel = bytes(body + 2 + 2 * i) & 0xff
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return None
+              comps(ci).dcId = (sel & 0xf0) >> 4
+              comps(ci).acId = sel & 0x0f
+              scanComps(i) = ci
+              i += 1
+            }
+            val ss = bytes(body + 1 + 2 * ns) & 0xff
+            val se = bytes(body + 2 + 2 * ns) & 0xff
+            val ahal = bytes(body + 3 + 2 * ns) & 0xff
+            val ah = (ahal & 0xf0) >> 4
+            val al = ahal & 0x0f
+            val scanEnd = decodeProgressiveScan(bytes, pos + 2 + len, comps,
+              scanComps, coefZZ, nbW, duW, duH, mcusX, mcusY, dcTabs, acTabs,
+              ss, se, ah, al, ri, dcDone)
+            if (scanEnd < 0) return None
+            if (ss == 0) dcDone = true
+            pos = scanEnd
+            // fall through to the marker loop from the scan's end
+            // (skip the uniform `pos += 2 + len` below)
+            // continue the walk from scanEnd directly:
+            // emulate by adjusting before the shared increment
+            pos -= 2 + len
+          case _ => ()
+        }
+        pos = pos + 2 + len
+      }
+    }
+    if (comps == null || !dcDone) return None
+    // dequantize + IDCT every accumulated block; padded blocks that no
+    // scan covered are all-zero and decode to flat 128 outside the
+    // visible region
+    comps.zipWithIndex.foreach { case (c, i) =>
+      if (quants(c.tq) == null) return None
+      c.pw = mcusX * c.hs * 8
+      c.plane = new Array[Int](c.pw * mcusY * c.vs * 8)
+      val q = quants(c.tq)
+      val zz = coefZZ(i)
+      val bw = nbW(i)
+      val nBlocks = zz.length / 64
+      val coef = new Array[Int](64)
+      var b = 0
+      while (b < nBlocks) {
+        java.util.Arrays.fill(coef, 0)
+        var k = 0
+        while (k < 64) {
+          val v = zz(b * 64 + k)
+          if (v != 0) coef(ZigZag(k)) = v * q(k)
+          k += 1
+        }
+        idctBlock(coef, c.plane, c.pw, c.plane.length / c.pw,
+          (b % bw) * 8, (b / bw) * 8)
+        b += 1
+      }
+    }
+    Some(planesToRgb(comps, w, h, hmax, vmax))
+  }
+
+  /** Decode one progressive scan's entropy segment starting at
+    * `start`; returns the byte offset just past it (positioned AT the
+    * next marker), or -1 on any fault. */
+  private def decodeProgressiveScan(bytes: Array[Byte], start: Int,
+      comps: Array[Comp], scanComps: Array[Int],
+      coefZZ: Array[Array[Int]], nbW: Array[Int], duW: Array[Int],
+      duH: Array[Int], mcusX: Int, mcusY: Int, dcTabs: Array[Huff],
+      acTabs: Array[Huff], ss: Int, se: Int, ah: Int, al: Int, ri: Int,
+      dcDone: Boolean): Int = {
+    val isDc = ss == 0
+    if (isDc && se != 0) return -1
+    if (!isDc && (scanComps.length != 1 || se < ss || se > 63)) return -1
+    if (!isDc && !dcDone) return -1 // AC before any DC scan
+    if (ah != 0 && ah != al + 1) return -1
+    if (al > 13) return -1
+    if (isDc && ah == 0 &&
+      scanComps.exists(ci => dcTabs(comps(ci).dcId) == null)) return -1
+    if (!isDc && acTabs(comps(scanComps(0)).acId) == null) return -1
+    val br = new BitReader(bytes, start)
+    var eobrun = 0L
+    comps.foreach(_.pred = 0)
+    var rst = 0
+    var units = 0 // MCUs (interleaved) or data units (single-comp)
+    def restartIfDue(): Boolean = {
+      if (ri > 0 && units > 0 && units % ri == 0) {
+        if (!br.restartMarker(rst % 8)) return false
+        rst += 1
+        comps.foreach(_.pred = 0)
+        eobrun = 0L
+      }
+      true
+    }
+    // one block's worth of this scan — zz is the block's 64-entry
+    // zigzag slice base offset into the component plane
+    def dcInitial(c: Comp, zz: Array[Int], off: Int): Boolean = {
+      val t = br.decodeHuff(dcTabs(c.dcId))
+      if (br.truncated || t < 0 || t > 11) return false
+      val diff = extend(br.readBits(t), t)
+      if (br.truncated) return false
+      c.pred += diff
+      zz(off) = c.pred << al
+      true
+    }
+    def dcRefine(zz: Array[Int], off: Int): Boolean = {
+      val bit = br.readBit()
+      if (br.truncated) return false
+      zz(off) |= bit << al
+      true
+    }
+    def acInitial(c: Comp, zz: Array[Int], off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = br.decodeHuff(acTabs(c.acId))
+        if (br.truncated || rs < 0) return false
+        val r = rs >> 4
+        val s = rs & 0xf
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL: sixteen zero coefficients
+          else {
+            eobrun = (1L << r) - 1
+            if (r > 0) {
+              eobrun += br.readBits(r)
+              if (br.truncated) return false
+            }
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          zz(off + k) = extend(br.readBits(s), s) << al
+          if (br.truncated) return false
+          k += 1
+        }
+      }
+      true
+    }
+    def acRefine(c: Comp, zz: Array[Int], off: Int): Boolean = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var broke = false
+        while (k <= se && !broke) {
+          val rs = br.decodeHuff(acTabs(c.acId))
+          if (br.truncated || rs < 0) return false
+          var r = rs >> 4
+          val s = rs & 0xf
+          var newVal = 0
+          if (s != 0) {
+            if (s != 1) return false // refinements insert ±1 only
+            newVal = if (br.readBit() == 1) p1 else m1
+            if (br.truncated) return false
+          } else if (r != 15) {
+            eobrun = (1L << r)
+            if (r > 0) {
+              eobrun += br.readBits(r)
+              if (br.truncated) return false
+            }
+            broke = true
+          }
+          if (!broke) {
+            // advance over r zero-HISTORY coefficients, emitting a
+            // correction bit for every nonzero-history one crossed
+            var placed = false
+            while (k <= se && !placed) {
+              val cur = zz(off + k)
+              if (cur != 0) {
+                val bit = br.readBit()
+                if (br.truncated) return false
+                if (bit == 1 && (cur & p1) == 0)
+                  zz(off + k) = cur + (if (cur >= 0) p1 else m1)
+              } else {
+                if (r == 0) {
+                  if (newVal != 0) zz(off + k) = newVal
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) return false // ran off the band
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // EOB tail: correction bits only, for the rest of the band
+        while (k <= se) {
+          val cur = zz(off + k)
+          if (cur != 0) {
+            val bit = br.readBit()
+            if (br.truncated) return false
+            if (bit == 1 && (cur & p1) == 0)
+              zz(off + k) = cur + (if (cur >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    if (isDc && scanComps.length > 1) {
+      // interleaved DC scan in MCU order (the frame's MCU structure)
+      if (scanComps.length != comps.length) return -1
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (!restartIfDue()) return -1
+          units += 1
+          var i = 0
+          while (i < scanComps.length) {
+            val ci = scanComps(i)
+            val c = comps(ci)
+            var by = 0
+            while (by < c.vs) {
+              var bx = 0
+              while (bx < c.hs) {
+                val blk = (my * c.vs + by) * nbW(ci) + (mx * c.hs + bx)
+                val ok =
+                  if (ah == 0) dcInitial(c, coefZZ(ci), blk * 64)
+                  else dcRefine(coefZZ(ci), blk * 64)
+                if (!ok) return -1
+                bx += 1
+              }
+              by += 1
+            }
+            i += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component scan: the component's own data-unit raster
+      val ci = scanComps(0)
+      val c = comps(ci)
+      var dy = 0
+      while (dy < duH(ci)) {
+        var dx = 0
+        while (dx < duW(ci)) {
+          if (!restartIfDue()) return -1
+          units += 1
+          val blk = dy * nbW(ci) + dx
+          val ok =
+            if (isDc && ah == 0) dcInitial(c, coefZZ(ci), blk * 64)
+            else if (isDc) dcRefine(coefZZ(ci), blk * 64)
+            else if (ah == 0) acInitial(c, coefZZ(ci), blk * 64)
+            else acRefine(c, coefZZ(ci), blk * 64)
+          if (!ok) return -1
+          dx += 1
+        }
+        dy += 1
+      }
+    }
+    // position at the next marker: skip the stuffed pad pair and any
+    // FF fill bytes (the baseline post-scan custody, per scan here)
+    var p = br.pos
+    if (p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
+      (bytes(p + 1) & 0xff) == 0x00) p += 2
+    while (p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
+      (bytes(p + 1) & 0xff) == 0xff) p += 1
+    if (p + 2 > bytes.length) return -1
+    if ((bytes(p) & 0xff) != 0xff) return -1
+    p
   }
 
   /** Exact per-channel integer pixel sums (means are one double
@@ -772,6 +1208,136 @@ object Jpeg {
     }
     out.write(bw.finish())
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE (SOF2) twin of [[encodeBlocksColor]] — the same
+    * DC-exact 4:2:0 block corpus as a four-stage progressive stream
+    * exercising every Annex-G scan kind with REAL bit content:
+    *
+    *  1. DC initial, interleaved, Al=4 — the point transform drops a
+    *     live bit (DC = 8·(c−128), so bit 3 carries c's parity)
+    *  2. DC refinement Ah=4→Al=3 — restores that bit (bits 2..0 of a
+    *     ×8 DC are zero, so reconstruction is exact at Al=3)
+    *  3. per component: AC initial Ss=1..63 Al=1 — constant blocks
+    *     have zero ACs, so the band is pure EOBRUN runs (the run
+    *     categories r ∈ {0,1,2} in the declared AC table)
+    *  4. per component: AC refinement Ah=1→Al=0 — EOBRUN tails with
+    *     zero-history bands (no correction bits, by construction)
+    *
+    * With `restartInterval` > 0 every scan restarts on its own
+    * boundary (MCUs when interleaved, data units when not), EOB runs
+    * never crossing a restart.
+    */
+  private[graft] def encodeBlocksColorProgressive(w: Int, h: Int,
+      yBlocks: Array[Int], cbBlocks: Array[Int], crBlocks: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, "DC-exact color corpus uses multiple-of-16 dims")
+    val bw0 = w / 8
+    val cw = w / 16
+    require(yBlocks.length == bw0 * (h / 8), "luma block count mismatch")
+    require(cbBlocks.length == cw * (h / 16) && crBlocks.length == cbBlocks.length,
+      "chroma block count mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1))
+    seg(0xdb, Array(0x01) ++ Array.fill(64)(1))
+    seg(0xc2, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    // AC tables: three length-2 canonical codes for EOB run categories
+    // r = 0, 1, 2 (vals 0x00, 0x10, 0x20 → codes 00, 01, 10)
+    val acBits = Array(0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    seg(0xc4, Array(0x00) ++ dcBits ++ (0 to 11).toArray)
+    seg(0xc4, Array(0x10) ++ acBits ++ Array(0x00, 0x10, 0x20))
+    seg(0xc4, Array(0x01) ++ dcBits ++ (0 to 11).toArray)
+    seg(0xc4, Array(0x11) ++ acBits ++ Array(0x00, 0x10, 0x20))
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
+    def dcOf(cval: Int) = 8 * (cval - 128)
+    // ---- scan 1: DC initial, interleaved, Al = 4 ----
+    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x04))
+    locally {
+      val bw = new BitWriter
+      var predY = 0; var predCb = 0; var predCr = 0
+      var mcu = 0; var rst = 0
+      def wv(cval: Int, pred: Int): Int = {
+        val v = dcOf(cval) >> 4 // arithmetic point transform
+        val diff = v - pred
+        val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        bw.write(t, 4)
+        if (t > 0) bw.write(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+        v
+      }
+      for (my <- 0 until h / 16; mx <- 0 until w / 16) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.restart(rst % 8); rst += 1
+          predY = 0; predCb = 0; predCr = 0
+        }
+        mcu += 1
+        for (by <- 0 until 2; bx <- 0 until 2)
+          predY = wv(yBlocks((my * 2 + by) * bw0 + (mx * 2 + bx)), predY)
+        predCb = wv(cbBlocks(my * cw + mx), predCb)
+        predCr = wv(crBlocks(my * cw + mx), predCr)
+      }
+      out.write(bw.finish())
+    }
+    // ---- scan 2: DC refinement, interleaved, Ah=4 → Al=3 ----
+    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x43))
+    locally {
+      val bw = new BitWriter
+      var mcu = 0; var rst = 0
+      for (my <- 0 until h / 16; mx <- 0 until w / 16) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.restart(rst % 8); rst += 1
+        }
+        mcu += 1
+        for (by <- 0 until 2; bx <- 0 until 2)
+          bw.write((dcOf(yBlocks((my * 2 + by) * bw0 + (mx * 2 + bx))) >> 3) & 1, 1)
+        bw.write((dcOf(cbBlocks(my * cw + mx)) >> 3) & 1, 1)
+        bw.write((dcOf(crBlocks(my * cw + mx)) >> 3) & 1, 1)
+      }
+      out.write(bw.finish())
+    }
+    // ---- scans 3..8: per-component AC initial then AC refinement,
+    // all-EOBRUN bands (constant blocks have zero ACs) ----
+    val compSel = Seq((1, 0x00, bw0 * (h / 8)), (2, 0x11, cw * (h / 16)),
+      (3, 0x11, cw * (h / 16)))
+    def eobScan(ahal: Int): Unit = compSel.foreach { case (cid, sel, nUnits) =>
+      seg(0xda, Array(1, cid, sel, 1, 63, ahal))
+      val bw = new BitWriter
+      def emitRuns(n0: Int): Unit = {
+        var n = n0
+        while (n > 0) {
+          val run = if (n >= 4) math.min(n, 7) else if (n >= 2) math.min(n, 3) else 1
+          val r = if (run >= 4) 2 else if (run >= 2) 1 else 0
+          bw.write(r, 2) // canonical code for val r<<4 IS r at length 2
+          if (r > 0) bw.write(run - (1 << r), r)
+          n -= run
+        }
+      }
+      if (restartInterval > 0) {
+        var left = nUnits
+        var rst = 0
+        while (left > 0) {
+          val seg0 = math.min(restartInterval, left)
+          emitRuns(seg0)
+          left -= seg0
+          if (left > 0) { bw.restart(rst % 8); rst += 1 }
+        }
+      } else emitRuns(nUnits)
+      out.write(bw.finish())
+    }
+    eobScan(0x01) // AC initial, Al = 1
+    eobScan(0x10) // AC refinement, Ah=1 → Al=0
+    marker(0xd9)
     out.toByteArray
   }
 }

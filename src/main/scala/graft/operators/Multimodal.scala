@@ -501,6 +501,46 @@ object Multimodal {
     mmDecodeJpegColorPayloads(spark, payloads)
   }, ordered)(col("doc_id"))
 
+  /** PROGRESSIVE twin of [[jpegColorBytes]]: the identical DC-exact
+    * block pattern as a four-stage SOF2 scan script (DC initial at
+    * Al=4 with a live parity bit, DC refinement Ah=4→Al=3 restoring
+    * it, per-component AC initial + AC refinement bands that are pure
+    * EOBRUN runs), restart interval id%3 ∈ {0,1,2} so a third of the
+    * corpus has no DRI and the rest restarts every scan on two
+    * cadences. Same oracle formula as F23b/F23c: the block values are
+    * what the stream encodes, the progressive machinery is HOW — a
+    * decoder that mis-accumulates a scan, mis-runs an EOBRUN, drops a
+    * refinement bit or mis-resyncs decodes wrong pixels and
+    * hash-fails.
+    */
+  private[graft] def jpegColorProgressiveBytes(docId: Long): Array[Byte] = {
+    val w = (16 * (1 + docId % 2)).toInt
+    val h = (16 * (1 + (docId * 7) % 2)).toInt
+    val nb = (w / 8) * (h / 8)
+    val nc = (w / 16) * (h / 16)
+    Jpeg.encodeBlocksColorProgressive(w, h,
+      Array.tabulate(nb)(b => ((docId * 31 + b * 7L) % 256L).toInt),
+      Array.tabulate(nc)(c => ((docId * 17 + c * 11L) % 256L).toInt),
+      Array.tabulate(nc)(c => ((docId * 23 + c * 5L) % 256L).toInt),
+      restartInterval = (docId % 3).toInt)
+  }
+
+  /** F24: feature extract over PROGRESSIVE (SOF2) color JPEGs —
+    * crawled corpora are heavily progressive (the default web-export
+    * script of every major encoder), so this is the envelope that
+    * makes the JPEG boundary deployable; same decode boundary and
+    * features as F23b, gate-checked per document against the
+    * block-formula oracle.
+    */
+  def mmFeatureExtractJpegProg(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, jpegColorProgressiveBytes(id))))
+      .toDF("doc_id", "payload")
+    mmDecodeJpegColorPayloads(spark, payloads)
+  }, ordered)(col("doc_id"))
+
   final case class MmAudio(doc_id: Long, format: String,
       sample_rate: Option[Int], n_channels: Option[Int],
       n_frames: Option[Long], duration_s_r: Option[Double],

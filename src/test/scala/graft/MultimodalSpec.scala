@@ -378,6 +378,60 @@ class MultimodalSpec extends SparkSpec {
       "DRI corpus features must equal the plain color corpus features")
   }
 
+  test("progressive JPEG: four-stage scan script decodes DC-exactly and equals the baseline decode; bad succession and truncation quarantine") {
+    import graft.operators.Jpeg
+    val (w, h) = (32, 32)
+    val bw = w / 8
+    // odd block values make the DC-refinement parity bit LIVE: a
+    // decoder that dropped the second scan would be off by 8 in Y
+    val yB = Array.tabulate(bw * (h / 8))(b => (b * 53 + 7) % 256)
+    val cw = w / 16
+    val cbB = Array.tabulate(cw * (h / 16))(c => (c * 91 + 13) % 256)
+    val crB = Array.tabulate(cw * (h / 16))(c => (c * 37 + 201) % 256)
+    val base = Jpeg.parseColor(Jpeg.encodeBlocksColor(w, h, yB, cbB, crB))
+      .getOrElse(fail("baseline reference must parse"))
+    def countMarker(p: Array[Byte], m: Int) = (0 until p.length - 1).count(i =>
+      (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == m)
+    var progBytes: Array[Byte] = null
+    for (ri <- Seq(0, 1, 2)) {
+      val pb = Jpeg.encodeBlocksColorProgressive(w, h, yB, cbB, crB,
+        restartInterval = ri)
+      if (ri == 0) progBytes = pb
+      // structurally progressive: one SOF2 frame, the 8-scan script
+      assert(countMarker(pb, 0xc2) == 1 && countMarker(pb, 0xda) == 8,
+        s"ri=$ri: expected the four-stage script")
+      val img = Jpeg.parseColor(pb)
+        .getOrElse(fail(s"ri=$ri: progressive payload must parse"))
+      assert(img.r.sameElements(base.r) && img.g.sameElements(base.g) &&
+        img.b.sameElements(base.b),
+        s"ri=$ri: progressive decode must equal the baseline decode")
+    }
+    // successive-approximation custody: the DC refinement scan must
+    // declare Ah = Al + 1 — patch scan 2's AhAl byte (0x43 → 0x42)
+    val sos2 = {
+      val first = (0 until progBytes.length - 1).find(i =>
+        (progBytes(i) & 0xff) == 0xff && (progBytes(i + 1) & 0xff) == 0xda).get
+      (first + 2 until progBytes.length - 1).find(i =>
+        (progBytes(i) & 0xff) == 0xff && (progBytes(i + 1) & 0xff) == 0xda).get
+    }
+    val sosLen = ((progBytes(sos2 + 2) & 0xff) << 8) | (progBytes(sos2 + 3) & 0xff)
+    assert((progBytes(sos2 + 1 + sosLen) & 0xff) == 0x43)
+    val badSucc = progBytes.clone()
+    badSucc(sos2 + 1 + sosLen) = 0x42.toByte
+    assert(Jpeg.parseColor(badSucc).isEmpty,
+      "a refinement scan with Ah != Al+1 must quarantine")
+    // truncation mid-scan and missing EOI quarantine
+    assert(Jpeg.parseColor(progBytes.dropRight(progBytes.length / 3)).isEmpty)
+    assert(Jpeg.parseColor(progBytes.dropRight(2)).isEmpty,
+      "a progressive stream without EOI must quarantine")
+    // the planted F24 corpus equals the F23b features doc-for-doc
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Multimodal.mmFeatureExtractJpegProg(tables, ordered = true)) ==
+      rows(Multimodal.mmFeatureExtractJpegColor(tables, ordered = true)),
+      "progressive corpus features must equal the plain color corpus features")
+  }
+
   test("joint dedup: coarsens both single-modality clusterings — co-clustered pairs in either stay together") {
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
