@@ -2321,6 +2321,45 @@ object OracleSqlGen {
        |  FROM rr) WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
+  /** D57: the Matryoshka INDEX variant — Lloyd chain trained IN the
+    * prefix space (the generic `src` hook of [[lloydChainCtes]] over a
+    * sliced relation), prefix-space probes + in-cell prefix cosines,
+    * full-dim rerank of the pool. pasg/pd/pool multiply referenced →
+    * MATERIALIZED.
+    */
+  def annPrefixIvfRerank(nQueries: Int = 8, k: Int = 5, p: Int = 16,
+      nCells: Int = 16, nProbe: Int = 4, kPool: Int = 20): String =
+    s"""WITH $normCte,
+       |np AS MATERIALIZED (SELECT vec_id, v[1:$p] AS v,
+       |  list_reduce([x*x for x in v[1:$p]], (x,y) -> x+y) AS n2 FROM n),
+       |${lloydChainCtes(nCells, TrainRounds, "pcent", "pv", src = "np")},
+       |pd AS MATERIALIZED (SELECT np.vec_id, pcent.cell,
+       |  floor((np.n2 - 2*list_reduce([np.v[i]*pcent.cv[i] for i in range(1, len(np.v)+1)], (x,y) -> x+y) + pcent.c2)*1000000 + 0.5)/1000000 AS dist2_r
+       |  FROM np, pcent),
+       |pasg AS (SELECT vec_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn FROM pd)
+       |  WHERE rn = 1),
+       |ppr AS (SELECT vec_id AS q_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_r, cell) AS rn
+       |   FROM pd WHERE vec_id < $nQueries)
+       |  WHERE rn <= $nProbe),
+       |psc AS (SELECT ppr.q_id, a.vec_id,
+       |  floor((list_reduce([q.v[i]*c.v[i] for i in range(1, len(q.v)+1)], (x,y) -> x+y)/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM ppr JOIN pasg a ON a.cell = ppr.cell AND a.vec_id <> ppr.q_id
+       |  JOIN np q ON q.vec_id = ppr.q_id JOIN np c ON c.vec_id = a.vec_id),
+       |pool AS MATERIALIZED (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM psc) WHERE rn <= $kPool),
+       |rr AS (SELECT p.q_id, p.vec_id,
+       |  floor(($dotQC/(sqrt(q.n2)*sqrt(c.n2)))*1000000 + 0.5)/1000000 AS cos_r
+       |  FROM pool p JOIN n q ON q.vec_id = p.q_id JOIN n c ON c.vec_id = p.vec_id)
+       |SELECT q_id, rank, vec_id, cos_r FROM (
+       |  SELECT q_id, vec_id, cos_r,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rank
+       |  FROM rr) WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
   /** D56b: the serving path's ledger — end-to-end recall@k + full-dim
     * scored-candidate volume per prefix, with the exact full-dim
     * baseline row. exact/pool CTEs are multiply referenced →

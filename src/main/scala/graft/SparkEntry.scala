@@ -178,6 +178,7 @@ object SparkEntry {
     "ann_prefix_dim_recall" -> q(Similarity.annPrefixDimRecall(_, ordered = true)), // D55 Matryoshka prefix-dim card (r13)
     "ann_prefix_rerank" -> q(Similarity.annPrefixRerank(_)), // D56 Matryoshka serving path (r14): prefix retrieve + full-dim rerank
     "ann_prefix_rerank_ledger" -> q(Similarity.annPrefixRerankLedger(_, ordered = true)), // D56b recall/scan ledger at p ∈ {16,32} vs full
+    "ann_prefix_ivf_rerank" -> q(Similarity.annPrefixIvfRerank(_)), // D57 Matryoshka INDEX variant: prefix-space IVF + full-dim rerank
     "ann_lsh_bucketed"     -> q(Similarity.annLshBucketed(_)),
     "ann_lsh_multitable"   -> q(Similarity.annLshMultiTable(_)),
     "ann_knn_graph"        -> q(Similarity.annKnnGraph(_, ordered = true)),
@@ -1912,6 +1913,7 @@ object SparkEntry {
     "ann_prefix_dim_recall" -> OracleSqlGen.annPrefixDimRecall(),
     "ann_prefix_rerank" -> OracleSqlGen.annPrefixRerank(),
     "ann_prefix_rerank_ledger" -> OracleSqlGen.annPrefixRerankLedger(),
+    "ann_prefix_ivf_rerank" -> OracleSqlGen.annPrefixIvfRerank(),
     "ann_range"             -> OracleSqlGen.annRange(8, 0.25),
     "ann_lsh_bucketed"      -> OracleSqlGen.annLshBucketed,
     "ann_lsh_multitable"    -> OracleSqlGen.annLshMultiTable,

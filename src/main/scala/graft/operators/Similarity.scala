@@ -3322,6 +3322,69 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** D57: the Matryoshka INDEX variant — D56 with the retrieval stage
+    * behind a real coarse quantizer instead of a brute-force prefix
+    * scan (the standard MRL deployment at index level: the index
+    * stores and navigates ONLY the first p dimensions — a p/d cut in
+    * index footprint and training/probe cost — and the bounded pool
+    * reranks in full dimension). The coarse quantizer Lloyd-trains IN
+    * the prefix space (lloydTrainOn over the sliced relation — the
+    * memoized full-dim trainer must not serve a sliced corpus, and
+    * vice versa), probes pick nProbe nearest prefix-space cells per
+    * query, candidates score prefix cosine within probed cells only,
+    * and the D56 full-dim rerank tail finishes.
+    *
+    * Scale shape: D4's literal-centers discipline in the prefix space
+    * (assignment is one narrow pass, probes broadcast, candidates an
+    * equi-join on cell) + the D56 rerank (pool broadcasts back onto
+    * the corpus). Two-stage top-kPool on the probed-cell relation.
+    */
+  def annPrefixIvfRerank(t: Tables, nQueries: Int = 8, k: Int = 5,
+      p: Int = 16, nCells: Int = 16, nProbe: Int = 4,
+      kPool: Int = 20): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val ep = e.select(col("vec_id"), slice(col("v"), 1, p).as("v"))
+      .withColumn("n2", VectorExprs.dot(col("v"), col("v")))
+    val coarse = lloydTrainOn(ep, nCells, TrainRounds)._1
+    val assigned = withCell(ep, coarse)
+      .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+    val cellCands = coarse.map { case (cell, cv, c2) =>
+      struct(
+        r6(col("n2") - lit(2.0) * VectorExprs.dot(col("v"), typedLit(cv)) + lit(c2))
+          .as("dist2_r"),
+        lit(cell.toLong).as("cell"))
+    }
+    val probes = ep.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"),
+        explode(slice(array_sort(array(cellCands: _*)), 1, nProbe)).as("p"))
+      .select(col("q_id"), col("qv"), col("qn2"), col("p.cell").as("pcell"))
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    val pool = assigned.join(broadcast(probes),
+        col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= kPool)
+      .withColumn("rn", row_number().over(global))
+      .filter(col("rn") <= kPool)
+      .select(col("q_id"), col("vec_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    pool
+      .join(e.select(col("vec_id"), col("v"), col("n2")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** D56b: the Matryoshka serving path's D51-ledger card — end-to-end
     * recall@k and full-dim scored-candidate volume for the prefix-
     * retrieve + full-rerank stack at each p, next to the exact
