@@ -689,6 +689,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("matryoshka rerank paths: no cartesian, no corpus sort-merge — the pool broadcasts back onto the corpus") {
+    for ((name, df) <- Seq(
+        "ann_prefix_rerank" -> Similarity.annPrefixRerank(tables),
+        "ann_prefix_ivf_rerank" -> Similarity.annPrefixIvfRerank(tables))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian in the rerank path")
+      // the prefix retrieval meets broadcast queries (BNLJ on the
+      // != condition or BHJ on cell); the rerank's pool and query
+      // joins must be broadcast-hash — a sort-merge would shuffle the
+      // corpus for a ≤nQueries·kPool pool
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$name: corpus-side shuffle join in the rerank:\n${p.take(600)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: pool/query joins must broadcast:\n${p.take(600)}")
+    }
+  }
+
   test("ivf residual-pq: the per-cell ADC table broadcasts — the code stream never sort-merges") {
     val p = plan(Similarity.annIvfRpq(tables))
     // the (q, cell, subspace, code) table is tiny by construction
