@@ -755,7 +755,11 @@ object Jpeg {
             val scanEnd = decodeProgressiveScan(bytes, pos + 2 + len, comps,
               scanComps, coefZZ, nbW, duW, duH, mcusX, mcusY, dcTabs, acTabs,
               ss, se, ah, al, ri, dcDone)
-            if (scanEnd < 0) return None
+            if (scanEnd < 0) {
+              if (sys.props.contains("graft.jpeg.debug"))
+                println(s"PROGDBG scan fail ss=$ss se=$se ah=$ah al=$al at=${pos + 2 + len}")
+              return None
+            }
             if (ss == 0) dcDone = true
             pos = scanEnd
             // fall through to the marker loop from the scan's end
@@ -1208,6 +1212,270 @@ object Jpeg {
     }
     out.write(bw.finish())
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Canonical Huffman table body with every `symbols` value at code
+    * length 7 (≤ 127 symbols keeps the all-ones code unused, the T.81
+    * C.2 requirement) — the generic table the coefficient-level spec
+    * encoders declare, with the code of symbols(i) being i. */
+  private def genericTable(symbols: Seq[Int]): Array[Int] = {
+    require(symbols.size <= 127, "generic table keeps the all-ones code free")
+    val bits = Array.fill(16)(0)
+    bits(6) = symbols.size // lengths are 1-indexed: index 6 = length 7
+    bits ++ symbols
+  }
+
+  /** BASELINE encoder for ARBITRARY zigzag-order coefficient blocks
+    * (grayscale, all-ones quant) — the reference side of the
+    * coefficient-level progressive law: full RS run-length coding
+    * (ZRL, EOB), DC diffs, a generic 7-bit AC table built from the
+    * symbols actually used. Spec support: the progressive twin below
+    * must decode to the identical image.
+    */
+  private[graft] def encodeCoefBaseline(w: Int, h: Int,
+      blocks: Array[Array[Int]]): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0 && blocks.length == (w / 8) * (h / 8))
+    require(blocks.forall(_.length == 64))
+    def cat(v: Int) = if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    // collect the AC symbols this data needs
+    val used = scala.collection.mutable.LinkedHashSet[Int]()
+    blocks.foreach { b =>
+      var r = 0
+      var lastNz = 63
+      while (lastNz > 0 && b(lastNz) == 0) lastNz -= 1
+      var k = 1
+      while (k <= lastNz) {
+        if (b(k) == 0) {
+          r += 1
+          if (r == 16) { used += 0xf0; r = 0 }
+        } else {
+          used += ((r << 4) | cat(b(k))); r = 0
+        }
+        k += 1
+      }
+      if (lastNz < 63) used += 0x00
+    }
+    if (used.isEmpty) used += 0x00
+    val acSyms = used.toSeq
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1))
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      1, 1, 0x11, 0))
+    seg(0xc4, Array(0x00) ++ Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      ++ (0 to 11).toArray)
+    seg(0xc4, Array(0x10) ++ genericTable(acSyms))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val bw = new BitWriter
+    def writeAc(sym: Int): Unit = bw.write(acSyms.indexOf(sym), 7)
+    def writeVal(v: Int, t: Int): Unit =
+      if (t > 0) bw.write(if (v >= 0) v else v + (1 << t) - 1, t)
+    var pred = 0
+    blocks.foreach { b =>
+      val t = cat(b(0) - pred)
+      bw.write(t, 4)
+      writeVal(b(0) - pred, t)
+      pred = b(0)
+      var lastNz = 63
+      while (lastNz > 0 && b(lastNz) == 0) lastNz -= 1
+      var r = 0
+      var k = 1
+      while (k <= lastNz) {
+        if (b(k) == 0) {
+          r += 1
+          if (r == 16) { writeAc(0xf0); r = 0 }
+        } else {
+          val s = cat(b(k))
+          writeAc((r << 4) | s)
+          writeVal(b(k), s)
+          r = 0
+        }
+        k += 1
+      }
+      if (lastNz < 63) writeAc(0x00)
+    }
+    out.write(bw.finish())
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE encoder for the SAME arbitrary coefficient blocks —
+    * the content-bearing twin of the EOBRUN-only corpus script: DC
+    * initial at full precision, then per spectral band (split at 32)
+    * an AC initial scan at Al=1 (values point-transformed toward
+    * zero: ±|v|>>1) and an AC refinement scan Ah=1→Al=0 (newly
+    * significant |v|=1 insertions with sign bits, correction bits
+    * |v|&1 for every nonzero-history coefficient crossed, ZRL over
+    * 16 zero-history runs, EOB with tail correction bits). The
+    * refinement emitter mirrors the decoder's G.1.2.3 walk exactly,
+    * which is the point — the spec law is progressive ≡ baseline on
+    * the same coefficients, pixel-exact.
+    */
+  private[graft] def encodeCoefProgressive(w: Int, h: Int,
+      blocks: Array[Array[Int]]): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0 && blocks.length == (w / 8) * (h / 8))
+    def cat(v: Int) = if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def half(v: Int) = if (v >= 0) v >> 1 else -((-v) >> 1) // toward zero
+    val bands = Seq((1, 32), (33, 63))
+    // symbols per band for initial (on halved values) and refinement
+    val acSyms = scala.collection.mutable.LinkedHashSet[Int](0x00, 0xf0, 0x01)
+    bands.foreach { case (ss, se) =>
+      blocks.foreach { b =>
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val v1 = half(b(k))
+          if (v1 == 0) {
+            r += 1
+            if (r == 16) { r = 0 } // ZRL already included
+          } else {
+            acSyms += ((r << 4) | cat(v1)); r = 0
+          }
+          k += 1
+        }
+      }
+    }
+    // refinement RS symbols: (r<<4 | 1) for newly-significant runs
+    bands.foreach { case (ss, se) =>
+      blocks.foreach { b =>
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val av = math.abs(b(k))
+          if (av >= 2) () // history-nonzero: correction bit, no run effect
+          else if (av == 1) { acSyms += ((r << 4) | 1); r = 0 }
+          else { r += 1; if (r == 16) r = 0 }
+          k += 1
+        }
+      }
+    }
+    val syms = acSyms.toSeq
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1))
+    seg(0xc2, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      1, 1, 0x11, 0))
+    seg(0xc4, Array(0x00) ++ Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      ++ (0 to 11).toArray)
+    seg(0xc4, Array(0x10) ++ genericTable(syms))
+    // ---- DC initial, full precision (Al = 0) ----
+    seg(0xda, Array(1, 1, 0x00, 0, 0, 0x00))
+    locally {
+      val bw = new BitWriter
+      var pred = 0
+      blocks.foreach { b =>
+        val t = cat(b(0) - pred)
+        bw.write(t, 4)
+        if (t > 0) bw.write(if (b(0) - pred >= 0) b(0) - pred
+          else b(0) - pred + (1 << t) - 1, t)
+        pred = b(0)
+      }
+      out.write(bw.finish())
+    }
+    bands.foreach { case (ss, se) =>
+      // ---- AC initial for this band at Al = 1 ----
+      seg(0xda, Array(1, 1, 0x00, ss, se, 0x01))
+      locally {
+        val bw = new BitWriter
+        def writeAc(sym: Int): Unit = bw.write(syms.indexOf(sym), 7)
+        blocks.foreach { b =>
+          var lastNz = se
+          while (lastNz >= ss && half(b(lastNz)) == 0) lastNz -= 1
+          var r = 0
+          var k = ss
+          while (k <= lastNz) {
+            val v1 = half(b(k))
+            if (v1 == 0) {
+              r += 1
+              if (r == 16) { writeAc(0xf0); r = 0 }
+            } else {
+              val s = cat(v1)
+              writeAc((r << 4) | s)
+              bw.write(if (v1 >= 0) v1 else v1 + (1 << s) - 1, s)
+              r = 0
+            }
+            k += 1
+          }
+          if (lastNz < se) writeAc(0x00) // EOB run of 1 (r = 0)
+        }
+        out.write(bw.finish())
+      }
+      // ---- AC refinement for this band, Ah=1 → Al=0: mirror the
+      // decoder's walk (sign bit right after the RS, correction bits
+      // inline in position order as zero-history runs are crossed,
+      // EOB carrying the tail's correction bits) ----
+      seg(0xda, Array(1, 1, 0x00, ss, se, 0x10))
+      locally {
+        val bw = new BitWriter
+        def writeAc(sym: Int): Unit = bw.write(syms.indexOf(sym), 7)
+        blocks.foreach { b =>
+          var k = ss
+          while (k <= se) {
+            // LOOKAHEAD for the next newly-significant coefficient:
+            // ZRLs are only legal en route to an insertion (the
+            // decoder never reads codes after its band is exhausted,
+            // so a trailing zero stretch must be a bare EOB)
+            var found = -1
+            var j = k
+            while (j <= se && found < 0) {
+              if (math.abs(b(j)) == 1) found = j
+              j += 1
+            }
+            if (found >= 0) {
+              // emit the run: ZRL per 16 zero-history zeros crossed
+              // (correction bits of history coefficients interleave in
+              // position order, exactly as the decoder reads them)
+              var r = 0
+              val corr = scala.collection.mutable.ArrayBuffer.empty[Int]
+              var t = k
+              while (t < found) {
+                val av = math.abs(b(t))
+                if (av >= 2) corr += (av & 1)
+                else if (r == 15) {
+                  writeAc(0xf0)
+                  corr.foreach(bit => bw.write(bit, 1))
+                  corr.clear()
+                  r = 0
+                } else r += 1
+                t += 1
+              }
+              writeAc((r << 4) | 1)
+              bw.write(if (b(found) > 0) 1 else 0, 1) // sign
+              corr.foreach(bit => bw.write(bit, 1))
+              k = found + 1
+            } else {
+              // no more insertions: EOB (run 1) + the tail's
+              // correction bits — unless the last insertion ended
+              // exactly at se (the decoder's band is already done)
+              writeAc(0x00)
+              var t = k
+              while (t <= se) {
+                if (math.abs(b(t)) >= 2) bw.write(math.abs(b(t)) & 1, 1)
+                t += 1
+              }
+              k = se + 1
+            }
+          }
+        }
+        out.write(bw.finish())
+      }
+    }
+    marker(0xd9)
     out.toByteArray
   }
 

@@ -432,6 +432,42 @@ class MultimodalSpec extends SparkSpec {
       "progressive corpus features must equal the plain color corpus features")
   }
 
+  test("progressive coefficient machinery: split-band successive approximation over arbitrary coefficients == baseline decode") {
+    import graft.operators.Jpeg
+    // coefficient patterns chosen to hit EVERY Annex-G path with real
+    // content: newly-significant ±1 insertions (incl. at band edges
+    // 1/32/33/63 — the no-EOB exit), history values with correction
+    // bits 0 AND 1 (even/odd magnitudes), >16 zero-history gaps (ZRL
+    // in both initial and refinement), cross-band values, negatives,
+    // all-zero blocks, and a dense pseudo-random tail
+    val (w, h) = (32, 24) // 12 blocks
+    val blocks = Array.tabulate(12) { bi =>
+      val b = new Array[Int](64)
+      b(0) = (bi * 37) % 300 - 150
+      bi match {
+        case 0 => () // all-zero band
+        case 1 => b(1) = 1; b(63) = -1
+        case 2 => b(5) = 7; b(6) = -8 // odd + even history magnitudes
+        case 3 => b(2) = 1; b(40) = 2
+        case 4 => b(20) = -1; b(60) = 3 // 18-zero gap → ZRL
+        case 5 => b(32) = 1; b(33) = 1 // band-edge insertions
+        case 6 => b(1) = 2; b(30) = 1 // 28 zero-history gap in refine
+        case _ =>
+          for (k <- 1 to 63 if k % 9 == 0)
+            b(k) = ((bi * 31 + k * 17) % 23) - 11
+      }
+      b
+    }
+    val base = Jpeg.parseColor(Jpeg.encodeCoefBaseline(w, h, blocks))
+      .getOrElse(fail("baseline coefficient stream must parse"))
+    val prog = Jpeg.parseColor(Jpeg.encodeCoefProgressive(w, h, blocks))
+      .getOrElse(fail("progressive coefficient stream must parse"))
+    assert(prog.width == base.width && prog.height == base.height)
+    assert(prog.r.sameElements(base.r) && prog.g.sameElements(base.g) &&
+      prog.b.sameElements(base.b),
+      "split-band successive-approximation decode must equal the baseline decode coefficient-for-coefficient")
+  }
+
   test("joint dedup: coarsens both single-modality clusterings — co-clustered pairs in either stay together") {
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
