@@ -2399,7 +2399,7 @@ object OracleSqlGen {
          |  (SELECT ${dmean("recall_q")} FROM rec$p) AS mean_recall_r""".stripMargin
     }
     val fullRow =
-      s"""SELECT 'exact_full' AS method, CAST(64 AS BIGINT) AS prefix_dims,
+      s"""SELECT 'exact_full' AS method, CAST(${prefixes.max.max(64)} AS BIGINT) AS prefix_dims,
          |  (SELECT CAST(COUNT(*) - 1 AS DOUBLE) FROM n) AS mean_cands_r,
          |  CAST(1.0 AS DOUBLE) AS mean_recall_r""".stripMargin
     s"""WITH $normCte,

@@ -755,11 +755,7 @@ object Jpeg {
             val scanEnd = decodeProgressiveScan(bytes, pos + 2 + len, comps,
               scanComps, coefZZ, nbW, duW, duH, mcusX, mcusY, dcTabs, acTabs,
               ss, se, ah, al, ri, dcDone)
-            if (scanEnd < 0) {
-              if (sys.props.contains("graft.jpeg.debug"))
-                println(s"PROGDBG scan fail ss=$ss se=$se ah=$ah al=$al at=${pos + 2 + len}")
-              return None
-            }
+            if (scanEnd < 0) return None
             if (ss == 0) dcDone = true
             pos = scanEnd
             // fall through to the marker loop from the scan's end

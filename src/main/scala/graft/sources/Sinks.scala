@@ -1689,11 +1689,18 @@ object Sinks {
         r
       }
     // the serving entry rule (searchGraphIndexWith): min sampled id of
-    // the index's OWN vectors relation — tombstones do not move it
-    val entryStored = sim.withNorm(vectors)
-      .filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
-      .agg(min(col("vec_id"))).head.getLong(0)
-    val reachAsIs = reach(cedges, members, nMembers, entryStored, "coarse_drift_asis")
+    // the index's OWN vectors relation — tombstones do not move it;
+    // an index whose ids never hit the sample residue has no entry,
+    // which the card reports as reach 0 (same guard as the fresh side)
+    val entryStored = {
+      val r = vectors
+        .filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+        .agg(min(col("vec_id"))).head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+    val reachAsIs =
+      if (entryStored < 0L) 0.0
+      else reach(cedges, members, nMembers, entryStored, "coarse_drift_asis")
     // fresh yardstick: re-sample the LIVE corpus, re-descend the
     // coarse layer with the writeGraphIndex recipe
     val esLive = dd.stableCheckpoint(sim.withNorm(

@@ -286,6 +286,15 @@ object AnnStreamJob {
           dd.stableCheckpoint(sim.symmetrizeEdges(
             spark.read.parquet(s"$live/coarse_edges"))))
         acache.set(loaded)
+        // a version swap replaces the whole tuple: the old version's
+        // corpus-scale checkpoints are dead the moment the pointer
+        // moves, so release them here instead of leaking one corpus
+        // per swap for the server's lifetime
+        if (c != null) {
+          dd.releaseCheckpoint(c._2)
+          dd.releaseCheckpoint(c._3)
+          dd.releaseCheckpoint(c._4)
+        }
         (loaded._2, loaded._3, loaded._4)
       }
     }
