@@ -179,6 +179,16 @@ object SparkEntry {
     "ann_prefix_rerank" -> q(Similarity.annPrefixRerank(_)), // D56 Matryoshka serving path (r14): prefix retrieve + full-dim rerank
     "ann_prefix_rerank_ledger" -> q(Similarity.annPrefixRerankLedger(_, ordered = true)), // D56b recall/scan ledger at p ∈ {16,32} vs full
     "ann_prefix_ivf_rerank" -> q(Similarity.annPrefixIvfRerank(_)), // D57 Matryoshka INDEX variant: prefix-space IVF + full-dim rerank
+    // G43: the SAME two serving paths off the persisted prefix-sliced
+    // layout (bit-equal by construction — the oracle is shared), built
+    // once per corpus state and read back; retrieval scans only the
+    // prefix column group, the rerank fetches the bounded pool by id
+    "ann_prefix_rerank_sliced" -> q(t =>
+      graft.sources.Sinks.searchPrefixSliced(t.spark,
+        graft.sources.Sinks.prefixSlicedFor(t))),
+    "ann_prefix_ivf_rerank_sliced" -> q(t =>
+      graft.sources.Sinks.searchPrefixSlicedIvf(t.spark,
+        graft.sources.Sinks.prefixSlicedFor(t))),
     "ann_lsh_bucketed"     -> q(Similarity.annLshBucketed(_)),
     "ann_lsh_multitable"   -> q(Similarity.annLshMultiTable(_)),
     "ann_knn_graph"        -> q(Similarity.annKnnGraph(_, ordered = true)),
@@ -1914,6 +1924,10 @@ object SparkEntry {
     "ann_prefix_rerank" -> OracleSqlGen.annPrefixRerank(),
     "ann_prefix_rerank_ledger" -> OracleSqlGen.annPrefixRerankLedger(),
     "ann_prefix_ivf_rerank" -> OracleSqlGen.annPrefixIvfRerank(),
+    // G43 serves the SAME query semantics off the sliced artifact —
+    // identical oracle by the bit-equality law
+    "ann_prefix_rerank_sliced" -> OracleSqlGen.annPrefixRerank(),
+    "ann_prefix_ivf_rerank_sliced" -> OracleSqlGen.annPrefixIvfRerank(),
     "ann_range"             -> OracleSqlGen.annRange(8, 0.25),
     "ann_lsh_bucketed"      -> OracleSqlGen.annLshBucketed,
     "ann_lsh_multitable"    -> OracleSqlGen.annLshMultiTable,

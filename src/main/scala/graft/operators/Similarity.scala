@@ -369,7 +369,7 @@ object Similarity {
     * whole deploy arc (annIvf*, writeQuantizer, writeIvfPqIndex…).
     * One metadata listing per lookup — no data read.
     */
-  private def embFingerprint(t: Tables): Long = {
+  private[graft] def embFingerprint(t: Tables): Long = {
     val path = new org.apache.hadoop.fs.Path(s"${t.dir}/embeddings.parquet")
     try {
       val fs = path.getFileSystem(t.spark.sparkContext.hadoopConfiguration)
@@ -3263,8 +3263,10 @@ object Similarity {
   /** Prefix-p retrieval pool: exact top-`kPool` per query by cosine
     * over the FIRST p dimensions, two-stage (the D1 discipline — the
     * corpus-sized scored relation never meets a single-stage rank
-    * window). Shared by D56's serving path and D56b's ledger. */
-  private def prefixPool(e: DataFrame, q: DataFrame, p: Int,
+    * window). Shared by D56's serving path, D56b's ledger, and the
+    * G43 artifact-served form (Sinks.searchPrefixSliced — there `e`'s
+    * `v` IS the stored p-dim prefix and the slice is the identity). */
+  private[graft] def prefixPool(e: DataFrame, q: DataFrame, p: Int,
       kPool: Int): DataFrame = {
     val qp = slice(col("qv"), 1, p)
     val vp = slice(col("v"), 1, p)
@@ -3339,12 +3341,17 @@ object Similarity {
     * equi-join on cell) + the D56 rerank (pool broadcasts back onto
     * the corpus). Two-stage top-kPool on the probed-cell relation.
     */
-  def annPrefixIvfRerank(t: Tables, nQueries: Int = 8, k: Int = 5,
-      p: Int = 16, nCells: Int = 16, nProbe: Int = 4,
-      kPool: Int = 20): DataFrame = {
-    val e = withNorm(t.embeddings)
-    val ep = e.select(col("vec_id"), slice(col("v"), 1, p).as("v"))
-      .withColumn("n2", VectorExprs.dot(col("v"), col("v")))
+  /** D57's retrieval stage over an arbitrary PREFIX-SPACE relation
+    * `ep` (vec_id, v = the p-dim prefix, n2): Lloyd-train the coarse
+    * quantizer in prefix space, probe nProbe nearest cells per query,
+    * score prefix cosine within probed cells only, two-stage exact
+    * top-kPool. Shared by the in-query D57 and the G43 artifact-served
+    * form (Sinks.searchPrefixSlicedIvf) — the two-stage top-k is
+    * partition-independent (every global winner wins its local
+    * stage), so both forms pool identically whatever the file layout.
+    */
+  private[graft] def prefixIvfPool(ep: DataFrame, nQueries: Int,
+      nCells: Int, nProbe: Int, kPool: Int): DataFrame = {
     val coarse = lloydTrainOn(ep, nCells, TrainRounds)._1
     val assigned = withCell(ep, coarse)
       .select(col("vec_id"), col("v"), col("n2"), col("cell"))
@@ -3362,7 +3369,7 @@ object Similarity {
       .orderBy(col("cos_r").desc, col("vec_id").asc)
     val global = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("vec_id").asc)
-    val pool = assigned.join(broadcast(probes),
+    assigned.join(broadcast(probes),
         col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
@@ -3372,6 +3379,17 @@ object Similarity {
       .withColumn("rn", row_number().over(global))
       .filter(col("rn") <= kPool)
       .select(col("q_id"), col("vec_id"))
+  }
+
+  def annPrefixIvfRerank(t: Tables, nQueries: Int = 8, k: Int = 5,
+      p: Int = 16, nCells: Int = 16, nProbe: Int = 4,
+      kPool: Int = 20): DataFrame = {
+    val e = withNorm(t.embeddings)
+    val ep = e.select(col("vec_id"), slice(col("v"), 1, p).as("v"))
+      .withColumn("n2", VectorExprs.dot(col("v"), col("v")))
+    val pool = prefixIvfPool(ep, nQueries, nCells, nProbe, kPool)
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
     pool

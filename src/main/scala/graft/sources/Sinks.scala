@@ -652,6 +652,172 @@ object Sinks {
     (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
   }
 
+  /** G43: Matryoshka PREFIX-SLICED embedding layout — the storage
+    * counterpart of the D55/D56/D57 serving arc (the r14 "byte cut is
+    * unrealized" weak made real). ONE parquet relation with TWO column
+    * groups: `v_prefix` (the first p dimensions, double) and `v_tail`
+    * (dimensions p+1..d), range-clustered and sorted by vec_id.
+    * Parquet is columnar: the retrieval stage projects ONLY
+    * (vec_id, v_prefix), so column chunks of the tail group are never
+    * read — ~p/d of the vector bytes at the I/O layer, not a multiply
+    * count — and the bounded rerank fetches full vectors through a
+    * planned vec_id pushdown that the sorted layout's row-group stats
+    * prune. PrefixSliceProbe measures both from the file footers and
+    * the executed plans; SinksSpec pins concat(v_prefix, v_tail) ≡
+    * the in-query withNorm vector bit-for-bit.
+    */
+  def writeEmbeddingsPrefixSliced(t: Tables, path: String, p: Int = 16,
+      files: Int = 4): Unit = {
+    val spark = t.spark
+    import spark.implicits._
+    val dim = t.embeddings.agg(max(size(col("embedding")))).head.getInt(0)
+    require(p > 0 && p < dim, s"prefix p=$p must split the $dim-dim vectors")
+    t.embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"),
+        slice(col("v"), 1, p).as("v_prefix"),
+        expr(s"slice(v, ${p + 1}, size(v) - $p)").as("v_tail"))
+      .repartitionByRange(files, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sliced")
+    Seq((p, dim)).toDF("p", "dim")
+      .coalesce(1) // one row — the layout's contract
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** (p, dim) of a [[writeEmbeddingsPrefixSliced]] artifact — every
+    * consumer slices with the LAYOUT's p, never a caller guess. */
+  def readPrefixSlicedMeta(spark: org.apache.spark.sql.SparkSession,
+      rawPath: String): (Int, Int) = {
+    val path = resolveIndexRoot(spark, rawPath)
+    val r = spark.read.parquet(s"$path/meta")
+      .select(col("p"), col("dim")).head
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** The retrieval-side relation (vec_id, v = the stored prefix, n2):
+    * projects NOTHING from the tail column group, so the scan's
+    * ReadSchema — and its bytes — stay ∝ p/d. */
+  private[graft] def prefixSlicedRetrievalRel(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    spark.read.parquet(s"$path/sliced")
+      .select(col("vec_id"), col("v_prefix").as("v"))
+      .withColumn("n2",
+        graft.functions.VectorExprs.dot(col("v"), col("v")))
+  }
+
+  /** Full vectors (concat of the two column groups — bit-equal to the
+    * in-query withNorm cast by construction) for rows matching a
+    * PLANNED vec_id predicate: the pushdown reaches the parquet scan,
+    * so the sorted layout's row-group stats bound the tail bytes to
+    * the matched neighborhood instead of the corpus. */
+  private[graft] def prefixSlicedFullRel(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    spark.read.parquet(s"$path/sliced")
+      .filter(pred)
+      .select(col("vec_id"),
+        concat(col("v_prefix"), col("v_tail")).as("v"))
+      .withColumn("n2",
+        graft.functions.VectorExprs.dot(col("v"), col("v")))
+  }
+
+  /** The shared full-dimension rerank tail over a COLLECTED pool
+    * (bounded by nQueries·kPool rows at plan time — the G26
+    * planning-time-pruning discipline: materializing the pool ids is
+    * what turns the full-vector fetch into a pushed-down point read
+    * instead of a corpus scan). */
+  private def prefixSlicedRerank(spark: org.apache.spark.sql.SparkSession,
+      path: String, pool: Array[(Long, Long)], nQueries: Int,
+      k: Int): DataFrame = {
+    val sim = graft.operators.Similarity
+    import spark.implicits._
+    val poolDf = pool.toSeq.toDF("q_id", "vec_id")
+    val ids = pool.map(_._2).distinct.toSeq
+    val full = prefixSlicedFullRel(spark, path,
+      col("vec_id").isin(ids: _*))
+    val qF = prefixSlicedFullRel(spark, path,
+        col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    poolDf.join(full, Seq("vec_id"))
+      .join(broadcast(qF), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        sim.cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Serve D56 (prefix retrieve + full-dim rerank) off the sliced
+    * artifact ALONE — result ≡ the in-query
+    * [[graft.operators.Similarity.annPrefixRerank]] bit-for-bit
+    * (SinksSpec law): the stored prefix IS slice(v, 1, p) of the same
+    * double cast, and the two-stage top-kPool is partition-
+    * independent. Retrieval reads only the prefix column group; full
+    * vectors are touched for the ≤ nQueries·kPool pool ∪ the query
+    * rows, through planned id pushdowns. G41-versioned roots resolve
+    * on entry.
+    */
+  def searchPrefixSliced(spark: org.apache.spark.sql.SparkSession,
+      rawPath: String, nQueries: Int = 8, k: Int = 5,
+      kPool: Int = 20): DataFrame = {
+    val path = resolveIndexRoot(spark, rawPath)
+    val sim = graft.operators.Similarity
+    val (p, _) = readPrefixSlicedMeta(spark, path)
+    val eP = prefixSlicedRetrievalRel(spark, path)
+    val qP = eP.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    val pool = sim.prefixPool(eP, qP, p, kPool)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    prefixSlicedRerank(spark, path, pool, nQueries, k)
+  }
+
+  /** Serve D57 (prefix-space IVF retrieve + full-dim rerank) off the
+    * sliced artifact alone — ≡ the in-query
+    * [[graft.operators.Similarity.annPrefixIvfRerank]] bit-for-bit:
+    * the coarse quantizer Lloyd-trains on the STORED prefix relation
+    * (same values → same deterministic seed → same centers), probes
+    * and candidate scoring stay in the prefix column group, and the
+    * bounded pool reranks in full dimension via id pushdown.
+    */
+  def searchPrefixSlicedIvf(spark: org.apache.spark.sql.SparkSession,
+      rawPath: String, nQueries: Int = 8, k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 4, kPool: Int = 20): DataFrame = {
+    val path = resolveIndexRoot(spark, rawPath)
+    val sim = graft.operators.Similarity
+    val eP = prefixSlicedRetrievalRel(spark, path)
+    val pool = sim.prefixIvfPool(eP, nQueries, nCells, nProbe, kPool)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    prefixSlicedRerank(spark, path, pool, nQueries, k)
+  }
+
+  private val prefixSlicedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), String]()
+
+  /** Build-once sliced artifact for a corpus STATE (the NndCache
+    * discipline: keyed on (dir, data fingerprint, p), so a rewritten
+    * corpus re-slices instead of serving stale bytes) — what lets the
+    * gated `ann_prefix_*_sliced` registry keys and Bench iterations
+    * share one build per JVM.
+    */
+  private[graft] def prefixSlicedFor(t: Tables, p: Int = 16): String =
+    prefixSlicedCache.computeIfAbsent(
+      (t.dir, graft.operators.Similarity.embFingerprint(t), p), { _ =>
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_prefix_sliced").toString
+        writeEmbeddingsPrefixSliced(t, dir, p)
+        dir
+      })
+
   /** Bits per dimension of the z-value (16 → 32-bit z, plenty for
     * file-level clustering).
     */

@@ -1143,4 +1143,97 @@ class SinksSpec extends SparkSpec {
     val nRefs = spark.read.parquet(s"$dir/manifest").count()
     assert(nChunks < nRefs, s"store must share duplicate chunks ($nChunks vs $nRefs)")
   }
+
+  test("prefix-sliced embeddings: concat round-trips the withNorm vector bit-exactly; served D56/D57 equal the in-query paths; retrieval never opens the tail column group; versioned roots resolve") {
+    val dir = Files.createTempDirectory("prefix_sliced").toString
+    val p = 16
+    Sinks.writeEmbeddingsPrefixSliced(tables, dir, p)
+    val sim = graft.operators.Similarity
+    // meta contract
+    assert(Sinks.readPrefixSlicedMeta(spark, dir) == ((16, 64)))
+    intercept[IllegalArgumentException](
+      Sinks.writeEmbeddingsPrefixSliced(tables, dir + "_bad", 64))
+    // round trip: concat(v_prefix, v_tail) and its recomputed n2 must
+    // be BIT-equal to the in-query withNorm cast — the property every
+    // bit-equality law below rests on (doubles: any re-association
+    // would flip low bits)
+    val rebuilt = Sinks.prefixSlicedFullRel(spark, dir, lit(true))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1), r.getDouble(2)))).toMap
+    val orig = sim.withNorm(tables.embeddings)
+      .select(col("vec_id"), col("v"), col("n2"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1), r.getDouble(2)))).toMap
+    assert(rebuilt == orig, "sliced concat must round-trip withNorm bit-exactly")
+    // served ≡ in-query, both forms — while a listener audits every
+    // scan the serving paths run (the pool collect is its own action,
+    // so a final-plan pin would miss the corpus-sized retrieval scan)
+    case class Scan(cols: Seq[String], pushed: String)
+    val scans = new java.util.concurrent.ConcurrentLinkedQueue[Scan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      private def walk(n: SparkPlan): Seq[SparkPlan] = n match {
+        case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+        case s: QueryStageExec => s +: walk(s.plan)
+        case r: ReusedExchangeExec => r +: walk(r.child)
+        case o => o +: (o.children ++ o.subqueries).flatMap(walk)
+      }
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        walk(qe.executedPlan).foreach {
+          case s: FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains(s"$dir/sliced")) =>
+            scans.add(Scan(s.requiredSchema.fieldNames.toSeq,
+              s.metadata.getOrElse("PushedFilters", "")))
+            ()
+          case _ => ()
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val (servedRows, servedIvfRows) = try {
+      val a = Sinks.searchPrefixSliced(spark, dir).collect().map(_.toSeq).toSeq
+      val b = Sinks.searchPrefixSlicedIvf(spark, dir).collect().map(_.toSeq).toSeq
+      val deadline = System.currentTimeMillis() + 15000
+      var last = -1
+      while (scans.size != last && System.currentTimeMillis() < deadline) {
+        last = scans.size; Thread.sleep(300)
+      }
+      (a, b)
+    } finally spark.listenerManager.unregister(listener)
+    assert(servedRows ==
+      sim.annPrefixRerank(tables).collect().map(_.toSeq).toSeq,
+      "artifact-served D56 must equal the in-query path bit-for-bit")
+    assert(servedIvfRows ==
+      sim.annPrefixIvfRerank(tables).collect().map(_.toSeq).toSeq,
+      "artifact-served D57 must equal the in-query path bit-for-bit")
+    import scala.jdk.CollectionConverters._
+    val all = scans.asScala.toSeq
+    assert(all.nonEmpty, "listener captured no artifact scans")
+    // the byte law: corpus-sized retrieval scans project ONLY the
+    // prefix column group; the tail group is opened exclusively under
+    // a planned vec_id pushdown (the bounded pool/query fetch)
+    val prefScans = all.filterNot(_.cols.contains("v_tail"))
+    val tailScans = all.filter(_.cols.contains("v_tail"))
+    assert(prefScans.nonEmpty && tailScans.nonEmpty)
+    val badPref = prefScans.filterNot(_.cols.toSet.subsetOf(Set("vec_id", "v_prefix")))
+    assert(badPref.isEmpty,
+      s"retrieval scans must project only (vec_id, v_prefix): $badPref")
+    val unpushed = tailScans.filterNot(_.pushed.contains("vec_id"))
+    assert(unpushed.isEmpty,
+      s"every tail-opening scan must carry a pushed vec_id predicate: $unpushed")
+    // G41: the same artifact behind a versioned root serves identically
+    val root = Files.createTempDirectory("prefix_sliced_root").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$root/versions/1"))
+    Sinks.swapIndexVersion(spark, root, 1)
+    assert(Sinks.searchPrefixSliced(spark, root).collect().map(_.toSeq).toSeq
+      == servedRows, "versioned-root serve must equal the direct serve")
+  }
 }
