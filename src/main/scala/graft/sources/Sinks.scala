@@ -729,9 +729,11 @@ object Sinks {
     * (bounded by nQueries·kPool rows at plan time — the G26
     * planning-time-pruning discipline: materializing the pool ids is
     * what turns the full-vector fetch into a pushed-down point read
-    * instead of a corpus scan). */
+    * instead of a corpus scan). Query vectors arrive as a bounded
+    * (q_id, qv, qn2) relation — fetched from the artifact by the
+    * batch entry points, carried by the micro-batch for the stream. */
   private def prefixSlicedRerank(spark: org.apache.spark.sql.SparkSession,
-      path: String, pool: Array[(Long, Long)], nQueries: Int,
+      path: String, pool: Array[(Long, Long)], q: DataFrame,
       k: Int): DataFrame = {
     val sim = graft.operators.Similarity
     import spark.implicits._
@@ -739,15 +741,11 @@ object Sinks {
     val ids = pool.map(_._2).distinct.toSeq
     val full = prefixSlicedFullRel(spark, path,
       col("vec_id").isin(ids: _*))
-    val qF = prefixSlicedFullRel(spark, path,
-        col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("n2").as("qn2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("vec_id").asc)
     poolDf.join(full, Seq("vec_id"))
-      .join(broadcast(qF), Seq("q_id"))
+      .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         sim.cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -770,15 +768,30 @@ object Sinks {
       rawPath: String, nQueries: Int = 8, k: Int = 5,
       kPool: Int = 20): DataFrame = {
     val path = resolveIndexRoot(spark, rawPath)
+    val q = prefixSlicedFullRel(spark, path, col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    searchPrefixSlicedQRel(spark, path, q, k, kPool)
+  }
+
+  /** [[searchPrefixSliced]] for an ARBITRARY bounded (q_id, qv, qn2)
+    * full-dimension query relation — the online prefix server routes
+    * each micro-batch through this; the batch entry point above is the
+    * nQueries-prefix special case (its query vectors fetched from the
+    * artifact itself), so stream ≡ batch structurally. The retrieval
+    * stage slices the QUERY side in flight (bounded rows) while the
+    * corpus side reads only the stored prefix column group.
+    */
+  private[graft] def searchPrefixSlicedQRel(
+      spark: org.apache.spark.sql.SparkSession, rawPath: String,
+      q: DataFrame, k: Int = 5, kPool: Int = 20): DataFrame = {
+    val path = resolveIndexRoot(spark, rawPath)
     val sim = graft.operators.Similarity
     val (p, _) = readPrefixSlicedMeta(spark, path)
     val eP = prefixSlicedRetrievalRel(spark, path)
-    val qP = eP.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("n2").as("qn2"))
-    val pool = sim.prefixPool(eP, qP, p, kPool)
+    val pool = sim.prefixPool(eP, q, p, kPool)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    prefixSlicedRerank(spark, path, pool, nQueries, k)
+    prefixSlicedRerank(spark, path, pool, q, k)
   }
 
   /** Serve D57 (prefix-space IVF retrieve + full-dim rerank) off the
@@ -797,7 +810,10 @@ object Sinks {
     val eP = prefixSlicedRetrievalRel(spark, path)
     val pool = sim.prefixIvfPool(eP, nQueries, nCells, nProbe, kPool)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    prefixSlicedRerank(spark, path, pool, nQueries, k)
+    val q = prefixSlicedFullRel(spark, path, col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    prefixSlicedRerank(spark, path, pool, q, k)
   }
 
   private val prefixSlicedCache =

@@ -317,6 +317,48 @@ object AnnStreamJob {
       .start()
   }
 
+  /** ONLINE MATRYOSHKA serving off the G43 prefix-sliced artifact —
+    * the streaming twin of [[graft.sources.Sinks.searchPrefixSliced]]
+    * (the G37b/G40 pattern for the D56 serving path): per micro-batch,
+    * arriving full-dimension queries retrieve a kPool candidate pool
+    * by prefix cosine — the corpus-sized scan reads ONLY the stored
+    * prefix column group, p/d of the vector bytes — and the bounded
+    * pool reranks in full dimension through the planned id pushdown.
+    *
+    * Version-swap aware: the root re-resolves per micro-batch (the
+    * G41 hook), so a swapIndexVersion lands on the next batch with
+    * zero dropped queries. Stateless — a query row is self-contained,
+    * nothing accumulates across batches (soak-flat by construction;
+    * the artifact relations are plain parquet reads re-planned per
+    * batch, no checkpointed static side to re-load on swap).
+    *
+    * StreamingSpec law: served rows ≡ `searchPrefixSliced` row-for-row
+    * (same QRel core) — and a version swap moves the stream to the new
+    * artifact on the next batch.
+    */
+  def streamPrefixAnnServe(queries: DataFrame, indexPath: String,
+      k: Int = 5, kPool: Int = 20)(
+      onBatch: (Long, Seq[(Long, Long, Long, Double)]) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val sinks = graft.sources.Sinks
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val q = batch.select(col("q_id"), col("v")).dropDuplicates("q_id")
+          .select(col("q_id"),
+            transform(col("v"), x => x.cast("double")).as("qv"))
+          .withColumn("qn2",
+            graft.functions.VectorExprs.dot(col("qv"), col("qv")))
+        val out = sinks.searchPrefixSlicedQRel(spark, indexPath, q, k, kPool)
+        onBatch(batchId, out.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq)
+        ()
+      }
+      .start()
+  }
+
   /** All FileSourceScanExec nodes under an executed plan, through AQE
     * stages and reused exchanges (the GraftQueryAudit walk). */
   private def planScans(p: org.apache.spark.sql.execution.SparkPlan):

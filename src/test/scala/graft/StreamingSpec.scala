@@ -316,6 +316,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online Matryoshka serving off the prefix-sliced artifact: per-batch results == batch searchPrefixSliced; a version swap serves the re-sliced corpus from the next batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sinks = graft.sources.Sinks
+    val root = java.nio.file.Files.createTempDirectory("prefix_sliced_live").toString
+    sinks.writeEmbeddingsPrefixSliced(tables, sinks.versionPath(root, 1))
+    sinks.swapIndexVersion(spark, root, 1)
+    val qvecs = tables.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, Long, Long, Double)]]
+    def batchRows(path: String) = sinks.searchPrefixSliced(spark, path)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.AnnStreamJob.streamPrefixAnnServe(
+      input.toDS().toDF("q_id", "v"), root) { (_, rows) =>
+      perBatch.synchronized { if (rows.nonEmpty) perBatch += rows; () }
+    }
+    try {
+      // several micro-batches against version 1: stream ≡ batch (the
+      // QRel core is shared, so this pins the whole serving path —
+      // prefix-group retrieval + pushed-down full-dim rerank)
+      qvecs.grouped(3).foreach { b => input.addData(b); q.processAllAvailable() }
+      val rowsA = perBatch.synchronized(perBatch.flatten.toSeq)
+        .sortBy(x => (x._1, x._2))
+      assert(rowsA.nonEmpty && rowsA == batchRows(root),
+        "pre-swap prefix serving must equal the live version's batch search")
+      // version 2 WHILE THE SERVER RUNS: re-slice the corpus at a
+      // WIDER prefix with a planted duplicate only v2 has, then swap —
+      // the dup's appearance proves the live server moved artifacts
+      val dupId = tables.embeddings.agg(max(col("vec_id"))).head.getLong(0) + 1000L
+      val planted = tables.embeddings.filter(col("vec_id") === 0L)
+        .select(lit(dupId).as("vec_id"), col("embedding"))
+      val t2 = tables.copy(embOverride = Some(
+        tables.embeddings.select(col("vec_id"), col("embedding"))
+          .unionByName(planted)))
+      sinks.writeEmbeddingsPrefixSliced(t2, sinks.versionPath(root, 2), p = 32)
+      sinks.swapIndexVersion(spark, root, 2)
+      perBatch.synchronized(perBatch.clear())
+      input.addData(qvecs); q.processAllAvailable()
+      val rowsB = perBatch.synchronized(perBatch.flatten.toSeq)
+        .sortBy(x => (x._1, x._2))
+      assert(rowsB == batchRows(sinks.versionPath(root, 2)),
+        "post-swap serving must equal the new version's batch search row-for-row")
+      assert(rowsB.exists(r => r._1 == 0L && r._3 == dupId && r._4 == 1.0),
+        s"the v2-only planted duplicate must serve at cosine 1.0 post-swap: ${rowsB.filter(_._1 == 0L)}")
+      assert(rowsA.map(_._1).distinct.sorted == qvecs.map(_._1) &&
+        rowsB.map(_._1).distinct.sorted == qvecs.map(_._1),
+        "every query of every batch must be answered across the swap")
+    } finally q.stop()
+  }
+
   test("G41 swap under a live pruned-IVFPQ server: the next batch serves the new version's quantizers and codes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
