@@ -54,6 +54,12 @@ object GraphIndexProbe {
       f"grown=${recall(gr)}%.3f " +
       f"grown_appended_only=${recall(gr, Some(_ % 2 == 1))}%.3f " +
       f"one_shot_appended_only=${recall(one, Some(_ % 2 == 1))}%.3f")
+    // the G42 provisioning guard's build-time number: out-degree of
+    // the serving entry over the stored coarse layer (0 = the
+    // edge-less-entry pathology writeGraphIndex warns/refuses on)
+    println(s"GRAPHIDXENTRY $dir coarse_entry_out_degree=" +
+      s"${graft.sources.Sinks.coarseEntryOutDegree(spark, oneShot)} " +
+      s"grown=${graft.sources.Sinks.coarseEntryOutDegree(spark, grown)}")
     // r13 append-wave SOAK (the r12 verdict's #3): one wave proved a
     // single insert batch doesn't degrade the graph; continuous
     // insertion needs the CURVE — build on 1/12 of the corpus, append

@@ -1553,7 +1553,8 @@ object Sinks {
   def writeGraphIndex(t: Tables, path: String, kGraph: Int = 3,
       bits: Int = 8, nTables: Int = 4, bucketCap: Int = 128,
       kOut: Int = 16, descRounds: Int = 3, sampleMod: Int = 8,
-      kOutC: Int = 8, descRoundsC: Int = 2): Unit = {
+      kOutC: Int = 8, descRoundsC: Int = 2,
+      requireNavigableEntry: Boolean = false): Unit = {
     val sim = graft.operators.Similarity
     val e = sim.withNorm(t.embeddings)
     val edges = sim.nnDescentEdges(e,
@@ -1570,6 +1571,42 @@ object Sinks {
     t.embeddings.select(col("vec_id"), col("embedding"))
       .repartition(4, col("vec_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/vectors")
+    // provisioning guard (G42's honesty note made preventive: on a
+    // small sample at fine banding, NN-descent can leave the SERVING
+    // entry — min sampled vec_id, the searchGraphIndexWith seed —
+    // with zero coarse edges, and every search then beams from an
+    // isolated vertex). Check it at BUILD time, when the operator can
+    // still pick coarser banding or a larger sample, instead of
+    // shipping an index whose drift card reads reach 0 on day one.
+    val deg = coarseEntryOutDegree(t.spark, path, sampleMod)
+    if (deg == 0L) {
+      val msg = s"graph index at $path: the coarse-layer serving entry " +
+        s"has no out-edges at build time (sampleMod=$sampleMod, " +
+        s"bits=$bits) — searches will beam from an isolated vertex; " +
+        "rebuild with coarser banding (lower bits) or a larger sample"
+      if (requireNavigableEntry) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+  }
+
+  /** Out-degree of the SERVING entry (min sampled vec_id) over the
+    * stored coarse edges, symmetrized like the read path (src ∪ dst
+    * membership). −1 when the sample is empty (no entry to guard);
+    * 0 is the G42 pathology the build-time guard fires on. One
+    * bounded aggregate + one filtered count over the coarse layer.
+    */
+  def coarseEntryOutDegree(spark: org.apache.spark.sql.SparkSession,
+      rawPath: String, sampleMod: Int = 8): Long = {
+    val path = resolveIndexRoot(spark, rawPath)
+    val entry = spark.read.parquet(s"$path/vectors")
+      .filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+      .agg(min(col("vec_id"))).head
+    if (entry.isNullAt(0)) -1L
+    else {
+      val e0 = entry.getLong(0)
+      spark.read.parquet(s"$path/coarse_edges")
+        .filter(col("src") === e0 || col("dst") === e0).count()
+    }
   }
 
   private[graft] def graphIndexVectors(spark: org.apache.spark.sql.SparkSession,

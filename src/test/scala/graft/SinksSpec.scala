@@ -1144,6 +1144,26 @@ class SinksSpec extends SparkSpec {
     assert(nChunks < nRefs, s"store must share duplicate chunks ($nChunks vs $nRefs)")
   }
 
+  test("graph index provisioning guard: an edge-less serving entry refuses at build time when required; coarser banding builds clean") {
+    val dir = Files.createTempDirectory("gidx_guard").toString
+    // the spec corpus's 63-vertex sample at default 8-bit banding
+    // leaves the serving entry isolated (the G42 honesty note) — the
+    // guard surfaces it at BUILD time, when the operator can still
+    // re-provision, instead of shipping reach-0 serving
+    val ex = intercept[IllegalStateException](
+      Sinks.writeGraphIndex(tables, dir, requireNavigableEntry = true))
+    assert(ex.getMessage.contains("no out-edges"))
+    // the default build is warn-only (existing callers unchanged) and
+    // the degree is queryable after the fact
+    Sinks.writeGraphIndex(tables, dir)
+    assert(Sinks.coarseEntryOutDegree(spark, dir) == 0L)
+    // coarser banding connects the layer: the strict build passes
+    val dir2 = Files.createTempDirectory("gidx_guard2").toString
+    Sinks.writeGraphIndex(tables, dir2, bits = 2,
+      requireNavigableEntry = true)
+    assert(Sinks.coarseEntryOutDegree(spark, dir2) > 0L)
+  }
+
   test("prefix-sliced embeddings: concat round-trips the withNorm vector bit-exactly; served D56/D57 equal the in-query paths; retrieval never opens the tail column group; versioned roots resolve") {
     val dir = Files.createTempDirectory("prefix_sliced").toString
     val p = 16
