@@ -4830,4 +4830,46 @@ object OracleSqlGen {
        |UNION ALL ${row(16, 1, "p_16_1")}
        |ORDER BY bands""".stripMargin
   }
+
+  /** E64: the planted-HTML extraction — the F2 formula-corpus
+    * discipline for markup. The EXPECTED output is a pure function of
+    * doc_id (three affine lowercase chunks + constant traps), so the
+    * oracle re-derives title/text/blocks/link-density directly; any
+    * extractor drift (tag stripping, script/style/comment drops,
+    * entity decode, block segmentation, the nav density drop,
+    * whitespace normalization) hash-fails per document. Every 17th
+    * doc is plaintext and must quarantine as `not_html`.
+    */
+  def docHtmlExtract(): String = {
+    def chunk(k: Int) =
+      s"array_to_string([chr(97 + CAST((doc_id*31 + i*7 + ${k * 11}) % 26 " +
+        s"AS INTEGER)) for i in range(0, 20 + doc_id % 17)], '')"
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${chunk(1)} AS c1,
+       |    ${chunk(2)} AS c2,
+       |    ${chunk(3)} AS c3
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id,
+       |    'Heading ' || doc_id AS b1,
+       |    c1 || ' & <b>' AS b2,
+       |    c2 || ' anchor ' || doc_id AS b3,
+       |    c3 || ' double spaces' AS b5,
+       |    length('anchor ' || doc_id) + 6 AS lc
+       |  FROM h)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 17 = 0 THEN 'not_html' ELSE 'ok' END AS status,
+       |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 'Doc ' || doc_id END AS title,
+       |  CASE WHEN doc_id % 17 = 0 THEN NULL
+       |    ELSE b1 || chr(10) || b2 || chr(10) || b3 || chr(10) || b5 END AS text,
+       |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(4 AS BIGINT) END AS n_blocks,
+       |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(4 AS BIGINT) END AS n_links,
+       |  CASE WHEN doc_id % 17 = 0 THEN NULL
+       |    ELSE floor(CAST(lc AS DOUBLE) /
+       |      (length(b1) + length(b2) + length(b3) + 8 + length(b5)) * 1000000
+       |      + 0.5) / 1000000 END AS link_density_r
+       |FROM x
+       |ORDER BY doc_id""".stripMargin
+  }
 }

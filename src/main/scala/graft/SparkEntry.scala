@@ -255,6 +255,7 @@ object SparkEntry {
     "doc_quality_filter"   -> q(TextOps.docQualityFilter(_, ordered = true)),
     "text_repetition"      -> q(TextOps.textRepetition(_, ordered = true)),
     "doc_gopher_rules"     -> q(TextOps.docGopherRules(_, ordered = true)), // E63 published Gopher rule card (r13)
+    "doc_html_extract"     -> q(TextOps.docHtmlExtract(_, ordered = true)), // E64 HTML→text extraction over planted formula HTML (r15)
     "text_collocations"    -> q(TextOps.textCollocations(_)),
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
     "doc_curate_explain"   -> q(TextOps.docCurateExplain(_)),
@@ -2085,6 +2086,7 @@ object SparkEntry {
     "corpus_dedup_stats"    -> OracleSqlGen.corpusDedupStats(0.2),
     "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
     "doc_gopher_rules"      -> OracleSqlGen.docGopherRules,
+    "doc_html_extract"      -> OracleSqlGen.docHtmlExtract(),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),
     "doc_curate_explain"    -> OracleSqlGen.docCurateExplain(0.5),

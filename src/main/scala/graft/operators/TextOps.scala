@@ -2247,4 +2247,190 @@ object TextOps {
       .toDF("doc_id", "warc_type", "record_id", "target_uri",
         "content_length", "n_headers", "payload_ok")
   }, ordered)(col("doc_id"))
+
+  /** Block-level HTML tags: opening OR closing one of these flushes
+    * the current text block (the boilerpipe-style segmentation grain —
+    * inline tags like `<a>`/`<b>` keep accumulating into the block).
+    */
+  private val HtmlBlockTags = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "nav", "br", "table", "tr", "td", "th", "section", "article",
+    "header", "footer", "blockquote", "pre", "main", "aside", "form",
+    "title", "head", "body", "html")
+
+  /** The five named entities the extractor decodes (the HTML subset
+    * that appears in escaped text content); named first, `&amp;` LAST
+    * so `&amp;lt;` correctly yields the literal string `&lt;`. */
+  private def htmlUnescape(s: String): String = s
+    .replace("&lt;", "<").replace("&gt;", ">")
+    .replace("&quot;", "\"").replace("&#39;", "'")
+    .replace("&amp;", "&")
+
+  /** Whitespace normalization of one block: runs of whitespace (nbsp
+    * included) collapse to a single space, ends trimmed. */
+  private def htmlNorm(s: String): String =
+    s.replaceAll("[\\s ]+", " ").trim
+
+  /** E64 core: extract the article text of ONE HTML payload —
+    * tolerant, single pass, public-knowledge heuristics only
+    * (reference semantics: what a crawled-corpus pipeline runs before
+    * any quality rule can score a page):
+    *
+    *  1. envelope: anything not opening with `<!doctype html`/`<html`
+    *     (case-insensitive, leading whitespace allowed) quarantines as
+    *     `not_html` — binary or plaintext payloads must not be
+    *     "extracted" into garbage text;
+    *  2. comments and `<script>`/`<style>` SUBTREES drop structurally
+    *     (their content is code, not text; an unclosed script/style
+    *     swallows to EOF, the tolerant-parser convention);
+    *  3. `<title>` captures separately; block-level tags segment the
+    *     body into text blocks; entities decode AFTER tag stripping
+    *     (so `&lt;b&gt;` is text, never markup), then whitespace
+    *     normalizes per block;
+    *  4. the link-density boilerplate heuristic: a block whose
+    *     normalized `<a>` text covers more than `dropDensity` of the
+    *     block is navigation chrome and drops from the article text
+    *     (it still counts into the page-level `link_density_r`
+    *     signal, which is the page's boilerplate ratio).
+    *
+    * Returns (status, title, text, n_blocks kept, n_links,
+    * link_density_r over ALL non-empty blocks).
+    */
+  private[graft] def htmlExtractOne(raw: String, dropDensity: Double = 0.5):
+      (String, String, String, Long, Long, Double) = {
+    val low = raw.dropWhile(_.isWhitespace).toLowerCase(java.util.Locale.ROOT)
+    if (!(low.startsWith("<!doctype html") || low.startsWith("<html")))
+      return ("not_html", null, null, -1L, -1L, -1.0)
+    val cleaned = raw
+      .replaceAll("(?s)<!--.*?-->", "")
+      .replaceAll("(?is)<script\\b[^>]*>.*?</script\\s*>", "")
+      .replaceAll("(?is)<script\\b[^>]*>.*", "")
+      .replaceAll("(?is)<style\\b[^>]*>.*?</style\\s*>", "")
+      .replaceAll("(?is)<style\\b[^>]*>.*", "")
+    val titleM = java.util.regex.Pattern
+      .compile("(?is)<title[^>]*>(.*?)</title\\s*>").matcher(cleaned)
+    val title =
+      if (titleM.find()) htmlNorm(htmlUnescape(titleM.group(1))) else null
+    val body = {
+      val bm = java.util.regex.Pattern
+        .compile("(?is)<body[^>]*>").matcher(cleaned)
+      val start = if (bm.find()) bm.end() else 0
+      val end = cleaned.toLowerCase(java.util.Locale.ROOT)
+        .indexOf("</body", start)
+      if (end >= 0) cleaned.substring(start, end)
+      else cleaned.substring(start)
+    }
+    // tokenizer: tags and text nodes interleave; block tags flush
+    val tok = java.util.regex.Pattern.compile("<[^>]*>|[^<]+").matcher(body)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val bt = new StringBuilder; val lt = new StringBuilder
+    var inA = false
+    var nLinks = 0L
+    def flush(): Unit = {
+      if (bt.nonEmpty || lt.nonEmpty) blocks += ((bt.toString, lt.toString))
+      bt.clear(); lt.clear()
+    }
+    while (tok.find()) {
+      val t = tok.group()
+      if (t.startsWith("<")) {
+        val name = t.drop(1).dropWhile(_ == '/')
+          .takeWhile(c => c.isLetterOrDigit).toLowerCase(java.util.Locale.ROOT)
+        if (name == "a") {
+          if (!t.startsWith("</")) { inA = true; nLinks += 1 }
+          else inA = false
+        } else if (HtmlBlockTags(name)) flush()
+      } else {
+        bt.append(t)
+        if (inA) lt.append(t)
+      }
+    }
+    flush()
+    val graded = blocks.iterator.map { case (b, l) =>
+      (htmlNorm(htmlUnescape(b)), htmlNorm(htmlUnescape(l)))
+    }.filter(_._1.nonEmpty).toSeq
+    val kept = graded.filter { case (b, l) =>
+      l.length.toDouble / b.length <= dropDensity }
+    val totChars = graded.iterator.map(_._1.length.toLong).sum
+    val linkChars = graded.iterator.map(_._2.length.toLong).sum
+    val ld =
+      if (totChars == 0L) 0.0
+      else math.floor(linkChars.toDouble / totChars * 1e6 + 0.5) / 1e6
+    ("ok", title, kept.map(_._1).mkString("\n"), kept.size.toLong,
+      nLinks, ld)
+  }
+
+  /** E64 public boundary: HTML→text over ANY (doc_id, payload)
+    * relation — what the G36 WARC ingest's clean payloads feed (the
+    * mmDecodePayloads discipline for markup: a user's real crawl
+    * column drives this same path, quarantines included). One narrow
+    * stateless pass, embarrassingly parallel; no driver access.
+    */
+  def docFromHtml(spark: org.apache.spark.sql.SparkSession,
+      payloads: DataFrame, dropDensity: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("payload").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, s) =>
+        val (st, ti, tx, nb, nl, ld) =
+          htmlExtractOne(Option(s).getOrElse(""), dropDensity)
+        (id, st, Option(ti), Option(tx),
+          if (nb < 0L) None else Some(nb),
+          if (nl < 0L) None else Some(nl),
+          if (ld < 0.0) None else Some(ld))
+      })
+      .toDF("doc_id", "status", "title", "text", "n_blocks", "n_links",
+        "link_density_r")
+  }
+
+  /** Deterministic planted HTML per doc_id (the F2 formula-corpus
+    * discipline for markup): three lowercase chunks from an affine
+    * char formula the oracle re-derives, wrapped in REAL HTML whose
+    * traps exercise every extractor branch — comment with fake tags,
+    * script holding markup in a string literal, style subtree, escaped
+    * entities in text, an inline anchor inside an article block, a
+    * nav block above the drop threshold, raw whitespace runs. The
+    * EXPECTED extraction is a pure function of doc_id, so DuckDB
+    * gates tag stripping, subtree drops, entity decode, block
+    * segmentation, the density drop and normalization per document.
+    */
+  private[graft] def htmlChunk(id: Long, k: Int): String = {
+    val n = (20 + id % 17).toInt
+    (0 until n).map(i =>
+      ('a' + ((id * 31 + i * 7L + k * 11) % 26)).toChar).mkString
+  }
+
+  private[graft] def htmlPayload(id: Long): String =
+    s"""<!DOCTYPE html>
+       |<html>
+       |<head>
+       |  <title> Doc $id </title>
+       |  <style> p { color: red } </style>
+       |  <script> var trap = "<p>not text</p>"; </script>
+       |</head>
+       |<body>
+       |  <h1>Heading   $id</h1>
+       |  <!-- comment trap: <p>ignored</p> -->
+       |  <p>${htmlChunk(id, 1)} &amp; &lt;b&gt;</p>
+       |  <div>${htmlChunk(id, 2)} <a href="/l$id">anchor $id</a></div>
+       |  <nav><a href="/a">n1</a> <a href="/b">n2</a> <a href="/c">n3</a></nav>
+       |  <p>${htmlChunk(id, 3)}  double
+       |  spaces</p>
+       |</body>
+       |</html>""".stripMargin
+
+  /** E64 gated query: the planted-HTML corpus through [[docFromHtml]];
+    * every 17th doc is a plaintext payload that must quarantine as
+    * `not_html` instead of extracting garbage.
+    */
+  def docHtmlExtract(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id,
+        if (id % 17 == 0) s"plain text payload $id without any markup"
+        else htmlPayload(id))))
+      .toDF("doc_id", "payload")
+    docFromHtml(spark, payloads)
+  }, ordered)(col("doc_id"))
 }

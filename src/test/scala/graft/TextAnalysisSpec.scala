@@ -690,4 +690,78 @@ class TextAnalysisSpec extends SparkSpec {
       .intersect(("inserted boilerplate header " + s).grouped(180).map(_.hashCode).toSet)
     assert(fixedShared.isEmpty, "fixed-size chunks must all shift under the same edit")
   }
+
+  test("HTML extractor edges: unclosed script swallows to EOF; entities decode after tag stripping; link-dense blocks drop from text but count in the signal; non-HTML quarantines") {
+    def ex(s: String) = TextOps.htmlExtractOne(s)
+    // envelope: plaintext/binary payloads quarantine, never "extract"
+    assert(ex("hello world")._1 == "not_html")
+    assert(ex("\n  <!DOCTYPE HTML><html><body><p>x</p></body></html>")._1 == "ok")
+    // unclosed script: everything after it is code, not text
+    val (s1, _, t1, _, _, _) =
+      ex("<html><body><p>keep</p><script>var a = '<p>no</p>';")
+    assert(s1 == "ok" && t1 == "keep")
+    // entities decode AFTER stripping: '&lt;p&gt;' is text, never a block tag
+    val (_, _, t2, nb2, _, _) =
+      ex("<html><body><p>a &lt;p&gt; b</p></body></html>")
+    assert(t2 == "a <p> b" && nb2 == 1L)
+    // the boilerplate heuristic: the nav block leaves the article text
+    // but still counts into the page-level link-density signal
+    val (_, _, t3, nb3, nl3, ld3) = ex("<html><body>" +
+      "<p>article body text here</p><nav><a>x1</a> <a>x2</a></nav></body></html>")
+    assert(t3 == "article body text here" && nb3 == 1L && nl3 == 2L)
+    assert(math.abs(ld3 - math.floor(4.0 / 27 * 1e6 + 0.5) / 1e6) < 1e-12)
+    // empty body is ok-with-empty, not an error
+    val (s4, _, t4, nb4, nl4, ld4) = ex("<html><body></body></html>")
+    assert(s4 == "ok" && t4 == "" && nb4 == 0L && nl4 == 0L && ld4 == 0.0)
+    // title captures separately from body text
+    assert(ex("<html><head><title> T1 </title></head><body><p>b</p></body></html>")
+      ._2 == "T1")
+  }
+
+  test("WARC → HTML extract → Gopher rules compose end-to-end; non-HTML payloads quarantine instead of scoring") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_html").toString
+    val ids = (1L to 40L).toSeq
+    def payloadOf(id: Long) =
+      if (id % 17 == 0) s"plain text payload $id without any markup"
+      else TextOps.htmlPayload(id)
+    graft.sources.Sinks.writeWarcGz(
+      ids.map(id => (id, payloadOf(id))).toDF("doc_id", "text"), dir, shards = 2)
+    val (clean, badRecords, badFiles) =
+      graft.sources.Sinks.readWarcGzAudited(spark, dir)
+    assert(badRecords.count() == 0 && badFiles.count() == 0)
+    val extracted = TextOps.docFromHtml(spark, clean.select(
+      regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+        .cast("long").as("doc_id"),
+      col("payload")))
+    // WARC custody changed nothing: extraction off the shard equals
+    // direct extraction of the same payloads
+    val viaWarc = extracted
+      .select(col("doc_id"), col("status"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("")))
+      .sortBy(_._1).toSeq
+    val direct = ids.map { id =>
+      val (st, _, tx, _, _, _) = TextOps.htmlExtractOne(payloadOf(id))
+      (id, st, Option(tx).getOrElse(""))
+    }
+    assert(viaWarc == direct,
+      "extraction off the WARC shard must equal direct extraction")
+    assert(viaWarc.count(_._2 == "not_html") == ids.count(_ % 17 == 0),
+      "every plaintext payload must quarantine")
+    // composed E63: Gopher verdicts over the extracted article text ==
+    // Gopher over the same text fed directly (docsOverride)
+    val okDocs = extracted.filter(col("status") === "ok")
+      .select(col("doc_id"), col("text"))
+    val viaPipeline = TextOps.docGopherRules(
+      tables.copy(docsOverride = Some(okDocs)), ordered = true)
+      .collect().map(_.toSeq).toSeq
+    val directDf = direct.filter(_._2 == "ok").map(d => (d._1, d._3))
+      .toDF("doc_id", "text")
+    val directGopher = TextOps.docGopherRules(
+      tables.copy(docsOverride = Some(directDf)), ordered = true)
+      .collect().map(_.toSeq).toSeq
+    assert(viaPipeline.nonEmpty && viaPipeline == directGopher,
+      "WARC → extract → Gopher must equal Gopher over directly-extracted text")
+  }
 }
