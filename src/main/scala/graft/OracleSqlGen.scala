@@ -4831,6 +4831,57 @@ object OracleSqlGen {
        |ORDER BY bands""".stripMargin
   }
 
+  /** E65: BPE encode — the E47 mining chain verbatim (same CTEs), then
+    * every document's words run the trained replace chain in order and
+    * map to code-point ids. Sentinel chr(r) has id r, so the id
+    * stream is a pure function of the merge table both engines mine
+    * identically.
+    */
+  def textBpeEncode(rounds: Int): String = {
+    def mine(src: String, wCol: String, tAlias: Int): String =
+      s"""t$tAlias AS (SELECT pair AS p$tAlias, total AS total$tAlias FROM (
+         |  SELECT pair, CAST(SUM(n) AS BIGINT) AS total FROM (
+         |    SELECT unnest([substring($wCol, i, 2) for i in range(1, length($wCol))]) AS pair, n
+         |    FROM $src WHERE length($wCol) >= 2)
+         |  GROUP BY pair)
+         |  ORDER BY total DESC, pair ASC LIMIT 1)""".stripMargin
+    val ctes = new StringBuilder(
+      """w0 AS (
+        |  SELECT word AS w0, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin)
+    for (r <- 1 to rounds) {
+      ctes.append(",\n").append(mine(s"w${r - 1}", s"w${r - 1}", r))
+      if (r < rounds)
+        ctes.append(",\n").append(
+          s"""w$r AS (SELECT replace(w${r - 1}, (SELECT p$r FROM t$r), chr($r)) AS w$r, n
+             |  FROM w${r - 1})""".stripMargin)
+    }
+    // the 1-row pair CTEs cross-join in as plain columns: DuckDB
+    // rejects subqueries inside lambda/list-comprehension bodies
+    val repl = (1 to rounds).foldLeft("w")((e, r) =>
+      s"replace($e, p$r, chr($r))")
+    val topsFrom = (1 to rounds).map(r => s"t$r").mkString(", ")
+    s"""WITH ${ctes.result()},
+       |enc AS (
+       |  SELECT doc_id,
+       |    [$repl for w in list_filter(string_split(lower(text), ' '), w -> w <> '')] AS ws
+       |  FROM documents, $topsFrom),
+       |ids AS (
+       |  SELECT doc_id, ws,
+       |    flatten([[ord(substring(w, i, 1)) for i in range(1, length(w)+1)] for w in ws]) AS idl
+       |  FROM enc)
+       |SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(len(idl) AS BIGINT) AS n_tokens,
+       |  array_to_string([CAST(x AS VARCHAR) for x in idl], ' ') AS token_ids,
+       |  CASE WHEN len(ws) = 0 THEN 0.0
+       |    ELSE floor(CAST(len(idl) AS DOUBLE) / len(ws) * 1000000 + 0.5) / 1000000
+       |  END AS fertility_r
+       |FROM ids
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** E64: the planted-HTML extraction — the F2 formula-corpus
     * discipline for markup. The EXPECTED output is a pure function of
     * doc_id (three affine lowercase chunks + constant traps), so the

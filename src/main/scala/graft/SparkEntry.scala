@@ -256,6 +256,7 @@ object SparkEntry {
     "text_repetition"      -> q(TextOps.textRepetition(_, ordered = true)),
     "doc_gopher_rules"     -> q(TextOps.docGopherRules(_, ordered = true)), // E63 published Gopher rule card (r13)
     "doc_html_extract"     -> q(TextOps.docHtmlExtract(_, ordered = true)), // E64 HTML→text extraction over planted formula HTML (r15)
+    "text_bpe_encode"      -> q(TextOps.textBpeEncode(_, ordered = true)), // E65 per-doc token-id sequences off the E47 merge table (r15)
     "text_collocations"    -> q(TextOps.textCollocations(_)),
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
     "doc_curate_explain"   -> q(TextOps.docCurateExplain(_)),
@@ -2087,6 +2088,7 @@ object SparkEntry {
     "text_repetition"       -> OracleSqlGen.textRepetition(0.3, 0.2, 0.2),
     "doc_gopher_rules"      -> OracleSqlGen.docGopherRules,
     "doc_html_extract"      -> OracleSqlGen.docHtmlExtract(),
+    "text_bpe_encode"       -> OracleSqlGen.textBpeEncode(3),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),
     "doc_curate_explain"    -> OracleSqlGen.docCurateExplain(0.5),

@@ -1723,7 +1723,10 @@ object TextOps {
     * this operator driven round-batch-wise with the vocab relation
     * checkpointed between batches.
     */
-  def textBpeTrain(t: Tables, rounds: Int = 3): DataFrame = {
+  /** The E47 mining chain, shared with the E65 encoder: per round r,
+    * the 1-row (p$r, total$r) top-pair relation mined over the
+    * sentinel-collapsed vocabulary. Index 1..rounds. */
+  private[graft] def bpeMineTops(t: Tables, rounds: Int): Array[DataFrame] = {
     require(rounds >= 1 && rounds <= 8, "sentinel space: 1..8 rounds")
     def minePairs(vocab: DataFrame, wCol: String): DataFrame =
       vocab.filter(length(col(wCol)) >= 2)
@@ -1748,8 +1751,13 @@ object TextOps {
       vocabs(r) = vocabs(r - 1).crossJoin(broadcast(tops(r)))
         .withColumn(s"w$r", expr(s"replace($prev, p$r, chr($r))"))
     }
+    tops.drop(1)
+  }
+
+  def textBpeTrain(t: Tables, rounds: Int = 3): DataFrame = {
+    val tops = bpeMineTops(t, rounds)
     // all pair rows side by side (1-row cross of 1-row relations)
-    val allTops = (1 to rounds).map(tops).reduce(_ crossJoin _)
+    val allTops = tops.reduce(_ crossJoin _)
     // expand round r's pair string: resolve sentinels newest-first,
     // each substituted by its own already-expanded token
     def expanded(r: Int): Column = {
@@ -2432,5 +2440,46 @@ object TextOps {
         else htmlPayload(id))))
       .toDF("doc_id", "payload")
     docFromHtml(spark, payloads)
+  }, ordered)(col("doc_id"))
+
+  /** E65: BPE ENCODE — apply E47's ordered merge list to every
+    * document, producing the per-doc token-id sequence a training
+    * pipeline actually ships (E47 trains the artifact; this is the
+    * operator that CONSUMES it). Per word (the E47 tokenizer), the
+    * trained pairs replace left-to-right non-overlapping IN TRAINING
+    * ORDER (the E46 greedy scan, iterated — sentinel chr(r) encodes
+    * merge r, so later merges compose over earlier ones); the encoded
+    * word's symbols map to ids by code point (base chars keep their
+    * code point, merge r's symbol is id r — a decoder needs only the
+    * merge table). `token_ids` ships as the space-joined id string
+    * (information-complete, engine-comparable); `fertility_r` is the
+    * E48-style tokens-per-word price of the tokenizer at this merge
+    * count.
+    *
+    * Scale shape: the rounds 1-row pair relations broadcast onto one
+    * narrow stateless corpus pass (transform/flatten over the words
+    * array — no explode, no shuffle beyond E47's own mining); the
+    * spec's decode law replays the merge table backwards and recovers
+    * every document's words exactly.
+    */
+  def textBpeEncode(t: Tables, rounds: Int = 3,
+      ordered: Boolean = false): DataFrame = maybeSort({
+    val tops = bpeMineTops(t, rounds)
+    val allTops = tops.reduce(_ crossJoin _)
+    val repl = (1 to rounds).foldLeft("w")((e, r) => s"replace($e, p$r, chr($r))")
+    t.documents
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .crossJoin(broadcast(allTops))
+      .withColumn("enc", expr(s"transform(filter(ws, w -> w <> ''), w -> $repl)"))
+      .withColumn("ids", expr(
+        "flatten(transform(enc, w -> transform(sequence(1, length(w)), i -> ascii(substring(w, i, 1)))))"))
+      .select(col("doc_id"),
+        size(col("enc")).cast("long").as("n_words"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        array_join(expr("transform(ids, x -> cast(x as string))"), " ")
+          .as("token_ids"),
+        when(size(col("enc")) === 0, lit(0.0))
+          .otherwise(r6(size(col("ids")).cast("double") /
+            size(col("enc")).cast("double"))).as("fertility_r"))
   }, ordered)(col("doc_id"))
 }

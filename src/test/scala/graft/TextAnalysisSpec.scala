@@ -718,6 +718,49 @@ class TextAnalysisSpec extends SparkSpec {
       ._2 == "T1")
   }
 
+  test("BPE encode: decoding every doc's ids through the merge table recovers the original words; fertility is real ids per word; more merges never lengthen a doc") {
+    val rounds = 3
+    val tops = TextOps.bpeMineTops(tables, rounds)
+      .reduce(_ crossJoin _).collect()(0)
+    // raw pair strings, sentinels intact — the decoder's merge table
+    val pairs = (1 to rounds).map(r => tops.getAs[String](s"p$r"))
+    val enc = TextOps.textBpeEncode(tables, rounds, ordered = true).collect()
+    val docs = tables.documents
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    assert(enc.nonEmpty)
+    // non-vacuous: some doc must actually contain a merged symbol
+    assert(enc.exists(_.getAs[String]("token_ids").split(" ")
+      .exists(s => s.nonEmpty && s.toLong <= rounds)),
+      "no merge fired anywhere — the law would be vacuous")
+    enc.foreach { r =>
+      val id = r.getLong(0)
+      val idsStr = r.getAs[String]("token_ids")
+      val ids = if (idsStr.isEmpty) Array.empty[Long]
+                else idsStr.split(" ").map(_.toLong)
+      assert(ids.length.toLong == r.getAs[Long]("n_tokens"))
+      // decode = ids → symbols, then expand merges NEWEST-first (a
+      // later pair may contain earlier sentinels)
+      var s = ids.map(i => new String(Character.toChars(i.toInt))).mkString
+      for (r2 <- rounds to 1 by -1)
+        s = s.replace(r2.toChar.toString, pairs(r2 - 1))
+      val words = docs(id).split(" ", -1).filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_words") == words.length.toLong)
+      assert(s == words.mkString(""), s"decode(encode) mismatch for doc $id")
+      val expF =
+        if (words.isEmpty) 0.0
+        else math.floor(ids.length.toDouble / words.length * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("fertility_r") == expF,
+        s"fertility must be real ids per word for doc $id")
+    }
+    // each merge only ever shortens a symbol sequence
+    val enc1 = TextOps.textBpeEncode(tables, 1, ordered = true).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    enc.foreach(r =>
+      assert(r.getAs[Long]("n_tokens") <= enc1(r.getLong(0)),
+        s"more merges lengthened doc ${r.getLong(0)}"))
+  }
+
   test("WARC → HTML extract → Gopher rules compose end-to-end; non-HTML payloads quarantine instead of scoring") {
     val sp = spark
     import sp.implicits._
