@@ -386,6 +386,8 @@ object SparkEntry {
     "mm_feature_extract"   -> q(Multimodal.mmFeatureExtract(_, ordered = true)), // REAL netpbm decode (r10), oracle-gated
     "mm_feature_extract_bmp" -> q(Multimodal.mmFeatureExtractBmp(_, ordered = true)), // REAL BMP decode (r11), oracle-gated
     "mm_feature_extract_png" -> q(Multimodal.mmFeatureExtractPng(_, ordered = true)), // REAL PNG decode (r12), oracle-gated
+    "mm_feature_extract_png_gray" -> q(Multimodal.mmFeatureExtractPngGray(_, ordered = true)), // F25 grayscale PNG (r15): bpp=1 filters + channel replication
+    "mm_feature_extract_png_palette" -> q(Multimodal.mmFeatureExtractPngPalette(_, ordered = true)), // F25b palette PNG (r15): PLTE walk + index resolution
     "mm_feature_extract_jpeg" -> q(Multimodal.mmFeatureExtractJpeg(_, ordered = true)), // REAL baseline JPEG decode (r12), oracle-gated
     "mm_feature_extract_jpeg_color" -> q(Multimodal.mmFeatureExtractJpegColor(_, ordered = true)), // REAL 4:2:0 color JPEG decode (r13), oracle-gated
     "mm_feature_extract_jpeg_dri" -> q(Multimodal.mmFeatureExtractJpegDri(_, ordered = true)), // DRI restart-interval color JPEGs (r14), oracle-gated
@@ -2282,6 +2284,54 @@ object SparkEntry {
         |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,
         |  floor((CAST(sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
         |  CAST(68 + height*(1 + 3*width) AS INTEGER) AS n_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // F25: grayscale PNG — the single-channel affine mean replicated
+    // into all three channels (the decoder expands gray to RGB); the
+    // bpp=1 filter recurrences and the PNG8G dispatch are what a wrong
+    // decode fails on. n_bytes = 68 + h·(1+w) (1 byte/px scanlines)
+    "mm_feature_extract_png_gray" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 8 AS INTEGER) AS width,
+        |    CAST(1 + (doc_id * 13) % 8 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |    unnest(range(width*height)) AS i FROM d),
+        |s AS (SELECT doc_id, width, height,
+        |    CAST(SUM(32 + (doc_id*31 + i*7) % 95) AS BIGINT) AS sg
+        |  FROM px GROUP BY doc_id, width, height)
+        |SELECT doc_id, 'PNG8G' AS format, width, height,
+        |  CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+        |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_r_r6,
+        |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,
+        |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
+        |  CAST(68 + height*(1 + width) AS INTEGER) AS n_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // F25b: palette PNG — per-pixel palette index (doc_id·7 + i·3) mod
+    // n over n = 1 + doc_id%16 affine PLTE entries; the oracle resolves
+    // the SAME lookup arithmetically, so a mis-walked PLTE, an
+    // off-by-one index or a wrong bpp=1 defilter fails per document.
+    // n_bytes adds the PLTE chunk: 68 + 12 + 3n + h·(1+w)
+    "mm_feature_extract_png_palette" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 8 AS INTEGER) AS width,
+        |    CAST(1 + (doc_id * 13) % 8 AS INTEGER) AS height,
+        |    CAST(1 + doc_id % 16 AS INTEGER) AS n
+        |  FROM documents),
+        |px AS (SELECT doc_id, width, height, n,
+        |    (doc_id*7 + unnest(range(width*height))*3) % n AS ix FROM d),
+        |s AS (SELECT doc_id, width, height, n,
+        |    CAST(SUM(32 + (doc_id*31 + (3*ix + 0)*7) % 95) AS BIGINT) AS sr,
+        |    CAST(SUM(32 + (doc_id*31 + (3*ix + 1)*7) % 95) AS BIGINT) AS sg,
+        |    CAST(SUM(32 + (doc_id*31 + (3*ix + 2)*7) % 95) AS BIGINT) AS sb
+        |  FROM px GROUP BY doc_id, width, height, n)
+        |SELECT doc_id, 'PNG8P' AS format, width, height,
+        |  CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+        |  floor((CAST(sr AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_r_r6,
+        |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,
+        |  floor((CAST(sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
+        |  CAST(68 + 12 + 3*n + height*(1 + width) AS INTEGER) AS n_bytes
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // F23: baseline JPEG features re-derived from the DC-exact block

@@ -194,7 +194,15 @@ object Multimodal {
         }) match {
           case Some(img) =>
             val m = Png.channelMeans(img).map(r6d)
-            MmDecoded(id, "PNG8", Some(img.width), Some(img.height),
+            // the format tag reports what was actually PARSED (gray /
+            // truecolor / palette) — a mis-dispatched layout is a
+            // per-document gate failure, not a silent relabel
+            val fmt = img.colorType match {
+              case 0 => "PNG8G"
+              case 3 => "PNG8P"
+              case _ => "PNG8"
+            }
+            MmDecoded(id, fmt, Some(img.width), Some(img.height),
               Some(3), Some(255), Some(m(0)), Some(m(1)), Some(m(2)),
               bytes.length)
           case None =>
@@ -336,6 +344,71 @@ object Multimodal {
     import spark.implicits._
     val payloads = t.documents.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, pngBytes(id)))).toDF("doc_id", "payload")
+    mmDecodePayloads(spark, payloads)
+  }, ordered)(col("doc_id"))
+
+  /** Deterministic 8-bit GRAYSCALE PNG per doc_id (color type 0):
+    * same dims, the affine formula runs over the single channel, rows
+    * filtered y % 5 — the bpp=1 filter recurrences (left/upper-left
+    * taps one BYTE back) are what this corpus gate-checks. n_bytes =
+    * 68 + h·(1+w).
+    */
+  private[graft] def pngGrayBytes(docId: Long): Array[Byte] = {
+    val w = (1 + (docId % 8)).toInt
+    val h = (1 + ((docId * 13) % 8)).toInt
+    val g = new Array[Byte](w * h)
+    var i = 0
+    while (i < g.length) {
+      g(i) = (32 + (docId * 31 + i * 7L) % 95).toByte
+      i += 1
+    }
+    Png.encodeGray(w, h, g, y => y % 5)
+  }
+
+  /** F25: feature extract over grayscale PNG — the decoder replicates
+    * the gray channel, so all three oracle means equal the formula's
+    * single-channel mean and the format tag must come back PNG8G.
+    */
+  def mmFeatureExtractPngGray(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, pngGrayBytes(id)))).toDF("doc_id", "payload")
+    mmDecodePayloads(spark, payloads)
+  }, ordered)(col("doc_id"))
+
+  /** Deterministic PALETTE PNG per doc_id (color type 3): 1 + id%16
+    * PLTE entries whose channels run the affine formula over the
+    * FLAT entry·channel index, pixel indices (id·7 + i·3) mod n —
+    * the PLTE walk, the index→RGB resolution and the bpp=1 filters
+    * are all gate-checked against the formula-derived per-channel
+    * means. n_bytes = 68 + 12 + 3n + h·(1+w).
+    */
+  private[graft] def pngPaletteBytes(docId: Long): Array[Byte] = {
+    val w = (1 + (docId % 8)).toInt
+    val h = (1 + ((docId * 13) % 8)).toInt
+    val n = (1 + (docId % 16)).toInt
+    val plte = new Array[Byte](3 * n)
+    var e = 0
+    while (e < plte.length) {
+      plte(e) = (32 + (docId * 31 + e * 7L) % 95).toByte
+      e += 1
+    }
+    val idx = new Array[Byte](w * h)
+    var i = 0
+    while (i < idx.length) {
+      idx(i) = ((docId * 7 + i * 3L) % n).toByte
+      i += 1
+    }
+    Png.encodePalette(w, h, plte, idx, y => y % 5)
+  }
+
+  /** F25b: feature extract over palette PNG (format tag PNG8P). */
+  def mmFeatureExtractPngPalette(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, pngPaletteBytes(id)))).toDF("doc_id", "payload")
     mmDecodePayloads(spark, payloads)
   }, ordered)(col("doc_id"))
 

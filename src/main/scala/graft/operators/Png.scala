@@ -25,11 +25,15 @@ package graft.operators
   */
 object Png {
 
-  /** A parsed 8-bit RGB PNG; `raster` is the DEFILTERED top-down RGB
-    * byte array (3·w·h bytes — unlike Ppm/Bmp there is no zero-copy
-    * alias: defiltering must materialize).
+  /** A parsed 8-bit PNG; `raster` is the DEFILTERED top-down RGB byte
+    * array (3·w·h bytes — unlike Ppm/Bmp there is no zero-copy alias:
+    * defiltering must materialize; grayscale replicates its single
+    * channel, palette images resolve through their PLTE). `colorType`
+    * records the SOURCE layout (0 gray, 2 truecolor, 3 palette) so
+    * the decode boundary can report what it actually parsed.
     */
-  final case class Image(width: Int, height: Int, raster: Array[Byte])
+  final case class Image(width: Int, height: Int, raster: Array[Byte],
+      colorType: Int = 2)
 
   private val Signature: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
@@ -50,6 +54,8 @@ object Png {
     var pos = 8
     var w = -1
     var h = -1
+    var color = -1
+    var plte: Array[Byte] = null
     var sawEnd = false
     val idat = new java.io.ByteArrayOutputStream()
     val crc = new java.util.zip.CRC32
@@ -69,12 +75,20 @@ object Png {
           w = i32be(bytes, body)
           h = i32be(bytes, body + 4)
           val depth = bytes(body + 8)
-          val color = bytes(body + 9)
+          color = bytes(body + 9)
           val comp = bytes(body + 10)
           val filt = bytes(body + 11)
           val inter = bytes(body + 12)
-          if (w < 1 || h < 1 || depth != 8 || color != 2 || comp != 0 ||
+          if (w < 1 || h < 1 || depth != 8 ||
+            (color != 0 && color != 2 && color != 3) || comp != 0 ||
             filt != 0 || inter != 0) return None
+        case "PLTE" =>
+          // legal for color types 2 and 3, FORBIDDEN for grayscale;
+          // must precede IDAT, one chunk, 1..256 whole RGB entries
+          if (w < 0 || color == 0 || plte != null || idat.size > 0)
+            return None
+          if (len == 0 || len % 3 != 0 || len > 768) return None
+          plte = java.util.Arrays.copyOfRange(bytes, body, body + len)
         case "IDAT" =>
           if (w < 0) return None // IHDR must precede IDAT
           idat.write(bytes, body, len)
@@ -86,9 +100,11 @@ object Png {
       pos = body + len + 4
     }
     if (w < 0 || idat.size == 0) return None
+    if (color == 3 && plte == null) return None // indexed without a palette
     // inflate the concatenated IDAT zlib stream; the scanline volume
-    // must come out EXACTLY h·(1 + 3w) bytes
-    val raw = new Array[Byte]((1L + 3L * w).toInt * h)
+    // must come out EXACTLY h·(1 + bpp·w) bytes
+    val bpp = if (color == 2) 3 else 1
+    val raw = new Array[Byte]((1L + bpp.toLong * w).toInt * h)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -105,14 +121,46 @@ object Png {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    defilter(raw, w, h).map(Image(w, h, _))
+    defilter(raw, w, h, bpp).flatMap { px =>
+      color match {
+        case 2 => Some(Image(w, h, px, 2))
+        case 0 =>
+          // replicate the single gray channel into the RGB raster
+          val out = new Array[Byte](3 * w * h)
+          var p = 0
+          while (p < px.length) {
+            out(3 * p) = px(p); out(3 * p + 1) = px(p); out(3 * p + 2) = px(p)
+            p += 1
+          }
+          Some(Image(w, h, out, 0))
+        case _ =>
+          // palette lookup; an index past the PLTE quarantines (the
+          // spec calls it an error, and inventing a color would be a
+          // silent wrong answer)
+          val n = plte.length / 3
+          val out = new Array[Byte](3 * w * h)
+          var p = 0
+          while (p < px.length) {
+            val ix = px(p) & 0xff
+            if (ix >= n) return None
+            out(3 * p) = plte(3 * ix)
+            out(3 * p + 1) = plte(3 * ix + 1)
+            out(3 * p + 2) = plte(3 * ix + 2)
+            p += 1
+          }
+          Some(Image(w, h, out, 3))
+      }
+    }
   }
 
   /** Undo the per-scanline filter (type byte + filtered bytes per
-    * row); bpp = 3. None on an unknown filter type.
+    * row); bpp = bytes per pixel (3 truecolor, 1 gray/indexed — the
+    * left/upper-left taps sit one PIXEL back, which is bpp bytes).
+    * None on an unknown filter type.
     */
-  private def defilter(raw: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
-    val stride = 3 * w
+  private def defilter(raw: Array[Byte], w: Int, h: Int,
+      bpp: Int): Option[Array[Byte]] = {
+    val stride = bpp * w
     val out = new Array[Byte](stride * h)
     var y = 0
     while (y < h) {
@@ -122,9 +170,9 @@ object Png {
       var x = 0
       while (x < stride) {
         val cur = raw(rowIn + x) & 0xff
-        val left = if (x >= 3) out(rowOut + x - 3) & 0xff else 0
+        val left = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
         val up = if (y > 0) out(rowOut - stride + x) & 0xff else 0
-        val ul = if (x >= 3 && y > 0) out(rowOut - stride + x - 3) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) out(rowOut - stride + x - bpp) & 0xff else 0
         val rec = ft match {
           case 0 => cur
           case 1 => cur + left
@@ -189,8 +237,25 @@ object Png {
     * oracle while the bytes stay genuine PNG any viewer opens.
     */
   private[graft] def encode(w: Int, h: Int, rgb: Array[Byte],
-      filterOf: Int => Int): Array[Byte] = {
-    val stride = 3 * w
+      filterOf: Int => Int): Array[Byte] =
+    encodeWith(w, h, 2, rgb, null, filterOf)
+
+  /** Grayscale (color type 0) encoder: one byte per pixel. */
+  private[graft] def encodeGray(w: Int, h: Int, gray: Array[Byte],
+      filterOf: Int => Int): Array[Byte] =
+    encodeWith(w, h, 0, gray, null, filterOf)
+
+  /** Palette (color type 3) encoder: `plte` is the 3n-byte RGB entry
+    * table (written as a PLTE chunk), `idx` one palette index per
+    * pixel. */
+  private[graft] def encodePalette(w: Int, h: Int, plte: Array[Byte],
+      idx: Array[Byte], filterOf: Int => Int): Array[Byte] =
+    encodeWith(w, h, 3, idx, plte, filterOf)
+
+  private def encodeWith(w: Int, h: Int, color: Int, px: Array[Byte],
+      plte: Array[Byte], filterOf: Int => Int): Array[Byte] = {
+    val bpp = if (color == 2) 3 else 1
+    val stride = bpp * w
     val raw = new Array[Byte]((stride + 1) * h)
     var y = 0
     while (y < h) {
@@ -198,10 +263,10 @@ object Png {
       raw(y * (stride + 1)) = ft.toByte
       var x = 0
       while (x < stride) {
-        val cur = rgb(y * stride + x) & 0xff
-        val left = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
-        val up = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
-        val ul = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff else 0
+        val cur = px(y * stride + x) & 0xff
+        val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) & 0xff else 0
         val enc = ft match {
           case 0 => cur
           case 1 => cur - left
@@ -251,8 +316,9 @@ object Png {
       ihdr(o + 2) = (v >> 8).toByte; ihdr(o + 3) = v.toByte
     }
     p32(0, w); p32(4, h)
-    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    ihdr(8) = 8; ihdr(9) = color.toByte; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
     writeChunk("IHDR", ihdr)
+    if (plte != null) writeChunk("PLTE", plte)
     writeChunk("IDAT", zout.toByteArray)
     writeChunk("IEND", Array.emptyByteArray)
     out.toByteArray

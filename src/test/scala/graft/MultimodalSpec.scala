@@ -163,9 +163,10 @@ class MultimodalSpec extends SparkSpec {
     val interlaced = bytes.clone()
     interlaced(8 + 8 + 12) = 1 // IHDR interlace byte (offset 8 sig + 8 len/tag + 12)
     assert(Png.parse(interlaced).isEmpty, "Adam7 is out of envelope (CRC also breaks)")
-    val gray = Png.encode(1, 1, Array[Byte](1, 2, 3), _ => 0)
-    val grayHacked = gray.clone(); grayHacked(8 + 8 + 9) = 0 // color type 0
-    assert(Png.parse(grayHacked).isEmpty, "non-RGB color type is out of envelope")
+    val one = Png.encode(1, 1, Array[Byte](1, 2, 3), _ => 0)
+    val typeHacked = one.clone(); typeHacked(8 + 8 + 9) = 7 // invalid color type
+    assert(Png.parse(typeHacked).isEmpty,
+      "an unsupported color type is out of envelope (CRC also breaks)")
     // short IDAT: drop the last stored-block byte and fix lengths? —
     // simpler: declare one more row than the stream carries
     val tall = Png.encode(w, h, rgb, y => y % 5)
@@ -178,6 +179,65 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.mmDecodePayloads(spark, payloads).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "PNG8" && out(2L) == "corrupt")
+  }
+
+  test("PNG gray/palette: bpp=1 filters round-trip positionally; PLTE custody (missing, on-gray, after-IDAT, bad length, out-of-range index) quarantines; boundary reports the parsed layout") {
+    import graft.operators.Png
+    val (w, h) = (4, 6)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = data.length
+      out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(tag.getBytes("US-ASCII")); out.write(data, 0, len)
+      val c = Png.chunkCrc(tag, data)
+      out.write((c >> 24) & 0xff); out.write((c >> 16) & 0xff)
+      out.write((c >> 8) & 0xff); out.write(c & 0xff)
+      out.toByteArray
+    }
+    val ihdrEnd = 8 + 12 + 13 // signature + (len/tag/crc) + IHDR data
+    // grayscale: positional round-trip through all five bpp=1 filters
+    val g = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val gb = Png.encodeGray(w, h, g, y => y % 5)
+    val gi = Png.parse(gb).getOrElse(fail("planted gray PNG must parse"))
+    assert(gi.colorType == 0 && gi.width == w && gi.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = g(y * w + x) & 0xff
+      assert(Png.sample(gi, x, y) == ((v, v, v)),
+        s"gray pixel ($x,$y) under filter ${y % 5} mismatched")
+    }
+    // palette: positional resolution through the PLTE
+    val n = 5
+    val plte = Array.tabulate(3 * n)(i => ((i * 29 + 3) % 256).toByte)
+    val idx = Array.tabulate(w * h)(i => ((i * 7 + 2) % n).toByte)
+    val pb = Png.encodePalette(w, h, plte, idx, y => y % 5)
+    val pi = Png.parse(pb).getOrElse(fail("planted palette PNG must parse"))
+    assert(pi.colorType == 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val ix = idx(y * w + x) & 0xff
+      val e = ((plte(3 * ix) & 0xff, plte(3 * ix + 1) & 0xff,
+        plte(3 * ix + 2) & 0xff))
+      assert(Png.sample(pi, x, y) == e, s"palette pixel ($x,$y) mismatched")
+    }
+    // custody: each malformation quarantines, never throws or fakes
+    val shortPlte = Array.tabulate(3 * 2)(i => ((i * 29 + 3) % 256).toByte)
+    assert(Png.parse(Png.encodePalette(w, h, shortPlte, idx, _ => 0)).isEmpty,
+      "an index past the PLTE must quarantine, not invent a color")
+    val noPlte = Png.encodePalette(w, h, null, idx, _ => 0)
+    assert(Png.parse(noPlte).isEmpty, "indexed without a PLTE must quarantine")
+    val plteOnGray = gb.take(ihdrEnd) ++ chunk("PLTE", plte) ++ gb.drop(ihdrEnd)
+    assert(Png.parse(plteOnGray).isEmpty, "PLTE on grayscale is forbidden")
+    val iendStart = pb.length - 12
+    val plteAfterIdat = pb.take(iendStart) ++ chunk("PLTE", plte) ++ pb.drop(iendStart)
+    assert(Png.parse(plteAfterIdat).isEmpty, "PLTE after IDAT must quarantine")
+    val badLen = pb.take(ihdrEnd) ++ chunk("PLTE", Array[Byte](1, 2, 3, 4)) ++ pb.drop(ihdrEnd)
+    assert(Png.parse(badLen).isEmpty, "a PLTE not divisible into RGB entries must quarantine")
+    // the decode boundary reports the PARSED layout per format tag
+    import spark.implicits._
+    val payloads = Seq((1L, gb), (2L, pb), (3L, noPlte)).toDF("doc_id", "payload")
+    val out = Multimodal.mmDecodePayloads(spark, payloads).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "PNG8G" && out(2L) == "PNG8P" && out(3L) == "corrupt")
   }
 
   test("JPEG codec: DC-exact blocks round-trip positionally; truncation/progressive/DRI/16-bit-DQT quarantine; stuffing exercised") {
