@@ -332,7 +332,7 @@ object Jpeg {
   /** A decoded color image: top-down row-major planes 0..255.
     * `channels` = source component count (1 ⇒ r=g=b=Y). */
   final case class ImageRGB(width: Int, height: Int, channels: Int,
-      r: Array[Int], g: Array[Int], b: Array[Int])
+      r: Array[Int], g: Array[Int], b: Array[Int], samp: Int = 0x22)
 
   private final class Comp(val id: Int, val hs: Int, val vs: Int, val tq: Int) {
     var dcId: Int = 0
@@ -450,7 +450,8 @@ object Jpeg {
           }
           val hv = comps.map(c => (c.hs, c.vs)).toSeq
           val ok = hv.forall(_ == ((1, 1))) ||
-            (nf == 3 && hv == Seq((2, 2), (1, 1), (1, 1)))
+            (nf == 3 && (hv == Seq((2, 2), (1, 1), (1, 1)) ||
+              hv == Seq((2, 1), (1, 1), (1, 1))))
           if (!ok || comps.exists(_.tq > 3)) return None
         case 0xc4 =>
           var p = body
@@ -601,7 +602,8 @@ object Jpeg {
         y += 1
       }
     }
-    ImageRGB(w, h, comps.length, rP, gP, bP)
+    ImageRGB(w, h, comps.length, rP, gP, bP,
+      (comps(0).hs << 4) | comps(0).vs)
   }
 
   // ---------------------------------------------------------------
@@ -1199,6 +1201,86 @@ object Jpeg {
             bx += 1
           }
           by += 1
+        }
+        predCb = writeDc(cbBlocks(my * cw + mx), predCb)
+        predCr = writeDc(crBlocks(my * cw + mx), predCr)
+        mx += 1
+      }
+      my += 1
+    }
+    out.write(bw.finish())
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** [[encodeBlocksColor]]'s 4:2:2 sibling — Y 2×1 sampling: the MCU
+    * is 16×8 (TWO luma blocks side by side, ONE block per chroma
+    * component covering the same 16×8 area), so chroma replicates
+    * HORIZONTALLY only. Dims must be multiples of 16 (w) and 8 (h);
+    * `yBlocks` row-major over (w/8)×(h/8), chroma over (w/16)×(h/8).
+    * Same DC-exact argument as 4:2:0: constant blocks, all-ones quant,
+    * replication of a constant is the constant.
+    */
+  private[graft] def encodeBlocksColor422(w: Int, h: Int, yBlocks: Array[Int],
+      cbBlocks: Array[Int], crBlocks: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w % 16 == 0 && h % 8 == 0, "4:2:2 corpus uses multiple-of-(16,8) dims")
+    val bw0 = w / 8
+    val cw = w / 16
+    require(yBlocks.length == bw0 * (h / 8), "luma block count mismatch")
+    require(cbBlocks.length == cw * (h / 8) && crBlocks.length == cbBlocks.length,
+      "chroma block count mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1)) // DQT id 0 (luma)
+    seg(0xdb, Array(0x01) ++ Array.fill(64)(1)) // DQT id 1 (chroma)
+    // SOF0: Y 2×1 sampling quant 0, Cb/Cr 1×1 quant 1
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      3, 1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    seg(0xc4, Array(0x00) ++ dcBits ++ (0 to 11).toArray) // DC id 0
+    seg(0xc4, Array(0x10) ++ acBits ++ Array(0x00))       // AC id 0
+    seg(0xc4, Array(0x01) ++ dcBits ++ (0 to 11).toArray) // DC id 1
+    seg(0xc4, Array(0x11) ++ acBits ++ Array(0x00))       // AC id 1
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
+    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val bw = new BitWriter
+    var predY = 0
+    var predCb = 0
+    var predCr = 0
+    var mcuIdx = 0
+    var rst = 0
+    def writeDc(cval: Int, pred: Int): Int = {
+      val dc = 8 * (cval - 128)
+      val diff = dc - pred
+      val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      bw.write(t, 4)
+      if (t > 0) bw.write(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      bw.write(0, 1) // EOB
+      dc
+    }
+    var my = 0
+    while (my < h / 8) {
+      var mx = 0
+      while (mx < w / 16) {
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          bw.restart(rst % 8); rst += 1
+          predY = 0; predCb = 0; predCr = 0
+        }
+        mcuIdx += 1
+        var bx = 0
+        while (bx < 2) { // 2 luma blocks side by side within the MCU
+          predY = writeDc(yBlocks(my * bw0 + (mx * 2 + bx)), predY)
+          bx += 1
         }
         predCb = writeDc(cbBlocks(my * cw + mx), predCb)
         predCr = writeDc(crBlocks(my * cw + mx), predCr)

@@ -493,7 +493,16 @@ object Multimodal {
         case Some(img) =>
           val (sr, sg, sb) = Jpeg.channelSums(img)
           val n = (img.width.toLong * img.height).toDouble
-          MmJpegColor(id, if (img.channels == 3) "JPEG420" else "JPEG8G",
+          // the tag reports the PARSED luma sampling (a mis-dispatched
+          // layout is a per-document gate failure, not a relabel)
+          val fmt =
+            if (img.channels != 3) "JPEG8G"
+            else img.samp match {
+              case 0x21 => "JPEG422"
+              case 0x11 => "JPEG444"
+              case _ => "JPEG420"
+            }
+          MmJpegColor(id, fmt,
             Some(img.width), Some(img.height), Some(img.channels),
             Some(r6d(sr / n)), Some(r6d(sg / n)), Some(r6d(sb / n)))
         case None =>
@@ -535,6 +544,40 @@ object Multimodal {
     import spark.implicits._
     val payloads = t.documents.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, jpegColorBytes(id)))).toDF("doc_id", "payload")
+    mmDecodeJpegColorPayloads(spark, payloads)
+  }, ordered)(col("doc_id"))
+
+  /** Deterministic 4:2:2 color JPEG per doc_id — the F23b block
+    * pattern at Y 2×1 sampling: dims 16·(1+id%2) × 8·(1+(id·7)%3),
+    * luma block b constant at (id·31+b·7) mod 256 over the
+    * (w/8)×(h/8) grid, chroma block c over the (w/16)×(h/8) MCU grid
+    * at Cb = (id·17+c·11) mod 256, Cr = (id·23+c·5) mod 256. Each
+    * chroma block covers one 16×8 MCU — replication is horizontal
+    * only, which is exactly the path this corpus gate-checks (a
+    * decoder that replicates vertically too, or walks the 2-blocks-
+    * per-MCU luma interleave in the 4:2:0 order, decodes wrong
+    * pixels and hash-fails per document).
+    */
+  private[graft] def jpegColor422Bytes(docId: Long): Array[Byte] = {
+    val w = (16 * (1 + docId % 2)).toInt
+    val h = (8 * (1 + (docId * 7) % 3)).toInt
+    val nb = (w / 8) * (h / 8)
+    val nc = (w / 16) * (h / 8)
+    Jpeg.encodeBlocksColor422(w, h,
+      Array.tabulate(nb)(b => ((docId * 31 + b * 7L) % 256L).toInt),
+      Array.tabulate(nc)(c => ((docId * 17 + c * 11L) % 256L).toInt),
+      Array.tabulate(nc)(c => ((docId * 23 + c * 5L) % 256L).toInt))
+  }
+
+  /** F26: feature extract over REAL 4:2:2 COLOR JPEG payloads — the
+    * second-most-common wild sampling (digital cameras, video
+    * stills); the format tag must come back JPEG422.
+    */
+  def mmFeatureExtractJpeg422(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, jpegColor422Bytes(id)))).toDF("doc_id", "payload")
     mmDecodeJpegColorPayloads(spark, payloads)
   }, ordered)(col("doc_id"))
 

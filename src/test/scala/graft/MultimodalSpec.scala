@@ -377,6 +377,50 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == "JPEG420" && out(2L) == "corrupt")
   }
 
+  test("JPEG 4:2:2: horizontal-only chroma replication round-trips positionally; exotic samplings stay quarantined; boundary tags the parsed sampling") {
+    import graft.operators.Jpeg
+    val (w, h) = (32, 16)
+    val bw0 = w / 8
+    val cw = w / 16
+    val yB = Array.tabulate(bw0 * (h / 8))(b => (b * 53 + 9) % 256)
+    val cbB = Array.tabulate(cw * (h / 8))(c => (c * 37 + 40) % 256)
+    val crB = Array.tabulate(cw * (h / 8))(c => (c * 29 + 90) % 256)
+    val bytes = Jpeg.encodeBlocksColor422(w, h, yB, cbB, crB)
+    val img = Jpeg.parseColor(bytes).getOrElse(fail("planted 4:2:2 must parse"))
+    assert(img.channels == 3 && img.samp == 0x21)
+    def clampF(x: Double) = {
+      val v = math.floor(x + 0.5).toInt
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+    // positional: each pixel's chroma comes from its 16×8 MCU — a
+    // decoder that also replicates vertically (the 4:2:0 habit) or
+    // walks the luma interleave in 2×2 order fails these pins
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = (y / 8) * bw0 + (x / 8)
+      val c = (y / 8) * cw + (x / 16)
+      val (yv, cb, cr) = (yB(b), cbB(c), crB(c))
+      val i = y * w + x
+      assert(img.r(i) == clampF(yv + 1.402 * (cr - 128)), s"R($x,$y)")
+      assert(img.g(i) == clampF(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), s"G($x,$y)")
+      assert(img.b(i) == clampF(yv + 1.772 * (cb - 128)), s"B($x,$y)")
+    }
+    // the remaining exotic samplings stay quarantined (JPEG has no
+    // CRC, so this is the pure envelope check on the SOF byte)
+    val sof = (0 until bytes.length - 1).find(i => (bytes(i) & 0xff) == 0xff &&
+      (bytes(i + 1) & 0xff) == 0xc0).get
+    for (samp <- Seq(0x12, 0x41, 0x42, 0x31, 0x24)) {
+      val hacked = bytes.clone()
+      hacked(sof + 4 + 7) = samp.toByte
+      assert(Jpeg.parseColor(hacked).isEmpty,
+        f"sampling 0x$samp%02x must stay quarantined")
+    }
+    // the boundary tags the PARSED sampling
+    import spark.implicits._
+    val out = Multimodal.mmDecodeJpegColorPayloads(spark,
+      Seq((1L, bytes)).toDF("doc_id", "payload")).collect()
+    assert(out(0).getString(1) == "JPEG422")
+  }
+
   test("DRI restart intervals: RSTn resync + predictor resets decode DC-exactly; wrong sequence, missing marker, and markers without DRI all quarantine") {
     import graft.operators.Jpeg
     val (w, h) = (32, 32) // 2×2 = 4 MCUs at 4:2:0
