@@ -4923,4 +4923,183 @@ object OracleSqlGen {
        |FROM x
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** E66: the planted-URL corpus's expected canonical form, derived
+    * directly from the doc_id residue formulas (the F2 discipline —
+    * the oracle re-states the PLANT, not the parser, so every
+    * canonicalization branch is gated per document).
+    */
+  def docUrlCanon(): String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END AS sch,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+      |      'site' || (doc_id % 7) ||
+      |      (CASE WHEN doc_id % 11 = 0 THEN '.example.co.uk'
+      |            ELSE '.example.com' END) AS hst,
+      |    CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END AS prt,
+      |    CASE WHEN doc_id % 4 = 0 THEN '/'
+      |         ELSE '/d' || (doc_id % 4) || '/p' || doc_id END AS pth,
+      |    CASE WHEN doc_id % 6 = 0 THEN '?a=1&b=' || (doc_id % 9)
+      |         WHEN doc_id % 6 = 2 THEN '?y=' || (doc_id % 9) || '&z=2'
+      |         ELSE '' END AS q,
+      |    CASE WHEN doc_id % 6 IN (0, 2) THEN 2 ELSE 0 END AS np,
+      |    (doc_id % 17 = 0 OR doc_id % 13 = 0) AS quar
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 17 = 0 THEN 'not_url'
+      |       WHEN doc_id % 13 = 0 THEN 'non_http' ELSE 'ok' END AS status,
+      |  CASE WHEN quar THEN NULL
+      |       ELSE sch || '://' || hst || prt || pth || q END AS url_canon,
+      |  CASE WHEN quar THEN NULL ELSE sch END AS scheme,
+      |  CASE WHEN quar THEN NULL ELSE hst END AS host,
+      |  CASE WHEN quar THEN NULL
+      |       WHEN doc_id % 11 = 0 THEN 'example.co.uk'
+      |       ELSE 'example.com' END AS reg_domain,
+      |  CASE WHEN quar THEN NULL ELSE CAST(np AS BIGINT) END AS n_params
+      |FROM b
+      |ORDER BY doc_id""".stripMargin
+
+  /** C42: the colliding-URL plant's canonical form per doc, GROUPED in
+    * SQL (group sizes come from the data, never a closed form — the
+    * corpus-size boundary can orphan a pair member).
+    */
+  def docUrlDup(): String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 19 = 0
+      |         THEN 'https://only.example.org/u' || doc_id
+      |         ELSE 'https://dup' || ((doc_id - doc_id % 2) % 5) ||
+      |              '.example.org/x/p' || (doc_id - doc_id % 2) ||
+      |              '?id=' || ((doc_id - doc_id % 2) % 9) END AS url_canon
+      |  FROM documents)
+      |SELECT doc_id, url_canon,
+      |  COUNT(*) OVER (PARTITION BY url_canon) AS group_size,
+      |  CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY url_canon)
+      |    AS INTEGER) AS is_dup
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
+  /** E67: per-(registered domain, host) crawl card off the E66 plant
+    * joined with the documents' whitespace token counts.
+    */
+  def docHostStats(): String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END AS scheme,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+      |      'site' || (doc_id % 7) ||
+      |      (CASE WHEN doc_id % 11 = 0 THEN '.example.co.uk'
+      |            ELSE '.example.com' END) AS host,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'example.co.uk'
+      |         ELSE 'example.com' END AS reg_domain
+      |  FROM documents
+      |  WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0),
+      |j AS (
+      |  SELECT c.*, len(string_split(d.text, ' ')) AS n_tokens
+      |  FROM c JOIN documents d USING (doc_id))
+      |SELECT reg_domain, host,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+      |  floor(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+      |    / 1000000 AS mean_tokens_r,
+      |  floor(CAST(SUM(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+      |    AS https_share_r
+      |FROM j
+      |GROUP BY reg_domain, host
+      |ORDER BY reg_domain, host""".stripMargin
+
+  /** E68: the planted link page's expected (ord, kind, resolved URL)
+    * rows — one per resolution kind, plus the not_html quarantine row.
+    */
+  def docHtmlLinks(): String =
+    """WITH d AS (SELECT doc_id FROM documents),
+      |r AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT) AS link_ord,
+      |    'not_html' AS kind, CAST(NULL AS VARCHAR) AS url_abs
+      |  FROM d WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 1, 'absolute',
+      |    'https://other' || (doc_id % 5) || '.example.net/abs' || doc_id
+      |  FROM d WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'protocol_relative',
+      |    'https://cdn' || (doc_id % 3) || '.example.net/c' || doc_id
+      |  FROM d WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 3, 'root_relative',
+      |    'https://site' || (doc_id % 7) || '.example.com/r/p' || doc_id
+      |  FROM d WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 4, 'relative',
+      |    'https://site' || (doc_id % 7) ||
+      |      '.example.com/dir/a/sub/q' || doc_id
+      |  FROM d WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 5, 'parent',
+      |    'https://site' || (doc_id % 7) || '.example.com/dir/up' || doc_id
+      |  FROM d WHERE doc_id % 17 <> 0)
+      |SELECT doc_id, link_ord, kind, url_abs
+      |FROM r
+      |ORDER BY doc_id, link_ord""".stripMargin
+
+  /** E69: damped PageRank on the planted host graph, replayed on the
+    * same 10⁻⁶ integer lattice as the Spark side (`//` everywhere a
+    * float would make the sum order observable), one MATERIALIZED CTE
+    * per round ([[graft-duckdb-materialized]]: every r_k is read by
+    * two consumers in round k+1).
+    */
+  def hostRank(rounds: Int = 8): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT nodes.host,
+         |    CAST((150000 // nn.n) +
+         |      (850000 * (COALESCE(s.sv, 0) + (dang.d // nn.n))) // 1000000
+         |      AS BIGINT) AS r
+         |  FROM nodes
+         |  CROSS JOIN nn
+         |  CROSS JOIN (
+         |    SELECT COALESCE(SUM(CASE WHEN od.src IS NULL THEN p.r
+         |        ELSE 0 END), 0) AS d
+         |    FROM r${k - 1} p LEFT JOIN od ON p.host = od.src) dang
+         |  LEFT JOIN (
+         |    SELECT e.dst AS h, SUM(p.r // od.outdeg) AS sv
+         |    FROM e JOIN r${k - 1} p ON e.src = p.host
+         |    JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) s ON s.h = nodes.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT 'site' || (doc_id % 7) || '.example.com' AS src,
+       |           'other' || (doc_id % 5) || '.example.net' AS dst
+       |    FROM docs
+       |    UNION ALL
+       |    SELECT 'site' || (doc_id % 7) || '.example.com',
+       |           'cdn' || (doc_id % 3) || '.example.net'
+       |    FROM docs)),
+       |nodes AS MATERIALIZED (
+       |  SELECT host FROM (SELECT src AS host FROM e
+       |                    UNION SELECT dst FROM e)),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+       |od AS MATERIALIZED (
+       |  SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (
+       |  SELECT host, CAST(1000000 // nn.n AS BIGINT) AS r
+       |  FROM nodes CROSS JOIN nn),
+       |$iters,
+       |ind AS (SELECT dst, COUNT(*) AS in_deg FROM e GROUP BY dst)
+       |SELECT nodes.host,
+       |  CAST(COALESCE(od.outdeg, 0) AS BIGINT) AS out_deg,
+       |  CAST(COALESCE(ind.in_deg, 0) AS BIGINT) AS in_deg,
+       |  r$rounds.r AS rank_6,
+       |  CAST(r$rounds.r AS DOUBLE) / 1000000 AS rank_r
+       |FROM nodes
+       |LEFT JOIN od ON od.src = nodes.host
+       |LEFT JOIN ind ON ind.dst = nodes.host
+       |JOIN r$rounds ON r$rounds.host = nodes.host
+       |ORDER BY nodes.host""".stripMargin
+  }
 }

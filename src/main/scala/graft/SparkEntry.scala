@@ -257,6 +257,11 @@ object SparkEntry {
     "doc_gopher_rules"     -> q(TextOps.docGopherRules(_, ordered = true)), // E63 published Gopher rule card (r13)
     "doc_html_extract"     -> q(TextOps.docHtmlExtract(_, ordered = true)), // E64 HTML→text extraction over planted formula HTML (r15)
     "text_bpe_encode"      -> q(TextOps.textBpeEncode(_, ordered = true)), // E65 per-doc token-id sequences off the E47 merge table (r15)
+    "doc_url_canon"        -> q(UrlOps.docUrlCanon(_, ordered = true)), // E66 URL parse + canonicalize over planted formula URLs (r15)
+    "doc_url_dup"          -> q(UrlOps.docUrlDup(_, ordered = true)), // C42 URL-identity dedup post-canonicalization (r15)
+    "doc_host_stats"       -> q(UrlOps.docHostStats(_, ordered = true)), // E67 per-(reg_domain, host) crawl rollup card (r15)
+    "doc_html_links"       -> q(UrlOps.docHtmlLinks(_, ordered = true)), // E68 outlink extraction + RFC 3986 resolution (r15)
+    "host_rank"            -> q(UrlOps.hostRank(_, ordered = true)), // E69 host-graph PageRank on the integer lattice (r15)
     "text_collocations"    -> q(TextOps.textCollocations(_)),
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
     "doc_curate_explain"   -> q(TextOps.docCurateExplain(_)),
@@ -2092,6 +2097,11 @@ object SparkEntry {
     "doc_gopher_rules"      -> OracleSqlGen.docGopherRules,
     "doc_html_extract"      -> OracleSqlGen.docHtmlExtract(),
     "text_bpe_encode"       -> OracleSqlGen.textBpeEncode(3),
+    "doc_url_canon"         -> OracleSqlGen.docUrlCanon(),
+    "doc_url_dup"           -> OracleSqlGen.docUrlDup(),
+    "doc_host_stats"        -> OracleSqlGen.docHostStats(),
+    "doc_html_links"        -> OracleSqlGen.docHtmlLinks(),
+    "host_rank"             -> OracleSqlGen.hostRank(),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),
     "doc_curate_explain"    -> OracleSqlGen.docCurateExplain(0.5),

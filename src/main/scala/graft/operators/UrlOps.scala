@@ -1,0 +1,486 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** URL / crawl-graph operators (SURVEY §2.E66-E69, C42) — the layer a
+  * crawl pipeline runs between WARC ingestion (G36) and the text ops:
+  * URL canonicalization, URL-level dedup, per-domain rollups, outlink
+  * extraction with RFC 3986 resolution, and host-graph centrality.
+  * All reference semantics are public knowledge (RFC 3986 §5/§6,
+  * the Common Crawl convention of record-level target URIs —
+  * reference: src/types.rs:21-38 keys records by resource identity
+  * the same way these ops key pages by canonical URL).
+  *
+  * Everything here is one narrow stateless pass over (doc_id, url) or
+  * (doc_id, payload) plus the one aggregate the op is ABOUT — no
+  * driver loops, no UDF registry, plain `Dataset.mapPartitions` at
+  * the string boundary (the codec-op idiom: Jpeg/Png/Warc) and pure
+  * Column algebra after it.
+  */
+object UrlOps {
+
+  // ---------------------------------------------------------------
+  // E66 core: parse + canonicalize one URL
+  // ---------------------------------------------------------------
+
+  /** Query parameters that never affect page identity (the crawl-side
+    * canonicalization convention): click/campaign trackers. `utm_*`
+    * is matched as a prefix; the rest exactly.
+    */
+  private val TrackingParams = Set("gclid", "fbclid", "msclkid")
+
+  /** Heuristic stand-in for the public-suffix list: second-level
+    * suffixes under which the REGISTERED domain is three labels
+    * (site.co.uk), not two. A deployment would load the full PSL as a
+    * broadcast relation; the operator's shape does not change.
+    */
+  private val SecondLevelSuffixes = Set(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.nz", "com.br", "com.cn",
+    "co.in", "co.kr")
+
+  private val UrlRe = java.util.regex.Pattern.compile(
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$")
+
+  /** E66 core: canonicalize ONE URL string. Envelope first (the
+    * quarantine discipline): anything that is not
+    * `scheme://authority...` is `not_url`; a scheme other than
+    * http/https is `non_http`; a bracketed (IPv6) or empty host is
+    * `unsupported_host`. Canonical form — RFC 3986 §6.2 plus the
+    * crawl conventions:
+    *
+    *  - scheme and host lowercase; trailing host dot dropped;
+    *  - userinfo dropped; the DEFAULT port (80/443) dropped, any
+    *    other port kept;
+    *  - empty path becomes `/`; the fragment is dropped;
+    *  - query: empty params drop, tracking params
+    *    ([[TrackingParams]] + `utm_*`) drop, survivors sort
+    *    byte-wise (param order never affects page identity) and
+    *    rejoin; an emptied query drops its `?`.
+    *
+    * Percent-decoding is deliberately NOT performed (decoding is
+    * lossy on reserved characters; two spellings of one page hash
+    * apart, which is the conservative failure for dedup).
+    *
+    * Returns (status, url_canon, scheme, host, reg_domain, n_params);
+    * quarantined rows carry nulls and -1.
+    */
+  private[graft] def urlCanonOne(raw: String):
+      (String, String, String, String, String, Long) = {
+    val quarantine = (st: String) => (st, null: String, null: String,
+      null: String, null: String, -1L)
+    val m = UrlRe.matcher(raw.trim)
+    if (!m.matches()) return quarantine("not_url")
+    val scheme = m.group(1).toLowerCase(java.util.Locale.ROOT)
+    if (scheme != "http" && scheme != "https") return quarantine("non_http")
+    var auth = m.group(2)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    if (auth.startsWith("[")) return quarantine("unsupported_host")
+    val ci = auth.lastIndexOf(':')
+    val (hostRaw, portRaw) =
+      if (ci >= 0) (auth.substring(0, ci), auth.substring(ci + 1))
+      else (auth, "")
+    val host = {
+      val h = hostRaw.toLowerCase(java.util.Locale.ROOT)
+      if (h.endsWith(".")) h.dropRight(1) else h
+    }
+    if (host.isEmpty) return quarantine("unsupported_host")
+    val defPort = if (scheme == "http") "80" else "443"
+    val portPart =
+      if (portRaw.isEmpty || portRaw == defPort) "" else ":" + portRaw
+    val path = if (m.group(3).isEmpty) "/" else m.group(3)
+    val kept = Option(m.group(4)).getOrElse("")
+      .split("&").iterator.filter(_.nonEmpty).filter { p =>
+        val k = p.takeWhile(_ != '=').toLowerCase(java.util.Locale.ROOT)
+        !(k.startsWith("utm_") || TrackingParams(k))
+      }.toIndexedSeq.sorted
+    val qPart = if (kept.isEmpty) "" else "?" + kept.mkString("&")
+    val labels = host.split('.')
+    val regDom =
+      if (labels.length <= 2) host
+      else {
+        val last2 = labels.takeRight(2).mkString(".")
+        if (SecondLevelSuffixes(last2)) labels.takeRight(3).mkString(".")
+        else last2
+      }
+    ("ok", s"$scheme://$host$portPart$path$qPart", scheme, host, regDom,
+      kept.size.toLong)
+  }
+
+  /** E66 public boundary: canonicalize ANY (doc_id, url) relation —
+    * one narrow stateless pass (the mmDecodePayloads discipline for
+    * URLs: a user's real crawl column drives this same path,
+    * quarantines included).
+    */
+  def docFromUrls(spark: SparkSession, urls: DataFrame): DataFrame = {
+    import spark.implicits._
+    urls
+      .select(col("doc_id").cast("long"), col("url").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, u) =>
+        val (st, canon, sc, ho, rd, np) = urlCanonOne(Option(u).getOrElse(""))
+        (id, st, Option(canon), Option(sc), Option(ho), Option(rd),
+          if (np < 0L) None else Some(np))
+      })
+      .toDF("doc_id", "status", "url_canon", "scheme", "host",
+        "reg_domain", "n_params")
+  }
+
+  /** Deterministic planted URL per doc_id (the F2 formula-corpus
+    * discipline): every canonicalization branch is exercised by a
+    * residue class, so the EXPECTED canonical form is a pure function
+    * of doc_id and DuckDB gates each branch per document. Traps:
+    * non-URL text (%17), an ftp scheme (%13), uppercase scheme (%3),
+    * uppercased www host + trailing dot (%2), a co.uk registered
+    * domain (%11), explicit default port (%5=0) vs a real port
+    * (%5=1), empty path (%4), tracking params + unsorted params
+    * (%6∈{0,2}), an all-tracking query that must drop its `?` (%6=1),
+    * and a fragment (%2=1).
+    */
+  private[graft] def urlPayload(id: Long): String = {
+    if (id % 17 == 0) s"not a url $id"
+    else if (id % 13 == 0) s"ftp://files.example.com/f$id"
+    else {
+      val scheme = if (id % 3 == 0) "HTTP" else "https"
+      val core = s"site${id % 7}" +
+        (if (id % 11 == 0) ".Example.CO.UK" else ".example.com")
+      val host =
+        if (id % 2 == 0) ("WWW." + core).toUpperCase(java.util.Locale.ROOT) + "."
+        else core
+      val port =
+        if (id % 5 == 0) (if (id % 3 == 0) ":80" else ":443")
+        else if (id % 5 == 1) ":8080"
+        else ""
+      val path = if (id % 4 == 0) "" else s"/d${id % 4}/p$id"
+      val q = (id % 6) match {
+        case 0 => s"?utm_source=news&b=${id % 9}&a=1&utm_campaign=x"
+        case 1 => s"?gclid=g$id"
+        case 2 => s"?z=2&y=${id % 9}"
+        case _ => ""
+      }
+      val frag = if (id % 2 == 1) s"#s$id" else ""
+      s"$scheme://$host$port$path$q$frag"
+    }
+  }
+
+  /** E66 gated query: the planted-URL corpus through [[docFromUrls]]. */
+  def docUrlCanon(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val urls = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, urlPayload(id))))
+      .toDF("doc_id", "url")
+    docFromUrls(spark, urls)
+  }, ordered)(col("doc_id"))
+
+  // ---------------------------------------------------------------
+  // C42: URL-level dedup (exact, post-canonicalization)
+  // ---------------------------------------------------------------
+
+  /** Colliding planted URLs: consecutive doc_id pairs (pid, pid+1)
+    * spell the SAME page two ways — case, default port, tracking
+    * params, fragment — so only canonicalization makes them collide;
+    * every 19th doc diverges to a unique URL (its pair partner then
+    * stands alone, including across the corpus-size boundary, which
+    * is why the oracle GROUPS the formula-derived canon instead of
+    * assuming size-2 groups).
+    */
+  private[graft] def dupUrlPayload(id: Long): String = {
+    val pid = id - (id % 2)
+    if (id % 19 == 0) s"https://only.example.org/u$id"
+    else if (id % 2 == 0)
+      s"https://dup${pid % 5}.example.org/x/p$pid?id=${pid % 9}"
+    else
+      s"HTTPS://DUP${pid % 5}.EXAMPLE.ORG.:443/x/p$pid?utm_source=a&id=${pid % 9}#frag"
+  }
+
+  /** C42 gated query: URL-level exact dedup — the cheapest dedup a
+    * crawl pipeline runs (two fetches of one page are duplicates by
+    * IDENTITY, before any content hash): canonicalize, group by
+    * `url_canon`, keep the min-doc_id fetch. One hash shuffle on the
+    * canonical string; group sizes are refetch counts (tiny), so no
+    * skew machinery is needed — the heavy tail a content-level dedup
+    * faces (C2's boilerplate clusters) cannot occur at identity level.
+    */
+  def docUrlDup(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val urls = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, dupUrlPayload(id))))
+      .toDF("doc_id", "url")
+    val canon = docFromUrls(spark, urls)
+      .filter(col("status") === "ok")
+      .select(col("doc_id"), col("url_canon"))
+    val groups = canon.groupBy(col("url_canon"))
+      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("keeper"))
+    canon.join(groups, "url_canon")
+      .select(col("doc_id"), col("url_canon"), col("group_size"),
+        (col("doc_id") =!= col("keeper")).cast("int").as("is_dup"))
+  }, ordered)(col("doc_id"))
+
+  // ---------------------------------------------------------------
+  // E67: per-domain crawl rollup card
+  // ---------------------------------------------------------------
+
+  /** E67 gated query: the per-(registered domain, host) crawl card —
+    * the rollup a crawl operator reads to budget future fetches
+    * (docs per host, token mass, https share). Composes E66's
+    * canonical hosts with the documents' own token counts; the only
+    * shuffle is the #hosts-sized rollup (at 100 TB the host key is
+    * the natural partitioner: ~10⁸ keys, no skew beyond what a df-cap
+    * would bound).
+    */
+  def docHostStats(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val canon = docUrlCanon(t).filter(col("status") === "ok")
+      .select(col("doc_id"), col("scheme"), col("host"), col("reg_domain"))
+    val toks = t.documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    canon.join(toks, "doc_id")
+      .groupBy(col("reg_domain"), col("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tot_tokens"),
+        r6(sum(col("n_tokens")).cast("double") / count(lit(1)))
+          .as("mean_tokens_r"),
+        r6(sum((col("scheme") === "https").cast("long")).cast("double") /
+          count(lit(1))).as("https_share_r"))
+  }, ordered)(col("reg_domain"), col("host"))
+
+  // ---------------------------------------------------------------
+  // E68: outlink extraction + RFC 3986 resolution
+  // ---------------------------------------------------------------
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over a path that begins with
+    * `/`: `.` segments drop, `..` pops (clamped at the root). The
+    * planted corpus exercises one `..`; the spec pins the clamp.
+    */
+  private[graft] def removeDotSegments(p: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    p.split("/", -1).foreach {
+      case "."  => ()
+      case ".." => if (out.length > 1) out.remove(out.length - 1)
+      case s    => out += s
+    }
+    val j = out.mkString("/")
+    if (j.isEmpty || !j.startsWith("/")) "/" + j.dropWhile(_ == '/') else j
+  }
+
+  private val SchemePrefixRe =
+    java.util.regex.Pattern.compile("^[A-Za-z][A-Za-z0-9+.-]*:")
+
+  /** RFC 3986 §5.2 reference resolution against an absolute http(s)
+    * base, restricted to the link kinds a crawl frontier keeps:
+    * absolute http(s) targets pass through, protocol-relative adopt
+    * the base scheme, root-relative and relative merge with the base
+    * path (dot segments removed). Fragment-only references and
+    * non-http schemes (mailto:, javascript:, ...) return None — they
+    * are not fetchable outlinks. Returns (kind, absolute_url).
+    */
+  private[graft] def resolveUrl(base: String, href0: String):
+      Option[(String, String)] = {
+    val href = href0.trim.takeWhile(_ != '#')
+    if (href.isEmpty) return None
+    val low = href.toLowerCase(java.util.Locale.ROOT)
+    if (SchemePrefixRe.matcher(href).find()) {
+      return if (low.startsWith("http://") || low.startsWith("https://"))
+        Some(("absolute", href))
+      else None
+    }
+    val bm = UrlRe.matcher(base.trim)
+    if (!bm.matches()) return None
+    val scheme = bm.group(1).toLowerCase(java.util.Locale.ROOT)
+    val origin = s"$scheme://${bm.group(2)}"
+    if (href.startsWith("//")) Some(("protocol_relative", s"$scheme:$href"))
+    else if (href.startsWith("/"))
+      Some(("root_relative", origin + removeDotSegments(href)))
+    else {
+      val bPath = if (bm.group(3).isEmpty) "/" else bm.group(3)
+      val dir = bPath.substring(0, bPath.lastIndexOf('/') + 1)
+      val kind = if (href.startsWith("..")) "parent" else "relative"
+      Some((kind, origin + removeDotSegments(dir + href)))
+    }
+  }
+
+  private val HrefRe = java.util.regex.Pattern.compile(
+    "(?is)<a\\b[^>]*\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')")
+
+  /** E68 core: the fetchable outlinks of ONE HTML payload — the E64
+    * envelope (non-HTML quarantines), the E64 structural drops
+    * (comments and script/style subtrees never contribute links: an
+    * `<a>` inside a comment or a script string literal is not a
+    * link), then every `href` resolved via [[resolveUrl]]. Returns
+    * one (ord, kind, url) per kept link, 1-based in document order.
+    */
+  private[graft] def htmlLinksOne(base: String, raw: String):
+      Seq[(Long, String, String)] = {
+    val low = raw.dropWhile(_.isWhitespace)
+      .toLowerCase(java.util.Locale.ROOT)
+    if (!(low.startsWith("<!doctype html") || low.startsWith("<html")))
+      return Seq((0L, "not_html", null))
+    val cleaned = raw
+      .replaceAll("(?s)<!--.*?-->", "")
+      .replaceAll("(?is)<script\\b[^>]*>.*?</script\\s*>", "")
+      .replaceAll("(?is)<script\\b[^>]*>.*", "")
+      .replaceAll("(?is)<style\\b[^>]*>.*?</style\\s*>", "")
+      .replaceAll("(?is)<style\\b[^>]*>.*", "")
+    val m = HrefRe.matcher(cleaned)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    var ord = 0L
+    while (m.find()) {
+      val href = if (m.group(1) != null) m.group(1) else m.group(2)
+      resolveUrl(base, href).foreach { case (kind, abs) =>
+        ord += 1
+        out += ((ord, kind, abs))
+      }
+    }
+    out.toSeq
+  }
+
+  /** E68 public boundary: outlinks over ANY (doc_id, base_url,
+    * payload) relation — exploded (doc_id, link_ord, kind, url_abs)
+    * rows, one narrow flatMap pass.
+    */
+  def docLinksFromHtml(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    pages
+      .select(col("doc_id").cast("long"), col("base_url").cast("string"),
+        col("payload").cast("string"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, base, s) =>
+        htmlLinksOne(Option(base).getOrElse(""), Option(s).getOrElse(""))
+          .map { case (ord, kind, abs) => (id, ord, kind, Option(abs)) }
+      })
+      .toDF("doc_id", "link_ord", "kind", "url_abs")
+  }
+
+  /** Planted link page per doc_id: one href per resolution kind plus
+    * the three traps (fragment-only, mailto:, links inside a comment
+    * and a script string). The expected (ord, kind, url) rows are a
+    * pure function of doc_id.
+    */
+  private[graft] def linkPayload(id: Long): String =
+    s"""<!DOCTYPE html>
+       |<html><head><title>Links $id</title>
+       |  <script> var t = "<a href='/script-trap$id'>no</a>"; </script>
+       |</head>
+       |<body>
+       |  <!-- <a href="/comment-trap$id">never</a> -->
+       |  <a href="https://other${id % 5}.example.net/abs$id">a1</a>
+       |  <a href="//cdn${id % 3}.example.net/c$id">a2</a>
+       |  <a href='/r/p$id'>a3</a>
+       |  <a href="sub/q$id">a4</a>
+       |  <a href="../up$id">a5</a>
+       |  <a href="#top">a6</a>
+       |  <a href="mailto:x$id@example.com">a7</a>
+       |</body></html>""".stripMargin
+
+  private[graft] def linkBase(id: Long): String =
+    s"https://site${id % 7}.example.com/dir/a/page$id.html"
+
+  /** E68 gated query: the planted link corpus through
+    * [[docLinksFromHtml]]; every 17th doc is plaintext and
+    * quarantines as a single `not_html` row.
+    */
+  def docHtmlLinks(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val pages = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, linkBase(id),
+        if (id % 17 == 0) s"plain text payload $id without any markup"
+        else linkPayload(id))))
+      .toDF("doc_id", "base_url", "payload")
+    docLinksFromHtml(spark, pages)
+  }, ordered)(col("doc_id"), col("link_ord"))
+
+  // ---------------------------------------------------------------
+  // E69: host-graph centrality (PageRank on the integer lattice)
+  // ---------------------------------------------------------------
+
+  private def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+
+  /** E69 gated query: HOST-GRAPH PAGERANK — the crawl-frontier
+    * centrality signal (which hosts the corpus itself points at;
+    * cf. the harmonic/PageRank host ranks Common Crawl publishes).
+    * Edges are E68's resolved outlinks lifted to (src_host,
+    * dst_host), self-loops dropped, DISTINCT — the host graph is
+    * orders of magnitude smaller than the page corpus, which is the
+    * scale design: the per-page flatMap never shuffles more than the
+    * distinct host-pair relation, and the iteration runs on
+    * #hosts-sized frames.
+    *
+    * The recursion is the standard damped PageRank with dangling
+    * redistribution, computed ENTIRELY on the 10⁻⁶ integer lattice so
+    * both engines agree bit-for-bit regardless of aggregation order
+    * (the CC/Holt discipline, applied to a sum whose float ordering
+    * would otherwise diverge): ranks are BIGINT micro-units,
+    * contributions are `r div outdeg`, and one round is
+    *
+    *   r'(v) = (150000 div N) + (850000·(S(v) + D div N)) div 10⁶
+    *
+    * with S(v) the exact integer contribution sum into v and D the
+    * dangling mass. Eight rounds (fixed — the mixing horizon, not a
+    * convergence loop; the judge-visible invariant is bit-equality,
+    * not a tolerance).
+    */
+  def hostRank(t: Tables, rounds: Int = 8,
+      ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    val links = docHtmlLinks(t).filter(col("kind") =!= "not_html")
+    val pages = {
+      import spark.implicits._
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, linkBase(id))))
+        .toDF("doc_id", "base_url")
+    }
+    val edges = Dedup.stableCheckpoint(links
+      .join(pages, "doc_id")
+      .select(hostOf(col("base_url")).as("src"),
+        hostOf(col("url_abs")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val nodes = Dedup.stableCheckpoint(
+      edges.select(col("src").as("host"))
+        .union(edges.select(col("dst").as("host"))).distinct())
+    val outdeg = Dedup.stableCheckpoint(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val nRel = nodes.agg(count(lit(1)).as("n"))
+    val r0 = Dedup.stableCheckpoint(nodes.crossJoin(broadcast(nRel))
+      .select(col("host"), expr("1000000L div n").as("r")))
+    val rFinal = (1 to rounds).foldLeft(r0) { (rk, _) =>
+      val withDeg = rk.join(outdeg, rk("host") === outdeg("src"), "left")
+      val dangRel = withDeg.agg(coalesce(
+        sum(when(col("outdeg").isNull, col("r")).otherwise(lit(0L))),
+        lit(0L)).as("dang"))
+      val contribs = edges
+        .join(rk, edges("src") === rk("host"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sv"))
+      val next = nodes
+        .join(contribs, nodes("host") === contribs("dst"), "left")
+        .crossJoin(broadcast(dangRel))
+        .crossJoin(broadcast(nRel))
+        .select(col("host"), expr(
+          "(150000L div n) + (850000L * (coalesce(sv, 0L) + (dang div n))) div 1000000L")
+          .as("r"))
+      val chk = Dedup.stableCheckpoint(next)
+      Dedup.releaseCheckpoint(rk)
+      chk
+    }
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+    val out = rFinal
+      .join(outdeg, rFinal("host") === outdeg("src"), "left")
+      .join(indeg, rFinal("host") === indeg("dst"), "left")
+      .select(col("host"),
+        coalesce(col("outdeg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        col("r").as("rank_6"),
+        (col("r").cast("double") / 1e6).as("rank_r"))
+    out
+  }, ordered)(col("host"))
+}
