@@ -376,4 +376,53 @@ object DocStreamJob {
         known.length.toLong, sharedB, newB, nov)
     }
   }
+
+  /** Streaming form of E64 (HTML→text, E64b): the extractor is one
+    * stateless narrow pass per payload, so the twin is the batch core
+    * mapped over the arriving (doc_id, ingest_ts, payload) rows — no
+    * watermark, no state, no shuffle; the boundary a live crawl
+    * ingest runs BEFORE the stateful stages (A32 near-dup, E15
+    * curation) see the page. Quarantine rows flow through tagged, as
+    * in batch. StreamingSpec law: stream ≡ batch extraction per doc.
+    */
+  def streamDocHtmlExtract(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .select(col("doc_id").cast("long"), col("ingest_ts"),
+        col("payload").cast("string"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions(_.map { case (id, ts, s) =>
+        val (st, ti, tx, nb, nl, ld) =
+          TextOps.htmlExtractOne(Option(s).getOrElse(""))
+        (id, ts, st, Option(ti), Option(tx),
+          if (nb < 0L) None else Some(nb),
+          if (nl < 0L) None else Some(nl),
+          if (ld < 0.0) None else Some(ld))
+      })
+      .toDF("doc_id", "ingest_ts", "status", "title", "text", "n_blocks",
+        "n_links", "link_density_r")
+  }
+
+  /** Streaming form of E66 (URL canonicalization, E66b): stateless
+    * like E64b — the identity layer a live crawl applies per fetched
+    * record before any URL-keyed state (frontier dedup, host budgets)
+    * is touched. StreamingSpec law: stream ≡ batch canon per doc.
+    */
+  def streamDocUrlCanon(urls: DataFrame): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    urls
+      .select(col("doc_id").cast("long"), col("ingest_ts"),
+        col("url").cast("string"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions(_.map { case (id, ts, u) =>
+        val (st, canon, sc, ho, rd, np) =
+          graft.operators.UrlOps.urlCanonOne(Option(u).getOrElse(""))
+        (id, ts, st, Option(canon), Option(sc), Option(ho), Option(rd),
+          if (np < 0L) None else Some(np))
+      })
+      .toDF("doc_id", "ingest_ts", "status", "url_canon", "scheme",
+        "host", "reg_domain", "n_params")
+  }
 }

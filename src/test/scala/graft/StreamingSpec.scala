@@ -1539,6 +1539,56 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty, "corpus must produce at least one burst incident")
     } finally q.stop()
   }
+
+  test("streaming HTML extract twin (E64b): stream ≡ batch extraction per document") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ids = tables.documents.select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = ids.map(id => (id, t0,
+      if (id % 17 == 0) s"plain text payload $id without any markup"
+      else graft.operators.TextOps.htmlPayload(id)))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.DocStreamJob.streamDocHtmlExtract(
+      input.toDS().toDF("doc_id", "ingest_ts", "payload"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("html_twin").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("html_twin").drop("ingest_ts")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.TextOps.docHtmlExtract(tables)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream≠batch: ${(streamed -- batch).take(2)} vs ${(batch -- streamed).take(2)}")
+    } finally q.stop()
+  }
+
+  test("streaming URL canon twin (E66b): stream ≡ batch canon per document") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ids = tables.documents.select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = ids.map(id => (id, t0, graft.operators.UrlOps.urlPayload(id)))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.DocStreamJob.streamDocUrlCanon(
+      input.toDS().toDF("doc_id", "ingest_ts", "url"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("url_twin").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("url_twin").drop("ingest_ts")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.UrlOps.docUrlCanon(tables)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream≠batch: ${(streamed -- batch).take(2)} vs ${(batch -- streamed).take(2)}")
+    } finally q.stop()
+  }
 }
 
 /** Executor-reachable capture for the per-partition JSON sink test. */
