@@ -393,6 +393,7 @@ object SparkEntry {
     "mm_feature_extract_png" -> q(Multimodal.mmFeatureExtractPng(_, ordered = true)), // REAL PNG decode (r12), oracle-gated
     "mm_feature_extract_png_gray" -> q(Multimodal.mmFeatureExtractPngGray(_, ordered = true)), // F25 grayscale PNG (r15): bpp=1 filters + channel replication
     "mm_feature_extract_png_palette" -> q(Multimodal.mmFeatureExtractPngPalette(_, ordered = true)), // F25b palette PNG (r15): PLTE walk + index resolution
+    "mm_feature_extract_png_adam7" -> q(Multimodal.mmFeatureExtractPngAdam7(_, ordered = true)), // F27 Adam7 interlaced PNG (r15): per-pass defilter + scatter
     "mm_feature_extract_jpeg" -> q(Multimodal.mmFeatureExtractJpeg(_, ordered = true)), // REAL baseline JPEG decode (r12), oracle-gated
     "mm_feature_extract_jpeg_color" -> q(Multimodal.mmFeatureExtractJpegColor(_, ordered = true)), // REAL 4:2:0 color JPEG decode (r13), oracle-gated
     "mm_feature_extract_jpeg_dri" -> q(Multimodal.mmFeatureExtractJpegDri(_, ordered = true)), // DRI restart-interval color JPEGs (r14), oracle-gated
@@ -2343,6 +2344,37 @@ object SparkEntry {
         |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,
         |  floor((CAST(sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
         |  CAST(68 + 12 + 3*n + height*(1 + width) AS INTEGER) AS n_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // F27: Adam7-interlaced PNG — dims are multiples of 8 so the 7
+    // reduced pass images have exact dims and the scanline volume is
+    // a closed formula; the pixel MULTISET equals the straight
+    // raster's, so the channel means are the same affine arithmetic.
+    // n_bytes = 68 + Σ_pass ph·(1 + 3·pw)
+    "mm_feature_extract_png_adam7" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+        |    CAST(8 * (1 + (doc_id // 3) % 3) AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |    unnest(range(width*height*3)) AS i FROM d),
+        |s AS (SELECT doc_id, width, height,
+        |    CAST(SUM(CASE WHEN i % 3 = 0 THEN 32 + (doc_id*31 + i*7) % 95 END) AS BIGINT) AS sr,
+        |    CAST(SUM(CASE WHEN i % 3 = 1 THEN 32 + (doc_id*31 + i*7) % 95 END) AS BIGINT) AS sg,
+        |    CAST(SUM(CASE WHEN i % 3 = 2 THEN 32 + (doc_id*31 + i*7) % 95 END) AS BIGINT) AS sb
+        |  FROM px GROUP BY doc_id, width, height)
+        |SELECT doc_id, 'PNG8I' AS format, width, height,
+        |  CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+        |  floor((CAST(sr AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_r_r6,
+        |  floor((CAST(sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,
+        |  floor((CAST(sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6,
+        |  CAST(68
+        |    + 2 * (height//8) * (1 + 3*(width//8))
+        |    + (height//8) * (1 + 3*(width//4))
+        |    + (height//4) * (1 + 3*(width//4))
+        |    + (height//4) * (1 + 3*(width//2))
+        |    + (height//2) * (1 + 3*(width//2))
+        |    + (height//2) * (1 + 3*width) AS INTEGER) AS n_bytes
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // F23: baseline JPEG features re-derived from the DC-exact block

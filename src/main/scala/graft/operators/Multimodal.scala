@@ -197,11 +197,11 @@ object Multimodal {
             // the format tag reports what was actually PARSED (gray /
             // truecolor / palette) — a mis-dispatched layout is a
             // per-document gate failure, not a silent relabel
-            val fmt = img.colorType match {
+            val fmt = (img.colorType match {
               case 0 => "PNG8G"
               case 3 => "PNG8P"
               case _ => "PNG8"
-            }
+            }) + (if (img.interlaced) "I" else "")
             MmDecoded(id, fmt, Some(img.width), Some(img.height),
               Some(3), Some(255), Some(m(0)), Some(m(1)), Some(m(2)),
               bytes.length)
@@ -409,6 +409,43 @@ object Multimodal {
     import spark.implicits._
     val payloads = t.documents.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, pngPaletteBytes(id)))).toDF("doc_id", "payload")
+    mmDecodePayloads(spark, payloads)
+  }, ordered)(col("doc_id"))
+
+  /** Deterministic ADAM7-interlaced truecolor PNG per doc_id: dims
+    * are multiples of 8 (w = 8·(1+id%3), h = 8·(1+(id/3)%3)) so every
+    * pass's reduced dims are exact divisions and the scanline volume
+    * is a closed formula; the affine pixel formula runs over the FULL
+    * raster (the pass split reorders bytes, never changes the pixel
+    * multiset, so the channel means match the straight corpus's
+    * arithmetic); filters cycle y%5 ACROSS passes, so every filter
+    * type lands in several pass contexts — a decoder that fails to
+    * reset the filter recurrence per pass, mis-walks the pass grid or
+    * mis-sizes a reduced image fails per document.
+    */
+  private[graft] def pngAdam7Bytes(docId: Long): Array[Byte] = {
+    val w = (8 * (1 + docId % 3)).toInt
+    val h = (8 * (1 + (docId / 3) % 3)).toInt
+    val rgb = new Array[Byte](3 * w * h)
+    var i = 0
+    while (i < rgb.length) {
+      rgb(i) = (32 + (docId * 31 + i * 7L) % 95).toByte
+      i += 1
+    }
+    Png.encodeAdam7(w, h, rgb, y => y % 5)
+  }
+
+  /** F27: feature extract over Adam7-interlaced PNG (format tag
+    * PNG8I — the boundary reports the interlacing it actually
+    * walked). Closes the last quarantined PNG branch: real crawled
+    * corpora carry progressive-render images from the era when
+    * interlacing was the default "fast preview" export.
+    */
+  def mmFeatureExtractPngAdam7(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, pngAdam7Bytes(id)))).toDF("doc_id", "payload")
     mmDecodePayloads(spark, payloads)
   }, ordered)(col("doc_id"))
 

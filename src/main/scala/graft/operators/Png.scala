@@ -33,7 +33,26 @@ object Png {
     * the decode boundary can report what it actually parsed.
     */
   final case class Image(width: Int, height: Int, raster: Array[Byte],
-      colorType: Int = 2)
+      colorType: Int = 2, interlaced: Boolean = false)
+
+  /** Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass; a
+    * pass's reduced image is every (x0 + i·dx, y0 + j·dy) pixel and
+    * carries its OWN scanlines + filter bytes (filter context resets
+    * per pass). Passes that select no pixels contribute no scanlines
+    * at all.
+    */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** The non-empty Adam7 passes of a w×h image with their reduced
+    * dims: (x0, y0, dx, dy, pw, ph). */
+  private def adam7Passes(w: Int, h: Int): Seq[(Int, Int, Int, Int, Int, Int)] =
+    Adam7.toSeq.map { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      (x0, y0, dx, dy, pw, ph)
+    }.filter(p => p._5 > 0 && p._6 > 0)
 
   private val Signature: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
@@ -55,6 +74,7 @@ object Png {
     var w = -1
     var h = -1
     var color = -1
+    var inter = 0
     var plte: Array[Byte] = null
     var sawEnd = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -78,10 +98,10 @@ object Png {
           color = bytes(body + 9)
           val comp = bytes(body + 10)
           val filt = bytes(body + 11)
-          val inter = bytes(body + 12)
+          inter = bytes(body + 12)
           if (w < 1 || h < 1 || depth != 8 ||
             (color != 0 && color != 2 && color != 3) || comp != 0 ||
-            filt != 0 || inter != 0) return None
+            filt != 0 || (inter != 0 && inter != 1)) return None
         case "PLTE" =>
           // legal for color types 2 and 3, FORBIDDEN for grayscale;
           // must precede IDAT, one chunk, 1..256 whole RGB entries
@@ -102,9 +122,14 @@ object Png {
     if (w < 0 || idat.size == 0) return None
     if (color == 3 && plte == null) return None // indexed without a palette
     // inflate the concatenated IDAT zlib stream; the scanline volume
-    // must come out EXACTLY h·(1 + bpp·w) bytes
+    // must come out EXACTLY h·(1 + bpp·w) bytes (non-interlaced) or
+    // the sum of the per-pass reduced scanline volumes (Adam7)
     val bpp = if (color == 2) 3 else 1
-    val raw = new Array[Byte]((1L + bpp.toLong * w).toInt * h)
+    val rawLen =
+      if (inter == 0) (1L + bpp.toLong * w).toInt * h
+      else adam7Passes(w, h).map { case (_, _, _, _, pw, ph) =>
+        (1 + bpp * pw) * ph }.sum
+    val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -121,9 +146,44 @@ object Png {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    defilter(raw, w, h, bpp).flatMap { px =>
+    // defilter: straight (one filter context) or per Adam7 pass (the
+    // filter recurrence resets per pass; pixels scatter to the full
+    // raster at (x0 + i·dx, y0 + j·dy))
+    val defiltered: Option[Array[Byte]] =
+      if (inter == 0) defilter(raw, w, h, bpp)
+      else {
+        val full = new Array[Byte](bpp * w * h)
+        var off = 0
+        var ok = true
+        adam7Passes(w, h).foreach { case (x0, y0, dx, dy, pw, ph) =>
+          if (ok) {
+            val sliceLen = (1 + bpp * pw) * ph
+            val slice = java.util.Arrays.copyOfRange(raw, off, off + sliceLen)
+            off += sliceLen
+            defilter(slice, pw, ph, bpp) match {
+              case Some(p) =>
+                var j = 0
+                while (j < ph) {
+                  var i = 0
+                  while (i < pw) {
+                    val src = (j * pw + i) * bpp
+                    val dst = ((y0 + j * dy) * w + (x0 + i * dx)) * bpp
+                    var b = 0
+                    while (b < bpp) { full(dst + b) = p(src + b); b += 1 }
+                    i += 1
+                  }
+                  j += 1
+                }
+              case None => ok = false
+            }
+          }
+        }
+        if (ok) Some(full) else None
+      }
+    val inter1 = inter == 1
+    defiltered.flatMap { px =>
       color match {
-        case 2 => Some(Image(w, h, px, 2))
+        case 2 => Some(Image(w, h, px, 2, inter1))
         case 0 =>
           // replicate the single gray channel into the RGB raster
           val out = new Array[Byte](3 * w * h)
@@ -132,7 +192,7 @@ object Png {
             out(3 * p) = px(p); out(3 * p + 1) = px(p); out(3 * p + 2) = px(p)
             p += 1
           }
-          Some(Image(w, h, out, 0))
+          Some(Image(w, h, out, 0, inter1))
         case _ =>
           // palette lookup; an index past the PLTE quarantines (the
           // spec calls it an error, and inventing a color would be a
@@ -148,7 +208,7 @@ object Png {
             out(3 * p + 2) = plte(3 * ix + 2)
             p += 1
           }
-          Some(Image(w, h, out, 3))
+          Some(Image(w, h, out, 3, inter1))
       }
     }
   }
@@ -252,14 +312,18 @@ object Png {
       idx: Array[Byte], filterOf: Int => Int): Array[Byte] =
     encodeWith(w, h, 3, idx, plte, filterOf)
 
-  private def encodeWith(w: Int, h: Int, color: Int, px: Array[Byte],
-      plte: Array[Byte], filterOf: Int => Int): Array[Byte] = {
-    val bpp = if (color == 2) 3 else 1
+  /** Filter one raster (h rows of bpp·w bytes) into scanline form
+    * (filter byte + filtered bytes per row); `yBase` offsets the row
+    * index handed to `filterOf` so Adam7 passes keep cycling through
+    * the filter schedule instead of restarting at the same type.
+    */
+  private def filterRaster(px: Array[Byte], w: Int, h: Int, bpp: Int,
+      filterOf: Int => Int, yBase: Int): Array[Byte] = {
     val stride = bpp * w
     val raw = new Array[Byte]((stride + 1) * h)
     var y = 0
     while (y < h) {
-      val ft = filterOf(y)
+      val ft = filterOf(yBase + y)
       raw(y * (stride + 1)) = ft.toByte
       var x = 0
       while (x < stride) {
@@ -279,6 +343,49 @@ object Png {
       }
       y += 1
     }
+    raw
+  }
+
+  /** Adam7 truecolor encoder: the full raster splits into the 7
+    * reduced pass images, each filtered with its OWN context (the
+    * decode side's per-pass reset is what this exercises), scanline
+    * volumes concatenated into one stored-block zlib stream.
+    */
+  private[graft] def encodeAdam7(w: Int, h: Int, rgb: Array[Byte],
+      filterOf: Int => Int): Array[Byte] = {
+    val bpp = 3
+    val buf = new java.io.ByteArrayOutputStream()
+    var yBase = 0
+    adam7Passes(w, h).foreach { case (x0, y0, dx, dy, pw, ph) =>
+      val pass = new Array[Byte](bpp * pw * ph)
+      var j = 0
+      while (j < ph) {
+        var i = 0
+        while (i < pw) {
+          val src = ((y0 + j * dy) * w + (x0 + i * dx)) * bpp
+          val dst = (j * pw + i) * bpp
+          var b = 0
+          while (b < bpp) { pass(dst + b) = rgb(src + b); b += 1 }
+          i += 1
+        }
+        j += 1
+      }
+      val f = filterRaster(pass, pw, ph, bpp, filterOf, yBase)
+      buf.write(f, 0, f.length)
+      yBase += ph
+    }
+    finishPng(w, h, 2, 1, null, buf.toByteArray)
+  }
+
+  private def encodeWith(w: Int, h: Int, color: Int, px: Array[Byte],
+      plte: Array[Byte], filterOf: Int => Int): Array[Byte] = {
+    val bpp = if (color == 2) 3 else 1
+    val raw = filterRaster(px, w, h, bpp, filterOf, 0)
+    finishPng(w, h, color, 0, plte, raw)
+  }
+
+  private def finishPng(w: Int, h: Int, color: Int, interlace: Int,
+      plte: Array[Byte], raw: Array[Byte]): Array[Byte] = {
     // zlib with stored blocks: 0x78 0x01 header, [final, len, ~len]
     // block headers, adler32 trailer — deterministic size raw+11 for
     // raw <= 65535 (true for every generated payload)
@@ -316,7 +423,8 @@ object Png {
       ihdr(o + 2) = (v >> 8).toByte; ihdr(o + 3) = v.toByte
     }
     p32(0, w); p32(4, h)
-    ihdr(8) = 8; ihdr(9) = color.toByte; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    ihdr(8) = 8; ihdr(9) = color.toByte; ihdr(10) = 0; ihdr(11) = 0
+    ihdr(12) = interlace.toByte
     writeChunk("IHDR", ihdr)
     if (plte != null) writeChunk("PLTE", plte)
     writeChunk("IDAT", zout.toByteArray)

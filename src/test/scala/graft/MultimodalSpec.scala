@@ -162,7 +162,8 @@ class MultimodalSpec extends SparkSpec {
     assert(Png.parse(rotted).isEmpty, "a bit-rotted chunk must fail its CRC")
     val interlaced = bytes.clone()
     interlaced(8 + 8 + 12) = 1 // IHDR interlace byte (offset 8 sig + 8 len/tag + 12)
-    assert(Png.parse(interlaced).isEmpty, "Adam7 is out of envelope (CRC also breaks)")
+    assert(Png.parse(interlaced).isEmpty,
+      "a hacked interlace byte rots the IHDR CRC (Adam7 itself is in-envelope since r15)")
     val one = Png.encode(1, 1, Array[Byte](1, 2, 3), _ => 0)
     val typeHacked = one.clone(); typeHacked(8 + 8 + 9) = 7 // invalid color type
     assert(Png.parse(typeHacked).isEmpty,
@@ -179,6 +180,39 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.mmDecodePayloads(spark, payloads).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "PNG8" && out(2L) == "corrupt")
+  }
+
+  test("Adam7 PNG: per-pass defilter + scatter round-trips positionally at odd dims; interlacing never changes the raster; boundary tags PNG8I") {
+    import graft.operators.Png
+    // odd dims exercise the empty-pass and ceil-division edges of the
+    // pass grid (w<5 empties pass 2, h<5 empties pass 3, 1x1 leaves
+    // only pass 1); positional pins catch a mis-scattered pixel that
+    // channel means would average away
+    for ((w, h) <- Seq((1, 1), (2, 1), (1, 2), (5, 3), (8, 8), (9, 5), (7, 10), (16, 24))) {
+      val rgb = Array.tabulate(3 * w * h)(i => ((i * 37 + w * 5 + h * 3 + 11) % 256).toByte)
+      val bytes = Png.encodeAdam7(w, h, rgb, y => y % 5)
+      val img = Png.parse(bytes).getOrElse(fail(s"planted Adam7 ${w}x$h must parse"))
+      assert(img.width == w && img.height == h && img.interlaced)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = 3 * (y * w + x)
+        assert(Png.sample(img, x, y) ==
+          ((rgb(p) & 0xff, rgb(p + 1) & 0xff, rgb(p + 2) & 0xff)),
+          s"pixel ($x,$y) of ${w}x$h mis-scattered")
+      }
+      val straight = Png.parse(Png.encode(w, h, rgb, y => y % 5))
+        .getOrElse(fail("straight encode must parse"))
+      assert(java.util.Arrays.equals(img.raster, straight.raster),
+        s"interlaced raster diverged from straight at ${w}x$h")
+    }
+    // the decode boundary reports the interlacing it actually walked
+    import spark.implicits._
+    val b = Png.encodeAdam7(8, 8, Array.tabulate(192)(i => i.toByte), _ => 0)
+    val out = Multimodal.mmDecodePayloads(spark,
+      Seq((1L, b)).toDF("doc_id", "payload")).collect()
+    assert(out.head.getString(1) == "PNG8I")
+    // interlace byte 2 is off the spec (and the flip rots the CRC)
+    val hacked = b.clone(); hacked(8 + 8 + 12) = 2
+    assert(Png.parse(hacked).isEmpty, "invalid interlace byte must quarantine")
   }
 
   test("PNG gray/palette: bpp=1 filters round-trip positionally; PLTE custody (missing, on-gray, after-IDAT, bad length, out-of-range index) quarantines; boundary reports the parsed layout") {
