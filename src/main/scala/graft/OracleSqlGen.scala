@@ -5044,6 +5044,29 @@ object OracleSqlGen {
       |FROM r
       |ORDER BY doc_id, link_ord""".stripMargin
 
+  /** E70: the per-host fetch throttle — the planted request relation
+    * (host from the link-corpus base URL, ts_s = (doc_id·37) mod 600)
+    * ranked per (host, window) by (ts, doc_id).
+    */
+  def docHostThrottle(maxPerWindow: Int = 3, windowSec: Int = 60): String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    'site' || (doc_id % 7) || '.example.com' AS host,
+       |    (doc_id * 37) % 600 AS ts_s
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, host, ts_s,
+       |    ts_s - ts_s % $windowSec AS win_s FROM r),
+       |k AS (
+       |  SELECT doc_id, host, ts_s, win_s,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY host, win_s
+       |      ORDER BY ts_s, doc_id) AS BIGINT) AS fetch_rank
+       |  FROM w)
+       |SELECT doc_id, host, ts_s, win_s, fetch_rank,
+       |  CAST(fetch_rank <= $maxPerWindow AS INTEGER) AS allow
+       |FROM k
+       |ORDER BY doc_id""".stripMargin
+
   /** E69: damped PageRank on the planted host graph, replayed on the
     * same 10⁻⁶ integer lattice as the Spark side (`//` everywhere a
     * float would make the sum order observable), one MATERIALIZED CTE

@@ -262,6 +262,7 @@ object SparkEntry {
     "doc_host_stats"       -> q(UrlOps.docHostStats(_, ordered = true)), // E67 per-(reg_domain, host) crawl rollup card (r15)
     "doc_html_links"       -> q(UrlOps.docHtmlLinks(_, ordered = true)), // E68 outlink extraction + RFC 3986 resolution (r15)
     "host_rank"            -> q(UrlOps.hostRank(_, ordered = true)), // E69 host-graph PageRank on the integer lattice (r15)
+    "doc_host_throttle"    -> q(UrlOps.docHostThrottle(_, ordered = true)), // E70 per-host fetch throttle (crawl politeness, r15)
     "text_collocations"    -> q(TextOps.textCollocations(_)),
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
     "doc_curate_explain"   -> q(TextOps.docCurateExplain(_)),
@@ -2103,6 +2104,7 @@ object SparkEntry {
     "doc_host_stats"        -> OracleSqlGen.docHostStats(),
     "doc_html_links"        -> OracleSqlGen.docHtmlLinks(),
     "host_rank"             -> OracleSqlGen.hostRank(),
+    "doc_host_throttle"     -> OracleSqlGen.docHostThrottle(),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),
     "doc_curate_explain"    -> OracleSqlGen.docCurateExplain(0.5),

@@ -397,6 +397,50 @@ object UrlOps {
   }, ordered)(col("doc_id"), col("link_ord"))
 
   // ---------------------------------------------------------------
+  // E70: crawl politeness — per-host fetch throttle
+  // ---------------------------------------------------------------
+
+  /** E70 gated query: the PER-HOST FETCH THROTTLE a polite crawler
+    * runs over its frontier — within each tumbling `windowSec`
+    * window, the first `maxPerWindow` fetch requests per host are
+    * allowed, the rest deferred. Rank order is (ts, doc_id) — fully
+    * deterministic, so the verdict relation is replayable (the
+    * scheduling complement of A4's lag throttle, keyed by E66's
+    * canonical host instead of event type).
+    *
+    * Fetch times are planted: ts_s = (doc_id·37) mod 600 seconds —
+    * 37 ⊥ 600 spreads ids across 10 windows of each host's queue
+    * densely enough that real defers occur at every SF. The only
+    * shuffle is the (host, window) rank — at 100 TB the frontier
+    * partitions by host exactly like E67, and a per-cell top-k
+    * (allowed fetches only) would drop even the rank's sort to a
+    * bounded heap; the full rank ships here because the DEFERRED rows
+    * are the output a re-queueing frontier needs.
+    */
+  def docHostThrottle(t: Tables, maxPerWindow: Int = 3,
+      windowSec: Int = 60, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val reqs = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (st, _, _, host, _, _) = urlCanonOne(linkBase(id))
+        (id, if (st == "ok") host else null, (id * 37) % 600)
+      })
+      .toDF("doc_id", "host", "ts_s")
+      .filter(col("host").isNotNull)
+    val win = (col("ts_s") - pmod(col("ts_s"), lit(windowSec.toLong)))
+    val ranked = reqs
+      .withColumn("win_s", win)
+      .withColumn("fetch_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"), col("win_s"))
+          .orderBy(col("ts_s"), col("doc_id"))).cast("long"))
+    ranked.select(col("doc_id"), col("host"), col("ts_s"), col("win_s"),
+      col("fetch_rank"),
+      (col("fetch_rank") <= maxPerWindow).cast("int").as("allow"))
+  }, ordered)(col("doc_id"))
+
+  // ---------------------------------------------------------------
   // E69: host-graph centrality (PageRank on the integer lattice)
   // ---------------------------------------------------------------
 

@@ -425,4 +425,76 @@ object DocStreamJob {
       .toDF("doc_id", "ingest_ts", "status", "url_canon", "scheme",
         "host", "reg_domain", "n_params")
   }
+
+  /** Per-host throttle state: fetch requests still inside windows the
+    * watermark has not closed — (win_s, ts_s, doc_id), bounded by the
+    * host's arrival rate × (window + watermark delay), never history.
+    */
+  final case class ThrottleState(open: Seq[(Long, Long, Long)])
+
+  final case class ThrottleRec(doc_id: Long, host: String, ts_s: Long,
+      win_s: Long, fetch_rank: Long, allow: Int)
+
+  /** E70 ONLINE: streaming per-host fetch throttle, the twin of
+    * `UrlOps.docHostThrottle` — the politeness gate a live crawler
+    * applies to its frontier. Arriving requests canonicalize to a
+    * host (stateless, quarantined URLs drop — they cannot be
+    * fetched), then buffer per (host, window) until the watermark
+    * passes the window's END; the window then ranks by (ts, doc_id)
+    * and emits allow/defer verdicts — exactly the batch rank replayed
+    * online (the A42/A67b close-then-score discipline: a verdict
+    * issued before the window closes could be invalidated by a late
+    * earlier request). An event-time timeout closes tail windows
+    * without waiting for the host's next arrival. StreamingSpec law:
+    * stream ≡ batch verdicts.
+    */
+  def streamHostThrottle(urls: DataFrame, maxPerWindow: Int = 3,
+      windowSec: Int = 60, watermarkDelay: String = "10 minutes"):
+      org.apache.spark.sql.Dataset[ThrottleRec] = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val canon = urls
+      .select(col("doc_id").cast("long"), col("ingest_ts"),
+        col("url").cast("string"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions(_.flatMap { case (id, ts, u) =>
+        val (st, _, _, host, _, _) =
+          graft.operators.UrlOps.urlCanonOne(Option(u).getOrElse(""))
+        if (st == "ok") Some((id, ts, host)) else None
+      })
+      .toDF("doc_id", "ingest_ts", "host")
+      .withWatermark("ingest_ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, String)]
+
+    def fn(host: String, it: Iterator[(Long, java.sql.Timestamp, String)],
+        state: org.apache.spark.sql.streaming.GroupState[ThrottleState]):
+        Iterator[ThrottleRec] = {
+      val prev = state.getOption.map(_.open).getOrElse(Nil)
+      val incoming = it.map { case (id, ts, _) =>
+        val s = ts.getTime / 1000L
+        (s - s % windowSec, s, id)
+      }.toSeq
+      val all = prev ++ incoming
+      val wmS = state.getCurrentWatermarkMs() / 1000L
+      val (closed, open) = all.partition { case (w, _, _) =>
+        w + windowSec <= wmS }
+      val out = closed.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+        case (w, rows) =>
+          rows.sortBy { case (_, s, id) => (s, id) }.zipWithIndex.map {
+            case ((_, s, id), i) =>
+              ThrottleRec(id, host, s, w, i + 1L,
+                if (i < maxPerWindow) 1 else 0)
+          }
+      }
+      state.update(ThrottleState(open))
+      if (open.nonEmpty)
+        state.setTimeoutTimestamp((open.map(_._1).min + windowSec) * 1000L + 1L)
+      out.iterator
+    }
+
+    canon.groupByKey(_._3)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

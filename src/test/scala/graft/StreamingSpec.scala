@@ -1566,6 +1566,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming host throttle twin (E70b): stream ≡ batch verdicts; windows close incrementally under the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ids = tables.documents.select(col("doc_id")).as[Long].collect().sorted.toSeq
+    def tsS(id: Long): Long = (id * 37) % 600
+    // feed at a +1 h offset: an event time of exactly epoch 0 equals
+    // the INITIAL watermark and Spark drops it as late before the
+    // stateful operator ever sees it (observed: doc 0 vanished); the
+    // offset is a multiple of windowSec, so windows map back exactly
+    val off = 3600L
+    val rows = ids.map(id => (id,
+      new java.sql.Timestamp((off + tsS(id)) * 1000L), graft.operators.UrlOps.linkBase(id)))
+    // feed in event-time order bands so the watermark closes windows
+    // INCREMENTALLY (the mid-stream path), then a far-future flusher
+    // closes the tail; the flusher's own window stays open and must
+    // never emit
+    val bands = Seq(
+      rows.filter(r => tsS(r._1) < 200),
+      rows.filter(r => tsS(r._1) >= 200 && tsS(r._1) < 400),
+      rows.filter(r => tsS(r._1) >= 400))
+    val flusher = Seq((999999L,
+      new java.sql.Timestamp((off + 2000L) * 1000L), "https://site0.example.com/f"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.DocStreamJob.streamHostThrottle(
+      input.toDS().toDF("doc_id", "ingest_ts", "url"),
+      maxPerWindow = 1, windowSec = 300, watermarkDelay = "30 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("throttle_twin").start()
+    try {
+      bands.foreach { b => input.addData(b); q.processAllAvailable() }
+      val midCount = spark.table("throttle_twin").count()
+      assert(midCount > 0, "no window closed before the flusher — incremental path untested")
+      input.addData(flusher); q.processAllAvailable()
+      val streamed = spark.table("throttle_twin").collect()
+        .map { r => // undo the feed offset on the two time columns
+          val s = r.toSeq
+          s.updated(2, s(2).asInstanceOf[Long] - off)
+            .updated(3, s(3).asInstanceOf[Long] - off)
+        }.toSet
+      assert(!streamed.exists(_.head == 999999L), "the flusher's open window must not emit")
+      val batch = graft.operators.UrlOps.docHostThrottle(
+        tables, maxPerWindow = 1, windowSec = 300).collect()
+        .map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream≠batch: ${(streamed -- batch).take(2)} vs ${(batch -- streamed).take(2)}")
+      assert(batch.exists(r => r.last == 0), "plant too sparse: no defer verdicts")
+    } finally q.stop()
+  }
+
   test("streaming URL canon twin (E66b): stream ≡ batch canon per document") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
