@@ -717,4 +717,39 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shuffle join in residual-PQ:\n${p.take(600)}")
     assert(!p.contains("CartesianProduct"), "cartesian in residual-PQ search")
   }
+
+  test("url dup: one hash shuffle with map-side partial aggregation — no cartesian, no BNLJ") {
+    val p = plan(graft.operators.UrlOps.docUrlDup(tables))
+    assert(p.contains("partial_"), "group sizes must partial-aggregate before the url_canon shuffle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "identity dedup must stay an equi-join")
+  }
+
+  test("host stats: rollup partial-aggregates before the host shuffle") {
+    val p = plan(graft.operators.UrlOps.docHostStats(tables))
+    assert(p.contains("partial_"), "the #hosts rollup must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("host rank: no cartesian — the 1-row N/dangling sides ride broadcasts; no corpus-sized shuffle join") {
+    val p = plan(graft.operators.UrlOps.hostRank(tables))
+    assert(!p.contains("CartesianProduct"),
+      "the scalar frames must broadcast into the rank loop, never cartesian")
+  }
+
+  test("host throttle: the (host, window) rank window never routes through one partition") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = graft.operators.UrlOps.docHostThrottle(tables)
+      .queryExecution.sparkPlan
+    val singles = sp.collect {
+      case s: ShuffleExchangeExec if s.outputPartitioning == SinglePartition => s
+    }
+    assert(singles.isEmpty,
+      "the throttle rank must partition by (host, window), not collapse to one task")
+    val globalSorts = sp.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, "deploy plan pays no global sort (ordered=false default)")
+  }
 }
