@@ -5067,6 +5067,53 @@ object OracleSqlGen {
        |FROM k
        |ORDER BY doc_id""".stripMargin
 
+  /** E71: robots verdicts re-derived from the plant — every residue
+    * class pins one matcher branch (prefix deny, longer-allow
+    * override, no-match under correct group selection, $ anchor,
+    * wildcard), so the oracle states the EXPECTED rule and verdict
+    * arithmetically rather than re-parsing robots.txt.
+    */
+  def docRobotsFilter(): String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 7 AS h, doc_id % 5 AS r FROM documents)
+      |SELECT doc_id,
+      |  'site' || h || '.example.com' AS host,
+      |  CASE r WHEN 0 THEN '/d' || h || '/x' || doc_id
+      |         WHEN 1 THEN '/d' || h || '/open' || doc_id
+      |         WHEN 2 THEN '/ok/p' || doc_id
+      |         WHEN 3 THEN '/priv'
+      |         ELSE '/w' || doc_id || 'z' END AS path,
+      |  CASE r WHEN 0 THEN '/d' || h || '/'
+      |         WHEN 1 THEN '/d' || h || '/open'
+      |         WHEN 3 THEN '/priv$'
+      |         WHEN 4 THEN '/w*z' END AS rule,
+      |  CAST(CASE r WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 3 THEN 6
+      |         WHEN 4 THEN 4 END AS BIGINT) AS rule_len,
+      |  CAST(CASE WHEN r IN (1, 2) THEN 1 ELSE 0 END AS INTEGER) AS allow
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
+  /** E72: charset custody verdicts re-derived from the plant's
+    * residue classes — valid sequences (ASCII/2/3/4-byte, optional
+    * BOM) vs the five rejection classes that fall back to Latin-1.
+    */
+  def docCharsetSniff(): String =
+    """WITH d AS (
+      |  SELECT doc_id, 4 + doc_id % 11 AS stem, doc_id % 9 AS r,
+      |    CASE WHEN doc_id % 2 = 0 AND doc_id % 9 <= 3 THEN 3 ELSE 0 END AS bom
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN r >= 4 THEN 'latin-1'
+      |       WHEN bom = 3 THEN 'utf-8-bom' ELSE 'utf-8' END AS charset,
+      |  CAST(bom + stem + CASE r WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+      |       WHEN 3 THEN 4 WHEN 4 THEN 2 WHEN 5 THEN 1 WHEN 6 THEN 2
+      |       WHEN 7 THEN 3 ELSE 4 END AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN r <= 3 THEN stem + CASE r WHEN 0 THEN 0 ELSE 1 END
+      |       ELSE stem + CASE r WHEN 4 THEN 2 WHEN 5 THEN 1 WHEN 6 THEN 2
+      |            WHEN 7 THEN 3 ELSE 4 END END AS BIGINT) AS n_chars
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
   /** E69: damped PageRank on the planted host graph, replayed on the
     * same 10⁻⁶ integer lattice as the Spark side (`//` everywhere a
     * float would make the sum order observable), one MATERIALIZED CTE

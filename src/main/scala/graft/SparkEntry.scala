@@ -263,6 +263,8 @@ object SparkEntry {
     "doc_html_links"       -> q(UrlOps.docHtmlLinks(_, ordered = true)), // E68 outlink extraction + RFC 3986 resolution (r15)
     "host_rank"            -> q(UrlOps.hostRank(_, ordered = true)), // E69 host-graph PageRank on the integer lattice (r15)
     "doc_host_throttle"    -> q(UrlOps.docHostThrottle(_, ordered = true)), // E70 per-host fetch throttle (crawl politeness, r15)
+    "doc_robots_filter"    -> q(UrlOps.docRobotsFilter(_, ordered = true)), // E71 RFC 9309 robots.txt filtering (r15)
+    "doc_charset_sniff"    -> q(UrlOps.docCharsetSniffGated(_, ordered = true)), // E72 UTF-8/Latin-1 charset custody (r15)
     "text_collocations"    -> q(TextOps.textCollocations(_)),
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
     "doc_curate_explain"   -> q(TextOps.docCurateExplain(_)),
@@ -2105,6 +2107,8 @@ object SparkEntry {
     "doc_html_links"        -> OracleSqlGen.docHtmlLinks(),
     "host_rank"             -> OracleSqlGen.hostRank(),
     "doc_host_throttle"     -> OracleSqlGen.docHostThrottle(),
+    "doc_robots_filter"     -> OracleSqlGen.docRobotsFilter(),
+    "doc_charset_sniff"     -> OracleSqlGen.docCharsetSniff(),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),
     "doc_curate_explain"    -> OracleSqlGen.docCurateExplain(0.5),

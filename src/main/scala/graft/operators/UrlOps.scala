@@ -441,6 +441,258 @@ object UrlOps {
   }, ordered)(col("doc_id"))
 
   // ---------------------------------------------------------------
+  // E71: robots.txt filter (RFC 9309)
+  // ---------------------------------------------------------------
+
+  /** One robots rule compiled for matching: the verbatim pattern, its
+    * byte length (the RFC 9309 precedence key), allow/disallow, and
+    * the anchored regex the pattern translates to (`*` → `.*`, a
+    * trailing `$` anchors, everything else literal).
+    */
+  final case class RobotsRule(pattern: String, len: Int, allow: Int,
+      re: String)
+
+  private def compileRule(pat: String, allow: Boolean): RobotsRule = {
+    val anchored = pat.endsWith("$")
+    val body = if (anchored) pat.dropRight(1) else pat
+    val re = "^" + body.flatMap {
+      case '*' => ".*"
+      case c if "\\.[]{}()<>+-=!?^$|".indexOf(c) >= 0 => "\\" + c
+      case c => c.toString
+    } + (if (anchored) "$" else "")
+    RobotsRule(pat, pat.length, if (allow) 1 else 0, re)
+  }
+
+  /** RFC 9309 group selection + rule extraction: lines parse into
+    * user-agent groups (consecutive `User-agent:` lines share one
+    * group, `#` comments and unknown directives skip); the group for
+    * the EXACT agent (case-insensitive) wins over the `*` group; no
+    * group → everything allowed. Returns the selected group's
+    * compiled rules (empty-pattern rules drop — `Disallow:` with no
+    * value means allow-all per the RFC).
+    */
+  private[graft] def parseRobots(text: String, agent: String): Seq[RobotsRule] = {
+    final case class Group(agents: Seq[String], rules: Seq[RobotsRule])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var curAgents = List.empty[String]
+    var curRules = List.empty[RobotsRule]
+    var inAgents = false
+    def flush(): Unit = {
+      if (curAgents.nonEmpty) groups += Group(curAgents.reverse, curRules.reverse)
+      curAgents = Nil; curRules = Nil
+    }
+    text.split("\n", -1).foreach { line0 =>
+      val line = line0.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgents) flush()
+            curAgents ::= value.toLowerCase(java.util.Locale.ROOT)
+            inAgents = true
+          case "allow" | "disallow" =>
+            inAgents = false
+            if (value.nonEmpty && curAgents.nonEmpty)
+              curRules ::= compileRule(value, key == "allow")
+          case _ => inAgents = false
+        }
+      }
+    }
+    flush()
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    groups.find(_.agents.contains(a))
+      .orElse(groups.find(_.agents.contains("*")))
+      .map(_.rules).getOrElse(Seq.empty)
+  }
+
+  /** Deterministic planted robots.txt per host index: an `otherbot`
+    * group that would deny everything (group selection must skip it),
+    * a `graftbot` group with a prefix disallow, a LONGER allow carved
+    * out of it, a `$`-anchored disallow and a `*` wildcard disallow,
+    * and a `*` group disallowing the very prefix the graftbot paths
+    * use for their no-match branch — an evaluator that falls back to
+    * `*` despite a matching agent group flips that branch's verdict.
+    */
+  private[graft] def robotsPayload(h: Long): String =
+    s"""# planted robots for site$h
+       |User-agent: otherbot
+       |Disallow: /
+       |
+       |User-agent: graftbot
+       |Disallow: /d$h/
+       |Allow: /d$h/open
+       |Disallow: /priv$$
+       |Disallow: /w*z
+       |
+       |User-agent: *
+       |Disallow: /ok/""".stripMargin
+
+  /** The planted request path per doc (one residue per matcher
+    * branch): prefix-denied, allow-overrides-shorter-disallow,
+    * no-match (which also proves group selection), `$`-anchored
+    * exact, and wildcard.
+    */
+  private[graft] def robotsPath(id: Long): String = (id % 5) match {
+    case 0 => s"/d${id % 7}/x$id"
+    case 1 => s"/d${id % 7}/open$id"
+    case 2 => s"/ok/p$id"
+    case 3 => "/priv"
+    case _ => s"/w${id}z"
+  }
+
+  /** E71 gated query: ROBOTS.TXT FILTERING (RFC 9309) — the
+    * politeness gate a crawler applies BEFORE E70's rate throttle
+    * ever sees a request: each host's robots file parses once
+    * (per-host rules are a tiny broadcast relation — at 100 TB the
+    * rules side is #hosts-bounded and the corpus never shuffles),
+    * and every request path evaluates the selected agent group's
+    * rules with the RFC precedence — longest pattern wins, Allow
+    * wins length ties, no match means allow. The match itself is a
+    * per-row array fold over ≤|rules| compiled regexes: ZERO corpus
+    * shuffle, no per-rule explode.
+    */
+  def docRobotsFilter(t: Tables, agent: String = "graftbot",
+      ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val hosts = (0L until 7L).map { h =>
+      (s"site$h.example.com",
+        parseRobots(robotsPayload(h), agent).map(r =>
+          (r.pattern, r.len, r.allow, r.re)))
+    }
+    val rules = hosts.toDF("host", "rules")
+    val reqs = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, s"site${id % 7}.example.com", robotsPath(id))))
+      .toDF("doc_id", "host", "path")
+    reqs.join(broadcast(rules), Seq("host"))
+      .withColumn("best", expr(
+        """aggregate(
+          |  filter(rules, r -> path rlike r._4),
+          |  named_struct('len', -1, 'allow', 1, 'pat', cast(null as string)),
+          |  (acc, r) -> if(r._2 > acc.len or (r._2 = acc.len and r._3 > acc.allow),
+          |    named_struct('len', r._2, 'allow', r._3, 'pat', r._1), acc))""".stripMargin))
+      .select(col("doc_id"), col("host"), col("path"),
+        col("best.pat").as("rule"),
+        when(col("best.len") < 0, lit(null).cast("long"))
+          .otherwise(col("best.len").cast("long")).as("rule_len"),
+        col("best.allow").cast("int").as("allow"))
+  }, ordered)(col("doc_id"))
+
+  // ---------------------------------------------------------------
+  // E72: charset sniffing (the byte→text custody step)
+  // ---------------------------------------------------------------
+
+  /** Strict UTF-8 validation + code-point count in one scan (RFC 3629
+    * — the modern table: 1–4 byte sequences only, continuation bytes
+    * 80..BF, overlongs rejected by minimum-lead constraints, CESU
+    * surrogate halves ED A0..BF rejected, nothing above U+10FFFF,
+    * truncated tails rejected). Returns the code-point count, or -1
+    * if the bytes are not valid UTF-8.
+    */
+  private[graft] def utf8Chars(b: Array[Byte]): Long = {
+    var i = 0
+    var n = 0L
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      val need =
+        if (c < 0x80) 0
+        else if (c >= 0xc2 && c <= 0xdf) 1
+        else if (c >= 0xe0 && c <= 0xef) 2
+        else if (c >= 0xf0 && c <= 0xf4) 3
+        else return -1L // C0/C1 overlong leads, F5+ out of range, bare continuation
+      if (need > 0 && i + need >= b.length) return -1L // truncated tail
+      var k = 1
+      while (k <= need) {
+        val cc = b(i + k) & 0xff
+        if (cc < 0x80 || cc > 0xbf) return -1L
+        // minimum-value / range constraints on the FIRST continuation
+        if (k == 1) {
+          if (c == 0xe0 && cc < 0xa0) return -1L      // overlong 3-byte
+          if (c == 0xed && cc > 0x9f) return -1L      // surrogate half
+          if (c == 0xf0 && cc < 0x90) return -1L      // overlong 4-byte
+          if (c == 0xf4 && cc > 0x8f) return -1L      // above U+10FFFF
+        }
+        k += 1
+      }
+      i += need + 1
+      n += 1L
+    }
+    n
+  }
+
+  /** E72 core: sniff ONE payload — BOM-tagged UTF-8, plain UTF-8, or
+    * the Latin-1 fallback (every byte string is valid Latin-1, so the
+    * fallback is total: n_chars = n_bytes). The custody rule a crawl
+    * ingest applies before ANY text operator sees the bytes: decoding
+    * rotted UTF-8 as UTF-8 manufactures replacement garbage that then
+    * flows through dedup/quality silently.
+    */
+  private[graft] def sniffCharset(b: Array[Byte]): (String, Long, Long) = {
+    val hasBom = b.length >= 3 && (b(0) & 0xff) == 0xef &&
+      (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf
+    val body = if (hasBom) java.util.Arrays.copyOfRange(b, 3, b.length) else b
+    val n = utf8Chars(body)
+    if (n >= 0 && hasBom) ("utf-8-bom", b.length.toLong, n)
+    else if (n >= 0) ("utf-8", b.length.toLong, n)
+    else ("latin-1", b.length.toLong, b.length.toLong)
+  }
+
+  /** E72 public boundary: charset custody over ANY (doc_id, payload)
+    * relation — one narrow stateless pass.
+    */
+  def docCharsetSniff(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val (cs, nb, nc) = sniffCharset(Option(b).getOrElse(Array.emptyByteArray))
+        (id, cs, nb, nc)
+      })
+      .toDF("doc_id", "charset", "n_bytes", "n_chars")
+  }
+
+  /** Planted byte payload per doc_id — one residue per validator
+    * branch: pure ASCII, 2/3/4-byte sequences, a BOM, and the five
+    * rejection classes (overlong lead, bare continuation, truncated
+    * tail, surrogate half, above-range) that must each fall back to
+    * Latin-1. The ASCII stem length varies with doc_id so n_bytes and
+    * n_chars are per-document formulas, not constants.
+    */
+  private[graft] def charsetPayload(id: Long): Array[Byte] = {
+    val stem = (0 until (4 + (id % 11)).toInt)
+      .map(i => ('a' + ((id + i) % 26)).toByte).toArray
+    val extra: Array[Int] = (id % 9) match {
+      case 0 => Array()                            // pure ASCII
+      case 1 => Array(0xc2, 0xa2)                  // U+00A2, 2-byte
+      case 2 => Array(0xe2, 0x82, 0xac)            // U+20AC, 3-byte
+      case 3 => Array(0xf0, 0x9f, 0x92, 0x96)      // U+1F496, 4-byte
+      case 4 => Array(0xc0, 0xaf)                  // overlong → latin-1
+      case 5 => Array(0x80)                        // bare continuation → latin-1
+      case 6 => Array(0xe2, 0x82)                  // truncated tail → latin-1
+      case 7 => Array(0xed, 0xa0, 0x80)            // surrogate half → latin-1
+      case _ => Array(0xf4, 0x90, 0x80, 0x80)      // > U+10FFFF → latin-1
+    }
+    val bom: Array[Int] = if (id % 2 == 0 && id % 9 <= 3) Array(0xef, 0xbb, 0xbf) else Array()
+    (bom ++ stem.map(_.toInt & 0xff) ++ extra).map(_.toByte)
+  }
+
+  /** E72 gated query: the planted byte corpus through
+    * [[docCharsetSniff]].
+    */
+  def docCharsetSniffGated(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, charsetPayload(id))))
+      .toDF("doc_id", "payload")
+    docCharsetSniff(spark, payloads)
+  }, ordered)(col("doc_id"))
+
+  // ---------------------------------------------------------------
   // E69: host-graph centrality (PageRank on the integer lattice)
   // ---------------------------------------------------------------
 

@@ -89,6 +89,90 @@ class UrlOpsSpec extends SparkSpec {
       Seq((0L, "not_html", null)))
   }
 
+  // ----- E71 robots.txt edges -----
+
+  private def robotsBest(rules: Seq[UrlOps.RobotsRule], path: String):
+      (Int, Int, String) =
+    rules.filter(r =>
+        java.util.regex.Pattern.compile(r.re).matcher(path).find())
+      .foldLeft((-1, 1, null: String)) { (acc, r) =>
+        if (r.len > acc._1 || (r.len == acc._1 && r.allow > acc._2))
+          (r.len, r.allow, r.pattern)
+        else acc
+      }
+
+  test("robots: exact agent group beats *, other agents' groups are ignored; no group → allow-all") {
+    val mine = UrlOps.parseRobots(UrlOps.robotsPayload(3), "graftbot")
+    assert(mine.map(_.pattern) == Seq("/d3/", "/d3/open", "/priv$", "/w*z"))
+    val star = UrlOps.parseRobots(UrlOps.robotsPayload(3), "unknownbot")
+    assert(star.map(_.pattern) == Seq("/ok/"))
+    assert(UrlOps.parseRobots("# empty file\n", "graftbot").isEmpty)
+  }
+
+  test("robots: $ anchors exactly, Allow wins length ties, empty Disallow drops, comments strip, agent case-insensitive") {
+    val txt =
+      """User-agent: GRAFTBOT
+        |Disallow: /a$
+        |Allow: /b # trailing comment
+        |Disallow: /b
+        |Disallow:
+        |Disallow: /c*d$
+        |""".stripMargin
+    val rules = UrlOps.parseRobots(txt, "graftbot")
+    assert(rules.map(_.pattern) == Seq("/a$", "/b", "/b", "/c*d$"))
+    assert(robotsBest(rules, "/a") == ((3, 0, "/a$")), "$ must match the exact path")
+    assert(robotsBest(rules, "/ax")._3 == null, "$ must not match a longer path")
+    assert(robotsBest(rules, "/b/x") == ((2, 1, "/b")), "Allow wins the length tie")
+    assert(robotsBest(rules, "/cXYd") == ((5, 0, "/c*d$")), "wildcard spans, $ still anchors")
+    assert(robotsBest(rules, "/cXYdZ")._3 == null, "anchored wildcard must not match past the end")
+  }
+
+  test("robots: regex metacharacters in patterns are literal") {
+    val rules = UrlOps.parseRobots(
+      "User-agent: graftbot\nDisallow: /p?q=(1)\n", "graftbot")
+    assert(robotsBest(rules, "/p?q=(1)x")._2 == 0, "the literal path must match")
+    assert(robotsBest(rules, "/pq1")._3 == null, "metacharacters must not act as regex")
+  }
+
+  // ----- E72 charset custody -----
+
+  test("charset sniff: validator agrees with the JDK strict decoder on random and mutated payloads") {
+    val rnd = new scala.util.Random(42)
+    val seeds: Seq[Array[Byte]] = Seq(
+      "plain ascii".getBytes("UTF-8"),
+      "café € 💖".getBytes("UTF-8"),
+      Array.fill(8)(rnd.nextInt(256).toByte))
+    val cases = (0 until 3000).map { _ =>
+      val base = seeds(rnd.nextInt(seeds.length)).clone()
+      // mutate 0-2 random bytes, sometimes truncate
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte }
+      if (rnd.nextBoolean()) base.take(1 + rnd.nextInt(base.length)) else base
+    }
+    cases.foreach { b =>
+      val mine = graft.operators.UrlOps.utf8Chars(b)
+      val jdk: Long =
+        try {
+          val s = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .decode(java.nio.ByteBuffer.wrap(b)).toString
+          s.codePointCount(0, s.length).toLong
+        } catch { case _: java.nio.charset.CharacterCodingException => -1L }
+      assert(mine == jdk,
+        s"validator=${mine} jdk=${jdk} on ${b.map(x => f"${x & 0xff}%02x").mkString(" ")}")
+    }
+  }
+
+  test("charset sniff: BOM custody and degenerate payloads") {
+    import graft.operators.UrlOps.sniffCharset
+    val bom = Array(0xef, 0xbb, 0xbf).map(_.toByte)
+    assert(sniffCharset(bom ++ "hi".getBytes("UTF-8")) == (("utf-8-bom", 5L, 2L)))
+    // BOM followed by rot: the whole payload falls back to latin-1
+    assert(sniffCharset(bom ++ Array(0x80.toByte)) == (("latin-1", 4L, 4L)))
+    assert(sniffCharset(Array.emptyByteArray) == (("utf-8", 0L, 0L)))
+    assert(sniffCharset(Array(0xef, 0xbb).map(_.toByte)) == (("latin-1", 2L, 2L)),
+      "a 2-byte BOM prefix is not a BOM")
+  }
+
   // ----- E69 PageRank lattice laws -----
 
   test("host rank: integer-lattice mass conservation and positivity") {
