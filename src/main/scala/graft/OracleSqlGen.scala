@@ -5114,6 +5114,41 @@ object OracleSqlGen {
       |FROM d
       |ORDER BY doc_id""".stripMargin
 
+  /** E73: the composed intake funnel — every stage verdict re-derived
+    * from its own plant's formula (robots residues, throttle ranks,
+    * HTML envelope, charset residues) and rolled up per host.
+    */
+  def crawlIntakeFunnel(maxPerWindow: Int = 3, windowSec: Int = 60): String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    'site' || (doc_id % 7) || '.example.com' AS host,
+       |    (doc_id * 37) % 600 AS ts_s
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, host, ts_s, ts_s - ts_s % $windowSec AS win_s FROM r),
+       |k AS (
+       |  SELECT doc_id, host,
+       |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY host, win_s
+       |      ORDER BY ts_s, doc_id) <= $maxPerWindow THEN 1 ELSE 0 END AS sched_ok
+       |  FROM w),
+       |b AS (
+       |  SELECT doc_id, host, sched_ok,
+       |    CASE WHEN doc_id % 5 IN (1, 2) THEN 1 ELSE 0 END AS robots_ok,
+       |    CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END AS html_ok,
+       |    CASE WHEN doc_id % 9 <= 3 THEN 1 ELSE 0 END AS utf8_ok
+       |  FROM k)
+       |SELECT host, COUNT(*) AS n_reqs,
+       |  CAST(SUM(robots_ok) AS BIGINT) AS n_robots_ok,
+       |  CAST(SUM(sched_ok) AS BIGINT) AS n_sched_ok,
+       |  CAST(SUM(robots_ok*sched_ok) AS BIGINT) AS n_fetch_ok,
+       |  CAST(SUM(robots_ok*sched_ok*html_ok) AS BIGINT) AS n_extracted,
+       |  CAST(SUM(utf8_ok) AS BIGINT) AS n_utf8,
+       |  floor(CAST(SUM(robots_ok*sched_ok*html_ok) AS DOUBLE) / COUNT(*)
+       |    * 1000000 + 0.5) / 1000000 AS yield_r
+       |FROM b
+       |GROUP BY host
+       |ORDER BY host""".stripMargin
+
   /** E69: damped PageRank on the planted host graph, replayed on the
     * same 10⁻⁶ integer lattice as the Spark side (`//` everywhere a
     * float would make the sum order observable), one MATERIALIZED CTE

@@ -265,6 +265,7 @@ object SparkEntry {
     "doc_host_throttle"    -> q(UrlOps.docHostThrottle(_, ordered = true)), // E70 per-host fetch throttle (crawl politeness, r15)
     "doc_robots_filter"    -> q(UrlOps.docRobotsFilter(_, ordered = true)), // E71 RFC 9309 robots.txt filtering (r15)
     "doc_charset_sniff"    -> q(UrlOps.docCharsetSniffGated(_, ordered = true)), // E72 UTF-8/Latin-1 charset custody (r15)
+    "crawl_intake_funnel"  -> q(UrlOps.crawlIntakeFunnel(_, ordered = true)), // E73 composed robots→throttle→extract→charset funnel (r15)
     "text_collocations"    -> q(TextOps.textCollocations(_)),
     "doc_curate"           -> q(TextOps.docCurate(_, ordered = true)),
     "doc_curate_explain"   -> q(TextOps.docCurateExplain(_)),
@@ -2109,6 +2110,7 @@ object SparkEntry {
     "doc_host_throttle"     -> OracleSqlGen.docHostThrottle(),
     "doc_robots_filter"     -> OracleSqlGen.docRobotsFilter(),
     "doc_charset_sniff"     -> OracleSqlGen.docCharsetSniff(),
+    "crawl_intake_funnel"   -> OracleSqlGen.crawlIntakeFunnel(),
     "text_collocations"     -> OracleSqlGen.textCollocations(5, 20),
     "doc_curate"            -> OracleSqlGen.docCurate(0.5),
     "doc_curate_explain"    -> OracleSqlGen.docCurateExplain(0.5),

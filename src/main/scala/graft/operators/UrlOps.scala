@@ -693,6 +693,48 @@ object UrlOps {
   }, ordered)(col("doc_id"))
 
   // ---------------------------------------------------------------
+  // E73: the composed crawl-intake funnel
+  // ---------------------------------------------------------------
+
+  /** E73 gated query: the CRAWL-INTAKE FUNNEL — the per-host
+    * dataset-card a crawl operator reads after one intake cycle,
+    * computed by running the REAL stage operators end to end and
+    * joining their verdicts per document (the E14/E52 composed-
+    * pipeline discipline applied to the r15 crawl stack): robots
+    * gate (E71) → politeness throttle (E70) → HTML extraction
+    * envelope (E64) → charset custody (E72). `n_fetch_ok` is the
+    * requests BOTH politeness gates pass, `n_extracted` those that
+    * also parse as HTML; `yield_r` = extracted/requests is the
+    * number that tells you what a crawl cycle actually bought.
+    * Scale: four doc_id-keyed joins (co-partitioned at deploy) into
+    * one #hosts rollup.
+    */
+  def crawlIntakeFunnel(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val robots = docRobotsFilter(t)
+      .select(col("doc_id"), col("host"), col("allow").as("robots_ok"))
+    val sched = docHostThrottle(t)
+      .select(col("doc_id"), col("allow").as("sched_ok"))
+    val html = TextOps.docHtmlExtract(t)
+      .select(col("doc_id"),
+        (col("status") === "ok").cast("int").as("html_ok"))
+    val charset = docCharsetSniffGated(t)
+      .select(col("doc_id"),
+        (col("charset") =!= "latin-1").cast("int").as("utf8_ok"))
+    robots.join(sched, "doc_id").join(html, "doc_id").join(charset, "doc_id")
+      .withColumn("fetch_ok", col("robots_ok") * col("sched_ok"))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_reqs"),
+        sum(col("robots_ok").cast("long")).as("n_robots_ok"),
+        sum(col("sched_ok").cast("long")).as("n_sched_ok"),
+        sum(col("fetch_ok").cast("long")).as("n_fetch_ok"),
+        sum((col("fetch_ok") * col("html_ok")).cast("long")).as("n_extracted"),
+        sum(col("utf8_ok").cast("long")).as("n_utf8"),
+        r6(sum((col("fetch_ok") * col("html_ok")).cast("long"))
+          .cast("double") / count(lit(1))).as("yield_r"))
+  }, ordered)(col("host"))
+
+  // ---------------------------------------------------------------
   // E69: host-graph centrality (PageRank on the integer lattice)
   // ---------------------------------------------------------------
 
