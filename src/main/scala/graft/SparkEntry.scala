@@ -402,6 +402,7 @@ object SparkEntry {
     "mm_feature_extract_jpeg_color" -> q(Multimodal.mmFeatureExtractJpegColor(_, ordered = true)), // REAL 4:2:0 color JPEG decode (r13), oracle-gated
     "mm_feature_extract_jpeg_dri" -> q(Multimodal.mmFeatureExtractJpegDri(_, ordered = true)), // DRI restart-interval color JPEGs (r14), oracle-gated
     "mm_feature_extract_jpeg_422" -> q(Multimodal.mmFeatureExtractJpeg422(_, ordered = true)), // F26 4:2:2 (Y 2×1) color JPEGs (r15), oracle-gated
+    "mm_feature_extract_jpeg_440" -> q(Multimodal.mmFeatureExtractJpeg440(_, ordered = true)), // F28 4:4:0 (Y 1×2) color JPEGs (r15), oracle-gated
     "mm_feature_extract_jpeg_prog" -> q(Multimodal.mmFeatureExtractJpegProg(_, ordered = true)), // PROGRESSIVE (SOF2) color JPEGs (r14), oracle-gated
     "mm_wav_features"      -> q(Multimodal.mmWavFeatures(_, ordered = true)), // REAL RIFF/WAVE PCM decode (r11), oracle-gated
     "mm_channel_hist"      -> q(Multimodal.mmChannelHist(_, ordered = true)),
@@ -2476,6 +2477,38 @@ object SparkEntry {
         |    CAST(SUM(b2) AS BIGINT) AS sb
         |  FROM px GROUP BY doc_id, width, height)
         |SELECT doc_id, 'JPEG422' AS format, width, height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  floor((CAST(64*sr AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_r_r6,
+        |  floor((CAST(64*sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,
+        |  floor((CAST(64*sb AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_b_r6
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // F28: the 4:4:0 corpus is F26's transpose — chroma resolves at
+    // (by//2)·(w/8)+bx, dims swap roles
+    "mm_feature_extract_jpeg_440" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8*(1 + (doc_id * 7) % 3) AS INTEGER) AS width,
+        |    CAST(16*(1 + doc_id % 2) AS INTEGER) AS height
+        |  FROM documents),
+        |b AS (SELECT doc_id, width, height,
+        |    unnest(range((width // 8) * (height // 8))) AS bi FROM d),
+        |c AS (SELECT doc_id, width, height, bi,
+        |    bi % (width // 8) AS bx, bi // (width // 8) AS by FROM b),
+        |v AS (SELECT doc_id, width, height,
+        |    (doc_id*31 + bi*7) % 256 AS yv,
+        |    (doc_id*17 + ((by // 2) * (width // 8) + bx) * 11) % 256 AS cb,
+        |    (doc_id*23 + ((by // 2) * (width // 8) + bx) * 5) % 256 AS cr
+        |  FROM c),
+        |px AS (SELECT doc_id, width, height,
+        |    GREATEST(0, LEAST(255, CAST(floor(yv + 1.402*(cr - 128) + 0.5) AS BIGINT))) AS r,
+        |    GREATEST(0, LEAST(255, CAST(floor(yv - 0.344136*(cb - 128) - 0.714136*(cr - 128) + 0.5) AS BIGINT))) AS g,
+        |    GREATEST(0, LEAST(255, CAST(floor(yv + 1.772*(cb - 128) + 0.5) AS BIGINT))) AS b2
+        |  FROM v),
+        |s AS (SELECT doc_id, width, height,
+        |    CAST(SUM(r) AS BIGINT) AS sr, CAST(SUM(g) AS BIGINT) AS sg,
+        |    CAST(SUM(b2) AS BIGINT) AS sb
+        |  FROM px GROUP BY doc_id, width, height)
+        |SELECT doc_id, 'JPEG440' AS format, width, height,
         |  CAST(3 AS INTEGER) AS channels,
         |  floor((CAST(64*sr AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_r_r6,
         |  floor((CAST(64*sg AS DOUBLE)/(width*height))*1000000 + 0.5)/1000000 AS mean_g_r6,

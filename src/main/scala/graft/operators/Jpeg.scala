@@ -451,7 +451,8 @@ object Jpeg {
           val hv = comps.map(c => (c.hs, c.vs)).toSeq
           val ok = hv.forall(_ == ((1, 1))) ||
             (nf == 3 && (hv == Seq((2, 2), (1, 1), (1, 1)) ||
-              hv == Seq((2, 1), (1, 1), (1, 1))))
+              hv == Seq((2, 1), (1, 1), (1, 1)) ||
+              hv == Seq((1, 2), (1, 1), (1, 1))))
           if (!ok || comps.exists(_.tq > 3)) return None
         case 0xc4 =>
           var p = body
@@ -1281,6 +1282,73 @@ object Jpeg {
         while (bx < 2) { // 2 luma blocks side by side within the MCU
           predY = writeDc(yBlocks(my * bw0 + (mx * 2 + bx)), predY)
           bx += 1
+        }
+        predCb = writeDc(cbBlocks(my * cw + mx), predCb)
+        predCr = writeDc(crBlocks(my * cw + mx), predCr)
+        mx += 1
+      }
+      my += 1
+    }
+    out.write(bw.finish())
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** [[encodeBlocksColor422]]'s transpose — 4:4:0 (Y 1×2) sampling:
+    * the MCU is 8×16, carries TWO luma blocks stacked vertically and
+    * one chroma pair, each chroma block covering the full MCU so
+    * replication is VERTICAL only.
+    */
+  private[graft] def encodeBlocksColor440(w: Int, h: Int, yBlocks: Array[Int],
+      cbBlocks: Array[Int], crBlocks: Array[Int]): Array[Byte] = {
+    require(w % 8 == 0 && h % 16 == 0, "4:4:0 corpus uses multiple-of-(8,16) dims")
+    val bw0 = w / 8
+    val cw = w / 8
+    require(yBlocks.length == bw0 * (h / 8), "luma block count mismatch")
+    require(cbBlocks.length == cw * (h / 16) && crBlocks.length == cbBlocks.length,
+      "chroma block count mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1)) // DQT id 0 (luma)
+    seg(0xdb, Array(0x01) ++ Array.fill(64)(1)) // DQT id 1 (chroma)
+    // SOF0: Y 1×2 sampling quant 0, Cb/Cr 1×1 quant 1
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      3, 1, 0x12, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    seg(0xc4, Array(0x00) ++ dcBits ++ (0 to 11).toArray) // DC id 0
+    seg(0xc4, Array(0x10) ++ acBits ++ Array(0x00))       // AC id 0
+    seg(0xc4, Array(0x01) ++ dcBits ++ (0 to 11).toArray) // DC id 1
+    seg(0xc4, Array(0x11) ++ acBits ++ Array(0x00))       // AC id 1
+    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val bw = new BitWriter
+    var predY = 0
+    var predCb = 0
+    var predCr = 0
+    def writeDc(cval: Int, pred: Int): Int = {
+      val dc = 8 * (cval - 128)
+      val diff = dc - pred
+      val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      bw.write(t, 4)
+      if (t > 0) bw.write(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      bw.write(0, 1) // EOB
+      dc
+    }
+    var my = 0
+    while (my < h / 16) {
+      var mx = 0
+      while (mx < w / 8) {
+        var by = 0
+        while (by < 2) { // 2 luma blocks stacked within the MCU
+          predY = writeDc(yBlocks((my * 2 + by) * bw0 + mx), predY)
+          by += 1
         }
         predCb = writeDc(cbBlocks(my * cw + mx), predCb)
         predCr = writeDc(crBlocks(my * cw + mx), predCr)

@@ -536,6 +536,7 @@ object Multimodal {
             if (img.channels != 3) "JPEG8G"
             else img.samp match {
               case 0x21 => "JPEG422"
+              case 0x12 => "JPEG440"
               case 0x11 => "JPEG444"
               case _ => "JPEG420"
             }
@@ -615,6 +616,37 @@ object Multimodal {
     import spark.implicits._
     val payloads = t.documents.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, jpegColor422Bytes(id)))).toDF("doc_id", "payload")
+    mmDecodeJpegColorPayloads(spark, payloads)
+  }, ordered)(col("doc_id"))
+
+  /** Deterministic 4:4:0 color JPEG per doc_id — [[jpegColor422Bytes]]
+    * TRANSPOSED to Y 1×2 sampling: dims 8·(1+(id·7)%3) ×
+    * 16·(1+id%2), the 8×16 MCU stacks two luma blocks VERTICALLY and
+    * each chroma block covers the whole MCU, so replication is
+    * vertical only — a decoder that walks the 4:2:2 interleave or
+    * replicates horizontally decodes wrong pixels and hash-fails per
+    * document. Luma block (bx,by) resolves chroma at
+    * (by/2)·(w/8)+bx.
+    */
+  private[graft] def jpegColor440Bytes(docId: Long): Array[Byte] = {
+    val w = (8 * (1 + (docId * 7) % 3)).toInt
+    val h = (16 * (1 + docId % 2)).toInt
+    val nb = (w / 8) * (h / 8)
+    val nc = (w / 8) * (h / 16)
+    Jpeg.encodeBlocksColor440(w, h,
+      Array.tabulate(nb)(b => ((docId * 31 + b * 7L) % 256L).toInt),
+      Array.tabulate(nc)(c => ((docId * 17 + c * 11L) % 256L).toInt),
+      Array.tabulate(nc)(c => ((docId * 23 + c * 5L) % 256L).toInt))
+  }
+
+  /** F28: feature extract over REAL 4:4:0 COLOR JPEG payloads — the
+    * vertical sibling of F26; the format tag must come back JPEG440.
+    */
+  def mmFeatureExtractJpeg440(t: Tables, ordered: Boolean = false): DataFrame = maybeSort({
+    val spark = t.spark
+    import spark.implicits._
+    val payloads = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, jpegColor440Bytes(id)))).toDF("doc_id", "payload")
     mmDecodeJpegColorPayloads(spark, payloads)
   }, ordered)(col("doc_id"))
 

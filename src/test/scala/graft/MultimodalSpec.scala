@@ -439,10 +439,11 @@ class MultimodalSpec extends SparkSpec {
       assert(img.b(i) == clampF(yv + 1.772 * (cb - 128)), s"B($x,$y)")
     }
     // the remaining exotic samplings stay quarantined (JPEG has no
-    // CRC, so this is the pure envelope check on the SOF byte)
+    // CRC, so this is the pure envelope check on the SOF byte);
+    // 0x12 left this list in r15 — 4:4:0 is in-envelope (F28)
     val sof = (0 until bytes.length - 1).find(i => (bytes(i) & 0xff) == 0xff &&
       (bytes(i + 1) & 0xff) == 0xc0).get
-    for (samp <- Seq(0x12, 0x41, 0x42, 0x31, 0x24)) {
+    for (samp <- Seq(0x41, 0x42, 0x31, 0x24)) {
       val hacked = bytes.clone()
       hacked(sof + 4 + 7) = samp.toByte
       assert(Jpeg.parseColor(hacked).isEmpty,
@@ -453,6 +454,39 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.mmDecodeJpegColorPayloads(spark,
       Seq((1L, bytes)).toDF("doc_id", "payload")).collect()
     assert(out(0).getString(1) == "JPEG422")
+  }
+
+  test("JPEG 4:4:0: vertical-only chroma replication round-trips positionally; boundary tags JPEG440") {
+    import graft.operators.Jpeg
+    val (w, h) = (16, 32)
+    val bw0 = w / 8
+    val cw = w / 8
+    val yB = Array.tabulate(bw0 * (h / 8))(b => (b * 53 + 9) % 256)
+    val cbB = Array.tabulate(cw * (h / 16))(c => (c * 37 + 40) % 256)
+    val crB = Array.tabulate(cw * (h / 16))(c => (c * 29 + 90) % 256)
+    val bytes = Jpeg.encodeBlocksColor440(w, h, yB, cbB, crB)
+    val img = Jpeg.parseColor(bytes).getOrElse(fail("planted 4:4:0 must parse"))
+    assert(img.channels == 3 && img.samp == 0x12)
+    def clampF(x: Double) = {
+      val v = math.floor(x + 0.5).toInt
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+    // positional: each pixel's chroma comes from its 8×16 MCU — a
+    // decoder that also replicates horizontally (the 4:2:0 habit) or
+    // stacks the luma interleave in the 4:2:2 order fails these pins
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = (y / 8) * bw0 + (x / 8)
+      val c = (y / 16) * cw + (x / 8)
+      val (yv, cb, cr) = (yB(b), cbB(c), crB(c))
+      val i = y * w + x
+      assert(img.r(i) == clampF(yv + 1.402 * (cr - 128)), s"R($x,$y)")
+      assert(img.g(i) == clampF(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), s"G($x,$y)")
+      assert(img.b(i) == clampF(yv + 1.772 * (cb - 128)), s"B($x,$y)")
+    }
+    import spark.implicits._
+    val out = Multimodal.mmDecodeJpegColorPayloads(spark,
+      Seq((1L, bytes)).toDF("doc_id", "payload")).collect()
+    assert(out(0).getString(1) == "JPEG440")
   }
 
   test("DRI restart intervals: RSTn resync + predictor resets decode DC-exactly; wrong sequence, missing marker, and markers without DRI all quarantine") {
