@@ -1096,7 +1096,8 @@ object Dedup {
     * the round's own job, loud failure if maxIter is too small.
     */
   private[graft] def clusterPairs(edges: DataFrame, universe: DataFrame,
-      maxIter: Int, opName: String, ordered: Boolean): DataFrame = {
+      maxIter: Int, opName: String, ordered: Boolean,
+      releaseEdges: Boolean = true): DataFrame = {
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
@@ -1143,7 +1144,7 @@ object Dedup {
     // runtime bound the caller raises for long-chain corpora.
     if (!converged) {
       releaseCheckpoint(labels)
-      releaseCheckpoint(edges)
+      if (releaseEdges) releaseCheckpoint(edges)
       throw new IllegalStateException(
         s"$opName did not converge in $maxIter rounds " +
           "(component diameter exceeds maxIter; raise maxIter)")
@@ -1156,7 +1157,7 @@ object Dedup {
       ordered)(col("doc_id"))
     val outCk = stableCheckpoint(out)
     releaseCheckpoint(labels)
-    releaseCheckpoint(edges)
+    if (releaseEdges) releaseCheckpoint(edges)
     outCk
   }
 
@@ -1671,16 +1672,27 @@ object Dedup {
     */
   def docSplitLeakageSafe(t: Tables, trainPermille: Int = 990,
       validPermille: Int = 5, threshold: Double = 0.2,
-      seed: String = "split", ordered: Boolean = false): DataFrame = maybeSort({
+      seed: String = "split", ordered: Boolean = false): DataFrame = maybeSort(
+    splitFromClusters(docDedupClusters(t, threshold),
+      trainPermille, validPermille, seed),
+    ordered)(col("doc_id"))
+
+  /** The C33 cluster-keyed split projection over a prebuilt (doc_id,
+    * cluster) relation — shared with C34's audit so the audit builds
+    * the pair relation ONCE (it used to run the whole C5 feeder twice:
+    * once for its cross-count pairs, once inside docDedupClusters).
+    */
+  private def splitFromClusters(clusters: DataFrame, trainPermille: Int,
+      validPermille: Int, seed: String): DataFrame = {
     val mille = pmod(md5_60(
       concat(lit(seed), lit(":"), col("cluster").cast("string"))), lit(1000L))
-    docDedupClusters(t, threshold)
+    clusters
       .select(col("doc_id"), col("cluster"))
       .withColumn("split",
         when(mille < trainPermille, lit("train"))
           .when(mille < trainPermille + validPermille, lit("valid"))
           .otherwise(lit("test")))
-  }, ordered)(col("doc_id"))
+  }
 
   /** C34: the leakage AUDIT that justifies C33 — for each split
     * method (doc-keyed E21 vs cluster-keyed C33), the number of
@@ -1694,7 +1706,14 @@ object Dedup {
   def docSplitLeakageAudit(t: Tables, trainPermille: Int = 990,
       validPermille: Int = 5, threshold: Double = 0.2,
       seed: String = "split", ordered: Boolean = false): DataFrame = {
+    // ONE C5 pair build serves both the cross-count relation and the
+    // cluster-keyed split (clusterPairs is told not to release the
+    // shared checkpoint — the cross-count joins execute after it
+    // returns; the ≤pairs-row blocks are reclaimed on GC as usual)
     val pairs = docNgramJaccard(t, threshold).select(col("doc_a"), col("doc_b"))
+    val clusters = clusterPairs(pairs, t.documents.select(col("doc_id")),
+      maxIter = 20, opName = "doc_split_leakage_audit", ordered = false,
+      releaseEdges = false)
     def crossCount(splits: DataFrame, method: String) = pairs
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
       .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
@@ -1703,7 +1722,7 @@ object Dedup {
       .select(lit(method).as("method"), col("n_pairs"), col("n_cross_split"))
     val naive = t.documents.select(col("doc_id"),
       graft.operators.TextOps.splitColumn(trainPermille, validPermille, seed).as("split"))
-    val safe = docSplitLeakageSafe(t, trainPermille, validPermille, threshold, seed)
+    val safe = splitFromClusters(clusters, trainPermille, validPermille, seed)
       .select(col("doc_id"), col("split"))
     maybeSort(crossCount(naive, "doc_keyed")
       .unionByName(crossCount(safe, "cluster_keyed")), ordered)(col("method"))

@@ -1105,8 +1105,15 @@ object TextOps {
           .when(col("duplicate") === 1, "4_exact_dup")
           .when(col("rn") =!= 1, "5_near_dup")
           .otherwise("6_kept"))
-    val total = staged.agg(count(lit(1)).as("tot"))
-    staged.groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+    // the total is the SUM of the ≤5-row rollup — checkpoint the rollup
+    // and derive it there, instead of a second full evaluation of the
+    // staged relation (the E14 verdict pass + cluster window) for a
+    // 1-row count. Σ n_docs ≡ count(staged) because every doc lands in
+    // exactly one stage.
+    val grouped = graft.operators.Dedup.stableCheckpoint(
+      staged.groupBy(col("stage")).agg(count(lit(1)).as("n_docs")))
+    val total = grouped.agg(sum(col("n_docs")).as("tot"))
+    grouped
       .crossJoin(broadcast(total))
       .select(col("stage"), col("n_docs"),
         r6(col("n_docs").cast("double") / col("tot").cast("double")).as("share_r"))

@@ -786,9 +786,16 @@ object UrlOps {
         .union(edges.select(col("dst").as("host"))).distinct())
     val outdeg = Dedup.stableCheckpoint(
       edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
-    val nRel = nodes.agg(count(lit(1)).as("n"))
-    val r0 = Dedup.stableCheckpoint(nodes.crossJoin(broadcast(nRel))
-      .select(col("host"), expr("1000000L div n").as("r")))
+    // #hosts is ROUND-INVARIANT: one bounded driver count (a scalar,
+    // the train-once/broadcast-as-literals convention) instead of
+    // re-aggregating + broadcasting the same 1-row relation in r0 and
+    // in every round's plan (9 extra agg+broadcast jobs). Long `/` on
+    // non-negative operands is identical to SQL `div`; max(,1) only
+    // guards the divide on an edgeless corpus, where every downstream
+    // relation is empty anyway.
+    val nHosts = math.max(nodes.count(), 1L)
+    val r0 = Dedup.stableCheckpoint(
+      nodes.select(col("host"), lit(1000000L / nHosts).as("r")))
     val rFinal = (1 to rounds).foldLeft(r0) { (rk, _) =>
       val withDeg = rk.join(outdeg, rk("host") === outdeg("src"), "left")
       val dangRel = withDeg.agg(coalesce(
@@ -802,9 +809,8 @@ object UrlOps {
       val next = nodes
         .join(contribs, nodes("host") === contribs("dst"), "left")
         .crossJoin(broadcast(dangRel))
-        .crossJoin(broadcast(nRel))
         .select(col("host"), expr(
-          "(150000L div n) + (850000L * (coalesce(sv, 0L) + (dang div n))) div 1000000L")
+          s"${150000L / nHosts}L + (850000L * (coalesce(sv, 0L) + (dang div ${nHosts}L))) div 1000000L")
           .as("r"))
       val chk = Dedup.stableCheckpoint(next)
       Dedup.releaseCheckpoint(rk)
