@@ -1181,7 +1181,9 @@ object Dedup {
       .select(col("doc_id"), col("cluster"))
     val qual = TextOps.withQuality(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("quality_score"))
-    val scored = clusters.join(qual, "doc_id")
+    // scored feeds the keeper window AND the join-back — checkpoint it
+    // so the E2 quality regex pass over the corpus runs once, not twice
+    val scored = stableCheckpoint(clusters.join(qual, "doc_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)

@@ -158,7 +158,9 @@ object Multimodal {
     val sizes = t.documents
       .select(col("doc_id"),
         octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
-    val scored = clusters.join(sizes, "doc_id")
+    // scored feeds the keeper window AND the join-back — checkpoint it
+    // so the payload byte scan runs once, not twice
+    val scored = graft.operators.Dedup.stableCheckpoint(clusters.join(sizes, "doc_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
       .orderBy(col("n_bytes").desc, col("doc_id").asc)
