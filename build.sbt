@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked Bench's compact JSON line must land on BARE stdout: sbt's
+// default output strategy logs forked stdout as "[info] {...}" (and
+// log4j stderr as "[error] ..."), which made the driver's JSON parse
+// fail two rounds running (BENCH_r14/r15 both "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
