@@ -932,6 +932,11 @@ object Dedup {
     */
   private def prefixFilterCandidates(g: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // df stays groupBy+join, NOT a gram-partitioned window: the window
+    // form was measured 2.9× SLOWER at sf0.1 (doc_ngram_jaccard 1.33 →
+    // 3.82 s) — the vocabulary has ~one group per row, and WindowExec
+    // pays a per-group buffer for millions of 1-3-row groups where the
+    // hash aggregate pays per row.
     val df = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("gram").asc)
     val prefix = g.join(df, "gram")
@@ -1018,8 +1023,12 @@ object Dedup {
             col("doc_id") < col("db"))
         .select(col("doc_id").as("doc_a"), col("db").as("doc_b"),
           bit_count(col("simhash").bitwiseXOR(col("sim2"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= maxHamming),
+        // filter before distinct — exact (hamming is a pure function
+        // of the pair's simhashes: the multi-chunk duplicate rows
+        // carry identical hamming), and the distinct's exchange then
+        // moves only qualifying pairs (guide §2.3)
+        .filter(col("hamming") <= maxHamming)
+        .distinct(),
       ordered)(col("doc_a"), col("doc_b"))
   }
 
@@ -1074,7 +1083,14 @@ object Dedup {
     }
   }
 
-  def docDedupClusters(t: Tables, threshold: Double = 0.2, maxIter: Int = 20,
+  /** Shared CC round bound: docDedupClusters' default and the C34
+    * audit's direct clusterPairs call must use the SAME bound, or the
+    * audit's cluster_keyed row would be computed from different
+    * clusters than the C33 split it audits.
+    */
+  private[graft] val DefaultCcMaxIter = 20
+
+  def docDedupClusters(t: Tables, threshold: Double = 0.2, maxIter: Int = DefaultCcMaxIter,
       ordered: Boolean = false): DataFrame =
     // edges come from the prefix-filtered jaccard join — exact pair set
     // (see docNgramJaccard), but candidate generation is df-bounded, so
@@ -1181,16 +1197,21 @@ object Dedup {
       .select(col("doc_id"), col("cluster"))
     val qual = TextOps.withQuality(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("quality_score"))
-    // scored feeds the keeper window AND the join-back — checkpoint it
-    // so the E2 quality regex pass over the corpus runs once, not twice
-    val scored = stableCheckpoint(clusters.join(qual, "doc_id"))
+    // keeper computed INSIDE the one cluster-keyed window pass (r16):
+    // the rn=1 + join-back form consumed the scored relation twice
+    // (which is what r15's checkpoint compensated for) and paid a
+    // second cluster shuffle for the join — first_value over the
+    // unbounded frame IS the rn=1 row's doc_id, attached to every row
+    // of the cluster in the same WindowExec. One scored evaluation,
+    // one shuffle, no checkpoint, no join.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)
-    val keepers = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("cluster"), col("doc_id").as("keeper"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     maybeSort(
-      scored.join(keepers, "cluster")
+      clusters.join(qual, "doc_id")
+        .withColumn("keeper", first(col("doc_id")).over(w))
         .select(col("doc_id"), col("cluster"), col("quality_score"), col("keeper"),
           (col("doc_id") === col("keeper")).cast("int").as("keep")),
       ordered)(col("doc_id"))
@@ -1714,8 +1735,8 @@ object Dedup {
     // returns; the ≤pairs-row blocks are reclaimed on GC as usual)
     val pairs = docNgramJaccard(t, threshold).select(col("doc_a"), col("doc_b"))
     val clusters = clusterPairs(pairs, t.documents.select(col("doc_id")),
-      maxIter = 20, opName = "doc_split_leakage_audit", ordered = false,
-      releaseEdges = false)
+      maxIter = DefaultCcMaxIter, opName = "doc_split_leakage_audit",
+      ordered = false, releaseEdges = false)
     def crossCount(splits: DataFrame, method: String) = pairs
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
       .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")

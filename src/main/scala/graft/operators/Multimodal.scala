@@ -79,8 +79,15 @@ object Multimodal {
             col("doc_id") < col("db"))
         .select(col("doc_id").as("doc_a"), col("db").as("doc_b"),
           bit_count(col("phash").bitwiseXOR(col("ph2"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= maxHamming),
+        // filter BEFORE distinct (guide §2.3 — shuffle fewer bytes):
+        // hamming is a pure function of the pair's two phashes, so the
+        // multi-chunk duplicate rows carry identical hamming and
+        // distinct∘filter ≡ filter∘distinct; the distinct's exchange
+        // then moves only qualifying pairs, not the full banded
+        // candidate volume (which grows ~quadratically in per-bucket
+        // density while qualifying pairs stay near-linear).
+        .filter(col("hamming") <= maxHamming)
+        .distinct(),
       ordered)(col("doc_a"), col("doc_b"))
   }
 
@@ -132,13 +139,13 @@ object Multimodal {
     */
   def mmJointDedup(t: Tables, threshold: Double = 0.2, maxHamming: Int = 4,
       maxIter: Int = 20, ordered: Boolean = false): DataFrame = {
-    val textPairs = graft.operators.Dedup.docNgramJaccard(t, threshold)
+    val textPairs = Dedup.docNgramJaccard(t, threshold)
       .select(col("doc_a"), col("doc_b"))
     val imgPairs = mmPhashPairs(t, maxHamming)
       .select(col("doc_a"), col("doc_b"))
-    val edges = graft.operators.Dedup.stableCheckpoint(
+    val edges = Dedup.stableCheckpoint(
       textPairs.unionByName(imgPairs).distinct())
-    graft.operators.Dedup.clusterPairs(edges,
+    Dedup.clusterPairs(edges,
       t.documents.select(col("doc_id")), maxIter, "mm_joint_dedup", ordered)
       .select(col("doc_id"), col("cluster"), col("is_canonical"))
   }
@@ -158,16 +165,21 @@ object Multimodal {
     val sizes = t.documents
       .select(col("doc_id"),
         octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
-    // scored feeds the keeper window AND the join-back — checkpoint it
-    // so the payload byte scan runs once, not twice
-    val scored = graft.operators.Dedup.stableCheckpoint(clusters.join(sizes, "doc_id"))
+    // keeper computed INSIDE the one cluster-keyed window pass (r16):
+    // the rn=1 + join-back form consumed the scored relation twice
+    // (which is what r15's checkpoint compensated for) and paid a
+    // second cluster shuffle for the join — first_value over the
+    // unbounded frame IS the rn=1 row's doc_id, attached to every row
+    // of the cluster in the same WindowExec. One payload byte scan,
+    // one shuffle, no checkpoint, no join.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
       .orderBy(col("n_bytes").desc, col("doc_id").asc)
-    val keepers = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("cluster"), col("doc_id").as("keeper"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     maybeSort(
-      scored.join(keepers, "cluster")
+      clusters.join(sizes, "doc_id")
+        .withColumn("keeper", first(col("doc_id")).over(w))
         .select(col("doc_id"), col("cluster"), col("n_bytes"), col("keeper"),
           (col("doc_id") === col("keeper")).cast("int").as("keep")),
       ordered)(col("doc_id"))
@@ -983,8 +995,10 @@ object Multimodal {
       .select(col("doc_id").as("doc_a"), col("frame_idx").as("fa"),
         col("db").as("doc_b"), col("fb"),
         bit_count(col("ph").bitwiseXOR(col("ph2"))).as("hamming"))
-      .distinct()
+      // filter before distinct — exact (hamming is a pure function of
+      // the frame pair); see mmPhashPairs
       .filter(col("hamming") <= maxHamming)
+      .distinct()
     maybeSort(
       pairs.groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_near_frames"),
@@ -1022,8 +1036,10 @@ object Multimodal {
           (pmod(col("db"), lit(mod)) =!= 0 || col("db") < col("da")))
       .select(col("da"), col("db"),
         bit_count(col("pha").bitwiseXOR(col("phb"))).cast("int").as("hamming"))
-      .distinct()
+      // filter before distinct — exact (hamming is a pure function of
+      // the probe/index pair); see mmPhashPairs
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .groupBy(col("da"))
       .agg(min(struct(col("hamming"), col("db"))).as("best"))
       .select(col("da").as("doc_id"),

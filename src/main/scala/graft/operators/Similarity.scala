@@ -3156,14 +3156,39 @@ object Similarity {
     val candsLay = visited1.unionByName(visited0).distinct()
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
-    // IVF: found = D4's probed-cell top-k, cands = probed cells' population
+    // IVF: found = D4's probed-cell top-k, cands = probed cells'
+    // population. ONE probed-population pass serves BOTH (r16): the
+    // leg previously ran annIvf's corpus assign+probe join AND a
+    // second corpus assign+probe join for the count — the checkpointed
+    // hits relation (≤ nQueries·nProbe·max-cell rows) is the same row
+    // set both derive from. found-equivalence: the two-stage top-k is
+    // exact for ANY partition assignment, and cos_r is the identical
+    // expression, so the ranked ids match annIvf's bit-for-bit;
+    // cands-equivalence: the hits rows ARE the probed population
+    // (cell === pcell && q_id =!= vec_id), one row per (q, probed
+    // vector, probed cell), and probed cells are distinct per query.
     val coarse = trainedCenters(t, nCells)
-    val foundI = annIvf(t, nQueries, k, nCells, nProbe)
+    val probesI = probeCellsOf(
+      e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v")), coarse, nProbe)
+      .select(col("q_id"), col("pcell"), col("v").as("qv"),
+        VectorExprs.dot(col("v"), col("v")).as("qn2"))
+    val ivfHits = Dedup.stableCheckpoint(
+      withCell(e, coarse).select(col("vec_id"), col("v"), col("n2"), col("cell"))
+        .join(broadcast(probesI),
+          col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r")))
+    val localI = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    val foundI = ivfHits
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(localI))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(beamW))
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"))
-    val candsI = withCell(e, coarse).select(col("vec_id"), col("cell"))
-      .join(broadcast(probeCells(t, coarse, nQueries, nProbe)
-        .select(col("q_id"), col("pcell"))),
-        col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+    val candsI = ivfHits
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
     // multi-table LSH at lshBits-bit buckets: found = in-bucket top-k,
     // cands = distinct union of same-bucket postings
@@ -3178,12 +3203,19 @@ object Similarity {
     val lq = postings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"),
         col("tbl").as("qtbl"), col("bucket").as("qbucket"))
-    val lhits = lcorp.join(broadcast(lq),
-      col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
-        col("q_id") =!= col("vec_id"))
-    val foundL = lhits
+    // ONE checkpointed in-bucket hit relation serves found AND cands
+    // (r16): the lazy lhits subtree re-ran the posting build (two
+    // corpus passes: capped postings + query postings) once per
+    // consumer; the hits are ≤ nQueries·lshTables·lshCap rows.
+    // Duplicate (q, vec) rows from multi-table matches carry the
+    // bit-identical cos_r (a pure function of the pair), so both
+    // consumers' distincts are unchanged.
+    val lhits = Dedup.stableCheckpoint(lcorp.join(broadcast(lq),
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+          col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r"))
+        cosineR(col("qv"), col("v"), col("qn2"), col("n2")).as("cos_r")))
+    val foundL = lhits
       .distinct()
       .withColumn("rn", row_number().over(beamW))
       .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))

@@ -1093,7 +1093,7 @@ object TextOps {
     val cur = docCurate(t, minScore)
       .select(col("doc_id"), col("quality_score"), col("low_quality"),
         col("lang_mismatch"), col("duplicate"))
-    val cl = graft.operators.Dedup.docDedupClusters(t)
+    val cl = Dedup.docDedupClusters(t)
       .select(col("doc_id"), col("cluster"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)
@@ -1105,18 +1105,18 @@ object TextOps {
           .when(col("duplicate") === 1, "4_exact_dup")
           .when(col("rn") =!= 1, "5_near_dup")
           .otherwise("6_kept"))
-    // the total is the SUM of the ≤5-row rollup — checkpoint the rollup
-    // and derive it there, instead of a second full evaluation of the
-    // staged relation (the E14 verdict pass + cluster window) for a
-    // 1-row count. Σ n_docs ≡ count(staged) because every doc lands in
-    // exactly one stage.
-    val grouped = graft.operators.Dedup.stableCheckpoint(
-      staged.groupBy(col("stage")).agg(count(lit(1)).as("n_docs")))
-    val total = grouped.agg(sum(col("n_docs")).as("tot"))
-    grouped
-      .crossJoin(broadcast(total))
+    // the total is the SUM of the ≤5-row rollup, attached by a GLOBAL
+    // window over those ≤5 rows (r16): the r15 shape checkpointed the
+    // rollup and crossJoined a 1-row aggregate back — two extra jobs
+    // where one empty-partition window does the same arithmetic in the
+    // rollup's own plan. Σ n_docs ≡ count(staged) because every doc
+    // lands in exactly one stage; the single-partition window is safe
+    // BY CONSTRUCTION (≤ #stages rows, never corpus-cardinality).
+    val wAll = Window.partitionBy()
+    staged.groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
       .select(col("stage"), col("n_docs"),
-        r6(col("n_docs").cast("double") / col("tot").cast("double")).as("share_r"))
+        r6(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(wAll).cast("double")).as("share_r"))
       .orderBy(col("stage"))
   }
 
@@ -1143,7 +1143,7 @@ object TextOps {
       .withColumn("dup", (col("doc_id") =!=
         min(col("doc_id")).over(Window.partitionBy(col("ch")))).cast("long"))
       .select(col("doc_id").as("dup_id"), col("dup"))
-    val dist = graft.operators.Similarity.embCentroidDist(t)
+    val dist = Similarity.embCentroidDist(t)
       .select(col("vec_id"), col("label"), col("dist_r"))
     def dmean(c: Column) =
       r6(sum(c.cast(DecimalType(18, 6))).cast("double") /

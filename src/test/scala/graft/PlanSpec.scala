@@ -630,11 +630,10 @@ class PlanSpec extends SparkSpec {
     spark.listenerManager.register(listener)
     try {
       Similarity.annGraphSearch(tables).collect()
-      val deadline = System.currentTimeMillis() + 15000
-      var last = -1
-      while (plans.size != last && System.currentTimeMillis() < deadline) {
-        last = plans.size; Thread.sleep(300)
-      }
+      // deterministic drain: QueryExecutionListener delivery is async
+      // on the listener bus — two unchanged polls can race a slow bus
+      // and silently weaken the no-SortMergeJoin assertion below
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
     } finally spark.listenerManager.unregister(listener)
     import scala.jdk.CollectionConverters._
     val all = plans.asScala.toSeq
