@@ -2461,13 +2461,14 @@ object Similarity {
         .select(col("src"), col("dst"))
     val beamW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("vec_id").asc)
-    // truncate = true (r15): the lazy 3-round unroll copies the edge
-    // build + corpus-scoring subtree 2^rounds times — a 235 KB plan
-    // (plans/r15/ann_graph_search_before.txt) whose analysis/codegen
-    // cost exceeds the three ≤nQueries·beam-row checkpoints that
-    // replace it; the truncated shape is what D43/D52/D53 already pin.
+    // truncate = false (r16, reverting r15): measured at BOTH scales,
+    // the lazy 3-round unroll (2^3 subtree copies, deduped by exchange
+    // reuse at execution) beats three eager per-round checkpoint jobs —
+    // sf0.1 min 4.24 s lazy vs 4.94 s truncated, sf1 5.84 vs 8.12 s
+    // (−28%). The D43/D52/D53 sweeps keep truncation: they pay the
+    // unroll PER SWEEP POINT, which is where it actually compounds.
     maybeSort(
-      beamSearch(e, edges, nQueries, beam, rounds, truncate = true)
+      beamSearch(e, edges, nQueries, beam, rounds, truncate = false)
         .withColumn("rank", row_number().over(beamW).cast("long"))
         .filter(col("rank") <= k)
         .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r")),
