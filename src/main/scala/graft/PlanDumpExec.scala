@@ -29,7 +29,13 @@ object PlanDumpExec {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val names = SparkEntry.queries.keys.filter(n => pats.exists(n.contains)).toSeq.sorted
+    // training_data_job is benched outside the registry (Bench's
+    // composed-pipeline entry) — plan-auditable here under its bench name
+    val extra: Map[String, (SparkSession, String) => Unit] = Map(
+      "training_data_job" -> ((s: SparkSession, dir: String) =>
+        TrainingDataJob.run(graft.sources.Tables(s, dir), "target/plandump-tdj")))
+    val names = (SparkEntry.queries.keys ++ extra.keys)
+      .filter(n => pats.exists(n.contains)).toSeq.sorted
     names.foreach { name =>
       val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val listener = new QueryExecutionListener {
@@ -39,7 +45,11 @@ object PlanDumpExec {
       }
       spark.listenerManager.register(listener)
       try {
-        SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        extra.get(name) match {
+          case Some(run) => run(spark, sfDir)
+          case None =>
+            SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        }
         // QueryExecutionListener delivery is async on the listener bus
         org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       } finally spark.listenerManager.unregister(listener)

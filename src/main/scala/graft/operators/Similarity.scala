@@ -2645,12 +2645,20 @@ object Similarity {
     // collapses bit-identical score rows).
     val frames = Seq.newBuilder[DataFrame]
     frames += vis
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val expd = broadcast(vis.select(col("q_id"), col("vec_id")))
         .join(edges, col("vec_id") === col("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
-      val cand = Dedup.stableCheckpoint(
-        vis.unionByName(scoreIds(expd)).distinct())
+      val raw = vis.unionByName(scoreIds(expd)).distinct()
+      // checkpoint every OTHER round (r16): the beam is referenced
+      // twice next round, so one lazy gap costs ≤ 2 subtree copies of
+      // a ≤(beam+expansion)-row tail (exchange/broadcast reuse dedupes
+      // the corpus-side work at execution) — half the eager jobs of
+      // per-round truncation while the plan stays bounded (the D41
+      // measurement: eager checkpoints of tiny frames cost more than
+      // the re-analysis they save). The LAST round always truncates so
+      // callers consume checkpointed leaves.
+      val cand = if (r % 2 == 0 || r == rounds) Dedup.stableCheckpoint(raw) else raw
       frames += cand
       vis = cand.withColumn("rn", row_number().over(beamW))
         .filter(col("rn") <= beam).drop("rn")
