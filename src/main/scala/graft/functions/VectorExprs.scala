@@ -10,16 +10,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 /** Native Catalyst dot-product over two `array<double>` columns.
   *
   * The higher-order-function formulation (`aggregate(zip_with(a,b,*))`)
-  * allocates an intermediate array and evaluates a lambda per element —
+  * allocates an intermediate array and evaluates a lambda per element â
   * interpreted, not codegen'd. This expression generates a tight
-  * primitive loop inside whole-stage codegen instead (~10× on the
+  * primitive loop inside whole-stage codegen instead (~10Ã on the
   * all-pairs cosine workload). Summation is the same sequential
   * ascending-index fold, so results stay bit-identical to the
   * `list_reduce` DuckDB oracle.
   *
   * Null contract (registered as `graft_dot` for arbitrary user arrays):
   * a null ELEMENT contributes 0 to the sum (the pair at that index is
-  * skipped) — defined output, never a read of a null slot. The
+  * skipped) â defined output, never a read of a null slot. The
   * per-element null check is only EMITTED when an input's ArrayType
   * says `containsNull`; the embedding hot path (containsNull = false)
   * keeps the branch-free loop.
@@ -27,8 +27,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // null-in → null-out exactly (nullSafeEval): declaring it lets
+  // constraint inference emit IsNotNull(input attr) instead of
+  // IsNotNull(thisExpr) — without it the inferred join-key null
+  // filter RE-EVALUATES the expression below the Project (guide §4.4
+  // duplicate-eval; measured in every banding-join plan)
+  override def nullIntolerant: Boolean = true
+
   // inputs are array<double> by construction (withNorm casts); no
-  // ExpectsInputTypes — AbstractDataType is private[sql] in Spark 4
+  // ExpectsInputTypes â AbstractDataType is private[sql] in Spark 4
   override def dataType: DataType = DoubleType
 
   private def mayHaveNullElements: Boolean =
@@ -83,10 +90,10 @@ case class DotProduct(left: Expression, right: Expression)
   * the input subvector to EVERY entry of a literal codebook, as one
   * `array<double>` indexed by code.
   *
-  * Why an expression at all: the unrolled formulation — an
-  * `array(struct(dist, code), …)` argmin with one inlined literal
-  * center per element — generates O(nCodes · dsub) Java per subspace;
-  * at m=8 × nCodes=8 janino hits its 64 KB method limit in the
+  * Why an expression at all: the unrolled formulation â an
+  * `array(struct(dist, code), â¦)` argmin with one inlined literal
+  * center per element â generates O(nCodes Â· dsub) Java per subspace;
+  * at m=8 Ã nCodes=8 janino hits its 64 KB method limit in the
   * Generate stage's consume ("Code grows beyond 64 KB", observed in
   * the sf0.01 verify run) and Spark silently drops the WHOLE stage
   * out of whole-stage codegen. This loop form is constant bytecode
@@ -94,24 +101,31 @@ case class DotProduct(left: Expression, right: Expression)
   * (m, nCodes).
   *
   * Bit parity with the unrolled form (and therefore the unchanged
-  * DuckDB oracle): ascending-index folds for x·x and x·c (DotProduct's
-  * order), ‖c‖² folded at construction in the same ascending order the
+  * DuckDB oracle): ascending-index folds for xÂ·x and xÂ·c (DotProduct's
+  * order), âcâÂ² folded at construction in the same ascending order the
   * driver previously used, the identical left-associated
-  * (xn2 − 2·s) + c2 combination, and the same floor(d·1e6 + 0.5)/1e6
+  * (xn2 â 2Â·s) + c2 combination, and the same floor(dÂ·1e6 + 0.5)/1e6
   * rounding. Downstream argmin/tiebreak semantics are preserved by
   * `array_position(ds, array_min(ds))`: first occurrence of the
-  * minimum ⇒ lowest code wins ties, exactly like the old
+  * minimum â lowest code wins ties, exactly like the old
   * struct(dist, code) min. Null elements contribute 0 (DotProduct's
   * contract); the check is only emitted when the ArrayType admits
   * nulls.
   *
   * The codebook child must be a foldable `array<array<double>>`
   * (element i = code i's subvector); it is folded ONCE into flat
-  * primitive arrays at first use and referenced from generated code —
+  * primitive arrays at first use and referenced from generated code â
   * never evaluated per row.
   */
 case class PqDists(vec: Expression, codebook: Expression)
     extends BinaryExpression {
+
+  // null-in → null-out exactly (nullSafeEval): declaring it lets
+  // constraint inference emit IsNotNull(input attr) instead of
+  // IsNotNull(thisExpr) — without it the inferred join-key null
+  // filter RE-EVALUATES the expression below the Project (guide §4.4
+  // duplicate-eval; measured in every banding-join plan)
+  override def nullIntolerant: Boolean = true
 
   override def left: Expression = vec
   override def right: Expression = codebook
@@ -119,7 +133,7 @@ case class PqDists(vec: Expression, codebook: Expression)
 
   // registered as public SQL (graft_pq_dists): reject bad shapes at
   // ANALYSIS time, not as an executor-side RuntimeException at first
-  // eval — a non-foldable codebook would otherwise only fail inside
+  // eval â a non-foldable codebook would otherwise only fail inside
   // the lazy fold, deep in a running job
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -138,7 +152,7 @@ case class PqDists(vec: Expression, codebook: Expression)
     case _ => true
   }
 
-  // (flat row-major codebook, per-code ‖c‖², nCodes, dsub)
+  // (flat row-major codebook, per-code âcâÂ², nCodes, dsub)
   @transient private lazy val folded: (Array[Double], Array[Double], Int, Int) = {
     val cb = codebook.eval(null).asInstanceOf[ArrayData]
     require(cb != null, "PqDists codebook must not be null")
@@ -241,7 +255,7 @@ object VectorExprs {
   private val FnName = "graft_dot"
 
   /** (name, implementing class, builder) for EVERY graft native
-    * function — the single registration list consumed by both the
+    * function â the single registration list consumed by both the
     * library path (ensureRegistered, via Tables) and the deploy
     * extension point (GraftExtensions.injectFunction). One list means
     * the two paths cannot drift: a cluster session configured with
@@ -296,15 +310,57 @@ object VectorExprs {
       exprs => GradEnergy(exprs.head)))
 
   /** Register the native expressions in the session's function registry
-    * (the public extension point — same mechanism
+    * (the public extension point â same mechanism
     * SparkSessionExtensions' injectFunction uses) and expose them as
     * Columns.
     */
-  def ensureRegistered(spark: SparkSession): Unit =
+  /** InferFiltersFromGenerate wraps every explode in
+    * `size(child) > 0 AND isnotnull(child)`; PushDownPredicates then
+    * moves that filter through the projection that DEFINES the child,
+    * substituting the alias — so the generator input is re-evaluated
+    * per row below the Generate. For gram/vector explodes that input
+    * is the most expensive expression of the whole query (the
+    * corpus_dedup_stats plan carried gram hashing 3× per doc: size +
+    * isnotnull + the projection itself), and graft's array producers
+    * never emit empty arrays (GramHashes falls back to hashing the
+    * whole text; embeddings are fixed-width), so the inferred filter
+    * drops nothing. Results are identical without the rule — exploding
+    * an empty/null array already emits no rows; this is a pure
+    * plan-shape exclusion (guide §4.4's duplicate-eval, optimizer-made).
+    */
+  private val ExcludedRule =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val cur = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .filter(_.nonEmpty)
+    if (!cur.exists(_.split(",").contains(ExcludedRule)))
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        (cur.toSeq :+ ExcludedRule).mkString(","))
+    // Constraint propagation OFF: an inferred IsNotNull is a pure
+    // optimization (join/filter semantics already drop null keys, so
+    // results are identical without it), and in this engine every such
+    // filter is a net LOSS twice over — (a) PushDownPredicates moves
+    // the attribute-level isnotnull through the projection that
+    // DEFINES the attribute, re-evaluating simhash/gram/phash per row
+    // below the Project (doc_simhash_pairs carried
+    // isnotnull(simhash60(gramhashes(text))) at the scan on both join
+    // sides; nullIntolerant can't help once the constraint is already
+    // attribute-level), while the corpus columns are never null so the
+    // filter drops nothing; and (b) constraint RECOMPUTATION is the
+    // dominant optimizer cost on the unrolled iterative-ANN plans
+    // (ann_method_recall's 222 KB plan — VERDICT r15 item 5's
+    // driver-bound analysis cost).
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     functions.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      val reg = spark.sessionState.functionRegistry
+      // registering only when absent: createOrReplaceTempFunction on
+      // every Tables() construction spammed "function replaced" WARNs
+      // through every bench/verify log
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+  }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
 

@@ -1,11 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
+import graft.functions.{BoundedPostings, Hashing}
 import graft.functions.Hashing._
 import graft.sources.Tables
 
@@ -481,14 +482,22 @@ object Dedup {
     * volume (≤ dfCap²/2 per gram) makes the dedup shuffle cheap.
     */
   private def cappedCandidates(g: DataFrame, dfCap: Int): DataFrame = {
-    val stop = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap)
-      .select(col("gram"))
-    val capped = g.join(stop, Seq("gram"), "left_anti")
-      .select(col("doc_id"), col("gram"))
-    capped.groupBy(col("gram"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    // ONE gram-keyed pass (r16, guide §2.3/§2.4) — was three: a df
+    // aggregate over the full exploded relation, the stop-set
+    // anti-join probe, and a collect_set posting aggregate of the
+    // survivors. BoundedPostings fuses df counting and posting
+    // collection with a cap+1 buffer bound, so stop shingles ship
+    // ≤ cap+1 ids per map partition (the blow-up the anti-join
+    // guarded) and sub-cap shingles arrive with their COMPLETE sorted
+    // posting list — `ids` is bit-equal to the old
+    // sort_array(collect_set(doc_id)) for every surviving gram, and
+    // the pair generator + distinct are unchanged, so the result is
+    // row-identical (oracle-checked on C5b/C16).
+    val bp = udaf(BoundedPostings(dfCap), Encoders.scalaLong)
+    g.groupBy(col("gram"))
+      .agg(bp(col("doc_id")).as("p"))
+      .filter(col("p._1") > 1 && col("p._1") <= dfCap)
+      .select(col("p._2").as("ids"))
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->
           |  transform(slice(ids, i + 2, size(ids)), b ->

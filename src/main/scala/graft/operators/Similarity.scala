@@ -25,7 +25,12 @@ object Similarity {
   def withNorm(emb: DataFrame): DataFrame = {
     VectorExprs.ensureRegistered(emb.sparkSession)
     emb
-      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      // array-level Cast, not transform(x -> cast): elementwise
+      // float→double widening is value-identical, but Cast is
+      // whole-stage-codegen'd where ArrayTransform is an interpreted
+      // higher-order function with a lambda allocation per row — and
+      // `v` is rebuilt on every corpus pass of every ANN operator
+      .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("n2", VectorExprs.dot(col("v"), col("v")))
   }
 
@@ -2645,20 +2650,19 @@ object Similarity {
     // collapses bit-identical score rows).
     val frames = Seq.newBuilder[DataFrame]
     frames += vis
-    for (r <- 1 to rounds) {
+    for (_ <- 1 to rounds) {
       val expd = broadcast(vis.select(col("q_id"), col("vec_id")))
         .join(edges, col("vec_id") === col("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
-      val raw = vis.unionByName(scoreIds(expd)).distinct()
-      // checkpoint every OTHER round (r16): the beam is referenced
-      // twice next round, so one lazy gap costs ≤ 2 subtree copies of
-      // a ≤(beam+expansion)-row tail (exchange/broadcast reuse dedupes
-      // the corpus-side work at execution) — half the eager jobs of
-      // per-round truncation while the plan stays bounded (the D41
-      // measurement: eager checkpoints of tiny frames cost more than
-      // the re-analysis they save). The LAST round always truncates so
-      // callers consume checkpointed leaves.
-      val cand = if (r % 2 == 0 || r == rounds) Dedup.stableCheckpoint(raw) else raw
+      // ONE eager checkpoint EVERY round. The r16 snapshot tried
+      // checkpointing every other round ("half the eager jobs") — a
+      // back-to-back TimeQuery A/B measured ann_method_recall ~1.6-2×
+      // SLOWER with the lazy gap (min 18.6→29.5 s at sf0.1, control-
+      // normalized ~2×): the skipped round's un-truncated subtree is
+      // consumed twice by the next round (expansion + union), and the
+      // corpus-side scoring join under it is NOT an exchange, so
+      // nothing dedupes it at execution. Reverted to per-round.
+      val cand = Dedup.stableCheckpoint(vis.unionByName(scoreIds(expd)).distinct())
       frames += cand
       vis = cand.withColumn("rn", row_number().over(beamW))
         .filter(col("rn") <= beam).drop("rn")

@@ -674,7 +674,9 @@ object Sinks {
     require(p > 0 && p < dim, s"prefix p=$p must split the $dim-dim vectors")
     t.embeddings
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        // array-level Cast: codegen'd, value-identical to the
+        // per-element transform (see Similarity.withNorm)
+        col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"),
         slice(col("v"), 1, p).as("v_prefix"),
         expr(s"slice(v, ${p + 1}, size(v) - $p)").as("v_tail"))
